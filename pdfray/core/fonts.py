@@ -1,0 +1,106 @@
+"""Font model: Subtype, 8-bit encoding, /Differences, /ToUnicode CMap.
+
+Mirrors `PdfParser/PdfFont.cs:30-137` and `PdfFontType.cs:25-50`:
+
+* Type1 fonts start from the Standard table; other subtypes start unmapped.
+* /Encoding name: WinAnsi / MacRoman / MacExpert(->MacRoman); names containing
+  "Identity" set the identity flag without touching the table.
+* /Differences arrays: a running code index, `uniXXXX` hex names, glyph-name
+  lookups; unknown glyph names are skipped with the index still advancing
+  (`PdfFont.cs:80-90` tolerance behavior).
+* /ToUnicode streams patch the table (starting from Standard if none yet).
+* All failures are captured on ``exception`` — a broken font never aborts the
+  page (`PdfFont.cs:122-125`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from .encodings import apply_tounicode, get_encoding_8bit
+from .encodings_tables import GLYPH_CHARS, STANDARD
+from .model import ArrayToken, DictionaryToken, NameToken, NumberToken, Token
+
+FONT_TYPES = (
+    "Type0",
+    "Type1",
+    "MMType1",
+    "Type3",
+    "TrueType",
+    "CIDFontType0",
+    "CIDFontType2",
+)
+
+
+class PdfFont:
+    __slots__ = (
+        "obj_id",
+        "font_type",
+        "base_font",
+        "encoding_name",
+        "is_identity",
+        "encoding8",
+        "tounicode_header",
+        "cmap",
+        "exception",
+    )
+
+    def __init__(self, lexer, token: Token):
+        self.obj_id = token.obj_id
+        self.font_type: Optional[str] = None
+        self.base_font: Optional[str] = None
+        self.encoding_name: Optional[str] = None
+        self.is_identity = False
+        self.encoding8: Optional[list] = None
+        self.tounicode_header: Optional[str] = None
+        self.cmap: Optional[dict] = None
+        self.exception: Optional[str] = None
+        if isinstance(token, DictionaryToken):
+            token.pdf_object = self
+        try:
+            self._build(lexer, token)
+        except Exception as ex:
+            self.exception = (self.exception or "") + f"{type(ex).__name__}: {ex}" + "\n"
+
+    def _build(self, lexer, token: Token) -> None:
+        if not isinstance(token, DictionaryToken):
+            raise TypeError(f"font token is not a dictionary: {type(token).__name__}")
+        subtype = token.get_name("Subtype")
+        if subtype is not None:
+            self.font_type = subtype if subtype in FONT_TYPES else "none"
+            if self.font_type == "Type1":
+                self.encoding8 = list(STANDARD)
+        self.base_font = token.get_name("BaseFont")
+
+        encoding_token = token.get("Encoding")
+        if encoding_token is not None:
+            if isinstance(encoding_token, DictionaryToken):
+                differences = encoding_token.get_array("Differences")
+                if differences is not None:
+                    char_index = -(1 << 31)
+                    for diff in differences:
+                        if isinstance(diff, NumberToken):
+                            char_index = diff.ivalue
+                        elif isinstance(diff, NameToken):
+                            char_name = diff.value
+                            if char_name[:3].lower() == "uni":
+                                # uniXXXX hex parse; failure aborts the font build
+                                ch = chr(int(char_name[3:], 16))
+                                self.encoding8[char_index] = ch
+                                char_index += 1
+                            else:
+                                ch = GLYPH_CHARS.get(char_name)
+                                if ch is not None:
+                                    self.encoding8[char_index] = ch
+                                char_index += 1  # unknown names skip but advance
+            elif isinstance(encoding_token, NameToken):
+                name = encoding_token.value
+                if "Identity" in name:
+                    self.is_identity = True
+                else:
+                    self.encoding8 = get_encoding_8bit(name)
+
+        tounicode = token.get_dict("ToUnicode")
+        if tounicode is not None:
+            if self.encoding8 is None:
+                self.encoding8 = list(STANDARD)
+            self.tounicode_header, self.cmap = apply_tounicode(lexer, tounicode, self.encoding8)

@@ -1,0 +1,583 @@
+"""Deterministic synthetic PDF corpus with golden expected text.
+
+Generates the driver-contract input table ``(url, warc_ts, html, text, lang)``
+(BASELINE.json input_hint): ``html`` carries synthesized PDF bytes, ``text``
+the golden extracted text computed *analytically* from the op program that
+produced the bytes (mirroring the documented interpreter semantics, not by
+running the extractor — so tests are a genuine oracle).
+
+Coverage matrix (FIXTURES.md §2): simple 40%, multifrag 15%, flate 15%,
+xrefstream 10%, fonts 10%, quirks 5%, encrypted 5%, plus a handful of huge
+and broken rows.  All synthesis is seeded; no wall clock, no external data.
+"""
+from __future__ import annotations
+
+import datetime
+import random
+import zlib
+from typing import Optional
+
+from ..core.encodings_tables import MAC_ROMAN, STANDARD, WIN_ANSI
+from .pdfwriter import Encryption, PdfBuilder
+
+SEED = 42
+NL = "\n"
+DELIM = "|"
+
+LANGS = ("en", "de", "fr", "es")
+
+SNIPPETS = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog",
+        "hello world from the extraction engine",
+        "pack my box with five dozen liquor jugs",
+        "a stitch in time saves nine",
+    ],
+    "de": [
+        "über den Wolken grüßt das Mädchen",
+        "schöne Bäume im Wald von Köln",
+        "größere Straßen führen zur Brücke",
+        "zwölf Boxkämpfer jagen Viktor quer",
+    ],
+    "fr": [
+        "déjà vu près du café français",
+        "un été à la montagne enneigée",
+        "le garçon mange une crêpe sucrée",
+        "voilà une île très élégante",
+    ],
+    "es": [
+        "mañana el señor come jamón",
+        "el niño pequeño juega fútbol",
+        "la canción española es muy rápida",
+        "azúcar y limón en el café",
+    ],
+}
+
+_INVERSE_CACHE: dict = {}
+
+
+def inverse_table(table) -> dict:
+    key = id(table)
+    inv = _INVERSE_CACHE.get(key)
+    if inv is None:
+        inv = {}
+        for code in range(32, 256):
+            ch = table[code]
+            if ch != "￿" and ch not in inv:
+                inv[ch] = code
+        _INVERSE_CACHE[key] = inv
+    return inv
+
+
+ENCODING_TABLES = {
+    "WinAnsiEncoding": WIN_ANSI,
+    "MacRomanEncoding": MAC_ROMAN,
+    None: STANDARD,  # Type1 default
+}
+
+
+def encode_text(text: str, encoding_name: Optional[str]) -> bytes:
+    inv = inverse_table(ENCODING_TABLES[encoding_name])
+    try:
+        return bytes(inv[ch] for ch in text)
+    except KeyError as ex:
+        raise ValueError(f"char {ex} not encodable in {encoding_name}") from ex
+
+
+def encodable(text: str, encoding_name: Optional[str]) -> bool:
+    inv = inverse_table(ENCODING_TABLES[encoding_name])
+    return all(ch in inv for ch in text)
+
+
+# ----------------------------------------------------------------------
+# op programs: fragments = [[op, ...], ...]; each inner list is one BT..ET
+
+
+def expected_text(fragments: list, delim: str = DELIM, nl: str = NL) -> str:
+    """Analytic model of the interpreter semantics (PdfContent.cs:97-187)."""
+    text: Optional[str] = None
+    last_offset = None
+    for frag in fragments:
+        for op in frag:
+            kind = op[0]
+            if kind in ("Td", "TD", "T*"):
+                text = (text or "") + nl
+            elif kind == "Tm":
+                offset = op[6]
+                if last_offset != offset:
+                    last_offset = offset
+                    if text is not None:
+                        text += nl
+            elif kind in ("Tj", "'"):
+                text = (text or "") + op[1] + delim
+            elif kind == '"':
+                text = (text or "") + op[3] + delim
+            elif kind == "TJ":
+                s = "".join(p for p in op[1] if isinstance(p, str))
+                text = (text or "") + s + delim
+            # Tf and others contribute no text
+    return text or ""
+
+
+def render_content(fragments: list, encoding_name: Optional[str], builder: PdfBuilder,
+                   pre_ops: str = "") -> bytes:
+    """Render an op program to content-stream bytes (encoding golden text)."""
+    parts = [pre_ops] if pre_ops else []
+    for frag in fragments:
+        parts.append("BT")
+        for op in frag:
+            kind = op[0]
+            if kind == "Tf":
+                parts.append(f"/{op[1]} {op[2]} Tf")
+            elif kind == "Td":
+                parts.append(f"{op[1]} {op[2]} Td")
+            elif kind == "TD":
+                parts.append(f"{op[1]} {op[2]} TD")
+            elif kind == "T*":
+                parts.append("T*")
+            elif kind == "Tm":
+                parts.append(" ".join(str(x) for x in op[1:7]) + " Tm")
+            elif kind == "Tj":
+                enc = encode_text(op[1], encoding_name)
+                parts.append(builder.literal_string(enc) + " Tj")
+            elif kind == "TjHex":
+                parts.append("<" + op[1] + "> Tj")
+            elif kind == "'":
+                enc = encode_text(op[1], encoding_name)
+                parts.append(builder.literal_string(enc) + " '")
+            elif kind == '"':
+                enc = encode_text(op[3], encoding_name)
+                parts.append(f"{op[1]} {op[2]} " + builder.literal_string(enc) + ' "')
+            elif kind == "TJ":
+                arr = []
+                for p in op[1]:
+                    if isinstance(p, str):
+                        arr.append(builder.literal_string(encode_text(p, encoding_name)))
+                    else:
+                        arr.append(str(p))
+                parts.append("[" + " ".join(arr) + "] TJ")
+            elif kind == "TL":
+                parts.append(f"{op[1]} TL")
+        parts.append("ET")
+    return " ".join(parts).encode("latin-1")
+
+
+def _font_body(encoding_name: Optional[str], base: str = "Helvetica") -> str:
+    body = f"<</Type/Font/Subtype/Type1/BaseFont/{base}"
+    if encoding_name:
+        body += f"/Encoding/{encoding_name}"
+    return body + ">>"
+
+
+def _simple_fragments(rng: random.Random, lang: str, encoding_name) -> list:
+    texts = [t for t in SNIPPETS[lang] if encodable(t, encoding_name)]
+    text = rng.choice(texts)
+    return [[("Tf", "F1", 12), ("Td", 100, 700), ("Tj", text)]]
+
+
+# ----------------------------------------------------------------------
+# document classes
+
+
+def build_simple(rng: random.Random, lang: str) -> tuple:
+    encoding_name = rng.choice(["WinAnsiEncoding", "MacRomanEncoding"])
+    b = PdfBuilder()
+    frags = _simple_fragments(rng, lang, encoding_name)
+    content = render_content(frags, encoding_name, b)
+    cid = b.add_stream(content)
+    fid = b.add(_font_body(encoding_name))
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    info = b.add(f"<</Title (doc {rng.randrange(10_000)})/Producer (pdfray fixtures)>>")
+    data = b.finish_classic(cat, info=info, file_id_hex="AB" * 16)
+    return data, expected_text(frags)
+
+
+def build_multifrag(rng: random.Random, lang: str) -> tuple:
+    encoding_name = rng.choice(["WinAnsiEncoding", "MacRomanEncoding"])
+    texts = [t for t in SNIPPETS[lang] if encodable(t, encoding_name)]
+    t1, t2, t3 = rng.choice(texts), rng.choice(texts), rng.choice(texts)
+    y1, y2 = rng.randrange(600, 700), rng.randrange(400, 500)
+    frags = [
+        [
+            ("Tf", "F1", 11),
+            ("Tm", 1, 0, 0, 1, 50, y1),
+            ("TJ", [t1, -120, t2[:8]]),
+            ("TD", 0, -14),
+            ("'", t2),
+        ],
+        [
+            ("Tf", "F1", 11),
+            ("Tm", 1, 0, 0, 1, 50, y1),  # same offset -> no newline
+            ("Tj", t3),
+            ("T*",),
+            ("'", t1),
+            ("Tm", 1, 0, 0, 1, 50, y2),  # new offset -> newline
+            ("Tj", t2),
+        ],
+    ]
+    b = PdfBuilder()
+    content = render_content(frags, encoding_name, b)
+    cid = b.add_stream(content)
+    fid = b.add(_font_body(encoding_name))
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    data = b.finish_classic(cat, file_id_hex="CD" * 16)
+    return data, expected_text(frags)
+
+
+def build_flate(rng: random.Random, lang: str) -> tuple:
+    """FlateDecode streams + nested Pages tree (M10, M12, M15)."""
+    encoding_name = rng.choice(["WinAnsiEncoding", "MacRomanEncoding"])
+    b = PdfBuilder()
+    fid = b.add(_font_body(encoding_name))
+    n_pages = rng.randrange(2, 5)
+    all_frags = []
+    page_ids = []
+    root_pages = b.reserve()
+    inner_pages = b.reserve()
+    for k in range(n_pages):
+        frags = _simple_fragments(rng, lang, encoding_name)
+        all_frags.extend(frags)
+        content = render_content(frags, encoding_name, b)
+        cid = b.add_stream(content, flate=True)
+        parent = inner_pages if k < 2 else root_pages
+        pid = b.add(
+            f"<</Type/Page/Parent {parent} 0 R/Contents {cid} 0 R"
+            f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+        )
+        page_ids.append(pid)
+    inner_kids = " ".join(f"{p} 0 R" for p in page_ids[:2])
+    b.add(f"<</Type/Pages/Parent {root_pages} 0 R/Kids[{inner_kids}]/Count 2>>",
+          obj_num=inner_pages)
+    outer_kids = f"{inner_pages} 0 R " + " ".join(f"{p} 0 R" for p in page_ids[2:])
+    b.add(f"<</Type/Pages/Kids[{outer_kids}]/Count {n_pages}>>", obj_num=root_pages)
+    cat = b.add(f"<</Type/Catalog/Pages {root_pages} 0 R>>")
+    data = b.finish_classic(cat)
+    return data, expected_text(all_frags)
+
+
+def build_xrefstream(rng: random.Random, lang: str) -> tuple:
+    """PDF-1.5 xref stream + object streams holding the structure (M5, M11, M13)."""
+    encoding_name = rng.choice(["WinAnsiEncoding", "MacRomanEncoding"])
+    b = PdfBuilder(version="1.5")
+    frags = _simple_fragments(rng, lang, encoding_name)
+    content = render_content(frags, encoding_name, b)
+    cid = b.add_stream(content, flate=True)
+    # structure objects live compressed inside an object stream
+    fid = b.reserve()
+    pid = b.reserve()
+    pages_id = b.reserve()
+    cat = b.reserve()
+    members = [
+        (fid, _font_body(encoding_name)),
+        (
+            pid,
+            f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+            f"/Resources<</Font<</F1 {fid} 0 R>>>>>>",
+        ),
+        (pages_id, f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>"),
+        (cat, f"<</Type/Catalog/Pages {pages_id} 0 R>>"),
+    ]
+    _, mapping = b.add_object_stream(members)
+    data = b.finish_xref_stream(cat, compressed=mapping)
+    return data, expected_text(frags)
+
+
+# analytic /Differences + ToUnicode table model (PdfFont.cs:62-99 semantics)
+def _fonts_class_table() -> list:
+    table = list(STANDARD)
+    # /Differences [65 /Zcaron /notdefinedglyph /adieresis 0x80 /uni20AC]
+    table[65] = "Ž"
+    # 66 skipped (unknown glyph name advances the index)
+    table[67] = "ä"
+    table[0x80] = "€"
+    # ToUnicode bfchar: <01> -> <0041>, <02> -> <00660066> (ligature ff)
+    table[0x01] = "A"
+    table[0x02] = "ﬀ"
+    # bfrange <10> <12> <0061> -> a, b, c
+    table[0x10] = "a"
+    table[0x11] = "b"
+    table[0x12] = "c"
+    return table
+
+
+def build_fonts(rng: random.Random, lang: str) -> tuple:
+    """/Differences + /ToUnicode CMaps + hex strings + ligature CIDs (F3-F5, M21)."""
+    b = PdfBuilder()
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "11 dict begin\n"
+        "begincmap\n"
+        "/CMapName /Adobe-Identity-UCS def\n"
+        "/CMapType 2 def\n"
+        "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        "2 beginbfchar\n<01> <0041>\n<02> <00660066>\nendbfchar\n"
+        "1 beginbfrange\n<10> <12> <0061>\nendbfrange\n"
+        "endcmap\nend\nend"
+    )
+    cmap_id = b.add_stream(cmap.encode("latin-1"))
+    fid = b.add(
+        "<</Type/Font/Subtype/Type1/BaseFont/Helvetica"
+        "/Encoding<</Type/Encoding/Differences"
+        "[65 /Zcaron /notdefinedglyph /adieresis 128 /uni20AC]>>"
+        f"/ToUnicode {cmap_id} 0 R>>"
+    )
+    table = _fonts_class_table()
+    # hex-string Tj over codes 41,42,43,80,01,02,10,11,12
+    codes = [0x41, 0x42, 0x43, 0x80, 0x01, 0x02, 0x10, 0x11, 0x12]
+    hexstr = "".join(f"{c:02X}" for c in codes)
+    mapped = "".join(table[c] for c in codes)
+    frags = [[("Tf", "F1", 12), ("Td", 72, 700), ("TjHex", hexstr)]]
+    golden = NL + mapped + DELIM
+    content = render_content(frags, None, b)
+    cid = b.add_stream(content)
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    data = b.finish_classic(cat)
+    return data, golden
+
+
+def build_quirks(rng: random.Random, lang: str) -> tuple:
+    """Junk prefix, wrong /Length, CR-only stream EOL, dup dict keys, comments,
+    inline images, clipping, /Prev incremental update (M3, M6, M9, M14)."""
+    encoding_name = "WinAnsiEncoding"
+    junk = b"BT 231.57 45.49 Td (ignored junk before header) Tj ET\n"
+    b = PdfBuilder(junk_prefix=junk)
+    texts = [t for t in SNIPPETS[lang] if encodable(t, encoding_name)]
+    t1 = rng.choice(texts)
+    frags = [[("Tf", "F1", 12), ("Td", 100, 700), ("Tj", t1)]]
+    # inline image + clipping region before BT; % comment in the page dict
+    pre = "q BI /W 4 /H 4 /BPC 8 ID \x01\x02\x03)\x04( EI Q 322.8 648.48 31.92 44.64 re W n"
+    content = render_content(frags, encoding_name, b, pre_ops=pre)
+    wrong_len = max(1, len(content) - rng.randrange(3, 9))  # endstream rescue path
+    cid = b.add_stream(content, length_override=wrong_len, eol=b"\r")
+    fid = b.add(_font_body(encoding_name))
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page%comment inside dict\n/Parent {pages_id} 0 R"
+        f"/Contents {cid} 0 R/Rotate 0/Rotate 0"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    rev1 = b.finish_classic(cat, free_entry_quirk=True)
+    # incremental update: replace the content stream; newest xref wins (M6)
+    t2 = rng.choice(texts)
+    frags2 = [[("Tf", "F1", 12), ("Td", 100, 700), ("Tj", t2)]]
+    sx = rev1.rfind(b"startxref")
+    prev_xref = int(rev1[sx + len(b"startxref") :].split()[0])
+    b2 = _IncrementalBuilder(rev1)
+    content2 = render_content(frags2, encoding_name, b2)
+    b2.add_stream(content2, obj_num=cid)
+    data = b2.finish_classic(cat, prev=prev_xref)
+    return data, expected_text(frags2)
+
+
+class _IncrementalBuilder(PdfBuilder):
+    """Appends a second revision to an existing document (quirks /Prev chain)."""
+
+    def __init__(self, base: bytes):
+        self.buf = bytearray(base)
+        self.addrs = {}
+        self._next = 1000  # unused; updated objects pass obj_num explicitly
+        self.encryption = None
+        self.encrypt_obj_num = None
+
+
+def build_encrypted(rng: random.Random, lang: str) -> tuple:
+    """RC4 standard security V=2/R=3, empty user password (C1-C8)."""
+    enc = Encryption(user_password="", owner_password="own" + str(rng.randrange(100)))
+    encoding_name = "WinAnsiEncoding"
+    b = PdfBuilder(encryption=enc)
+    frags = _simple_fragments(rng, lang, encoding_name)
+    content = render_content(frags, encoding_name, b)
+    cid = b.add_stream(content)  # RC4-encrypted by the builder
+    fid = b.add(_font_body(encoding_name))
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    info_id = b.reserve()
+    title = b.literal_string(b"secret title", obj_num_for_encryption=info_id)
+    b.add(f"<</Title {title}>>", obj_num=info_id)
+    b.add_encrypt_dict()
+    data = b.finish_classic(cat, info=info_id)
+    return data, expected_text(frags)
+
+
+def build_huge(rng: random.Random, lang: str, n_pages: int = 24) -> tuple:
+    """1-10 MB-ish multi-page documents for the skew-routing path."""
+    encoding_name = rng.choice(["WinAnsiEncoding", "MacRomanEncoding"])
+    b = PdfBuilder()
+    fid = b.add(_font_body(encoding_name))
+    pages_id = b.reserve()
+    page_ids = []
+    all_frags = []
+    texts = [t for t in SNIPPETS[lang] if encodable(t, encoding_name)]
+    for _ in range(n_pages):
+        frag = [("Tf", "F1", 10), ("Td", 72, 760)]
+        for line in range(rng.randrange(30, 60)):
+            frag.append(("Tj", rng.choice(texts) + f" line {line}"))
+            frag.append(("T*",))
+        frags = [frag]
+        all_frags.extend(frags)
+        content = render_content(frags, encoding_name, b)
+        cid = b.add_stream(content, flate=True)
+        pid = b.add(
+            f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+            f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+        )
+        page_ids.append(pid)
+    kids = " ".join(f"{p} 0 R" for p in page_ids)
+    b.add(f"<</Type/Pages/Kids[{kids}]/Count {n_pages}>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    data = b.finish_classic(cat)
+    return data, expected_text(all_frags)
+
+
+def build_broken(rng: random.Random, lang: str) -> tuple:
+    """Truncated / garbage / non-PDF payloads: extractor records, never raises."""
+    kind = rng.randrange(3)
+    if kind == 0:
+        data, _ = build_simple(rng, lang)
+        data = data[: int(len(data) * 0.6)]
+    elif kind == 1:
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(200, 900)))
+    else:
+        data = (
+            b"<html><head><title>not a pdf</title></head>"
+            b"<body><p>plain web page payload</p></body></html>"
+        )
+    return data, ""
+
+
+CLASS_BUILDERS = [
+    ("simple", build_simple, 40),
+    ("multifrag", build_multifrag, 15),
+    ("flate", build_flate, 15),
+    ("xrefstream", build_xrefstream, 10),
+    ("fonts", build_fonts, 10),
+    ("quirks", build_quirks, 5),
+    ("encrypted", build_encrypted, 5),
+]
+_WEIGHTED = []
+for _name, _fn, _w in CLASS_BUILDERS:
+    _WEIGHTED.extend([(_name, _fn)] * _w)
+# deterministic interleave so small corpora still cover every class
+random.Random(7).shuffle(_WEIGHTED)
+
+
+def doc_class(index: int) -> tuple:
+    return _WEIGHTED[index % len(_WEIGHTED)]
+
+
+EPOCH = datetime.datetime(2026, 1, 1)
+
+
+def generate_rows(n_docs: int, n_huge: int = 2, n_broken: int = 3, seed: int = SEED):
+    """Yield (url, warc_ts, html, text, lang) tuples deterministically."""
+    i = 0
+    for k in range(n_docs):
+        name, fn = doc_class(k)
+        rng = random.Random((seed << 20) ^ k)
+        lang = LANGS[k % len(LANGS)]
+        data, golden = fn(rng, lang)
+        yield (
+            f"https://example.org/{name}/{k:08d}.pdf",
+            EPOCH + datetime.timedelta(seconds=i),
+            data,
+            golden,
+            lang,
+        )
+        i += 1
+    for k in range(n_huge):
+        rng = random.Random((seed << 21) ^ k)
+        lang = LANGS[k % len(LANGS)]
+        data, golden = build_huge(rng, lang)
+        yield (
+            f"https://example.org/huge/{k:08d}.pdf",
+            EPOCH + datetime.timedelta(seconds=i),
+            data,
+            golden,
+            lang,
+        )
+        i += 1
+    for k in range(n_broken):
+        rng = random.Random((seed << 22) ^ k)
+        lang = LANGS[k % len(LANGS)]
+        data, golden = build_broken(rng, lang)
+        yield (
+            f"https://example.org/broken/{k:08d}.pdf",
+            EPOCH + datetime.timedelta(seconds=i),
+            data,
+            golden,
+            lang,
+        )
+        i += 1
+
+
+def corpus_table(n_docs: int, n_huge: int = 2, n_broken: int = 3, seed: int = SEED):
+    """Build the corpus as a pyarrow Table with the input_hint schema."""
+    import pyarrow as pa
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for url, ts, html, text, lang in generate_rows(n_docs, n_huge, n_broken, seed):
+        urls.append(url)
+        tss.append(ts)
+        htmls.append(html)
+        texts.append(text)
+        langs.append(lang)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def sf_doc_count(sf: float) -> int:
+    """Corpus size by scale factor: sf0.001 -> 60, sf0.01 -> 600, sf0.1 -> 6000."""
+    return max(20, int(60_000 * sf))
+
+
+def ensure_corpus_parquet(sf_dir: str, cache_root: str = "/tmp/pdfray_fixtures") -> str:
+    """Materialize the corpus parquet for a testdata sf dir; cached, deterministic."""
+    import os
+    import pyarrow.parquet as pq
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.001
+    out_dir = os.path.join(cache_root, sf_name)
+    out_path = os.path.join(out_dir, "documents_pdf.parquet")
+    if os.path.exists(out_path):
+        return out_path
+    os.makedirs(out_dir, exist_ok=True)
+    n = sf_doc_count(sf)
+    n_huge = max(1, n // 500)
+    table = corpus_table(n, n_huge=n_huge, n_broken=3)
+    tmp = out_path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, out_path)
+    return out_path

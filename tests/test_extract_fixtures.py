@@ -1,0 +1,138 @@
+"""End-to-end extraction invariant: byte-identical text per url.
+
+Mirrors the reference test strategy (SURVEY.md §5): synthesized documents with
+analytically-computed golden text, per operator-class, plus a re-synthesis of
+the reference's own fixtures (`H3 Simple Text String Example.pdf` shape and
+the in-code document of `PdfParserTest.TestPdfParser`).
+"""
+import random
+
+import pytest
+
+from pdfray.core.extract import extract_document
+from pdfray.sources import fixtures
+from pdfray.sources.pdfwriter import PdfBuilder
+
+
+CLASS_FNS = {name: fn for name, fn, _ in fixtures.CLASS_BUILDERS}
+
+
+@pytest.mark.parametrize("cls", sorted(CLASS_FNS))
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_class_byte_identical(cls, seed):
+    rng = random.Random(seed)
+    lang = fixtures.LANGS[seed % 4]
+    data, golden = CLASS_FNS[cls](rng, lang)
+    result = extract_document(data, working_buffer_size=10_000_000)
+    assert result.error is None
+    assert result.text == golden
+
+
+def test_corpus_byte_identical():
+    n_ok = 0
+    for url, ts, html, golden, lang in fixtures.generate_rows(105, n_huge=2, n_broken=3):
+        result = extract_document(html, working_buffer_size=10_000_000)
+        assert result.text == golden, url
+        if "/broken/" in url:
+            assert result.error is not None or result.error_summary() is not None, url
+        else:
+            assert result.error is None, (url, result.error)
+        n_ok += 1
+    assert n_ok == 110
+
+
+def test_h3_resynthesis():
+    """Reference fixture shape: Helvetica/MacRomanEncoding, one ' Hello World ' Tj.
+
+    With the Td before Tj the reference emits a leading newline
+    (PdfContent.cs:144-146: Text += NewLine also when Text is null).
+    """
+    b = PdfBuilder()
+    content = b"BT /F1 24 Tf 100 100 Td ( Hello World ) Tj ET"
+    cid = b.add_stream(content)
+    fid = b.add("<</Type/Font/Subtype/Type1/BaseFont/Helvetica/Encoding/MacRomanEncoding>>")
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    data = b.finish_classic(cat)
+    r = extract_document(data)
+    assert r.pdf_version == "1.4"
+    assert r.n_pages == 1
+    assert r.text == "\n Hello World |"
+
+
+def test_parser_test_document():
+    """PdfParserTest.TestPdfParser equivalent: version + structure walk."""
+    b = PdfBuilder()
+    cid = b.add_stream(b"Hello World")
+    pages_id = b.reserve()
+    pid = b.add(f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R>>")
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    data = b.finish_classic(cat)
+
+    from pdfray.core.lexer import PdfLexer
+
+    lx = PdfLexer(data)
+    lx.verify_file_header()
+    assert lx.pdf_version == "1.4"
+    lx.find_pages()
+    root = lx.trailer_entries["Root"]
+    assert root.type == "Catalog"
+    pages = root["Pages"]
+    assert pages.type == "Pages"
+    kids = pages["Kids"]
+    for kid in kids:
+        assert kid.type == "Page"
+        assert kid["Contents"].is_stream
+    assert len(lx.page_tokens) == 1
+
+
+def test_dquote_records_exception_bug_compat():
+    """The reference's '"' operator always fails: SkipStreamArgument leaves the
+    cursor on the whitespace before the string and GetStreamString does not
+    skip whitespace (Tokeniser.cs:1937-1990, 2367-2369).  The content records
+    the exception and keeps the text accumulated so far."""
+    b = PdfBuilder()
+    content = b"BT /F1 12 Tf (first) Tj 2 3 (second) \" (third) Tj ET"
+    cid = b.add_stream(content)
+    pages_id = b.reserve()
+    pid = b.add(f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R>>")
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    data = b.finish_classic(cat)
+    r = extract_document(data)
+    content_result = r.pages[0].contents[0]
+    assert content_result.text == "first|"
+    assert content_result.exception is not None
+    assert "should start with" in content_result.exception
+
+
+def test_document_info_and_id():
+    rng = random.Random(5)
+    data, _ = fixtures.build_simple(rng, "en")
+    r = extract_document(data)
+    assert r.document_info is not None and "Producer: pdfray fixtures; " in r.document_info
+    assert r.document_id is not None and "ab" * 16 in r.document_id.lower()
+
+
+def test_encrypted_wrong_password_errors():
+    rng = random.Random(6)
+    data, _ = fixtures.build_encrypted(rng, "en")
+    r = extract_document(data, password="wrong0")
+    assert r.error is not None
+    assert r.text == ""
+
+
+def test_flate_buffer_overflow():
+    """Streams larger than the working buffer fail like the reference
+    (Tokeniser.cs:1835-1837) — bounded memory per actor."""
+    rng = random.Random(7)
+    data, _ = fixtures.build_flate(rng, "en")
+    r = extract_document(data, working_buffer_size=4)
+    summary = r.error_summary() or ""
+    assert "buffer overflow" in summary
