@@ -1,44 +1,290 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the pdfray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver initialises Ray BEFORE importing this module; nothing here (or in
+the library) calls ``ray.init``/``ray.shutdown``.  ``entry`` runs the flagship
+extraction pipeline at sf0.001; ``queries`` exposes one callable per
+implemented operator/pipeline (SURVEY.md §2 + engine-added text/dedup/
+similarity ops); ``oracle_sql`` gives the DuckDB equivalent where
+SQL-expressible (extraction oracles read the deterministic fixture parquet by
+absolute path — the golden ``text`` column is the per-url byte-identity gate).
 """
-
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+FIXTURE_SQL_PATH = "/tmp/pdfray_fixtures/sf0.01/documents_pdf.parquet"
+
+
+# ----------------------------------------------------------------------
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: corpus parquet -> PdfExtractor actor pool -> table."""
+    from pdfray.sources.fixtures import ensure_corpus_parquet
+    from pdfray.pipelines.extraction import extract_dataset, read_corpus
+
+    path = ensure_corpus_parquet("/root/testdata/sf0.001")
+    ds = extract_dataset(read_corpus(path), concurrency=(1, 4))
+    return ds
+
+
+# ----------------------------------------------------------------------
+def _extract_text(sf_dir: str):
+    from pdfray.sources.fixtures import ensure_corpus_parquet
+    from pdfray.pipelines.extraction import extract_dataset, read_corpus
+
+    path = ensure_corpus_parquet(sf_dir)
+    ds = extract_dataset(read_corpus(path))
+    return ds.select_columns(["url", "text"])
+
+
+def _extract_stats_by_lang(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from pdfray.sources.fixtures import ensure_corpus_parquet
+    from pdfray.pipelines.extraction import extract_dataset
+    import ray.data as rd
+
+    path = ensure_corpus_parquet(sf_dir)
+    ds = rd.read_parquet(path, columns=["url", "html", "lang"])
+
+    # lang survives the extractor via a url->lang broadcast lookup
+    import ray
+
+    langs_ref = None
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t.column("url"), "html": t.column("html")})
+
+    import pyarrow.parquet as pq
+
+    lang_map = dict(
+        zip(
+            pq.read_table(path, columns=["url", "lang"]).column("url").to_pylist(),
+            pq.read_table(path, columns=["url", "lang"]).column("lang").to_pylist(),
+        )
+    )
+    langs_ref = ray.put(lang_map)
+
+    extracted = extract_dataset(ds.map_batches(project, batch_format="pyarrow"))
+
+    def add_lang(t: pa.Table) -> pa.Table:
+        lookup = ray.get(langs_ref)
+        langs = [lookup.get(u) for u in t.column("url").to_pylist()]
+        empty = pc.cast(pc.equal(t.column("text"), pa.scalar("")), pa.int64())
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_bytes": t.column("n_bytes"),
+                "n_empty": empty,
+            }
+        )
+
+    out = (
+        extracted.map_batches(add_lang, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_bytes", alias_name="sum_bytes"),
+            Sum("n_empty", alias_name="n_empty"),
+        )
+    )
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+def _extract_version_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from pdfray.sources.fixtures import ensure_corpus_parquet
+    from pdfray.pipelines.extraction import extract_dataset, read_corpus
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    path = ensure_corpus_parquet(sf_dir)
+    ds = extract_dataset(read_corpus(path))
+
+    def fill(t: pa.Table) -> pa.Table:
+        # broken documents have no version; groupby keys must be non-null
+        version = pc.fill_null(t.column("pdf_version"), "none")
+        return pa.table({"pdf_version": version})
+
+    out = (
+        ds.map_batches(fill, batch_format="pyarrow")
+        .groupby("pdf_version")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    return out.to_pandas().sort_values("pdf_version").reset_index(drop=True)
+
+
+def _extract_partition_metrics(sf_dir: str):
+    from pdfray.sources.fixtures import ensure_corpus_parquet
+    from pdfray.pipelines.extraction import (
+        extract_dataset,
+        partition_metrics,
+        read_corpus,
+    )
+
+    path = ensure_corpus_parquet(sf_dir)
+    extracted = extract_dataset(read_corpus(path))
+    return (
+        partition_metrics(extracted)
+        .to_pandas()
+        .sort_values("partition_id")
+        .reset_index(drop=True)
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdfray.pipelines import relational as R
+    from pdfray.pipelines import simsearch as S
+    from pdfray.pipelines import textops as T
+    from pdfray.pipelines import multimodal as M
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction (the flagship)
+        "extract_text": _extract_text,
+        "extract_stats_by_lang": _extract_stats_by_lang,
+        "extract_version_counts": _extract_version_counts,
+        "extract_partition_metrics": _extract_partition_metrics,
+        # relational operators over the star schema
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q_filter_topk": R.q_filter_topk,
+        "q_broadcast_join_segment": R.q_broadcast_join_segment,
+        "q_hash_join_brand": R.q_hash_join_brand,
+        "q_nation_region": R.q_nation_region,
+        "q_events_rollup": R.q_events_rollup,
+        "q_distinct_flags": R.q_distinct_flags,
+        "q_orders_topk": R.q_orders_topk,
+        "q_orders_by_month": R.q_orders_by_month,
+        # text / dedup operators over documents
+        "t_token_stats": T.t_token_stats,
+        "t_fingerprint": T.t_fingerprint,
+        "t_exact_dedup": T.t_exact_dedup,
+        "t_quality": T.t_quality,
+        "t_langid": T.t_langid,
+        "t_simhash": T.t_simhash,
+        "t_minhash_pairs": T.t_minhash_pairs,
+        "t_ngram_jaccard_dupes": T.t_ngram_jaccard_dupes,
+        # similarity search over embeddings
+        "s_knn_bruteforce": S.s_knn_bruteforce,
+        "s_ann_lsh": S.s_ann_lsh,
+        # multimodal binary plumbing (decode stubbed, plumbing real)
+        "m_media_features": M.m_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fixture = FIXTURE_SQL_PATH
+    return {
+        "extract_text": (
+            f"SELECT url, text FROM read_parquet('{fixture}')"
+        ),
+        "extract_stats_by_lang": (
+            f"SELECT lang, COUNT(*) AS n_docs, SUM(OCTET_LENGTH(html)) AS sum_bytes, "
+            f"SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS n_empty "
+            f"FROM read_parquet('{fixture}') GROUP BY lang ORDER BY lang"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+            "ROUND(AVG(l_quantity), 4) AS avg_qty, "
+            "ROUND(AVG(l_discount), 4) AS avg_disc, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "q_filter_topk": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND(l_extendedprice * (1 - l_discount), 2) AS revenue "
+            "FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-07-01' "
+            "ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 100"
+        ),
+        "q_broadcast_join_segment": (
+            "SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue, "
+            "COUNT(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "q_hash_join_brand": (
+            "SELECT p_brand, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY p_brand ORDER BY p_brand"
+        ),
+        "q_nation_region": (
+            "SELECT r_name, COUNT(*) AS n_nations "
+            "FROM nation JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY r_name"
+        ),
+        "q_events_rollup": (
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "ROUND(AVG(value), 4) AS avg_value, "
+            "COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "q_distinct_flags": (
+            "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "q_orders_topk": (
+            "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "q_orders_by_month": (
+            "SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS revenue "
+            "FROM orders GROUP BY month ORDER BY month"
+        ),
+        "t_token_stats": (
+            "SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens, "
+            "length(text) AS n_chars "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "t_fingerprint": (
+            "SELECT doc_id, md5(lower(regexp_replace(regexp_replace(text, "
+            "'^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "t_exact_dedup": (
+            "SELECT md5(text) AS text_hash, MIN(doc_id) AS rep_doc, "
+            "COUNT(*) AS n_copies FROM documents GROUP BY md5(text) "
+            "ORDER BY text_hash"
+        ),
+        "t_quality": (
+            "SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens, "
+            "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha, "
+            "length(text) - length(replace(text, ' ', '')) AS n_spaces, "
+            "length(text) AS n_chars "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "s_knn_bruteforce": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            "ORDER BY vec_id LIMIT 5), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.qe AS DOUBLE[])), 4) AS sim "
+            "FROM embeddings e CROSS JOIN q), "
+            "ranked AS (SELECT query_id, vec_id, sim, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank "
+            "FROM scored) "
+            "SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10 "
+            "ORDER BY query_id, rank"
+        ),
+        "m_media_features": (
+            f"SELECT url, 'image' AS media_type, OCTET_LENGTH(html) AS n_bytes "
+            f"FROM read_parquet('{fixture}') ORDER BY url"
+        ),
+        # rows-only (non-SQL-expressible): extract_version_counts,
+        # extract_partition_metrics, t_langid, t_simhash, t_minhash_pairs,
+        # t_ngram_jaccard_dupes, s_ann_lsh
+    }

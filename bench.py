@@ -1,0 +1,159 @@
+"""Benchmark harness: headline extraction pipeline + representative queries.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the headline twice in fresh processes (8 vs 32 CPUs by
+default) and reports throughput at both plus scaling efficiency
+(BASELINE.md protocol: efficiency = (t_lo / t_hi) / (hi/lo)).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_headline() -> dict:
+    """Extraction over the synthesized PDF corpus for this sf dir."""
+    import pyarrow.parquet as pq
+
+    from pdfray.sources.fixtures import ensure_corpus_parquet
+    from pdfray.pipelines.extraction import extract_dataset, read_corpus
+
+    path = ensure_corpus_parquet(SF_DIR)
+    meta = pq.read_metadata(path)
+    n_docs = meta.num_rows
+    total_bytes = sum(
+        meta.row_group(i).column(2).total_uncompressed_size  # html column
+        for i in range(meta.num_row_groups)
+    )
+    # warm the page cache so we measure compute, not first-touch disk reads
+    pq.read_table(path, columns=["url"])
+
+    t0 = time.perf_counter()
+    extracted = extract_dataset(read_corpus(path))
+    n_out = extracted.count()
+    wall = time.perf_counter() - t0
+    assert n_out == n_docs, (n_out, n_docs)
+    return {
+        "sec": round(wall, 3),
+        "n_docs": n_docs,
+        "mb": round(total_bytes / 1e6, 1),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "mb_per_sec": round(total_bytes / 1e6 / wall, 2),
+    }
+
+
+QUERY_NAMES = [
+    "q1_pricing_summary",
+    "q_hash_join_brand",
+    "q_broadcast_join_segment",
+    "q_events_rollup",
+    "q_orders_by_month",
+    "t_token_stats",
+    "t_exact_dedup",
+    "t_minhash_pairs",
+    "t_simhash",
+    "s_knn_bruteforce",
+]
+
+
+def run_queries() -> dict:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings = {}
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        result = qs[name](SF_DIR)
+        # force execution for lazy results
+        if hasattr(result, "count") and not hasattr(result, "columns"):
+            result.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    headline = run_headline()
+    queries = run_queries()
+    sf = float(os.path.basename(os.path.normpath(SF_DIR)).replace("sf", ""))
+    print(
+        json.dumps(
+            {
+                "metric": "pdf extraction wall-clock (synthesized corpus)",
+                "value": headline["sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "num_cpus": NUM_CPUS,
+                "n_docs": headline["n_docs"],
+                "corpus_mb": headline["mb"],
+                "docs_per_sec": headline["docs_per_sec"],
+                "mb_per_sec": headline["mb_per_sec"],
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling(lo: int = 8, hi: int = 32) -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": r_lo["value"],
+                "sec_hi": r_hi["value"],
+                "docs_per_sec_lo": r_lo["docs_per_sec"],
+                "docs_per_sec_hi": r_hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

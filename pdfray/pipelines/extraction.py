@@ -1,0 +1,260 @@
+"""The flagship pipeline: Parquet corpus -> extracted text, at corpus scale.
+
+Ray-Data-native expression of the reference's document-at-a-time extraction
+(SURVEY.md §2.2, §4.2):
+
+    read_parquet (prune columns)
+      -> map_batches(add_ingest_meta)          stateless: n_bytes, partition_id
+      -> size-aware routing                    skew: huge docs -> dedicated pool
+      -> map_batches(PdfExtractor, ...)        actor pools, zero-copy Arrow in
+      -> union
+      -> write_parquet(partition_cols=[...])   resumable layout
+    metrics: groupby(partition_id).aggregate   (the only shuffle, on small rows)
+
+Scale notes (100 TB design):
+* the input scan prunes to (url, html) only; n_bytes comes from
+  `binary_length` on the already-loaded column, not a second read;
+* partitioning key is hash(url) % P, chosen once and reused by the writer,
+  the manifest, and the metrics rollup;
+* the skew split re-filters the ingest output — at production scale the
+  corpus lands size-bucketed at ingest (the same predicate written once), so
+  each branch reads only its bucket; on a single shared file the second scan
+  is served from the page cache and is negligible next to parse cost;
+* the huge-doc pool uses batch_size=1 so one pathological document never
+  blocks neighbours in its batch (north-rule skew mitigation);
+* resume is per-partition-chunk: each chunk writes its own parquet directory
+  and a manifest marker, a restarted run drops completed chunks at the read.
+"""
+from __future__ import annotations
+
+import os
+import zlib
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.extract_stage import PdfExtractor
+from ..state import manifest as manifest_mod
+
+DEFAULT_NUM_PARTITIONS = 64
+DEFAULT_HUGE_THRESHOLD = 1 << 20  # 1 MiB: documents above go to the huge pool
+
+
+def _url_partition_ids(urls: pa.ChunkedArray, num_partitions: int) -> pa.Array:
+    ids = [
+        zlib.crc32(u.encode("utf-8")) % num_partitions for u in urls.to_pylist()
+    ]
+    return pa.array(ids, pa.int32())
+
+
+def add_ingest_meta(num_partitions: int = DEFAULT_NUM_PARTITIONS):
+    """Stateless ingest projection: n_bytes + partition_id columns."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_bytes = pc.cast(pc.binary_length(batch.column("html")), pa.int64())
+        pids = _url_partition_ids(batch.column("url"), num_partitions)
+        batch = batch.append_column("n_bytes", n_bytes)
+        batch = batch.append_column("partition_id", pids)
+        return batch
+
+    return fn
+
+
+def read_corpus(path: str, columns=("url", "html")):
+    """Column-pruned corpus read; only what extraction needs leaves storage."""
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=list(columns))
+
+
+def extract_dataset(
+    ds,
+    *,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    huge_threshold: Optional[int] = DEFAULT_HUGE_THRESHOLD,
+    batch_size: int = 64,
+    concurrency=None,
+    huge_concurrency=None,
+    extractor_kwargs: Optional[dict] = None,
+):
+    """Wire the extraction stage(s) over a corpus Dataset.
+
+    ``huge_threshold=None`` disables the dual-pool split (single pool).
+    """
+    ds = ds.map_batches(add_ingest_meta(num_partitions), batch_format="pyarrow")
+    return _extract_prepared(
+        ds,
+        huge_threshold=huge_threshold,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        huge_concurrency=huge_concurrency,
+        extractor_kwargs=extractor_kwargs,
+    )
+
+
+def partition_metrics(extracted):
+    """Per-partition lineage/metrics rollup — the pipeline's only shuffle.
+
+    Rows entering the groupby are already one-per-document with tiny columns;
+    at 10^12 docs pre-aggregation per batch would go here (combine inside
+    map_batches then groupby partials).
+    """
+    from ray.data.aggregate import Count, Max, Mean, Sum
+
+    def project(t: pa.Table) -> pa.Table:
+        has_error = pc.cast(pc.is_valid(t.column("error")), pa.int64())
+        return pa.table(
+            {
+                "partition_id": t.column("partition_id"),
+                "n_bytes": t.column("n_bytes"),
+                "parse_ms": t.column("parse_ms"),
+                "n_errors": has_error,
+                "n_pages": pc.cast(t.column("n_pages"), pa.int64()),
+            }
+        )
+
+    return (
+        extracted.map_batches(project, batch_format="pyarrow")
+        .groupby("partition_id")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_bytes", alias_name="sum_bytes"),
+            Mean("parse_ms", alias_name="mean_parse_ms"),
+            Max("parse_ms", alias_name="max_parse_ms"),
+            Sum("n_errors", alias_name="n_errors"),
+            Sum("n_pages", alias_name="n_pages"),
+        )
+    )
+
+
+def run_extraction(
+    input_path: str,
+    out_dir: str,
+    *,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    chunks: int = 4,
+    resume: bool = True,
+    huge_threshold: Optional[int] = DEFAULT_HUGE_THRESHOLD,
+    batch_size: int = 64,
+    concurrency=None,
+    write_metrics: bool = True,
+    extractor_kwargs: Optional[dict] = None,
+) -> dict:
+    """Checkpoint-resumable extraction run.
+
+    Partitions are processed in ``chunks`` groups; each group writes
+    ``out/chunk=K/`` atomically and records a manifest marker, so a failed
+    run re-does only unfinished groups.  At production scale each chunk maps
+    to a set of input shards (same hash key at ingest) so the per-chunk read
+    touches only its own input files.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = manifest_mod.completed_partitions(out_dir) if resume else set()
+    ran = []
+    for chunk in range(chunks):
+        if chunk in done:
+            continue
+        lo = chunk * num_partitions // chunks
+        hi = (chunk + 1) * num_partitions // chunks
+
+        def keep_chunk(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            pid = t.column("partition_id")
+            mask = pc.and_(pc.greater_equal(pid, lo), pc.less(pid, hi))
+            return t.filter(mask)
+
+        ds = read_corpus(input_path)
+        ds = ds.map_batches(add_ingest_meta(num_partitions), batch_format="pyarrow")
+        ds = ds.map_batches(keep_chunk, batch_format="pyarrow")
+        extracted = _extract_prepared(
+            ds,
+            huge_threshold=huge_threshold,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            extractor_kwargs=extractor_kwargs,
+        )
+        chunk_dir = os.path.join(out_dir, f"chunk={chunk}")
+        extracted.write_parquet(chunk_dir)
+        manifest_mod.mark_completed(out_dir, chunk)
+        ran.append(chunk)
+
+    stats = {"chunks_run": ran, "chunks_skipped": sorted(done)}
+    if write_metrics and ran:
+        import ray.data as rd
+
+        out_ds = rd.read_parquet(
+            output_files(out_dir, chunks),
+            columns=["partition_id", "n_bytes", "parse_ms", "n_pages", "error"],
+        )
+        metrics = partition_metrics(out_ds)
+        metrics_dir = os.path.join(out_dir, "_metrics")
+        metrics.write_parquet(metrics_dir)
+        stats["metrics_dir"] = metrics_dir
+    return stats
+
+
+def output_files(out_dir: str, chunks: int) -> list:
+    """Parquet files across the chunk directories of a finished run."""
+    files = []
+    for c in range(chunks):
+        d = os.path.join(out_dir, f"chunk={c}")
+        if os.path.isdir(d):
+            files.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    return files
+
+
+def _extract_prepared(
+    ds,
+    *,
+    huge_threshold,
+    batch_size,
+    concurrency,
+    extractor_kwargs,
+    huge_concurrency=None,
+):
+    """Extraction over a dataset that already carries ingest meta columns."""
+    kwargs = extractor_kwargs or {}
+    common = dict(batch_format="pyarrow")
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # autoscaling pool (min,max): actors spin up with demand, so the pool
+        # never starves the read/write stages of CPUs (deadlock-safe on small
+        # nodes, full utilisation on big ones)
+        concurrency = (1, max(2, cpus - 2))
+    if huge_concurrency is None:
+        top = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+        huge_concurrency = (1, max(1, top // 4))
+    if huge_threshold is None:
+        return ds.map_batches(
+            PdfExtractor,
+            fn_constructor_kwargs=kwargs,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            **common,
+        )
+
+    def keep_small(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t.column("n_bytes"), huge_threshold))
+
+    def keep_huge(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n_bytes"), huge_threshold))
+
+    small = ds.map_batches(keep_small, **common).map_batches(
+        PdfExtractor,
+        fn_constructor_kwargs=kwargs,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        **common,
+    )
+    huge = ds.map_batches(keep_huge, **common).map_batches(
+        PdfExtractor,
+        fn_constructor_kwargs=kwargs,
+        batch_size=1,  # skew isolation: one pathological doc per task
+        concurrency=huge_concurrency,
+        **common,
+    )
+    return small.union(huge)

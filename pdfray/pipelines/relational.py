@@ -1,0 +1,293 @@
+"""Corpus-level relational operators over the star-schema tables.
+
+The reference's dataflow shapes mapped to real Dataset operators
+(SURVEY.md §2.6): projection/parse -> map_batches, filter -> vectorized
+predicate, lookup join -> broadcast dict (ray.put once, read per actor),
+ordered aggregation -> groupby().aggregate, dedup-by-key ->
+groupby().map_groups(first), sort/top-k -> sort().limit.
+
+Every function takes ``sf_dir`` and returns a Dataset (or small pandas
+frame); each has a DuckDB oracle in ``__ray_entry__.oracle_sql`` with
+matching column names.  Aggregates over doubles are rounded on both sides
+so order-of-summation float noise cannot flip the value hash.
+
+Scale notes: all reads are column-pruned; joins where one side is small
+(customer, part, nation, region at any sf) broadcast via ``ray.put`` instead
+of shuffling the big side; the only all-to-all exchanges are the final
+groupbys over already-reduced rows.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(df, spec: dict):
+    for col, nd in spec.items():
+        df[col] = df[col].round(nd)
+    return df
+
+
+# ----------------------------------------------------------------------
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: grouped pricing summary over lineitem."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t.column("l_tax")))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "l_quantity": t.column("l_quantity"),
+                "l_extendedprice": t.column("l_extendedprice"),
+                "l_discount": t.column("l_discount"),
+                "disc_price": disc,
+                "charge": charge,
+            }
+        )
+
+    from ray.data.aggregate import Count, Mean, Sum
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    df = out.to_pandas()
+    return _round_cols(
+        df,
+        {
+            "sum_qty": 2,
+            "sum_base_price": 2,
+            "sum_disc_price": 2,
+            "sum_charge": 2,
+            "avg_qty": 4,
+            "avg_disc": 4,
+        },
+    ).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_filter_topk(sf_dir: str):
+    """Filter + computed column + deterministic top-k (sort is the shuffle)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        mask = pc.less(t.column("l_shipdate"), pa.scalar(pa.compute.strptime(
+            "1996-07-01", format="%Y-%m-%d", unit="us").as_py()))
+        t = t.filter(mask)
+        revenue = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "revenue": pc.round(revenue, 2),
+            }
+        )
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey", "l_linenumber"], descending=[True, False, False])
+        .limit(100)
+    )
+    return out.to_pandas()
+
+
+def q_broadcast_join_segment(sf_dir: str):
+    """orders x customer via broadcast lookup (no shuffle join): revenue by segment."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class JoinSegment:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            segs = [self.lookup.get(k) for k in t.column("o_custkey").to_pylist()]
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "o_totalprice": t.column("o_totalprice"),
+                }
+            )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(JoinSegment, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    )
+    df = out.to_pandas()
+    return _round_cols(df, {"revenue": 2}).sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_hash_join_brand(sf_dir: str):
+    """lineitem x part with Dataset.join (hash shuffle): quantity by brand."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+    from ray.data.aggregate import Count, Sum
+
+    out = joined.groupby("p_brand").aggregate(
+        Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_rows")
+    )
+    df = out.to_pandas()
+    return _round_cols(df, {"sum_qty": 2}).sort_values("p_brand").reset_index(drop=True)
+
+
+def q_nation_region(sf_dir: str):
+    """Small-side chain join nation -> region, counting nations per region."""
+    import ray
+
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+
+    def join_region(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(k) for k in t.column("n_regionkey").to_pylist()]
+        return pa.table({"r_name": pa.array(names, pa.string())})
+
+    from ray.data.aggregate import Count
+
+    out = (
+        _read(sf_dir, "nation", ["n_regionkey"])
+        .map_batches(join_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_nations"))
+    )
+    return out.to_pandas().sort_values("r_name").reset_index(drop=True)
+
+
+def q_events_rollup(sf_dir: str):
+    """events by type: count, rounded mean value, distinct users."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # pre-aggregate inside the batch before the shuffle (combiner pattern)
+        import pandas as pd
+
+        df = t.to_pandas()
+        g = df.groupby("event_type").agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        g["users"] = df.groupby("event_type")["user_id"].agg(lambda s: list(set(s)))
+        return pa.Table.from_pandas(g.reset_index())
+
+    import pandas as pd
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        users = set()
+        for u in g["users"]:
+            users.update(u)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_events": [int(g["n"].sum())],
+                "avg_value": [round(g["sum_value"].sum() / g["n"].sum(), 4)],
+                "n_users": [len(users)],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+def q_distinct_flags(sf_dir: str):
+    """Distinct (returnflag, linestatus) pairs — pre-dedup per batch, then global."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
+
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    out = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(first, batch_format="pandas")
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+
+
+def q_orders_topk(sf_dir: str):
+    """Top 10 orders by totalprice (range shuffle + limit)."""
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return out.to_pandas()
+
+
+def q_orders_by_month(sf_dir: str):
+    """Temporal rollup: orders per month (strftime projection + groupby)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        month = pc.strftime(t.column("o_orderdate"), format="%Y-%m")
+        return pa.table({"month": month, "o_totalprice": t.column("o_totalprice")})
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+    )
+    df = out.to_pandas()
+    return _round_cols(df, {"revenue": 2}).sort_values("month").reset_index(drop=True)

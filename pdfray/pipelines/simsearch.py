@@ -1,0 +1,123 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+Brute-force cosine top-k is the exact baseline: per batch, a numpy matmul of
+the batch's vectors against a broadcast query matrix (`ray.put` once, read in
+each actor's __init__), emitting per-batch local top-k rows; a tiny driver-side
+merge keeps the global top-k.  The LSH-bucketed variant is the scale path:
+random-hyperplane signatures route vectors into buckets so each query only
+scans its own bucket (and its Hamming-1 neighbours).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TOP_K = 10
+N_QUERIES = 5
+
+
+def _read_embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_matrix(sf_dir: str):
+    """First N_QUERIES vectors by vec_id — deterministic query workload."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    df = t.to_pandas().sort_values("vec_id").head(N_QUERIES)
+    q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    return df["vec_id"].to_numpy(), qn
+
+
+def s_knn_bruteforce(sf_dir: str):
+    """Exact cosine top-k per query via batch matmuls against a broadcast matrix."""
+    import ray
+
+    qids, qmat = _query_matrix(sf_dir)
+    qref = ray.put((qids, qmat))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = vecs @ self.qmat.T  # (batch, n_queries), float64 like the oracle
+            vec_ids = t.column("vec_id").to_numpy()
+            out = {"query_id": [], "vec_id": [], "sim": []}
+            k = min(TOP_K, len(vec_ids))
+            for qi, qid in enumerate(self.qids):
+                col = sims[:, qi]
+                # local top-k inside the batch; global merge happens after
+                idx = np.argpartition(-col, k - 1)[:k]
+                for j in idx:
+                    out["query_id"].append(int(qid))
+                    out["vec_id"].append(int(vec_ids[j]))
+                    out["sim"].append(float(col[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out["query_id"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "sim": pa.array(out["sim"], pa.float64()),
+                }
+            )
+
+    local = (
+        _read_embeddings(sf_dir)
+        .map_batches(Score, batch_format="pyarrow", concurrency=(1, 4), batch_size=2048)
+        .to_pandas()
+    )
+    out = []
+    local["sim"] = local["sim"].round(4)  # rank on rounded sims, ties by vec_id
+    for qid, g in local.groupby("query_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(TOP_K)
+        g = g.assign(rank=range(1, len(g) + 1))
+        out.append(g)
+    df = pd.concat(out).reset_index(drop=True)
+    return df[["query_id", "rank", "vec_id", "sim"]]
+
+
+def s_ann_lsh(sf_dir: str, n_planes: int = 8):
+    """LSH-bucketed approximate variant + recall report vs brute force.
+
+    Vectors are signed against ``n_planes`` random hyperplanes; each query
+    scans only its bucket and Hamming-1 neighbours.  Returns per-query recall
+    against the exact result — the quality metric a scale deployment tracks.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    df = t.to_pandas()
+    vecs = np.stack(df["embedding"].to_numpy())
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    rng = np.random.RandomState(17)
+    planes = rng.randn(vecs.shape[1], n_planes).astype(np.float32)
+    bits = (vecs @ planes) > 0
+    sigs = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+
+    qids, qmat = _query_matrix(sf_dir)
+    qbits = (qmat @ planes) > 0
+    qsigs = (qbits * (1 << np.arange(n_planes))).sum(axis=1)
+
+    exact = s_knn_bruteforce(sf_dir)
+    out = {"query_id": [], "n_candidates": [], "recall_at_k": []}
+    vec_ids = df["vec_id"].to_numpy()
+    for qi, qid in enumerate(qids):
+        probe = {qsigs[qi]} | {qsigs[qi] ^ (1 << b) for b in range(n_planes)}
+        mask = np.isin(sigs, list(probe))
+        cand_ids = vec_ids[mask]
+        cand_vecs = vecs[mask]
+        sims = cand_vecs @ qmat[qi]
+        order = np.argsort(-sims)[:TOP_K]
+        approx = set(int(cand_ids[j]) for j in order)
+        truth = set(exact[exact["query_id"] == qid]["vec_id"])
+        out["query_id"].append(int(qid))
+        out["n_candidates"].append(int(mask.sum()))
+        out["recall_at_k"].append(round(len(approx & truth) / max(1, len(truth)), 4))
+    return pd.DataFrame(out)

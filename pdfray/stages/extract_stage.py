@@ -1,0 +1,92 @@
+"""PDF extraction as a Ray Data actor-pool stage.
+
+The whole reference lifecycle (SURVEY.md §3.1) is the body of one stateful
+``map_batches`` callable: documents arrive as a zero-copy Arrow binary column,
+each row runs through the pure `pdfray.core` extractor, and the stage emits a
+flat Arrow table.  Mirrors the reference's warm-state design
+(`Tokeniser.cs:141-170`: shared working buffer / StringBuilder across files
+-> actor-pool member state; per-document caches dropped after each row).
+
+Per-row failures land in the ``error`` column — the stage never raises
+(reference catch-and-record, `PdfPage.cs:70-81`, `PdfContent.cs:191-202`).
+"""
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+from ..core.extract import extract_document
+
+EXTRACT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("partition_id", pa.int32()),
+        ("pdf_version", pa.string()),
+        ("document_id", pa.string()),
+        ("document_info", pa.string()),
+        ("metadata", pa.string()),
+        ("n_pages", pa.int32()),
+        ("page_texts", pa.list_(pa.string())),
+        ("text", pa.string()),
+        ("error", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("parse_ms", pa.float64()),
+    ]
+)
+
+
+class PdfExtractor:
+    """Callable class for ``ds.map_batches(PdfExtractor, batch_format="pyarrow",
+    concurrency=N)``.  Configuration is captured once per actor in __init__;
+    __call__ handles one Arrow batch of documents."""
+
+    def __init__(
+        self,
+        content_delimiter: str = "|",
+        newline: str = "\n",
+        password: str = "",
+        working_buffer_size: int = 10_000_000,
+        include_page_texts: bool = True,
+        include_metadata: bool = True,
+    ):
+        self.content_delimiter = content_delimiter
+        self.newline = newline
+        self.password = password
+        self.working_buffer_size = working_buffer_size
+        self.include_page_texts = include_page_texts
+        self.include_metadata = include_metadata
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        htmls = batch.column("html")
+        if "partition_id" in batch.column_names:
+            partition_ids = batch.column("partition_id").to_pylist()
+        else:
+            partition_ids = [0] * len(batch)
+
+        out = {name: [] for name in EXTRACT_SCHEMA.names}
+        for i in range(len(batch)):
+            html = htmls[i].as_py()  # one copy of the document bytes (parse needs random access)
+            t0 = time.perf_counter()
+            result = extract_document(
+                html,
+                password=self.password,
+                content_delimiter=self.content_delimiter,
+                newline=self.newline,
+                working_buffer_size=self.working_buffer_size,
+            )
+            parse_ms = (time.perf_counter() - t0) * 1000.0
+            out["url"].append(urls[i].as_py())
+            out["partition_id"].append(partition_ids[i])
+            out["pdf_version"].append(result.pdf_version)
+            out["document_id"].append(result.document_id)
+            out["document_info"].append(result.document_info)
+            out["metadata"].append(result.metadata if self.include_metadata else None)
+            out["n_pages"].append(result.n_pages)
+            out["page_texts"].append(result.page_texts if self.include_page_texts else [])
+            out["text"].append(result.text)
+            out["error"].append(result.error_summary())
+            out["n_bytes"].append(len(html) if html is not None else 0)
+            out["parse_ms"].append(parse_ms)
+        return pa.table(out, schema=EXTRACT_SCHEMA)
