@@ -25,34 +25,51 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+TARGET_MB = float(os.environ.get("GRAFT_BENCH_MB", "400"))
+
+
 def run_headline() -> dict:
-    """Extraction over the synthesized PDF corpus for this sf dir."""
+    """Extraction over the synthesized PDF corpus for this sf dir.
+
+    The corpus file is repeated (a list of identical input paths) until the
+    input reaches ~GRAFT_BENCH_MB of document bytes, so the measurement is
+    dominated by extraction work rather than fixed Ray startup overhead —
+    the per-document work is identical to a corpus of that size on disk.
+    """
+    import ray.data as rd
     import pyarrow.parquet as pq
 
     from pdfray.sources.fixtures import ensure_corpus_parquet
-    from pdfray.pipelines.extraction import extract_dataset, read_corpus
+    from pdfray.pipelines.extraction import extract_dataset
 
     path = ensure_corpus_parquet(SF_DIR)
     meta = pq.read_metadata(path)
     n_docs = meta.num_rows
-    total_bytes = sum(
-        meta.row_group(i).column(2).total_uncompressed_size  # html column
-        for i in range(meta.num_row_groups)
-    )
+    total_bytes = 0
+    for i in range(meta.num_row_groups):
+        rg = meta.row_group(i)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            if col.path_in_schema == "html":
+                total_bytes += col.total_uncompressed_size
+    repeats = max(1, int(TARGET_MB * 1e6 / max(1, total_bytes)))
     # warm the page cache so we measure compute, not first-touch disk reads
     pq.read_table(path, columns=["url"])
 
     t0 = time.perf_counter()
-    extracted = extract_dataset(read_corpus(path))
+    ds = rd.read_parquet([path] * repeats, columns=["url", "html"])
+    extracted = extract_dataset(ds)
     n_out = extracted.count()
     wall = time.perf_counter() - t0
-    assert n_out == n_docs, (n_out, n_docs)
+    assert n_out == n_docs * repeats, (n_out, n_docs, repeats)
+    mb = total_bytes * repeats / 1e6
     return {
         "sec": round(wall, 3),
-        "n_docs": n_docs,
-        "mb": round(total_bytes / 1e6, 1),
-        "docs_per_sec": round(n_docs / wall, 1),
-        "mb_per_sec": round(total_bytes / 1e6 / wall, 2),
+        "n_docs": n_docs * repeats,
+        "repeats": repeats,
+        "mb": round(mb, 1),
+        "docs_per_sec": round(n_docs * repeats / wall, 1),
+        "mb_per_sec": round(mb / wall, 2),
     }
 
 
@@ -102,7 +119,7 @@ def main() -> None:
     ctx.execution_options.verbose_progress = False
 
     headline = run_headline()
-    queries = run_queries()
+    queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries()
     sf = float(os.path.basename(os.path.normpath(SF_DIR)).replace("sf", ""))
     print(
         json.dumps(
@@ -123,9 +140,49 @@ def main() -> None:
     ray.shutdown()
 
 
+def _machine_control(lo: int, hi: int) -> dict:
+    """Pure-python CPU-burn control: this machine's own parallel ceiling.
+
+    32 logical CPUs here are SMT siblings of ~16 physical cores, so even a
+    perfect pipeline cannot show 4x from 8 -> 32 workers.  The control
+    measures effective core-equivalents at both levels; pipeline efficiency
+    is reported raw AND normalized by this hardware ceiling."""
+    import multiprocessing as mp
+
+    def effective(workers: int, t1: float) -> float:
+        with mp.Pool(workers) as pool:
+            pool.map(_burn, [N_BURN // 10] * workers)  # warm
+            t0 = time.perf_counter()
+            pool.map(_burn, [N_BURN] * workers * 3)
+            tw = time.perf_counter() - t0
+        return workers * 3 * t1 / tw
+
+    _burn(N_BURN)
+    t0 = time.perf_counter()
+    _burn(N_BURN)
+    t1 = time.perf_counter() - t0
+    eff_lo = effective(lo, t1)
+    eff_hi = effective(hi, t1)
+    return {
+        "effective_cores_lo": round(eff_lo, 1),
+        "effective_cores_hi": round(eff_hi, 1),
+        "machine_ceiling": round((eff_hi / eff_lo) / (hi / lo), 3),
+    }
+
+
+N_BURN = 5_000_000
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def scaling(lo: int = 8, hi: int = 32) -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -137,6 +194,7 @@ def scaling(lo: int = 8, hi: int = 32) -> None:
 
     r_lo, r_hi = run(lo), run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    control = _machine_control(lo, hi)
     print(
         json.dumps(
             {
@@ -147,6 +205,8 @@ def scaling(lo: int = 8, hi: int = 32) -> None:
                 "docs_per_sec_lo": r_lo["docs_per_sec"],
                 "docs_per_sec_hi": r_hi["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                **control,
+                "normalized_efficiency": round(eff / control["machine_ceiling"], 3),
             }
         )
     )

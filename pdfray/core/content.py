@@ -85,17 +85,17 @@ class PdfContentResult:
                         else:
                             continue
                     elif len(opcode) == 2:
-                        if opcode[0] == ord("T"):
+                        if opcode[0] == 0x54:
                             op1 = opcode[1]
-                            if op1 == ord("j"):
+                            if op1 == 0x6A:
                                 lexer.start_stream_argument_reading()
                                 new_text = lexer.get_stream_string(font)
                                 lexer.end_stream_argument_reading()
-                            elif op1 == ord("J"):
+                            elif op1 == 0x4A:
                                 lexer.start_stream_argument_reading()
                                 new_text = lexer.get_stream_array_string(font)
                                 lexer.end_stream_argument_reading()
-                            elif op1 == ord("f"):
+                            elif op1 == 0x66:
                                 lexer.start_stream_argument_reading()
                                 self.font_name = lexer.get_stream_name()
                                 font = fonts.get(self.font_name)
@@ -105,10 +105,10 @@ class PdfContentResult:
                                     )
                                 lexer.end_stream_argument_reading()
                                 continue
-                            elif op1 in (ord("d"), ord("D"), ord("*")):
+                            elif op1 in (0x64, 0x44, 0x2A):
                                 self.text = (self.text or "") + nl
                                 continue
-                            elif op1 == ord("m"):
+                            elif op1 == 0x6D:
                                 lexer.start_stream_argument_reading()
                                 lexer.get_stream_int()
                                 lexer.get_stream_int()

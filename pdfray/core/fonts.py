@@ -42,6 +42,7 @@ class PdfFont:
         "tounicode_header",
         "cmap",
         "exception",
+        "trans_table",
     )
 
     def __init__(self, lexer, token: Token):
@@ -54,6 +55,7 @@ class PdfFont:
         self.tounicode_header: Optional[str] = None
         self.cmap: Optional[dict] = None
         self.exception: Optional[str] = None
+        self.trans_table: Optional[dict] = None  # lazy str.translate cache
         if isinstance(token, DictionaryToken):
             token.pdf_object = self
         try:

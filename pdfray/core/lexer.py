@@ -36,7 +36,7 @@ faithful reproduction would depend on unrelated mutable state):
 """
 from __future__ import annotations
 
-import hashlib
+import re
 import zlib
 from decimal import Decimal
 from typing import Optional, Tuple
@@ -70,6 +70,26 @@ FILTER_NONE = 0
 FILTER_FLATE = 1
 
 _INT_MAX = 2147483647
+
+# byte constants for hot loops (avoid ord() calls per iteration)
+_LP, _RP, _BS = 0x28, 0x29, 0x5C  # ( ) backslash
+_LT, _GT, _LB, _RB = 0x3C, 0x3E, 0x5B, 0x5D  # < > [ ]
+_SLASH, _PLUS, _MINUS, _DOT = 0x2F, 0x2B, 0x2D, 0x2E
+_D0, _D9 = 0x30, 0x39
+
+# bulk-scan helpers for the hot content-string path
+_STR_SPECIAL = re.compile(rb"[()\\]")
+_HEX_STRIP = bytes(b for b in (32, 10, 13, 9, 12, 0, PCT))
+_ESCAPE_MAP = {
+    ord("n"): 0xA,
+    ord("r"): 0xD,
+    ord("t"): 0x9,
+    ord("b"): 0x8,
+    ord("f"): 0xC,
+    ord("("): ord("("),
+    ord(")"): ord(")"),
+    ord("\\"): ord("\\"),
+}
 
 
 def is_white(b: int) -> bool:
@@ -305,7 +325,7 @@ class PdfLexer:
             xref_index = 0
             power = 1
             while True:
-                if ord("0") <= b <= ord("9"):
+                if _D0 <= b <= _D9:
                     xref_index += power * (b - ord("0"))
                     power *= 10
                     if i < 0:
@@ -671,15 +691,15 @@ class PdfLexer:
             return self._parse_bool(obj_id)
         if b in b"+-0123456789.":
             return self._process_number(obj_id, throw_on_error)
-        if b == ord("("):
+        if b == _LP:
             return self._parse_string(obj_id)
-        if b == ord("<"):
+        if b == _LT:
             if self.data[self.i + 1] == ord("<"):
                 return self._parse_dict(obj_id)
             return self._parse_string(obj_id)
-        if b == ord("/"):
+        if b == _SLASH:
             return self._parse_name(obj_id)
-        if b == ord("["):
+        if b == _LB:
             return self._parse_array(obj_id)
         if b == ord("n"):
             return self._parse_null(obj_id)
@@ -712,22 +732,22 @@ class PdfLexer:
         sign = 1
         b = self.skip_ws()
         i = self.i
-        if b == ord("+"):
+        if b == _PLUS:
             i += 1
             b = d[i]
-        elif b == ord("-"):
+        elif b == _MINUS:
             sign = -1
             i += 1
             b = d[i]
         int_value = 0
         frac_digits = None  # None until '.' seen, then a string of digits
         while True:
-            if ord("0") <= b <= ord("9"):
+            if _D0 <= b <= _D9:
                 if frac_digits is None:
                     int_value = 10 * int_value + (b - ord("0"))
                 else:
                     frac_digits += chr(b)
-            elif b == ord("."):
+            elif b == _DOT:
                 if frac_digits is not None:
                     raise self.error("Reading number error: Second decimal point found.")
                 frac_digits = ""
@@ -789,19 +809,19 @@ class PdfLexer:
         b = self.skip_ws()
         chars: list = []
         hex_bytes = None
-        if b == ord("("):
+        if b == _LP:
             brackets = 1
             i = self.i + 1
             b = d[i]
             while True:
-                if b == ord("\\"):
+                if b == _BS:
                     chars.append("\\")
                     i += 1
                     b = d[i]
                 else:
-                    if b == ord("("):
+                    if b == _LP:
                         brackets += 1
-                    elif b == ord(")"):
+                    elif b == _RP:
                         brackets -= 1
                         if brackets == 0:
                             break
@@ -809,11 +829,11 @@ class PdfLexer:
                 i += 1
                 b = d[i]
             self.i = i
-        elif b == ord("<"):
+        elif b == _LT:
             chars.append("<")
             i = self.i + 1
             b = d[i]
-            while b != ord(">"):
+            while b != _GT:
                 chars.append(chr(b))
                 i += 1
                 b = d[i]
@@ -840,7 +860,7 @@ class PdfLexer:
     def _parse_name(self, obj_id) -> NameToken:
         d = self.data
         b = self.skip_ws()
-        if b != ord("/"):
+        if b != _SLASH:
             raise self.error(
                 f"Name format error: First character should be '/' but was '{chr(b)}'"
             )
@@ -856,7 +876,7 @@ class PdfLexer:
     def _parse_array(self, obj_id) -> ArrayToken:
         d = self.data
         b = self.skip_ws()
-        if b != ord("["):
+        if b != _LB:
             raise self.error(
                 f"illegal array format, leading character '[' expected but was {chr(b)}."
             )
@@ -879,7 +899,7 @@ class PdfLexer:
     def _parse_dict(self, obj_id) -> DictionaryToken:
         d = self.data
         b = self.skip_ws()
-        if b != ord("<") or self.next_byte() != ord("<"):
+        if b != _LT or self.next_byte() != ord("<"):
             raise self.error(
                 f"illegal dictionary format, leading characters '<<' expected, "
                 f"but was'{chr(b)}{chr(self.lookahead())}'."
@@ -890,8 +910,8 @@ class PdfLexer:
         self._register(token)
         self.next_byte()
         b = self.skip_ws()
-        while not (b == ord(">") or self.lookahead() == ord(">")):
-            if b != ord("/"):
+        while not (b == _GT or self.lookahead() == ord(">")):
+            if b != _SLASH:
                 raise self.error(
                     f"Invalid dictionary format, '/' expected as leading character for "
                     f"dictionary key name, but was {chr(b)}."
@@ -1146,6 +1166,10 @@ class PdfLexer:
         s = self.stream
         i = self.sidx
         n = len(s)
+        if i < n:
+            b = s[i]
+            if b not in WHITE and b != PCT:  # fast path: already at a token
+                return True
         while True:
             if i >= n:
                 self.sidx = i
@@ -1167,22 +1191,20 @@ class PdfLexer:
                 self.sidx = i
                 return True
 
+    _NUM_RUN = re.compile(rb"[0-9.]*")
+    _NAME_RUN = re.compile(rb"[^\x00\t\n\x0c\r %()<>\[\]{}/]*")
+
     def _skip_number(self) -> None:
-        s = self.stream
-        i = self.sidx
-        while True:
-            b = s[i]
-            if not (ord("0") <= b <= ord("9")) and b != ord("."):
-                self.sidx = i
-                return
-            i += 1
+        m = self._NUM_RUN.match(self.stream, self.sidx)
+        self.sidx = m.end()
+        if self.sidx >= len(self.stream):
+            raise IndexError("index out of range")
 
     def _skip_name(self) -> None:
-        s = self.stream
-        i = self.sidx
-        while not is_delim(s[i]):
-            i += 1
-        self.sidx = i
+        m = self._NAME_RUN.match(self.stream, self.sidx)
+        self.sidx = m.end()
+        if self.sidx >= len(self.stream):
+            raise IndexError("index out of range")
 
     def _skip_hex_string(self) -> None:
         idx = self.stream.find(b">", self.sidx)
@@ -1197,23 +1219,24 @@ class PdfLexer:
         n = len(s)
         if i >= n:
             return
-        b = s[i]
-        i += 1
         while True:
-            if b == ord("\\"):
-                i += 1
-            else:
-                if b == ord("("):
-                    brackets += 1
-                elif b == ord(")"):
-                    brackets -= 1
-                    if brackets == 0:
-                        break
-            if i >= n:
-                self.sidx = i
+            m = _STR_SPECIAL.search(s, i)
+            if m is None:
+                self.sidx = n
                 return
-            b = s[i]
-            i += 1
+            b = s[m.start()]
+            i = m.start() + 1
+            if b == _BS:
+                i += 1
+            elif b == _LP:
+                brackets += 1
+            else:
+                brackets -= 1
+                if brackets == 0:
+                    break
+            if i >= n:
+                self.sidx = i if i <= n else n
+                return
         self.sidx = i
 
     def _skip_array(self) -> None:
@@ -1221,19 +1244,19 @@ class PdfLexer:
         while True:
             b = s[self.sidx]
             self.sidx += 1
-            if b == ord("]"):
+            if b == _RB:
                 return
-            if b == ord("<"):
+            if b == _LT:
                 b = s[self.sidx]
                 self.sidx += 1
-                if b == ord("<"):
+                if b == _LT:
                     self._skip_dict()
                 else:
                     self.sidx -= 1
                     self._skip_hex_string()
-            elif b == ord("["):
+            elif b == _LB:
                 self._skip_array()
-            elif b == ord("("):
+            elif b == _LP:
                 self._skip_string()
 
     def _skip_dict(self) -> None:
@@ -1241,23 +1264,23 @@ class PdfLexer:
         while True:
             b = s[self.sidx]
             self.sidx += 1
-            if b == ord("<"):
+            if b == _LT:
                 b = s[self.sidx]
                 self.sidx += 1
-                if b == ord("<"):
+                if b == _LT:
                     self._skip_dict()
                 else:
                     self.sidx -= 1
                     self._skip_hex_string()
-            elif b == ord(">"):
+            elif b == _GT:
                 b = s[self.sidx]
                 self.sidx += 1
-                if b == ord(">"):
+                if b == _GT:
                     return
                 raise self.stream_error("Stream: expected '>>'.")
-            elif b == ord("["):
+            elif b == _LB:
                 self._skip_array()
-            elif b == ord("("):
+            elif b == _LP:
                 self._skip_string()
 
     def get_stream_opcode(self, search_code: Optional[str] = None) -> Optional[bytes]:
@@ -1266,8 +1289,11 @@ class PdfLexer:
         Records the argument start position for StartStreamArgumentReading.
         """
         s = self.stream
+        skip_ws = self.skip_stream_ws
+        name_run = self._NAME_RUN
+        num_run = self._NUM_RUN
         while True:
-            if not self.skip_stream_ws():
+            if not skip_ws():
                 return None
             if self._args_start == self.sidx:
                 raise self.stream_error("Endless loop: Trying to process the same op code again.")
@@ -1275,45 +1301,37 @@ class PdfLexer:
             while True:
                 b = s[self.sidx]
                 self.sidx += 1
-                if b == ord("/"):
-                    self._skip_name()
-                elif b == ord("<"):
-                    b = s[self.sidx]
-                    self.sidx += 1
-                    if b == ord("<"):
+                if (_D0 <= b <= _D9) or b == _MINUS or b == _DOT or b == _PLUS:
+                    self.sidx = num_run.match(s, self.sidx).end()
+                    if self.sidx >= len(s):
+                        raise IndexError("index out of range")
+                elif b == _SLASH:
+                    self.sidx = name_run.match(s, self.sidx).end()
+                    if self.sidx >= len(s):
+                        raise IndexError("index out of range")
+                elif b == _LT:
+                    if s[self.sidx] == _LT:
+                        self.sidx += 1
                         self._skip_dict()
                     else:
-                        self.sidx -= 1
                         self._skip_hex_string()
-                elif b == ord("("):
+                elif b == _LP:
                     self._skip_string()
-                elif b == ord("["):
+                elif b == _LB:
                     self._skip_array()
-                elif (ord("0") <= b <= ord("9")) or b in (ord("-"), ord("."), ord("+")):
-                    self._skip_number()
-                elif (
-                    b == ord("t")
-                    and s[self.sidx : self.sidx + 3] == b"rue"
-                ):
+                elif b == 0x74 and s[self.sidx : self.sidx + 3] == b"rue":
                     self.sidx += 3
-                elif (
-                    b == ord("f")
-                    and s[self.sidx : self.sidx + 4] == b"alse"
-                ):
+                elif b == 0x66 and s[self.sidx : self.sidx + 4] == b"alse":
                     self.sidx += 4
                 else:
                     break
-                if not self.skip_stream_ws():
+                if not skip_ws():
                     return None
 
             self.sidx -= 1
             start = self.sidx
-            n = len(s)
-            while not is_delim(b):
-                self.sidx += 1
-                if self.sidx >= n:
-                    break
-                b = s[self.sidx]
+            # operator = run of non-delimiter bytes
+            self.sidx = name_run.match(s, start).end()
 
             if search_code is None:
                 break
@@ -1350,19 +1368,19 @@ class PdfLexer:
         self.skip_stream_ws()
         b = s[self.sidx]
         self.sidx += 1
-        if b == ord("("):
+        if b == _LP:
             while True:
                 self.sidx += 1
                 brackets = 1
                 b = s[self.sidx]
                 while True:
-                    if b == ord("\\"):
+                    if b == _BS:
                         self.sidx += 1
                         b = s[self.sidx]
                     else:
-                        if b == ord("("):
+                        if b == _LP:
                             brackets += 1
-                        elif b == ord(")"):
+                        elif b == _RP:
                             brackets -= 1
                             if brackets == 0:
                                 break
@@ -1372,7 +1390,7 @@ class PdfLexer:
                     break
             self.sidx += 1
             return
-        if b == ord("<"):
+        if b == _LT:
             while s[self.sidx] != ord(">"):
                 self.sidx += 1
             self.sidx += 1
@@ -1423,7 +1441,7 @@ class PdfLexer:
         s = self.stream
         b = s[self.sidx]
         self.sidx += 1
-        if b != ord("/"):
+        if b != _SLASH:
             raise self.stream_error("Stream: Name should have a leading '/'.")
         start = self.sidx
         while not is_delim(s[self.sidx]):
@@ -1435,98 +1453,106 @@ class PdfLexer:
         self._get_stream_string(out, font)
         return "".join(out)
 
-    def _append_char(self, out: list, ch_code: int, font) -> None:
-        """Map one code through the font's 8-bit encoding (Tokeniser.cs:2464-2472)."""
-        if font is not None and font.encoding8 is not None:
-            ch_code = ord(font.encoding8[ch_code])  # IndexError on >255 mirrors reference
-        out.append(chr(ch_code))
+    @staticmethod
+    def _font_tables(font):
+        """(per-code list, str.translate table) for a font, built once per font."""
+        if font is None or font.encoding8 is None:
+            return None, None
+        trans = font.trans_table
+        if trans is None:
+            enc = font.encoding8
+            trans = {code: enc[code] for code in range(256) if enc[code] != chr(code)}
+            font.trans_table = trans
+        return font.encoding8, trans
 
     def _get_stream_string(self, out: list, font) -> None:
-        """Literal/hex string with escapes + octal (Tokeniser.cs:2367-2461)."""
+        """Literal/hex string with escapes + octal (Tokeniser.cs:2367-2461).
+
+        Bulk-optimized: plain character runs are located with a regex scan and
+        mapped through the font encoding via str.translate; escapes and hex
+        pairs keep the reference's exact per-character semantics (3-digit
+        octal cap with the 4th digit reprocessed, \\LF and \\CR single-char
+        line continuations, '%' treated as whitespace inside hex strings,
+        odd-digit hex -> error).
+        """
         s = self.stream
+        enc, trans = self._font_tables(font)
         b = s[self.sidx]
         self.sidx += 1
-        if b == ord("<"):
-            b = s[self.sidx]
-            self.sidx += 1
-            while b != ord(">"):
-                char_number = 0
-                for k in range(2):
-                    while is_white(b):
-                        b = s[self.sidx]
-                        self.sidx += 1
-                    if ord("0") <= b <= ord("9"):
-                        char_number += b - ord("0")
-                    elif ord("A") <= b <= ord("F"):
-                        char_number += b - ord("A") + 10
-                    elif ord("a") <= b <= ord("f"):
-                        char_number += b - ord("a") + 10
-                    else:
-                        raise self.stream_error(
-                            "Stream content: Invalid character in Hex string."
-                        )
-                    if k < 1:
-                        char_number *= 16
-                    b = s[self.sidx]
-                    self.sidx += 1
-                self._append_char(out, char_number, font)
-        elif b == ord("("):
+        if b == _LT:
+            end = s.find(b">", self.sidx)
+            if end < 0:
+                raise IndexError("index out of range")
+            span = s[self.sidx : end]
+            self.sidx = end + 1
+            digits = span.translate(None, _HEX_STRIP)
+            if len(digits) == 0:
+                if len(span) != 0:
+                    raise self.stream_error(
+                        "Stream content: Invalid character in Hex string."
+                    )
+                return
+            if len(digits) % 2 != 0:
+                raise self.stream_error("Stream content: Invalid character in Hex string.")
+            try:
+                decoded = bytes.fromhex(digits.decode("ascii"))
+            except (ValueError, UnicodeDecodeError):
+                raise self.stream_error(
+                    "Stream content: Invalid character in Hex string."
+                ) from None
+            text = decoded.decode("latin-1")
+            out.append(text.translate(trans) if trans else text)
+        elif b == _LP:
             brackets = 1
-            b = s[self.sidx]
-            self.sidx += 1
+            pos = self.sidx
             while True:
-                if b == ord("\\"):
-                    b = s[self.sidx]
-                    self.sidx += 1
-                    if ord("0") <= b <= ord("7"):
+                m = _STR_SPECIAL.search(s, pos)
+                if m is None:
+                    raise IndexError("index out of range")
+                cut = m.start()
+                if cut > pos:
+                    text = s[pos:cut].decode("latin-1")
+                    out.append(text.translate(trans) if trans else text)
+                b = s[cut]
+                pos = cut + 1
+                if b == _LP:
+                    brackets += 1
+                    out.append(enc[ord("(")] if enc else "(")
+                elif b == _RP:
+                    brackets -= 1
+                    if brackets == 0:
+                        self.sidx = pos
+                        return
+                    out.append(enc[ord(")")] if enc else ")")
+                else:  # backslash escape
+                    e = s[pos]
+                    pos += 1
+                    if 0x30 <= e <= 0x37:
+                        # up to 3 octal digits; a 4th octal digit is left
+                        # unconsumed and reprocessed (reference loop shape)
                         ch_number = 0
-                        digits = 0
+                        ndigits = 0
                         while True:
-                            ch_number += b - ord("0")
-                            b = s[self.sidx]
-                            self.sidx += 1
-                            if b < ord("0") or b > ord("7"):
+                            ch_number += e - ord("0")
+                            e = s[pos]
+                            if e < 0x30 or e > 0x37:
                                 break
-                            if digits == 2:
-                                digits += 1
+                            if ndigits == 2:
                                 break
-                            digits += 1
+                            ndigits += 1
                             ch_number *= 8
-                        self._append_char(out, ch_number, font)
-                    elif b == 0xA:
-                        b = s[self.sidx]
-                        self.sidx += 1
-                    elif b == 0xD:
-                        b = s[self.sidx]
-                        self.sidx += 1
+                            pos += 1
+                        # e (at pos) stays unconsumed for the outer loop
+                        out.append(enc[ch_number] if enc else chr(ch_number))
+                    elif e == 0xA or e == 0xD:
+                        pass  # line continuation: skip the escaped EOL char
                     else:
-                        escape_map = {
-                            ord("n"): 0xA,
-                            ord("r"): 0xD,
-                            ord("t"): 0x9,
-                            ord("b"): 0x8,
-                            ord("f"): 0xC,
-                            ord("("): ord("("),
-                            ord(")"): ord(")"),
-                            ord("\\"): ord("\\"),
-                        }
-                        if b not in escape_map:
+                        mapped = _ESCAPE_MAP.get(e)
+                        if mapped is None:
                             raise self.stream_error(
                                 "Illegal character after '/' in stream string."
                             )
-                        self._append_char(out, escape_map[b], font)
-                        b = s[self.sidx]
-                        self.sidx += 1
-                else:
-                    if b == ord("("):
-                        brackets += 1
-                    elif b == ord(")"):
-                        brackets -= 1
-                        if brackets == 0:
-                            break
-                    self._append_char(out, b, font)
-                    b = s[self.sidx]
-                    self.sidx += 1
+                        out.append(enc[mapped] if enc else chr(mapped))
         else:
             raise self.stream_error("A string in a stream should start with '<' or '('.")
 
@@ -1536,17 +1562,17 @@ class PdfLexer:
         out: list = []
         b = s[self.sidx]
         self.sidx += 1
-        if b != ord("["):
+        if b != _LB:
             raise self.stream_error("Read string array in stream, '[' expected.")
         while True:
             b = s[self.sidx]
             self.sidx += 1
-            if b == ord("(") or b == ord("<"):
+            if b == _LP or b == _LT:
                 self.sidx -= 1
                 self._get_stream_string(out, font)
                 b = s[self.sidx]
                 self.sidx += 1
-            if b == ord("]"):
+            if b == _RB:
                 break
         return "".join(out)
 
@@ -1556,15 +1582,15 @@ class PdfLexer:
         sign = 1
         b = s[self.sidx]
         self.sidx += 1
-        if b == ord("+"):
+        if b == _PLUS:
             b = s[self.sidx]
             self.sidx += 1
-        elif b == ord("-"):
+        elif b == _MINUS:
             sign = -1
             b = s[self.sidx]
             self.sidx += 1
         value = 0
-        while ord("0") <= b <= ord("9"):
+        while _D0 <= b <= _D9:
             value = 10 * value + (b - ord("0"))
             b = s[self.sidx]
             self.sidx += 1
@@ -1577,22 +1603,22 @@ class PdfLexer:
         sign = 1
         b = s[self.sidx]
         self.sidx += 1
-        if b == ord("+"):
+        if b == _PLUS:
             b = s[self.sidx]
             self.sidx += 1
-        elif b == ord("-"):
+        elif b == _MINUS:
             sign = -1
             b = s[self.sidx]
             self.sidx += 1
         int_value = 0
         frac_digits = None
         while True:
-            if ord("0") <= b <= ord("9"):
+            if _D0 <= b <= _D9:
                 if frac_digits is None:
                     int_value = 10 * int_value + (b - ord("0"))
                 else:
                     frac_digits += chr(b)
-            elif b == ord("."):
+            elif b == _DOT:
                 if frac_digits is not None:
                     raise self.stream_error("Reading number error: Second decimal point found.")
                 frac_digits = ""
@@ -1614,7 +1640,7 @@ class PdfLexer:
         self.skip_stream_ws()
         b = s[self.sidx]
         self.sidx += 1
-        if b != ord("<"):
+        if b != _LT:
             raise self.stream_error(
                 "Hexadecimal integer expected in the form of '<1A>', but leading '<' was missing."
             )
@@ -1622,17 +1648,17 @@ class PdfLexer:
         b = s[self.sidx]
         self.sidx += 1
         while True:
-            if ord("0") <= b <= ord("9"):
+            if _D0 <= b <= _D9:
                 value = 16 * value + b - ord("0")
-            elif ord("A") <= b <= ord("F"):
+            elif 0x41 <= b <= 0x46:
                 value = 16 * value + b - ord("A") + 10
-            elif ord("a") <= b <= ord("f"):
+            elif 0x61 <= b <= 0x66:
                 value = 16 * value + b - ord("a") + 10
             else:
                 break
             b = s[self.sidx]
             self.sidx += 1
-        if b != ord(">"):
+        if b != _GT:
             raise self.stream_error(
                 "Character IDentifier CID expected in the form of '<1A>', but leading "
                 "'<' was missing."
@@ -1649,7 +1675,7 @@ class PdfLexer:
         self.skip_stream_ws()
         b = s[self.sidx]
         self.sidx += 1
-        if b != ord("<"):
+        if b != _LT:
             raise self.stream_error(
                 "Hexadecimal integer expected in the form of '<89AB>', but leading "
                 "'<' was missing."
@@ -1659,18 +1685,18 @@ class PdfLexer:
         self.sidx += 1
         digits = 0
         while True:
-            if ord("0") <= b <= ord("9"):
+            if _D0 <= b <= _D9:
                 value = 16 * value + b - ord("0")
-            elif ord("A") <= b <= ord("F"):
+            elif 0x41 <= b <= 0x46:
                 value = 16 * value + b - ord("A") + 10
-            elif ord("a") <= b <= ord("f"):
+            elif 0x61 <= b <= 0x66:
                 value = 16 * value + b - ord("a") + 10
             else:
                 break
             b = s[self.sidx]
             self.sidx += 1
             digits += 1
-            if digits > 3 and b != ord(">"):
+            if digits > 3 and b != _GT:
                 # multi-codepoint CIDs repack to single ligature chars
                 if value == ord("f") and s[self.sidx - 1 : self.sidx + 3] == b"0066":
                     tail = s[self.sidx + 3 : self.sidx + 8]
@@ -1696,7 +1722,7 @@ class PdfLexer:
                     "Reading Unicode for Character IDentifier CID from stream, should "
                     "have only 4 hex digits."
                 )
-        if b != ord(">"):
+        if b != _GT:
             raise self.stream_error(
                 "Hexadecimal integer expected in the form of '<89AB>', but leading "
                 "'<' was missing."

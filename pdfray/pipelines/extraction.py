@@ -61,11 +61,22 @@ def add_ingest_meta(num_partitions: int = DEFAULT_NUM_PARTITIONS):
     return fn
 
 
-def read_corpus(path: str, columns=("url", "html")):
-    """Column-pruned corpus read; only what extraction needs leaves storage."""
+def read_corpus(path, columns=("url", "html"), override_num_blocks=None):
+    """Column-pruned corpus read; only what extraction needs leaves storage.
+
+    ``override_num_blocks`` defaults to 4x the cluster CPUs so the extract
+    stage gets enough task granularity even from a handful of input files
+    (one file would otherwise become one block -> one actor task).
+    """
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(path, columns=list(columns))
+    if override_num_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        override_num_blocks = cpus * 4
+    return rd.read_parquet(
+        path, columns=list(columns), override_num_blocks=override_num_blocks
+    )
 
 
 def extract_dataset(
@@ -217,17 +228,23 @@ def _extract_prepared(
     """Extraction over a dataset that already carries ingest meta columns."""
     kwargs = extractor_kwargs or {}
     common = dict(batch_format="pyarrow")
-    if concurrency is None:
-        import ray
+    import ray
 
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        # autoscaling pool (min,max): actors spin up with demand, so the pool
-        # never starves the read/write stages of CPUs (deadlock-safe on small
-        # nodes, full utilisation on big ones)
-        concurrency = (1, max(2, cpus - 2))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if huge_threshold is not None and cpus <= 3:
+        # a tiny node cannot afford a dedicated skew pool AND keep the read
+        # stage fed — fall back to the single pool (skew isolation then comes
+        # from block-size splitting alone)
+        huge_threshold = None
+    # fixed pools with fast ramp-up; total actors stay strictly below the
+    # node's CPUs so the read/write task stages always get cores (a
+    # full-size eager pool deadlocks small nodes; autoscaling ramps slowly)
+    if concurrency is None:
+        concurrency = max(1, int(cpus * 0.7))
     if huge_concurrency is None:
-        top = concurrency[1] if isinstance(concurrency, tuple) else concurrency
-        huge_concurrency = (1, max(1, top // 4))
+        huge_concurrency = max(1, min(cpus // 8, max(1, cpus - concurrency - 1)))
+        if concurrency + huge_concurrency >= cpus and cpus > 2:
+            concurrency = max(1, cpus - huge_concurrency - 1)
     if huge_threshold is None:
         return ds.map_batches(
             PdfExtractor,

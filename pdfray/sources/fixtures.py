@@ -493,7 +493,13 @@ def doc_class(index: int) -> tuple:
 EPOCH = datetime.datetime(2026, 1, 1)
 
 
-def generate_rows(n_docs: int, n_huge: int = 2, n_broken: int = 3, seed: int = SEED):
+def generate_rows(
+    n_docs: int,
+    n_huge: int = 2,
+    n_broken: int = 3,
+    seed: int = SEED,
+    huge_pages: int = 24,
+):
     """Yield (url, warc_ts, html, text, lang) tuples deterministically."""
     i = 0
     for k in range(n_docs):
@@ -512,7 +518,7 @@ def generate_rows(n_docs: int, n_huge: int = 2, n_broken: int = 3, seed: int = S
     for k in range(n_huge):
         rng = random.Random((seed << 21) ^ k)
         lang = LANGS[k % len(LANGS)]
-        data, golden = build_huge(rng, lang)
+        data, golden = build_huge(rng, lang, n_pages=huge_pages)
         yield (
             f"https://example.org/huge/{k:08d}.pdf",
             EPOCH + datetime.timedelta(seconds=i),
@@ -535,12 +541,20 @@ def generate_rows(n_docs: int, n_huge: int = 2, n_broken: int = 3, seed: int = S
         i += 1
 
 
-def corpus_table(n_docs: int, n_huge: int = 2, n_broken: int = 3, seed: int = SEED):
+def corpus_table(
+    n_docs: int,
+    n_huge: int = 2,
+    n_broken: int = 3,
+    seed: int = SEED,
+    huge_pages: int = 24,
+):
     """Build the corpus as a pyarrow Table with the input_hint schema."""
     import pyarrow as pa
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
-    for url, ts, html, text, lang in generate_rows(n_docs, n_huge, n_broken, seed):
+    for url, ts, html, text, lang in generate_rows(
+        n_docs, n_huge, n_broken, seed, huge_pages
+    ):
         urls.append(url)
         tss.append(ts)
         htmls.append(html)
@@ -576,7 +590,9 @@ def ensure_corpus_parquet(sf_dir: str, cache_root: str = "/tmp/pdfray_fixtures")
     os.makedirs(out_dir, exist_ok=True)
     n = sf_doc_count(sf)
     n_huge = max(1, n // 500)
-    table = corpus_table(n, n_huge=n_huge, n_broken=3)
+    # bench-scale corpora get genuinely large skew documents
+    huge_pages = 24 if sf < 0.01 else 150
+    table = corpus_table(n, n_huge=n_huge, n_broken=3, huge_pages=huge_pages)
     tmp = out_path + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, out_path)
