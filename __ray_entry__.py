@@ -17,7 +17,11 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-FIXTURE_SQL_PATH = "/tmp/pdfray_fixtures/sf0.01/documents_pdf.parquet"
+
+def _fixture_sql_path() -> str:
+    from pdfray.sources.fixtures import fixture_parquet_path
+
+    return fixture_parquet_path("sf0.01")
 
 
 # ----------------------------------------------------------------------
@@ -180,7 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    fixture = FIXTURE_SQL_PATH
+    fixture = _fixture_sql_path()
     return {
         "extract_text": (
             f"SELECT url, text FROM read_parquet('{fixture}')"

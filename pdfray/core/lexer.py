@@ -68,6 +68,7 @@ PCT = ord("%")
 
 FILTER_NONE = 0
 FILTER_FLATE = 1
+FILTER_ASCIIHEX = 2  # engine extension (north-star scope; reference rejects it)
 
 _INT_MAX = 2147483647
 
@@ -603,7 +604,7 @@ class PdfLexer:
         """Root->Metadata stream, /Subtype /XML only (Tokeniser.cs:1179-1188)."""
         if not isinstance(metadata_token, DictionaryToken):
             return
-        subtype = metadata_token.entries.get("Subtype")
+        subtype = metadata_token.get("Subtype")
         if isinstance(subtype, NameToken) and subtype.value == "XML":
             self.fill_stream_from_dict(metadata_token)
             self.metadata = self.show_stream_content()
@@ -1072,6 +1073,34 @@ class PdfLexer:
             self._current_obj_id = prev_obj
         return token
 
+    def get_stream(self, obj_id: ObjectId):
+        """Fetch an object's decoded stream with brute-force recovery
+        (Tokeniser.cs:1735-1775): if the xref misses the object, linear-scan
+        the file for the literal ``N G obj``, parse the dictionary there and
+        decode its stream.  Returns (dict_token_or_None, stream_bytes_or_None)
+        or None when the object cannot be found / is not a stream."""
+        token = self.get_object(obj_id)
+        if isinstance(token, NullToken):
+            marker = f"{obj_id[0]} {obj_id[1]} obj".encode("latin-1")
+            idx = bytes(self.data).find(marker)
+            if idx < 0:
+                return None
+            prev = self.i
+            self.i = idx + len(marker)
+            try:
+                self.xref.tokens.pop(obj_id, None)  # drop the error NullToken
+                dict_token = self._parse_dict(obj_id)
+                self.fill_stream_from_dict(dict_token)
+                return (None, self.stream)
+            finally:
+                self.i = prev
+        if isinstance(token, DictionaryToken):
+            if token.stream_length_problem is not None:
+                return (token, None)
+            self.fill_stream_from_dict(token)
+            return (token, self.stream)
+        return None
+
     # ------------------------------------------------------------------
     # stream filling / decoding (Token.cs:627-669, Tokeniser.cs:1796-1846, 2192-2215)
 
@@ -1090,6 +1119,8 @@ class PdfLexer:
                 filt = FILTER_NONE
             elif filter_string == "FlateDecode":
                 filt = FILTER_FLATE
+            elif filter_string == "ASCIIHexDecode":
+                filt = FILTER_ASCIIHEX
             else:
                 raise PdfNotSupportedError(
                     f"Stream filter {filter_string} is not (yet) supported."
@@ -1124,6 +1155,23 @@ class PdfLexer:
 
         if filt == FILTER_NONE:
             self.stream = bytes(self.data[start : start + length])
+            self.sidx = 0
+            return
+        if filt == FILTER_ASCIIHEX:
+            # ASCIIHexDecode (engine extension beyond the reference's filter
+            # set, required by the target scope): hex pairs, whitespace
+            # ignored, '>' is EOD, odd trailing digit is padded with 0
+            raw = bytes(self.data[start : start + length])
+            end = raw.find(b">")
+            if end >= 0:
+                raw = raw[:end]
+            digits = raw.translate(None, _HEX_STRIP)
+            if len(digits) % 2 == 1:
+                digits += b"0"
+            try:
+                self.stream = bytes.fromhex(digits.decode("ascii"))
+            except (ValueError, UnicodeDecodeError) as ex:
+                raise self.stream_error(f"ASCIIHexDecode failed: {ex}") from None
             self.sidx = 0
             return
         # FlateDecode: drop the 2-byte zlib header, raw inflate, capped at the
@@ -1733,6 +1781,42 @@ class PdfLexer:
 
     def show_stream_content(self) -> str:
         return "".join(self._disp(b) for b in self.stream)
+
+    def show_buffer_content(self) -> str:
+        """Whole-file display text, skipping stream bodies (Tokeniser.cs:1265-1316).
+
+        After a 'stream' keyword + EOL the body is elided as '...endstream';
+        scanning resumes at the next line that starts with 'endstream'
+        (the browser's raw-bytes view semantics).
+        """
+        out = []
+        d = self.data
+        i = 0
+        n = len(d)
+        while i < n:
+            # find the next 'stream' keyword followed by CR/LF
+            idx = bytes(d).find(b"stream", i)
+            if idx < 0:
+                out.extend(self._disp(b) for b in d[i:n])
+                break
+            seg_end = idx + 6
+            if seg_end < n and (d[seg_end] == CR or d[seg_end] == LF):
+                out.extend(self._disp(b) for b in d[i:seg_end])
+                out.append("...endstream")
+                # skip until a line starting with 'endstream'
+                j = seg_end
+                while True:
+                    if j >= n:
+                        i = n
+                        break
+                    if (d[j] == CR or d[j] == LF) and bytes(d[j + 1 : j + 10]) == b"endstream":
+                        i = j + 10  # resume after 'endstream'
+                        break
+                    j += 1
+            else:
+                out.extend(self._disp(b) for b in d[i:seg_end])
+                i = seg_end
+        return "".join(out)
 
     def show_stream_at(self) -> str:
         s = self.stream

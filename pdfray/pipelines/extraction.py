@@ -185,6 +185,11 @@ def run_extraction(
             extractor_kwargs=extractor_kwargs,
         )
         chunk_dir = os.path.join(out_dir, f"chunk={chunk}")
+        if os.path.isdir(chunk_dir):
+            # stale partial output from an interrupted run — replace it
+            import shutil
+
+            shutil.rmtree(chunk_dir)
         extracted.write_parquet(chunk_dir)
         manifest_mod.mark_completed(out_dir, chunk)
         ran.append(chunk)
@@ -199,6 +204,10 @@ def run_extraction(
         )
         metrics = partition_metrics(out_ds)
         metrics_dir = os.path.join(out_dir, "_metrics")
+        if os.path.isdir(metrics_dir):
+            import shutil
+
+            shutil.rmtree(metrics_dir)
         metrics.write_parquet(metrics_dir)
         stats["metrics_dir"] = metrics_dir
     return stats

@@ -24,6 +24,9 @@ SEED = 42
 NL = "\n"
 DELIM = "|"
 
+# bump when generation logic changes so /tmp caches can never go stale
+FIXTURE_VERSION = 2
+
 LANGS = ("en", "de", "fr", "es")
 
 SNIPPETS = {
@@ -454,6 +457,80 @@ def build_huge(rng: random.Random, lang: str, n_pages: int = 24) -> tuple:
     return data, expected_text(all_frags)
 
 
+def build_linearized(rng: random.Random, lang: str) -> tuple:
+    """Linearized-layout fallback (M3): linearization dict first, no %%EOF —
+    the parser must find the xref by scanning forward from the dictionary."""
+    encoding_name = rng.choice(["WinAnsiEncoding", "MacRomanEncoding"])
+    b = PdfBuilder()
+    b.add("<</Linearized 1/O 5/L 4113/N 1/T 3896>>")
+    frags = _simple_fragments(rng, lang, encoding_name)
+    content = render_content(frags, encoding_name, b)
+    cid = b.add_stream(content)  # uncompressed: body must not contain 'xref'
+    fid = b.add(_font_body(encoding_name))
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    data = b.finish_classic(cat)
+    eof = data.rfind(b"%%EOF")
+    return data[:eof], expected_text(frags)
+
+
+def build_metadata(rng: random.Random, lang: str) -> tuple:
+    """Root -> /Metadata XML stream (M16)."""
+    encoding_name = rng.choice(["WinAnsiEncoding", "MacRomanEncoding"])
+    b = PdfBuilder()
+    frags = _simple_fragments(rng, lang, encoding_name)
+    content = render_content(frags, encoding_name, b)
+    cid = b.add_stream(content)
+    fid = b.add(_font_body(encoding_name))
+    xml = (
+        '<?xpacket begin=""?><x:xmpmeta xmlns:x="adobe:ns:meta/">'
+        f"<dc:title>doc {rng.randrange(1000)}</dc:title></x:xmpmeta>"
+    )
+    meta_id = b.add_stream(
+        xml.encode("latin-1"), dict_extra="/Type/Metadata/Subtype/XML"
+    )
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(
+        f"<</Type/Catalog/Pages {pages_id} 0 R/Metadata {meta_id} 0 R>>"
+    )
+    data = b.finish_classic(cat)
+    return data, expected_text(frags)
+
+
+def build_asciihex(rng: random.Random, lang: str) -> tuple:
+    """ASCIIHexDecode content stream (engine extension per the target scope)."""
+    encoding_name = rng.choice(["WinAnsiEncoding", "MacRomanEncoding"])
+    b = PdfBuilder()
+    frags = _simple_fragments(rng, lang, encoding_name)
+    content = render_content(frags, encoding_name, b)
+    hex_lines = content.hex().upper()
+    # break into lines (whitespace must be tolerated) and end with EOD '>'
+    payload = "\n".join(
+        hex_lines[i : i + 64] for i in range(0, len(hex_lines), 64)
+    ) + ">"
+    cid = b.add_stream(payload.encode("latin-1"), dict_extra="/Filter/ASCIIHexDecode")
+    fid = b.add(_font_body(encoding_name))
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    data = b.finish_classic(cat)
+    return data, expected_text(frags)
+
+
 def build_broken(rng: random.Random, lang: str) -> tuple:
     """Truncated / garbage / non-PDF payloads: extractor records, never raises."""
     kind = rng.randrange(3)
@@ -471,13 +548,16 @@ def build_broken(rng: random.Random, lang: str) -> tuple:
 
 
 CLASS_BUILDERS = [
-    ("simple", build_simple, 40),
+    ("simple", build_simple, 30),
     ("multifrag", build_multifrag, 15),
-    ("flate", build_flate, 15),
+    ("flate", build_flate, 14),
     ("xrefstream", build_xrefstream, 10),
     ("fonts", build_fonts, 10),
     ("quirks", build_quirks, 5),
     ("encrypted", build_encrypted, 5),
+    ("linearized", build_linearized, 3),
+    ("metadata", build_metadata, 4),
+    ("asciihex", build_asciihex, 4),
 ]
 _WEIGHTED = []
 for _name, _fn, _w in CLASS_BUILDERS:
@@ -576,6 +656,13 @@ def sf_doc_count(sf: float) -> int:
     return max(20, int(60_000 * sf))
 
 
+def fixture_parquet_path(sf_name: str, cache_root: str = "/tmp/pdfray_fixtures") -> str:
+    """Deterministic, version-stamped cache path for a corpus parquet."""
+    import os
+
+    return os.path.join(cache_root, f"v{FIXTURE_VERSION}", sf_name, "documents_pdf.parquet")
+
+
 def ensure_corpus_parquet(sf_dir: str, cache_root: str = "/tmp/pdfray_fixtures") -> str:
     """Materialize the corpus parquet for a testdata sf dir; cached, deterministic."""
     import os
@@ -583,8 +670,8 @@ def ensure_corpus_parquet(sf_dir: str, cache_root: str = "/tmp/pdfray_fixtures")
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.001
-    out_dir = os.path.join(cache_root, sf_name)
-    out_path = os.path.join(out_dir, "documents_pdf.parquet")
+    out_path = fixture_parquet_path(sf_name, cache_root)
+    out_dir = os.path.dirname(out_path)
     if os.path.exists(out_path):
         return out_path
     os.makedirs(out_dir, exist_ok=True)

@@ -35,6 +35,10 @@ EXTRACT_SCHEMA = pa.schema(
     ]
 )
 
+# optional raw BT..ET source fragments per document (M22), off by default —
+# large and rarely needed downstream
+FRAGMENTS_FIELD = ("fragments", pa.list_(pa.string()))
+
 
 class PdfExtractor:
     """Callable class for ``ds.map_batches(PdfExtractor, batch_format="pyarrow",
@@ -49,6 +53,7 @@ class PdfExtractor:
         working_buffer_size: int = 10_000_000,
         include_page_texts: bool = True,
         include_metadata: bool = True,
+        include_fragments: bool = False,
     ):
         self.content_delimiter = content_delimiter
         self.newline = newline
@@ -56,6 +61,7 @@ class PdfExtractor:
         self.working_buffer_size = working_buffer_size
         self.include_page_texts = include_page_texts
         self.include_metadata = include_metadata
+        self.include_fragments = include_fragments
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url")
@@ -64,14 +70,23 @@ class PdfExtractor:
             partition_ids = batch.column("partition_id").to_pylist()
         else:
             partition_ids = [0] * len(batch)
+        # per-document password column overrides the stage-wide constant
+        # (user-extension surface: PdfParser.cs:82,94 ctor arg per document)
+        passwords = (
+            batch.column("password").to_pylist()
+            if "password" in batch.column_names
+            else None
+        )
 
         out = {name: [] for name in EXTRACT_SCHEMA.names}
+        if self.include_fragments:
+            out[FRAGMENTS_FIELD[0]] = []
         for i in range(len(batch)):
             html = htmls[i].as_py()  # one copy of the document bytes (parse needs random access)
             t0 = time.perf_counter()
             result = extract_document(
                 html,
-                password=self.password,
+                password=(passwords[i] if passwords is not None else self.password) or "",
                 content_delimiter=self.content_delimiter,
                 newline=self.newline,
                 working_buffer_size=self.working_buffer_size,
@@ -89,4 +104,11 @@ class PdfExtractor:
             out["error"].append(result.error_summary())
             out["n_bytes"].append(len(html) if html is not None else 0)
             out["parse_ms"].append(parse_ms)
-        return pa.table(out, schema=EXTRACT_SCHEMA)
+            if self.include_fragments:
+                out["fragments"].append(
+                    [f for page in result.pages for c in page.contents for f in c.fragments]
+                )
+        schema = EXTRACT_SCHEMA
+        if self.include_fragments:
+            schema = schema.append(pa.field(*FRAGMENTS_FIELD))
+        return pa.table(out, schema=schema)

@@ -1,0 +1,106 @@
+"""Ray Data pipeline integration tests (one shared Ray session per pytest run)."""
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_path(ray_session, tmp_path_factory):
+    from pdfray.sources.fixtures import corpus_table
+
+    path = str(tmp_path_factory.mktemp("corpus") / "documents_pdf.parquet")
+    pq.write_table(corpus_table(40, n_huge=1, n_broken=2), path)
+    return path
+
+
+def test_extract_dataset_byte_identical(ray_session, corpus_path):
+    from pdfray.pipelines.extraction import extract_dataset, read_corpus
+
+    out = extract_dataset(read_corpus(corpus_path), concurrency=2).to_pandas()
+    golden = pq.read_table(corpus_path, columns=["url", "text"]).to_pandas()
+    merged = golden.merge(out, on="url", suffixes=("_want", "_got"))
+    assert len(merged) == len(golden) == len(out)
+    assert (merged["text_want"] == merged["text_got"]).all()
+
+
+def test_skew_routing_covers_all_rows(ray_session, corpus_path):
+    from pdfray.pipelines.extraction import extract_dataset, read_corpus
+
+    # tiny threshold forces most docs through the dedicated huge pool
+    out = extract_dataset(
+        read_corpus(corpus_path),
+        huge_threshold=1000,
+        concurrency=2,
+        huge_concurrency=1,
+    ).to_pandas()
+    golden = pq.read_table(corpus_path, columns=["url", "text"]).to_pandas()
+    merged = golden.merge(out, on="url", suffixes=("_want", "_got"))
+    assert len(merged) == len(golden)
+    assert (merged["text_want"] == merged["text_got"]).all()
+
+
+def test_run_extraction_resume_and_metrics(ray_session, corpus_path, tmp_path):
+    import ray.data as rd
+
+    from pdfray.pipelines.extraction import output_files, run_extraction
+
+    out_dir = str(tmp_path / "out")
+    stats = run_extraction(corpus_path, out_dir, chunks=2, concurrency=2)
+    assert stats["chunks_run"] == [0, 1]
+    assert os.path.isdir(stats["metrics_dir"])
+
+    # a second run skips everything (manifest checkpoint)
+    stats2 = run_extraction(corpus_path, out_dir, chunks=2, concurrency=2)
+    assert stats2["chunks_run"] == []
+    assert stats2["chunks_skipped"] == [0, 1]
+
+    # deleting one marker re-runs exactly that chunk
+    os.remove(os.path.join(out_dir, "_manifest", "partition_id=0.done"))
+    stats3 = run_extraction(corpus_path, out_dir, chunks=2, concurrency=2)
+    assert stats3["chunks_run"] == [0]
+
+    written = rd.read_parquet(output_files(out_dir, 2))
+    n_docs = pq.read_metadata(corpus_path).num_rows
+    assert written.count() == n_docs
+
+    metrics = rd.read_parquet(stats3["metrics_dir"]).to_pandas()
+    assert metrics["n_docs"].sum() == n_docs
+    assert (metrics["sum_bytes"] > 0).all()
+
+
+def test_read_pdf_files_source(ray_session, tmp_path):
+    import random
+
+    from pdfray.sources.fixtures import build_simple
+    from pdfray.sources.readers import read_pdf_files
+    from pdfray.pipelines.extraction import extract_dataset
+
+    goldens = {}
+    for k in range(4):
+        data, golden = build_simple(random.Random(k), "en")
+        p = tmp_path / f"doc{k}.pdf"
+        p.write_bytes(data)
+        goldens[str(p)] = golden
+    (tmp_path / "ignored.txt").write_text("not a pdf")
+
+    ds = read_pdf_files(str(tmp_path))
+    out = extract_dataset(ds, concurrency=2, huge_threshold=None).to_pandas()
+    assert len(out) == 4
+    for _, row in out.iterrows():
+        assert row["text"] == goldens[row["url"]]
+
+
+def test_textstore_stage_in_pipeline(ray_session, corpus_path):
+    import ray.data as rd
+
+    from pdfray.stages.textstore_stage import TextStoreStage
+
+    ds = rd.read_parquet(corpus_path, columns=["url", "html"])
+    out = ds.map_batches(
+        TextStoreStage, batch_format="pyarrow", concurrency=2, batch_size=16
+    ).to_pandas()
+    ok = out[out["error"].isna()]
+    assert len(ok) >= len(out) - 2  # broken rows may error
+    assert (ok["n_lines"] > 0).all()
