@@ -162,7 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_broadcast_join_segment": R.q_broadcast_join_segment,
         "q_hash_join_brand": R.q_hash_join_brand,
         "q_nation_region": R.q_nation_region,
+        "q_supplier_nation": R.q_supplier_nation,
         "q_events_rollup": R.q_events_rollup,
+        "q_events_json": R.q_events_json,
         "q_distinct_flags": R.q_distinct_flags,
         "q_orders_topk": R.q_orders_topk,
         "q_orders_by_month": R.q_orders_by_month,
@@ -175,9 +177,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_simhash": T.t_simhash,
         "t_minhash_pairs": T.t_minhash_pairs,
         "t_ngram_jaccard_dupes": T.t_ngram_jaccard_dupes,
-        # similarity search over embeddings
+        # similarity search / embedding dedup over embeddings
         "s_knn_bruteforce": S.s_knn_bruteforce,
         "s_ann_lsh": S.s_ann_lsh,
+        "s_embedding_dupes": S.s_embedding_dupes,
         # multimodal binary plumbing (decode stubbed, plumbing real)
         "m_media_features": M.m_media_features,
     }
@@ -234,6 +237,19 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
+        "q_supplier_nation": (
+            "SELECT n_name, COUNT(*) AS n_suppliers, "
+            "ROUND(SUM(s_acctbal), 2) AS total_acctbal "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "q_events_json": (
+            "SELECT event_type, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket, "
+            "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY event_type, k_bucket "
+            "ORDER BY event_type, k_bucket"
+        ),
         "q_distinct_flags": (
             "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "
             "ORDER BY l_returnflag, l_linestatus"
@@ -283,6 +299,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10 "
             "ORDER BY query_id, rank"
+        ),
+        "s_embedding_dupes": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.42 "
+            "ORDER BY vec_a, vec_b"
         ),
         "m_media_features": (
             f"SELECT url, 'image' AS media_type, OCTET_LENGTH(html) AS n_bytes "

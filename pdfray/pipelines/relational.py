@@ -274,6 +274,65 @@ def q_orders_topk(sf_dir: str):
     return out.to_pandas()
 
 
+def q_supplier_nation(sf_dir: str):
+    """supplier -> nation broadcast join: account balance rollup per nation."""
+    import ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def join_nation(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = [lookup.get(k) for k in t.column("s_nationkey").to_pylist()]
+        return pa.table(
+            {"n_name": pa.array(names, pa.string()), "s_acctbal": t.column("s_acctbal")}
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(join_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal"))
+    )
+    df = out.to_pandas()
+    return _round_cols(df, {"total_acctbal": 2}).sort_values("n_name").reset_index(drop=True)
+
+
+def q_events_json(sf_dir: str):
+    """Semi-structured projection: parse the props JSON column, bucket its
+    'k' value, roll up per (event_type, bucket)."""
+    import json
+
+    ds = _read(sf_dir, "events", ["event_type", "props", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] for p in t.column("props").to_pylist()]
+        buckets = [k // 10 for k in ks]
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "k_bucket": pa.array(buckets, pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["event_type", "k_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    df = out.to_pandas()
+    return (
+        _round_cols(df, {"sum_value": 2})
+        .sort_values(["event_type", "k_bucket"])
+        .reset_index(drop=True)
+    )
+
+
 def q_orders_by_month(sf_dir: str):
     """Temporal rollup: orders per month (strftime projection + groupby)."""
     ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])

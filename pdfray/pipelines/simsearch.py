@@ -83,17 +83,74 @@ def s_knn_bruteforce(sf_dir: str):
     return df[["query_id", "rank", "vec_id", "sim"]]
 
 
-def s_ann_lsh(sf_dir: str, n_planes: int = 8):
+def s_embedding_dupes(sf_dir: str, threshold: float = 0.42):
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= threshold).
+
+    Blocked exact computation: the full normalized matrix is broadcast once
+    (`ray.put`) and each batch runs one numpy matmul against it — no shuffle.
+    At corpus scale the broadcast side becomes the LSH-bucketed index from
+    `s_ann_lsh` and only same-bucket pairs are scored."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    df = t.to_pandas().sort_values("vec_id")
+    all_ids = df["vec_id"].to_numpy()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((all_ids, mat))
+
+    class PairFinder:
+        def __init__(self):
+            self.all_ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy()
+            vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(
+                np.float64
+            )
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = vecs @ self.mat.T
+            out = {"vec_a": [], "vec_b": [], "sim": []}
+            rows, cols = np.nonzero(sims >= threshold)
+            for r, c in zip(rows, cols):
+                a, b = int(ids[r]), int(self.all_ids[c])
+                if a < b:  # emit each unordered pair once
+                    out["vec_a"].append(a)
+                    out["vec_b"].append(b)
+                    out["sim"].append(round(float(sims[r, c]), 4))
+            return pa.table(
+                {
+                    "vec_a": pa.array(out["vec_a"], pa.int64()),
+                    "vec_b": pa.array(out["vec_b"], pa.int64()),
+                    "sim": pa.array(out["sim"], pa.float64()),
+                }
+            )
+
+    res = (
+        _read_embeddings(sf_dir)
+        .map_batches(PairFinder, batch_format="pyarrow", concurrency=(1, 4), batch_size=1024)
+        .to_pandas()
+    )
+    return res.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def s_ann_lsh(sf_dir: str, n_planes: int = 0):
     """LSH-bucketed approximate variant + recall report vs brute force.
 
     Vectors are signed against ``n_planes`` random hyperplanes; each query
     scans only its bucket and Hamming-1 neighbours.  Returns per-query recall
     against the exact result — the quality metric a scale deployment tracks.
+    ``n_planes=0`` auto-sizes for ~64 vectors per bucket (recall/pruning
+    tradeoff scales with the corpus instead of collapsing at small n).
     """
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     df = t.to_pandas()
+    if n_planes <= 0:
+        n_planes = max(2, int(np.log2(max(2, len(df) / 64))))
     vecs = np.stack(df["embedding"].to_numpy())
     vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     rng = np.random.RandomState(17)

@@ -1,0 +1,159 @@
+"""Text/dedup/similarity operators: planted-duplicate detection + invariants."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_dir(ray_session, tmp_path_factory):
+    """A documents table with planted exact and near duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden trees"
+    )
+    near = base.replace("warm", "cold") + " today"
+    rows = {
+        "doc_id": list(range(10)),
+        "text": [
+            base,                      # 0
+            base,                      # 1 exact dup of 0
+            near,                      # 2 near dup of 0
+            "completely different content about database query engines",
+            "another unrelated piece of text mentioning ray data pipelines",
+            base,                      # 5 exact dup of 0
+            "short text",
+            "the quick brown fox jumps over the lazy dog",  # 7 prefix overlap
+            "numbers 123 456 789 and symbols #!? here",
+            near,                      # 9 exact dup of 2
+        ],
+        "lang": ["en"] * 10,
+        "source": ["t"] * 10,
+        "n_chars": [0] * 10,
+    }
+    d = tmp_path_factory.mktemp("docs")
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_exact_dedup_groups(docs_dir):
+    from pdfray.pipelines.textops import t_exact_dedup
+
+    out = t_exact_dedup(docs_dir)
+    groups = {r.rep_doc: r.n_copies for r in out.itertuples()}
+    assert groups[0] == 3  # docs 0, 1, 5
+    assert groups[2] == 2  # docs 2, 9
+    assert sum(groups.values()) == 10
+
+
+def test_minhash_finds_planted_near_dups(docs_dir):
+    from pdfray.pipelines.textops import t_minhash_pairs
+
+    pairs = t_minhash_pairs(docs_dir, jaccard_threshold=0.5)
+    found = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    # exact dups must be found (jaccard 1.0)
+    assert (0, 1) in found and (0, 5) in found and (1, 5) in found
+    assert (2, 9) in found
+    # near dup pair (word substitution) above 0.5 shingle jaccard
+    assert (0, 2) in found or (1, 2) in found
+    # unrelated docs must not pair
+    assert not any(a == 3 or b == 3 for a, b in found)
+    jac = dict(zip(zip(pairs["doc_a"], pairs["doc_b"]), pairs["jaccard"]))
+    assert jac[(0, 1)] == 1.0
+
+
+def test_simhash_properties(docs_dir):
+    from pdfray.pipelines.textops import t_simhash
+
+    out = t_simhash(docs_dir)
+    h = dict(zip(out["doc_id"], out["simhash"]))
+    assert h[0] == h[1] == h[5]  # identical text -> identical hash
+    # near dup -> small hamming distance
+    d = bin(int(h[0], 16) ^ int(h[2], 16)).count("1")
+    assert d <= 12
+    d_far = bin(int(h[0], 16) ^ int(h[3], 16)).count("1")
+    assert d_far > d
+
+
+def test_ngram_jaccard_dupes(docs_dir):
+    from pdfray.pipelines.textops import t_ngram_jaccard_dupes
+
+    pairs = t_ngram_jaccard_dupes(docs_dir, threshold=0.5)
+    found = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 1) in found  # same simhash bucket + identical
+
+
+def test_langid_on_snippets(ray_session, tmp_path):
+    from pdfray.sources.fixtures import SNIPPETS
+    from pdfray.pipelines.textops import t_langid
+
+    rows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    i = 0
+    for lang, snippets in SNIPPETS.items():
+        for s in snippets:
+            rows["doc_id"].append(i)
+            rows["text"].append(s + " " + s)
+            rows["lang"].append(lang)
+            rows["source"].append("t")
+            rows["n_chars"].append(len(s))
+            i += 1
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = t_langid(str(tmp_path))
+    acc = (out["lang_pred"] == out["lang"]).mean()
+    assert acc >= 0.6  # a heuristic, but far above the 0.25 chance level
+
+
+def test_knn_bruteforce_matches_numpy(ray_session):
+    from pdfray.pipelines.simsearch import s_knn_bruteforce, TOP_K, N_QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = s_knn_bruteforce(sf_dir)
+    assert set(out["query_id"]) == set(range(N_QUERIES))
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    vecs = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    for qi in range(N_QUERIES):
+        sims = vecs @ vecs[qi]
+        order = np.lexsort((ids, -np.round(sims, 4)))[:TOP_K]
+        expected = [int(ids[j]) for j in order]
+        got = out[out["query_id"] == ids[qi]].sort_values("rank")["vec_id"].tolist()
+        assert got == expected
+
+
+def test_ann_lsh_recall(ray_session):
+    from pdfray.pipelines.simsearch import s_ann_lsh
+
+    out = s_ann_lsh("/root/testdata/sf0.001")
+    assert (out["recall_at_k"] >= 0.3).all()
+    assert (out["n_candidates"] > 0).all()
+
+
+def test_embedding_dupes_exact(ray_session):
+    from pdfray.pipelines.simsearch import s_embedding_dupes
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = s_embedding_dupes(sf_dir, threshold=0.4)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    vecs = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vecs @ vecs.T
+    ids = t["vec_id"].to_numpy()
+    expected = set()
+    for r, c in zip(*np.nonzero(sims >= 0.4)):
+        if ids[r] < ids[c]:
+            expected.add((int(ids[r]), int(ids[c])))
+    got = {(a, b) for a, b in zip(out["vec_a"], out["vec_b"])}
+    assert got == expected
+
+
+def test_token_stats_and_quality(docs_dir):
+    from pdfray.pipelines.textops import t_quality, t_token_stats
+
+    stats = t_token_stats(docs_dir)
+    assert stats[stats["doc_id"] == 6]["n_tokens"].iloc[0] == 2
+    quality = t_quality(docs_dir)
+    row = quality[quality["doc_id"] == 8].iloc[0]
+    assert row["n_chars"] == len("numbers 123 456 789 and symbols #!? here")
+    assert row["n_alpha"] == sum(c.isalpha() for c in "numbers 123 456 789 and symbols #!? here")
