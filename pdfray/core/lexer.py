@@ -387,7 +387,15 @@ class PdfLexer:
 
     def _read_classic_xref_section(self) -> DictionaryToken:
         d = self.data
+        last_pos = -1
         while True:
+            if self.i == last_pos:
+                # a zero-digit number at a delimiter parses as 0 without
+                # advancing; the reference loops forever here
+                # (Tokeniser.cs:356-388 with Token.cs:149-168) — fail fast
+                # instead of reproducing a denial-of-service hang
+                raise self.error("Xref table: parser stalled (malformed subsection).")
+            last_pos = self.i
             start_num = self._parse_number(None).ivalue
             count = self._parse_number(None).ivalue
             for k in range(count):

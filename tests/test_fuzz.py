@@ -1,0 +1,103 @@
+"""Property-based robustness: the extractor records, never raises.
+
+At crawl scale every malformed byte pattern eventually arrives; the per-row
+contract is the reference's catch-and-record discipline — a document-level
+``error`` string, never an exception out of the UDF.
+"""
+import random
+import zlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pdfray.core.extract import extract_document
+from pdfray.sources import fixtures
+
+FUZZ_SETTINGS = dict(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(data=st.binary(min_size=0, max_size=4096))
+@settings(**FUZZ_SETTINGS)
+def test_arbitrary_bytes_never_raise(data):
+    result = extract_document(data)
+    assert result.text is not None  # may be "", but never raises
+
+
+@given(
+    data=st.binary(min_size=0, max_size=2048),
+    version=st.sampled_from([b"%PDF-1.4\n", b"%PDF-1.7\n"]),
+)
+@settings(**FUZZ_SETTINGS)
+def test_pdf_prefixed_garbage_never_raises(data, version):
+    result = extract_document(version + data)
+    assert result.text is not None
+
+
+@given(seed=st.integers(0, 2**32 - 1), n_mutations=st.integers(1, 24))
+@settings(**FUZZ_SETTINGS)
+def test_mutated_valid_documents_never_raise(seed, n_mutations):
+    """Bit/byte mutations of valid documents: the hardest corruption class —
+    structure that is almost right (bad offsets, clipped keywords, flipped
+    lengths)."""
+    rng = random.Random(seed)
+    name, builder = fixtures.doc_class(seed % 100)
+    data, _ = builder(random.Random(seed), fixtures.LANGS[seed % 4])
+    mutated = bytearray(data)
+    for _ in range(n_mutations):
+        kind = rng.randrange(3)
+        pos = rng.randrange(len(mutated))
+        if kind == 0:
+            mutated[pos] = rng.randrange(256)
+        elif kind == 1:
+            del mutated[pos]
+        else:
+            mutated.insert(pos, rng.randrange(256))
+    result = extract_document(bytes(mutated), working_buffer_size=10_000_000)
+    assert result.text is not None
+
+
+@given(payload=st.binary(min_size=0, max_size=512))
+@settings(**FUZZ_SETTINGS)
+def test_random_content_streams_never_raise(payload):
+    """Arbitrary bytes as a page content stream: the interpreter must record
+    per-content errors, not raise."""
+    from pdfray.sources.pdfwriter import PdfBuilder
+
+    b = PdfBuilder()
+    cid = b.add_stream(payload)
+    pages_id = b.reserve()
+    pid = b.add(f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R>>")
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    result = extract_document(b.finish_classic(cat))
+    assert result.text is not None
+
+
+@given(payload=st.binary(min_size=1, max_size=300))
+@settings(**FUZZ_SETTINGS)
+def test_flate_roundtrip_and_corrupt_flate(payload):
+    from pdfray.core.lexer import PdfLexer
+    from pdfray.core.model import PdfStreamError
+
+    compressed = zlib.compress(payload)
+    head = f"<</Length {len(compressed)}/Filter/FlateDecode>>stream\n".encode()
+    lx = PdfLexer(head + compressed + b"\nendstream\nQ ")
+    d = lx.get_next_token()
+    lx.fill_stream_from_dict(d)
+    assert bytes(lx.stream) == payload
+
+    # corrupting the deflate body must produce a recorded-style error
+    bad = bytearray(compressed)
+    bad[len(bad) // 2] ^= 0xFF
+    head = f"<</Length {len(bad)}/Filter/FlateDecode>>stream\n".encode()
+    lx = PdfLexer(head + bytes(bad) + b"\nendstream\nQ ")
+    d = lx.get_next_token()
+    try:
+        lx.fill_stream_from_dict(d)
+    except (PdfStreamError, Exception):
+        pass  # any exception type is fine at lexer level; extract() records it
