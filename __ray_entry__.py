@@ -144,6 +144,23 @@ def _extract_partition_metrics(sf_dir: str):
     )
 
 
+def _pipeline_clean_corpus(sf_dir: str):
+    """Deterministic prefix of the cleaning chain: extract -> quality gate ->
+    exact dedup (keep min url); oracle-checkable because extracted text is
+    byte-identical to the golden fixture text."""
+    from pdfray.pipelines.training_data import clean_corpus
+
+    df = clean_corpus(sf_dir, near_dedup=False)
+    return df[["url", "text"]]
+
+
+def _pipeline_clean_corpus_neardup(sf_dir: str):
+    from pdfray.pipelines.training_data import clean_corpus
+
+    df = clean_corpus(sf_dir, near_dedup=True)
+    return df[["url"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdfray.pipelines import relational as R
     from pdfray.pipelines import simsearch as S
@@ -183,6 +200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_embedding_dupes": S.s_embedding_dupes,
         # multimodal binary plumbing (decode stubbed, plumbing real)
         "m_media_features": M.m_media_features,
+        # end-to-end training-data cleaning composition
+        "pipeline_clean_corpus": _pipeline_clean_corpus,
+        "pipeline_clean_corpus_neardup": _pipeline_clean_corpus_neardup,
     }
 
 
@@ -312,6 +332,13 @@ def oracle_sql() -> dict[str, str]:
         "m_media_features": (
             f"SELECT url, 'image' AS media_type, OCTET_LENGTH(html) AS n_bytes "
             f"FROM read_parquet('{fixture}') ORDER BY url"
+        ),
+        "pipeline_clean_corpus": (
+            f"WITH ok AS (SELECT url, text FROM read_parquet('{fixture}') "
+            "WHERE text <> '' AND "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 5) "
+            "SELECT MIN(url) AS url, MIN_BY(text, url) AS text FROM ok "
+            "GROUP BY md5(text) ORDER BY url"
         ),
         # rows-only (non-SQL-expressible): extract_version_counts,
         # extract_partition_metrics, t_langid, t_simhash, t_minhash_pairs,

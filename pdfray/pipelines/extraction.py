@@ -250,10 +250,12 @@ def _extract_prepared(
     # full-size eager pool deadlocks small nodes; autoscaling ramps slowly)
     if concurrency is None:
         concurrency = max(1, int(cpus * 0.7))
-    if huge_concurrency is None:
-        huge_concurrency = max(1, min(cpus // 8, max(1, cpus - concurrency - 1)))
-        if concurrency + huge_concurrency >= cpus and cpus > 2:
-            concurrency = max(1, cpus - huge_concurrency - 1)
+    if huge_concurrency is None and huge_threshold is not None:
+        top = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+        huge_concurrency = max(1, min(cpus // 8, max(1, cpus - top - 1)))
+        if not isinstance(concurrency, tuple):
+            if concurrency + huge_concurrency >= cpus and cpus > 2:
+                concurrency = max(1, cpus - huge_concurrency - 1)
     if huge_threshold is None:
         return ds.map_batches(
             PdfExtractor,

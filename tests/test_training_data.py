@@ -1,0 +1,28 @@
+"""End-to-end training-data cleaning pipeline."""
+import pyarrow.parquet as pq
+
+
+def test_clean_corpus_stages(ray_session, tmp_path, monkeypatch):
+    from pdfray.pipelines import training_data
+    from pdfray.sources import fixtures
+
+    # point the pipeline at a small deterministic corpus
+    path = str(tmp_path / "documents_pdf.parquet")
+    pq.write_table(fixtures.corpus_table(30, n_huge=1, n_broken=2), path)
+    monkeypatch.setattr(
+        "pdfray.sources.fixtures.ensure_corpus_parquet", lambda sf_dir: path
+    )
+
+    clean = training_data.clean_corpus("ignored", near_dedup=False)
+    golden = pq.read_table(path).to_pandas()
+    n_broken = golden["text"].eq("").sum()
+    assert 0 < len(clean) <= len(golden) - n_broken
+    # cleaned rows keep golden text and carry a language prediction
+    merged = clean.merge(golden[["url", "text"]], on="url", suffixes=("", "_want"))
+    assert (merged["text"] == merged["text_want"]).all()
+    assert set(clean["lang_pred"]) <= {"en", "de", "fr", "es"}
+    # exact dedup: no repeated text survives
+    assert clean["text"].is_unique
+
+    near = training_data.clean_corpus("ignored", near_dedup=True)
+    assert len(near) <= len(clean)
