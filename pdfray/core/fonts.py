@@ -17,8 +17,27 @@ from __future__ import annotations
 from typing import Optional
 
 from .encodings import apply_tounicode, get_encoding_8bit
-from .encodings_tables import GLYPH_CHARS, STANDARD
+from .encodings_tables import GLYPH_CHARS, MAC_ROMAN, STANDARD, WIN_ANSI
 from .model import ArrayToken, DictionaryToken, NameToken, NumberToken, Token
+
+
+def _make_trans(table) -> dict:
+    return {code: table[code] for code in range(256) if table[code] != chr(code)}
+
+
+# shared str.translate tables for the unmodified named encodings — rebuilt
+# per-document otherwise (every string batch pays for it)
+_SHARED_TRANS = {
+    id(STANDARD): _make_trans(STANDARD),
+    id(MAC_ROMAN): _make_trans(MAC_ROMAN),
+    id(WIN_ANSI): _make_trans(WIN_ANSI),
+}
+_BASE_TRANS = {
+    "Standard": _make_trans(STANDARD),
+    "MacRomanEncoding": _make_trans(MAC_ROMAN),
+    "MacExpertEncoding": _make_trans(MAC_ROMAN),
+    "WinAnsiEncoding": _make_trans(WIN_ANSI),
+}
 
 FONT_TYPES = (
     "Type0",
@@ -71,6 +90,7 @@ class PdfFont:
             self.font_type = subtype if subtype in FONT_TYPES else "none"
             if self.font_type == "Type1":
                 self.encoding8 = list(STANDARD)
+                self.trans_table = _BASE_TRANS["Standard"]
         self.base_font = token.get_name("BaseFont")
 
         encoding_token = token.get("Encoding")
@@ -78,6 +98,7 @@ class PdfFont:
             if isinstance(encoding_token, DictionaryToken):
                 differences = encoding_token.get_array("Differences")
                 if differences is not None:
+                    self.trans_table = None  # table diverges from the shared base
                     char_index = -(1 << 31)
                     for diff in differences:
                         if isinstance(diff, NumberToken):
@@ -100,9 +121,11 @@ class PdfFont:
                     self.is_identity = True
                 else:
                     self.encoding8 = get_encoding_8bit(name)
+                    self.trans_table = _BASE_TRANS.get(name)
 
         tounicode = token.get_dict("ToUnicode")
         if tounicode is not None:
             if self.encoding8 is None:
                 self.encoding8 = list(STANDARD)
+            self.trans_table = None  # CMap patches diverge from the shared base
             self.tounicode_header, self.cmap = apply_tounicode(lexer, tounicode, self.encoding8)

@@ -80,6 +80,8 @@ _D0, _D9 = 0x30, 0x39
 
 # bulk-scan helpers for the hot content-string path
 _STR_SPECIAL = re.compile(rb"[()\\]")
+_NUMBER_RE = re.compile(rb"[+-]?([0-9]*)(?:\.([0-9]*))?")
+_NAME_RE = re.compile(rb"[^\x00\t\n\x0c\r %()<>\[\]{}/]*")
 _HEX_STRIP = bytes(b for b in (32, 10, 13, 9, 12, 0, PCT))
 _ESCAPE_MAP = {
     ord("n"): 0xA,
@@ -201,6 +203,9 @@ class PdfLexer:
         """Skip whitespace incl. %-comments; return byte at cursor (Tokeniser.cs:1538-1561)."""
         data = self.data
         i = self.i
+        b = data[i]
+        if b not in WHITE and b != PCT:  # fast path: already at a token
+            return b
         while True:
             b = data[i]
             while b == PCT:
@@ -735,49 +740,38 @@ class PdfLexer:
         self._register(token)
         return token
 
+    _DECIMAL_CACHE: dict = {}
+
     def _parse_number(self, obj_id) -> NumberToken:
-        """Digit accumulation with C# decimal semantics (Token.cs:124-174)."""
-        d = self.data
-        sign = 1
-        b = self.skip_ws()
-        i = self.i
-        if b == _PLUS:
-            i += 1
-            b = d[i]
-        elif b == _MINUS:
-            sign = -1
-            i += 1
-            b = d[i]
-        int_value = 0
-        frac_digits = None  # None until '.' seen, then a string of digits
-        while True:
-            if _D0 <= b <= _D9:
-                if frac_digits is None:
-                    int_value = 10 * int_value + (b - ord("0"))
-                else:
-                    frac_digits += chr(b)
-            elif b == _DOT:
-                if frac_digits is not None:
-                    raise self.error("Reading number error: Second decimal point found.")
-                frac_digits = ""
-            else:
-                break
-            i += 1
-            b = d[i]
-        self.i = i
-        if frac_digits:
-            dec = Decimal(int_value) + Decimal(int(frac_digits)) / (10 ** len(frac_digits))
+        """Digit accumulation with C# decimal semantics (Token.cs:124-174).
+
+        Regex-scanned; a second decimal point simply terminates the match and
+        fails delimiter validation (same recorded-failure outcome as the
+        reference's explicit second-point error).  Small-int Decimals are
+        interned — they recur constantly (object numbers, offsets, operands).
+        """
+        self.skip_ws()
+        m = _NUMBER_RE.match(self.data, self.i)
+        ipart, frac = m.group(1), m.group(2)
+        sign = -1 if self.data[m.start()] == _MINUS else 1
+        self.i = m.end()
+        if frac:
+            int_value = int(ipart) if ipart else 0
+            dec = Decimal(int_value) + Decimal(int(frac)) / (10 ** len(frac))
             dec = sign * dec
             if dec == 0:
                 dec = Decimal(0)
-            ivalue = None
-            if len(frac_digits) == 0 and dec < _INT_MAX:
-                ivalue = int(dec)
-            token = NumberToken(dec, ivalue, obj_id)
+            token = NumberToken(dec, None, obj_id)
         else:
-            v = sign * int_value
+            v = sign * (int(ipart) if ipart else 0)
             ivalue = v if v < _INT_MAX else None
-            token = NumberToken(Decimal(v), ivalue, obj_id)
+            cache = self._DECIMAL_CACHE
+            dec = cache.get(v)
+            if dec is None:
+                dec = Decimal(v)
+                if -10000 < v < 10**7:
+                    cache[v] = dec
+            token = NumberToken(dec, ivalue, obj_id)
         self.validate_delimiter("Number")
         self._register(token)
         return token
@@ -788,6 +782,14 @@ class PdfLexer:
         token2_index = self.i
         if not number1.has_reference_format:
             return number1
+        # a reference's second token must be an integer: when the next byte
+        # cannot start one, skip the (side-effect-free but wasteful) lookahead
+        # parse of the following name/string/dict the reference performs
+        b = self.skip_ws()
+        if not (_D0 <= b <= _D9 or b == _PLUS):
+            self.i = token2_index
+            return number1
+        self.i = token2_index
         token2 = self.get_next_token(throw_on_error=False)
         if not isinstance(token2, NumberToken) or not token2.has_reference_format:
             self.i = token2_index
@@ -867,18 +869,14 @@ class PdfLexer:
         return token
 
     def _parse_name(self, obj_id) -> NameToken:
-        d = self.data
         b = self.skip_ws()
         if b != _SLASH:
             raise self.error(
                 f"Name format error: First character should be '/' but was '{chr(b)}'"
             )
-        i = self.i + 1
-        start = i
-        while not is_delim(d[i]):
-            i += 1
-        self.i = i
-        token = NameToken(d[start:i].decode("latin-1"), obj_id)
+        m = _NAME_RE.match(self.data, self.i + 1)
+        self.i = m.end()
+        token = NameToken(m.group().decode("latin-1"), obj_id)
         self._register(token)
         return token
 
