@@ -73,6 +73,57 @@ class Encryption:
         )
 
 
+def template_to_pdf(template: str) -> bytes:
+    """Template text -> valid PDF (the XRefUpdater capability).
+
+    Template language (`XRefUpdater/SampleToPdf.cs:23-145`): objects are
+    separated by ``$object <Name>`` lines; ``§Name§`` inside a body becomes
+    ``<id> 0 R`` of the named object; a ``#`` placeholder in a stream
+    object's dictionary becomes the computed stream /Length.  The first
+    object is the document /Root.  Deviation: the reference computes the
+    length with a template-specific magic offset (``endStreamIndex - 28``,
+    SampleToPdf.cs:111) that only fits its bundled sample; this version
+    measures the actual payload between the EOL after ``stream`` and the
+    EOL before ``endstream``.
+    """
+    import re as _re
+
+    chunks = [c for c in template.split("$object ") if c.strip()]
+    names = []
+    bodies = []
+    for chunk in chunks:
+        name, _, body = chunk.partition("\n")
+        names.append(name.strip().rstrip("\r"))
+        bodies.append(body.rstrip("\r\n"))
+    ids = {name: i + 1 for i, name in enumerate(names)}
+
+    out = []
+    addrs = []
+    buf = "%PDF-1.7\n%\xf5\xe4\xf6\xfc\n\n"
+    for i, body in enumerate(bodies):
+        # substitute §Name§ references
+        parts = body.split("§")
+        body = "".join(
+            part if k % 2 == 0 else f"{ids[part]} 0 R" for k, part in enumerate(parts)
+        )
+        # computed stream /Length for the '#' placeholder
+        if "#" in body and "stream" in body:
+            m = _re.search(r"stream\r?\n(.*?)\r?\nendstream", body, _re.S)
+            if m:
+                body = body.replace("#", str(len(m.group(1))), 1)
+        addrs.append(len(buf))
+        buf += f"{i + 1} 0 obj\n{body}\nendobj\n\n"
+    xref_pos = len(buf)
+    buf += f"xref\n0 {len(bodies) + 1}\n0000000000 65535 f \n"
+    for a in addrs:
+        buf += f"{a:010d} 00000 n \n"
+    buf += (
+        f"trailer\n  << /Size {len(bodies) + 1}\n    /Root 1 0 R\n  >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    )
+    return buf.encode("latin-1")
+
+
 class PdfBuilder:
     """Append-objects-then-xref builder for one document revision."""
 
