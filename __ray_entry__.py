@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_supplier_nation": R.q_supplier_nation,
         "q_events_rollup": R.q_events_rollup,
         "q_events_json": R.q_events_json,
+        "q_events_window": R.q_events_window,
+        "q_top_order_per_customer": R.q_top_order_per_customer,
         "q_distinct_flags": R.q_distinct_flags,
         "q_orders_topk": R.q_orders_topk,
         "q_orders_by_month": R.q_orders_by_month,
@@ -269,6 +271,19 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY event_type, k_bucket "
             "ORDER BY event_type, k_bucket"
+        ),
+        "q_events_window": (
+            "SELECT event_type, epoch_us(ts) // 3600000000 AS window_hour, "
+            "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY event_type, window_hour "
+            "ORDER BY event_type, window_hour"
+        ),
+        "q_top_order_per_customer": (
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+            "WHERE rn = 1 ORDER BY o_custkey"
         ),
         "q_distinct_flags": (
             "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem "

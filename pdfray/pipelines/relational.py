@@ -333,6 +333,53 @@ def q_events_json(sf_dir: str):
     )
 
 
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour event-time windows per event type (custom windowed
+    aggregate: Ray Data has no native windows — expressed as a projection to
+    the window key + grouped aggregate, the documented partitioning pattern)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t.column("ts"), pa.int64())  # microseconds
+        hour = pc.divide(epoch, 3_600_000_000)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_hour": pc.cast(hour, pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["event_type", "window_hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    df = out.to_pandas()
+    return (
+        _round_cols(df, {"sum_value": 2})
+        .sort_values(["event_type", "window_hour"])
+        .reset_index(drop=True)
+    )
+
+
+def q_top_order_per_customer(sf_dir: str):
+    """Per-group top-1 (argmax): each customer's most expensive order —
+    groupby().map_groups over rows sorted within the group."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    import pandas as pd
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(1)
+
+    out = ds.groupby("o_custkey").map_groups(top1, batch_format="pandas")
+    df = out.to_pandas()
+    return df.sort_values("o_custkey").reset_index(drop=True)
+
+
 def q_orders_by_month(sf_dir: str):
     """Temporal rollup: orders per month (strftime projection + groupby)."""
     ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
