@@ -5,9 +5,10 @@ Ray-Data-native expression of the reference's document-at-a-time extraction
 
     read_parquet (prune columns)
       -> map_batches(add_ingest_meta)          stateless: n_bytes, partition_id
-      -> size-aware routing                    skew: huge docs -> dedicated pool
-      -> map_batches(PdfExtractor, ...)        actor pools, zero-copy Arrow in
-      -> union
+      -> map_batches(PdfExtractor A, ...)      actor pool: extract small docs,
+                                               forward huge payloads
+      -> map_batches(PdfExtractor B, ...)      dedicated pool: extract the
+                                               forwarded huge docs
       -> write_parquet(partition_cols=[...])   resumable layout
     metrics: groupby(partition_id).aggregate   (the only shuffle, on small rows)
 
@@ -16,12 +17,11 @@ Scale notes (100 TB design):
   `binary_length` on the already-loaded column, not a second read;
 * partitioning key is hash(url) % P, chosen once and reused by the writer,
   the manifest, and the metrics rollup;
-* the skew split re-filters the ingest output — at production scale the
-  corpus lands size-bucketed at ingest (the same predicate written once), so
-  each branch reads only its bucket; on a single shared file the second scan
-  is served from the page cache and is negligible next to parse cost;
-* the huge-doc pool uses batch_size=1 so one pathological document never
-  blocks neighbours in its batch (north-rule skew mitigation);
+* skew routing is single-pass chained-passthrough: stage A costs only a byte
+  length check for a huge document and forwards its payload through the
+  object store (zero-copy block reference) to stage B's dedicated pool — no
+  second input scan, no union, and a pathological document can only ever
+  occupy a stage-B actor (north-rule skew mitigation);
 * resume is per-partition-chunk: each chunk writes its own parquet directory
   and a manifest marker, a restarted run drops completed chunks at the read.
 """
@@ -265,24 +265,22 @@ def _extract_prepared(
             **common,
         )
 
-    def keep_small(t: pa.Table) -> pa.Table:
-        return t.filter(pc.less_equal(t.column("n_bytes"), huge_threshold))
-
-    def keep_huge(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t.column("n_bytes"), huge_threshold))
-
-    small = ds.map_batches(keep_small, **common).map_batches(
+    # chained-passthrough skew routing: ONE input scan.  Stage A extracts
+    # every document at or below the threshold and forwards huge payloads in
+    # a deferred_html column; stage B (its own actor pool) extracts the
+    # forwarded documents block-at-a-time, so a pathological document only
+    # ever occupies a stage-B actor and never delays stage-A neighbours.
+    stage_a = ds.map_batches(
         PdfExtractor,
-        fn_constructor_kwargs=kwargs,
+        fn_constructor_kwargs={**kwargs, "defer_over_bytes": huge_threshold},
         batch_size=batch_size,
         concurrency=concurrency,
         **common,
     )
-    huge = ds.map_batches(keep_huge, **common).map_batches(
+    return stage_a.map_batches(
         PdfExtractor,
-        fn_constructor_kwargs=kwargs,
-        batch_size=1,  # skew isolation: one pathological doc per task
+        fn_constructor_kwargs={**kwargs, "finish_deferred": True},
+        batch_size=None,  # whole blocks; only deferred rows cost anything
         concurrency=huge_concurrency,
         **common,
     )
-    return small.union(huge)

@@ -54,6 +54,8 @@ class PdfExtractor:
         include_page_texts: bool = True,
         include_metadata: bool = True,
         include_fragments: bool = False,
+        defer_over_bytes: int = 0,
+        finish_deferred: bool = False,
     ):
         self.content_delimiter = content_delimiter
         self.newline = newline
@@ -62,8 +64,91 @@ class PdfExtractor:
         self.include_page_texts = include_page_texts
         self.include_metadata = include_metadata
         self.include_fragments = include_fragments
+        # skew routing, chained-passthrough form: stage A (defer_over_bytes>0)
+        # extracts small documents and passes huge payloads through in a
+        # `deferred_html` column; stage B (finish_deferred) extracts those.
+        # One input read, two pools, no union re-scan.
+        self.defer_over_bytes = defer_over_bytes
+        self.finish_deferred = finish_deferred
+
+    def _schema(self, with_deferred: bool) -> pa.Schema:
+        schema = EXTRACT_SCHEMA
+        if self.include_fragments:
+            schema = schema.append(pa.field(*FRAGMENTS_FIELD))
+        if with_deferred:
+            schema = schema.append(pa.field("deferred_html", pa.binary()))
+        return schema
+
+    def _extract_rows(self, urls, htmls, partition_ids, passwords, defer: bool) -> pa.Table:
+        out = {name: [] for name in self._schema(defer).names}
+        deferred = out.get("deferred_html")
+        for i in range(len(urls)):
+            html = htmls[i].as_py()  # one copy of the document bytes (parse needs random access)
+            n_bytes = len(html) if html is not None else 0
+            out["url"].append(urls[i].as_py())
+            out["partition_id"].append(partition_ids[i])
+            out["n_bytes"].append(n_bytes)
+            if defer and n_bytes > self.defer_over_bytes:
+                # huge document: pass the payload through to the dedicated pool
+                out["pdf_version"].append(None)
+                out["document_id"].append(None)
+                out["document_info"].append(None)
+                out["metadata"].append(None)
+                out["n_pages"].append(0)
+                out["page_texts"].append([])
+                out["text"].append(None)
+                out["error"].append(None)
+                out["parse_ms"].append(0.0)
+                if self.include_fragments:
+                    out["fragments"].append([])
+                deferred.append(html)
+                continue
+            t0 = time.perf_counter()
+            result = extract_document(
+                html,
+                password=(passwords[i] if passwords is not None else self.password) or "",
+                content_delimiter=self.content_delimiter,
+                newline=self.newline,
+                working_buffer_size=self.working_buffer_size,
+            )
+            parse_ms = (time.perf_counter() - t0) * 1000.0
+            out["pdf_version"].append(result.pdf_version)
+            out["document_id"].append(result.document_id)
+            out["document_info"].append(result.document_info)
+            out["metadata"].append(result.metadata if self.include_metadata else None)
+            out["n_pages"].append(result.n_pages)
+            out["page_texts"].append(result.page_texts if self.include_page_texts else [])
+            out["text"].append(result.text)
+            out["error"].append(result.error_summary())
+            out["parse_ms"].append(parse_ms)
+            if self.include_fragments:
+                out["fragments"].append(
+                    [f for page in result.pages for c in page.contents for f in c.fragments]
+                )
+            if defer:
+                deferred.append(None)
+        return pa.table(out, schema=self._schema(defer))
+
+    def _finish(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_valid(batch.column("deferred_html"))
+        done = batch.filter(pc.invert(mask)).drop_columns(["deferred_html"])
+        todo = batch.filter(mask)
+        if len(todo) == 0:
+            return done
+        extracted = self._extract_rows(
+            todo.column("url"),
+            todo.column("deferred_html"),
+            todo.column("partition_id").to_pylist(),
+            None,
+            defer=False,
+        )
+        return pa.concat_tables([done, extracted])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.finish_deferred:
+            return self._finish(batch)
         urls = batch.column("url")
         htmls = batch.column("html")
         if "partition_id" in batch.column_names:
@@ -77,38 +162,6 @@ class PdfExtractor:
             if "password" in batch.column_names
             else None
         )
-
-        out = {name: [] for name in EXTRACT_SCHEMA.names}
-        if self.include_fragments:
-            out[FRAGMENTS_FIELD[0]] = []
-        for i in range(len(batch)):
-            html = htmls[i].as_py()  # one copy of the document bytes (parse needs random access)
-            t0 = time.perf_counter()
-            result = extract_document(
-                html,
-                password=(passwords[i] if passwords is not None else self.password) or "",
-                content_delimiter=self.content_delimiter,
-                newline=self.newline,
-                working_buffer_size=self.working_buffer_size,
-            )
-            parse_ms = (time.perf_counter() - t0) * 1000.0
-            out["url"].append(urls[i].as_py())
-            out["partition_id"].append(partition_ids[i])
-            out["pdf_version"].append(result.pdf_version)
-            out["document_id"].append(result.document_id)
-            out["document_info"].append(result.document_info)
-            out["metadata"].append(result.metadata if self.include_metadata else None)
-            out["n_pages"].append(result.n_pages)
-            out["page_texts"].append(result.page_texts if self.include_page_texts else [])
-            out["text"].append(result.text)
-            out["error"].append(result.error_summary())
-            out["n_bytes"].append(len(html) if html is not None else 0)
-            out["parse_ms"].append(parse_ms)
-            if self.include_fragments:
-                out["fragments"].append(
-                    [f for page in result.pages for c in page.contents for f in c.fragments]
-                )
-        schema = EXTRACT_SCHEMA
-        if self.include_fragments:
-            schema = schema.append(pa.field(*FRAGMENTS_FIELD))
-        return pa.table(out, schema=schema)
+        return self._extract_rows(
+            urls, htmls, partition_ids, passwords, defer=self.defer_over_bytes > 0
+        )
