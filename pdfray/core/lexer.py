@@ -82,6 +82,9 @@ _D0, _D9 = 0x30, 0x39
 _STR_SPECIAL = re.compile(rb"[()\\]")
 _NUMBER_RE = re.compile(rb"[+-]?([0-9]*)(?:\.([0-9]*))?")
 _NAME_RE = re.compile(rb"[^\x00\t\n\x0c\r %()<>\[\]{}/]*")
+# strict 18-20 byte classic xref row; anything else falls back to the
+# tolerant token parser
+_XREF_ROW = re.compile(rb"([0-9]{10}) ([0-9]{5}) ([nf])(?: ?\r?\n| \r| )")
 _HEX_STRIP = bytes(b for b in (32, 10, 13, 9, 12, 0, PCT))
 _ESCAPE_MAP = {
     ord("n"): 0xA,
@@ -403,7 +406,33 @@ class PdfLexer:
             last_pos = self.i
             start_num = self._parse_number(None).ivalue
             count = self._parse_number(None).ivalue
-            for k in range(count):
+            self.skip_ws()
+            k0 = 0
+            # bulk fast path over strict-format rows (same results; the
+            # tolerant token parser handles any remainder)
+            while k0 < count:
+                m = _XREF_ROW.match(d, self.i)
+                if m is None:
+                    break
+                obj_num = start_num + k0
+                status = m.group(3)
+                if status == b"n":
+                    self.xref.add_address(
+                        (obj_num, int(m.group(2))), int(m.group(1))
+                    )
+                else:
+                    generation = int(m.group(2))
+                    if obj_num == 0:
+                        if generation < 65535:
+                            raise self.error(
+                                f"Xref table: entry 0000000000 should have the value "
+                                f"65535 but has '{generation}' instead."
+                            )
+                    else:
+                        self.xref.free((obj_num, generation))
+                self.i = m.end()
+                k0 += 1
+            for k in range(k0, count):
                 obj_num = start_num + k
                 address = self._parse_number(None).ivalue
                 generation = self._parse_number(None).ivalue
