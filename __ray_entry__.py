@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_supplier_nation": R.q_supplier_nation,
         "q_events_rollup": R.q_events_rollup,
         "q_events_json": R.q_events_json,
+        "q_semi_join_big_customers": R.q_semi_join_big_customers,
         "q_events_window": R.q_events_window,
         "q_top_order_per_customer": R.q_top_order_per_customer,
         "q_distinct_flags": R.q_distinct_flags,
@@ -271,6 +272,12 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY event_type, k_bucket "
             "ORDER BY event_type, k_bucket"
+        ),
+        "q_semi_join_big_customers": (
+            "SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal "
+            "FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000) "
+            "ORDER BY c_custkey"
         ),
         "q_events_window": (
             "SELECT event_type, epoch_us(ts) // 3600000000 AS window_hour, "

@@ -333,6 +333,40 @@ def q_events_json(sf_dir: str):
     )
 
 
+def q_semi_join_big_customers(sf_dir: str):
+    """Semi-join via broadcast key set: customers with any order above 400k.
+
+    The qualifying key set is reduced first (small side), broadcast with
+    ray.put, and applied as a vectorized membership filter — no shuffle of
+    the filtered side (the guide's semi/anti-join pattern)."""
+    import numpy as np
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big_keys(t: pa.Table) -> pa.Table:
+        mask = pc.greater(t.column("o_totalprice"), pa.scalar(400_000.0))
+        return pa.table({"o_custkey": t.filter(mask).column("o_custkey")})
+
+    keys = set(
+        orders.map_batches(big_keys, batch_format="pyarrow")
+        .to_pandas()["o_custkey"]
+    )
+    keys_ref = ray.put(keys)
+
+    def member(t: pa.Table) -> pa.Table:
+        lookup = ray.get(keys_ref)
+        mask = pa.array([k in lookup for k in t.column("c_custkey").to_pylist()])
+        return t.filter(mask)
+
+    out = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+        .map_batches(member, batch_format="pyarrow")
+    )
+    df = out.to_pandas()
+    return _round_cols(df, {"c_acctbal": 2}).sort_values("c_custkey").reset_index(drop=True)
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour event-time windows per event type (custom windowed
     aggregate: Ray Data has no native windows — expressed as a projection to
