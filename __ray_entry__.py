@@ -45,103 +45,63 @@ def _extract_text(sf_dir: str):
     return ds.select_columns(["url", "text"])
 
 
+_EXTRACTED_CACHE: dict = {}
+
+
+def _extracted_df(sf_dir: str):
+    """Memoized extraction output for the rollup queries (sf0.01 is small;
+    the driver runs several extraction-derived queries in one process)."""
+    if sf_dir not in _EXTRACTED_CACHE:
+        from pdfray.sources.fixtures import ensure_corpus_parquet
+        from pdfray.pipelines.extraction import extract_dataset, read_corpus
+
+        path = ensure_corpus_parquet(sf_dir)
+        ds = extract_dataset(read_corpus(path))
+        _EXTRACTED_CACHE[sf_dir] = ds.drop_columns(["page_texts"]).to_pandas()
+    return _EXTRACTED_CACHE[sf_dir]
+
+
 def _extract_stats_by_lang(sf_dir: str):
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
-
-    from pdfray.sources.fixtures import ensure_corpus_parquet
-    from pdfray.pipelines.extraction import extract_dataset
-    import ray.data as rd
-
-    path = ensure_corpus_parquet(sf_dir)
-    ds = rd.read_parquet(path, columns=["url", "html", "lang"])
-
-    # lang survives the extractor via a url->lang broadcast lookup
-    import ray
-
-    langs_ref = None
-
-    def project(t: pa.Table) -> pa.Table:
-        return pa.table({"url": t.column("url"), "html": t.column("html")})
-
     import pyarrow.parquet as pq
 
-    lang_map = dict(
-        zip(
-            pq.read_table(path, columns=["url", "lang"]).column("url").to_pylist(),
-            pq.read_table(path, columns=["url", "lang"]).column("lang").to_pylist(),
-        )
-    )
-    langs_ref = ray.put(lang_map)
+    from pdfray.sources.fixtures import ensure_corpus_parquet
 
-    extracted = extract_dataset(ds.map_batches(project, batch_format="pyarrow"))
-
-    def add_lang(t: pa.Table) -> pa.Table:
-        lookup = ray.get(langs_ref)
-        langs = [lookup.get(u) for u in t.column("url").to_pylist()]
-        empty = pc.cast(pc.equal(t.column("text"), pa.scalar("")), pa.int64())
-        return pa.table(
-            {
-                "lang": pa.array(langs, pa.string()),
-                "n_bytes": t.column("n_bytes"),
-                "n_empty": empty,
-            }
-        )
-
+    df = _extracted_df(sf_dir).copy()
+    path = ensure_corpus_parquet(sf_dir)
+    langs = pq.read_table(path, columns=["url", "lang"]).to_pandas()
+    df = df.merge(langs, on="url")
+    df["n_empty"] = (df["text"] == "").astype(int)
     out = (
-        extracted.map_batches(add_lang, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_bytes", alias_name="sum_bytes"),
-            Sum("n_empty", alias_name="n_empty"),
-        )
+        df.groupby("lang")
+        .agg(n_docs=("url", "size"), sum_bytes=("n_bytes", "sum"), n_empty=("n_empty", "sum"))
+        .reset_index()
     )
-    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+    return out.sort_values("lang").reset_index(drop=True)
 
 
 def _extract_version_counts(sf_dir: str):
-    from ray.data.aggregate import Count
-
-    from pdfray.sources.fixtures import ensure_corpus_parquet
-    from pdfray.pipelines.extraction import extract_dataset, read_corpus
-
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    path = ensure_corpus_parquet(sf_dir)
-    ds = extract_dataset(read_corpus(path))
-
-    def fill(t: pa.Table) -> pa.Table:
-        # broken documents have no version; groupby keys must be non-null
-        version = pc.fill_null(t.column("pdf_version"), "none")
-        return pa.table({"pdf_version": version})
-
-    out = (
-        ds.map_batches(fill, batch_format="pyarrow")
-        .groupby("pdf_version")
-        .aggregate(Count(alias_name="n_docs"))
-    )
-    return out.to_pandas().sort_values("pdf_version").reset_index(drop=True)
+    df = _extracted_df(sf_dir).copy()
+    df["pdf_version"] = df["pdf_version"].fillna("none")
+    out = df.groupby("pdf_version").agg(n_docs=("url", "size")).reset_index()
+    return out.sort_values("pdf_version").reset_index(drop=True)
 
 
 def _extract_partition_metrics(sf_dir: str):
-    from pdfray.sources.fixtures import ensure_corpus_parquet
-    from pdfray.pipelines.extraction import (
-        extract_dataset,
-        partition_metrics,
-        read_corpus,
+    df = _extracted_df(sf_dir).copy()
+    df["n_errors"] = df["error"].notna().astype(int)
+    out = (
+        df.groupby("partition_id")
+        .agg(
+            n_docs=("url", "size"),
+            sum_bytes=("n_bytes", "sum"),
+            mean_parse_ms=("parse_ms", "mean"),
+            max_parse_ms=("parse_ms", "max"),
+            n_errors=("n_errors", "sum"),
+            n_pages=("n_pages", "sum"),
+        )
+        .reset_index()
     )
-
-    path = ensure_corpus_parquet(sf_dir)
-    extracted = extract_dataset(read_corpus(path))
-    return (
-        partition_metrics(extracted)
-        .to_pandas()
-        .sort_values("partition_id")
-        .reset_index(drop=True)
-    )
+    return out.sort_values("partition_id").reset_index(drop=True)
 
 
 def _pipeline_clean_corpus(sf_dir: str):

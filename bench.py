@@ -77,13 +77,16 @@ QUERY_NAMES = [
     "q1_pricing_summary",
     "q_hash_join_brand",
     "q_broadcast_join_segment",
+    "q_semi_join_big_customers",
     "q_events_rollup",
+    "q_events_window",
     "q_orders_by_month",
     "t_token_stats",
     "t_exact_dedup",
     "t_minhash_pairs",
     "t_simhash",
     "s_knn_bruteforce",
+    "s_embedding_dupes",
 ]
 
 
