@@ -243,14 +243,23 @@ def t_minhash_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
     pairs = pairs.drop_duplicates().reset_index(drop=True)
 
+    # fetch ONLY the candidate documents' texts (broadcast the needed-id set;
+    # the full table never reaches the driver)
     needed = set(pairs["doc_a"]) | set(pairs["doc_b"])
-    texts_df = ds.to_pandas()
-    texts = {
-        d: t for d, t in zip(texts_df["doc_id"], texts_df["text"]) if d in needed
+    needed_ref = ray.put(needed)
+
+    def keep_needed(t: pa.Table) -> pa.Table:
+        wanted = ray.get(needed_ref)
+        mask = pa.array([d in wanted for d in t.column("doc_id").to_pylist()])
+        return t.filter(mask)
+
+    texts_df = ds.map_batches(keep_needed, batch_format="pyarrow").to_pandas()
+    shingle_cache = {
+        d: _shingles(t) for d, t in zip(texts_df["doc_id"], texts_df["text"])
     }
     out = {"doc_a": [], "doc_b": [], "jaccard": []}
     for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        sa, sb = _shingles(texts[a]), _shingles(texts[b])
+        sa, sb = shingle_cache[a], shingle_cache[b]
         union = len(sa | sb)
         j = (len(sa & sb) / union) if union else 0.0
         if j >= jaccard_threshold:
@@ -295,28 +304,49 @@ def t_simhash(sf_dir: str):
 
 
 def t_ngram_jaccard_dupes(sf_dir: str, threshold: float = 0.5):
-    """Character-n-gram Jaccard near-dup pairs within simhash-prefix buckets
-    (bucketing bounds the O(n^2) verify to same-prefix groups)."""
-    sim = t_simhash(sf_dir)
-    texts = _read_documents(sf_dir).to_pandas()
-    merged = sim.merge(texts, on="doc_id")
-    merged["bucket"] = merged["simhash"].str[:2]
+    """Character-n-gram Jaccard near-dup pairs within simhash-prefix buckets.
+
+    Bucketing bounds the O(n^2) verify to same-prefix groups, and the
+    per-bucket pair scan runs distributed in groupby().map_groups — only the
+    surviving pairs reach the driver."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        hasher = SimHasher()
+        hashes = [format(hasher.simhash(s), "016x") for s in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": t.column("text"),
+                "bucket": pa.array([h[:2] for h in hashes]),
+            }
+        )
 
     def char_ngrams(s: str, n: int = 4):
         s = " ".join(s.split()).lower()
         return {s[i : i + n] for i in range(max(1, len(s) - n + 1))}
 
-    out = {"doc_a": [], "doc_b": [], "jaccard": []}
-    for _, g in merged.groupby("bucket"):
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         rows = list(zip(g["doc_id"], g["text"]))
+        grams = [char_ngrams(t) for _, t in rows]
+        out = {"doc_a": [], "doc_b": [], "jaccard": []}
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
-                ga, gb = char_ngrams(rows[i][1]), char_ngrams(rows[j][1])
-                union = len(ga | gb)
-                jac = len(ga & gb) / union if union else 0.0
+                union = len(grams[i] | grams[j])
+                jac = len(grams[i] & grams[j]) / union if union else 0.0
                 if jac >= threshold:
                     a, b = sorted((rows[i][0], rows[j][0]))
                     out["doc_a"].append(a)
                     out["doc_b"].append(b)
                     out["jaccard"].append(round(jac, 4))
-    return pd.DataFrame(out).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        return pd.DataFrame(out)
+
+    pairs = (
+        _read_documents(sf_dir)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
