@@ -213,6 +213,14 @@ def run_extraction(
     return stats
 
 
+def write_partitioned(extracted, out_dir: str) -> str:
+    """Hive-partitioned sink: one directory per partition_id
+    (``write_parquet(partition_cols=...)``) — the resumable layout when the
+    writer itself is the checkpoint boundary."""
+    extracted.write_parquet(out_dir, partition_cols=["partition_id"])
+    return out_dir
+
+
 def output_files(out_dir: str, chunks: int) -> list:
     """Parquet files across the chunk directories of a finished run."""
     files = []

@@ -70,6 +70,22 @@ def test_run_extraction_resume_and_metrics(ray_session, corpus_path, tmp_path):
     assert (metrics["sum_bytes"] > 0).all()
 
 
+def test_write_partitioned_layout(ray_session, corpus_path, tmp_path):
+    import ray.data as rd
+
+    from pdfray.pipelines.extraction import extract_dataset, read_corpus, write_partitioned
+
+    out_dir = str(tmp_path / "hive")
+    extracted = extract_dataset(
+        read_corpus(corpus_path), concurrency=2, num_partitions=8
+    )
+    write_partitioned(extracted, out_dir)
+    parts = sorted(p for p in os.listdir(out_dir) if p.startswith("partition_id="))
+    assert len(parts) >= 2  # hive directories per partition key
+    back = rd.read_parquet(out_dir)
+    assert back.count() == pq.read_metadata(corpus_path).num_rows
+
+
 def test_read_pdf_files_source(ray_session, tmp_path):
     import random
 
