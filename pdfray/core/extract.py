@@ -128,6 +128,37 @@ class ExtractResult:
         return "\n".join(parts) if parts else None
 
 
+def render_page_report(page: PageResult, newline: str = "\n") -> str:
+    """Browser-style page text assembly (MainWindow.xaml.cs:659-698):
+    contents separated by an 80-dash rule, exceptions/errors framed by
+    80-plus rules, page exception appended last; the no-content message when
+    nothing rendered."""
+    dash = "-" * 80
+    plus = "+" * 80
+    parts: list = []
+    has_content = False
+    for idx, content in enumerate(page.contents):
+        if idx > 0:
+            parts.append(dash + newline)
+        if content.text:
+            has_content = True
+            parts.append(content.text + newline)
+        for problem in (content.exception, content.error):
+            if problem is not None:
+                has_content = True
+                parts.append(plus + newline)
+                parts.append(problem + newline)
+                parts.append(plus + newline)
+    if page.exception is not None:
+        has_content = True
+        parts.append(plus + newline)
+        parts.append(page.exception + newline)
+        parts.append(plus + newline)
+    if not has_content:
+        return "This pdf page has no text conten. Is it just a scan ?"
+    return "".join(parts)
+
+
 def extract_document(
     data: bytes,
     password: str = "",
