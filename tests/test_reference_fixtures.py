@@ -43,6 +43,30 @@ def test_broken_startxref_fixtures_fail_like_reference(name):
     assert result.text == ""
 
 
+def test_file_sample_through_ray_pipeline(ray_session, tmp_path):
+    """The real-world sample through the full Dataset pipeline (read ->
+    skew-routed extraction), including a tiny threshold that forces it
+    through the huge-document pool."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfray.pipelines.extraction import extract_dataset, read_corpus
+
+    data = open(os.path.join(REF, "file-sample_150kB.pdf"), "rb").read()
+    table = pa.table({"url": ["ref/file-sample"], "html": [data]})
+    path = str(tmp_path / "corpus.parquet")
+    pq.write_table(table, path)
+    out = extract_dataset(
+        read_corpus(path), concurrency=2, huge_concurrency=1, huge_threshold=10_000
+    ).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n_pages"] == 4
+    assert hashlib.md5(row["text"].encode("utf-8")).hexdigest() == (
+        "a79c2d2ed3964fb00fd81d706a950d6f"
+    )
+
+
 def test_file_sample_150kb_extracts():
     data = open(os.path.join(REF, "file-sample_150kB.pdf"), "rb").read()
     assert len(data) == 142786
