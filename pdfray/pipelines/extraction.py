@@ -107,36 +107,79 @@ def extract_dataset(
 def partition_metrics(extracted):
     """Per-partition lineage/metrics rollup — the pipeline's only shuffle.
 
-    Rows entering the groupby are already one-per-document with tiny columns;
-    at 10^12 docs pre-aggregation per batch would go here (combine inside
-    map_batches then groupby partials).
+    Combiner pattern: each batch is pre-aggregated to one row per
+    partition_id (arrow group_by inside map_batches), so the groupby
+    shuffles at most |partitions| rows per block instead of one per
+    document — the difference between a metadata exchange and an
+    all-to-all of 10^12 rows.
     """
-    from ray.data.aggregate import Count, Max, Mean, Sum
+    from ray.data.aggregate import Max, Sum
 
-    def project(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         has_error = pc.cast(pc.is_valid(t.column("error")), pa.int64())
-        return pa.table(
+        tt = pa.table(
             {
                 "partition_id": t.column("partition_id"),
-                "n_bytes": t.column("n_bytes"),
-                "parse_ms": t.column("parse_ms"),
+                "n_docs": pa.array([1] * len(t), pa.int64()),
+                "sum_bytes": t.column("n_bytes"),
+                "sum_parse_ms": t.column("parse_ms"),
+                "max_parse_ms": t.column("parse_ms"),
                 "n_errors": has_error,
                 "n_pages": pc.cast(t.column("n_pages"), pa.int64()),
             }
         )
+        g = tt.group_by("partition_id").aggregate(
+            [
+                ("n_docs", "sum"),
+                ("sum_bytes", "sum"),
+                ("sum_parse_ms", "sum"),
+                ("max_parse_ms", "max"),
+                ("n_errors", "sum"),
+                ("n_pages", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "partition_id",
+                "n_docs",
+                "sum_bytes",
+                "sum_parse_ms",
+                "max_parse_ms",
+                "n_errors",
+                "n_pages",
+            ]
+        )
 
-    return (
-        extracted.map_batches(project, batch_format="pyarrow")
+    combined = (
+        extracted.map_batches(partial, batch_format="pyarrow")
         .groupby("partition_id")
         .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_bytes", alias_name="sum_bytes"),
-            Mean("parse_ms", alias_name="mean_parse_ms"),
-            Max("parse_ms", alias_name="max_parse_ms"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_bytes", alias_name="sum_bytes"),
+            Sum("sum_parse_ms", alias_name="sum_parse_ms"),
+            Max("max_parse_ms", alias_name="max_parse_ms"),
             Sum("n_errors", alias_name="n_errors"),
             Sum("n_pages", alias_name="n_pages"),
         )
     )
+
+    def finish(t: pa.Table) -> pa.Table:
+        mean = pc.divide(
+            t.column("sum_parse_ms"), pc.cast(t.column("n_docs"), pa.float64())
+        )
+        return pa.table(
+            {
+                "partition_id": t.column("partition_id"),
+                "n_docs": t.column("n_docs"),
+                "sum_bytes": t.column("sum_bytes"),
+                "mean_parse_ms": mean,
+                "max_parse_ms": t.column("max_parse_ms"),
+                "n_errors": t.column("n_errors"),
+                "n_pages": t.column("n_pages"),
+            }
+        )
+
+    return combined.map_batches(finish, batch_format="pyarrow")
 
 
 def run_extraction(

@@ -50,39 +50,67 @@ def q1_pricing_summary(sf_dir: str):
         ],
     )
 
-    def project(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        # combiner: reduce the batch to one row per (flag, status) BEFORE the
+        # shuffle — the groupby then exchanges a handful of partial rows per
+        # block instead of every lineitem
         disc = pc.multiply(
             t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
         )
         charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t.column("l_tax")))
-        return pa.table(
+        tt = pa.table(
             {
                 "l_returnflag": t.column("l_returnflag"),
                 "l_linestatus": t.column("l_linestatus"),
-                "l_quantity": t.column("l_quantity"),
-                "l_extendedprice": t.column("l_extendedprice"),
-                "l_discount": t.column("l_discount"),
-                "disc_price": disc,
-                "charge": charge,
+                "sum_qty": t.column("l_quantity"),
+                "sum_base_price": t.column("l_extendedprice"),
+                "sum_disc_price": disc,
+                "sum_charge": charge,
+                "sum_disc": t.column("l_discount"),
+                "count_order": pa.array([1] * len(t), pa.int64()),
             }
         )
+        g = tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("sum_qty", "sum"),
+                ("sum_base_price", "sum"),
+                ("sum_disc_price", "sum"),
+                ("sum_charge", "sum"),
+                ("sum_disc", "sum"),
+                ("count_order", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_price",
+                "sum_disc_price",
+                "sum_charge",
+                "sum_disc",
+                "count_order",
+            ]
+        )
 
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(project, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Sum("charge", alias_name="sum_charge"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_charge", alias_name="sum_charge"),
+            Sum("sum_disc", alias_name="sum_disc"),
+            Sum("count_order", alias_name="count_order"),
         )
     )
     df = out.to_pandas()
+    df["avg_qty"] = df["sum_qty"] / df["count_order"]
+    df["avg_disc"] = df["sum_disc"] / df["count_order"]
+    df = df.drop(columns=["sum_disc"])
     return _round_cols(
         df,
         {
@@ -186,16 +214,19 @@ def q_nation_region(sf_dir: str):
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     lookup_ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
 
-    def join_region(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup.get(k) for k in t.column("n_regionkey").to_pylist()]
-        return pa.table({"r_name": pa.array(names, pa.string())})
+    class JoinRegion:  # actor pool: broadcast fetched ONCE per actor
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.lookup.get(k) for k in t.column("n_regionkey").to_pylist()]
+            return pa.table({"r_name": pa.array(names, pa.string())})
 
     from ray.data.aggregate import Count
 
     out = (
         _read(sf_dir, "nation", ["n_regionkey"])
-        .map_batches(join_region, batch_format="pyarrow")
+        .map_batches(JoinRegion, batch_format="pyarrow", concurrency=(1, 2))
         .groupby("r_name")
         .aggregate(Count(alias_name="n_nations"))
     )
@@ -281,18 +312,21 @@ def q_supplier_nation(sf_dir: str):
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
-    def join_nation(t: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup.get(k) for k in t.column("s_nationkey").to_pylist()]
-        return pa.table(
-            {"n_name": pa.array(names, pa.string()), "s_acctbal": t.column("s_acctbal")}
-        )
+    class JoinNation:  # actor pool: broadcast fetched ONCE per actor
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.lookup.get(k) for k in t.column("s_nationkey").to_pylist()]
+            return pa.table(
+                {"n_name": pa.array(names, pa.string()), "s_acctbal": t.column("s_acctbal")}
+            )
 
     from ray.data.aggregate import Count, Sum
 
     out = (
         _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
-        .map_batches(join_nation, batch_format="pyarrow")
+        .map_batches(JoinNation, batch_format="pyarrow", concurrency=(1, 2))
         .groupby("n_name")
         .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal"))
     )
@@ -354,14 +388,17 @@ def q_semi_join_big_customers(sf_dir: str):
     )
     keys_ref = ray.put(keys)
 
-    def member(t: pa.Table) -> pa.Table:
-        lookup = ray.get(keys_ref)
-        mask = pa.array([k in lookup for k in t.column("c_custkey").to_pylist()])
-        return t.filter(mask)
+    class Member:  # actor pool: key set fetched ONCE per actor
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([k in self.keys for k in t.column("c_custkey").to_pylist()])
+            return t.filter(mask)
 
     out = (
         _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
-        .map_batches(member, batch_format="pyarrow")
+        .map_batches(Member, batch_format="pyarrow", concurrency=(1, 2))
     )
     df = out.to_pandas()
     return _round_cols(df, {"c_acctbal": 2}).sort_values("c_custkey").reset_index(drop=True)

@@ -248,12 +248,17 @@ def t_minhash_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
     needed = set(pairs["doc_a"]) | set(pairs["doc_b"])
     needed_ref = ray.put(needed)
 
-    def keep_needed(t: pa.Table) -> pa.Table:
-        wanted = ray.get(needed_ref)
-        mask = pa.array([d in wanted for d in t.column("doc_id").to_pylist()])
-        return t.filter(mask)
+    class KeepNeeded:  # actor pool: id set fetched ONCE per actor
+        def __init__(self):
+            self.wanted = ray.get(needed_ref)
 
-    texts_df = ds.map_batches(keep_needed, batch_format="pyarrow").to_pandas()
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([d in self.wanted for d in t.column("doc_id").to_pylist()])
+            return t.filter(mask)
+
+    texts_df = ds.map_batches(
+        KeepNeeded, batch_format="pyarrow", concurrency=(1, 2)
+    ).to_pandas()
     shingle_cache = {
         d: _shingles(t) for d, t in zip(texts_df["doc_id"], texts_df["text"])
     }
