@@ -993,8 +993,17 @@ class PdfLexer:
     def _get_stream_start(self, dict_token: DictionaryToken) -> Tuple[Optional[int], Optional[int]]:
         d = self.data
         start_index = self.i
-        self.skip_ws()
-        if not self.verify("stream"):
+        try:
+            self.skip_ws()
+            has_stream = self.verify("stream")
+        except IndexError:
+            # dictionary followed only by trailing whitespace at buffer end —
+            # common for the last object in a pdfTeX object stream.  The
+            # reference indexes past the end here (its parse of such files
+            # fails wholesale); treat as no-stream instead.
+            self.i = start_index
+            return None, None
+        if not has_stream:
             self.i = start_index
             return None, None
         # last char before stream content should be lf; tolerate bare cr

@@ -43,6 +43,28 @@ def test_broken_startxref_fixtures_fail_like_reference(name):
     assert result.text == ""
 
 
+@pytest.mark.parametrize(
+    "path,pages,min_chars",
+    [
+        ("/usr/share/doc/libtasn1-doc/libtasn1.pdf", 36, 60_000),
+        ("/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf", 17, 25_000),
+    ],
+)
+def test_system_pdftex_documents_extract(path, pages, min_chars):
+    """Real pdfTeX/docbook PDFs from the OS image: PDF 1.5 xref streams,
+    object streams ending in a trailing-whitespace dict (the probe-tolerance
+    path), embedded Type1 fonts with ToUnicode CMaps and fi ligatures."""
+    if not os.path.exists(path):
+        pytest.skip("system doc PDFs not present")
+    data = open(path, "rb").read()
+    result = extract_document(data, working_buffer_size=50_000_000)
+    assert result.error is None
+    assert result.error_summary() is None
+    assert result.n_pages == pages
+    assert len(result.text) >= min_chars
+    assert "ﬁ" in result.text  # fi ligature CIDs mapped through ToUnicode
+
+
 def test_file_sample_through_ray_pipeline(ray_session, tmp_path):
     """The real-world sample through the full Dataset pipeline (read ->
     skew-routed extraction), including a tiny threshold that forces it
