@@ -44,13 +44,13 @@ def test_broken_startxref_fixtures_fail_like_reference(name):
 
 
 @pytest.mark.parametrize(
-    "path,pages,min_chars",
+    "path,pages,min_chars,has_fi",
     [
-        ("/usr/share/doc/libtasn1-doc/libtasn1.pdf", 36, 60_000),
-        ("/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf", 17, 25_000),
+        ("/usr/share/doc/libtasn1-doc/libtasn1.pdf", 36, 60_000, False),
+        ("/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf", 17, 25_000, True),
     ],
 )
-def test_system_pdftex_documents_extract(path, pages, min_chars):
+def test_system_pdftex_documents_extract(path, pages, min_chars, has_fi):
     """Real pdfTeX/docbook PDFs from the OS image: PDF 1.5 xref streams,
     object streams ending in a trailing-whitespace dict (the probe-tolerance
     path), embedded Type1 fonts with ToUnicode CMaps and fi ligatures."""
@@ -62,7 +62,8 @@ def test_system_pdftex_documents_extract(path, pages, min_chars):
     assert result.error_summary() is None
     assert result.n_pages == pages
     assert len(result.text) >= min_chars
-    assert "ﬁ" in result.text  # fi ligature CIDs mapped through ToUnicode
+    if has_fi:
+        assert "ﬁ" in result.text  # fi ligature CIDs mapped through ToUnicode
 
 
 def test_file_sample_through_ray_pipeline(ray_session, tmp_path):
