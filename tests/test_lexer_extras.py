@@ -114,3 +114,45 @@ def test_extractor_per_row_password():
     errors = out.column("error").to_pylist()
     assert texts[0] == golden and errors[0] is None
     assert texts[1] == "" and errors[1] is not None
+
+
+def test_identity_encoding_passthrough():
+    """/Encoding /Identity-H sets the identity flag and leaves bytes unmapped
+    (PdfFont.cs:100-105): for a non-Type1 font chars pass through raw."""
+    b = PdfBuilder()
+    fid = b.add("<</Type/Font/Subtype/Type0/BaseFont/Foo/Encoding/Identity-H>>")
+    content = b"BT /F1 12 Tf (Ab\xe4) Tj ET"
+    cid = b.add_stream(content)
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    r = extract_document(b.finish_classic(cat))
+    page = r.pages[0]
+    font = page.fonts["F1"]
+    assert font.is_identity and font.encoding8 is None
+    assert page.contents[0].text == "Ab\xe4|"  # raw latin-1 passthrough
+
+
+def test_type1_identity_keeps_standard_table():
+    """Type1 + Identity: the identity flag is set but the Standard table from
+    the Type1 branch still applies (reference quirk: the flag does not clear
+    Encoding8Bit, PdfFont.cs:56-58,102-104)."""
+    b = PdfBuilder()
+    fid = b.add("<</Type/Font/Subtype/Type1/BaseFont/Foo/Encoding/Identity-H>>")
+    content = b"BT /F1 12 Tf (a'b) Tj ET"  # Standard maps 0x27 to U+2019
+    cid = b.add_stream(content)
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    r = extract_document(b.finish_classic(cat))
+    font = r.pages[0].fonts["F1"]
+    assert font.is_identity and font.encoding8 is not None
+    assert r.pages[0].contents[0].text == "a’b|"
