@@ -205,6 +205,11 @@ def run_extraction(
     """
     os.makedirs(out_dir, exist_ok=True)
     done = manifest_mod.completed_partitions(out_dir) if resume else set()
+    if extractor_kwargs is None:
+        # production default: the text column already carries the document
+        # concatenation — skipping the per-page duplicate halves the bytes
+        # written per document at corpus scale
+        extractor_kwargs = {"include_page_texts": False}
     ran = []
     for chunk in range(chunks):
         if chunk in done:

@@ -156,3 +156,22 @@ def test_type1_identity_keeps_standard_table():
     font = r.pages[0].fonts["F1"]
     assert font.is_identity and font.encoding8 is not None
     assert r.pages[0].contents[0].text == "a’b|"
+
+
+def test_multi_megabyte_document():
+    """A genuinely large document (hundreds of pages, MB-scale) extracts
+    byte-identically within the default pipeline working buffer."""
+    import time
+
+    from pdfray.sources.fixtures import build_huge
+
+    rng = random.Random(99)
+    data, golden = build_huge(rng, "en", n_pages=600)
+    assert len(data) > 250_000  # flate-compressed; decompressed content is ~3x
+    t0 = time.perf_counter()
+    r = extract_document(data, working_buffer_size=10_000_000)
+    elapsed = time.perf_counter() - t0
+    assert r.error is None
+    assert r.n_pages == 600
+    assert r.text == golden
+    assert elapsed < 30  # sanity bound, typically ~2-4s
