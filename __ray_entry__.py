@@ -176,8 +176,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT url, text FROM read_parquet('{fixture}')"
         ),
         "extract_stats_by_lang": (
-            f"SELECT lang, COUNT(*) AS n_docs, SUM(OCTET_LENGTH(html)) AS sum_bytes, "
-            f"SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS n_empty "
+            # CAST the SUMs: DuckDB SUM(BIGINT) yields HUGEINT->float64 in
+            # pandas while the engine emits int64 — same values, flipped hash
+            f"SELECT lang, COUNT(*) AS n_docs, "
+            f"CAST(SUM(OCTET_LENGTH(html)) AS BIGINT) AS sum_bytes, "
+            f"CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty "
             f"FROM read_parquet('{fixture}') GROUP BY lang ORDER BY lang"
         ),
         "q1_pricing_summary": (

@@ -49,6 +49,10 @@ def compare(name, mine, oracle) -> str:
     for col in mine.columns:
         a, b = mine[col], oracle[col]
         try:
+            # the driver value-hash flips on dtype class (int64 vs float64)
+            # even when values agree — mirror that strictness here
+            if pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b):
+                return f"DTYPE MISMATCH col {col}: {a.dtype} vs {b.dtype}"
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                 import numpy as np
 
