@@ -105,14 +105,21 @@ class PdfFont:
                             char_index = diff.ivalue
                         elif isinstance(diff, NameToken):
                             char_name = diff.value
+                            # out-of-range indices skip the entry but still
+                            # advance, matching the reference's catch-and-
+                            # continue on Encoding8Bit[charIndex++]
+                            # (PdfFont.cs:80-90); Python negative indexing
+                            # must not silently write near the table end
+                            in_range = 0 <= char_index < 256
                             if char_name[:3].lower() == "uni":
                                 # uniXXXX hex parse; failure aborts the font build
                                 ch = chr(int(char_name[3:], 16))
-                                self.encoding8[char_index] = ch
+                                if in_range:
+                                    self.encoding8[char_index] = ch
                                 char_index += 1
                             else:
                                 ch = GLYPH_CHARS.get(char_name)
-                                if ch is not None:
+                                if ch is not None and in_range:
                                     self.encoding8[char_index] = ch
                                 char_index += 1  # unknown names skip but advance
             elif isinstance(encoding_token, NameToken):

@@ -1826,14 +1826,15 @@ class PdfLexer:
     def show_stream_content(self) -> str:
         return "".join(self._disp(b) for b in self.stream)
 
-    def show_buffer_content(self) -> str:
-        """Whole-file display text, skipping stream bodies (Tokeniser.cs:1265-1316).
+    def buffer_content_bytes(self) -> bytes:
+        """Raw stream-elided file bytes (the scan of Tokeniser.cs:1265-1316
+        WITHOUT the display mapping) — feed these to TextStore.append so the
+        PDF_DOC table is applied exactly once, like the reference viewer.
 
         After a 'stream' keyword + EOL the body is elided as '...endstream';
-        scanning resumes at the next line that starts with 'endstream'
-        (the browser's raw-bytes view semantics).
+        scanning resumes at the next line that starts with 'endstream'.
         """
-        out = []
+        out = bytearray()
         d = self.data
         i = 0
         n = len(d)
@@ -1841,12 +1842,12 @@ class PdfLexer:
             # find the next 'stream' keyword followed by CR/LF
             idx = bytes(d).find(b"stream", i)
             if idx < 0:
-                out.extend(self._disp(b) for b in d[i:n])
+                out += d[i:n]
                 break
             seg_end = idx + 6
             if seg_end < n and (d[seg_end] == CR or d[seg_end] == LF):
-                out.extend(self._disp(b) for b in d[i:seg_end])
-                out.append("...endstream")
+                out += d[i:seg_end]
+                out += b"...endstream"
                 # skip until a line starting with 'endstream'
                 j = seg_end
                 while True:
@@ -1858,9 +1859,14 @@ class PdfLexer:
                         break
                     j += 1
             else:
-                out.extend(self._disp(b) for b in d[i:seg_end])
+                out += d[i:seg_end]
                 i = seg_end
-        return "".join(out)
+        return bytes(out)
+
+    def show_buffer_content(self) -> str:
+        """Whole-file display text, skipping stream bodies (Tokeniser.cs:1265-1316):
+        the elided raw bytes mapped through the display table."""
+        return "".join(self._disp(b) for b in self.buffer_content_bytes())
 
     def show_stream_at(self) -> str:
         s = self.stream

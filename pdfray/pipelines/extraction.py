@@ -28,9 +28,9 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import os
-import zlib
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -41,11 +41,22 @@ DEFAULT_NUM_PARTITIONS = 64
 DEFAULT_HUGE_THRESHOLD = 1 << 20  # 1 MiB: documents above go to the huge pool
 
 
+def url_partition_ids(urls, num_partitions: int) -> np.ndarray:
+    """Deterministic partition id per url — vectorized (pandas siphash in C,
+    fixed hash key), not a per-row Python loop; shared by the ingest stage,
+    the fixture generator's golden column, and the resume manifest."""
+    import pandas as pd
+
+    if isinstance(urls, (pa.ChunkedArray, pa.Array)):
+        urls = urls.to_numpy(zero_copy_only=False)
+    else:
+        urls = np.asarray(urls, dtype=object)
+    h = pd.util.hash_array(urls.astype(object), categorize=False)
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
 def _url_partition_ids(urls: pa.ChunkedArray, num_partitions: int) -> pa.Array:
-    ids = [
-        zlib.crc32(u.encode("utf-8")) % num_partitions for u in urls.to_pylist()
-    ]
-    return pa.array(ids, pa.int32())
+    return pa.array(url_partition_ids(urls, num_partitions), pa.int32())
 
 
 def add_ingest_meta(num_partitions: int = DEFAULT_NUM_PARTITIONS):

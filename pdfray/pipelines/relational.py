@@ -160,17 +160,20 @@ def q_broadcast_join_segment(sf_dir: str):
     import ray
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    lookup_ref = ray.put((cust["c_custkey"].to_numpy(), cust["c_mktsegment"].tolist()))
 
     class JoinSegment:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            # vectorized lookup: key array for index_in + value array for take
+            keys, values = ray.get(lookup_ref)
+            self.keys = pa.array(keys)
+            self.values = pa.array(values, pa.string())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            segs = [self.lookup.get(k) for k in t.column("o_custkey").to_pylist()]
+            idx = pc.index_in(t.column("o_custkey"), value_set=self.keys)
             return pa.table(
                 {
-                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "c_mktsegment": pc.take(self.values, idx),
                     "o_totalprice": t.column("o_totalprice"),
                 }
             )
@@ -212,15 +215,17 @@ def q_nation_region(sf_dir: str):
     import ray
 
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+    lookup_ref = ray.put((region["r_regionkey"].to_numpy(), region["r_name"].tolist()))
 
     class JoinRegion:  # actor pool: broadcast fetched ONCE per actor
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            keys, values = ray.get(lookup_ref)
+            self.keys = pa.array(keys)
+            self.values = pa.array(values, pa.string())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.lookup.get(k) for k in t.column("n_regionkey").to_pylist()]
-            return pa.table({"r_name": pa.array(names, pa.string())})
+            idx = pc.index_in(t.column("n_regionkey"), value_set=self.keys)
+            return pa.table({"r_name": pc.take(self.values, idx)})
 
     from ray.data.aggregate import Count
 
@@ -234,41 +239,56 @@ def q_nation_region(sf_dir: str):
 
 
 def q_events_rollup(sf_dir: str):
-    """events by type: count, rounded mean value, distinct users."""
+    """events by type: count, rounded mean value, distinct users.
+
+    Distinct-count is a two-stage groupby — local (event_type, user_id) dedup
+    per batch, global dedup by pair, then a count per type — so no task ever
+    holds a per-key user set (a skewed event_type at corpus scale would put
+    the whole user universe in one combiner's memory otherwise)."""
+    from ray.data.aggregate import Count, Sum
+
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        # pre-aggregate inside the batch before the shuffle (combiner pattern)
-        import pandas as pd
-
-        df = t.to_pandas()
-        g = df.groupby("event_type").agg(
-            n=("value", "size"), sum_value=("value", "sum")
+        # combiner: one row per event_type per batch before the shuffle
+        g = t.select(["event_type", "value"]).group_by("event_type").aggregate(
+            [("value", "sum"), ("value", "count")]
         )
-        g["users"] = df.groupby("event_type")["user_id"].agg(lambda s: list(set(s)))
-        return pa.Table.from_pandas(g.reset_index())
+        return g.rename_columns(["event_type", "sum_value", "n"])
 
-    import pandas as pd
-
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        users = set()
-        for u in g["users"]:
-            users.update(u)
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "n_events": [int(g["n"].sum())],
-                "avg_value": [round(g["sum_value"].sum() / g["n"].sum(), 4)],
-                "n_users": [len(users)],
-            }
-        )
-
-    out = (
+    stats = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("event_type")
-        .map_groups(combine, batch_format="pandas")
+        .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n", alias_name="n_events"))
+        .to_pandas()
     )
-    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        # local dedup: shuffle carries distinct (event_type, user_id) per batch
+        return t.select(["event_type", "user_id"]).group_by(
+            ["event_type", "user_id"]
+        ).aggregate([])
+
+    def count_types(t: pa.Table) -> pa.Table:
+        g = t.select(["event_type"]).append_column(
+            "one", pa.array([1] * len(t), pa.int64())
+        ).group_by("event_type").aggregate([("one", "sum")])
+        return g.rename_columns(["event_type", "n_users"])
+
+    users = (
+        ds.map_batches(local_pairs, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))  # global distinct pairs
+        .map_batches(count_types, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()
+    )
+
+    df = stats.merge(users, on="event_type")
+    df["avg_value"] = (df["sum_value"] / df["n_events"]).round(4)
+    df = df[["event_type", "n_events", "avg_value", "n_users"]]
+    return df.sort_values("event_type").reset_index(drop=True)
 
 
 def q_distinct_flags(sf_dir: str):
@@ -310,16 +330,18 @@ def q_supplier_nation(sf_dir: str):
     import ray
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    lookup_ref = ray.put((nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
 
     class JoinNation:  # actor pool: broadcast fetched ONCE per actor
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            keys, values = ray.get(lookup_ref)
+            self.keys = pa.array(keys)
+            self.values = pa.array(values, pa.string())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.lookup.get(k) for k in t.column("s_nationkey").to_pylist()]
+            idx = pc.index_in(t.column("s_nationkey"), value_set=self.keys)
             return pa.table(
-                {"n_name": pa.array(names, pa.string()), "s_acctbal": t.column("s_acctbal")}
+                {"n_name": pc.take(self.values, idx), "s_acctbal": t.column("s_acctbal")}
             )
 
     from ray.data.aggregate import Count, Sum
@@ -373,7 +395,6 @@ def q_semi_join_big_customers(sf_dir: str):
     The qualifying key set is reduced first (small side), broadcast with
     ray.put, and applied as a vectorized membership filter — no shuffle of
     the filtered side (the guide's semi/anti-join pattern)."""
-    import numpy as np
     import ray
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -382,19 +403,19 @@ def q_semi_join_big_customers(sf_dir: str):
         mask = pc.greater(t.column("o_totalprice"), pa.scalar(400_000.0))
         return pa.table({"o_custkey": t.filter(mask).column("o_custkey")})
 
-    keys = set(
+    keys = (
         orders.map_batches(big_keys, batch_format="pyarrow")
         .to_pandas()["o_custkey"]
+        .unique()
     )
     keys_ref = ray.put(keys)
 
     class Member:  # actor pool: key set fetched ONCE per actor
         def __init__(self):
-            self.keys = ray.get(keys_ref)
+            self.keys = pa.array(ray.get(keys_ref))
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([k in self.keys for k in t.column("c_custkey").to_pylist()])
-            return t.filter(mask)
+            return t.filter(pc.is_in(t.column("c_custkey"), value_set=self.keys))
 
     out = (
         _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])

@@ -54,8 +54,12 @@ def s_knn_bruteforce(sf_dir: str):
             k = min(TOP_K, len(vec_ids))
             for qi, qid in enumerate(self.qids):
                 col = sims[:, qi]
-                # local top-k inside the batch; global merge happens after
-                idx = np.argpartition(-col, k - 1)[:k]
+                # local top-k under the SAME order as the global merge and the
+                # oracle — rounded sim desc, vec_id asc — so a rounding-equal
+                # tie at the k-th cutoff can't drop the row the oracle keeps
+                # regardless of batch/block layout
+                order = np.lexsort((vec_ids, -np.round(col, 4)))
+                idx = order[:k]
                 for j in idx:
                     out["query_id"].append(int(qid))
                     out["vec_id"].append(int(vec_ids[j]))

@@ -47,9 +47,9 @@ def t_token_stats(sf_dir: str):
     """Per-document token/char counts — pure vectorized projection."""
 
     def project(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        n_tokens = pa.array([len(_WORD_RE.findall(s)) for s in texts], pa.int64())
-        n_chars = pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+        text = t.column("text")
+        n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
         return pa.table(
             {"doc_id": t.column("doc_id"), "n_tokens": n_tokens, "n_chars": n_chars}
         )
@@ -101,20 +101,18 @@ def t_quality(sf_dir: str):
     downstream; integers keep the oracle comparison rounding-free)."""
 
     def project(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        rows = {"doc_id": t.column("doc_id").to_pylist(), "n_tokens": [],
-                "n_alpha": [], "n_spaces": []}
-        for s in texts:
-            rows["n_tokens"].append(len(_WORD_RE.findall(s)))
-            rows["n_alpha"].append(sum(c.isalpha() for c in s))
-            rows["n_spaces"].append(s.count(" "))
+        # all-Arrow kernels (RE2), matching the oracle's ASCII [a-zA-Z] class
+        text = t.column("text")
         return pa.table(
             {
-                "doc_id": pa.array(rows["doc_id"], pa.int64()),
-                "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
-                "n_alpha": pa.array(rows["n_alpha"], pa.int64()),
-                "n_spaces": pa.array(rows["n_spaces"], pa.int64()),
-                "n_chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+                "n_alpha": pc.cast(
+                    pc.utf8_length(pc.replace_substring_regex(text, "[^a-zA-Z]", "")),
+                    pa.int64(),
+                ),
+                "n_spaces": pc.cast(pc.count_substring(text, " "), pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
             }
         )
 
@@ -275,29 +273,64 @@ def t_minhash_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
 
 
 class SimHasher:
-    """64-bit SimHash over token features, stateful per actor."""
+    """64-bit SimHash over token features, stateful per actor.
+
+    Vectorized: tokens are md5-hashed once each through an actor-level cache
+    (identical values to the scalar definition), unpacked to a ±1 bit matrix,
+    and accumulated per document with one np.add.reduceat over the batch's
+    token segments — no per-bit Python loop."""
+
+    _SHIFTS = np.arange(64, dtype=np.uint64)
 
     def __init__(self):
         self.word_re = _WORD_RE
+        self.cache: dict = {}
 
     @staticmethod
     def _h64(token: str) -> int:
         return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
 
+    def _hash_tokens(self, toks) -> np.ndarray:
+        cache = self.cache
+        if len(cache) > 2_000_000:  # bound actor memory on open vocabularies
+            cache.clear()
+        h = np.empty(len(toks), dtype=np.uint64)
+        h64 = self._h64
+        for i, tok in enumerate(toks):
+            v = cache.get(tok)
+            if v is None:
+                v = h64(tok)
+                cache[tok] = v
+            h[i] = v
+        return h
+
+    def simhash_many(self, texts) -> np.ndarray:
+        tok_lists = [self.word_re.findall(s.lower()) for s in texts]
+        counts = np.array([len(lst) for lst in tok_lists], dtype=np.int64)
+        result = np.zeros(len(texts), dtype=np.uint64)
+        all_toks = [tok for lst in tok_lists for tok in lst]
+        if not all_toks:
+            return result
+        h = self._hash_tokens(all_toks)
+        # (n_tokens, 64) ±1 contributions; int32 keeps reduceat overflow-safe
+        bits = ((h[:, None] >> self._SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
+        contrib = bits * 2 - 1
+        nonempty = counts > 0
+        ne_counts = counts[nonempty]
+        starts = np.concatenate(([0], np.cumsum(ne_counts)[:-1]))
+        acc = np.add.reduceat(contrib, starts, axis=0)
+        vals = ((acc > 0).astype(np.uint64) << self._SHIFTS[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        result[nonempty] = vals
+        return result
+
     def simhash(self, text: str) -> int:
-        counts = [0] * 64
-        for tok in self.word_re.findall(text.lower()):
-            h = self._h64(tok)
-            for bit in range(64):
-                counts[bit] += 1 if (h >> bit) & 1 else -1
-        v = 0
-        for bit in range(64):
-            if counts[bit] > 0:
-                v |= 1 << bit
-        return v
+        return int(self.simhash_many([text])[0])
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        hashes = [format(self.simhash(s), "016x") for s in t.column("text").to_pylist()]
+        hv = self.simhash_many(t.column("text").to_pylist())
+        hashes = [format(int(v), "016x") for v in hv]
         return pa.table({"doc_id": t.column("doc_id"), "simhash": pa.array(hashes)})
 
 

@@ -77,11 +77,13 @@ class PdfExtractor:
             schema = schema.append(pa.field(*FRAGMENTS_FIELD))
         if with_deferred:
             schema = schema.append(pa.field("deferred_html", pa.binary()))
+            schema = schema.append(pa.field("deferred_password", pa.string()))
         return schema
 
     def _extract_rows(self, urls, htmls, partition_ids, passwords, defer: bool) -> pa.Table:
         out = {name: [] for name in self._schema(defer).names}
         deferred = out.get("deferred_html")
+        deferred_pw = out.get("deferred_password")
         for i in range(len(urls)):
             html = htmls[i].as_py()  # one copy of the document bytes (parse needs random access)
             n_bytes = len(html) if html is not None else 0
@@ -102,6 +104,11 @@ class PdfExtractor:
                 if self.include_fragments:
                     out["fragments"].append([])
                 deferred.append(html)
+                # resolve the effective password HERE so a per-row password
+                # column survives the handoff to the huge-document pool
+                deferred_pw.append(
+                    (passwords[i] if passwords is not None else self.password) or ""
+                )
                 continue
             t0 = time.perf_counter()
             result = extract_document(
@@ -127,21 +134,28 @@ class PdfExtractor:
                 )
             if defer:
                 deferred.append(None)
+                deferred_pw.append(None)
         return pa.table(out, schema=self._schema(defer))
 
     def _finish(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        drop = [c for c in ("deferred_html", "deferred_password") if c in batch.column_names]
         mask = pc.is_valid(batch.column("deferred_html"))
-        done = batch.filter(pc.invert(mask)).drop_columns(["deferred_html"])
+        done = batch.filter(pc.invert(mask)).drop_columns(drop)
         todo = batch.filter(mask)
         if len(todo) == 0:
             return done
+        passwords = (
+            todo.column("deferred_password").to_pylist()
+            if "deferred_password" in todo.column_names
+            else None
+        )
         extracted = self._extract_rows(
             todo.column("url"),
             todo.column("deferred_html"),
             todo.column("partition_id").to_pylist(),
-            None,
+            passwords,
             defer=False,
         )
         return pa.concat_tables([done, extracted])

@@ -25,11 +25,15 @@ TEXTSTORE_SCHEMA = pa.schema(
 
 
 def document_textstore(data: bytes) -> TextStore:
-    """Build the display TextStore for one document (pure function)."""
+    """Build the display TextStore for one document (pure function).
+
+    Feeds the raw stream-elided bytes straight to TextStore.append, which
+    applies the PDF_DOC display table exactly once — round-tripping the
+    already-mapped display string through latin-1 would turn every byte
+    >= 0x80 into '?' and skew n_chars/preview vs the reference viewer."""
     lexer = PdfLexer(data)
-    display = lexer.show_buffer_content()
     store = TextStore()
-    store.append(display.encode("latin-1", errors="replace"))
+    store.append(lexer.buffer_content_bytes())
     return store
 
 
