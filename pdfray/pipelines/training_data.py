@@ -59,25 +59,31 @@ def _quality_gate(t: pa.Table) -> pa.Table:
     return t.filter(pa.array(keep)).select(["url", "text"])
 
 
-def _hash_text(t: pa.Table) -> pa.Table:
+def _hash_url_only(t: pa.Table) -> pa.Table:
+    """Dedup shuffle rows: (text_hash, url) ONLY — text never enters the
+    exchange."""
     hashes = [
         hashlib.md5(s.encode("utf-8")).hexdigest() for s in t.column("text").to_pylist()
     ]
-    return pa.table(
-        {
-            "text_hash": pa.array(hashes),
-            "url": t.column("url"),
-            "text": t.column("text"),
-        }
-    )
-
-
-def _keep_first(g: pd.DataFrame) -> pd.DataFrame:
-    return g.sort_values("url").head(1)
+    return pa.table({"text_hash": pa.array(hashes), "url": t.column("url")})
 
 
 def clean_corpus(sf_dir: str, near_dedup: bool = False):
-    """Run the full cleaning chain; returns the clean (url, text) frame."""
+    """Run the full cleaning chain; returns the clean (url, text) frame.
+
+    Exact dedup is hash-shuffle on (text_hash, url) rows + a semi-join of
+    the winning urls back onto the corpus (url is the pipeline-wide
+    partition key, reused from ingest).  The near-dup second pass is the
+    distributed MinHash machinery from `textops` keyed by url; only the
+    verified dup pairs (tiny) reach the driver, which resolves the greedy
+    keep-first-url drop set.
+
+    In production the extracted/gated corpus is a parquet checkpoint
+    (`run_extraction`'s resume boundary) and each consumer reads it; the
+    in-process `materialize()` calls below stand in for that checkpoint so
+    extraction runs once, not once per consumer.  The returned frame is the
+    final (small, post-dedup) corpus slice — a full-scale run would
+    `write_parquet` instead of returning rows."""
     ds = _extracted(sf_dir)
     ds = ds.map_batches(_quality_gate, batch_format="pyarrow")
 
@@ -94,45 +100,51 @@ def clean_corpus(sf_dir: str, near_dedup: bool = False):
     cpus = int(ray.cluster_resources().get("CPU", 8))
     ds = ds.map_batches(
         LangIdOnDoc, batch_format="pyarrow", concurrency=(1, max(1, cpus // 4))
-    )
+    ).materialize()  # extraction checkpoint stand-in (see docstring)
 
-    deduped = (
-        ds.map_batches(
-            lambda t: _hash_text(t).append_column("lang_pred", t.column("lang_pred")),
-            batch_format="pyarrow",
-        )
+    from ray.data.aggregate import Min
+
+    winners = (
+        ds.map_batches(_hash_url_only, batch_format="pyarrow")
         .groupby("text_hash")
-        .map_groups(_keep_first, batch_format="pandas")
+        .aggregate(Min("url", alias_name="url"))
+        .select_columns(["url"])
     )
-    df = deduped.to_pandas()
+    survivors = ds.join(
+        winners, join_type="inner", num_partitions=4, on=("url",)
+    ).materialize()
+    df = survivors.to_pandas()
 
     if near_dedup:
-        df = _near_dedup(df)
+        df = df[~df["url"].isin(_near_dup_drop_set(survivors))]
     return df.sort_values("url").reset_index(drop=True)
 
 
-def _near_dedup(df: pd.DataFrame) -> pd.DataFrame:
-    """Second-pass MinHash near-dup sweep over the exact-deduped survivors."""
-    from .textops import MinHasher, _shingles
+def _near_dup_drop_set(survivors) -> set:
+    """Distributed MinHash sweep over the survivors; returns urls to drop.
 
-    hasher = MinHasher()
-    t = pa.table({"doc_id": list(range(len(df))), "text": df["text"].tolist()})
-    buckets = hasher(t).to_pandas()
-    drop = set()
-    for _, g in buckets.groupby(["band", "band_key"]):
-        ids = sorted(set(g["doc_id"]))
-        for i in range(len(ids)):
-            if ids[i] in drop:
-                continue
-            for j in range(i + 1, len(ids)):
-                if ids[j] in drop:
-                    continue
-                sa = _shingles(df["text"].iloc[ids[i]])
-                sb = _shingles(df["text"].iloc[ids[j]])
-                union = len(sa | sb)
-                if union and len(sa & sb) / union >= 0.8:
-                    drop.add(ids[j])  # keep the lexicographically-first url
-    return df[~df.index.isin(drop)]
+    Verified pairs come back from the `textops` machinery (bucketed LSH +
+    exact-Jaccard verify in map_batches); the greedy keep-first resolution
+    runs on the driver over just those pairs: scanning pairs in url order,
+    drop the second url unless either side is already dropped — the same
+    keep-lexicographically-first outcome as a per-bucket greedy sweep."""
+    from .textops import MinHasher, ShingleSetHasher, _candidate_pairs, _verify_pairs
+
+    buckets = survivors.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"id_col": "url"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    pairs = _candidate_pairs(buckets, "url").to_pandas()
+    verified = _verify_pairs(
+        survivors, pairs, lambda: ShingleSetHasher("url"), 0.8, "url"
+    )
+    drop: set = set()
+    for a, b in sorted(zip(verified["doc_a"], verified["doc_b"])):
+        if a not in drop and b not in drop:
+            drop.add(b)
+    return drop
 
 
 def pipeline_summary(sf_dir: str):
