@@ -80,6 +80,8 @@ def _extract_stats_by_lang(sf_dir: str):
 
 
 def _extract_version_counts(sf_dir: str):
+    """Engine-extracted pdf_version rollup; the oracle reads the fixture's
+    analytic golden pdf_version column — an independent structural check."""
     df = _extracted_df(sf_dir).copy()
     df["pdf_version"] = df["pdf_version"].fillna("none")
     out = df.groupby("pdf_version").agg(n_docs=("url", "size")).reset_index()
@@ -87,20 +89,26 @@ def _extract_version_counts(sf_dir: str):
 
 
 def _extract_partition_metrics(sf_dir: str):
+    """Deterministic per-partition lineage rollup over ENGINE outputs
+    (partition_id, page counts, byte counts, empty-text counts); the oracle
+    recomputes it from the fixture's golden columns.  The wall-clock metrics
+    (parse_ms mean/max) live in `pipelines.extraction.partition_metrics`,
+    which `run_extraction` writes — they are inherently non-deterministic
+    and stay out of the driver hash."""
     df = _extracted_df(sf_dir).copy()
-    df["n_errors"] = df["error"].notna().astype(int)
+    df["n_empty"] = (df["text"] == "").astype("int64")
     out = (
         df.groupby("partition_id")
         .agg(
             n_docs=("url", "size"),
             sum_bytes=("n_bytes", "sum"),
-            mean_parse_ms=("parse_ms", "mean"),
-            max_parse_ms=("parse_ms", "max"),
-            n_errors=("n_errors", "sum"),
             n_pages=("n_pages", "sum"),
+            n_empty=("n_empty", "sum"),
         )
         .reset_index()
     )
+    out["partition_id"] = out["partition_id"].astype("int64")
+    out["n_pages"] = out["n_pages"].astype("int64")
     return out.sort_values("partition_id").reset_index(drop=True)
 
 
@@ -160,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / embedding dedup over embeddings
         "s_knn_bruteforce": S.s_knn_bruteforce,
         "s_ann_lsh": S.s_ann_lsh,
+        "s_lsh_buckets": S.s_lsh_buckets,
         "s_embedding_dupes": S.s_embedding_dupes,
         # multimodal binary plumbing (decode stubbed, plumbing real)
         "m_media_features": M.m_media_features,
@@ -182,6 +191,19 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(SUM(OCTET_LENGTH(html)) AS BIGINT) AS sum_bytes, "
             f"CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty "
             f"FROM read_parquet('{fixture}') GROUP BY lang ORDER BY lang"
+        ),
+        "extract_version_counts": (
+            f"SELECT COALESCE(pdf_version, 'none') AS pdf_version, "
+            f"COUNT(*) AS n_docs FROM read_parquet('{fixture}') "
+            f"GROUP BY 1 ORDER BY 1"
+        ),
+        "extract_partition_metrics": (
+            f"SELECT CAST(partition_id AS BIGINT) AS partition_id, "
+            f"COUNT(*) AS n_docs, "
+            f"CAST(SUM(OCTET_LENGTH(html)) AS BIGINT) AS sum_bytes, "
+            f"CAST(SUM(n_pages) AS BIGINT) AS n_pages, "
+            f"CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty "
+            f"FROM read_parquet('{fixture}') GROUP BY 1 ORDER BY 1"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
@@ -325,7 +347,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(url) AS url, MIN_BY(text, url) AS text FROM ok "
             "GROUP BY md5(text) ORDER BY url"
         ),
-        # rows-only (non-SQL-expressible): extract_version_counts,
-        # extract_partition_metrics, t_langid, t_simhash, t_minhash_pairs,
-        # t_ngram_jaccard_dupes, s_ann_lsh
+        # rows-only (non-SQL-expressible): t_langid, t_simhash,
+        # t_minhash_pairs, t_ngram_jaccard_dupes, s_ann_lsh, s_lsh_buckets,
+        # pipeline_clean_corpus_neardup
     }

@@ -105,6 +105,41 @@ def run_queries() -> dict:
     return timings
 
 
+def pure_control(sample_mb: float = 30.0) -> dict:
+    """Like-for-like single-thread control on the SAME corpus: a bare Python
+    loop over extract_document, no Ray.  pipeline_docs_per_sec_per_cpu /
+    control_docs_per_sec is THE pipeline-overhead factor (BASELINE.md §3)."""
+    import pyarrow.parquet as pq
+
+    from pdfray.core.extract import extract_document
+    from pdfray.sources.fixtures import ensure_corpus_parquet
+
+    path = ensure_corpus_parquet(SF_DIR)
+    pf = pq.ParquetFile(path)
+    rows = []
+    total = 0
+    for batch in pf.iter_batches(columns=["html"], batch_size=256):
+        for v in batch.column("html"):
+            b = v.as_py()
+            rows.append(b)
+            total += len(b)
+        if total >= sample_mb * 1e6:
+            break
+    for b in rows[:50]:  # warm caches like the pipeline's steady state
+        extract_document(b)
+    t0 = time.perf_counter()
+    for b in rows:
+        extract_document(b)
+    wall = time.perf_counter() - t0
+    return {
+        "control_n_docs": len(rows),
+        "control_mb": round(total / 1e6, 1),
+        "control_sec": round(wall, 3),
+        "control_docs_per_sec": round(len(rows) / wall, 1),
+        "control_mb_per_sec": round(total / 1e6 / wall, 2),
+    }
+
+
 def main() -> None:
     import ray
 
@@ -218,5 +253,7 @@ def scaling(lo: int = 8, hi: int = 32) -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--control" in sys.argv:
+        print(json.dumps(pure_control()))
     else:
         main()

@@ -236,6 +236,44 @@ def s_ann_lsh(sf_dir: str, n_planes: int = 0):
     return pd.DataFrame(out)
 
 
+def s_lsh_buckets(sf_dir: str, n_planes: int = 0):
+    """LSH bucket histogram: (sig, n_vecs) per occupied bucket.
+
+    The Sign stage + a counted groupby over (vec_id, sig) rows — the
+    partition layout a bucketed vector store would be written with.  The
+    quadratic within-bucket pair expansion lives in `lsh_candidate_pairs`
+    and is only appropriate at high dup thresholds."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _read_embeddings(sf_dir)
+    n_rows = ds.count()
+    if n_planes <= 0:
+        n_planes = _auto_planes(n_rows)
+    rng = np.random.RandomState(17)
+    first = ds.take(1)[0]
+    planes = rng.randn(len(first["embedding"]), n_planes).astype(np.float64)
+    planes_ref = ray.put(planes)
+
+    class SignFromRef:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+            self.shifts = 1 << np.arange(self.planes.shape[1])
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _normalize(_batch_matrix(t))
+            sigs = (((vecs @ self.planes) > 0) * self.shifts).sum(axis=1)
+            return pa.table({"sig": pa.array(sigs.astype(np.int64), pa.int64())})
+
+    out = (
+        ds.map_batches(SignFromRef, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("sig")
+        .aggregate(Count(alias_name="n_vecs"))
+        .to_pandas()
+    )
+    return out.sort_values("sig").reset_index(drop=True)
+
+
 def lsh_candidate_pairs(sf_dir: str, n_planes: int = 0):
     """LSH-bucketed near-dup CANDIDATE pairs (the high-threshold scale path).
 

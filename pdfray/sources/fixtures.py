@@ -25,7 +25,7 @@ NL = "\n"
 DELIM = "|"
 
 # bump when generation logic changes so /tmp caches can never go stale
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 LANGS = ("en", "de", "fr", "es")
 
@@ -198,7 +198,7 @@ def build_simple(rng: random.Random, lang: str) -> tuple:
     cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
     info = b.add(f"<</Title (doc {rng.randrange(10_000)})/Producer (pdfray fixtures)>>")
     data = b.finish_classic(cat, info=info, file_id_hex="AB" * 16)
-    return data, expected_text(frags)
+    return data, expected_text(frags), {"pdf_version": "1.4", "n_pages": 1}
 
 
 def build_multifrag(rng: random.Random, lang: str) -> tuple:
@@ -236,7 +236,7 @@ def build_multifrag(rng: random.Random, lang: str) -> tuple:
     b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
     cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
     data = b.finish_classic(cat, file_id_hex="CD" * 16)
-    return data, expected_text(frags)
+    return data, expected_text(frags), {"pdf_version": "1.4", "n_pages": 1}
 
 
 def build_flate(rng: random.Random, lang: str) -> tuple:
@@ -267,7 +267,7 @@ def build_flate(rng: random.Random, lang: str) -> tuple:
     b.add(f"<</Type/Pages/Kids[{outer_kids}]/Count {n_pages}>>", obj_num=root_pages)
     cat = b.add(f"<</Type/Catalog/Pages {root_pages} 0 R>>")
     data = b.finish_classic(cat)
-    return data, expected_text(all_frags)
+    return data, expected_text(all_frags), {"pdf_version": "1.4", "n_pages": n_pages}
 
 
 def build_xrefstream(rng: random.Random, lang: str) -> tuple:
@@ -294,7 +294,7 @@ def build_xrefstream(rng: random.Random, lang: str) -> tuple:
     ]
     _, mapping = b.add_object_stream(members)
     data = b.finish_xref_stream(cat, compressed=mapping)
-    return data, expected_text(frags)
+    return data, expected_text(frags), {"pdf_version": "1.5", "n_pages": 1}
 
 
 # analytic /Differences + ToUnicode table model (PdfFont.cs:62-99 semantics)
@@ -353,7 +353,7 @@ def build_fonts(rng: random.Random, lang: str) -> tuple:
     b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
     cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
     data = b.finish_classic(cat)
-    return data, golden
+    return data, golden, {"pdf_version": "1.4", "n_pages": 1}
 
 
 def build_quirks(rng: random.Random, lang: str) -> tuple:
@@ -389,7 +389,7 @@ def build_quirks(rng: random.Random, lang: str) -> tuple:
     content2 = render_content(frags2, encoding_name, b2)
     b2.add_stream(content2, obj_num=cid)
     data = b2.finish_classic(cat, prev=prev_xref)
-    return data, expected_text(frags2)
+    return data, expected_text(frags2), {"pdf_version": "1.4", "n_pages": 1}
 
 
 class _IncrementalBuilder(PdfBuilder):
@@ -424,11 +424,34 @@ def build_encrypted(rng: random.Random, lang: str) -> tuple:
     b.add(f"<</Title {title}>>", obj_num=info_id)
     b.add_encrypt_dict()
     data = b.finish_classic(cat, info=info_id)
-    return data, expected_text(frags)
+    return data, expected_text(frags), {"pdf_version": "1.4", "n_pages": 1}
 
 
-def build_huge(rng: random.Random, lang: str, n_pages: int = 24) -> tuple:
-    """1-10 MB-ish multi-page documents for the skew-routing path."""
+def _image_xobject(b: PdfBuilder, rng: random.Random, image_kb: int) -> int:
+    """Incompressible image XObject stream — realistic PDF byte weight.
+
+    The content stream never draws it, so golden text is unaffected; the
+    lexer still has to carry the object through xref/stream handling, which
+    is exactly the byte cost a scanned/image-heavy PDF imposes."""
+    payload = rng.randbytes(image_kb * 1024)
+    side = max(1, int((image_kb * 1024 / 3) ** 0.5))
+    return b.add_stream(
+        payload,
+        dict_extra=(
+            f"/Type/XObject/Subtype/Image/Width {side}/Height {side}"
+            "/ColorSpace/DeviceRGB/BitsPerComponent 8"
+        ),
+    )
+
+
+def build_huge(
+    rng: random.Random, lang: str, n_pages: int = 24, image_kb: int = 0
+) -> tuple:
+    """Multi-MB multi-page documents for the skew-routing path.
+
+    ``image_kb`` > 0 attaches one incompressible image XObject of that size
+    per page — bench corpora use this to give the huge class a genuinely
+    multi-megabyte tail (real PDFs are dominated by image bytes, not text)."""
     encoding_name = rng.choice(["WinAnsiEncoding", "MacRomanEncoding"])
     b = PdfBuilder()
     fid = b.add(_font_body(encoding_name))
@@ -445,16 +468,54 @@ def build_huge(rng: random.Random, lang: str, n_pages: int = 24) -> tuple:
         all_frags.extend(frags)
         content = render_content(frags, encoding_name, b)
         cid = b.add_stream(content, flate=True)
+        resources = f"<</Font<</F1 {fid} 0 R>>"
+        if image_kb > 0:
+            xid = _image_xobject(b, rng, image_kb)
+            resources += f"/XObject<</Im0 {xid} 0 R>>"
+        resources += ">>"
         pid = b.add(
             f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
-            f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+            f"/Resources{resources}>>"
         )
         page_ids.append(pid)
     kids = " ".join(f"{p} 0 R" for p in page_ids)
     b.add(f"<</Type/Pages/Kids[{kids}]/Count {n_pages}>>", obj_num=pages_id)
     cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
     data = b.finish_classic(cat)
-    return data, expected_text(all_frags)
+    return data, expected_text(all_frags), {"pdf_version": "1.4", "n_pages": n_pages}
+
+
+def build_medium(rng: random.Random, lang: str) -> tuple:
+    """~50-150 KB multi-page documents: the realistic mid-weight of a web
+    corpus (text pages + one shared image XObject)."""
+    encoding_name = rng.choice(["WinAnsiEncoding", "MacRomanEncoding"])
+    b = PdfBuilder()
+    fid = b.add(_font_body(encoding_name))
+    xid = _image_xobject(b, rng, rng.randrange(40, 110))
+    pages_id = b.reserve()
+    page_ids = []
+    all_frags = []
+    texts = [t for t in SNIPPETS[lang] if encodable(t, encoding_name)]
+    n_pages = rng.randrange(6, 14)
+    for _ in range(n_pages):
+        frag = [("Tf", "F1", 11), ("Td", 72, 740)]
+        for line in range(rng.randrange(10, 25)):
+            frag.append(("Tj", rng.choice(texts)))
+            frag.append(("T*",))
+        frags = [frag]
+        all_frags.extend(frags)
+        content = render_content(frags, encoding_name, b)
+        cid = b.add_stream(content, flate=True)
+        pid = b.add(
+            f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+            f"/Resources<</Font<</F1 {fid} 0 R>>/XObject<</Im0 {xid} 0 R>>>>>>"
+        )
+        page_ids.append(pid)
+    kids = " ".join(f"{p} 0 R" for p in page_ids)
+    b.add(f"<</Type/Pages/Kids[{kids}]/Count {n_pages}>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    data = b.finish_classic(cat)
+    return data, expected_text(all_frags), {"pdf_version": "1.4", "n_pages": n_pages}
 
 
 def build_linearized(rng: random.Random, lang: str) -> tuple:
@@ -476,7 +537,7 @@ def build_linearized(rng: random.Random, lang: str) -> tuple:
     cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
     data = b.finish_classic(cat)
     eof = data.rfind(b"%%EOF")
-    return data[:eof], expected_text(frags)
+    return data[:eof], expected_text(frags), {"pdf_version": "1.4", "n_pages": 1}
 
 
 def build_metadata(rng: random.Random, lang: str) -> tuple:
@@ -504,7 +565,7 @@ def build_metadata(rng: random.Random, lang: str) -> tuple:
         f"<</Type/Catalog/Pages {pages_id} 0 R/Metadata {meta_id} 0 R>>"
     )
     data = b.finish_classic(cat)
-    return data, expected_text(frags)
+    return data, expected_text(frags), {"pdf_version": "1.4", "n_pages": 1}
 
 
 def build_asciihex(rng: random.Random, lang: str) -> tuple:
@@ -528,31 +589,37 @@ def build_asciihex(rng: random.Random, lang: str) -> tuple:
     b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
     cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
     data = b.finish_classic(cat)
-    return data, expected_text(frags)
+    return data, expected_text(frags), {"pdf_version": "1.4", "n_pages": 1}
 
 
 def build_broken(rng: random.Random, lang: str) -> tuple:
     """Truncated / garbage / non-PDF payloads: extractor records, never raises."""
     kind = rng.randrange(3)
     if kind == 0:
-        data, _ = build_simple(rng, lang)
+        # 60% truncation keeps the %PDF-1.4 header (version still reads)
+        # but severs the trailing xref, so no pages resolve
+        data, _, _ = build_simple(rng, lang)
         data = data[: int(len(data) * 0.6)]
+        version = "1.4"
     elif kind == 1:
         data = bytes(rng.randrange(256) for _ in range(rng.randrange(200, 900)))
+        version = None
     else:
         data = (
             b"<html><head><title>not a pdf</title></head>"
             b"<body><p>plain web page payload</p></body></html>"
         )
-    return data, ""
+        version = None
+    return data, "", {"pdf_version": version, "n_pages": 0}
 
 
 CLASS_BUILDERS = [
-    ("simple", build_simple, 30),
-    ("multifrag", build_multifrag, 15),
-    ("flate", build_flate, 14),
+    ("simple", build_simple, 24),
+    ("multifrag", build_multifrag, 14),
+    ("flate", build_flate, 12),
     ("xrefstream", build_xrefstream, 10),
     ("fonts", build_fonts, 10),
+    ("medium", build_medium, 9),
     ("quirks", build_quirks, 5),
     ("encrypted", build_encrypted, 5),
     ("linearized", build_linearized, 3),
@@ -579,44 +646,56 @@ def generate_rows(
     n_broken: int = 3,
     seed: int = SEED,
     huge_pages: int = 24,
+    huge_image_kb: int = 0,
 ):
-    """Yield (url, warc_ts, html, text, lang) tuples deterministically."""
+    """Yield (url, warc_ts, html, text, lang, pdf_version, n_pages) tuples
+    deterministically.  pdf_version/n_pages are analytic golden columns
+    (what a correct parse must report), enabling independent DuckDB oracles
+    over structure, not just text."""
     i = 0
     for k in range(n_docs):
         name, fn = doc_class(k)
         rng = random.Random((seed << 20) ^ k)
         lang = LANGS[k % len(LANGS)]
-        data, golden = fn(rng, lang)
+        data, golden, meta = fn(rng, lang)
         yield (
             f"https://example.org/{name}/{k:08d}.pdf",
             EPOCH + datetime.timedelta(seconds=i),
             data,
             golden,
             lang,
+            meta["pdf_version"],
+            meta["n_pages"],
         )
         i += 1
     for k in range(n_huge):
         rng = random.Random((seed << 21) ^ k)
         lang = LANGS[k % len(LANGS)]
-        data, golden = build_huge(rng, lang, n_pages=huge_pages)
+        data, golden, meta = build_huge(
+            rng, lang, n_pages=huge_pages, image_kb=huge_image_kb
+        )
         yield (
             f"https://example.org/huge/{k:08d}.pdf",
             EPOCH + datetime.timedelta(seconds=i),
             data,
             golden,
             lang,
+            meta["pdf_version"],
+            meta["n_pages"],
         )
         i += 1
     for k in range(n_broken):
         rng = random.Random((seed << 22) ^ k)
         lang = LANGS[k % len(LANGS)]
-        data, golden = build_broken(rng, lang)
+        data, golden, meta = build_broken(rng, lang)
         yield (
             f"https://example.org/broken/{k:08d}.pdf",
             EPOCH + datetime.timedelta(seconds=i),
             data,
             golden,
             lang,
+            meta["pdf_version"],
+            meta["n_pages"],
         )
         i += 1
 
@@ -627,19 +706,28 @@ def corpus_table(
     n_broken: int = 3,
     seed: int = SEED,
     huge_pages: int = 24,
+    huge_image_kb: int = 0,
 ):
-    """Build the corpus as a pyarrow Table with the input_hint schema."""
+    """Build the corpus as a pyarrow Table: the input_hint schema plus the
+    analytic golden columns (pdf_version, n_pages, partition_id)."""
     import pyarrow as pa
 
-    urls, tss, htmls, texts, langs = [], [], [], [], []
-    for url, ts, html, text, lang in generate_rows(
-        n_docs, n_huge, n_broken, seed, huge_pages
+    urls, tss, htmls, texts, langs, versions, pages = [], [], [], [], [], [], []
+    for url, ts, html, text, lang, version, n_pages in generate_rows(
+        n_docs, n_huge, n_broken, seed, huge_pages, huge_image_kb
     ):
         urls.append(url)
         tss.append(ts)
         htmls.append(html)
         texts.append(text)
         langs.append(lang)
+        versions.append(version)
+        pages.append(n_pages)
+
+    # golden partition ids use the engine's canonical url-hash helper so the
+    # driver can oracle the partition rollup end-to-end
+    from ..pipelines.extraction import DEFAULT_NUM_PARTITIONS, url_partition_ids
+
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -647,6 +735,11 @@ def corpus_table(
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs, pa.string()),
+            "pdf_version": pa.array(versions, pa.string()),
+            "n_pages": pa.array(pages, pa.int32()),
+            "partition_id": pa.array(
+                url_partition_ids(urls, DEFAULT_NUM_PARTITIONS), pa.int32()
+            ),
         }
     )
 
@@ -677,9 +770,14 @@ def ensure_corpus_parquet(sf_dir: str, cache_root: str = "/tmp/pdfray_fixtures")
     os.makedirs(out_dir, exist_ok=True)
     n = sf_doc_count(sf)
     n_huge = max(1, n // 500)
-    # bench-scale corpora get genuinely large skew documents
-    huge_pages = 24 if sf < 0.01 else 150
-    table = corpus_table(n, n_huge=n_huge, n_broken=3, huge_pages=huge_pages)
+    # bench-scale corpora get a genuinely multi-MB skew tail (60 pages with
+    # ~50 KB of image bytes each ≈ 3 MB/doc) so the huge-document pool does
+    # real work; test-scale corpora stay small and fast
+    huge_pages = 24 if sf < 0.01 else 60
+    huge_image_kb = 0 if sf < 0.01 else 50
+    table = corpus_table(
+        n, n_huge=n_huge, n_broken=3, huge_pages=huge_pages, huge_image_kb=huge_image_kb
+    )
     tmp = out_path + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, out_path)

@@ -12,8 +12,11 @@ def test_corpus_generation_is_deterministic():
     rows_a = list(fixtures.generate_rows(60, n_huge=1, n_broken=2))
     rows_b = list(fixtures.generate_rows(60, n_huge=1, n_broken=2))
     assert len(rows_a) == len(rows_b)
-    for (ua, ta, ha, ga, la), (ub, tb, hb, gb, lb) in zip(rows_a, rows_b):
+    for (ua, ta, ha, ga, la, va, pa_), (ub, tb, hb, gb, lb, vb, pb) in zip(
+        rows_a, rows_b
+    ):
         assert ua == ub and ta == tb and ga == gb and la == lb
+        assert va == vb and pa_ == pb
         assert hashlib.md5(ha).hexdigest() == hashlib.md5(hb).hexdigest()
 
 

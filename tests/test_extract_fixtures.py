@@ -22,17 +22,23 @@ CLASS_FNS = {name: fn for name, fn, _ in fixtures.CLASS_BUILDERS}
 def test_class_byte_identical(cls, seed):
     rng = random.Random(seed)
     lang = fixtures.LANGS[seed % 4]
-    data, golden = CLASS_FNS[cls](rng, lang)
+    data, golden, meta = CLASS_FNS[cls](rng, lang)
     result = extract_document(data, working_buffer_size=10_000_000)
     assert result.error is None
     assert result.text == golden
+    assert result.n_pages == meta["n_pages"]
+    assert result.pdf_version == meta["pdf_version"]
 
 
 def test_corpus_byte_identical():
     n_ok = 0
-    for url, ts, html, golden, lang in fixtures.generate_rows(105, n_huge=2, n_broken=3):
+    for url, ts, html, golden, lang, version, n_pages in fixtures.generate_rows(
+        105, n_huge=2, n_broken=3
+    ):
         result = extract_document(html, working_buffer_size=10_000_000)
         assert result.text == golden, url
+        assert result.n_pages == n_pages, url
+        assert result.pdf_version == version, url
         if "/broken/" in url:
             assert result.error is not None or result.error_summary() is not None, url
         else:
@@ -114,7 +120,7 @@ def test_dquote_records_exception_bug_compat():
 
 def test_document_info_and_id():
     rng = random.Random(5)
-    data, _ = fixtures.build_simple(rng, "en")
+    data, _, _ = fixtures.build_simple(rng, "en")
     r = extract_document(data)
     assert r.document_info is not None and "Producer: pdfray fixtures; " in r.document_info
     assert r.document_id is not None and "ab" * 16 in r.document_id.lower()
@@ -122,7 +128,7 @@ def test_document_info_and_id():
 
 def test_encrypted_wrong_password_errors():
     rng = random.Random(6)
-    data, _ = fixtures.build_encrypted(rng, "en")
+    data, _, _ = fixtures.build_encrypted(rng, "en")
     r = extract_document(data, password="wrong0")
     assert r.error is not None
     assert r.text == ""
@@ -132,7 +138,7 @@ def test_flate_buffer_overflow():
     """Streams larger than the working buffer fail like the reference
     (Tokeniser.cs:1835-1837) — bounded memory per actor."""
     rng = random.Random(7)
-    data, _ = fixtures.build_flate(rng, "en")
+    data, _, _ = fixtures.build_flate(rng, "en")
     r = extract_document(data, working_buffer_size=4)
     summary = r.error_summary() or ""
     assert "buffer overflow" in summary

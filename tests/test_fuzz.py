@@ -46,7 +46,7 @@ def test_mutated_valid_documents_never_raise(seed, n_mutations):
     lengths)."""
     rng = random.Random(seed)
     name, builder = fixtures.doc_class(seed % 100)
-    data, _ = builder(random.Random(seed), fixtures.LANGS[seed % 4])
+    data = builder(random.Random(seed), fixtures.LANGS[seed % 4])[0]
     mutated = bytearray(data)
     for _ in range(n_mutations):
         kind = rng.randrange(3)

@@ -50,7 +50,7 @@ def test_get_stream_normal_path():
 
 def test_asciihex_stream_decoding():
     rng = random.Random(9)
-    data, golden = fixtures.build_asciihex(rng, "de")
+    data, golden, _ = fixtures.build_asciihex(rng, "de")
     r = extract_document(data)
     assert r.error is None
     assert r.text == golden
@@ -74,7 +74,7 @@ def test_asciihex_odd_digit_padded():
 
 def test_linearized_fallback():
     rng = random.Random(10)
-    data, golden = fixtures.build_linearized(rng, "fr")
+    data, golden, _ = fixtures.build_linearized(rng, "fr")
     assert b"%%EOF" not in data  # forces the fallback path
     r = extract_document(data)
     assert r.error is None
@@ -83,7 +83,7 @@ def test_linearized_fallback():
 
 def test_metadata_extraction():
     rng = random.Random(11)
-    data, golden = fixtures.build_metadata(rng, "en")
+    data, golden, _ = fixtures.build_metadata(rng, "en")
     r = extract_document(data)
     assert r.text == golden
     assert r.metadata is not None and "xmpmeta" in r.metadata
@@ -93,7 +93,7 @@ def test_extractor_fragments_column():
     from pdfray.stages.extract_stage import PdfExtractor
 
     rng = random.Random(12)
-    data, _ = fixtures.build_simple(rng, "en")
+    data, _, _ = fixtures.build_simple(rng, "en")
     batch = pa.table({"url": ["u"], "html": [data]})
     out = PdfExtractor(include_fragments=True)(batch)
     frags = out.column("fragments")[0].as_py()
@@ -105,7 +105,7 @@ def test_extractor_per_row_password():
     from pdfray.stages.extract_stage import PdfExtractor
 
     rng = random.Random(13)
-    data, golden = fixtures.build_encrypted(rng, "en")
+    data, golden, _ = fixtures.build_encrypted(rng, "en")
     batch = pa.table(
         {"url": ["good", "bad"], "html": [data, data], "password": ["", "wrong1"]}
     )
@@ -166,7 +166,7 @@ def test_multi_megabyte_document():
     from pdfray.sources.fixtures import build_huge
 
     rng = random.Random(99)
-    data, golden = build_huge(rng, "en", n_pages=600)
+    data, golden, _ = build_huge(rng, "en", n_pages=600)
     assert len(data) > 250_000  # flate-compressed; decompressed content is ~3x
     t0 = time.perf_counter()
     r = extract_document(data, working_buffer_size=10_000_000)

@@ -19,7 +19,7 @@ def convert(data: bytes):
 
 
 def test_anchors_links_and_stream_elision():
-    data, _ = build_simple(random.Random(21), "en")
+    data, _, _ = build_simple(random.Random(21), "en")
     store, anchors, err = convert(data)
     assert err is None
     text = store.to_string(0, store.lines_count)

@@ -95,7 +95,7 @@ def test_read_pdf_files_source(ray_session, tmp_path):
 
     goldens = {}
     for k in range(4):
-        data, golden = build_simple(random.Random(k), "en")
+        data, golden, _ = build_simple(random.Random(k), "en")
         p = tmp_path / f"doc{k}.pdf"
         p.write_bytes(data)
         goldens[str(p)] = golden

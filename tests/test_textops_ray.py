@@ -157,3 +157,32 @@ def test_token_stats_and_quality(docs_dir):
     row = quality[quality["doc_id"] == 8].iloc[0]
     assert row["n_chars"] == len("numbers 123 456 789 and symbols #!? here")
     assert row["n_alpha"] == sum(c.isalpha() for c in "numbers 123 456 789 and symbols #!? here")
+
+
+def test_lsh_buckets_and_candidates(ray_session, tmp_path):
+    """Planted identical vectors share a bucket; histogram covers the table."""
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.simsearch import lsh_candidate_pairs, s_lsh_buckets
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(200, 16).astype(np.float32)
+    vecs[7] = vecs[3]  # exact dup pair (3, 7)
+    vecs[11] = vecs[3] + rng.randn(16).astype(np.float32) * 0.01  # near dup
+    rows = {
+        "vec_id": list(range(200)),
+        "embedding": [list(map(float, v)) for v in vecs],
+        "label": [0] * 200,
+    }
+    pq_.write_table(pa.table(rows), str(tmp_path / "embeddings.parquet"))
+
+    hist = s_lsh_buckets(str(tmp_path))
+    assert hist["n_vecs"].sum() == 200
+    assert len(hist) > 1  # signatures actually split the space
+
+    pairs = lsh_candidate_pairs(str(tmp_path))
+    found = {(a, b) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+    assert (3, 7) in found  # identical vectors always collide
+    assert (3, 11) in found  # tiny perturbation stays in-bucket
+    # candidate volume is bucket-bounded, far below all-pairs
+    assert len(pairs) < 200 * 199 / 2 / 2

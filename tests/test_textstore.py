@@ -156,7 +156,7 @@ def test_document_textstore_stage_shape():
     from pdfray.sources.fixtures import build_simple
     import random
 
-    data, _ = build_simple(random.Random(3), "en")
+    data, _, _ = build_simple(random.Random(3), "en")
     batch = pa.table({"url": ["u1"], "html": [data]})
     out = TextStoreStage()(batch)
     assert out.column("n_lines")[0].as_py() > 3
