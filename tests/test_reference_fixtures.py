@@ -109,3 +109,46 @@ def test_file_sample_150kb_extracts():
     # hex (UTF-16BE) info strings surface raw, like the reference's Value
     assert result.document_info is not None
     assert "<FEFF" in result.document_info
+
+
+@pytest.mark.parametrize(
+    "path,version,pages,n_chars,text_md5",
+    [
+        # dvips/Type1-era PDF 1.4 (no ToUnicode on some fonts)
+        (
+            "/usr/share/doc/zlib1g-dev/crc-doc.1.0.pdf.gz",
+            "1.4", 29, 49755, "fd6b15fe5289bc9e87f9cfea65d7c1c0",
+        ),
+        # texinfo/pdfTeX PDF 1.5 with an unmapped-glyph U+FFFF fallback
+        (
+            "/usr/share/doc/nettle-dev/nettle.pdf.gz",
+            "1.5", 111, 267058, "cb0f9e6c4e2cc14dae235efb23b4ca32",
+        ),
+        # docbook-fop chain, fi ligature CIDs
+        (
+            "/usr/share/doc/fontconfig/fontconfig-user.pdf.gz",
+            "1.5", 15, 30127, "b2fddc70d7349f82c6812c93f507460a",
+        ),
+        (
+            "/usr/share/doc/bzip2/manual.pdf.gz",
+            "1.5", 38, 77467, "a688df969f7fd47678cb75844ccdff0b",
+        ),
+    ],
+)
+def test_system_doc_pdfs_byte_stable(path, version, pages, n_chars, text_md5):
+    """More real-world toolchain diversity (dvips, pdfTeX, fop): extraction
+    must stay byte-stable.  Gold hashes are pinned from this engine's
+    reference-semantics implementation (no independent text source in the
+    sandbox) — they gate regressions, not first-principles correctness,
+    which the analytic fixture corpus covers."""
+    import gzip
+
+    if not os.path.exists(path):
+        pytest.skip("system doc PDFs not present")
+    data = gzip.open(path, "rb").read()
+    result = extract_document(data, working_buffer_size=50_000_000)
+    assert result.error is None and result.error_summary() is None
+    assert result.pdf_version == version
+    assert result.n_pages == pages
+    assert len(result.text) == n_chars
+    assert hashlib.md5(result.text.encode("utf-8")).hexdigest() == text_md5
