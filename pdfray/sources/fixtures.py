@@ -25,7 +25,7 @@ NL = "\n"
 DELIM = "|"
 
 # bump when generation logic changes so /tmp caches can never go stale
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 6
 
 LANGS = ("en", "de", "fr", "es")
 
@@ -671,9 +671,13 @@ def generate_rows(
     for k in range(n_huge):
         rng = random.Random((seed << 21) ^ k)
         lang = LANGS[k % len(LANGS)]
-        data, golden, meta = build_huge(
-            rng, lang, n_pages=huge_pages, image_kb=huge_image_kb
-        )
+        if k % 6 == 5 and huge_image_kb:
+            # every sixth huge doc is a GIANT (~8 MB): above the skew-pool
+            # threshold, so bench corpora genuinely exercise stage-B routing
+            pages, img = huge_pages * 2, huge_image_kb * 2 + 10
+        else:
+            pages, img = huge_pages, huge_image_kb
+        data, golden, meta = build_huge(rng, lang, n_pages=pages, image_kb=img)
         yield (
             f"https://example.org/huge/{k:08d}.pdf",
             EPOCH + datetime.timedelta(seconds=i),
@@ -749,25 +753,42 @@ def sf_doc_count(sf: float) -> int:
     return max(20, int(60_000 * sf))
 
 
+_SHARD_ROWS = 512
+
+
 def fixture_parquet_path(sf_name: str, cache_root: str = "/tmp/pdfray_fixtures") -> str:
-    """Deterministic, version-stamped cache path for a corpus parquet."""
+    """Deterministic, version-stamped cache DIRECTORY for a corpus: multiple
+    part-*.parquet shards (Ray's parquet reader parallelizes per file, so a
+    single monolithic file would serialize the read stage)."""
     import os
 
-    return os.path.join(cache_root, f"v{FIXTURE_VERSION}", sf_name, "documents_pdf.parquet")
+    return os.path.join(cache_root, f"v{FIXTURE_VERSION}", sf_name, "documents_pdf")
+
+
+def corpus_files(path: str) -> list:
+    """Sorted parquet files for a corpus path (shard dir or single file)."""
+    import os
+
+    if os.path.isdir(path):
+        return [
+            os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+        ]
+    return [path]
 
 
 def ensure_corpus_parquet(sf_dir: str, cache_root: str = "/tmp/pdfray_fixtures") -> str:
-    """Materialize the corpus parquet for a testdata sf dir; cached, deterministic."""
+    """Materialize the sharded corpus for a testdata sf dir; cached,
+    deterministic.  Returns the shard directory (every consumer — Ray,
+    pyarrow, DuckDB — reads directories/globs natively)."""
     import os
     import pyarrow.parquet as pq
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.001
     out_path = fixture_parquet_path(sf_name, cache_root)
-    out_dir = os.path.dirname(out_path)
-    if os.path.exists(out_path):
+    if os.path.isdir(out_path):
         return out_path
-    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
     n = sf_doc_count(sf)
     n_huge = max(1, n // 500)
     # bench-scale corpora get a genuinely multi-MB skew tail (60 pages with
@@ -779,6 +800,12 @@ def ensure_corpus_parquet(sf_dir: str, cache_root: str = "/tmp/pdfray_fixtures")
         n, n_huge=n_huge, n_broken=3, huge_pages=huge_pages, huge_image_kb=huge_image_kb
     )
     tmp = out_path + ".tmp"
-    pq.write_table(table, tmp)
+    os.makedirs(tmp, exist_ok=True)
+    for s, lo in enumerate(range(0, len(table), _SHARD_ROWS)):
+        pq.write_table(
+            table.slice(lo, _SHARD_ROWS),
+            os.path.join(tmp, f"part-{s:05d}.parquet"),
+            row_group_size=256,
+        )
     os.replace(tmp, out_path)
     return out_path
