@@ -118,7 +118,7 @@ def extract_dataset(
     ds,
     *,
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
-    huge_threshold: Optional[int] = DEFAULT_HUGE_THRESHOLD,
+    huge_threshold="auto",
     batch_size: int = 64,
     concurrency=None,
     huge_concurrency=None,
@@ -126,7 +126,9 @@ def extract_dataset(
 ):
     """Wire the extraction stage(s) over a corpus Dataset.
 
-    ``huge_threshold=None`` disables the dual-pool split (single pool).
+    ``huge_threshold``: "auto" (default) uses DEFAULT_HUGE_THRESHOLD with a
+    single-pool fallback on small nodes; ``None`` disables the dual-pool
+    split; an explicit byte count always builds the dual pools.
     """
     # num_cpus matches the extract stage so Ray fuses ingest+extract into one
     # task (mismatched resource specs block fusion = an extra data-plane hop)
@@ -228,7 +230,7 @@ def run_extraction(
     num_partitions: int = DEFAULT_NUM_PARTITIONS,
     chunks: int = 4,
     resume: bool = True,
-    huge_threshold: Optional[int] = DEFAULT_HUGE_THRESHOLD,
+    huge_threshold="auto",
     batch_size: int = 64,
     concurrency=None,
     write_metrics: bool = True,
@@ -371,13 +373,13 @@ def _extract_prepared(
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    if huge_threshold is not None and cpus <= 8:
+    if huge_threshold == "auto":
         # a small node cannot afford a dedicated skew pool AND keep the read
         # stage fed (measured: the chained pools at 8 CPUs run 2-3x slower
         # than one pool because the reserved stage-B actor plus stage-A pool
-        # occupy every slot and starve the read) — fall back to the single
-        # pool; skew isolation then comes from block-size splitting alone
-        huge_threshold = None
+        # occupy every slot and starve the read) — auto falls back to the
+        # single pool there; an EXPLICIT threshold always builds both pools
+        huge_threshold = None if cpus <= 8 else DEFAULT_HUGE_THRESHOLD
     if concurrency is not None:
         # explicit pool size -> actor pools (legacy/stateful form)
         if huge_concurrency is None and huge_threshold is not None:

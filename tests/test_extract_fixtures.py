@@ -142,3 +142,30 @@ def test_flate_buffer_overflow():
     r = extract_document(data, working_buffer_size=4)
     summary = r.error_summary() or ""
     assert "buffer overflow" in summary
+
+
+def test_differences_out_of_range_entries_skip_but_advance():
+    """Malformed /Differences indices: negative or >255 entries are skipped
+    (without corrupting other codes via Python negative indexing) while the
+    char index still advances, matching the reference's catch-and-continue
+    (PdfFont.cs:80-90)."""
+    b = PdfBuilder()
+    fid = b.add(
+        "<</Type/Font/Subtype/Type1/BaseFont/Helvetica"
+        "/Encoding<</Type/Encoding"
+        "/Differences[-5 /quoteright 300 /adieresis 65 /Zcaron]>>>>"
+    )
+    # codes: 0x41 (65 -> Zcaron via Differences), 0xFB (251: must stay the
+    # Standard-encoding char, NOT quoteright from the negative-index write)
+    cid = b.add_stream(b"BT /F1 12 Tf 100 700 Td <41FB> Tj ET")
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    data = b.finish_classic(cat)
+    r = extract_document(data)
+    assert r.error is None
+    assert r.text == "\nŽß|"  # Zcaron + Standard 0xFB (germandbls), uncorrupted

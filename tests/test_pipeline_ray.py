@@ -120,3 +120,91 @@ def test_textstore_stage_in_pipeline(ray_session, corpus_path):
     ok = out[out["error"].isna()]
     assert len(ok) >= len(out) - 2  # broken rows may error
     assert (ok["n_lines"] > 0).all()
+
+
+def test_task_pool_dual_path_with_giants(ray_session, tmp_path):
+    """Default (no explicit concurrency) stage A runs as a task pool; an
+    explicit huge_threshold forces the dedicated skew actor pool even on a
+    small node, and both paths agree byte-for-byte."""
+    import random
+
+    import pyarrow as pa
+
+    from pdfray.sources.fixtures import build_huge, build_simple
+    from pdfray.pipelines.extraction import extract_dataset, read_corpus
+
+    rows = {"url": [], "html": [], "text": []}
+    for k in range(6):
+        data, golden, _ = build_simple(random.Random(k), "en")
+        rows["url"].append(f"https://x/{k}.pdf")
+        rows["html"].append(data)
+        rows["text"].append(golden)
+    big, big_golden, _ = build_huge(random.Random(99), "en", n_pages=4, image_kb=40)
+    rows["url"].append("https://x/giant.pdf")
+    rows["html"].append(big)
+    rows["text"].append(big_golden)
+    path = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table(rows), path)
+
+    out = extract_dataset(
+        read_corpus(path), huge_threshold=len(big) - 1
+    ).to_pandas()
+    got = dict(zip(out["url"], out["text"]))
+    assert got["https://x/giant.pdf"] == big_golden
+    for u, want in zip(rows["url"], rows["text"]):
+        assert got[u] == want
+
+
+def test_per_row_password_survives_deferral(ray_session, tmp_path):
+    """An encrypted document ABOVE the skew threshold must still be opened
+    with its per-row password after the handoff to the huge pool."""
+    import random
+
+    import pyarrow as pa
+
+    from pdfray.sources.fixtures import (
+        SNIPPETS,
+        encode_text,
+        expected_text,
+        render_content,
+        _font_body,
+    )
+    from pdfray.sources.pdfwriter import Encryption, PdfBuilder
+    from pdfray.pipelines.extraction import extract_dataset, read_corpus
+
+    enc = Encryption(user_password="sesame", owner_password="own")
+    b = PdfBuilder(encryption=enc)
+    frags = [[("Tf", "F1", 12), ("Td", 100, 700), ("Tj", SNIPPETS["en"][0])]]
+    content = render_content(frags, "WinAnsiEncoding", b)
+    cid = b.add_stream(content)
+    fid = b.add(_font_body("WinAnsiEncoding"))
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    b.add_encrypt_dict()
+    data = b.finish_classic(cat)
+    golden = expected_text(frags)
+
+    path = str(tmp_path / "pw.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url": ["https://x/locked.pdf"],
+                "html": [data],
+                "password": ["sesame"],
+            }
+        ),
+        path,
+    )
+    out = extract_dataset(
+        read_corpus(path, columns=("url", "html", "password")),
+        huge_threshold=10,  # forces the deferral handoff
+        concurrency=1,
+        huge_concurrency=1,
+    ).to_pandas()
+    assert out["error"][0] is None
+    assert out["text"][0] == golden

@@ -162,3 +162,21 @@ def test_document_textstore_stage_shape():
     assert out.column("n_lines")[0].as_py() > 3
     assert out.column("error")[0].as_py() is None
     assert "%PDF-1.4" in out.column("preview")[0].as_py()
+
+
+def test_document_textstore_maps_high_bytes_once():
+    """Bytes >= 0x80 must render through the display table exactly once —
+    the old path round-tripped the mapped string through latin-1 and turned
+    them into '?' (skewing n_chars/preview vs the reference viewer)."""
+    import random
+
+    from pdfray.sources.fixtures import build_simple
+    from pdfray.stages.textstore_stage import document_textstore
+
+    data, _, _ = build_simple(random.Random(7), "en")
+    # splice a high byte into a comment so structure stays valid
+    data = data.replace(b"%PDF", b"%\xe9PDF", 1)
+    store = document_textstore(data)
+    text = store.to_string(0, store.lines_count)
+    assert "é" in text  # PDF_DOC[0xE9]
+    assert "?" not in text
