@@ -160,11 +160,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_flags": R.q_distinct_flags,
         "q_orders_topk": R.q_orders_topk,
         "q_orders_by_month": R.q_orders_by_month,
+        "q_asof_attribution": R.q_asof_attribution,
         # text / dedup operators over documents
         "t_token_stats": T.t_token_stats,
         "t_fingerprint": T.t_fingerprint,
         "t_exact_dedup": T.t_exact_dedup,
         "t_quality": T.t_quality,
+        "t_bpe_tokens": T.t_bpe_tokens,
+        "t_winnow_fp": T.t_winnow_fp,
         "t_langid": T.t_langid,
         "t_simhash": T.t_simhash,
         "t_minhash_pairs": T.t_minhash_pairs,
@@ -294,6 +297,21 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(o_totalprice), 2) AS revenue "
             "FROM orders GROUP BY month ORDER BY month"
         ),
+        "q_asof_attribution": (
+            "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT * FROM events WHERE event_type = 'click') "
+            "SELECT p.event_id AS purchase_id, p.user_id, "
+            "c.event_id AS click_id, "
+            "CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us "
+            "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts "
+            "ORDER BY purchase_id"
+        ),
+        "t_bpe_tokens": (
+            "SELECT doc_id, CAST(len(list_filter(regexp_extract_all(text, "
+            "' ?[A-Za-zÀ-ÖØ-öø-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÖØ-öø-ÿ0-9\\s]+|\\s+'"
+            "), x -> trim(x) <> '')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents ORDER BY doc_id"
+        ),
         "t_token_stats": (
             "SELECT doc_id, "
             "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens, "
@@ -351,7 +369,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(url) AS url, MIN_BY(text, url) AS text FROM ok "
             "GROUP BY md5(text) ORDER BY url"
         ),
-        # rows-only (non-SQL-expressible): t_langid, t_simhash,
+        # rows-only (non-SQL-expressible): t_langid, t_simhash, t_winnow_fp,
         # t_minhash_pairs, t_ngram_jaccard_dupes, s_ann_lsh, s_lsh_buckets,
         # pipeline_clean_corpus_neardup
     }

@@ -472,6 +472,63 @@ def q_top_order_per_customer(sf_dir: str):
     return df.sort_values("o_custkey").reset_index(drop=True)
 
 
+def q_asof_attribution(sf_dir: str):
+    """As-of join (custom operator — Ray Data has no native as-of): attribute
+    each purchase event to the user's most recent prior click.
+
+    Expressed as filter -> groupby(user).map_groups with a vectorized
+    searchsorted merge per group.  Partitioning assumption (documented): the
+    stream is co-partitioned by the join key (user_id) — the same assumption
+    any distributed as-of join makes; the shuffle carries only the two
+    filtered event types.  Oracle: DuckDB's native ASOF JOIN."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def keep_types(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t.column("event_type"), value_set=pa.array(["click", "purchase"])
+        )
+        return t.filter(mask)
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        purch = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        if len(clicks) == 0 or len(purch) == 0:
+            return pd.DataFrame(
+                {
+                    "purchase_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "click_id": pd.Series(dtype="int64"),
+                    "gap_us": pd.Series(dtype="int64"),
+                }
+            )
+        idx = np.searchsorted(clicks["ts"].values, purch["ts"].values, side="right") - 1
+        keep = idx >= 0
+        p = purch[keep]
+        c = clicks.iloc[idx[keep]]
+        gap = (
+            p["ts"].values.astype("datetime64[us]").astype("int64")
+            - c["ts"].values.astype("datetime64[us]").astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "purchase_id": p["event_id"].values,
+                "user_id": p["user_id"].values,
+                "click_id": c["event_id"].values,
+                "gap_us": gap,
+            }
+        )
+
+    out = (
+        ds.map_batches(keep_types, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(attribute, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values("purchase_id").reset_index(drop=True)
+
+
 def q_orders_by_month(sf_dir: str):
     """Temporal rollup: orders per month (strftime projection + groupby)."""
     ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])

@@ -155,6 +155,117 @@ def t_langid(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+# BPE-style pre-tokenizer: GPT-2's shape restricted to RE2-compatible
+# explicit classes so the DuckDB oracle runs the IDENTICAL pattern
+BPE_PATTERN = (
+    r" ?[A-Za-zÀ-ÖØ-öø-ÿ]+"
+    r"| ?[0-9]+"
+    r"| ?[^A-Za-zÀ-ÖØ-öø-ÿ0-9\s]+"
+    r"|\s+"
+)
+
+
+class BpeTokenCounter:
+    """Actor-pool stage: BPE-ish pre-tokenization counts (pattern compiled
+    once per actor — the realistic shape of a tokenizer-stats pass, where
+    __init__ would load the merges/vocab)."""
+
+    def __init__(self):
+        self.pattern = re.compile(BPE_PATTERN)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        findall = self.pattern.findall
+        counts = []
+        for s in t.column("text").to_pylist():
+            counts.append(sum(1 for m in findall(s) if m.strip()))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bpe_tokens": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def t_bpe_tokens(sf_dir: str):
+    """BPE-ish token counting per document (oracle: same RE2 pattern in
+    DuckDB, whitespace-only matches excluded on both sides)."""
+    ds = _read_documents(sf_dir).map_batches(
+        BpeTokenCounter, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al., MOSS): k-gram rolling hash +
+# per-window minimum sampling — the standard document-fingerprint sketch
+
+_WINNOW_K = 5  # gram size (tokens)
+_WINNOW_W = 4  # window size
+
+
+class WinnowFingerprinter:
+    """(doc_id, n_fps, fp_digest) — winnowed fingerprint set per document.
+
+    Rolling k-token-gram hashes, then the minimum of each sliding window of
+    w hashes (rightmost-min rule); the selected set is order-insensitively
+    digested.  Near-dup documents share most selected fingerprints, so the
+    digest equality / overlap is a cheap corpus-level dup signal that is
+    robust to small edits (unlike the whole-text md5 of `t_fingerprint`)."""
+
+    def __init__(self, k: int = _WINNOW_K, w: int = _WINNOW_W):
+        self.k = k
+        self.w = w
+
+    def fingerprints(self, text: str) -> np.ndarray:
+        toks = _WORD_RE.findall(text.lower())
+        if len(toks) < self.k:
+            grams = [" ".join(toks)] if toks else []
+        else:
+            grams = [
+                " ".join(toks[i : i + self.k])
+                for i in range(len(toks) - self.k + 1)
+            ]
+        if not grams:
+            return np.empty(0, dtype=np.uint64)
+        h = np.fromiter(
+            (zlib.crc32(g.encode("utf-8")) for g in grams),
+            dtype=np.uint64,
+            count=len(grams),
+        )
+        if len(h) <= self.w:
+            return np.unique(h.min(keepdims=True))
+        # sliding-window minima, vectorized: stride trick over the hash array
+        win = np.lib.stride_tricks.sliding_window_view(h, self.w)
+        return np.unique(win.min(axis=1))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, counts, digests = [], [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            fps = self.fingerprints(text)
+            ids.append(doc_id)
+            counts.append(len(fps))
+            digests.append(hashlib.md5(fps.tobytes()).hexdigest()[:16])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_fps": pa.array(counts, pa.int64()),
+                "fp_digest": pa.array(digests, pa.string()),
+            }
+        )
+
+
+def t_winnow_fp(sf_dir: str):
+    """Winnowing fingerprint sketch per document (rows-only: rolling-hash
+    window minima are not SQL-expressible; correctness via planted-dup and
+    edit-robustness unit tests)."""
+    ds = _read_documents(sf_dir).map_batches(
+        WinnowFingerprinter, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 # ----------------------------------------------------------------------
 # near-duplicate detection
 

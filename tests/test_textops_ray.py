@@ -186,3 +186,74 @@ def test_lsh_buckets_and_candidates(ray_session, tmp_path):
     assert (3, 11) in found  # tiny perturbation stays in-bucket
     # candidate volume is bucket-bounded, far below all-pairs
     assert len(pairs) < 200 * 199 / 2 / 2
+
+
+def test_bpe_token_counts(docs_dir):
+    from pdfray.pipelines.textops import BpeTokenCounter, t_bpe_tokens
+
+    c = BpeTokenCounter()
+    t = pa.table({"doc_id": [0], "text": ["Hello world, it's 42 degrees!"]})
+    # Hello | world | , | it | ' | s | 42 | degrees | !
+    assert c(t)["n_bpe_tokens"][0].as_py() == 9
+    out = t_bpe_tokens(docs_dir)
+    assert (out["n_bpe_tokens"] > 0).sum() >= 9  # every non-trivial doc
+
+
+def test_winnow_fingerprints_edit_robust(docs_dir):
+    from pdfray.pipelines.textops import WinnowFingerprinter, t_winnow_fp
+
+    w = WinnowFingerprinter()
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden trees"
+    )
+    edited = base.replace("warm", "cold")
+    a, b = w.fingerprints(base), w.fingerprints(edited)
+    inter = len(np.intersect1d(a, b))
+    assert inter / max(len(a), len(b)) >= 0.5  # small edit, most fps shared
+    far = w.fingerprints("completely different content about query engines")
+    assert len(np.intersect1d(a, far)) == 0
+
+    out = t_winnow_fp(docs_dir)
+    d = dict(zip(out["doc_id"], out["fp_digest"]))
+    assert d[0] == d[1] == d[5]  # identical docs -> identical digest
+    assert d[0] != d[3]
+
+
+def test_asof_attribution_semantics(ray_session, tmp_path):
+    """Purchases attribute to the latest prior click; clickless purchases drop."""
+    import datetime
+
+    import pyarrow.parquet as pq_
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, sec, user, typ):
+        return (eid, base + datetime.timedelta(seconds=sec), user, typ)
+
+    rows = [
+        ev(1, 0, 7, "purchase"),   # before any click -> dropped
+        ev(2, 10, 7, "click"),
+        ev(3, 20, 7, "click"),
+        ev(4, 30, 7, "purchase"),  # -> click 3
+        ev(5, 40, 7, "purchase"),  # -> click 3 (still latest)
+        ev(6, 5, 8, "click"),
+        ev(7, 6, 8, "purchase"),   # -> click 6
+        ev(8, 50, 9, "view"),      # other types ignored
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    from pdfray.pipelines.relational import q_asof_attribution
+
+    out = q_asof_attribution(str(tmp_path))
+    got = {r.purchase_id: (r.click_id, r.gap_us) for r in out.itertuples()}
+    assert got == {4: (3, 10_000_000), 5: (3, 20_000_000), 7: (6, 1_000_000)}
