@@ -733,6 +733,16 @@ def t_ngram_jaccard_dupes(sf_dir: str, threshold: float = 0.5):
     # that near-pair bulk irreducible; the Hamming prefilter (verified-pair
     # max is 10, margin to 12) and the banding bound the candidate set to
     # the near-pair population instead of all pairs.
+    #
+    # A PPJoin/AllPairs prefix-filter generator (exact by the
+    # Bayardo/Chaudhuri theorem: rank grams by document frequency, emit the
+    # |G|-ceil(t|G|)+1 rarest per doc, join on shared prefix grams) was
+    # prototyped and MEASURED WORSE here: at t=0.5 the prefix is half of
+    # each doc's grams, and this corpus's mid-frequency template grams give
+    # the per-gram self-join a quadratic bulge (>10 min at sf0.1 vs 11 s
+    # for banding).  Prefix filtering wins at high thresholds on natural
+    # corpora with heavy-tailed gram frequencies; banding+Hamming wins on
+    # template-dense ones.  Keeping the banded generator.
     ds = _read_documents(sf_dir)
     buckets = ds.map_batches(SimhashBander, batch_format="pyarrow", concurrency=(1, 4))
     pairs = _candidate_pairs(
