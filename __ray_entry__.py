@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_embedding_dupes": S.s_embedding_dupes,
         # multimodal binary plumbing (decode stubbed, plumbing real)
         "m_media_features": M.m_media_features,
+        "m_frame_sample": M.m_frame_sample,
+        "m_resize": M.m_resize,
         # end-to-end training-data cleaning composition
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "pipeline_clean_corpus_neardup": _pipeline_clean_corpus_neardup,
@@ -360,6 +362,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "m_media_features": (
             f"SELECT url, 'image' AS media_type, OCTET_LENGTH(html) AS n_bytes "
+            f"FROM read_parquet('{fixture}') ORDER BY url"
+        ),
+        "m_frame_sample": (
+            f"SELECT url, "
+            f"CAST(CEIL(OCTET_LENGTH(html) / 4096.0) AS BIGINT) AS n_chunks, "
+            f"CAST(CEIL(CEIL(OCTET_LENGTH(html) / 4096.0) / 8.0) AS BIGINT) AS n_frames "
             f"FROM read_parquet('{fixture}') ORDER BY url"
         ),
         "pipeline_clean_corpus": (

@@ -78,6 +78,118 @@ class MediaFeatureExtractor:
         return pa.table(out, schema=MEDIA_SCHEMA)
 
 
+FRAME_BYTES = 4096
+FRAME_STRIDE = 8
+
+RESIZE_MAX = 64
+
+
+class FrameSampler:
+    """Actor-pool stage: sample every ``stride``-th fixed-size chunk of the
+    payload as a "frame".  Video decode is STUBBED (no codec libs in this
+    container) — a real implementation seeks keyframes via the container
+    index; the chunk arithmetic and per-frame hashing mirror that access
+    pattern, so the Ray-side plumbing (small batches, bounded per-row
+    output, deterministic layout) is fully exercised."""
+
+    def __init__(self, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("payload")
+        out = {"url": [], "n_chunks": [], "n_frames": [], "frames_hash": []}
+        for i, url in enumerate(urls):
+            payload = payloads[i].as_py() or b""
+            n_chunks = -(-len(payload) // self.frame_bytes) if payload else 0
+            n_frames = -(-n_chunks // self.stride) if n_chunks else 0
+            h = hashlib.sha1()
+            for k in range(n_frames):
+                off = k * self.stride * self.frame_bytes
+                h.update(payload[off : off + self.frame_bytes])
+            out["url"].append(url)
+            out["n_chunks"].append(n_chunks)
+            out["n_frames"].append(n_frames)
+            out["frames_hash"].append(h.hexdigest()[:16] if n_frames else None)
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "n_chunks": pa.array(out["n_chunks"], pa.int64()),
+                "n_frames": pa.array(out["n_frames"], pa.int64()),
+                "frames_hash": pa.array(out["frames_hash"], pa.string()),
+            }
+        )
+
+
+class Resizer:
+    """Actor-pool stage: aspect-preserving fit into RESIZE_MAX x RESIZE_MAX.
+
+    The pixel work is STUBBED (dimensions come from the stub decoder); the
+    arithmetic, schema, and batch layout are the real contract a decoder
+    actor would fill in."""
+
+    def __init__(self, max_side: int = RESIZE_MAX):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("payload")
+        out = {"url": [], "width": [], "height": [], "out_w": [], "out_h": []}
+        for i, url in enumerate(urls):
+            payload = payloads[i].as_py() or b""
+            w, h, _ = _decode_image_stub(payload)
+            scale = min(1.0, self.max_side / max(w, h))
+            out["url"].append(url)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["out_w"].append(max(1, int(w * scale)))
+            out["out_h"].append(max(1, int(h * scale)))
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "width": pa.array(out["width"], pa.int32()),
+                "height": pa.array(out["height"], pa.int32()),
+                "out_w": pa.array(out["out_w"], pa.int32()),
+                "out_h": pa.array(out["out_h"], pa.int32()),
+            }
+        )
+
+
+def _payload_ds(sf_dir: str):
+    import ray.data as rd
+
+    from ..sources.fixtures import ensure_corpus_parquet
+
+    path = ensure_corpus_parquet(sf_dir)
+    ds = rd.read_parquet(path, columns=["url", "html"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t.column("url"), "payload": t.column("html")})
+
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+def m_frame_sample(sf_dir: str):
+    """Frame sampling over corpus binaries; chunk/frame counts are
+    SQL-derivable so the oracle checks the plumbing exactly; per-frame
+    hashes are covered by unit tests."""
+    out = _payload_ds(sf_dir).map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
+    )
+    df = out.select_columns(["url", "n_chunks", "n_frames"]).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def m_resize(sf_dir: str):
+    """Resize-stage plumbing (stub dims; rows-only — dims derive from the
+    stub decoder's content hash, not SQL-expressible)."""
+    out = _payload_ds(sf_dir).map_batches(
+        Resizer, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
+    )
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
 def m_media_features(sf_dir: str):
     """Run the (stub-decoded) media pipeline over the PDF corpus binaries —
     payload column plumbing is identical for image/audio bytes."""
