@@ -92,11 +92,15 @@ QUERY_NAMES = [
     "q_events_rollup",
     "q_events_window",
     "q_orders_by_month",
+    "q_asof_attribution",
     "t_token_stats",
     "t_exact_dedup",
     "t_minhash_pairs",
+    "t_ngram_jaccard_dupes",
     "t_simhash",
+    "t_bpe_tokens",
     "s_knn_bruteforce",
+    "s_ann_lsh",
     "s_embedding_dupes",
 ]
 

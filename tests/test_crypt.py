@@ -55,3 +55,39 @@ def test_object_key_lengths():
     assert len(crypt.object_encryption_key(key5, 7, 0)) == 10  # 5+5 < 16
     key16 = b"\x02" * 16
     assert len(crypt.object_encryption_key(key16, 7, 0)) == 16  # capped at 16
+
+
+def test_wrong_user_password_hits_reference_notimplemented_gap():
+    """A document whose user password doesn't authenticate falls through to
+    owner-password auth, which the reference leaves unimplemented
+    (Tokeniser.cs:810-864 NotImplementedException) — this engine reproduces
+    the gap as a recorded per-row error, never a crash."""
+    import random
+
+    from pdfray.core.extract import extract_document
+    from pdfray.sources.fixtures import SNIPPETS, render_content, _font_body
+    from pdfray.sources.pdfwriter import Encryption, PdfBuilder
+
+    enc = Encryption(user_password="right", owner_password="own")
+    b = PdfBuilder(encryption=enc)
+    frags = [[("Tf", "F1", 12), ("Td", 100, 700), ("Tj", SNIPPETS["en"][0])]]
+    content = render_content(frags, "WinAnsiEncoding", b)
+    cid = b.add_stream(content)
+    fid = b.add(_font_body("WinAnsiEncoding"))
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    b.add_encrypt_dict()
+    data = b.finish_classic(cat)
+
+    ok = extract_document(data, password="right")
+    assert ok.error is None and ok.text
+
+    bad = extract_document(data, password="wrong")
+    assert bad.error is not None
+    assert "owner password authentication is not implemented" in bad.error
+    assert bad.text == ""
