@@ -116,6 +116,46 @@ def _extract_partition_metrics(sf_dir: str):
     return out.sort_values("partition_id").reset_index(drop=True)
 
 
+def _extract_repaired(sf_dir: str):
+    """XRefUpdater parity in-pipeline: deterministically corrupt the
+    startxref offset of every (uncompressed) simple-class document, repair
+    with the reference tool's FSM, extract — the oracle is the untouched
+    golden text, so the repair must round-trip byte-identically."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdfray.sources.fixtures import ensure_corpus_parquet
+    from pdfray.sources.xref_repair import RepairXref
+    from pdfray.pipelines.extraction import extract_dataset, read_corpus
+
+    path = ensure_corpus_parquet(sf_dir)
+    ds = read_corpus(path)
+
+    def corrupt_simple(t: pa.Table) -> pa.Table:
+        mask = pc.match_substring(t.column("url"), "/simple/")
+        t = t.filter(mask)
+        out = []
+        for v in t.column("html"):
+            data = v.as_py()
+            # point startxref 13 bytes past the real table
+            out.append(
+                re.sub(
+                    rb"startxref\n(\d+)",
+                    lambda m: b"startxref\n" + str(int(m.group(1)) + 13).encode(),
+                    data,
+                )
+            )
+        return pa.table({"url": t.column("url"), "html": pa.array(out, pa.binary())})
+
+    repaired = ds.map_batches(corrupt_simple, batch_format="pyarrow").map_batches(
+        RepairXref(), batch_format="pyarrow"
+    )
+    out = extract_dataset(repaired, concurrency=(1, 4))
+    return out.select_columns(["url", "text"])
+
+
 def _pipeline_clean_corpus(sf_dir: str):
     """Deterministic prefix of the cleaning chain: extract -> quality gate ->
     exact dedup (keep min url); oracle-checkable because extracted text is
@@ -144,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": _extract_text,
         "extract_stats_by_lang": _extract_stats_by_lang,
         "extract_version_counts": _extract_version_counts,
+        "extract_repaired": _extract_repaired,
         "extract_partition_metrics": _extract_partition_metrics,
         # relational operators over the star schema
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -200,6 +241,10 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(SUM(OCTET_LENGTH(html)) AS BIGINT) AS sum_bytes, "
             f"CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty "
             f"FROM read_parquet('{fixture}') GROUP BY lang ORDER BY lang"
+        ),
+        "extract_repaired": (
+            f"SELECT url, text FROM read_parquet('{fixture}') "
+            f"WHERE url LIKE '%/simple/%'"
         ),
         "extract_version_counts": (
             f"SELECT COALESCE(pdf_version, 'none') AS pdf_version, "

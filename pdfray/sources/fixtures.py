@@ -25,7 +25,7 @@ NL = "\n"
 DELIM = "|"
 
 # bump when generation logic changes so /tmp caches can never go stale
-FIXTURE_VERSION = 6
+FIXTURE_VERSION = 7
 
 LANGS = ("en", "de", "fr", "es")
 

@@ -178,7 +178,10 @@ class PdfBuilder:
         length = len(payload) if length_override is None else length_override
         self.addrs[obj_num] = len(self.buf)
         self.buf += f"{obj_num} 0 obj\n".encode("latin-1")
-        self.buf += f"<</Length {length}{dict_extra}>>stream".encode("latin-1")
+        # 'stream' on its own line: the common real-PDF layout (and the only
+        # one the reference's XRefUpdater FSM recognizes — it matches the
+        # keyword at line starts; inline it would latch onto endSTREAM)
+        self.buf += f"<</Length {length}{dict_extra}>>\nstream".encode("latin-1")
         self.buf += eol
         self.buf += payload
         self.buf += b"\nendstream\nendobj\n"

@@ -152,3 +152,44 @@ def test_system_doc_pdfs_byte_stable(path, version, pages, n_chars, text_md5):
     assert result.n_pages == pages
     assert len(result.text) == n_chars
     assert hashlib.md5(result.text.encode("utf-8")).hexdigest() == text_md5
+
+
+def test_xref_updater_byte_identical_to_reference_output():
+    """The repair FSM reproduces the reference tool's OWN shipped artifact
+    byte-for-byte: `H3 ... Updated.pdf` is the output the C# XRefUpdater
+    wrote for `H3 ....pdf`.  The tool ran on WPF-TextBox-normalized text
+    (every newline CRLF) and the repository artifact is EOL-normalized back
+    to LF — both steps are modeled explicitly.  This is an INDEPENDENT
+    oracle: the expected bytes were produced by the reference, not by this
+    engine."""
+    from pdfray.sources.xref_repair import update_xref
+
+    src = open(os.path.join(REF, "..", "XRefUpdater",
+                            "H3 Simple Text String Example.pdf"), "rb").read()
+    want = open(os.path.join(REF, "..", "XRefUpdater",
+                             "H3 Simple Text String Example Updated.pdf"), "rb").read()
+    got = update_xref(src.replace(b"\n", b"\r\n")).replace(b"\r\n", b"\n")
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "name,text_prefix",
+    [
+        ("H3 Simple Text String Example.pdf", "\n Hello World |"),
+        ("PdfTestSample.pdf", "\n Hello World |"),
+    ],
+)
+def test_repair_then_extract_reference_fixtures(name, text_prefix):
+    """Both broken-startxref reference fixtures become extractable after the
+    XRefUpdater-parity repair (offsets are consistent in the normalized
+    form, unlike the shipped artifact whose offsets were computed pre-EOL-
+    normalization)."""
+    from pdfray.core.extract import extract_document
+    from pdfray.sources.xref_repair import repair_document
+
+    data = open(os.path.join(REF, "..", "XRefUpdater", name), "rb").read()
+    assert extract_document(data).error is not None  # broken as shipped
+    result = extract_document(repair_document(data))
+    assert result.error is None
+    assert result.text.startswith(text_prefix)
+    assert result.n_pages == 1
