@@ -32,7 +32,9 @@ def entry() -> Any:
     from pdfray.pipelines.extraction import extract_dataset, read_corpus
 
     path = ensure_corpus_parquet("/root/testdata/sf0.001")
-    ds = extract_dataset(read_corpus(path), concurrency=(1, 4))
+    # engine defaults: task-pool extraction with warm per-worker state and
+    # the size-aware skew policy ('auto' single-pools small allocations)
+    ds = extract_dataset(read_corpus(path))
     return ds
 
 

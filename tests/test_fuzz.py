@@ -101,3 +101,30 @@ def test_flate_roundtrip_and_corrupt_flate(payload):
         lx.fill_stream_from_dict(d)
     except (PdfStreamError, Exception):
         pass  # any exception type is fine at lexer level; extract() records it
+
+
+@given(seed=st.integers(0, 2**32 - 1), n_mutations=st.integers(1, 24))
+@settings(**FUZZ_SETTINGS)
+def test_xref_repair_never_hangs_or_crashes(seed, n_mutations):
+    """The repair FSM on mutated documents: terminates, returns bytes, and
+    only ever raises the reference's documented generation ValueError."""
+    from pdfray.sources.xref_repair import repair_document
+
+    rng = random.Random(seed)
+    name, builder = fixtures.doc_class(seed % 100)
+    data = builder(random.Random(seed), fixtures.LANGS[seed % 4])[0]
+    mutated = bytearray(data)
+    for _ in range(n_mutations):
+        kind = rng.randrange(3)
+        pos = rng.randrange(len(mutated))
+        if kind == 0:
+            mutated[pos] = rng.randrange(256)
+        elif kind == 1:
+            del mutated[pos]
+        else:
+            mutated.insert(pos, rng.randrange(256))
+    try:
+        out = repair_document(bytes(mutated))
+        assert isinstance(out, bytes)
+    except ValueError as ex:
+        assert "should be 0" in str(ex)  # the reference's generation throw
