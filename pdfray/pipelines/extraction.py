@@ -101,8 +101,23 @@ def read_corpus(path, columns=("url", "html"), override_num_blocks=None):
     granularity comes from the sharded corpus layout (one task per file /
     row-group span); pass ``override_num_blocks`` only when reading a single
     monolithic file that would otherwise become one block."""
+    import ray
     import ray.data as rd
 
+    if override_num_blocks is None:
+        # one block per input file when files outnumber CPUs: skips Ray's
+        # SplitBlocks pass, whose finer-grained blocks cost ~30-50% of
+        # end-to-end wall on the bench corpus; with few big files the
+        # default splitting is still needed for parallelism
+        if isinstance(path, (list, tuple)):
+            n_files = len(path)
+        elif isinstance(path, str) and os.path.isdir(path):
+            n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        else:
+            n_files = 1
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        if n_files >= cpus:
+            override_num_blocks = n_files
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
