@@ -241,51 +241,45 @@ def q_nation_region(sf_dir: str):
 def q_events_rollup(sf_dir: str):
     """events by type: count, rounded mean value, distinct users.
 
-    Distinct-count is a two-stage groupby — local (event_type, user_id) dedup
-    per batch, global dedup by pair, then a count per type — so no task ever
-    holds a per-key user set (a skewed event_type at corpus scale would put
-    the whole user universe in one combiner's memory otherwise)."""
-    from ray.data.aggregate import Count, Sum
+    ONE input pass: the per-batch combiner reduces to one row per
+    (event_type, user_id), the first shuffle merges those partials (so no
+    task ever holds a per-key user set — a skewed event_type would put the
+    whole user universe in one combiner's memory otherwise), and the second
+    shuffle over the distinct pairs yields events/value/user counts per
+    type simultaneously."""
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        # combiner: one row per event_type per batch before the shuffle
-        g = t.select(["event_type", "value"]).group_by("event_type").aggregate(
+        # combiner: one row per (event_type, user_id) per batch
+        g = t.group_by(["event_type", "user_id"]).aggregate(
             [("value", "sum"), ("value", "count")]
         )
-        return g.rename_columns(["event_type", "sum_value", "n"])
+        return g.rename_columns(["event_type", "user_id", "sum_value", "n"])
 
-    stats = (
+    def per_type(t: pa.Table) -> pa.Table:
+        # rows here are globally-distinct (event_type, user_id) partials
+        g = (
+            t.append_column("one", pa.array([1] * len(t), pa.int64()))
+            .group_by("event_type")
+            .aggregate([("sum_value", "sum"), ("n", "sum"), ("one", "sum")])
+        )
+        return g.rename_columns(["event_type", "sum_value", "n_events", "n_users"])
+
+    df = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n", alias_name="n_events"))
-        .to_pandas()
-    )
-
-    def local_pairs(t: pa.Table) -> pa.Table:
-        # local dedup: shuffle carries distinct (event_type, user_id) per batch
-        return t.select(["event_type", "user_id"]).group_by(
-            ["event_type", "user_id"]
-        ).aggregate([])
-
-    def count_types(t: pa.Table) -> pa.Table:
-        g = t.select(["event_type"]).append_column(
-            "one", pa.array([1] * len(t), pa.int64())
-        ).group_by("event_type").aggregate([("one", "sum")])
-        return g.rename_columns(["event_type", "n_users"])
-
-    users = (
-        ds.map_batches(local_pairs, batch_format="pyarrow")
         .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="_c"))  # global distinct pairs
-        .map_batches(count_types, batch_format="pyarrow")
+        .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n", alias_name="n"))
+        .map_batches(per_type, batch_format="pyarrow")
         .groupby("event_type")
-        .aggregate(Sum("n_users", alias_name="n_users"))
+        .aggregate(
+            Sum("sum_value", alias_name="sum_value"),
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_users", alias_name="n_users"),
+        )
         .to_pandas()
     )
-
-    df = stats.merge(users, on="event_type")
     df["avg_value"] = (df["sum_value"] / df["n_events"]).round(4)
     df = df[["event_type", "n_events", "avg_value", "n_users"]]
     return df.sort_values("event_type").reset_index(drop=True)
