@@ -4,12 +4,15 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
-``--scaling`` runs the headline twice in fresh processes (8 vs 32 CPUs by
-default) and reports throughput at both plus scaling efficiency
-(BASELINE.md protocol: efficiency = (t_lo / t_hi) / (hi/lo)).
+``--scaling [lo hi]`` runs the headline in fresh processes at two
+parallelism levels (default 8 vs 32 CPUs), best-of-3 per level, and reports
+throughput at both plus raw scaling efficiency ((t_lo/t_hi)/(hi/lo)) and
+the efficiency normalized by a like-for-like hardware-ceiling control (a
+Ray-free multiprocessing pool running the same extract kernel on the same
+shards).  ``--control`` prints the single-thread rate on the same corpus.
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     RAY_GRAFT_CPUS (default 32).
+     RAY_GRAFT_CPUS (default 32), GRAFT_BENCH_MB (default 800).
 """
 from __future__ import annotations
 
