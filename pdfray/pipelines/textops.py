@@ -388,6 +388,14 @@ def _candidate_pairs(buckets, id_col: str, hamming_col: str = None, max_hamming:
 
     buckets = buckets.materialize()
     n = buckets.count()
+    if n == 0:
+        # joining empty datasets trips the schema-less-block quirk; an empty
+        # PAIRS frame is the correct result
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame({"doc_a": pd.Series(dtype=object), "doc_b": pd.Series(dtype=object)})
+        )
     # compact: guarantees nonempty blocks (Ray join schema quirk) and sizes
     # partitions for the join
     n_parts = max(1, min(32, n // 100_000 + 1))
