@@ -378,8 +378,8 @@ def _extract_prepared(
 
     Stage A (the wide per-document transform) runs as a TASK pool with
     num_cpus from _task_cpus() — fractional slots keep cores busy through
-    and read gaps, and warm state lives in the worker process (see
-    `_warm_extract_fn`).  An explicit ``concurrency`` keeps the legacy
+    object-store and read gaps, and warm state lives in the worker process
+    (see `_warm_extract_fn`).  An explicit ``concurrency`` keeps the legacy
     actor-pool form (callers that want a bounded stateful pool).  Stage B,
     the huge-document pool, stays a small ACTOR pool: its whole point is a
     hard bound on how many pathological payloads are in flight at once."""
