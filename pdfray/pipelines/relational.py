@@ -252,35 +252,50 @@ def q_events_rollup(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
-        # combiner: one row per (event_type, user_id) per batch
+        # combiner: one row per (event_type, user_id) per batch.  Row count
+        # and non-null value count are carried SEPARATELY so NULL values
+        # reproduce SQL semantics exactly (COUNT(*) counts rows, AVG skips
+        # nulls in numerator AND denominator)
+        t = t.append_column("one", pa.array([1] * len(t), pa.int64()))
         g = t.group_by(["event_type", "user_id"]).aggregate(
-            [("value", "sum"), ("value", "count")]
+            [("value", "sum"), ("value", "count"), ("one", "sum")]
         )
-        return g.rename_columns(["event_type", "user_id", "sum_value", "n"])
+        return g.rename_columns(
+            ["event_type", "user_id", "sum_value", "n_vals", "n_rows"]
+        )
 
     def per_type(t: pa.Table) -> pa.Table:
         # rows here are globally-distinct (event_type, user_id) partials
         g = (
             t.append_column("one", pa.array([1] * len(t), pa.int64()))
             .group_by("event_type")
-            .aggregate([("sum_value", "sum"), ("n", "sum"), ("one", "sum")])
+            .aggregate(
+                [("sum_value", "sum"), ("n_vals", "sum"), ("n_rows", "sum"), ("one", "sum")]
+            )
         )
-        return g.rename_columns(["event_type", "sum_value", "n_events", "n_users"])
+        return g.rename_columns(
+            ["event_type", "sum_value", "n_vals", "n_events", "n_users"]
+        )
 
     df = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "user_id"])
-        .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n", alias_name="n"))
+        .aggregate(
+            Sum("sum_value", alias_name="sum_value"),
+            Sum("n_vals", alias_name="n_vals"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
         .map_batches(per_type, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(
             Sum("sum_value", alias_name="sum_value"),
+            Sum("n_vals", alias_name="n_vals"),
             Sum("n_events", alias_name="n_events"),
             Sum("n_users", alias_name="n_users"),
         )
         .to_pandas()
     )
-    df["avg_value"] = (df["sum_value"] / df["n_events"]).round(4)
+    df["avg_value"] = (df["sum_value"] / df["n_vals"]).round(4)
     df = df[["event_type", "n_events", "avg_value", "n_users"]]
     return df.sort_values("event_type").reset_index(drop=True)
 

@@ -45,13 +45,14 @@ def _query_matrix(sf_dir: str):
     """First N_QUERIES vectors by vec_id — deterministic query workload.
 
     The queries are pipeline INPUT (a user supplies them at deployment);
-    this pruned head-read just synthesizes that input deterministically."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    the distributed sort().limit() synthesizes that input without pulling
+    the table to the driver."""
+    df = (
+        _read_embeddings(sf_dir)
+        .sort("vec_id")
+        .limit(N_QUERIES)
+        .to_pandas()
     )
-    df = t.to_pandas().sort_values("vec_id").head(N_QUERIES)
     q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     return df["vec_id"].to_numpy(), qn
@@ -59,6 +60,8 @@ def _query_matrix(sf_dir: str):
 
 def _batch_matrix(t: pa.Table) -> np.ndarray:
     """Zero-ish-copy (batch, dim) float64 matrix from the list column."""
+    if len(t) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
     col = t.column("embedding")
     flat = col.combine_chunks()
     if isinstance(flat, pa.ChunkedArray):
@@ -99,6 +102,14 @@ def s_knn_bruteforce(sf_dir: str):
             self.qids, self.qmat = ray.get(qref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
             vecs = _normalize(_batch_matrix(t))
             sims = vecs @ self.qmat.T  # (batch, n_queries), float64 like the oracle
             vec_ids = t.column("vec_id").to_numpy()
@@ -193,6 +204,15 @@ def s_ann_lsh(sf_dir: str, n_planes: int = 0):
             self.shifts = 1 << np.arange(self.planes.shape[1])
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                        "n_candidates": pa.array([], pa.int64()),
+                    }
+                )
             vecs = _normalize(_batch_matrix(t))
             vec_ids = t.column("vec_id").to_numpy()
             sigs = ((vecs @ self.planes) > 0) * self.shifts
@@ -280,6 +300,8 @@ def s_lsh_buckets(sf_dir: str, n_planes: int = 0):
             self.shifts = 1 << np.arange(self.planes.shape[1])
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"sig": pa.array([], pa.int64())})
             vecs = _normalize(_batch_matrix(t))
             sigs = (((vecs @ self.planes) > 0) * self.shifts).sum(axis=1)
             return pa.table({"sig": pa.array(sigs.astype(np.int64), pa.int64())})
@@ -296,63 +318,63 @@ def s_lsh_buckets(sf_dir: str, n_planes: int = 0):
 def lsh_candidate_pairs(sf_dir: str, n_planes: int = 0):
     """LSH-bucketed near-dup CANDIDATE pairs (the high-threshold scale path).
 
-    Signature via map_batches, then groupby(signature) emits within-bucket
-    pairs — the shuffle carries (vec_id, signature) rows only.  Correct when
-    the duplicate threshold is high (sim >= ~0.9, where per-plane collision
-    probability approaches 1); NOT used for `s_embedding_dupes`' 0.42
-    threshold, where exactness requires all-pairs (see module docstring)."""
+    Signatures via map_batches, then the shared vectorized pair generator
+    from `textops._candidate_pairs` (Acero self-join on the bucket key — the
+    groupby().map_groups form costs ~1 ms of Python per mostly-singleton
+    group).  Correct when the duplicate threshold is high (sim >= ~0.9,
+    where per-plane collision probability approaches 1); NOT used for
+    `s_embedding_dupes`' 0.42 threshold, where exactness requires all-pairs
+    (see module docstring)."""
     import ray
+
+    from .textops import _candidate_pairs
 
     ds = _read_embeddings(sf_dir)
     n_rows = ds.count()
     if n_planes <= 0:
         n_planes = _auto_planes(n_rows)
     rng = np.random.RandomState(17)
-    planes_ref = None
 
-    class Sign:
-        def __init__(self, planes):
-            self.planes = planes
-            self.shifts = 1 << np.arange(planes.shape[1])
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vecs = _normalize(_batch_matrix(t))
-            sigs = (((vecs @ self.planes) > 0) * self.shifts).sum(axis=1)
-            return pa.table(
-                {
-                    "vec_id": t.column("vec_id"),
-                    "sig": pa.array(sigs.astype(np.int64), pa.int64()),
-                }
-            )
-
-    # dim discovered from the first row's list length via parquet schema-less
-    # peek: take(1) reads a single row group
+    # dim discovered from the first row's list length (single row-group read)
     first = ds.take(1)[0]
     dim = len(first["embedding"])
     planes = rng.randn(dim, n_planes).astype(np.float64)
     planes_ref = ray.put(planes)
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g["vec_id"]))
-        out = {"vec_a": [], "vec_b": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out["vec_a"].append(ids[i])
-                out["vec_b"].append(ids[j])
-        return pd.DataFrame(out)
+    class SignBuckets:
+        """(vec_id, band, band_key) rows for the shared pair generator —
+        one band whose key is the full signature."""
 
-    class SignFromRef(Sign):
         def __init__(self):
-            super().__init__(ray.get(planes_ref))
+            self.planes = ray.get(planes_ref)
+            self.shifts = 1 << np.arange(self.planes.shape[1])
 
-    pairs = (
-        ds.map_batches(SignFromRef, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("sig")
-        .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "band": pa.array([], pa.int32()),
+                        "band_key": pa.array([], pa.string()),
+                    }
+                )
+            vecs = _normalize(_batch_matrix(t))
+            sigs = (((vecs @ self.planes) > 0) * self.shifts).sum(axis=1)
+            return pa.table(
+                {
+                    "vec_id": t.column("vec_id"),
+                    "band": pa.array(np.zeros(len(t), np.int32), pa.int32()),
+                    "band_key": pa.array([format(int(s), "x") for s in sigs]),
+                }
+            )
+
+    buckets = ds.map_batches(SignBuckets, batch_format="pyarrow", concurrency=(1, 4))
+    pairs = _candidate_pairs(buckets, "vec_id").to_pandas()
     if len(pairs) == 0:
-        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+        )
+    pairs = pairs.rename(columns={"doc_a": "vec_a", "doc_b": "vec_b"})
     return pairs.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 

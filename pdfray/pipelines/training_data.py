@@ -104,14 +104,23 @@ def clean_corpus(sf_dir: str, near_dedup: bool = False):
 
     from ray.data.aggregate import Min
 
+    # compact both join inputs: a side whose first block is empty loses its
+    # schema in Ray's hash join (see CLAUDE.md quirks) — the quality gate
+    # can legitimately empty out a leading block, and compaction also
+    # right-sizes blocks after filtering
+    n_rows = ds.count()
+    n_parts = max(1, min(16, n_rows // 50_000 + 1))
+    ds = ds.repartition(n_parts).materialize()
     winners = (
         ds.map_batches(_hash_url_only, batch_format="pyarrow")
         .groupby("text_hash")
         .aggregate(Min("url", alias_name="url"))
         .select_columns(["url"])
+        .repartition(n_parts)
+        .materialize()
     )
     survivors = ds.join(
-        winners, join_type="inner", num_partitions=4, on=("url",)
+        winners, join_type="inner", num_partitions=n_parts, on=("url",)
     ).materialize()
     df = survivors.to_pandas()
 

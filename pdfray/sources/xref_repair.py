@@ -35,9 +35,12 @@ def update_xref(data: bytes) -> bytes:
     """Rewrite the classic xref table from discovered object offsets.
 
     Returns the repaired bytes; raises ValueError on a non-zero object
-    generation (reference behavior).  If no CRLF-delimited ``xref`` keyword
-    + ``trailer`` + ``startxref`` chain is found, the input is returned
-    unchanged (the reference tool would simply fall off the end)."""
+    generation or a duplicate object number (the reference throws in both
+    cases: the explicit generation check and SortedList.Add's
+    duplicate-key ArgumentException).  If the CRLF-delimited ``xref`` +
+    ``trailer`` + ``startxref`` chain is not completed, the input is
+    returned unchanged — including when the scan dies mid-rewrite (a
+    truncated tail must not yield a half-rewritten document)."""
     S_PARSE, S_NEWLINE, S_NUM1, S_NUM2, S_STREAM, S_XREF, S_TRAILER = range(7)
     out = bytearray()
     addresses: dict = {}
@@ -96,6 +99,12 @@ def update_xref(data: bytes) -> bytes:
                         f"Generation of object {number1} should be 0, "
                         f"but was {number2}."
                     )
+                if number1 in addresses:
+                    # SortedList.Add duplicate-key throw (reference parity)
+                    raise ValueError(
+                        f"An entry with the same key already exists: "
+                        f"object {number1}."
+                    )
                 addresses[number1] = number1_index
                 out += data[i + 1 : i + 4]
                 i += 3
@@ -125,7 +134,9 @@ def update_xref(data: bytes) -> bytes:
                 out += b"%%EOF"
                 return bytes(out)
         i += 1
-    return data if state < S_TRAILER else bytes(out)
+    # fell off the end without completing startxref: never return a
+    # half-rewritten document
+    return data
 
 
 def repair_document(data: bytes) -> bytes:
