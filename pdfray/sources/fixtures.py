@@ -799,13 +799,26 @@ def ensure_corpus_parquet(sf_dir: str, cache_root: str = "/tmp/pdfray_fixtures")
     table = corpus_table(
         n, n_huge=n_huge, n_broken=3, huge_pages=huge_pages, huge_image_kb=huge_image_kb
     )
-    tmp = out_path + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
+    # unique temp dir per writer: concurrent first-time callers (pytest and
+    # check_oracles are a documented workflow pair) must not share a .tmp
+    # path, and os.replace onto an existing DIRECTORY raises — whichever
+    # writer loses the rename race discards its copy (content is
+    # deterministic, so the winner's output is identical)
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=".tmp-", dir=os.path.dirname(out_path))
     for s, lo in enumerate(range(0, len(table), _SHARD_ROWS)):
         pq.write_table(
             table.slice(lo, _SHARD_ROWS),
             os.path.join(tmp, f"part-{s:05d}.parquet"),
             row_group_size=256,
         )
-    os.replace(tmp, out_path)
+    try:
+        os.replace(tmp, out_path)
+    except OSError:
+        import shutil
+
+        if not os.path.isdir(out_path):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
     return out_path
