@@ -41,21 +41,27 @@ def _read_embeddings(sf_dir: str):
     )
 
 
+_QUERY_CACHE: dict = {}
+
+
 def _query_matrix(sf_dir: str):
     """First N_QUERIES vectors by vec_id — deterministic query workload.
 
     The queries are pipeline INPUT (a user supplies them at deployment);
     the distributed sort().limit() synthesizes that input without pulling
-    the table to the driver."""
-    df = (
-        _read_embeddings(sf_dir)
-        .sort("vec_id")
-        .limit(N_QUERIES)
-        .to_pandas()
-    )
-    q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-    return df["vec_id"].to_numpy(), qn
+    the table to the driver, and the tiny result is memoized because every
+    similarity operator in a session shares the same workload."""
+    if sf_dir not in _QUERY_CACHE:
+        df = (
+            _read_embeddings(sf_dir)
+            .sort("vec_id")
+            .limit(N_QUERIES)
+            .to_pandas()
+        )
+        q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        _QUERY_CACHE[sf_dir] = (df["vec_id"].to_numpy(), qn)
+    return _QUERY_CACHE[sf_dir]
 
 
 def _batch_matrix(t: pa.Table) -> np.ndarray:
