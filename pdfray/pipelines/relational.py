@@ -171,20 +171,28 @@ def q_broadcast_join_segment(sf_dir: str):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             idx = pc.index_in(t.column("o_custkey"), value_set=self.keys)
-            return pa.table(
+            # combiner: reduce the batch to one row per segment BEFORE the
+            # shuffle — the groupby then exchanges a handful of partial rows
+            # per block instead of every order
+            tt = pa.table(
                 {
                     "c_mktsegment": pc.take(self.values, idx),
-                    "o_totalprice": t.column("o_totalprice"),
+                    "revenue": t.column("o_totalprice"),
+                    "n_orders": pa.array([1] * len(t), pa.int64()),
                 }
             )
+            g = tt.group_by("c_mktsegment").aggregate(
+                [("revenue", "sum"), ("n_orders", "sum")]
+            )
+            return g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     out = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(JoinSegment, batch_format="pyarrow", concurrency=(1, 4))
         .groupby("c_mktsegment")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
     )
     df = out.to_pandas()
     return _round_cols(df, {"revenue": 2}).sort_values("c_mktsegment").reset_index(drop=True)
@@ -201,10 +209,23 @@ def q_hash_join_brand(sf_dir: str):
         on=("l_partkey",),
         right_on=("p_partkey",),
     )
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    out = joined.groupby("p_brand").aggregate(
-        Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_rows")
+    def combine(t: pa.Table) -> pa.Table:
+        # combiner: collapse each joined block to one row per brand before
+        # the final shuffle
+        tt = pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "sum_qty": t.column("l_quantity"),
+                "n_rows": pa.array([1] * len(t), pa.int64()),
+            }
+        )
+        g = tt.group_by("p_brand").aggregate([("sum_qty", "sum"), ("n_rows", "sum")])
+        return g.rename_columns(["p_brand", "sum_qty", "n_rows"])
+
+    out = joined.map_batches(combine, batch_format="pyarrow").groupby("p_brand").aggregate(
+        Sum("sum_qty", alias_name="sum_qty"), Sum("n_rows", alias_name="n_rows")
     )
     df = out.to_pandas()
     return _round_cols(df, {"sum_qty": 2}).sort_values("p_brand").reset_index(drop=True)
