@@ -26,3 +26,31 @@ def test_clean_corpus_stages(ray_session, tmp_path, monkeypatch):
 
     near = training_data.clean_corpus("ignored", near_dedup=True)
     assert len(near) <= len(clean)
+
+
+def test_clean_corpus_survives_fully_filtered_leading_block(
+    ray_session, tmp_path, monkeypatch
+):
+    """A corpus whose FIRST shard is entirely broken documents: the quality
+    gate empties that block, and Ray's hash join would lose the side's
+    schema without the compaction workaround (CLAUDE.md quirks)."""
+    import pyarrow as pa
+
+    from pdfray.sources import fixtures
+
+    full = fixtures.corpus_table(12, n_huge=0, n_broken=6)
+    is_broken = pa.compute.match_substring(full["url"], "/broken/")
+    broken = full.filter(is_broken)
+    good = full.filter(pa.compute.invert(is_broken))
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(broken, str(d / "part-00000.parquet"))  # leading shard
+    pq.write_table(good, str(d / "part-00001.parquet"))
+    monkeypatch.setattr(
+        "pdfray.sources.fixtures.ensure_corpus_parquet", lambda sf_dir: str(d)
+    )
+    from pdfray.pipelines import training_data
+
+    clean = training_data.clean_corpus("ignored", near_dedup=True)
+    assert 0 < len(clean) <= good.num_rows
+    assert clean["text"].is_unique
