@@ -51,47 +51,62 @@ def _extract_text(sf_dir: str):
 _EXTRACTED_CACHE: dict = {}
 
 
-def _extracted_df(sf_dir: str):
-    """Memoized extraction output for the rollup queries (sf0.01 is small;
-    the driver runs several extraction-derived queries in one process).
-    Only the rollup-relevant columns reach the driver — a full-scale run
-    writes the extraction output to parquet and aggregates over that."""
+def _extracted_meta(sf_dir: str):
+    """Memoized NARROW metadata Dataset for the rollup queries.
+
+    Runs extraction once (the driver issues several extraction-derived
+    queries in one process) and materializes only per-document metadata
+    blocks in the object store — (url, lang, n_bytes, pdf_version, n_pages,
+    partition_id, n_empty).  ``n_empty`` is computed vectorized on the
+    workers so the ``text`` column never leaves them; at full scale this
+    materialization is the post-extraction metadata checkpoint (~bytes/doc),
+    and the rollups below shuffle only combiner partials.
+    """
     if sf_dir not in _EXTRACTED_CACHE:
         from pdfray.sources.fixtures import ensure_corpus_parquet
-        from pdfray.pipelines.extraction import extract_dataset, read_corpus
+        from pdfray.pipelines.extraction import (
+            extract_dataset,
+            meta_projection,
+            read_corpus,
+        )
 
         path = ensure_corpus_parquet(sf_dir)
-        ds = extract_dataset(read_corpus(path))
-        cols = ["url", "text", "n_bytes", "pdf_version", "n_pages", "partition_id"]
-        _EXTRACTED_CACHE[sf_dir] = ds.select_columns(cols).to_pandas()
+        ds = extract_dataset(
+            read_corpus(path, columns=("url", "html", "lang")),
+            extractor_kwargs={"passthrough": ("lang",), "include_page_texts": False},
+        )
+        _EXTRACTED_CACHE[sf_dir] = ds.map_batches(
+            meta_projection, batch_format="pyarrow"
+        ).materialize()
     return _EXTRACTED_CACHE[sf_dir]
 
 
 def _extract_stats_by_lang(sf_dir: str):
-    import pyarrow.parquet as pq
+    """Distributed combiner rollup by input language (metadata rides the
+    extraction pass via the passthrough column — no post-hoc corpus join)."""
+    from pdfray.pipelines.extraction import rollup_meta
 
-    from pdfray.sources.fixtures import ensure_corpus_parquet
-
-    df = _extracted_df(sf_dir).copy()
-    path = ensure_corpus_parquet(sf_dir)
-    langs = pq.read_table(path, columns=["url", "lang"]).to_pandas()
-    df = df.merge(langs, on="url")
-    df["n_empty"] = (df["text"] == "").astype(int)
-    out = (
-        df.groupby("lang")
-        .agg(n_docs=("url", "size"), sum_bytes=("n_bytes", "sum"), n_empty=("n_empty", "sum"))
-        .reset_index()
-    )
-    return out.sort_values("lang").reset_index(drop=True)
+    out = rollup_meta(_extracted_meta(sf_dir), "lang")
+    return out[["lang", "n_docs", "sum_bytes", "n_empty"]]
 
 
 def _extract_version_counts(sf_dir: str):
     """Engine-extracted pdf_version rollup; the oracle reads the fixture's
     analytic golden pdf_version column — an independent structural check."""
-    df = _extracted_df(sf_dir).copy()
-    df["pdf_version"] = df["pdf_version"].fillna("none")
-    out = df.groupby("pdf_version").agg(n_docs=("url", "size")).reset_index()
-    return out.sort_values("pdf_version").reset_index(drop=True)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdfray.pipelines.extraction import rollup_meta
+
+    def fill(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("pdf_version"),
+            "pdf_version",
+            pc.coalesce(t.column("pdf_version"), pa.scalar("none")),
+        )
+
+    meta = _extracted_meta(sf_dir).map_batches(fill, batch_format="pyarrow")
+    return rollup_meta(meta, "pdf_version")[["pdf_version", "n_docs"]]
 
 
 def _extract_partition_metrics(sf_dir: str):
@@ -101,21 +116,10 @@ def _extract_partition_metrics(sf_dir: str):
     (parse_ms mean/max) live in `pipelines.extraction.partition_metrics`,
     which `run_extraction` writes — they are inherently non-deterministic
     and stay out of the driver hash."""
-    df = _extracted_df(sf_dir).copy()
-    df["n_empty"] = (df["text"] == "").astype("int64")
-    out = (
-        df.groupby("partition_id")
-        .agg(
-            n_docs=("url", "size"),
-            sum_bytes=("n_bytes", "sum"),
-            n_pages=("n_pages", "sum"),
-            n_empty=("n_empty", "sum"),
-        )
-        .reset_index()
-    )
-    out["partition_id"] = out["partition_id"].astype("int64")
-    out["n_pages"] = out["n_pages"].astype("int64")
-    return out.sort_values("partition_id").reset_index(drop=True)
+    from pdfray.pipelines.extraction import rollup_meta
+
+    out = rollup_meta(_extracted_meta(sf_dir), "partition_id")
+    return out[["partition_id", "n_docs", "sum_bytes", "n_pages", "n_empty"]]
 
 
 def _extract_repaired(sf_dir: str):

@@ -238,6 +238,63 @@ def partition_metrics(extracted):
     return combined.map_batches(finish, batch_format="pyarrow")
 
 
+def meta_projection(t: pa.Table) -> pa.Table:
+    """Narrow per-document metadata projection of the extraction output.
+
+    ``n_empty`` is computed vectorized HERE so the ``text`` column never
+    leaves the workers — rollups downstream shuffle only metadata rows
+    (url, lang?, n_bytes, pdf_version, n_pages, partition_id, n_empty).
+    """
+    cols = {
+        "url": t.column("url"),
+        "n_bytes": t.column("n_bytes"),
+        "pdf_version": t.column("pdf_version"),
+        "n_pages": pc.cast(t.column("n_pages"), pa.int64()),
+        "partition_id": pc.cast(t.column("partition_id"), pa.int64()),
+        "n_empty": pc.cast(pc.equal(t.column("text"), ""), pa.int64()),
+    }
+    if "lang" in t.column_names:
+        cols["lang"] = t.column("lang")
+    return pa.table(cols)
+
+
+def rollup_meta(meta_ds, key: str):
+    """Grouped document-metadata rollup with the combiner pattern: each block
+    pre-aggregates to one row per key (arrow group_by inside map_batches), so
+    the groupby shuffle carries |keys| rows per block, never per-document
+    rows.  Returns (key, n_docs, sum_bytes, n_pages, n_empty) sorted by key.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                key: t.column(key),
+                "n_docs": pa.array(np.ones(len(t), np.int64)),
+                "sum_bytes": t.column("n_bytes"),
+                "n_pages": t.column("n_pages"),
+                "n_empty": t.column("n_empty"),
+            }
+        )
+        g = tt.group_by(key).aggregate(
+            [("n_docs", "sum"), ("sum_bytes", "sum"), ("n_pages", "sum"), ("n_empty", "sum")]
+        )
+        return g.rename_columns([key, "n_docs", "sum_bytes", "n_pages", "n_empty"])
+
+    out = (
+        meta_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_bytes", alias_name="sum_bytes"),
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("n_empty", alias_name="n_empty"),
+        )
+    )
+    # grouped rows only — |keys| rows reach the driver
+    return out.to_pandas().sort_values(key).reset_index(drop=True)
+
+
 def run_extraction(
     input_path: str,
     out_dir: str,

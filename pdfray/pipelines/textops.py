@@ -389,12 +389,14 @@ def _candidate_pairs(buckets, id_col: str, hamming_col: str = None, max_hamming:
     buckets = buckets.materialize()
     n = buckets.count()
     if n == 0:
-        # joining empty datasets trips the schema-less-block quirk; an empty
-        # PAIRS frame is the correct result
+        # joining empty datasets trips the schema-less-block quirk; a typed
+        # empty PAIRS dataset is the correct result
         import ray.data as rd
 
-        return rd.from_pandas(
-            pd.DataFrame({"doc_a": pd.Series(dtype=object), "doc_b": pd.Series(dtype=object)})
+        schema = buckets.schema()
+        id_type = dict(zip(schema.names, schema.types))[id_col]
+        return rd.from_arrow(
+            pa.table({"doc_a": pa.array([], id_type), "doc_b": pa.array([], id_type)})
         )
     # compact: guarantees nonempty blocks (Ray join schema quirk) and sizes
     # partitions for the join
@@ -454,7 +456,7 @@ def _candidate_pairs(buckets, id_col: str, hamming_col: str = None, max_hamming:
 
 def _verify_pairs(
     docs_ds,
-    pairs_df: pd.DataFrame,
+    pairs_ds,
     set_stage_factory,
     threshold: float,
     id_col: str,
@@ -462,33 +464,44 @@ def _verify_pairs(
 ) -> pd.DataFrame:
     """Distributed exact-Jaccard verification of candidate pairs.
 
-    The feature sets are computed ONLY for candidate ids (vectorized is_in
-    filter over one more pruned scan — the candidate id set is the small
-    output of LSH; with pathological candidate volume this broadcast
-    semi-join becomes a shuffle join on id), then joined to the pair list
-    and verified inside map_batches.  The driver holds candidate ids and
-    the final verified pairs — never texts or feature sets."""
+    ``pairs_ds`` is a DATASET end-to-end — at a template-dense 100x corpus
+    the candidate list is tens of millions of rows and never fits (or
+    belongs) on the driver.  Candidate ids are reduced with a distributed
+    distinct; only that id set (the small LSH output) is broadcast for the
+    semi-join filter, and the feature sets are computed ONLY for candidate
+    ids over one more pruned scan, joined to the pair list, and verified
+    inside map_batches.  The driver holds the distinct candidate ids and
+    the final verified pairs — never texts, feature sets, or raw pairs."""
     import ray
 
-    if len(pairs_df) == 0:
+    pairs_ds = pairs_ds.materialize()
+    schema = pairs_ds.schema()
+    id_type = dict(zip(schema.names, schema.types))["doc_a"]
+    id_dtype = id_type.to_pandas_dtype()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return pd.DataFrame(
             {
-                "doc_a": pairs_df.get("doc_a", pd.Series(dtype=object)),
-                "doc_b": pairs_df.get("doc_b", pd.Series(dtype=object)),
+                "doc_a": pd.Series(dtype=id_dtype),
+                "doc_b": pd.Series(dtype=id_dtype),
                 value_name: pd.Series(dtype="float64"),
             }
         )
-    import ray.data as rd
 
-    cand_ids = pd.unique(
-        pd.concat([pairs_df["doc_a"], pairs_df["doc_b"]], ignore_index=True)
-    )
-    ids_ref = ray.put(cand_ids)
+    def _both_ids(t: pa.Table) -> pa.Table:
+        a = t.select(["doc_a"]).rename_columns(["cand_id"])
+        b = t.select(["doc_b"]).rename_columns(["cand_id"])
+        return pa.concat_tables([a, b])
+
+    # distributed distinct: the shuffle carries bare ids; the driver sees
+    # only the reduced set it must broadcast anyway
+    cand_ids = pairs_ds.map_batches(_both_ids, batch_format="pyarrow").unique("cand_id")
+    ids_ref = ray.put(pa.array(cand_ids, id_type))
 
     class KeepAndHash:
         def __init__(self):
             self.inner = set_stage_factory()
-            self.wanted = pa.array(ray.get(ids_ref))
+            self.wanted = ray.get(ids_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             t = t.filter(pc.is_in(t.column(id_col), value_set=self.wanted))
@@ -500,9 +513,10 @@ def _verify_pairs(
     # probe fails with "No match ... FieldRef" — compacting to a few
     # guaranteed-nonempty blocks sidesteps it (filter stages emit empty
     # blocks for batches with no candidates).
+    n_parts = max(1, min(8, len(cand_ids) // 10_000 + 1))
     sets_ds = (
         docs_ds.map_batches(KeepAndHash, batch_format="pyarrow", concurrency=(1, 4))
-        .repartition(max(1, min(8, len(cand_ids) // 10_000 + 1)))
+        .repartition(n_parts)
         .materialize()
     )
 
@@ -514,8 +528,9 @@ def _verify_pairs(
 
     side_a = sets_ds.map_batches(_rename(["doc_a", "sh_a"]), batch_format="pyarrow")
     side_b = sets_ds.map_batches(_rename(["doc_b", "sh_b"]), batch_format="pyarrow")
-    pairs_ds = rd.from_pandas(pairs_df)
-    n_parts = max(1, min(8, len(cand_ids) // 10_000 + 1))
+    # compact the pair list too: the candidate generator's filter stages can
+    # leave an empty leading block (same join quirk)
+    pairs_ds = pairs_ds.repartition(n_parts).materialize()
     joined = pairs_ds.join(
         side_a, join_type="inner", num_partitions=n_parts, on=("doc_a",)
     )
@@ -553,8 +568,8 @@ def _verify_pairs(
     if len(out) == 0:  # all candidates refuted: emit a typed empty frame
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(dtype=pairs_df["doc_a"].dtype),
-                "doc_b": pd.Series(dtype=pairs_df["doc_b"].dtype),
+                "doc_a": pd.Series(dtype=id_dtype),
+                "doc_b": pd.Series(dtype=id_dtype),
                 value_name: pd.Series(dtype="float64"),
             }
         )
@@ -572,15 +587,7 @@ def t_minhash_pairs(sf_dir: str, jaccard_threshold: float = 0.8):
     """
     ds = _read_documents(sf_dir)
     buckets = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 4))
-    pairs = _candidate_pairs(buckets, "doc_id").to_pandas()
-    if len(pairs) == 0:
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(dtype="int64"),
-                "doc_b": pd.Series(dtype="int64"),
-                "jaccard": pd.Series(dtype="float64"),
-            }
-        )
+    pairs = _candidate_pairs(buckets, "doc_id")
     return _verify_pairs(ds, pairs, ShingleSetHasher, jaccard_threshold, "doc_id")
 
 
@@ -753,15 +760,5 @@ def t_ngram_jaccard_dupes(sf_dir: str, threshold: float = 0.5):
     # template-dense ones.  Keeping the banded generator.
     ds = _read_documents(sf_dir)
     buckets = ds.map_batches(SimhashBander, batch_format="pyarrow", concurrency=(1, 4))
-    pairs = _candidate_pairs(
-        buckets, "doc_id", hamming_col="sh64", max_hamming=12
-    ).to_pandas()
-    if len(pairs) == 0:
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(dtype="int64"),
-                "doc_b": pd.Series(dtype="int64"),
-                "jaccard": pd.Series(dtype="float64"),
-            }
-        )
+    pairs = _candidate_pairs(buckets, "doc_id", hamming_col="sh64", max_hamming=12)
     return _verify_pairs(ds, pairs, GramSetHasher, threshold, "doc_id")

@@ -145,7 +145,7 @@ def _near_dup_drop_set(survivors) -> set:
         batch_format="pyarrow",
         concurrency=(1, 2),
     )
-    pairs = _candidate_pairs(buckets, "url").to_pandas()
+    pairs = _candidate_pairs(buckets, "url")
     verified = _verify_pairs(
         survivors, pairs, lambda: ShingleSetHasher("url"), 0.8, "url"
     )

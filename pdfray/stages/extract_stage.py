@@ -56,6 +56,7 @@ class PdfExtractor:
         include_fragments: bool = False,
         defer_over_bytes: int = 0,
         finish_deferred: bool = False,
+        passthrough: tuple = (),
     ):
         self.content_delimiter = content_delimiter
         self.newline = newline
@@ -70,6 +71,10 @@ class PdfExtractor:
         # One input read, two pools, no union re-scan.
         self.defer_over_bytes = defer_over_bytes
         self.finish_deferred = finish_deferred
+        # input metadata columns (lang, warc_ts, ...) copied row-aligned onto
+        # the output — at corpus scale the input-side metadata cannot be
+        # re-joined later (10^12-row join), so it rides the extraction pass
+        self.passthrough = tuple(passthrough)
 
     def _schema(self, with_deferred: bool) -> pa.Schema:
         schema = EXTRACT_SCHEMA
@@ -158,6 +163,11 @@ class PdfExtractor:
             passwords,
             defer=False,
         )
+        # passthrough metadata rode stage A's output; re-attach row-aligned
+        for name in self.passthrough:
+            if name in todo.column_names:
+                extracted = extracted.append_column(name, todo.column(name))
+        extracted = extracted.select(done.column_names)
         return pa.concat_tables([done, extracted])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -176,6 +186,10 @@ class PdfExtractor:
             if "password" in batch.column_names
             else None
         )
-        return self._extract_rows(
+        out = self._extract_rows(
             urls, htmls, partition_ids, passwords, defer=self.defer_over_bytes > 0
         )
+        for name in self.passthrough:
+            if name in batch.column_names:
+                out = out.append_column(name, batch.column(name))
+        return out
