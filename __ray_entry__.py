@@ -25,6 +25,13 @@ def _fixture_sql_path() -> str:
     return fixture_parquet_path("sf0.01") + "/*.parquet"
 
 
+def _media_sql_path() -> str:
+    """DuckDB-side glob over the sharded media (PNG) fixture table."""
+    from pdfray.sources.fixtures import media_parquet_path
+
+    return media_parquet_path("sf0.01") + "/*.parquet"
+
+
 # ----------------------------------------------------------------------
 def entry() -> Any:
     """Flagship pipeline: corpus parquet -> PdfExtractor actor pool -> table."""
@@ -224,7 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_ann_lsh": S.s_ann_lsh,
         "s_lsh_buckets": S.s_lsh_buckets,
         "s_embedding_dupes": S.s_embedding_dupes,
-        # multimodal binary plumbing (decode stubbed, plumbing real)
+        # multimodal: real pure-Python PNG decode (frame sampling keeps the
+        # chunk-math access pattern; video codecs genuinely absent here)
         "m_media_features": M.m_media_features,
         "m_frame_sample": M.m_frame_sample,
         "m_resize": M.m_resize,
@@ -236,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     fixture = _fixture_sql_path()
+    media = _media_sql_path()
     return {
         "extract_text": (
             f"SELECT url, text FROM read_parquet('{fixture}')"
@@ -412,14 +421,23 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY vec_a, vec_b"
         ),
         "m_media_features": (
-            f"SELECT url, 'image' AS media_type, OCTET_LENGTH(html) AS n_bytes "
-            f"FROM read_parquet('{fixture}') ORDER BY url"
+            f"SELECT url, media_type, OCTET_LENGTH(payload) AS n_bytes, "
+            f"width, height "
+            f"FROM read_parquet('{media}') ORDER BY url"
         ),
         "m_frame_sample": (
             f"SELECT url, "
-            f"CAST(CEIL(OCTET_LENGTH(html) / 4096.0) AS BIGINT) AS n_chunks, "
-            f"CAST(CEIL(CEIL(OCTET_LENGTH(html) / 4096.0) / 8.0) AS BIGINT) AS n_frames "
-            f"FROM read_parquet('{fixture}') ORDER BY url"
+            f"CAST(CEIL(OCTET_LENGTH(payload) / 4096.0) AS BIGINT) AS n_chunks, "
+            f"CAST(CEIL(CEIL(OCTET_LENGTH(payload) / 4096.0) / 8.0) AS BIGINT) AS n_frames "
+            f"FROM read_parquet('{media}') ORDER BY url"
+        ),
+        "m_resize": (
+            f"SELECT url, width, height, "
+            f"CASE WHEN width = 0 THEN 0 ELSE GREATEST(1, CAST(FLOOR(width * "
+            f"LEAST(1.0, 64.0 / GREATEST(width, height))) AS INT)) END AS out_w, "
+            f"CASE WHEN height = 0 THEN 0 ELSE GREATEST(1, CAST(FLOOR(height * "
+            f"LEAST(1.0, 64.0 / GREATEST(width, height))) AS INT)) END AS out_h "
+            f"FROM read_parquet('{media}') ORDER BY url"
         ),
         "pipeline_clean_corpus": (
             f"WITH ok AS (SELECT url, text FROM read_parquet('{fixture}') "
@@ -430,5 +448,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         # rows-only (non-SQL-expressible): t_langid, t_simhash, t_winnow_fp,
         # t_minhash_pairs, t_ngram_jaccard_dupes, s_ann_lsh, s_lsh_buckets,
-        # pipeline_clean_corpus_neardup
+        # pipeline_clean_corpus_neardup  (m_resize gained an exact oracle
+        # when the PNG decode became real)
     }

@@ -1,16 +1,26 @@
-"""Multimodal binary-column plumbing: opaque payloads through actor pools.
+"""Multimodal binary-column stages: real PNG decode through actor pools.
 
-Image/audio/video payloads are opaque ``binary`` columns with typed metadata.
-The decode/feature-extract kernels are STUBBED (no imaging/audio libs in this
-container — clearly marked below); the Ray-side plumbing is real and tested:
-schema handling, zero-copy binary batches, small ``batch_size`` for large
-payloads, actor-pool signature, deterministic output layout.
+Image payloads are opaque ``binary`` columns with typed metadata; decode /
+featurize / resize run as actor-pool ``map_batches`` stages over small
+batches (payloads are large).  Image decode is REAL — the pure-Python PNG
+codec in `pdfray.core.png` (zlib inflate + numpy unfilter) — so widths,
+heights, and resize outputs are exact and DuckDB-oracle-checkable against
+the media fixture's golden columns.  Broken payloads land in the ``error``
+column with 0-dims; the stage never raises.
+
+Video/audio codecs remain genuinely absent in this container: FrameSampler
+keeps the container-chunk access pattern (fixed-size chunk sampling +
+per-frame hashing) with the real-codec seek clearly documented as the
+substitution point.
 """
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
+
+from ..core.png import PngError, decode_png, resize_fit
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -25,29 +35,34 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+N_FEATURES = 8  # per-channel mean + std over RGBA lanes, zero-padded
 
-def _decode_image_stub(payload: bytes):
-    """STUB decode: the real implementation would use an imaging library
-    (unavailable in this container).  Returns deterministic fake dimensions
-    and an 8-float feature derived from the content hash so the pipeline
-    plumbing (schema, batching, ordering) is fully exercised and testable."""
-    digest = hashlib.sha1(payload).digest()
-    width = 64 + digest[0]
-    height = 64 + digest[1]
-    feature = [b / 255.0 for b in digest[2:10]]
-    return width, height, feature
+
+def _features(pixels: np.ndarray) -> list:
+    """Deterministic 8-float feature: per-channel mean and std in [0, 1],
+    padded to 4 channels — the decode-side stand-in for an embedding model
+    (which would load once per actor in __init__)."""
+    px = pixels.astype(np.float64) / 255.0
+    if px.ndim == 2:
+        px = px[:, :, None]
+    means = px.mean(axis=(0, 1))
+    stds = px.std(axis=(0, 1))
+    out = np.zeros(N_FEATURES, np.float64)
+    out[: len(means)] = means[:4]
+    out[4 : 4 + len(stds)] = stds[:4]
+    return [float(round(v, 6)) for v in out]
 
 
 class MediaFeatureExtractor:
-    """Actor-pool stage: decode + featurize opaque binary payloads.
+    """Actor-pool stage: decode + featurize binary image payloads.
 
-    Use small ``batch_size`` (payloads are large) and ``concurrency=(min,max)``
-    actor pools; a real deployment loads the decoder/model once here."""
+    Small ``batch_size`` (payloads are large) and ``concurrency=(min,max)``
+    actor pools; a real deployment loads its embedding model here, once per
+    actor, next to the decoder."""
 
     def __init__(self, media_type: str = "image", strict: bool = False):
         self.media_type = media_type
         self.strict = strict
-        # real code: self.decoder = load_decoder(media_type)  # once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -60,17 +75,14 @@ class MediaFeatureExtractor:
             out["n_bytes"].append(len(payload))
             out["content_hash"].append(hashlib.sha1(payload).hexdigest())
             try:
-                if self.strict:
-                    raise NotImplementedError(
-                        "media decode requires an imaging library not present "
-                        "in this environment"
-                    )
-                w, h, feat = _decode_image_stub(payload)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["feature"].append(feat)
+                img = decode_png(payload)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["feature"].append(_features(img.pixels))
                 out["error"].append(None)
             except Exception as ex:
+                if self.strict:
+                    raise
                 out["width"].append(0)
                 out["height"].append(0)
                 out["feature"].append([])
@@ -86,11 +98,11 @@ RESIZE_MAX = 64
 
 class FrameSampler:
     """Actor-pool stage: sample every ``stride``-th fixed-size chunk of the
-    payload as a "frame".  Video decode is STUBBED (no codec libs in this
-    container) — a real implementation seeks keyframes via the container
-    index; the chunk arithmetic and per-frame hashing mirror that access
-    pattern, so the Ray-side plumbing (small batches, bounded per-row
-    output, deterministic layout) is fully exercised."""
+    payload as a "frame".  Video container/codec parsing is the one decode
+    this container cannot do (no codec libs); a real implementation replaces
+    the chunk arithmetic with keyframe seeks via the container index.  The
+    access pattern, per-frame hashing, small batches, and bounded per-row
+    output are the real Ray-side contract either way."""
 
     def __init__(self, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE):
         self.frame_bytes = frame_bytes
@@ -123,58 +135,68 @@ class FrameSampler:
 
 
 class Resizer:
-    """Actor-pool stage: aspect-preserving fit into RESIZE_MAX x RESIZE_MAX.
+    """Actor-pool stage: decode + aspect-preserving nearest-neighbor fit
+    into RESIZE_MAX x RESIZE_MAX (never upscales).  Emits the resized
+    payload re-encoded as PNG plus exact dims; broken inputs get 0-dims and
+    a null payload (error recorded upstream by MediaFeatureExtractor —
+    this stage keeps its output narrow)."""
 
-    The pixel work is STUBBED (dimensions come from the stub decoder); the
-    arithmetic, schema, and batch layout are the real contract a decoder
-    actor would fill in."""
-
-    def __init__(self, max_side: int = RESIZE_MAX):
+    def __init__(self, max_side: int = RESIZE_MAX, emit_payload: bool = False):
         self.max_side = max_side
+        self.emit_payload = emit_payload
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.png import encode_png
+
         urls = batch.column("url").to_pylist()
         payloads = batch.column("payload")
         out = {"url": [], "width": [], "height": [], "out_w": [], "out_h": []}
+        resized = []
         for i, url in enumerate(urls):
             payload = payloads[i].as_py() or b""
-            w, h, _ = _decode_image_stub(payload)
-            scale = min(1.0, self.max_side / max(w, h))
+            try:
+                img = decode_png(payload)
+                small, out_w, out_h = resize_fit(img.pixels, self.max_side)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                if self.emit_payload:
+                    resized.append(encode_png(small))
+            except Exception:
+                out["width"].append(0)
+                out["height"].append(0)
+                out["out_w"].append(0)
+                out["out_h"].append(0)
+                if self.emit_payload:
+                    resized.append(None)
             out["url"].append(url)
-            out["width"].append(w)
-            out["height"].append(h)
-            out["out_w"].append(max(1, int(w * scale)))
-            out["out_h"].append(max(1, int(h * scale)))
-        return pa.table(
-            {
-                "url": pa.array(out["url"], pa.string()),
-                "width": pa.array(out["width"], pa.int32()),
-                "height": pa.array(out["height"], pa.int32()),
-                "out_w": pa.array(out["out_w"], pa.int32()),
-                "out_h": pa.array(out["out_h"], pa.int32()),
-            }
-        )
+        cols = {
+            "url": pa.array(out["url"], pa.string()),
+            "width": pa.array(out["width"], pa.int32()),
+            "height": pa.array(out["height"], pa.int32()),
+            "out_w": pa.array(out["out_w"], pa.int32()),
+            "out_h": pa.array(out["out_h"], pa.int32()),
+        }
+        if self.emit_payload:
+            cols["resized_png"] = pa.array(resized, pa.binary())
+        return pa.table(cols)
 
 
-def _payload_ds(sf_dir: str):
+def _media_ds(sf_dir: str):
     import ray.data as rd
 
-    from ..sources.fixtures import ensure_corpus_parquet
+    from ..sources.fixtures import ensure_media_parquet
 
-    path = ensure_corpus_parquet(sf_dir)
-    ds = rd.read_parquet(path, columns=["url", "html"])
-
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({"url": t.column("url"), "payload": t.column("html")})
-
-    return ds.map_batches(rename, batch_format="pyarrow")
+    path = ensure_media_parquet(sf_dir)
+    return rd.read_parquet(path, columns=["url", "payload"])
 
 
 def m_frame_sample(sf_dir: str):
-    """Frame sampling over corpus binaries; chunk/frame counts are
+    """Frame sampling over media binaries; chunk/frame counts are
     SQL-derivable so the oracle checks the plumbing exactly; per-frame
     hashes are covered by unit tests."""
-    out = _payload_ds(sf_dir).map_batches(
+    out = _media_ds(sf_dir).map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
     )
     df = out.select_columns(["url", "n_chunks", "n_frames"]).to_pandas()
@@ -182,36 +204,24 @@ def m_frame_sample(sf_dir: str):
 
 
 def m_resize(sf_dir: str):
-    """Resize-stage plumbing (stub dims; rows-only — dims derive from the
-    stub decoder's content hash, not SQL-expressible)."""
-    out = _payload_ds(sf_dir).map_batches(
+    """Real decode + resize: dims and fit arithmetic are exact, so the
+    DuckDB oracle recomputes them from the fixture's golden width/height."""
+    out = _media_ds(sf_dir).map_batches(
         Resizer, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
     )
     return out.to_pandas().sort_values("url").reset_index(drop=True)
 
 
 def m_media_features(sf_dir: str):
-    """Run the (stub-decoded) media pipeline over the PDF corpus binaries —
-    payload column plumbing is identical for image/audio bytes."""
-    import ray.data as rd
-
-    from ..sources.fixtures import ensure_corpus_parquet
-
-    path = ensure_corpus_parquet(sf_dir)
-    ds = rd.read_parquet(path, columns=["url", "html"])
-
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({"url": t.column("url"), "payload": t.column("html")})
-
-    out = ds.map_batches(rename, batch_format="pyarrow").map_batches(
+    """Decode + featurize the media table.  The driver pulls only the small
+    SQL-derivable columns (url, media_type, n_bytes, width, height) — the
+    feature vectors stay distributed (at scale the full table is
+    write_parquet'd); feature values are covered by unit tests."""
+    out = _media_ds(sf_dir).map_batches(
         MediaFeatureExtractor,
         batch_format="pyarrow",
         batch_size=16,  # large binary payloads -> small batches
         concurrency=(1, 4),
     )
-    # project BEFORE collecting: the driver pulls only the three small
-    # SQL-derivable columns, never the feature vectors (at scale the full
-    # table is write_parquet'd instead).  Hash/feature/stub dimensions are
-    # covered by unit tests (duckdb cannot hash blobs).
-    df = out.select_columns(["url", "media_type", "n_bytes"]).to_pandas()
+    df = out.select_columns(["url", "media_type", "n_bytes", "width", "height"]).to_pandas()
     return df.sort_values("url").reset_index(drop=True)

@@ -753,6 +753,140 @@ def sf_doc_count(sf: float) -> int:
     return max(20, int(60_000 * sf))
 
 
+# ----------------------------------------------------------------------
+# media fixture: deterministic PNG payloads with golden decode dimensions
+# (width/height are what a CORRECT decode must report; 0/0 for the planted
+# broken rows) — gives the multimodal decode stages an exact DuckDB oracle.
+
+def _media_pixels(k: int, w: int, h: int, form: str):
+    """Deterministic pixel content per index: structured gradients mixed with
+    seeded noise, exercising every color form the decoder supports."""
+    import numpy as np
+
+    rng = __import__("numpy").random.RandomState((SEED << 16) ^ k)
+    gx = (np.arange(w, dtype=np.int64) * 255 // max(1, w - 1)).astype(np.uint8)
+    gy = (np.arange(h, dtype=np.int64) * 255 // max(1, h - 1)).astype(np.uint8)
+    grad = np.add.outer(gy // 2, gx // 2).astype(np.uint8)
+    noise = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    base = np.where((np.add.outer(gy // 32, gx // 32) % 2) == 0, grad, noise)
+    if form == "gray":
+        return base, None
+    if form == "ga":
+        return np.dstack([base, 255 - grad]), None
+    if form == "rgb":
+        return np.dstack([base, grad, noise]), None
+    if form == "rgba":
+        return np.dstack([base, grad, noise, np.maximum(grad, 32)]), None
+    # palette: <=32 entries, deterministic
+    pal = rng.randint(0, 256, (32, 3), dtype=np.uint8)
+    idx = (base % 32).astype(np.uint8)
+    return idx, pal
+
+
+_MEDIA_FORMS = ("gray", "ga", "rgb", "rgba", "palette")
+_MEDIA_FILTERS = (0, 1, 2, 3, 4, "adaptive")
+
+
+def media_rows(n_images: int, seed: int = SEED):
+    """Yield (url, payload, media_type, width, height) deterministically.
+
+    Every 13th±  row is a planted broken payload (truncated / unsupported
+    interlace flag with a VALID crc) whose golden dims are 0/0 — decode
+    stages must catch, record the typed error, and keep the row."""
+    import struct
+    import zlib as _zlib
+
+    from ..core.png import encode_png
+
+    for k in range(n_images):
+        w = 8 + (k * 7) % 113
+        h = 8 + (k * 11) % 97
+        form = _MEDIA_FORMS[k % len(_MEDIA_FORMS)]
+        filt = _MEDIA_FILTERS[k % len(_MEDIA_FILTERS)]
+        px, pal = _media_pixels(k, w, h, form)
+        payload = encode_png(px, palette=pal, filter_type=filt)
+        name = form
+        width, height = w, h
+        if k % 13 == 5:  # truncated mid-IDAT
+            payload = payload[: max(16, len(payload) // 2)]
+            name, width, height = "broken", 0, 0
+        elif k % 13 == 11:  # interlace byte flipped, crc recomputed (valid
+            # structure, unsupported Adam7 form — the typed-error path)
+            ihdr = bytearray(payload[8:33])
+            ihdr[20] = 1  # interlace flag: last byte of the 13-byte IHDR data
+            body = bytes(ihdr[8:-4])
+            crc = struct.pack(">I", _zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+            payload = payload[:16] + body + crc + payload[33:]
+            name, width, height = "broken", 0, 0
+        yield (
+            f"https://img.example.org/{name}/{k:08d}.png",
+            payload,
+            "image",
+            width,
+            height,
+        )
+
+
+def media_table(n_images: int, seed: int = SEED):
+    import pyarrow as pa
+
+    urls, payloads, types, widths, heights = [], [], [], [], []
+    for url, payload, mtype, w, h in media_rows(n_images, seed):
+        urls.append(url)
+        payloads.append(payload)
+        types.append(mtype)
+        widths.append(w)
+        heights.append(h)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(types, pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+        }
+    )
+
+
+def media_parquet_path(sf_name: str, cache_root: str = "/tmp/pdfray_fixtures") -> str:
+    import os
+
+    return os.path.join(cache_root, f"v{FIXTURE_VERSION}", sf_name, "media_png")
+
+
+def ensure_media_parquet(sf_dir: str, cache_root: str = "/tmp/pdfray_fixtures") -> str:
+    """Materialize the sharded media table for a testdata sf dir (cached,
+    deterministic; same atomic-rename discipline as the corpus)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.001
+    out_path = media_parquet_path(sf_name, cache_root)
+    if os.path.isdir(out_path):
+        return out_path
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    table = media_table(sf_doc_count(sf))
+    tmp = tempfile.mkdtemp(prefix=".tmp-", dir=os.path.dirname(out_path))
+    for s, lo in enumerate(range(0, len(table), _SHARD_ROWS)):
+        pq.write_table(
+            table.slice(lo, _SHARD_ROWS),
+            os.path.join(tmp, f"part-{s:05d}.parquet"),
+            row_group_size=256,
+        )
+    try:
+        os.replace(tmp, out_path)
+    except OSError:
+        import shutil
+
+        if not os.path.isdir(out_path):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_path
+
+
 _SHARD_ROWS = 512
 
 
