@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / embedding dedup over embeddings
         "s_knn_bruteforce": S.s_knn_bruteforce,
         "s_ann_lsh": S.s_ann_lsh,
+        "s_ann_partitioned": S.s_ann_partitioned,
         "s_lsh_buckets": S.s_lsh_buckets,
         "s_embedding_dupes": S.s_embedding_dupes,
         # multimodal: real pure-Python PNG decode (frame sampling keeps the
@@ -398,6 +399,28 @@ def oracle_sql() -> dict[str, str]:
             "length(text) AS n_chars "
             "FROM documents ORDER BY doc_id"
         ),
+        "t_winnow_fp": (
+            # verbatim winnowing recomputation: k=5 token grams, md5-64 gram
+            # hashes (identical to the engine's _hash64), w=4 window minima,
+            # distinct count.  range() is end-exclusive; list_slice inclusive.
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, "
+            "CASE WHEN len(t) = 0 THEN []::VARCHAR[] "
+            "WHEN len(t) < 5 THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t) - 3), "
+            "i -> array_to_string(list_slice(t, i, i + 4), ' ')) END AS g "
+            "FROM toks), "
+            "hashes AS (SELECT doc_id, "
+            "list_transform(g, x -> ('0x' || substr(md5(x), 1, 16))::UBIGINT) AS h "
+            "FROM grams) "
+            "SELECT doc_id, CAST(CASE WHEN len(h) = 0 THEN 0 "
+            "WHEN len(h) <= 4 THEN 1 "
+            "ELSE len(list_distinct(list_transform(range(1, len(h) - 2), "
+            "i -> list_min(list_slice(h, i, i + 3))))) END AS BIGINT) AS n_fps "
+            "FROM hashes ORDER BY doc_id"
+        ),
         "s_knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
             "ORDER BY vec_id LIMIT 5), "
@@ -446,8 +469,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(url) AS url, MIN_BY(text, url) AS text FROM ok "
             "GROUP BY md5(text) ORDER BY url"
         ),
-        # rows-only (non-SQL-expressible): t_langid, t_simhash, t_winnow_fp,
-        # t_minhash_pairs, t_ngram_jaccard_dupes, s_ann_lsh, s_lsh_buckets,
-        # pipeline_clean_corpus_neardup  (m_resize gained an exact oracle
-        # when the PNG decode became real)
+        # rows-only (non-SQL-expressible): t_langid, t_simhash,
+        # t_minhash_pairs, t_ngram_jaccard_dupes, s_ann_lsh,
+        # s_ann_partitioned, s_lsh_buckets, pipeline_clean_corpus_neardup
+        # (m_resize gained an exact oracle when the PNG decode became real;
+        # t_winnow_fp when the gram hash moved to md5-64)
     }

@@ -163,6 +163,15 @@ def _auto_planes(n_rows: int, per_bucket: int = 64) -> int:
     return max(2, int(np.log2(max(2, n_rows / per_bucket))))
 
 
+def _probe_set(s: int, n_planes: int) -> np.ndarray:
+    """Multi-probe bucket set out to Hamming-2 around signature ``s``."""
+    out = {s} | {s ^ (1 << b) for b in range(n_planes)}
+    for b1 in range(n_planes):
+        for b2 in range(b1 + 1, n_planes):
+            out.add(s ^ (1 << b1) ^ (1 << b2))
+    return np.array(sorted(out))
+
+
 def s_ann_lsh(sf_dir: str, n_planes: int = 0):
     """LSH-pruned approximate top-k + per-query recall vs the exact result.
 
@@ -190,18 +199,11 @@ def s_ann_lsh(sf_dir: str, n_planes: int = 0):
     shifts = 1 << np.arange(n_planes)
     qsigs = (qbits * shifts).sum(axis=1)
 
-    def probe_set(s: int):
-        # multi-probe out to Hamming-2: near neighbors land one or two sign
-        # flips away far more often than 1/2^d — the standard recall/cost
-        # dial (each extra radius multiplies candidates, not corpus reads:
-        # the scan is one pass either way, only the per-batch matmul grows)
-        out = {s} | {s ^ (1 << b) for b in range(n_planes)}
-        for b1 in range(n_planes):
-            for b2 in range(b1 + 1, n_planes):
-                out.add(s ^ (1 << b1) ^ (1 << b2))
-        return np.array(sorted(out))
-
-    probes = [probe_set(int(s)) for s in qsigs]
+    # multi-probe out to Hamming-2: near neighbors land one or two sign
+    # flips away far more often than 1/2^d — the standard recall/cost
+    # dial (each extra radius multiplies candidates, not corpus reads:
+    # the scan is one pass either way, only the per-batch matmul grows)
+    probes = [_probe_set(int(s), n_planes) for s in qsigs]
     bref = ray.put((qids, qmat, planes, probes))
 
     class ProbeScore:
@@ -384,7 +386,219 @@ def lsh_candidate_pairs(sf_dir: str, n_planes: int = 0):
     return pairs.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
-def s_embedding_dupes(sf_dir: str, threshold: float = 0.42):
+# ----------------------------------------------------------------------
+# partitioned vector store: the deployment layout `s_ann_lsh` documents —
+# vectors written once partitioned by LSH signature, queries read ONLY the
+# probed partitions (touched files scale with the probe set, not the corpus)
+
+def build_vector_store(sf_dir: str, out_dir: str, n_planes: int = 0) -> dict:
+    """Write the embeddings hive-partitioned by LSH signature.
+
+    Each vector's signature is computed in-stream (one matmul per batch
+    against the broadcast plane matrix) and becomes both a data column
+    (``sig``) and the hive partition key (``sigp``), so a reader that
+    selects partition directories still has the signature without re-signing.
+    Returns {"n_planes", "n_rows", "planes"} — planes are regenerated from
+    the fixed seed at query time, so the store needs no sidecar file.
+    """
+    import ray
+    import ray.data as rd  # noqa: F401
+
+    ds = _read_embeddings(sf_dir)
+    n_rows = ds.count()
+    if n_planes <= 0:
+        n_planes = _auto_planes(n_rows)
+    rng = np.random.RandomState(17)
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
+    planes = rng.randn(dim, n_planes).astype(np.float64)
+    planes_ref = ray.put(planes)
+
+    class Sign:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+            self.shifts = 1 << np.arange(self.planes.shape[1])
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "embedding": pa.array([], pa.list_(pa.float64())),
+                        "sig": pa.array([], pa.int64()),
+                        "sigp": pa.array([], pa.int64()),
+                    }
+                )
+            vecs = _normalize(_batch_matrix(t))
+            sigs = ((vecs @ self.planes) > 0) * self.shifts
+            sigs = sigs.sum(axis=1).astype(np.int64)
+            sig_arr = pa.array(sigs, pa.int64())
+            return (
+                t.append_column("sig", sig_arr).append_column("sigp", sig_arr)
+            )
+
+    ds.map_batches(Sign, batch_format="pyarrow", concurrency=(1, 4)).write_parquet(
+        out_dir, partition_cols=["sigp"]
+    )
+    return {"n_planes": n_planes, "n_rows": n_rows, "dim": dim}
+
+
+def query_vector_store(store_dir: str, sf_dir: str, n_planes: int) -> pd.DataFrame:
+    """ANN top-k against the partitioned store, reading ONLY probed partitions.
+
+    The probe sets (exact bucket + Hamming<=2) pick partition DIRECTORIES;
+    everything else never leaves storage — the pruning `s_ann_lsh` performs
+    in-stream becomes an I/O-level skip here.  Returns per-query
+    (query_id, n_candidates, recall_at_k, n_parts_read, n_parts_total).
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+
+    qids, qmat = _query_matrix(sf_dir)
+    dim = qmat.shape[1]
+    rng = np.random.RandomState(17)
+    planes = rng.randn(dim, n_planes).astype(np.float64)
+    qsigs = ((qmat @ planes) > 0) * (1 << np.arange(n_planes))
+    qsigs = qsigs.sum(axis=1)
+    probes = [_probe_set(int(s), n_planes) for s in qsigs]
+
+    all_parts = sorted(d for d in os.listdir(store_dir) if d.startswith("sigp="))
+    wanted = set()
+    for p in probes:
+        wanted.update(int(v) for v in p)
+    read_parts = [
+        os.path.join(store_dir, d)
+        for d in all_parts
+        if int(d.split("=", 1)[1]) in wanted
+    ]
+    # expand to files: a path LIST is taken file-wise by the parquet reader
+    read_files = [
+        os.path.join(d, f)
+        for d in read_parts
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not read_parts:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(qids, dtype="int64"),
+                "n_candidates": 0,
+                "recall_at_k": 0.0,
+                "n_parts_read": 0,
+                "n_parts_total": len(all_parts),
+            }
+        )
+    bref = ray.put((qids, qmat, probes))
+
+    class ScoreProbed:
+        def __init__(self):
+            self.qids, self.qmat, self.probes = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = {"query_id": [], "vec_id": [], "sim": [], "n_candidates": []}
+            if len(t):
+                vecs = _normalize(_batch_matrix(t))
+                vec_ids = t.column("vec_id").to_numpy()
+                sigs = t.column("sig").to_numpy()
+                for qi, qid in enumerate(self.qids):
+                    mask = np.isin(sigs, self.probes[qi])
+                    n_cand = int(mask.sum())
+                    if not n_cand:
+                        continue
+                    sims = vecs[mask] @ self.qmat[qi]
+                    cand_ids = vec_ids[mask]
+                    order = np.lexsort((cand_ids, -np.round(sims, 4)))
+                    first = True
+                    for j in order[: min(TOP_K, n_cand)]:
+                        out["query_id"].append(int(qid))
+                        out["vec_id"].append(int(cand_ids[j]))
+                        out["sim"].append(float(sims[j]))
+                        out["n_candidates"].append(n_cand if first else 0)
+                        first = False
+            return pa.table(
+                {
+                    "query_id": pa.array(out["query_id"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "sim": pa.array(out["sim"], pa.float64()),
+                    "n_candidates": pa.array(out["n_candidates"], pa.int64()),
+                }
+            )
+
+    local = (
+        rd.read_parquet(read_files, columns=["vec_id", "embedding", "sig"])
+        .map_batches(ScoreProbed, batch_format="pyarrow", concurrency=(1, 4))
+        .to_pandas()
+    )
+    n_cand = (
+        local.groupby("query_id")["n_candidates"].sum()
+        if len(local)
+        else pd.Series(dtype="int64")
+    )
+    exact = s_knn_bruteforce(sf_dir)
+    out = {
+        "query_id": [],
+        "n_candidates": [],
+        "recall_at_k": [],
+        "n_parts_read": [],
+        "n_parts_total": [],
+    }
+    for qid in qids:
+        g = local[local["query_id"] == qid] if len(local) else local
+        if len(g):
+            g = g.assign(sim=g["sim"].round(4)).sort_values(
+                ["sim", "vec_id"], ascending=[False, True]
+            ).head(TOP_K)
+            approx = set(g["vec_id"].astype(int))
+        else:
+            approx = set()
+        truth = set(exact[exact["query_id"] == qid]["vec_id"])
+        out["query_id"].append(int(qid))
+        out["n_candidates"].append(int(n_cand.get(qid, 0)))
+        out["recall_at_k"].append(round(len(approx & truth) / max(1, len(truth)), 4))
+        out["n_parts_read"].append(len(read_parts))
+        out["n_parts_total"].append(len(all_parts))
+    return pd.DataFrame(out)
+
+
+_STORE_CACHE: dict = {}
+
+
+def s_ann_partitioned(sf_dir: str):
+    """ANN through the write-partitioned / read-probed vector store layout
+    (rows-only: LSH recall is not SQL-expressible; partition-pruning and
+    recall-parity guarantees live in unit tests)."""
+    import os
+    import tempfile
+
+    if sf_dir not in _STORE_CACHE:
+        out_dir = tempfile.mkdtemp(prefix="pdfray_vecstore_")
+        info = build_vector_store(sf_dir, out_dir)
+        _STORE_CACHE[sf_dir] = (out_dir, info)
+    out_dir, info = _STORE_CACHE[sf_dir]
+    return query_vector_store(out_dir, sf_dir, info["n_planes"])
+
+
+# exact all-pairs scoring is O(N^2) compute by design (see module
+# docstring); above this row count it cannot be the right tool and the
+# caller must choose the bucketed generator (`lsh_candidate_pairs`) or
+# explicitly force the quadratic run
+EXACT_PAIRS_MAX_ROWS = 250_000
+
+
+def _require_exact_pairs_feasible(n_rows: int, force: bool):
+    if force or n_rows <= EXACT_PAIRS_MAX_ROWS:
+        return
+    raise ValueError(
+        f"s_embedding_dupes is exact all-pairs (O(N^2)): {n_rows} rows exceed "
+        f"EXACT_PAIRS_MAX_ROWS={EXACT_PAIRS_MAX_ROWS}. Use lsh_candidate_pairs "
+        f"(bucketed, high-threshold) or pass force_exact=True if the quadratic "
+        f"cost is intended."
+    )
+
+
+def s_embedding_dupes(sf_dir: str, threshold: float = 0.42, force_exact: bool = False):
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim >= threshold).
 
     Exact block-pair scoring: the normalized vectors are materialized as
@@ -393,9 +607,13 @@ def s_embedding_dupes(sf_dir: str, threshold: float = 0.42):
     and emitting its qualifying pairs.  Per-task memory is two blocks; the
     driver only ever holds block REFERENCES and the final (rare) dup pairs.
     Compute is O(N^2/2) by necessity — the threshold sits inside the bulk
-    sim distribution, so no sublinear candidate scheme is exact here."""
+    sim distribution, so no sublinear candidate scheme is exact here.
+    A hard row-count gate (`EXACT_PAIRS_MAX_ROWS`) keeps the quadratic
+    plan from ever being silently chosen at corpus scale."""
     import ray
     import ray.data as rd
+
+    _require_exact_pairs_feasible(_read_embeddings(sf_dir).count(), force_exact)
 
     def normalize(t: pa.Table) -> pa.Table:
         vecs = _normalize(_batch_matrix(t))

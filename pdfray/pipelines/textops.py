@@ -206,11 +206,13 @@ _WINNOW_W = 4  # window size
 class WinnowFingerprinter:
     """(doc_id, n_fps, fp_digest) — winnowed fingerprint set per document.
 
-    Rolling k-token-gram hashes, then the minimum of each sliding window of
-    w hashes (rightmost-min rule); the selected set is order-insensitively
-    digested.  Near-dup documents share most selected fingerprints, so the
-    digest equality / overlap is a cheap corpus-level dup signal that is
-    robust to small edits (unlike the whole-text md5 of `t_fingerprint`)."""
+    Rolling k-token-gram hashes (md5-64: first 8 bytes big-endian, the
+    engine-wide `_hash64` — chosen over crc32 so a DuckDB oracle can
+    recompute the identical values), then the minimum of each sliding
+    window of w hashes; the selected set is order-insensitively digested.
+    Near-dup documents share most selected fingerprints, so the digest
+    equality / overlap is a cheap corpus-level dup signal that is robust to
+    small edits (unlike the whole-text md5 of `t_fingerprint`)."""
 
     def __init__(self, k: int = _WINNOW_K, w: int = _WINNOW_W):
         self.k = k
@@ -228,7 +230,7 @@ class WinnowFingerprinter:
         if not grams:
             return np.empty(0, dtype=np.uint64)
         h = np.fromiter(
-            (zlib.crc32(g.encode("utf-8")) for g in grams),
+            (_hash64(g) for g in grams),
             dtype=np.uint64,
             count=len(grams),
         )
@@ -257,13 +259,17 @@ class WinnowFingerprinter:
 
 
 def t_winnow_fp(sf_dir: str):
-    """Winnowing fingerprint sketch per document (rows-only: rolling-hash
-    window minima are not SQL-expressible; correctness via planted-dup and
-    edit-robustness unit tests)."""
+    """Winnowing fingerprint counts per document.  Exact-oracle-checkable:
+    the md5-64 gram hashes and the k-gram/window-min arithmetic are
+    recomputed verbatim in DuckDB (list comprehensions over
+    string_split_regex).  The fp_digest column stays a unit-test concern
+    (the oracle cannot md5 a raw uint64 buffer) — the stage still emits it;
+    this query projects the oracle-comparable pair."""
     ds = _read_documents(sf_dir).map_batches(
         WinnowFingerprinter, batch_format="pyarrow", concurrency=(1, 4)
     )
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df = ds.select_columns(["doc_id", "n_fps"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
 
 
 # ----------------------------------------------------------------------
@@ -452,6 +458,53 @@ def _candidate_pairs(buckets, id_col: str, hamming_col: str = None, max_hamming:
         .aggregate(Count(alias_name="_n"))
         .map_batches(drop_count, batch_format="pyarrow")
     )
+
+
+def write_band_checkpoint(buckets, out_dir: str) -> str:
+    """Persist LSH band rows hive-partitioned by band — the production
+    checkpoint layout `_candidate_pairs` documents: each band directory is
+    independently readable/resumable, and the downstream bucket self-join
+    can run band-at-a-time against one partition without touching the rest
+    (band is the leading join key)."""
+    buckets.write_parquet(out_dir, partition_cols=["band"])
+    return out_dir
+
+
+def read_band_checkpoint(out_dir: str, bands=None):
+    """Read band rows back; ``bands`` selects specific band partitions
+    (None = all).  Re-attaches the band column that hive partitioning moved
+    into the directory name."""
+    import os
+
+    import ray.data as rd
+
+    all_bands = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("band=")
+    )
+    chosen = all_bands if bands is None else [b for b in all_bands if b in set(bands)]
+    parts = []
+    for b in chosen:
+        d = os.path.join(out_dir, f"band={b}")
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        ds = rd.read_parquet(files)
+
+        def attach(t: pa.Table, band=b) -> pa.Table:
+            # the reader hive-infers `band` from the dir name as a STRING;
+            # restore the original int32 (or attach it if inference is off)
+            if "band" in t.column_names:
+                idx = t.schema.get_field_index("band")
+                return t.set_column(idx, "band", pc.cast(t.column("band"), pa.int32()))
+            return t.append_column(
+                "band", pa.array(np.full(len(t), band, np.int32), pa.int32())
+            )
+
+        parts.append(ds.map_batches(attach, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def _verify_pairs(

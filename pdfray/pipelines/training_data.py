@@ -68,22 +68,42 @@ def _hash_url_only(t: pa.Table) -> pa.Table:
     return pa.table({"text_hash": pa.array(hashes), "url": t.column("url")})
 
 
-def clean_corpus(sf_dir: str, near_dedup: bool = False):
-    """Run the full cleaning chain; returns the clean (url, text) frame.
+def clean_corpus(
+    sf_dir: str,
+    near_dedup: bool = False,
+    out_dir: str = None,
+    resume: bool = True,
+):
+    """Run the full cleaning chain.
+
+    Without ``out_dir`` (driver-contract form): returns the clean
+    (url, text) frame — appropriate only because the post-dedup slice is
+    small at test scale.  With ``out_dir`` (the PRODUCTION exit): the clean
+    corpus is written straight to parquet from the workers — no rows ever
+    reach the driver — and a stage-count summary dict comes back; a
+    ``_SUCCESS`` marker makes a rerun a no-op (resume-after-write).
 
     Exact dedup is hash-shuffle on (text_hash, url) rows + a semi-join of
     the winning urls back onto the corpus (url is the pipeline-wide
     partition key, reused from ingest).  The near-dup second pass is the
     distributed MinHash machinery from `textops` keyed by url; only the
     verified dup pairs (tiny) reach the driver, which resolves the greedy
-    keep-first-url drop set.
+    keep-first-url drop set (broadcast back for the final filter).
 
     In production the extracted/gated corpus is a parquet checkpoint
     (`run_extraction`'s resume boundary) and each consumer reads it; the
     in-process `materialize()` calls below stand in for that checkpoint so
-    extraction runs once, not once per consumer.  The returned frame is the
-    final (small, post-dedup) corpus slice — a full-scale run would
-    `write_parquet` instead of returning rows."""
+    extraction runs once, not once per consumer."""
+    import json
+    import os
+
+    if out_dir is not None:
+        marker = os.path.join(out_dir, "_SUCCESS")
+        if resume and os.path.exists(marker):
+            with open(marker) as fh:
+                counts = json.load(fh)
+            counts["resumed"] = True
+            return counts
     ds = _extracted(sf_dir)
     ds = ds.map_batches(_quality_gate, batch_format="pyarrow")
 
@@ -122,10 +142,50 @@ def clean_corpus(sf_dir: str, near_dedup: bool = False):
     survivors = ds.join(
         winners, join_type="inner", num_partitions=n_parts, on=("url",)
     ).materialize()
-    df = survivors.to_pandas()
+    drop = _near_dup_drop_set(survivors) if near_dedup else set()
 
-    if near_dedup:
-        df = df[~df["url"].isin(_near_dup_drop_set(survivors))]
+    if out_dir is not None:
+        import ray
+
+        n_dedup = survivors.count()
+        final = survivors
+        if drop:
+            drop_ref = ray.put(pa.array(sorted(drop)))
+
+            class DropNearDups:
+                def __init__(self):
+                    self.drop = ray.get(drop_ref)
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    return t.filter(
+                        pc.invert(pc.is_in(t.column("url"), value_set=self.drop))
+                    )
+
+            final = survivors.map_batches(
+                DropNearDups, batch_format="pyarrow", concurrency=(1, 2)
+            )
+        data_dir = os.path.join(out_dir, "data")
+        if os.path.isdir(data_dir):  # stale partial output from a failed run
+            import shutil
+
+            shutil.rmtree(data_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        final.write_parquet(data_dir)
+        counts = {
+            "n_gated": int(n_rows),  # rows surviving the quality gate
+            "n_after_exact_dedup": int(n_dedup),
+            "n_near_dup_dropped": len(drop),
+            "n_clean": int(n_dedup) - len(drop),
+            "out_dir": out_dir,
+            "resumed": False,
+        }
+        with open(os.path.join(out_dir, "_SUCCESS"), "w") as fh:
+            json.dump(counts, fh)
+        return counts
+
+    df = survivors.to_pandas()
+    if drop:
+        df = df[~df["url"].isin(drop)]
     return df.sort_values("url").reset_index(drop=True)
 
 

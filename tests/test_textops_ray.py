@@ -130,6 +130,94 @@ def test_ann_lsh_recall(ray_session):
     assert (out["n_candidates"] > 0).all()
 
 
+def test_ann_partitioned_store_prunes_io_at_equal_recall(ray_session, tmp_path):
+    """The write-partitioned / read-probed store touches a strict subset of
+    partitions and matches the in-stream ANN's recall (same planes/probes)."""
+    from pdfray.pipelines.simsearch import (
+        build_vector_store,
+        query_vector_store,
+        s_ann_lsh,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    # force enough planes that the probe union cannot cover every bucket
+    n_planes = 6
+    store = str(tmp_path / "store")
+    info = build_vector_store(sf_dir, store, n_planes=n_planes)
+    assert info["n_planes"] == n_planes
+    out = query_vector_store(store, sf_dir, n_planes)
+    assert (out["n_parts_read"] < out["n_parts_total"]).all()
+    assert (out["n_parts_read"] > 0).all()
+    instream = s_ann_lsh(sf_dir, n_planes=n_planes)
+    merged = out.merge(instream, on="query_id", suffixes=("_store", "_stream"))
+    # identical planes + probe sets -> identical candidate sets and recall
+    assert (
+        merged["n_candidates_store"] == merged["n_candidates_stream"]
+    ).all()
+    assert (merged["recall_at_k_store"] == merged["recall_at_k_stream"]).all()
+
+
+def test_vector_store_partition_readable_in_isolation(ray_session, tmp_path):
+    from pdfray.pipelines.simsearch import build_vector_store
+
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    store = str(tmp_path / "store")
+    build_vector_store(sf_dir, store, n_planes=4)
+    parts = sorted(d for d in os.listdir(store) if d.startswith("sigp="))
+    assert len(parts) > 1
+    one = pq.read_table(os.path.join(store, parts[0]))
+    assert {"vec_id", "embedding", "sig"} <= set(one.column_names)
+    # the data-side sig column matches the hive key for every row
+    sig_val = int(parts[0].split("=", 1)[1])
+    assert (one.column("sig").to_numpy() == sig_val).all()
+
+
+def test_band_checkpoint_roundtrip_and_isolation(ray_session, tmp_path, docs_dir):
+    """Band rows survive a hive-partitioned checkpoint; one band partition is
+    readable in isolation and pairs generated from the checkpoint match the
+    in-stream generator."""
+    from pdfray.pipelines.textops import (
+        MinHasher,
+        _candidate_pairs,
+        _read_documents,
+        read_band_checkpoint,
+        write_band_checkpoint,
+    )
+
+    ds = _read_documents(str(docs_dir))
+    buckets = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 2))
+    direct = set(
+        map(tuple, _candidate_pairs(buckets, "doc_id").to_pandas().values.tolist())
+    )
+    store = str(tmp_path / "bands")
+    buckets2 = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 2))
+    write_band_checkpoint(buckets2, store)
+    # one band partition in isolation
+    one = read_band_checkpoint(store, bands=[0]).to_pandas()
+    assert set(one["band"]) == {0}
+    assert {"doc_id", "band_key", "band"} <= set(one.columns)
+    # full roundtrip reproduces the candidate pairs
+    restored = read_band_checkpoint(store)
+    rt = set(
+        map(tuple, _candidate_pairs(restored, "doc_id").to_pandas().values.tolist())
+    )
+    assert rt == direct and len(direct) > 0
+
+
+def test_embedding_dupes_scale_gate():
+    from pdfray.pipelines.simsearch import (
+        EXACT_PAIRS_MAX_ROWS,
+        _require_exact_pairs_feasible,
+    )
+
+    _require_exact_pairs_feasible(EXACT_PAIRS_MAX_ROWS, force=False)  # at cap: ok
+    with pytest.raises(ValueError, match="lsh_candidate_pairs"):
+        _require_exact_pairs_feasible(EXACT_PAIRS_MAX_ROWS + 1, force=False)
+    _require_exact_pairs_feasible(10**12, force=True)  # explicit override
+
+
 def test_embedding_dupes_exact(ray_session):
     from pdfray.pipelines.simsearch import s_embedding_dupes
 
@@ -215,7 +303,11 @@ def test_winnow_fingerprints_edit_robust(docs_dir):
     assert len(np.intersect1d(a, far)) == 0
 
     out = t_winnow_fp(docs_dir)
-    d = dict(zip(out["doc_id"], out["fp_digest"]))
+    assert set(out.columns) == {"doc_id", "n_fps"}  # oracle-comparable pair
+    # digests come from the stage (the query projects them away)
+    t = pq.read_table(f"{docs_dir}/documents.parquet", columns=["doc_id", "text"])
+    full = w(t)
+    d = dict(zip(full["doc_id"].to_pylist(), full["fp_digest"].to_pylist()))
     assert d[0] == d[1] == d[5]  # identical docs -> identical digest
     assert d[0] != d[3]
 

@@ -28,6 +28,38 @@ def test_clean_corpus_stages(ray_session, tmp_path, monkeypatch):
     assert len(near) <= len(clean)
 
 
+def test_clean_corpus_production_write_and_resume(ray_session, tmp_path, monkeypatch):
+    """out_dir= is the production exit: rows go worker->parquet, the driver
+    gets counts; a rerun resumes off the _SUCCESS marker without recompute."""
+    from pdfray.pipelines import training_data
+    from pdfray.sources import fixtures
+
+    path = str(tmp_path / "documents_pdf.parquet")
+    pq.write_table(fixtures.corpus_table(30, n_huge=1, n_broken=2), path)
+    monkeypatch.setattr(
+        "pdfray.sources.fixtures.ensure_corpus_parquet", lambda sf_dir: path
+    )
+
+    reference = training_data.clean_corpus("ignored", near_dedup=True)
+    out = str(tmp_path / "clean_out")
+    counts = training_data.clean_corpus("ignored", near_dedup=True, out_dir=out)
+    assert counts["resumed"] is False
+    assert counts["n_clean"] == len(reference)
+    assert counts["n_after_exact_dedup"] - counts["n_near_dup_dropped"] == counts["n_clean"]
+    written = pq.read_table(f"{out}/data").to_pandas()
+    assert sorted(written["url"]) == sorted(reference["url"])
+
+    # resume: marker short-circuits the whole pipeline
+    again = training_data.clean_corpus("ignored", near_dedup=True, out_dir=out)
+    assert again["resumed"] is True
+    assert again["n_clean"] == counts["n_clean"]
+    # resume=False forces a rewrite with identical results
+    forced = training_data.clean_corpus(
+        "ignored", near_dedup=True, out_dir=out, resume=False
+    )
+    assert forced["resumed"] is False and forced["n_clean"] == counts["n_clean"]
+
+
 def test_clean_corpus_survives_fully_filtered_leading_block(
     ray_session, tmp_path, monkeypatch
 ):
