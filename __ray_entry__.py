@@ -361,13 +361,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY month ORDER BY month"
         ),
         "q_asof_attribution": (
+            # not DuckDB's ASOF JOIN: that picks an ARBITRARY row among
+            # clicks with equal (user_id, ts), while the engine pins the
+            # tie-break to the greatest (ts, event_id) — the window form
+            # makes the oracle deterministic under ties too
             "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), "
-            "c AS (SELECT * FROM events WHERE event_type = 'click') "
-            "SELECT p.event_id AS purchase_id, p.user_id, "
+            "c AS (SELECT * FROM events WHERE event_type = 'click'), "
+            "ranked AS (SELECT p.event_id AS purchase_id, p.user_id, "
             "c.event_id AS click_id, "
-            "CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us "
-            "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts "
-            "ORDER BY purchase_id"
+            "CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us, "
+            "ROW_NUMBER() OVER (PARTITION BY p.event_id "
+            "ORDER BY c.ts DESC, c.event_id DESC) AS rn "
+            "FROM p JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts) "
+            "SELECT purchase_id, user_id, click_id, gap_us FROM ranked "
+            "WHERE rn = 1 ORDER BY purchase_id"
         ),
         "t_bpe_tokens": (
             "SELECT doc_id, CAST(len(list_filter(regexp_extract_all(text, "

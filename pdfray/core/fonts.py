@@ -6,8 +6,12 @@ Mirrors `PdfParser/PdfFont.cs:30-137` and `PdfFontType.cs:25-50`:
 * /Encoding name: WinAnsi / MacRoman / MacExpert(->MacRoman); names containing
   "Identity" set the identity flag without touching the table.
 * /Differences arrays: a running code index, `uniXXXX` hex names, glyph-name
-  lookups; unknown glyph names are skipped with the index still advancing
-  (`PdfFont.cs:80-90` tolerance behavior).
+  lookups.  A FAILED glyph-name entry (unknown name or out-of-range index)
+  consumes TWO code slots — C# evaluates the `charIndex++` side effect
+  before the throwing lookup/store and the catch increments again
+  (`PdfFont.cs:80-90`); a failed `uniXXXX` entry rethrows into the ctor's
+  outer catch, recording the exception and abandoning the rest of the build
+  (`PdfFont.cs:122-125`).
 * /ToUnicode streams patch the table (starting from Standard if none yet).
 * All failures are captured on ``exception`` — a broken font never aborts the
   page (`PdfFont.cs:122-125`).
@@ -105,23 +109,37 @@ class PdfFont:
                             char_index = diff.ivalue
                         elif isinstance(diff, NameToken):
                             char_name = diff.value
-                            # out-of-range indices skip the entry but still
-                            # advance, matching the reference's catch-and-
-                            # continue on Encoding8Bit[charIndex++]
-                            # (PdfFont.cs:80-90); Python negative indexing
-                            # must not silently write near the table end
+                            # C# evaluation order pins these semantics
+                            # (PdfFont.cs:71-90): in
+                            # `Encoding8Bit[charIndex++] = Chars[charName]`
+                            # the index side effect applies BEFORE the RHS
+                            # lookup/bounds check can throw, and the glyph
+                            # branch's catch runs `charIndex++` AGAIN — so a
+                            # failed glyph entry (unknown name OR out-of-
+                            # range index) consumes TWO code slots.  The
+                            # uniXXXX branch instead RETHROWS, which lands
+                            # in the ctor's outer catch (PdfFont.cs:122-125):
+                            # exception recorded, rest of the font build
+                            # (remaining Differences, ToUnicode) abandoned.
+                            # Python negative indexing must also never
+                            # silently write near the table end.
                             in_range = 0 <= char_index < 256
                             if char_name[:3].lower() == "uni":
-                                # uniXXXX hex parse; failure aborts the font build
-                                ch = chr(int(char_name[3:], 16))
-                                if in_range:
-                                    self.encoding8[char_index] = ch
+                                ch = chr(int(char_name[3:], 16))  # bad hex aborts
+                                if not in_range:
+                                    raise IndexError(
+                                        f"/Differences uni index {char_index} "
+                                        f"out of range"
+                                    )
+                                self.encoding8[char_index] = ch
                                 char_index += 1
                             else:
                                 ch = GLYPH_CHARS.get(char_name)
                                 if ch is not None and in_range:
                                     self.encoding8[char_index] = ch
-                                char_index += 1  # unknown names skip but advance
+                                    char_index += 1
+                                else:
+                                    char_index += 2  # try-increment + catch-increment
             elif isinstance(encoding_token, NameToken):
                 name = encoding_token.value
                 if "Identity" in name:

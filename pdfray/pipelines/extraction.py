@@ -317,6 +317,8 @@ def run_extraction(
     touches only its own input files.
     """
     os.makedirs(out_dir, exist_ok=True)
+    # refuse to resume markers written under a different partition scheme
+    manifest_mod.check_scheme(out_dir, num_partitions)
     done = manifest_mod.completed_partitions(out_dir) if resume else set()
     if extractor_kwargs is None:
         # production default: the text column already carries the document

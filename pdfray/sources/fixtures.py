@@ -25,7 +25,7 @@ NL = "\n"
 DELIM = "|"
 
 # bump when generation logic changes so /tmp caches can never go stale
-FIXTURE_VERSION = 7
+FIXTURE_VERSION = 8
 
 LANGS = ("en", "de", "fr", "es")
 
@@ -302,8 +302,10 @@ def _fonts_class_table() -> list:
     table = list(STANDARD)
     # /Differences [65 /Zcaron /notdefinedglyph /adieresis 0x80 /uni20AC]
     table[65] = "Ž"
-    # 66 skipped (unknown glyph name advances the index)
-    table[67] = "ä"
+    # 66 AND 67 skipped: a failed glyph-name entry consumes two code slots
+    # (C# increments charIndex in the try and again in the catch,
+    # PdfFont.cs:80-90)
+    table[68] = "ä"
     table[0x80] = "€"
     # ToUnicode bfchar: <01> -> <0041>, <02> -> <00660066> (ligature ff)
     table[0x01] = "A"

@@ -157,7 +157,14 @@ class RepairXref:
 
     Use ahead of the extraction stage for corpora with known-corrupt
     startxref offsets; repair failures pass the original bytes through with
-    the error recorded so extraction can still attempt them."""
+    the error recorded so extraction can still attempt them.
+
+    Inherits `repair_document`'s reference-parity TEXT-MODE limitation: the
+    CRLF normalization can change stream payload byte counts, and /Length
+    values are NOT rewritten — on LF-authored inputs with uncompressed
+    streams the output carries stale /Length values (the extraction side's
+    stream-boundary repair tolerates this, other consumers may not).  Safe
+    on the reference tool's own CRLF-authored input class."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("html")

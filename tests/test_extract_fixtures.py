@@ -145,9 +145,10 @@ def test_flate_buffer_overflow():
 
 
 def test_differences_out_of_range_entries_skip_but_advance():
-    """Malformed /Differences indices: negative or >255 entries are skipped
-    (without corrupting other codes via Python negative indexing) while the
-    char index still advances, matching the reference's catch-and-continue
+    """Malformed /Differences indices: negative or >255 glyph-name entries
+    are skipped (without corrupting other codes via Python negative
+    indexing) while the char index advances by TWO per failed entry —
+    the reference increments in the try and again in the catch
     (PdfFont.cs:80-90)."""
     b = PdfBuilder()
     fid = b.add(
@@ -169,3 +170,56 @@ def test_differences_out_of_range_entries_skip_but_advance():
     r = extract_document(data)
     assert r.error is None
     assert r.text == "\nŽß|"  # Zcaron + Standard 0xFB (germandbls), uncorrupted
+
+
+def test_differences_double_advance_on_unknown_glyph():
+    """An unknown glyph name consumes TWO code slots (C# evaluation order:
+    charIndex++ side effect in the try, another in the catch) — the next
+    name lands two codes later, leaving the in-between codes untouched."""
+    b = PdfBuilder()
+    fid = b.add(
+        "<</Type/Font/Subtype/Type1/BaseFont/Helvetica"
+        "/Encoding<</Type/Encoding"
+        "/Differences[65 /notarealglyphname /adieresis]>>>>"
+    )
+    # 65 consumed by the failed entry (plus 66); adieresis lands on 67.
+    # Codes: 0x41 (65: back to Standard 'A' — NOT overwritten), 0x42 (66:
+    # Standard 'B'), 0x43 (67 -> ä via Differences)
+    cid = b.add_stream(b"BT /F1 12 Tf 100 700 Td <414243> Tj ET")
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    r = extract_document(b.finish_classic(cat))
+    assert r.error is None
+    assert r.text == "\nABä|"
+
+
+def test_differences_uni_out_of_range_aborts_font_build():
+    """A uniXXXX entry with an out-of-range index rethrows into the font
+    ctor's outer catch (PdfFont.cs:122-125): the exception is recorded and
+    the REST of the build — later Differences entries AND /ToUnicode — is
+    abandoned, so affected codes fall back to the Standard table."""
+    b = PdfBuilder()
+    fid = b.add(
+        "<</Type/Font/Subtype/Type1/BaseFont/Helvetica"
+        "/Encoding<</Type/Encoding"
+        "/Differences[300 /uni20AC 65 /Zcaron]>>>>"
+    )
+    # 65 would be Zcaron if the build survived; the abort leaves Standard 'A'
+    cid = b.add_stream(b"BT /F1 12 Tf 100 700 Td <41> Tj ET")
+    pages_id = b.reserve()
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    r = extract_document(b.finish_classic(cat))
+    assert r.text == "\nA|"
+    # the font carries the recorded abort, reference-style
+    font = next(iter(r.pages[0].fonts.values()))
+    assert font.exception is not None and "IndexError" in font.exception

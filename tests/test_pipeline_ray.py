@@ -69,6 +69,27 @@ def test_run_extraction_resume_and_metrics(ray_session, corpus_path, tmp_path):
     assert metrics["n_docs"].sum() == n_docs
     assert (metrics["sum_bytes"] > 0).all()
 
+    # resuming under a DIFFERENT partition scheme must refuse, not silently
+    # skip re-assigned rows (the scheme is stamped into the manifest)
+    import json
+
+    import pytest as _pytest
+
+    from pdfray.state import manifest as manifest_mod
+
+    with _pytest.raises(manifest_mod.SchemeMismatch):
+        run_extraction(
+            corpus_path, out_dir, chunks=2, concurrency=2, num_partitions=128
+        )
+    scheme_file = os.path.join(out_dir, "_manifest", "_scheme")
+    with open(scheme_file) as fh:
+        stamp = json.load(fh)
+    stamp["scheme"] = "crc32-v1"
+    with open(scheme_file, "w") as fh:
+        json.dump(stamp, fh)
+    with _pytest.raises(manifest_mod.SchemeMismatch):
+        run_extraction(corpus_path, out_dir, chunks=2, concurrency=2)
+
 
 def test_write_partitioned_layout(ray_session, corpus_path, tmp_path):
     import ray.data as rd

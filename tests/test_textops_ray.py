@@ -83,6 +83,19 @@ def test_ngram_jaccard_dupes(docs_dir):
     found = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
     assert (0, 1) in found  # same simhash bucket + identical
 
+    # the hamming<=12 candidate prefilter is an empirically-tuned margin
+    # (token simhash vs char-gram Jaccard has no analytic bound): assert no
+    # VERIFIED pair sits near it, so a corpus change that erodes the margin
+    # fails loudly here instead of silently losing recall
+    from pdfray.pipelines.textops import SimHasher, _WORD_RE
+
+    docs = pq.read_table(f"{docs_dir}/documents.parquet").to_pandas()
+    sh = SimHasher()
+    hv = dict(zip(docs["doc_id"], sh.simhash_many(list(docs["text"]))))
+    for a, b in found:
+        d = bin(int(hv[a]) ^ int(hv[b])).count("1")
+        assert d <= 10, (a, b, d)  # measured max 10; prefilter margin to 12
+
 
 def test_langid_on_snippets(ray_session, tmp_path):
     from pdfray.sources.fixtures import SNIPPETS
