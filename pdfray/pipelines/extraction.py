@@ -88,6 +88,9 @@ def _task_cpus() -> float:
     (measured 2-3x SLOWER).  Full-cpu tasks are the norm on big nodes."""
     import ray
 
+    override = os.environ.get("PDFRAY_TASK_CPUS")
+    if override:
+        return float(override)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return 0.5 if cpus < 32 else 1.0
 

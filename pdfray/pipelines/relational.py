@@ -406,13 +406,33 @@ def q_supplier_nation(sf_dir: str):
 def q_events_json(sf_dir: str):
     """Semi-structured projection: parse the props JSON column, bucket its
     'k' value, roll up per (event_type, bucket)."""
-    import json
-
     ds = _read(sf_dir, "events", ["event_type", "props", "value"])
 
     def project(t: pa.Table) -> pa.Table:
-        ks = [json.loads(p)["k"] for p in t.column("props").to_pylist()]
-        buckets = [k // 10 for k in ks]
+        # vectorized field extract (Arrow RE2) for the overwhelmingly-common
+        # flat encoding; rows the pattern misses (nested/escaped forms) fall
+        # back to an exact per-row json.loads — no Arrow JSON kernel exists
+        import numpy as np
+
+        props = t.column("props")
+        m = pc.extract_regex(props, r'"k"\s*:\s*(?P<k>-?\d+)')
+        ks = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        if ks.null_count:
+            import json
+
+            vals = ks.combine_chunks().to_numpy(zero_copy_only=False)
+            raw = props.to_pylist()
+            ks = pa.array(
+                [
+                    int(json.loads(raw[i])["k"]) if v is None else int(v)
+                    for i, v in enumerate(vals)
+                ],
+                pa.int64(),
+            )
+        buckets = np.floor_divide(
+            ks.combine_chunks().to_numpy() if isinstance(ks, pa.ChunkedArray) else ks.to_numpy(),
+            10,
+        )
         return pa.table(
             {
                 "event_type": t.column("event_type"),

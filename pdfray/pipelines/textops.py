@@ -60,6 +60,8 @@ def warm_stage(cls, **kwargs):
     def fn(batch):
         obj = _WARM_STAGE_CACHE.get(key)
         if obj is None:
+            if len(_WARM_STAGE_CACHE) > 16:  # bound worker memory: stage
+                _WARM_STAGE_CACHE.clear()  # instances can hold big caches
             obj = cls(**kwargs)
             _WARM_STAGE_CACHE[key] = obj
         return obj(batch)
@@ -532,6 +534,22 @@ def read_band_checkpoint(out_dir: str, bands=None):
     return out
 
 
+class _KeepAndHash:
+    """Semi-join filter + feature-set hash, warm per worker process: keeps
+    only candidate-id rows (broadcast id set) and runs the feature stage."""
+
+    def __init__(self, factory, id_col, ids_ref):
+        import ray
+
+        self.inner = factory()
+        self.id_col = id_col
+        self.wanted = ray.get(ids_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t.column(self.id_col), value_set=self.wanted))
+        return self.inner(t)
+
+
 def _verify_pairs(
     docs_ds,
     pairs_ds,
@@ -575,15 +593,9 @@ def _verify_pairs(
     # only the reduced set it must broadcast anyway
     cand_ids = pairs_ds.map_batches(_both_ids, batch_format="pyarrow").unique("cand_id")
     ids_ref = ray.put(pa.array(cand_ids, id_type))
-
-    class KeepAndHash:
-        def __init__(self):
-            self.inner = set_stage_factory()
-            self.wanted = ray.get(ids_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            t = t.filter(pc.is_in(t.column(id_col), value_set=self.wanted))
-            return self.inner(t)
+    keep_and_hash = warm_stage(
+        _KeepAndHash, factory=set_stage_factory, id_col=id_col, ids_ref=ids_ref
+    )
 
     # candidate sets are small by construction: safe to pin in the object store.
     # The repartition also works around a Ray 2.49 hash-shuffle-join quirk:
@@ -593,7 +605,7 @@ def _verify_pairs(
     # blocks for batches with no candidates).
     n_parts = max(1, min(8, len(cand_ids) // 10_000 + 1))
     sets_ds = (
-        docs_ds.map_batches(KeepAndHash, batch_format="pyarrow", concurrency=(1, 4))
+        docs_ds.map_batches(keep_and_hash, batch_format="pyarrow")
         .repartition(n_parts)
         .materialize()
     )

@@ -154,6 +154,80 @@ def test_system_doc_pdfs_byte_stable(path, version, pages, n_chars, text_md5):
     assert hashlib.md5(result.text.encode("utf-8")).hexdigest() == text_md5
 
 
+@pytest.mark.parametrize("password", ["", "secret7"])
+def test_real_pdf_rc4_encrypted_roundtrip(password):
+    """C1-C8 against REAL third-party structure: the LibreOffice sample is
+    re-encrypted with RC4 standard security (V2/R3/128, original /ID kept)
+    and must extract to the SAME pinned gold text through the decrypt path
+    — object keys, stream decrypt, string decrypt, U-entry authentication
+    all exercised outside fixture-authored bytes."""
+    from pdfray.sources.pdf_encrypt import encrypt_pdf
+
+    data = open(os.path.join(REF, "file-sample_150kB.pdf"), "rb").read()
+    enc = encrypt_pdf(data, user_password=password)
+    assert enc != data and b"/Encrypt" in enc
+    assert encrypt_pdf(data, user_password=password) == enc  # deterministic
+    r = extract_document(enc, password=password, working_buffer_size=10_000_000)
+    assert r.error is None and r.error_summary() is None
+    assert r.n_pages == 4
+    assert hashlib.md5(r.text.encode("utf-8")).hexdigest() == (
+        "a79c2d2ed3964fb00fd81d706a950d6f"
+    )
+    # UTF-16 info strings survive decrypt up to the first ciphertext byte
+    # that needed escaping (the reference decrypts escapes-kept-raw string
+    # text, so such strings garble deterministically — real-Acrobat parity)
+    assert r.document_info is not None and r.document_info.startswith("Creator: <F")
+
+
+def test_real_pdf_rc4_wrong_password_hits_owner_auth_gap():
+    """Failed user-password auth falls through to owner-password auth, which
+    the reference leaves NotImplemented (Tokeniser.cs:810-840) — the same
+    typed gap, now reached via a real document."""
+    from pdfray.sources.pdf_encrypt import encrypt_pdf
+
+    data = open(os.path.join(REF, "file-sample_150kB.pdf"), "rb").read()
+    enc = encrypt_pdf(data, user_password="secret7")
+    r = extract_document(enc, password="wrong")
+    assert r.error is not None and "NotImplementedError" in r.error
+    assert r.text == ""
+
+
+def test_real_pdf_encrypted_through_ray_pipeline(ray_session, tmp_path):
+    """Encrypted real document through the Dataset pipeline with a per-row
+    password column (X1 surface)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfray.pipelines.extraction import extract_dataset, read_corpus
+    from pdfray.sources.pdf_encrypt import encrypt_pdf
+
+    data = open(os.path.join(REF, "file-sample_150kB.pdf"), "rb").read()
+    table = pa.table(
+        {
+            "url": ["enc/pw", "enc/nopw"],
+            "html": [encrypt_pdf(data, user_password="pw1"), encrypt_pdf(data)],
+            "password": ["pw1", ""],
+        }
+    )
+    path = str(tmp_path / "corpus.parquet")
+    pq.write_table(table, path)
+    out = (
+        extract_dataset(
+            read_corpus(path, columns=("url", "html", "password")),
+            concurrency=2,
+            huge_threshold=None,
+        )
+        .to_pandas()
+        .sort_values("url")
+    )
+    assert list(out["n_pages"]) == [4, 4]
+    assert all(
+        hashlib.md5(t.encode("utf-8")).hexdigest()
+        == "a79c2d2ed3964fb00fd81d706a950d6f"
+        for t in out["text"]
+    )
+
+
 def test_xref_updater_byte_identical_to_reference_output():
     """The repair FSM reproduces the reference tool's OWN shipped artifact
     byte-for-byte: `H3 ... Updated.pdf` is the output the C# XRefUpdater
