@@ -243,6 +243,100 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _simhash_oracle() -> str:
+    """Verbatim SimHash recomputation in DuckDB: md5-64 token hashes
+    (identical to the engine's), ±1 accumulation per bit, sign -> bit,
+    16-hex-digit render.  The 64 per-bit aggregates are generated here."""
+    bits = ", ".join(
+        f"SUM(CASE WHEN (hv >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(64)
+    )
+    # literal powers of two: DuckDB's << overflows at bit 63 even on UBIGINT
+    val = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN {1 << k}::UBIGINT ELSE 0::UBIGINT END)"
+        for k in range(64)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(list_filter(string_split_regex(lower(text), '\\s+'), "
+        "x -> x <> '')) AS tok FROM documents), "
+        "h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv "
+        "FROM toks), "
+        f"bits AS (SELECT doc_id, {bits} FROM h GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, ({val}) AS v FROM bits) "
+        "SELECT d.doc_id, "
+        "COALESCE(lower(lpad(to_hex(s.v), 16, '0')), '0000000000000000') AS simhash "
+        "FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id ORDER BY d.doc_id"
+    )
+
+
+def _lsh_buckets_oracle() -> str:
+    """LSH bucket histogram recomputed in DuckDB: the hyperplanes come from
+    the same fixed seed (RandomState(17)) and are embedded as float literals
+    (repr round-trips float64 exactly); the sign of each dot product is
+    scale-invariant, so the Python side's normalization needs no mirror.
+    Plane count is auto-sized from the sf0.01 row count, mirroring the
+    engine's `_auto_planes` (oracles are compared at sf0.01 only — same
+    convention as the fixture-path oracles)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfray.pipelines.simsearch import _auto_planes
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    pf = pq.ParquetFile(path)
+    n_rows = pf.metadata.num_rows
+    dim = len(next(pf.iter_batches(batch_size=1)).column("embedding")[0])
+    n_planes = _auto_planes(n_rows)
+    planes = np.random.RandomState(17).randn(dim, n_planes)
+    terms = " + ".join(
+        "(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+        f"[{','.join(repr(float(x)) for x in planes[:, j])}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return (
+        f"SELECT CAST(({terms}) AS BIGINT) AS sig, COUNT(*) AS n_vecs "
+        "FROM embeddings GROUP BY sig ORDER BY sig"
+    )
+
+
+def _langid_oracle() -> str:
+    """The language-ID heuristic recomputed verbatim in DuckDB: distinct
+    word-marker intersections (x2.0) + characteristic-character counts
+    (x0.5) per language, argmax with the engine's exact tie-break — max by
+    (score, lang name), so ties resolve fr > es > en > de, and a zero best
+    score falls back to 'en'.  Marker tables come from the same module
+    constants the stage uses."""
+    from pdfray.pipelines.textops import _LANG_CHARS, _LANG_MARKERS
+
+    word = "[a-zäöüßéèêàçùñáíóú¿¡]+"
+
+    def score(lang: str) -> str:
+        marks = ",".join(f"'{m}'" for m in sorted(_LANG_MARKERS[lang]))
+        s = (
+            f"2.0 * len(list_intersect(list_distinct("
+            f"regexp_extract_all(lower(text), '{word}')), [{marks}]))"
+        )
+        for c in _LANG_CHARS.get(lang, ""):
+            s += (
+                f" + 0.5 * (length(lower(text)) - "
+                f"length(replace(lower(text), '{c}', '')))"
+            )
+        return s
+
+    cols = ", ".join(f"({score(l)}) AS s_{l}" for l in ("en", "de", "fr", "es"))
+    return (
+        f"WITH s AS (SELECT doc_id, lang, {cols} FROM documents), "
+        "b AS (SELECT doc_id, lang, s_en, s_de, s_fr, s_es, "
+        "GREATEST(s_en, s_de, s_fr, s_es) AS best FROM s) "
+        "SELECT doc_id, CASE WHEN best <= 0 THEN 'en' "
+        "WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' "
+        "WHEN s_en = best THEN 'en' ELSE 'de' END AS lang_pred, lang "
+        "FROM b ORDER BY doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     fixture = _fixture_sql_path()
     media = _media_sql_path()
@@ -406,6 +500,9 @@ def oracle_sql() -> dict[str, str]:
             "length(text) AS n_chars "
             "FROM documents ORDER BY doc_id"
         ),
+        "t_simhash": _simhash_oracle(),
+        "s_lsh_buckets": _lsh_buckets_oracle(),
+        "t_langid": _langid_oracle(),
         "t_winnow_fp": (
             # verbatim winnowing recomputation: k=5 token grams, md5-64 gram
             # hashes (identical to the engine's _hash64), w=4 window minima,
@@ -427,6 +524,49 @@ def oracle_sql() -> dict[str, str]:
             "ELSE len(list_distinct(list_transform(range(1, len(h) - 2), "
             "i -> list_min(list_slice(h, i, i + 3))))) END AS BIGINT) AS n_fps "
             "FROM hashes ORDER BY doc_id"
+        ),
+        "t_minhash_pairs": (
+            # ALL-PAIRS ground truth: exact 3-token-shingle Jaccard over
+            # every doc pair (feasible at sf0.01), threshold 0.8.  Docs
+            # without tokens are excluded on both sides (they cannot be
+            # near-dups; the engine's MinHasher emits nothing for them).
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t) - 1), "
+            "i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS s "
+            "FROM toks WHERE len(t) > 0), "
+            "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "SELECT doc_a, doc_b, "
+            "ROUND(inter::DOUBLE / (tot - inter), 4) AS jaccard "
+            "FROM pairs WHERE tot > inter "
+            "AND inter::DOUBLE / (tot - inter) >= 0.8 "
+            "ORDER BY doc_a, doc_b"
+        ),
+        "t_ngram_jaccard_dupes": (
+            # ALL-PAIRS ground truth for char-4-gram Jaccard at 0.5 — this
+            # oracle EXPOSED two short-doc pairs the old pure-simhash
+            # generator missed; the two-regime generator matches it exactly.
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "norm AS (SELECT doc_id, array_to_string(t, ' ') AS s "
+            "FROM toks WHERE len(t) > 0), "
+            "gr AS (SELECT doc_id, list_distinct(CASE WHEN length(s) < 4 THEN [s] "
+            "ELSE list_transform(range(1, length(s) - 2), "
+            "i -> substr(s, i, 4)) END) AS g FROM norm), "
+            "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "len(list_intersect(a.g, b.g)) AS inter, len(a.g) + len(b.g) AS tot "
+            "FROM gr a JOIN gr b ON a.doc_id < b.doc_id) "
+            "SELECT doc_a, doc_b, "
+            "ROUND(inter::DOUBLE / (tot - inter), 4) AS jaccard "
+            "FROM pairs WHERE tot > inter "
+            "AND inter::DOUBLE / (tot - inter) >= 0.5 "
+            "ORDER BY doc_a, doc_b"
         ),
         "s_knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
@@ -476,9 +616,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(url) AS url, MIN_BY(text, url) AS text FROM ok "
             "GROUP BY md5(text) ORDER BY url"
         ),
-        # rows-only (non-SQL-expressible): t_langid, t_simhash,
-        # t_minhash_pairs, t_ngram_jaccard_dupes, s_ann_lsh,
-        # s_ann_partitioned, s_lsh_buckets, pipeline_clean_corpus_neardup
-        # (m_resize gained an exact oracle when the PNG decode became real;
-        # t_winnow_fp when the gram hash moved to md5-64)
+        # rows-only (genuinely non-SQL-expressible): s_ann_lsh and
+        # s_ann_partitioned (probe-pruned recall reports), and
+        # pipeline_clean_corpus_neardup (greedy drop-set resolution).
+        # Round 3 upgraded m_resize (real decode), t_winnow_fp / t_simhash /
+        # t_minhash_pairs / t_ngram_jaccard_dupes (md5-64 hashes + all-pairs
+        # recomputation), s_lsh_buckets (seeded planes as literals), and
+        # t_langid (marker arithmetic) to exact oracles.
     }

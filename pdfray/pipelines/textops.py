@@ -406,7 +406,15 @@ class ShingleSetHasher:
         )
 
 
-def _candidate_pairs(buckets, id_col: str, hamming_col: str = None, max_hamming: int = 0):
+def _candidate_pairs(
+    buckets,
+    id_col: str,
+    hamming_col: str = None,
+    max_hamming: int = 0,
+    feat_col: str = None,
+    min_pair_feat: int = 0,
+    max_feat_ratio: float = 0.0,
+):
     """Within-bucket candidate pairs as a vectorized self-join.
 
     Self-join on (band, band_key) + an a<b filter emits every within-bucket
@@ -444,6 +452,9 @@ def _candidate_pairs(buckets, id_col: str, hamming_col: str = None, max_hamming:
 
     lcols = ["doc_a", "band", "band_key"] + (["ham_a"] if hamming_col else [])
     rcols = ["doc_b", "band", "band_key"] + (["ham_b"] if hamming_col else [])
+    if feat_col:
+        lcols.append("feat_a")
+        rcols.append("feat_b")
     left = buckets.map_batches(_rename(lcols), batch_format="pyarrow")
     right = buckets.map_batches(_rename(rcols), batch_format="pyarrow")
     joined = left.join(
@@ -452,6 +463,19 @@ def _candidate_pairs(buckets, id_col: str, hamming_col: str = None, max_hamming:
 
     def ordered(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t.column("doc_a"), t.column("doc_b")))
+        if feat_col and len(t):
+            fa = t.column("feat_a").to_numpy()
+            fb = t.column("feat_b").to_numpy()
+            mask = np.ones(len(t), bool)
+            if min_pair_feat:
+                # regime-ownership rule: pairs whose BOTH docs sit under the
+                # short-regime bound are delegated to the minhash bands
+                mask &= np.maximum(fa, fb) >= min_pair_feat
+            if max_feat_ratio:
+                # exact size bound: j >= t forces max(|A|,|B|)/min <= 1/t,
+                # so cross-size template collisions die before the dedup
+                mask &= np.maximum(fa, fb) <= max_feat_ratio * np.minimum(fa, fb)
+            t = t.filter(pa.array(mask))
         if hamming_col and len(t):
             a = t.column("ham_a").to_numpy().astype(np.uint64)
             b = t.column("ham_b").to_numpy().astype(np.uint64)
@@ -758,46 +782,6 @@ def char_ngrams(s: str, n: int = 4):
     return {s[i : i + n] for i in range(max(1, len(s) - n + 1))}
 
 
-class SimhashBander:
-    """Banded simhash bucketing: one row per 16-bit simhash chunk per doc.
-
-    Near-dups differ in few simhash bits, so they collide on at least one
-    clean 16-bit chunk w.h.p.  Bucket space is 4 x 2^16 PER CORPUS SLICE —
-    it scales with content diversity instead of the fixed 256 prefix buckets
-    (whose per-bucket pair scan is O((n/256)^2)).  Shuffle rows are
-    (doc_id, band, key); text and grams never enter the shuffle.  Token-less
-    documents emit nothing (Jaccard 0 to everything; avoids a degenerate
-    shared bucket)."""
-
-    def __init__(self, id_col: str = "doc_id"):
-        self.id_col = id_col
-        self.simhasher = SimHasher()
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        hv = self.simhasher.simhash_many(texts)
-        n_tok = [len(_WORD_RE.findall(s)) for s in texts]
-        id_type = t.schema.field(self.id_col).type
-        ids, bands, keys, hashes = [], [], [], []
-        for doc_id, v, nt in zip(t.column(self.id_col).to_pylist(), hv, n_tok):
-            if nt == 0:
-                continue
-            v = int(v)
-            for band in range(_SIMHASH_BANDS):
-                ids.append(doc_id)
-                bands.append(band)
-                keys.append(format((v >> (band * 16)) & 0xFFFF, "04x"))
-                hashes.append(v - (1 << 64) if v >= 1 << 63 else v)  # int64 bitcast
-        return pa.table(
-            {
-                self.id_col: pa.array(ids, id_type),
-                "band": pa.array(bands, pa.int32()),
-                "band_key": pa.array(keys, pa.string()),
-                "sh64": pa.array(hashes, pa.int64()),
-            }
-        )
-
-
 class GramSetHasher(ShingleSetHasher):
     """(id, sh) — 64-bit hashes of the doc's char-4-gram set, with an
     actor-level gram cache (grams repeat heavily across documents)."""
@@ -809,7 +793,8 @@ class GramSetHasher(ShingleSetHasher):
     def features(self, text: str):
         return char_ngrams(text)
 
-    def _hash_features(self, feats) -> bytes:
+    def hashed(self, feats) -> np.ndarray:
+        """Sorted-unique uint64 hashes of a feature set (cached)."""
         cache = self.cache
         if len(cache) > 2_000_000:
             cache.clear()
@@ -820,35 +805,258 @@ class GramSetHasher(ShingleSetHasher):
                 v = _hash64(g)
                 cache[g] = v
             hs[i] = v
-        return np.unique(hs).tobytes()
+        return np.unique(hs)
+
+    def _hash_features(self, feats) -> bytes:
+        return self.hashed(feats).tobytes()
+
+
+# Two-regime thresholds for the gram near-dup machinery, in GRAM-SET SIZE
+# (the same measure Jaccard uses, so the size-ratio bound applies): j >= 0.5
+# forces max(|A|,|B|) <= 2*min, so a pair can never straddle "one doc below
+# LONG_MIN, the other at/above SHORT_MAX" — the overlap zone [LONG_MIN,
+# SHORT_MAX) participates in BOTH regimes and every true pair lands wholly
+# in at least one.
+_GRAM_LONG_MIN = 256
+_GRAM_SHORT_MAX = 512
+_SHORT_BLOCK_ROWS = 512  # short-class docs per scoring block
+
+
+class GramNearDupBander:
+    """Simhash band rows for the LONG regime of the gram near-dup pipeline.
+
+    Simhash banding assumes the per-bit accumulation CONCENTRATES — true
+    only when a document has enough features.  A 60-gram document pair at
+    Jaccard 0.93 was measured at token-simhash Hamming 10 with no clean
+    16-bit band (a genuine recall miss found by the all-pairs oracle), so
+    only docs with >= _GRAM_LONG_MIN grams emit band rows here; the short
+    class is handled exactly by `_short_allpairs` (and long-regime pairs
+    whose docs BOTH sit under _GRAM_SHORT_MAX are delegated there via the
+    ``min_pair_feat`` ownership filter, keeping the two pair sets disjoint).
+    """
+
+    def __init__(self, id_col: str = "doc_id"):
+        self.id_col = id_col
+        self.simhasher = SimHasher()
+        self.gram_hasher = GramSetHasher(id_col)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        hv = self.simhasher.simhash_many(texts)
+        id_type = t.schema.field(self.id_col).type
+        ids, bands, keys, hashes, feats = [], [], [], [], []
+        for doc_id, text, v in zip(t.column(self.id_col).to_pylist(), texts, hv):
+            if not _WORD_RE.search(text):
+                continue  # token-less: Jaccard 0 to everything; skipping
+                # avoids a degenerate shared bucket at corpus scale
+            n_feat = len(self.gram_hasher.hashed(char_ngrams(text)))
+            if n_feat < _GRAM_LONG_MIN:
+                continue
+            v = int(v)
+            sh64 = v - (1 << 64) if v >= 1 << 63 else v  # int64 bitcast
+            for band in range(_SIMHASH_BANDS):
+                ids.append(doc_id)
+                bands.append(band)
+                keys.append(format((v >> (band * 16)) & 0xFFFF, "04x"))
+                hashes.append(sh64)
+                feats.append(n_feat)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, id_type),
+                "band": pa.array(bands, pa.int32()),
+                "band_key": pa.array(keys, pa.string()),
+                "sh64": pa.array(hashes, pa.int64()),
+                "n_feat": pa.array(feats, pa.int32()),
+            }
+        )
+
+
+class ShortGramSets:
+    """(id, sh) gram-hash blobs for SHORT-class docs (0 < n_feat < bound)."""
+
+    def __init__(self, id_col: str = "doc_id", bound: int = _GRAM_SHORT_MAX):
+        self.inner = GramSetHasher(id_col)
+        self.id_col = id_col
+        self.bound = bound
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for doc_id, text in zip(
+            t.column(self.id_col).to_pylist(), t.column("text").to_pylist()
+        ):
+            if not _WORD_RE.search(text):
+                continue
+            gh = self.inner.hashed(char_ngrams(text))
+            if len(gh) >= self.bound:
+                continue
+            ids.append(doc_id)
+            blobs.append(gh.tobytes())
+        id_type = t.schema.field(self.id_col).type
+        return pa.table(
+            {self.id_col: pa.array(ids, id_type), "sh": pa.array(blobs, pa.binary())}
+        )
+
+
+class _ScoreShortBlockPair:
+    """Block-pair scorer for the short class, warm per worker process:
+    deserializes each block's gram sets once (bounded cache) and verifies
+    its pair grid with C-speed frozenset intersections."""
+
+    def __init__(self, refs_ref, threshold, value_name):
+        import ray
+
+        self.blocks = ray.get(refs_ref)
+        self.threshold = threshold
+        self.value_name = value_name
+        self.cache: dict = {}
+
+    def _sets(self, bi):
+        import ray
+
+        got = self.cache.get(bi)
+        if got is None:
+            if len(self.cache) > 8:
+                self.cache.clear()
+            tbl = ray.get(self.blocks[bi])
+            ids = tbl.column(0).to_pylist()
+            sets = [
+                frozenset(np.frombuffer(b, np.uint64).tolist())
+                for b in tbl.column("sh").to_pylist()
+            ]
+            got = (ids, sets)
+            self.cache[bi] = got
+        return got
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        threshold = self.threshold
+        ratio = 1.0 / threshold
+        for bi, bj in zip(t.column("bi").to_pylist(), t.column("bj").to_pylist()):
+            ids_i, sets_i = self._sets(bi)
+            ids_j, sets_j = self._sets(bj) if bj != bi else (ids_i, sets_i)
+            for x in range(len(ids_i)):
+                sa = sets_i[x]
+                la = len(sa)
+                y0 = x + 1 if bi == bj else 0
+                for y in range(y0, len(ids_j)):
+                    sb = sets_j[y]
+                    lb = len(sb)
+                    if la > lb * ratio or lb > la * ratio:
+                        continue  # exact size bound for j >= threshold
+                    inter = len(sa & sb)
+                    union = la + lb - inter
+                    if union and inter / union >= threshold:
+                        a, b = ids_i[x], ids_j[y]
+                        if a == b:
+                            continue
+                        lo, hi = (a, b) if a < b else (b, a)
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_j.append(round(inter / union, 4))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a),
+                "doc_b": pa.array(out_b),
+                self.value_name: pa.array(out_j, pa.float64()),
+            }
+        )
+
+
+def _short_allpairs(
+    docs_ds, threshold: float, id_col: str, value_name: str = "jaccard"
+) -> pd.DataFrame:
+    """EXACT all-pairs Jaccard over the SHORT class, block-pair scored.
+
+    Sketching degrades exactly where documents are short: simhash stops
+    concentrating (measured misses at j 0.93/0.97) and minhash banding on a
+    template-dense corpus puts most of the class in one bucket (measured:
+    r=1 -> 79% of docs in one bucket; r=2 still quadratic).  So the short
+    class gets deterministic all-pairs treatment with the s_embedding_dupes
+    block-pair pattern: gram-set blobs live as object-store blocks, one
+    task per (block_i, block_j) holds just two blocks and verifies its
+    pairs with C-speed frozenset intersections, pre-filtered by the EXACT
+    size bound (j >= t forces max/min <= 1/t).  Quadratic compute is
+    confined to this bounded class — at web scale shorts are a minority
+    tail (this synthetic corpus is unusually short), and the class is
+    further shardable by size bands since only ratio<=1/t pairs matter."""
+    import ray
+    import ray.data as rd
+
+    blocks = (
+        docs_ds.map_batches(
+            warm_stage(ShortGramSets, id_col=id_col),
+            batch_format="pyarrow",
+        )
+        .repartition(target_num_rows_per_block=_SHORT_BLOCK_ROWS)
+        .materialize()
+        .to_arrow_refs()
+    )
+    idx_pairs = [
+        {"bi": i, "bj": j} for i in range(len(blocks)) for j in range(i, len(blocks))
+    ]
+    refs_ref = ray.put(blocks)
+
+    if not blocks:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype=object),
+                "doc_b": pd.Series(dtype=object),
+                value_name: pd.Series(dtype="float64"),
+            }
+        )
+    out = (
+        rd.from_items(idx_pairs)
+        .map_batches(
+            warm_stage(
+                _ScoreShortBlockPair,
+                refs_ref=refs_ref,
+                threshold=threshold,
+                value_name=value_name,
+            ),
+            batch_format="pyarrow",
+            batch_size=1,
+        )
+        .to_pandas()
+    )
+    return out
 
 
 def t_ngram_jaccard_dupes(sf_dir: str, threshold: float = 0.5):
-    """Character-n-gram Jaccard near-dup pairs, banded-simhash bucketed.
+    """Character-n-gram Jaccard near-dup pairs, length-aware two-regime.
 
-    simhash -> 4 x 16-bit band buckets -> within-bucket candidate pairs ->
-    distributed pair dedup -> hash-join against candidate gram-hash sets ->
-    exact Jaccard verify inside map_batches.  Same machinery as
-    `t_minhash_pairs`; only the bucketing (simhash bands) and the feature
-    sets (char 4-grams) differ."""
-    # Cost note: the synthetic `documents` table is built from a small
-    # snippet vocabulary, so its simhash space is ~100x denser than a real
-    # web corpus (sf0.1: 189k of 12.5M pairs sit at Hamming<=10 while only
-    # 229 pass the exact 0.5-Jaccard verify).  Exactness makes verifying
-    # that near-pair bulk irreducible; the Hamming prefilter (verified-pair
-    # max is 10, margin to 12) and the banding bound the candidate set to
-    # the near-pair population instead of all pairs.
-    #
-    # A PPJoin/AllPairs prefix-filter generator (exact by the
-    # Bayardo/Chaudhuri theorem: rank grams by document frequency, emit the
-    # |G|-ceil(t|G|)+1 rarest per doc, join on shared prefix grams) was
-    # prototyped and MEASURED WORSE here: at t=0.5 the prefix is half of
-    # each doc's grams, and this corpus's mid-frequency template grams give
-    # the per-gram self-join a quadratic bulge (>10 min at sf0.1 vs 11 s
-    # for banding).  Prefix filtering wins at high thresholds on natural
-    # corpora with heavy-tailed gram frequencies; banding+Hamming wins on
-    # template-dense ones.  Keeping the banded generator.
+    LONG docs (>= _GRAM_LONG_MIN grams, where simhash concentrates):
+    4 x 16-bit simhash bands -> Acero self-join candidates -> Hamming
+    prefilter -> distributed exact-Jaccard verify, with pairs wholly under
+    _GRAM_SHORT_MAX delegated away (ownership filter).  SHORT docs
+    (< _GRAM_SHORT_MAX grams): deterministic all-pairs block scoring
+    (`_short_allpairs`) — sketching is provably unreliable there and the
+    class is bounded.  The two pair sets are disjoint by the size-ratio
+    bound; their union is exact-oracle-checked at sf0.01 against a DuckDB
+    ALL-PAIRS recomputation (which previously EXPOSED two short-doc pairs
+    at Jaccard 0.93/0.97 that pure simhash banding missed)."""
+    # Long-regime cost note: the synthetic `documents` table is built from
+    # a small snippet vocabulary, so its simhash space is ~100x denser than
+    # real web text; the Hamming prefilter (long-regime verified max 10,
+    # margin to 12) bounds the candidate set to the near-pair population.
+    # A PPJoin/AllPairs prefix-filter generator was prototyped and MEASURED
+    # WORSE here (>10 min at sf0.1: at t=0.5 the prefix is half of each
+    # doc's grams and template-frequency grams give the per-gram self-join
+    # a quadratic bulge); minhash banding for the short class measured the
+    # same pathology (r=1: 79% of docs in ONE bucket; r=2 still quadratic),
+    # which is why the short class is all-pairs instead.
     ds = _read_documents(sf_dir)
-    buckets = ds.map_batches(warm_stage(SimhashBander), batch_format="pyarrow")
-    pairs = _candidate_pairs(buckets, "doc_id", hamming_col="sh64", max_hamming=12)
-    return _verify_pairs(ds, pairs, GramSetHasher, threshold, "doc_id")
+    long_rows = ds.map_batches(
+        warm_stage(GramNearDupBander), batch_format="pyarrow"
+    )
+    long_pairs = _candidate_pairs(
+        long_rows,
+        "doc_id",
+        hamming_col="sh64",
+        max_hamming=12,
+        feat_col="n_feat",
+        min_pair_feat=_GRAM_SHORT_MAX,
+    )
+    long_df = _verify_pairs(ds, long_pairs, GramSetHasher, threshold, "doc_id")
+    short_df = _short_allpairs(ds, threshold, "doc_id")
+    out = pd.concat([long_df, short_df], ignore_index=True)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

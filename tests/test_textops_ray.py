@@ -85,16 +85,78 @@ def test_ngram_jaccard_dupes(docs_dir):
 
     # the hamming<=12 candidate prefilter is an empirically-tuned margin
     # (token simhash vs char-gram Jaccard has no analytic bound): assert no
-    # VERIFIED pair sits near it, so a corpus change that erodes the margin
-    # fails loudly here instead of silently losing recall
-    from pdfray.pipelines.textops import SimHasher, _WORD_RE
+    # LONG-REGIME verified pair sits near it, so a corpus change that
+    # erodes the margin fails loudly here instead of silently losing
+    # recall.  Short-class pairs are exempt — they are found by exact
+    # all-pairs scoring precisely because their hamming is unbounded.
+    from pdfray.pipelines.textops import (
+        _GRAM_SHORT_MAX,
+        GramSetHasher,
+        SimHasher,
+        char_ngrams,
+    )
 
     docs = pq.read_table(f"{docs_dir}/documents.parquet").to_pandas()
     sh = SimHasher()
+    gh = GramSetHasher()
     hv = dict(zip(docs["doc_id"], sh.simhash_many(list(docs["text"]))))
+    nfeat = {
+        i: len(gh.hashed(char_ngrams(s)))
+        for i, s in zip(docs["doc_id"], docs["text"])
+    }
     for a, b in found:
+        if max(nfeat[a], nfeat[b]) < _GRAM_SHORT_MAX:
+            continue  # short-regime pair: exact path, no hamming bound
         d = bin(int(hv[a]) ^ int(hv[b])).count("1")
         assert d <= 10, (a, b, d)  # measured max 10; prefilter margin to 12
+
+
+def test_neardup_generators_match_bruteforce_truth(ray_session):
+    """Both near-dup pipelines reproduce the exact all-pairs ground truth
+    on real testdata (this style of check exposed two short-doc pairs at
+    Jaccard 0.93/0.97 that pure simhash banding missed in round 2)."""
+    from pdfray.pipelines.textops import (
+        _shingles,
+        char_ngrams,
+        t_minhash_pairs,
+        t_ngram_jaccard_dupes,
+        _WORD_RE,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    feats_by_kind = {
+        "gram": {}, "shingle": {},
+    }
+    for i, s in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        if not _WORD_RE.search(s):
+            continue
+        feats_by_kind["gram"][i] = char_ngrams(s)
+        feats_by_kind["shingle"][i] = _shingles(s)
+
+    def truth(kind, thr):
+        feats = feats_by_kind[kind]
+        ids = sorted(feats)
+        out = set()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                A, B = feats[ids[x]], feats[ids[y]]
+                inter = len(A & B)
+                union = len(A | B)
+                if union and inter / union >= thr:
+                    out.add((ids[x], ids[y], round(inter / union, 4)))
+        return out
+
+    got_gram = {
+        (int(a), int(b), float(j))
+        for a, b, j in t_ngram_jaccard_dupes(sf).values.tolist()
+    }
+    assert got_gram == truth("gram", 0.5)
+    got_min = {
+        (int(a), int(b), float(j))
+        for a, b, j in t_minhash_pairs(sf).values.tolist()
+    }
+    assert got_min == truth("shingle", 0.8)
 
 
 def test_langid_on_snippets(ray_session, tmp_path):
