@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / embedding dedup over embeddings
         "s_knn_bruteforce": S.s_knn_bruteforce,
         "s_ann_lsh": S.s_ann_lsh,
+        "s_ann_ivf": S.s_ann_ivf,
         "s_ann_partitioned": S.s_ann_partitioned,
         "s_lsh_buckets": S.s_lsh_buckets,
         "s_embedding_dupes": S.s_embedding_dupes,
@@ -616,7 +617,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(url) AS url, MIN_BY(text, url) AS text FROM ok "
             "GROUP BY md5(text) ORDER BY url"
         ),
-        # rows-only (genuinely non-SQL-expressible): s_ann_lsh and
+        # rows-only (genuinely non-SQL-expressible): s_ann_lsh, s_ann_ivf and
         # s_ann_partitioned (probe-pruned recall reports), and
         # pipeline_clean_corpus_neardup (greedy drop-set resolution).
         # Round 3 upgraded m_resize (real decode), t_winnow_fp / t_simhash /

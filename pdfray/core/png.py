@@ -170,10 +170,18 @@ def decode_png(data: bytes) -> PngImage:
     bits_pp = depth * channels
     rowbytes = (width * bits_pp + 7) // 8
     fu = max(1, bits_pp // 8)
+    expected = height * (rowbytes + 1)
+    if expected > 1 << 31:
+        raise PngError(f"image too large: {width}x{height}x{channels}")
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # cap inflation at the header-derived size: a crafted IDAT cannot
+        # expand past the declared raster (+1 byte to detect overrun)
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as ex:
         raise PngError(f"IDAT inflate failed: {ex}") from None
+    if len(raw) > expected:
+        raise PngError("IDAT inflates past the declared raster size")
     flat = _unfilter(raw, height, rowbytes, fu)
 
     if depth == 16:

@@ -283,6 +283,133 @@ def s_ann_lsh(sf_dir: str, n_planes: int = 0):
     return pd.DataFrame(out)
 
 
+def _kmeans(sample: np.ndarray, k: int, seed: int = 23, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical Lloyd k-means over a NORMALIZED sample
+    (cosine assignment via argmax dot).  Empty clusters re-seed from the
+    sample deterministically.  Runs on the driver over a BOUNDED sample —
+    the standard IVF training pattern: train small, broadcast, assign at
+    scale in-stream."""
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n:
+                    centroids[j] = v / n
+            else:
+                centroids[j] = sample[rng.randint(len(sample))]
+    return centroids
+
+
+def s_ann_ivf(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
+    """IVF approximate top-k + per-query recall vs the exact result.
+
+    The inverted-file scale path next to the LSH one: a coarse quantizer is
+    TRAINED on a bounded sample (driver k-means, sqrt(N) centroids — the
+    standard IVF sizing), broadcast once, and each batch assigns its
+    vectors with one matmul.  A query probes its ``nprobe`` nearest
+    centroids and scores ONLY vectors assigned to those cells, so the
+    per-batch matmul shrinks to the probed fraction (~nprobe/k of the
+    corpus as cells balance).  At deployment the centroid id is the
+    hive-partition key of the vector store — the same
+    write-partitioned/read-probed layout `build_vector_store` implements
+    for LSH signatures, with cell ids instead of signatures.
+
+    Returns (query_id, n_candidates, recall_at_k, n_probed, n_centroids);
+    rows-only — recall of a trained index is not SQL-expressible.
+    """
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+    n_rows = ds.count()
+    if n_centroids <= 0:
+        n_centroids = max(2, int(np.sqrt(n_rows)))
+    if nprobe <= 0:
+        nprobe = max(1, -(-n_centroids // 4))
+
+    # bounded training sample: first 50*k rows by vec_id (deterministic);
+    # at corpus scale this is a pushed-down limit, never a full scan
+    sample_df = ds.sort("vec_id").limit(min(n_rows, 50 * n_centroids)).to_pandas()
+    sample = _normalize(np.stack(sample_df["embedding"].to_numpy()).astype(np.float64))
+    centroids = _kmeans(sample, n_centroids)
+
+    qids, qmat = _query_matrix(sf_dir)
+    probes = [
+        np.argsort(-(qmat[qi] @ centroids.T), kind="stable")[:nprobe]
+        for qi in range(len(qids))
+    ]
+    bref = ray.put((qids, qmat, centroids, probes))
+
+    class IvfProbeScore:
+        def __init__(self):
+            self.qids, self.qmat, self.centroids, self.probes = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = {"query_id": [], "vec_id": [], "sim": [], "n_candidates": []}
+            if len(t):
+                vecs = _normalize(_batch_matrix(t))
+                vec_ids = t.column("vec_id").to_numpy()
+                assign = (vecs @ self.centroids.T).argmax(axis=1)
+                for qi, qid in enumerate(self.qids):
+                    mask = np.isin(assign, self.probes[qi])
+                    n_cand = int(mask.sum())
+                    if n_cand:
+                        sims = vecs[mask] @ self.qmat[qi]
+                        cand_ids = vec_ids[mask]
+                        order = np.lexsort((cand_ids, -np.round(sims, 4)))
+                        first = True
+                        for j in order[: min(TOP_K, n_cand)]:
+                            out["query_id"].append(int(qid))
+                            out["vec_id"].append(int(cand_ids[j]))
+                            out["sim"].append(float(sims[j]))
+                            out["n_candidates"].append(n_cand if first else 0)
+                            first = False
+                    else:
+                        out["query_id"].append(int(qid))
+                        out["vec_id"].append(-1)
+                        out["sim"].append(-2.0)
+                        out["n_candidates"].append(0)
+            return pa.table(
+                {
+                    "query_id": pa.array(out["query_id"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "sim": pa.array(out["sim"], pa.float64()),
+                    "n_candidates": pa.array(out["n_candidates"], pa.int64()),
+                }
+            )
+
+    local = ds.map_batches(
+        IvfProbeScore, batch_format="pyarrow", concurrency=(1, 4), batch_size=2048
+    ).to_pandas()
+    n_cand = local.groupby("query_id")["n_candidates"].sum()
+    local = local[local["vec_id"] >= 0]
+    exact = s_knn_bruteforce(sf_dir)
+    out = {
+        "query_id": [],
+        "n_candidates": [],
+        "recall_at_k": [],
+        "n_probed": [],
+        "n_centroids": [],
+    }
+    for qid in qids:
+        g = local[local["query_id"] == qid]
+        g = g.assign(sim=g["sim"].round(4)).sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(TOP_K)
+        approx = set(g["vec_id"].astype(int))
+        truth = set(exact[exact["query_id"] == qid]["vec_id"])
+        out["query_id"].append(int(qid))
+        out["n_candidates"].append(int(n_cand.get(qid, 0)))
+        out["recall_at_k"].append(round(len(approx & truth) / max(1, len(truth)), 4))
+        out["n_probed"].append(nprobe)
+        out["n_centroids"].append(n_centroids)
+    return pd.DataFrame(out)
+
+
 def s_lsh_buckets(sf_dir: str, n_planes: int = 0):
     """LSH bucket histogram: (sig, n_vecs) per occupied bucket.
 

@@ -129,3 +129,63 @@ def test_xref_repair_never_hangs_or_crashes(seed, n_mutations):
     except ValueError as ex:
         # the reference's two documented throws: generation != 0, dup key
         assert "should be 0" in str(ex) or "same key" in str(ex)
+
+
+# ----------------------------------------------------------------------
+# PNG decoder robustness: decode_png raises ONLY PngError (the multimodal
+# stages catch-and-record); any other exception type is a bug.
+
+def _png_decode_contract(data: bytes):
+    from pdfray.core.png import PngError, decode_png
+
+    try:
+        img = decode_png(data)
+        assert img.width > 0 and img.height > 0
+        assert img.pixels.shape[0] == img.height
+    except PngError:
+        pass  # the one allowed failure mode
+
+
+@given(data=st.binary(min_size=0, max_size=2048))
+@settings(**FUZZ_SETTINGS)
+def test_png_arbitrary_bytes_raise_only_pngerror(data):
+    _png_decode_contract(data)
+
+
+@given(data=st.binary(min_size=0, max_size=2048))
+@settings(**FUZZ_SETTINGS)
+def test_png_signature_prefixed_garbage(data):
+    _png_decode_contract(b"\x89PNG\r\n\x1a\n" + data)
+
+
+@given(seed=st.integers(0, 2**32 - 1), n_mutations=st.integers(1, 24))
+@settings(**FUZZ_SETTINGS)
+def test_png_mutated_valid_images(seed, n_mutations):
+    """Byte-flip a VALID encoded image: structure mostly intact, so the
+    decoder walks deep into chunk/inflate/unfilter paths before failing."""
+    import numpy as np
+
+    from pdfray.core.png import encode_png
+
+    rng = random.Random(seed)
+    np_rng = np.random.RandomState(seed & 0xFFFF)
+    channels = rng.choice([1, 2, 3, 4])
+    px = np_rng.randint(0, 256, (rng.randint(1, 24), rng.randint(1, 24), channels))
+    data = bytearray(encode_png(px.astype("uint8"), filter_type=rng.randint(0, 4)))
+    for _ in range(n_mutations):
+        data[rng.randrange(len(data))] = rng.randrange(256)
+    _png_decode_contract(bytes(data))
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(**FUZZ_SETTINGS)
+def test_png_truncations(seed):
+    import numpy as np
+
+    from pdfray.core.png import encode_png
+
+    rng = random.Random(seed)
+    np_rng = np.random.RandomState(seed & 0xFFFF)
+    px = np_rng.randint(0, 256, (8, 8, 3)).astype("uint8")
+    data = encode_png(px)
+    _png_decode_contract(data[: rng.randrange(len(data))])

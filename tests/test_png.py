@@ -135,3 +135,30 @@ def test_resize_fit_dims_and_content():
     # no upscale
     same, ow2, oh2 = resize_fit(px[:10, :10], 64)
     assert (ow2, oh2) == (10, 10) and (same == px[:10, :10]).all()
+
+
+def test_decode_rejects_zlib_bomb_and_giant_dims():
+    """A crafted IDAT cannot inflate past the header-declared raster, and
+    absurd declared dimensions are rejected before any allocation."""
+    def chunk(t, p):
+        return struct.pack(">I", len(p)) + t + p + struct.pack(
+            ">I", zlib.crc32(t + p) & 0xFFFFFFFF
+        )
+
+    # declares 2x2 gray but the IDAT inflates to 1 MB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (1 << 20))
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="inflates past"):
+        decode_png(data)
+
+    giant = struct.pack(">IIBBBBB", 1 << 30, 1 << 30, 8, 6, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", giant)
+        + chunk(b"IDAT", zlib.compress(b"x")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="too large"):
+        decode_png(data)

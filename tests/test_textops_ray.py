@@ -205,6 +205,20 @@ def test_ann_lsh_recall(ray_session):
     assert (out["n_candidates"] > 0).all()
 
 
+def test_ann_ivf_recall_and_pruning(ray_session):
+    from pdfray.pipelines.simsearch import s_ann_ivf
+
+    sf = "/root/testdata/sf0.001"
+    out = s_ann_ivf(sf)
+    n_rows = pq.read_metadata(f"{sf}/embeddings.parquet").num_rows
+    assert (out["n_candidates"] > 0).all()
+    assert (out["n_candidates"] < n_rows).all()  # probing actually prunes
+    assert (out["recall_at_k"] >= 0.3).all()
+    # probing EVERY centroid recovers the exact result
+    full = s_ann_ivf(sf, nprobe=10**6)
+    assert (full["recall_at_k"] == 1.0).all()
+
+
 def test_ann_partitioned_store_prunes_io_at_equal_recall(ray_session, tmp_path):
     """The write-partitioned / read-probed store touches a strict subset of
     partitions and matches the in-stream ANN's recall (same planes/probes)."""
