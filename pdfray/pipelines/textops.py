@@ -820,6 +820,22 @@ class GramSetHasher(ShingleSetHasher):
 _GRAM_LONG_MIN = 256
 _GRAM_SHORT_MAX = 512
 _SHORT_BLOCK_ROWS = 512  # short-class docs per scoring block
+# all-pairs over the short class is O(S^2) by design; above this many short
+# docs the caller must shard the class (e.g. by size band — only pairs with
+# size ratio <= 1/t matter, so bands of width x2 only pair with neighbors)
+# or accept the cost explicitly
+SHORT_CLASS_MAX_ROWS = 100_000
+
+
+def _require_short_class_feasible(n_rows: int, force: bool):
+    if force or n_rows <= SHORT_CLASS_MAX_ROWS:
+        return
+    raise ValueError(
+        f"short-class all-pairs is O(S^2): {n_rows} short docs exceed "
+        f"SHORT_CLASS_MAX_ROWS={SHORT_CLASS_MAX_ROWS}. Shard the class by "
+        f"gram-count bands (x2-wide bands only pair with adjacent bands at "
+        f"threshold 0.5) or pass force_short_allpairs=True."
+    )
 
 
 class GramNearDupBander:
@@ -963,7 +979,11 @@ class _ScoreShortBlockPair:
 
 
 def _short_allpairs(
-    docs_ds, threshold: float, id_col: str, value_name: str = "jaccard"
+    docs_ds,
+    threshold: float,
+    id_col: str,
+    value_name: str = "jaccard",
+    force: bool = False,
 ) -> pd.DataFrame:
     """EXACT all-pairs Jaccard over the SHORT class, block-pair scored.
 
@@ -989,8 +1009,9 @@ def _short_allpairs(
         )
         .repartition(target_num_rows_per_block=_SHORT_BLOCK_ROWS)
         .materialize()
-        .to_arrow_refs()
     )
+    _require_short_class_feasible(blocks.count(), force)
+    blocks = blocks.to_arrow_refs()
     idx_pairs = [
         {"bi": i, "bj": j} for i in range(len(blocks)) for j in range(i, len(blocks))
     ]
@@ -1021,7 +1042,9 @@ def _short_allpairs(
     return out
 
 
-def t_ngram_jaccard_dupes(sf_dir: str, threshold: float = 0.5):
+def t_ngram_jaccard_dupes(
+    sf_dir: str, threshold: float = 0.5, force_short_allpairs: bool = False
+):
     """Character-n-gram Jaccard near-dup pairs, length-aware two-regime.
 
     LONG docs (>= _GRAM_LONG_MIN grams, where simhash concentrates):
@@ -1057,6 +1080,6 @@ def t_ngram_jaccard_dupes(sf_dir: str, threshold: float = 0.5):
         min_pair_feat=_GRAM_SHORT_MAX,
     )
     long_df = _verify_pairs(ds, long_pairs, GramSetHasher, threshold, "doc_id")
-    short_df = _short_allpairs(ds, threshold, "doc_id")
+    short_df = _short_allpairs(ds, threshold, "doc_id", force=force_short_allpairs)
     out = pd.concat([long_df, short_df], ignore_index=True)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -179,6 +179,27 @@ def test_real_pdf_rc4_encrypted_roundtrip(password):
     assert r.document_info is not None and r.document_info.startswith("Creator: <F")
 
 
+def test_real_pdf_rc4_second_toolchain_roundtrip():
+    """Second real toolchain through the encryptor: the 776 KB dvips/MiKTeX
+    document (29 pages, 67 stream objects) — decrypt path must reproduce
+    the pinned gold text exactly."""
+    import gzip
+
+    from pdfray.sources.pdf_encrypt import encrypt_pdf
+
+    path = "/usr/share/doc/zlib1g-dev/crc-doc.1.0.pdf.gz"
+    if not os.path.exists(path):
+        pytest.skip("system doc PDFs not present")
+    data = gzip.open(path, "rb").read()
+    enc = encrypt_pdf(data, user_password="zlib")
+    r = extract_document(enc, password="zlib", working_buffer_size=50_000_000)
+    assert r.error is None and r.error_summary() is None
+    assert r.n_pages == 29
+    assert hashlib.md5(r.text.encode("utf-8")).hexdigest() == (
+        "fd6b15fe5289bc9e87f9cfea65d7c1c0"
+    )
+
+
 def test_real_pdf_rc4_wrong_password_hits_owner_auth_gap():
     """Failed user-password auth falls through to owner-password auth, which
     the reference leaves NotImplemented (Tokeniser.cs:810-840) — the same

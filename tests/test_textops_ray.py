@@ -438,3 +438,15 @@ def test_asof_attribution_semantics(ray_session, tmp_path):
     out = q_asof_attribution(str(tmp_path))
     got = {r.purchase_id: (r.click_id, r.gap_us) for r in out.itertuples()}
     assert got == {4: (3, 10_000_000), 5: (3, 20_000_000), 7: (6, 1_000_000)}
+
+
+def test_short_class_scale_gate():
+    from pdfray.pipelines.textops import (
+        SHORT_CLASS_MAX_ROWS,
+        _require_short_class_feasible,
+    )
+
+    _require_short_class_feasible(SHORT_CLASS_MAX_ROWS, force=False)
+    with pytest.raises(ValueError, match="gram-count bands"):
+        _require_short_class_feasible(SHORT_CLASS_MAX_ROWS + 1, force=False)
+    _require_short_class_feasible(10**12, force=True)
