@@ -21,6 +21,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .textops import warm_stage
+
 
 def _read(sf_dir: str, table: str, columns=None, rows_per_block: int = None):
     import ray.data as rd
@@ -44,6 +46,70 @@ def _round_cols(df, spec: dict):
     for col, nd in spec.items():
         df[col] = df[col].round(nd)
     return df
+
+
+
+# warm-task-pool forms of the broadcast-lookup stages (module-level so
+# `textops.warm_stage` can key them; actor-pool startup measured dominant
+# for these sub-second lookups)
+class _SegmentRollup:
+    def __init__(self, lookup_ref):
+        import ray
+
+        keys, values = ray.get(lookup_ref)
+        self.keys = pa.array(keys)
+        self.values = pa.array(values, pa.string())
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("o_custkey"), value_set=self.keys)
+        # combiner: reduce the batch to one row per segment BEFORE the
+        # shuffle — the groupby then exchanges a handful of partial rows
+        # per block instead of every order
+        tt = pa.table(
+            {
+                "c_mktsegment": pc.take(self.values, idx),
+                "revenue": t.column("o_totalprice"),
+                "n_orders": pa.array([1] * len(t), pa.int64()),
+            }
+        )
+        g = tt.group_by("c_mktsegment").aggregate(
+            [("revenue", "sum"), ("n_orders", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
+
+
+class _ValueLookup:
+    """Generic broadcast (key -> value) projection: index_in + take."""
+
+    def __init__(self, lookup_ref, key_col, value_name, keep_cols=()):
+        import ray
+
+        keys, values = ray.get(lookup_ref)
+        self.keys = pa.array(keys)
+        self.values = pa.array(values, pa.string())
+        self.key_col = key_col
+        self.value_name = value_name
+        self.keep_cols = keep_cols
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column(self.key_col), value_set=self.keys)
+        cols = {self.value_name: pc.take(self.values, idx)}
+        for c in self.keep_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+
+class _Membership:
+    """Broadcast semi-join filter: keep rows whose key is in the set."""
+
+    def __init__(self, keys_ref, key_col):
+        import ray
+
+        self.keys = pa.array(ray.get(keys_ref))
+        self.key_col = key_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(self.key_col), value_set=self.keys))
 
 
 # ----------------------------------------------------------------------
@@ -174,35 +240,14 @@ def q_broadcast_join_segment(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     lookup_ref = ray.put((cust["c_custkey"].to_numpy(), cust["c_mktsegment"].tolist()))
 
-    class JoinSegment:
-        def __init__(self):
-            # vectorized lookup: key array for index_in + value array for take
-            keys, values = ray.get(lookup_ref)
-            self.keys = pa.array(keys)
-            self.values = pa.array(values, pa.string())
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t.column("o_custkey"), value_set=self.keys)
-            # combiner: reduce the batch to one row per segment BEFORE the
-            # shuffle — the groupby then exchanges a handful of partial rows
-            # per block instead of every order
-            tt = pa.table(
-                {
-                    "c_mktsegment": pc.take(self.values, idx),
-                    "revenue": t.column("o_totalprice"),
-                    "n_orders": pa.array([1] * len(t), pa.int64()),
-                }
-            )
-            g = tt.group_by("c_mktsegment").aggregate(
-                [("revenue", "sum"), ("n_orders", "sum")]
-            )
-            return g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
-
     from ray.data.aggregate import Sum
 
     out = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(JoinSegment, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(
+            warm_stage(_SegmentRollup, lookup_ref=lookup_ref),
+            batch_format="pyarrow",
+        )
         .groupby("c_mktsegment")
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
     )
@@ -212,7 +257,10 @@ def q_broadcast_join_segment(sf_dir: str):
 
 def q_hash_join_brand(sf_dir: str):
     """lineitem x part with Dataset.join (hash shuffle): quantity by brand."""
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    # 100k rows/block: the join's ingest cost tracks block COUNT (per-block
+    # hash/partition passes), so data-sized blocks beat CPU-count slivers
+    # (measured ~25% at sf0.1); partition count stays data-proportional
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"], rows_per_block=100_000)
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
     joined = li.join(
         part,
@@ -250,21 +298,14 @@ def q_nation_region(sf_dir: str):
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     lookup_ref = ray.put((region["r_regionkey"].to_numpy(), region["r_name"].tolist()))
 
-    class JoinRegion:  # actor pool: broadcast fetched ONCE per actor
-        def __init__(self):
-            keys, values = ray.get(lookup_ref)
-            self.keys = pa.array(keys)
-            self.values = pa.array(values, pa.string())
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t.column("n_regionkey"), value_set=self.keys)
-            return pa.table({"r_name": pc.take(self.values, idx)})
-
     from ray.data.aggregate import Count
 
     out = (
         _read(sf_dir, "nation", ["n_regionkey"])
-        .map_batches(JoinRegion, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(
+            warm_stage(_ValueLookup, lookup_ref=lookup_ref, key_col="n_regionkey", value_name="r_name"),
+            batch_format="pyarrow",
+        )
         .groupby("r_name")
         .aggregate(Count(alias_name="n_nations"))
     )
@@ -379,23 +420,14 @@ def q_supplier_nation(sf_dir: str):
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     lookup_ref = ray.put((nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
 
-    class JoinNation:  # actor pool: broadcast fetched ONCE per actor
-        def __init__(self):
-            keys, values = ray.get(lookup_ref)
-            self.keys = pa.array(keys)
-            self.values = pa.array(values, pa.string())
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t.column("s_nationkey"), value_set=self.keys)
-            return pa.table(
-                {"n_name": pc.take(self.values, idx), "s_acctbal": t.column("s_acctbal")}
-            )
-
     from ray.data.aggregate import Count, Sum
 
     out = (
         _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
-        .map_batches(JoinNation, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(
+            warm_stage(_ValueLookup, lookup_ref=lookup_ref, key_col="s_nationkey", value_name="n_name", keep_cols=("s_acctbal",)),
+            batch_format="pyarrow",
+        )
         .groupby("n_name")
         .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal"))
     )
@@ -477,16 +509,12 @@ def q_semi_join_big_customers(sf_dir: str):
     )
     keys_ref = ray.put(keys)
 
-    class Member:  # actor pool: key set fetched ONCE per actor
-        def __init__(self):
-            self.keys = pa.array(ray.get(keys_ref))
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t.column("c_custkey"), value_set=self.keys))
-
     out = (
         _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
-        .map_batches(Member, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(
+            warm_stage(_Membership, keys_ref=keys_ref, key_col="c_custkey"),
+            batch_format="pyarrow",
+        )
     )
     df = out.to_pandas()
     return _round_cols(df, {"c_acctbal": 2}).sort_values("c_custkey").reset_index(drop=True)
