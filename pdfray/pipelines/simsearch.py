@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .textops import warm_factory
+
 TOP_K = 10
 N_QUERIES = 5
 PAIR_BLOCK_ROWS = 2048  # rows per scoring block (memory bound per task)
@@ -143,7 +145,11 @@ def s_knn_bruteforce(sf_dir: str):
 
     local = (
         _read_embeddings(sf_dir)
-        .map_batches(Score, batch_format="pyarrow", concurrency=(1, 4), batch_size=2048)
+        .map_batches(
+            warm_factory(("s_knn", qref.hex()), Score),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
         .to_pandas()
     )
     return _merge_topk(local)
@@ -261,7 +267,9 @@ def s_ann_lsh(sf_dir: str, n_planes: int = 0):
 
     local = (
         ds.map_batches(
-            ProbeScore, batch_format="pyarrow", concurrency=(1, 4), batch_size=2048
+            warm_factory(("s_ann_lsh", bref.hex()), ProbeScore),
+            batch_format="pyarrow",
+            batch_size=2048,
         )
         .to_pandas()
     )
@@ -383,7 +391,9 @@ def s_ann_ivf(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
             )
 
     local = ds.map_batches(
-        IvfProbeScore, batch_format="pyarrow", concurrency=(1, 4), batch_size=2048
+        warm_factory(("s_ann_ivf", bref.hex()), IvfProbeScore),
+        batch_format="pyarrow",
+        batch_size=2048,
     ).to_pandas()
     n_cand = local.groupby("query_id")["n_candidates"].sum()
     local = local[local["vec_id"] >= 0]
@@ -442,7 +452,10 @@ def s_lsh_buckets(sf_dir: str, n_planes: int = 0):
             return pa.table({"sig": pa.array(sigs.astype(np.int64), pa.int64())})
 
     out = (
-        ds.map_batches(SignFromRef, batch_format="pyarrow", concurrency=(1, 4))
+        ds.map_batches(
+            warm_factory(("s_lsh_buckets", planes_ref.hex()), SignFromRef),
+            batch_format="pyarrow",
+        )
         .groupby("sig")
         .aggregate(Count(alias_name="n_vecs"))
         .to_pandas()
@@ -503,7 +516,10 @@ def lsh_candidate_pairs(sf_dir: str, n_planes: int = 0):
                 }
             )
 
-    buckets = ds.map_batches(SignBuckets, batch_format="pyarrow", concurrency=(1, 4))
+    buckets = ds.map_batches(
+        warm_factory(("lsh_cand", planes_ref.hex()), SignBuckets),
+        batch_format="pyarrow",
+    )
     pairs = _candidate_pairs(buckets, "vec_id").to_pandas()
     if len(pairs) == 0:
         return pd.DataFrame(
@@ -564,7 +580,9 @@ def build_vector_store(sf_dir: str, out_dir: str, n_planes: int = 0) -> dict:
                 t.append_column("sig", sig_arr).append_column("sigp", sig_arr)
             )
 
-    ds.map_batches(Sign, batch_format="pyarrow", concurrency=(1, 4)).write_parquet(
+    ds.map_batches(
+        warm_factory(("vstore_sign", planes_ref.hex()), Sign), batch_format="pyarrow"
+    ).write_parquet(
         out_dir, partition_cols=["sigp"]
     )
     return {"n_planes": n_planes, "n_rows": n_rows, "dim": dim}
@@ -655,7 +673,10 @@ def query_vector_store(store_dir: str, sf_dir: str, n_planes: int) -> pd.DataFra
 
     local = (
         rd.read_parquet(read_files, columns=["vec_id", "embedding", "sig"])
-        .map_batches(ScoreProbed, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(
+            warm_factory(("vstore_query", bref.hex()), ScoreProbed),
+            batch_format="pyarrow",
+        )
         .to_pandas()
     )
     n_cand = (
@@ -806,7 +827,9 @@ def s_embedding_dupes(sf_dir: str, threshold: float = 0.42, force_exact: bool = 
     res = (
         rd.from_items(idx_pairs)
         .map_batches(
-            ScoreBlockPair, batch_format="pyarrow", concurrency=(1, 8), batch_size=1
+            warm_factory(("emb_dupes", refs_ref.hex()), ScoreBlockPair),
+            batch_format="pyarrow",
+            batch_size=1,
         )
         .to_pandas()
     )

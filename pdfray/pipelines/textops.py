@@ -56,13 +56,21 @@ def warm_stage(cls, **kwargs):
     faster for the flagship.  Use a real actor pool only when per-instance
     setup is genuinely expensive or the stage must bound concurrency."""
     key = (cls.__module__, cls.__qualname__, tuple(sorted(kwargs.items())))
+    return warm_factory(key, lambda: cls(**kwargs))
+
+
+def warm_factory(key, factory):
+    """`warm_stage` for stages whose class is defined in function scope
+    (cloudpickle ships the definition): ``key`` must uniquely identify the
+    stage AND its broadcast inputs (e.g. include the ObjectRef hex) so a
+    worker never reuses an instance across different broadcasts."""
 
     def fn(batch):
         obj = _WARM_STAGE_CACHE.get(key)
         if obj is None:
             if len(_WARM_STAGE_CACHE) > 16:  # bound worker memory: stage
                 _WARM_STAGE_CACHE.clear()  # instances can hold big caches
-            obj = cls(**kwargs)
+            obj = factory()
             _WARM_STAGE_CACHE[key] = obj
         return obj(batch)
 
