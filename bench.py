@@ -97,11 +97,16 @@ QUERY_NAMES = [
     "q_hash_join_brand",
     "q_broadcast_join_segment",
     "q_semi_join_big_customers",
+    "q_top_order_per_customer",
     "q_events_rollup",
     "q_events_window",
     "q_orders_by_month",
     "q_asof_attribution",
     "t_token_stats",
+    "t_quality",
+    "t_fingerprint",
+    "t_langid",
+    "t_winnow_fp",
     "t_exact_dedup",
     "t_minhash_pairs",
     "t_ngram_jaccard_dupes",
@@ -109,7 +114,10 @@ QUERY_NAMES = [
     "t_bpe_tokens",
     "s_knn_bruteforce",
     "s_ann_lsh",
+    "s_ann_ivf",
     "s_embedding_dupes",
+    "m_media_features",
+    "m_resize",
 ]
 
 

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..core.png import PngError, decode_png, resize_fit
+from .textops import warm_stage
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -197,7 +198,7 @@ def m_frame_sample(sf_dir: str):
     SQL-derivable so the oracle checks the plumbing exactly; per-frame
     hashes are covered by unit tests."""
     out = _media_ds(sf_dir).map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
+        warm_stage(FrameSampler), batch_format="pyarrow", batch_size=64
     )
     df = out.select_columns(["url", "n_chunks", "n_frames"]).to_pandas()
     return df.sort_values("url").reset_index(drop=True)
@@ -207,7 +208,7 @@ def m_resize(sf_dir: str):
     """Real decode + resize: dims and fit arithmetic are exact, so the
     DuckDB oracle recomputes them from the fixture's golden width/height."""
     out = _media_ds(sf_dir).map_batches(
-        Resizer, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
+        warm_stage(Resizer), batch_format="pyarrow", batch_size=64
     )
     return out.to_pandas().sort_values("url").reset_index(drop=True)
 
@@ -218,10 +219,10 @@ def m_media_features(sf_dir: str):
     feature vectors stay distributed (at scale the full table is
     write_parquet'd); feature values are covered by unit tests."""
     out = _media_ds(sf_dir).map_batches(
-        MediaFeatureExtractor,
+        warm_stage(MediaFeatureExtractor),
         batch_format="pyarrow",
-        batch_size=16,  # large binary payloads -> small batches
-        concurrency=(1, 4),
+        batch_size=64,  # payloads are small-image PNGs; for multi-MB media
+        # drop this back down so batch x concurrency fits worker heaps
     )
     df = out.select_columns(["url", "media_type", "n_bytes", "width", "height"]).to_pandas()
     return df.sort_values("url").reset_index(drop=True)
