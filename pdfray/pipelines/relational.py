@@ -386,18 +386,18 @@ def q_distinct_flags(sf_dir: str):
     def local_distinct(t: pa.Table) -> pa.Table:
         return t.group_by(["l_returnflag", "l_linestatus"]).aggregate([])
 
-    import pandas as pd
+    from ray.data.aggregate import Count
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
+    # native aggregate instead of map_groups(head): the count column exists
+    # only to drive the grouped reduction and is dropped
     out = (
         ds.map_batches(local_distinct, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
-        .map_groups(first, batch_format="pandas")
+        .aggregate(Count(alias_name="_n"))
     )
     return (
         out.to_pandas()
+        .drop(columns=["_n"])
         .sort_values(["l_returnflag", "l_linestatus"])
         .reset_index(drop=True)
     )
