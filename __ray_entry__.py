@@ -338,6 +338,24 @@ def _langid_oracle() -> str:
     )
 
 
+def _quality_oracle() -> str:
+    """Quality counts incl. the union-stopword count (the engine's marker
+    list is embedded as SQL literals so both sides share one source)."""
+    from pdfray.pipelines.textops import _ALL_STOPWORDS
+
+    stops = ",".join(f"'{w}'" for w in _ALL_STOPWORDS)
+    return (
+        "SELECT doc_id, "
+        "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens, "
+        "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha, "
+        "length(text) - length(replace(text, ' ', '')) AS n_spaces, "
+        "length(text) AS n_chars, "
+        f"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"x -> list_contains([{stops}], x))) AS BIGINT) AS n_stopwords "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     fixture = _fixture_sql_path()
     media = _media_sql_path()
@@ -493,14 +511,7 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_copies FROM documents GROUP BY md5(text) "
             "ORDER BY text_hash"
         ),
-        "t_quality": (
-            "SELECT doc_id, "
-            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens, "
-            "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha, "
-            "length(text) - length(replace(text, ' ', '')) AS n_spaces, "
-            "length(text) AS n_chars "
-            "FROM documents ORDER BY doc_id"
-        ),
+        "t_quality": _quality_oracle(),
         "t_simhash": _simhash_oracle(),
         "s_lsh_buckets": _lsh_buckets_oracle(),
         "t_langid": _langid_oracle(),

@@ -131,13 +131,33 @@ def t_exact_dedup(sf_dir: str):
     return out.to_pandas().sort_values("text_hash").reset_index(drop=True)
 
 
+_ALL_STOPWORDS = sorted(set().union(*STOPWORDS.values()))
+
+
 def t_quality(sf_dir: str):
-    """Quality features as exact integer counts (ratio = count / n_chars
-    downstream; integers keep the oracle comparison rounding-free)."""
+    """Quality features as exact integer counts (ratio = count / n_chars or
+    / n_tokens downstream; integers keep the oracle comparison
+    rounding-free).  Stopword counts use the union marker set — the
+    standard natural-text-vs-gibberish quality signal."""
+
+    stop_set = pa.array(_ALL_STOPWORDS)
 
     def project(t: pa.Table) -> pa.Table:
         # all-Arrow kernels (RE2), matching the oracle's ASCII [a-zA-Z] class
         text = t.column("text")
+        # vectorized stopword count: lower -> split -> flatten -> is_in,
+        # summed back per row via the list offsets (no Python row loop)
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+").combine_chunks()
+        member = pc.cast(
+            pc.is_in(pc.list_flatten(toks), value_set=stop_set), pa.int8()
+        ).to_numpy(zero_copy_only=False)
+        # raw offsets are absolute into the value buffer; rebase so they
+        # index `member` (list_flatten already dropped any slice slack)
+        offsets = toks.offsets.to_numpy()
+        offsets = offsets - offsets[0]
+        sums = np.add.reduceat(
+            np.concatenate([member, [0]]), offsets[:-1]
+        ) * (np.diff(offsets) > 0)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
@@ -148,6 +168,7 @@ def t_quality(sf_dir: str):
                 ),
                 "n_spaces": pc.cast(pc.count_substring(text, " "), pa.int64()),
                 "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_stopwords": pa.array(sums.astype(np.int64), pa.int64()),
             }
         )
 
