@@ -229,3 +229,68 @@ def test_per_row_password_survives_deferral(ray_session, tmp_path):
     ).to_pandas()
     assert out["error"][0] is None
     assert out["text"][0] == golden
+
+
+def test_extraction_cli_runs_and_resumes(ray_session, corpus_path, tmp_path):
+    """tools/run_extraction.py is the ray-job-submit target: fresh process,
+    own Ray session, JSON summary, manifest resume on rerun."""
+    import json
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "cli_out")
+    cmd = [
+        sys.executable, "tools/run_extraction.py",
+        "--input", corpus_path, "--out", out_dir,
+        "--chunks", "2", "--num-cpus", "2",
+    ]
+    r1 = json.loads(
+        subprocess.run(cmd, capture_output=True, text=True, check=True)
+        .stdout.strip().splitlines()[-1]
+    )
+    assert r1["chunks_run"] == [0, 1]
+    r2 = json.loads(
+        subprocess.run(cmd, capture_output=True, text=True, check=True)
+        .stdout.strip().splitlines()[-1]
+    )
+    assert r2["chunks_run"] == [] and r2["chunks_skipped"] == [0, 1]
+
+
+def test_meta_rollup_distributed(ray_session, corpus_path):
+    """meta_projection + rollup_meta: the distributed combiner rollup used
+    by the driver's lineage queries, checked against a pandas recomputation
+    (text never needed — n_empty computed upstream)."""
+    import pandas as pd
+
+    from pdfray.pipelines.extraction import (
+        extract_dataset,
+        meta_projection,
+        read_corpus,
+        rollup_meta,
+    )
+
+    ds = extract_dataset(
+        read_corpus(corpus_path, columns=("url", "html", "lang")),
+        extractor_kwargs={"passthrough": ("lang",), "include_page_texts": False},
+        concurrency=2,
+        huge_threshold=None,
+    )
+    full = ds.to_pandas()
+    meta = ds.map_batches(meta_projection, batch_format="pyarrow")
+    got = rollup_meta(meta, "lang")
+    want = (
+        full.assign(n_empty=(full["text"] == "").astype("int64"))
+        .groupby("lang")
+        .agg(
+            n_docs=("url", "size"),
+            sum_bytes=("n_bytes", "sum"),
+            n_pages=("n_pages", "sum"),
+            n_empty=("n_empty", "sum"),
+        )
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_pages": "int64"}), want.astype({"n_pages": "int64"})
+    )

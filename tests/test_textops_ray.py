@@ -450,3 +450,36 @@ def test_short_class_scale_gate():
     with pytest.raises(ValueError, match="gram-count bands"):
         _require_short_class_feasible(SHORT_CLASS_MAX_ROWS + 1, force=False)
     _require_short_class_feasible(10**12, force=True)
+
+
+def test_packed_argmax_matches_pandas(ray_session, tmp_path):
+    """q_top_order_per_customer's order-preserving packing equals a plain
+    pandas argmax under randomized cents-exact prices and tie groups."""
+    rng = np.random.RandomState(11)
+    n = 5000
+    cust = rng.randint(0, 400, n)
+    okey = rng.permutation(n) + 1
+    price = np.round(rng.randint(100, 10_000_000, n) / 100.0, 2)
+    # plant exact ties: several orders with identical price per customer
+    price[: n // 10] = 12345.67
+    df = pd.DataFrame(
+        {"o_custkey": cust, "o_orderkey": okey, "o_totalprice": price}
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "orders.parquet"))
+    from pdfray.pipelines.relational import q_top_order_per_customer
+
+    got = q_top_order_per_customer(str(tmp_path))
+    want = (
+        df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        .groupby("o_custkey", as_index=False)
+        .head(1)
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["o_custkey", "o_orderkey", "o_totalprice"]],
+        want[["o_custkey", "o_orderkey", "o_totalprice"]],
+    )
