@@ -50,15 +50,35 @@ def _query_matrix(sf_dir: str):
     """First N_QUERIES vectors by vec_id — deterministic query workload.
 
     The queries are pipeline INPUT (a user supplies them at deployment);
-    the distributed sort().limit() synthesizes that input without pulling
-    the table to the driver, and the tiny result is memoized because every
-    similarity operator in a session shares the same workload."""
+    this synthesizes that input via ZONE-MAP pruning instead of a
+    distributed sort: parquet row-group statistics (min vec_id) identify
+    the groups that can contain the k smallest keys, only those groups are
+    read, and the tiny result is sorted locally.  At corpus scale this
+    touches one row group instead of shuffling the table.  Memoized —
+    every similarity operator in a session shares the same workload."""
     if sf_dir not in _QUERY_CACHE:
+        import heapq
+
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        col_idx = pf.schema_arrow.get_field_index("vec_id")
+        mins = []
+        for g in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(g).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                mins = None  # no stats: fall back to reading everything
+                break
+            mins.append((st.min, g))
+        if mins is None:
+            groups = list(range(pf.metadata.num_row_groups))
+        else:
+            # k smallest keys live in the groups with the k smallest mins
+            # (worst case: one qualifying key per group)
+            groups = [g for _, g in heapq.nsmallest(N_QUERIES, mins)]
+        t = pf.read_row_groups(groups, columns=["vec_id", "embedding"])
         df = (
-            _read_embeddings(sf_dir)
-            .sort("vec_id")
-            .limit(N_QUERIES)
-            .to_pandas()
+            t.to_pandas().sort_values("vec_id").head(N_QUERIES).reset_index(drop=True)
         )
         q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         qn = q / np.linalg.norm(q, axis=1, keepdims=True)
