@@ -294,3 +294,14 @@ def test_meta_rollup_distributed(ray_session, corpus_path):
     pd.testing.assert_frame_equal(
         got.astype({"n_pages": "int64"}), want.astype({"n_pages": "int64"})
     )
+
+
+def test_driver_entry_contract(ray_session):
+    """entry() is the driver smoke: Ray pre-initialized, returns a Dataset
+    with >=0 rows and the stable extraction schema."""
+    import __ray_entry__ as entrymod
+
+    ds = entrymod.entry()
+    df = ds.to_pandas()
+    assert len(df) > 0
+    assert {"url", "text", "error", "n_pages", "partition_id"} <= set(df.columns)

@@ -288,3 +288,33 @@ def test_repair_then_extract_reference_fixtures(name, text_prefix):
     assert result.error is None
     assert result.text.startswith(text_prefix)
     assert result.n_pages == 1
+
+
+@pytest.mark.parametrize(
+    "cls", ["simple", "multifrag", "flate", "fonts", "medium", "metadata",
+            "asciihex"]
+)
+def test_rc4_encryptor_roundtrips_fixture_classes(cls):
+    """encrypt_pdf generalizes across the classic-xref single-revision
+    synthesis classes: encrypt -> decrypt -> extract must reproduce the
+    analytic golden text.  (quirks/linearized are excluded: their /Prev
+    chains and linearization structure trip the documented single-revision
+    guard, which is itself exercised by the except branch below.)"""
+    import random
+
+    from pdfray.sources import fixtures
+    from pdfray.sources.pdf_encrypt import encrypt_pdf
+
+    fn = dict((n, f) for n, f, _ in fixtures.CLASS_BUILDERS)[cls]
+    n_ok = 0
+    for seed in (1, 2, 3):
+        data, golden, _ = fn(random.Random(seed), fixtures.LANGS[seed % 4])
+        try:
+            enc = encrypt_pdf(data, user_password="pw")
+        except ValueError:
+            continue  # multi-revision or other out-of-scope structure
+        r = extract_document(enc, password="pw", working_buffer_size=10_000_000)
+        assert r.error is None, (cls, seed, r.error)
+        assert r.text == golden, (cls, seed)
+        n_ok += 1
+    assert n_ok >= 1, f"{cls}: no seed produced an encryptable document"
