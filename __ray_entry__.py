@@ -32,6 +32,14 @@ def _media_sql_path() -> str:
     return media_parquet_path("sf0.01") + "/*.parquet"
 
 
+def _av_sql_path() -> str:
+    """DuckDB-side glob over the sharded audio/video fixture table
+    (materialized here so the oracle can run even before the Ray query)."""
+    from pdfray.sources.fixtures import ensure_av_parquet
+
+    return ensure_av_parquet("/root/testdata/sf0.01") + "/*.parquet"
+
+
 # ----------------------------------------------------------------------
 def entry() -> Any:
     """Flagship pipeline: corpus parquet -> PdfExtractor actor pool -> table."""
@@ -233,11 +241,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_ann_partitioned": S.s_ann_partitioned,
         "s_lsh_buckets": S.s_lsh_buckets,
         "s_embedding_dupes": S.s_embedding_dupes,
-        # multimodal: real pure-Python PNG decode (frame sampling keeps the
-        # chunk-math access pattern; video codecs genuinely absent here)
+        # multimodal: real pure-Python PNG / WAV / Y4M decode (FrameSampler
+        # keeps the chunk-math access pattern for the compressed codecs
+        # genuinely absent here)
         "m_media_features": M.m_media_features,
         "m_frame_sample": M.m_frame_sample,
         "m_resize": M.m_resize,
+        "m_audio_features": M.m_audio_features,
+        "m_video_frames": M.m_video_frames,
         # end-to-end training-data cleaning composition
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "pipeline_clean_corpus_neardup": _pipeline_clean_corpus_neardup,
@@ -359,6 +370,7 @@ def _quality_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     fixture = _fixture_sql_path()
     media = _media_sql_path()
+    av = _av_sql_path()
     return {
         "extract_text": (
             f"SELECT url, text FROM read_parquet('{fixture}')"
@@ -620,6 +632,21 @@ def oracle_sql() -> dict[str, str]:
             f"CASE WHEN height = 0 THEN 0 ELSE GREATEST(1, CAST(FLOOR(height * "
             f"LEAST(1.0, 64.0 / GREATEST(width, height))) AS INT)) END AS out_h "
             f"FROM read_parquet('{media}') ORDER BY url"
+        ),
+        "m_audio_features": (
+            # golden columns were computed from the PRE-encode samples at
+            # fixture-gen time; the engine recomputes them from the WAV
+            # container bytes -> exact codec round-trip check
+            f"SELECT url, OCTET_LENGTH(payload) AS n_bytes, sample_rate, "
+            f"n_channels, n_samples, duration_ms, rms_x1e3, peak "
+            f"FROM read_parquet('{av}') WHERE media_type = 'audio' "
+            f"ORDER BY url"
+        ),
+        "m_video_frames": (
+            f"SELECT url, OCTET_LENGTH(payload) AS n_bytes, width, height, "
+            f"n_frames, n_sampled, luma_sum "
+            f"FROM read_parquet('{av}') WHERE media_type = 'video' "
+            f"ORDER BY url"
         ),
         "pipeline_clean_corpus": (
             f"WITH ok AS (SELECT url, text FROM read_parquet('{fixture}') "

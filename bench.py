@@ -118,6 +118,8 @@ QUERY_NAMES = [
     "s_embedding_dupes",
     "m_media_features",
     "m_resize",
+    "m_audio_features",
+    "m_video_frames",
 ]
 
 

@@ -1,0 +1,132 @@
+"""Pure-Python WAV (RIFF/PCM) codec — no audio libraries.
+
+Like `pdfray.core.png`, this exists so the multimodal audio stages decode
+REAL container bytes instead of chunk arithmetic: a RIFF chunk walk
+(`fmt ` + `data`), PCM sample recovery via numpy frombuffer, and an encoder
+used only by the deterministic fixtures.  Scope is the dominant archival
+form — integer PCM (format tag 1), 8/16/32-bit — anything else raises the
+typed `WavError` that the actor stage records per row.
+
+The engine-side brief (not the reference) asks for multimodal decode /
+feature-extract stages; the reference has no audio path, so there is no
+file:line parity target — behavior is pinned by the fixture round-trip
+tests instead.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+
+class WavError(ValueError):
+    """Typed decode failure: malformed RIFF structure or unsupported PCM
+    envelope — callers record it per row and keep streaming."""
+
+
+_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+
+
+@dataclass
+class WavAudio:
+    sample_rate: int
+    samples: np.ndarray  # shape (n_samples, n_channels), native int dtype
+
+    @property
+    def n_channels(self) -> int:
+        return int(self.samples.shape[1])
+
+    @property
+    def n_samples(self) -> int:
+        return int(self.samples.shape[0])
+
+
+def decode_wav(data: bytes) -> WavAudio:
+    """Parse a RIFF/WAVE byte payload into samples.
+
+    Chunk walk (not fixed offsets): real encoders interleave LIST/fact/cue
+    chunks before `data`, and chunk sizes are padded to even lengths.  The
+    first `fmt ` chunk wins; decoding requires it before `data` (streamed
+    writers always satisfy this)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WavError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body_start = pos + 8
+        if cid == b"fmt ":
+            if size < 16 or body_start + 16 > len(data):
+                raise WavError("fmt chunk truncated")
+            tag, n_ch, rate, _byte_rate, block_align, bits = struct.unpack_from(
+                "<HHIIHH", data, body_start
+            )
+            if tag != 1:
+                raise WavError(f"unsupported format tag {tag} (PCM only)")
+            if bits not in _DTYPES:
+                raise WavError(f"unsupported bit depth {bits}")
+            if n_ch < 1 or rate < 1:
+                raise WavError("invalid channel count or sample rate")
+            if block_align != n_ch * (bits // 8):
+                raise WavError("block align inconsistent with channels/bits")
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise WavError("data chunk before fmt chunk")
+            n_ch, rate, bits = fmt
+            body = data[body_start : body_start + size]
+            if len(body) < size:
+                raise WavError("data chunk truncated")
+            frame_bytes = n_ch * (bits // 8)
+            n_frames = len(body) // frame_bytes
+            raw = np.frombuffer(body[: n_frames * frame_bytes], _DTYPES[bits])
+            return WavAudio(rate, raw.reshape(n_frames, n_ch))
+        pos = body_start + size + (size & 1)  # chunks are even-padded
+    raise WavError("missing fmt /data chunk" if fmt else "no fmt chunk found")
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal canonical-layout writer for fixtures: RIFF(WAVE(fmt ,data)).
+
+    ``samples`` is (n, channels) or (n,) in uint8/int16/int32."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    bits = samples.dtype.itemsize * 8
+    if bits not in _DTYPES or samples.dtype.kind not in "iu":
+        raise WavError(f"unsupported sample dtype {samples.dtype}")
+    n_ch = samples.shape[1]
+    body = np.ascontiguousarray(samples.astype(_DTYPES[bits], copy=False)).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * n_ch * (bits // 8),
+        n_ch * (bits // 8), bits,
+    )
+    chunks = b"".join(
+        (
+            b"fmt ", struct.pack("<I", len(fmt)), fmt,
+            b"data", struct.pack("<I", len(body)), body,
+            b"\x00" if len(body) & 1 else b"",
+        )
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def audio_stats(audio: WavAudio) -> dict:
+    """Deterministic per-file features used by both the fixture generator
+    (pre-encode) and the decode stage (post-decode), so equality is a true
+    codec round-trip check: duration, integer-exact sample sum-of-squares
+    derived RMS, and peak amplitude."""
+    s = audio.samples.astype(np.int64)
+    if audio.samples.dtype == np.uint8:  # 8-bit WAV is unsigned, center it
+        s = s - 128
+    n = s.size
+    rms = float(np.sqrt((s * s).sum() / n)) if n else 0.0
+    return {
+        "sample_rate": audio.sample_rate,
+        "n_channels": audio.n_channels,
+        "n_samples": audio.n_samples,
+        "duration_ms": audio.n_samples * 1000 // audio.sample_rate,
+        "rms_x1e3": int(round(rms * 1000)),
+        "peak": int(np.abs(s).max()) if n else 0,
+    }

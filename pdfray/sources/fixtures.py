@@ -892,6 +892,171 @@ def ensure_media_parquet(sf_dir: str, cache_root: str = "/tmp/pdfray_fixtures") 
 _SHARD_ROWS = 512
 
 
+# ----------------------------------------------------------------------
+# audio/video fixture: REAL WAV (RIFF/PCM) and Y4M (YUV4MPEG2) payloads with
+# golden decode stats computed from the pre-encode samples/frames — so the
+# decode stages' output is an exact codec round-trip check, DuckDB-oracle
+# style, just like the PNG media table above.
+
+def _audio_payload(k: int):
+    """Deterministic PCM content: integer sawtooth carrier + seeded noise
+    (pure integer ops — no libm, so goldens are platform-exact)."""
+    import numpy as np
+
+    from ..core.wav import audio_stats, decode_wav, encode_wav
+
+    rng = np.random.RandomState((SEED << 16) ^ (0xA0D10 + k))
+    rate = (8000, 16000, 22050, 44100)[k % 4]
+    n_ch = 1 + (k % 2)
+    n = 800 + (k * 37) % 2400
+    period = 20 + (k % 50)
+    saw = ((np.arange(n) % period) * (2000 // period)).astype(np.int64) - 1000
+    wave = saw[:, None] + rng.randint(-400, 400, (n, n_ch))
+    dtype_pick = k % 5
+    if dtype_pick == 3:  # 8-bit unsigned
+        samples = ((wave // 16) + 128).clip(0, 255).astype(np.uint8)
+    elif dtype_pick == 4:  # 32-bit
+        samples = (wave * 65536).astype(np.int32)
+    else:  # 16-bit (the dominant archival form)
+        samples = wave.clip(-32768, 32767).astype(np.int16)
+    payload = encode_wav(samples, rate)
+    return payload, audio_stats(decode_wav(payload))
+
+
+def _video_payload(k: int):
+    """Deterministic Y4M content: gradient luma with a moving bright box and
+    a seeded noise band, cycling dims / frame counts / colorspaces."""
+    import numpy as np
+
+    from ..core.y4m import SAMPLE_STRIDE, encode_y4m, parse_y4m, sample_stats
+
+    rng = np.random.RandomState((SEED << 16) ^ (0x51DE0 + k))
+    w = 16 + 2 * ((k * 5) % 25)   # 16..64, even
+    h = 16 + 2 * ((k * 7) % 17)   # 16..48, even
+    nf = 4 + (k % 9)              # 4..12 frames
+    cs = ("420jpeg", "422", "444", "mono")[k % 4]
+    gx = (np.arange(w, dtype=np.int64) * 200 // max(1, w - 1)).astype(np.uint8)
+    base = np.tile(gx, (h, 1))
+    frames = []
+    for f in range(nf):
+        fr = base.copy()
+        x0 = (f * 3 + k) % max(1, w - 8)
+        y0 = (f * 2 + k) % max(1, h - 8)
+        fr[y0 : y0 + 8, x0 : x0 + 8] = 255
+        fr[: max(1, h // 8), :] = rng.randint(0, 256, (max(1, h // 8), w),
+                                              dtype=np.uint8)
+        frames.append(fr)
+    payload = encode_y4m(frames, colorspace=cs, fps=(24 + (k % 7), 1))
+    return payload, sample_stats(parse_y4m(payload), SAMPLE_STRIDE)
+
+
+_AV_ZERO = {
+    "sample_rate": 0, "n_channels": 0, "n_samples": 0, "duration_ms": 0,
+    "rms_x1e3": 0, "peak": 0, "width": 0, "height": 0, "n_frames": 0,
+    "n_sampled": 0, "luma_sum": 0,
+}
+
+_AV_COLS = tuple(_AV_ZERO)
+
+
+def av_rows(n_rows: int, seed: int = SEED):
+    """Yield (url, payload, media_type, *goldens) deterministically;
+    audio/video alternate.  Every 13th±  row is planted broken — truncated
+    (k%13==5) or structurally valid with an unsupported envelope (k%13==11:
+    float-PCM format tag / unknown colorspace) — with all-zero goldens; the
+    decode stage must record the typed error and keep the row."""
+    import re
+    import struct
+
+    for k in range(n_rows):
+        kind = "audio" if k % 2 == 0 else "video"
+        if kind == "audio":
+            payload, stats = _audio_payload(k)
+            ext = "wav"
+        else:
+            payload, stats = _video_payload(k)
+            ext = "y4m"
+        name = kind
+        golden = dict(_AV_ZERO)
+        golden.update(stats)
+        if k % 13 == 5:  # truncated mid-payload
+            payload = payload[: max(12, len(payload) * 2 // 3)]
+            name, golden = "broken", dict(_AV_ZERO)
+        elif k % 13 == 11:  # structurally valid, unsupported envelope
+            if kind == "audio":  # format tag 1 (PCM) -> 3 (IEEE float)
+                payload = payload[:20] + struct.pack("<H", 3) + payload[22:]
+            else:  # colorspace the parser doesn't know
+                payload = re.sub(rb"C\S+", b"C999", payload, count=1)
+            name, golden = "broken", dict(_AV_ZERO)
+        yield (
+            f"https://av.example.org/{name}/{k:08d}.{ext}",
+            payload,
+            kind,
+            golden,
+        )
+
+
+def av_table(n_rows: int, seed: int = SEED):
+    import pyarrow as pa
+
+    cols = {"url": [], "payload": [], "media_type": []}
+    cols.update({c: [] for c in _AV_COLS})
+    for url, payload, kind, golden in av_rows(n_rows, seed):
+        cols["url"].append(url)
+        cols["payload"].append(payload)
+        cols["media_type"].append(kind)
+        for c in _AV_COLS:
+            cols[c].append(golden[c])
+    arrays = {
+        "url": pa.array(cols["url"], pa.string()),
+        "payload": pa.array(cols["payload"], pa.binary()),
+        "media_type": pa.array(cols["media_type"], pa.string()),
+    }
+    for c in _AV_COLS:
+        arrays[c] = pa.array(cols[c], pa.int64())
+    return pa.table(arrays)
+
+
+def av_parquet_path(sf_name: str, cache_root: str = "/tmp/pdfray_fixtures") -> str:
+    import os
+
+    return os.path.join(cache_root, f"v{FIXTURE_VERSION}", sf_name, "media_av")
+
+
+def ensure_av_parquet(sf_dir: str, cache_root: str = "/tmp/pdfray_fixtures") -> str:
+    """Materialize the sharded audio/video table for a testdata sf dir
+    (cached, deterministic, same atomic-rename discipline as the corpus).
+    Row count is half the corpus count — AV payloads are ~10x PNG size."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.001
+    out_path = av_parquet_path(sf_name, cache_root)
+    if os.path.isdir(out_path):
+        return out_path
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    table = av_table(max(20, sf_doc_count(sf) // 2))
+    tmp = tempfile.mkdtemp(prefix=".tmp-", dir=os.path.dirname(out_path))
+    for s, lo in enumerate(range(0, len(table), _SHARD_ROWS)):
+        pq.write_table(
+            table.slice(lo, _SHARD_ROWS),
+            os.path.join(tmp, f"part-{s:05d}.parquet"),
+            row_group_size=256,
+        )
+    try:
+        os.replace(tmp, out_path)
+    except OSError:
+        import shutil
+
+        if not os.path.isdir(out_path):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_path
+
+
 def fixture_parquet_path(sf_name: str, cache_root: str = "/tmp/pdfray_fixtures") -> str:
     """Deterministic, version-stamped cache DIRECTORY for a corpus: multiple
     part-*.parquet shards (Ray's parquet reader parallelizes per file, so a
