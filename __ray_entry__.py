@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_attribution": R.q_asof_attribution,
         # text / dedup operators over documents
         "t_token_stats": T.t_token_stats,
+        "t_stratified_sample": T.t_stratified_sample,
+        "t_pack_sequences": T.t_pack_sequences,
+        "t_length_quantiles": T.t_length_quantiles,
         "t_fingerprint": T.t_fingerprint,
         "t_exact_dedup": T.t_exact_dedup,
         "t_quality": T.t_quality,
@@ -512,6 +515,35 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens, "
             "length(text) AS n_chars "
             "FROM documents ORDER BY doc_id"
+        ),
+        "t_stratified_sample": (
+            # fixed-width lowercase hex compares like the number it encodes,
+            # so both sides reproduce the md5-prefix keep decision exactly
+            "SELECT doc_id, lang, source FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < "
+            "CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000' "
+            "WHEN 'fr' THEN '1999' WHEN 'es' THEN 'c000' ELSE '0000' END "
+            "ORDER BY doc_id"
+        ),
+        "t_pack_sequences": (
+            # concatenate-then-chop packing == windowed running token offset
+            "WITH t AS (SELECT doc_id, doc_id // 256 AS bucket, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) "
+            "AS n_tokens FROM documents), "
+            "w AS (SELECT doc_id, bucket, n_tokens, "
+            "CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "PRECEDING), 0) AS BIGINT) AS off FROM t) "
+            "SELECT doc_id, bucket, n_tokens, off // 2048 AS pack_id, "
+            "off % 2048 AS pack_off FROM w ORDER BY doc_id"
+        ),
+        "t_length_quantiles": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "quantile_disc(n_chars, 0.25) AS p25, "
+            "quantile_disc(n_chars, 0.5) AS p50, "
+            "quantile_disc(n_chars, 0.75) AS p75, "
+            "quantile_disc(n_chars, 0.9) AS p90 "
+            "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "t_fingerprint": (
             "SELECT doc_id, md5(lower(regexp_replace(regexp_replace(text, "

@@ -103,6 +103,9 @@ QUERY_NAMES = [
     "q_orders_by_month",
     "q_asof_attribution",
     "t_token_stats",
+    "t_stratified_sample",
+    "t_pack_sequences",
+    "t_length_quantiles",
     "t_quality",
     "t_fingerprint",
     "t_langid",

@@ -1112,3 +1112,136 @@ def t_ngram_jaccard_dupes(
     short_df = _short_allpairs(ds, threshold, "doc_id", force=force_short_allpairs)
     out = pd.concat([long_df, short_df], ignore_index=True)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# corpus-shaping operators: stratified sampling, sequence packing, exact
+# distributed quantiles — the post-dedup steps a pretraining-data pipeline
+# runs before tokenizer/sharding (engine-added brief, no reference analog).
+
+# per-language keep thresholds as 4-hex-digit md5-prefix bounds; hex-string
+# comparison == numeric comparison for fixed-width lowercase hex, so DuckDB
+# reproduces the decision with substr(md5(..),1,4) < thresh exactly.
+# '8000'/65536 = 50%, '4000' = 25%, '1999' ~= 10%, 'c000' = 75%.
+SAMPLE_THRESHOLDS = {"en": "8000", "de": "4000", "fr": "1999", "es": "c000"}
+
+
+def t_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: keep a per-language fraction of
+    documents, decided by an md5 prefix of the doc id — no RNG state, so
+    the sample is stable under re-runs, resumes, and repartitioning (the
+    property that matters at 100 TB: a retry must not change the sample).
+    md5-per-row is a short-string hash (~0.5us) chosen because the oracle
+    can recompute it; a production variant would swap in a vectorized
+    splitmix64 with the same threshold layout."""
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        langs = t.column("lang").to_pylist()
+        keep = [
+            hashlib.md5(str(i).encode()).hexdigest()[:4]
+            < SAMPLE_THRESHOLDS.get(lang, "0000")
+            for i, lang in zip(ids, langs)
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    ds = _read_documents(sf_dir, ("doc_id", "lang", "source")).map_batches(
+        sample, batch_format="pyarrow"
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+PACK_CAPACITY = 2048  # tokens per packed training sequence
+PACK_BUCKET = 256  # docs per packing stream; one shuffle group each
+
+
+def t_pack_sequences(sf_dir: str):
+    """Sequence packing (concatenate-then-chop, the GPT-style pretraining
+    layout): documents are concatenated in doc_id order within fixed
+    buckets and chopped into PACK_CAPACITY-token sequences; each doc
+    reports its (pack_id, pack_off) placement.  Token counts come from the
+    same \\S+ rule as t_token_stats.
+
+    Distribution: the count projection is a vectorized Arrow stage that
+    drops text BEFORE the shuffle; the groupby moves only (bucket, doc_id,
+    n_tokens) and each group does one numpy cumsum.  Buckets are contiguous
+    doc_id ranges so packed streams are reproducible independent of block
+    layout."""
+
+    def project(t: pa.Table) -> pa.Table:
+        n_tokens = pc.cast(
+            pc.count_substring_regex(t.column("text"), r"\S+"), pa.int64()
+        )
+        bucket = pc.divide(t.column("doc_id"), pa.scalar(PACK_BUCKET))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "bucket": pc.cast(bucket, pa.int64()),
+                "n_tokens": n_tokens,
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        off = g["n_tokens"].to_numpy(np.int64).cumsum() - g["n_tokens"].to_numpy(
+            np.int64
+        )
+        g["pack_id"] = off // PACK_CAPACITY
+        g["pack_off"] = off % PACK_CAPACITY
+        return g
+
+    out = (
+        _read_documents(sf_dir)
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUANTILE_PS = (0.25, 0.5, 0.75, 0.9)
+
+
+def t_length_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of document length per language via the
+    bounded-domain histogram trick: each block pre-aggregates (lang,
+    n_chars) -> count, the groupby sums the tiny histogram, and the driver
+    walks cumulative counts — no distributed sort, no sampling error.  The
+    shuffle carries one row per distinct (lang, length), independent of
+    corpus size; for unbounded domains you'd first quantize to buckets
+    (t-digest-style) and lose exactness.  Matches DuckDB quantile_disc
+    (index = ceil(p*n) - 1, verified empirically)."""
+
+    def histogram(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["lang", "n_chars"])
+            .aggregate([("n_chars", "count")])
+            .rename_columns(["lang", "n_chars", "cnt"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        _read_documents(sf_dir, ("lang", "n_chars"))
+        .map_batches(histogram, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded: |langs| x |distinct lengths| rows
+    )
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy(np.int64)
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        row = {"lang": lang, "n_docs": n}
+        for p in QUANTILE_PS:
+            rank = int(np.ceil(p * n))
+            row[f"p{int(p * 100)}"] = int(vals[np.searchsorted(cum, rank)])
+        rows.append(row)
+    cols = ["lang", "n_docs"] + [f"p{int(p * 100)}" for p in QUANTILE_PS]
+    return (
+        pd.DataFrame(rows, columns=cols)
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
