@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / dedup operators over documents
         "t_token_stats": T.t_token_stats,
         "t_stratified_sample": T.t_stratified_sample,
+        "t_decontaminate": T.t_decontaminate,
         "t_pack_sequences": T.t_pack_sequences,
         "t_length_quantiles": T.t_length_quantiles,
         "t_fingerprint": T.t_fingerprint,
@@ -524,6 +525,24 @@ def oracle_sql() -> dict[str, str]:
             "CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '4000' "
             "WHEN 'fr' THEN '1999' WHEN 'es' THEN 'c000' ELSE '0000' END "
             "ORDER BY doc_id"
+        ),
+        "t_decontaminate": (
+            # gram-join recomputation on STRINGS (the engine matches md5-64
+            # hashes, so a hash collision would fail this compare, not hide)
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "g AS (SELECT doc_id, "
+            "unnest(list_transform(generate_series(1, len(w) - 7), "
+            "i -> array_to_string(w[i:i+7], ' '))) AS gram "
+            "FROM toks WHERE len(w) >= 8), "
+            "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), "
+            "hits AS (SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits "
+            "FROM g JOIN bench USING (gram) GROUP BY g.doc_id) "
+            "SELECT d.doc_id, d.doc_id % 97 = 0 AS is_benchmark, "
+            "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated_grams, "
+            "COALESCE(h.n_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id"
         ),
         "t_pack_sequences": (
             # concatenate-then-chop packing == windowed running token offset

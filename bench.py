@@ -104,6 +104,7 @@ QUERY_NAMES = [
     "q_asof_attribution",
     "t_token_stats",
     "t_stratified_sample",
+    "t_decontaminate",
     "t_pack_sequences",
     "t_length_quantiles",
     "t_quality",

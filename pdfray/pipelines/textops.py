@@ -1245,3 +1245,92 @@ def t_length_quantiles(sf_dir: str):
         .sort_values("lang")
         .reset_index(drop=True)
     )
+
+
+# ----------------------------------------------------------------------
+# benchmark decontamination: flag documents sharing any 8-token n-gram with
+# a benchmark set — the standard pre-training hygiene step (engine-added
+# brief; no reference analog).
+
+DECONTAM_N = 8  # gram width used by common decontamination setups
+DECONTAM_BENCH_MOD = 97  # doc_id % MOD == 0 defines the benchmark subset
+
+
+def _gram_hashes(text: str) -> np.ndarray:
+    """Distinct 64-bit hashes of the doc's word 8-grams (md5-64 per gram:
+    deterministic across machines; 64-bit collisions are ~1e-10 even at
+    1e4 distinct grams per shard, and the oracle joins on gram STRINGS so
+    a collision would surface as a hash mismatch, not pass silently)."""
+    words = text.split()
+    if len(words) < DECONTAM_N:
+        return np.empty(0, np.uint64)
+    grams = {
+        " ".join(words[i : i + DECONTAM_N])
+        for i in range(len(words) - DECONTAM_N + 1)
+    }
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+            for g in grams
+        ),
+        np.uint64,
+        len(grams),
+    )
+
+
+def t_decontaminate(sf_dir: str):
+    """Benchmark decontamination via broadcast small side: the benchmark
+    docs' distinct 8-gram hashes are collected ONCE (the benchmark is tiny
+    by construction — eval sets are), sorted, `ray.put` into the object
+    store, and every worker membership-tests its batches with vectorized
+    np.isin against the shared array.  No shuffle at all: the corpus
+    streams through one map stage; only the small side moves.  At 100 TB
+    this is exactly how you'd run it — the alternative (gram-join through a
+    groupby) shuffles every gram of every document."""
+    import ray
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        # benchmark selection + gram hashing happen IN the workers; only
+        # per-block distinct hashes reach the driver for the final unique
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0)).column("text")
+        hs = [_gram_hashes(s) for s in texts.to_pylist()]
+        merged = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        return pa.table({"h": pa.array(merged, pa.uint64())})
+
+    bench_hashes = np.unique(
+        _read_documents(sf_dir)
+        .map_batches(bench_grams, batch_format="pyarrow")
+        .to_pandas()["h"]
+        .to_numpy()
+    ).astype(np.uint64)
+    ref = ray.put(bench_hashes)
+
+    def flag_factory():
+        table = ray.get(ref)  # once per worker process, zero-copy numpy
+
+        def flag(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            texts = t.column("text").to_pylist()
+            n_hits = [
+                int(np.isin(_gram_hashes(s), table, assume_unique=True).sum())
+                for s in texts
+            ]
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "is_benchmark": pa.array(
+                        [i % DECONTAM_BENCH_MOD == 0 for i in ids], pa.bool_()
+                    ),
+                    "n_contaminated_grams": pa.array(n_hits, pa.int64()),
+                    "contaminated": pa.array([n > 0 for n in n_hits], pa.bool_()),
+                }
+            )
+
+        return flag
+
+    out = _read_documents(sf_dir).map_batches(
+        warm_factory(("decontam", ref.hex()), flag_factory),
+        batch_format="pyarrow",
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)

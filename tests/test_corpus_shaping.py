@@ -87,3 +87,30 @@ def test_length_quantiles_match_numpy_exact(shaped_dir):
         for p in (0.25, 0.5, 0.75, 0.9):
             # DuckDB quantile_disc: element at index ceil(p*n)-1
             assert row[f"p{int(p*100)}"] == vals[int(np.ceil(p * n)) - 1]
+
+
+def test_decontaminate_planted_overlap(ray_session, tmp_path):
+    from pdfray.pipelines.textops import DECONTAM_N, t_decontaminate
+
+    bench_text = " ".join(f"b{j}" for j in range(20))  # doc 0: benchmark
+    contaminated = "x y z " + " ".join(f"b{j}" for j in range(DECONTAM_N)) + " tail"
+    clean = " ".join(f"c{j}" for j in range(30))
+    short = "only seven tokens here not even eight"[:38]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([bench_text, contaminated, clean, short]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["t"] * 4),
+            "n_chars": pa.array([0] * 4, pa.int64()),
+        }
+    )
+    d = tmp_path / "dc"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = t_decontaminate(str(d)).set_index("doc_id")
+    assert bool(out.loc[0, "is_benchmark"]) and bool(out.loc[0, "contaminated"])
+    assert bool(out.loc[1, "contaminated"])  # shares b0..b7 8-gram
+    assert out.loc[1, "n_contaminated_grams"] == 1
+    assert not bool(out.loc[2, "contaminated"])
+    assert not bool(out.loc[3, "contaminated"])  # < 8 tokens: no grams
