@@ -115,18 +115,30 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 def audio_stats(audio: WavAudio) -> dict:
     """Deterministic per-file features used by both the fixture generator
     (pre-encode) and the decode stage (post-decode), so equality is a true
-    codec round-trip check: duration, integer-exact sample sum-of-squares
-    derived RMS, and peak amplitude."""
+    codec round-trip check: duration, sum-of-squares-derived RMS, and peak
+    amplitude.  The square sum runs integer-exact in int64 whenever
+    ``n * peak**2`` provably fits; full-scale int32 corpora fall back to
+    float64 (fuzz found the int64 overflow: NaN out of sqrt of a wrapped
+    negative sum).  Both sides of the round-trip share this function, so
+    the fallback stays a deterministic comparison."""
     s = audio.samples.astype(np.int64)
     if audio.samples.dtype == np.uint8:  # 8-bit WAV is unsigned, center it
         s = s - 128
     n = s.size
-    rms = float(np.sqrt((s * s).sum() / n)) if n else 0.0
+    peak = int(np.abs(s).max()) if n else 0
+    if n:
+        if n * peak * peak < 2**62:
+            sq_sum = int((s * s).sum())
+        else:
+            sq_sum = float(np.square(s.astype(np.float64)).sum())
+        rms = float(np.sqrt(sq_sum / n))
+    else:
+        rms = 0.0
     return {
         "sample_rate": audio.sample_rate,
         "n_channels": audio.n_channels,
         "n_samples": audio.n_samples,
         "duration_ms": audio.n_samples * 1000 // audio.sample_rate,
         "rms_x1e3": int(round(rms * 1000)),
-        "peak": int(np.abs(s).max()) if n else 0,
+        "peak": peak,
     }

@@ -189,3 +189,153 @@ def test_png_truncations(seed):
     px = np_rng.randint(0, 256, (8, 8, 3)).astype("uint8")
     data = encode_png(px)
     _png_decode_contract(data[: rng.randrange(len(data))])
+
+
+# ----------------------------------------------------------------------
+# AV codec robustness (same contract as PNG): decode_wav raises ONLY
+# WavError, parse_y4m/sample_stats raise ONLY Y4mError, and the AvDecoder
+# stage never raises at all — it records per row.  Success cases must
+# return structurally sane values (the stage multiplies/divides them).
+
+def _wav_decode_contract(data: bytes):
+    from pdfray.core.wav import WavError, audio_stats, decode_wav
+
+    try:
+        a = decode_wav(data)
+    except WavError:
+        return
+    assert a.sample_rate >= 1 and a.n_channels >= 1
+    assert a.samples.shape == (a.n_samples, a.n_channels)
+    stats = audio_stats(a)
+    assert stats["duration_ms"] >= 0 and stats["peak"] >= 0
+
+
+@given(data=st.binary(min_size=0, max_size=2048))
+@settings(**FUZZ_SETTINGS)
+def test_wav_arbitrary_bytes_raise_only_waverror(data):
+    _wav_decode_contract(data)
+
+
+@given(data=st.binary(min_size=0, max_size=2048))
+@settings(**FUZZ_SETTINGS)
+def test_wav_riff_prefixed_garbage(data):
+    _wav_decode_contract(b"RIFF" + data)
+    _wav_decode_contract(b"RIFF\xff\xff\xff\xffWAVE" + data)
+
+
+@given(seed=st.integers(0, 2**32 - 1), n_mutations=st.integers(1, 16))
+@settings(**FUZZ_SETTINGS)
+def test_wav_mutated_valid_payloads(seed, n_mutations):
+    """Byte-flip a VALID encoding so the chunk walk runs deep: mutated
+    size fields, fmt params and padding all stay inside the contract."""
+    import numpy as np
+
+    from pdfray.core.wav import encode_wav
+
+    rng = random.Random(seed)
+    np_rng = np.random.RandomState(seed & 0xFFFF)
+    dtype = rng.choice([np.uint8, np.int16, np.int32])
+    info = np.iinfo(dtype)
+    s = np_rng.randint(
+        info.min, int(info.max) + 1, (rng.randint(1, 64), rng.randint(1, 3))
+    ).astype(dtype)
+    data = bytearray(encode_wav(s, rng.choice([8000, 44100])))
+    for _ in range(n_mutations):
+        data[rng.randrange(len(data))] = rng.randrange(256)
+    _wav_decode_contract(bytes(data))
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(**FUZZ_SETTINGS)
+def test_wav_truncations(seed):
+    import numpy as np
+
+    from pdfray.core.wav import encode_wav
+
+    rng = random.Random(seed)
+    s = np.arange(120, dtype=np.int16).reshape(60, 2)
+    data = encode_wav(s, 16000)
+    _wav_decode_contract(data[: rng.randrange(len(data))])
+
+
+def _y4m_contract(data: bytes):
+    from pdfray.core.y4m import SAMPLE_STRIDE, Y4mError, parse_y4m, sample_stats
+
+    try:
+        stream = parse_y4m(data)
+    except Y4mError:
+        return
+    assert stream.width > 0 and stream.height > 0
+    # parse validated every frame's payload extent, so sampling never fails
+    stats = sample_stats(stream, SAMPLE_STRIDE)
+    assert stats["n_sampled"] <= stats["n_frames"]
+    assert stats["luma_sum"] >= 0
+
+
+@given(data=st.binary(min_size=0, max_size=2048))
+@settings(**FUZZ_SETTINGS)
+def test_y4m_arbitrary_bytes_raise_only_y4merror(data):
+    _y4m_contract(data)
+
+
+@given(data=st.binary(min_size=0, max_size=2048))
+@settings(**FUZZ_SETTINGS)
+def test_y4m_magic_prefixed_garbage(data):
+    _y4m_contract(b"YUV4MPEG2 " + data)
+    _y4m_contract(b"YUV4MPEG2 W4 H4 F30:1 Cmono\n" + data)
+
+
+@given(seed=st.integers(0, 2**32 - 1), n_mutations=st.integers(1, 16))
+@settings(**FUZZ_SETTINGS)
+def test_y4m_mutated_valid_streams(seed, n_mutations):
+    """Byte-flips hit the ASCII header (dims, colorspace, fps) as often as
+    frame payloads — both the header parser and the frame walk get depth."""
+    import numpy as np
+
+    from pdfray.core.y4m import encode_y4m
+
+    rng = random.Random(seed)
+    np_rng = np.random.RandomState(seed & 0xFFFF)
+    h, w = rng.choice([(4, 4), (4, 6), (8, 2)])
+    frames = [
+        np_rng.randint(0, 256, (h, w)).astype("uint8")
+        for _ in range(rng.randint(1, 7))
+    ]
+    cs = rng.choice(["mono", "420jpeg", "422", "444"])
+    data = bytearray(encode_y4m(frames, colorspace=cs))
+    for _ in range(n_mutations):
+        data[rng.randrange(len(data))] = rng.randrange(256)
+    _y4m_contract(bytes(data))
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(**FUZZ_SETTINGS)
+def test_y4m_truncations(seed):
+    import numpy as np
+
+    from pdfray.core.y4m import encode_y4m
+
+    rng = random.Random(seed)
+    frames = [np.full((4, 4), k, dtype="uint8") for k in range(5)]
+    data = encode_y4m(frames)
+    _y4m_contract(data[: rng.randrange(len(data))])
+
+
+@given(payloads=st.lists(st.binary(min_size=0, max_size=512), min_size=1, max_size=8))
+@settings(**FUZZ_SETTINGS)
+def test_av_decoder_stage_never_raises(payloads):
+    """The Ray stage contract on arbitrary payload batches: stable schema,
+    one output row per input row, garbage recorded in ``error``."""
+    import pyarrow as pa
+
+    from pdfray.pipelines.multimodal import AV_SCHEMA, AvDecoder
+
+    batch = pa.table(
+        {
+            "url": [f"u{i}" for i in range(len(payloads))],
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = AvDecoder()(batch)
+    assert out.schema.equals(AV_SCHEMA)
+    assert out.num_rows == len(payloads)
