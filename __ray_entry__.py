@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fingerprint": T.t_fingerprint,
         "t_exact_dedup": T.t_exact_dedup,
         "t_quality": T.t_quality,
+        "t_repetition": T.t_repetition,
         "t_bpe_tokens": T.t_bpe_tokens,
         "t_winnow_fp": T.t_winnow_fp,
         "t_langid": T.t_langid,
@@ -575,6 +576,39 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY text_hash"
         ),
         "t_quality": _quality_oracle(),
+        "t_repetition": (
+            # Gopher-style repetition numerators recomputed verbatim:
+            # split -> per-doc word counts, and 1-indexed adjacent bigrams
+            # via list_transform(range) (range is end-exclusive, so i runs
+            # 1..len-1); docs too short for bigrams COALESCE to zero.
+            "WITH docs AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), w -> w <> '') AS words "
+            "FROM documents), "
+            "w AS (SELECT doc_id, unnest(words) AS word FROM docs), "
+            "wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w "
+            "GROUP BY doc_id, word), "
+            "ws AS (SELECT doc_id, SUM(c) AS n_words, "
+            "COUNT(*) AS n_unique_words, MAX(c) AS top_word_count "
+            "FROM wc GROUP BY doc_id), "
+            "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(words)), "
+            "i -> words[i] || ' ' || words[i + 1])) AS bigram FROM docs), "
+            "bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg "
+            "GROUP BY doc_id, bigram), "
+            "bs AS (SELECT doc_id, SUM(c) AS n_bigrams, "
+            "SUM(c) - COUNT(*) AS dup_bigram_occurrences, "
+            "MAX(c) AS top_bigram_count FROM bc GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(ws.n_words, 0) AS BIGINT) AS n_words, "
+            "CAST(COALESCE(ws.n_unique_words, 0) AS BIGINT) AS n_unique_words, "
+            "CAST(COALESCE(ws.top_word_count, 0) AS BIGINT) AS top_word_count, "
+            "CAST(COALESCE(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(COALESCE(bs.dup_bigram_occurrences, 0) AS BIGINT) "
+            "AS dup_bigram_occurrences, "
+            "CAST(COALESCE(bs.top_bigram_count, 0) AS BIGINT) "
+            "AS top_bigram_count "
+            "FROM docs d LEFT JOIN ws ON d.doc_id = ws.doc_id "
+            "LEFT JOIN bs ON d.doc_id = bs.doc_id ORDER BY d.doc_id"
+        ),
         "t_simhash": _simhash_oracle(),
         "s_lsh_buckets": _lsh_buckets_oracle(),
         "t_langid": _langid_oracle(),

@@ -108,6 +108,7 @@ QUERY_NAMES = [
     "t_pack_sequences",
     "t_length_quantiles",
     "t_quality",
+    "t_repetition",
     "t_fingerprint",
     "t_langid",
     "t_winnow_fp",

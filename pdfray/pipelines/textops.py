@@ -176,6 +176,92 @@ def t_quality(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def t_repetition(sf_dir: str):
+    """Gopher-style repetition-quality counts per document, integer-exact.
+
+    Web crawls are full of template/boilerplate pages whose text is
+    dominated by a few repeated words or phrases; the standard filters
+    threshold on the most-common-word fraction and the duplicate-n-gram
+    fraction.  This stage emits the exact integer numerators so any
+    downstream threshold is a cheap arithmetic filter (ratios stay
+    rounding-free for the oracle): per doc, total/unique word counts, the
+    top word's occurrence count, and the same for adjacent word bigrams
+    plus the duplicate-bigram occurrence count (occurrences beyond each
+    bigram's first).
+
+    Fully vectorized: one Arrow split per batch, then numpy unique/reduceat
+    group math on integer codes — no Python row loop.  Bigram keys are
+    encoded in two stages (word-pair code, then doc-scoped code) so the
+    int64 key space never overflows regardless of batch vocabulary.  At
+    100 TB this is embarrassingly parallel: no shuffle, narrow integer
+    output, text never leaves the map stage.
+    """
+
+    def project(t: pa.Table) -> pa.Table:
+        n_docs = t.num_rows
+        toks = pc.split_pattern(t.column("text"), " ").combine_chunks()
+        offsets = toks.offsets.to_numpy()
+        offsets = offsets - offsets[0]
+        parent = np.repeat(np.arange(n_docs), np.diff(offsets))
+        # dictionary_encode does the word->code map inside Arrow (hash on
+        # string buffers), far cheaper than np.unique over object strings
+        # toks was combine_chunks()'d, so list_flatten yields a plain Array
+        # and the encode builds ONE dictionary (chunked inputs would get a
+        # dictionary per chunk, breaking the shared code space)
+        enc = pc.list_flatten(toks).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pc.equal(enc.dictionary, "").to_numpy(zero_copy_only=False)
+        empty_codes = np.flatnonzero(empty)  # split artifacts (double spaces)
+        if empty_codes.size:
+            keep = codes != int(empty_codes[0])
+            codes, parent = codes[keep], parent[keep]
+        inv = codes
+        vocab = len(enc.dictionary) + 1
+
+        def group_stats(parent_ids, code_inv, code_space):
+            """(n_items, n_unique, top_count) per doc from doc-scoped keys;
+            np.unique sorts, so each doc's keys are contiguous for
+            reduceat."""
+            n_items = np.bincount(parent_ids, minlength=n_docs)
+            key = parent_ids.astype(np.int64) * code_space + code_inv
+            uniq, counts = np.unique(key, return_counts=True)
+            owner = (uniq // code_space).astype(np.int64)
+            n_unique = np.bincount(owner, minlength=n_docs)
+            top = np.zeros(n_docs, np.int64)
+            if counts.size:
+                starts = np.flatnonzero(np.r_[True, owner[1:] != owner[:-1]])
+                top[owner[starts]] = np.maximum.reduceat(counts, starts)
+            return n_items.astype(np.int64), n_unique.astype(np.int64), top
+
+        n_words, n_unique_words, top_word = group_stats(parent, inv, vocab)
+
+        adj = parent[1:] == parent[:-1] if parent.size else np.zeros(0, bool)
+        pair = inv[:-1][adj].astype(np.int64) * vocab + inv[1:][adj]
+        bparent = parent[1:][adj]
+        _, binv = np.unique(pair, return_inverse=True)
+        bspace = int(binv.max()) + 1 if binv.size else 1
+        n_bigrams, n_unique_bigrams, top_bigram = group_stats(
+            bparent, binv, bspace
+        )
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_unique_words": pa.array(n_unique_words, pa.int64()),
+                "top_word_count": pa.array(top_word, pa.int64()),
+                "n_bigrams": pa.array(n_bigrams, pa.int64()),
+                "dup_bigram_occurrences": pa.array(
+                    n_bigrams - n_unique_bigrams, pa.int64()
+                ),
+                "top_bigram_count": pa.array(top_bigram, pa.int64()),
+            }
+        )
+
+    ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 class LangId:
     """Actor-pool language-ID stage: marker tables built once per actor."""
 

@@ -483,3 +483,32 @@ def test_packed_argmax_matches_pandas(ray_session, tmp_path):
         got[["o_custkey", "o_orderkey", "o_totalprice"]],
         want[["o_custkey", "o_orderkey", "o_totalprice"]],
     )
+
+
+def test_repetition_counts_hand_verified(ray_session, tmp_path):
+    """Planted repetition: a boilerplate doc (one word + one bigram looping),
+    an all-unique doc, a single-word doc, and an empty doc."""
+    from pdfray.pipelines.textops import t_repetition
+
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "buy now buy now buy now buy again",  # template spam
+            "five totally distinct simple words",
+            "lonely",
+            "",
+        ],
+        "lang": ["en"] * 4,
+        "source": ["t"] * 4,
+        "n_chars": [0] * 4,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = t_repetition(str(tmp_path)).set_index("doc_id")
+
+    # doc 0: words = buy x4, now x3, again x1 -> 8 words, 3 unique, top 4
+    # bigrams: "buy now" x3, "now buy" x2, "buy again" x1 -> 7 total,
+    # 3 unique -> 4 duplicate occurrences, top 3
+    assert out.loc[0].tolist() == [8, 3, 4, 7, 4, 3]
+    assert out.loc[1].tolist() == [5, 5, 1, 4, 0, 1]
+    assert out.loc[2].tolist() == [1, 1, 1, 0, 0, 0]
+    assert out.loc[3].tolist() == [0, 0, 0, 0, 0, 0]
