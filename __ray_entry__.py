@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_exact_dedup": T.t_exact_dedup,
         "t_quality": T.t_quality,
         "t_repetition": T.t_repetition,
+        "t_doc_frequency": T.t_doc_frequency,
         "t_bpe_tokens": T.t_bpe_tokens,
         "t_winnow_fp": T.t_winnow_fp,
         "t_langid": T.t_langid,
@@ -576,6 +577,16 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY text_hash"
         ),
         "t_quality": _quality_oracle(),
+        "t_doc_frequency": (
+            # df = docs containing the word, tf = total occurrences; the
+            # (df DESC, word ASC) total order pins the top-k cut on both
+            # sides even under df ties at the boundary
+            "WITH w AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS word FROM documents) "
+            "SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df, "
+            "CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY word "
+            "ORDER BY df DESC, word LIMIT 100"
+        ),
         "t_repetition": (
             # Gopher-style repetition numerators recomputed verbatim:
             # split -> per-doc word counts, and 1-indexed adjacent bigrams

@@ -109,6 +109,7 @@ QUERY_NAMES = [
     "t_length_quantiles",
     "t_quality",
     "t_repetition",
+    "t_doc_frequency",
     "t_fingerprint",
     "t_langid",
     "t_winnow_fp",

@@ -176,6 +176,59 @@ def t_quality(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def t_doc_frequency(sf_dir: str, top_k: int = 100):
+    """Corpus document-frequency / term-frequency table (the IDF building
+    block): for the ``top_k`` highest-df words, how many documents contain
+    the word and how many times it occurs in total.
+
+    The scale shape is the textbook combiner: each batch collapses its
+    texts to per-word partials (tf via bincount over dictionary codes, df
+    via unique (doc, word) pairs), so the one shuffle carries vocab-sized
+    partial rows — never tokens, never text.  The grouped result is
+    bounded by vocabulary, not corpus size; only that small table is
+    collected for the deterministic (df desc, word asc) top-k.
+    """
+
+    def partials(t: pa.Table) -> pa.Table:
+        n_docs = t.num_rows
+        toks = pc.split_pattern(t.column("text"), " ").combine_chunks()
+        offsets = toks.offsets.to_numpy()
+        offsets = offsets - offsets[0]
+        parent = np.repeat(np.arange(n_docs), np.diff(offsets))
+        enc = pc.list_flatten(toks).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = np.flatnonzero(
+            pc.equal(enc.dictionary, "").to_numpy(zero_copy_only=False)
+        )
+        if empty.size:
+            keep = codes != int(empty[0])
+            codes, parent = codes[keep], parent[keep]
+        vocab = len(enc.dictionary)
+        tf = np.bincount(codes, minlength=vocab)
+        pair_codes = np.unique(parent * vocab + codes) % vocab if codes.size else codes
+        df = np.bincount(pair_codes, minlength=vocab)
+        present = tf > 0  # the empty-string slot (and unused dict slack)
+        return pa.table(
+            {
+                "word": enc.dictionary.filter(pa.array(present)),
+                "tf": pa.array(tf[present], pa.int64()),
+                "df": pa.array(df[present], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    grouped = (
+        _read_documents(sf_dir)
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+    )
+    out = grouped.to_pandas()
+    out = out.sort_values(["df", "word"], ascending=[False, True], kind="mergesort")
+    return out.head(top_k).reset_index(drop=True)[["word", "df", "tf"]]
+
+
 def t_repetition(sf_dir: str):
     """Gopher-style repetition-quality counts per document, integer-exact.
 

@@ -512,3 +512,22 @@ def test_repetition_counts_hand_verified(ray_session, tmp_path):
     assert out.loc[1].tolist() == [5, 5, 1, 4, 0, 1]
     assert out.loc[2].tolist() == [1, 1, 1, 0, 0, 0]
     assert out.loc[3].tolist() == [0, 0, 0, 0, 0, 0]
+
+
+def test_doc_frequency_hand_verified(ray_session, tmp_path):
+    """df counts documents (repeats inside one doc count once), tf counts
+    occurrences; ties at the cut are broken by word order."""
+    from pdfray.pipelines.textops import t_doc_frequency
+
+    rows = {
+        "doc_id": [0, 1, 2],
+        "text": ["apple apple banana", "banana cherry", "apple  cherry"],
+        "lang": ["en"] * 3,
+        "source": ["t"] * 3,
+        "n_chars": [0] * 3,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = t_doc_frequency(str(tmp_path), top_k=2)
+    assert out["word"].tolist() == ["apple", "banana"]  # cherry loses the tie
+    assert out["df"].tolist() == [2, 2]
+    assert out["tf"].tolist() == [3, 2]
