@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_quality": T.t_quality,
         "t_repetition": T.t_repetition,
         "t_doc_frequency": T.t_doc_frequency,
+        "t_tfidf": T.t_tfidf,
         "t_bpe_tokens": T.t_bpe_tokens,
         "t_winnow_fp": T.t_winnow_fp,
         "t_langid": T.t_langid,
@@ -586,6 +587,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df, "
             "CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY word "
             "ORDER BY df DESC, word LIMIT 100"
+        ),
+        "t_tfidf": (
+            # two-pass TF-IDF mass recomputed verbatim: df over distinct
+            # (doc, word), score = sum(tf * ln(N/df)) per doc.  Both sides
+            # emit half-up-rounded milli-units; ln() is transcendental so no
+            # true score sits on a boundary, making the integer exact.
+            # Empty docs COALESCE to zero like t_repetition.
+            "WITH w AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS word FROM documents), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents), "
+            "df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w "
+            "GROUP BY word), "
+            "tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w "
+            "GROUP BY doc_id, word), "
+            "s AS (SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS n_words, "
+            "CAST(FLOOR(SUM(t.tf * ln((SELECT n_docs FROM n) / d.df)) "
+            "* 1000 + 0.5) AS BIGINT) AS tfidf_x1e3 "
+            "FROM tf t JOIN df d USING(word) GROUP BY t.doc_id) "
+            "SELECT d.doc_id, COALESCE(s.n_words, 0) AS n_words, "
+            "COALESCE(s.tfidf_x1e3, 0) AS tfidf_x1e3 "
+            "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id "
+            "ORDER BY d.doc_id"
         ),
         "t_repetition": (
             # Gopher-style repetition numerators recomputed verbatim:

@@ -110,6 +110,7 @@ QUERY_NAMES = [
     "t_quality",
     "t_repetition",
     "t_doc_frequency",
+    "t_tfidf",
     "t_fingerprint",
     "t_langid",
     "t_winnow_fp",

@@ -176,6 +176,114 @@ def t_quality(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _word_codes(t: pa.Table):
+    """Space-tokenize a batch into integer word codes, Arrow-side.
+
+    Returns ``(parent, codes, dictionary)``: doc index and dictionary code
+    per non-empty token, plus the batch dictionary array.  Shared by the
+    word-statistics stages so they all agree on tokenization (and with the
+    oracles' ``list_filter(string_split(text, ' '), w -> w <> '')``)."""
+    n_docs = t.num_rows
+    toks = pc.split_pattern(t.column("text"), " ").combine_chunks()
+    offsets = toks.offsets.to_numpy()
+    offsets = offsets - offsets[0]
+    parent = np.repeat(np.arange(n_docs), np.diff(offsets))
+    # toks was combine_chunks()'d, so list_flatten yields a plain Array and
+    # the encode builds ONE dictionary (chunked inputs would get a
+    # dictionary per chunk, breaking the shared code space)
+    enc = pc.list_flatten(toks).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = np.flatnonzero(pc.equal(enc.dictionary, "").to_numpy(zero_copy_only=False))
+    if empty.size:  # split artifacts (leading/double spaces)
+        keep = codes != int(empty[0])
+        codes, parent = codes[keep], parent[keep]
+    return parent, codes, enc.dictionary
+
+
+def t_tfidf(sf_dir: str):
+    """Per-document TF-IDF mass: two passes, global stat then broadcast.
+
+    Pass 1 reduces the corpus to the vocab-sized (word, df) table (same
+    combiner shuffle as ``t_doc_frequency``); pass 2 broadcasts it via
+    ``ray.put`` and scores every document in a map stage —
+    ``sum(tf * ln(N / df))`` — so the global statistic ships to workers
+    once, not per batch, and no second shuffle exists.  This is the
+    canonical two-pass corpus-weighting shape (IDF weighting, quality
+    reweighting, temperature sampling all look like this at 100 TB).
+
+    Scores are emitted as half-up-rounded integer milli-units: ln() is
+    transcendental, so true values never sit on a rounding boundary and
+    the integer comparison is rounding-mode-safe across engines.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        parent, codes, dictionary = _word_codes(t)
+        vocab = len(dictionary)
+        pair_codes = np.unique(parent * vocab + codes) % vocab if codes.size else codes
+        df = np.bincount(pair_codes, minlength=vocab)
+        present = df > 0
+        return pa.table(
+            {
+                "word": dictionary.filter(pa.array(present)),
+                "df": pa.array(df[present], pa.int64()),
+            }
+        )
+
+    df_table = (
+        _read_documents(sf_dir)
+        .map_batches(df_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    n_total = _read_documents(sf_dir, columns=("doc_id",)).count()
+    bref = ray.put(
+        (
+            pa.array(df_table["word"], pa.string()),
+            df_table["df"].to_numpy().astype(np.float64),
+            float(n_total),
+        )
+    )
+
+    class Score:
+        def __init__(self):
+            self.words, self.df, self.n_total = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            parent, codes, dictionary = _word_codes(t)
+            # per-(doc, word) tf via unique doc-scoped keys
+            vocab = len(dictionary)
+            if codes.size:
+                keys, tf = np.unique(parent * vocab + codes, return_counts=True)
+                pair_parent, pair_code = keys // vocab, keys % vocab
+            else:
+                pair_parent = pair_code = tf = codes
+            # batch dictionary -> global df via one index_in over the vocab
+            pos = pc.index_in(dictionary, value_set=self.words).to_numpy(
+                zero_copy_only=False
+            )
+            idf_by_code = np.log(self.n_total / self.df[pos.astype(np.int64)])
+            contrib = tf * idf_by_code[pair_code]
+            score = np.bincount(pair_parent, weights=contrib, minlength=t.num_rows)
+            n_words = np.bincount(parent, minlength=t.num_rows)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_words": pa.array(n_words.astype(np.int64), pa.int64()),
+                    "tfidf_x1e3": pa.array(
+                        np.floor(score * 1000.0 + 0.5).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+    out = _read_documents(sf_dir).map_batches(
+        warm_factory(("t_tfidf", bref.hex()), Score), batch_format="pyarrow"
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def t_doc_frequency(sf_dir: str, top_k: int = 100):
     """Corpus document-frequency / term-frequency table (the IDF building
     block): for the ``top_k`` highest-df words, how many documents contain
@@ -190,27 +298,15 @@ def t_doc_frequency(sf_dir: str, top_k: int = 100):
     """
 
     def partials(t: pa.Table) -> pa.Table:
-        n_docs = t.num_rows
-        toks = pc.split_pattern(t.column("text"), " ").combine_chunks()
-        offsets = toks.offsets.to_numpy()
-        offsets = offsets - offsets[0]
-        parent = np.repeat(np.arange(n_docs), np.diff(offsets))
-        enc = pc.list_flatten(toks).dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        empty = np.flatnonzero(
-            pc.equal(enc.dictionary, "").to_numpy(zero_copy_only=False)
-        )
-        if empty.size:
-            keep = codes != int(empty[0])
-            codes, parent = codes[keep], parent[keep]
-        vocab = len(enc.dictionary)
+        parent, codes, dictionary = _word_codes(t)
+        vocab = len(dictionary)
         tf = np.bincount(codes, minlength=vocab)
         pair_codes = np.unique(parent * vocab + codes) % vocab if codes.size else codes
         df = np.bincount(pair_codes, minlength=vocab)
         present = tf > 0  # the empty-string slot (and unused dict slack)
         return pa.table(
             {
-                "word": enc.dictionary.filter(pa.array(present)),
+                "word": dictionary.filter(pa.array(present)),
                 "tf": pa.array(tf[present], pa.int64()),
                 "df": pa.array(df[present], pa.int64()),
             }
@@ -252,24 +348,8 @@ def t_repetition(sf_dir: str):
 
     def project(t: pa.Table) -> pa.Table:
         n_docs = t.num_rows
-        toks = pc.split_pattern(t.column("text"), " ").combine_chunks()
-        offsets = toks.offsets.to_numpy()
-        offsets = offsets - offsets[0]
-        parent = np.repeat(np.arange(n_docs), np.diff(offsets))
-        # dictionary_encode does the word->code map inside Arrow (hash on
-        # string buffers), far cheaper than np.unique over object strings
-        # toks was combine_chunks()'d, so list_flatten yields a plain Array
-        # and the encode builds ONE dictionary (chunked inputs would get a
-        # dictionary per chunk, breaking the shared code space)
-        enc = pc.list_flatten(toks).dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        empty = pc.equal(enc.dictionary, "").to_numpy(zero_copy_only=False)
-        empty_codes = np.flatnonzero(empty)  # split artifacts (double spaces)
-        if empty_codes.size:
-            keep = codes != int(empty_codes[0])
-            codes, parent = codes[keep], parent[keep]
-        inv = codes
-        vocab = len(enc.dictionary) + 1
+        parent, inv, dictionary = _word_codes(t)
+        vocab = len(dictionary) + 1
 
         def group_stats(parent_ids, code_inv, code_space):
             """(n_items, n_unique, top_count) per doc from doc-scoped keys;

@@ -531,3 +531,26 @@ def test_doc_frequency_hand_verified(ray_session, tmp_path):
     assert out["word"].tolist() == ["apple", "banana"]  # cherry loses the tie
     assert out["df"].tolist() == [2, 2]
     assert out["tf"].tolist() == [3, 2]
+
+
+def test_tfidf_hand_verified(ray_session, tmp_path):
+    """3 docs: a word in every doc has idf ln(1)=0; rarer words weigh in
+    proportion to tf * ln(N/df)."""
+    import math
+
+    from pdfray.pipelines.textops import t_tfidf
+
+    rows = {
+        "doc_id": [0, 1, 2],
+        "text": ["common rare rare", "common", "common unique"],
+        "lang": ["en"] * 3,
+        "source": ["t"] * 3,
+        "n_chars": [0] * 3,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = t_tfidf(str(tmp_path)).set_index("doc_id")
+    assert out["n_words"].tolist() == [3, 1, 2]
+    # doc 0: common df3 -> 0, rare tf2 df1 -> 2*ln(3)
+    assert out.loc[0, "tfidf_x1e3"] == int(math.floor(2 * math.log(3) * 1000 + 0.5))
+    assert out.loc[1, "tfidf_x1e3"] == 0
+    assert out.loc[2, "tfidf_x1e3"] == int(math.floor(math.log(3) * 1000 + 0.5))
