@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_repetition": T.t_repetition,
         "t_doc_frequency": T.t_doc_frequency,
         "t_tfidf": T.t_tfidf,
+        "t_inverted_lookup": T.t_inverted_lookup,
         "t_bpe_tokens": T.t_bpe_tokens,
         "t_winnow_fp": T.t_winnow_fp,
         "t_langid": T.t_langid,
@@ -587,6 +588,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df, "
             "CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY word "
             "ORDER BY df DESC, word LIMIT 100"
+        ),
+        "t_inverted_lookup": (
+            # postings for the probe words, recomputed by explode+group; the
+            # engine answers through the bucket-partitioned store reading
+            # only the probed buckets (pruning is pinned by unit test)
+            "WITH w AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS word FROM documents) "
+            "SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM w "
+            "WHERE word IN ('hash', 'query', 'row', 'table', 'zzz_absent') "
+            "GROUP BY word, doc_id ORDER BY word, doc_id"
         ),
         "t_tfidf": (
             # two-pass TF-IDF mass recomputed verbatim: df over distinct

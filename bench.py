@@ -111,6 +111,7 @@ QUERY_NAMES = [
     "t_repetition",
     "t_doc_frequency",
     "t_tfidf",
+    "t_inverted_lookup",
     "t_fingerprint",
     "t_langid",
     "t_winnow_fp",

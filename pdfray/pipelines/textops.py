@@ -284,6 +284,102 @@ def t_tfidf(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+N_INDEX_BUCKETS = 16
+# common template words + one absent probe (absent words must cost zero
+# postings, and the oracle must agree they produce no rows)
+INDEX_PROBE_WORDS = ("hash", "query", "row", "table", "zzz_absent")
+
+
+def _word_bucket(word: str) -> int:
+    """Deterministic word -> partition bucket (md5 prefix, like the url
+    partitioner): recomputable by any reader, stable across runs."""
+    return int(hashlib.md5(word.encode("utf-8")).hexdigest()[:8], 16) % N_INDEX_BUCKETS
+
+
+def build_inverted_index(sf_dir: str, out_dir: str) -> None:
+    """Build a word->postings store partitioned by word-hash bucket.
+
+    The text-side analog of `simsearch.build_vector_store`: one map pass
+    collapses each batch to (word, doc_id, tf) postings — text dropped in
+    the worker — and `write_parquet(partition_cols=['bucket'])` lays them
+    out so a lookup touches only the probed words' buckets.  No shuffle:
+    hive partitioning splits inside each write task, and a posting list
+    split across files is still one directory scan at read time.  At
+    100 TB the bucket count scales with vocabulary; co-locating a word's
+    postings entirely (one file per word range) would add a repartition on
+    bucket — the directory layout already gives the pruning."""
+
+    def postings(t: pa.Table) -> pa.Table:
+        parent, codes, dictionary = _word_codes(t)
+        vocab = len(dictionary)
+        if codes.size:
+            keys, tf = np.unique(parent * vocab + codes, return_counts=True)
+            pair_parent, pair_code = keys // vocab, keys % vocab
+        else:
+            pair_parent = pair_code = tf = codes
+        doc_ids = t.column("doc_id").to_numpy()[pair_parent]
+        bucket_by_code = np.array(
+            [_word_bucket(w) for w in dictionary.to_pylist()] or [0], np.int64
+        )
+        return pa.table(
+            {
+                "word": dictionary.take(pa.array(pair_code)),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
+                "bucket": pa.array(bucket_by_code[pair_code], pa.int64()),
+            }
+        )
+
+    _read_documents(sf_dir).map_batches(
+        postings, batch_format="pyarrow"
+    ).write_parquet(out_dir, partition_cols=["bucket"])
+
+
+def query_inverted_index(store_dir: str, words) -> pd.DataFrame:
+    """Postings lookup reading ONLY the probed words' bucket partitions."""
+    import os
+
+    import ray.data as rd
+
+    import glob as _glob
+
+    paths = [
+        f
+        for b in sorted({_word_bucket(w) for w in words})
+        for f in sorted(
+            _glob.glob(os.path.join(store_dir, f"bucket={b}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return pd.DataFrame({"word": [], "doc_id": [], "tf": []})
+    probe = pa.array(sorted(words))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("word"), value_set=probe))
+
+    out = (
+        rd.read_parquet(paths, columns=["word", "doc_id", "tf"])
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["word", "doc_id"]).reset_index(drop=True)
+
+
+_INDEX_STORE_CACHE: dict = {}
+
+
+def t_inverted_lookup(sf_dir: str):
+    """Driver query: build (cached) the bucket-partitioned inverted index,
+    then look up the probe words through the pruned read path."""
+    import tempfile
+
+    if sf_dir not in _INDEX_STORE_CACHE:
+        out_dir = tempfile.mkdtemp(prefix="pdfray_invidx_")
+        build_inverted_index(sf_dir, out_dir)
+        _INDEX_STORE_CACHE[sf_dir] = out_dir
+    return query_inverted_index(_INDEX_STORE_CACHE[sf_dir], INDEX_PROBE_WORDS)
+
+
 def t_doc_frequency(sf_dir: str, top_k: int = 100):
     """Corpus document-frequency / term-frequency table (the IDF building
     block): for the ``top_k`` highest-df words, how many documents contain

