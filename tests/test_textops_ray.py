@@ -591,3 +591,54 @@ def test_inverted_index_prunes_buckets_and_matches_truth(ray_session, tmp_path):
     # a word outside the probed buckets never gets read: banana's bucket
     # differs from every probe's or the subset assertion above covers it
     assert query_inverted_index(store, ("missing_word",)).empty
+
+
+def test_word_stats_family_matches_python_reference(ray_session, tmp_path):
+    """Adversarial tokenization inputs (empty, all-spaces, leading/trailing/
+    double spaces, unicode, single word): t_repetition and t_doc_frequency
+    must agree with a naive Python recomputation."""
+    from collections import Counter
+
+    from pdfray.pipelines.textops import t_doc_frequency, t_repetition
+
+    texts = [
+        "",
+        " ",
+        "   ",
+        "a",
+        " a ",
+        "a  b   a",
+        "über ünïcode über",
+        "x " * 50 + "x",
+        "tab\tkeeps tab\ttogether",  # split is on ' ' only, like the oracle
+    ]
+    rows = {
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["t"] * len(texts),
+        "n_chars": [0] * len(texts),
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+
+    rep = t_repetition(str(tmp_path)).set_index("doc_id")
+    for i, s in enumerate(texts):
+        words = [w for w in s.split(" ") if w]
+        bigrams = list(zip(words, words[1:]))
+        wc, bc = Counter(words), Counter(bigrams)
+        assert rep.loc[i, "n_words"] == len(words)
+        assert rep.loc[i, "n_unique_words"] == len(wc)
+        assert rep.loc[i, "top_word_count"] == (max(wc.values()) if wc else 0)
+        assert rep.loc[i, "n_bigrams"] == len(bigrams)
+        assert rep.loc[i, "dup_bigram_occurrences"] == len(bigrams) - len(bc)
+        assert rep.loc[i, "top_bigram_count"] == (max(bc.values()) if bc else 0)
+
+    df = t_doc_frequency(str(tmp_path), top_k=1000)
+    truth_df = Counter()
+    truth_tf = Counter()
+    for s in texts:
+        words = [w for w in s.split(" ") if w]
+        truth_tf.update(words)
+        truth_df.update(set(words))
+    assert dict(zip(df["word"], df["df"])) == dict(truth_df)
+    assert dict(zip(df["word"], df["tf"])) == dict(truth_tf)
