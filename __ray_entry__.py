@@ -227,6 +227,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_token_stats": T.t_token_stats,
         "t_stratified_sample": T.t_stratified_sample,
         "t_decontaminate": T.t_decontaminate,
+        "t_domain_cap": T.t_domain_cap,
+        "t_bigram_logprob": T.t_bigram_logprob,
+        "t_shuffle_shards": T.t_shuffle_shards,
+        "t_delta_dedup": T.t_delta_dedup,
         "t_pack_sequences": T.t_pack_sequences,
         "t_length_quantiles": T.t_length_quantiles,
         "t_fingerprint": T.t_fingerprint,
@@ -547,6 +551,66 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated_grams, "
             "COALESCE(h.n_hits, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id"
+        ),
+        "t_domain_cap": (
+            # bounded per-key top-N == a window rank cut; (n_chars DESC,
+            # doc_id ASC) is a total order so the cap boundary is pinned
+            "WITH r AS (SELECT doc_id, source, n_chars, "
+            "ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id) AS rank FROM documents) "
+            "SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 20 ORDER BY doc_id"
+        ),
+        "t_bigram_logprob": (
+            # MLE bigram model recomputed verbatim: c2 over bigram strings
+            # (words are space-free so 'w1 w2' keys are unambiguous), c1
+            # over bigram-left contexts, score = sum ln(c2/c1) per doc in
+            # half-up-rounded milli-units (ln is transcendental — no true
+            # score sits on a boundary); <2-token docs COALESCE to zero
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "bg AS (SELECT doc_id, "
+            "unnest(list_transform(generate_series(1, len(w) - 1), "
+            "i -> w[i] || ' ' || w[i+1])) AS bigram, "
+            "unnest(list_transform(generate_series(1, len(w) - 1), "
+            "i -> w[i])) AS w1 FROM toks WHERE len(w) >= 2), "
+            "c2 AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram), "
+            "c1 AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1), "
+            "s AS (SELECT b.doc_id, COUNT(*) AS n_bigrams, "
+            "SUM(ln(CAST(c2.c AS DOUBLE) / c1.c)) AS lp FROM bg b "
+            "JOIN c2 USING (bigram) JOIN c1 USING (w1) GROUP BY b.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) "
+            "AS n_bigrams, CAST(FLOOR(COALESCE(s.lp, 0) * 1000 + 0.5) "
+            "AS BIGINT) AS logprob_x1e3 "
+            "FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id"
+        ),
+        "t_shuffle_shards": (
+            # shard = md5('shuf42:'||id)[:8] mod 8; mod 8 of a hex number
+            # only needs its LAST hex digit, so the oracle derives it via
+            # strpos without hex->int casts; pos = rank by (key, doc_id)
+            "WITH k AS (SELECT doc_id, "
+            "substr(md5('shuf42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hk "
+            "FROM documents), "
+            "s AS (SELECT doc_id, hk, CAST((strpos('0123456789abcdef', "
+            "substr(hk, 8, 1)) - 1) % 8 AS BIGINT) AS shard FROM k) "
+            "SELECT doc_id, shard, CAST(ROW_NUMBER() OVER (PARTITION BY "
+            "shard ORDER BY hk, doc_id) - 1 AS BIGINT) AS pos "
+            "FROM s ORDER BY doc_id"
+        ),
+        "t_delta_dedup": (
+            # word-SET fingerprint (sorted distinct words, md5): new docs
+            # (doc_id % 5 = 0) semi-joined against the existing side's
+            # distinct fingerprints; list_sort matches Python sorted() on
+            # these ASCII tokens
+            "WITH f AS (SELECT doc_id, md5(array_to_string(list_sort("
+            "list_distinct(list_filter(string_split(text, ' '), "
+            "x -> x <> ''))), ' ')) AS fingerprint FROM documents), "
+            "ex AS (SELECT DISTINCT fingerprint FROM f "
+            "WHERE doc_id % 5 != 0) "
+            "SELECT f.doc_id, f.fingerprint, f.fingerprint IN "
+            "(SELECT fingerprint FROM ex) AS is_dup "
+            "FROM f WHERE doc_id % 5 = 0 ORDER BY doc_id"
         ),
         "t_pack_sequences": (
             # concatenate-then-chop packing == windowed running token offset

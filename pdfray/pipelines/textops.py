@@ -1649,3 +1649,303 @@ def t_decontaminate(sf_dir: str):
         batch_format="pyarrow",
     )
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# per-domain document cap (RefinedWeb-style source balancing): keep at most
+# DOMAIN_CAP docs per source, preferring longer documents.  Engine-added
+# brief; no reference analog.
+
+DOMAIN_CAP = 20
+
+
+def t_domain_cap(sf_dir: str, cap: int = DOMAIN_CAP):
+    """Per-domain document cap: top-``cap`` docs per source by
+    (n_chars DESC, doc_id ASC), with the per-source rank.
+
+    Scale shape: BOUNDED top-N per key.  The map stage first prunes each
+    batch to its own per-source top-``cap`` (text never read — only
+    (doc_id, source, n_chars) move), so the shuffle carries at most
+    ``cap x n_blocks`` rows per source regardless of corpus size; one
+    groupby then merges candidates and emits the final ranked top-``cap``.
+    This is the per-key bounded-accumulator pattern every "cap docs per
+    domain" webtext step needs at 100 TB — a naive window function would
+    sort the whole corpus."""
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        return df.groupby("source", sort=False).head(cap)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(cap)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (
+        _read_documents(sf_dir, ("doc_id", "source", "n_chars"))
+        .map_batches(prune, batch_format="pandas")
+        .groupby("source")
+        .map_groups(rank, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# bigram LM scoring (the CCNet-perplexity-filter shape): pass 1 reduces the
+# corpus to a bigram count model, pass 2 broadcasts it and scores every
+# document.  Engine-added brief; no reference analog.
+
+
+def t_bigram_logprob(sf_dir: str):
+    """Per-document bigram-LM log-probability (MLE, no smoothing).
+
+    The canonical two-pass model-score shape (CCNet's KenLM perplexity
+    filter at 100 TB looks exactly like this): pass 1 collapses the corpus
+    to (w1, w2, count) partials inside each batch — numpy unique over
+    integer code pairs, text dropped in the worker — and one combiner
+    groupby sums them; the model that reaches the driver is vocabulary-
+    bounded, not corpus-bounded (a production run would prune low-count
+    bigrams here, like KenLM does).  Pass 2 ships the model ONCE via
+    ``ray.put`` as (sorted pair-key int64 array, logprob array) and scores
+    each batch with two vectorized lookups: ``index_in`` maps the batch
+    dictionary onto the model vocab, ``searchsorted`` resolves pair keys.
+    Score = sum(ln(c(w1,w2) / c(w1·))) over the doc's bigrams, where
+    c(w1·) counts w1 as a bigram CONTEXT (so conditionals normalize); MLE
+    is total because the model was built from the same corpus.  Emitted as
+    half-up-rounded milli-units — ln() is transcendental, so no true score
+    sits on a rounding boundary."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _bigram_codes(t: pa.Table):
+        parent, codes, dictionary = _word_codes(t)
+        if codes.size < 2:
+            z = np.empty(0, np.int64)
+            return z, z, z, dictionary
+        same = parent[1:] == parent[:-1]
+        return parent[:-1][same], codes[:-1][same], codes[1:][same], dictionary
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        _, left, right, dictionary = _bigram_codes(t)
+        vocab = len(dictionary)
+        if left.size:
+            keys, c = np.unique(left * vocab + right, return_counts=True)
+            lc, rc = keys // vocab, keys % vocab
+        else:
+            lc = rc = c = left
+        return pa.table(
+            {
+                "w1": dictionary.take(pa.array(lc, pa.int64())),
+                "w2": dictionary.take(pa.array(rc, pa.int64())),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    model_df = (
+        _read_documents(sf_dir)
+        .map_batches(count_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # vocab^2-bounded, NOT corpus-bounded
+    )
+    # model vocab = every word seen on either side of a bigram
+    words = pd.unique(pd.concat([model_df["w1"], model_df["w2"]]).to_numpy())
+    words.sort()
+    widx = pd.Series(np.arange(len(words), dtype=np.int64), index=words)
+    v = np.int64(len(words))
+    i1 = widx[model_df["w1"]].to_numpy()
+    i2 = widx[model_df["w2"]].to_numpy()
+    c2 = model_df["c"].to_numpy(np.float64)
+    c1 = np.bincount(i1, weights=c2, minlength=len(words))  # context counts
+    order = np.argsort(i1 * v + i2)
+    pair_keys = (i1 * v + i2)[order]
+    pair_lp = np.log(c2 / c1[i1])[order]
+    bref = ray.put((pa.array(words, pa.string()), pair_keys, pair_lp))
+
+    class Score:
+        def __init__(self):
+            self.words, self.pair_keys, self.pair_lp = ray.get(bref)
+            self.v = np.int64(len(self.words))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            doc_of_bg, left, right, dictionary = _bigram_codes(t)
+            n_bigrams = np.bincount(doc_of_bg, minlength=t.num_rows)
+            if left.size:
+                pos = pc.index_in(dictionary, value_set=self.words).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                key = pos[left] * self.v + pos[right]
+                lp = self.pair_lp[np.searchsorted(self.pair_keys, key)]
+                score = np.bincount(doc_of_bg, weights=lp, minlength=t.num_rows)
+            else:
+                score = np.zeros(t.num_rows)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_bigrams": pa.array(n_bigrams.astype(np.int64), pa.int64()),
+                    "logprob_x1e3": pa.array(
+                        np.floor(score * 1000.0 + 0.5).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+    out = _read_documents(sf_dir).map_batches(
+        warm_factory(("t_bigram_logprob", bref.hex()), Score),
+        batch_format="pyarrow",
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# deterministic seeded shuffle into training shards — the last stage of a
+# webtext pipeline (global shuffle + shard writing).  Engine-added brief.
+
+N_TRAIN_SHARDS = 8  # power of 16 divisor so the oracle can derive the mod
+SHUFFLE_SEED = "shuf42"
+
+
+def _shard_key(doc_id: int) -> str:
+    return hashlib.md5(f"{SHUFFLE_SEED}:{doc_id}".encode()).hexdigest()[:8]
+
+
+def t_shuffle_shards(sf_dir: str):
+    """Deterministic seeded shuffle into training shards.
+
+    Each doc's shard and within-shard position come from an md5 hash of
+    (seed, doc_id) — NOT an RNG: a retry, resume, or different block
+    layout reproduces the identical shard assignment and order, which is
+    the property `random_shuffle()` cannot give a resumable 100 TB run.
+    The shuffle moves (doc_id, shard, key) only; one groupby per shard
+    sorts its own keys (each group is ~corpus/n_shards — at scale you'd
+    raise N_TRAIN_SHARDS so a group fits a worker, which also makes the
+    per-shard sort the classic terasort bucket phase).  Output is the
+    (shard, pos) placement map; `write_training_shards` is the production
+    exit that lays the corpus out hive-partitioned by shard."""
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keys = [_shard_key(i) for i in ids]
+        shards = [int(k, 16) % N_TRAIN_SHARDS for k in keys]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "shard": pa.array(shards, pa.int64()),
+                "k": pa.array(keys, pa.string()),
+            }
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "doc_id"]).reset_index(drop=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        return g[["doc_id", "shard", "pos"]]
+
+    out = (
+        _read_documents(sf_dir, ("doc_id",))
+        .map_batches(key, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def write_training_shards(sf_dir: str, out_dir: str) -> None:
+    """Production exit for the seeded shuffle: the full corpus written
+    hive-partitioned by shard (`partition_cols=['shard']`), each shard
+    internally ordered by the shuffle key via a per-shard sort column.
+    Readers stream one shard directory at a time; the partition column
+    comes back as a STRING under hive inference (cast on read — see
+    working notes)."""
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keys = [_shard_key(i) for i in ids]
+        shards = [int(k, 16) % N_TRAIN_SHARDS for k in keys]
+        return t.append_column("shard", pa.array(shards, pa.int64())).append_column(
+            "k", pa.array(keys, pa.string())
+        )
+
+    def order(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["k", "doc_id"]).drop(columns=["k"])
+
+    (
+        _read_documents(sf_dir, ("doc_id", "text", "lang", "source"))
+        .map_batches(key, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(order, batch_format="pandas")
+        .write_parquet(out_dir, partition_cols=["shard"])
+    )
+
+
+# ----------------------------------------------------------------------
+# incremental (delta) dedup: new docs tested against the EXISTING corpus's
+# fingerprint index — the "daily crawl vs yesterday's corpus" shape.
+# Engine-added brief; no reference analog.
+
+DELTA_MOD = 5  # doc_id % MOD == 0 plays the "new batch"; rest is "existing"
+
+
+def _wordset_fingerprint(text: str) -> str:
+    """md5 over the sorted DISTINCT word set — a bag-of-words-insensitive
+    content fingerprint (catches reordered/repeated-template copies that
+    byte-level md5 misses; the standard cheap tier between exact dedup and
+    MinHash)."""
+    return hashlib.md5(" ".join(sorted(set(text.split()))).encode()).hexdigest()
+
+
+def t_delta_dedup(sf_dir: str):
+    """Incremental dedup of a new batch against an existing corpus index.
+
+    The existing side never ships text: each batch reduces to its distinct
+    word-set fingerprints (dedup inside the worker), the driver uniques the
+    vocabulary-of-fingerprints once and `ray.put`s the sorted array; the
+    new side streams through one map stage testing membership with
+    vectorized np.isin.  No shuffle at all.  At 100 TB the broadcast set
+    becomes a bucket-partitioned fingerprint store probed like
+    `t_inverted_lookup`'s (or a Bloom filter when false positives are
+    acceptable); the streaming shape — new data vs a prebuilt small/indexed
+    side — is identical."""
+    import ray
+
+    def existing_fps(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.filter(pa.array(ids % DELTA_MOD != 0)).column("text")
+        fps = sorted({_wordset_fingerprint(s) for s in texts.to_pylist()})
+        return pa.table({"fp": pa.array(fps, pa.string())})
+
+    existing = np.unique(
+        _read_documents(sf_dir)
+        .map_batches(existing_fps, batch_format="pyarrow")
+        .to_pandas()["fp"]
+        .to_numpy()
+    )
+    ref = ray.put(existing)
+
+    def flag_factory():
+        table = ray.get(ref)
+
+        def flag(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            new = t.filter(pa.array(ids % DELTA_MOD == 0))
+            fps = np.array(
+                [_wordset_fingerprint(s) for s in new.column("text").to_pylist()],
+                dtype=object,
+            )
+            hit = np.isin(fps, table, assume_unique=False)
+            return pa.table(
+                {
+                    "doc_id": new.column("doc_id"),
+                    "fingerprint": pa.array(list(fps), pa.string()),
+                    "is_dup": pa.array(hit.tolist(), pa.bool_()),
+                }
+            )
+
+        return flag
+
+    out = _read_documents(sf_dir).map_batches(
+        warm_factory(("delta_dedup", ref.hex()), flag_factory),
+        batch_format="pyarrow",
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
