@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_stratified_sample": T.t_stratified_sample,
         "t_decontaminate": T.t_decontaminate,
         "t_domain_cap": T.t_domain_cap,
+        "t_temperature_sample": T.t_temperature_sample,
         "t_bigram_logprob": T.t_bigram_logprob,
         "t_shuffle_shards": T.t_shuffle_shards,
         "t_delta_dedup": T.t_delta_dedup,
@@ -245,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_langid": T.t_langid,
         "t_simhash": T.t_simhash,
         "t_minhash_pairs": T.t_minhash_pairs,
+        "t_dup_components": T.t_dup_components,
         "t_ngram_jaccard_dupes": T.t_ngram_jaccard_dupes,
         # similarity search / embedding dedup over embeddings
         "s_knn_bruteforce": S.s_knn_bruteforce,
@@ -561,6 +563,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank "
             "FROM r WHERE rank <= 20 ORDER BY doc_id"
         ),
+        "t_temperature_sample": (
+            # same two-pass arithmetic: keep-rate sqrt(n_min/n) per lang
+            # (sqrt is IEEE-correctly-rounded, so both sides floor the
+            # bit-identical double), threshold as fixed-width hex, 'zzzz'
+            # keep-all sentinel for the smallest language(s)
+            "WITH c AS (SELECT lang, COUNT(*) AS n FROM documents "
+            "GROUP BY lang), m AS (SELECT MIN(n) AS nmin FROM c), "
+            "thr AS (SELECT lang, CASE WHEN n <= (SELECT nmin FROM m) "
+            "THEN 'zzzz' ELSE printf('%04x', CAST(FLOOR(65536 * "
+            "sqrt(CAST((SELECT nmin FROM m) AS DOUBLE) / n)) AS BIGINT)) "
+            "END AS t FROM c) "
+            "SELECT d.doc_id, d.lang, d.source FROM documents d "
+            "JOIN thr ON d.lang = thr.lang "
+            "WHERE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 4) "
+            "< thr.t ORDER BY d.doc_id"
+        ),
         "t_bigram_logprob": (
             # MLE bigram model recomputed verbatim: c2 over bigram strings
             # (words are space-free so 'w1 w2' keys are unambiguous), c1
@@ -764,6 +782,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM pairs WHERE tot > inter "
             "AND inter::DOUBLE / (tot - inter) >= 0.8 "
             "ORDER BY doc_a, doc_b"
+        ),
+        "t_dup_components": (
+            # connected components over the SAME all-pairs >=0.8 Jaccard
+            # truth graph as t_minhash_pairs, via a recursive reachability
+            # walk: lab propagates along (undirected) edges, so
+            # MIN(lab) per node = the component's minimum doc_id — exactly
+            # the engine's min-label-propagation fixpoint
+            "WITH RECURSIVE toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t) - 1), "
+            "i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS s "
+            "FROM toks WHERE len(t) > 0), "
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id), "
+            "e0 AS (SELECT doc_a, doc_b FROM p WHERE tot > inter "
+            "AND inter::DOUBLE / (tot - inter) >= 0.8), "
+            "e AS (SELECT doc_a AS u, doc_b AS v FROM e0 "
+            "UNION ALL SELECT doc_b, doc_a FROM e0), "
+            "walk(node, lab) AS (SELECT u, u FROM e UNION "
+            "SELECT e.v, w.lab FROM walk w JOIN e ON e.u = w.node) "
+            "SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS component "
+            "FROM walk GROUP BY node ORDER BY doc_id"
         ),
         "t_ngram_jaccard_dupes": (
             # ALL-PAIRS ground truth for char-4-gram Jaccard at 0.5 — this

@@ -104,6 +104,12 @@ QUERY_NAMES = [
     "q_asof_attribution",
     "t_token_stats",
     "t_stratified_sample",
+    "t_temperature_sample",
+    "t_domain_cap",
+    "t_bigram_logprob",
+    "t_shuffle_shards",
+    "t_delta_dedup",
+    "t_dup_components",
     "t_decontaminate",
     "t_pack_sequences",
     "t_length_quantiles",

@@ -925,7 +925,8 @@ def _verify_pairs(
     threshold: float,
     id_col: str,
     value_name: str = "jaccard",
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+):
     """Distributed exact-Jaccard verification of candidate pairs.
 
     ``pairs_ds`` is a DATASET end-to-end — at a template-dense 100x corpus
@@ -940,10 +941,22 @@ def _verify_pairs(
 
     pairs_ds = pairs_ds.materialize()
     schema = pairs_ds.schema()
+    if schema is None:  # zero blocks: no candidates were ever generated
+        if as_dataset:
+            return None
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                value_name: pd.Series(dtype="float64"),
+            }
+        )
     id_type = dict(zip(schema.names, schema.types))["doc_a"]
     id_dtype = id_type.to_pandas_dtype()
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
+        if as_dataset:
+            return None  # caller handles the no-candidates case
         return pd.DataFrame(
             {
                 "doc_a": pd.Series(dtype=id_dtype),
@@ -1022,7 +1035,10 @@ def _verify_pairs(
             }
         )
 
-    out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+    verified_ds = joined.map_batches(verify, batch_format="pyarrow")
+    if as_dataset:
+        return verified_ds  # (doc_a, doc_b, value) — stays distributed
+    out = verified_ds.to_pandas()
     if len(out) == 0:  # all candidates refuted: emit a typed empty frame
         return pd.DataFrame(
             {
@@ -1949,3 +1965,165 @@ def t_delta_dedup(sf_dir: str):
         batch_format="pyarrow",
     )
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# duplicate-cluster resolution: connected components over the verified
+# near-dup pair graph — the step between "pairs" and "keep one per cluster"
+# every dedup pipeline needs.  Engine-added brief; no reference analog.
+
+CC_MAX_ITERS = 64
+
+
+def _cc_min_label(edges_ds, num_partitions: int = 4):
+    """Distributed connected components by min-label propagation
+    (hash-to-min): every node repeatedly adopts the minimum label among
+    itself and its neighbors until a fixpoint.  Each iteration is one
+    hash join (labels onto edge sources) plus one min-groupby — both
+    shuffles carry (node, label) pairs only, so the pattern runs at any
+    scale the pair graph itself does.  Convergence in O(diameter)
+    iterations; dup clusters are template families with tiny diameter, so
+    this terminates in a handful of rounds (the large-star/small-star
+    alternation of Kiveris et al. is the drop-in refinement for
+    adversarially long path graphs).  The fixpoint test compares
+    sum(label) between rounds: labels only ever decrease, so an unchanged
+    sum means no label moved."""
+    from ray.data.aggregate import Min
+
+    def both(t: pa.Table) -> pa.Table:
+        fwd = pa.table({"node": t.column("doc_a"), "nbr": t.column("doc_b")})
+        rev = pa.table({"node": t.column("doc_b"), "nbr": t.column("doc_a")})
+        return pa.concat_tables([fwd, rev])
+
+    # compact blocks: verified-pairs stages emit empty blocks, and a join
+    # side whose first block is empty loses its schema (Ray 2.49 quirk —
+    # see working notes); the edge list is candidate-sized, so this is cheap
+    und = (
+        edges_ds.map_batches(both, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+    labels = (
+        und.groupby("node")
+        .aggregate(Min("nbr", alias_name="nbr_min"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    # start one step ahead: label = min(self, neighbors)
+                    "label": pc.min_element_wise(t.column("node"), t.column("nbr_min")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+    for _ in range(CC_MAX_ITERS):
+        prop = und.join(
+            labels, join_type="inner", num_partitions=num_partitions, on=("node",)
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("nbr"), "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            prop.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected components did not converge in {CC_MAX_ITERS} iterations")
+
+
+def t_dup_components(sf_dir: str, jaccard_threshold: float = 0.8):
+    """Duplicate clusters: connected components over minhash-verified pairs.
+
+    Reuses the full t_minhash_pairs pipeline (bands -> candidates ->
+    distributed exact-Jaccard verify) but keeps the verified pairs a
+    DATASET and runs `_cc_min_label` on them, emitting (doc_id, component)
+    where component = the cluster's minimum doc_id — the canonical
+    "keep one representative per duplicate family" input.  The driver sees
+    only the final labels."""
+    ds = _read_documents(sf_dir)
+    buckets = ds.map_batches(warm_stage(MinHasher), batch_format="pyarrow")
+    pairs = _candidate_pairs(buckets, "doc_id")
+    verified = _verify_pairs(
+        ds, pairs, ShingleSetHasher, jaccard_threshold, "doc_id", as_dataset=True
+    )
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "component": pd.Series(dtype="int64"),
+        }
+    )
+    if verified is None:
+        return empty
+    verified = verified.materialize()
+    if verified.count() == 0:  # every candidate was refuted
+        return empty
+    labels = _cc_min_label(verified)
+    out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "component"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# temperature-balanced multilingual sampling (the mC4/XLM-R resampling
+# step): downsample high-resource languages toward a flattened share.
+# Engine-added brief; no reference analog.
+
+TEMP_ALPHA = 0.5  # share exponent; 0.5 => keep-rate sqrt(n_min/n_lang).
+# alpha=0.5 is deliberate: the keep-rate is then a single sqrt(), which
+# IEEE 754 requires to be CORRECTLY ROUNDED — engine and oracle compute the
+# bit-identical double, so the floor(65536*p) threshold can never disagree
+# (a generic pow() is not correctly rounded and could differ by 1 ulp).
+
+
+def t_temperature_sample(sf_dir: str):
+    """Deterministic temperature sampling across languages.
+
+    Two passes, like every global-statistic reweighting at 100 TB: pass 1
+    reduces the corpus to per-language counts (combiner groupby, |langs|
+    rows to the driver); the keep-rate per language is
+    ``(n_min / n_lang) ** (1 - TEMP_ALPHA)`` — the smallest language keeps
+    everything, larger ones shrink toward the temperature-flattened share.
+    Pass 2 streams the corpus through a filter whose keep decision is an
+    md5 prefix of the doc id against the language's rate threshold (RNG-
+    free: retries, resumes, and repartitioning reproduce the identical
+    sample — same property as t_stratified_sample, independent salt).  The
+    tiny threshold table ships inside the task closure; a real deployment
+    with thousands of language codes would ray.put it."""
+    from ray.data.aggregate import Count
+
+    counts = (
+        _read_documents(sf_dir, ("lang",))
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    n_min = int(counts["n"].min())
+    thresholds = {}
+    for lang, n in zip(counts["lang"], counts["n"]):
+        if int(n) <= n_min:
+            thresholds[lang] = "zzzz"  # keep-all sentinel: every hex < 'z'
+        else:
+            p = (n_min / float(n)) ** (1.0 - TEMP_ALPHA)
+            thresholds[lang] = format(int(np.floor(65536.0 * p)), "04x")
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        langs = t.column("lang").to_pylist()
+        keep = [
+            hashlib.md5(f"temp:{i}".encode()).hexdigest()[:4]
+            < thresholds.get(lang, "0000")
+            for i, lang in zip(ids, langs)
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    ds = _read_documents(sf_dir, ("doc_id", "lang", "source")).map_batches(
+        sample, batch_format="pyarrow"
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)

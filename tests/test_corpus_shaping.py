@@ -262,3 +262,29 @@ def test_delta_dedup_planted(ray_session, tmp_path):
     assert bool(out.loc[0, "is_dup"]) is True
     assert bool(out.loc[5, "is_dup"]) is False
     assert bool(out.loc[10, "is_dup"]) is True
+
+
+def test_temperature_sample_rebalances(ray_session, tmp_path):
+    from pdfray.pipelines.textops import t_temperature_sample
+
+    # heavily skewed languages: en 800, de 200, fr 50 (the minimum)
+    n_en, n_de, n_fr = 800, 200, 50
+    langs = ["en"] * n_en + ["de"] * n_de + ["fr"] * n_fr
+    ids = list(range(len(langs)))
+    texts = ["w"] * len(ids)
+    d = tmp_path / "temp"
+    d.mkdir()
+    pq.write_table(_docs_table(ids, texts, langs=langs), str(d / "documents.parquet"))
+
+    a = t_temperature_sample(str(d))
+    b = t_temperature_sample(str(d))
+    pd.testing.assert_frame_equal(a, b)  # hash-decided: retry-stable
+
+    got = a.groupby("lang")["doc_id"].count()
+    assert got["fr"] == n_fr  # the smallest language keeps everything
+    # larger languages shrink toward sqrt(n_min/n) of their size
+    for lang, n in (("en", n_en), ("de", n_de)):
+        expect = n * (n_fr / n) ** 0.5
+        assert abs(got[lang] - expect) < 4 * (expect ** 0.5) + 10
+    # post-sample shares are flatter than pre-sample ones
+    assert got["en"] / got["fr"] < n_en / n_fr / 2

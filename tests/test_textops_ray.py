@@ -642,3 +642,59 @@ def test_word_stats_family_matches_python_reference(ray_session, tmp_path):
         truth_df.update(set(words))
     assert dict(zip(df["word"], df["df"])) == dict(truth_df)
     assert dict(zip(df["word"], df["tf"])) == dict(truth_tf)
+
+
+def test_cc_min_label_synthetic_graph(ray_session):
+    """Chain (worst-case diameter), triangle, isolated edge — labels must
+    converge to the component minimum for every node."""
+    import ray.data as rd
+    from pdfray.pipelines.textops import _cc_min_label
+
+    edges = pd.DataFrame(
+        {
+            # chain 10-11-...-19, triangle 30-31-32, pair 50-51
+            "doc_a": [10, 11, 12, 13, 14, 15, 16, 17, 18, 30, 31, 30, 50],
+            "doc_b": [11, 12, 13, 14, 15, 16, 17, 18, 19, 31, 32, 32, 51],
+        }
+    ).astype("int64")
+    labels = _cc_min_label(rd.from_pandas(edges)).to_pandas()
+    comp = dict(zip(labels["node"], labels["label"]))
+    assert {comp[n] for n in range(10, 20)} == {10}
+    assert {comp[n] for n in (30, 31, 32)} == {30}
+    assert {comp[n] for n in (50, 51)} == {50}
+    assert len(comp) == 15  # only nodes that appear in an edge
+
+
+def test_dup_components_planted(docs_dir):
+    from pdfray.pipelines.textops import t_dup_components
+
+    out = t_dup_components(docs_dir, jaccard_threshold=0.5)
+    comp = dict(zip(out["doc_id"], out["component"]))
+    # exact dups 0/1/5 and 2/9 connect (2 is a near dup of 0 at 0.5), so
+    # the whole family collapses into one component rooted at doc 0
+    for n in (0, 1, 2, 5, 9):
+        assert comp[n] == 0
+    # unrelated docs never enter the pair graph
+    assert 3 not in comp and 4 not in comp and 8 not in comp
+
+
+def test_dup_components_empty_graph(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfray.pipelines.textops import t_dup_components
+
+    rows = {
+        "doc_id": [0, 1],
+        "text": ["entirely unique alpha", "different beta content"],
+        "lang": ["en"] * 2,
+        "source": ["t"] * 2,
+        "n_chars": [0, 0],
+    }
+    d = tmp_path / "nodups"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    out = t_dup_components(str(d))
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "component"]
+    assert out["doc_id"].dtype == "int64" and out["component"].dtype == "int64"
