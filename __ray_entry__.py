@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_topk": R.q_orders_topk,
         "q_orders_by_month": R.q_orders_by_month,
         "q_asof_attribution": R.q_asof_attribution,
+        "q_sessionize": R.q_sessionize,
         # text / dedup operators over documents
         "t_token_stats": T.t_token_stats,
         "t_stratified_sample": T.t_stratified_sample,
@@ -514,6 +515,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts) "
             "SELECT purchase_id, user_id, click_id, gap_us FROM ranked "
             "WHERE rn = 1 ORDER BY purchase_id"
+        ),
+        "q_sessionize": (
+            # gap rule as a window: break iff the previous event of the
+            # same user is > 4h older; session = running sum of breaks.
+            # (ts, event_id) ordering pins ties on both sides.
+            "WITH o AS (SELECT event_id, user_id, ts, CASE WHEN "
+            "ts - LAG(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) > INTERVAL 4 HOUR THEN 1 ELSE 0 END "
+            "AS brk FROM events) "
+            "SELECT event_id, user_id, CAST(SUM(brk) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+            "FROM o ORDER BY event_id"
         ),
         "t_bpe_tokens": (
             "SELECT doc_id, CAST(len(list_filter(regexp_extract_all(text, "

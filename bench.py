@@ -102,6 +102,7 @@ QUERY_NAMES = [
     "q_events_window",
     "q_orders_by_month",
     "q_asof_attribution",
+    "q_sessionize",
     "t_token_stats",
     "t_stratified_sample",
     "t_temperature_sample",

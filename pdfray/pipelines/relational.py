@@ -703,3 +703,47 @@ def q_orders_by_month(sf_dir: str):
     )
     df = out.to_pandas()
     return _round_cols(df, {"revenue": 2}).sort_values("month").reset_index(drop=True)
+
+
+SESSION_GAP_HOURS = 4
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization: events within SESSION_GAP_HOURS of the
+    user's previous event share a session; a longer silence starts the
+    next one (session ids are 0-based per user).
+
+    Same bucketize-by-user-hash shape as q_asof_attribution: the shuffle
+    carries (event_id, user_id, ts) only, each bucket holds many users,
+    and the whole bucket is sessionized with ONE vectorized pandas pass
+    (sort + diff + per-user cumsum) — no per-user Python.  Partitioning
+    assumption: all of a user's events land in one group (any gap rule
+    needs that); a hot user exceeding worker memory would need a
+    time-range pre-split with a boundary-session merge pass."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id"], rows_per_block=12_500
+    )
+    N_BUCKETS = 64
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        bucket = (users * np.uint64(0x9E3779B97F4A7C15)) % N_BUCKETS
+        return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        gap = g["ts"].diff() > np.timedelta64(SESSION_GAP_HOURS, "h")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        brk = (gap & same_user).astype("int64")
+        g["session_id"] = brk.groupby(g["user_id"].to_numpy()).cumsum()
+        return g[["event_id", "user_id", "session_id"]]
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessionize, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)

@@ -698,3 +698,43 @@ def test_dup_components_empty_graph(ray_session, tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "component"]
     assert out["doc_id"].dtype == "int64" and out["component"].dtype == "int64"
+
+
+def test_sessionize_gap_semantics(ray_session, tmp_path):
+    """Strict 4h-gap rule: exactly-4h stays in-session, >4h breaks; ids are
+    per-user 0-based and users never mix."""
+    import datetime
+
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.relational import SESSION_GAP_HOURS, q_sessionize
+
+    base = datetime.datetime(2024, 1, 1)
+    H = 3600
+
+    def ev(eid, sec, user):
+        return (eid, base + datetime.timedelta(seconds=sec), user)
+
+    rows = [
+        ev(1, 0, 7),
+        ev(2, SESSION_GAP_HOURS * H, 7),        # exactly 4h -> same session
+        ev(3, SESSION_GAP_HOURS * H * 2 + 1, 7),  # 4h+1s -> breaks
+        ev(4, SESSION_GAP_HOURS * H * 2 + 2, 7),
+        ev(5, 0, 8),                              # other user: own session 0
+        ev(6, SESSION_GAP_HOURS * H * 10, 8),     # long silence -> session 1
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_sessionize(str(tmp_path))
+    got = dict(zip(out["event_id"], out["session_id"]))
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 1}
+    assert out["session_id"].dtype == "int64"
