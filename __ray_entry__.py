@@ -224,10 +224,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_by_month": R.q_orders_by_month,
         "q_asof_attribution": R.q_asof_attribution,
         "q_sessionize": R.q_sessionize,
+        "q_retention_cohorts": R.q_retention_cohorts,
         # text / dedup operators over documents
         "t_token_stats": T.t_token_stats,
         "t_stratified_sample": T.t_stratified_sample,
         "t_decontaminate": T.t_decontaminate,
+        "t_dup_spans": T.t_dup_spans,
         "t_domain_cap": T.t_domain_cap,
         "t_temperature_sample": T.t_temperature_sample,
         "t_bigram_logprob": T.t_bigram_logprob,
@@ -529,6 +531,20 @@ def oracle_sql() -> dict[str, str]:
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
             "FROM o ORDER BY event_id"
         ),
+        "q_retention_cohorts": (
+            # cohort = Monday-truncated week of the user's first event;
+            # one row per (cohort, active week) with distinct users
+            "WITH fu AS (SELECT user_id, strftime(date_trunc('week', "
+            "MIN(ts)), '%Y-%m-%d') AS cohort_week FROM events "
+            "GROUP BY user_id), "
+            "act AS (SELECT DISTINCT user_id, strftime(date_trunc('week', "
+            "ts), '%Y-%m-%d') AS activity_week FROM events) "
+            "SELECT f.cohort_week, a.activity_week, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM act a JOIN fu f USING (user_id) "
+            "GROUP BY f.cohort_week, a.activity_week "
+            "ORDER BY f.cohort_week, a.activity_week"
+        ),
         "t_bpe_tokens": (
             "SELECT doc_id, CAST(len(list_filter(regexp_extract_all(text, "
             "' ?[A-Za-zÀ-ÖØ-öø-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÖØ-öø-ÿ0-9\\s]+|\\s+'"
@@ -567,6 +583,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated_grams, "
             "COALESCE(h.n_hits, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY doc_id"
+        ),
+        "t_dup_spans": (
+            # corpus-wide dup-gram recomputation on gram STRINGS (the
+            # engine joins 62-bit hashes — a collision fails this compare
+            # instead of hiding); docs under 8 tokens have no grams
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, "
+            "unnest(list_transform(generate_series(1, len(w) - 7), "
+            "i -> array_to_string(w[i:i+7], ' '))) AS gram "
+            "FROM toks WHERE len(w) >= 8), "
+            "dupg AS (SELECT gram FROM g GROUP BY gram "
+            "HAVING COUNT(*) >= 2), "
+            "c AS (SELECT g.doc_id, COUNT(*) AS n FROM g "
+            "JOIN dupg USING (gram) GROUP BY g.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) "
+            "AS n_dup_grams, COALESCE(c.n, 0) > 0 AS has_dup_span "
+            "FROM documents d LEFT JOIN c USING (doc_id) ORDER BY doc_id"
         ),
         "t_domain_cap": (
             # bounded per-key top-N == a window rank cut; (n_chars DESC,

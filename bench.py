@@ -103,6 +103,7 @@ QUERY_NAMES = [
     "q_orders_by_month",
     "q_asof_attribution",
     "q_sessionize",
+    "q_retention_cohorts",
     "t_token_stats",
     "t_stratified_sample",
     "t_temperature_sample",
@@ -111,6 +112,7 @@ QUERY_NAMES = [
     "t_shuffle_shards",
     "t_delta_dedup",
     "t_dup_components",
+    "t_dup_spans",
     "t_decontaminate",
     "t_pack_sequences",
     "t_length_quantiles",

@@ -747,3 +747,69 @@ def q_sessionize(sf_dir: str):
         .map_groups(sessionize, batch_format="pandas")
     )
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly retention cohorts: users grouped by the week of their first
+    event; one row per (cohort_week, activity_week) with the distinct-user
+    count — the standard growth-analytics rollup.
+
+    Scale shape: two combiner-reduced groupbys and one co-partitioned join,
+    all carrying (user_id, week) pairs — never events.  Per-batch partials
+    (min-ts per user, distinct (user, week)) collapse each block before
+    either shuffle; the cohort map joins back on user_id with a hash join
+    rather than a driver broadcast because users scale with the corpus.
+    Weeks are Monday-truncated dates (matches DuckDB date_trunc('week'))."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"], rows_per_block=12_500)
+
+    def _week_str(ts: pd.Series) -> pd.Series:
+        d = ts.dt.normalize()
+        monday = d - pd.to_timedelta(d.dt.dayofweek, unit="D")
+        return monday.dt.strftime("%Y-%m-%d")
+
+    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)["ts"].min()
+        return g.rename(columns={"ts": "first_ts"})
+
+    cohort = (
+        ds.map_batches(first_partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Min("first_ts", alias_name="first_ts"))
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "user_id": df["user_id"],
+                    "cohort_week": _week_str(df["first_ts"]),
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+
+    def week_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"user_id": df["user_id"], "activity_week": _week_str(df["ts"])}
+        )
+        return out.drop_duplicates()
+
+    active = (
+        ds.map_batches(week_partial, batch_format="pandas")
+        .groupby(["user_id", "activity_week"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    joined = active.join(
+        cohort, join_type="inner", num_partitions=4, on=("user_id",)
+    )
+    out = (
+        joined.groupby(["cohort_week", "activity_week"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["cohort_week", "activity_week"]).reset_index(drop=True)
+    )

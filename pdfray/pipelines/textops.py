@@ -2127,3 +2127,79 @@ def t_temperature_sample(sf_dir: str):
         sample, batch_format="pyarrow"
     )
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# corpus-wide duplicated-span detection (the exact-substring-dedup shape of
+# Lee et al., "Deduplicating Training Data Makes Language Models Better"):
+# per-doc count of word 8-grams that also occur in ANOTHER document.
+# Engine-added brief; no reference analog.
+
+DUP_SPAN_N = 8  # same gram width as decontamination
+
+
+def t_dup_spans(sf_dir: str):
+    """Per-document count of word 8-grams shared with any other document.
+
+    Unlike t_decontaminate (tiny benchmark side, broadcast), the dup-gram
+    set here is CORPUS-scale on a template-dense crawl, so the join side
+    cannot be broadcast: the corpus explodes once into distinct (doc_id,
+    gram-hash) pairs (dedup inside the worker, text dropped), a combiner
+    groupby counts docs per gram, grams with df >= 2 semi-join back
+    against the SAME materialized pair table, and one last groupby counts
+    per doc.  Every shuffle carries (int64, int64) pairs.  This gram-join
+    is the standard distributed approximation of suffix-array
+    ExactSubstr dedup; collisions of the 62-bit gram hash would surface as
+    an oracle mismatch (the SQL joins gram STRINGS), not pass silently."""
+    from ray.data.aggregate import Count
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_ids, out_hs = [], []
+        for i, s in zip(ids, texts):
+            hs = _gram_hashes(s)  # distinct md5-64 hashes of word 8-grams
+            out_ids.append(np.full(hs.size, i, np.int64))
+            # drop the top 2 bits: join keys stay non-negative int64
+            out_hs.append((hs >> np.uint64(2)).astype(np.int64))
+        if not out_ids:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "gh": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "gh": pa.array(np.concatenate(out_hs), pa.int64()),
+            }
+        )
+
+    pairs = (
+        _read_documents(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .repartition(8)  # compact: avoids the empty-first-block join quirk
+        .materialize()  # reused by BOTH the df count and the join probe
+    )
+    dup_grams = (
+        pairs.groupby("gh")
+        .aggregate(Count(alias_name="n_docs"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n_docs"), 2)).select(
+                ["gh"]
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(4)
+    )
+    counts = (
+        pairs.join(dup_grams, join_type="inner", num_partitions=8, on=("gh",))
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_dup_grams"))
+        .to_pandas()
+    )
+    all_ids = (
+        _read_documents(sf_dir, ("doc_id",)).to_pandas().sort_values("doc_id")
+    )
+    out = all_ids.merge(counts, on="doc_id", how="left")
+    out["n_dup_grams"] = out["n_dup_grams"].fillna(0).astype("int64")
+    out["has_dup_span"] = out["n_dup_grams"] > 0
+    return out.reset_index(drop=True)

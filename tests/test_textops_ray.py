@@ -738,3 +738,107 @@ def test_sessionize_gap_semantics(ray_session, tmp_path):
     got = dict(zip(out["event_id"], out["session_id"]))
     assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 1}
     assert out["session_id"].dtype == "int64"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cc_min_label_random_vs_union_find(ray_session, seed):
+    """Randomized cross-check: min-label propagation must agree with a
+    driver-side union-find on arbitrary (sparse and clustered) graphs."""
+    import ray.data as rd
+
+    from pdfray.pipelines.textops import _cc_min_label
+
+    rng = np.random.RandomState(seed)
+    # non-contiguous node ids; edge density spans sparse -> clustered
+    nodes = rng.choice(10_000, size=120, replace=False).astype(np.int64)
+    n_edges = [30, 80, 200][seed]
+    a = nodes[rng.randint(0, len(nodes), n_edges)]
+    b = nodes[rng.randint(0, len(nodes), n_edges)]
+    keep = a != b  # self-loops excluded: the operator consumes dup PAIRS
+    edges = pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep]})
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(edges["doc_a"], edges["doc_b"]):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {n: find(n) for n in parent}
+
+    labels = _cc_min_label(rd.from_pandas(edges)).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == want
+
+
+def test_retention_cohorts_planted(ray_session, tmp_path):
+    """Users cohort by first-event week; later-week activity counts them."""
+    import datetime
+
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.relational import q_retention_cohorts
+
+    # week boundaries: 2024-01-01 and 2024-01-08 are both Mondays
+    w1 = datetime.datetime(2024, 1, 3)   # inside week of Jan 1
+    w2 = datetime.datetime(2024, 1, 10)  # inside week of Jan 8
+    rows = [
+        (1, w1, 100),  # user 100: cohort w1, active w1+w2
+        (2, w2, 100),
+        (3, w1, 101),  # user 101: cohort w1, active w1 only
+        (4, w2, 102),  # user 102: cohort w2
+        (5, w2, 102),  # duplicate same-week activity: counted once
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_retention_cohorts(str(tmp_path))
+    got = {
+        (r.cohort_week, r.activity_week): r.n_users for r in out.itertuples()
+    }
+    assert got == {
+        ("2024-01-01", "2024-01-01"): 2,  # users 100, 101
+        ("2024-01-01", "2024-01-08"): 1,  # user 100 retained
+        ("2024-01-08", "2024-01-08"): 1,  # user 102 (deduped)
+    }
+
+
+def test_dup_spans_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.textops import t_dup_spans
+
+    shared = "one two three four five six seven eight"  # exactly one 8-gram
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            shared + " tail_a",           # shares the 8-gram with doc 1
+            "head_b " + shared,           # ...at a different position
+            "totally different words with no overlap at all here",
+            "short doc",                  # < 8 tokens: no grams
+        ],
+        "lang": ["en"] * 4,
+        "source": ["t"] * 4,
+        "n_chars": [0] * 4,
+    }
+    pq_.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = t_dup_spans(str(tmp_path)).set_index("doc_id")
+    # docs 0/1 share exactly the one planted 8-gram (their other grams are
+    # position-shifted and unique)
+    assert out.loc[0, "n_dup_grams"] == 1 and bool(out.loc[0, "has_dup_span"])
+    assert out.loc[1, "n_dup_grams"] == 1
+    assert out.loc[2, "n_dup_grams"] == 0 and not bool(out.loc[2, "has_dup_span"])
+    assert out.loc[3, "n_dup_grams"] == 0
