@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdfray.pipelines import simsearch as S
     from pdfray.pipelines import textops as T
     from pdfray.pipelines import multimodal as M
+    from pdfray.pipelines import training_data as P
 
     return {
         # extraction (the flagship)
@@ -242,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_quality": T.t_quality,
         "t_repetition": T.t_repetition,
         "t_doc_frequency": T.t_doc_frequency,
+        "t_heavy_hitters": T.t_heavy_hitters,
         "t_tfidf": T.t_tfidf,
         "t_inverted_lookup": T.t_inverted_lookup,
         "t_bpe_tokens": T.t_bpe_tokens,
@@ -269,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # end-to-end training-data cleaning composition
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "pipeline_clean_corpus_neardup": _pipeline_clean_corpus_neardup,
+        "pipeline_training_mix": P.pipeline_training_mix,
     }
 
 
@@ -730,6 +733,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE word IN ('hash', 'query', 'row', 'table', 'zzz_absent') "
             "GROUP BY word, doc_id ORDER BY word, doc_id"
         ),
+        "t_heavy_hitters": (
+            # the engine finds these via a bounded sketch + exact recount;
+            # the recount removes all sketch error, so the oracle is the
+            # plain exact top-k ((tf DESC, word ASC) pins the cut)
+            "WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS word FROM documents) "
+            "SELECT word, CAST(COUNT(*) AS BIGINT) AS tf FROM w "
+            "GROUP BY word ORDER BY tf DESC, word LIMIT 25"
+        ),
         "t_tfidf": (
             # two-pass TF-IDF mass recomputed verbatim: df over distinct
             # (doc, word), score = sum(tf * ln(N/df)) per doc.  Both sides
@@ -941,6 +953,54 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 5) "
             "SELECT MIN(url) AS url, MIN_BY(text, url) AS text FROM ok "
             "GROUP BY md5(text) ORDER BY url"
+        ),
+        "pipeline_training_mix": (
+            # the whole composition re-derived as chained CTEs, stage for
+            # stage: temperature thresholds -> md5 keep filter -> window
+            # rank cap -> benchmark-gram decontamination (gram STRINGS
+            # here; hash collisions in the engine would fail this compare)
+            # -> word-set fingerprint dedup -> seeded shard/pos assignment
+            "WITH c AS (SELECT lang, COUNT(*) AS n FROM documents "
+            "GROUP BY lang), mm AS (SELECT MIN(n) AS nmin FROM c), "
+            "thr AS (SELECT lang, CASE WHEN n <= (SELECT nmin FROM mm) "
+            "THEN 'zzzz' ELSE printf('%04x', CAST(FLOOR(65536 * "
+            "sqrt(CAST((SELECT nmin FROM mm) AS DOUBLE) / n)) AS BIGINT)) "
+            "END AS t FROM c), "
+            "k1 AS (SELECT d.* FROM documents d JOIN thr "
+            "ON d.lang = thr.lang WHERE substr(md5('temp:' || "
+            "CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.t), "
+            "k2 AS (SELECT * FROM (SELECT k1.*, ROW_NUMBER() OVER ("
+            "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM k1) WHERE rn <= 20), "
+            "tk AS (SELECT doc_id, list_filter(string_split_regex(text, "
+            "'\\s+'), x -> x <> '') AS w FROM documents), "
+            "g_bench AS (SELECT DISTINCT unnest(list_transform("
+            "generate_series(1, len(w) - 7), "
+            "i -> array_to_string(w[i:i+7], ' '))) AS gram FROM tk "
+            "WHERE len(w) >= 8 AND doc_id % 97 = 0), "
+            "g_k2 AS (SELECT t2.doc_id, unnest(list_transform("
+            "generate_series(1, len(w) - 7), "
+            "i -> array_to_string(w[i:i+7], ' '))) AS gram FROM "
+            "(SELECT tk.* FROM tk JOIN k2 USING (doc_id)) t2 "
+            "WHERE len(w) >= 8), "
+            "contaminated AS (SELECT DISTINCT g_k2.doc_id FROM g_k2 "
+            "JOIN g_bench USING (gram)), "
+            "k3 AS (SELECT * FROM k2 WHERE doc_id % 97 != 0 AND doc_id "
+            "NOT IN (SELECT doc_id FROM contaminated)), "
+            "fp AS (SELECT doc_id, md5(array_to_string(list_sort("
+            "list_distinct(list_filter(string_split(text, ' '), "
+            "x -> x <> ''))), ' ')) AS f FROM k3), "
+            "win AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f), "
+            "k4 AS (SELECT k3.* FROM k3 JOIN win USING (doc_id)), "
+            "sh AS (SELECT doc_id, lang, source, substr(md5('shuf42:' || "
+            "CAST(doc_id AS VARCHAR)), 1, 8) AS hk FROM k4), "
+            "s2 AS (SELECT doc_id, lang, source, hk, "
+            "CAST((strpos('0123456789abcdef', substr(hk, 8, 1)) - 1) % 8 "
+            "AS BIGINT) AS shard FROM sh) "
+            "SELECT doc_id, lang, source, shard, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY shard "
+            "ORDER BY hk, doc_id) - 1 AS BIGINT) AS pos "
+            "FROM s2 ORDER BY doc_id"
         ),
         # rows-only (genuinely non-SQL-expressible): s_ann_lsh, s_ann_ivf and
         # s_ann_partitioned (probe-pruned recall reports), and

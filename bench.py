@@ -119,6 +119,7 @@ QUERY_NAMES = [
     "t_quality",
     "t_repetition",
     "t_doc_frequency",
+    "t_heavy_hitters",
     "t_tfidf",
     "t_inverted_lookup",
     "t_fingerprint",
@@ -137,6 +138,7 @@ QUERY_NAMES = [
     "m_resize",
     "m_audio_features",
     "m_video_frames",
+    "pipeline_training_mix",
 ]
 
 

@@ -2203,3 +2203,142 @@ def t_dup_spans(sf_dir: str):
     out["n_dup_grams"] = out["n_dup_grams"].fillna(0).astype("int64")
     out["has_dup_span"] = out["n_dup_grams"] > 0
     return out.reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# heavy hitters via sketch-then-verify: bounded-memory candidate generation
+# plus an exact recount — the skew-diagnosis / hot-key-detection primitive.
+# Engine-added brief; no reference analog.
+
+HH_TOP_K = 25
+HH_SKETCH_M = 512  # counters kept per batch sketch
+_HH_BOUND_SENTINEL = "\x00bound"  # impossible word: tokens never contain \x00
+
+
+def t_heavy_hitters(
+    sf_dir: str,
+    top_k: int = HH_TOP_K,
+    sketch_m: int = HH_SKETCH_M,
+    stats: dict = None,
+):
+    """Exact top-k words by total occurrences, found with a bounded sketch.
+
+    Pass 1 keeps only the top ``sketch_m`` counters per batch (a mergeable
+    truncated-counts sketch, SpaceSaving-style) plus the batch's drop
+    bound — the count of the first truncated word, the most any missing
+    word could have had.  One groupby merges sketches; a word's true count
+    is then within [observed, observed + sum-of-bounds].  The merged
+    sketch CERTIFIES itself: if ``total_bound < k-th largest observed``,
+    no unseen word can reach the cut, so the true top-k is inside the
+    candidate set {observed + total_bound >= k-th largest observed} and
+    pass 2 recounts those few words EXACTLY over one more pruned scan.
+    If the bound fails (sketch_m too small for the skew profile), the
+    operator ESCALATES to the exact vocabulary-sized shuffle rather than
+    return a possibly-wrong ranking — either way the output is exact,
+    which is why this query has a plain SQL oracle.  At 100 TB the
+    certified path finds hot keys with a ``sketch_m x n_blocks``-row
+    shuffle regardless of vocabulary; pass ``stats={}`` to observe which
+    path ran ('certified': bool)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def sketch(t: pa.Table) -> pa.Table:
+        _, codes, dictionary = _word_codes(t)
+        cnt = np.bincount(codes, minlength=len(dictionary))
+        order = np.argsort(-cnt, kind="stable")  # count desc
+        keep = order[: min(sketch_m, len(order))]
+        keep = keep[cnt[keep] > 0]
+        dropped = order[len(keep) :]
+        bound = int(cnt[dropped[0]]) if dropped.size and cnt[dropped[0]] > 0 else 0
+        words = dictionary.take(pa.array(keep, pa.int64())).to_pylist()
+        counts = cnt[keep].astype(np.int64).tolist()
+        words.append(_HH_BOUND_SENTINEL)
+        counts.append(bound)
+        return pa.table(
+            {"word": pa.array(words, pa.string()), "cnt": pa.array(counts, pa.int64())}
+        )
+
+    merged = (
+        _read_documents(sf_dir)
+        .map_batches(sketch, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # sketch_m x n_blocks rows at most
+    )
+    is_sent = merged["word"] == _HH_BOUND_SENTINEL
+    total_bound = int(merged.loc[is_sent, "cnt"].sum())
+    obs = merged[~is_sent].sort_values(["cnt", "word"], ascending=[False, True])
+    if len(obs) == 0:
+        return pd.DataFrame(
+            {"word": pd.Series(dtype="object"), "tf": pd.Series(dtype="int64")}
+        )
+    kth_lower = int(obs["cnt"].iloc[: top_k].min())
+    certified = total_bound < kth_lower and len(obs) >= top_k
+    if stats is not None:
+        stats["certified"] = certified
+        stats["total_bound"] = total_bound
+    if not certified:
+        # an UNSEEN word's upper bound (total_bound) reaches the cut — no
+        # candidate list drawn from the sketch can be proven complete.
+        # Escalate to the exact vocabulary shuffle (the t_doc_frequency
+        # shape) instead of returning a possibly-wrong ranking.
+        def exact_partials(t: pa.Table) -> pa.Table:
+            _, codes, dictionary = _word_codes(t)
+            cnt = np.bincount(codes, minlength=len(dictionary))
+            nz = cnt > 0
+            return pa.table(
+                {
+                    "word": dictionary.filter(pa.array(nz)),
+                    "tf": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+                }
+            )
+
+        full = (
+            _read_documents(sf_dir)
+            .map_batches(exact_partials, batch_format="pyarrow")
+            .groupby("word")
+            .aggregate(Sum("tf", alias_name="tf"))
+            .to_pandas()
+        )
+        full = full.sort_values(["tf", "word"], ascending=[False, True]).head(top_k)
+        return full.reset_index(drop=True)
+    cands = obs[obs["cnt"] + total_bound >= kth_lower]["word"]
+    cand_ref = ray.put(pa.array(cands, pa.string()))
+
+    def recount_factory():
+        cand_words = ray.get(cand_ref)
+
+        def recount(t: pa.Table) -> pa.Table:
+            _, codes, dictionary = _word_codes(t)
+            pos = (
+                pc.fill_null(pc.index_in(dictionary, value_set=cand_words), -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            hit = pos[codes]
+            valid = hit[hit >= 0]
+            cnt = np.bincount(valid, minlength=len(cand_words))
+            nz = cnt > 0
+            return pa.table(
+                {
+                    "word": cand_words.take(
+                        pa.array(np.flatnonzero(nz), pa.int64())
+                    ),
+                    "tf": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+                }
+            )
+
+        return recount
+
+    exact = (
+        _read_documents(sf_dir)
+        .map_batches(
+            warm_factory(("heavy_hitters", cand_ref.hex()), recount_factory),
+            batch_format="pyarrow",
+        )
+        .groupby("word")
+        .aggregate(Sum("tf", alias_name="tf"))
+        .to_pandas()
+    )
+    exact = exact.sort_values(["tf", "word"], ascending=[False, True]).head(top_k)
+    return exact.reset_index(drop=True)

@@ -230,3 +230,184 @@ def pipeline_summary(sf_dir: str):
             "n_clean": [len(clean)],
         }
     )
+
+
+def pipeline_training_mix(sf_dir: str):
+    """Flagship corpus-shaping composition over the documents table: the
+    stage order a web-scale pretraining mix actually runs.
+
+        per-lang counts  -> temperature keep-thresholds   (combiner + tiny driver table)
+        stream           -> temperature filter            (pure map, no shuffle)
+                         -> per-domain cap                (bounded top-N per source)
+                         -> decontamination drop          (benchmark grams broadcast)
+                         -> word-set fingerprint dedup    (keep min doc per fp)
+                         -> seeded shard assignment       (per-shard rank groupby)
+
+    Every inter-stage handoff is either a broadcast of a BOUNDED side
+    (thresholds: |langs|; cap winners: cap x |sources|; bench grams: eval-
+    set-sized; dedup winners: subset of cap winners) or a shuffle of
+    narrow columns — text never crosses an exchange.  The lazy stream is
+    re-executed per derived side at this scale; a production run would
+    checkpoint the stream between stages exactly like
+    ``clean_corpus(out_dir=...)`` does.  The whole chain has a single
+    chained-CTE DuckDB oracle."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    from .textops import (
+        DECONTAM_BENCH_MOD,
+        DOMAIN_CAP,
+        TEMP_ALPHA,
+        _gram_hashes,
+        _read_documents,
+        _shard_key,
+        _wordset_fingerprint,
+        N_TRAIN_SHARDS,
+        warm_factory,
+    )
+
+    # ---- stage 1: temperature thresholds (identical to t_temperature_sample)
+    counts = (
+        _read_documents(sf_dir, ("lang",))
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    n_min = int(counts["n"].min())
+    thresholds = {}
+    for lang, n in zip(counts["lang"], counts["n"]):
+        if int(n) <= n_min:
+            thresholds[lang] = "zzzz"
+        else:
+            p = (n_min / float(n)) ** (1.0 - TEMP_ALPHA)
+            thresholds[lang] = format(int(np.floor(65536.0 * p)), "04x")
+
+    def temp_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        langs = t.column("lang").to_pylist()
+        keep = [
+            hashlib.md5(f"temp:{i}".encode()).hexdigest()[:4]
+            < thresholds.get(lang, "0000")
+            for i, lang in zip(ids, langs)
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    def stream():
+        return _read_documents(
+            sf_dir, ("doc_id", "text", "lang", "source", "n_chars")
+        ).map_batches(temp_filter, batch_format="pyarrow")
+
+    # ---- stage 2: per-domain cap winners (bounded: cap x |sources| ids)
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        return df.groupby("source", sort=False).head(DOMAIN_CAP)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(DOMAIN_CAP)
+
+    cap_ids = (
+        stream()
+        .map_batches(
+            lambda t: t.select(["doc_id", "source", "n_chars"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(prune, batch_format="pandas")
+        .groupby("source")
+        .map_groups(rank, batch_format="pandas")
+        .to_pandas()["doc_id"]
+        .to_numpy()
+    )
+    cap_set = np.sort(cap_ids.astype(np.int64))
+
+    # ---- stage 3: benchmark gram hashes over the FULL corpus (broadcast)
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0)).column("text")
+        hs = [_gram_hashes(s) for s in texts.to_pylist()]
+        merged = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        return pa.table({"h": pa.array(merged, pa.uint64())})
+
+    bench = np.unique(
+        _read_documents(sf_dir)
+        .map_batches(bench_grams, batch_format="pyarrow")
+        .to_pandas()["h"]
+        .to_numpy()
+    ).astype(np.uint64)
+    bench_ref = ray.put((cap_set, bench))
+
+    def survivors_factory():
+        cap_arr, bench_arr = ray.get(bench_ref)
+
+        def keep(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = np.isin(ids, cap_arr, assume_unique=False)
+            mask &= ids % DECONTAM_BENCH_MOD != 0  # never train on the eval set
+            t = t.filter(pa.array(mask))
+            texts = t.column("text").to_pylist()
+            clean = [
+                not np.isin(_gram_hashes(s), bench_arr, assume_unique=True).any()
+                for s in texts
+            ]
+            return t.filter(pa.array(clean, pa.bool_()))
+
+        return keep
+
+    surv = lambda: stream().map_batches(
+        warm_factory(("training_mix", bench_ref.hex()), survivors_factory),
+        batch_format="pyarrow",
+    )
+
+    # ---- stage 4: word-set fingerprint dedup (winners bounded by stage 2)
+    def fp_rows(t: pa.Table) -> pa.Table:
+        fps = [_wordset_fingerprint(s) for s in t.column("text").to_pylist()]
+        return pa.table(
+            {"f": pa.array(fps, pa.string()), "doc_id": t.column("doc_id")}
+        )
+
+    winners = np.sort(
+        surv()
+        .map_batches(fp_rows, batch_format="pyarrow")
+        .groupby("f")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .to_pandas()["doc_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+
+    # ---- stage 5: seeded shard assignment + per-shard rank
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(np.isin(ids, winners)))
+        ids = t.column("doc_id").to_pylist()
+        keys = [_shard_key(i) for i in ids]
+        shards = [int(k, 16) % N_TRAIN_SHARDS for k in keys]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "shard": pa.array(shards, pa.int64()),
+                "k": pa.array(keys, pa.string()),
+            }
+        )
+
+    def pos_rank(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.sort_values(["k", "doc_id"]).reset_index(drop=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        return g[["doc_id", "lang", "source", "shard", "pos"]]
+
+    out = (
+        surv()
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pos_rank, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -842,3 +842,52 @@ def test_dup_spans_planted(ray_session, tmp_path):
     assert out.loc[1, "n_dup_grams"] == 1
     assert out.loc[2, "n_dup_grams"] == 0 and not bool(out.loc[2, "has_dup_span"])
     assert out.loc[3, "n_dup_grams"] == 0
+
+
+def test_heavy_hitters_exact_under_truncating_sketch(ray_session, tmp_path):
+    """Force real sketch truncation (vocab >> sketch_m, batches that each
+    drop counters) and check the verify pass still recovers the EXACT
+    top-k — the bound arithmetic, not corpus smallness, must carry it."""
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.textops import t_heavy_hitters
+
+    rng = np.random.RandomState(3)
+    # zipf-ish: hot words appear corpus-wide, a long unique tail forces
+    # every batch sketch to truncate at m=4
+    texts = []
+    for i in range(300):
+        words = []
+        words += ["hot%d" % (j % 7) for j in range(rng.randint(3, 9))]
+        words += ["tail_%d_%d" % (i, j) for j in range(30)]
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+    rows = {
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["t"] * len(texts),
+        "n_chars": [len(s) for s in texts],
+    }
+    pq_.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+
+    from collections import Counter
+
+    truth = Counter()
+    for s in texts:
+        truth.update(s.split())
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    # m=4 cannot certify (7 hot words per batch beat 4 slots): the
+    # operator must detect that and escalate to the exact shuffle
+    st = {}
+    out = t_heavy_hitters(str(tmp_path), top_k=10, sketch_m=4, stats=st)
+    assert st["certified"] is False
+    got = list(zip(out["word"], out["tf"]))
+    assert got == want
+
+    # a big-enough sketch certifies and the recount path is exact too
+    st2 = {}
+    out2 = t_heavy_hitters(str(tmp_path), top_k=5, sketch_m=512, stats=st2)
+    assert st2["certified"] is True
+    assert list(zip(out2["word"], out2["tf"])) == want[:5]

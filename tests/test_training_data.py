@@ -86,3 +86,43 @@ def test_clean_corpus_survives_fully_filtered_leading_block(
     clean = training_data.clean_corpus("ignored", near_dedup=True)
     assert 0 < len(clean) <= good.num_rows
     assert clean["text"].is_unique
+
+
+def test_training_mix_stage_invariants(ray_session):
+    """Every stage's contract holds on the real sf0.001 table: survivors
+    respect the temperature keep-rule, the per-source cap, the benchmark
+    exclusion, fingerprint uniqueness, and dense per-shard positions."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pdfray.pipelines.textops import (
+        DECONTAM_BENCH_MOD,
+        DOMAIN_CAP,
+        N_TRAIN_SHARDS,
+        _shard_key,
+        _wordset_fingerprint,
+    )
+    from pdfray.pipelines.training_data import pipeline_training_mix
+
+    sf = "/root/testdata/sf0.001"
+    out = pipeline_training_mix(sf)
+    assert len(out) > 0
+    docs = pd.read_parquet(f"{sf}/documents.parquet").set_index("doc_id")
+
+    # benchmark docs never survive
+    assert (out["doc_id"] % DECONTAM_BENCH_MOD != 0).all()
+    # per-source cap
+    assert out.groupby("source")["doc_id"].count().max() <= DOMAIN_CAP
+    # word-set fingerprints unique among survivors (dedup held)
+    fps = [_wordset_fingerprint(docs.loc[i, "text"]) for i in out["doc_id"]]
+    assert len(set(fps)) == len(fps)
+    # shard assignment and dense positions
+    for shard, g in out.groupby("shard"):
+        assert 0 <= shard < N_TRAIN_SHARDS
+        assert sorted(g["pos"]) == list(range(len(g)))
+        keys = [_shard_key(i) for i in g.sort_values("pos")["doc_id"]]
+        assert keys == sorted(keys)
+    # determinism
+    pd.testing.assert_frame_equal(out, pipeline_training_mix(sf))
