@@ -2150,7 +2150,13 @@ def t_dup_spans(sf_dir: str):
     per doc.  Every shuffle carries (int64, int64) pairs.  This gram-join
     is the standard distributed approximation of suffix-array
     ExactSubstr dedup; collisions of the 62-bit gram hash would surface as
-    an oracle mismatch (the SQL joins gram STRINGS), not pass silently."""
+    an oracle mismatch (the SQL joins gram STRINGS), not pass silently.
+
+    Measured alternative, rejected: collapsing the count+semi-join into one
+    groupby(gh).map_groups pays a per-GROUP pandas call over millions of
+    gram groups — 2-4x slower than this 3-exchange plan.  The shuffle-count
+    lesson (q_retention_cohorts) only wins when the merged stage stays
+    vectorized; per-tiny-group Python erases it."""
     from ray.data.aggregate import Count
 
     def explode(t: pa.Table) -> pa.Table:
@@ -2330,15 +2336,19 @@ def t_heavy_hitters(
 
         return recount
 
+    # no second shuffle: recount partials are candidate-sized per block, so
+    # the driver sums |cands| x n_blocks reduced rows directly (the
+    # shuffle-count lesson — a groupby here cost seconds for nothing)
     exact = (
         _read_documents(sf_dir)
         .map_batches(
             warm_factory(("heavy_hitters", cand_ref.hex()), recount_factory),
             batch_format="pyarrow",
         )
-        .groupby("word")
-        .aggregate(Sum("tf", alias_name="tf"))
         .to_pandas()
+        .groupby("word", as_index=False)["tf"]
+        .sum()
     )
+    exact["tf"] = exact["tf"].astype("int64")
     exact = exact.sort_values(["tf", "word"], ascending=[False, True]).head(top_k)
     return exact.reset_index(drop=True)
