@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keeps the chunk-math access pattern for the compressed codecs
         # genuinely absent here)
         "m_media_features": M.m_media_features,
+        "m_image_hash": M.m_image_hash,
         "m_frame_sample": M.m_frame_sample,
         "m_resize": M.m_resize,
         "m_audio_features": M.m_audio_features,
@@ -273,6 +274,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_clean_corpus_neardup": _pipeline_clean_corpus_neardup,
         "pipeline_training_mix": P.pipeline_training_mix,
     }
+
+
+def _image_hash_oracle() -> str:
+    """Golden aHash VALUES for the sf0.01 media fixture, computed from the
+    PRE-encode pixel arrays (fixtures._media_pixels) — the decoder is never
+    touched here, so an engine match certifies the PNG round-trip end to
+    end (same independent-path scheme as the WAV/Y4M golden columns;
+    literal-embedding precedent: s_lsh_buckets' seeded planes)."""
+    from pdfray.pipelines.multimodal import ahash64
+    from pdfray.sources import fixtures as FX
+
+    rows = []
+    n = FX.sf_doc_count(0.01)
+    for k in range(n):
+        w = 8 + (k * 7) % 113
+        h = 8 + (k * 11) % 97
+        form = FX._MEDIA_FORMS[k % len(FX._MEDIA_FORMS)]
+        px, pal = FX._media_pixels(k, w, h, form)
+        if k % 13 in (5, 11):  # the planted broken rows
+            rows.append((f"https://img.example.org/broken/{k:08d}.png", False, ""))
+            continue
+        if pal is not None:  # palette: expand like the decoder's PLTE path
+            px = pal[px]
+        rows.append(
+            (f"https://img.example.org/{form}/{k:08d}.png", True, ahash64(px))
+        )
+    values = ", ".join(
+        f"('{u}', {'true' if ok else 'false'}, '{h}')" for u, ok, h in rows
+    )
+    return (
+        f"SELECT url, ok, ahash FROM (VALUES {values}) AS g(url, ok, ahash) "
+        "ORDER BY url"
+    )
 
 
 def _simhash_oracle() -> str:
@@ -932,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
             f"LEAST(1.0, 64.0 / GREATEST(width, height))) AS INT)) END AS out_h "
             f"FROM read_parquet('{media}') ORDER BY url"
         ),
+        "m_image_hash": _image_hash_oracle(),
         "m_audio_features": (
             # golden columns were computed from the PRE-encode samples at
             # fixture-gen time; the engine recomputes them from the WAV

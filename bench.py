@@ -135,6 +135,7 @@ QUERY_NAMES = [
     "s_ann_ivf",
     "s_embedding_dupes",
     "m_media_features",
+    "m_image_hash",
     "m_resize",
     "m_audio_features",
     "m_video_frames",

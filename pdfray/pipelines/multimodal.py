@@ -350,3 +350,80 @@ def m_media_features(sf_dir: str):
     )
     df = out.select_columns(["url", "media_type", "n_bytes", "width", "height"]).to_pandas()
     return df.sort_values("url").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# perceptual image hashing (aHash) — the image-side dedup fingerprint.
+
+
+def luma_plane(pixels) -> "np.ndarray":
+    """Deterministic luma: channel 0 for gray/gray+alpha, integer mean of
+    the first three channels otherwise (no float weights — both the engine
+    and the pre-encode golden computation must land on identical ints)."""
+    import numpy as np
+
+    arr = np.asarray(pixels)
+    if arr.ndim == 2:
+        return arr.astype(np.int64)
+    if arr.shape[2] <= 2:
+        return arr[:, :, 0].astype(np.int64)
+    return arr[:, :, :3].astype(np.int64).sum(axis=2) // 3
+
+
+def ahash64(pixels) -> str:
+    """64-bit average hash: 8x8 nearest-neighbor luma samples thresholded
+    by their integer mean (strict >), rendered as 16 hex digits.  Every
+    step is integer arithmetic, so the hash is bit-identical across the
+    decode path and the pre-encode golden path."""
+    import numpy as np
+
+    luma = luma_plane(pixels)
+    h, w = luma.shape
+    ys = (np.arange(8, dtype=np.int64) * h) // 8
+    xs = (np.arange(8, dtype=np.int64) * w) // 8
+    s = luma[np.ix_(ys, xs)]
+    mean = int(s.sum()) // 64
+    bits = (s > mean).astype(np.uint64).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return format(v, "016x")
+
+
+class ImageHasher:
+    """Actor-pool stage: decode PNG -> aHash.  Broken payloads emit
+    ok=false with an empty hash (typed-error contract, row kept)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("payload")
+        oks, hashes = [], []
+        for i in range(len(urls)):
+            try:
+                img = decode_png(payloads[i].as_py() or b"")
+                hashes.append(ahash64(img.pixels))
+                oks.append(True)
+            except Exception:
+                hashes.append("")
+                oks.append(False)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ok": pa.array(oks, pa.bool_()),
+                "ahash": pa.array(hashes, pa.string()),
+            }
+        )
+
+
+def m_image_hash(sf_dir: str):
+    """Perceptual hash per image — REAL decode through the pure-Python PNG
+    codec; the oracle holds the golden hashes computed from the PRE-encode
+    pixel arrays at fixture definition (same independent-path scheme as the
+    WAV/Y4M goldens), so an exact match certifies the full codec
+    round-trip, not just the hash arithmetic.  Downstream dedup is a plain
+    groupby on ``ahash`` (or a Hamming-ball LSH like t_simhash for
+    near-dups) — the hash IS the image-side dedup key."""
+    out = _media_ds(sf_dir).map_batches(
+        warm_stage(ImageHasher), batch_format="pyarrow", batch_size=64
+    )
+    return out.to_pandas().sort_values("url").reset_index(drop=True)

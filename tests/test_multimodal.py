@@ -123,3 +123,71 @@ def test_media_fixture_golden_dims_match_decode():
             assert "broken" in url and (w, h) == (0, 0)
             n_broken += 1
     assert n == 60 and n_broken > 0
+
+
+def test_ahash_invariant_under_reencode_and_filters():
+    """Same pixels through different PNG filter types (and a re-encode of
+    the decoded array) must produce the identical aHash — the property
+    that makes it a dedup key."""
+    import numpy as np
+
+    from pdfray.core.png import decode_png, encode_png
+    from pdfray.pipelines.multimodal import ahash64
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (40, 56, 3), dtype=np.uint8)
+    golden = ahash64(px)
+    for filt in (0, 1, 2, 3, 4, "adaptive"):
+        payload = encode_png(px, filter_type=filt)
+        img = decode_png(payload)
+        assert ahash64(img.pixels) == golden
+    # re-encode of the decoded pixels: still the same image, same hash
+    twice = decode_png(encode_png(decode_png(encode_png(px)).pixels))
+    assert ahash64(twice.pixels) == golden
+
+
+def test_image_hash_stage_broken_and_dup_rows(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfray.core.png import encode_png
+    from pdfray.pipelines.multimodal import m_image_hash
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+    b = rng.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    rows = {
+        "url": [f"u{i}" for i in range(4)],
+        # u0/u1: same pixels, different filters -> planted exact dup pair
+        "payload": [
+            encode_png(a, filter_type=0),
+            encode_png(a, filter_type=4),
+            encode_png(b),
+            b"\x89PNG[garbage",
+        ],
+        "media_type": ["image"] * 4,
+        "width": [24, 24, 24, 0],
+        "height": [24, 24, 24, 0],
+    }
+    d = tmp_path / "media"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "part-00000.parquet"))
+
+    import pdfray.pipelines.multimodal as MM
+
+    orig = MM._media_ds
+
+    def fake_media_ds(sf_dir):
+        import ray.data as rd
+
+        return rd.read_parquet(str(d))
+
+    MM._media_ds = fake_media_ds
+    try:
+        out = m_image_hash("ignored").set_index("url")
+    finally:
+        MM._media_ds = orig
+    assert out.loc["u0", "ahash"] == out.loc["u1", "ahash"] != ""
+    assert out.loc["u2", "ahash"] not in ("", out.loc["u0", "ahash"])
+    assert not bool(out.loc["u3", "ok"]) and out.loc["u3", "ahash"] == ""
