@@ -296,20 +296,7 @@ def _word_bucket(word: str) -> int:
     return int(hashlib.md5(word.encode("utf-8")).hexdigest()[:8], 16) % N_INDEX_BUCKETS
 
 
-def build_inverted_index(sf_dir: str, out_dir: str) -> None:
-    """Build a word->postings store partitioned by word-hash bucket.
-
-    The text-side analog of `simsearch.build_vector_store`: one map pass
-    collapses each batch to (word, doc_id, tf) postings — text dropped in
-    the worker — and `write_parquet(partition_cols=['bucket'])` lays them
-    out so a lookup touches only the probed words' buckets.  No shuffle:
-    hive partitioning splits inside each write task, and a posting list
-    split across files is still one directory scan at read time.  At
-    100 TB the bucket count scales with vocabulary; co-locating a word's
-    postings entirely (one file per word range) would add a repartition on
-    bucket — the directory layout already gives the pruning."""
-
-    def postings(t: pa.Table) -> pa.Table:
+def _postings_batch(t: pa.Table) -> pa.Table:
         parent, codes, dictionary = _word_codes(t)
         vocab = len(dictionary)
         if codes.size:
@@ -330,9 +317,82 @@ def build_inverted_index(sf_dir: str, out_dir: str) -> None:
             }
         )
 
+def build_inverted_index(sf_dir: str, out_dir: str) -> None:
+    """Build a word->postings store partitioned by word-hash bucket.
+
+    The text-side analog of `simsearch.build_vector_store`: one map pass
+    collapses each batch to (word, doc_id, tf) postings — text dropped in
+    the worker — and `write_parquet(partition_cols=['bucket'])` lays them
+    out so a lookup touches only the probed words' buckets.  No shuffle:
+    hive partitioning splits inside each write task, and a posting list
+    split across files is still one directory scan at read time.  At
+    100 TB the bucket count scales with vocabulary; co-locating a word's
+    postings entirely (one file per word range) would add a repartition on
+    bucket — the directory layout already gives the pruning."""
     _read_documents(sf_dir).map_batches(
-        postings, batch_format="pyarrow"
+        _postings_batch, batch_format="pyarrow"
     ).write_parquet(out_dir, partition_cols=["bucket"])
+
+
+def update_inverted_index(sf_dir: str, out_dir: str, min_doc_id: int) -> None:
+    """Incremental (watermark) append to an existing bucket store: only
+    the delta docs (doc_id >= min_doc_id) are tokenized, and their postings
+    are written into the SAME hive layout — write_parquet emits
+    uniquely-named files, so existing bucket partitions gain files and
+    nothing is rewritten.  Readers see old + new postings as one directory
+    scan; `compact_inverted_index` restores file-count hygiene after many
+    deltas.  This is the daily-crawl index maintenance shape: index cost
+    scales with the delta, not the corpus."""
+
+    def delta_only(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids >= min_doc_id))
+
+    _read_documents(sf_dir).map_batches(
+        delta_only, batch_format="pyarrow"
+    ).map_batches(_postings_batch, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+
+
+def compact_inverted_index(store_dir: str) -> dict:
+    """Merge each bucket partition's files into one (per-bucket Ray task:
+    buckets are independent, so compaction fans out across the cluster and
+    never touches unrelated partitions).  Atomic per bucket: the merged
+    file is written under a temp name then renamed before the old files
+    are removed, so a concurrent pruned read sees either layout, never
+    neither.  Returns {'files_before': n, 'files_after': m}."""
+    import glob as _glob
+    import os
+    import uuid
+
+    import ray
+
+    @ray.remote
+    def _compact_bucket(bdir: str) -> tuple:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq_
+
+        files = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
+        if len(files) <= 1:
+            return (len(files), len(files))
+        merged = pa.concat_tables([pq_.read_table(f) for f in files])
+        tmp = os.path.join(bdir, f".compact-{uuid.uuid4().hex}.tmp")
+        pq_.write_table(merged, tmp, row_group_size=64 * 1024)
+        final = os.path.join(bdir, f"compact-{uuid.uuid4().hex}.parquet")
+        os.rename(tmp, final)
+        for f in files:
+            os.remove(f)
+        return (len(files), 1)
+
+    buckets = sorted(_glob.glob(os.path.join(store_dir, "bucket=*")))
+    results = ray.get([_compact_bucket.remote(b) for b in buckets])
+    return {
+        "files_before": sum(r[0] for r in results),
+        "files_after": sum(r[1] for r in results),
+    }
 
 
 def query_inverted_index(store_dir: str, words) -> pd.DataFrame:

@@ -891,3 +891,54 @@ def test_heavy_hitters_exact_under_truncating_sketch(ray_session, tmp_path):
     out2 = t_heavy_hitters(str(tmp_path), top_k=5, sketch_m=512, stats=st2)
     assert st2["certified"] is True
     assert list(zip(out2["word"], out2["tf"])) == want[:5]
+
+
+def test_inverted_index_incremental_and_compaction(ray_session, tmp_path):
+    """Watermark update: index(first half) + delta(second half) answers
+    identically to index(full corpus); per-bucket compaction shrinks file
+    counts without changing any lookup."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.textops import (
+        build_inverted_index,
+        compact_inverted_index,
+        query_inverted_index,
+        update_inverted_index,
+    )
+
+    texts = [f"alpha beta w{i} gamma shared" for i in range(40)]
+    rows = {
+        "doc_id": list(range(40)),
+        "text": texts,
+        "lang": ["en"] * 40,
+        "source": ["t"] * 40,
+        "n_chars": [len(s) for s in texts],
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq_.write_table(pa.table(rows), str(d / "documents.parquet"))
+    # the "yesterday" corpus: only docs < 20
+    half = {k: [v[i] for i in range(20)] for k, v in rows.items()}
+    dh = tmp_path / "docs_half"
+    dh.mkdir()
+    pq_.write_table(pa.table(half), str(dh / "documents.parquet"))
+
+    full_store = str(tmp_path / "idx_full")
+    incr_store = str(tmp_path / "idx_incr")
+    build_inverted_index(str(d), full_store)
+    build_inverted_index(str(dh), incr_store)
+    update_inverted_index(str(d), incr_store, min_doc_id=20)
+
+    probes = ["alpha", "shared", "w3", "w25", "absent_zz"]
+    want = query_inverted_index(full_store, probes)
+    got = query_inverted_index(incr_store, probes)
+    pd.testing.assert_frame_equal(got, want)
+
+    n_before = len(glob.glob(f"{incr_store}/bucket=*/*.parquet"))
+    stats = compact_inverted_index(incr_store)
+    n_after = len(glob.glob(f"{incr_store}/bucket=*/*.parquet"))
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == n_after < n_before
+    pd.testing.assert_frame_equal(query_inverted_index(incr_store, probes), want)
