@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_attribution": R.q_asof_attribution,
         "q_sessionize": R.q_sessionize,
         "q_retention_cohorts": R.q_retention_cohorts,
+        "q_funnel": R.q_funnel,
         # text / dedup operators over documents
         "t_token_stats": T.t_token_stats,
         "t_stratified_sample": T.t_stratified_sample,
@@ -255,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_ngram_jaccard_dupes": T.t_ngram_jaccard_dupes,
         # similarity search / embedding dedup over embeddings
         "s_knn_bruteforce": S.s_knn_bruteforce,
+        "s_label_centroids": S.s_label_centroids,
         "s_ann_lsh": S.s_ann_lsh,
         "s_ann_ivf": S.s_ann_ivf,
         "s_ann_partitioned": S.s_ann_partitioned,
@@ -567,6 +569,36 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
             "FROM o ORDER BY event_id"
+        ),
+        "q_funnel": (
+            # greedy earliest-path funnel: each step's frontier is the
+            # user's first qualifying event STRICTLY after the previous
+            # step's frontier timestamp
+            "WITH v AS (SELECT user_id, MIN(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN v ON e.user_id = v.user_id AND e.ts > v.t "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN c ON e.user_id = c.user_id AND e.ts > c.t "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT * FROM ("
+            "SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, "
+            "CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users "
+            "UNION ALL SELECT CAST(2 AS BIGINT), 'click', "
+            "CAST((SELECT COUNT(*) FROM c) AS BIGINT) "
+            "UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', "
+            "CAST((SELECT COUNT(*) FROM p) AS BIGINT)) ORDER BY step_idx"
+        ),
+        "s_label_centroids": (
+            # per-dimension average recomputed by unnest; both sides sum
+            # in float64 and round to 4 decimals
+            "WITH e AS (SELECT label, unnest(embedding) AS x, "
+            "generate_subscripts(embedding, 1) AS dim FROM embeddings) "
+            "SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) "
+            "AS dim, CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(SUM(CAST(x AS DOUBLE)) / COUNT(*), 4) AS centroid "
+            "FROM e GROUP BY label, dim ORDER BY label, dim"
         ),
         "q_retention_cohorts": (
             # cohort = Monday-truncated week of the user's first event;

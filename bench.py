@@ -104,6 +104,7 @@ QUERY_NAMES = [
     "q_asof_attribution",
     "q_sessionize",
     "q_retention_cohorts",
+    "q_funnel",
     "t_token_stats",
     "t_stratified_sample",
     "t_temperature_sample",
@@ -131,6 +132,7 @@ QUERY_NAMES = [
     "t_simhash",
     "t_bpe_tokens",
     "s_knn_bruteforce",
+    "s_label_centroids",
     "s_ann_lsh",
     "s_ann_ivf",
     "s_embedding_dupes",

@@ -801,3 +801,70 @@ def q_retention_cohorts(sf_dir: str):
     return (
         out.sort_values(["cohort_week", "activity_week"]).reset_index(drop=True)
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel(sf_dir: str):
+    """Ordered conversion funnel (view -> click -> purchase): a user
+    completes step i+1 with their first step-(i+1) event STRICTLY after
+    their first qualifying step-i event (the deterministic greedy
+    earliest-path definition).  Output: one row per step with the number
+    of users reaching it.
+
+    Same single-shuffle bucketize shape as q_sessionize: the exchange
+    carries (user_id, event_type, ts) for the three funnel types only, and
+    each bucket resolves all its users with VECTORIZED pandas merges
+    (per-user min, filter-later-than, min again) — no per-user Python.
+    The driver adds up one row per (bucket, step)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(
+        sf_dir, "events", ["user_id", "ts", "event_type"], rows_per_block=12_500
+    )
+    N_BUCKETS = 64
+
+    def keep_and_bucket(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("event_type"), value_set=pa.array(FUNNEL_STEPS))
+        t = t.filter(mask)
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        bucket = (users * np.uint64(0x9E3779B97F4A7C15)) % N_BUCKETS
+        return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # earliest qualifying ts per user, step by step — all vectorized
+        frontier = (
+            g[g["event_type"] == FUNNEL_STEPS[0]]
+            .groupby("user_id")["ts"]
+            .min()
+        )
+        counts = [len(frontier)]
+        for step in FUNNEL_STEPS[1:]:
+            ev = g[g["event_type"] == step][["user_id", "ts"]]
+            ev = ev.merge(
+                frontier.rename("prev"), left_on="user_id", right_index=True
+            )
+            frontier = ev[ev["ts"] > ev["prev"]].groupby("user_id")["ts"].min()
+            counts.append(len(frontier))
+        return pd.DataFrame(
+            {
+                "step_idx": pd.array(range(1, len(FUNNEL_STEPS) + 1), "int64"),
+                "step": list(FUNNEL_STEPS),
+                "n_users": pd.array(counts, "int64"),
+            }
+        )
+
+    per_bucket = (
+        ds.map_batches(keep_and_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()  # one row per (bucket, step): reduced
+    )
+    out = (
+        per_bucket.groupby(["step_idx", "step"], as_index=False)["n_users"]
+        .sum()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("step_idx").reset_index(drop=True)

@@ -862,3 +862,53 @@ def s_embedding_dupes(sf_dir: str, threshold: float = 0.42, force_exact: bool = 
             }
         )
     return res.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def s_label_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column, long format: one row
+    per (label, dim) with the member count and the centroid coordinate.
+
+    ZERO shuffle: each batch collapses to (label, dim, partial-sum, n)
+    rows — 10 labels x 64 dims regardless of batch size — and the driver
+    combines the reduced partials (labels x dims x blocks rows, the
+    collect-only-grouped-rows pattern).  float32 vectors are upcast to
+    float64 BEFORE summing so both sides accumulate in double like DuckDB's
+    SUM; coordinates are rounded to 4 decimals on both sides.  This is the
+    k-means M-step / class-prototype primitive at corpus scale."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        emb = np.stack(
+            t.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        rows_l, rows_d, rows_s, rows_n = [], [], [], []
+        for lab in np.unique(labels):
+            sel = emb[labels == lab]
+            s = sel.sum(axis=0)
+            d = np.arange(1, emb.shape[1] + 1, dtype=np.int64)
+            rows_l.append(np.full(emb.shape[1], lab, np.int64))
+            rows_d.append(d)
+            rows_s.append(s)
+            rows_n.append(np.full(emb.shape[1], sel.shape[0], np.int64))
+        return pa.table(
+            {
+                "label": pa.array(np.concatenate(rows_l), pa.int64()),
+                "dim": pa.array(np.concatenate(rows_d), pa.int64()),
+                "s": pa.array(np.concatenate(rows_s), pa.float64()),
+                "n": pa.array(np.concatenate(rows_n), pa.int64()),
+            }
+        )
+
+    partials = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = partials.groupby(["label", "dim"], as_index=False).sum()
+    g["centroid"] = (g["s"] / g["n"] * 1).round(4)
+    out = g[["label", "dim", "n", "centroid"]].copy()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)

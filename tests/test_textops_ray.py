@@ -942,3 +942,70 @@ def test_inverted_index_incremental_and_compaction(ray_session, tmp_path):
     assert stats["files_before"] == n_before
     assert stats["files_after"] == n_after < n_before
     pd.testing.assert_frame_equal(query_inverted_index(incr_store, probes), want)
+
+
+def test_funnel_greedy_semantics(ray_session, tmp_path):
+    """Strictly-after greedy path: a click BEFORE the first view does not
+    qualify; a purchase between view and click does not qualify."""
+    import datetime
+
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.relational import q_funnel
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, sec, user, typ):
+        return (eid, base + datetime.timedelta(seconds=sec), user, typ)
+
+    rows = [
+        # user 1: full path in order
+        ev(1, 0, 1, "view"), ev(2, 10, 1, "click"), ev(3, 20, 1, "purchase"),
+        # user 2: click precedes the only view -> stops at view
+        ev(4, 10, 2, "click"), ev(5, 20, 2, "view"),
+        # user 3: purchase between view and click -> stops at click
+        ev(6, 0, 3, "view"), ev(7, 5, 3, "purchase"), ev(8, 10, 3, "click"),
+        # user 4: never views -> contributes nothing
+        ev(9, 0, 4, "purchase"), ev(10, 5, 4, "click"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_funnel(str(tmp_path))
+    got = dict(zip(out["step"], out["n_users"]))
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_label_centroids_match_numpy(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.simsearch import s_label_centroids
+
+    rng = np.random.RandomState(5)
+    n, d = 200, 16
+    emb = rng.randn(n, d).astype(np.float32)
+    labels = rng.randint(0, 3, n)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int64()),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = s_label_centroids(str(tmp_path))
+    for lab in range(3):
+        sel = emb[labels == lab].astype(np.float64)
+        want = (sel.sum(axis=0) / len(sel)).round(4)
+        g = out[out["label"] == lab].sort_values("dim")
+        assert (g["n"] == len(sel)).all()
+        np.testing.assert_allclose(g["centroid"].to_numpy(), want, atol=1e-9)
