@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / embedding dedup over embeddings
         "s_knn_bruteforce": S.s_knn_bruteforce,
         "s_label_centroids": S.s_label_centroids,
+        "s_kmeans": S.s_kmeans,
         "s_ann_lsh": S.s_ann_lsh,
         "s_ann_ivf": S.s_ann_ivf,
         "s_ann_partitioned": S.s_ann_partitioned,
@@ -1069,7 +1070,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY hk, doc_id) - 1 AS BIGINT) AS pos "
             "FROM s2 ORDER BY doc_id"
         ),
-        # rows-only (genuinely non-SQL-expressible): s_ann_lsh, s_ann_ivf and
+        # rows-only (genuinely non-SQL-expressible): s_kmeans (iterative
+        # Lloyd loop; an independent numpy reference implementation in the
+        # tests asserts bit-equal assignments), s_ann_lsh, s_ann_ivf and
         # s_ann_partitioned (probe-pruned recall reports), and
         # pipeline_clean_corpus_neardup (greedy drop-set resolution).
         # Round 3 upgraded m_resize (real decode), t_winnow_fp / t_simhash /

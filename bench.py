@@ -133,6 +133,7 @@ QUERY_NAMES = [
     "t_bpe_tokens",
     "s_knn_bruteforce",
     "s_label_centroids",
+    "s_kmeans",
     "s_ann_lsh",
     "s_ann_ivf",
     "s_embedding_dupes",

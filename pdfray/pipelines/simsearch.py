@@ -912,3 +912,107 @@ def s_label_centroids(sf_dir: str):
     out = g[["label", "dim", "n", "centroid"]].copy()
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+KMEANS_K = 10
+KMEANS_ITERS = 8
+
+
+def s_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, stats: dict = None):
+    """Fully DISTRIBUTED Lloyd's k-means over the embedding table — the
+    canonical iterative broadcast-reduce ML shape (unlike `_kmeans`, which
+    trains on a driver-side bounded sample for IVF).
+
+    Per iteration: centroids ship once via ``ray.put``; every batch
+    assigns its vectors (one matmul) and collapses to k x (dim+1) partial
+    rows (per-centroid sum + count) — ZERO shuffle, the driver M-step sums
+    k x blocks reduced rows.  Euclidean objective; empty clusters re-seed
+    deterministically from the first batch rule; init = the k
+    lowest-vec_id vectors (seedless, so retries reproduce the run).  The
+    iteration loop is the part SQL cannot express — driver-checked
+    rows-only, with an independent numpy reference implementation in the
+    tests asserting bit-equal assignments and monotone inertia.
+    Returns (vec_id, cluster); pass ``stats={}`` for per-iteration inertia
+    and the final centroids."""
+    import ray
+    import ray.data as rd
+
+    def _read():
+        return rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    # deterministic init: the k lowest vec_ids (one tiny pruned scan)
+    init = (
+        _read()
+        .sort("vec_id")
+        .limit(k)
+        .to_pandas()
+    )
+    centroids = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+
+    inertia_track = []
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def estep(t: pa.Table, _cref=cref) -> pa.Table:
+            C = ray.get(_cref)  # (k, d) — zero-copy from the object store
+            X = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+            d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+            assign = d2.argmin(axis=1)
+            best = d2[np.arange(len(X)), assign] + (X * X).sum(axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, X)
+            counts = np.bincount(assign, minlength=len(C)).astype(np.int64)
+            inertia = np.zeros(len(C))
+            inertia[0] = best.sum()  # one scalar per batch, summed later
+            return pa.table(
+                {
+                    "c": pa.array(np.arange(len(C)), pa.int64()),
+                    "n": pa.array(counts, pa.int64()),
+                    "sum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "inertia": pa.array(inertia, pa.float64()),
+                }
+            )
+
+        part = _read().map_batches(estep, batch_format="pyarrow").to_pandas()
+        g = part.groupby("c")
+        counts = g["n"].sum()
+        sums = np.stack(
+            [np.sum(np.stack(gg["sum"].to_numpy()), axis=0) for _, gg in g]
+        )
+        inertia_track.append(float(part["inertia"].sum()))
+        new_c = centroids.copy()
+        nz = counts.to_numpy() > 0
+        new_c[nz] = sums[nz] / counts.to_numpy()[nz, None]
+        centroids = new_c
+
+    cref = ray.put(centroids)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        X = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(d2.argmin(axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _read()
+        .map_batches(final_assign, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    if stats is not None:
+        stats["centroids"] = centroids
+        stats["inertia"] = inertia_track
+    return out

@@ -1009,3 +1009,48 @@ def test_label_centroids_match_numpy(ray_session, tmp_path):
         g = out[out["label"] == lab].sort_values("dim")
         assert (g["n"] == len(sel)).all()
         np.testing.assert_allclose(g["centroid"].to_numpy(), want, atol=1e-9)
+
+
+def test_kmeans_matches_numpy_reference_and_converges(ray_session, tmp_path):
+    """The distributed E-step/M-step must reproduce an independent numpy
+    Lloyd implementation bit-for-bit (same deterministic init) and the
+    inertia sequence must be non-increasing."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.simsearch import s_kmeans
+
+    rng = np.random.RandomState(9)
+    n, d, k, iters = 300, 8, 4, 6
+    centers = rng.randn(k, d) * 4
+    X = np.vstack([centers[i % k] + rng.randn(1, d) for i in range(n)]).astype(
+        np.float32
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(X), pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int64()),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    # independent reference: plain-loop Lloyd with the same init rule
+    Xd = X.astype(np.float64)
+    C = Xd[:k].copy()  # k lowest vec_ids
+    for _ in range(iters):
+        d2 = ((Xd[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = Xd[a == c].mean(axis=0)
+    ref_assign = (
+        ((Xd[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    )
+
+    st = {}
+    out = s_kmeans(str(tmp_path), k=k, iters=iters, stats=st)
+    assert (out["cluster"].to_numpy() == ref_assign).all()
+    inert = st["inertia"]
+    assert all(b <= a + 1e-6 for a, b in zip(inert, inert[1:]))
+    np.testing.assert_allclose(st["centroids"], C, rtol=1e-9)
