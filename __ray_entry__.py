@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_clean_corpus": _pipeline_clean_corpus,
         "pipeline_clean_corpus_neardup": _pipeline_clean_corpus_neardup,
         "pipeline_training_mix": P.pipeline_training_mix,
+        "pipeline_line_dedup": P.pipeline_line_dedup,
     }
 
 
@@ -1021,6 +1022,23 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 5) "
             "SELECT MIN(url) AS url, MIN_BY(text, url) AS text FROM ok "
             "GROUP BY md5(text) ORDER BY url"
+        ),
+        "pipeline_line_dedup": (
+            # golden-text recomputation on line STRINGS (engine joins md5-62
+            # hashes; a collision fails this compare); trim set pinned to
+            # space/tab/CR on both sides
+            f"WITH l AS (SELECT url, unnest(string_split(text, chr(10))) "
+            f"AS raw FROM read_parquet('{fixture}')), "
+            "nl AS (SELECT url, trim(raw, ' ' || chr(9) || chr(13)) AS line "
+            "FROM l WHERE trim(raw, ' ' || chr(9) || chr(13)) <> ''), "
+            "d AS (SELECT url, line, COUNT(*) AS mult FROM nl "
+            "GROUP BY url, line), "
+            "w AS (SELECT line, MIN(url) AS owner FROM d GROUP BY line) "
+            "SELECT d.url, CAST(SUM(d.mult) AS BIGINT) AS n_lines, "
+            "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+            "CAST(SUM(CASE WHEN d.url = w.owner THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_kept "
+            "FROM d JOIN w USING (line) GROUP BY d.url ORDER BY d.url"
         ),
         "pipeline_training_mix": (
             # the whole composition re-derived as chained CTEs, stage for

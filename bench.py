@@ -143,6 +143,7 @@ QUERY_NAMES = [
     "m_audio_features",
     "m_video_frames",
     "pipeline_training_mix",
+    "pipeline_line_dedup",
 ]
 
 

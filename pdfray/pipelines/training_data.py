@@ -411,3 +411,92 @@ def pipeline_training_mix(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+LINE_STRIP = " \t\r"  # normalization pinned on BOTH engine and oracle sides
+
+
+def pipeline_line_dedup(sf_dir: str):
+    """Line-level global dedup over REAL extraction output (the
+    CCNet/RefinedWeb boilerplate-removal shape: repeated header/footer
+    lines across a template-heavy crawl are owned by exactly one document).
+
+    Per document: total non-empty lines, distinct lines, and how many of
+    its distinct lines it OWNS (owner = minimum url among all documents
+    containing that exact normalized line — first-seen-wins).  Dataflow:
+    extraction -> one explode pass to (line-hash, url, multiplicity) rows
+    (text dropped in the worker; hashes keep the exchange narrow — the
+    oracle joins line STRINGS, so a collision fails the compare instead of
+    hiding) -> groupby(line) Min(url) winners -> hash join back ->
+    combiner-reduced per-url counts.  The 3-exchange plan is deliberate:
+    per-line map_groups was measured 2-4x worse on the same shape
+    (t_dup_spans docstring)."""
+    import ray.data  # noqa: F401  (ensures Dataset API importable)
+    from ray.data.aggregate import Min, Sum
+
+    extracted = _extracted(sf_dir).select_columns(["url", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        urls, lhs, mults = [], [], []
+        for url, text in zip(
+            t.column("url").to_pylist(), t.column("text").to_pylist()
+        ):
+            counts: dict = {}
+            for raw in (text or "").split("\n"):
+                line = raw.strip(LINE_STRIP)
+                if line:
+                    counts[line] = counts.get(line, 0) + 1
+            for line, mult in counts.items():
+                urls.append(url)
+                lhs.append(
+                    int.from_bytes(
+                        hashlib.md5(line.encode("utf-8")).digest()[:8], "big"
+                    )
+                    >> 2  # non-negative int64 join key
+                )
+                mults.append(mult)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "lh": pa.array(lhs, pa.int64()),
+                "mult": pa.array(mults, pa.int64()),
+            }
+        )
+
+    rows = (
+        extracted.map_batches(explode, batch_format="pyarrow")
+        .repartition(8)  # compact: the empty-first-block join quirk
+        .materialize()  # reused by the winner pass AND the join probe
+    )
+    winners = (
+        rows.groupby("lh").aggregate(Min("url", alias_name="owner")).repartition(4)
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = t.to_pandas()
+        df["kept"] = (df["url"] == df["owner"]).astype("int64")
+        df["one"] = np.int64(1)
+        g = df.groupby("url", as_index=False)[["mult", "one", "kept"]].sum()
+        return pa.table(
+            {
+                "url": pa.array(g["url"], pa.string()),
+                "n_lines": pa.array(g["mult"].astype("int64"), pa.int64()),
+                "n_distinct": pa.array(g["one"].astype("int64"), pa.int64()),
+                "n_kept": pa.array(g["kept"].astype("int64"), pa.int64()),
+            }
+        )
+
+    out = (
+        rows.join(winners, join_type="inner", num_partitions=8, on=("lh",))
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("n_distinct", alias_name="n_distinct"),
+            Sum("n_kept", alias_name="n_kept"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("url").reset_index(drop=True)

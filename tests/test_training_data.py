@@ -126,3 +126,50 @@ def test_training_mix_stage_invariants(ray_session):
         assert keys == sorted(keys)
     # determinism
     pd.testing.assert_frame_equal(out, pipeline_training_mix(sf))
+
+
+def test_line_dedup_ownership_recompute(ray_session):
+    """Independent recompute from the GOLDEN text (the engine path goes
+    through real extraction): per-url counts and the one-owner-per-line
+    invariant."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pdfray.pipelines.training_data import LINE_STRIP, pipeline_line_dedup
+    from pdfray.sources.fixtures import ensure_corpus_parquet
+
+    sf = "/root/testdata/sf0.001"
+    out = pipeline_line_dedup(sf).set_index("url")
+
+    path = ensure_corpus_parquet(sf)
+    gold = pd.concat(
+        [pq.read_table(f, columns=["url", "text"]).to_pandas()
+         for f in sorted(glob.glob(f"{path}/*.parquet"))]
+    )
+    per_doc = {}
+    owner = {}
+    for url, text in sorted(zip(gold["url"], gold["text"])):
+        counts = {}
+        for raw in (text or "").split("\n"):
+            line = raw.strip(LINE_STRIP)
+            if line:
+                counts[line] = counts.get(line, 0) + 1
+        if counts:
+            per_doc[url] = counts
+            for line in counts:
+                owner.setdefault(line, url)  # urls visited in sorted order
+
+    assert set(out.index) == set(per_doc)
+    total_kept = 0
+    for url, counts in per_doc.items():
+        assert out.loc[url, "n_lines"] == sum(counts.values())
+        assert out.loc[url, "n_distinct"] == len(counts)
+        kept = sum(1 for line in counts if owner[line] == url)
+        assert out.loc[url, "n_kept"] == kept
+        total_kept += kept
+    # every distinct line corpus-wide is owned exactly once
+    assert total_kept == len(owner)
+    assert (out["n_kept"] <= out["n_distinct"]).all()
+    assert (out["n_distinct"] <= out["n_lines"]).all()
