@@ -2023,8 +2023,16 @@ def t_delta_dedup(sf_dir: str):
     out = _read_documents(sf_dir).map_batches(
         warm_factory(("delta_dedup", ref.hex()), flag_factory),
         batch_format="pyarrow",
-    )
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ).to_pandas()
+    if len(out) == 0:  # empty new batch: keep the typed schema
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "fingerprint": pd.Series(dtype="object"),
+                "is_dup": pd.Series(dtype="bool"),
+            }
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # ----------------------------------------------------------------------
@@ -2256,12 +2264,23 @@ def t_dup_spans(sf_dir: str):
         )
         .repartition(4)
     )
-    counts = (
-        pairs.join(dup_grams, join_type="inner", num_partitions=8, on=("gh",))
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_dup_grams"))
-        .to_pandas()
-    )
+    dup_grams = dup_grams.materialize()
+    if dup_grams.count() == 0:
+        # no shared gram anywhere: a fully-empty join side loses its schema
+        # (the empty-first-block quirk), so short-circuit to all zeros
+        counts = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "n_dup_grams": pd.Series(dtype="int64"),
+            }
+        )
+    else:
+        counts = (
+            pairs.join(dup_grams, join_type="inner", num_partitions=8, on=("gh",))
+            .groupby("doc_id")
+            .aggregate(Count(alias_name="n_dup_grams"))
+            .to_pandas()
+        )
     all_ids = (
         _read_documents(sf_dir, ("doc_id",)).to_pandas().sort_values("doc_id")
     )

@@ -288,3 +288,40 @@ def test_temperature_sample_rebalances(ray_session, tmp_path):
         assert abs(got[lang] - expect) < 4 * (expect ** 0.5) + 10
     # post-sample shares are flatter than pre-sample ones
     assert got["en"] / got["fr"] < n_en / n_fr / 2
+
+
+def test_single_doc_corpus_degenerate_groups(ray_session, tmp_path):
+    """One-document corpus: every per-group/per-key operator must handle
+    the degenerate case (single lang, single source, no pairs) without
+    crashing and with sane values."""
+    from pdfray.pipelines.textops import (
+        t_bigram_logprob,
+        t_delta_dedup,
+        t_domain_cap,
+        t_dup_spans,
+        t_heavy_hitters,
+        t_shuffle_shards,
+        t_temperature_sample,
+    )
+
+    d = tmp_path / "one"
+    d.mkdir()
+    pq.write_table(
+        _docs_table([1], ["alpha beta alpha gamma"]), str(d / "documents.parquet")
+    )
+    sf = str(d)
+
+    assert list(t_domain_cap(sf)["doc_id"]) == [1]
+    bg = t_bigram_logprob(sf)
+    assert list(bg["n_bigrams"]) == [3]
+    sh = t_shuffle_shards(sf)
+    assert list(sh["pos"]) == [0]
+    # single lang == the minimum language: keep-all
+    assert list(t_temperature_sample(sf)["doc_id"]) == [1]
+    hh = t_heavy_hitters(sf, top_k=2)
+    assert list(zip(hh["word"], hh["tf"])) == [("alpha", 2), ("beta", 1)]
+    ds_ = t_dup_spans(sf)
+    assert list(ds_["n_dup_grams"]) == [0]
+    # doc_id 1 is "existing": the new batch is empty but typed
+    dd = t_delta_dedup(sf)
+    assert len(dd) == 0 and list(dd.columns) == ["doc_id", "fingerprint", "is_dup"]
