@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": R.q_sessionize,
         "q_retention_cohorts": R.q_retention_cohorts,
         "q_funnel": R.q_funnel,
+        "q_rolling_revenue": R.q_rolling_revenue,
         # text / dedup operators over documents
         "t_token_stats": T.t_token_stats,
         "t_stratified_sample": T.t_stratified_sample,
@@ -571,6 +572,18 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
             "FROM o ORDER BY event_id"
+        ),
+        "q_rolling_revenue": (
+            # RANGE frame over calendar days (current + 6 preceding);
+            # rounded to 2 decimals on both sides
+            "WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "SUM(value) AS revenue, CAST(COUNT(*) AS BIGINT) AS n_purchases "
+            "FROM events WHERE event_type = 'purchase' GROUP BY 1) "
+            "SELECT strftime(day, '%Y-%m-%d') AS day, "
+            "ROUND(revenue, 2) AS revenue, n_purchases, "
+            "ROUND(SUM(revenue) OVER (ORDER BY day RANGE BETWEEN "
+            "INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2) AS rolling_7d "
+            "FROM d ORDER BY day"
         ),
         "q_funnel": (
             # greedy earliest-path funnel: each step's frontier is the

@@ -105,6 +105,7 @@ QUERY_NAMES = [
     "q_sessionize",
     "q_retention_cohorts",
     "q_funnel",
+    "q_rolling_revenue",
     "t_token_stats",
     "t_stratified_sample",
     "t_temperature_sample",

@@ -868,3 +868,58 @@ def q_funnel(sf_dir: str):
     )
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values("step_idx").reset_index(drop=True)
+
+
+ROLLING_DAYS = 7
+
+
+def q_rolling_revenue(sf_dir: str):
+    """Daily purchase revenue with a 7-day trailing-window sum (current day
+    + 6 preceding calendar days) — the rolling-metric dashboard primitive.
+
+    Scale shape: the corpus collapses to one (day, revenue, n) row per
+    block inside map_batches, one combiner groupby reduces to |days| rows,
+    and the driver computes the rolling window over that tiny frame (a
+    window function over grouped output, not over events).  Revenue is
+    rounded to 2 decimals on both sides."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "events", ["ts", "event_type", "value"], rows_per_block=12_500
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"]
+        day = df["ts"].dt.normalize()
+        g = pd.DataFrame({"day": day, "revenue": df["value"]}).groupby(
+            "day", as_index=False
+        )
+        out = g.sum()
+        out["n_purchases"] = g.size()["size"].astype("int64")
+        out["day"] = out["day"].dt.strftime("%Y-%m-%d")
+        return out
+
+    daily = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_purchases", alias_name="n_purchases"),
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    dt = pd.to_datetime(daily["day"])
+    rev = daily["revenue"].to_numpy(np.float64)
+    rolling = np.empty(len(daily))
+    for i in range(len(daily)):  # |days| rows: driver-side window is fine
+        lo = dt[i] - pd.Timedelta(days=ROLLING_DAYS - 1)
+        mask = (dt >= lo) & (dt <= dt[i])
+        rolling[i] = rev[mask.to_numpy()].sum()
+    daily["revenue"] = daily["revenue"].round(2)
+    daily["rolling_7d"] = np.round(rolling, 2)
+    daily["n_purchases"] = daily["n_purchases"].astype("int64")
+    return daily

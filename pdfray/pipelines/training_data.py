@@ -232,7 +232,7 @@ def pipeline_summary(sf_dir: str):
     )
 
 
-def pipeline_training_mix(sf_dir: str):
+def pipeline_training_mix(sf_dir: str, out_dir: str = None, resume: bool = True):
     """Flagship corpus-shaping composition over the documents table: the
     stage order a web-scale pretraining mix actually runs.
 
@@ -251,9 +251,21 @@ def pipeline_training_mix(sf_dir: str):
     checkpoint the stream between stages exactly like
     ``clean_corpus(out_dir=...)`` does.  The whole chain has a single
     chained-CTE DuckDB oracle."""
+    import json
+    import os
+
     import numpy as np
     import ray
     from ray.data.aggregate import Count, Min
+
+    if out_dir is not None:
+        marker = os.path.join(out_dir, "_SUCCESS")
+        if resume and os.path.exists(marker):
+            with open(marker) as fh:
+                counts = json.load(fh)
+            counts["resumed"] = True
+            return counts
+        os.makedirs(out_dir, exist_ok=True)
 
     from .textops import (
         DECONTAM_BENCH_MOD,
@@ -403,13 +415,26 @@ def pipeline_training_mix(sf_dir: str):
         g["pos"] = np.arange(len(g), dtype=np.int64)
         return g[["doc_id", "lang", "source", "shard", "pos"]]
 
-    out = (
+    ranked = (
         surv()
         .map_batches(assign, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(pos_rank, batch_format="pandas")
-        .to_pandas()
     )
+    if out_dir is not None:
+        # PRODUCTION exit (same contract as clean_corpus): survivors land
+        # hive-partitioned by shard via the workers, only counts cross the
+        # driver, and the _SUCCESS marker makes a rerun a no-op.
+        data_dir = os.path.join(out_dir, "data")
+        ranked.write_parquet(data_dir, partition_cols=["shard"])
+        import pyarrow.dataset as pads
+
+        n_rows = pads.dataset(data_dir, partitioning="hive").count_rows()
+        counts = {"n_survivors": int(n_rows), "out_dir": out_dir}
+        with open(os.path.join(out_dir, "_SUCCESS"), "w") as fh:
+            json.dump(counts, fh)
+        return counts
+    out = ranked.to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

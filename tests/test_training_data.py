@@ -173,3 +173,32 @@ def test_line_dedup_ownership_recompute(ray_session):
     assert total_kept == len(owner)
     assert (out["n_kept"] <= out["n_distinct"]).all()
     assert (out["n_distinct"] <= out["n_lines"]).all()
+
+
+def test_training_mix_out_dir_write_and_resume(ray_session, tmp_path):
+    import glob
+    import json
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from pdfray.pipelines.training_data import pipeline_training_mix
+
+    sf = "/root/testdata/sf0.001"
+    out_dir = str(tmp_path / "mix")
+    counts = pipeline_training_mix(sf, out_dir=out_dir)
+    assert counts["n_survivors"] > 0 and "resumed" not in counts
+    # written layout matches the driver-contract result
+    want = pipeline_training_mix(sf)
+    got = (
+        pads.dataset(f"{out_dir}/data", partitioning="hive")
+        .to_table()
+        .to_pandas()
+    )
+    got["shard"] = got["shard"].astype("int64")  # hive col comes back string
+    got = got[want.columns].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(glob.glob(f"{out_dir}/data/shard=*")) == want["shard"].nunique()
+    # resume: marker short-circuits the rerun
+    again = pipeline_training_mix(sf, out_dir=out_dir)
+    assert again["resumed"] is True and again["n_survivors"] == counts["n_survivors"]
