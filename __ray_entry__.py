@@ -755,7 +755,7 @@ def oracle_sql() -> dict[str, str]:
             # distinct fingerprints; list_sort matches Python sorted() on
             # these ASCII tokens
             "WITH f AS (SELECT doc_id, md5(array_to_string(list_sort("
-            "list_distinct(list_filter(string_split(text, ' '), "
+            "list_distinct(list_filter(string_split_regex(text, '\\s+'), "
             "x -> x <> ''))), ' ')) AS fingerprint FROM documents), "
             "ex AS (SELECT DISTINCT fingerprint FROM f "
             "WHERE doc_id % 5 != 0) "
@@ -1087,7 +1087,7 @@ def oracle_sql() -> dict[str, str]:
             "k3 AS (SELECT * FROM k2 WHERE doc_id % 97 != 0 AND doc_id "
             "NOT IN (SELECT doc_id FROM contaminated)), "
             "fp AS (SELECT doc_id, md5(array_to_string(list_sort("
-            "list_distinct(list_filter(string_split(text, ' '), "
+            "list_distinct(list_filter(string_split_regex(text, '\\s+'), "
             "x -> x <> ''))), ' ')) AS f FROM k3), "
             "win AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f), "
             "k4 AS (SELECT k3.* FROM k3 JOIN win USING (doc_id)), "

@@ -730,7 +730,10 @@ def q_sessionize(sf_dir: str):
 
     def bucketize(t: pa.Table) -> pa.Table:
         users = t.column("user_id").to_numpy(zero_copy_only=False)
-        bucket = (users * np.uint64(0x9E3779B97F4A7C15)) % N_BUCKETS
+        # int64 * uint64-scalar silently promotes to FLOAT64 in numpy and
+        # rounds every product onto multiples of 1024+, collapsing all
+        # users into bucket 0 (one worker gets the whole table) — cast first
+        bucket = (users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % N_BUCKETS
         return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
@@ -773,8 +776,10 @@ def q_retention_cohorts(sf_dir: str):
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         d = df["ts"].dt.normalize()
         wk = d - pd.to_timedelta(df["ts"].dt.dayofweek, unit="D")
-        g = pd.DataFrame({"user_id": df["user_id"], "wk": wk, "ts": df["ts"]})
-        return g.groupby(["user_id", "wk"], as_index=False)["ts"].min()
+        g = pd.DataFrame({"user_id": df["user_id"], "wk": wk})
+        # distinct (user, week) is all downstream needs — the cohort is the
+        # MIN week, so no timestamp has to ride the shuffle
+        return g.drop_duplicates()
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         weeks = g["wk"].drop_duplicates().sort_values()
@@ -830,7 +835,10 @@ def q_funnel(sf_dir: str):
         mask = pc.is_in(t.column("event_type"), value_set=pa.array(FUNNEL_STEPS))
         t = t.filter(mask)
         users = t.column("user_id").to_numpy(zero_copy_only=False)
-        bucket = (users * np.uint64(0x9E3779B97F4A7C15)) % N_BUCKETS
+        # int64 * uint64-scalar silently promotes to FLOAT64 in numpy and
+        # rounds every product onto multiples of 1024+, collapsing all
+        # users into bucket 0 (one worker gets the whole table) — cast first
+        bucket = (users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % N_BUCKETS
         return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
@@ -843,9 +851,10 @@ def q_funnel(sf_dir: str):
         counts = [len(frontier)]
         for step in FUNNEL_STEPS[1:]:
             ev = g[g["event_type"] == step][["user_id", "ts"]]
-            ev = ev.merge(
-                frontier.rename("prev"), left_on="user_id", right_index=True
-            )
+            # plain column merge: a named-index merge propagates the index
+            # name and makes 'user_id' ambiguous in the next groupby
+            prev = frontier.rename("prev").reset_index()
+            ev = ev.merge(prev, on="user_id")
             frontier = ev[ev["ts"] > ev["prev"]].groupby("user_id")["ts"].min()
             counts.append(len(frontier))
         return pd.DataFrame(
@@ -862,6 +871,15 @@ def q_funnel(sf_dir: str):
         .map_groups(resolve, batch_format="pandas")
         .to_pandas()  # one row per (bucket, step): reduced
     )
+    if len(per_bucket) == 0:  # no funnel-type events at all: zero rows per
+        # step, matching the oracle's always-3-row output
+        return pd.DataFrame(
+            {
+                "step_idx": pd.array(range(1, len(FUNNEL_STEPS) + 1), "int64"),
+                "step": list(FUNNEL_STEPS),
+                "n_users": pd.array([0] * len(FUNNEL_STEPS), "int64"),
+            }
+        )
     out = (
         per_bucket.groupby(["step_idx", "step"], as_index=False)["n_users"]
         .sum()

@@ -926,9 +926,11 @@ def s_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, stats: d
     Per iteration: centroids ship once via ``ray.put``; every batch
     assigns its vectors (one matmul) and collapses to k x (dim+1) partial
     rows (per-centroid sum + count) — ZERO shuffle, the driver M-step sums
-    k x blocks reduced rows.  Euclidean objective; empty clusters re-seed
-    deterministically from the first batch rule; init = the k
-    lowest-vec_id vectors (seedless, so retries reproduce the run).  The
+    k x blocks reduced rows.  Euclidean objective; a cluster that receives
+    no points KEEPS its previous centroid (standard Lloyd choice — no
+    re-seeding, which keeps the run deterministic and matches the test's
+    reference implementation); init = the k lowest-vec_id vectors
+    (seedless, so retries reproduce the run).  The
     iteration loop is the part SQL cannot express — driver-checked
     rows-only, with an independent numpy reference implementation in the
     tests asserting bit-equal assignments and monotone inertia.

@@ -9,6 +9,7 @@ rows (hashes, bucket keys), never on full text where avoidable.
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 import zlib
 
@@ -358,10 +359,18 @@ def update_inverted_index(sf_dir: str, out_dir: str, min_doc_id: int) -> None:
 def compact_inverted_index(store_dir: str) -> dict:
     """Merge each bucket partition's files into one (per-bucket Ray task:
     buckets are independent, so compaction fans out across the cluster and
-    never touches unrelated partitions).  Atomic per bucket: the merged
-    file is written under a temp name then renamed before the old files
-    are removed, so a concurrent pruned read sees either layout, never
-    neither.  Returns {'files_before': n, 'files_after': m}."""
+    never touches unrelated partitions).
+
+    Consistency: the merged file is staged under a non-matching name, the
+    old files are RETIRED (renamed out of the readers' ``*.parquet`` glob)
+    and only then is the merged file published — so a concurrent reader
+    can briefly see a bucket with some postings missing, but NEVER
+    double-counted (publish-before-retire would double every posting in
+    the bucket during the window).  Crash-safe: ``.retired-`` files left
+    by an interrupted run are swept back in before compacting, so no
+    posting is ever lost and re-running converges.  Run during a
+    maintenance window when readers need point-in-time counts.
+    Returns {'files_before': n, 'files_after': m}."""
     import glob as _glob
     import os
     import uuid
@@ -375,16 +384,24 @@ def compact_inverted_index(store_dir: str) -> dict:
 
         import pyarrow.parquet as pq_
 
+        # recovery sweep: un-retire leftovers from an interrupted run
+        for f in glob.glob(os.path.join(bdir, ".retired-*")):
+            os.rename(f, os.path.join(bdir, os.path.basename(f)[len(".retired-"):]))
         files = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
         if len(files) <= 1:
             return (len(files), len(files))
         merged = pa.concat_tables([pq_.read_table(f) for f in files])
         tmp = os.path.join(bdir, f".compact-{uuid.uuid4().hex}.tmp")
         pq_.write_table(merged, tmp, row_group_size=64 * 1024)
+        retired = []
+        for f in files:  # retire first: readers must never double-count
+            r = os.path.join(bdir, ".retired-" + os.path.basename(f))
+            os.rename(f, r)
+            retired.append(r)
         final = os.path.join(bdir, f"compact-{uuid.uuid4().hex}.parquet")
         os.rename(tmp, final)
-        for f in files:
-            os.remove(f)
+        for r in retired:
+            os.remove(r)
         return (len(files), 1)
 
     buckets = sorted(_glob.glob(os.path.join(store_dir, "bucket=*")))
@@ -1669,6 +1686,27 @@ def _gram_hashes(text: str) -> np.ndarray:
     )
 
 
+def collect_bench_gram_hashes(sf_dir: str) -> np.ndarray:
+    """Distinct 8-gram hashes of the benchmark subset, reduced in the
+    workers (benchmark selection + hashing happen per batch; only per-block
+    distinct hashes reach the driver).  Shared by t_decontaminate and
+    pipeline_training_mix."""
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0)).column("text")
+        hs = [_gram_hashes(s) for s in texts.to_pylist()]
+        merged = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        return pa.table({"h": pa.array(merged, pa.uint64())})
+
+    return np.unique(
+        _read_documents(sf_dir)
+        .map_batches(bench_grams, batch_format="pyarrow")
+        .to_pandas()["h"]
+        .to_numpy()
+    ).astype(np.uint64)
+
+
 def t_decontaminate(sf_dir: str):
     """Benchmark decontamination via broadcast small side: the benchmark
     docs' distinct 8-gram hashes are collected ONCE (the benchmark is tiny
@@ -1680,22 +1718,7 @@ def t_decontaminate(sf_dir: str):
     groupby) shuffles every gram of every document."""
     import ray
 
-    def bench_grams(t: pa.Table) -> pa.Table:
-        # benchmark selection + gram hashing happen IN the workers; only
-        # per-block distinct hashes reach the driver for the final unique
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0)).column("text")
-        hs = [_gram_hashes(s) for s in texts.to_pylist()]
-        merged = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
-        return pa.table({"h": pa.array(merged, pa.uint64())})
-
-    bench_hashes = np.unique(
-        _read_documents(sf_dir)
-        .map_batches(bench_grams, batch_format="pyarrow")
-        .to_pandas()["h"]
-        .to_numpy()
-    ).astype(np.uint64)
-    ref = ray.put(bench_hashes)
+    ref = ray.put(collect_bench_gram_hashes(sf_dir))
 
     def flag_factory():
         table = ray.get(ref)  # once per worker process, zero-copy numpy
@@ -1735,6 +1758,22 @@ def t_decontaminate(sf_dir: str):
 DOMAIN_CAP = 20
 
 
+def domain_cap_prune(df: pd.DataFrame, cap: int) -> pd.DataFrame:
+    """Per-batch per-source top-``cap`` prune (runs BEFORE the shuffle)."""
+    df = df.sort_values(
+        ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    return df.groupby("source", sort=False).head(cap)
+
+
+def domain_cap_rank(g: pd.DataFrame, cap: int) -> pd.DataFrame:
+    """Final per-source merge: ranked top-``cap`` by (n_chars DESC, doc_id)."""
+    g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(cap)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g
+
+
 def t_domain_cap(sf_dir: str, cap: int = DOMAIN_CAP):
     """Per-domain document cap: top-``cap`` docs per source by
     (n_chars DESC, doc_id ASC), with the per-source rank.
@@ -1748,23 +1787,11 @@ def t_domain_cap(sf_dir: str, cap: int = DOMAIN_CAP):
     domain" webtext step needs at 100 TB — a naive window function would
     sort the whole corpus."""
 
-    def prune(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["source", "n_chars", "doc_id"], ascending=[True, False, True]
-        )
-        return df.groupby("source", sort=False).head(cap)
-
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(cap)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
     out = (
         _read_documents(sf_dir, ("doc_id", "source", "n_chars"))
-        .map_batches(prune, batch_format="pandas")
+        .map_batches(lambda df: domain_cap_prune(df, cap), batch_format="pandas")
         .groupby("source")
-        .map_groups(rank, batch_format="pandas")
+        .map_groups(lambda g: domain_cap_rank(g, cap), batch_format="pandas")
     )
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
@@ -2150,20 +2177,11 @@ TEMP_ALPHA = 0.5  # share exponent; 0.5 => keep-rate sqrt(n_min/n_lang).
 # (a generic pow() is not correctly rounded and could differ by 1 ulp).
 
 
-def t_temperature_sample(sf_dir: str):
-    """Deterministic temperature sampling across languages.
-
-    Two passes, like every global-statistic reweighting at 100 TB: pass 1
-    reduces the corpus to per-language counts (combiner groupby, |langs|
-    rows to the driver); the keep-rate per language is
-    ``(n_min / n_lang) ** (1 - TEMP_ALPHA)`` — the smallest language keeps
-    everything, larger ones shrink toward the temperature-flattened share.
-    Pass 2 streams the corpus through a filter whose keep decision is an
-    md5 prefix of the doc id against the language's rate threshold (RNG-
-    free: retries, resumes, and repartitioning reproduce the identical
-    sample — same property as t_stratified_sample, independent salt).  The
-    tiny threshold table ships inside the task closure; a real deployment
-    with thousands of language codes would ray.put it."""
+def temperature_thresholds(sf_dir: str) -> dict:
+    """Per-language md5-prefix keep-thresholds for temperature sampling
+    (pass 1: combiner-reduced lang counts; |langs| rows to the driver).
+    Shared by t_temperature_sample and pipeline_training_mix so the two
+    can never drift from each other or from the chained-CTE oracle."""
     from ray.data.aggregate import Count
 
     counts = (
@@ -2178,21 +2196,40 @@ def t_temperature_sample(sf_dir: str):
         if int(n) <= n_min:
             thresholds[lang] = "zzzz"  # keep-all sentinel: every hex < 'z'
         else:
-            p = (n_min / float(n)) ** (1.0 - TEMP_ALPHA)
+            p = math.sqrt(n_min / float(n))  # NOT pow(): see TEMP_ALPHA note
             thresholds[lang] = format(int(np.floor(65536.0 * p)), "04x")
+    return thresholds
 
-    def sample(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        langs = t.column("lang").to_pylist()
-        keep = [
-            hashlib.md5(f"temp:{i}".encode()).hexdigest()[:4]
-            < thresholds.get(lang, "0000")
-            for i, lang in zip(ids, langs)
-        ]
-        return t.filter(pa.array(keep, pa.bool_()))
 
+def temperature_filter(t: pa.Table, thresholds: dict) -> pa.Table:
+    """Pass 2: the deterministic md5-prefix keep decision (RNG-free)."""
+    ids = t.column("doc_id").to_pylist()
+    langs = t.column("lang").to_pylist()
+    keep = [
+        hashlib.md5(f"temp:{i}".encode()).hexdigest()[:4]
+        < thresholds.get(lang, "0000")
+        for i, lang in zip(ids, langs)
+    ]
+    return t.filter(pa.array(keep, pa.bool_()))
+
+
+def t_temperature_sample(sf_dir: str):
+    """Deterministic temperature sampling across languages.
+
+    Two passes, like every global-statistic reweighting at 100 TB: pass 1
+    reduces the corpus to per-language counts (combiner groupby, |langs|
+    rows to the driver); the keep-rate per language is
+    ``(n_min / n_lang) ** (1 - TEMP_ALPHA)`` — the smallest language keeps
+    everything, larger ones shrink toward the temperature-flattened share.
+    Pass 2 streams the corpus through a filter whose keep decision is an
+    md5 prefix of the doc id against the language's rate threshold (RNG-
+    free: retries, resumes, and repartitioning reproduce the identical
+    sample — same property as t_stratified_sample, independent salt).  The
+    tiny threshold table ships inside the task closure; a real deployment
+    with thousands of language codes would ray.put it."""
+    thresholds = temperature_thresholds(sf_dir)
     ds = _read_documents(sf_dir, ("doc_id", "lang", "source")).map_batches(
-        sample, batch_format="pyarrow"
+        lambda t: temperature_filter(t, thresholds), batch_format="pyarrow"
     )
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 

@@ -270,86 +270,53 @@ def pipeline_training_mix(sf_dir: str, out_dir: str = None, resume: bool = True)
     from .textops import (
         DECONTAM_BENCH_MOD,
         DOMAIN_CAP,
-        TEMP_ALPHA,
         _gram_hashes,
         _read_documents,
         _shard_key,
         _wordset_fingerprint,
         N_TRAIN_SHARDS,
+        collect_bench_gram_hashes,
+        domain_cap_prune,
+        domain_cap_rank,
+        temperature_filter,
+        temperature_thresholds,
         warm_factory,
     )
 
-    # ---- stage 1: temperature thresholds (identical to t_temperature_sample)
-    counts = (
-        _read_documents(sf_dir, ("lang",))
-        .groupby("lang")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
-    n_min = int(counts["n"].min())
-    thresholds = {}
-    for lang, n in zip(counts["lang"], counts["n"]):
-        if int(n) <= n_min:
-            thresholds[lang] = "zzzz"
-        else:
-            p = (n_min / float(n)) ** (1.0 - TEMP_ALPHA)
-            thresholds[lang] = format(int(np.floor(65536.0 * p)), "04x")
-
-    def temp_filter(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        langs = t.column("lang").to_pylist()
-        keep = [
-            hashlib.md5(f"temp:{i}".encode()).hexdigest()[:4]
-            < thresholds.get(lang, "0000")
-            for i, lang in zip(ids, langs)
-        ]
-        return t.filter(pa.array(keep, pa.bool_()))
+    # ---- stage 1: temperature thresholds (the SAME helper as
+    # t_temperature_sample — the chained-CTE oracle asserts stage-for-stage
+    # identity, so the stages are shared, not copied)
+    thresholds = temperature_thresholds(sf_dir)
 
     def stream():
         return _read_documents(
             sf_dir, ("doc_id", "text", "lang", "source", "n_chars")
-        ).map_batches(temp_filter, batch_format="pyarrow")
-
-    # ---- stage 2: per-domain cap winners (bounded: cap x |sources| ids)
-    def prune(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+        ).map_batches(
+            lambda t: temperature_filter(t, thresholds), batch_format="pyarrow"
         )
-        return df.groupby("source", sort=False).head(DOMAIN_CAP)
 
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["n_chars", "doc_id"], ascending=[False, True]
-        ).head(DOMAIN_CAP)
-
+    # ---- stage 2: per-domain cap winners (bounded: cap x |sources| ids;
+    # same prune/rank helpers as t_domain_cap)
     cap_ids = (
         stream()
         .map_batches(
             lambda t: t.select(["doc_id", "source", "n_chars"]),
             batch_format="pyarrow",
         )
-        .map_batches(prune, batch_format="pandas")
+        .map_batches(
+            lambda df: domain_cap_prune(df, DOMAIN_CAP), batch_format="pandas"
+        )
         .groupby("source")
-        .map_groups(rank, batch_format="pandas")
+        .map_groups(
+            lambda g: domain_cap_rank(g, DOMAIN_CAP), batch_format="pandas"
+        )
         .to_pandas()["doc_id"]
         .to_numpy()
     )
     cap_set = np.sort(cap_ids.astype(np.int64))
 
-    # ---- stage 3: benchmark gram hashes over the FULL corpus (broadcast)
-    def bench_grams(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0)).column("text")
-        hs = [_gram_hashes(s) for s in texts.to_pylist()]
-        merged = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
-        return pa.table({"h": pa.array(merged, pa.uint64())})
-
-    bench = np.unique(
-        _read_documents(sf_dir)
-        .map_batches(bench_grams, batch_format="pyarrow")
-        .to_pandas()["h"]
-        .to_numpy()
-    ).astype(np.uint64)
+    # ---- stage 3: benchmark gram hashes (same helper as t_decontaminate)
+    bench = collect_bench_gram_hashes(sf_dir)
     bench_ref = ray.put((cap_set, bench))
 
     def survivors_factory():

@@ -1054,3 +1054,15 @@ def test_kmeans_matches_numpy_reference_and_converges(ray_session, tmp_path):
     inert = st["inertia"]
     assert all(b <= a + 1e-6 for a, b in zip(inert, inert[1:]))
     np.testing.assert_allclose(st["centroids"], C, rtol=1e-9)
+
+
+def test_user_bucketize_actually_distributes():
+    """Regression: int64 user ids x uint64 hash constant must spread across
+    buckets — the unfixed numpy promotion to float64 collapsed EVERY user
+    into bucket 0 (one worker got the whole table)."""
+    users = np.arange(0, 150, dtype=np.int64)
+    bucket = (users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % 64
+    assert len(np.unique(bucket)) > 32  # well spread over 64 buckets
+    # and the buggy form really did collapse (documents the why)
+    bad = (users * np.uint64(0x9E3779B97F4A7C15)) % 64
+    assert len(np.unique(bad[1:])) <= 2
