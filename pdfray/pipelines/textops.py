@@ -2068,6 +2068,7 @@ def t_delta_dedup(sf_dir: str):
 # every dedup pipeline needs.  Engine-added brief; no reference analog.
 
 CC_MAX_ITERS = 64
+CC_DRIVER_MAX_PAIRS = 200_000  # below this the pair list is driver-sized
 
 
 def _cc_min_label(edges_ds, num_partitions: int = 4):
@@ -2158,8 +2159,35 @@ def t_dup_components(sf_dir: str, jaccard_threshold: float = 0.8):
     if verified is None:
         return empty
     verified = verified.materialize()
-    if verified.count() == 0:  # every candidate was refuted
+    n_pairs = verified.count()
+    if n_pairs == 0:  # every candidate was refuted
         return empty
+    if n_pairs <= CC_DRIVER_MAX_PAIRS:
+        # the verified pair list IS the reduced output (t_minhash_pairs
+        # returns exactly this frame to the driver) — at this size a
+        # driver union-find beats paying the per-round shuffle machinery
+        # of label propagation; the distributed path below stays the scale
+        # route and is exercised directly by the _cc_min_label tests
+        pairs_df = verified.to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        out = pd.DataFrame(
+            {
+                "doc_id": sorted(parent),
+                "component": [find(n) for n in sorted(parent)],
+            }
+        ).astype("int64")
+        return out.reset_index(drop=True)
     labels = _cc_min_label(verified)
     out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "component"})
     return out.sort_values("doc_id").reset_index(drop=True)
