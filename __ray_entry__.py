@@ -293,11 +293,9 @@ def _image_hash_oracle() -> str:
     rows = []
     n = FX.sf_doc_count(0.01)
     for k in range(n):
-        w = 8 + (k * 7) % 113
-        h = 8 + (k * 11) % 97
-        form = FX._MEDIA_FORMS[k % len(FX._MEDIA_FORMS)]
+        w, h, form, _filt, broken = FX.media_geometry(k)
         px, pal = FX._media_pixels(k, w, h, form)
-        if k % 13 in (5, 11):  # the planted broken rows
+        if broken:  # the planted broken rows
             rows.append((f"https://img.example.org/broken/{k:08d}.png", False, ""))
             continue
         if pal is not None:  # palette: expand like the decoder's PLTE path

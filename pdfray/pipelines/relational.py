@@ -112,6 +112,19 @@ class _Membership:
         return t.filter(pc.is_in(t.column(self.key_col), value_set=self.keys))
 
 
+def _user_bucket(users, n_buckets: int):
+    """Hash-bucket int64 user ids.  The uint64 cast is load-bearing: an
+    int64 array times a uint64 SCALAR silently promotes to float64 in
+    numpy, rounding every product onto coarse multiples and collapsing all
+    users into bucket 0 (one worker got the whole table) — pinned by
+    tests/test_textops_ray.py::test_user_bucketize_actually_distributes."""
+    import numpy as np
+
+    return (
+        users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    ) % n_buckets
+
+
 # ----------------------------------------------------------------------
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape: grouped pricing summary over lineitem."""
@@ -730,10 +743,7 @@ def q_sessionize(sf_dir: str):
 
     def bucketize(t: pa.Table) -> pa.Table:
         users = t.column("user_id").to_numpy(zero_copy_only=False)
-        # int64 * uint64-scalar silently promotes to FLOAT64 in numpy and
-        # rounds every product onto multiples of 1024+, collapsing all
-        # users into bucket 0 (one worker gets the whole table) — cast first
-        bucket = (users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % N_BUCKETS
+        bucket = _user_bucket(users, N_BUCKETS)
         return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
@@ -835,10 +845,7 @@ def q_funnel(sf_dir: str):
         mask = pc.is_in(t.column("event_type"), value_set=pa.array(FUNNEL_STEPS))
         t = t.filter(mask)
         users = t.column("user_id").to_numpy(zero_copy_only=False)
-        # int64 * uint64-scalar silently promotes to FLOAT64 in numpy and
-        # rounds every product onto multiples of 1024+, collapsing all
-        # users into bucket 0 (one worker gets the whole table) — cast first
-        bucket = (users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % N_BUCKETS
+        bucket = _user_bucket(users, N_BUCKETS)
         return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:

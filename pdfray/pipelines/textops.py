@@ -335,25 +335,63 @@ def build_inverted_index(sf_dir: str, out_dir: str) -> None:
     ).write_parquet(out_dir, partition_cols=["bucket"])
 
 
-def update_inverted_index(sf_dir: str, out_dir: str, min_doc_id: int) -> None:
+def update_inverted_index(
+    sf_dir: str, out_dir: str, min_doc_id: int, delta_id: str = None
+) -> None:
     """Incremental (watermark) append to an existing bucket store: only
     the delta docs (doc_id >= min_doc_id) are tokenized, and their postings
-    are written into the SAME hive layout — write_parquet emits
-    uniquely-named files, so existing bucket partitions gain files and
-    nothing is rewritten.  Readers see old + new postings as one directory
-    scan; `compact_inverted_index` restores file-count hygiene after many
-    deltas.  This is the daily-crawl index maintenance shape: index cost
-    scales with the delta, not the corpus."""
+    land in the SAME hive layout.  `compact_inverted_index` restores
+    file-count hygiene after many deltas.  This is the daily-crawl index
+    maintenance shape: index cost scales with the delta, not the corpus.
+
+    Idempotency (pass ``delta_id``, e.g. the crawl date): the delta is
+    staged to a scratch dir, any ``delta-{id}-*`` files from a previous
+    crashed attempt are removed, the staged files are renamed into the
+    bucket partitions under DETERMINISTIC ``delta-{id}-`` names, and a
+    ``_delta_{id}_SUCCESS`` marker makes a rerun a no-op — so a retried
+    job can never double-append postings.  Without ``delta_id`` the append
+    is fire-once (the original uniquely-named-files behavior)."""
 
     def delta_only(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         return t.filter(pa.array(ids >= min_doc_id))
 
-    _read_documents(sf_dir).map_batches(
+    postings = _read_documents(sf_dir).map_batches(
         delta_only, batch_format="pyarrow"
-    ).map_batches(_postings_batch, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["bucket"]
-    )
+    ).map_batches(_postings_batch, batch_format="pyarrow")
+    if delta_id is None:
+        postings.write_parquet(out_dir, partition_cols=["bucket"])
+        return
+
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    marker = os.path.join(out_dir, f"_delta_{delta_id}_SUCCESS")
+    if os.path.exists(marker):
+        return  # this delta is already committed
+    stage = tempfile.mkdtemp(prefix=f".delta-{delta_id}-", dir=out_dir)
+    try:
+        postings.write_parquet(stage, partition_cols=["bucket"])
+        for bdir in sorted(_glob.glob(os.path.join(stage, "bucket=*"))):
+            bucket = os.path.basename(bdir)
+            dest = os.path.join(out_dir, bucket)
+            os.makedirs(dest, exist_ok=True)
+            # clear a crashed attempt's partial move, then commit under
+            # deterministic names (retry-safe: same names overwrite)
+            for f in _glob.glob(os.path.join(dest, f"delta-{delta_id}-*")):
+                os.remove(f)
+            for i, f in enumerate(
+                sorted(_glob.glob(os.path.join(bdir, "*.parquet")))
+            ):
+                os.replace(
+                    f, os.path.join(dest, f"delta-{delta_id}-{i:05d}.parquet")
+                )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def compact_inverted_index(store_dir: str) -> dict:
@@ -366,9 +404,11 @@ def compact_inverted_index(store_dir: str) -> dict:
     and only then is the merged file published — so a concurrent reader
     can briefly see a bucket with some postings missing, but NEVER
     double-counted (publish-before-retire would double every posting in
-    the bucket during the window).  Crash-safe: ``.retired-`` files left
-    by an interrupted run are swept back in before compacting, so no
-    posting is ever lost and re-running converges.  Run during a
+    the bucket during the window).  Crash-safe via a per-bucket intent
+    manifest written BEFORE any mutation: recovery rolls forward (finish
+    deleting retired files) when the merged file was published, and rolls
+    back (restore retired files) when it was not — either way no posting
+    is lost or double-counted and re-running converges.  Run during a
     maintenance window when readers need point-in-time counts.
     Returns {'files_before': n, 'files_after': m}."""
     import glob as _glob
@@ -380,28 +420,53 @@ def compact_inverted_index(store_dir: str) -> dict:
     @ray.remote
     def _compact_bucket(bdir: str) -> tuple:
         import glob
+        import json as _json
         import os
 
         import pyarrow.parquet as pq_
 
-        # recovery sweep: un-retire leftovers from an interrupted run
-        for f in glob.glob(os.path.join(bdir, ".retired-*")):
-            os.rename(f, os.path.join(bdir, os.path.basename(f)[len(".retired-"):]))
+        manifest = os.path.join(bdir, ".compact-manifest")
+        # recovery: the manifest says which way an interrupted run must roll.
+        # Final published -> the merge already CONTAINS the retired rows:
+        # finish the delete (restoring them would double-count).  Final
+        # absent -> the merge never happened: restore the retired files.
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                m = _json.load(fh)
+            if os.path.exists(os.path.join(bdir, m["final"])):
+                for r in m["retired"]:
+                    p = os.path.join(bdir, r)
+                    if os.path.exists(p):
+                        os.remove(p)
+            else:
+                for r in m["retired"]:
+                    p = os.path.join(bdir, r)
+                    if os.path.exists(p):
+                        os.rename(
+                            p, os.path.join(bdir, r[len(".retired-"):])
+                        )
+            os.remove(manifest)
+        for f in glob.glob(os.path.join(bdir, ".compact-*.tmp")):
+            os.remove(f)  # orphan staging files from any crashed run
         files = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
         if len(files) <= 1:
             return (len(files), len(files))
         merged = pa.concat_tables([pq_.read_table(f) for f in files])
-        tmp = os.path.join(bdir, f".compact-{uuid.uuid4().hex}.tmp")
+        token = uuid.uuid4().hex
+        tmp = os.path.join(bdir, f".compact-{token}.tmp")
         pq_.write_table(merged, tmp, row_group_size=64 * 1024)
-        retired = []
-        for f in files:  # retire first: readers must never double-count
-            r = os.path.join(bdir, ".retired-" + os.path.basename(f))
-            os.rename(f, r)
-            retired.append(r)
-        final = os.path.join(bdir, f"compact-{uuid.uuid4().hex}.parquet")
-        os.rename(tmp, final)
-        for r in retired:
-            os.remove(r)
+        retired_names = [".retired-" + os.path.basename(f) for f in files]
+        final_name = f"compact-{token}.parquet"
+        mtmp = manifest + ".tmp"
+        with open(mtmp, "w") as fh:
+            _json.dump({"final": final_name, "retired": retired_names}, fh)
+        os.rename(mtmp, manifest)  # intent recorded BEFORE any mutation
+        for f, r in zip(files, retired_names):
+            os.rename(f, os.path.join(bdir, r))
+        os.rename(tmp, os.path.join(bdir, final_name))
+        for r in retired_names:
+            os.remove(os.path.join(bdir, r))
+        os.remove(manifest)
         return (len(files), 1)
 
     buckets = sorted(_glob.glob(os.path.join(store_dir, "bucket=*")))
@@ -1914,6 +1979,15 @@ def _shard_key(doc_id: int) -> str:
     return hashlib.md5(f"{SHUFFLE_SEED}:{doc_id}".encode()).hexdigest()[:8]
 
 
+def shard_assignments(doc_ids):
+    """(keys, shards) for a list of doc ids — THE shard-derivation rule,
+    shared by t_shuffle_shards, write_training_shards and
+    pipeline_training_mix so their layouts can never drift."""
+    keys = [_shard_key(i) for i in doc_ids]
+    shards = [int(k, 16) % N_TRAIN_SHARDS for k in keys]
+    return keys, shards
+
+
 def t_shuffle_shards(sf_dir: str):
     """Deterministic seeded shuffle into training shards.
 
@@ -1929,9 +2003,7 @@ def t_shuffle_shards(sf_dir: str):
     exit that lays the corpus out hive-partitioned by shard."""
 
     def key(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        keys = [_shard_key(i) for i in ids]
-        shards = [int(k, 16) % N_TRAIN_SHARDS for k in keys]
+        keys, shards = shard_assignments(t.column("doc_id").to_pylist())
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
@@ -1963,9 +2035,7 @@ def write_training_shards(sf_dir: str, out_dir: str) -> None:
     working notes)."""
 
     def key(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        keys = [_shard_key(i) for i in ids]
-        shards = [int(k, 16) % N_TRAIN_SHARDS for k in keys]
+        keys, shards = shard_assignments(t.column("doc_id").to_pylist())
         return t.append_column("shard", pa.array(shards, pa.int64())).append_column(
             "k", pa.array(keys, pa.string())
         )

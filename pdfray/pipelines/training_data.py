@@ -272,12 +272,12 @@ def pipeline_training_mix(sf_dir: str, out_dir: str = None, resume: bool = True)
         DOMAIN_CAP,
         _gram_hashes,
         _read_documents,
-        _shard_key,
         _wordset_fingerprint,
         N_TRAIN_SHARDS,
         collect_bench_gram_hashes,
         domain_cap_prune,
         domain_cap_rank,
+        shard_assignments,
         temperature_filter,
         temperature_thresholds,
         warm_factory,
@@ -362,9 +362,7 @@ def pipeline_training_mix(sf_dir: str, out_dir: str = None, resume: bool = True)
     def assign(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         t = t.filter(pa.array(np.isin(ids, winners)))
-        ids = t.column("doc_id").to_pylist()
-        keys = [_shard_key(i) for i in ids]
-        shards = [int(k, 16) % N_TRAIN_SHARDS for k in keys]
+        keys, shards = shard_assignments(t.column("doc_id").to_pylist())
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
@@ -393,6 +391,13 @@ def pipeline_training_mix(sf_dir: str, out_dir: str = None, resume: bool = True)
         # hive-partitioned by shard via the workers, only counts cross the
         # driver, and the _SUCCESS marker makes a rerun a no-op.
         data_dir = os.path.join(out_dir, "data")
+        if os.path.isdir(data_dir):  # stale partial output from a failed
+            # run: write_parquet appends uniquely-named files, so without
+            # this a rerun would double every surviving doc (clean_corpus
+            # has the same guard)
+            import shutil
+
+            shutil.rmtree(data_dir)
         ranked.write_parquet(data_dir, partition_cols=["shard"])
         import pyarrow.dataset as pads
 

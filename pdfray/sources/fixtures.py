@@ -789,6 +789,19 @@ _MEDIA_FORMS = ("gray", "ga", "rgb", "rgba", "palette")
 _MEDIA_FILTERS = (0, 1, 2, 3, 4, "adaptive")
 
 
+def media_geometry(k: int):
+    """THE per-index media-row spec: (w, h, form, filter, broken).  Shared
+    by the encode path (`media_rows`) and the pre-encode golden path
+    (`__ray_entry__._image_hash_oracle`) so a fixture change can never
+    leave the oracle deriving stale geometry."""
+    w = 8 + (k * 7) % 113
+    h = 8 + (k * 11) % 97
+    form = _MEDIA_FORMS[k % len(_MEDIA_FORMS)]
+    filt = _MEDIA_FILTERS[k % len(_MEDIA_FILTERS)]
+    broken = k % 13 in (5, 11)
+    return w, h, form, filt, broken
+
+
 def media_rows(n_images: int, seed: int = SEED):
     """Yield (url, payload, media_type, width, height) deterministically.
 
@@ -801,10 +814,7 @@ def media_rows(n_images: int, seed: int = SEED):
     from ..core.png import encode_png
 
     for k in range(n_images):
-        w = 8 + (k * 7) % 113
-        h = 8 + (k * 11) % 97
-        form = _MEDIA_FORMS[k % len(_MEDIA_FORMS)]
-        filt = _MEDIA_FILTERS[k % len(_MEDIA_FILTERS)]
+        w, h, form, filt, _broken = media_geometry(k)
         px, pal = _media_pixels(k, w, h, form)
         payload = encode_png(px, palette=pal, filter_type=filt)
         name = form

@@ -1066,3 +1066,96 @@ def test_user_bucketize_actually_distributes():
     # and the buggy form really did collapse (documents the why)
     bad = (users * np.uint64(0x9E3779B97F4A7C15)) % 64
     assert len(np.unique(bad[1:])) <= 2
+
+
+def test_inverted_index_delta_idempotent_and_compaction_recovery(
+    ray_session, tmp_path
+):
+    """Retried delta appends must not double postings, and a compaction
+    that crashed after publishing must roll FORWARD (delete retired files,
+    never restore them next to the merged copy)."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.textops import (
+        build_inverted_index,
+        compact_inverted_index,
+        query_inverted_index,
+        update_inverted_index,
+    )
+
+    texts = [f"alpha w{i} shared" for i in range(30)]
+    rows = {
+        "doc_id": list(range(30)),
+        "text": texts,
+        "lang": ["en"] * 30,
+        "source": ["t"] * 30,
+        "n_chars": [len(s) for s in texts],
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq_.write_table(pa.table(rows), str(d / "documents.parquet"))
+    half = {k: [v[i] for i in range(15)] for k, v in rows.items()}
+    dh = tmp_path / "half"
+    dh.mkdir()
+    pq_.write_table(pa.table(half), str(dh / "documents.parquet"))
+
+    store = str(tmp_path / "idx")
+    build_inverted_index(str(dh), store)
+    update_inverted_index(str(d), store, min_doc_id=15, delta_id="d1")
+    want = query_inverted_index(store, ["alpha", "shared", "w20"])
+    # retried delta (same id): marker short-circuits, postings unchanged
+    update_inverted_index(str(d), store, min_doc_id=15, delta_id="d1")
+    pd.testing.assert_frame_equal(
+        query_inverted_index(store, ["alpha", "shared", "w20"]), want
+    )
+    # simulate a crash mid-commit: marker removed, one bucket's delta files
+    # partially present — rerun must converge to the same postings
+    os.remove(f"{store}/_delta_d1_SUCCESS")
+    update_inverted_index(str(d), store, min_doc_id=15, delta_id="d1")
+    pd.testing.assert_frame_equal(
+        query_inverted_index(store, ["alpha", "shared", "w20"]), want
+    )
+
+    # compaction roll-forward: craft the crashed state (final published,
+    # retired files still on disk, manifest present)
+    stats = compact_inverted_index(store)
+    assert stats["files_after"] <= stats["files_before"]
+    pd.testing.assert_frame_equal(
+        query_inverted_index(store, ["alpha", "shared", "w20"]), want
+    )
+    bdirs = [b for b in sorted(glob.glob(f"{store}/bucket=*"))
+             if glob.glob(os.path.join(b, "*.parquet"))]
+    bdir = bdirs[0]
+    final = sorted(glob.glob(os.path.join(bdir, "*.parquet")))[0]
+    retired_name = ".retired-stale.parquet"
+    shutil.copy(final, os.path.join(bdir, retired_name))  # stale original
+    with open(os.path.join(bdir, ".compact-manifest"), "w") as fh:
+        json.dump(
+            {"final": os.path.basename(final), "retired": [retired_name]}, fh
+        )
+    compact_inverted_index(store)  # recovery must DELETE the retired copy
+    assert not glob.glob(os.path.join(bdir, ".retired-*"))
+    pd.testing.assert_frame_equal(
+        query_inverted_index(store, ["alpha", "shared", "w20"]), want
+    )
+    # and roll-back: manifest present but final missing -> restore retired
+    files = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
+    victim = files[0]
+    os.rename(victim, os.path.join(bdir, ".retired-" + os.path.basename(victim)))
+    with open(os.path.join(bdir, ".compact-manifest"), "w") as fh:
+        json.dump(
+            {
+                "final": "compact-nonexistent.parquet",
+                "retired": [".retired-" + os.path.basename(victim)],
+            },
+            fh,
+        )
+    compact_inverted_index(store)
+    pd.testing.assert_frame_equal(
+        query_inverted_index(store, ["alpha", "shared", "w20"]), want
+    )
