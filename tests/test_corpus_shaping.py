@@ -325,3 +325,52 @@ def test_single_doc_corpus_degenerate_groups(ray_session, tmp_path):
     # doc_id 1 is "existing": the new batch is empty but typed
     dd = t_delta_dedup(sf)
     assert len(dd) == 0 and list(dd.columns) == ["doc_id", "fingerprint", "is_dup"]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bigram_and_domain_cap_random_cross_check(ray_session, tmp_path, seed):
+    """Randomized corpora (varying vocab, doc lengths, sources) against
+    independent pure-Python/pandas recomputes."""
+    import math
+    from collections import Counter
+
+    from pdfray.pipelines.textops import t_bigram_logprob, t_domain_cap
+
+    rng = np.random.RandomState(100 + seed)
+    n = 80
+    vocab = [f"w{j}" for j in range(rng.randint(5, 40))]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 30)))
+        for _ in range(n)
+    ]
+    sources = [f"s{rng.randint(0, 5)}" for _ in range(n)]
+    d = tmp_path / f"rc{seed}"
+    d.mkdir()
+    pq.write_table(_docs_table(list(range(n)), texts, sources), str(d / "documents.parquet"))
+
+    # bigram scorer vs plain-loop reference
+    c2, c1 = Counter(), Counter()
+    for s in texts:
+        w = s.split()
+        for x, y in zip(w, w[1:]):
+            c2[(x, y)] += 1
+            c1[x] += 1
+    out = t_bigram_logprob(str(d)).set_index("doc_id")
+    for i, s in enumerate(texts):
+        w = s.split()
+        lp = sum(math.log(c2[(x, y)] / c1[x]) for x, y in zip(w, w[1:]))
+        assert out.loc[i, "n_bigrams"] == max(len(w) - 1, 0)
+        assert out.loc[i, "logprob_x1e3"] == math.floor(lp * 1000 + 0.5)
+
+    # domain cap vs a pandas window recompute
+    docs = pd.DataFrame(
+        {"doc_id": range(n), "source": sources, "n_chars": [len(s) for s in texts]}
+    )
+    docs = docs.sort_values(["source", "n_chars", "doc_id"], ascending=[True, False, True])
+    docs["rank"] = docs.groupby("source").cumcount() + 1
+    want = docs[docs["rank"] <= 3].sort_values("doc_id").reset_index(drop=True)
+    got = t_domain_cap(str(d), cap=3)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "source", "n_chars", "rank"]],
+        want[["doc_id", "source", "n_chars", "rank"]],
+    )
