@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_shuffle_shards": T.t_shuffle_shards,
         "t_delta_dedup": T.t_delta_dedup,
         "t_pack_sequences": T.t_pack_sequences,
+        "t_chunk_windows": T.t_chunk_windows,
         "t_length_quantiles": T.t_length_quantiles,
         "t_fingerprint": T.t_fingerprint,
         "t_exact_dedup": T.t_exact_dedup,
@@ -259,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_knn_bruteforce": S.s_knn_bruteforce,
         "s_label_centroids": S.s_label_centroids,
         "s_kmeans": S.s_kmeans,
+        "s_scalar_quantize": S.s_scalar_quantize,
         "s_ann_lsh": S.s_ann_lsh,
         "s_ann_ivf": S.s_ann_ivf,
         "s_ann_partitioned": S.s_ann_partitioned,
@@ -760,6 +762,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT f.doc_id, f.fingerprint, f.fingerprint IN "
             "(SELECT fingerprint FROM ex) AS is_dup "
             "FROM f WHERE doc_id % 5 = 0 ORDER BY doc_id"
+        ),
+        "t_chunk_windows": (
+            # window placement from token counts alone: chunks start at
+            # every stride boundary strictly below n_tokens, final chunk
+            # truncated; empty docs emit nothing
+            "WITH t AS (SELECT doc_id, len(list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '')) AS n "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n, unnest(generate_series(0, "
+            "CAST((n - 1) // 32 AS BIGINT))) AS chunk_id "
+            "FROM t WHERE n > 0) "
+            "SELECT doc_id, chunk_id, chunk_id * 32 AS start_tok, "
+            "LEAST(64, n - chunk_id * 32) AS n_toks "
+            "FROM c ORDER BY doc_id, chunk_id"
+        ),
+        "s_scalar_quantize": (
+            # per-dim global min/max are float-order-independent (exact);
+            # the code arithmetic mirrors the engine's association, so the
+            # doubles are bit-identical on both sides
+            "WITH e AS (SELECT vec_id, unnest(embedding) AS x, "
+            "generate_subscripts(embedding, 1) AS dim FROM embeddings), "
+            "mm AS (SELECT dim, MIN(CAST(x AS DOUBLE)) AS mn, "
+            "MAX(CAST(x AS DOUBLE)) AS mx FROM e GROUP BY dim) "
+            "SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim, "
+            "CAST(FLOOR((CAST(e.x AS DOUBLE) - mm.mn) * 255.0 / "
+            "(CASE WHEN mm.mx = mm.mn THEN 1.0 ELSE mm.mx - mm.mn END) "
+            "+ 0.5) AS BIGINT) AS code "
+            "FROM e JOIN mm USING (dim) ORDER BY e.vec_id, e.dim"
         ),
         "t_pack_sequences": (
             # concatenate-then-chop packing == windowed running token offset

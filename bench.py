@@ -117,6 +117,7 @@ QUERY_NAMES = [
     "t_dup_spans",
     "t_decontaminate",
     "t_pack_sequences",
+    "t_chunk_windows",
     "t_length_quantiles",
     "t_quality",
     "t_repetition",
@@ -135,6 +136,7 @@ QUERY_NAMES = [
     "s_knn_bruteforce",
     "s_label_centroids",
     "s_kmeans",
+    "s_scalar_quantize",
     "s_ann_lsh",
     "s_ann_ivf",
     "s_embedding_dupes",

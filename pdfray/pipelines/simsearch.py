@@ -1018,3 +1018,84 @@ def s_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, stats: d
         stats["centroids"] = centroids
         stats["inertia"] = inertia_track
     return out
+
+
+def s_scalar_quantize(sf_dir: str):
+    """Scalar (int8-range) quantization of the embedding column — the
+    vector-store compression stage: per-dimension global [min, max] maps
+    each coordinate to a 0..255 code.
+
+    Two passes, the global-statistic shape: per-batch per-dim min/max
+    partials (2 x dim values per block) reduce on the driver — min/max are
+    float-order-independent, so the stats are EXACT — then the quantize
+    map broadcasts (mn, mx) and emits codes.  The code arithmetic
+    ``floor((x - mn) * 255 / (mx - mn) + 0.5)`` is written with the same
+    association on both engine and oracle sides, so the doubles (and the
+    codes) are bit-identical.  Long format (vec_id, dim, code) keeps the
+    oracle a plain unnest."""
+    import ray
+    import ray.data as rd
+
+    def _read():
+        return rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    def minmax(t: pa.Table) -> pa.Table:
+        X = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        d = np.arange(1, X.shape[1] + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(d, pa.int64()),
+                "mn": pa.array(X.min(axis=0), pa.float64()),
+                "mx": pa.array(X.max(axis=0), pa.float64()),
+            }
+        )
+
+    part = _read().map_batches(minmax, batch_format="pyarrow").to_pandas()
+    g = part.groupby("dim")
+    mn = g["mn"].min().sort_index().to_numpy()
+    mx = g["mx"].max().sort_index().to_numpy()
+    ref = ray.put((mn, mx))
+
+    def quantize_factory():
+        mn_, mx_ = ray.get(ref)
+        span = mx_ - mn_
+        span[span == 0] = 1.0  # constant dim: every code 0
+
+        def quantize(t: pa.Table) -> pa.Table:
+            X = np.stack(
+                t.column("embedding").to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            codes = np.floor((X - mn_) * 255.0 / span + 0.5).astype(np.int64)
+            n, d = X.shape
+            return pa.table(
+                {
+                    "vec_id": pa.array(
+                        np.repeat(
+                            t.column("vec_id").to_numpy(zero_copy_only=False), d
+                        ),
+                        pa.int64(),
+                    ),
+                    "dim": pa.array(
+                        np.tile(np.arange(1, d + 1, dtype=np.int64), n), pa.int64()
+                    ),
+                    "code": pa.array(codes.ravel(), pa.int64()),
+                }
+            )
+
+        return quantize
+
+    from .textops import warm_factory
+
+    out = (
+        _read()
+        .map_batches(
+            warm_factory(("s_quantize", ref.hex()), quantize_factory),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)

@@ -2566,3 +2566,53 @@ def t_heavy_hitters(
     exact["tf"] = exact["tf"].astype("int64")
     exact = exact.sort_values(["tf", "word"], ascending=[False, True]).head(top_k)
     return exact.reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# retrieval chunking: overlapping token windows per document — the
+# RAG-ingestion layout stage.  Engine-added brief; no reference analog.
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 32
+
+
+def t_chunk_windows(sf_dir: str):
+    """Overlapping token-window chunking (size 64, stride 32): one row per
+    (doc, chunk) with its token offset and length — the layout a retrieval
+    index ingests.  Chunks start at every stride boundary below the token
+    count; the final chunk is truncated, and every non-empty doc emits at
+    least one chunk.
+
+    Pure vectorized map: the window placement depends only on each doc's
+    token COUNT (one Arrow regex count — text length never matters), so no
+    text leaves the scan and there is no shuffle at all."""
+
+    def chunks(t: pa.Table) -> pa.Table:
+        n_tokens = pc.cast(
+            pc.count_substring_regex(t.column("text"), r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n_chunks = np.where(
+            n_tokens == 0, 0, (np.maximum(n_tokens - 1, 0) // CHUNK_STRIDE) + 1
+        )
+        doc_idx = np.repeat(np.arange(len(ids)), n_chunks)
+        chunk_id = np.concatenate(
+            [np.arange(c) for c in n_chunks]
+        ) if len(ids) else np.empty(0, np.int64)
+        start = chunk_id * CHUNK_STRIDE
+        length = np.minimum(CHUNK_TOKENS, n_tokens[doc_idx] - start)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_idx], pa.int64()),
+                "chunk_id": pa.array(chunk_id.astype(np.int64), pa.int64()),
+                "start_tok": pa.array(start.astype(np.int64), pa.int64()),
+                "n_toks": pa.array(length.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = _read_documents(sf_dir).map_batches(chunks, batch_format="pyarrow")
+    return (
+        out.to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )

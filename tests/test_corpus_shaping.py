@@ -374,3 +374,68 @@ def test_bigram_and_domain_cap_random_cross_check(ray_session, tmp_path, seed):
         got[["doc_id", "source", "n_chars", "rank"]],
         want[["doc_id", "source", "n_chars", "rank"]],
     )
+
+
+def test_chunk_windows_boundaries(ray_session, tmp_path):
+    from pdfray.pipelines.textops import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        t_chunk_windows,
+    )
+
+    lengths = [0, 1, 32, 33, 64, 65, 96, 129]
+    texts = [" ".join("w" for _ in range(n)) for n in lengths]
+    d = tmp_path / "cw"
+    d.mkdir()
+    pq.write_table(
+        _docs_table(list(range(len(texts))), texts), str(d / "documents.parquet")
+    )
+    out = t_chunk_windows(str(d))
+    by_doc = dict(tuple(out.groupby("doc_id")))
+    assert 0 not in by_doc  # empty doc: no chunks
+    for i, n in enumerate(lengths):
+        if n == 0:
+            continue
+        g = by_doc[i].sort_values("chunk_id")
+        # chunks start at every stride boundary strictly below n
+        assert list(g["start_tok"]) == list(range(0, n, CHUNK_STRIDE))
+        # every chunk is min(window, tokens remaining from its start)
+        want_len = [min(CHUNK_TOKENS, n - s_) for s_ in g["start_tok"]]
+        assert list(g["n_toks"]) == want_len
+        # coverage: every token index falls inside at least one chunk
+        covered = np.zeros(n, bool)
+        for s_, l_ in zip(g["start_tok"], g["n_toks"]):
+            covered[s_ : s_ + l_] = True
+        assert covered.all()
+
+
+def test_scalar_quantize_codes_and_reconstruction(ray_session, tmp_path):
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.simsearch import s_scalar_quantize
+
+    rng = np.random.RandomState(21)
+    n, dim = 150, 12
+    X = rng.randn(n, dim).astype(np.float32)
+    X[:, 3] = 7.5  # constant dimension: every code must be 0
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(X), pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int64()),
+        }
+    )
+    d = tmp_path / "sq"
+    d.mkdir()
+    pq_.write_table(t, str(d / "embeddings.parquet"))
+    out = s_scalar_quantize(str(d))
+    assert out["code"].between(0, 255).all()
+    assert (out.loc[out["dim"] == 4, "code"] == 0).all()  # constant dim
+    # reconstruction error bounded by half a quantization step per dim
+    Xd = X.astype(np.float64)
+    mn, mx = Xd.min(axis=0), Xd.max(axis=0)
+    span = np.where(mx == mn, 1.0, mx - mn)
+    codes = out["code"].to_numpy().reshape(n, dim)
+    recon = mn + codes * span / 255.0
+    err = np.abs(recon - Xd)
+    assert (err <= span / 255.0 / 2 + 1e-9).all()
