@@ -754,9 +754,9 @@ def oracle_sql() -> dict[str, str]:
             # (doc_id % 5 = 0) semi-joined against the existing side's
             # distinct fingerprints; list_sort matches Python sorted() on
             # these ASCII tokens
-            "WITH f AS (SELECT doc_id, md5(array_to_string(list_sort("
+            "WITH f AS (SELECT doc_id, md5(COALESCE(array_to_string(list_sort("
             "list_distinct(list_filter(string_split_regex(text, '\\s+'), "
-            "x -> x <> ''))), ' ')) AS fingerprint FROM documents), "
+            "x -> x <> ''))), ' '), '')) AS fingerprint FROM documents), "
             "ex AS (SELECT DISTINCT fingerprint FROM f "
             "WHERE doc_id % 5 != 0) "
             "SELECT f.doc_id, f.fingerprint, f.fingerprint IN "
@@ -1114,9 +1114,9 @@ def oracle_sql() -> dict[str, str]:
             "JOIN g_bench USING (gram)), "
             "k3 AS (SELECT * FROM k2 WHERE doc_id % 97 != 0 AND doc_id "
             "NOT IN (SELECT doc_id FROM contaminated)), "
-            "fp AS (SELECT doc_id, md5(array_to_string(list_sort("
+            "fp AS (SELECT doc_id, md5(COALESCE(array_to_string(list_sort("
             "list_distinct(list_filter(string_split_regex(text, '\\s+'), "
-            "x -> x <> ''))), ' ')) AS f FROM k3), "
+            "x -> x <> ''))), ' '), '')) AS f FROM k3), "
             "win AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f), "
             "k4 AS (SELECT k3.* FROM k3 JOIN win USING (doc_id)), "
             "sh AS (SELECT doc_id, lang, source, substr(md5('shuf42:' || "

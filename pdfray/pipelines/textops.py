@@ -261,11 +261,24 @@ def t_tfidf(sf_dir: str):
                 pair_parent, pair_code = keys // vocab, keys % vocab
             else:
                 pair_parent = pair_code = tf = codes
-            # batch dictionary -> global df via one index_in over the vocab
-            pos = pc.index_in(dictionary, value_set=self.words).to_numpy(
-                zero_copy_only=False
+            # batch dictionary -> global df via one index_in over the vocab.
+            # The dictionary can hold entries NO code references (the ""
+            # split artifact survives dictionary_encode even though its
+            # codes are filtered) — those miss the global df table, so the
+            # lookup must null-guard; their idf is never consumed because
+            # pair_code only ranges over filtered codes.
+            pos = (
+                pc.fill_null(pc.index_in(dictionary, value_set=self.words), -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-            idf_by_code = np.log(self.n_total / self.df[pos.astype(np.int64)])
+            if self.df.size:
+                idf_by_code = np.log(
+                    self.n_total / self.df[np.where(pos >= 0, pos, 0)]
+                )
+                idf_by_code[pos < 0] = 0.0  # unused entries only
+            else:  # corpus with no tokens at all
+                idf_by_code = np.zeros(vocab)
             contrib = tf * idf_by_code[pair_code]
             score = np.bincount(pair_parent, weights=contrib, minlength=t.num_rows)
             n_words = np.bincount(parent, minlength=t.num_rows)
@@ -1764,12 +1777,14 @@ def collect_bench_gram_hashes(sf_dir: str) -> np.ndarray:
         merged = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
         return pa.table({"h": pa.array(merged, pa.uint64())})
 
-    return np.unique(
+    df = (
         _read_documents(sf_dir)
         .map_batches(bench_grams, batch_format="pyarrow")
-        .to_pandas()["h"]
-        .to_numpy()
-    ).astype(np.uint64)
+        .to_pandas()
+    )
+    if "h" not in df.columns:  # every block empty: Ray drops the schema
+        return np.empty(0, np.uint64)
+    return np.unique(df["h"].to_numpy()).astype(np.uint64)
 
 
 def t_decontaminate(sf_dir: str):

@@ -439,3 +439,85 @@ def test_scalar_quantize_codes_and_reconstruction(ray_session, tmp_path):
     recon = mn + codes * span / 255.0
     err = np.abs(recon - Xd)
     assert (err <= span / 255.0 / 2 + 1e-9).all()
+
+
+ADVERSARIAL_ORACLE_QUERIES = [
+    "t_token_stats",
+    "t_fingerprint",
+    "t_exact_dedup",
+    "t_doc_frequency",
+    "t_tfidf",
+    "t_bigram_logprob",
+    "t_domain_cap",
+    "t_delta_dedup",
+    "t_shuffle_shards",
+    "t_chunk_windows",
+    "t_heavy_hitters",
+    "t_dup_spans",
+    "t_repetition",
+    "t_pack_sequences",
+    "t_decontaminate",
+    "t_temperature_sample",
+    "t_stratified_sample",
+    "t_length_quantiles",
+]
+
+
+def test_adversarial_corpus_oracle_parity(ray_session, tmp_path):
+    """The REAL driver-contract comparison (engine vs its registered DuckDB
+    oracle SQL, dtype-strict) over a hostile documents table: empty /
+    whitespace-only / tab+newline / unicode incl. astral / template-dup /
+    gram-boundary / giant-token content.  This is the strongest tokenization
+    -convention check in the suite — any .split()-vs-string_split drift
+    between an engine op and its oracle fails here even though the friendly
+    sf fixtures never exercise it."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    texts = [
+        "",                                   # 0: empty (also the benchmark doc)
+        " ",                                  # 1
+        "\t\n ",                              # 2: non-space whitespace only
+        "a",                                  # 3
+        " a  b   a ",                         # 4: double spaces
+        "tab\tsep and\nnewline mix here ok",  # 5: mixed whitespace
+        "über ünïcode straße naïve café",     # 6: latin-1-ish unicode
+        "emoji 😀 astral 𝔘𝔫𝔦 chars",           # 7: beyond-BMP codepoints
+        "one two three four five six seven eight",        # 8: exactly 8 tokens
+        "one two three four five six seven eight",        # 9: exact dup of 8
+        "one two three four five six seven eight nine",   # 10: shares the 8-gram
+        "x" * 4000,                           # 11: one giant token
+        ("w " * 300).strip(),                 # 12: long repetitive doc
+        "short",                              # 13
+        "la le les und der die el los the and",  # 14: stopword soup
+        "eight seven six five four three two one",  # 15: word-set dup of 8
+    ]
+    n = len(texts)
+    langs = ["en", "de", "fr", "es"] * (n // 4)
+    sources = [f"s{i % 3}" for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs[:n]),
+            "source": pa.array(sources),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "adv"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    for name in ADVERSARIAL_ORACLE_QUERIES:
+        got = qs[name](str(d))
+        want = con.execute(osql[name]).df()
+        got = got[sorted(got.columns)].reset_index(drop=True)
+        want = want[sorted(want.columns)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=True, obj=name)
