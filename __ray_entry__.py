@@ -632,7 +632,8 @@ def oracle_sql() -> dict[str, str]:
         "t_bpe_tokens": (
             "SELECT doc_id, CAST(len(list_filter(regexp_extract_all(text, "
             "' ?[A-Za-zÀ-ÖØ-öø-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÖØ-öø-ÿ0-9\\s]+|\\s+'"
-            "), x -> trim(x) <> '')) AS BIGINT) AS n_bpe_tokens "
+            "), x -> trim(x, ' ' || chr(9) || chr(10) || chr(11) || "
+            "chr(12) || chr(13)) <> '')) AS BIGINT) AS n_bpe_tokens "
             "FROM documents ORDER BY doc_id"
         ),
         "t_token_stats": (

@@ -506,7 +506,13 @@ def query_inverted_index(store_dir: str, words) -> pd.DataFrame:
         )
     ]
     if not paths:
-        return pd.DataFrame({"word": [], "doc_id": [], "tf": []})
+        return pd.DataFrame(
+            {
+                "word": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "tf": pd.Series(dtype="int64"),
+            }
+        )
     probe = pa.array(sorted(words))
 
     def keep(t: pa.Table) -> pa.Table:
@@ -517,6 +523,15 @@ def query_inverted_index(store_dir: str, words) -> pd.DataFrame:
         .map_batches(keep, batch_format="pyarrow")
         .to_pandas()
     )
+    if "word" not in out.columns:  # no probed word present: every block
+        # empty and Ray drops the schema — return the typed empty frame
+        return pd.DataFrame(
+            {
+                "word": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "tf": pd.Series(dtype="int64"),
+            }
+        )
     return out.sort_values(["word", "doc_id"]).reset_index(drop=True)
 
 

@@ -460,6 +460,15 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_temperature_sample",
     "t_stratified_sample",
     "t_length_quantiles",
+    "t_quality",
+    "t_langid",
+    "t_simhash",
+    "t_winnow_fp",
+    "t_bpe_tokens",
+    "t_minhash_pairs",
+    "t_ngram_jaccard_dupes",
+    "t_dup_components",
+    "t_inverted_lookup",
 ]
 
 
