@@ -472,7 +472,8 @@ ADVERSARIAL_ORACLE_QUERIES = [
 ]
 
 
-def test_adversarial_corpus_oracle_parity(ray_session, tmp_path):
+@pytest.mark.parametrize("variant", ["fixed", "random"])
+def test_adversarial_corpus_oracle_parity(ray_session, tmp_path, variant):
     """The REAL driver-contract comparison (engine vs its registered DuckDB
     oracle SQL, dtype-strict) over a hostile documents table: empty /
     whitespace-only / tab+newline / unicode incl. astral / template-dup /
@@ -502,8 +503,20 @@ def test_adversarial_corpus_oracle_parity(ray_session, tmp_path):
         "la le les und der die el los the and",  # 14: stopword soup
         "eight seven six five four three two one",  # 15: word-set dup of 8
     ]
+    if variant == "random":
+        # seeded hostile generator: random lengths, unicode mixing, dup
+        # planting, whitespace salting — different grouping/order pressure
+        rng = np.random.RandomState(77)
+        pool = ["ab", "über", "😀", "x" * 50, "the", "la", "und", "a\u00e9"]
+        texts = []
+        for i in range(24):
+            words = list(rng.choice(pool, size=rng.randint(0, 20)))
+            sep = rng.choice([" ", "  ", "\t", "\n", " \t "])
+            texts.append(sep.join(words))
+        texts[7] = texts[3]  # planted exact dup
+        texts[11] = ""       # planted empty
     n = len(texts)
-    langs = ["en", "de", "fr", "es"] * (n // 4)
+    langs = (["en", "de", "fr", "es"] * n)[:n]
     sources = [f"s{i % 3}" for i in range(n)]
     t = pa.table(
         {
