@@ -125,7 +125,20 @@ class PdfFont:
                             # silently write near the table end.
                             in_range = 0 <= char_index < 256
                             if char_name[:3].lower() == "uni":
-                                ch = chr(int(char_name[3:], 16))  # bad hex aborts
+                                v = int(char_name[3:], 16)  # bad hex aborts
+                                # C# parity (PdfFont.cs): Convert.ToInt32
+                                # accepts up to 8 hex digits (two's
+                                # complement, so 0xFFFFFFFF parses) and
+                                # throws OverflowException above that; the
+                                # (char) cast then truncates to 16 bits —
+                                # chr(v) alone would diverge into astral
+                                # codepoints for values > 0xFFFF.
+                                if v > 0xFFFFFFFF:
+                                    raise OverflowError(
+                                        f"/Differences uni value {char_name}"
+                                        f" overflows Int32"
+                                    )
+                                ch = chr(v & 0xFFFF)
                                 if not in_range:
                                     raise IndexError(
                                         f"/Differences uni index {char_index} "

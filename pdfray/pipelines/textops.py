@@ -1049,6 +1049,12 @@ def read_band_checkpoint(out_dir: str, bands=None):
         if d.startswith("band=")
     )
     chosen = all_bands if bands is None else [b for b in all_bands if b in set(bands)]
+    if not chosen:
+        raise ValueError(
+            f"no band partitions to read from {out_dir!r}: on disk "
+            f"{all_bands or 'none'}, requested "
+            f"{sorted(bands) if bands is not None else 'all'}"
+        )
     parts = []
     for b in chosen:
         d = os.path.join(out_dir, f"band={b}")
@@ -1514,6 +1520,7 @@ def _short_allpairs(
     id_col: str,
     value_name: str = "jaccard",
     force: bool = False,
+    bound: int = _GRAM_SHORT_MAX,
 ) -> pd.DataFrame:
     """EXACT all-pairs Jaccard over the SHORT class, block-pair scored.
 
@@ -1534,7 +1541,7 @@ def _short_allpairs(
 
     blocks = (
         docs_ds.map_batches(
-            warm_stage(ShortGramSets, id_col=id_col),
+            warm_stage(ShortGramSets, id_col=id_col, bound=bound),
             batch_format="pyarrow",
         )
         .repartition(target_num_rows_per_block=_SHORT_BLOCK_ROWS)
@@ -1597,6 +1604,14 @@ def t_ngram_jaccard_dupes(
     # a quadratic bulge); minhash banding for the short class measured the
     # same pathology (r=1: 79% of docs in ONE bucket; r=2 still quadratic),
     # which is why the short class is all-pairs instead.
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # Regime-ownership bound derived from the threshold: the only pairs
+    # neither regime owns would have min < _GRAM_LONG_MIN grams and
+    # max >= short_max, i.e. size ratio > short_max/_GRAM_LONG_MIN — and
+    # j >= t forces ratio <= 1/t, so short_max >= _GRAM_LONG_MIN/t closes
+    # the gap for ANY threshold (the 512 default encodes t >= 0.5).
+    short_max = max(_GRAM_SHORT_MAX, int(math.ceil(_GRAM_LONG_MIN / threshold)))
     ds = _read_documents(sf_dir)
     long_rows = ds.map_batches(
         warm_stage(GramNearDupBander), batch_format="pyarrow"
@@ -1607,10 +1622,12 @@ def t_ngram_jaccard_dupes(
         hamming_col="sh64",
         max_hamming=12,
         feat_col="n_feat",
-        min_pair_feat=_GRAM_SHORT_MAX,
+        min_pair_feat=short_max,
     )
     long_df = _verify_pairs(ds, long_pairs, GramSetHasher, threshold, "doc_id")
-    short_df = _short_allpairs(ds, threshold, "doc_id", force=force_short_allpairs)
+    short_df = _short_allpairs(
+        ds, threshold, "doc_id", force=force_short_allpairs, bound=short_max
+    )
     out = pd.concat([long_df, short_df], ignore_index=True)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
@@ -1972,11 +1989,26 @@ def t_bigram_logprob(sf_dir: str):
             doc_of_bg, left, right, dictionary = _bigram_codes(t)
             n_bigrams = np.bincount(doc_of_bg, minlength=t.num_rows)
             if left.size:
-                pos = pc.index_in(dictionary, value_set=self.words).to_numpy(
-                    zero_copy_only=False
-                ).astype(np.int64)
-                key = pos[left] * self.v + pos[right]
-                lp = self.pair_lp[np.searchsorted(self.pair_keys, key)]
+                pos = pc.fill_null(
+                    pc.index_in(dictionary, value_set=self.words), -1
+                ).to_numpy(zero_copy_only=False).astype(np.int64)
+                pl, pr = pos[left], pos[right]
+                # by construction the model vocab covers every bigram side
+                # (built from the same corpus pass); fail loudly rather than
+                # let a NaN->int64 index fetch a wrong logprob silently
+                if pl.size and (min(pl.min(), pr.min()) < 0):
+                    raise ValueError(
+                        "bigram word missing from the broadcast model vocab"
+                    )
+                key = pl * self.v + pr
+                idx = np.searchsorted(self.pair_keys, key)
+                if (idx >= self.pair_keys.size).any() or (
+                    self.pair_keys[idx] != key
+                ).any():
+                    raise ValueError(
+                        "bigram pair missing from the broadcast model"
+                    )
+                lp = self.pair_lp[idx]
                 score = np.bincount(doc_of_bg, weights=lp, minlength=t.num_rows)
             else:
                 score = np.zeros(t.num_rows)

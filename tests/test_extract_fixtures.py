@@ -223,3 +223,49 @@ def test_differences_uni_out_of_range_aborts_font_build():
     # the font carries the recorded abort, reference-style
     font = next(iter(r.pages[0].fonts.values()))
     assert font.exception is not None and "IndexError" in font.exception
+
+
+def _one_font_doc(font_body: str, content: bytes) -> bytes:
+    b = PdfBuilder()
+    fid = b.add(font_body)
+    pages_id = b.reserve()
+    cid = b.add_stream(content)
+    pid = b.add(
+        f"<</Type/Page/Parent {pages_id} 0 R/Contents {cid} 0 R"
+        f"/Resources<</Font<</F1 {fid} 0 R>>>>>>"
+    )
+    b.add(f"<</Type/Pages/Kids[{pid} 0 R]/Count 1>>", obj_num=pages_id)
+    cat = b.add(f"<</Type/Catalog/Pages {pages_id} 0 R>>")
+    return b.finish_classic(cat)
+
+
+def test_differences_uni_above_bmp_truncates_to_16_bits():
+    """uniXXXXXXX values above 0xFFFF truncate like the reference's
+    `(char)Convert.ToInt32(...)` cast (PdfFont.cs) — uni2120AC lands on
+    U+20AC, not an astral codepoint (and not a font-build abort)."""
+    data = _one_font_doc(
+        "<</Type/Font/Subtype/Type1/BaseFont/Helvetica"
+        "/Encoding<</Type/Encoding/Differences[65 /uni2120AC]>>>>",
+        b"BT /F1 12 Tf 100 700 Td <41> Tj ET",
+    )
+    r = extract_document(data)
+    assert r.error is None
+    assert r.text == "\n€|"
+    font = next(iter(r.pages[0].fonts.values()))
+    assert font.exception is None
+
+
+def test_differences_uni_overflowing_int32_aborts_font_build():
+    """More than 8 hex digits overflows the reference's Convert.ToInt32
+    (OverflowException -> outer catch, font build abandoned); codes fall
+    back to the Standard table, the abort is recorded on the font."""
+    data = _one_font_doc(
+        "<</Type/Font/Subtype/Type1/BaseFont/Helvetica"
+        "/Encoding<</Type/Encoding"
+        "/Differences[66 /uni1FFFFFFFF 65 /Zcaron]>>>>",
+        b"BT /F1 12 Tf 100 700 Td <41> Tj ET",
+    )
+    r = extract_document(data)
+    assert r.text == "\nA|"  # Zcaron never applied: build aborted first
+    font = next(iter(r.pages[0].fonts.values()))
+    assert font.exception is not None and "OverflowError" in font.exception

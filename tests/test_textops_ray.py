@@ -158,6 +158,17 @@ def test_neardup_generators_match_bruteforce_truth(ray_session):
     }
     assert got_min == truth("shingle", 0.8)
 
+    # threshold BELOW the 0.5 the static bounds were sized for: the regime
+    # split must widen (short_max >= LONG_MIN/threshold) so no true pair
+    # straddles the two regimes unowned
+    got_low = {
+        (int(a), int(b), float(j))
+        for a, b, j in t_ngram_jaccard_dupes(sf, threshold=0.35).values.tolist()
+    }
+    assert got_low == truth("gram", 0.35)
+    with pytest.raises(ValueError, match="threshold"):
+        t_ngram_jaccard_dupes(sf, threshold=0.0)
+
 
 def test_langid_on_snippets(ray_session, tmp_path):
     from pdfray.sources.fixtures import SNIPPETS
@@ -267,6 +278,8 @@ def test_band_checkpoint_roundtrip_and_isolation(ray_session, tmp_path, docs_dir
     """Band rows survive a hive-partitioned checkpoint; one band partition is
     readable in isolation and pairs generated from the checkpoint match the
     in-stream generator."""
+    import os
+
     from pdfray.pipelines.textops import (
         MinHasher,
         _candidate_pairs,
@@ -293,6 +306,13 @@ def test_band_checkpoint_roundtrip_and_isolation(ray_session, tmp_path, docs_dir
         map(tuple, _candidate_pairs(restored, "doc_id").to_pandas().values.tolist())
     )
     assert rt == direct and len(direct) > 0
+    # a band filter matching nothing is a clear error, not an IndexError
+    with pytest.raises(ValueError, match="no band partitions"):
+        read_band_checkpoint(store, bands=[999])
+    empty = str(tmp_path / "empty_bands")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no band partitions"):
+        read_band_checkpoint(empty)
 
 
 def test_embedding_dupes_scale_gate():
