@@ -18,6 +18,7 @@ groupbys over already-reduced rows.
 """
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -123,6 +124,34 @@ def _user_bucket(users, n_buckets: int):
     return (
         users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     ) % n_buckets
+
+
+def _topk(ds, k: int, keys, descending) -> pd.DataFrame:
+    """Distributed top-k WITHOUT a global sort.
+
+    `sort().limit(k)` in Ray Data is a full range shuffle of the input even
+    when k is tiny — the limit is not pushed below the sort.  Here every
+    batch keeps only its local top k (one vectorized Arrow sort over an
+    in-memory batch), so at most k rows per block reach the driver, which
+    merges the survivors.  `keys` must be a TOTAL order (include tiebreak
+    columns) for the result to be deterministic; this is the same
+    local-top-k + driver-merge shape s_knn_bruteforce uses."""
+    order = [
+        (c, "descending" if d else "ascending") for c, d in zip(keys, descending)
+    ]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        return t.take(pc.sort_indices(t, sort_keys=order)[:k])
+
+    small = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    asc = [not d for d in descending]
+    return (
+        small.sort_values(list(keys), ascending=asc)
+        .head(k)
+        .reset_index(drop=True)
+    )
 
 
 # ----------------------------------------------------------------------
@@ -238,12 +267,12 @@ def q_filter_topk(sf_dir: str):
             }
         )
 
-    out = (
-        ds.map_batches(project, batch_format="pyarrow")
-        .sort(["revenue", "l_orderkey", "l_linenumber"], descending=[True, False, False])
-        .limit(100)
+    return _topk(
+        ds.map_batches(project, batch_format="pyarrow"),
+        100,
+        ["revenue", "l_orderkey", "l_linenumber"],
+        [True, False, False],
     )
-    return out.to_pandas()
 
 
 def q_broadcast_join_segment(sf_dir: str):
@@ -417,13 +446,13 @@ def q_distinct_flags(sf_dir: str):
 
 
 def q_orders_topk(sf_dir: str):
-    """Top 10 orders by totalprice (range shuffle + limit)."""
-    out = (
-        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
-        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(10)
+    """Top 10 orders by totalprice — per-block local top-k, no global sort."""
+    return _topk(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"]),
+        10,
+        ["o_totalprice", "o_orderkey"],
+        [True, False],
     )
-    return out.to_pandas()
 
 
 def q_supplier_nation(sf_dir: str):

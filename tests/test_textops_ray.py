@@ -1076,6 +1076,37 @@ def test_kmeans_matches_numpy_reference_and_converges(ray_session, tmp_path):
     np.testing.assert_allclose(st["centroids"], C, rtol=1e-9)
 
 
+def test_local_topk_matches_full_sort(ray_session):
+    """_topk (per-block local top-k + driver merge) reproduces a full
+    sort().head(k) — including ties broken by the id column — without the
+    global range shuffle sort().limit() would pay."""
+    import ray.data as rd
+
+    from pdfray.pipelines.relational import _topk
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        {
+            "v": rng.integers(0, 200, 5000),  # dense ties
+            "id": np.arange(5000, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    got = _topk(ds, 50, ["v", "id"], [True, False])
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True])
+        .head(50)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["v", "id"]], want)
+    # k larger than the table: every row survives, still fully ordered
+    got_all = _topk(ds, 10_000, ["v", "id"], [True, False])
+    want_all = df.sort_values(["v", "id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(got_all[["v", "id"]], want_all)
+
+
 def test_user_bucketize_actually_distributes():
     """Regression: int64 user ids x uint64 hash constant must spread across
     buckets — the unfixed numpy promotion to float64 collapsed EVERY user
