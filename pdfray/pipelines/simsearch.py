@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .relational import _topk
 from .textops import warm_factory
 
 TOP_K = 10
@@ -359,9 +360,12 @@ def s_ann_ivf(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
     if nprobe <= 0:
         nprobe = max(1, -(-n_centroids // 4))
 
-    # bounded training sample: first 50*k rows by vec_id (deterministic);
-    # at corpus scale this is a pushed-down limit, never a full scan
-    sample_df = ds.sort("vec_id").limit(min(n_rows, 50 * n_centroids)).to_pandas()
+    # bounded training sample: the 50*k LOWEST vec_ids (deterministic).
+    # sort().limit() here would be a full range shuffle of the embedding
+    # table (Ray Data does not push the limit below the sort); the local
+    # min-k + driver merge is one streaming pass that collects at most
+    # 50*k rows per block and yields the identical sample.
+    sample_df = _topk(ds, min(n_rows, 50 * n_centroids), ["vec_id"], [False])
     sample = _normalize(np.stack(sample_df["embedding"].to_numpy()).astype(np.float64))
     centroids = _kmeans(sample, n_centroids)
 
@@ -944,13 +948,9 @@ def s_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, stats: d
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
 
-    # deterministic init: the k lowest vec_ids (one tiny pruned scan)
-    init = (
-        _read()
-        .sort("vec_id")
-        .limit(k)
-        .to_pandas()
-    )
+    # deterministic init: the k lowest vec_ids via per-block local min-k
+    # (one streaming pass; sort().limit() would range-shuffle the table)
+    init = _topk(_read(), k, ["vec_id"], [False])
     centroids = np.stack(init["embedding"].to_numpy()).astype(np.float64)
 
     inertia_track = []
