@@ -750,44 +750,123 @@ def q_orders_by_month(sf_dir: str):
 SESSION_GAP_HOURS = 4
 
 
+SESSION_CHUNK_DAYS = 1  # time-range pre-split width (must only be > 0;
+# boundary merging is decided on actual boundary timestamps, not width)
+
+
+def _session_keys(users, ts_us, n_buckets: int, chunk_us: int):
+    """(chunk, bucket) shuffle keys for sessionization: hashing (user_id,
+    time chunk) instead of user_id alone splits a hot user across chunks —
+    uint64 arithmetic throughout (see _user_bucket for the float64 trap)."""
+    import numpy as np
+
+    chunk = ts_us // np.int64(chunk_us)
+    mixed = users.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + chunk.astype(
+        np.uint64
+    ) * np.uint64(0xC2B2AE3D27D4EB4F)
+    return chunk, (mixed % np.uint64(n_buckets)).astype(np.int64)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization: events within SESSION_GAP_HOURS of the
     user's previous event share a session; a longer silence starts the
     next one (session ids are 0-based per user).
 
-    Same bucketize-by-user-hash shape as q_asof_attribution: the shuffle
-    carries (event_id, user_id, ts) only, each bucket holds many users,
-    and the whole bucket is sessionized with ONE vectorized pandas pass
-    (sort + diff + per-user cumsum) — no per-user Python.  Partitioning
-    assumption: all of a user's events land in one group (any gap rule
-    needs that); a hot user exceeding worker memory would need a
-    time-range pre-split with a boundary-session merge pass."""
+    Hot-key-safe shuffle key: (user_id, time chunk) — a pathological user
+    owning half the corpus is split across per-chunk groups instead of
+    landing whole in one worker (the straggler/OOM the plain user-hash
+    bucketing had).  Each group sessionizes its (user, chunk) slices with
+    ONE vectorized pandas pass; per-(user, chunk) boundary summaries
+    (first/last ts, session count — combinable partials, so block splits
+    are safe) reduce to the driver, which stitches chunks: the FIRST
+    session of a chunk merges with the previous chunk's LAST session iff
+    the boundary gap is within SESSION_GAP_HOURS (later sessions of the
+    chunk cannot reach back past an in-chunk break, so only the boundary
+    pair matters — correct for ANY chunk width).  The per-(user, chunk)
+    session-id offsets broadcast once and a final streaming pass rewrites
+    local ids to global ones; at extreme scale the offset table would ride
+    the same (user, chunk) shuffle instead of a broadcast."""
     import numpy as np
     import pandas as pd
+    import ray
 
     ds = _read(
         sf_dir, "events", ["event_id", "ts", "user_id"], rows_per_block=12_500
     )
     N_BUCKETS = 64
+    chunk_us = np.int64(SESSION_CHUNK_DAYS) * 86_400_000_000
 
     def bucketize(t: pa.Table) -> pa.Table:
         users = t.column("user_id").to_numpy(zero_copy_only=False)
-        bucket = _user_bucket(users, N_BUCKETS)
-        return t.append_column("bucket", pa.array(bucket.astype(np.int64)))
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        chunk, bucket = _session_keys(users, ts_us, N_BUCKETS, chunk_us)
+        t = t.append_column("chunk", pa.array(chunk, pa.int64()))
+        return t.append_column("bucket", pa.array(bucket))
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    def sessionize_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "chunk", "ts", "event_id"]).reset_index(
+            drop=True
+        )
         gap = g["ts"].diff() > np.timedelta64(SESSION_GAP_HOURS, "h")
-        same_user = g["user_id"].eq(g["user_id"].shift())
-        brk = (gap & same_user).astype("int64")
-        g["session_id"] = brk.groupby(g["user_id"].to_numpy()).cumsum()
-        return g[["event_id", "user_id", "session_id"]]
+        same = g["user_id"].eq(g["user_id"].shift()) & g["chunk"].eq(
+            g["chunk"].shift()
+        )
+        brk = (gap & same).astype("int64")
+        # rows are sorted, so each (user, chunk) slice is one contiguous run
+        run_id = (~same).cumsum()
+        g["local_sid"] = brk.groupby(run_id.to_numpy()).cumsum()
+        return g[["event_id", "user_id", "chunk", "ts", "local_sid"]]
 
-    out = (
+    sess = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(sessionize, batch_format="pandas")
+        .map_groups(sessionize_chunk, batch_format="pandas")
+        .materialize()  # consumed twice (summaries + id rewrite); the query
+        # contract returns every event anyway — at production scale this
+        # checkpoint is a parquet write, not an object-store materialize
     )
+
+    def summaries(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "chunk"], sort=False)
+        out = g.agg(
+            first_ts=("ts", "min"),
+            last_ts=("ts", "max"),
+            n_max=("local_sid", "max"),
+        ).reset_index()
+        return out
+
+    part = sess.map_batches(summaries, batch_format="pandas").to_pandas()
+    s = (
+        part.groupby(["user_id", "chunk"], sort=False)
+        .agg(
+            first_ts=("first_ts", "min"),
+            last_ts=("last_ts", "max"),
+            n_max=("n_max", "max"),
+        )
+        .reset_index()
+        .sort_values(["user_id", "chunk"])
+        .reset_index(drop=True)
+    )
+    n_sessions = s["n_max"].astype("int64") + 1
+    prev_n = (
+        n_sessions.groupby(s["user_id"].to_numpy()).shift(1).fillna(0).astype("int64")
+    )
+    prev_last = s.groupby("user_id")["last_ts"].shift(1)
+    merged = (
+        (s["first_ts"] - prev_last) <= np.timedelta64(SESSION_GAP_HOURS, "h")
+    ).fillna(False)
+    s["offset"] = (
+        (prev_n - merged.astype("int64")).groupby(s["user_id"].to_numpy()).cumsum()
+    )
+    off_ref = ray.put(s[["user_id", "chunk", "offset"]])
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = df.merge(off, on=["user_id", "chunk"], how="left")
+        df["session_id"] = df["local_sid"] + df["offset"].astype("int64")
+        return df[["event_id", "user_id", "session_id"]]
+
+    out = sess.map_batches(rewrite, batch_format="pandas")
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 

@@ -742,6 +742,11 @@ def test_sessionize_gap_semantics(ray_session, tmp_path):
         ev(4, SESSION_GAP_HOURS * H * 2 + 2, 7),
         ev(5, 0, 8),                              # other user: own session 0
         ev(6, SESSION_GAP_HOURS * H * 10, 8),     # long silence -> session 1
+        # user 9 straddles the midnight CHUNK boundary within the gap: the
+        # first session of day 1 must merge into day 0's last session
+        ev(7, 23 * H + 3000, 9),                  # 23:50 day 0
+        ev(8, 24 * H + 1800, 9),                  # 00:30 day 1 -> same session
+        ev(9, 40 * H, 9),                         # day 1, >4h later -> breaks
     ]
     t = pa.table(
         {
@@ -756,8 +761,73 @@ def test_sessionize_gap_semantics(ray_session, tmp_path):
     pq_.write_table(t, str(tmp_path / "events.parquet"))
     out = q_sessionize(str(tmp_path))
     got = dict(zip(out["event_id"], out["session_id"]))
-    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 1}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 1, 7: 0, 8: 0, 9: 1}
     assert out["session_id"].dtype == "int64"
+
+
+def test_sessionize_hot_user_splits_and_matches_reference(ray_session, tmp_path):
+    """One user owning 50% of all events must (a) sessionize correctly
+    across the time-chunk pre-split — including chains of boundary merges —
+    and (b) actually SPREAD over shuffle groups instead of landing whole in
+    one straggler bucket."""
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.relational import (
+        SESSION_CHUNK_DAYS,
+        SESSION_GAP_HOURS,
+        _session_keys,
+        q_sessionize,
+    )
+
+    rng = np.random.default_rng(42)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    n_hot = 4000
+    # hot user: events every 10min-6h over ~60 days — sessions regularly
+    # cross midnight chunk edges, exercising merge chains
+    hot_steps = rng.integers(600, 6 * 3600, n_hot).cumsum()
+    hot_ts = base + hot_steps.astype("timedelta64[s]").astype("timedelta64[us]")
+    cold_users = rng.integers(1, 500, n_hot)
+    cold_ts = base + rng.integers(0, 60 * 86400, n_hot).astype(
+        "timedelta64[s]"
+    ).astype("timedelta64[us]")
+    users = np.concatenate([np.zeros(n_hot, np.int64), cold_users])
+    ts = np.concatenate([hot_ts, cold_ts])
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(2 * n_hot, dtype=np.int64)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["view"] * (2 * n_hot)),
+            "value": pa.array([1.0] * (2 * n_hot)),
+            "props": pa.array(["{}"] * (2 * n_hot)),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+
+    out = q_sessionize(str(tmp_path))
+    # unchunked single-pass reference
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"]).reset_index(
+        drop=True
+    )
+    gap = df["ts"].diff() > np.timedelta64(SESSION_GAP_HOURS, "h")
+    same = df["user_id"].eq(df["user_id"].shift())
+    df["session_id"] = (
+        (gap & same).astype("int64").groupby(df["user_id"].to_numpy()).cumsum()
+    )
+    want = df.sort_values("event_id")[["event_id", "user_id", "session_id"]]
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+    # no straggler: the hot user's events spread over many shuffle groups,
+    # and no single group holds more than a small fraction of its events
+    chunk_us = SESSION_CHUNK_DAYS * 86_400_000_000
+    hot_chunks, hot_buckets = _session_keys(
+        np.zeros(n_hot, np.int64), hot_ts.astype(np.int64), 64, chunk_us
+    )
+    assert len(np.unique(hot_buckets)) > 20
+    biggest = np.bincount(hot_buckets).max()
+    assert biggest < 0.15 * n_hot
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
