@@ -2203,68 +2203,198 @@ CC_MAX_ITERS = 64
 CC_DRIVER_MAX_PAIRS = 200_000  # below this the pair list is driver-sized
 
 
-def _cc_min_label(edges_ds, num_partitions: int = 4):
-    """Distributed connected components by min-label propagation
-    (hash-to-min): every node repeatedly adopts the minimum label among
-    itself and its neighbors until a fixpoint.  Each iteration is one
-    hash join (labels onto edge sources) plus one min-groupby — both
-    shuffles carry (node, label) pairs only, so the pattern runs at any
-    scale the pair graph itself does.  Convergence in O(diameter)
-    iterations; dup clusters are template families with tiny diameter, so
-    this terminates in a handful of rounds (the large-star/small-star
-    alternation of Kiveris et al. is the drop-in refinement for
-    adversarially long path graphs).  The fixpoint test compares
-    sum(label) between rounds: labels only ever decrease, so an unchanged
-    sum means no label moved."""
-    from ray.data.aggregate import Min
+def _edge_fingerprint(edges) -> tuple:
+    """Order-insensitive fingerprint of a canonical (u, v) edge set: count
+    plus wraparound uint64 sums of both columns and a per-edge mix — one
+    streaming pass, one tiny row per block to the driver.  Used as the
+    star-contraction fixpoint test (an unchanged fingerprint over a set
+    that only ever contracts means the set itself is unchanged)."""
 
-    def both(t: pa.Table) -> pa.Table:
-        fwd = pa.table({"node": t.column("doc_a"), "nbr": t.column("doc_b")})
-        rev = pa.table({"node": t.column("doc_b"), "nbr": t.column("doc_a")})
-        return pa.concat_tables([fwd, rev])
+    def part(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy().astype(np.uint64)
+        v = t.column("v").to_numpy().astype(np.uint64)
+        mix = (u * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            v * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        return pa.table(
+            {
+                "n": pa.array([len(t)], pa.int64()),
+                "su": pa.array([int(u.sum(dtype=np.uint64))], pa.uint64()),
+                "sv": pa.array([int(v.sum(dtype=np.uint64))], pa.uint64()),
+                "sm": pa.array([int(mix.sum(dtype=np.uint64))], pa.uint64()),
+            }
+        )
 
-    # compact blocks: verified-pairs stages emit empty blocks, and a join
-    # side whose first block is empty loses its schema (Ray 2.49 quirk —
-    # see working notes); the edge list is candidate-sized, so this is cheap
-    und = (
-        edges_ds.map_batches(both, batch_format="pyarrow")
-        .repartition(num_partitions)
-        .materialize()
+    p = edges.map_batches(part, batch_format="pyarrow").to_pandas()
+    return (
+        int(p["n"].sum()),
+        int(p["su"].to_numpy(np.uint64).sum(dtype=np.uint64)),
+        int(p["sv"].to_numpy(np.uint64).sum(dtype=np.uint64)),
+        int(p["sm"].to_numpy(np.uint64).sum(dtype=np.uint64)),
     )
-    labels = (
-        und.groupby("node")
-        .aggregate(Min("nbr", alias_name="nbr_min"))
+
+
+def _snap(ds):
+    """Materialize AND sever logical-plan lineage.
+
+    An iterative Ray Data loop that reassigns `ds = f(ds).materialize()`
+    each round keeps the ENTIRE plan history chained through the
+    MaterializedDataset: every later operation re-walks the deepening plan,
+    so per-round driver overhead grows ~1.5x per round (measured on the CC
+    loop: round 11 took 68s where round 1 took 3s, with execution itself
+    constant).  Rebuilding from the materialized block refs resets the plan
+    to an InputData root — round time becomes flat."""
+    import ray.data as rd
+
+    return rd.from_arrow_refs(ds.materialize().to_arrow_refs())
+
+
+def _star_round(edges, large: bool, num_partitions: int, dedup: bool):
+    """One large-star or small-star contraction (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond").  Edges are canonical
+    (u, v) with u > v.
+
+    large-star: group every edge under BOTH endpoints; each node u hooks
+    its GREATER neighbors to m(u) = min(Γ(u) ∪ {u}).
+    small-star: group each edge under its larger endpoint; each node u
+    hooks its (all smaller) neighbors and itself to m(u).
+
+    Both steps are one min-groupby plus one hash join carrying (node, nbr)
+    pairs only.  ``dedup`` collapses duplicate pairs with a groupby — done
+    once per (large, small) round: duplicates are harmless mid-round (the
+    min aggregate ignores multiplicity) and bounded by the join fan-out of
+    a single round, so skipping the mid-round dedup saves one shuffle."""
+    from ray.data.aggregate import Count, Min
+
+    if large:
+        sym = edges.map_batches(
+            lambda t: pa.concat_tables(
+                [
+                    pa.table({"node": t.column("u"), "nbr": t.column("v")}),
+                    pa.table({"node": t.column("v"), "nbr": t.column("u")}),
+                ]
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        sym = edges.map_batches(
+            lambda t: pa.table({"node": t.column("u"), "nbr": t.column("v")}),
+            batch_format="pyarrow",
+        )
+    sym = sym.repartition(num_partitions).materialize()
+    mins = (
+        sym.groupby("node")
+        .aggregate(Min("nbr", alias_name="mn"))
         .map_batches(
             lambda t: pa.table(
                 {
                     "node": t.column("node"),
-                    # start one step ahead: label = min(self, neighbors)
-                    "label": pc.min_element_wise(t.column("node"), t.column("nbr_min")),
+                    "m": pc.min_element_wise(t.column("node"), t.column("mn")),
                 }
             ),
             batch_format="pyarrow",
         )
+        .repartition(num_partitions)
         .materialize()
     )
-    prev_sum = labels.sum("label")
-    for _ in range(CC_MAX_ITERS):
-        prop = und.join(
-            labels, join_type="inner", num_partitions=num_partitions, on=("node",)
-        ).map_batches(
-            lambda t: pa.table({"node": t.column("nbr"), "label": t.column("label")}),
-            batch_format="pyarrow",
+    joined = sym.join(
+        mins, join_type="inner", num_partitions=num_partitions, on=("node",)
+    )
+    if large:
+
+        def emit(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t.column("nbr"), t.column("node")))
+            return pa.table({"u": t.column("nbr"), "v": t.column("m")})
+
+        out = joined.map_batches(emit, batch_format="pyarrow")
+    else:
+
+        def emit(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.not_equal(t.column("nbr"), t.column("m")))
+            return pa.table({"u": t.column("nbr"), "v": t.column("m")})
+
+        def centers(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.not_equal(t.column("node"), t.column("m")))
+            return pa.table({"u": t.column("node"), "v": t.column("m")})
+
+        out = joined.map_batches(emit, batch_format="pyarrow").union(
+            mins.map_batches(centers, batch_format="pyarrow")
         )
-        labels = (
-            prop.union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
+
+    if not dedup:
+        return _snap(out)
+
+    def drop_count(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["_n"])
+
+    return _snap(
+        out.groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(drop_count, batch_format="pyarrow")
+    )
+
+
+def _cc_min_label(edges_ds, num_partitions: int = 4, stats: dict = None):
+    """Distributed connected components by alternating large-star /
+    small-star contraction (Kiveris et al. 2014): each round hooks nodes
+    to their neighborhood minimum, halving tree heights, so convergence is
+    O(log n) rounds even on adversarial path graphs — the upgrade over
+    plain hash-to-min propagation, whose O(diameter) rounds a 10k-node
+    chain defeats (pinned by test_cc_path_graph_converges_in_log_rounds).
+    Every shuffle carries (node, nbr) int pairs only.  At the fixpoint the
+    edge set is a forest of stars rooted at each component's minimum node;
+    labels are read directly off the star edges.  The fixpoint test is an
+    order-insensitive edge-set fingerprint between rounds.  Pass
+    ``stats={}`` to record the round count."""
+    from ray.data.aggregate import Min
+
+    def canon(t: pa.Table) -> pa.Table:
+        a, b = t.column("doc_a"), t.column("doc_b")
+        return pa.table(
+            {"u": pc.max_element_wise(a, b), "v": pc.min_element_wise(a, b)}
         )
-        cur_sum = labels.sum("label")
-        if cur_sum == prev_sum:
-            return labels
-        prev_sum = cur_sum
-    raise RuntimeError(f"connected components did not converge in {CC_MAX_ITERS} iterations")
+
+    # compact blocks: verified-pairs stages emit empty blocks, and a join
+    # side whose first block is empty loses its schema (Ray 2.49 quirk —
+    # see working notes); the edge list is candidate-sized, so this is cheap
+    edges = _snap(
+        edges_ds.map_batches(canon, batch_format="pyarrow").repartition(
+            num_partitions
+        )
+    )
+    prev_fp = None
+    for rounds in range(1, CC_MAX_ITERS + 1):
+        edges = _star_round(
+            edges, large=True, num_partitions=num_partitions, dedup=False
+        )
+        edges = _star_round(
+            edges, large=False, num_partitions=num_partitions, dedup=True
+        )
+        fp = _edge_fingerprint(edges)
+        if fp == prev_fp:
+            if stats is not None:
+                stats["rounds"] = rounds
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} rounds"
+        )
+    # converged: stars (child u -> root v); labels = children + the roots
+    kids = edges.map_batches(
+        lambda t: pa.table({"node": t.column("u"), "label": t.column("v")}),
+        batch_format="pyarrow",
+    )
+    roots = edges.map_batches(
+        lambda t: pa.table({"node": t.column("v"), "label": t.column("v")}),
+        batch_format="pyarrow",
+    )
+    return (
+        kids.union(roots)
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
 
 
 def t_dup_components(sf_dir: str, jaccard_threshold: float = 0.8):

@@ -685,6 +685,31 @@ def test_cc_min_label_synthetic_graph(ray_session):
     assert len(comp) == 15  # only nodes that appear in an edge
 
 
+def test_cc_path_graph_converges_in_log_rounds(ray_session):
+    """Adversarial 10k-node PATH graph: plain min-label propagation needs
+    O(diameter) = 10k rounds (it would blow CC_MAX_ITERS); the
+    large-star/small-star contraction must finish in O(log n) rounds and
+    still label every node with the component minimum."""
+    import ray.data as rd
+
+    from pdfray.pipelines.textops import _cc_min_label
+
+    n = 10_000
+    edges = pd.DataFrame(
+        {
+            "doc_a": np.arange(n - 1, dtype=np.int64),
+            "doc_b": np.arange(1, n, dtype=np.int64),
+        }
+    )
+    stats: dict = {}
+    labels = _cc_min_label(rd.from_pandas(edges), stats=stats).to_pandas()
+    assert len(labels) == n
+    assert (labels["label"] == 0).all()
+    # log2(10k) ~ 13.3 contraction rounds + 1 to observe the fixpoint;
+    # generous headroom still excludes any O(diameter) behavior
+    assert stats["rounds"] <= 2 * int(np.ceil(np.log2(n)))
+
+
 def test_dup_components_planted(docs_dir):
     from pdfray.pipelines.textops import t_dup_components
 
