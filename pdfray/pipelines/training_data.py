@@ -26,6 +26,41 @@ import pyarrow.compute as pc
 MIN_TOKENS = 5
 
 
+def _stage_checkpoint(ds_factory, stage_dir: str, resume: bool = True):
+    """Durable inter-stage handoff: write a pipeline stage to parquet ONCE,
+    then hand every consumer a fresh streaming read of the files.
+
+    This is the production replacement for `.materialize()` between
+    pipeline stages: the object store never pins the whole stage (text
+    included), each consumer streams from disk, and a crashed run resumes
+    at the boundary — the ``_DONE`` marker is written only after the files
+    are durable, so a partial write is replaced wholesale on retry while a
+    finished stage is never re-executed (same marker discipline as
+    `state.manifest`, at whole-stage granularity; `run_extraction` remains
+    the per-chunk variant for the extraction stage itself)."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    done = os.path.join(stage_dir, "_DONE")
+    if not (resume and os.path.exists(done)):
+        if os.path.isdir(stage_dir):
+            shutil.rmtree(stage_dir)  # stale partial output
+        os.makedirs(stage_dir)
+        ds_factory().write_parquet(stage_dir)
+        with open(done, "w", encoding="utf-8"):
+            pass
+    files = [
+        os.path.join(stage_dir, f)
+        for f in sorted(os.listdir(stage_dir))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        raise ValueError(f"stage checkpoint {stage_dir!r} produced no rows")
+    return rd.read_parquet(files)
+
+
 def _extracted(sf_dir: str):
     import ray
 
@@ -90,12 +125,18 @@ def clean_corpus(
     verified dup pairs (tiny) reach the driver, which resolves the greedy
     keep-first-url drop set (broadcast back for the final filter).
 
-    In production the extracted/gated corpus is a parquet checkpoint
-    (`run_extraction`'s resume boundary) and each consumer reads it; the
-    in-process `materialize()` calls below stand in for that checkpoint so
-    extraction runs once, not once per consumer."""
+    Inter-stage handoffs are PARQUET STAGE CHECKPOINTS (never an
+    object-store materialize of the text-bearing corpus): the
+    extracted+gated corpus lands in ``<stage>/gated/`` once and every
+    consumer — dedup winner pass, survivor join, near-dup sweep, final
+    write — streams from the files; the deduped survivors land in
+    ``<stage>/dedup/`` the same way.  With ``out_dir`` the checkpoints
+    live in ``out_dir/_stage`` and a crashed run resumes at the last
+    finished boundary; without it they live in a throwaway /tmp dir."""
     import json
     import os
+    import shutil
+    import tempfile
 
     if out_dir is not None:
         marker = os.path.join(out_dir, "_SUCCESS")
@@ -104,8 +145,25 @@ def clean_corpus(
                 counts = json.load(fh)
             counts["resumed"] = True
             return counts
-    ds = _extracted(sf_dir)
-    ds = ds.map_batches(_quality_gate, batch_format="pyarrow")
+        os.makedirs(out_dir, exist_ok=True)
+        stage_root = os.path.join(out_dir, "_stage")
+        stage_resume = resume
+    else:
+        stage_root = tempfile.mkdtemp(prefix="pdfray_clean_stage_")
+        stage_resume = False
+
+    try:
+        return _clean_corpus_inner(
+            sf_dir, near_dedup, out_dir, stage_root, stage_resume, json, os
+        )
+    finally:
+        if out_dir is None:
+            shutil.rmtree(stage_root, ignore_errors=True)
+
+
+def _clean_corpus_inner(sf_dir, near_dedup, out_dir, stage_root, stage_resume, json, os):
+    import ray
+    from ray.data.aggregate import Min
 
     from ..stages.extract_stage import EXTRACT_SCHEMA  # noqa: F401  (doc link)
     from .textops import LangId
@@ -115,39 +173,47 @@ def clean_corpus(
             preds = [self.classify(s) for s in t.column("text").to_pylist()]
             return t.append_column("lang_pred", pa.array(preds))
 
-    import ray
+    def gated_factory():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        return (
+            _extracted(sf_dir)
+            .map_batches(_quality_gate, batch_format="pyarrow")
+            .map_batches(
+                LangIdOnDoc,
+                batch_format="pyarrow",
+                concurrency=(1, max(1, cpus // 4)),
+            )
+        )
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    ds = ds.map_batches(
-        LangIdOnDoc, batch_format="pyarrow", concurrency=(1, max(1, cpus // 4))
-    ).materialize()  # extraction checkpoint stand-in (see docstring)
-
-    from ray.data.aggregate import Min
-
-    # compact both join inputs: a side whose first block is empty loses its
-    # schema in Ray's hash join (see CLAUDE.md quirks) — the quality gate
-    # can legitimately empty out a leading block, and compaction also
-    # right-sizes blocks after filtering
-    n_rows = ds.count()
-    n_parts = max(1, min(16, n_rows // 50_000 + 1))
-    ds = ds.repartition(n_parts).materialize()
-    winners = (
-        ds.map_batches(_hash_url_only, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("url", alias_name="url"))
-        .select_columns(["url"])
-        .repartition(n_parts)
-        .materialize()
+    # ---- stage checkpoint 1: extracted + quality-gated + lang-tagged corpus
+    gated = _stage_checkpoint(
+        gated_factory, os.path.join(stage_root, "gated"), resume=stage_resume
     )
-    survivors = ds.join(
-        winners, join_type="inner", num_partitions=n_parts, on=("url",)
-    ).materialize()
+    n_rows = gated.count()  # parquet-footer metadata, no scan
+    n_parts = max(1, min(16, n_rows // 50_000 + 1))
+
+    def dedup_factory():
+        # parquet-read blocks are nonempty, satisfying the hash-join
+        # first-block-schema quirk on both sides (see CLAUDE.md)
+        winners = (
+            gated.map_batches(_hash_url_only, batch_format="pyarrow")
+            .groupby("text_hash")
+            .aggregate(Min("url", alias_name="url"))
+            .select_columns(["url"])
+            .repartition(n_parts)
+        )
+        return gated.join(
+            winners, join_type="inner", num_partitions=n_parts, on=("url",)
+        )
+
+    # ---- stage checkpoint 2: exact-deduped survivors
+    survivors = _stage_checkpoint(
+        dedup_factory, os.path.join(stage_root, "dedup"), resume=stage_resume
+    )
+    n_dedup = survivors.count()
     drop = _near_dup_drop_set(survivors) if near_dedup else set()
 
     if out_dir is not None:
-        import ray
-
-        n_dedup = survivors.count()
         final = survivors
         if drop:
             drop_ref = ray.put(pa.array(sorted(drop)))
@@ -169,7 +235,6 @@ def clean_corpus(
             import shutil
 
             shutil.rmtree(data_dir)
-        os.makedirs(out_dir, exist_ok=True)
         final.write_parquet(data_dir)
         counts = {
             "n_gated": int(n_rows),  # rows surviving the quality gate
@@ -181,6 +246,11 @@ def clean_corpus(
         }
         with open(os.path.join(out_dir, "_SUCCESS"), "w") as fh:
             json.dump(counts, fh)
+        # stage checkpoints are crash-resume artifacts only — _SUCCESS now
+        # short-circuits reruns, so drop the duplicate bytes
+        import shutil
+
+        shutil.rmtree(stage_root, ignore_errors=True)
         return counts
 
     df = survivors.to_pandas()
@@ -246,13 +316,16 @@ def pipeline_training_mix(sf_dir: str, out_dir: str = None, resume: bool = True)
     Every inter-stage handoff is either a broadcast of a BOUNDED side
     (thresholds: |langs|; cap winners: cap x |sources|; bench grams: eval-
     set-sized; dedup winners: subset of cap winners) or a shuffle of
-    narrow columns — text never crosses an exchange.  The lazy stream is
-    re-executed per derived side at this scale; a production run would
-    checkpoint the stream between stages exactly like
-    ``clean_corpus(out_dir=...)`` does.  The whole chain has a single
-    chained-CTE DuckDB oracle."""
+    narrow columns — text never crosses an exchange.  The temperature-
+    filtered stream lands in ONE parquet stage checkpoint and the three
+    downstream consumers (cap ids, dedup winners, shard assignment) each
+    stream from the files — one corpus scan total instead of three, and
+    with ``out_dir`` a crashed run resumes past the filter.  The whole
+    chain has a single chained-CTE DuckDB oracle."""
     import json
     import os
+    import shutil
+    import tempfile
 
     import numpy as np
     import ray
@@ -266,6 +339,11 @@ def pipeline_training_mix(sf_dir: str, out_dir: str = None, resume: bool = True)
             counts["resumed"] = True
             return counts
         os.makedirs(out_dir, exist_ok=True)
+        stage_root = os.path.join(out_dir, "_stage")
+        stage_resume = resume
+    else:
+        stage_root = tempfile.mkdtemp(prefix="pdfray_mix_stage_")
+        stage_resume = False
 
     from .textops import (
         DECONTAM_BENCH_MOD,
@@ -288,12 +366,20 @@ def pipeline_training_mix(sf_dir: str, out_dir: str = None, resume: bool = True)
     # identity, so the stages are shared, not copied)
     thresholds = temperature_thresholds(sf_dir)
 
-    def stream():
-        return _read_documents(
+    # one corpus scan: the filtered stream checkpoints to parquet and every
+    # downstream consumer streams from the files (see _stage_checkpoint)
+    tempered = _stage_checkpoint(
+        lambda: _read_documents(
             sf_dir, ("doc_id", "text", "lang", "source", "n_chars")
         ).map_batches(
             lambda t: temperature_filter(t, thresholds), batch_format="pyarrow"
-        )
+        ),
+        os.path.join(stage_root, "tempered"),
+        resume=stage_resume,
+    )
+
+    def stream():
+        return tempered
 
     # ---- stage 2: per-domain cap winners (bounded: cap x |sources| ids;
     # same prune/rank helpers as t_domain_cap)
@@ -405,8 +491,12 @@ def pipeline_training_mix(sf_dir: str, out_dir: str = None, resume: bool = True)
         counts = {"n_survivors": int(n_rows), "out_dir": out_dir}
         with open(os.path.join(out_dir, "_SUCCESS"), "w") as fh:
             json.dump(counts, fh)
+        # the stage checkpoint is a crash-resume artifact only — once
+        # _SUCCESS short-circuits reruns it is dead weight
+        shutil.rmtree(stage_root, ignore_errors=True)
         return counts
     out = ranked.to_pandas()
+    shutil.rmtree(stage_root, ignore_errors=True)  # throwaway /tmp stage
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

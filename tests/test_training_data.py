@@ -202,3 +202,89 @@ def test_training_mix_out_dir_write_and_resume(ray_session, tmp_path):
     # resume: marker short-circuits the rerun
     again = pipeline_training_mix(sf, out_dir=out_dir)
     assert again["resumed"] is True and again["n_survivors"] == counts["n_survivors"]
+
+
+def test_out_dir_paths_never_materialize_text(ray_session, tmp_path, monkeypatch):
+    """The production exits hand stages off through PARQUET checkpoints:
+    no dataset whose schema carries the text/html payload may be
+    object-store materialized anywhere in either flagship composition."""
+    import ray.data as rd
+
+    from pdfray.pipelines import training_data
+    from pdfray.sources import fixtures
+
+    path = str(tmp_path / "documents_pdf.parquet")
+    pq.write_table(fixtures.corpus_table(30, n_huge=1, n_broken=2), path)
+    monkeypatch.setattr(
+        "pdfray.sources.fixtures.ensure_corpus_parquet", lambda sf_dir: path
+    )
+
+    seen_schemas = []
+    real_materialize = rd.Dataset.materialize
+
+    def spy(self, *a, **k):
+        out = real_materialize(self, *a, **k)
+        try:
+            seen_schemas.append(set(out.schema().names))
+        except Exception:
+            pass
+        return out
+
+    monkeypatch.setattr(rd.Dataset, "materialize", spy)
+
+    training_data.clean_corpus(
+        "ignored", near_dedup=True, out_dir=str(tmp_path / "clean_out")
+    )
+    training_data.pipeline_training_mix(
+        "/root/testdata/sf0.001", out_dir=str(tmp_path / "mix_out")
+    )
+    offenders = [s for s in seen_schemas if {"text", "html"} & s]
+    assert offenders == [], offenders
+
+
+def test_clean_corpus_crash_resumes_at_stage_boundary(
+    ray_session, tmp_path, monkeypatch
+):
+    """A crash AFTER the gated-corpus checkpoint but before dedup finishes
+    must resume without re-running extraction: the gated stage files stay
+    byte-for-byte untouched on the retry and the final output is correct."""
+    import os
+
+    from pdfray.pipelines import training_data
+    from pdfray.sources import fixtures
+
+    path = str(tmp_path / "documents_pdf.parquet")
+    pq.write_table(fixtures.corpus_table(30, n_huge=1, n_broken=2), path)
+    monkeypatch.setattr(
+        "pdfray.sources.fixtures.ensure_corpus_parquet", lambda sf_dir: path
+    )
+    reference = training_data.clean_corpus("ignored", near_dedup=False)
+
+    out = str(tmp_path / "clean_out")
+    real = training_data._hash_url_only
+
+    def boom(t):
+        raise RuntimeError("injected crash between stage checkpoints")
+
+    monkeypatch.setattr(training_data, "_hash_url_only", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="injected crash"):
+        training_data.clean_corpus("ignored", near_dedup=False, out_dir=out)
+    gated_dir = os.path.join(out, "_stage", "gated")
+    assert os.path.exists(os.path.join(gated_dir, "_DONE"))
+
+    # retry: the finished gated stage must resume off its _DONE marker —
+    # extraction is never re-entered (it would blow up if it were)
+    monkeypatch.setattr(training_data, "_hash_url_only", real)
+
+    def no_reextract(sf_dir):
+        raise AssertionError("extraction re-ran despite a finished checkpoint")
+
+    monkeypatch.setattr(training_data, "_extracted", no_reextract)
+    counts = training_data.clean_corpus("ignored", near_dedup=False, out_dir=out)
+    assert counts["n_clean"] == len(reference)
+    written = pq.read_table(f"{out}/data").to_pandas()
+    assert sorted(written["url"]) == sorted(reference["url"])
+    # success removed the now-redundant stage checkpoints
+    assert not os.path.isdir(os.path.join(out, "_stage"))
