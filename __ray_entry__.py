@@ -264,6 +264,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_ann_lsh": S.s_ann_lsh,
         "s_ann_ivf": S.s_ann_ivf,
         "s_ann_partitioned": S.s_ann_partitioned,
+        # exact-oracle companions: the candidate SETS of the seeded indexes
+        # are value-checked even though the recall metrics stay rows-only
+        "s_ann_lsh_candidates": S.s_ann_lsh_candidates,
+        "s_ann_ivf_candidates": S.s_ann_ivf_candidates,
+        "s_ann_partitioned_candidates": S.s_ann_partitioned_candidates,
         "s_lsh_buckets": S.s_lsh_buckets,
         "s_embedding_dupes": S.s_embedding_dupes,
         # multimodal: real pure-Python PNG / WAV / Y4M decode (FrameSampler
@@ -369,6 +374,108 @@ def _lsh_buckets_oracle() -> str:
     return (
         f"SELECT CAST(({terms}) AS BIGINT) AS sig, COUNT(*) AS n_vecs "
         "FROM embeddings GROUP BY sig ORDER BY sig"
+    )
+
+
+def _lsh_candidates_oracle() -> str:
+    """Candidate sets of the seeded LSH index recomputed in DuckDB: the
+    hyperplanes (RandomState(17)) are embedded as float literals like
+    `_lsh_buckets_oracle`, the query vectors/probe sets are derived
+    independently from the raw parquet (no engine code path touched), and
+    the join keeps every vector whose signature is in a query's probe
+    list.  This is the exact-oracle companion to the rows-only s_ann_lsh
+    recall metric — and, verbatim, the oracle for the store-backed
+    s_ann_partitioned_candidates (same index, same probe sets)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfray.pipelines.simsearch import N_QUERIES, _auto_planes, _probe_set
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    n_rows = t.num_rows
+    n_planes = _auto_planes(n_rows)
+    dim = len(t.column("embedding")[0])
+    planes = np.random.RandomState(17).randn(dim, n_planes)
+    df = t.to_pandas().sort_values("vec_id").head(N_QUERIES)
+    qmat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    qsigs = (((qmat @ planes) > 0) * (1 << np.arange(n_planes))).sum(axis=1)
+    probes = [
+        (int(qid), _probe_set(int(s), n_planes))
+        for qid, s in zip(df["vec_id"], qsigs)
+    ]
+    terms = " + ".join(
+        "(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+        f"[{','.join(repr(float(x)) for x in planes[:, j])}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    values = ", ".join(
+        f"({qid}, [{','.join(str(int(v)) for v in p)}])" for qid, p in probes
+    )
+    return (
+        f"WITH sig AS (SELECT vec_id, ({terms}) AS sig FROM embeddings), "
+        f"probes(query_id, ps) AS (VALUES {values}) "
+        "SELECT CAST(query_id AS BIGINT) AS query_id, vec_id "
+        "FROM probes JOIN sig ON list_contains(ps, sig) "
+        "ORDER BY query_id, vec_id"
+    )
+
+
+def _ivf_candidates_oracle() -> str:
+    """IVF candidate sets recomputed in DuckDB: the coarse quantizer is
+    retrained INDEPENDENTLY on the driver (same seeded `_kmeans` numpy
+    routine, sample = the 50*k lowest vec_ids read straight from the raw
+    parquet — never the Ray pipeline), centroids embedded as SQL literals,
+    and per-vector cell assignment recomputed as argmax of the centroid
+    dot products (list_indexof/list_max picks the FIRST maximum like
+    numpy argmax; the dot is scale-invariant so the engine-side
+    normalization needs no mirror)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfray.pipelines.simsearch import N_QUERIES, _kmeans, _normalize
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    df = (
+        pq.read_table(path, columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    n_rows = len(df)
+    k = max(2, int(np.sqrt(n_rows)))
+    nprobe = max(1, -(-k // 4))
+    sample = _normalize(
+        np.stack(df.head(min(n_rows, 50 * k))["embedding"].to_numpy()).astype(
+            np.float64
+        )
+    )
+    centroids = _kmeans(sample, k)
+    qdf = df.head(N_QUERIES)
+    qmat = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    probes = [
+        (
+            int(qid),
+            np.argsort(-(qmat[qi] @ centroids.T), kind="stable")[:nprobe],
+        )
+        for qi, qid in enumerate(qdf["vec_id"])
+    ]
+    dots = ", ".join(
+        "list_inner_product(CAST(embedding AS DOUBLE[]), "
+        f"[{','.join(repr(float(x)) for x in centroids[j])}])"
+        for j in range(k)
+    )
+    values = ", ".join(
+        f"({qid}, [{','.join(str(int(c)) for c in p)}])" for qid, p in probes
+    )
+    return (
+        f"WITH d AS (SELECT vec_id, [{dots}] AS dl FROM embeddings), "
+        "a AS (SELECT vec_id, list_indexof(dl, list_max(dl)) - 1 AS cell FROM d), "
+        f"probes(query_id, ps) AS (VALUES {values}) "
+        "SELECT CAST(query_id AS BIGINT) AS query_id, vec_id "
+        "FROM probes JOIN a ON list_contains(ps, cell) "
+        "ORDER BY query_id, vec_id"
     )
 
 
@@ -909,6 +1016,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_simhash": _simhash_oracle(),
         "s_lsh_buckets": _lsh_buckets_oracle(),
+        "s_ann_lsh_candidates": _lsh_candidates_oracle(),
+        # same index, same probes — the store-backed path must produce the
+        # byte-identical candidate sets
+        "s_ann_partitioned_candidates": _lsh_candidates_oracle(),
+        "s_ann_ivf_candidates": _ivf_candidates_oracle(),
         "t_langid": _langid_oracle(),
         "t_winnow_fp": (
             # verbatim winnowing recomputation: k=5 token grams, md5-64 gram
@@ -1064,6 +1176,48 @@ def oracle_sql() -> dict[str, str]:
             "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 5) "
             "SELECT MIN(url) AS url, MIN_BY(text, url) AS text FROM ok "
             "GROUP BY md5(text) ORDER BY url"
+        ),
+        "pipeline_clean_corpus_neardup": (
+            # full chain incl. the near-dup pass: survivors as in
+            # pipeline_clean_corpus, ALL-PAIRS 3-token-shingle Jaccard >= 0.8
+            # between survivor texts (t_minhash_pairs machinery — a banding
+            # recall miss in the engine FAILS this compare), then the
+            # engine's greedy keep-first resolution replayed exactly by a
+            # linear recursive CTE over the (doc_a, doc_b)-ordered pairs:
+            # drop doc_b iff neither side is already dropped.
+            # the heavy CTEs are MATERIALIZED: a recursive CTE re-evaluates
+            # every non-materialized CTE it references ON EACH ITERATION,
+            # which turns the all-pairs shingle join quadratic-in-pairs
+            f"WITH RECURSIVE ok AS MATERIALIZED (SELECT url, text FROM read_parquet('{fixture}') "
+            "WHERE text <> '' AND "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 5), "
+            "ded AS MATERIALIZED (SELECT MIN(url) AS url, MIN_BY(text, url) AS text FROM ok "
+            "GROUP BY md5(text)), "
+            "toks AS MATERIALIZED (SELECT url, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t "
+            "FROM ded), "
+            "sh AS MATERIALIZED (SELECT url, list_distinct(CASE WHEN len(t) < 3 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t) - 1), "
+            "i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS s "
+            "FROM toks WHERE len(t) > 0), "
+            "p AS MATERIALIZED (SELECT a.url AS doc_a, b.url AS doc_b, "
+            "len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot "
+            "FROM sh a JOIN sh b ON a.url < b.url), "
+            "pn AS MATERIALIZED (SELECT doc_a, doc_b, "
+            "ROW_NUMBER() OVER (ORDER BY doc_a, doc_b) AS i FROM p "
+            "WHERE tot > inter AND inter::DOUBLE / (tot - inter) >= 0.8), "
+            "greedy(i, dropped) AS ("
+            "SELECT CAST(0 AS BIGINT), CAST([] AS VARCHAR[]) "
+            "UNION ALL "
+            "SELECT pn.i, CASE WHEN list_contains(g.dropped, pn.doc_a) "
+            "OR list_contains(g.dropped, pn.doc_b) THEN g.dropped "
+            "ELSE list_append(g.dropped, pn.doc_b) END "
+            "FROM greedy g JOIN pn ON pn.i = g.i + 1), "
+            "fin AS (SELECT dropped FROM greedy ORDER BY i DESC LIMIT 1) "
+            "SELECT url FROM ded "
+            "WHERE NOT list_contains((SELECT dropped FROM fin), url) "
+            "ORDER BY url"
         ),
         "pipeline_line_dedup": (
             # golden-text recomputation on line STRINGS (engine joins md5-62

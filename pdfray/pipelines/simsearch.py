@@ -334,6 +334,31 @@ def _kmeans(sample: np.ndarray, k: int, seed: int = 23, iters: int = 10) -> np.n
     return centroids
 
 
+def _ivf_index(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
+    """Deterministic IVF coarse index shared by s_ann_ivf and its
+    exact-oracle candidates companion: trains the quantizer on the 50*k
+    lowest vec_ids (streaming local min-k — no sort shuffle) and derives
+    each query's probe cells.  Returns (qids, qmat, centroids, probes,
+    n_centroids, nprobe)."""
+    ds = _read_embeddings(sf_dir)
+    n_rows = ds.count()
+    if n_centroids <= 0:
+        n_centroids = max(2, int(np.sqrt(n_rows)))
+    if nprobe <= 0:
+        nprobe = max(1, -(-n_centroids // 4))
+    sample_df = _topk(ds, min(n_rows, 50 * n_centroids), ["vec_id"], [False])
+    sample = _normalize(
+        np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    )
+    centroids = _kmeans(sample, n_centroids)
+    qids, qmat = _query_matrix(sf_dir)
+    probes = [
+        np.argsort(-(qmat[qi] @ centroids.T), kind="stable")[:nprobe]
+        for qi in range(len(qids))
+    ]
+    return qids, qmat, centroids, probes, n_centroids, nprobe
+
+
 def s_ann_ivf(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
     """IVF approximate top-k + per-query recall vs the exact result.
 
@@ -354,26 +379,9 @@ def s_ann_ivf(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
     import ray
 
     ds = _read_embeddings(sf_dir)
-    n_rows = ds.count()
-    if n_centroids <= 0:
-        n_centroids = max(2, int(np.sqrt(n_rows)))
-    if nprobe <= 0:
-        nprobe = max(1, -(-n_centroids // 4))
-
-    # bounded training sample: the 50*k LOWEST vec_ids (deterministic).
-    # sort().limit() here would be a full range shuffle of the embedding
-    # table (Ray Data does not push the limit below the sort); the local
-    # min-k + driver merge is one streaming pass that collects at most
-    # 50*k rows per block and yields the identical sample.
-    sample_df = _topk(ds, min(n_rows, 50 * n_centroids), ["vec_id"], [False])
-    sample = _normalize(np.stack(sample_df["embedding"].to_numpy()).astype(np.float64))
-    centroids = _kmeans(sample, n_centroids)
-
-    qids, qmat = _query_matrix(sf_dir)
-    probes = [
-        np.argsort(-(qmat[qi] @ centroids.T), kind="stable")[:nprobe]
-        for qi in range(len(qids))
-    ]
+    qids, qmat, centroids, probes, n_centroids, nprobe = _ivf_index(
+        sf_dir, n_centroids, nprobe
+    )
     bref = ray.put((qids, qmat, centroids, probes))
 
     class IvfProbeScore:
@@ -750,6 +758,156 @@ def s_ann_partitioned(sf_dir: str):
         _STORE_CACHE[sf_dir] = (out_dir, info)
     out_dir, info = _STORE_CACHE[sf_dir]
     return query_vector_store(out_dir, sf_dir, info["n_planes"])
+
+
+def _lsh_probe_setup(sf_dir: str):
+    """Planes / query probe sets of the seeded, fully-determined LSH index
+    (shared by the in-stream and store-backed candidate companions)."""
+    ds = _read_embeddings(sf_dir)
+    n_planes = _auto_planes(ds.count())
+    qids, qmat = _query_matrix(sf_dir)
+    planes = (
+        np.random.RandomState(17).randn(qmat.shape[1], n_planes).astype(np.float64)
+    )
+    shifts = 1 << np.arange(n_planes)
+    qsigs = (((qmat @ planes) > 0) * shifts).sum(axis=1)
+    probes = [_probe_set(int(s), n_planes) for s in qsigs]
+    return ds, qids, planes, probes, n_planes
+
+
+def s_ann_lsh_candidates(sf_dir: str):
+    """EXACT-ORACLE companion to s_ann_lsh: the per-query candidate sets of
+    the seeded LSH index — (query_id, vec_id) for every corpus vector whose
+    signature falls in the query's Hamming<=2 probe set.  The DuckDB oracle
+    recomputes signatures from the same literal-embedded planes and probe
+    lists (s_lsh_buckets precedent), so the candidate machinery itself is
+    value-checked; only the recall METRIC stays rows-only in s_ann_lsh."""
+    import ray
+
+    ds, qids, planes, probes, _ = _lsh_probe_setup(sf_dir)
+    bref = ray.put((qids, planes, probes))
+
+    class Cand:
+        def __init__(self):
+            self.qids, self.planes, self.probes = ray.get(bref)
+            self.shifts = 1 << np.arange(self.planes.shape[1])
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            qs: list = []
+            vs: list = []
+            if len(t):
+                vecs = _normalize(_batch_matrix(t))
+                sigs = (((vecs @ self.planes) > 0) * self.shifts).sum(axis=1)
+                vec_ids = t.column("vec_id").to_numpy()
+                for qi, qid in enumerate(self.qids):
+                    hit = vec_ids[np.isin(sigs, self.probes[qi])]
+                    qs.extend([int(qid)] * len(hit))
+                    vs.extend(int(v) for v in hit)
+            return pa.table(
+                {
+                    "query_id": pa.array(qs, pa.int64()),
+                    "vec_id": pa.array(vs, pa.int64()),
+                }
+            )
+
+    out = ds.map_batches(
+        warm_factory(("s_lsh_cand", bref.hex()), Cand), batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+def s_ann_partitioned_candidates(sf_dir: str):
+    """Store-backed twin of s_ann_lsh_candidates: build (or reuse) the
+    hive-partitioned vector store, read ONLY the probed partition
+    directories, and emit the same (query_id, vec_id) sets.  The oracle is
+    the identical SQL — a match certifies that the write-partitioned /
+    read-probed layout loses and invents nothing vs the in-stream path."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    _, qids, planes, probes, n_planes = _lsh_probe_setup(sf_dir)
+    if sf_dir not in _STORE_CACHE:
+        out_dir = tempfile.mkdtemp(prefix="pdfray_vecstore_")
+        info = build_vector_store(sf_dir, out_dir)
+        _STORE_CACHE[sf_dir] = (out_dir, info)
+    store_dir, info = _STORE_CACHE[sf_dir]
+    assert info["n_planes"] == n_planes
+    wanted = sorted({int(v) for p in probes for v in p})
+    files = []
+    for s in wanted:
+        d = os.path.join(store_dir, f"sigp={s}")
+        if os.path.isdir(d):
+            files.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not files:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+            }
+        )
+    # probed partitions only — candidate-sized, never the corpus
+    hits = rd.read_parquet(files, columns=["vec_id", "sig"]).to_pandas()
+    frames = []
+    for qi, qid in enumerate(qids):
+        g = hits[hits["sig"].isin(probes[qi])]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(g), int(qid), np.int64),
+                    "vec_id": g["vec_id"].to_numpy(np.int64),
+                }
+            )
+        )
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+def s_ann_ivf_candidates(sf_dir: str):
+    """EXACT-ORACLE companion to s_ann_ivf: (query_id, vec_id) for every
+    vector assigned to one of the query's probed IVF cells.  The trained
+    coarse quantizer is fully determined (seeded driver k-means on the
+    50*k lowest vec_ids), so the oracle retrains it independently from the
+    raw parquet and embeds the centroids as SQL literals; cell assignment
+    (argmax of the centroid dot products) is recomputed per vector in
+    DuckDB.  Recall stays rows-only in s_ann_ivf."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+    qids, _qmat, centroids, probes, _k, _np_ = _ivf_index(sf_dir)
+    bref = ray.put((qids, centroids, probes))
+
+    class Cand:
+        def __init__(self):
+            self.qids, self.centroids, self.probes = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            qs: list = []
+            vs: list = []
+            if len(t):
+                vecs = _normalize(_batch_matrix(t))
+                assign = (vecs @ self.centroids.T).argmax(axis=1)
+                vec_ids = t.column("vec_id").to_numpy()
+                for qi, qid in enumerate(self.qids):
+                    hit = vec_ids[np.isin(assign, self.probes[qi])]
+                    qs.extend([int(qid)] * len(hit))
+                    vs.extend(int(v) for v in hit)
+            return pa.table(
+                {
+                    "query_id": pa.array(qs, pa.int64()),
+                    "vec_id": pa.array(vs, pa.int64()),
+                }
+            )
+
+    out = ds.map_batches(
+        warm_factory(("s_ivf_cand", bref.hex()), Cand), batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
 # exact all-pairs scoring is O(N^2) compute by design (see module

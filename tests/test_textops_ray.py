@@ -230,6 +230,29 @@ def test_ann_ivf_recall_and_pruning(ray_session):
     assert (full["recall_at_k"] == 1.0).all()
 
 
+def test_ann_candidate_companions_consistent(ray_session):
+    """The exact-oracle candidate companions agree with each other and with
+    the index definitions: the store-backed path reproduces the in-stream
+    LSH candidate sets row-for-row, and every IVF query probes a nonempty
+    strict subset of the corpus."""
+    from pdfray.pipelines.simsearch import (
+        s_ann_ivf_candidates,
+        s_ann_lsh_candidates,
+        s_ann_partitioned_candidates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    in_stream = s_ann_lsh_candidates(sf)
+    store = s_ann_partitioned_candidates(sf)
+    pd.testing.assert_frame_equal(in_stream, store)
+    assert len(in_stream) > 0
+
+    ivf = s_ann_ivf_candidates(sf)
+    n_rows = pq.read_metadata(f"{sf}/embeddings.parquet").num_rows
+    per_q = ivf.groupby("query_id").size()
+    assert (per_q > 0).all() and (per_q < n_rows).all()
+
+
 def test_ann_partitioned_store_prunes_io_at_equal_recall(ray_session, tmp_path):
     """The write-partitioned / read-probed store touches a strict subset of
     partitions and matches the in-stream ANN's recall (same planes/probes)."""
