@@ -305,3 +305,68 @@ def test_driver_entry_contract(ray_session):
     df = ds.to_pandas()
     assert len(df) > 0
     assert {"url", "text", "error", "n_pages", "partition_id"} <= set(df.columns)
+
+
+def test_skew_pool_survives_constrained_object_store(tmp_path):
+    """North-rule OOM/spill guard (previously asserted only by design
+    argument): a corpus of pathological multi-MB documents whose total
+    bytes far exceed the object store must still extract to completion —
+    Ray spills under backpressure instead of dying — with every small
+    neighbour byte-identical.  Runs in a subprocess so the constrained
+    ray.init(object_store_memory=~80MB) never touches the session Ray."""
+    import random
+    import subprocess
+    import sys
+    import textwrap
+
+    import pyarrow as pa
+
+    from pdfray.sources.fixtures import build_huge, build_simple
+
+    rows = {"url": [], "html": [], "text": []}
+    for k in range(120):
+        data, golden, _ = build_simple(random.Random(k), "en")
+        rows["url"].append(f"https://x/small/{k:04d}.pdf")
+        rows["html"].append(data)
+        rows["text"].append(golden)
+    for k in range(24):  # ~4 MB each: corpus bytes >> object store
+        data, golden, _ = build_huge(
+            random.Random(1000 + k), "en", n_pages=2, image_kb=2000
+        )
+        rows["url"].append(f"https://x/giant/{k:04d}.pdf")
+        rows["html"].append(data)
+        rows["text"].append(golden)
+    corpus = str(tmp_path / "corpus.parquet")
+    pq.write_table(pa.table(rows), corpus)
+    golden_bytes = sum(len(h) for h in rows["html"])
+    store = 80 * 1024 * 1024
+    assert golden_bytes > store  # the guard is meaningless otherwise
+
+    script = textwrap.dedent(
+        f"""
+        import ray
+        import pyarrow.parquet as pq
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 object_store_memory={store})
+        from pdfray.pipelines.extraction import extract_dataset, read_corpus
+        out = extract_dataset(
+            read_corpus({corpus!r}), huge_threshold=1 << 20
+        ).to_pandas()
+        golden = pq.read_table({corpus!r}, columns=["url", "text"]).to_pandas()
+        got = dict(zip(out["url"], out["text"]))
+        assert len(got) == len(golden)
+        for u, want in zip(golden["url"], golden["text"]):
+            assert got[u] == want, u
+        print("SPILL_GUARD_OK", len(got))
+        ray.shutdown()
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "SPILL_GUARD_OK" in proc.stdout
