@@ -247,6 +247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_line_dedup": P.pipeline_line_dedup,
         # two-regime near-dup truth (never in a driver report before r4)
         "t_ngram_jaccard_dupes": T.t_ngram_jaccard_dupes,
+        # canonical public webtext cleaning filters (new in round 4)
+        "t_gopher_rules": T.t_gopher_rules,
+        "t_c4_filter": T.t_c4_filter,
         # changed this round (re-expose for fresh driver evidence)
         "q_filter_topk": R.q_filter_topk,
         "q_orders_topk": R.q_orders_topk,
@@ -1101,6 +1104,77 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.v, w.lab FROM walk w JOIN e ON e.u = w.node) "
             "SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS component "
             "FROM walk GROUP BY node ORDER BY doc_id"
+        ),
+        "t_gopher_rules": (
+            # every rule recomputed verbatim; thresholds as integer
+            # cross-multiplications, so no float ever enters the compare
+            "WITH m AS (SELECT doc_id, "
+            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) "
+            "AS n_words, "
+            "len(regexp_replace(text, '\\s', '', 'g')) AS sum_word_chars, "
+            "(len(text) - len(replace(text, '#', ''))) "
+            "+ (len(text) - len(replace(text, '…', ''))) "
+            "+ (len(text) - len(replace(text, '...', ''))) // 3 AS n_symbols, "
+            "list_filter(string_split(text, chr(10)), l -> l <> '') AS ls, "
+            "len(regexp_extract_all(text, '[^\\s]*[A-Za-z][^\\s]*')) "
+            "AS n_alpha_words, "
+            + " + ".join(
+                "(CASE WHEN regexp_matches(lower(text), "
+                f"'(^|\\s){w}(\\s|$)') THEN 1 ELSE 0 END)"
+                for w in (
+                    "the",
+                    "be",
+                    "to",
+                    "of",
+                    "and",
+                    "that",
+                    "have",
+                    "with",
+                )
+            )
+            + " AS n_stop_distinct FROM documents), "
+            "x AS (SELECT doc_id, n_words, sum_word_chars, n_symbols, "
+            "CAST(len(ls) AS BIGINT) AS n_lines, "
+            "CAST(len(list_filter(ls, l -> starts_with(l, '- ') "
+            "OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) "
+            "AS n_bullet, "
+            "CAST(len(list_filter(ls, l -> ends_with(l, '...') "
+            "OR ends_with(l, '…'))) AS BIGINT) AS n_ellipsis_lines, "
+            "n_alpha_words, CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct "
+            "FROM m) "
+            "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+            "CAST(sum_word_chars AS BIGINT) AS sum_word_chars, "
+            "CAST(n_symbols AS BIGINT) AS n_symbols, n_lines, n_bullet, "
+            "n_ellipsis_lines, CAST(n_alpha_words AS BIGINT) AS n_alpha_words, "
+            "n_stop_distinct, "
+            "(n_words BETWEEN 50 AND 100000 "
+            "AND 3 * n_words <= sum_word_chars "
+            "AND sum_word_chars <= 10 * n_words "
+            "AND 10 * n_symbols <= n_words "
+            "AND 10 * n_bullet <= 9 * n_lines "
+            "AND 10 * n_ellipsis_lines <= 3 * n_lines "
+            "AND 5 * n_alpha_words >= 4 * n_words "
+            "AND n_stop_distinct >= 2) AS keep "
+            "FROM x ORDER BY doc_id"
+        ),
+        "t_c4_filter": (
+            "WITH l AS (SELECT doc_id, text, "
+            "list_filter(list_transform(string_split(text, chr(10)), "
+            "r -> trim(r, ' ' || chr(9) || chr(13))), x -> x <> '') AS ls "
+            "FROM documents), "
+            "m AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, "
+            "CAST(len(list_filter(ls, l -> (ends_with(l, '.') "
+            "OR ends_with(l, '!') OR ends_with(l, '?') "
+            "OR ends_with(l, '\"')) "
+            "AND len(list_filter(string_split_regex(l, '\\s+'), "
+            "w -> w <> '')) >= 3 "
+            "AND NOT contains(lower(l), 'javascript'))) AS BIGINT) "
+            "AS n_kept_lines, "
+            "contains(lower(text), 'lorem ipsum') AS has_lorem, "
+            "contains(text, '{') AS has_brace FROM l) "
+            "SELECT doc_id, n_lines, n_kept_lines, has_lorem, has_brace, "
+            "(n_kept_lines >= 3 AND NOT has_lorem AND NOT has_brace) AS keep "
+            "FROM m ORDER BY doc_id"
         ),
         "t_ngram_jaccard_dupes": (
             # ALL-PAIRS ground truth for char-4-gram Jaccard at 0.5 — this

@@ -177,6 +177,166 @@ def t_quality(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+# the eight Gopher stop words (Rae et al. 2021 §A1.1): a document must
+# contain at least two DISTINCT ones to pass the natural-language gate
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def t_gopher_rules(sf_dir: str):
+    """Gopher quality-rule metrics (Rae et al. 2021, public): per document
+    the integer counts each rule reads, plus the keep verdict.  All rule
+    thresholds are evaluated as INTEGER cross-multiplications (e.g. mean
+    word length in [3,10] <=> 3*n_words <= sum_word_chars <= 10*n_words),
+    so the DuckDB oracle is rounding-free.  Rules: 50..100k words; mean
+    word length 3..10; symbol-to-word ratio ('#'/'…'/'...') <= 0.1; <= 90%
+    of lines bullet-led; <= 30% of lines ellipsis-terminated; >= 80% of
+    words contain an alphabetic char; >= 2 distinct stop words."""
+
+    def project(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        lower = pc.utf8_lower(text)
+        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        sum_word_chars = pc.cast(
+            pc.utf8_length(pc.replace_substring_regex(text, r"\s", "")), pa.int64()
+        )
+        n_symbols = pc.add(
+            pc.add(
+                pc.cast(pc.count_substring(text, "#"), pa.int64()),
+                pc.cast(pc.count_substring(text, "…"), pa.int64()),
+            ),
+            pc.cast(pc.count_substring(text, "..."), pa.int64()),
+        )
+        n_alpha_words = pc.cast(
+            pc.count_substring_regex(text, r"[^\s]*[A-Za-z][^\s]*"), pa.int64()
+        )
+        stop_hits = None
+        for w in _GOPHER_STOPS:
+            hit = pc.cast(
+                pc.match_substring_regex(lower, rf"(^|\s){w}(\s|$)"), pa.int64()
+            )
+            stop_hits = hit if stop_hits is None else pc.add(stop_hits, hit)
+        n_lines_l, n_bullet_l, n_ell_l = [], [], []
+        for s in text.to_pylist():
+            lines = [ln for ln in s.split("\n") if ln]
+            n_lines_l.append(len(lines))
+            n_bullet_l.append(
+                sum(ln.startswith(("- ", "* ", "• ")) for ln in lines)
+            )
+            n_ell_l.append(sum(ln.endswith(("...", "…")) for ln in lines))
+        n_lines = pa.array(n_lines_l, pa.int64())
+        n_bullet = pa.array(n_bullet_l, pa.int64())
+        n_ell = pa.array(n_ell_l, pa.int64())
+        ten_words = pc.multiply(n_words, pa.scalar(10, pa.int64()))
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(n_words, pa.scalar(50, pa.int64())),
+                    pc.less_equal(n_words, pa.scalar(100_000, pa.int64())),
+                ),
+                pc.and_(
+                    pc.less_equal(
+                        pc.multiply(n_words, pa.scalar(3, pa.int64())),
+                        sum_word_chars,
+                    ),
+                    pc.less_equal(sum_word_chars, ten_words),
+                ),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.less_equal(
+                        pc.multiply(n_symbols, pa.scalar(10, pa.int64())), n_words
+                    ),
+                    pc.and_(
+                        pc.less_equal(
+                            pc.multiply(n_bullet, pa.scalar(10, pa.int64())),
+                            pc.multiply(n_lines, pa.scalar(9, pa.int64())),
+                        ),
+                        pc.less_equal(
+                            pc.multiply(n_ell, pa.scalar(10, pa.int64())),
+                            pc.multiply(n_lines, pa.scalar(3, pa.int64())),
+                        ),
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(
+                        pc.multiply(n_alpha_words, pa.scalar(5, pa.int64())),
+                        pc.multiply(n_words, pa.scalar(4, pa.int64())),
+                    ),
+                    pc.greater_equal(stop_hits, pa.scalar(2, pa.int64())),
+                ),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": n_words,
+                "sum_word_chars": sum_word_chars,
+                "n_symbols": n_symbols,
+                "n_lines": n_lines,
+                "n_bullet": n_bullet,
+                "n_ellipsis_lines": n_ell,
+                "n_alpha_words": n_alpha_words,
+                "n_stop_distinct": stop_hits,
+                "keep": keep,
+            }
+        )
+
+    ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+_C4_TERMINAL = (".", "!", "?", '"')
+
+
+def t_c4_filter(sf_dir: str):
+    """C4-style line/page cleaning metrics (Raffel et al. 2020, public):
+    a line survives iff it ends in terminal punctuation, has >= 3 words,
+    and does not mention 'javascript'; a page survives iff it has >= 3
+    surviving lines, no 'lorem ipsum', and no '{'.  Lines are
+    newline-split and space/tab/CR-trimmed (the pipeline_line_dedup
+    convention).  Integer counts + booleans only — rounding-free oracle."""
+    word = re.compile(r"\S+")
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        n_lines_l, n_kept_l, lorem_l, brace_l = [], [], [], []
+        for s in t.column("text").to_pylist():
+            lines = [
+                ln
+                for ln in (raw.strip(" \t\r") for raw in s.split("\n"))
+                if ln
+            ]
+            kept = 0
+            for ln in lines:
+                if (
+                    ln.endswith(_C4_TERMINAL)
+                    and len(word.findall(ln)) >= 3
+                    and "javascript" not in ln.lower()
+                ):
+                    kept += 1
+            n_lines_l.append(len(lines))
+            n_kept_l.append(kept)
+            lorem_l.append("lorem ipsum" in s.lower())
+            brace_l.append("{" in s)
+        keep = [
+            k >= 3 and not lo and not br
+            for k, lo, br in zip(n_kept_l, lorem_l, brace_l)
+        ]
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_lines": pa.array(n_lines_l, pa.int64()),
+                "n_kept_lines": pa.array(n_kept_l, pa.int64()),
+                "has_lorem": pa.array(lorem_l, pa.bool_()),
+                "has_brace": pa.array(brace_l, pa.bool_()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _word_codes(t: pa.Table):
     """Space-tokenize a batch into integer word codes, Arrow-side.
 

@@ -461,6 +461,8 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_stratified_sample",
     "t_length_quantiles",
     "t_quality",
+    "t_gopher_rules",
+    "t_c4_filter",
     "t_langid",
     "t_simhash",
     "t_winnow_fp",

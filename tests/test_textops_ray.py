@@ -1328,3 +1328,71 @@ def test_inverted_index_delta_idempotent_and_compaction_recovery(
     pd.testing.assert_frame_equal(
         query_inverted_index(store, ["alpha", "shared", "w20"]), want
     )
+
+
+def test_gopher_and_c4_rules_hand_verified(ray_session, tmp_path):
+    """Planted documents hitting each rule boundary exactly."""
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.textops import t_c4_filter, t_gopher_rules
+
+    good = ("the quick brown fox jumps with vigor. " * 8).strip()  # passes all
+    texts = [
+        good,                                           # 0: keeps
+        "the of short",                                 # 1: < 50 words
+        " ".join(["supercalifragilistic"] * 60),        # 2: mean word len > 10
+        good + " " + "#" * 40,                          # 3: symbol ratio blown
+        "\n".join(["- the bullet of line here"] * 10),  # 4: 100% bullet lines
+        " ".join(["123"] * 60) + " the of",             # 5: < 80% alpha words
+        " ".join(["zz"] * 60),                          # 6: no stop words
+    ]
+    n = len(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["t"] * n),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "gopher"
+    d.mkdir()
+    pq_.write_table(t, str(d / "documents.parquet"))
+
+    g = t_gopher_rules(str(d)).set_index("doc_id")
+    assert bool(g.loc[0, "keep"]) is True
+    assert not g.loc[[1, 2, 3, 4, 5, 6], "keep"].any()
+    assert g.loc[4, "n_bullet"] == 10 and g.loc[4, "n_lines"] == 10
+    assert g.loc[3, "n_symbols"] >= 40
+
+    c4_texts = [
+        "This line is fine.\nAnother good line here!\nAnd a third one?",  # keeps
+        "This line is fine.\nAnother good line here!",       # only 2 kept lines
+        "No terminal punctuation here\nor here\nor here",    # nothing kept
+        "Uses javascript heavily today.\nGood line one here.\n"
+        "Good line two here.\nGood line three here.",        # js line dropped, still 3
+        "Lorem ipsum dolor sit amet.\nGood line one here.\n"
+        "Good line two here.\nGood line three here.",        # page has lorem
+        "A brace { appears.\nGood line one here.\n"
+        "Good line two here.\nGood line three here.",        # page has brace
+    ]
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(range(len(c4_texts)), pa.int64()),
+            "text": pa.array(c4_texts),
+            "lang": pa.array(["en"] * len(c4_texts)),
+            "source": pa.array(["t"] * len(c4_texts)),
+            "n_chars": pa.array([len(s) for s in c4_texts], pa.int64()),
+        }
+    )
+    d2 = tmp_path / "c4"
+    d2.mkdir()
+    pq_.write_table(t2, str(d2 / "documents.parquet"))
+    c = t_c4_filter(str(d2)).set_index("doc_id")
+    assert bool(c.loc[0, "keep"]) is True and c.loc[0, "n_kept_lines"] == 3
+    assert bool(c.loc[1, "keep"]) is False
+    assert c.loc[2, "n_kept_lines"] == 0
+    assert bool(c.loc[3, "keep"]) is True and c.loc[3, "n_kept_lines"] == 3
+    assert bool(c.loc[4, "keep"]) is False and bool(c.loc[4, "has_lorem"])
+    assert bool(c.loc[5, "keep"]) is False and bool(c.loc[5, "has_brace"])
