@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # canonical public webtext cleaning filters (new in round 4)
         "t_gopher_rules": T.t_gopher_rules,
         "t_c4_filter": T.t_c4_filter,
+        "t_pii_scrub": T.t_pii_scrub,
         # changed this round (re-expose for fresh driver evidence)
         "q_filter_topk": R.q_filter_topk,
         "q_orders_topk": R.q_orders_topk,
@@ -1175,6 +1176,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_lines, n_kept_lines, has_lorem, has_brace, "
             "(n_kept_lines >= 3 AND NOT has_lorem AND NOT has_brace) AS keep "
             "FROM m ORDER BY doc_id"
+        ),
+        "t_pii_scrub": (
+            # identical RE2 pattern strings on both sides; the scrubbed-text
+            # md5 certifies the replacement byte-for-byte without shipping
+            # text through the compare
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+            "AS n_emails, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) "
+            "AS n_ips, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\+?\\d[\\d -]{7,}\\d')) AS BIGINT) AS n_phones, "
+            "md5(regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+            "'\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g')) AS scrubbed_fp "
+            "FROM documents ORDER BY doc_id"
         ),
         "t_ngram_jaccard_dupes": (
             # ALL-PAIRS ground truth for char-4-gram Jaccard at 0.5 — this

@@ -120,6 +120,9 @@ QUERY_NAMES = [
     "t_chunk_windows",
     "t_length_quantiles",
     "t_quality",
+    "t_gopher_rules",
+    "t_c4_filter",
+    "t_pii_scrub",
     "t_repetition",
     "t_doc_frequency",
     "t_heavy_hitters",

@@ -337,6 +337,59 @@ def t_c4_filter(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+# PII patterns, deliberately written in the RE2 dialect BOTH engines share
+# (Arrow's count_substring_regex/replace_substring_regex and DuckDB's
+# regexp_* all run RE2, so the same pattern string is bit-identical on
+# both sides — no Python `re` in the loop)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+
+def t_pii_scrub(sf_dir: str):
+    """PII detection + redaction metrics: per document the email / IPv4 /
+    phone match counts and the md5 of the scrubbed text (emails ->
+    <EMAIL>, then IPs -> <IP>, then phones -> <PHONE>; the order is pinned
+    because it is observable through the fingerprint).  All counting and
+    replacing is Arrow RE2 — the DuckDB oracle replays the identical
+    pattern strings through its own RE2, so the comparison certifies the
+    scrub byte-for-byte via the fingerprint without shipping text."""
+
+    def project(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        scrubbed = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.replace_substring_regex(text, _PII_EMAIL, "<EMAIL>"),
+                _PII_IP,
+                "<IP>",
+            ),
+            _PII_PHONE,
+            "<PHONE>",
+        )
+        fps = [
+            hashlib.md5(s.encode("utf-8")).hexdigest()
+            for s in scrubbed.to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_emails": pc.cast(
+                    pc.count_substring_regex(text, _PII_EMAIL), pa.int64()
+                ),
+                "n_ips": pc.cast(
+                    pc.count_substring_regex(text, _PII_IP), pa.int64()
+                ),
+                "n_phones": pc.cast(
+                    pc.count_substring_regex(text, _PII_PHONE), pa.int64()
+                ),
+                "scrubbed_fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _word_codes(t: pa.Table):
     """Space-tokenize a batch into integer word codes, Arrow-side.
 

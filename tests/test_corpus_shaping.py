@@ -463,6 +463,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_quality",
     "t_gopher_rules",
     "t_c4_filter",
+    "t_pii_scrub",
     "t_langid",
     "t_simhash",
     "t_winnow_fp",

@@ -1396,3 +1396,48 @@ def test_gopher_and_c4_rules_hand_verified(ray_session, tmp_path):
     assert bool(c.loc[3, "keep"]) is True and c.loc[3, "n_kept_lines"] == 3
     assert bool(c.loc[4, "keep"]) is False and bool(c.loc[4, "has_lorem"])
     assert bool(c.loc[5, "keep"]) is False and bool(c.loc[5, "has_brace"])
+
+
+def test_pii_scrub_planted(ray_session, tmp_path):
+    """Planted emails / IPv4s / phone numbers are counted and redacted; the
+    scrubbed fingerprint matches an independently computed md5."""
+    import hashlib
+
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.textops import t_pii_scrub
+
+    texts = [
+        "contact alice.smith+spam@ex-ample.co.uk or bob@x.io today",
+        "server at 192.168.0.1 and 10.0.0.255, call +1 555 123 4567",
+        "no pii here at all",
+        "edge 999.999.999.999 still matches the naive ipv4 shape",
+        "",
+    ]
+    n = len(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["t"] * n),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "pii"
+    d.mkdir()
+    pq_.write_table(t, str(d / "documents.parquet"))
+    out = t_pii_scrub(str(d)).set_index("doc_id")
+    assert out.loc[0, "n_emails"] == 2 and out.loc[0, "n_phones"] == 0
+    assert out.loc[1, "n_ips"] == 2 and out.loc[1, "n_phones"] == 1
+    assert out.loc[2, ["n_emails", "n_ips", "n_phones"]].sum() == 0
+    assert out.loc[3, "n_ips"] == 1
+    want0 = hashlib.md5(
+        "contact <EMAIL> or <EMAIL> today".encode()
+    ).hexdigest()
+    assert out.loc[0, "scrubbed_fp"] == want0
+    want1 = hashlib.md5(
+        "server at <IP> and <IP>, call <PHONE>".encode()
+    ).hexdigest()
+    assert out.loc[1, "scrubbed_fp"] == want1
+    assert out.loc[2, "scrubbed_fp"] == hashlib.md5(texts[2].encode()).hexdigest()
