@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_gopher_rules": T.t_gopher_rules,
         "t_c4_filter": T.t_c4_filter,
         "t_pii_scrub": T.t_pii_scrub,
+        "t_delta_dedup_bloom": T.t_delta_dedup_bloom,
         # changed this round (re-expose for fresh driver evidence)
         "q_filter_topk": R.q_filter_topk,
         "q_orders_topk": R.q_orders_topk,
@@ -551,7 +552,7 @@ def oracle_sql() -> dict[str, str]:
     fixture = _fixture_sql_path()
     media = _media_sql_path()
     av = _av_sql_path()
-    return {
+    sql = {
         "extract_text": (
             f"SELECT url, text FROM read_parquet('{fixture}')"
         ),
@@ -1398,3 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         # recomputation), s_lsh_buckets (seeded planes as literals), and
         # t_langid (marker arithmetic) to exact oracles.
     }
+    # the Bloom+bucketed-store form is output-identical by construction
+    # (no false negatives; every positive exactly verified) — one oracle
+    sql["t_delta_dedup_bloom"] = sql["t_delta_dedup"]
+    return sql

@@ -2407,6 +2407,182 @@ def t_delta_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# ---- the 100 TB form of the same operator: Bloom prefilter + bucketed
+# fingerprint store.  t_delta_dedup's docstring names this upgrade; this
+# implements it with EXACT output (the Bloom has no false negatives, and
+# every positive is verified against the store), so the two share one
+# oracle.
+DELTA_BLOOM_BITS_PER_KEY = 16
+DELTA_BLOOM_HASHES = 8
+DELTA_STORE_BUCKETS = 32
+
+
+def _fp_hash_pair(fps):
+    """Two independent 64-bit hashes per md5-hex fingerprint: the two
+    halves of the digest (md5 bits are independent)."""
+    h1 = np.array([int(f[:16], 16) for f in fps], dtype=np.uint64)
+    h2 = np.array([int(f[16:], 16) for f in fps], dtype=np.uint64)
+    return h1, h2
+
+
+def _bloom_build(fps) -> tuple:
+    """(bits, m): double-hashing Bloom filter over the fingerprints —
+    m = next power of two >= 16 bits/key, k = 8 (fp rate ~6e-4)."""
+    n = max(1, len(fps))
+    m = 1 << max(6, int(np.ceil(np.log2(n * DELTA_BLOOM_BITS_PER_KEY))))
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    if len(fps):
+        h1, h2 = _fp_hash_pair(fps)
+        for i in range(DELTA_BLOOM_HASHES):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(
+                bits, (idx >> np.uint64(6)), np.uint64(1) << (idx & np.uint64(63))
+            )
+    return bits, m
+
+
+def _bloom_test(bits: np.ndarray, m: int, fps) -> np.ndarray:
+    """Vectorized membership test; True = maybe present (verify), False =
+    DEFINITELY absent (no false negatives)."""
+    if not len(fps):
+        return np.zeros(0, dtype=bool)
+    h1, h2 = _fp_hash_pair(fps)
+    ok = np.ones(len(fps), dtype=bool)
+    for i in range(DELTA_BLOOM_HASHES):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+        ok &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+    return ok
+
+
+def build_fp_store(fps, store_dir: str) -> str:
+    """Hive-partitioned fingerprint store: bucket = h1(fp) % B directories,
+    each independently probe-readable (the t_inverted_lookup layout).  At
+    corpus scale this is written by the indexing job itself
+    (write_parquet(partition_cols=['bucket']) over the existing corpus);
+    here the driver-sized array writes it directly."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    h1, _ = _fp_hash_pair(fps)
+    bucket = (h1 % np.uint64(DELTA_STORE_BUCKETS)).astype(np.int64)
+    for b in range(DELTA_STORE_BUCKETS):
+        sel = np.sort(fps[bucket == b])
+        d = os.path.join(store_dir, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table({"fp": pa.array(list(sel), pa.string())}),
+            os.path.join(d, "part-0.parquet"),
+        )
+    return store_dir
+
+
+def t_delta_dedup_bloom(sf_dir: str, stats: dict = None):
+    """t_delta_dedup through its documented scale path: the existing
+    corpus's fingerprints live in a BUCKET-PARTITIONED parquet store plus a
+    broadcast BLOOM FILTER (16 bits/key — ~1/1700 the bytes of the string
+    set).  The new side streams one map stage: Bloom-negative rows are
+    exactly non-duplicates (no false negatives) and never touch storage;
+    Bloom-positive rows verify against ONLY their fingerprint's bucket
+    partition (worker-local bucket cache, so each worker reads a bucket at
+    most once).  Output is IDENTICAL to t_delta_dedup — same oracle — while
+    the broadcast shrinks from the fingerprint set to the bit array and
+    probe I/O scales with the (rare) maybe-duplicate traffic.  Pass
+    ``stats={}`` for bloom-hit/probe counters."""
+    import os
+    import tempfile
+
+    import ray
+
+    def existing_fps(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.filter(pa.array(ids % DELTA_MOD != 0)).column("text")
+        fps = sorted({_wordset_fingerprint(s) for s in texts.to_pylist()})
+        return pa.table({"fp": pa.array(fps, pa.string())})
+
+    existing = np.unique(
+        _read_documents(sf_dir)
+        .map_batches(existing_fps, batch_format="pyarrow")
+        .to_pandas()["fp"]
+        .to_numpy()
+    )
+    store_dir = tempfile.mkdtemp(prefix="pdfray_fpstore_")
+    build_fp_store(existing, store_dir)
+    bits, m = _bloom_build(existing)
+    bref = ray.put((bits, m, store_dir))
+
+    def flag_factory():
+        bits_, m_, store = ray.get(bref)
+        cache: dict = {}
+
+        def bucket_set(b: int):
+            got = cache.get(b)
+            if got is None:
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(
+                    os.path.join(store, f"bucket={b}", "part-0.parquet")
+                )
+                got = np.array(tbl.column("fp").to_pylist(), dtype=object)
+                cache[b] = got
+            return got
+
+        def flag(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            new = t.filter(pa.array(ids % DELTA_MOD == 0))
+            fps = np.array(
+                [_wordset_fingerprint(s) for s in new.column("text").to_pylist()],
+                dtype=object,
+            )
+            hit = np.zeros(len(fps), dtype=bool)
+            maybe = _bloom_test(bits_, m_, fps)
+            if maybe.any():
+                h1, _ = _fp_hash_pair(fps[maybe])
+                buckets = (h1 % np.uint64(DELTA_STORE_BUCKETS)).astype(np.int64)
+                verified = np.zeros(int(maybe.sum()), dtype=bool)
+                for b in np.unique(buckets):
+                    sel = buckets == b
+                    verified[sel] = np.isin(fps[maybe][sel], bucket_set(int(b)))
+                hit[maybe] = verified
+            return pa.table(
+                {
+                    "doc_id": new.column("doc_id"),
+                    "fingerprint": pa.array(list(fps), pa.string()),
+                    "is_dup": pa.array(hit.tolist(), pa.bool_()),
+                    "_maybe": pa.array(maybe.tolist(), pa.bool_()),
+                }
+            )
+
+        return flag
+
+    out = (
+        _read_documents(sf_dir)
+        .map_batches(
+            warm_factory(("delta_dedup_bloom", bref.hex()), flag_factory),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if stats is not None:
+        stats["n_new"] = int(len(out))
+        stats["n_bloom_maybe"] = int(out["_maybe"].sum()) if len(out) else 0
+        stats["n_dups"] = int(out["is_dup"].sum()) if len(out) else 0
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "fingerprint": pd.Series(dtype="object"),
+                "is_dup": pd.Series(dtype="bool"),
+            }
+        )
+    return (
+        out.drop(columns=["_maybe"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ----------------------------------------------------------------------
 # duplicate-cluster resolution: connected components over the verified
 # near-dup pair graph — the step between "pairs" and "keep one per cluster"

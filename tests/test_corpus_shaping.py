@@ -450,6 +450,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_bigram_logprob",
     "t_domain_cap",
     "t_delta_dedup",
+    "t_delta_dedup_bloom",
     "t_shuffle_shards",
     "t_chunk_windows",
     "t_heavy_hitters",

@@ -1441,3 +1441,52 @@ def test_pii_scrub_planted(ray_session, tmp_path):
     ).hexdigest()
     assert out.loc[1, "scrubbed_fp"] == want1
     assert out.loc[2, "scrubbed_fp"] == hashlib.md5(texts[2].encode()).hexdigest()
+
+
+def test_delta_dedup_bloom_matches_exact_and_prunes(ray_session, tmp_path):
+    """The Bloom + bucketed-store form is row-identical to the broadcast-set
+    form on real testdata, and the Bloom actually prunes: far fewer rows
+    reach the store probe than exist, with zero false negatives by
+    construction (planted dup must still be flagged)."""
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.textops import (
+        DELTA_MOD,
+        t_delta_dedup,
+        t_delta_dedup_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = t_delta_dedup(sf)
+    stats: dict = {}
+    got = t_delta_dedup_bloom(sf, stats=stats)
+    pd.testing.assert_frame_equal(got, want)
+    assert stats["n_new"] == len(want)
+    assert stats["n_dups"] == int(want["is_dup"].sum())
+    # no false negatives: every true dup was bloom-maybe
+    assert stats["n_bloom_maybe"] >= stats["n_dups"]
+
+    # planted corpus: one new doc duplicating an existing one, one unique
+    texts = {
+        0: "alpha beta gamma delta words here",          # new (0 % 5 == 0)
+        1: "alpha beta gamma delta words here",          # existing twin
+        2: "totally different existing content",         # existing
+        5: "nothing like anything else at all",          # new, unique
+    }
+    ids = sorted(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids]),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["t"] * len(ids)),
+            "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+        }
+    )
+    d = tmp_path / "bloomdocs"
+    d.mkdir()
+    pq_.write_table(t, str(d / "documents.parquet"))
+    assert 0 % DELTA_MOD == 0 and 5 % DELTA_MOD == 0
+    out = t_delta_dedup_bloom(str(d)).set_index("doc_id")
+    assert bool(out.loc[0, "is_dup"]) is True
+    assert bool(out.loc[5, "is_dup"]) is False
