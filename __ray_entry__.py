@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # genuinely absent here)
         "m_media_features": M.m_media_features,
         "m_image_hash": M.m_image_hash,
+        "m_phash": M.m_phash,
         "m_frame_sample": M.m_frame_sample,
         "m_resize": M.m_resize,
         "m_audio_features": M.m_audio_features,
@@ -330,6 +331,34 @@ def _image_hash_oracle() -> str:
     )
     return (
         f"SELECT url, ok, ahash FROM (VALUES {values}) AS g(url, ok, ahash) "
+        "ORDER BY url"
+    )
+
+
+def _phash_oracle() -> str:
+    """Golden perceptual-DCT-hash VALUES from the pre-encode pixel arrays
+    (same independent-path scheme as `_image_hash_oracle`)."""
+    from pdfray.pipelines.multimodal import phash64
+    from pdfray.sources import fixtures as FX
+
+    rows = []
+    n = FX.sf_doc_count(0.01)
+    for k in range(n):
+        w, h, form, _filt, broken = FX.media_geometry(k)
+        px, pal = FX._media_pixels(k, w, h, form)
+        if broken:
+            rows.append((f"https://img.example.org/broken/{k:08d}.png", False, ""))
+            continue
+        if pal is not None:
+            px = pal[px]
+        rows.append(
+            (f"https://img.example.org/{form}/{k:08d}.png", True, phash64(px))
+        )
+    values = ", ".join(
+        f"('{u}', {'true' if ok else 'false'}, '{h}')" for u, ok, h in rows
+    )
+    return (
+        f"SELECT url, ok, phash FROM (VALUES {values}) AS g(url, ok, phash) "
         "ORDER BY url"
     )
 
@@ -1260,6 +1289,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{media}') ORDER BY url"
         ),
         "m_image_hash": _image_hash_oracle(),
+        "m_phash": _phash_oracle(),
         "m_audio_features": (
             # golden columns were computed from the PRE-encode samples at
             # fixture-gen time; the engine recomputes them from the WAV

@@ -145,6 +145,7 @@ QUERY_NAMES = [
     "s_embedding_dupes",
     "m_media_features",
     "m_image_hash",
+    "m_phash",
     "m_resize",
     "m_audio_features",
     "m_video_frames",

@@ -390,6 +390,50 @@ def ahash64(pixels) -> str:
     return format(v, "016x")
 
 
+_DCT32 = None
+
+
+def _dct32_basis():
+    """32x32 orthonormal DCT-II basis, built once (float64, deterministic)."""
+    import numpy as np
+
+    global _DCT32
+    if _DCT32 is None:
+        n = 32
+        k = np.arange(n, dtype=np.float64)
+        basis = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+        basis *= np.sqrt(2.0 / n)
+        basis[0] *= np.sqrt(0.5)
+        _DCT32 = basis
+    return _DCT32
+
+
+def phash64(pixels) -> str:
+    """64-bit perceptual (DCT) hash: 32x32 nearest-neighbor luma samples
+    -> 2D DCT-II -> top-left 8x8 coefficient block thresholded by its
+    median, rendered as 16 hex digits.  The float pipeline is the same
+    deterministic numpy on the decode path and the pre-encode golden path,
+    so equality certifies the codec round-trip bit-for-bit (aHash's
+    integer-only scheme, extended to the frequency domain — robust to
+    brightness shifts where aHash is not)."""
+    import numpy as np
+
+    luma = luma_plane(pixels)
+    h, w = luma.shape
+    ys = (np.arange(32, dtype=np.int64) * h) // 32
+    xs = (np.arange(32, dtype=np.int64) * w) // 32
+    s = luma[np.ix_(ys, xs)].astype(np.float64)
+    d = _dct32_basis()
+    freq = d @ s @ d.T
+    block = freq[:8, :8].ravel()
+    med = np.median(block)
+    bits = (block > med).astype(np.uint64)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return format(v, "016x")
+
+
 class ImageHasher:
     """Actor-pool stage: decode PNG -> aHash.  Broken payloads emit
     ok=false with an empty hash (typed-error contract, row kept)."""
@@ -413,6 +457,40 @@ class ImageHasher:
                 "ahash": pa.array(hashes, pa.string()),
             }
         )
+
+
+class PhashHasher:
+    """Actor-pool stage: decode PNG -> perceptual DCT hash (phash64)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("payload")
+        oks, hashes = [], []
+        for i in range(len(urls)):
+            try:
+                img = decode_png(payloads[i].as_py() or b"")
+                hashes.append(phash64(img.pixels))
+                oks.append(True)
+            except Exception:
+                hashes.append("")
+                oks.append(False)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ok": pa.array(oks, pa.bool_()),
+                "phash": pa.array(hashes, pa.string()),
+            }
+        )
+
+
+def m_phash(sf_dir: str):
+    """Perceptual DCT hash per image — REAL decode; oracle = golden hashes
+    from the pre-encode pixel arrays (the m_image_hash scheme), so a match
+    certifies decode + DCT arithmetic end to end."""
+    out = _media_ds(sf_dir).map_batches(
+        warm_stage(PhashHasher), batch_format="pyarrow", batch_size=64
+    )
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
 
 
 def m_image_hash(sf_dir: str):

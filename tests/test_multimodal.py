@@ -191,3 +191,33 @@ def test_image_hash_stage_broken_and_dup_rows(ray_session, tmp_path):
     assert out.loc["u0", "ahash"] == out.loc["u1", "ahash"] != ""
     assert out.loc["u2", "ahash"] not in ("", out.loc["u0", "ahash"])
     assert not bool(out.loc["u3", "ok"]) and out.loc["u3", "ahash"] == ""
+
+
+def test_phash_roundtrip_and_brightness_robustness():
+    """phash64 is stable through PNG encode/decode (same floats both
+    paths) and — unlike aHash is guaranteed to be — invariant under a
+    uniform brightness shift (the DC coefficient absorbs it; the 63 AC
+    coefficients and their median are unchanged, and the DC bit compares
+    against the same shifted median side)."""
+    import numpy as np
+
+    from pdfray.core.png import decode_png, encode_png
+    from pdfray.pipelines.multimodal import phash64
+    from pdfray.sources import fixtures as FX
+
+    k = 3
+    w, h, form, _filt, broken = FX.media_geometry(k)
+    assert not broken
+    px, pal = FX._media_pixels(k, w, h, form)
+    if pal is not None:
+        px = pal[px]
+    golden = phash64(px)
+    assert len(golden) == 16 and golden != "0" * 16
+    # codec round-trip preserves the hash bit-for-bit
+    img = decode_png(encode_png(px))
+    assert phash64(img.pixels) == golden
+    # uniform brightness shift: all 63 AC coefficients unchanged -> at
+    # most the DC bit can move; hamming(golden, shifted) <= 1
+    shifted = np.clip(px.astype(np.int64) + 9, 0, 255).astype(px.dtype)
+    d = bin(int(golden, 16) ^ int(phash64(shifted), 16)).count("1")
+    assert d <= 1
