@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_label_centroids": S.s_label_centroids,
         "s_kmeans": S.s_kmeans,
         "s_scalar_quantize": S.s_scalar_quantize,
+        "s_pq": S.s_pq,
         "s_ann_lsh": S.s_ann_lsh,
         "s_ann_ivf": S.s_ann_ivf,
         "s_ann_partitioned": S.s_ann_partitioned,
@@ -521,6 +522,54 @@ def _ivf_candidates_oracle() -> str:
         "FROM probes JOIN a ON list_contains(ps, cell) "
         "ORDER BY query_id, vec_id"
     )
+
+
+def _pq_oracle() -> str:
+    """Product-quantization codes recomputed in DuckDB: codebooks retrained
+    INDEPENDENTLY on the driver (shared pure-numpy `pq_codebooks` fed an
+    independently-read raw-parquet sample — the `_ivf_candidates_oracle`
+    scheme), embedded as literals; per-row assignment replays the
+    argmin(-2 x·c + |c|^2) form via list_indexof/list_min (first-minimum,
+    like numpy argmin)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfray.pipelines.simsearch import (
+        PQ_CODEBOOK,
+        PQ_SUBSPACES,
+        _pq_bounds,
+        pq_codebooks,
+    )
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    df = (
+        pq.read_table(path, columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    n_rows = len(df)
+    sample = np.stack(
+        df.head(min(n_rows, 50 * PQ_CODEBOOK))["embedding"].to_numpy()
+    ).astype(np.float64)
+    books = pq_codebooks(sample)
+    dim = sample.shape[1]
+    bounds = _pq_bounds(dim)
+    selects = []
+    for m, C in enumerate(books):
+        a, b = bounds[m] + 1, bounds[m + 1]  # list_slice is 1-based inclusive
+        dots = ", ".join(
+            "(-2 * list_inner_product(list_slice(CAST(embedding AS DOUBLE[]), "
+            f"{a}, {b}), [{','.join(repr(float(x)) for x in C[j])}]) "
+            f"+ {repr(float(C[j] @ C[j]))})"
+            for j in range(PQ_CODEBOOK)
+        )
+        selects.append(
+            f"SELECT vec_id, CAST({m} AS BIGINT) AS subspace, "
+            "CAST(list_indexof(dl, list_min(dl)) - 1 AS BIGINT) AS code "
+            f"FROM (SELECT vec_id, [{dots}] AS dl FROM embeddings)"
+        )
+    return " UNION ALL ".join(selects) + " ORDER BY vec_id, subspace"
 
 
 def _langid_oracle() -> str:
@@ -1060,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "t_simhash": _simhash_oracle(),
         "s_lsh_buckets": _lsh_buckets_oracle(),
+        "s_pq": _pq_oracle(),
         "s_ann_lsh_candidates": _lsh_candidates_oracle(),
         # same index, same probes — the store-backed path must produce the
         # byte-identical candidate sets

@@ -140,6 +140,7 @@ QUERY_NAMES = [
     "s_label_centroids",
     "s_kmeans",
     "s_scalar_quantize",
+    "s_pq",
     "s_ann_lsh",
     "s_ann_ivf",
     "s_embedding_dupes",

@@ -334,6 +334,111 @@ def _kmeans(sample: np.ndarray, k: int, seed: int = 23, iters: int = 10) -> np.n
     return centroids
 
 
+def _kmeans_l2(sample: np.ndarray, k: int, seed: int = 29, iters: int = 10):
+    """Deterministic EUCLIDEAN Lloyd k-means on the driver (raw
+    subvectors, no normalization) — the product-quantization trainer.
+    Assignment uses argmin(-2 x·c + |c|^2), the |x|^2-free form the
+    in-stream assigner and the SQL oracle replay verbatim."""
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        scores = -2.0 * (sample @ centroids.T) + (centroids * centroids).sum(axis=1)
+        assign = scores.argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+            else:
+                centroids[j] = sample[rng.randint(len(sample))]
+    return centroids
+
+
+PQ_SUBSPACES = 4
+PQ_CODEBOOK = 16  # codes per subspace: dim floats -> SUBSPACES x 4 bits
+
+
+def _pq_bounds(dim: int):
+    return [round(m * dim / PQ_SUBSPACES) for m in range(PQ_SUBSPACES + 1)]
+
+
+def pq_codebooks(sample: np.ndarray):
+    """Per-subspace codebooks from a deterministic sample (pure numpy —
+    shared verbatim by the engine and the oracle generator, which feeds it
+    an independently-read sample)."""
+    bounds = _pq_bounds(sample.shape[1])
+    return [
+        _kmeans_l2(
+            np.ascontiguousarray(sample[:, bounds[m] : bounds[m + 1]]), PQ_CODEBOOK
+        )
+        for m in range(PQ_SUBSPACES)
+    ]
+
+
+def s_pq(sf_dir: str):
+    """Product quantization of the embedding column — the high-ratio
+    vector-store compression stage next to s_scalar_quantize: the vector
+    splits into PQ_SUBSPACES contiguous subvectors, each assigned to one
+    of PQ_CODEBOOK trained centroids (4 bits/subspace here vs 8
+    bits/dimension scalar).  Codebooks train driver-side on the
+    deterministic 50*k-lowest-vec_id sample (streaming local min-k, no
+    sort shuffle) and broadcast once; assignment is one matmul per
+    subspace per batch.  Long format (vec_id, subspace, code); the DuckDB
+    oracle retrains the codebooks independently from the raw parquet,
+    embeds them as literals, and replays the argmin(-2 x·c + |c|^2)
+    assignment per row."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+    n_rows = ds.count()
+    sample_df = _topk(ds, min(n_rows, 50 * PQ_CODEBOOK), ["vec_id"], [False])
+    sample = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    books = pq_codebooks(sample)
+    bref = ray.put(books)
+
+    class Assign:
+        def __init__(self):
+            self.books = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "subspace": pa.array([], pa.int64()),
+                        "code": pa.array([], pa.int64()),
+                    }
+                )
+            X = _batch_matrix(t)
+            bounds = _pq_bounds(X.shape[1])
+            n = len(X)
+            codes = np.empty((n, PQ_SUBSPACES), dtype=np.int64)
+            for m, C in enumerate(self.books):
+                sub = X[:, bounds[m] : bounds[m + 1]]
+                scores = -2.0 * (sub @ C.T) + (C * C).sum(axis=1)
+                codes[:, m] = scores.argmin(axis=1)
+            return pa.table(
+                {
+                    "vec_id": pa.array(
+                        np.repeat(
+                            t.column("vec_id").to_numpy(zero_copy_only=False),
+                            PQ_SUBSPACES,
+                        ),
+                        pa.int64(),
+                    ),
+                    "subspace": pa.array(
+                        np.tile(np.arange(PQ_SUBSPACES, dtype=np.int64), n),
+                        pa.int64(),
+                    ),
+                    "code": pa.array(codes.ravel(), pa.int64()),
+                }
+            )
+
+    out = ds.map_batches(
+        warm_factory(("s_pq", bref.hex()), Assign), batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values(["vec_id", "subspace"]).reset_index(drop=True)
+
+
 def _ivf_index(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
     """Deterministic IVF coarse index shared by s_ann_ivf and its
     exact-oracle candidates companion: trains the quantizer on the 50*k

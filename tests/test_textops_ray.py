@@ -1490,3 +1490,41 @@ def test_delta_dedup_bloom_matches_exact_and_prunes(ray_session, tmp_path):
     out = t_delta_dedup_bloom(str(d)).set_index("doc_id")
     assert bool(out.loc[0, "is_dup"]) is True
     assert bool(out.loc[5, "is_dup"]) is False
+
+
+def test_pq_codes_match_independent_numpy(ray_session):
+    """s_pq codes are bit-equal to an independent numpy recomputation from
+    the raw parquet (sample -> L2 Lloyd per subspace -> argmin assign), and
+    quantize within the advertised width."""
+    from pdfray.pipelines.simsearch import (
+        PQ_CODEBOOK,
+        PQ_SUBSPACES,
+        _pq_bounds,
+        pq_codebooks,
+        s_pq,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = s_pq(sf)
+    assert out["code"].between(0, PQ_CODEBOOK - 1).all()
+    assert set(out["subspace"]) == set(range(PQ_SUBSPACES))
+
+    df = (
+        pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    sample = X[: min(len(X), 50 * PQ_CODEBOOK)]
+    books = pq_codebooks(sample)
+    bounds = _pq_bounds(X.shape[1])
+    want = np.empty((len(X), PQ_SUBSPACES), dtype=np.int64)
+    for m, C in enumerate(books):
+        sub = X[:, bounds[m] : bounds[m + 1]]
+        scores = -2.0 * (sub @ C.T) + (C * C).sum(axis=1)
+        want[:, m] = scores.argmin(axis=1)
+    got = out.sort_values(["vec_id", "subspace"])["code"].to_numpy().reshape(
+        len(X), PQ_SUBSPACES
+    )
+    assert (got == want).all()
