@@ -113,6 +113,7 @@ QUERY_NAMES = [
     "t_bigram_logprob",
     "t_shuffle_shards",
     "t_delta_dedup",
+    "t_delta_dedup_bloom",
     "t_dup_components",
     "t_dup_spans",
     "t_decontaminate",

@@ -547,3 +547,31 @@ def test_adversarial_corpus_oracle_parity(ray_session, tmp_path, variant):
         got = got[sorted(got.columns)].reset_index(drop=True)
         want = want[sorted(want.columns)].reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=True, obj=name)
+
+
+def test_bloom_primitives_never_false_negative():
+    """Property: every inserted fingerprint tests positive (no false
+    negatives — the exactness guarantee of t_delta_dedup_bloom), the empty
+    filter rejects everything, and the false-positive rate on disjoint
+    keys stays near the designed ~6e-4 (assert << 1%)."""
+    import hashlib
+
+    import numpy as np
+
+    from pdfray.pipelines.textops import _bloom_build, _bloom_test
+
+    rng = np.random.RandomState(5)
+    keys = np.array(
+        [hashlib.md5(f"key-{i}".encode()).hexdigest() for i in range(5000)],
+        dtype=object,
+    )
+    other = np.array(
+        [hashlib.md5(f"other-{i}".encode()).hexdigest() for i in range(20000)],
+        dtype=object,
+    )
+    bits, m = _bloom_build(keys)
+    assert _bloom_test(bits, m, keys).all()  # no false negatives, ever
+    fp = _bloom_test(bits, m, other).mean()
+    assert fp < 0.01, fp
+    ebits, em = _bloom_build(np.array([], dtype=object))
+    assert not _bloom_test(ebits, em, other).any()
