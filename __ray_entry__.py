@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_broadcast_join_segment": R.q_broadcast_join_segment,
         "q_hash_join_brand": R.q_hash_join_brand,
         "q_semi_join_big_customers": R.q_semi_join_big_customers,
+        "q_anti_join_quiet_customers": R.q_anti_join_quiet_customers,
         "q_top_order_per_customer": R.q_top_order_per_customer,
         "q_events_rollup": R.q_events_rollup,
         "q_events_window": R.q_events_window,
@@ -716,6 +717,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal "
             "FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000) "
+            "ORDER BY c_custkey"
+        ),
+        "q_anti_join_quiet_customers": (
+            "SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal "
+            "FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1997-01-01' "
+            "AND o_orderdate < DATE '1998-01-01') "
             "ORDER BY c_custkey"
         ),
         "q_events_window": (

@@ -97,6 +97,7 @@ QUERY_NAMES = [
     "q_hash_join_brand",
     "q_broadcast_join_segment",
     "q_semi_join_big_customers",
+    "q_anti_join_quiet_customers",
     "q_top_order_per_customer",
     "q_events_rollup",
     "q_events_window",

@@ -562,6 +562,60 @@ def q_semi_join_big_customers(sf_dir: str):
     return _round_cols(df, {"c_acctbal": 2}).sort_values("c_custkey").reset_index(drop=True)
 
 
+class _NonMembership:
+    """Broadcast ANTI-join filter: keep rows whose key is NOT in the set."""
+
+    def __init__(self, keys_ref, key_col):
+        import ray
+
+        self.keys = pa.array(ray.get(keys_ref))
+        self.key_col = key_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.is_in(t.column(self.key_col), value_set=self.keys))
+        )
+
+
+def q_anti_join_quiet_customers(sf_dir: str):
+    """ANTI-join via broadcast key set: customers with NO order in 1997 —
+    the semi-join's complement, same zero-shuffle shape (the key set is
+    combiner-reduced, broadcast once, applied as a vectorized NOT-IN
+    filter; the probe side streams)."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    lo = pa.scalar(
+        pc.strptime("1997-01-01", format="%Y-%m-%d", unit="us").as_py()
+    )
+    hi = pa.scalar(
+        pc.strptime("1998-01-01", format="%Y-%m-%d", unit="us").as_py()
+    )
+
+    def keys_1997(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        mask = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        return pa.table({"o_custkey": t.filter(mask).column("o_custkey")})
+
+    keys = (
+        orders.map_batches(keys_1997, batch_format="pyarrow")
+        .to_pandas()["o_custkey"]
+        .unique()
+    )
+    keys_ref = ray.put(keys)
+
+    out = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]).map_batches(
+        warm_stage(_NonMembership, keys_ref=keys_ref, key_col="c_custkey"),
+        batch_format="pyarrow",
+    )
+    df = out.to_pandas()
+    return (
+        _round_cols(df, {"c_acctbal": 2})
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour event-time windows per event type (custom windowed
     aggregate: Ray Data has no native windows — expressed as a projection to
