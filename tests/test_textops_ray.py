@@ -1528,3 +1528,53 @@ def test_pq_codes_match_independent_numpy(ray_session):
         len(X), PQ_SUBSPACES
     )
     assert (got == want).all()
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_sessionize_randomized_vs_unchunked_reference(ray_session, tmp_path, seed):
+    """Randomized cross-check of the chunked sessionizer: arbitrary user/
+    timestamp mixes (incl. sub-gap bursts straddling midnight and long
+    silences) must match the single-pass unchunked rule exactly."""
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.relational import SESSION_GAP_HOURS, q_sessionize
+
+    rng = np.random.default_rng(seed)
+    n = 3000
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    users = rng.integers(0, 40, n)
+    # mixture: short bursts, near-gap spacings, and multi-day silences
+    steps = rng.choice(
+        [60, 3600, SESSION_GAP_HOURS * 3600, SESSION_GAP_HOURS * 3600 + 1, 90000],
+        size=n,
+        p=[0.3, 0.25, 0.15, 0.15, 0.15],
+    ).cumsum()
+    ts = base + (steps + rng.integers(0, 50, n)).astype("timedelta64[s]").astype(
+        "timedelta64[us]"
+    )
+    order = rng.permutation(n)  # arbitrary file order
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)[order]),
+            "ts": pa.array(ts[order], pa.timestamp("us")),
+            "user_id": pa.array(users[order], pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array([1.0] * n),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_sessionize(str(tmp_path))
+
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"]).reset_index(
+        drop=True
+    )
+    gap = df["ts"].diff() > np.timedelta64(SESSION_GAP_HOURS, "h")
+    same = df["user_id"].eq(df["user_id"].shift())
+    df["session_id"] = (
+        (gap & same).astype("int64").groupby(df["user_id"].to_numpy()).cumsum()
+    )
+    want = df.sort_values("event_id")[["event_id", "user_id", "session_id"]]
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want.reset_index(drop=True)
+    )
