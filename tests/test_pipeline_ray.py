@@ -307,6 +307,33 @@ def test_driver_entry_contract(ray_session):
     assert {"url", "text", "error", "n_pages", "partition_id"} <= set(df.columns)
 
 
+def test_queries_oracle_registry_consistent():
+    """Registry drift guard: every oracle key names a real query, every
+    rows-only query is on the documented allowlist (each has an exact
+    companion or a bit-equal numpy cross-check elsewhere), and all
+    callables take exactly one positional sf_dir argument."""
+    import inspect
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    sql = entrymod.oracle_sql()
+    assert set(sql) <= set(qs), sorted(set(sql) - set(qs))
+    rows_only = set(qs) - set(sql)
+    assert rows_only == {"s_ann_lsh", "s_ann_ivf", "s_ann_partitioned", "s_kmeans"}
+    for name, fn in qs.items():
+        params = [
+            p
+            for p in inspect.signature(fn).parameters.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind
+            in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        assert len(params) == 1, (name, params)
+    for name, s in sql.items():
+        assert isinstance(s, str) and "SELECT" in s.upper(), name
+
+
 def test_skew_pool_survives_constrained_object_store(tmp_path):
     """North-rule OOM/spill guard (previously asserted only by design
     argument): a corpus of pathological multi-MB documents whose total
