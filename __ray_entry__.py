@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_topk": R.q_orders_topk,
         "q_sessionize": R.q_sessionize,
         "t_dup_components": T.t_dup_components,
+        "t_dedup_keep_best": T.t_dedup_keep_best,
         "t_bigram_logprob": T.t_bigram_logprob,
         "t_minhash_pairs": T.t_minhash_pairs,
         # core relational / text representatives
@@ -1490,4 +1491,28 @@ def oracle_sql() -> dict[str, str]:
     # the Bloom+bucketed-store form is output-identical by construction
     # (no false negatives; every positive exactly verified) — one oracle
     sql["t_delta_dedup_bloom"] = sql["t_delta_dedup"]
+    # keep-best shares t_dup_components' recursive component walk; only the
+    # final select changes (per-family argmax by token count, ties to the
+    # lower doc_id)
+    _cc_tail = (
+        "SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS component "
+        "FROM walk GROUP BY node ORDER BY doc_id"
+    )
+    assert _cc_tail in sql["t_dup_components"]
+    sql["t_dedup_keep_best"] = sql["t_dup_components"].replace(
+        _cc_tail,
+        "SELECT CAST(component AS BIGINT) AS component, "
+        "CAST(doc_id AS BIGINT) AS keep_doc, "
+        "CAST(n_members AS BIGINT) AS n_members, "
+        "CAST(n_tokens AS BIGINT) AS keep_tokens FROM ("
+        "SELECT m.*, ROW_NUMBER() OVER (PARTITION BY component "
+        "ORDER BY n_tokens DESC, doc_id ASC) AS rn, "
+        "COUNT(*) OVER (PARTITION BY component) AS n_members FROM ("
+        "SELECT c.component, c.doc_id, "
+        "len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) "
+        "AS n_tokens "
+        "FROM (SELECT node AS doc_id, MIN(lab) AS component FROM walk "
+        "GROUP BY node) c JOIN documents d ON d.doc_id = c.doc_id) m) "
+        "WHERE rn = 1 ORDER BY component",
+    )
     return sql

@@ -116,6 +116,7 @@ QUERY_NAMES = [
     "t_delta_dedup",
     "t_delta_dedup_bloom",
     "t_dup_components",
+    "t_dedup_keep_best",
     "t_dup_spans",
     "t_decontaminate",
     "t_pack_sequences",

@@ -2844,6 +2844,69 @@ def t_dup_components(sf_dir: str, jaccard_threshold: float = 0.8):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def t_dedup_keep_best(sf_dir: str, jaccard_threshold: float = 0.8):
+    """The keep DECISION every dedup pipeline ends with: for each
+    duplicate family (t_dup_components), keep the highest-quality member —
+    quality = token count, ties to the lower doc_id.
+
+    Composition shape: the component table is dup-family-sized (tiny by
+    nature — it lists only documents that have a near-duplicate), so its
+    ids broadcast once; ONE streaming pass over the corpus computes token
+    counts for member docs only (non-members never leave the scan), and
+    the driver resolves the per-family argmax over |families| rows.
+    Returns (component, keep_doc, n_members, keep_tokens)."""
+    import ray
+
+    comp = t_dup_components(sf_dir, jaccard_threshold)
+    if len(comp) == 0:
+        return pd.DataFrame(
+            {
+                "component": pd.Series(dtype="int64"),
+                "keep_doc": pd.Series(dtype="int64"),
+                "n_members": pd.Series(dtype="int64"),
+                "keep_tokens": pd.Series(dtype="int64"),
+            }
+        )
+    ids_ref = ray.put(pa.array(comp["doc_id"].to_numpy(np.int64)))
+
+    def member_tokens(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        wanted = _ray.get(ids_ref)
+        t = t.filter(pc.is_in(t.column("doc_id"), value_set=wanted))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(t.column("text"), r"\S+"), pa.int64()
+                ),
+            }
+        )
+
+    toks = (
+        _read_documents(sf_dir, ("doc_id", "text"))
+        .map_batches(
+            warm_factory(("keep_best", ids_ref.hex()), lambda: member_tokens),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    m = comp.merge(toks, on="doc_id")
+    m = m.sort_values(
+        ["component", "n_tokens", "doc_id"], ascending=[True, False, True]
+    )
+    best = m.groupby("component", sort=True).first().reset_index()
+    counts = m.groupby("component", sort=True).size().reset_index(name="n_members")
+    out = best.merge(counts, on="component")
+    out = out.rename(columns={"doc_id": "keep_doc", "n_tokens": "keep_tokens"})
+    return (
+        out[["component", "keep_doc", "n_members", "keep_tokens"]]
+        .astype("int64")
+        .sort_values("component")
+        .reset_index(drop=True)
+    )
+
+
 # ----------------------------------------------------------------------
 # temperature-balanced multilingual sampling (the mC4/XLM-R resampling
 # step): downsample high-resource languages toward a flattened share.

@@ -1578,3 +1578,19 @@ def test_sessionize_randomized_vs_unchunked_reference(ray_session, tmp_path, see
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+def test_dedup_keep_best_planted(docs_dir):
+    """Keep decision: the family {0,1,2,5,9} (exact + near dups) keeps its
+    longest member; ties fall to the lower doc_id."""
+    from pdfray.pipelines.textops import t_dedup_keep_best
+
+    out = t_dedup_keep_best(docs_dir, jaccard_threshold=0.5)
+    row = out.set_index("component").loc[0]
+    # docs 2 and 9 are 'near' (base + ' today': one token longer than base);
+    # the tie between the two equal-length copies resolves to doc 2
+    assert row["keep_doc"] == 2
+    assert row["n_members"] == 5
+    docs = pq.read_table(f"{docs_dir}/documents.parquet").to_pandas()
+    want_tokens = len(docs.set_index("doc_id").loc[2, "text"].split())
+    assert row["keep_tokens"] == want_tokens
