@@ -254,6 +254,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_c4_filter": T.t_c4_filter,
         "t_pii_scrub": T.t_pii_scrub,
         "t_delta_dedup_bloom": T.t_delta_dedup_bloom,
+        # distributed word-count pass + driver merge loop over the
+        # vocab-bounded table; rows-only (iterative argmax), bit-equal
+        # independent-reference test
+        "t_bpe_train": T.t_bpe_train,
         # changed this round (re-expose for fresh driver evidence)
         "q_filter_topk": R.q_filter_topk,
         "q_orders_topk": R.q_orders_topk,

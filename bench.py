@@ -139,6 +139,7 @@ QUERY_NAMES = [
     "t_ngram_jaccard_dupes",
     "t_simhash",
     "t_bpe_tokens",
+    "t_bpe_train",
     "s_knn_bruteforce",
     "s_label_centroids",
     "s_kmeans",

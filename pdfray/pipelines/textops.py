@@ -804,6 +804,90 @@ def t_doc_frequency(sf_dir: str, top_k: int = 100):
     return out.head(top_k).reset_index(drop=True)[["word", "df", "tf"]]
 
 
+BPE_EOW = "</w>"  # end-of-word marker (Sennrich et al. 2016 convention)
+
+
+def bpe_train_merges(word_counts: dict, n_merges: int) -> list:
+    """Classic BPE merge learning (Sennrich et al. 2016) over a word
+    FREQUENCY table: start from characters + an end-of-word marker, merge
+    the most frequent adjacent symbol pair each round (ties: higher count,
+    then lexicographic (left, right) — fully deterministic).  Pure Python
+    over the vocab-bounded table; shared verbatim by the engine and the
+    test's independent path."""
+    words = {
+        w: tuple(w[:-1]) + (w[-1] + BPE_EOW,) for w in word_counts if w
+    }
+    merges = []
+    for _ in range(n_merges):
+        pair_counts: dict = {}
+        for w, syms in words.items():
+            c = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), count = best
+        merges.append((left, right, count))
+        joined = left + right
+        new_words = {}
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[w] = tuple(out)
+        words = new_words
+    return merges
+
+
+def t_bpe_train(sf_dir: str, n_merges: int = 12):
+    """Distributed BPE tokenizer TRAINING: the corpus-scale step is ONE
+    combiner-reduced word-frequency pass (vocab-sized partials on the
+    shuffle — t_doc_frequency's shape); the merge-learning loop then runs
+    on the driver over the vocab-bounded frequency table, which is how BPE
+    trains at any corpus size (the table, not the corpus, is the loop's
+    input).  Deterministic tie-breaks make retries bit-stable.  Returns
+    (rank, left, right, count); rows-only driver entry — the iterative
+    argmax isn't SQL-expressible — with a bit-equal independent-reference
+    test (same evidence class as s_kmeans)."""
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        _parent, codes, dictionary = _word_codes(t)
+        vocab = len(dictionary)
+        tf = np.bincount(codes, minlength=vocab)
+        present = tf > 0
+        return pa.table(
+            {
+                "word": dictionary.filter(pa.array(present)),
+                "tf": pa.array(tf[present], pa.int64()),
+            }
+        )
+
+    wc = (
+        _read_documents(sf_dir)
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("tf", alias_name="tf"))
+        .to_pandas()
+    )
+    counts = dict(zip(wc["word"], wc["tf"].astype(int)))
+    merges = bpe_train_merges(counts, n_merges)
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(1, len(merges) + 1), dtype="int64"),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+            "count": pd.Series([m[2] for m in merges], dtype="int64"),
+        }
+    )
+
+
 def t_repetition(sf_dir: str):
     """Gopher-style repetition-quality counts per document, integer-exact.
 

@@ -320,7 +320,13 @@ def test_queries_oracle_registry_consistent():
     sql = entrymod.oracle_sql()
     assert set(sql) <= set(qs), sorted(set(sql) - set(qs))
     rows_only = set(qs) - set(sql)
-    assert rows_only == {"s_ann_lsh", "s_ann_ivf", "s_ann_partitioned", "s_kmeans"}
+    assert rows_only == {
+        "s_ann_lsh",
+        "s_ann_ivf",
+        "s_ann_partitioned",
+        "s_kmeans",
+        "t_bpe_train",
+    }
     for name, fn in qs.items():
         params = [
             p

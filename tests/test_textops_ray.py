@@ -1594,3 +1594,32 @@ def test_dedup_keep_best_planted(docs_dir):
     docs = pq.read_table(f"{docs_dir}/documents.parquet").to_pandas()
     want_tokens = len(docs.set_index("doc_id").loc[2, "text"].split())
     assert row["keep_tokens"] == want_tokens
+
+
+def test_bpe_train_classic_example_and_distributed_parity(ray_session, tmp_path):
+    """Merge learning reproduces the classic Sennrich worked example by
+    hand, and the distributed word-count pass feeds the loop exactly what
+    a direct single-process count would (bit-equal merge tables)."""
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.textops import BPE_EOW, bpe_train_merges, t_bpe_train
+
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_train_merges(counts, 3)
+    assert merges[0] == ("e", "s", 9)  # ties (e,s)/(s,t</w>) -> lexicographic
+    assert merges[1] == ("es", "t" + BPE_EOW, 9)
+    assert merges[2] == ("l", "o", 7)
+
+    sf = "/root/testdata/sf0.001"
+    got = t_bpe_train(sf, n_merges=10)
+    assert list(got.columns) == ["rank", "left", "right", "count"]
+    assert (got["rank"] == np.arange(1, len(got) + 1)).all()
+    # independent reference: direct count over the raw parquet
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+    ref_counts: dict = {}
+    for s in docs["text"].to_pylist():
+        for w in s.split(" "):
+            if w:
+                ref_counts[w] = ref_counts.get(w, 0) + 1
+    want = bpe_train_merges(ref_counts, 10)
+    assert list(map(tuple, got[["left", "right", "count"]].values)) == want
