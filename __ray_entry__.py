@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_knn_bruteforce": S.s_knn_bruteforce,
         "s_label_centroids": S.s_label_centroids,
         "s_kmeans": S.s_kmeans,
+        "s_kmeans_init_assign": S.s_kmeans_init_assign,
         "s_scalar_quantize": S.s_scalar_quantize,
         "s_pq": S.s_pq,
         "s_ann_lsh": S.s_ann_lsh,
@@ -576,6 +577,37 @@ def _pq_oracle() -> str:
             f"FROM (SELECT vec_id, [{dots}] AS dl FROM embeddings)"
         )
     return " UNION ALL ".join(selects) + " ORDER BY vec_id, subspace"
+
+
+def _kmeans_init_assign_oracle() -> str:
+    """One k-means E-step with the deterministic init centroids (the k
+    lowest-vec_id vectors, read independently from the raw parquet and
+    embedded as literals); argmin replayed via list_indexof/list_min."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfray.pipelines.simsearch import KMEANS_K
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    df = (
+        pq.read_table(path, columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(KMEANS_K)
+    )
+    C = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    dots = ", ".join(
+        "(-2 * list_inner_product(CAST(embedding AS DOUBLE[]), "
+        f"[{','.join(repr(float(x)) for x in C[j])}]) "
+        f"+ {repr(float(C[j] @ C[j]))})"
+        for j in range(len(C))
+    )
+    return (
+        "SELECT vec_id, "
+        "CAST(list_indexof(dl, list_min(dl)) - 1 AS BIGINT) AS cluster "
+        f"FROM (SELECT vec_id, [{dots}] AS dl FROM embeddings) "
+        "ORDER BY vec_id"
+    )
 
 
 def _langid_oracle() -> str:
@@ -1123,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
         "t_simhash": _simhash_oracle(),
         "s_lsh_buckets": _lsh_buckets_oracle(),
         "s_pq": _pq_oracle(),
+        "s_kmeans_init_assign": _kmeans_init_assign_oracle(),
         "s_ann_lsh_candidates": _lsh_candidates_oracle(),
         # same index, same probes — the store-backed path must produce the
         # byte-identical candidate sets

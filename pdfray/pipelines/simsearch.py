@@ -1362,3 +1362,42 @@ def s_scalar_quantize(sf_dir: str):
         .to_pandas()
     )
     return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
+def s_kmeans_init_assign(sf_dir: str, k: int = KMEANS_K):
+    """EXACT-ORACLE companion to s_kmeans: one E-step with the FIXED
+    deterministic init centroids (the k lowest-vec_id vectors) — the same
+    argmin(-2 x·c + |c|^2) assignment arithmetic the iterative loop runs
+    every round, value-checked in SQL with literal centroids (only the
+    Lloyd ITERATION stays rows-only, its convergence pinned by the
+    bit-equal numpy test)."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+    init = _topk(ds, k, ["vec_id"], [False])
+    centroids = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+    cref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                }
+            )
+        C = ray.get(cref)
+        X = _batch_matrix(t)
+        d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(d2.argmin(axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(
+        warm_factory(("s_kmeans_init", cref.hex()), lambda: assign),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
