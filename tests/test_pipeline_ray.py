@@ -403,3 +403,42 @@ def test_skew_pool_survives_constrained_object_store(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "SPILL_GUARD_OK" in proc.stdout
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_source_roundtrip_byte_identical(ray_session, tmp_path, gz):
+    """Common-Crawl-native ingest: documents written into WARC/1.0
+    response + resource records (optionally per-record gzip members, the
+    .warc.gz convention) read back through read_warc and extract
+    byte-identically; request/warcinfo records are skipped."""
+    import random
+
+    from pdfray.pipelines.extraction import extract_dataset
+    from pdfray.sources.fixtures import build_simple
+    from pdfray.sources.warc import build_warc, read_warc, warc_to_rows
+
+    docs = []
+    for k in range(8):
+        data, golden, _ = build_simple(random.Random(100 + k), "en")
+        docs.append((f"https://crawl.example/{k}.pdf", data, golden))
+    records = [
+        ("https://crawl.example/info", b"software: test", "warcinfo"),
+        *[
+            (u, d, "response" if i % 2 == 0 else "resource")
+            for i, (u, d, _) in enumerate(docs)
+        ],
+        ("https://crawl.example/req", b"GET / HTTP/1.1\r\n", "request"),
+    ]
+    blob = build_warc(records, gzip_members=gz)
+    ext = "warc.gz" if gz else "warc"
+    (tmp_path / f"seg0.{ext}").write_bytes(blob)
+
+    rows = warc_to_rows(blob)  # pure-python path
+    assert [u for u, _ in rows] == [u for u, _, _ in docs]
+    assert all(h == d for (_, h), (_, d, _) in zip(rows, docs))
+
+    out = extract_dataset(read_warc(str(tmp_path))).to_pandas()
+    got = dict(zip(out["url"], out["text"]))
+    assert len(got) == len(docs)
+    for u, _, golden in docs:
+        assert got[u] == golden
