@@ -132,6 +132,25 @@ def read_corpus(path, columns=("url", "html"), override_num_blocks=None):
     )
 
 
+def open_corpus(path, input_format: str = "parquet"):
+    """Format dispatch for the production entry points: 'parquet' (the
+    default columnar layout), 'warc' (Common-Crawl segment files, incl.
+    .warc.gz), or 'files' (loose-PDF directory crawl).  Every source
+    yields the same (url, html) schema, so everything downstream —
+    ingest meta, skew routing, manifest resume — is format-agnostic."""
+    if input_format == "parquet":
+        return read_corpus(path)
+    if input_format == "warc":
+        from ..sources.warc import read_warc
+
+        return read_warc(path)
+    if input_format == "files":
+        from ..sources.readers import read_pdf_files
+
+        return read_pdf_files(path)
+    raise ValueError(f"unknown input_format {input_format!r}")
+
+
 def extract_dataset(
     ds,
     *,
@@ -310,6 +329,7 @@ def run_extraction(
     concurrency=None,
     write_metrics: bool = True,
     extractor_kwargs: Optional[dict] = None,
+    input_format: str = "parquet",
 ) -> dict:
     """Checkpoint-resumable extraction run.
 
@@ -340,7 +360,7 @@ def run_extraction(
             mask = pc.and_(pc.greater_equal(pid, lo), pc.less(pid, hi))
             return t.filter(mask)
 
-        ds = read_corpus(input_path)
+        ds = open_corpus(input_path, input_format)
         ds = ds.map_batches(
             add_ingest_meta(num_partitions), batch_format="pyarrow", num_cpus=_task_cpus()
         )

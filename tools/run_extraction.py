@@ -24,6 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="corpus parquet file/dir")
+    ap.add_argument(
+        "--format",
+        default="parquet",
+        choices=["parquet", "warc", "files"],
+        help="input layout: parquet (default), warc (.warc/.warc.gz "
+        "Common-Crawl segments), files (loose-PDF directory crawl)",
+    )
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--chunks", type=int, default=4)
@@ -60,6 +67,7 @@ def main() -> None:
         resume=not args.no_resume,
         huge_threshold=huge,
         batch_size=args.batch_size,
+        input_format=args.format,
     )
     stats["wall_sec"] = round(time.perf_counter() - t0, 2)
     print(json.dumps(stats))
