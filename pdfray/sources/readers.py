@@ -21,3 +21,46 @@ def read_pdf_files(path: str, file_extensions=("pdf",)):
         return pa.table({"url": t.column("path"), "html": t.column("bytes")})
 
     return ds.map_batches(rename, batch_format="pyarrow")
+
+
+def read_corpus_jsonl(path: str):
+    """JSONL corpus -> (url, html) Dataset: one record per line with
+    ``url`` and base64-encoded ``html_b64`` fields (JSON cannot carry raw
+    bytes).  One read task per file, base64 decoded vectorized in the map
+    stage — the common interchange layout for webtext dumps when parquet
+    isn't available."""
+    import base64
+
+    import ray.data as rd
+
+    ds = rd.read_json(path)
+
+    def decode(t: pa.Table) -> pa.Table:
+        htmls = [
+            base64.b64decode(s) for s in t.column("html_b64").to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def write_corpus_jsonl(rows, path: str) -> str:
+    """Writer twin of `read_corpus_jsonl` for tests/fixtures: rows are
+    (url, html_bytes) pairs."""
+    import base64
+    import json
+
+    with open(path, "w", encoding="utf-8") as fh:
+        for url, html in rows:
+            fh.write(
+                json.dumps(
+                    {"url": url, "html_b64": base64.b64encode(html).decode()}
+                )
+                + "\n"
+            )
+    return path

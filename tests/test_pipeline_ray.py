@@ -487,3 +487,27 @@ def test_run_extraction_from_warc(ray_session, tmp_path):
         cwd="/root/repo",
     ).stdout
     assert "--format" in help_text and "warc" in help_text
+
+
+def test_jsonl_source_roundtrip(ray_session, tmp_path):
+    """JSONL ingest (base64 html) extracts byte-identically."""
+    import random
+
+    from pdfray.pipelines.extraction import extract_dataset
+    from pdfray.sources.fixtures import build_simple
+    from pdfray.sources.readers import read_corpus_jsonl, write_corpus_jsonl
+
+    docs = []
+    for k in range(5):
+        data, golden, _ = build_simple(random.Random(500 + k), "en")
+        docs.append((f"https://dump.example/{k}.pdf", data, golden))
+    write_corpus_jsonl(
+        [(u, d) for u, d, _ in docs], str(tmp_path / "corpus.jsonl")
+    )
+    out = extract_dataset(
+        read_corpus_jsonl(str(tmp_path / "corpus.jsonl"))
+    ).to_pandas()
+    got = dict(zip(out["url"], out["text"]))
+    assert len(got) == len(docs)
+    for u, _, golden in docs:
+        assert got[u] == golden
