@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vocab-bounded table; rows-only (iterative argmax), bit-equal
         # independent-reference test
         "t_bpe_train": T.t_bpe_train,
+        "t_bpe_apply": T.t_bpe_apply,
         # changed this round (re-expose for fresh driver evidence)
         "q_filter_topk": R.q_filter_topk,
         "q_orders_topk": R.q_orders_topk,
@@ -577,6 +578,43 @@ def _pq_oracle() -> str:
             f"FROM (SELECT vec_id, [{dots}] AS dl FROM embeddings)"
         )
     return " UNION ALL ".join(selects) + " ORDER BY vec_id, subspace"
+
+
+def _bpe_apply_oracle() -> str:
+    """Golden per-document BPE token counts computed by an INDEPENDENT
+    pure-Python pass over the raw sf0.01 parquet (direct .split() word
+    counting — never the Ray pipeline — feeding the shared pure merge/
+    apply functions), embedded as literal VALUES (the _image_hash_oracle
+    scheme)."""
+    import pyarrow.parquet as pq
+
+    from pdfray.pipelines.textops import (
+        bpe_apply_to_word,
+        bpe_train_merges,
+    )
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    counts: dict = {}
+    docs = []
+    for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        ws = [w for w in s.split(" ") if w]
+        docs.append((i, ws))
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    merges = bpe_train_merges(counts, 12)
+    ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+    wlen = {w: bpe_apply_to_word(w, ranks) for w in counts}
+    values = ", ".join(
+        f"({i}, {len(ws)}, {sum(wlen[w] for w in ws)})" for i, ws in docs
+    )
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(n_words AS BIGINT) AS n_words, "
+        "CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens "
+        f"FROM (VALUES {values}) AS g(doc_id, n_words, n_bpe_tokens) "
+        "ORDER BY doc_id"
+    )
 
 
 def _kmeans_init_assign_oracle() -> str:
@@ -1156,6 +1194,7 @@ def oracle_sql() -> dict[str, str]:
         "s_lsh_buckets": _lsh_buckets_oracle(),
         "s_pq": _pq_oracle(),
         "s_kmeans_init_assign": _kmeans_init_assign_oracle(),
+        "t_bpe_apply": _bpe_apply_oracle(),
         "s_ann_lsh_candidates": _lsh_candidates_oracle(),
         # same index, same probes — the store-backed path must produce the
         # byte-identical candidate sets

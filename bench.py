@@ -140,6 +140,7 @@ QUERY_NAMES = [
     "t_simhash",
     "t_bpe_tokens",
     "t_bpe_train",
+    "t_bpe_apply",
     "s_knn_bruteforce",
     "s_label_centroids",
     "s_kmeans",

@@ -845,16 +845,35 @@ def bpe_train_merges(word_counts: dict, n_merges: int) -> list:
     return merges
 
 
-def t_bpe_train(sf_dir: str, n_merges: int = 12):
-    """Distributed BPE tokenizer TRAINING: the corpus-scale step is ONE
-    combiner-reduced word-frequency pass (vocab-sized partials on the
-    shuffle — t_doc_frequency's shape); the merge-learning loop then runs
-    on the driver over the vocab-bounded frequency table, which is how BPE
-    trains at any corpus size (the table, not the corpus, is the loop's
-    input).  Deterministic tie-breaks make retries bit-stable.  Returns
-    (rank, left, right, count); rows-only driver entry — the iterative
-    argmax isn't SQL-expressible — with a bit-equal independent-reference
-    test (same evidence class as s_kmeans)."""
+def bpe_apply_to_word(word: str, ranks: dict) -> int:
+    """Number of BPE symbols for one word under trained merges: apply the
+    lowest-rank merge present until none applies (the standard greedy
+    application order).  Pure Python, shared by the engine's vocab-table
+    builder and the oracle's independent recomputation."""
+    syms = list(word[:-1]) + [word[-1] + BPE_EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        left, right = syms[best_i], syms[best_i + 1]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def _bpe_word_counts(sf_dir: str) -> dict:
+    """ONE combiner-reduced word-frequency pass (vocab-sized shuffle rows)."""
     from ray.data.aggregate import Sum
 
     def partials(t: pa.Table) -> pa.Table:
@@ -876,7 +895,79 @@ def t_bpe_train(sf_dir: str, n_merges: int = 12):
         .aggregate(Sum("tf", alias_name="tf"))
         .to_pandas()
     )
-    counts = dict(zip(wc["word"], wc["tf"].astype(int)))
+    return dict(zip(wc["word"], wc["tf"].astype(int)))
+
+
+def t_bpe_apply(sf_dir: str, n_merges: int = 12):
+    """Tokenize the corpus with the TRAINED BPE merges — the 100 TB-scale
+    half of the tokenizer story.  Train = the t_bpe_train pass; APPLY is
+    where the scale shape matters: merges are applied to the VOCAB once on
+    the driver (vocab-bounded work), the resulting word -> subtoken-count
+    table broadcasts, and each batch resolves its tokens with one
+    dictionary-encode + vectorized lookup + per-doc bincount — no per-word
+    Python in the distributed stage.  Emits (doc_id, n_words,
+    n_bpe_tokens); the oracle embeds golden per-doc counts computed by an
+    INDEPENDENT pure-Python pass over the raw parquet (the
+    _image_hash_oracle scheme)."""
+    import ray
+
+    counts = _bpe_word_counts(sf_dir)
+    merges = bpe_train_merges(counts, n_merges)
+    ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+    words = np.array(sorted(counts), dtype=object)
+    lens = np.array([bpe_apply_to_word(w, ranks) for w in words], dtype=np.int64)
+    bref = ray.put((pa.array(words, pa.string()), lens))
+
+    def score_factory():
+        wlist, wlens = ray.get(bref)
+
+        def score(t: pa.Table) -> pa.Table:
+            parent, codes, dictionary = _word_codes(t)
+            n_docs = t.num_rows
+            n_words = np.bincount(parent, minlength=n_docs)
+            if codes.size:
+                pos = pc.fill_null(
+                    pc.index_in(dictionary, value_set=wlist), -1
+                ).to_numpy(zero_copy_only=False).astype(np.int64)
+                dict_lens = np.where(pos >= 0, wlens[np.clip(pos, 0, None)], -1)
+                per_tok = dict_lens[codes]
+                if (per_tok < 0).any():
+                    raise ValueError("word missing from the broadcast BPE vocab")
+                n_bpe = np.bincount(parent, weights=per_tok, minlength=n_docs)
+            else:
+                n_bpe = np.zeros(n_docs)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_words": pa.array(n_words.astype(np.int64), pa.int64()),
+                    "n_bpe_tokens": pa.array(n_bpe.astype(np.int64), pa.int64()),
+                }
+            )
+
+        return score
+
+    out = (
+        _read_documents(sf_dir)
+        .map_batches(
+            warm_factory(("bpe_apply", bref.hex()), score_factory),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def t_bpe_train(sf_dir: str, n_merges: int = 12):
+    """Distributed BPE tokenizer TRAINING: the corpus-scale step is ONE
+    combiner-reduced word-frequency pass (vocab-sized partials on the
+    shuffle — t_doc_frequency's shape); the merge-learning loop then runs
+    on the driver over the vocab-bounded frequency table, which is how BPE
+    trains at any corpus size (the table, not the corpus, is the loop's
+    input).  Deterministic tie-breaks make retries bit-stable.  Returns
+    (rank, left, right, count); rows-only driver entry — the iterative
+    argmax isn't SQL-expressible — with a bit-equal independent-reference
+    test (same evidence class as s_kmeans)."""
+    counts = _bpe_word_counts(sf_dir)
     merges = bpe_train_merges(counts, n_merges)
     return pd.DataFrame(
         {

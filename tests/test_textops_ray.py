@@ -1623,3 +1623,40 @@ def test_bpe_train_classic_example_and_distributed_parity(ray_session, tmp_path)
                 ref_counts[w] = ref_counts.get(w, 0) + 1
     want = bpe_train_merges(ref_counts, 10)
     assert list(map(tuple, got[["left", "right", "count"]].values)) == want
+
+
+def test_bpe_apply_matches_independent_python(ray_session, tmp_path):
+    """Distributed BPE application (vocab-table broadcast + dictionary
+    lookup) is bit-equal to a direct per-word Python application, and
+    merged words genuinely compress (fewer symbols than characters)."""
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.textops import (
+        BPE_EOW,
+        bpe_apply_to_word,
+        bpe_train_merges,
+        t_bpe_apply,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = t_bpe_apply(sf, n_merges=10).set_index("doc_id")
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    counts: dict = {}
+    per_doc = {}
+    for i, s in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        ws = [w for w in s.split(" ") if w]
+        per_doc[i] = ws
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    merges = bpe_train_merges(counts, 10)
+    ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+    wlen = {w: bpe_apply_to_word(w, ranks) for w in counts}
+    for i, ws in per_doc.items():
+        assert out.loc[i, "n_words"] == len(ws)
+        assert out.loc[i, "n_bpe_tokens"] == sum(wlen[w] for w in ws)
+    # merges compress: total symbols < total chars+EOW for merged words
+    merged_word = max(counts, key=lambda w: len(w) - wlen[w])
+    assert wlen[merged_word] < len(merged_word) + 1
+    # greedy application edge: a single-char word is one EOW-marked symbol
+    assert bpe_apply_to_word("a", ranks) == 1
+    assert BPE_EOW  # marker nonempty by contract
