@@ -339,3 +339,78 @@ def test_av_decoder_stage_never_raises(payloads):
     out = AvDecoder()(batch)
     assert out.schema.equals(AV_SCHEMA)
     assert out.num_rows == len(payloads)
+
+
+from zlib import error as zlib_error
+
+
+def test_warc_parser_fuzz_no_hangs_typed_errors():
+    """Mutated/truncated/corrupt WARC inputs either parse or raise a typed
+    ValueError — never hang, never return malformed rows."""
+    import random
+
+    from pdfray.sources.warc import build_warc, iter_warc_records, warc_to_rows
+
+    rng = random.Random(99)
+    base = build_warc(
+        [
+            ("https://x/a", b"payload-a" * 20, "response"),
+            ("https://x/b", b"payload-b" * 10, "resource"),
+            ("https://x/i", b"info", "warcinfo"),
+        ]
+    )
+    assert len(warc_to_rows(base)) == 2
+    for trial in range(300):
+        data = bytearray(base)
+        op = rng.randrange(4)
+        if op == 0:  # byte flips
+            for _ in range(rng.randrange(1, 6)):
+                i = rng.randrange(len(data))
+                data[i] ^= 1 << rng.randrange(8)
+        elif op == 1:  # truncation
+            data = data[: rng.randrange(len(data))]
+        elif op == 2:  # junk injection
+            i = rng.randrange(len(data))
+            data[i:i] = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 32)))
+        else:  # corrupt the gzip variant
+            data = bytearray(
+                build_warc([("https://x/g", b"gz" * 50, "response")], gzip_members=True)
+            )
+            for _ in range(rng.randrange(1, 4)):
+                i = rng.randrange(2, len(data))
+                data[i] ^= 0xFF
+        try:
+            rows = warc_to_rows(bytes(data))
+        except (ValueError, zlib_error):
+            continue
+        for url, html in rows:
+            assert isinstance(url, str) and isinstance(html, (bytes, bytearray))
+    # header block must terminate
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        list(iter_warc_records(b"WARC/1.0\r\nContent-Length: 5\r\nno-terminator"))
+
+
+def test_bpe_apply_fuzz_terminates_and_bounds():
+    """Random unicode words under random merge tables: application always
+    terminates with 1 <= n_symbols <= len(word) + 1."""
+    import random
+
+    from pdfray.pipelines.textops import bpe_apply_to_word, bpe_train_merges
+
+    rng = random.Random(7)
+    alphabet = "abcdeé😀𝔘 x"
+    for trial in range(200):
+        w = "".join(
+            rng.choice(alphabet.replace(" ", "")) for _ in range(rng.randrange(1, 12))
+        )
+        vocab = {w: rng.randrange(1, 9)}
+        for _ in range(rng.randrange(0, 5)):
+            vocab["".join(rng.choice("abcde") for _ in range(rng.randrange(1, 6)))] = (
+                rng.randrange(1, 9)
+            )
+        merges = bpe_train_merges(vocab, rng.randrange(0, 8))
+        ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+        n = bpe_apply_to_word(w, ranks)
+        assert 1 <= n <= len(w) + 1
