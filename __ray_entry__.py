@@ -63,6 +63,20 @@ def _extract_text(sf_dir: str):
     return ds.select_columns(["url", "text"])
 
 
+def _extract_warc(sf_dir: str):
+    """Extraction through the Common-Crawl-native WARC ingest: the SAME
+    golden corpus re-serialized as .warc.gz segment files (one read task
+    per segment), so the oracle is plain byte-identity against the parquet
+    goldens — ingest-format equivalence is driver-checked end to end."""
+    from pdfray.pipelines.extraction import extract_dataset
+    from pdfray.sources.fixtures import ensure_warc_segments
+    from pdfray.sources.warc import read_warc
+
+    seg_dir = ensure_warc_segments(sf_dir)
+    ds = extract_dataset(read_warc(seg_dir))
+    return ds.select_columns(["url", "text"])
+
+
 _EXTRACTED_CACHE: dict = {}
 
 
@@ -215,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_version_counts": _extract_version_counts,
         "extract_repaired": _extract_repaired,
         "extract_partition_metrics": _extract_partition_metrics,
+        "extract_warc": _extract_warc,
         # similarity search / embedding dedup over embeddings (never in a
         # driver report before round 4)
         "s_knn_bruteforce": S.s_knn_bruteforce,
@@ -708,6 +723,9 @@ def oracle_sql() -> dict[str, str]:
     av = _av_sql_path()
     sql = {
         "extract_text": (
+            f"SELECT url, text FROM read_parquet('{fixture}')"
+        ),
+        "extract_warc": (
             f"SELECT url, text FROM read_parquet('{fixture}')"
         ),
         "extract_stats_by_lang": (

@@ -1133,3 +1133,55 @@ def ensure_corpus_parquet(sf_dir: str, cache_root: str = "/tmp/pdfray_fixtures")
             raise
         shutil.rmtree(tmp, ignore_errors=True)
     return out_path
+
+
+def warc_segments_path(sf_name: str, cache_root: str = "/tmp/pdfray_fixtures") -> str:
+    import os
+
+    return os.path.join(cache_root, f"v{FIXTURE_VERSION}", sf_name, "segments_warc")
+
+
+def ensure_warc_segments(
+    sf_dir: str, cache_root: str = "/tmp/pdfray_fixtures", docs_per_segment: int = 128
+) -> str:
+    """Materialize the SAME golden corpus as Common-Crawl-style .warc.gz
+    segment files (cached, atomic rename): each document becomes a WARC
+    response record wrapping the PDF bytes, so the WARC ingest path can be
+    driver-checked byte-for-byte against the parquet goldens."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .warc import build_warc
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out_path = warc_segments_path(sf_name, cache_root)
+    if os.path.isdir(out_path):
+        return out_path
+    corpus = ensure_corpus_parquet(sf_dir, cache_root)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".tmp-", dir=os.path.dirname(out_path))
+    seg = 0
+    for f in corpus_files(corpus):
+        t = pq.read_table(f, columns=["url", "html"])
+        urls = t.column("url").to_pylist()
+        htmls = t.column("html").to_pylist()
+        for lo in range(0, len(urls), docs_per_segment):
+            recs = [
+                (u, h, "response")
+                for u, h in zip(
+                    urls[lo : lo + docs_per_segment],
+                    htmls[lo : lo + docs_per_segment],
+                )
+            ]
+            with open(os.path.join(tmp, f"seg-{seg:05d}.warc.gz"), "wb") as fh:
+                fh.write(build_warc(recs, gzip_members=True))
+            seg += 1
+    try:
+        os.replace(tmp, out_path)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out_path
