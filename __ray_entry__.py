@@ -216,79 +216,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdfray.pipelines import training_data as P
 
     return {
-        # extraction (the flagship)
         # DICT ORDER IS LOAD-BEARING: the driver evaluates queries in
-        # order under a bounded budget (r03 recorded exactly the first 50
-        # of 70).  Front: the extraction flagship, then every family that
-        # has not yet appeared in a CORRECTNESS report (s_*, m_*,
-        # pipeline_*, the candidates companions) and the queries that
-        # changed this round; tail: entries already driver-green in r03
-        # and unchanged since.
-        "extract_text": _extract_text,
-        "extract_stats_by_lang": _extract_stats_by_lang,
-        "extract_version_counts": _extract_version_counts,
-        "extract_repaired": _extract_repaired,
-        "extract_partition_metrics": _extract_partition_metrics,
-        "extract_warc": _extract_warc,
-        # similarity search / embedding dedup over embeddings (never in a
-        # driver report before round 4)
-        "s_knn_bruteforce": S.s_knn_bruteforce,
-        "s_label_centroids": S.s_label_centroids,
-        "s_kmeans": S.s_kmeans,
-        "s_kmeans_init_assign": S.s_kmeans_init_assign,
-        "s_scalar_quantize": S.s_scalar_quantize,
-        "s_pq": S.s_pq,
-        "s_ann_lsh": S.s_ann_lsh,
-        "s_ann_ivf": S.s_ann_ivf,
-        "s_ann_partitioned": S.s_ann_partitioned,
-        # exact-oracle companions: the candidate SETS of the seeded indexes
-        # are value-checked even though the recall metrics stay rows-only
-        "s_ann_lsh_candidates": S.s_ann_lsh_candidates,
-        "s_ann_ivf_candidates": S.s_ann_ivf_candidates,
-        "s_ann_partitioned_candidates": S.s_ann_partitioned_candidates,
-        "s_lsh_buckets": S.s_lsh_buckets,
-        "s_embedding_dupes": S.s_embedding_dupes,
-        # multimodal: real pure-Python PNG / WAV / Y4M decode (FrameSampler
-        # keeps the chunk-math access pattern for the compressed codecs
-        # genuinely absent here)
-        "m_media_features": M.m_media_features,
-        "m_image_hash": M.m_image_hash,
-        "m_phash": M.m_phash,
-        "m_frame_sample": M.m_frame_sample,
-        "m_resize": M.m_resize,
-        "m_audio_features": M.m_audio_features,
-        "m_video_frames": M.m_video_frames,
-        # end-to-end training-data compositions
-        "pipeline_clean_corpus": _pipeline_clean_corpus,
-        "pipeline_clean_corpus_neardup": _pipeline_clean_corpus_neardup,
-        "pipeline_training_mix": P.pipeline_training_mix,
-        "pipeline_line_dedup": P.pipeline_line_dedup,
-        # two-regime near-dup truth (never in a driver report before r4)
-        "t_ngram_jaccard_dupes": T.t_ngram_jaccard_dupes,
-        # canonical public webtext cleaning filters (new in round 4)
-        "t_gopher_rules": T.t_gopher_rules,
-        "t_c4_filter": T.t_c4_filter,
-        "t_pii_scrub": T.t_pii_scrub,
-        "t_delta_dedup_bloom": T.t_delta_dedup_bloom,
-        # distributed word-count pass + driver merge loop over the
-        # vocab-bounded table; rows-only (iterative argmax), bit-equal
-        # independent-reference test
-        "t_bpe_train": T.t_bpe_train,
-        "t_bpe_apply": T.t_bpe_apply,
-        # changed this round (re-expose for fresh driver evidence)
-        "q_filter_topk": R.q_filter_topk,
-        "q_orders_topk": R.q_orders_topk,
-        "q_sessionize": R.q_sessionize,
-        "t_dup_components": T.t_dup_components,
-        "t_dedup_keep_best": T.t_dedup_keep_best,
-        "t_bigram_logprob": T.t_bigram_logprob,
-        "t_minhash_pairs": T.t_minhash_pairs,
-        # core relational / text representatives
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "q_broadcast_join_segment": R.q_broadcast_join_segment,
-        "q_hash_join_brand": R.q_hash_join_brand,
-        "q_semi_join_big_customers": R.q_semi_join_big_customers,
-        "q_anti_join_quiet_customers": R.q_anti_join_quiet_customers,
+        # order under a bounded budget (r03/r04 recorded exactly the first
+        # 50).  Round-5 front: the 35 queries whose last driver row is
+        # CORRECTNESS_r03 (r04 evaluated the first 50 of 85, these were
+        # the tail), then every query CHANGED this round (checkpointed
+        # materializes, derived partition counts, new exact oracles,
+        # real-container frame sampling, WARC hardening); tail: r04
+        # driver-green and unchanged since.
+        # ---- r04-unchecked (last evidence = r03): need fresh rows ----
         "q_top_order_per_customer": R.q_top_order_per_customer,
         "q_events_rollup": R.q_events_rollup,
         "q_events_window": R.q_events_window,
@@ -296,17 +232,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_retention_cohorts": R.q_retention_cohorts,
         "q_funnel": R.q_funnel,
         "q_rolling_revenue": R.q_rolling_revenue,
-        "t_exact_dedup": T.t_exact_dedup,
-        "t_token_stats": T.t_token_stats,
-        "t_tfidf": T.t_tfidf,
-        "t_heavy_hitters": T.t_heavy_hitters,
-        "t_temperature_sample": T.t_temperature_sample,
-        # ---- tail: driver-green in r03 and unchanged since ----
         "q_nation_region": R.q_nation_region,
         "q_supplier_nation": R.q_supplier_nation,
         "q_events_json": R.q_events_json,
         "q_distinct_flags": R.q_distinct_flags,
         "q_orders_by_month": R.q_orders_by_month,
+        "t_exact_dedup": T.t_exact_dedup,
+        "t_token_stats": T.t_token_stats,
+        "t_tfidf": T.t_tfidf,
+        "t_heavy_hitters": T.t_heavy_hitters,
+        "t_temperature_sample": T.t_temperature_sample,
         "t_stratified_sample": T.t_stratified_sample,
         "t_decontaminate": T.t_decontaminate,
         "t_dup_spans": T.t_dup_spans,
@@ -325,6 +260,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_winnow_fp": T.t_winnow_fp,
         "t_langid": T.t_langid,
         "t_simhash": T.t_simhash,
+        # ---- changed in round 5 (need fresh driver evidence) ----
+        "extract_text": _extract_text,
+        "extract_warc": _extract_warc,
+        "q_sessionize": R.q_sessionize,
+        "pipeline_line_dedup": P.pipeline_line_dedup,
+        "pipeline_training_mix": P.pipeline_training_mix,
+        "q_hash_join_brand": R.q_hash_join_brand,
+        "t_bpe_train": T.t_bpe_train,
+        "s_ann_lsh": S.s_ann_lsh,
+        "s_ann_ivf": S.s_ann_ivf,
+        "s_ann_partitioned": S.s_ann_partitioned,
+        "m_frame_sample": M.m_frame_sample,
+        "t_delta_dedup_bloom": T.t_delta_dedup_bloom,
+        "t_minhash_pairs": T.t_minhash_pairs,
+        "t_dup_components": T.t_dup_components,
+        "t_dedup_keep_best": T.t_dedup_keep_best,
+        # ---- tail: driver-green in r04 and unchanged since ----
+        "extract_stats_by_lang": _extract_stats_by_lang,
+        "extract_version_counts": _extract_version_counts,
+        "extract_repaired": _extract_repaired,
+        "extract_partition_metrics": _extract_partition_metrics,
+        "s_knn_bruteforce": S.s_knn_bruteforce,
+        "s_label_centroids": S.s_label_centroids,
+        "s_kmeans": S.s_kmeans,
+        "s_kmeans_init_assign": S.s_kmeans_init_assign,
+        "s_scalar_quantize": S.s_scalar_quantize,
+        "s_pq": S.s_pq,
+        "s_ann_lsh_candidates": S.s_ann_lsh_candidates,
+        "s_ann_ivf_candidates": S.s_ann_ivf_candidates,
+        "s_ann_partitioned_candidates": S.s_ann_partitioned_candidates,
+        "s_lsh_buckets": S.s_lsh_buckets,
+        "s_embedding_dupes": S.s_embedding_dupes,
+        "m_media_features": M.m_media_features,
+        "m_image_hash": M.m_image_hash,
+        "m_phash": M.m_phash,
+        "m_resize": M.m_resize,
+        "m_audio_features": M.m_audio_features,
+        "m_video_frames": M.m_video_frames,
+        "pipeline_clean_corpus": _pipeline_clean_corpus,
+        "pipeline_clean_corpus_neardup": _pipeline_clean_corpus_neardup,
+        "t_ngram_jaccard_dupes": T.t_ngram_jaccard_dupes,
+        "t_gopher_rules": T.t_gopher_rules,
+        "t_c4_filter": T.t_c4_filter,
+        "t_pii_scrub": T.t_pii_scrub,
+        "t_bpe_apply": T.t_bpe_apply,
+        "q_filter_topk": R.q_filter_topk,
+        "q_orders_topk": R.q_orders_topk,
+        "t_bigram_logprob": T.t_bigram_logprob,
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q_broadcast_join_segment": R.q_broadcast_join_segment,
+        "q_semi_join_big_customers": R.q_semi_join_big_customers,
+        "q_anti_join_quiet_customers": R.q_anti_join_quiet_customers,
     }
 
 
