@@ -301,13 +301,20 @@ def q_hash_join_brand(sf_dir: str):
     """lineitem x part with Dataset.join (hash shuffle): quantity by brand."""
     # 100k rows/block: the join's ingest cost tracks block COUNT (per-block
     # hash/partition passes), so data-sized blocks beat CPU-count slivers
-    # (measured ~25% at sf0.1); partition count stays data-proportional
+    # (measured ~25% at sf0.1); the partition count derives from the SAME
+    # footer row count — data-proportional with a cluster-derived slot
+    # floor, not a node-tuned constant (sizing.shuffle_partitions)
+    import pyarrow.parquet as pq
+
+    from .sizing import shuffle_partitions
+
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"], rows_per_block=100_000)
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
     joined = li.join(
         part,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=shuffle_partitions(n_li),
         on=("l_partkey",),
         right_on=("p_partkey",),
     )
@@ -821,7 +828,7 @@ def _session_keys(users, ts_us, n_buckets: int, chunk_us: int):
     return chunk, (mixed % np.uint64(n_buckets)).astype(np.int64)
 
 
-def q_sessionize(sf_dir: str):
+def q_sessionize(sf_dir: str, stage_dir: str = None):
     """Gap-based sessionization: events within SESSION_GAP_HOURS of the
     user's previous event share a session; a longer silence starts the
     next one (session ids are 0-based per user).
@@ -836,13 +843,27 @@ def q_sessionize(sf_dir: str):
     session of a chunk merges with the previous chunk's LAST session iff
     the boundary gap is within SESSION_GAP_HOURS (later sessions of the
     chunk cannot reach back past an in-chunk break, so only the boundary
-    pair matters — correct for ANY chunk width).  The per-(user, chunk)
-    session-id offsets broadcast once and a final streaming pass rewrites
-    local ids to global ones; at extreme scale the offset table would ride
-    the same (user, chunk) shuffle instead of a broadcast."""
+    pair matters — correct for ANY chunk width).
+
+    Scale shape (round 5): the sessionized event table — O(corpus) rows,
+    consumed twice (boundary summaries + id rewrite) — is a PARQUET STAGE
+    CHECKPOINT (`staging.stage_checkpoint`), not an object-store
+    materialize; with an explicit ``stage_dir`` a crashed run resumes at
+    the boundary (default: throwaway /tmp dir removed on exit).  The
+    per-(user, chunk) session-id offsets ride a second keyed-shuffle JOIN
+    on (user_id, chunk) — narrow rows only, local_sid + offset — instead
+    of a driver broadcast, so the offset table never has to fit on one
+    node."""
+    import os
+    import shutil
+    import tempfile
+
     import numpy as np
     import pandas as pd
-    import ray
+    import ray.data as rd
+
+    from .sizing import shuffle_partitions
+    from .staging import stage_checkpoint
 
     ds = _read(
         sf_dir, "events", ["event_id", "ts", "user_id"], rows_per_block=12_500
@@ -871,15 +892,23 @@ def q_sessionize(sf_dir: str):
         g["local_sid"] = brk.groupby(run_id.to_numpy()).cumsum()
         return g[["event_id", "user_id", "chunk", "ts", "local_sid"]]
 
-    sess = (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(sessionize_chunk, batch_format="pandas")
-        .materialize()  # consumed twice (summaries + id rewrite); the query
-        # contract returns every event anyway — at production scale this
-        # checkpoint is a parquet write, not an object-store materialize
-    )
+    own_stage = stage_dir is None
+    root = tempfile.mkdtemp(prefix="pdfray_sessionize_") if own_stage else stage_dir
+    try:
+        sess = stage_checkpoint(
+            lambda: ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(sessionize_chunk, batch_format="pandas"),
+            os.path.join(root, "sessions"),
+            resume=not own_stage,
+        )
+        return _sessionize_finish(sess, rd, np, pd, shuffle_partitions)
+    finally:
+        if own_stage:
+            shutil.rmtree(root, ignore_errors=True)
 
+
+def _sessionize_finish(sess, rd, np, pd, shuffle_partitions):
     def summaries(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["user_id", "chunk"], sort=False)
         out = g.agg(
@@ -912,15 +941,22 @@ def q_sessionize(sf_dir: str):
     s["offset"] = (
         (prev_n - merged.astype("int64")).groupby(s["user_id"].to_numpy()).cumsum()
     )
-    off_ref = ray.put(s[["user_id", "chunk", "offset"]])
+    # offsets ride a keyed shuffle, not a driver broadcast: join the
+    # (user, chunk, offset) table back on the SAME (user_id, chunk) key
+    # the sessionize pass shuffled on; the probe side carries only narrow
+    # rows (event_id, user_id, chunk, local_sid) — ts never re-shuffles
+    off_ds = rd.from_pandas(s[["user_id", "chunk", "offset"]])
+    n_parts = shuffle_partitions(sess.count())  # parquet-footer count
 
     def rewrite(df: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(off_ref)
-        df = df.merge(off, on=["user_id", "chunk"], how="left")
         df["session_id"] = df["local_sid"] + df["offset"].astype("int64")
         return df[["event_id", "user_id", "session_id"]]
 
-    out = sess.map_batches(rewrite, batch_format="pandas")
+    out = (
+        sess.select_columns(["event_id", "user_id", "chunk", "local_sid"])
+        .join(off_ds, join_type="inner", num_partitions=n_parts, on=("user_id", "chunk"))
+        .map_batches(rewrite, batch_format="pandas")
+    )
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 

@@ -1342,8 +1342,11 @@ def _candidate_pairs(
             pa.table({"doc_a": pa.array([], id_type), "doc_b": pa.array([], id_type)})
         )
     # compact: guarantees nonempty blocks (Ray join schema quirk) and sizes
-    # partitions for the join
-    n_parts = max(1, min(32, n // 100_000 + 1))
+    # partitions for the join data-proportionally with a cluster-derived
+    # slot floor (round 5: the node-tuned min(32, ...) cap is gone)
+    from .sizing import shuffle_partitions
+
+    n_parts = shuffle_partitions(n)
     buckets = buckets.repartition(n_parts).materialize()
 
     def _rename(cols):
@@ -3160,7 +3163,7 @@ def t_temperature_sample(sf_dir: str):
 DUP_SPAN_N = 8  # same gram width as decontamination
 
 
-def t_dup_spans(sf_dir: str):
+def t_dup_spans(sf_dir: str, stage_dir: str = None):
     """Per-document count of word 8-grams shared with any other document.
 
     Unlike t_decontaminate (tiny benchmark side, broadcast), the dup-gram
@@ -3168,18 +3171,37 @@ def t_dup_spans(sf_dir: str):
     cannot be broadcast: the corpus explodes once into distinct (doc_id,
     gram-hash) pairs (dedup inside the worker, text dropped), a combiner
     groupby counts docs per gram, grams with df >= 2 semi-join back
-    against the SAME materialized pair table, and one last groupby counts
-    per doc.  Every shuffle carries (int64, int64) pairs.  This gram-join
-    is the standard distributed approximation of suffix-array
-    ExactSubstr dedup; collisions of the 62-bit gram hash would surface as
-    an oracle mismatch (the SQL joins gram STRINGS), not pass silently.
+    against the SAME pair table, and one last groupby counts per doc.
+    Every shuffle carries (int64, int64) pairs.  This gram-join is the
+    standard distributed approximation of suffix-array ExactSubstr dedup;
+    collisions of the 62-bit gram hash would surface as an oracle mismatch
+    (the SQL joins gram STRINGS), not pass silently.
+
+    The pair table — O(corpus token count) rows, reused by BOTH the
+    df-count pass and the join probe — and the df>=2 gram set (itself of
+    corpus order on a template-dense crawl) are PARQUET STAGE CHECKPOINTS
+    (`staging.stage_checkpoint`), never object-store materializes: the
+    store never pins a corpus-order table, each consumer streams a fresh
+    read of the files, and with an explicit ``stage_dir`` a crashed run
+    resumes at the boundary (default: throwaway /tmp dir removed on
+    exit).  Footer row counts then size the join partitions
+    data-proportionally (`sizing.shuffle_partitions`), and checkpoint
+    read-back blocks are always nonempty, so the empty-first-block join
+    quirk cannot trigger.
 
     Measured alternative, rejected: collapsing the count+semi-join into one
     groupby(gh).map_groups pays a per-GROUP pandas call over millions of
     gram groups — 2-4x slower than this 3-exchange plan.  The shuffle-count
     lesson (q_retention_cohorts) only wins when the merged stage stays
     vectorized; per-tiny-group Python erases it."""
+    import os
+    import shutil
+    import tempfile
+
     from ray.data.aggregate import Count
+
+    from .sizing import shuffle_partitions
+    from .staging import stage_checkpoint
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
@@ -3201,40 +3223,54 @@ def t_dup_spans(sf_dir: str):
             }
         )
 
-    pairs = (
-        _read_documents(sf_dir)
-        .map_batches(explode, batch_format="pyarrow")
-        .repartition(8)  # compact: avoids the empty-first-block join quirk
-        .materialize()  # reused by BOTH the df count and the join probe
-    )
-    dup_grams = (
-        pairs.groupby("gh")
-        .aggregate(Count(alias_name="n_docs"))
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t.column("n_docs"), 2)).select(
-                ["gh"]
+    own_stage = stage_dir is None
+    root = tempfile.mkdtemp(prefix="pdfray_dupspans_") if own_stage else stage_dir
+    resume = not own_stage
+    try:
+        pairs = stage_checkpoint(
+            lambda: _read_documents(sf_dir).map_batches(
+                explode, batch_format="pyarrow"
             ),
-            batch_format="pyarrow",
+            os.path.join(root, "pairs"),
+            resume=resume,
+            allow_empty=True,
         )
-        .repartition(4)
-    )
-    dup_grams = dup_grams.materialize()
-    if dup_grams.count() == 0:
-        # no shared gram anywhere: a fully-empty join side loses its schema
-        # (the empty-first-block quirk), so short-circuit to all zeros
-        counts = pd.DataFrame(
-            {
-                "doc_id": pd.Series(dtype="int64"),
-                "n_dup_grams": pd.Series(dtype="int64"),
-            }
-        )
-    else:
-        counts = (
-            pairs.join(dup_grams, join_type="inner", num_partitions=8, on=("gh",))
-            .groupby("doc_id")
-            .aggregate(Count(alias_name="n_dup_grams"))
-            .to_pandas()
-        )
+        dup_grams = None
+        if pairs is not None:
+            dup_grams = stage_checkpoint(
+                lambda: pairs.groupby("gh")
+                .aggregate(Count(alias_name="n_docs"))
+                .map_batches(
+                    lambda t: t.filter(
+                        pc.greater_equal(t.column("n_docs"), 2)
+                    ).select(["gh"]),
+                    batch_format="pyarrow",
+                ),
+                os.path.join(root, "dup_grams"),
+                resume=resume,
+                allow_empty=True,
+            )
+        if dup_grams is None:
+            # no shared gram anywhere: short-circuit to all zeros
+            counts = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_dup_grams": pd.Series(dtype="int64"),
+                }
+            )
+        else:
+            n_parts = shuffle_partitions(pairs.count())  # footer count
+            counts = (
+                pairs.join(
+                    dup_grams, join_type="inner", num_partitions=n_parts, on=("gh",)
+                )
+                .groupby("doc_id")
+                .aggregate(Count(alias_name="n_dup_grams"))
+                .to_pandas()
+            )
+    finally:
+        if own_stage:
+            shutil.rmtree(root, ignore_errors=True)
     all_ids = (
         _read_documents(sf_dir, ("doc_id",)).to_pandas().sort_values("doc_id")
     )

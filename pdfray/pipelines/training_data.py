@@ -26,39 +26,8 @@ import pyarrow.compute as pc
 MIN_TOKENS = 5
 
 
-def _stage_checkpoint(ds_factory, stage_dir: str, resume: bool = True):
-    """Durable inter-stage handoff: write a pipeline stage to parquet ONCE,
-    then hand every consumer a fresh streaming read of the files.
-
-    This is the production replacement for `.materialize()` between
-    pipeline stages: the object store never pins the whole stage (text
-    included), each consumer streams from disk, and a crashed run resumes
-    at the boundary — the ``_DONE`` marker is written only after the files
-    are durable, so a partial write is replaced wholesale on retry while a
-    finished stage is never re-executed (same marker discipline as
-    `state.manifest`, at whole-stage granularity; `run_extraction` remains
-    the per-chunk variant for the extraction stage itself)."""
-    import os
-    import shutil
-
-    import ray.data as rd
-
-    done = os.path.join(stage_dir, "_DONE")
-    if not (resume and os.path.exists(done)):
-        if os.path.isdir(stage_dir):
-            shutil.rmtree(stage_dir)  # stale partial output
-        os.makedirs(stage_dir)
-        ds_factory().write_parquet(stage_dir)
-        with open(done, "w", encoding="utf-8"):
-            pass
-    files = [
-        os.path.join(stage_dir, f)
-        for f in sorted(os.listdir(stage_dir))
-        if f.endswith(".parquet")
-    ]
-    if not files:
-        raise ValueError(f"stage checkpoint {stage_dir!r} produced no rows")
-    return rd.read_parquet(files)
+# shared across the pipeline modules since round 5 (moved, not changed):
+from .staging import stage_checkpoint as _stage_checkpoint  # noqa: F401
 
 
 def _extracted(sf_dir: str):
@@ -189,8 +158,10 @@ def _clean_corpus_inner(sf_dir, near_dedup, out_dir, stage_root, stage_resume, j
     gated = _stage_checkpoint(
         gated_factory, os.path.join(stage_root, "gated"), resume=stage_resume
     )
+    from .sizing import shuffle_partitions
+
     n_rows = gated.count()  # parquet-footer metadata, no scan
-    n_parts = max(1, min(16, n_rows // 50_000 + 1))
+    n_parts = shuffle_partitions(n_rows, min_rows=50_000)
 
     def dedup_factory():
         # parquet-read blocks are nonempty, satisfying the hash-join
@@ -503,7 +474,7 @@ def pipeline_training_mix(sf_dir: str, out_dir: str = None, resume: bool = True)
 LINE_STRIP = " \t\r"  # normalization pinned on BOTH engine and oracle sides
 
 
-def pipeline_line_dedup(sf_dir: str):
+def pipeline_line_dedup(sf_dir: str, stage_dir: str = None):
     """Line-level global dedup over REAL extraction output (the
     CCNet/RefinedWeb boilerplate-removal shape: repeated header/footer
     lines across a template-heavy crawl are owned by exactly one document).
@@ -517,9 +488,23 @@ def pipeline_line_dedup(sf_dir: str):
     hiding) -> groupby(line) Min(url) winners -> hash join back ->
     combiner-reduced per-url counts.  The 3-exchange plan is deliberate:
     per-line map_groups was measured 2-4x worse on the same shape
-    (t_dup_spans docstring)."""
+    (t_dup_spans docstring).
+
+    The exploded line table — O(corpus line count) rows, reused by BOTH
+    the winner pass and the join probe — is a PARQUET STAGE CHECKPOINT,
+    never an object-store materialize: each consumer streams a fresh read
+    of the files, and with an explicit ``stage_dir`` a crashed run resumes
+    at the boundary (default: throwaway /tmp dir, removed on exit).  Its
+    parquet-footer row count then sizes the shuffle/join partitions
+    data-proportionally (`sizing.shuffle_partitions`)."""
+    import os
+    import shutil
+    import tempfile
+
     import ray.data  # noqa: F401  (ensures Dataset API importable)
     from ray.data.aggregate import Min, Sum
+
+    from .sizing import shuffle_partitions
 
     extracted = _extracted(sf_dir).select_columns(["url", "text"])
 
@@ -550,13 +535,43 @@ def pipeline_line_dedup(sf_dir: str):
             }
         )
 
-    rows = (
-        extracted.map_batches(explode, batch_format="pyarrow")
-        .repartition(8)  # compact: the empty-first-block join quirk
-        .materialize()  # reused by the winner pass AND the join probe
+    own_stage = stage_dir is None
+    root = tempfile.mkdtemp(prefix="pdfray_linededup_") if own_stage else stage_dir
+    try:
+        return _line_dedup_inner(
+            extracted, explode, root, not own_stage, shuffle_partitions, Min, Sum
+        )
+    finally:
+        if own_stage:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def _line_dedup_inner(extracted, explode, root, resume, shuffle_partitions, Min, Sum):
+    import os
+
+    rows = _stage_checkpoint(
+        lambda: extracted.map_batches(explode, batch_format="pyarrow"),
+        os.path.join(root, "lines"),
+        resume=resume,
+        allow_empty=True,
     )
+    if rows is None:  # no document produced a single non-empty line
+        return pd.DataFrame(
+            {
+                "url": pd.Series(dtype="object"),
+                "n_lines": pd.Series(dtype="int64"),
+                "n_distinct": pd.Series(dtype="int64"),
+                "n_kept": pd.Series(dtype="int64"),
+            }
+        )
+    # footer-count partition sizing; checkpoint read-back blocks are
+    # nonempty (write_parquet skips empty blocks), so the hash-join
+    # first-block-schema quirk cannot trigger on either side
+    n_parts = shuffle_partitions(rows.count())
     winners = (
-        rows.groupby("lh").aggregate(Min("url", alias_name="owner")).repartition(4)
+        rows.groupby("lh")
+        .aggregate(Min("url", alias_name="owner"))
+        .repartition(n_parts)
     )
 
     def combine(t: pa.Table) -> pa.Table:
@@ -576,7 +591,7 @@ def pipeline_line_dedup(sf_dir: str):
         )
 
     out = (
-        rows.join(winners, join_type="inner", num_partitions=8, on=("lh",))
+        rows.join(winners, join_type="inner", num_partitions=n_parts, on=("lh",))
         .map_batches(combine, batch_format="pyarrow")
         .groupby("url")
         .aggregate(

@@ -1,0 +1,144 @@
+"""Round-5 scale plumbing: derived partition counts (pdfray.pipelines.sizing)
+and parquet stage checkpoints replacing the last corpus-order object-store
+materializes (t_dup_spans, pipeline_line_dedup, q_sessionize)."""
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdfray.pipelines.sizing import shuffle_partitions
+from pdfray.pipelines.staging import stage_checkpoint
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- sizing
+
+
+def test_shuffle_partitions_scaling_behavior():
+    # tiny tables never slice across an idle cluster: fixed per-partition
+    # shuffle machinery would dominate
+    assert shuffle_partitions(0, cpus=32) == 1
+    assert shuffle_partitions(50_000, cpus=32) == 1
+    # mid-size fills the cluster's slots once each has min_rows of work
+    assert shuffle_partitions(400_000, cpus=32) == 4
+    assert shuffle_partitions(10_000_000, cpus=32) == 32
+    # ... but a smaller cluster caps the slot floor
+    assert shuffle_partitions(10_000_000, cpus=8) == 8
+    # beyond slot saturation the count is DATA-proportional and uncapped:
+    # 1000x the rows = 1000x the partitions at the same target size
+    assert shuffle_partitions(2_000_000_000, cpus=32) == 1000
+    assert shuffle_partitions(2_000_000_000_000, cpus=32) == 1_000_000
+    # wide rows: the bytes term dominates when rows alone undersize
+    assert shuffle_partitions(1000, n_bytes=10 << 30, cpus=8) == 40
+
+
+def test_shuffle_partitions_monotone():
+    prev = 0
+    for n in [0, 1, 10**5, 10**6, 10**7, 10**8, 10**9, 10**10]:
+        cur = shuffle_partitions(n, cpus=32)
+        assert cur >= prev
+        prev = cur
+
+
+# ------------------------------------------------------- stage_checkpoint
+
+
+def test_stage_checkpoint_empty_stage(ray_session, tmp_path):
+    import ray.data as rd
+
+    empty = pa.table({"a": pa.array([], pa.int64())})
+    with pytest.raises(ValueError):
+        stage_checkpoint(lambda: rd.from_arrow(empty), str(tmp_path / "s1"))
+    assert (
+        stage_checkpoint(
+            lambda: rd.from_arrow(empty), str(tmp_path / "s2"), allow_empty=True
+        )
+        is None
+    )
+
+
+def test_stage_checkpoint_resume_skips_recompute(ray_session, tmp_path):
+    import ray.data as rd
+
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return rd.from_arrow(pa.table({"a": pa.array([1, 2, 3], pa.int64())}))
+
+    d = str(tmp_path / "stage")
+    first = stage_checkpoint(factory, d).to_pandas()
+    again = stage_checkpoint(factory, d).to_pandas()
+    assert len(calls) == 1  # _DONE marker short-circuits the rerun
+    pd.testing.assert_frame_equal(first, again)
+    # resume=False forces a clean rebuild
+    stage_checkpoint(factory, d, resume=False)
+    assert len(calls) == 2
+
+
+# ------------------- no corpus-order object-store materialize remains
+
+
+def test_checkpointed_queries_never_materialize_corpus(
+    ray_session, tmp_path, monkeypatch
+):
+    """The three round-4 weak spots (VERDICT r04 'What's wrong' #1-3) must
+    run without object-store materializing any corpus-order table: the
+    exploded gram/line pair tables, the sessionized event table, and the
+    text-bearing corpus itself all hand off through parquet checkpoints."""
+    import ray.data as rd
+
+    from pdfray.pipelines import relational, textops, training_data
+    from pdfray.sources import fixtures
+
+    path = str(tmp_path / "documents_pdf.parquet")
+    pq.write_table(fixtures.corpus_table(30, n_huge=1, n_broken=2), path)
+    monkeypatch.setattr(
+        "pdfray.sources.fixtures.ensure_corpus_parquet", lambda sf_dir: path
+    )
+
+    seen_schemas = []
+    real_materialize = rd.Dataset.materialize
+
+    def spy(self, *a, **k):
+        out = real_materialize(self, *a, **k)
+        try:
+            seen_schemas.append(set(out.schema().names))
+        except Exception:
+            pass
+        return out
+
+    monkeypatch.setattr(rd.Dataset, "materialize", spy)
+
+    textops.t_dup_spans(SF)
+    training_data.pipeline_line_dedup("ignored")
+    relational.q_sessionize(SF)
+
+    corpus_order = {"text", "html", "gh", "lh", "local_sid"}
+    offenders = [s for s in seen_schemas if corpus_order & s]
+    assert offenders == [], offenders
+
+
+def test_dup_spans_stage_dir_resumes(ray_session, tmp_path):
+    """With an explicit stage_dir a second run resumes off the checkpoint
+    files (byte-identical, untouched mtimes) and returns the same result."""
+    from pdfray.pipelines import textops
+
+    d = str(tmp_path / "spans_stage")
+    first = textops.t_dup_spans(SF, stage_dir=d)
+    pairs_dir = os.path.join(d, "pairs")
+    assert os.path.exists(os.path.join(pairs_dir, "_DONE"))
+    before = {
+        f: os.path.getmtime(os.path.join(pairs_dir, f))
+        for f in os.listdir(pairs_dir)
+    }
+    again = textops.t_dup_spans(SF, stage_dir=d)
+    after = {
+        f: os.path.getmtime(os.path.join(pairs_dir, f))
+        for f in os.listdir(pairs_dir)
+    }
+    assert before == after  # explode pass never re-ran
+    pd.testing.assert_frame_equal(first, again)
