@@ -432,15 +432,13 @@ def _lsh_buckets_oracle() -> str:
     )
 
 
-def _lsh_candidates_oracle() -> str:
-    """Candidate sets of the seeded LSH index recomputed in DuckDB: the
+def _lsh_index_ctes() -> str:
+    """Shared CTE text of the seeded LSH index, recomputed in DuckDB: the
     hyperplanes (RandomState(17)) are embedded as float literals like
     `_lsh_buckets_oracle`, the query vectors/probe sets are derived
-    independently from the raw parquet (no engine code path touched), and
-    the join keeps every vector whose signature is in a query's probe
-    list.  This is the exact-oracle companion to the rows-only s_ann_lsh
-    recall metric — and, verbatim, the oracle for the store-backed
-    s_ann_partitioned_candidates (same index, same probe sets)."""
+    independently from the raw parquet (no engine code path touched).
+    Yields ``sig``, ``probes(query_id, ps)`` and ``cand`` (every vector
+    whose signature is in a query's probe list)."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -469,23 +467,34 @@ def _lsh_candidates_oracle() -> str:
         f"({qid}, [{','.join(str(int(v)) for v in p)}])" for qid, p in probes
     )
     return (
-        f"WITH sig AS (SELECT vec_id, ({terms}) AS sig FROM embeddings), "
-        f"probes(query_id, ps) AS (VALUES {values}) "
-        "SELECT CAST(query_id AS BIGINT) AS query_id, vec_id "
-        "FROM probes JOIN sig ON list_contains(ps, sig) "
-        "ORDER BY query_id, vec_id"
+        f"sig AS (SELECT vec_id, ({terms}) AS sig FROM embeddings), "
+        f"probes(query_id, ps) AS (VALUES {values}), "
+        "cand AS (SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, sig "
+        "FROM probes JOIN sig ON list_contains(ps, sig))"
     )
 
 
-def _ivf_candidates_oracle() -> str:
-    """IVF candidate sets recomputed in DuckDB: the coarse quantizer is
-    retrained INDEPENDENTLY on the driver (same seeded `_kmeans` numpy
-    routine, sample = the 50*k lowest vec_ids read straight from the raw
-    parquet — never the Ray pipeline), centroids embedded as SQL literals,
-    and per-vector cell assignment recomputed as argmax of the centroid
-    dot products (list_indexof/list_max picks the FIRST maximum like
-    numpy argmax; the dot is scale-invariant so the engine-side
-    normalization needs no mirror)."""
+def _lsh_candidates_oracle() -> str:
+    """Candidate sets of the seeded LSH index (`_lsh_index_ctes`).  This is
+    the exact-oracle companion to s_ann_lsh — and, verbatim, the oracle
+    for the store-backed s_ann_partitioned_candidates (same index, same
+    probe sets)."""
+    return (
+        f"WITH {_lsh_index_ctes()} "
+        "SELECT query_id, vec_id FROM cand ORDER BY query_id, vec_id"
+    )
+
+
+def _ivf_index_ctes():
+    """Shared CTE text of the IVF index, recomputed in DuckDB: the coarse
+    quantizer is retrained INDEPENDENTLY on the driver (same seeded
+    `_kmeans` numpy routine, sample = the 50*k lowest vec_ids read straight
+    from the raw parquet — never the Ray pipeline), centroids embedded as
+    SQL literals, and per-vector cell assignment recomputed as argmax of
+    the centroid dot products (list_indexof/list_max picks the FIRST
+    maximum like numpy argmax; the dot is scale-invariant so the
+    engine-side normalization needs no mirror).  Returns
+    (cte_text yielding ``cand``, k, nprobe)."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -524,13 +533,103 @@ def _ivf_candidates_oracle() -> str:
     values = ", ".join(
         f"({qid}, [{','.join(str(int(c)) for c in p)}])" for qid, p in probes
     )
-    return (
-        f"WITH d AS (SELECT vec_id, [{dots}] AS dl FROM embeddings), "
+    ctes = (
+        f"d AS (SELECT vec_id, [{dots}] AS dl FROM embeddings), "
         "a AS (SELECT vec_id, list_indexof(dl, list_max(dl)) - 1 AS cell FROM d), "
-        f"probes(query_id, ps) AS (VALUES {values}) "
-        "SELECT CAST(query_id AS BIGINT) AS query_id, vec_id "
-        "FROM probes JOIN a ON list_contains(ps, cell) "
-        "ORDER BY query_id, vec_id"
+        f"probes(query_id, ps) AS (VALUES {values}), "
+        "cand AS (SELECT CAST(query_id AS BIGINT) AS query_id, vec_id "
+        "FROM probes JOIN a ON list_contains(ps, cell))"
+    )
+    return ctes, k, nprobe
+
+
+def _ivf_candidates_oracle() -> str:
+    """IVF candidate sets (`_ivf_index_ctes`): the exact-oracle companion
+    to s_ann_ivf."""
+    ctes, _k, _np_ = _ivf_index_ctes()
+    return (
+        f"WITH {ctes} "
+        "SELECT query_id, vec_id FROM cand ORDER BY query_id, vec_id"
+    )
+
+
+def _truth_ctes() -> str:
+    """Exact cosine top-k CTE (``truth``) — the s_knn_bruteforce oracle SQL
+    reshaped as CTEs so the ANN recall oracles can join against it."""
+    from pdfray.pipelines.simsearch import N_QUERIES, TOP_K
+
+    return (
+        "q AS (SELECT vec_id AS tq_id, embedding AS qe FROM embeddings "
+        f"ORDER BY vec_id LIMIT {N_QUERIES}), "
+        "scored AS (SELECT q.tq_id, e.vec_id, "
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.qe AS DOUBLE[])), 4) AS sim FROM embeddings e CROSS JOIN q), "
+        "ranked AS (SELECT tq_id, vec_id, ROW_NUMBER() OVER "
+        "(PARTITION BY tq_id ORDER BY sim DESC, vec_id) AS rnk FROM scored), "
+        f"truth AS (SELECT tq_id AS query_id, vec_id FROM ranked WHERE rnk <= {TOP_K})"
+    )
+
+
+_RECALL_CORE = (
+    # recall@k = |candidates ∩ exact top-k| / |top-k|: the approximate
+    # top-k is the candidates ranked under the SAME total order as the
+    # exact ranking (rounded sim desc, vec_id asc), so a truth member
+    # that is a candidate can never fall out of the candidate top-k —
+    # set intersection with the raw candidate sets is exact, no
+    # re-scoring needed in SQL
+    # queries come from probes, not cand: a zero-candidate query still
+    # gets its (0, 0.0) row like the engine emits
+    "qs AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id FROM probes), "
+    "nc AS (SELECT query_id, COUNT(*) AS n FROM cand GROUP BY query_id), "
+    "hits AS (SELECT c.query_id, COUNT(*) AS h FROM cand c JOIN truth t "
+    "ON c.query_id = t.query_id AND c.vec_id = t.vec_id GROUP BY c.query_id), "
+    "tn AS (SELECT query_id, COUNT(*) AS n FROM truth GROUP BY query_id)"
+)
+
+
+def _ann_lsh_recall_oracle(partitioned: bool) -> str:
+    """Per-query recall of the seeded LSH index, fully in SQL: candidate
+    sets from `_lsh_index_ctes`, exact top-k from `_truth_ctes`, recall =
+    |cand ∩ truth| / |truth| (see _RECALL_CORE for why no re-scoring is
+    needed).  With ``partitioned``, adds the store layout's partition
+    counts: total = distinct signatures present in the corpus (one hive
+    directory each), read = distinct present signatures in the union of
+    the probe sets — exactly the directories `query_vector_store` lists."""
+    extra_ctes = extra_cols = ""
+    if partitioned:
+        extra_ctes = (
+            ", wanted AS (SELECT DISTINCT UNNEST(ps) AS s FROM probes), "
+            "total_p AS (SELECT COUNT(DISTINCT sig) AS n FROM sig), "
+            "read_p AS (SELECT COUNT(DISTINCT sig.sig) AS n FROM sig "
+            "JOIN wanted ON sig.sig = wanted.s)"
+        )
+        extra_cols = (
+            ", CAST((SELECT n FROM read_p) AS BIGINT) AS n_parts_read"
+            ", CAST((SELECT n FROM total_p) AS BIGINT) AS n_parts_total"
+        )
+    return (
+        f"WITH {_lsh_index_ctes()}, {_truth_ctes()}, {_RECALL_CORE}{extra_ctes} "
+        "SELECT qs.query_id, CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_candidates, "
+        "ROUND(CAST(COALESCE(hits.h, 0) AS DOUBLE) / tn.n, 4) AS recall_at_k"
+        f"{extra_cols} "
+        "FROM qs LEFT JOIN nc USING (query_id) LEFT JOIN hits USING (query_id) "
+        "JOIN tn USING (query_id) ORDER BY qs.query_id"
+    )
+
+
+def _ann_ivf_recall_oracle() -> str:
+    """Per-query recall of the retrained IVF index, fully in SQL
+    (`_ivf_index_ctes` + `_truth_ctes` + _RECALL_CORE); n_probed and
+    n_centroids are the index constants, embedded as literals."""
+    ctes, k, nprobe = _ivf_index_ctes()
+    return (
+        f"WITH {ctes}, {_truth_ctes()}, {_RECALL_CORE} "
+        "SELECT qs.query_id, CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_candidates, "
+        "ROUND(CAST(COALESCE(hits.h, 0) AS DOUBLE) / tn.n, 4) AS recall_at_k, "
+        f"CAST({nprobe} AS BIGINT) AS n_probed, "
+        f"CAST({k} AS BIGINT) AS n_centroids "
+        "FROM qs LEFT JOIN nc USING (query_id) LEFT JOIN hits USING (query_id) "
+        "JOIN tn USING (query_id) ORDER BY qs.query_id"
     )
 
 
@@ -616,6 +715,41 @@ def _bpe_apply_oracle() -> str:
         "CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens "
         f"FROM (VALUES {values}) AS g(doc_id, n_words, n_bpe_tokens) "
         "ORDER BY doc_id"
+    )
+
+
+def _bpe_train_oracle() -> str:
+    """Golden BPE merge table (rank, left, right, count) from an
+    INDEPENDENT pure-Python word-count pass over the raw sf0.01 parquet
+    feeding the shared pure merge loop, embedded as literal VALUES (the
+    _bpe_apply_oracle scheme).  What the exact compare certifies is the
+    engine's DISTRIBUTED combiner word-count pass: a single miscounted
+    word flips a merge's count (or its argmax rank) and fails the hash."""
+    import pyarrow.parquet as pq
+
+    from pdfray.pipelines.textops import bpe_train_merges
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    t = pq.read_table(path, columns=["text"])
+    counts: dict = {}
+    for s in t["text"].to_pylist():
+        for w in s.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    merges = bpe_train_merges(counts, 12)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ", ".join(
+        f"({rank}, {q(l)}, {q(r)}, {c})"
+        for rank, (l, r, c) in enumerate(merges, start=1)
+    )
+    return (
+        'SELECT CAST(rank AS BIGINT) AS rank, "left", "right", '
+        'CAST("count" AS BIGINT) AS "count" '
+        f'FROM (VALUES {values}) AS g(rank, "left", "right", "count") '
+        "ORDER BY rank"
     )
 
 
@@ -1200,6 +1334,10 @@ def oracle_sql() -> dict[str, str]:
         "s_pq": _pq_oracle(),
         "s_kmeans_init_assign": _kmeans_init_assign_oracle(),
         "t_bpe_apply": _bpe_apply_oracle(),
+        "t_bpe_train": _bpe_train_oracle(),
+        "s_ann_lsh": _ann_lsh_recall_oracle(partitioned=False),
+        "s_ann_partitioned": _ann_lsh_recall_oracle(partitioned=True),
+        "s_ann_ivf": _ann_ivf_recall_oracle(),
         "s_ann_lsh_candidates": _lsh_candidates_oracle(),
         # same index, same probes — the store-backed path must produce the
         # byte-identical candidate sets
@@ -1559,15 +1697,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY hk, doc_id) - 1 AS BIGINT) AS pos "
             "FROM s2 ORDER BY doc_id"
         ),
-        # rows-only (genuinely non-SQL-expressible): s_kmeans (iterative
-        # Lloyd loop; an independent numpy reference implementation in the
-        # tests asserts bit-equal assignments), s_ann_lsh, s_ann_ivf and
-        # s_ann_partitioned (probe-pruned recall reports), and
-        # pipeline_clean_corpus_neardup (greedy drop-set resolution).
-        # Round 3 upgraded m_resize (real decode), t_winnow_fp / t_simhash /
-        # t_minhash_pairs / t_ngram_jaccard_dupes (md5-64 hashes + all-pairs
-        # recomputation), s_lsh_buckets (seeded planes as literals), and
-        # t_langid (marker arithmetic) to exact oracles.
+        # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
+        # iterative Lloyd loop; an independent numpy reference
+        # implementation in the tests asserts bit-equal assignments, and
+        # its E-step has the exact-oracle s_kmeans_init_assign companion.
+        # Round 5 upgraded the last four others: t_bpe_train (golden merge
+        # VALUES from an independent word-count pass) and the three ANN
+        # recall reports (candidate CTEs joined against the exact-top-k
+        # CTE — see _RECALL_CORE).
     }
     # the Bloom+bucketed-store form is output-identical by construction
     # (no false negatives; every positive exactly verified) — one oracle

@@ -479,7 +479,10 @@ def s_ann_ivf(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
     for LSH signatures, with cell ids instead of signatures.
 
     Returns (query_id, n_candidates, recall_at_k, n_probed, n_centroids);
-    rows-only — recall of a trained index is not SQL-expressible.
+    EXACT-oracled since round 5: the retrained-quantizer candidate CTEs
+    join the exact-top-k CTE, and recall = |cand ∩ truth| / |truth| — no
+    re-scoring needed because the approximate ranking uses the same total
+    order as the exact one (see __ray_entry__._RECALL_CORE).
     """
     import ray
 
@@ -851,9 +854,11 @@ _STORE_CACHE: dict = {}
 
 
 def s_ann_partitioned(sf_dir: str):
-    """ANN through the write-partitioned / read-probed vector store layout
-    (rows-only: LSH recall is not SQL-expressible; partition-pruning and
-    recall-parity guarantees live in unit tests)."""
+    """ANN through the write-partitioned / read-probed vector store layout.
+    EXACT-oracled since round 5 (recall + the partition read/total counts
+    all recomputed in SQL from the embedded planes/probe sets —
+    __ray_entry__._ann_lsh_recall_oracle(partitioned=True)); the
+    partition-pruning guarantees are additionally pinned by unit tests."""
     import os
     import tempfile
 
@@ -886,7 +891,8 @@ def s_ann_lsh_candidates(sf_dir: str):
     signature falls in the query's Hamming<=2 probe set.  The DuckDB oracle
     recomputes signatures from the same literal-embedded planes and probe
     lists (s_lsh_buckets precedent), so the candidate machinery itself is
-    value-checked; only the recall METRIC stays rows-only in s_ann_lsh."""
+    value-checked — and since round 5 the recall metric itself is exact
+    too (the same CTEs joined against the exact-top-k CTE)."""
     import ray
 
     ds, qids, planes, probes, _ = _lsh_probe_setup(sf_dir)
@@ -980,7 +986,8 @@ def s_ann_ivf_candidates(sf_dir: str):
     50*k lowest vec_ids), so the oracle retrains it independently from the
     raw parquet and embeds the centroids as SQL literals; cell assignment
     (argmax of the centroid dot products) is recomputed per vector in
-    DuckDB.  Recall stays rows-only in s_ann_ivf."""
+    DuckDB.  Since round 5 s_ann_ivf's recall metric is exact as well
+    (same CTEs + the exact-top-k join)."""
     import ray
 
     ds = _read_embeddings(sf_dir)
