@@ -753,6 +753,47 @@ def _bpe_train_oracle() -> str:
     )
 
 
+def _frame_sample_oracle() -> str:
+    """Golden frame-sample rows for the sf0.01 AV fixture's video half,
+    computed from the PRE-encode luma arrays (fixtures._video_frames_arrays
+    — the Y4M decoder is never touched), embedded as literal VALUES: a
+    match certifies the container frame-offset index and the sampled-plane
+    slicing end to end.  Planted broken rows (truncated / unsupported
+    colorspace) must land as 0-count null-hash rows."""
+    import hashlib
+
+    from pdfray.pipelines.multimodal import FRAME_STRIDE
+    from pdfray.sources import fixtures as FX
+
+    n_av = max(20, FX.sf_doc_count(0.01) // 2)
+    rows = []
+    for k in range(n_av):
+        if k % 2 == 0:  # audio rows: pruned by the engine's read predicate
+            continue
+        if k % 13 in (5, 11):  # planted broken (av_rows)
+            rows.append((f"https://av.example.org/broken/{k:08d}.y4m", 0, 0, None))
+            continue
+        frames, _cs = FX._video_frames_arrays(k)
+        sampled = frames[::FRAME_STRIDE]
+        h = hashlib.sha1(b"".join(f.tobytes() for f in sampled)).hexdigest()[:16]
+        rows.append(
+            (f"https://av.example.org/video/{k:08d}.y4m", len(frames),
+             len(sampled), h)
+        )
+    values = ", ".join(
+        f"('{u}', {nf}, {ns}, "
+        + (f"'{h}'" if h else "CAST(NULL AS VARCHAR)")
+        + ")"
+        for u, nf, ns, h in rows
+    )
+    return (
+        "SELECT url, CAST(n_frames AS BIGINT) AS n_frames, "
+        "CAST(n_sampled AS BIGINT) AS n_sampled, frames_hash "
+        f"FROM (VALUES {values}) AS g(url, n_frames, n_sampled, frames_hash) "
+        "ORDER BY url"
+    )
+
+
 def _kmeans_init_assign_oracle() -> str:
     """One k-means E-step with the deterministic init centroids (the k
     lowest-vec_id vectors, read independently from the raw parquet and
@@ -1552,12 +1593,7 @@ def oracle_sql() -> dict[str, str]:
             f"width, height "
             f"FROM read_parquet('{media}') ORDER BY url"
         ),
-        "m_frame_sample": (
-            f"SELECT url, "
-            f"CAST(CEIL(OCTET_LENGTH(payload) / 4096.0) AS BIGINT) AS n_chunks, "
-            f"CAST(CEIL(CEIL(OCTET_LENGTH(payload) / 4096.0) / 8.0) AS BIGINT) AS n_frames "
-            f"FROM read_parquet('{media}') ORDER BY url"
-        ),
+        "m_frame_sample": _frame_sample_oracle(),
         "m_resize": (
             f"SELECT url, width, height, "
             f"CASE WHEN width = 0 THEN 0 ELSE GREATEST(1, CAST(FLOOR(width * "

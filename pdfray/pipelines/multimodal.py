@@ -10,12 +10,14 @@ column with 0-dims; the stage never raises.
 
 Audio and video decode are REAL too, for the containers a pure-Python
 parser can own: WAV (RIFF/PCM — `pdfray.core.wav`) and Y4M (YUV4MPEG2 —
-`pdfray.core.y4m`).  The Y4M sampler indexes frames by offset arithmetic
-and slices only every SAMPLE_STRIDE-th frame's Y plane — the same
-O(sampled) skip-ahead access a codec-backed sampler gets from a container
-index.  Compressed codecs (H.264/AAC/...) genuinely need codec libs this
-container lacks; FrameSampler keeps that container-chunk access pattern
-with the real-codec seek documented as the substitution point.
+`pdfray.core.y4m`).  Both video stages — the AvDecoder stats pass and the
+FrameSampler — seek through the real Y4M frame-offset index and slice
+only the sampled frames' Y planes: the same O(sampled) skip-ahead access
+a codec-backed sampler gets from a container index.  Compressed codecs
+(H.264/AAC/...) genuinely need codec libs this environment lacks; the
+container-index seek path itself is real and golden-oracle-checked, so a
+codec library drops in at `parse_y4m`'s seam without touching the Ray
+plumbing.
 """
 from __future__ import annotations
 
@@ -95,46 +97,56 @@ class MediaFeatureExtractor:
         return pa.table(out, schema=MEDIA_SCHEMA)
 
 
-FRAME_BYTES = 4096
-FRAME_STRIDE = 8
+FRAME_STRIDE = 4
 
 RESIZE_MAX = 64
 
 
 class FrameSampler:
-    """Actor-pool stage: sample every ``stride``-th fixed-size chunk of the
-    payload as a "frame".  Video container/codec parsing is the one decode
-    this container cannot do (no codec libs); a real implementation replaces
-    the chunk arithmetic with keyframe seeks via the container index.  The
-    access pattern, per-frame hashing, small batches, and bounded per-row
-    output are the real Ray-side contract either way."""
+    """Actor-pool stage: sample every ``stride``-th frame of a Y4M video
+    payload through the REAL container frame-offset index (round 5 —
+    replaced the synthetic chunk-math layout): `parse_y4m` walks frame
+    headers only, then each sampled frame's Y plane is sliced in place and
+    the unsampled frames are never touched — the keyframe-seek access
+    pattern a codec-backed sampler gets from its container index.  Emits
+    frame counts plus a digest over the sampled planes; broken payloads
+    record the typed error and keep the row (never raises)."""
 
-    def __init__(self, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE):
-        self.frame_bytes = frame_bytes
+    def __init__(self, stride: int = FRAME_STRIDE):
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.y4m import Y4mError, parse_y4m
+
         urls = batch.column("url").to_pylist()
         payloads = batch.column("payload")
-        out = {"url": [], "n_chunks": [], "n_frames": [], "frames_hash": []}
+        out = {"url": [], "n_frames": [], "n_sampled": [],
+               "frames_hash": [], "error": []}
         for i, url in enumerate(urls):
             payload = payloads[i].as_py() or b""
-            n_chunks = -(-len(payload) // self.frame_bytes) if payload else 0
-            n_frames = -(-n_chunks // self.stride) if n_chunks else 0
-            h = hashlib.sha1()
-            for k in range(n_frames):
-                off = k * self.stride * self.frame_bytes
-                h.update(payload[off : off + self.frame_bytes])
+            try:
+                stream = parse_y4m(payload)
+                idx = range(0, stream.n_frames, self.stride)
+                h = hashlib.sha1()
+                for k in idx:
+                    h.update(stream.luma(k).tobytes())
+                out["n_frames"].append(stream.n_frames)
+                out["n_sampled"].append(len(idx))
+                out["frames_hash"].append(h.hexdigest()[:16] if idx else None)
+                out["error"].append(None)
+            except Y4mError as ex:
+                out["n_frames"].append(0)
+                out["n_sampled"].append(0)
+                out["frames_hash"].append(None)
+                out["error"].append(str(ex))
             out["url"].append(url)
-            out["n_chunks"].append(n_chunks)
-            out["n_frames"].append(n_frames)
-            out["frames_hash"].append(h.hexdigest()[:16] if n_frames else None)
         return pa.table(
             {
                 "url": pa.array(out["url"], pa.string()),
-                "n_chunks": pa.array(out["n_chunks"], pa.int64()),
                 "n_frames": pa.array(out["n_frames"], pa.int64()),
+                "n_sampled": pa.array(out["n_sampled"], pa.int64()),
                 "frames_hash": pa.array(out["frames_hash"], pa.string()),
+                "error": pa.array(out["error"], pa.string()),
             }
         )
 
@@ -318,13 +330,18 @@ def _media_ds(sf_dir: str):
 
 
 def m_frame_sample(sf_dir: str):
-    """Frame sampling over media binaries; chunk/frame counts are
-    SQL-derivable so the oracle checks the plumbing exactly; per-frame
-    hashes are covered by unit tests."""
-    out = _media_ds(sf_dir).map_batches(
+    """Every FRAME_STRIDE-th frame of each Y4M video payload, seeked
+    through the real container frame-offset index.  The oracle embeds
+    PRE-encode golden frame hashes (fixtures._video_frames_arrays — the
+    decoder never produced them), so a match certifies the
+    container-index seek path end to end, including the planted
+    truncated/unsupported-colorspace rows landing as typed errors."""
+    out = _av_ds(sf_dir, "video").map_batches(
         warm_stage(FrameSampler), batch_format="pyarrow", batch_size=64
     )
-    df = out.select_columns(["url", "n_chunks", "n_frames"]).to_pandas()
+    df = out.select_columns(
+        ["url", "n_frames", "n_sampled", "frames_hash"]
+    ).to_pandas()
     return df.sort_values("url").reset_index(drop=True)
 
 

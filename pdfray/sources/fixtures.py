@@ -933,12 +933,14 @@ def _audio_payload(k: int):
     return payload, audio_stats(decode_wav(payload))
 
 
-def _video_payload(k: int):
-    """Deterministic Y4M content: gradient luma with a moving bright box and
-    a seeded noise band, cycling dims / frame counts / colorspaces."""
+def _video_frames_arrays(k: int):
+    """PRE-encode luma frame arrays of video fixture row ``k`` (gradient
+    luma with a moving bright box and a seeded noise band, cycling dims /
+    frame counts / colorspaces).  Shared by the payload encoder below and
+    the frame-sample oracle builder, which hashes these arrays directly so
+    the engine's container-index decode path is certified against goldens
+    the decoder never produced."""
     import numpy as np
-
-    from ..core.y4m import SAMPLE_STRIDE, encode_y4m, parse_y4m, sample_stats
 
     rng = np.random.RandomState((SEED << 16) ^ (0x51DE0 + k))
     w = 16 + 2 * ((k * 5) % 25)   # 16..64, even
@@ -956,6 +958,14 @@ def _video_payload(k: int):
         fr[: max(1, h // 8), :] = rng.randint(0, 256, (max(1, h // 8), w),
                                               dtype=np.uint8)
         frames.append(fr)
+    return frames, cs
+
+
+def _video_payload(k: int):
+    """Deterministic Y4M content (see `_video_frames_arrays`)."""
+    from ..core.y4m import SAMPLE_STRIDE, encode_y4m, parse_y4m, sample_stats
+
+    frames, cs = _video_frames_arrays(k)
     payload = encode_y4m(frames, colorspace=cs, fps=(24 + (k % 7), 1))
     return payload, sample_stats(parse_y4m(payload), SAMPLE_STRIDE)
 

@@ -1,8 +1,8 @@
 """Multimodal stages: real PNG decode, frame sampling, resize.
 
 Image decode is real (pdfray.core.png); these tests pin decode-backed
-features and dims, the chunk arithmetic of the (codec-less) frame sampler,
-broken-payload error capture, and the media fixture's golden dims.
+features and dims, the Y4M container-index frame sampler, broken-payload
+error capture, and the media fixture's golden dims.
 """
 import hashlib
 
@@ -12,7 +12,6 @@ import pytest
 
 from pdfray.core.png import decode_png, encode_png
 from pdfray.pipelines.multimodal import (
-    FRAME_BYTES,
     FRAME_STRIDE,
     FrameSampler,
     MediaFeatureExtractor,
@@ -34,36 +33,58 @@ def _png(w, h, seed=0, channels=3):
     return encode_png(rng.randint(0, 256, (h, w, channels), dtype=np.uint8))
 
 
-def test_frame_sampler_chunk_arithmetic():
+def _y4m(frames, colorspace="420jpeg"):
+    from pdfray.core.y4m import encode_y4m
+
+    return encode_y4m(frames, colorspace=colorspace)
+
+
+def _gray_frames(n, w=16, h=12, base=0):
+    return [np.full((h, w), (base + i) % 256, np.uint8) for i in range(n)]
+
+
+def test_frame_sampler_container_index_counts_and_goldens():
     s = FrameSampler()
-    sizes = [0, 1, FRAME_BYTES, FRAME_BYTES + 1, FRAME_BYTES * FRAME_STRIDE,
-             FRAME_BYTES * FRAME_STRIDE * 3 + 5]
-    out = s(_batch([b"x" * n for n in sizes]))
-    chunks = out["n_chunks"].to_pylist()
-    frames = out["n_frames"].to_pylist()
-    assert chunks == [-(-n // FRAME_BYTES) if n else 0 for n in sizes]
-    assert frames == [-(-c // FRAME_STRIDE) if c else 0 for c in chunks]
-    # empty payload -> no hash; others deterministic
-    hashes = out["frames_hash"].to_pylist()
-    assert hashes[0] is None and all(h is not None for h in hashes[1:])
-    again = s(_batch([b"x" * n for n in sizes]))
-    assert again["frames_hash"].to_pylist() == hashes
+    out = s(
+        _batch(
+            [
+                _y4m(_gray_frames(1)),
+                _y4m(_gray_frames(FRAME_STRIDE)),
+                _y4m(_gray_frames(FRAME_STRIDE * 2 + 1), colorspace="444"),
+                b"",  # broken: not a Y4M payload
+                _y4m(_gray_frames(3))[:-5],  # broken: truncated final frame
+            ]
+        )
+    )
+    assert out["n_frames"].to_pylist() == [1, FRAME_STRIDE, FRAME_STRIDE * 2 + 1, 0, 0]
+    assert out["n_sampled"].to_pylist() == [1, 1, 3, 0, 0]
+    errs = out["error"].to_pylist()
+    assert errs[:3] == [None, None, None] and errs[3] and errs[4]
+    # golden hash from the PRE-encode arrays — decoder-independent
+    want = hashlib.sha1(
+        b"".join(f.tobytes() for f in _gray_frames(1))
+    ).hexdigest()[:16]
+    assert out["frames_hash"][0].as_py() == want
 
 
 def test_frame_sampler_hash_covers_sampled_frames_only():
     s = FrameSampler()
-    base = bytes(range(256)) * (FRAME_BYTES * FRAME_STRIDE * 2 // 256)
-    # mutating an UNSAMPLED chunk must not change the hash
-    mutated = bytearray(base)
-    mutated[FRAME_BYTES * 2] ^= 0xFF  # chunk 2 is not a multiple of stride
-    a = s(_batch([base]))["frames_hash"][0].as_py()
-    b = s(_batch([bytes(mutated)]))["frames_hash"][0].as_py()
+    frames = _gray_frames(FRAME_STRIDE * 2)
+    a = s(_batch([_y4m(frames)]))["frames_hash"][0].as_py()
+    # mutating an UNSAMPLED frame must not change the hash
+    mut = [f.copy() for f in frames]
+    mut[1][0, 0] ^= 0xFF
+    b = s(_batch([_y4m(mut)]))["frames_hash"][0].as_py()
     assert a == b
-    # mutating a SAMPLED chunk must change it
-    mutated2 = bytearray(base)
-    mutated2[0] ^= 0xFF
-    c = s(_batch([bytes(mutated2)]))["frames_hash"][0].as_py()
+    # mutating a SAMPLED frame (index FRAME_STRIDE) must change it
+    mut2 = [f.copy() for f in frames]
+    mut2[FRAME_STRIDE][0, 0] ^= 0xFF
+    c = s(_batch([_y4m(mut2)]))["frames_hash"][0].as_py()
     assert a != c
+    # chroma-plane bytes are never part of the digest: a different
+    # colorspace (bigger chroma pad) with identical luma hashes the same
+    d = s(_batch([_y4m(frames, colorspace="444")]))["frames_hash"][0].as_py()
+    assert a == d
 
 
 def test_resizer_real_dims_and_fit():
