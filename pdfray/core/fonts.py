@@ -125,7 +125,23 @@ class PdfFont:
                             # silently write near the table end.
                             in_range = 0 <= char_index < 256
                             if char_name[:3].lower() == "uni":
-                                v = int(char_name[3:], 16)  # bad hex aborts
+                                hexpart = char_name[3:]
+                                # C# parity: Convert.ToInt32(s, 16) rejects
+                                # signs and separators that Python's
+                                # int(s, 16) would accept (/uni-0041,
+                                # /uni4_1 — underscores are legal in PDF
+                                # names), so gate on pure hex digits first;
+                                # a reject aborts the font build like any
+                                # bad-hex ValueError
+                                if not hexpart or not all(
+                                    c in "0123456789abcdefABCDEF"
+                                    for c in hexpart
+                                ):
+                                    raise ValueError(
+                                        f"/Differences uni value {char_name}"
+                                        f" is not pure hex"
+                                    )
+                                v = int(hexpart, 16)  # bad hex aborts
                                 # C# parity (PdfFont.cs): Convert.ToInt32
                                 # accepts up to 8 hex digits (two's
                                 # complement, so 0xFFFFFFFF parses) and

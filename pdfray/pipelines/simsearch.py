@@ -851,6 +851,24 @@ def query_vector_store(store_dir: str, sf_dir: str, n_planes: int) -> pd.DataFra
 
 
 _STORE_CACHE: dict = {}
+# The cached demo store lives on the DRIVER's /tmp and is read by workers
+# via plain paths — valid single-node or on a shared filesystem only (a
+# real deployment passes build_vector_store an out_dir on shared/object
+# storage and keeps it, that being the point of a vector store).  The
+# atexit hook below stops the per-process /tmp leak ADVICE r04 flagged.
+
+
+def _cached_store(sf_dir: str):
+    if sf_dir not in _STORE_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        out_dir = tempfile.mkdtemp(prefix="pdfray_vecstore_")
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+        info = build_vector_store(sf_dir, out_dir)
+        _STORE_CACHE[sf_dir] = (out_dir, info)
+    return _STORE_CACHE[sf_dir]
 
 
 def s_ann_partitioned(sf_dir: str):
@@ -859,14 +877,7 @@ def s_ann_partitioned(sf_dir: str):
     all recomputed in SQL from the embedded planes/probe sets —
     __ray_entry__._ann_lsh_recall_oracle(partitioned=True)); the
     partition-pruning guarantees are additionally pinned by unit tests."""
-    import os
-    import tempfile
-
-    if sf_dir not in _STORE_CACHE:
-        out_dir = tempfile.mkdtemp(prefix="pdfray_vecstore_")
-        info = build_vector_store(sf_dir, out_dir)
-        _STORE_CACHE[sf_dir] = (out_dir, info)
-    out_dir, info = _STORE_CACHE[sf_dir]
+    out_dir, info = _cached_store(sf_dir)
     return query_vector_store(out_dir, sf_dir, info["n_planes"])
 
 
@@ -934,16 +945,11 @@ def s_ann_partitioned_candidates(sf_dir: str):
     the identical SQL — a match certifies that the write-partitioned /
     read-probed layout loses and invents nothing vs the in-stream path."""
     import os
-    import tempfile
 
     import ray.data as rd
 
     _, qids, planes, probes, n_planes = _lsh_probe_setup(sf_dir)
-    if sf_dir not in _STORE_CACHE:
-        out_dir = tempfile.mkdtemp(prefix="pdfray_vecstore_")
-        info = build_vector_store(sf_dir, out_dir)
-        _STORE_CACHE[sf_dir] = (out_dir, info)
-    store_dir, info = _STORE_CACHE[sf_dir]
+    store_dir, info = _cached_store(sf_dir)
     assert info["n_planes"] == n_planes
     wanted = sorted({int(v) for p in probes for v in p})
     files = []

@@ -2656,7 +2656,7 @@ def build_fp_store(fps, store_dir: str) -> str:
     return store_dir
 
 
-def t_delta_dedup_bloom(sf_dir: str, stats: dict = None):
+def t_delta_dedup_bloom(sf_dir: str, stats: dict = None, store_dir: str = None):
     """t_delta_dedup through its documented scale path: the existing
     corpus's fingerprints live in a BUCKET-PARTITIONED parquet store plus a
     broadcast BLOOM FILTER (16 bits/key — ~1/1700 the bytes of the string
@@ -2667,8 +2667,17 @@ def t_delta_dedup_bloom(sf_dir: str, stats: dict = None):
     most once).  Output is IDENTICAL to t_delta_dedup — same oracle — while
     the broadcast shrinks from the fingerprint set to the bit array and
     probe I/O scales with the (rare) maybe-duplicate traffic.  Pass
-    ``stats={}`` for bloom-hit/probe counters."""
+    ``stats={}`` for bloom-hit/probe counters.
+
+    Store placement: with ``store_dir=None`` (the query-contract form) the
+    bucket store is a throwaway local-/tmp directory, removed on exit —
+    workers read it by plain path, which assumes single-node or a shared
+    filesystem.  A multi-node deployment passes an explicit ``store_dir``
+    on shared/object storage (the same contract as clean_corpus's
+    ``out_dir``); the store then persists for the next delta batch, which
+    is the actual production shape (build once, probe per delta)."""
     import os
+    import shutil
     import tempfile
 
     import ray
@@ -2685,10 +2694,23 @@ def t_delta_dedup_bloom(sf_dir: str, stats: dict = None):
         .to_pandas()["fp"]
         .to_numpy()
     )
-    store_dir = tempfile.mkdtemp(prefix="pdfray_fpstore_")
-    build_fp_store(existing, store_dir)
-    bits, m = _bloom_build(existing)
-    bref = ray.put((bits, m, store_dir))
+    own_store = store_dir is None
+    if own_store:
+        store_dir = tempfile.mkdtemp(prefix="pdfray_fpstore_")
+    try:
+        build_fp_store(existing, store_dir)
+        bits, m = _bloom_build(existing)
+        bref = ray.put((bits, m, store_dir))
+        return _delta_dedup_bloom_run(sf_dir, bref, stats)
+    finally:
+        if own_store:
+            shutil.rmtree(store_dir, ignore_errors=True)
+
+
+def _delta_dedup_bloom_run(sf_dir: str, bref, stats: dict):
+    import os
+
+    import ray  # noqa: F401  (flag_factory closes over ray.get)
 
     def flag_factory():
         bits_, m_, store = ray.get(bref)

@@ -255,6 +255,26 @@ def test_differences_uni_above_bmp_truncates_to_16_bits():
     assert font.exception is None
 
 
+def test_differences_uni_non_hex_forms_abort_like_convert_toint32():
+    """Convert.ToInt32(s, 16) rejects signs and separators that Python's
+    int(s, 16) would happily parse: /uni-0041 (sign) and /uni4_1
+    (underscore — legal in a PDF name) must abort the font build exactly
+    like bad hex, never map to a character (ADVICE r04)."""
+    for bad in ("uni-0041", "uni4_1", "uni+41"):
+        data = _one_font_doc(
+            "<</Type/Font/Subtype/Type1/BaseFont/Helvetica"
+            "<<ENC>>>>".replace(
+                "<<ENC>>",
+                f"/Encoding<</Type/Encoding/Differences[66 /{bad} 65 /Zcaron]>>",
+            ),
+            b"BT /F1 12 Tf 100 700 Td <41> Tj ET",
+        )
+        r = extract_document(data)
+        assert r.text == "\nA|", bad  # build aborted before Zcaron
+        font = next(iter(r.pages[0].fonts.values()))
+        assert font.exception is not None and "ValueError" in font.exception, bad
+
+
 def test_differences_uni_overflowing_int32_aborts_font_build():
     """More than 8 hex digits overflows the reference's Convert.ToInt32
     (OverflowException -> outer catch, font build abandoned); codes fall

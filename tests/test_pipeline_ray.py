@@ -444,6 +444,81 @@ def test_warc_source_roundtrip_byte_identical(ray_session, tmp_path, gz):
         assert got[u] == golden
 
 
+def test_warc_real_crawl_envelopes(tmp_path):
+    """Real Common-Crawl record shapes (ADVICE r04): non-ASCII
+    WARC-Target-URIs decode as UTF-8, and HTTP response bodies arrive
+    chunked and/or content-encoded — the parser must de-frame all of
+    them back to the identical document bytes."""
+    import gzip as _gzip
+    import zlib
+
+    from pdfray.sources.warc import _CRLF2, warc_to_rows
+
+    doc = b"%PDF-1.4 fake document bytes " * 40
+    uri = "https://crawl.example/über/日本.pdf"
+
+    def record(http_headers: bytes, body: bytes) -> bytes:
+        msg = b"HTTP/1.1 200 OK\r\n" + http_headers + _CRLF2 + body
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+            + uri.encode("utf-8")
+            + b"\r\nContent-Length: "
+            + str(len(msg)).encode()
+            + b"\r\n\r\n"
+            + msg
+            + _CRLF2
+        )
+
+    def chunked(body: bytes, size: int = 777) -> bytes:
+        parts = []
+        for i in range(0, len(body), size):
+            c = body[i : i + size]
+            parts.append(f"{len(c):x}".encode() + b"\r\n" + c + b"\r\n")
+        parts.append(b"0\r\n\r\n")
+        return b"".join(parts)
+
+    blob = b"".join(
+        [
+            record(b"Content-Type: application/pdf", doc),
+            record(b"Transfer-Encoding: chunked", chunked(doc)),
+            record(b"Content-Encoding: gzip", _gzip.compress(doc)),
+            record(
+                b"Content-Encoding: deflate", zlib.compress(doc)
+            ),  # zlib-wrapped (spec)
+            record(
+                b"Content-Encoding: deflate",
+                zlib.compress(doc)[2:-4],
+            ),  # raw-deflate servers
+            record(
+                b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip",
+                chunked(_gzip.compress(doc)),
+            ),
+        ]
+    )
+    rows = warc_to_rows(blob)
+    assert len(rows) == 6
+    for url, html in rows:
+        assert url == uri  # UTF-8 round-trip, no mojibake
+        assert html == doc
+
+
+def test_read_warc_skips_stray_gz_files(ray_session, tmp_path):
+    """A non-WARC .gz file in the crawl directory must not be claimed by
+    the suffix match (warc.gz, not bare gz) — previously it failed the
+    whole read task."""
+    import gzip as _gzip
+
+    from pdfray.sources.warc import build_warc, read_warc
+
+    (tmp_path / "seg0.warc.gz").write_bytes(
+        build_warc([("https://x/a", b"doc-a", "resource")], gzip_members=True)
+    )
+    (tmp_path / "stray_logfile.gz").write_bytes(_gzip.compress(b"not a warc"))
+    out = read_warc(str(tmp_path)).to_pandas()
+    assert out["url"].tolist() == ["https://x/a"]
+    assert out["html"].tolist() == [b"doc-a"]
+
+
 def test_run_extraction_from_warc(ray_session, tmp_path):
     """The checkpoint-resumable production run ingests WARC segments
     through the same manifest machinery as parquet."""
