@@ -34,19 +34,14 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 TARGET_MB = float(os.environ.get("GRAFT_BENCH_MB", "800"))
 
 
-def run_headline() -> dict:
-    """Extraction over the synthesized PDF corpus for this sf dir.
-
-    The corpus file is repeated (a list of identical input paths) until the
-    input reaches ~GRAFT_BENCH_MB of document bytes, so the measurement is
-    dominated by extraction work rather than fixed Ray startup overhead —
-    the per-document work is identical to a corpus of that size on disk.
-    """
-    import ray.data as rd
+def _corpus_plan(target_mb: float):
+    """(files, n_docs, corpus_bytes, repeats) sizing a repeated-corpus input
+    to ~target_mb of document bytes — shared by the headline and the
+    shuffle-scaling measurement so both run at measurement scale rather
+    than the sf-dir's fixed-cost floor."""
     import pyarrow.parquet as pq
 
     from pdfray.sources.fixtures import corpus_files, ensure_corpus_parquet
-    from pdfray.pipelines.extraction import extract_dataset, read_corpus
 
     path = ensure_corpus_parquet(SF_DIR)
     files = corpus_files(path)
@@ -61,9 +56,23 @@ def run_headline() -> dict:
                 col = rg.column(c)
                 if col.path_in_schema == "html":
                     total_bytes += col.total_uncompressed_size
-    repeats = max(1, int(TARGET_MB * 1e6 / max(1, total_bytes)))
+    repeats = max(1, int(target_mb * 1e6 / max(1, total_bytes)))
     # warm the page cache so we measure compute, not first-touch disk reads
     pq.read_table(path, columns=["url"])
+    return files, n_docs, total_bytes, repeats
+
+
+def run_headline() -> dict:
+    """Extraction over the synthesized PDF corpus for this sf dir.
+
+    The corpus file is repeated (a list of identical input paths) until the
+    input reaches ~GRAFT_BENCH_MB of document bytes, so the measurement is
+    dominated by extraction work rather than fixed Ray startup overhead —
+    the per-document work is identical to a corpus of that size on disk.
+    """
+    from pdfray.pipelines.extraction import extract_dataset, read_corpus
+
+    files, n_docs, total_bytes, repeats = _corpus_plan(TARGET_MB)
     # pilot: one full corpus pass OUTSIDE the timed window — spawns/imports
     # the Ray worker pool (the 32-CPU level would otherwise pay 4x the worker
     # cold-start of the 8-CPU level inside its measurement) and brings the
@@ -303,6 +312,149 @@ def _machine_control(lo: int, hi: int) -> dict:
     }
 
 
+def _mp_line_dedup_file(f: str) -> int:
+    """One shuffle-control work unit: the MAP-side kernel of
+    pipeline_line_dedup — extract every document in a shard, split/strip
+    lines, hash, local multiplicity count.  The Ray pipeline runs exactly
+    this per batch plus the groupby/join exchanges; the control is the
+    hardware ceiling WITHOUT an exchange."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from pdfray.core.extract import extract_document
+
+    t = pq.read_table(f, columns=["html"])
+    counts: dict = {}
+    n = 0
+    for v in t["html"].to_pylist():
+        text = extract_document(v).text
+        for raw in text.split("\n"):
+            line = raw.strip(" \t\r")
+            if line:
+                h = hashlib.md5(line.encode("utf-8")).digest()[:8]
+                counts[h] = counts.get(h, 0) + 1
+        n += len(v)
+    return n
+
+
+def _line_control(lo: int, hi: int) -> dict:
+    """Like-for-like hardware ceiling for the shuffle benchmark (same
+    rationale as `_machine_control`, with the line-dedup map kernel)."""
+    import multiprocessing as mp
+
+    files, _n_docs, _bytes, repeats = _corpus_plan(TARGET_MB)
+    work = files * repeats  # same repeated volume as the measured pipeline
+
+    def rate_once(workers: int) -> float:
+        with mp.Pool(workers) as pool:
+            pool.map(_mp_line_dedup_file, files[: min(len(files), workers)])
+            t0 = time.perf_counter()
+            total = sum(pool.map(_mp_line_dedup_file, work))
+            dt = time.perf_counter() - t0
+        return total / 1e6 / dt
+
+    def rate(workers: int) -> float:
+        return max(rate_once(workers) for _ in range(2))
+
+    r_lo, r_hi = rate(lo), rate(hi)
+    return {
+        "control_mb_per_sec_lo": round(r_lo, 1),
+        "control_mb_per_sec_hi": round(r_hi, 1),
+        "machine_ceiling": round((r_hi / r_lo) / (hi / lo), 3),
+    }
+
+
+def shuffle_query_once() -> None:
+    """Subprocess body for --scaling-shuffle: one pipeline_line_dedup run
+    (extraction -> line explode -> parquet stage checkpoint -> groupby
+    winners -> hash join -> combiner groupby) on RAY_GRAFT_CPUS.
+
+    The input is the SAME repeated corpus the headline uses (~GRAFT_BENCH_MB
+    of document bytes): at raw sf0.1 the per-query fixed costs (stage setup,
+    sort-shuffle machinery) dominate and a 2-vs-8-CPU comparison measures
+    overhead, not the exchanges.  With measurement-scale bytes every
+    exchange — line-table checkpoint write/read, groupby(lh) shuffle, hash
+    join — carries repeats x the data."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from pdfray.pipelines.extraction import extract_dataset, read_corpus
+    from pdfray.pipelines.training_data import pipeline_line_dedup
+
+    files, n_docs, total_bytes, repeats = _corpus_plan(TARGET_MB)
+    # pilot at 1x corpus: spawns the worker pool + fixture cache outside
+    # the timed window (same rationale as run_headline's pilot)
+    pipeline_line_dedup(SF_DIR)
+    t0 = time.perf_counter()
+    out = pipeline_line_dedup(
+        SF_DIR, extracted=extract_dataset(read_corpus(files * repeats))
+    )
+    sec = time.perf_counter() - t0
+    mb = total_bytes * repeats / 1e6
+    print(
+        json.dumps(
+            {
+                "value": round(sec, 3),
+                "n_rows": int(len(out)),
+                "mb": round(mb, 1),
+                "mb_per_sec": round(mb / sec, 2),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling_shuffle(lo: int = 2, hi: int = 8, attempts: int = 3) -> None:
+    """Two-parallelism scaling for a SHUFFLE-DOMINATED pipeline
+    (pipeline_line_dedup), same protocol as `scaling`: fresh Ray sessions
+    per level, best-of-N, like-for-like mp control ceiling."""
+
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--shuffle-once"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        return min((run_once(ncpu) for _ in range(attempts)), key=lambda r: r["value"])
+
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    control = _line_control(lo, hi)
+    print(
+        json.dumps(
+            {
+                "pipeline": "pipeline_line_dedup",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": r_lo["value"],
+                "sec_hi": r_hi["value"],
+                "mb": r_lo.get("mb"),
+                "mb_per_sec_lo": r_lo.get("mb_per_sec"),
+                "mb_per_sec_hi": r_hi.get("mb_per_sec"),
+                "scaling_efficiency": round(eff, 3),
+                **control,
+                "normalized_efficiency": round(eff / control["machine_ceiling"], 3),
+            }
+        )
+    )
+
+
 def scaling(lo: int = 8, hi: int = 32, attempts: int = 3) -> None:
     """Best-of-N per level: the shared sandbox has 2-5x run-to-run noise from
     neighboring tenants; the minimum wall-clock is the machine's capability
@@ -343,7 +495,16 @@ def scaling(lo: int = 8, hi: int = 32, attempts: int = 3) -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--shuffle-once" in sys.argv:
+        shuffle_query_once()
+    elif "--scaling-shuffle" in sys.argv:
+        i = sys.argv.index("--scaling-shuffle")
+        extra = [a for a in sys.argv[i + 1 :] if a.isdigit()]
+        if len(extra) >= 2:
+            scaling_shuffle(int(extra[0]), int(extra[1]))
+        else:
+            scaling_shuffle()
+    elif "--scaling" in sys.argv:
         i = sys.argv.index("--scaling")
         extra = [a for a in sys.argv[i + 1 :] if a.isdigit()]
         if len(extra) >= 2:

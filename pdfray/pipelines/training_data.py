@@ -474,7 +474,7 @@ def pipeline_training_mix(sf_dir: str, out_dir: str = None, resume: bool = True)
 LINE_STRIP = " \t\r"  # normalization pinned on BOTH engine and oracle sides
 
 
-def pipeline_line_dedup(sf_dir: str, stage_dir: str = None):
+def pipeline_line_dedup(sf_dir: str, stage_dir: str = None, extracted=None):
     """Line-level global dedup over REAL extraction output (the
     CCNet/RefinedWeb boilerplate-removal shape: repeated header/footer
     lines across a template-heavy crawl are owned by exactly one document).
@@ -496,7 +496,12 @@ def pipeline_line_dedup(sf_dir: str, stage_dir: str = None):
     of the files, and with an explicit ``stage_dir`` a crashed run resumes
     at the boundary (default: throwaway /tmp dir, removed on exit).  Its
     parquet-footer row count then sizes the shuffle/join partitions
-    data-proportionally (`sizing.shuffle_partitions`)."""
+    data-proportionally (`sizing.shuffle_partitions`).
+
+    ``extracted`` overrides the input with a caller-built (url, text)
+    Dataset — used by ``bench.py --scaling-shuffle`` to feed a
+    corpus-repeated input so the exchanges carry measurement-scale bytes
+    instead of the sf-dir's fixed-cost floor."""
     import os
     import shutil
     import tempfile
@@ -506,7 +511,9 @@ def pipeline_line_dedup(sf_dir: str, stage_dir: str = None):
 
     from .sizing import shuffle_partitions
 
-    extracted = _extracted(sf_dir).select_columns(["url", "text"])
+    if extracted is None:
+        extracted = _extracted(sf_dir)
+    extracted = extracted.select_columns(["url", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
         urls, lhs, mults = [], [], []
