@@ -320,13 +320,10 @@ def test_queries_oracle_registry_consistent():
     sql = entrymod.oracle_sql()
     assert set(sql) <= set(qs), sorted(set(sql) - set(qs))
     rows_only = set(qs) - set(sql)
-    assert rows_only == {
-        "s_ann_lsh",
-        "s_ann_ivf",
-        "s_ann_partitioned",
-        "s_kmeans",
-        "t_bpe_train",
-    }
+    # round 5 took the ANN recall reports and t_bpe_train exact; only the
+    # Lloyd iteration loop remains rows-only (exact E-step companion
+    # s_kmeans_init_assign + bit-equal numpy test cover its arithmetic)
+    assert rows_only == {"s_kmeans"}
     for name, fn in qs.items():
         params = [
             p
