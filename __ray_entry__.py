@@ -312,6 +312,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_broadcast_join_segment": R.q_broadcast_join_segment,
         "q_semi_join_big_customers": R.q_semi_join_big_customers,
         "q_anti_join_quiet_customers": R.q_anti_join_quiet_customers,
+        # round-5 additions stay at the END: the driver evaluates a bounded
+        # prefix and the rotation's coverage argument (CLAUDE.md) relies on
+        # earlier entries keeping their r03/r04 positions
+        "q_range_join_view_purchase": R.q_range_join_view_purchase,
+        "q_pivot_event_matrix": R.q_pivot_event_matrix,
     }
 
 
@@ -1732,6 +1737,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROW_NUMBER() OVER (PARTITION BY shard "
             "ORDER BY hk, doc_id) - 1 AS BIGINT) AS pos "
             "FROM s2 ORDER BY doc_id"
+        ),
+        "q_range_join_view_purchase": (
+            # equi-prefix + band predicate; strict lower bound, inclusive
+            # upper — the engine compares integer microseconds, INTERVAL
+            # arithmetic on timestamp[us] is exact at this granularity
+            "SELECT v.event_id AS view_id, p.event_id AS purchase_id "
+            "FROM events v JOIN events p ON p.user_id = v.user_id "
+            "AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTE "
+            "WHERE v.event_type = 'view' AND p.event_type = 'purchase' "
+            "ORDER BY view_id, purchase_id"
+        ),
+        "q_pivot_event_matrix": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+                f" AS n_{t}"
+                for t in ("click", "error", "purchase", "signup", "view")
+            )
+            + " FROM events GROUP BY user_id ORDER BY user_id"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

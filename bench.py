@@ -112,6 +112,8 @@ QUERY_NAMES = [
     "q_events_window",
     "q_orders_by_month",
     "q_asof_attribution",
+    "q_range_join_view_purchase",
+    "q_pivot_event_matrix",
     "q_sessionize",
     "q_retention_cohorts",
     "q_funnel",

@@ -1146,3 +1146,195 @@ def q_rolling_revenue(sf_dir: str):
     daily["rolling_7d"] = np.round(rolling, 2)
     daily["n_purchases"] = daily["n_purchases"].astype("int64")
     return daily
+
+
+# ----------------------------------------------------------------------
+# distributed RANGE JOIN with an equi prefix — the one custom-join shape
+# (after the as-of join) a Dataset API has no native operator for.
+# Engine-added; no reference analog (the reference's joins are doc-local
+# dictionary lookups, Tokeniser.cs object resolution).
+
+RANGE_JOIN_WINDOW_MIN = 60  # purchase must follow the view within this
+
+
+def q_range_join_view_purchase(sf_dir: str):
+    """All (view, purchase) event pairs of the SAME user where the
+    purchase strictly follows the view within RANGE_JOIN_WINDOW_MIN
+    minutes: an equi-prefix (user_id) + band-predicate (0 < dt <= W)
+    range join — the attribution-pair shape every funnel/uplift pipeline
+    needs and no Dataset join type expresses.
+
+    Distributed shape: band replication.  Events shuffle on hot-key-safe
+    (user_id, time-chunk) keys with chunk width == the join window, so a
+    matching pair can span at most one chunk boundary; PURCHASES are
+    replicated into their own chunk and the previous one (2x the narrow
+    purchase rows — event_id/user/ts/side only, never a wide row), views
+    ship once.  Each (user, chunk) group then holds every purchase its
+    views can reach, each candidate pair exists in EXACTLY one group (the
+    view's own chunk), and the in-group match is one vectorized
+    searchsorted over composite (group, chunk-relative ts) keys — no
+    per-pair Python, no per-user blowup (a hot user splits across chunks,
+    the same guarantee q_sessionize's keys give).  The chunk-RELATIVE
+    offset keeps every composite < n_groups * 3W, so the int64 key cannot
+    overflow at any corpus size; bucket count derives from the footer row
+    count (`sizing.shuffle_partitions`), not a node-tuned constant.  A
+    general window W replicates ceil(W/chunk_width) + 1 copies; width ==
+    W pins that at 2.
+
+    The driver-facing result is the full pair table (small: pairs are
+    conversion events); at production scale the same plan ends in a
+    `write_parquet` or feeds the next stage as a Dataset."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .sizing import shuffle_partitions
+
+    w_us = np.int64(RANGE_JOIN_WINDOW_MIN) * 60_000_000
+    n_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    n_buckets = shuffle_partitions(n_rows)
+
+    def emit(t: pa.Table) -> pa.Table:
+        ety = t.column("event_type")
+        t = t.filter(pc.is_in(ety, value_set=pa.array(["view", "purchase"])))
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        side = pc.equal(t.column("event_type"), pa.scalar("purchase")).to_numpy(
+            zero_copy_only=False
+        )
+        chunk = ts_us // w_us
+        # purchases additionally land in the PREVIOUS chunk so a view late
+        # in chunk c reaches purchases early in chunk c+1
+        out_ids = np.concatenate([ids, ids[side]])
+        out_users = np.concatenate([users, users[side]])
+        out_ts = np.concatenate([ts_us, ts_us[side]])
+        out_side = np.concatenate([side, side[side]])
+        out_chunk = np.concatenate([chunk, chunk[side] - 1])
+        mixed = out_users.astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        ) + out_chunk.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+        bucket = (mixed % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(out_ids, pa.int64()),
+                "user_id": pa.array(out_users, pa.int64()),
+                "ts_us": pa.array(out_ts, pa.int64()),
+                "side": pa.array(out_side, pa.bool_()),
+                "chunk": pa.array(out_chunk, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "view_id": pd.Series(dtype="int64"),
+            "purchase_id": pd.Series(dtype="int64"),
+        }
+    )
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "chunk", "ts_us", "event_id"])
+        users = g["user_id"].to_numpy()
+        chunk = g["chunk"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        side = g["side"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (users[1:] != users[:-1]) | (chunk[1:] != chunk[:-1])
+        gid = np.cumsum(new) - 1
+        # chunk-relative offset: primary rows in [0, W), replicas in
+        # [W, 2W) — composite stays < n_groups * 3W, overflow-proof
+        ts_rel = ts - chunk * w_us
+        big = 3 * w_us + 2
+        comp = gid * big + ts_rel
+        comp_p = comp[side]  # sorted: gid asc, ts asc within gid
+        p_ids = ids[side]
+        v_mask = ~side
+        lo = np.searchsorted(comp_p, comp[v_mask], side="right")  # ts_p > ts_v
+        hi = np.searchsorted(comp_p, comp[v_mask] + w_us, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        starts = np.repeat(lo, counts)
+        offsets = np.arange(total) - np.repeat(counts.cumsum() - counts, counts)
+        return pd.DataFrame(
+            {
+                "view_id": np.repeat(ids[v_mask], counts),
+                "purchase_id": p_ids[starts + offsets],
+            }
+        )
+
+    pairs = (
+        _read(
+            sf_dir,
+            "events",
+            ["event_id", "ts", "user_id", "event_type"],
+            rows_per_block=12_500,
+        )
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(match, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        # every group returned empty: Ray drops all-empty blocks and the
+        # collected frame loses the output schema — restate the contract
+        return empty
+    return pairs.sort_values(["view_id", "purchase_id"]).reset_index(drop=True)
+
+
+# pivot: fixed event-type vocabulary -> one count column per type.  The
+# per-batch combiner collapses each block to <= |users in block| rows
+# before the ONE small groupby, so the shuffle carries user-count rows of
+# five ints regardless of corpus size.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+PIVOT_DRIVER_MAX_ROWS = 2_000_000  # below this the partial table is driver-sized
+
+
+def q_pivot_event_matrix(sf_dir: str):
+    """Per-user event-type count matrix (PIVOT): one row per user, one
+    int64 column per event type.  The long->wide pivot is a combiner
+    aggregation, not a shuffle of the long table: each batch pre-reduces
+    to per-user partial counts (vectorized crosstab), so what leaves the
+    map stage is O(users x blocks) narrow rows, never O(events).
+
+    Final merge is two-regime (the q_retention_cohorts lesson: Ray's
+    sort-shuffle Aggregate pays seconds of fixed machinery PER AGGREGATE
+    COLUMN even on a 12k-row input — measured 3 s for one Sum, 7 s for
+    five, vs 15 ms to collect the partials): a driver-sized partial table
+    (< PIVOT_DRIVER_MAX_ROWS) merges with one vectorized pandas groupby
+    on the driver; above the bound — a genuinely huge user universe — the
+    same partials flow through the distributed groupby instead.  The
+    materialize in between holds only the combiner-reduced table, never
+    corpus-order rows."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"], rows_per_block=12_500)
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.crosstab(df["user_id"], df["event_type"])
+        out = out.reindex(columns=list(EVENT_TYPES), fill_value=0).astype("int64")
+        out.columns = cols
+        return out.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").materialize()
+    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
+        wide = parts.to_pandas().groupby("user_id", as_index=False)[cols].sum()
+    else:
+        wide = (
+            parts.groupby("user_id")
+            .aggregate(*[Sum(c, alias_name=c) for c in cols])
+            .to_pandas()
+        )
+    for c in cols:
+        wide[c] = wide[c].astype("int64")
+    return wide.sort_values("user_id").reset_index(drop=True)

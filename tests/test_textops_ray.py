@@ -1660,3 +1660,174 @@ def test_bpe_apply_matches_independent_python(ray_session, tmp_path):
     # greedy application edge: a single-char word is one EOW-marked symbol
     assert bpe_apply_to_word("a", ranks) == 1
     assert BPE_EOW  # marker nonempty by contract
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_range_join_randomized_vs_bruteforce(ray_session, tmp_path, seed):
+    """Randomized cross-check of the banded range join: arbitrary
+    view/purchase mixes — including a hot user owning ~40% of events,
+    pairs straddling chunk boundaries, and timestamps planted EXACTLY at
+    the window edge (dt == W kept, dt == W + 1us dropped, dt == 0
+    dropped) — must match the quadratic pandas reference exactly."""
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.relational import (
+        RANGE_JOIN_WINDOW_MIN,
+        q_range_join_view_purchase,
+    )
+
+    w_us = RANGE_JOIN_WINDOW_MIN * 60_000_000
+    rng = np.random.default_rng(seed)
+    n = 4000
+    base = 1_700_000_000_000_000  # us epoch
+    # hot user 7 owns ~40%; spacing mixes sub-window bursts with silences
+    users = np.where(rng.random(n) < 0.4, 7, rng.integers(0, 25, n))
+    steps = rng.choice(
+        [1_000_000, w_us // 3, w_us, 5 * w_us], size=n, p=[0.4, 0.3, 0.2, 0.1]
+    ).cumsum()
+    ts = base + steps + rng.integers(0, 1000, n)
+    kinds = rng.choice(["view", "purchase", "click"], size=n, p=[0.4, 0.4, 0.2])
+    # plant exact-boundary cases for one user: dt == 0, dt == W, dt == W+1
+    extra_ts = np.array(
+        [base, base, base + w_us, base + w_us + 1, base + 10, base + 10 + w_us],
+        dtype=np.int64,
+    )
+    extra_users = np.full(6, 99, dtype=np.int64)
+    extra_kinds = ["view", "purchase", "purchase", "purchase", "view", "purchase"]
+    users = np.concatenate([users, extra_users])
+    ts = np.concatenate([ts, extra_ts])
+    kinds = np.concatenate([kinds, extra_kinds])
+    n_all = len(ts)
+    order = rng.permutation(n_all)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_all, dtype=np.int64)[order]),
+            "ts": pa.array(ts[order], pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(users[order], pa.int64()),
+            "event_type": pa.array(kinds[order].tolist(), pa.string()),
+            "value": pa.array([1.0] * n_all),
+            "props": pa.array(["{}"] * n_all),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_range_join_view_purchase(str(tmp_path))
+
+    df = t.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    v = df[df["event_type"] == "view"]
+    p = df[df["event_type"] == "purchase"]
+    ref = v.merge(p, on="user_id", suffixes=("_v", "_p"))
+    ref = ref[
+        (ref["ts_us_p"] > ref["ts_us_v"])
+        & (ref["ts_us_p"] <= ref["ts_us_v"] + w_us)
+    ]
+    ref = (
+        ref[["event_id_v", "event_id_p"]]
+        .rename(columns={"event_id_v": "view_id", "event_id_p": "purchase_id"})
+        .sort_values(["view_id", "purchase_id"])
+        .reset_index(drop=True)
+    )
+    assert len(ref) > 0  # the planted dt==W pair guarantees a nonempty check
+    pd.testing.assert_frame_equal(out, ref)
+    # boundary semantics on the planted user-99 rows (event ids n..n+5 in
+    # pre-shuffle order: view@0, purchase@0, purchase@W, purchase@W+1,
+    # view@10, purchase@10+W): dt == W kept, dt == W+1us and dt == 0 dropped
+    got = set(map(tuple, out[out["view_id"].isin([n, n + 4])].to_numpy().tolist()))
+    assert (n, n + 2) in got  # dt == W exactly
+    assert (n, n + 3) not in got  # dt == W + 1us
+    assert (n, n + 1) not in got  # dt == 0
+    assert (n, n + 5) not in got  # dt == W + 10us
+    assert (n + 4, n + 5) in got  # dt == W exactly, chunk-straddling
+
+
+def test_range_join_empty_and_no_match(ray_session, tmp_path):
+    """Zero views (and a views-only corpus) produce an EMPTY pair table
+    with the contract schema — the all-empty map_groups path must not
+    lose the (view_id, purchase_id) columns."""
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.relational import q_range_join_view_purchase
+
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array([1, 2, 3], pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array([5, 5, 5], pa.int64()),
+            "event_type": pa.array(["view", "view", "click"]),
+            "value": pa.array([0.0, 0.0, 0.0]),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_range_join_view_purchase(str(tmp_path))
+    assert list(out.columns) == ["view_id", "purchase_id"]
+    assert len(out) == 0
+    assert out["view_id"].dtype == np.int64
+
+
+def test_pivot_event_matrix_matches_crosstab(ray_session, tmp_path):
+    """The distributed combiner pivot equals a single-pass pandas
+    crosstab, including users missing whole event types (zero-filled
+    int64 columns)."""
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.relational import EVENT_TYPES, q_pivot_event_matrix
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    users = rng.integers(0, 30, n)
+    kinds = rng.choice(list(EVENT_TYPES), size=n)
+    kinds[users == 3] = "view"  # user 3 has zero counts in 4 of 5 columns
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(
+                np.full(n, 1_700_000_000_000_000, dtype=np.int64), pa.int64()
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(kinds.tolist(), pa.string()),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_pivot_event_matrix(str(tmp_path))
+
+    ref = pd.crosstab(pd.Series(users, name="user_id"), pd.Series(kinds))
+    ref = ref.reindex(columns=list(EVENT_TYPES), fill_value=0).astype("int64")
+    ref.columns = [f"n_{c}" for c in EVENT_TYPES]
+    ref = ref.reset_index().sort_values("user_id").reset_index(drop=True)
+    ref["user_id"] = ref["user_id"].astype("int64")
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_pivot_event_matrix_distributed_regime_matches(
+    ray_session, tmp_path, monkeypatch
+):
+    """Forcing the huge-user-universe regime (distributed groupby instead
+    of the driver merge) must produce the identical matrix."""
+    import pyarrow.parquet as pq_
+
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    users = rng.integers(0, 20, n)
+    kinds = rng.choice(list(R.EVENT_TYPES), size=n)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(
+                np.full(n, 1_700_000_000_000_000, dtype=np.int64), pa.int64()
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(kinds.tolist(), pa.string()),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    small = R.q_pivot_event_matrix(str(tmp_path))
+    monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
+    big = R.q_pivot_event_matrix(str(tmp_path))
+    pd.testing.assert_frame_equal(small, big)
