@@ -414,3 +414,43 @@ def test_bpe_apply_fuzz_terminates_and_bounds():
         ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
         n = bpe_apply_to_word(w, ranks)
         assert 1 <= n <= len(w) + 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    body=st.binary(max_size=4096),
+    cuts=st.lists(st.integers(min_value=1, max_value=512), max_size=20),
+    ext=st.booleans(),
+)
+def test_http_dechunk_roundtrip(body, cuts, ext):
+    """Property: any body split at arbitrary chunk sizes (with or without
+    chunk extensions) de-chunks back byte-identically, and trailers after
+    the 0-chunk are discarded."""
+    from pdfray.sources.warc import _dechunk
+
+    out, pos = [], 0
+    for c in cuts:
+        if pos >= len(body):
+            break
+        piece = body[pos : pos + c]
+        pos += len(piece)
+        size = f"{len(piece):x}" + ("; ext=1" if ext else "")
+        out.append(size.encode() + b"\r\n" + piece + b"\r\n")
+    if pos < len(body):
+        out.append(f"{len(body) - pos:x}".encode() + b"\r\n" + body[pos:] + b"\r\n")
+    out.append(b"0\r\nX-Trailer: ignored\r\n\r\n")
+    assert _dechunk(b"".join(out)) == body
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(max_size=256))
+def test_http_dechunk_rejects_garbage_not_hangs(data):
+    """Garbage never hangs or returns silently-wrong bytes: anything that
+    is not valid chunked framing raises ValueError (a well-formed prefix
+    that happens to parse is fine — that's HTTP's own ambiguity)."""
+    from pdfray.sources.warc import _dechunk
+
+    try:
+        _dechunk(data)
+    except ValueError:
+        pass
