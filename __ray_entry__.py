@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # earlier entries keeping their r03/r04 positions
         "q_range_join_view_purchase": R.q_range_join_view_purchase,
         "q_pivot_event_matrix": R.q_pivot_event_matrix,
+        "s_pq_adc": S.s_pq_adc,
     }
 
 
@@ -796,6 +797,78 @@ def _frame_sample_oracle() -> str:
         "CAST(n_sampled AS BIGINT) AS n_sampled, frames_hash "
         f"FROM (VALUES {values}) AS g(url, n_frames, n_sampled, frames_hash) "
         "ORDER BY url"
+    )
+
+
+def _pq_adc_oracle() -> str:
+    """ADC top-k recomputed in DuckDB: codebooks retrained independently
+    (the `_pq_oracle` scheme), per-row code assignment replayed via
+    list_indexof/list_min, the per-(query, subspace, code) squared-distance
+    LUT embedded as literal VALUES (n_queries x 4 x 16 doubles), dist =
+    ROUND(SUM over subspaces, 4), ranked dist ASC / vec_id ASC — the whole
+    train/assign/lookup/rank pipeline value-checked end to end."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfray.pipelines.simsearch import (
+        N_QUERIES,
+        PQ_CODEBOOK,
+        PQ_SUBSPACES,
+        TOP_K,
+        _pq_bounds,
+        pq_codebooks,
+    )
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    df = (
+        pq.read_table(path, columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    sample = np.stack(
+        df.head(min(len(df), 50 * PQ_CODEBOOK))["embedding"].to_numpy()
+    ).astype(np.float64)
+    books = pq_codebooks(sample)
+    dim = sample.shape[1]
+    bounds = _pq_bounds(dim)
+    qdf = df.head(N_QUERIES)
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    lut_rows = []
+    for m, C in enumerate(books):
+        qs = qmat[:, bounds[m] : bounds[m + 1]]
+        d = ((qs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        for qi, qid in enumerate(qids):
+            for j in range(PQ_CODEBOOK):
+                lut_rows.append(f"({int(qid)}, {m}, {j}, {repr(float(d[qi, j]))})")
+    code_selects = []
+    for m, C in enumerate(books):
+        a, b = bounds[m] + 1, bounds[m + 1]  # list_slice is 1-based inclusive
+        dots = ", ".join(
+            "(-2 * list_inner_product(list_slice(CAST(embedding AS DOUBLE[]), "
+            f"{a}, {b}), [{','.join(repr(float(x)) for x in C[j])}]) "
+            f"+ {repr(float(C[j] @ C[j]))})"
+            for j in range(PQ_CODEBOOK)
+        )
+        code_selects.append(
+            f"SELECT vec_id, CAST({m} AS BIGINT) AS subspace, "
+            "CAST(list_indexof(dl, list_min(dl)) - 1 AS BIGINT) AS code "
+            f"FROM (SELECT vec_id, [{dots}] AS dl FROM embeddings)"
+        )
+    return (
+        "WITH codes AS (" + " UNION ALL ".join(code_selects) + "), "
+        "lut(query_id, subspace, code, d) AS (VALUES "
+        + ", ".join(lut_rows)
+        + "), "
+        "scored AS (SELECT l.query_id, c.vec_id, ROUND(SUM(l.d), 4) AS dist "
+        "FROM codes c JOIN lut l ON l.subspace = c.subspace AND l.code = c.code "
+        "GROUP BY l.query_id, c.vec_id), "
+        "ranked AS (SELECT query_id, vec_id, dist, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank "
+        "FROM scored) "
+        f"SELECT query_id, rank, vec_id, dist FROM ranked WHERE rank <= {TOP_K} "
+        "ORDER BY query_id, rank"
     )
 
 
@@ -1757,6 +1830,7 @@ def oracle_sql() -> dict[str, str]:
             )
             + " FROM events GROUP BY user_id ORDER BY user_id"
         ),
+        "s_pq_adc": _pq_adc_oracle(),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference
         # implementation in the tests asserts bit-equal assignments, and

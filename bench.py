@@ -157,6 +157,7 @@ QUERY_NAMES = [
     "s_kmeans",
     "s_scalar_quantize",
     "s_pq",
+    "s_pq_adc",
     "s_ann_lsh",
     "s_ann_ivf",
     "s_embedding_dupes",

@@ -439,6 +439,116 @@ def s_pq(sf_dir: str):
     return out.sort_values(["vec_id", "subspace"]).reset_index(drop=True)
 
 
+def _raw_query_vectors(sf_dir: str):
+    """RAW (unnormalized) query vectors for the shared workload — ADC runs
+    in the PQ training space, which quantizes raw coordinates.  Same
+    zone-map-pruned probe read as `_query_matrix` (via its cached ids),
+    then one tiny filtered parquet read."""
+    import pyarrow.parquet as pq
+
+    qids, _ = _query_matrix(sf_dir)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(i) for i in qids])],
+    )
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    return df["vec_id"].to_numpy(), np.stack(df["embedding"].to_numpy()).astype(
+        np.float64
+    )
+
+
+def s_pq_adc(sf_dir: str):
+    """Approximate top-k via ASYMMETRIC DISTANCE COMPUTATION over the PQ
+    codes — the search half of the IVF-PQ layout every corpus-scale vector
+    store ships (Jégou et al.): s_pq writes the 4-bit codes, this query
+    scans them.  Per query the driver precomputes a (SUBSPACES x CODEBOOK)
+    lookup table of squared subvector distances ||q_m - c_{m,j}||^2 — for
+    the whole workload that is n_queries x 4 x 16 doubles, broadcast once
+    with the codebooks — and each batch then scores ALL queries with one
+    integer gather + sum over the batch's code matrix: the scan never
+    touches raw vector floats at deployment (codes are 4 bits/subspace; the
+    raw column here only feeds the in-stream assignment, exactly like
+    s_pq).  Local top-k per batch under the global order (rounded dist
+    asc, vec_id asc), tiny driver merge — zero shuffle, the s_knn shape.
+
+    The DuckDB oracle retrains the codebooks independently, replays the
+    code assignment per row, and joins a literal LUT VALUES table, so the
+    entire ADC pipeline — training, assignment, table lookup, ranking —
+    is value-checked end to end."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+    n_rows = ds.count()
+    sample_df = _topk(ds, min(n_rows, 50 * PQ_CODEBOOK), ["vec_id"], [False])
+    sample = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    books = pq_codebooks(sample)
+    qids, qmat = _raw_query_vectors(sf_dir)
+    bounds = _pq_bounds(qmat.shape[1])
+    # LUT[q, m, j] = ||q_m - c_{m,j}||^2
+    lut = np.empty((len(qids), PQ_SUBSPACES, PQ_CODEBOOK), dtype=np.float64)
+    for m, C in enumerate(books):
+        qs = qmat[:, bounds[m] : bounds[m + 1]]
+        lut[:, m, :] = ((qs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    bref = ray.put((books, qids, lut))
+
+    class AdcScore:
+        def __init__(self):
+            self.books, self.qids, self.lut = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "dist": pa.array([], pa.float64()),
+                    }
+                )
+            X = _batch_matrix(t)
+            bounds_ = _pq_bounds(X.shape[1])
+            n = len(X)
+            codes = np.empty((n, PQ_SUBSPACES), dtype=np.int64)
+            for m, C in enumerate(self.books):
+                sub = X[:, bounds_[m] : bounds_[m + 1]]
+                scores = -2.0 * (sub @ C.T) + (C * C).sum(axis=1)
+                codes[:, m] = scores.argmin(axis=1)
+            # dists[n, nq]: gather each subspace's LUT row by code, sum
+            dists = np.zeros((n, len(self.qids)), dtype=np.float64)
+            for m in range(PQ_SUBSPACES):
+                dists += self.lut[:, m, :].T[codes[:, m]]
+            vec_ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            out = {"query_id": [], "vec_id": [], "dist": []}
+            k = min(TOP_K, n)
+            for qi, qid in enumerate(self.qids):
+                col = dists[:, qi]
+                # local top-k under the SAME order as the merge and the
+                # oracle: rounded dist ASC, vec_id ASC
+                order = np.lexsort((vec_ids, np.round(col, 4)))
+                for j in order[:k]:
+                    out["query_id"].append(int(qid))
+                    out["vec_id"].append(int(vec_ids[j]))
+                    out["dist"].append(float(col[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out["query_id"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "dist": pa.array(out["dist"], pa.float64()),
+                }
+            )
+
+    local = ds.map_batches(
+        warm_factory(("s_pq_adc", bref.hex()), AdcScore), batch_format="pyarrow"
+    ).to_pandas()
+    local["dist"] = local["dist"].round(4)
+    out = []
+    for qid, g in local.groupby("query_id"):
+        g = g.sort_values(["dist", "vec_id"], ascending=[True, True]).head(TOP_K)
+        out.append(g.assign(rank=range(1, len(g) + 1)))
+    df = pd.concat(out).reset_index(drop=True)
+    return df[["query_id", "rank", "vec_id", "dist"]]
+
+
 def _ivf_index(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
     """Deterministic IVF coarse index shared by s_ann_ivf and its
     exact-oracle candidates companion: trains the quantizer on the 50*k

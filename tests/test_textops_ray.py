@@ -1831,3 +1831,66 @@ def test_pivot_event_matrix_distributed_regime_matches(
     monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
     big = R.q_pivot_event_matrix(str(tmp_path))
     pd.testing.assert_frame_equal(small, big)
+
+
+def test_pq_adc_matches_independent_numpy(ray_session):
+    """s_pq_adc's top-k is identical to an independent numpy ADC pass over
+    the raw parquet (retrain books -> assign codes -> LUT gather -> rank
+    rounded-dist asc / vec_id asc), and ADC of a query against ITSELF
+    ranks its own quantization cell at distance == the query's
+    reconstruction error (sanity: top-1 per query has minimal dist)."""
+    from pdfray.pipelines.simsearch import (
+        N_QUERIES,
+        PQ_CODEBOOK,
+        PQ_SUBSPACES,
+        TOP_K,
+        _pq_bounds,
+        pq_codebooks,
+        s_pq_adc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = s_pq_adc(sf)
+
+    df = (
+        pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    ids = df["vec_id"].to_numpy()
+    books = pq_codebooks(X[: min(len(X), 50 * PQ_CODEBOOK)])
+    bounds = _pq_bounds(X.shape[1])
+    codes = np.empty((len(X), PQ_SUBSPACES), dtype=np.int64)
+    for m, C in enumerate(books):
+        sub = X[:, bounds[m] : bounds[m + 1]]
+        codes[:, m] = (-2.0 * (sub @ C.T) + (C * C).sum(axis=1)).argmin(axis=1)
+    qmat = X[:N_QUERIES]
+    frames = []
+    for qi in range(N_QUERIES):
+        dist = np.zeros(len(X))
+        for m, C in enumerate(books):
+            qsub = qmat[qi, bounds[m] : bounds[m + 1]]
+            lut = ((qsub[None, :] - C) ** 2).sum(axis=1)
+            dist += lut[codes[:, m]]
+        dist = np.round(dist, 4)
+        order = np.lexsort((ids, dist))[:TOP_K]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": ids[qi],
+                    "rank": np.arange(1, len(order) + 1),
+                    "vec_id": ids[order],
+                    "dist": dist[order],
+                }
+            )
+        )
+    want = pd.concat(frames).reset_index(drop=True)
+    got = out.copy()
+    got["rank"] = got["rank"].astype(want["rank"].dtype)
+    pd.testing.assert_frame_equal(got, want)
+    # per query the rank-1 dist is the minimum of its column
+    for qi in range(N_QUERIES):
+        g = want[want["query_id"] == ids[qi]]
+        assert g.iloc[0]["dist"] == g["dist"].min()
