@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_join_view_purchase": R.q_range_join_view_purchase,
         "q_pivot_event_matrix": R.q_pivot_event_matrix,
         "s_pq_adc": S.s_pq_adc,
+        "s_ann_ivfpq": S.s_ann_ivfpq,
     }
 
 
@@ -800,21 +801,19 @@ def _frame_sample_oracle() -> str:
     )
 
 
-def _pq_adc_oracle() -> str:
-    """ADC top-k recomputed in DuckDB: codebooks retrained independently
-    (the `_pq_oracle` scheme), per-row code assignment replayed via
-    list_indexof/list_min, the per-(query, subspace, code) squared-distance
-    LUT embedded as literal VALUES (n_queries x 4 x 16 doubles), dist =
-    ROUND(SUM over subspaces, 4), ranked dist ASC / vec_id ASC — the whole
-    train/assign/lookup/rank pipeline value-checked end to end."""
+def _pq_adc_ctes() -> str:
+    """Shared CTE text for ADC scoring in DuckDB — codebooks retrained
+    independently (the `_pq_oracle` scheme), per-row code assignment
+    replayed via list_indexof/list_min, the per-(query, subspace, code)
+    squared-distance LUT embedded as literal VALUES (n_queries x 4 x 16
+    doubles).  Yields CTEs ``codes`` and ``lut`` — shared by the plain ADC
+    oracle and the IVF-PQ composition."""
     import numpy as np
     import pyarrow.parquet as pq
 
     from pdfray.pipelines.simsearch import (
         N_QUERIES,
         PQ_CODEBOOK,
-        PQ_SUBSPACES,
-        TOP_K,
         _pq_bounds,
         pq_codebooks,
     )
@@ -857,13 +856,50 @@ def _pq_adc_oracle() -> str:
             f"FROM (SELECT vec_id, [{dots}] AS dl FROM embeddings)"
         )
     return (
-        "WITH codes AS (" + " UNION ALL ".join(code_selects) + "), "
+        "codes AS (" + " UNION ALL ".join(code_selects) + "), "
         "lut(query_id, subspace, code, d) AS (VALUES "
         + ", ".join(lut_rows)
-        + "), "
+        + ")"
+    )
+
+
+def _pq_adc_oracle() -> str:
+    """ADC top-k recomputed in DuckDB over the `_pq_adc_ctes` machinery:
+    dist = ROUND(SUM over subspaces, 4), ranked dist ASC / vec_id ASC —
+    the whole train/assign/lookup/rank pipeline value-checked end to
+    end."""
+    from pdfray.pipelines.simsearch import TOP_K
+
+    return (
+        "WITH " + _pq_adc_ctes() + ", "
         "scored AS (SELECT l.query_id, c.vec_id, ROUND(SUM(l.d), 4) AS dist "
         "FROM codes c JOIN lut l ON l.subspace = c.subspace AND l.code = c.code "
         "GROUP BY l.query_id, c.vec_id), "
+        "ranked AS (SELECT query_id, vec_id, dist, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank "
+        "FROM scored) "
+        f"SELECT query_id, rank, vec_id, dist FROM ranked WHERE rank <= {TOP_K} "
+        "ORDER BY query_id, rank"
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ composed in DuckDB: the retrained-coarse-quantizer candidate
+    CTEs (`_ivf_index_ctes` — cell argmax + probe membership) restrict the
+    ADC scoring CTEs (`_pq_adc_ctes`) so only probed-cell vectors are
+    scored, then the same ROUND(SUM)/rank replay as plain ADC.  Both index
+    halves are independently retrained from the raw parquet — the
+    composition inherits their exactness."""
+    from pdfray.pipelines.simsearch import TOP_K
+
+    ivf_ctes, _k, _nprobe = _ivf_index_ctes()
+    return (
+        "WITH " + ivf_ctes + ", " + _pq_adc_ctes() + ", "
+        "scored AS (SELECT cand.query_id, cand.vec_id, ROUND(SUM(l.d), 4) AS dist "
+        "FROM cand JOIN codes c ON c.vec_id = cand.vec_id "
+        "JOIN lut l ON l.query_id = cand.query_id "
+        "AND l.subspace = c.subspace AND l.code = c.code "
+        "GROUP BY cand.query_id, cand.vec_id), "
         "ranked AS (SELECT query_id, vec_id, dist, "
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank "
         "FROM scored) "
@@ -1831,6 +1867,7 @@ def oracle_sql() -> dict[str, str]:
             + " FROM events GROUP BY user_id ORDER BY user_id"
         ),
         "s_pq_adc": _pq_adc_oracle(),
+        "s_ann_ivfpq": _ivfpq_oracle(),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference
         # implementation in the tests asserts bit-equal assignments, and

@@ -158,6 +158,7 @@ QUERY_NAMES = [
     "s_scalar_quantize",
     "s_pq",
     "s_pq_adc",
+    "s_ann_ivfpq",
     "s_ann_lsh",
     "s_ann_ivf",
     "s_embedding_dupes",

@@ -540,6 +540,14 @@ def s_pq_adc(sf_dir: str):
     local = ds.map_batches(
         warm_factory(("s_pq_adc", bref.hex()), AdcScore), batch_format="pyarrow"
     ).to_pandas()
+    return _adc_merge(local)
+
+
+def _adc_merge(local: pd.DataFrame) -> pd.DataFrame:
+    """Driver merge of per-batch ADC top-k candidates (tiny frame): rounded
+    dist ASC, vec_id ASC — the same total order the batches pre-ranked on
+    and the oracle replays."""
+    local = local.copy()
     local["dist"] = local["dist"].round(4)
     out = []
     for qid, g in local.groupby("query_id"):
@@ -547,6 +555,100 @@ def s_pq_adc(sf_dir: str):
         out.append(g.assign(rank=range(1, len(g) + 1)))
     df = pd.concat(out).reset_index(drop=True)
     return df[["query_id", "rank", "vec_id", "dist"]]
+
+
+def s_ann_ivfpq(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
+    """IVF-PQ — the canonical corpus-scale ANN layout (Jégou et al.),
+    composed from the two exact-oracled halves this engine already ships:
+    the IVF coarse quantizer restricts each query to its probed cells
+    (`_ivf_index`, cell = argmax centroid dot on the normalized vector)
+    and ADC scores ONLY those candidates from the 4-bit PQ codes
+    (`s_pq_adc`'s LUT gather, raw-coordinate space).  One broadcast
+    carries centroids + probe sets + codebooks + LUTs; each batch assigns
+    cells and codes once, masks per query, local-top-ks the survivors —
+    zero shuffle, and at deployment the scan reads cell-partitioned 4-bit
+    codes: I/O scales with the probe set (the s_ann_partitioned layout)
+    and bytes-per-vector is ~50x under the raw floats.
+
+    The DuckDB oracle composes the SAME two independently-retrained CTE
+    families (probed-cell candidates x ADC scoring), so the full
+    train/probe/assign/lookup/rank composition is value-checked."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+    n_rows = ds.count()
+    qids, _qmat_norm, centroids, probes, _k, _np_ = _ivf_index(
+        sf_dir, n_centroids, nprobe
+    )
+    sample_df = _topk(ds, min(n_rows, 50 * PQ_CODEBOOK), ["vec_id"], [False])
+    sample = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    books = pq_codebooks(sample)
+    _, qraw = _raw_query_vectors(sf_dir)
+    bounds = _pq_bounds(qraw.shape[1])
+    lut = np.empty((len(qids), PQ_SUBSPACES, PQ_CODEBOOK), dtype=np.float64)
+    for m, C in enumerate(books):
+        qs = qraw[:, bounds[m] : bounds[m + 1]]
+        lut[:, m, :] = ((qs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    bref = ray.put((qids, centroids, probes, books, lut))
+
+    class IvfPqScore:
+        def __init__(self):
+            (
+                self.qids,
+                self.centroids,
+                self.probes,
+                self.books,
+                self.lut,
+            ) = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "dist": pa.array([], pa.float64()),
+                    }
+                )
+            X = _batch_matrix(t)
+            cells = (_normalize(X) @ self.centroids.T).argmax(axis=1)
+            bounds_ = _pq_bounds(X.shape[1])
+            n = len(X)
+            codes = np.empty((n, PQ_SUBSPACES), dtype=np.int64)
+            for m, C in enumerate(self.books):
+                sub = X[:, bounds_[m] : bounds_[m + 1]]
+                codes[:, m] = (-2.0 * (sub @ C.T) + (C * C).sum(axis=1)).argmin(
+                    axis=1
+                )
+            dists = np.zeros((n, len(self.qids)), dtype=np.float64)
+            for m in range(PQ_SUBSPACES):
+                dists += self.lut[:, m, :].T[codes[:, m]]
+            vec_ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            out = {"query_id": [], "vec_id": [], "dist": []}
+            for qi, qid in enumerate(self.qids):
+                hit = np.isin(cells, self.probes[qi])
+                if not hit.any():
+                    continue
+                col = dists[hit, qi]
+                ids = vec_ids[hit]
+                order = np.lexsort((ids, np.round(col, 4)))[: min(TOP_K, len(ids))]
+                for j in order:
+                    out["query_id"].append(int(qid))
+                    out["vec_id"].append(int(ids[j]))
+                    out["dist"].append(float(col[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out["query_id"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "dist": pa.array(out["dist"], pa.float64()),
+                }
+            )
+
+    local = ds.map_batches(
+        warm_factory(("s_ann_ivfpq", bref.hex()), IvfPqScore),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return _adc_merge(local)
 
 
 def _ivf_index(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):

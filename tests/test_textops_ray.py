@@ -1894,3 +1894,34 @@ def test_pq_adc_matches_independent_numpy(ray_session):
     for qi in range(N_QUERIES):
         g = want[want["query_id"] == ids[qi]]
         assert g.iloc[0]["dist"] == g["dist"].min()
+
+
+def test_ivfpq_full_probe_equals_plain_adc_and_subset_property(ray_session):
+    """IVF-PQ invariants: (1) probing EVERY cell recovers plain ADC
+    exactly (the coarse filter passes everything, leaving pure ADC);
+    (2) with the default probe budget each query's result rows are a
+    subset of its probed-cell candidate set, ranked by the same rounded
+    dist/vec_id order."""
+    from pdfray.pipelines.simsearch import (
+        _ivf_index,
+        s_ann_ivfpq,
+        s_pq_adc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _qids, _qm, _cent, _probes, k, _np_ = _ivf_index(sf)
+    full = s_ann_ivfpq(sf, n_centroids=k, nprobe=k)
+    plain = s_pq_adc(sf)
+    pd.testing.assert_frame_equal(full, plain)
+
+    pruned = s_ann_ivfpq(sf)
+    assert (pruned.groupby("query_id")["rank"].max() <= 10).all()
+    # pruning only REMOVES candidates, so a surviving row's pruned rank
+    # can only improve (compress) relative to its all-cells ADC rank, and
+    # its ADC distance is identical
+    merged = pruned.merge(
+        full, on=["query_id", "vec_id"], how="left", suffixes=("", "_full")
+    )
+    hit = merged["rank_full"].notna()
+    assert (merged.loc[hit, "rank_full"] >= merged.loc[hit, "rank"]).all()
+    assert (merged.loc[hit, "dist_full"] == merged.loc[hit, "dist"]).all()
