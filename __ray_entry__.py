@@ -319,6 +319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot_event_matrix": R.q_pivot_event_matrix,
         "s_pq_adc": S.s_pq_adc,
         "s_ann_ivfpq": S.s_ann_ivfpq,
+        "q_hll_user_days": R.q_hll_user_days,
+        "q_group_quantiles": R.q_group_quantiles,
+        "q_bloom_semi_join_parts": R.q_bloom_semi_join_parts,
     }
 
 
@@ -1868,6 +1871,49 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s_pq_adc": _pq_adc_oracle(),
         "s_ann_ivfpq": _ivfpq_oracle(),
+        "q_hll_user_days": (
+            # the engine's HLL registers replayed verbatim: DuckDB's
+            # md5_number_lower == little-endian low 8 digest bytes (the
+            # engine hash), bin() gives the exact bit length, and the
+            # register sum rides as the INTEGER t_scaled = S * 2^33 so the
+            # only float ops are the one division / ln in the CASE —
+            # parenthesized identically to relational._hll_finalize
+            "WITH h AS (SELECT event_type, md5_number_lower("
+            "CAST(user_id AS VARCHAR) || '@' || strftime(ts, '%Y-%m-%d')"
+            ") AS hv FROM events), "
+            "b AS (SELECT event_type, hv % 4096 AS bucket, "
+            "(hv >> 12) % 4294967296 AS w FROM h), "
+            "r AS (SELECT event_type, bucket, "
+            "MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) "
+            "AS rho FROM b GROUP BY event_type, bucket), "
+            "agg AS (SELECT event_type, "
+            "CAST(4096 - COUNT(*) AS BIGINT) AS v_zero, "
+            "CAST(SUM(1::BIGINT << (33 - rho)) AS BIGINT) "
+            "+ CAST(4096 - COUNT(*) AS BIGINT) * (1::BIGINT << 33) "
+            "AS t_scaled FROM r GROUP BY event_type) "
+            "SELECT event_type, v_zero, t_scaled, "
+            "ROUND(CASE WHEN ((0.7213 / (1.0 + 1.079 / 4096.0)) "
+            "* 16777216.0) * 8589934592.0 / t_scaled <= 10240.0 "
+            "AND v_zero > 0 THEN 4096.0 * ln(4096.0 / v_zero) "
+            "ELSE ((0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0) "
+            "* 8589934592.0 / t_scaled END, 4) AS est "
+            "FROM agg ORDER BY event_type"
+        ),
+        "q_group_quantiles": (
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "ROUND(median(l_quantity), 6) AS med_qty, "
+            "ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "q_bloom_semi_join_parts": (
+            # the bloom bits are engine-internal (no false negatives by
+            # construction, false positives removed by the exact join) —
+            # the oracle is the plain join semantics
+            "SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "ROUND(SUM(l.l_quantity), 2) AS sum_qty "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE p.p_size >= 48 GROUP BY p.p_brand ORDER BY p.p_brand"
+        ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference
         # implementation in the tests asserts bit-equal assignments, and

@@ -114,6 +114,9 @@ QUERY_NAMES = [
     "q_asof_attribution",
     "q_range_join_view_purchase",
     "q_pivot_event_matrix",
+    "q_hll_user_days",
+    "q_group_quantiles",
+    "q_bloom_semi_join_parts",
     "q_sessionize",
     "q_retention_cohorts",
     "q_funnel",

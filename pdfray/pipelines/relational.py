@@ -1338,3 +1338,322 @@ def q_pivot_event_matrix(sf_dir: str):
     for c in cols:
         wide[c] = wide[c].astype("int64")
     return wide.sort_values("user_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# sketch / scale-pattern operators (engine-added; no reference analog —
+# the reference's dataflow never needs cardinality estimation or a
+# bloom-pruned join, but a 100 TB corpus job does).
+
+HLL_P = 12  # 2^12 = 4096 registers (~1.6% relative error)
+HLL_M = 1 << HLL_P
+# rho window width: classic 32-bit HLL tail taken from the bits above the
+# bucket index, so bucket and window never overlap
+HLL_WBITS = 32
+
+
+def _hll_partial(df, key, group_col):
+    """Per-batch HLL register partial: one row per (group, bucket) with the
+    max rho seen in the batch — at most |groups| x 4096 rows leave the map
+    stage per block, independent of row count.  The hash is md5-lower-64
+    (little-endian low 8 digest bytes == DuckDB ``md5_number_lower``), so
+    the oracle replays the EXACT register contents in SQL."""
+    import hashlib
+
+    import numpy as np
+
+    hv = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(k.encode()).digest()[8:], "little")
+            for k in key
+        ),
+        np.uint64,
+        len(key),
+    )
+    bucket = (hv & np.uint64(HLL_M - 1)).astype(np.int64)
+    w = (hv >> np.uint64(HLL_P)) & np.uint64((1 << HLL_WBITS) - 1)
+    # rho = leading-zero count in the 32-bit window + 1 = 33 - bit_length(w).
+    # frexp's exponent IS bit_length for exact integer doubles (every w
+    # < 2^32 is exact in float64) — no log2 rounding risk at powers of two.
+    _, exp = np.frexp(w.astype(np.float64))
+    rho = np.where(w != 0, HLL_WBITS + 1 - exp, HLL_WBITS + 1).astype(np.int64)
+    g = pd.DataFrame(
+        {group_col: df[group_col].to_numpy(), "bucket": bucket, "rho": rho}
+    )
+    return g.groupby([group_col, "bucket"], as_index=False)["rho"].max()
+
+
+def _hll_finalize(v_zero: int, t_scaled: int):
+    """Estimate from integer-exact register state.  S = sum over all m
+    registers of 2^-reg is carried as the INTEGER t_scaled = S * 2^33
+    (empty registers contribute 2^33 each), so the only float ops are one
+    division and (in the small range) one ln — bit-identical between numpy
+    here and DuckDB's CASE expression, which uses the same parenthesization."""
+    import math
+
+    alpha_mm = (0.7213 / (1.0 + 1.079 / 4096.0)) * 16777216.0
+    est = alpha_mm * 8589934592.0 / t_scaled
+    if est <= 2.5 * HLL_M and v_zero > 0:
+        est = 4096.0 * math.log(4096.0 / v_zero)
+    return round(est, 4)
+
+
+def q_hll_user_days(sf_dir: str):
+    """Approximate COUNT(DISTINCT user-day) per event type via a
+    HyperLogLog sketch (Flajolet et al. 2007, incl. the linear-counting
+    small-range correction — exercised at sf<=0.01, while sf0.1 crosses
+    into the raw-estimator regime).
+
+    Scale shape: the ONLY state that ever moves is (group, bucket,
+    max-rho) partials — bounded by |groups| x 4096 per block whatever the
+    row count — merged with the same two-regime plan as
+    q_pivot_event_matrix (driver pandas max below PIVOT_DRIVER_MAX_ROWS
+    partial rows, distributed groupby above).  Exact distinct would
+    shuffle every key; the sketch shuffles kilobytes.  Output carries the
+    integer register digests (v_zero, t_scaled) alongside the estimate so
+    the oracle compare is integer-exact, not float-luck."""
+    import numpy as np
+    from ray.data.aggregate import Max
+
+    ds = _read(
+        sf_dir, "events", ["user_id", "ts", "event_type"], rows_per_block=12_500
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["user_id"].astype(str) + "@" + df["ts"].dt.strftime("%Y-%m-%d")
+        return _hll_partial(df, key, "event_type")
+
+    parts = ds.map_batches(partial, batch_format="pandas").materialize()
+    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
+        regs = (
+            parts.to_pandas()
+            .groupby(["event_type", "bucket"], as_index=False)["rho"]
+            .max()
+        )
+    else:
+        regs = (
+            parts.groupby(["event_type", "bucket"])
+            .aggregate(Max("rho", alias_name="rho"))
+            .to_pandas()
+        )
+    rows = []
+    for et, g in regs.groupby("event_type"):
+        v_zero = HLL_M - len(g)
+        t_scaled = int(
+            (np.int64(1) << (33 - g["rho"].to_numpy(np.int64))).sum()
+        ) + v_zero * (1 << 33)
+        rows.append(
+            {
+                "event_type": et,
+                "v_zero": v_zero,
+                "t_scaled": t_scaled,
+                "est": _hll_finalize(v_zero, t_scaled),
+            }
+        )
+    out = pd.DataFrame(rows, columns=["event_type", "v_zero", "t_scaled", "est"])
+    out["v_zero"] = out["v_zero"].astype("int64")
+    out["t_scaled"] = out["t_scaled"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_group_quantiles(sf_dir: str):
+    """EXACT interpolated quantiles (median + p90 of l_quantity per return
+    flag) via the bounded-domain histogram: blocks pre-reduce to
+    (flag, value) -> count, the two-regime merge sums the tiny histogram,
+    and the driver replays DuckDB's quantile_cont interpolation
+    (h = (n-1)p; x[floor(h)] + frac * (x[floor(h)+1] - x[floor(h)]),
+    verified formula-identical empirically) over cumulative counts.  No
+    distributed sort, no sampling error; the shuffle carries one row per
+    distinct (flag, value) — |flags| x 50 here — independent of corpus
+    size.  The companion t_length_quantiles covers the quantile_disc
+    (nearest-rank) variant; for unbounded domains quantize first."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity"], rows_per_block=100_000
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [("l_quantity", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "l_quantity", "cnt"])
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").materialize()
+    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
+        hist_df = (
+            parts.to_pandas()
+            .groupby(["l_returnflag", "l_quantity"], as_index=False)["cnt"]
+            .sum()
+        )
+    else:
+        hist_df = (
+            parts.groupby(["l_returnflag", "l_quantity"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+    rows = []
+    for flag, g in hist_df.groupby("l_returnflag"):
+        g = g.sort_values("l_quantity")
+        vals = g["l_quantity"].to_numpy(np.float64)
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        row = {"l_returnflag": flag, "n_lines": n}
+        for name, p in (("med_qty", 0.5), ("p90_qty", 0.9)):
+            h = (n - 1) * p
+            lo = int(np.floor(h))
+            xlo = vals[np.searchsorted(cum, lo + 1)]
+            xhi = vals[np.searchsorted(cum, lo + 2)] if lo + 1 < n else xlo
+            row[name] = round(float(xlo + (h - lo) * (xhi - xlo)), 6)
+        rows.append(row)
+    out = pd.DataFrame(
+        rows, columns=["l_returnflag", "n_lines", "med_qty", "p90_qty"]
+    )
+    out["n_lines"] = out["n_lines"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+# bloom join: bits sized for the build side (127 keys at sf0.01, ~13k at
+# the part table's TPC-H growth rate x sf100) — at production scale derive
+# BLOOM_BITS from the build-side footer row count (~10 bits/key).
+BLOOM_BITS = 1 << 17
+BLOOM_K = 4
+BLOOM_P_SIZE_MIN = 48
+
+
+def _bloom_probe_idx(keys):
+    """(k, n) probe positions via double hashing over the splitmix64
+    finalizer — sequential int keys avalanche to uniform positions.  All
+    arithmetic stays uint64 (the int64-x-uint64 float64 promotion trap,
+    see _user_bucket) and wraps mod 2^64 by construction."""
+    import numpy as np
+
+    z = keys.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    h1 = z & np.uint64(BLOOM_BITS - 1)
+    h2 = ((z >> np.uint64(17)) | np.uint64(1)) & np.uint64(BLOOM_BITS - 1)
+    i = np.arange(BLOOM_K, dtype=np.uint64)[:, None]
+    return (h1[None, :] + i * h2[None, :]) % np.uint64(BLOOM_BITS)
+
+
+class _BloomProbe:
+    """Broadcast bloom prefilter: keep rows whose key MIGHT be in the build
+    set (no false negatives by construction; false positives are removed
+    by the exact join downstream)."""
+
+    def __init__(self, bits_ref, key_col):
+        import ray
+
+        self.bits = ray.get(bits_ref)
+        self.key_col = key_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = t.column(self.key_col).to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return t
+        idx = _bloom_probe_idx(keys)
+        byte = self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+        bit = (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8)
+        keep = ((byte & bit) != 0).all(axis=0)
+        return t.filter(pa.array(keep))
+
+
+def q_bloom_semi_join_parts(sf_dir: str):
+    """Quantity rollup per brand for lineitems whose part has
+    p_size >= 48 — executed as a BLOOM-PRUNED join, the 100 TB pattern for
+    a join whose build side is selective but too big to broadcast as an
+    exact key set: 16 KiB of bloom bits ship to every probe task instead
+    of the key set, the probe side shrinks to matches + ~1% false
+    positives BEFORE the shuffle, and the exact hash join (candidate-sized
+    partitions, sizing.shuffle_partitions) removes the false positives.
+    The bits build distributedly: per-block bitmap partials OR-merged on
+    the driver (fixed-size state; tree-reduce at extreme block counts).
+    Output is count + quantity sums only — integer-valued doubles, so the
+    sums are IEEE-exact in any order."""
+    import numpy as np
+    import ray
+
+    from .sizing import shuffle_partitions
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_size", "p_brand"])
+
+    def build_bits(t: pa.Table) -> pa.Table:
+        keys = (
+            t.filter(pc.greater_equal(t.column("p_size"), BLOOM_P_SIZE_MIN))
+            .column("p_partkey")
+            .to_numpy(zero_copy_only=False)
+        )
+        bits = np.zeros(BLOOM_BITS // 8, np.uint8)
+        if len(keys):
+            idx = _bloom_probe_idx(keys).ravel()
+            np.bitwise_or.at(
+                bits,
+                (idx >> np.uint64(3)).astype(np.int64),
+                (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8),
+            )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    bits = np.zeros(BLOOM_BITS // 8, np.uint8)
+    for r in part.map_batches(build_bits, batch_format="pyarrow").take_all():
+        bits |= np.frombuffer(r["bits"], np.uint8)
+    bits_ref = ray.put(bits)
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity"], rows_per_block=100_000
+    )
+    cand = li.map_batches(
+        warm_stage(_BloomProbe, bits_ref=bits_ref, key_col="l_partkey"),
+        batch_format="pyarrow",
+    ).materialize()
+    n_cand = cand.count()
+    cols = ["p_brand", "n_lines", "sum_qty"]
+    if n_cand == 0:
+        return pd.DataFrame(
+            {"p_brand": pd.array([], "string"),
+             "n_lines": pd.array([], "int64"),
+             "sum_qty": pd.array([], "float64")}
+        )[cols]
+    build = part.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("p_size"), BLOOM_P_SIZE_MIN)
+        ).select(["p_partkey", "p_brand"]),
+        batch_format="pyarrow",
+    )
+    n_parts = shuffle_partitions(n_cand)
+    # compact candidate-sized inputs (also dodges the empty-first-block
+    # schema loss, see CLAUDE.md)
+    joined = cand.repartition(n_parts).join(
+        build.repartition(n_parts),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "n_lines": pa.array(np.ones(len(t), np.int64)),
+                "sum_qty": t.column("l_quantity"),
+            }
+        )
+        g = tt.group_by("p_brand").aggregate(
+            [("n_lines", "sum"), ("sum_qty", "sum")]
+        )
+        return g.rename_columns(["p_brand", "n_lines", "sum_qty"])
+
+    df = (
+        joined.map_batches(combine, batch_format="pyarrow")
+        .to_pandas()  # bounded: |brands| x blocks rows
+        .groupby("p_brand", as_index=False)[["n_lines", "sum_qty"]]
+        .sum()
+    )
+    df["n_lines"] = df["n_lines"].astype("int64")
+    df["sum_qty"] = df["sum_qty"].round(2)
+    return df[cols].sort_values("p_brand").reset_index(drop=True)

@@ -1925,3 +1925,252 @@ def test_ivfpq_full_probe_equals_plain_adc_and_subset_property(ray_session):
     hit = merged["rank_full"].notna()
     assert (merged.loc[hit, "rank_full"] >= merged.loc[hit, "rank"]).all()
     assert (merged.loc[hit, "dist_full"] == merged.loc[hit, "dist"]).all()
+
+
+def _write_events(tmp_path, users, ts_us, kinds):
+    import pyarrow.parquet as pq_
+
+    n = len(users)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(np.asarray(ts_us, np.int64), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array(np.asarray(users, np.int64), pa.int64()),
+            "event_type": pa.array(list(kinds), pa.string()),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+    return t
+
+
+def test_hll_matches_independent_python_and_truth(ray_session, tmp_path):
+    """q_hll_user_days equals an independent per-key-set Python HLL
+    (different code path: dedup first, dict registers, int bit_length)
+    on every column including the integer register digests, and the
+    estimate lands within 5% of the true distinct count."""
+    import hashlib
+
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(7)
+    n = 6000
+    users = rng.integers(0, 900, n)
+    day = rng.integers(0, 40, n)
+    base = 1_700_000_000_000_000
+    ts = base + day * 86_400_000_000 + rng.integers(0, 86_400_000_000, n)
+    kinds = rng.choice(["view", "click"], size=n, p=[0.7, 0.3])
+    _write_events(tmp_path, users, ts, kinds)
+    out = R.q_hll_user_days(str(tmp_path))
+
+    df = pd.DataFrame({"u": users, "ts": pd.to_datetime(ts, unit="us"), "k": kinds})
+    df["key"] = df["u"].astype(str) + "@" + df["ts"].dt.strftime("%Y-%m-%d")
+    ref_rows = []
+    for et, g in df.groupby("k"):
+        regs = {}
+        for key in set(g["key"]):
+            hv = int.from_bytes(hashlib.md5(key.encode()).digest()[8:], "little")
+            b = hv % R.HLL_M
+            w = (hv >> R.HLL_P) % (1 << R.HLL_WBITS)
+            rho = 33 if w == 0 else 33 - w.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        v_zero = R.HLL_M - len(regs)
+        t_scaled = sum(1 << (33 - r) for r in regs.values()) + v_zero * (1 << 33)
+        ref_rows.append(
+            {
+                "event_type": et,
+                "v_zero": v_zero,
+                "t_scaled": t_scaled,
+                "est": R._hll_finalize(v_zero, t_scaled),
+                "truth": g["key"].nunique(),
+            }
+        )
+    ref = pd.DataFrame(ref_rows).sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out,
+        ref[["event_type", "v_zero", "t_scaled", "est"]].astype(
+            {"v_zero": "int64", "t_scaled": "int64"}
+        ),
+    )
+    for _, r in ref.iterrows():
+        assert abs(r["est"] - r["truth"]) / r["truth"] < 0.05, dict(r)
+
+
+def test_hll_distributed_regime_matches(ray_session, tmp_path, monkeypatch):
+    """Forcing the distributed-groupby merge regime yields the identical
+    sketch (register max is associative/commutative either way)."""
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    users = rng.integers(0, 500, n)
+    ts = 1_700_000_000_000_000 + rng.integers(0, 30, n) * 86_400_000_000
+    kinds = rng.choice(["view", "purchase"], size=n)
+    _write_events(tmp_path, users, ts, kinds)
+    small = R.q_hll_user_days(str(tmp_path))
+    monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
+    big = R.q_hll_user_days(str(tmp_path))
+    pd.testing.assert_frame_equal(small, big)
+
+
+def _write_lineitem_qty(tmp_path, flags, qty):
+    import pyarrow.parquet as pq_
+
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(list(flags), pa.string()),
+            "l_quantity": pa.array(np.asarray(qty, np.float64)),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "lineitem.parquet"))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_group_quantiles_matches_duckdb(ray_session, tmp_path, seed):
+    """Randomized cross-check of the histogram quantile_cont replay vs
+    DuckDB itself — fractional values with heavy ties, a group of one row
+    (interpolation degenerates to the value), and a two-row group (pure
+    interpolation between distinct values)."""
+    import duckdb
+
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(seed)
+    n = 5000
+    flags = rng.choice(["A", "N", "R"], size=n).tolist()
+    qty = np.round(rng.uniform(0, 30, n) * 4) / 4  # quarter-steps: many ties
+    flags += ["X", "Y", "Y"]
+    qty = np.concatenate([qty, [7.25, 1.0, 2.0]])
+    _write_lineitem_qty(tmp_path, flags, qty)
+    out = R.q_group_quantiles(str(tmp_path))
+
+    con = duckdb.connect()
+    ref = con.execute(
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+        "ROUND(median(l_quantity), 6) AS med_qty, "
+        "ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty "
+        f"FROM read_parquet('{tmp_path}/lineitem.parquet') "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).df()
+    pd.testing.assert_frame_equal(out, ref)
+    assert out[out["l_returnflag"] == "X"]["med_qty"].iloc[0] == 7.25
+    assert out[out["l_returnflag"] == "Y"]["p90_qty"].iloc[0] == pytest.approx(1.9)
+
+
+def test_bloom_probe_has_no_false_negatives():
+    """Property: every inserted key survives the probe (the bloom-join
+    correctness precondition), and the false-positive rate on disjoint
+    keys stays well under the exact-join cleanup budget."""
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 1 << 62, 4000).astype(np.int64)
+    bits = np.zeros(R.BLOOM_BITS // 8, np.uint8)
+    idx = R._bloom_probe_idx(keys).ravel()
+    np.bitwise_or.at(
+        bits,
+        (idx >> np.uint64(3)).astype(np.int64),
+        (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8),
+    )
+
+    def contains(ks):
+        i = R._bloom_probe_idx(ks)
+        byte = bits[(i >> np.uint64(3)).astype(np.int64)]
+        bit = (np.uint64(1) << (i & np.uint64(7))).astype(np.uint8)
+        return ((byte & bit) != 0).all(axis=0)
+
+    assert contains(keys).all()
+    others = rng.integers(0, 1 << 62, 20000).astype(np.int64)
+    others = others[~np.isin(others, keys)]
+    fp = contains(others).mean()
+    assert fp < 0.05, fp
+
+
+def test_bloom_semi_join_matches_pandas(ray_session, tmp_path):
+    """q_bloom_semi_join_parts equals the plain pandas join+rollup on a
+    synthetic star pair, including a build side that matches nothing
+    (brand absent from output) and zero-match probe rows."""
+    import pyarrow.parquet as pq_
+
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(21)
+    n_part, n_li = 400, 9000
+    pkeys = np.arange(n_part, dtype=np.int64)
+    psize = rng.integers(1, 51, n_part)
+    brand = np.array([f"Brand#{i % 5}" for i in range(n_part)])
+    pq_.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(pkeys),
+                "p_size": pa.array(psize.astype(np.int32), pa.int32()),
+                "p_brand": pa.array(brand.tolist(), pa.string()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    lkeys = rng.integers(0, n_part + 50, n_li)  # some dangling partkeys
+    lqty = rng.integers(1, 51, n_li).astype(np.float64)
+    pq_.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array(lkeys.astype(np.int64)),
+                "l_quantity": pa.array(lqty),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = R.q_bloom_semi_join_parts(str(tmp_path))
+
+    p = pd.DataFrame({"p_partkey": pkeys, "p_size": psize, "p_brand": brand})
+    li = pd.DataFrame({"l_partkey": lkeys, "l_quantity": lqty})
+    ref = li.merge(
+        p[p["p_size"] >= R.BLOOM_P_SIZE_MIN],
+        left_on="l_partkey",
+        right_on="p_partkey",
+    )
+    ref = (
+        ref.groupby("p_brand")
+        .agg(n_lines=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+        .reset_index()
+    )
+    ref["n_lines"] = ref["n_lines"].astype("int64")
+    ref["sum_qty"] = ref["sum_qty"].round(2)
+    ref = ref.sort_values("p_brand").reset_index(drop=True)
+    assert len(ref) > 0
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_bloom_semi_join_empty_build(ray_session, tmp_path):
+    """A build side with no qualifying parts returns the empty contract
+    frame (column names + dtypes) instead of a schema-less join crash."""
+    import pyarrow.parquet as pq_
+
+    import pdfray.pipelines.relational as R
+
+    pq_.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_size": pa.array([1, 2], pa.int32()),
+                "p_brand": pa.array(["Brand#1", "Brand#2"], pa.string()),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    pq_.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 2, 3], pa.int64()),
+                "l_quantity": pa.array([1.0, 2.0, 3.0]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = R.q_bloom_semi_join_parts(str(tmp_path))
+    assert list(out.columns) == ["p_brand", "n_lines", "sum_qty"]
+    assert len(out) == 0
+    assert out["n_lines"].dtype == np.int64
