@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_user_days": R.q_hll_user_days,
         "q_group_quantiles": R.q_group_quantiles,
         "q_bloom_semi_join_parts": R.q_bloom_semi_join_parts,
+        "q_interevent_gap_stats": R.q_interevent_gap_stats,
+        "t_weighted_sample": T.t_weighted_sample,
     }
 
 
@@ -1913,6 +1915,29 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(l.l_quantity), 2) AS sum_qty "
             "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
             "WHERE p.p_size >= 48 GROUP BY p.p_brand ORDER BY p.p_brand"
+        ),
+        "q_interevent_gap_stats": (
+            # gap sums are exact integers, so the mean's single division is
+            # bit-identical to the engine's (see the pipeline docstring)
+            "WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap "
+            "FROM events) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps, "
+            "CAST(MIN(gap) AS BIGINT) AS min_gap_us, "
+            "CAST(MAX(gap) AS BIGINT) AS max_gap_us, "
+            "CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS mean_gap_us "
+            "FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id"
+        ),
+        "t_weighted_sample": (
+            # u replayed on the exact 2^53 float grid; ranking by ln(u)/w
+            # with doc_id tiebreak — same key arithmetic as the engine
+            "WITH w AS (SELECT doc_id, n_chars, "
+            "ln(((md5_number_lower(CAST(doc_id AS VARCHAR) || ':ws42') "
+            "% 9007199254740992) + 1) / 9007199254740992.0) / n_chars "
+            "AS skey FROM documents WHERE n_chars > 0) "
+            "SELECT doc_id, n_chars FROM "
+            "(SELECT * FROM w ORDER BY skey DESC, doc_id LIMIT 64) "
+            "ORDER BY doc_id"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

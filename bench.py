@@ -117,6 +117,8 @@ QUERY_NAMES = [
     "q_hll_user_days",
     "q_group_quantiles",
     "q_bloom_semi_join_parts",
+    "q_interevent_gap_stats",
+    "t_weighted_sample",
     "q_sessionize",
     "q_retention_cohorts",
     "q_funnel",

@@ -1657,3 +1657,70 @@ def q_bloom_semi_join_parts(sf_dir: str):
     df["n_lines"] = df["n_lines"].astype("int64")
     df["sum_qty"] = df["sum_qty"].round(2)
     return df[cols].sort_values("p_brand").reset_index(drop=True)
+
+
+GAP_BUCKETS = 64
+
+
+def q_interevent_gap_stats(sf_dir: str):
+    """Per-user inter-event gap statistics (count / min / max / mean of
+    consecutive-event deltas in microseconds) — the windowed-lag shape.
+
+    ONE keyed shuffle (user-hash buckets, same plan as q_funnel); each
+    bucket sorts its slice by the total order (user_id, ts, event_id) and
+    takes vectorized groupby diffs — the lag never crosses buckets because
+    users are bucket-atomic.  Gap sums stay int64 (exact; a user would
+    need ~2^53 us of accumulated gaps to overflow double parity — document
+    scale note), so mean = sum/n is ONE float division, bit-identical to
+    the oracle's CAST(SUM AS DOUBLE)/COUNT.  Single-event users have no
+    gap and are absent, matching the oracle's WHERE gap IS NOT NULL."""
+    import numpy as np
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id"], rows_per_block=12_500
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(_user_bucket(users, GAP_BUCKETS).astype(np.int64))
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts_us = g["ts"].astype("int64")
+        gaps = ts_us.groupby(g["user_id"].to_numpy()).diff()
+        gg = pd.DataFrame({"user_id": g["user_id"], "gap": gaps}).dropna()
+        if gg.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.array([], "int64"),
+                    "n_gaps": pd.array([], "int64"),
+                    "min_gap_us": pd.array([], "int64"),
+                    "max_gap_us": pd.array([], "int64"),
+                    "mean_gap_us": pd.array([], "float64"),
+                }
+            )
+        gg["gap"] = gg["gap"].astype("int64")
+        agg = (
+            gg.groupby("user_id")["gap"]
+            .agg(n_gaps="count", min_gap_us="min", max_gap_us="max", s="sum")
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].astype("int64"),
+                "n_gaps": agg["n_gaps"].astype("int64"),
+                "min_gap_us": agg["min_gap_us"].astype("int64"),
+                "max_gap_us": agg["max_gap_us"].astype("int64"),
+                "mean_gap_us": agg["s"].astype("float64") / agg["n_gaps"],
+            }
+        )
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()  # one row per user
+    )
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -3493,3 +3493,72 @@ def t_chunk_windows(sf_dir: str):
         .sort_values(["doc_id", "chunk_id"])
         .reset_index(drop=True)
     )
+
+
+# ----------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis & Spirakis 2006 A-Res):
+# the standard way to draw a k-doc training subsample proportional to a
+# weight column with ONE streaming pass — each doc gets the deterministic
+# key ln(u)/w (u = md5-uniform in (0,1], so reruns and the oracle replay
+# the identical draw) and the k largest keys win.
+
+WEIGHTED_SAMPLE_K = 64
+WEIGHTED_SAMPLE_SALT = ":ws42"
+_TWO53 = 9007199254740992  # 2^53: the md5-uniform grid (exact in float64)
+
+
+def t_weighted_sample(sf_dir: str):
+    """Draw WEIGHTED_SAMPLE_K docs without replacement, probability
+    proportional to n_chars.  Scale shape: a per-batch vectorized key pass
+    + the local-top-k/driver-merge from relational._topk — at most k rows
+    per block reach the driver, no global sort, no shuffle.  u is built on
+    the 2^53 grid ((h % 2^53 + 1) / 2^53 — every step exact in float64, so
+    the engine and DuckDB compute bit-identical u); the ln/divide ulp gap
+    between libms is ~1e-16 relative while adjacent key order statistics
+    sit orders of magnitude apart, the same portability argument as
+    t_temperature_sample's sqrt.  Zero-weight docs are excluded (their key
+    would be -inf — E&S semantics: probability 0)."""
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("n_chars"), 0))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(
+                        (str(i) + WEIGHTED_SAMPLE_SALT).encode()
+                    ).digest()[8:],
+                    "little",
+                )
+                % _TWO53
+                for i in ids
+            ),
+            np.int64,
+            len(ids),
+        )
+        u = (h.astype(np.float64) + 1.0) / float(_TWO53)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_chars": t.column("n_chars"),
+                "skey": pa.array(np.log(u) / w),
+            }
+        )
+
+    # lazy: relational imports this module at load time, so the reverse
+    # import must happen at call time
+    from .relational import _topk
+
+    ds = _read_documents(sf_dir, ("doc_id", "n_chars")).map_batches(
+        score, batch_format="pyarrow"
+    )
+    top = _topk(
+        ds, WEIGHTED_SAMPLE_K, keys=("skey", "doc_id"), descending=(True, False)
+    )
+    return (
+        top[["doc_id", "n_chars"]]
+        .astype({"doc_id": "int64", "n_chars": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -473,6 +473,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_ngram_jaccard_dupes",
     "t_dup_components",
     "t_inverted_lookup",
+    "t_weighted_sample",
 ]
 
 

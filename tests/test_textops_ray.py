@@ -2174,3 +2174,95 @@ def test_bloom_semi_join_empty_build(ray_session, tmp_path):
     assert list(out.columns) == ["p_brand", "n_lines", "sum_qty"]
     assert len(out) == 0
     assert out["n_lines"].dtype == np.int64
+
+
+def test_weighted_sample_matches_independent_python(ray_session, tmp_path):
+    """t_weighted_sample equals an independent pure-Python A-Res pass
+    (math.log per doc, full sort — no numpy, no top-k machinery), excludes
+    zero-weight docs, and selection probability tracks weight: the heavy
+    half of the corpus must dominate the draw."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq_
+
+    import pdfray.pipelines.textops as T
+
+    rng = np.random.default_rng(9)
+    n = 800
+    # heavy half: 100x the weight of the light half; a few zero-weight docs
+    n_chars = np.where(rng.random(n) < 0.5, 40, 4000).astype(np.int64)
+    n_chars[:5] = 0
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["x" * int(c) for c in n_chars]),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s0"] * n),
+            "n_chars": pa.array(n_chars),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "documents.parquet"))
+    out = T.t_weighted_sample(str(tmp_path))
+
+    keyed = []
+    for i, w in enumerate(n_chars):
+        if w <= 0:
+            continue
+        h = (
+            int.from_bytes(
+                hashlib.md5(f"{i}{T.WEIGHTED_SAMPLE_SALT}".encode()).digest()[8:],
+                "little",
+            )
+            % T._TWO53
+        )
+        u = (h + 1) / T._TWO53
+        keyed.append((math.log(u) / w, -i))
+    keyed.sort(reverse=True)
+    want = sorted(-neg for _, neg in keyed[: T.WEIGHTED_SAMPLE_K])
+    assert out["doc_id"].tolist() == want
+    assert len(out) == T.WEIGHTED_SAMPLE_K
+    assert not set(out["doc_id"]) & set(range(5))  # zero-weight excluded
+    # weight-proportional draw: heavy docs are ~100x likelier per doc
+    heavy = (out["n_chars"] == 4000).mean()
+    assert heavy > 0.9, heavy
+
+
+def test_interevent_gap_stats_matches_pandas(ray_session, tmp_path):
+    """Randomized cross-check vs a single-pass pandas lag reference,
+    including planted identical timestamps (event_id tiebreak), a
+    single-event user (absent from output), and a hot user owning ~40%
+    of events."""
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(17)
+    n = 6000
+    users = np.where(rng.random(n) < 0.4, 7, rng.integers(0, 200, n))
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 10**9, n)
+    ts[100:110] = ts[100]  # planted exact-tie timestamps
+    users[100:110] = 42
+    users[0] = 9999  # single-event user
+    ts[0] = base - 5
+    _write_events(tmp_path, users, ts, ["view"] * n)
+    out = R.q_interevent_gap_stats(str(tmp_path))
+
+    df = pd.DataFrame(
+        {"user_id": users, "ts_us": ts, "event_id": np.arange(n, dtype=np.int64)}
+    ).sort_values(["user_id", "ts_us", "event_id"])
+    df["gap"] = df.groupby("user_id")["ts_us"].diff()
+    g = df.dropna(subset=["gap"]).copy()
+    g["gap"] = g["gap"].astype("int64")
+    ref = (
+        g.groupby("user_id")["gap"]
+        .agg(n_gaps="count", min_gap_us="min", max_gap_us="max", s="sum")
+        .reset_index()
+    )
+    ref["mean_gap_us"] = ref["s"].astype("float64") / ref["n_gaps"]
+    ref = ref.drop(columns="s").astype(
+        {"user_id": "int64", "n_gaps": "int64", "min_gap_us": "int64", "max_gap_us": "int64"}
+    )
+    ref = ref.sort_values("user_id").reset_index(drop=True)
+    assert 9999 not in set(ref["user_id"])  # sanity: the planted single-event user
+    pd.testing.assert_frame_equal(out, ref)
+    assert int(out[out["user_id"] == 42]["min_gap_us"].iloc[0]) == 0  # tie gaps
