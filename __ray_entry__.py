@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semi_join_parts": R.q_bloom_semi_join_parts,
         "q_interevent_gap_stats": R.q_interevent_gap_stats,
         "t_weighted_sample": T.t_weighted_sample,
+        "t_cms_wordcounts": T.t_cms_wordcounts,
     }
 
 
@@ -1938,6 +1939,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM "
             "(SELECT * FROM w ORDER BY skey DESC, doc_id LIMIT 64) "
             "ORDER BY doc_id"
+        ),
+        "t_cms_wordcounts": (
+            # the full d x w counter table rebuilt in SQL with the same
+            # md5_number_lower positions, then the min-over-rows probe —
+            # integer-exact end to end
+            "WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), "
+            "w -> w <> '')) AS w FROM documents), "
+            "rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r), "
+            "cells AS (SELECT r, md5_number_lower(CAST(r AS VARCHAR) "
+            "|| ':' || w) % 1024 AS pos, COUNT(*) AS c "
+            "FROM tok CROSS JOIN rows_ GROUP BY r, pos), "
+            "probes AS (SELECT unnest(['join', 'batch', 'filter', 'order', "
+            "'zzz-absent']) AS word), "
+            "pe AS (SELECT p.word, rr.r, COALESCE(c.c, 0) AS c "
+            "FROM probes p CROSS JOIN rows_ rr "
+            "LEFT JOIN cells c ON c.r = rr.r AND c.pos = "
+            "md5_number_lower(CAST(rr.r AS VARCHAR) || ':' || p.word) % 1024) "
+            "SELECT word, CAST(MIN(c) AS BIGINT) AS est "
+            "FROM pe GROUP BY word ORDER BY word"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

@@ -119,6 +119,7 @@ QUERY_NAMES = [
     "q_bloom_semi_join_parts",
     "q_interevent_gap_stats",
     "t_weighted_sample",
+    "t_cms_wordcounts",
     "q_sessionize",
     "q_retention_cohorts",
     "q_funnel",

@@ -3562,3 +3562,92 @@ def t_weighted_sample(sf_dir: str):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+# ----------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005): the frequency-estimate
+# member of the sketch family (HLL = distinct count, heavy-hitters = exact
+# top-k, CMS = point frequency with one-sided error).  Estimates
+# overcount, never undercount; probes of absent words surface collision
+# noise bounded by 2N/w per row.
+
+CMS_D = 4
+CMS_W = 1024
+CMS_PROBES = ("join", "batch", "filter", "order", "zzz-absent")
+
+
+def _cms_pos(r: int, word: str) -> int:
+    """Row-r counter position: md5-lower-64 of 'r:word' mod CMS_W — the
+    same md5_number_lower arithmetic DuckDB replays (see the oracle)."""
+    return (
+        int.from_bytes(
+            hashlib.md5(f"{r}:{word}".encode()).digest()[8:], "little"
+        )
+        % CMS_W
+    )
+
+
+def t_cms_wordcounts(sf_dir: str):
+    """Point-frequency estimates for CMS_PROBES via a count-min sketch.
+
+    Scale shape: each block collapses to its local d x w counter matrix —
+    at most CMS_D x CMS_W = 4096 (r, pos, c) rows leave the map stage per
+    block regardless of token count — merged with the two-regime plan
+    (sums are associative, so driver pandas below the bound, distributed
+    groupby above).  Exact counting of an unbounded vocabulary would
+    shuffle the vocabulary; the sketch shuffles a fixed 32 KiB of state.
+    Tokenization shares _word_codes so the probe semantics match every
+    other word-statistics stage."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        parent, codes, dictionary = _word_codes(t)
+        mat = np.zeros((CMS_D, CMS_W), np.int64)
+        if len(codes):
+            cnt = np.bincount(codes, minlength=len(dictionary))
+            for wi, word in enumerate(dictionary.to_pylist()):
+                c = int(cnt[wi])
+                if c == 0:
+                    continue
+                for r in range(CMS_D):
+                    mat[r, _cms_pos(r, word)] += c
+        rr, pp = np.nonzero(mat)
+        return pa.table(
+            {
+                "r": pa.array(rr.astype(np.int64)),
+                "pos": pa.array(pp.astype(np.int64)),
+                "c": pa.array(mat[rr, pp]),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    from .relational import PIVOT_DRIVER_MAX_ROWS  # lazy (import cycle)
+
+    parts = (
+        _read_documents(sf_dir, ("doc_id", "text"))
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
+    )
+    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
+        cells = parts.to_pandas().groupby(["r", "pos"], as_index=False)["c"].sum()
+    else:
+        cells = (
+            parts.groupby(["r", "pos"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+        )
+    mat = np.zeros((CMS_D, CMS_W), np.int64)
+    mat[cells["r"].to_numpy(np.int64), cells["pos"].to_numpy(np.int64)] = (
+        cells["c"].to_numpy(np.int64)
+    )
+    out = pd.DataFrame(
+        {
+            "word": list(CMS_PROBES),
+            "est": [
+                int(min(mat[r, _cms_pos(r, w)] for r in range(CMS_D)))
+                for w in CMS_PROBES
+            ],
+        }
+    )
+    out["est"] = out["est"].astype("int64")
+    return out.sort_values("word").reset_index(drop=True)

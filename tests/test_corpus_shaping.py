@@ -474,6 +474,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_dup_components",
     "t_inverted_lookup",
     "t_weighted_sample",
+    "t_cms_wordcounts",
 ]
 
 

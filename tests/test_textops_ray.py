@@ -2266,3 +2266,54 @@ def test_interevent_gap_stats_matches_pandas(ray_session, tmp_path):
     assert 9999 not in set(ref["user_id"])  # sanity: the planted single-event user
     pd.testing.assert_frame_equal(out, ref)
     assert int(out[out["user_id"] == 42]["min_gap_us"].iloc[0]) == 0  # tie gaps
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow.parquet as pq_
+
+    n = len(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(list(texts)),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s0"] * n),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "documents.parquet"))
+
+
+def test_cms_one_sided_error_and_exact_truth(ray_session, tmp_path, monkeypatch):
+    """CMS invariants on a random corpus: every probe estimate >= its true
+    count (one-sided error, the CMS guarantee), a planted high-frequency
+    probe word is estimated EXACTLY when its counters dodge collisions is
+    not assumed — instead the estimate is bounded by truth + total
+    corpus mass / CMS_W per row; and the forced distributed-regime merge
+    is identical."""
+    from collections import Counter
+
+    import pdfray.pipelines.textops as T
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(300)] + list(T.CMS_PROBES[:4])
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 120)))
+        for _ in range(200)
+    ]
+    texts[0] = ""  # empty doc
+    _write_docs(tmp_path, texts)
+    out = T.t_cms_wordcounts(str(tmp_path))
+
+    truth = Counter(w for s in texts for w in s.split() if w)
+    total = sum(truth.values())
+    for _, row in out.iterrows():
+        tr = truth.get(row["word"], 0)
+        assert row["est"] >= tr, (row["word"], row["est"], tr)
+        assert row["est"] <= tr + total // (T.CMS_W // 4), (row["word"], row["est"], tr)
+
+    import pdfray.pipelines.relational as R
+
+    monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
+    big = T.t_cms_wordcounts(str(tmp_path))
+    pd.testing.assert_frame_equal(out, big)
