@@ -1571,10 +1571,14 @@ def q_bloom_semi_join_parts(sf_dir: str):
     of the key set, the probe side shrinks to matches + ~1% false
     positives BEFORE the shuffle, and the exact hash join (candidate-sized
     partitions, sizing.shuffle_partitions) removes the false positives.
-    The bits build distributedly: per-block bitmap partials OR-merged on
-    the driver (fixed-size state; tree-reduce at extreme block counts).
-    Output is count + quantity sums only — integer-valued doubles, so the
-    sums are IEEE-exact in any order."""
+    The additive rollup is ALSO pushed below the join: blocks collapse
+    their survivors to per-key (count, sum) partials first, so the join
+    exchange carries distinct-keys-per-block rows and a hot partkey
+    cannot skew a join partition.  The bits build distributedly:
+    per-block bitmap partials OR-merged on the driver (fixed-size state;
+    tree-reduce at extreme block counts).  Output is count + quantity
+    sums only — integer-valued doubles, so the sums are IEEE-exact in
+    any order."""
     import numpy as np
     import ray
 
@@ -1606,10 +1610,27 @@ def q_bloom_semi_join_parts(sf_dir: str):
     li = _read(
         sf_dir, "lineitem", ["l_partkey", "l_quantity"], rows_per_block=100_000
     )
-    cand = li.map_batches(
-        warm_stage(_BloomProbe, bits_ref=bits_ref, key_col="l_partkey"),
-        batch_format="pyarrow",
-    ).materialize()
+    probe = warm_stage(_BloomProbe, bits_ref=bits_ref, key_col="l_partkey")
+
+    def probe_reduce(t: pa.Table) -> pa.Table:
+        # aggregation pushdown BELOW the join: the rollup is additive, so
+        # each block collapses its bloom survivors to per-key partials —
+        # the join input is distinct-keys-per-block, immune to hot-key
+        # skew, and the sums are integer-valued doubles (exact any order)
+        f = probe(t)
+        tt = pa.table(
+            {
+                "l_partkey": f.column("l_partkey"),
+                "n_lines": pa.array(np.ones(len(f), np.int64)),
+                "sum_qty": f.column("l_quantity"),
+            }
+        )
+        g = tt.group_by("l_partkey").aggregate(
+            [("n_lines", "sum"), ("sum_qty", "sum")]
+        )
+        return g.rename_columns(["l_partkey", "n_lines", "sum_qty"])
+
+    cand = li.map_batches(probe_reduce, batch_format="pyarrow").materialize()
     n_cand = cand.count()
     cols = ["p_brand", "n_lines", "sum_qty"]
     if n_cand == 0:
@@ -1639,8 +1660,8 @@ def q_bloom_semi_join_parts(sf_dir: str):
         tt = pa.table(
             {
                 "p_brand": t.column("p_brand"),
-                "n_lines": pa.array(np.ones(len(t), np.int64)),
-                "sum_qty": t.column("l_quantity"),
+                "n_lines": t.column("n_lines"),
+                "sum_qty": t.column("sum_qty"),
             }
         )
         g = tt.group_by("p_brand").aggregate(
