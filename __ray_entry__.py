@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interevent_gap_stats": R.q_interevent_gap_stats,
         "t_weighted_sample": T.t_weighted_sample,
         "t_cms_wordcounts": T.t_cms_wordcounts,
+        "t_group_uniform_sample": T.t_group_uniform_sample,
     }
 
 
@@ -1958,6 +1959,12 @@ def oracle_sql() -> dict[str, str]:
             "md5_number_lower(CAST(rr.r AS VARCHAR) || ':' || p.word) % 1024) "
             "SELECT word, CAST(MIN(c) AS BIGINT) AS est "
             "FROM pe GROUP BY word ORDER BY word"
+        ),
+        "t_group_uniform_sample": (
+            "SELECT lang, doc_id FROM (SELECT lang, doc_id, "
+            "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY "
+            "substr(md5(CAST(doc_id AS VARCHAR) || ':gs7'), 1, 16), doc_id"
+            ") AS rn FROM documents) WHERE rn <= 16 ORDER BY lang, doc_id"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

@@ -120,6 +120,7 @@ QUERY_NAMES = [
     "q_interevent_gap_stats",
     "t_weighted_sample",
     "t_cms_wordcounts",
+    "t_group_uniform_sample",
     "q_sessionize",
     "q_retention_cohorts",
     "q_funnel",

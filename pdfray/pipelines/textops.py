@@ -3651,3 +3651,63 @@ def t_cms_wordcounts(sf_dir: str):
     )
     out["est"] = out["est"].astype("int64")
     return out.sort_values("word").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# fixed-k uniform per-group sampling (the eval-split primitive): exactly
+# k docs per language, uniform without replacement, deterministic.
+# Complements t_stratified_sample (RATE-based keep, count varies) and
+# t_weighted_sample (global draw, probability ∝ weight).
+
+GROUP_SAMPLE_K = 16
+GROUP_SAMPLE_SALT = ":gs7"
+
+
+def t_group_uniform_sample(sf_dir: str):
+    """Exactly GROUP_SAMPLE_K docs per lang (fewer when the group is
+    smaller), drawn uniformly without replacement by ranking on an
+    md5-hex key — RNG-free, so retries/repartitioning/reruns return the
+    identical draw and the oracle replays it.
+
+    Scale shape: per-group local top-k inside every block (vectorized
+    sort + head-k; at most |langs| x k rows leave a block whatever its
+    row count), then one driver merge of the bounded partials — the same
+    no-global-sort argument as relational._topk, generalized per-group.
+    Keys are md5 HEX PREFIX strings, whose lexicographic order is the
+    unsigned order of the hash (the t_shuffle_shards convention), so no
+    signedness trap crosses the engine/SQL boundary."""
+
+    def local_head(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hk = [
+            hashlib.md5(f"{i}{GROUP_SAMPLE_SALT}".encode()).hexdigest()[:16]
+            for i in ids
+        ]
+        df = pd.DataFrame(
+            {
+                "lang": t.column("lang").to_pandas(),
+                "doc_id": ids,
+                "hk": hk,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.sort_values(["lang", "hk", "doc_id"])
+            .groupby("lang", sort=False)
+            .head(GROUP_SAMPLE_K),
+            preserve_index=False,
+        )
+
+    parts = (
+        _read_documents(sf_dir, ("doc_id", "lang"))
+        .map_batches(local_head, batch_format="pyarrow")
+        .to_pandas()  # bounded: |langs| x k x blocks rows
+    )
+    out = (
+        parts.sort_values(["lang", "hk", "doc_id"])
+        .groupby("lang", sort=False)
+        .head(GROUP_SAMPLE_K)[["lang", "doc_id"]]
+        .astype({"doc_id": "int64"})
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return out

@@ -475,6 +475,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_inverted_lookup",
     "t_weighted_sample",
     "t_cms_wordcounts",
+    "t_group_uniform_sample",
 ]
 
 

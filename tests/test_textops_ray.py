@@ -2317,3 +2317,56 @@ def test_cms_one_sided_error_and_exact_truth(ray_session, tmp_path, monkeypatch)
     monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
     big = T.t_cms_wordcounts(str(tmp_path))
     pd.testing.assert_frame_equal(out, big)
+
+
+def test_group_uniform_sample_exact_k_and_uniform(ray_session, tmp_path):
+    """Exactly k per group (full count for groups >= k, everything for a
+    tiny group), identical to an independent pandas replay, and the draw
+    is block-layout-invariant: a differently-sharded copy of the corpus
+    returns the same sample."""
+    import hashlib
+
+    import pyarrow.parquet as pq_
+
+    import pdfray.pipelines.textops as T
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    langs = rng.choice(["en", "de", "fr"], size=n, p=[0.6, 0.3, 0.1]).tolist()
+    langs[:3] = ["xx", "xx", "xx"]  # tiny group, < k members
+    texts = ["doc " + str(i) for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(["s0"] * n),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "documents.parquet"))
+    out = T.t_group_uniform_sample(str(tmp_path))
+
+    df = pd.DataFrame({"lang": langs, "doc_id": np.arange(n, dtype=np.int64)})
+    df["hk"] = [
+        hashlib.md5(f"{i}{T.GROUP_SAMPLE_SALT}".encode()).hexdigest()[:16]
+        for i in df["doc_id"]
+    ]
+    ref = (
+        df.sort_values(["lang", "hk", "doc_id"])
+        .groupby("lang", sort=False)
+        .head(T.GROUP_SAMPLE_K)[["lang", "doc_id"]]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref)
+    sizes = out.groupby("lang").size()
+    assert sizes["en"] == T.GROUP_SAMPLE_K and sizes["xx"] == 3
+
+    # layout invariance: same rows, different shard layout -> same draw
+    d2 = tmp_path / "re"
+    d2.mkdir()
+    perm = rng.permutation(n)
+    pq_.write_table(t.take(pa.array(perm)), str(d2 / "documents.parquet"))
+    out2 = T.t_group_uniform_sample(str(d2))
+    pd.testing.assert_frame_equal(out, out2)
