@@ -1681,67 +1681,135 @@ def q_bloom_semi_join_parts(sf_dir: str):
 
 
 GAP_BUCKETS = 64
+GAP_CHUNK_DAYS = 7  # hot-key split width; stitch is correct for ANY width
+
+
+def _gap_merge_chunks(p: pd.DataFrame) -> pd.DataFrame:
+    """Combine per-(user, chunk) gap partials into per-user stats.  The
+    rows sort by (user, chunk) = time order (chunk = ts // width is
+    monotone in ts), so each adjacent same-user pair contributes exactly
+    one BOUNDARY gap (next chunk's first event minus this chunk's last) —
+    the only lag the per-chunk pass cannot see.  All sums stay exact
+    integers, so the final mean is one float division."""
+    import numpy as np
+
+    p = p.sort_values(["user_id", "chunk"])
+    same = p["user_id"].eq(p["user_id"].shift())
+    bgap = (p["first_ts"] - p["last_ts"].shift()).where(same)
+    agg = (
+        pd.DataFrame(
+            {
+                "user_id": p["user_id"],
+                "n_int": p["n_gaps"],
+                "s_int": p["gap_sum"],
+                "mn_int": p["gap_min"],
+                "mx_int": p["gap_max"],
+                "bgap": bgap,
+            }
+        )
+        .groupby("user_id")
+        .agg(
+            n_int=("n_int", "sum"),
+            s_int=("s_int", "sum"),
+            mn_int=("mn_int", "min"),
+            mx_int=("mx_int", "max"),
+            n_b=("bgap", "count"),
+            s_b=("bgap", "sum"),
+            mn_b=("bgap", "min"),
+            mx_b=("bgap", "max"),
+        )
+        .reset_index()
+    )
+    n = agg["n_int"] + agg["n_b"]
+    keep = n > 0
+    agg, n = agg[keep], n[keep]
+    s = agg["s_int"] + agg["s_b"].fillna(0)  # integer-valued, exact
+    return pd.DataFrame(
+        {
+            "user_id": agg["user_id"].astype("int64"),
+            "n_gaps": n.astype("int64"),
+            "min_gap_us": agg[["mn_int", "mn_b"]].min(axis=1).astype("int64"),
+            "max_gap_us": agg[["mx_int", "mx_b"]].max(axis=1).astype("int64"),
+            "mean_gap_us": s.astype("float64") / n.to_numpy(np.float64),
+        }
+    )
 
 
 def q_interevent_gap_stats(sf_dir: str):
     """Per-user inter-event gap statistics (count / min / max / mean of
     consecutive-event deltas in microseconds) — the windowed-lag shape.
 
-    ONE keyed shuffle (user-hash buckets, same plan as q_funnel); each
-    bucket sorts its slice by the total order (user_id, ts, event_id) and
-    takes vectorized groupby diffs — the lag never crosses buckets because
-    users are bucket-atomic.  Gap sums stay int64 (exact; a user would
-    need ~2^53 us of accumulated gaps to overflow double parity — document
-    scale note), so mean = sum/n is ONE float division, bit-identical to
-    the oracle's CAST(SUM AS DOUBLE)/COUNT.  Single-event users have no
-    gap and are absent, matching the oracle's WHERE gap IS NOT NULL."""
+    Hot-key-safe: the ONE event-sized shuffle keys on (user_id, time
+    chunk) via _session_keys — a pathological user owning half the corpus
+    splits across chunks instead of landing whole on one worker (the
+    q_sessionize lesson).  Each bucket takes vectorized diffs inside its
+    (user, chunk) slices and reduces to ONE partial row per (user, chunk)
+    — count/min/max/sum of internal gaps plus first/last event ts — and
+    the merge stitches the single boundary gap per adjacent chunk pair
+    (_gap_merge_chunks; correct for any chunk width).  The merge is
+    two-regime like q_pivot_event_matrix: driver pandas below
+    PIVOT_DRIVER_MAX_ROWS partial rows, a distributed groupby(user)
+    above.  Gap sums stay exact integers throughout, so the mean is ONE
+    float division — bit-identical to the oracle's
+    CAST(SUM AS DOUBLE)/COUNT.  Single-event users have no gap and are
+    absent, matching the oracle's WHERE gap IS NOT NULL."""
     import numpy as np
 
     ds = _read(
         sf_dir, "events", ["event_id", "ts", "user_id"], rows_per_block=12_500
     )
+    chunk_us = np.int64(GAP_CHUNK_DAYS) * 86_400_000_000
 
     def bucketize(t: pa.Table) -> pa.Table:
         users = t.column("user_id").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "bucket", pa.array(_user_bucket(users, GAP_BUCKETS).astype(np.int64))
-        )
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        chunk, bucket = _session_keys(users, ts_us, GAP_BUCKETS, chunk_us)
+        t = t.append_column("chunk", pa.array(chunk, pa.int64()))
+        return t.append_column("bucket", pa.array(bucket))
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"])
+        g = g.sort_values(["user_id", "chunk", "ts", "event_id"])
         ts_us = g["ts"].astype("int64")
-        gaps = ts_us.groupby(g["user_id"].to_numpy()).diff()
-        gg = pd.DataFrame({"user_id": g["user_id"], "gap": gaps}).dropna()
-        if gg.empty:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.array([], "int64"),
-                    "n_gaps": pd.array([], "int64"),
-                    "min_gap_us": pd.array([], "int64"),
-                    "max_gap_us": pd.array([], "int64"),
-                    "mean_gap_us": pd.array([], "float64"),
-                }
-            )
-        gg["gap"] = gg["gap"].astype("int64")
-        agg = (
-            gg.groupby("user_id")["gap"]
-            .agg(n_gaps="count", min_gap_us="min", max_gap_us="max", s="sum")
-            .reset_index()
+        same = g["user_id"].eq(g["user_id"].shift()) & g["chunk"].eq(
+            g["chunk"].shift()
         )
-        return pd.DataFrame(
+        gap = ts_us.diff().where(same)
+        d = pd.DataFrame(
             {
-                "user_id": agg["user_id"].astype("int64"),
-                "n_gaps": agg["n_gaps"].astype("int64"),
-                "min_gap_us": agg["min_gap_us"].astype("int64"),
-                "max_gap_us": agg["max_gap_us"].astype("int64"),
-                "mean_gap_us": agg["s"].astype("float64") / agg["n_gaps"],
+                "user_id": g["user_id"],
+                "chunk": g["chunk"],
+                "ts_us": ts_us,
+                "gap": gap,
             }
         )
+        part = (
+            d.groupby(["user_id", "chunk"], sort=False)
+            .agg(
+                n_gaps=("gap", "count"),
+                gap_sum=("gap", "sum"),
+                gap_min=("gap", "min"),
+                gap_max=("gap", "max"),
+                first_ts=("ts_us", "min"),
+                last_ts=("ts_us", "max"),
+            )
+            .reset_index()
+        )
+        part["n_gaps"] = part["n_gaps"].astype("int64")
+        part["gap_sum"] = part["gap_sum"].astype("int64")  # NaN-free: sum skips
+        return part
 
-    out = (
+    parts = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(resolve, batch_format="pandas")
-        .to_pandas()  # one row per user
+        .materialize()  # one narrow row per (user, chunk), never events
     )
+    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
+        out = _gap_merge_chunks(parts.to_pandas())
+    else:
+        out = (
+            parts.groupby("user_id")
+            .map_groups(_gap_merge_chunks, batch_format="pandas")
+            .to_pandas()
+        )
     return out.sort_values("user_id").reset_index(drop=True)

@@ -3690,11 +3690,19 @@ def t_group_uniform_sample(sf_dir: str):
                 "hk": hk,
             }
         )
-        return pa.Table.from_pandas(
+        head = (
             df.sort_values(["lang", "hk", "doc_id"])
             .groupby("lang", sort=False)
-            .head(GROUP_SAMPLE_K),
-            preserve_index=False,
+            .head(GROUP_SAMPLE_K)
+        )
+        # pin the schema: from_pandas infers NULL-typed columns from an
+        # all-empty object column, which would poison the block union
+        return pa.table(
+            {
+                "lang": pa.array(head["lang"].tolist(), pa.string()),
+                "doc_id": pa.array(head["doc_id"].to_numpy(np.int64)),
+                "hk": pa.array(head["hk"].tolist(), pa.string()),
+            }
         )
 
     parts = (

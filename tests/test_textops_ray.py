@@ -2370,3 +2370,55 @@ def test_group_uniform_sample_exact_k_and_uniform(ray_session, tmp_path):
     pq_.write_table(t.take(pa.array(perm)), str(d2 / "documents.parquet"))
     out2 = T.t_group_uniform_sample(str(d2))
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_interevent_gap_stats_chunk_split_and_regimes(
+    ray_session, tmp_path, monkeypatch
+):
+    """The hot-key chunk split is exercised hard: a months-long corpus
+    with a 1-day chunk width (every user straddles many chunks, so most
+    gaps are BOUNDARY gaps stitched in the merge), a planted pair that
+    straddles a chunk boundary exactly, and the forced distributed-
+    groupby merge regime — all must equal the plain pandas lag reference
+    and each other."""
+    import pdfray.pipelines.relational as R
+
+    monkeypatch.setattr(R, "GAP_CHUNK_DAYS", 1)
+    rng = np.random.default_rng(29)
+    n = 4000
+    users = np.where(rng.random(n) < 0.5, 3, rng.integers(0, 60, n))
+    base = 1_700_000_000_000_000
+    day_us = 86_400_000_000
+    ts = base + rng.integers(0, 90 * day_us, n)
+    # planted boundary-straddling pair: 1us before / after a chunk edge
+    edge = (base // day_us + 10) * day_us
+    users[:2] = 777
+    ts[0], ts[1] = edge - 1, edge + 1
+    _write_events(tmp_path, users, ts, ["view"] * n)
+    out = R.q_interevent_gap_stats(str(tmp_path))
+
+    df = pd.DataFrame(
+        {"user_id": users, "ts_us": ts, "event_id": np.arange(n, dtype=np.int64)}
+    ).sort_values(["user_id", "ts_us", "event_id"])
+    df["gap"] = df.groupby("user_id")["ts_us"].diff()
+    g = df.dropna(subset=["gap"]).copy()
+    g["gap"] = g["gap"].astype("int64")
+    ref = (
+        g.groupby("user_id")["gap"]
+        .agg(n_gaps="count", min_gap_us="min", max_gap_us="max", s="sum")
+        .reset_index()
+    )
+    ref["mean_gap_us"] = ref["s"].astype("float64") / ref["n_gaps"]
+    ref = (
+        ref.drop(columns="s")
+        .astype({"user_id": "int64", "n_gaps": "int64",
+                 "min_gap_us": "int64", "max_gap_us": "int64"})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref)
+    assert int(out[out["user_id"] == 777]["min_gap_us"].iloc[0]) == 2
+
+    monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
+    big = R.q_interevent_gap_stats(str(tmp_path))
+    pd.testing.assert_frame_equal(out, big)
