@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_weighted_sample": T.t_weighted_sample,
         "t_cms_wordcounts": T.t_cms_wordcounts,
         "t_group_uniform_sample": T.t_group_uniform_sample,
+        "q_rollup_pricing": R.q_rollup_pricing,
     }
 
 
@@ -1965,6 +1966,14 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY "
             "substr(md5(CAST(doc_id AS VARCHAR) || ':gs7'), 1, 16), doc_id"
             ") AS rn FROM documents) WHERE rn <= 16 ORDER BY lang, doc_id"
+        ),
+        "q_rollup_pricing": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+            "ORDER BY l_returnflag, l_linestatus"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

@@ -121,6 +121,7 @@ QUERY_NAMES = [
     "t_weighted_sample",
     "t_cms_wordcounts",
     "t_group_uniform_sample",
+    "q_rollup_pricing",
     "q_sessionize",
     "q_retention_cohorts",
     "q_funnel",

@@ -1813,3 +1813,67 @@ def q_interevent_gap_stats(sf_dir: str):
             .to_pandas()
         )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus) — the OLAP cube trick:
+    ONE combiner pass computes the finest-grain cells, and every coarser
+    level (per-flag subtotals, the grand total) is an ADDITIVE driver fold
+    of those cells — never a rescan, never a second shuffle.  Rolled
+    columns carry the literal 'ALL' (COALESCE'd identically in the
+    oracle) so no NULL-ordering convention crosses the engine/SQL
+    boundary.  Counts are exact ints; quantity sums are integer-valued
+    doubles (exact in any order)."""
+    import numpy as np
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity"],
+        rows_per_block=100_000,
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "n_lines": pa.array(np.ones(len(t), np.int64)),
+                "sum_qty": t.column("l_quantity"),
+            }
+        )
+        g = tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("n_lines", "sum"), ("sum_qty", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "n_lines", "sum_qty"]
+        )
+
+    base = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()  # bounded: |flags| x |statuses| x blocks rows
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+            ["n_lines", "sum_qty"]
+        ]
+        .sum()
+    )
+    lvl1 = base.groupby("l_returnflag", as_index=False)[
+        ["n_lines", "sum_qty"]
+    ].sum()
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "n_lines": [base["n_lines"].sum()],
+            "sum_qty": [base["sum_qty"].sum()],
+        }
+    )
+    out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+    out["n_lines"] = out["n_lines"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return (
+        out[["l_returnflag", "l_linestatus", "n_lines", "sum_qty"]]
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )

@@ -2422,3 +2422,54 @@ def test_interevent_gap_stats_chunk_split_and_regimes(
     monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
     big = R.q_interevent_gap_stats(str(tmp_path))
     pd.testing.assert_frame_equal(out, big)
+
+
+def test_rollup_pricing_levels_consistent(ray_session, tmp_path):
+    """The additive fold invariants: each per-flag subtotal equals the sum
+    of its finest cells, the grand total equals everything, and the whole
+    frame equals a pandas recomputation on a randomized table."""
+    import pyarrow.parquet as pq_
+
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(41)
+    n = 8000
+    flags = rng.choice(["A", "N", "R"], size=n)
+    status = rng.choice(["F", "O"], size=n)
+    qty = rng.integers(1, 51, n).astype(np.float64)
+    pq_.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(flags.tolist(), pa.string()),
+                "l_linestatus": pa.array(status.tolist(), pa.string()),
+                "l_quantity": pa.array(qty),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = R.q_rollup_pricing(str(tmp_path))
+
+    df = pd.DataFrame(
+        {"l_returnflag": flags, "l_linestatus": status, "l_quantity": qty}
+    )
+    fine = out[(out["l_returnflag"] != "ALL") & (out["l_linestatus"] != "ALL")]
+    ref_fine = (
+        df.groupby(["l_returnflag", "l_linestatus"])
+        .agg(n_lines=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+        .reset_index()
+    )
+    ref_fine["n_lines"] = ref_fine["n_lines"].astype("int64")
+    ref_fine["sum_qty"] = ref_fine["sum_qty"].round(2)
+    pd.testing.assert_frame_equal(
+        fine.reset_index(drop=True), ref_fine.sort_values(
+            ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    )
+    for f in ("A", "N", "R"):
+        sub = out[(out["l_returnflag"] == f) & (out["l_linestatus"] == "ALL")]
+        cells = fine[fine["l_returnflag"] == f]
+        assert int(sub["n_lines"].iloc[0]) == int(cells["n_lines"].sum())
+        assert float(sub["sum_qty"].iloc[0]) == pytest.approx(
+            float(cells["sum_qty"].sum())
+        )
+    tot = out[(out["l_returnflag"] == "ALL")]
+    assert int(tot["n_lines"].iloc[0]) == n
