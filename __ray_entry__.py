@@ -1084,8 +1084,12 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY n_name ORDER BY n_name"
         ),
         "q_events_json": (
+            # floor division, NOT DuckDB's // (which truncates toward zero:
+            # -12 // 10 = -1) — the engine buckets with numpy floor_divide
+            # so negative k lands in contiguous width-10 buckets
             "SELECT event_type, "
-            "CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket, "
+            "CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10.0) "
+            "AS BIGINT) AS k_bucket, "
             "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY event_type, k_bucket "
             "ORDER BY event_type, k_bucket"

@@ -43,9 +43,29 @@ def _read(sf_dir: str, table: str, columns=None, rows_per_block: int = None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kwargs)
 
 
+def round_half_away(x, nd: int):
+    """DuckDB-ROUND-parity rounding: ties go AWAY from zero, like the
+    std::round DuckDB applies to the scaled double — numpy/pandas round
+    is banker's (ties to even), and the two diverge EXACTLY on .xx5 ties,
+    which clean decimal/binary-grid data does hit (found by the
+    hostile-events harness: a 1/64-grid value sum of 33.125 rounded to
+    33.12 here and 33.13 in the oracle).  Identical to np.round
+    everywhere except exact ties on the scaled double, where the
+    away-from-zero branch replays DuckDB; near-ties (inexact products
+    like 1.005 * 100 = 100.4999…) take np.round's correctly-rounded
+    path, which is also what std::round returns there."""
+    import numpy as np
+
+    p = 10.0 ** nd
+    t = np.asarray(x, dtype=np.float64) * p
+    fl = np.floor(t)
+    tie = (t - fl) == 0.5
+    return np.where(tie, np.where(t >= 0.0, fl + 1.0, fl), np.round(t)) / p
+
+
 def _round_cols(df, spec: dict):
     for col, nd in spec.items():
-        df[col] = df[col].round(nd)
+        df[col] = round_half_away(df[col].to_numpy(), nd)
     return df
 
 
@@ -126,7 +146,7 @@ def _user_bucket(users, n_buckets: int):
     ) % n_buckets
 
 
-def _topk(ds, k: int, keys, descending) -> pd.DataFrame:
+def _topk(ds, k: int, keys, descending, empty_schema=None) -> pd.DataFrame:
     """Distributed top-k WITHOUT a global sort.
 
     `sort().limit(k)` in Ray Data is a full range shuffle of the input even
@@ -145,7 +165,20 @@ def _topk(ds, k: int, keys, descending) -> pd.DataFrame:
             return t
         return t.take(pc.sort_indices(t, sort_keys=order)[:k])
 
-    small = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    mapped = ds.map_batches(local_topk, batch_format="pyarrow")
+    small = mapped.to_pandas()
+    if len(small.columns) == 0:
+        # a predicate that matches NOTHING leaves only empty blocks, which
+        # Ray drops from the collect (and may lose the schema entirely) —
+        # rebuild the typed empty frame instead of KeyError'ing in the
+        # sort (found by the hostile-lineitem harness)
+        sch = mapped.schema()
+        arrow = sch.base_schema if sch is not None else empty_schema
+        if arrow is None:
+            raise ValueError(
+                "_topk over a fully-empty unschema'd stream: pass empty_schema"
+            )
+        small = arrow.empty_table().to_pandas()
     asc = [not d for d in descending]
     return (
         small.sort_values(list(keys), ascending=asc)
@@ -263,7 +296,7 @@ def q_filter_topk(sf_dir: str):
             {
                 "l_orderkey": t.column("l_orderkey"),
                 "l_linenumber": t.column("l_linenumber"),
-                "revenue": pc.round(revenue, 2),
+                "revenue": pc.round(revenue, 2, round_mode="half_towards_infinity"),
             }
         )
 
@@ -272,6 +305,13 @@ def q_filter_topk(sf_dir: str):
         100,
         ["revenue", "l_orderkey", "l_linenumber"],
         [True, False, False],
+        empty_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("revenue", pa.float64()),
+            ]
+        ),
     )
 
 
@@ -423,7 +463,7 @@ def q_events_rollup(sf_dir: str):
         )
         .to_pandas()
     )
-    df["avg_value"] = (df["sum_value"] / df["n_vals"]).round(4)
+    df["avg_value"] = round_half_away((df["sum_value"] / df["n_vals"]).to_numpy(), 4)
     df = df[["event_type", "n_events", "avg_value", "n_users"]]
     return df.sort_values("event_type").reset_index(drop=True)
 
@@ -1142,8 +1182,8 @@ def q_rolling_revenue(sf_dir: str):
         lo = dt[i] - pd.Timedelta(days=ROLLING_DAYS - 1)
         mask = (dt >= lo) & (dt <= dt[i])
         rolling[i] = rev[mask.to_numpy()].sum()
-    daily["revenue"] = daily["revenue"].round(2)
-    daily["rolling_7d"] = np.round(rolling, 2)
+    daily["revenue"] = round_half_away(daily["revenue"].to_numpy(), 2)
+    daily["rolling_7d"] = round_half_away(rolling, 2)
     daily["n_purchases"] = daily["n_purchases"].astype("int64")
     return daily
 
@@ -1395,7 +1435,7 @@ def _hll_finalize(v_zero: int, t_scaled: int):
     est = alpha_mm * 8589934592.0 / t_scaled
     if est <= 2.5 * HLL_M and v_zero > 0:
         est = 4096.0 * math.log(4096.0 / v_zero)
-    return round(est, 4)
+    return float(round_half_away(est, 4))
 
 
 def q_hll_user_days(sf_dir: str):
@@ -1505,7 +1545,7 @@ def q_group_quantiles(sf_dir: str):
             lo = int(np.floor(h))
             xlo = vals[np.searchsorted(cum, lo + 1)]
             xhi = vals[np.searchsorted(cum, lo + 2)] if lo + 1 < n else xlo
-            row[name] = round(float(xlo + (h - lo) * (xhi - xlo)), 6)
+            row[name] = float(round_half_away(xlo + (h - lo) * (xhi - xlo), 6))
         rows.append(row)
     out = pd.DataFrame(
         rows, columns=["l_returnflag", "n_lines", "med_qty", "p90_qty"]
@@ -1676,7 +1716,7 @@ def q_bloom_semi_join_parts(sf_dir: str):
         .sum()
     )
     df["n_lines"] = df["n_lines"].astype("int64")
-    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_qty"] = round_half_away(df["sum_qty"].to_numpy(), 2)
     return df[cols].sort_values("p_brand").reset_index(drop=True)
 
 
@@ -1871,7 +1911,7 @@ def q_rollup_pricing(sf_dir: str):
     )
     out = pd.concat([base, lvl1, lvl0], ignore_index=True)
     out["n_lines"] = out["n_lines"].astype("int64")
-    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_qty"] = round_half_away(out["sum_qty"].to_numpy(), 2)
     return (
         out[["l_returnflag", "l_linestatus", "n_lines", "sum_qty"]]
         .sort_values(["l_returnflag", "l_linestatus"])

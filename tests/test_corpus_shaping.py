@@ -578,3 +578,254 @@ def test_bloom_primitives_never_false_negative():
     assert fp < 0.01, fp
     ebits, em = _bloom_build(np.array([], dtype=object))
     assert not _bloom_test(ebits, em, other).any()
+
+
+EVENTS_ORACLE_QUERIES = [
+    "q_events_rollup",
+    "q_events_json",
+    "q_events_window",
+    "q_asof_attribution",
+    "q_sessionize",
+    "q_retention_cohorts",
+    "q_funnel",
+    "q_rolling_revenue",
+    "q_range_join_view_purchase",
+    "q_pivot_event_matrix",
+    "q_hll_user_days",
+    "q_interevent_gap_stats",
+]
+
+_PROPS_POOL = [
+    '{"k": 5}',
+    '{ "k" : -12 }',
+    '{"a":{"b":1},"k":42}',
+    '{"a":"k","k":3}',
+    '{"k":0}',
+]
+
+
+@pytest.mark.parametrize("variant", ["fixed", "random"])
+def test_hostile_events_oracle_parity(ray_session, tmp_path, variant):
+    """The documents-harness idea applied to the EVENTS family: the real
+    driver comparison (engine vs registered oracle SQL, dtype-strict) over
+    a hostile events table — identical-timestamp ties, a single-event
+    user, a hot user owning ~half the corpus across months, events planted
+    EXACTLY on the session-gap and range-join window edges, an event type
+    outside the pivot/funnel vocabulary, a pre-epoch (1969) user,
+    negative/nested/escaped JSON props, and negative binary-grid values
+    (exactly representable, so ROUND boundaries cannot differ).  This
+    harness found the q_events_json floor-vs-truncating division
+    divergence on negative k."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    H = 3_600_000_000
+    MIN = 60_000_000
+    base = 1_700_000_000_000_000
+    rows = []
+
+    def add(user, ts, typ, value=1.0, props=None):
+        rows.append(
+            (
+                len(rows),
+                int(ts),
+                int(user),
+                typ,
+                float(value),
+                props or _PROPS_POOL[len(rows) % len(_PROPS_POOL)],
+            )
+        )
+
+    if variant == "fixed":
+        add(1, base, "view")  # single-event user
+        add(2, base, "view")  # identical-ts tie pair
+        add(2, base, "view")
+        add(2, base + 4 * H, "click")  # exactly the session gap
+        add(2, base + 4 * H + 1, "purchase")  # 1us past it
+        add(2, base + 60 * MIN, "purchase")  # exactly the range-join window
+        for i in range(200):  # hot user across months, incl. unknown type
+            add(
+                3,
+                base + i * 7 * H + (i % 3),
+                ["view", "click", "weird", "purchase", "signup"][i % 5],
+                value=((-1) ** i) * (i % 7) / 64.0,
+            )
+        add(4, base + H, "weird")  # only-unknown-type user
+        add(4, base + 2 * H, "weird")
+        add(5, base, "purchase")  # purchase BEFORE any view (funnel strict)
+        add(5, base + H, "view")
+        add(6, -86_400_000_000 + 123, "view")  # pre-epoch user
+        add(6, -86_400_000_000 + 456, "purchase")
+        add(7, base + 9 * H, "click")  # same-ts click tie -> as-of tiebreak
+        add(7, base + 9 * H, "click")
+        add(7, base + 9 * H + MIN, "purchase")
+    else:
+        rng = np.random.RandomState(131)
+        day = 86_400_000_000
+        grid = rng.choice(np.arange(0, 120 * day, 6 * H), size=600)  # tie-heavy
+        for i in range(600):
+            user = 3 if rng.rand() < 0.45 else int(rng.randint(0, 40))
+            typ = rng.choice(
+                ["view", "click", "purchase", "signup", "error", "weird"]
+            )
+            val = rng.randint(-320, 320) / 64.0
+            add(user, base + int(grid[i]) + int(rng.randint(0, 3)), typ, val)
+
+    ids, ts, users, types, vals, props = map(list, zip(*rows))
+    t = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(props, pa.string()),
+        }
+    )
+    d = tmp_path / "adv_events"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    for name in EVENTS_ORACLE_QUERIES:
+        got = qs[name](str(d))
+        want = con.execute(osql[name]).df()
+        got = got[sorted(got.columns)].reset_index(drop=True)
+        want = want[sorted(want.columns)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=True, obj=name)
+
+
+def test_round_half_away_matches_duckdb_battery():
+    """round_half_away replays DuckDB's ROUND on an adversarial battery:
+    exact .xx5 ties (positive and negative), near-ties whose scaled double
+    falls just under the tie (1.005 * 100 = 100.4999…), inexact decimals,
+    and binary-grid values — the cases where banker's rounding silently
+    diverges from the oracle."""
+    import duckdb
+
+    from pdfray.pipelines.relational import round_half_away
+
+    con = duckdb.connect()
+    vals = [
+        33.125, -33.125, 0.625, -0.625, 0.005, -0.005, 2.675,
+        1.005, -1.005, 12345.675, -12345.675, 0.046875, 33.135,
+        -33.135, 0.0, -0.0, 1e15 + 0.5, 7.5, -7.5,
+    ]
+    for nd in (0, 2, 4):
+        for v in vals:
+            want = con.execute(
+                f"SELECT ROUND(CAST(? AS DOUBLE), {nd})", [v]
+            ).fetchone()[0]
+            got = float(round_half_away(v, nd))
+            assert got == want, (v, nd, got, want)
+
+
+RELATIONAL_ORACLE_QUERIES = [
+    "q1_pricing_summary",
+    "q_filter_topk",
+    "q_distinct_flags",
+    "q_group_quantiles",
+    "q_rollup_pricing",
+    "q_hash_join_brand",
+    "q_bloom_semi_join_parts",
+]
+
+
+@pytest.mark.parametrize("variant", ["fixed", "random"])
+def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
+    """Driver-compare the pricing/join family over a hostile lineitem/part
+    pair: 1/64-grid money (sums land EXACTLY on .xx5 rounding ties — the
+    banker's-vs-ROUND divergence class), discount 0 and 1 (zero revenue),
+    tax 0, a single-row (flag, status) group, fractional quantities,
+    shipdate exactly at the filter cut and 1us before, a >100-row
+    identical-revenue tie run straddling the top-k cut, dangling
+    partkeys, matchless parts, and p_size exactly at the bloom-join
+    threshold."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.RandomState(211 if variant == "random" else 17)
+    n = 3000 if variant == "random" else 600
+    flags = rng.choice(["A", "N", "R"], n)
+    status = rng.choice(["F", "O"], n)
+    qty = rng.randint(1, 201, n) / 4.0  # fractional quantities, ties
+    price = rng.randint(0, 64000, n) / 64.0  # 1/64 money grid
+    disc = rng.randint(0, 65, n) / 64.0  # includes exactly 0 and 1
+    tax = rng.randint(0, 33, n) / 64.0
+    cut = 836_179_200_000_000  # 1996-07-01, the q_filter_topk cut
+    ship = cut + rng.randint(-10**9, 10**9, n)
+    pkeys = rng.randint(0, 260, n)  # 200 parts exist: some dangling
+    okeys = rng.randint(0, 500, n)
+    lnum = rng.randint(1, 8, n)
+    if variant == "fixed":
+        # single-row group
+        flags[0], status[0] = "A", "F"
+        flags[1:] = np.where((flags[1:] == "A") & (status[1:] == "F"), "N", flags[1:])
+        # shipdate boundary: exactly at the cut (excluded) and 1us before
+        ship[2], ship[3] = cut, cut - 1
+        # >100-row identical-revenue tie run: price*(1-disc) identical
+        price[10:130], disc[10:130] = 512.0, 0.25
+        ship[10:130] = cut - 10**6
+        okeys[10:130] = np.arange(120) * 7 % 500  # distinct tiebreak keys
+        # .xx5-tie revenue: 33.125 = 66.25 * (1 - 0.5)
+        price[5], disc[5] = 66.25, 0.5
+        ship[5] = cut - 5
+
+    import pyarrow.parquet as pq_ 
+
+    li = pa.table(
+        {
+            "l_orderkey": pa.array(okeys.astype(np.int64)),
+            "l_partkey": pa.array(pkeys.astype(np.int64)),
+            "l_suppkey": pa.array(np.zeros(n, np.int64)),
+            "l_linenumber": pa.array(lnum.astype(np.int32), pa.int32()),
+            "l_quantity": pa.array(qty.astype(np.float64)),
+            "l_extendedprice": pa.array(price.astype(np.float64)),
+            "l_discount": pa.array(disc.astype(np.float64)),
+            "l_tax": pa.array(tax.astype(np.float64)),
+            "l_returnflag": pa.array(flags.tolist(), pa.string()),
+            "l_linestatus": pa.array(status.tolist(), pa.string()),
+            "l_shipdate": pa.array(ship.astype(np.int64), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    n_part = 200
+    part = pa.table(
+        {
+            "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+            "p_name": pa.array([f"part {i}" for i in range(n_part)]),
+            "p_brand": pa.array([f"Brand#{i % 7}" for i in range(n_part)]),
+            "p_type": pa.array(["t"] * n_part),
+            # sizes straddle the bloom threshold, incl. exactly 48
+            "p_size": pa.array(
+                (np.arange(n_part) % 51).astype(np.int32), pa.int32()
+            ),
+            "p_retailprice": pa.array(np.ones(n_part)),
+        }
+    )
+    d = tmp_path / "adv_rel"
+    d.mkdir()
+    pq_.write_table(li, str(d / "lineitem.parquet"))
+    pq_.write_table(part, str(d / "part.parquet"))
+
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for tbl in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{d}/{tbl}.parquet')"
+        )
+    for name in RELATIONAL_ORACLE_QUERIES:
+        got = qs[name](str(d))
+        want = con.execute(osql[name]).df()
+        got = got[sorted(got.columns)].reset_index(drop=True)
+        want = want[sorted(want.columns)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=True, obj=name)

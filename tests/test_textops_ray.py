@@ -2473,3 +2473,31 @@ def test_rollup_pricing_levels_consistent(ray_session, tmp_path):
         )
     tot = out[(out["l_returnflag"] == "ALL")]
     assert int(tot["n_lines"].iloc[0]) == n
+
+
+def test_filter_topk_empty_match_returns_typed_frame(ray_session, tmp_path):
+    """A predicate matching NOTHING must return the empty typed contract
+    frame — Ray drops all-empty blocks from the collect, which used to
+    KeyError inside _topk's driver sort (hostile-lineitem harness find)."""
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.relational import q_filter_topk
+
+    n = 50
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+            "l_linenumber": pa.array(np.ones(n, np.int32), pa.int32()),
+            "l_extendedprice": pa.array(np.full(n, 10.0)),
+            "l_discount": pa.array(np.zeros(n)),
+            # every row AFTER the 1996-07-01 cut -> zero matches
+            "l_shipdate": pa.array(
+                np.full(n, 1_700_000_000_000_000, np.int64), pa.int64()
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    pq_.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = q_filter_topk(str(tmp_path))
+    assert list(out.columns) == ["l_orderkey", "l_linenumber", "revenue"]
+    assert len(out) == 0
+    assert out["revenue"].dtype == np.float64
