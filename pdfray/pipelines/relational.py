@@ -83,6 +83,11 @@ class _SegmentRollup:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         idx = pc.index_in(t.column("o_custkey"), value_set=self.keys)
+        # INNER-join semantics: a dangling foreign key misses the lookup
+        # (null index) and must be DROPPED, not grouped under a null
+        # segment (crashed the groupby sort — hostile-star harness find)
+        keep = pc.is_valid(idx)
+        t, idx = t.filter(keep), idx.filter(keep)
         # combiner: reduce the batch to one row per segment BEFORE the
         # shuffle — the groupby then exchanges a handful of partial rows
         # per block instead of every order
@@ -114,6 +119,9 @@ class _ValueLookup:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         idx = pc.index_in(t.column(self.key_col), value_set=self.keys)
+        # INNER-join semantics: drop dangling keys (see _SegmentRollup)
+        keep = pc.is_valid(idx)
+        t, idx = t.filter(keep), idx.filter(keep)
         cols = {self.value_name: pc.take(self.values, idx)}
         for c in self.keep_cols:
             cols[c] = t.column(c)

@@ -829,3 +829,135 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
         got = got[sorted(got.columns)].reset_index(drop=True)
         want = want[sorted(want.columns)].reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=True, obj=name)
+
+
+STAR_ORACLE_QUERIES = [
+    "q_broadcast_join_segment",
+    "q_semi_join_big_customers",
+    "q_anti_join_quiet_customers",
+    "q_top_order_per_customer",
+    "q_orders_by_month",
+    "q_orders_topk",
+    "q_supplier_nation",
+    "q_nation_region",
+]
+
+
+@pytest.mark.parametrize("variant", ["fixed", "random"])
+def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
+    """Hostile customer/orders/supplier/nation/region star: dangling
+    foreign keys on every join, a customer with zero orders (anti-join
+    hit), an order total EXACTLY at the semi-join threshold (excluded) and
+    one cent above, per-customer price ties (orderkey tiebreak), .xx5
+    acctbal rounding ties, unicode names, month-boundary and pre-epoch
+    order dates, a nation with no suppliers and a region with no
+    nations."""
+    import duckdb
+    import pyarrow.parquet as pq_
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.RandomState(307 if variant == "random" else 19)
+    n_cust, n_ord = 40, 500 if variant == "random" else 120
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+            "c_name": pa.array(
+                [f"Custömer#{i}" if i % 7 == 0 else f"c{i}" for i in range(n_cust)]
+            ),
+            "c_nationkey": pa.array(
+                (np.arange(n_cust) % 6).astype(np.int32), pa.int32()
+            ),
+            # includes negative and exact .xx5 tie balances
+            "c_acctbal": pa.array(
+                [(-1) ** i * (i * 64 + 8) / 64.0 for i in range(n_cust)]
+            ),
+            "c_mktsegment": pa.array(
+                [["AUTO", "HOUSE", "MACH"][i % 3] for i in range(n_cust)]
+            ),
+        }
+    )
+    ok = np.arange(n_ord, dtype=np.int64)
+    # dangling custkeys (45+) and customer 0 has NO orders
+    oc = rng.randint(1, 48, n_ord).astype(np.int64)
+    price = (rng.randint(1, 50_000_000, n_ord) / 100.0).round(2)  # exact cents
+    day = 86_400_000_000
+    base = 820_454_400_000_000  # 1996-01-01
+    odate = base + rng.randint(0, 1200, n_ord) * day + rng.randint(0, day, n_ord)
+    if variant == "fixed":
+        price[0], price[1] = 400000.00, 400000.01  # semi threshold edge
+        oc[0], oc[1] = 2, 3
+        price[2], price[3] = 1234.56, 1234.56  # per-customer tie
+        oc[2], oc[3] = 5, 5
+        # month boundary: last us of Jan 1997 / first of Feb; pre-epoch
+        jan_end = 852_076_800_000_000 - 1  # 1997-02-01 minus 1us
+        odate[4], odate[5] = jan_end, jan_end + 1
+        odate[6] = -400 * day  # 1968
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(ok),
+            "o_custkey": pa.array(oc),
+            "o_orderstatus": pa.array(["O"] * n_ord),
+            "o_totalprice": pa.array(price.astype(np.float64)),
+            "o_orderdate": pa.array(odate.astype(np.int64), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(
+                [["1-URGENT", "3-MEDIUM", "5-LOW"][i % 3] for i in range(n_ord)]
+            ),
+        }
+    )
+    n_supp = 25
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+            "s_name": pa.array([f"Süpplier#{i}" for i in range(n_supp)]),
+            # nation 0 gets no suppliers; keys 7-9 dangle (no nation)
+            "s_nationkey": pa.array(
+                (1 + np.arange(n_supp) % 9).astype(np.int32), pa.int32()
+            ),
+            "s_acctbal": pa.array(
+                [(-1) ** i * (i * 32 + 16) / 64.0 for i in range(n_supp)]
+            ),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(7, dtype=np.int32), pa.int32()),
+            "n_name": pa.array([f"NATIÖN{i}" for i in range(7)]),
+            # region 0 has no nations; key 4 dangles (no region)
+            "n_regionkey": pa.array(
+                (1 + np.arange(7) % 4).astype(np.int32), pa.int32()
+            ),
+        }
+    )
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(np.arange(4, dtype=np.int32), pa.int32()),
+            "r_name": pa.array([f"REGIÖN{i}" for i in range(4)]),
+        }
+    )
+    d = tmp_path / "adv_star"
+    d.mkdir()
+    for name, t in (
+        ("customer", cust),
+        ("orders", orders),
+        ("supplier", supplier),
+        ("nation", nation),
+        ("region", region),
+    ):
+        pq_.write_table(t, str(d / f"{name}.parquet"))
+
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for tbl in ("customer", "orders", "supplier", "nation", "region"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{d}/{tbl}.parquet')"
+        )
+    for name in STAR_ORACLE_QUERIES:
+        got = qs[name](str(d))
+        want = con.execute(osql[name]).df()
+        got = got[sorted(got.columns)].reset_index(drop=True)
+        want = want[sorted(want.columns)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=True, obj=name)
