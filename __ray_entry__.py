@@ -327,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_cms_wordcounts": T.t_cms_wordcounts,
         "t_group_uniform_sample": T.t_group_uniform_sample,
         "q_rollup_pricing": R.q_rollup_pricing,
+        "q_ohlc_daily": R.q_ohlc_daily,
     }
 
 
@@ -1978,6 +1979,21 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(l_quantity), 2) AS sum_qty "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) "
             "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "q_ohlc_daily": (
+            # open/close = first/last value under the (ts, event_id) total
+            # order; raw value passthrough, so no rounding either side
+            "WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "value, ts, event_id FROM events), "
+            "w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, day "
+            "ORDER BY ts, event_id) AS rn_a, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type, day "
+            "ORDER BY ts DESC, event_id DESC) AS rn_d FROM e) "
+            "SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "MIN(value) AS low, MAX(value) AS high, "
+            "MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v, "
+            "MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v "
+            "FROM w GROUP BY event_type, day ORDER BY event_type, day"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

@@ -122,6 +122,7 @@ QUERY_NAMES = [
     "t_cms_wordcounts",
     "t_group_uniform_sample",
     "q_rollup_pricing",
+    "q_ohlc_daily",
     "q_sessionize",
     "q_retention_cohorts",
     "q_funnel",

@@ -1925,3 +1925,87 @@ def q_rollup_pricing(sf_dir: str):
         .sort_values(["l_returnflag", "l_linestatus"])
         .reset_index(drop=True)
     )
+
+
+def _ohlc_merge(p: pd.DataFrame) -> pd.DataFrame:
+    """Combine per-block OHLC partials per (event_type, day).  Open/close
+    are order-sensitive but MERGEABLE: each partial carries the value AND
+    its (ts, event_id) key, so the merge just keeps the lexicographically
+    smallest/largest key per group — associativity restored by carrying
+    the ordering key with the value."""
+    lo = p.sort_values(["event_type", "day", "open_ts", "open_id"]).groupby(
+        ["event_type", "day"], sort=False, as_index=False
+    )
+    hi = p.sort_values(
+        ["event_type", "day", "close_ts", "close_id"], ascending=[True, True, False, False]
+    ).groupby(["event_type", "day"], sort=False, as_index=False)
+    agg = p.groupby(["event_type", "day"], as_index=False).agg(
+        n_events=("n", "sum"), low=("vmin", "min"), high=("vmax", "max")
+    )
+    out = (
+        agg.merge(lo.first()[["event_type", "day", "open_v"]], on=["event_type", "day"])
+        .merge(hi.first()[["event_type", "day", "close_v"]], on=["event_type", "day"])
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[
+        ["event_type", "day", "n_events", "low", "high", "open_v", "close_v"]
+    ]
+
+
+def q_ohlc_daily(sf_dir: str):
+    """Daily OHLC bars per event type (open/high/low/close of `value`) —
+    the order-sensitive-but-mergeable aggregate shape: blocks reduce to
+    one partial row per (type, day) carrying min/max plus the open/close
+    VALUES WITH their (ts, event_id) ordering keys, so partial merge is
+    associative and the exchange never carries events.  Two-regime merge
+    (driver / distributed groupby) like q_pivot_event_matrix.  Values
+    pass through untouched (no arithmetic), so the compare needs no
+    rounding at all; ties on ts resolve by event_id, pinned on both
+    sides."""
+    import numpy as np
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "event_type", "value"],
+        rows_per_block=12_500,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        day = df["ts"].dt.strftime("%Y-%m-%d")
+        ts_us = df["ts"].astype("int64")
+        d = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "day": day,
+                "value": df["value"],
+                "ts_us": ts_us,
+                "event_id": df["event_id"],
+            }
+        )
+        g = d.groupby(["event_type", "day"], sort=False)
+        out = g.agg(
+            n=("value", "size"),
+            vmin=("value", "min"),
+            vmax=("value", "max"),
+            open_v=("value", "first"),
+            close_v=("value", "last"),
+            open_ts=("ts_us", "first"),
+            close_ts=("ts_us", "last"),
+            open_id=("event_id", "first"),
+            close_id=("event_id", "last"),
+        ).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").materialize()
+    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
+        out = _ohlc_merge(parts.to_pandas())
+    else:
+        out = (
+            parts.groupby(["event_type", "day"])
+            .map_groups(_ohlc_merge, batch_format="pandas")
+            .to_pandas()
+        )
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)

@@ -593,6 +593,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_pivot_event_matrix",
     "q_hll_user_days",
     "q_interevent_gap_stats",
+    "q_ohlc_daily",
 ]
 
 _PROPS_POOL = [

@@ -2501,3 +2501,53 @@ def test_filter_topk_empty_match_returns_typed_frame(ray_session, tmp_path):
     assert list(out.columns) == ["l_orderkey", "l_linenumber", "revenue"]
     assert len(out) == 0
     assert out["revenue"].dtype == np.float64
+
+
+def test_ohlc_daily_distributed_regime_and_ties(ray_session, tmp_path, monkeypatch):
+    """OHLC partial merge is associative: the forced distributed-groupby
+    regime equals the driver merge, and same-ts ties resolve open/close by
+    event_id on a randomized corpus (checked against a direct pandas
+    window reference)."""
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(47)
+    n = 5000
+    users = rng.integers(0, 50, n)
+    day_us = 86_400_000_000
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 20, n) * day_us + rng.integers(0, 5, n)  # heavy ties
+    kinds = rng.choice(["view", "click"], size=n)
+    t = _write_events(tmp_path, users, ts, kinds)
+    # overwrite value with a varied column (binary grid)
+    import pyarrow.parquet as pq_
+
+    vals = rng.integers(-320, 320, n) / 64.0
+    t = t.set_column(t.schema.get_field_index("value"), "value", pa.array(vals))
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+
+    out = R.q_ohlc_daily(str(tmp_path))
+    df = pd.DataFrame(
+        {
+            "event_type": kinds,
+            "ts_us": ts,
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": vals,
+        }
+    )
+    df["day"] = pd.to_datetime(df["ts_us"], unit="us").dt.strftime("%Y-%m-%d")
+    df = df.sort_values(["ts_us", "event_id"])
+    g = df.groupby(["event_type", "day"])
+    ref = g.agg(
+        n_events=("value", "size"),
+        low=("value", "min"),
+        high=("value", "max"),
+        open_v=("value", "first"),
+        close_v=("value", "last"),
+    ).reset_index()
+    ref["n_events"] = ref["n_events"].astype("int64")
+    ref = ref.sort_values(["event_type", "day"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+
+    monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
+    big = R.q_ohlc_daily(str(tmp_path))
+    pd.testing.assert_frame_equal(out, big)
