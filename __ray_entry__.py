@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_group_uniform_sample": T.t_group_uniform_sample,
         "q_rollup_pricing": R.q_rollup_pricing,
         "q_ohlc_daily": R.q_ohlc_daily,
+        "q_left_join_order_counts": R.q_left_join_order_counts,
     }
 
 
@@ -1994,6 +1995,14 @@ def oracle_sql() -> dict[str, str]:
             "MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v, "
             "MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v "
             "FROM w GROUP BY event_type, day ORDER BY event_type, day"
+        ),
+        "q_left_join_order_counts": (
+            "SELECT c.c_custkey, c.c_name, "
+            "CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders, "
+            "ROUND(COALESCE(o.s, 0), 2) AS total_price "
+            "FROM customer c LEFT JOIN (SELECT o_custkey, COUNT(*) AS n, "
+            "SUM(o_totalprice) AS s FROM orders GROUP BY o_custkey) o "
+            "ON c.c_custkey = o.o_custkey ORDER BY c.c_custkey"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

@@ -123,6 +123,7 @@ QUERY_NAMES = [
     "t_group_uniform_sample",
     "q_rollup_pricing",
     "q_ohlc_daily",
+    "q_left_join_order_counts",
     "q_sessionize",
     "q_retention_cohorts",
     "q_funnel",

@@ -2009,3 +2009,74 @@ def q_ohlc_daily(sf_dir: str):
             .to_pandas()
         )
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def q_left_join_order_counts(sf_dir: str):
+    """Every customer with their order count and total spend — zero-order
+    customers INCLUDED with (0, 0.00): the LEFT OUTER join shape (the one
+    join type the registry didn't exercise; Ray's native left_outer).
+
+    Scale shape: the orders side is REDUCED before the join — per-block
+    (custkey, n, s) combiner partials, merged two-regime like
+    q_pivot_event_matrix — so the exchange joins |customers| rows against
+    at-most-|customers| reduced rows, never against raw orders.  The
+    null-filled fringe (customers with no orders) is exactly the rows a
+    dangling-FK drop would lose in the inner join; COALESCE semantics are
+    pinned on both sides.  Partition count derives from the footer row
+    count (sizing.shuffle_partitions)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .sizing import shuffle_partitions
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "n": pa.array(np.ones(len(t), np.int64)),
+                "s": t.column("o_totalprice"),
+            }
+        )
+        g = tt.group_by("o_custkey").aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["o_custkey", "n", "s"])
+
+    parts = orders.map_batches(partial, batch_format="pyarrow").materialize()
+    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
+        reduced_df = (
+            parts.to_pandas().groupby("o_custkey", as_index=False)[["n", "s"]].sum()
+        )
+        reduced = rd.from_pandas(reduced_df)
+    else:
+        reduced = parts.groupby("o_custkey").aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s")
+        )
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    n_parts = shuffle_partitions(n_cust)
+    joined = cust.repartition(n_parts).join(
+        reduced.repartition(n_parts),
+        join_type="left_outer",
+        num_partitions=n_parts,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_name": t.column("c_name"),
+                "n_orders": pc.fill_null(t.column("n"), 0),
+                "total_price": pc.fill_null(t.column("s"), 0.0),
+            }
+        )
+
+    df = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    df["n_orders"] = df["n_orders"].astype("int64")
+    df["total_price"] = round_half_away(df["total_price"].to_numpy(), 2)
+    return df.sort_values("c_custkey").reset_index(drop=True)

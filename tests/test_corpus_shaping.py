@@ -841,6 +841,7 @@ STAR_ORACLE_QUERIES = [
     "q_orders_topk",
     "q_supplier_nation",
     "q_nation_region",
+    "q_left_join_order_counts",
 ]
 
 

@@ -2551,3 +2551,53 @@ def test_ohlc_daily_distributed_regime_and_ties(ray_session, tmp_path, monkeypat
     monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
     big = R.q_ohlc_daily(str(tmp_path))
     pd.testing.assert_frame_equal(out, big)
+
+
+def test_left_join_order_counts_regimes_and_fringe(ray_session, tmp_path, monkeypatch):
+    """The zero-order fringe survives the left_outer join with (0, 0.0),
+    dangling order custkeys produce no rows, and the forced distributed
+    merge regime is identical."""
+    import pyarrow.parquet as pq_
+
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(53)
+    n_cust, n_ord = 30, 400
+    pq_.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+                "c_name": pa.array([f"c{i}" for i in range(n_cust)]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    oc = rng.integers(5, 40, n_ord)  # customers 0-4 orderless; 30+ dangle
+    price = rng.integers(1, 10_000, n_ord) / 64.0
+    pq_.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array(oc.astype(np.int64)),
+                "o_totalprice": pa.array(price.astype(np.float64)),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = R.q_left_join_order_counts(str(tmp_path))
+    assert len(out) == n_cust
+    fringe = out[out["c_custkey"] < 5]
+    assert (fringe["n_orders"] == 0).all() and (fringe["total_price"] == 0.0).all()
+    df = pd.DataFrame({"o_custkey": oc, "p": price})
+    ref = df[df["o_custkey"] < n_cust].groupby("o_custkey").agg(
+        n=("p", "size"), s=("p", "sum")
+    )
+    for ck, r in ref.iterrows():
+        row = out[out["c_custkey"] == ck]
+        assert int(row["n_orders"].iloc[0]) == int(r["n"])
+        assert float(row["total_price"].iloc[0]) == float(
+            R.round_half_away(r["s"], 2)
+        )
+
+    monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
+    big = R.q_left_join_order_counts(str(tmp_path))
+    pd.testing.assert_frame_equal(out, big)
