@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup_pricing": R.q_rollup_pricing,
         "q_ohlc_daily": R.q_ohlc_daily,
         "q_left_join_order_counts": R.q_left_join_order_counts,
+        "q_full_outer_user_activity": R.q_full_outer_user_activity,
+        "q_skew_join_purchase_clicks": R.q_skew_join_purchase_clicks,
+        "q_running_user_spend": R.q_running_user_spend,
     }
 
 
@@ -2003,6 +2006,38 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer c LEFT JOIN (SELECT o_custkey, COUNT(*) AS n, "
             "SUM(o_totalprice) AS s FROM orders GROUP BY o_custkey) o "
             "ON c.c_custkey = o.o_custkey ORDER BY c.c_custkey"
+        ),
+        "q_full_outer_user_activity": (
+            # both fringes kept: view-only and purchase-only users
+            "WITH v AS (SELECT user_id, COUNT(*) AS n_views FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events "
+            "WHERE event_type = 'purchase' GROUP BY user_id) "
+            "SELECT CAST(COALESCE(v.user_id, p.user_id) AS BIGINT) AS user_id, "
+            "CAST(COALESCE(v.n_views, 0) AS BIGINT) AS n_views, "
+            "CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases "
+            "FROM v FULL OUTER JOIN p ON v.user_id = p.user_id ORDER BY user_id"
+        ),
+        "q_skew_join_purchase_clicks": (
+            # salting only changes row PLACEMENT, never values — the plain
+            # join is the exact oracle
+            "WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id) "
+            "SELECT CAST(e.event_id AS BIGINT) AS event_id, "
+            "CAST(e.user_id AS BIGINT) AS user_id, "
+            "CAST(c.n_clicks AS BIGINT) AS n_clicks "
+            "FROM events e JOIN c ON e.user_id = c.user_id "
+            "WHERE e.event_type = 'purchase' ORDER BY event_id"
+        ),
+        "q_running_user_spend": (
+            # integer cents on both sides (ROUND == round_half_away), so
+            # the prefix sums are association-free exact int64
+            "SELECT CAST(event_id AS BIGINT) AS event_id, "
+            "CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS running_cents "
+            "FROM events WHERE event_type = 'purchase' ORDER BY event_id"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

@@ -122,6 +122,9 @@ QUERY_NAMES = [
     "t_cms_wordcounts",
     "t_group_uniform_sample",
     "q_rollup_pricing",
+    "q_full_outer_user_activity",
+    "q_skew_join_purchase_clicks",
+    "q_running_user_spend",
     "q_ohlc_daily",
     "q_left_join_order_counts",
     "q_sessionize",

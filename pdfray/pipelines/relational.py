@@ -2026,8 +2026,6 @@ def q_left_join_order_counts(sf_dir: str):
     count (sizing.shuffle_partitions)."""
     import numpy as np
     import pyarrow.parquet as pq
-    import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from .sizing import shuffle_partitions
 
@@ -2045,16 +2043,12 @@ def q_left_join_order_counts(sf_dir: str):
         g = tt.group_by("o_custkey").aggregate([("n", "sum"), ("s", "sum")])
         return g.rename_columns(["o_custkey", "n", "s"])
 
-    parts = orders.map_batches(partial, batch_format="pyarrow").materialize()
-    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
-        reduced_df = (
-            parts.to_pandas().groupby("o_custkey", as_index=False)[["n", "s"]].sum()
-        )
-        reduced = rd.from_pandas(reduced_df)
-    else:
-        reduced = parts.groupby("o_custkey").aggregate(
-            Sum("n", alias_name="n"), Sum("s", alias_name="s")
-        )
+    reduced, _ = _two_regime_sum(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        ["n", "s"],
+        empty_types={"s": pa.float64()},
+    )
 
     n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
     n_parts = shuffle_partitions(n_cust)
@@ -2080,3 +2074,416 @@ def q_left_join_order_counts(sf_dir: str):
     df["n_orders"] = df["n_orders"].astype("int64")
     df["total_price"] = round_half_away(df["total_price"].to_numpy(), 2)
     return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _two_regime_sum(parts, keys, sum_cols, empty_types=None):
+    """Merge per-block grouped Sum partials through the two-regime plan
+    (the q_retention_cohorts lesson: Ray's sort-shuffle Aggregate pays
+    seconds of fixed machinery PER AGGREGATE COLUMN even on tiny inputs —
+    a driver-sized partial table merges orders of magnitude faster with
+    one pandas groupby).  Returns ``(dataset, n_reduced_rows)``; the row
+    count feeds `sizing.shuffle_partitions` for any downstream exchange.
+
+    ``empty_types`` (pyarrow types, keyed by column) pins the schema when
+    the partial table is EMPTY — Ray drops all-empty blocks from a
+    collect and `from_pandas` of an untyped empty frame would poison a
+    downstream join with a schemaless side (the q_filter_topk /
+    group-sample empty-block lesson)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    keys, sum_cols = list(keys), list(sum_cols)
+    parts = parts.materialize()
+    n = parts.count()
+    if n > PIVOT_DRIVER_MAX_ROWS:
+        out = parts.groupby(keys).aggregate(
+            *[Sum(c, alias_name=c) for c in sum_cols]
+        )
+        return out, n
+    df = parts.to_pandas()
+    if len(df.columns) == 0 or len(df) == 0:
+        types = dict(empty_types or {})
+        tbl = pa.table(
+            {c: pa.array([], types.get(c, pa.int64())) for c in keys + sum_cols}
+        )
+        return rd.from_arrow(tbl), 0
+    red = df.groupby(keys, as_index=False)[sum_cols].sum()
+    # Arrow-backed blocks: downstream rename/join stages assume Arrow
+    # (Ray's rename_columns Project crashes on pandas blocks)
+    return rd.from_arrow(pa.Table.from_pandas(red, preserve_index=False)), len(red)
+
+
+def q_full_outer_user_activity(sf_dir: str):
+    """Per-user view count vs purchase count with BOTH fringes kept: users
+    who only view carry n_purchases = 0, users who only purchase carry
+    n_views = 0 — the FULL OUTER join shape (Ray's native full_outer),
+    completing the registry's join-type family (inner hash / broadcast /
+    left outer / semi / anti / range / as-of / bloom-pruned).
+
+    The two sides here derive from one table so a crosstab could serve
+    this particular query; the operator under test is the two-input
+    full_outer exchange itself, where the sides stand in for
+    independently-owned inputs (impressions vs conversions feeds).  Scale
+    shape: each side is combiner-reduced to per-user partials BEFORE the
+    join (two-regime merge), so the exchange joins at-most-|users| narrow
+    rows per side, never raw events; both sides are compacted to the same
+    partition count first (empty/sliver first blocks lose the join schema
+    — the q_hash_join_brand lesson) and the count derives from the reduced
+    row counts (sizing.shuffle_partitions)."""
+    import numpy as np
+
+    from .sizing import shuffle_partitions
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"], rows_per_block=12_500)
+
+    def side_partial(col, ev_type):
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), ev_type))
+            tt = pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    col: pa.array(np.ones(len(t), np.int64)),
+                }
+            )
+            g = tt.group_by("user_id").aggregate([(col, "sum")])
+            return g.rename_columns(["user_id", col])
+
+        return partial
+
+    views, n_v = _two_regime_sum(
+        ds.map_batches(side_partial("n_views", "view"), batch_format="pyarrow"),
+        ["user_id"],
+        ["n_views"],
+    )
+    purchases, n_p = _two_regime_sum(
+        ds.map_batches(
+            side_partial("n_purchases", "purchase"), batch_format="pyarrow"
+        ),
+        ["user_id"],
+        ["n_purchases"],
+    )
+    n_parts = shuffle_partitions(max(n_v, n_p, 1))
+    joined = views.repartition(n_parts).join(
+        purchases.repartition(n_parts),
+        join_type="full_outer",
+        num_partitions=n_parts,
+        on=("user_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Ray's full_outer already coalesces the key column; the fringe
+        # rows carry nulls only in the other side's value columns
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_views": pc.fill_null(t.column("n_views"), 0),
+                "n_purchases": pc.fill_null(t.column("n_purchases"), 0),
+            }
+        )
+
+    df = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+    if len(df.columns) == 0:  # both sides empty: typed empty result
+        df = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_views": pd.Series([], dtype="int64"),
+                "n_purchases": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in ("user_id", "n_views", "n_purchases"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def _skew_threshold(n_probe: int, n_parts: int) -> int:
+    """A probe key is HOT when its row count alone would overflow one join
+    partition's fair share.  By pigeonhole at most ``n_parts`` keys can
+    exceed n_probe/n_parts, so the detected hot set is always
+    driver-sized — no cap or sampling needed for the bound to hold."""
+    import math
+
+    return max(2, math.ceil(n_probe / max(1, n_parts)))
+
+
+def q_skew_join_purchase_clicks(sf_dir: str):
+    """Each purchase event enriched with its user's total click count —
+    a per-row join whose PROBE side can be arbitrarily key-skewed (one
+    bot user owning half the purchases lands whole in one hash-join
+    partition) executed as a SALTED JOIN, the production skew-join
+    pattern: detect hot probe keys exactly from combiner-reduced counts,
+    replicate the build row of each hot key across all ``n_parts`` salts,
+    and spread that key's probe rows over the salts by event_id.  Cold
+    keys pay nothing (salt 0, build row kept once).
+
+    Unlike the registry's other joins this one cannot push the aggregate
+    below the exchange — the output is per-probe-row — so salting is the
+    only skew defense.  Detection is exact here (one narrow shuffle over
+    per-block (user, n) partials; the hot set is provably ≤ n_parts keys,
+    see _skew_threshold); a production variant could sample instead, as
+    detection affects only placement, never values.  The pre-join
+    repartition compacts filter-sparse blocks (empty-first-block schema
+    loss, see CLAUDE.md) and moves only (event_id, user_id, salt)
+    rows."""
+    import numpy as np
+
+    from .sizing import shuffle_partitions
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "user_id", "event_type"],
+        rows_per_block=12_500,
+    )
+
+    def purchase_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return t.select(["event_id", "user_id"])
+
+    purchases = ds.map_batches(purchase_rows, batch_format="pyarrow")
+
+    def count_partial(col):
+        def partial(t: pa.Table) -> pa.Table:
+            tt = pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    col: pa.array(np.ones(len(t), np.int64)),
+                }
+            )
+            g = tt.group_by("user_id").aggregate([(col, "sum")])
+            return g.rename_columns(["user_id", col])
+
+        return partial
+
+    # build side: per-user click counts, combiner-reduced before anything
+    # moves (the build side is |users|-scale — too big to broadcast at
+    # 100 TB, which is why this is a shuffle join at all)
+    def click_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("event_type"), "click"))
+
+    clicks, n_click_users = _two_regime_sum(
+        ds.map_batches(click_rows, batch_format="pyarrow").map_batches(
+            count_partial("n_clicks"), batch_format="pyarrow"
+        ),
+        ["user_id"],
+        ["n_clicks"],
+    )
+
+    # exact hot-key detection from the same combiner-reduced shape
+    pcounts, _ = _two_regime_sum(
+        purchases.map_batches(count_partial("n_probe"), batch_format="pyarrow"),
+        ["user_id"],
+        ["n_probe"],
+    )
+    n_purchases = int(pcounts.sum(on="n_probe") or 0)
+    if n_purchases == 0:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "n_clicks": pd.Series([], dtype="int64"),
+            }
+        )
+    n_parts = shuffle_partitions(n_purchases)
+    threshold = _skew_threshold(n_purchases, n_parts)
+    hot_df = pcounts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_probe"), threshold)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    hot = (
+        hot_df["user_id"].to_numpy(np.int64)
+        if len(hot_df.columns)
+        else np.array([], np.int64)
+    )
+    n_salts = n_parts  # spread each hot key over every join partition
+
+    def salt_build(t: pa.Table) -> pa.Table:
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        n_clicks = t.column("n_clicks").to_numpy(zero_copy_only=False)
+        is_hot = np.isin(users, hot)
+        u = np.concatenate([users[~is_hot], np.repeat(users[is_hot], n_salts)])
+        c = np.concatenate(
+            [n_clicks[~is_hot], np.repeat(n_clicks[is_hot], n_salts)]
+        )
+        s = np.concatenate(
+            [
+                np.zeros((~is_hot).sum(), np.int64),
+                np.tile(np.arange(n_salts, dtype=np.int64), int(is_hot.sum())),
+            ]
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "salt": pa.array(s),
+                "n_clicks": pa.array(c, pa.int64()),
+            }
+        )
+
+    def salt_probe(t: pa.Table) -> pa.Table:
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        salt = np.where(np.isin(users, hot), ids % n_salts, 0)
+        return t.append_column("salt", pa.array(salt.astype(np.int64)))
+
+    joined = (
+        purchases.map_batches(salt_probe, batch_format="pyarrow")
+        .repartition(n_parts)
+        .join(
+            clicks.map_batches(salt_build, batch_format="pyarrow").repartition(
+                n_parts
+            ),
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("user_id", "salt"),
+        )
+    )
+    df = joined.map_batches(
+        lambda t: t.select(["event_id", "user_id", "n_clicks"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(df.columns) == 0:  # no purchase has a clicking user
+        df = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "n_clicks": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in ("event_id", "user_id", "n_clicks"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+RUNNING_CHUNK_DAYS = 7  # hot-key split width; the stitch is exact for ANY width
+
+
+def q_running_user_spend(sf_dir: str, stage_dir: str = None):
+    """Per-purchase RUNNING TOTAL of the user's spend in integer cents —
+    the prefix-scan window shape (SUM OVER (PARTITION BY user ORDER BY
+    ts)), complementing the registry's lag (q_interevent_gap_stats) and
+    first/last (q_ohlc_daily) window forms.
+
+    Hot-key-safe like q_sessionize: events shuffle on (user_id, time
+    chunk) keys (_session_keys), each group computes its chunk-local
+    cumulative sum in ONE vectorized pandas pass, per-(user, chunk)
+    chunk totals (combinable under block splits) reduce to the driver,
+    which folds them into exclusive per-user prefix offsets; offsets ride
+    a keyed-shuffle JOIN back on the same (user_id, chunk) key — never a
+    driver broadcast.  The scanned event table, consumed twice (totals +
+    offset join), is a parquet stage checkpoint with crash-resume via
+    ``stage_dir``.
+
+    Cents are int64 on BOTH sides — value*100 rounded ties-away
+    (round_half_away == DuckDB ROUND) — so every prefix sum is exact in
+    any association and the value hash cannot float-drift."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import ray.data as rd
+
+    from .sizing import shuffle_partitions
+    from .staging import stage_checkpoint
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value"],
+        rows_per_block=12_500,
+    )
+    N_BUCKETS = 64
+    chunk_us = np.int64(RUNNING_CHUNK_DAYS) * 86_400_000_000
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        chunk, bucket = _session_keys(users, ts_us, N_BUCKETS, chunk_us)
+        cents = round_half_away(
+            pc.fill_null(t.column("value"), 0.0).to_numpy(zero_copy_only=False)
+            * 100.0,
+            0,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "chunk": pa.array(chunk, pa.int64()),
+                "bucket": pa.array(bucket),
+                "cents": pa.array(cents),
+            }
+        )
+
+    def scan_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "chunk", "ts", "event_id"]).reset_index(
+            drop=True
+        )
+        same = g["user_id"].eq(g["user_id"].shift()) & g["chunk"].eq(
+            g["chunk"].shift()
+        )
+        run_id = (~same).cumsum()
+        g["run_cents"] = g["cents"].groupby(run_id.to_numpy()).cumsum()
+        return g[["event_id", "user_id", "chunk", "cents", "run_cents"]]
+
+    own_stage = stage_dir is None
+    root = tempfile.mkdtemp(prefix="pdfray_running_") if own_stage else stage_dir
+    try:
+        scanned = stage_checkpoint(
+            lambda: ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(scan_chunk, batch_format="pandas"),
+            os.path.join(root, "scanned"),
+            resume=not own_stage,
+            allow_empty=True,
+        )
+        if scanned is None:  # zero purchases anywhere
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "running_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        n_rows = scanned.count()
+        # chunk totals are additive, so block splits of map_groups output
+        # are safe; the reduced table is one row per (user, active chunk)
+        totals = (
+            scanned.map_batches(
+                lambda df: df.groupby(["user_id", "chunk"], sort=False)
+                .agg(total=("cents", "sum"))
+                .reset_index(),
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .groupby(["user_id", "chunk"], as_index=False)["total"]
+            .sum()
+            .sort_values(["user_id", "chunk"])
+            .reset_index(drop=True)
+        )
+        # exclusive prefix: what the user spent in all EARLIER chunks
+        csum = totals.groupby("user_id")["total"].cumsum()
+        totals["offset"] = (csum - totals["total"]).astype("int64")
+        off_ds = rd.from_pandas(totals[["user_id", "chunk", "offset"]])
+        n_parts = shuffle_partitions(n_rows)
+
+        def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+            df["running_cents"] = (
+                df["run_cents"].astype("int64") + df["offset"].astype("int64")
+            )
+            return df[["event_id", "user_id", "running_cents"]]
+
+        out = (
+            scanned.select_columns(["event_id", "user_id", "chunk", "run_cents"])
+            .join(
+                off_ds,
+                join_type="inner",
+                num_partitions=n_parts,
+                on=("user_id", "chunk"),
+            )
+            .map_batches(rewrite, batch_format="pandas")
+        )
+        return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    finally:
+        if own_stage:
+            shutil.rmtree(root, ignore_errors=True)

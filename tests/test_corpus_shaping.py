@@ -594,6 +594,9 @@ EVENTS_ORACLE_QUERIES = [
     "q_hll_user_days",
     "q_interevent_gap_stats",
     "q_ohlc_daily",
+    "q_full_outer_user_activity",
+    "q_skew_join_purchase_clicks",
+    "q_running_user_spend",
 ]
 
 _PROPS_POOL = [

@@ -2601,3 +2601,146 @@ def test_left_join_order_counts_regimes_and_fringe(ray_session, tmp_path, monkey
     monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
     big = R.q_left_join_order_counts(str(tmp_path))
     pd.testing.assert_frame_equal(out, big)
+
+
+def test_full_outer_user_activity_fringes(ray_session, tmp_path, monkeypatch):
+    """Both fringes survive the full_outer join zero-filled (view-only and
+    purchase-only users), other event types are invisible, and the forced
+    distributed-merge regime is identical."""
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(59)
+    n = 3000
+    users = rng.integers(0, 60, n)
+    kinds = rng.choice(["view", "purchase", "click", "weird"], size=n).astype(object)
+    kinds[users % 5 == 0] = "view"  # view-only users
+    kinds[users % 5 == 1] = "purchase"  # purchase-only users
+    base = 1_700_000_000_000_000
+    _write_events(tmp_path, users, base + np.arange(n) * 1_000_000, kinds)
+
+    out = R.q_full_outer_user_activity(str(tmp_path))
+    df = pd.DataFrame({"user_id": users, "kind": kinds})
+    v = df[df["kind"] == "view"].groupby("user_id").size()
+    p = df[df["kind"] == "purchase"].groupby("user_id").size()
+    ref = (
+        pd.DataFrame({"n_views": v, "n_purchases": p})
+        .fillna(0)
+        .astype("int64")
+        .rename_axis("user_id")
+        .reset_index()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref)
+    assert (out["n_purchases"] == 0).any(), "no view-only fringe exercised"
+    assert (out["n_views"] == 0).any(), "no purchase-only fringe exercised"
+
+    monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
+    big = R.q_full_outer_user_activity(str(tmp_path))
+    pd.testing.assert_frame_equal(out, big)
+
+
+def test_skew_join_hot_key_salting(ray_session, tmp_path, monkeypatch):
+    """A bot user owning ~half the purchases: the salted plan's output is
+    exactly the plain join's (salting changes placement, never values);
+    the hot user provably trips detection; and the forced
+    everything-hot / nothing-hot regimes all agree."""
+    import math
+
+    import pdfray.pipelines.relational as R
+    from pdfray.pipelines.sizing import shuffle_partitions
+
+    rng = np.random.default_rng(61)
+    n = 4000
+    users = rng.integers(0, 50, n)
+    users[: n // 2] = 7  # the bot
+    kinds = rng.choice(["purchase", "click", "view"], size=n, p=[0.4, 0.4, 0.2])
+    base = 1_700_000_000_000_000
+    _write_events(tmp_path, users, base + np.arange(n) * 1_000_000, kinds)
+
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64), "user_id": users, "kind": kinds}
+    )
+    clicks = df[df["kind"] == "click"].groupby("user_id").size().rename("n_clicks")
+    ref = (
+        df[df["kind"] == "purchase"]
+        .join(clicks, on="user_id", how="inner")[
+            ["event_id", "user_id", "n_clicks"]
+        ]
+        .astype("int64")
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out = R.q_skew_join_purchase_clicks(str(tmp_path))
+    pd.testing.assert_frame_equal(out, ref)
+
+    # at test scale sizing yields ONE partition (no skew possible, nothing
+    # hot — the correct call); pin a multi-partition cluster shape so the
+    # bot provably trips detection and the salted path runs for real
+    import pdfray.pipelines.sizing as sizing_mod
+
+    monkeypatch.setattr(sizing_mod, "shuffle_partitions", lambda *a, **k: 8)
+    n_purch = int((df["kind"] == "purchase").sum())
+    thr = R._skew_threshold(n_purch, 8)
+    assert int(((df["kind"] == "purchase") & (df["user_id"] == 7)).sum()) >= thr
+    salted = R.q_skew_join_purchase_clicks(str(tmp_path))
+    pd.testing.assert_frame_equal(salted, ref)
+
+    monkeypatch.setattr(R, "_skew_threshold", lambda *_: 1)  # every key hot
+    all_hot = R.q_skew_join_purchase_clicks(str(tmp_path))
+    pd.testing.assert_frame_equal(all_hot, ref)
+    monkeypatch.setattr(R, "_skew_threshold", lambda *_: 10**9)  # none hot
+    none_hot = R.q_skew_join_purchase_clicks(str(tmp_path))
+    pd.testing.assert_frame_equal(none_hot, ref)
+
+
+def test_running_user_spend_chunk_stitch(ray_session, tmp_path, monkeypatch):
+    """Running totals are exact across chunk boundaries: a tie-heavy
+    randomized corpus with a hot user spanning months equals the direct
+    pandas prefix scan, with the chunk width forced to 1 day (so nearly
+    every consecutive purchase pair crosses a stitch boundary), and a
+    stage_dir rerun resumes off the checkpoint to the same result."""
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(67)
+    n = 3000
+    users = rng.integers(0, 30, n)
+    users[: n // 3] = 3  # hot user across the whole range
+    day = 86_400_000_000
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 90, n) * day + rng.integers(0, 4, n)  # ties
+    kinds = rng.choice(["purchase", "view"], size=n)
+    t = _write_events(tmp_path, users, ts, kinds)
+    import pyarrow.parquet as pq_
+
+    vals = rng.integers(-320, 320, n) / 64.0  # binary grid incl. .5-cent ties
+    t = t.set_column(t.schema.get_field_index("value"), "value", pa.array(vals))
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+
+    monkeypatch.setattr(R, "RUNNING_CHUNK_DAYS", 1)
+    out = R.q_running_user_spend(str(tmp_path))
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": users,
+            "ts": ts,
+            "kind": kinds,
+            "cents": R.round_half_away(vals * 100.0, 0).astype(np.int64),
+        }
+    )
+    df = df[df["kind"] == "purchase"].sort_values(["user_id", "ts", "event_id"])
+    df["running_cents"] = df.groupby("user_id")["cents"].cumsum()
+    ref = (
+        df[["event_id", "user_id", "running_cents"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref)
+
+    stage = tmp_path / "stage"
+    first = R.q_running_user_spend(str(tmp_path), stage_dir=str(stage))
+    assert (stage / "scanned" / "_DONE").exists()
+    resumed = R.q_running_user_spend(str(tmp_path), stage_dir=str(stage))
+    pd.testing.assert_frame_equal(first, resumed)
+    pd.testing.assert_frame_equal(first, ref)
