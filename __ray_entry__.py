@@ -332,6 +332,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_full_outer_user_activity": R.q_full_outer_user_activity,
         "q_skew_join_purchase_clicks": R.q_skew_join_purchase_clicks,
         "q_running_user_spend": R.q_running_user_spend,
+        "q_user_days_exact": R.q_user_days_exact,
+        "q_topk_per_group": R.q_topk_per_group,
+        "q_group_moments": R.q_group_moments,
+        "q_cube_pricing": R.q_cube_pricing,
     }
 
 
@@ -2038,6 +2042,50 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS running_cents "
             "FROM events WHERE event_type = 'purchase' ORDER BY event_id"
+        ),
+        "q_user_days_exact": (
+            # CAST(ts AS DATE) is floor-of-epoch-days (pre-epoch included),
+            # matching the engine's floor_divide day key
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days "
+            "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "q_topk_per_group": (
+            # (price DESC, orderkey ASC) is a total order -> deterministic
+            # ranks under ties; price is a raw passthrough, no rounding
+            "SELECT CAST(o_custkey AS BIGINT) AS o_custkey, "
+            "CAST(rnk AS BIGINT) AS rnk, "
+            "CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice FROM "
+            "(SELECT o_custkey, o_orderkey, o_totalprice, "
+            "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) "
+            "WHERE rnk <= 3 ORDER BY o_custkey, rnk"
+        ),
+        "q_group_moments": (
+            # identical IEEE expressions on identical integer digests ->
+            # bit-identical doubles; no ROUND on either side
+            "WITH d AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(SUM(CAST(l_quantity * 64 AS BIGINT)) AS BIGINT) AS sum_q64, "
+            "CAST(SUM(CAST(l_quantity * 64 AS BIGINT) * "
+            "CAST(l_quantity * 64 AS BIGINT)) AS BIGINT) AS sumsq_q4096 "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus) "
+            "SELECT l_returnflag, l_linestatus, n_lines, sum_q64, "
+            "sumsq_q4096, "
+            "CAST(sum_q64 AS DOUBLE) / CAST(n_lines AS DOUBLE) / 64.0 "
+            "AS mean_qty, "
+            "(CAST(sumsq_q4096 AS DOUBLE) - CAST(sum_q64 AS DOUBLE) * "
+            "CAST(sum_q64 AS DOUBLE) / CAST(n_lines AS DOUBLE)) "
+            "/ CAST(n_lines AS DOUBLE) / 4096.0 AS var_qty "
+            "FROM d ORDER BY l_returnflag, l_linestatus"
+        ),
+        "q_cube_pricing": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) "
+            "ORDER BY l_returnflag, l_linestatus"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

@@ -125,6 +125,10 @@ QUERY_NAMES = [
     "q_full_outer_user_activity",
     "q_skew_join_purchase_clicks",
     "q_running_user_spend",
+    "q_user_days_exact",
+    "q_topk_per_group",
+    "q_group_moments",
+    "q_cube_pricing",
     "q_ohlc_daily",
     "q_left_join_order_counts",
     "q_sessionize",

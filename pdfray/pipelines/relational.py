@@ -1871,40 +1871,9 @@ def q_rollup_pricing(sf_dir: str):
     columns carry the literal 'ALL' (COALESCE'd identically in the
     oracle) so no NULL-ordering convention crosses the engine/SQL
     boundary.  Counts are exact ints; quantity sums are integer-valued
-    doubles (exact in any order)."""
-    import numpy as np
-
-    ds = _read(
-        sf_dir,
-        "lineitem",
-        ["l_returnflag", "l_linestatus", "l_quantity"],
-        rows_per_block=100_000,
-    )
-
-    def cells(t: pa.Table) -> pa.Table:
-        tt = pa.table(
-            {
-                "l_returnflag": t.column("l_returnflag"),
-                "l_linestatus": t.column("l_linestatus"),
-                "n_lines": pa.array(np.ones(len(t), np.int64)),
-                "sum_qty": t.column("l_quantity"),
-            }
-        )
-        g = tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("n_lines", "sum"), ("sum_qty", "sum")]
-        )
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "n_lines", "sum_qty"]
-        )
-
-    base = (
-        ds.map_batches(cells, batch_format="pyarrow")
-        .to_pandas()  # bounded: |flags| x |statuses| x blocks rows
-        .groupby(["l_returnflag", "l_linestatus"], as_index=False)[
-            ["n_lines", "sum_qty"]
-        ]
-        .sum()
-    )
+    doubles (exact in any order).  The cells pass is shared with
+    q_cube_pricing (_pricing_cells)."""
+    base = _pricing_cells(sf_dir)
     lvl1 = base.groupby("l_returnflag", as_index=False)[
         ["n_lines", "sum_qty"]
     ].sum()
@@ -2487,3 +2456,305 @@ def q_running_user_spend(sf_dir: str, stage_dir: str = None):
     finally:
         if own_stage:
             shutil.rmtree(root, ignore_errors=True)
+
+
+def q_user_days_exact(sf_dir: str):
+    """Per-user EXACT distinct active-day count — the exact companion to
+    q_hll_user_days' sketch, completing the sketch-vs-exact pairing the
+    heavy-hitters family already has (t_heavy_hitters verifies its sketch
+    against exact counts; here the two sides are separate queries so the
+    cost asymmetry stays visible in the bench).
+
+    Scale shape — the classic two-level distinct: each block first dedups
+    to its local (user, day) pairs (one Arrow group_by, no values), so the
+    exchange carries at most |users| x |active days| pair rows — bounded
+    by the calendar, not the event count.  Above PIVOT_DRIVER_MAX_ROWS
+    pair rows the dedup is a distributed groupby and the per-user count
+    rides the shared _two_regime_sum combiner; below, one driver pandas
+    drop_duplicates.  Day = floor(epoch_us / day_us), identical to SQL's
+    CAST(ts AS DATE) for pre-epoch timestamps too (both are floor, not
+    truncation — the q_events_json // lesson)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"], rows_per_block=12_500)
+    DAY_US = 86_400_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = np.floor_divide(ts_us, DAY_US)
+        tt = pa.table(
+            {"user_id": t.column("user_id"), "day": pa.array(day, pa.int64())}
+        )
+        return tt.group_by(["user_id", "day"]).aggregate([])
+
+    parts = ds.map_batches(pairs, batch_format="pyarrow").materialize()
+    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
+        df = parts.to_pandas()
+        if len(df.columns) == 0 or len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_days": pd.Series([], dtype="int64"),
+                }
+            )
+        out = (
+            df.drop_duplicates()
+            .groupby("user_id", as_index=False)
+            .size()
+            .rename(columns={"size": "n_days"})
+        )
+    else:
+        from ray.data.aggregate import Count
+
+        dedup = parts.groupby(["user_id", "day"]).aggregate(
+            Count(alias_name="_n")
+        )
+
+        def cnt(t: pa.Table) -> pa.Table:
+            tt = pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "n_days": pa.array(np.ones(len(t), np.int64)),
+                }
+            )
+            g = tt.group_by("user_id").aggregate([("n_days", "sum")])
+            return g.rename_columns(["user_id", "n_days"])
+
+        red, _ = _two_regime_sum(
+            dedup.map_batches(cnt, batch_format="pyarrow"),
+            ["user_id"],
+            ["n_days"],
+        )
+        out = red.to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_days"] = out["n_days"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+TOPK_PER_GROUP_K = 3  # per-customer order count to keep
+
+
+def q_topk_per_group(sf_dir: str):
+    """Each customer's top-3 orders by price with an explicit rank column
+    — the per-group top-k window (ROW_NUMBER() <= k), generalizing
+    q_top_order_per_customer's argmax (k=1, packable into one native Max)
+    to k>1, where the partial IS a small table and packing no longer
+    applies.
+
+    Scale shape: every block keeps only its LOCAL top-k per group (one
+    vectorized sort + groupby head — the grouped analogue of _topk's
+    global local-top-k), so at most k rows per (group, block) move.  The
+    merge is two-regime: driver pandas below PIVOT_DRIVER_MAX_ROWS
+    partial rows, a per-group map_groups top-k above.  (o_totalprice
+    DESC, o_orderkey ASC) is a TOTAL order, so ranks are deterministic
+    under ties — the hostile-star harness plants same-customer price
+    ties."""
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        ["o_custkey", "o_orderkey", "o_totalprice"],
+        rows_per_block=50_000,
+    )
+    k = TOPK_PER_GROUP_K
+    BY = ["o_custkey", "o_totalprice", "o_orderkey"]
+    ASC = [True, False, True]
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(BY, ascending=ASC)
+        return df.groupby("o_custkey", sort=False).head(k)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.sort_values(BY, ascending=ASC)
+            .groupby("o_custkey", sort=False)
+            .head(k)
+            .copy()
+        )
+        df["rnk"] = df.groupby("o_custkey", sort=False).cumcount() + 1
+        return df[["o_custkey", "rnk", "o_orderkey", "o_totalprice"]]
+
+    parts = ds.map_batches(local_topk, batch_format="pandas").materialize()
+    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
+        df = parts.to_pandas()
+        if len(df.columns) == 0:
+            df = pd.DataFrame(
+                {
+                    "o_custkey": pd.Series([], dtype="int64"),
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "o_totalprice": pd.Series([], dtype="float64"),
+                }
+            )
+        out = finish(df)
+    else:
+        out = (
+            parts.groupby("o_custkey")
+            .map_groups(finish, batch_format="pandas")
+            .to_pandas()
+        )
+    for c in ("o_custkey", "rnk", "o_orderkey"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+
+
+def q_group_moments(sf_dir: str):
+    """Per-(returnflag, linestatus) count / mean / POPULATION VARIANCE of
+    quantity — the mergeable second-moment digest: E[X^2]-E[X]^2 turns
+    variance into a sum-shaped aggregate (one combiner pass; no second
+    scan after the mean like the textbook two-pass algorithm), which is
+    what makes it distributable at all.
+
+    Exactness: quantities ride a 1/64 integer grid (covers TPC-H integers
+    and binary-grid fractional data; the batch guard raises loudly if a
+    value is off-grid), so the shuffled digests (n, sum_q64, sumsq_q4096)
+    are association-free exact int64 — Sigma qi^2 stays under 2^63 to
+    ~9e11 rows per group at TPC-H magnitudes — and the float mean/var are
+    the SAME IEEE expression on the same integers in engine and oracle,
+    hence bit-identical with no rounding step."""
+    import numpy as np
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity"],
+        rows_per_block=100_000,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        qi = np.rint(q * 64.0).astype(np.int64)
+        if not np.array_equal(qi / 64.0, q):
+            raise ValueError("l_quantity off the 1/64 grid; digests inexact")
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "n_lines": pa.array(np.ones(len(t), np.int64)),
+                "sum_q64": pa.array(qi),
+                "sumsq_q4096": pa.array(qi * qi),
+            }
+        )
+        g = tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("n_lines", "sum"), ("sum_q64", "sum"), ("sumsq_q4096", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "n_lines", "sum_q64", "sumsq_q4096"]
+        )
+
+    red, _ = _two_regime_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["n_lines", "sum_q64", "sumsq_q4096"],
+    )
+    df = red.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "l_returnflag": pd.Series([], dtype=object),
+                "l_linestatus": pd.Series([], dtype=object),
+                "n_lines": pd.Series([], dtype="int64"),
+                "sum_q64": pd.Series([], dtype="int64"),
+                "sumsq_q4096": pd.Series([], dtype="int64"),
+                "mean_qty": pd.Series([], dtype="float64"),
+                "var_qty": pd.Series([], dtype="float64"),
+            }
+        )
+    n = df["n_lines"].to_numpy(np.int64).astype(np.float64)
+    s = df["sum_q64"].to_numpy(np.int64).astype(np.float64)
+    ss = df["sumsq_q4096"].to_numpy(np.int64).astype(np.float64)
+    # expression shape pinned to the oracle SQL: identical IEEE ops on
+    # identical integers -> bit-identical doubles, no rounding either side
+    df["mean_qty"] = s / n / 64.0
+    df["var_qty"] = (ss - s * s / n) / n / 4096.0
+    for c in ("n_lines", "sum_q64", "sumsq_q4096"):
+        df[c] = df[c].astype("int64")
+    return (
+        df[
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "n_lines",
+                "sum_q64",
+                "sumsq_q4096",
+                "mean_qty",
+                "var_qty",
+            ]
+        ]
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+
+
+def _pricing_cells(sf_dir: str) -> pd.DataFrame:
+    """The finest-grain (returnflag, linestatus) cells both OLAP rollup
+    and cube fold from: ONE combiner pass over lineitem, driver-sized by
+    construction (|flags| x |statuses| x blocks partial rows)."""
+    import numpy as np
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity"],
+        rows_per_block=100_000,
+    )
+
+    def cells(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "n_lines": pa.array(np.ones(len(t), np.int64)),
+                "sum_qty": t.column("l_quantity"),
+            }
+        )
+        g = tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("n_lines", "sum"), ("sum_qty", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "n_lines", "sum_qty"]
+        )
+
+    return (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+            ["n_lines", "sum_qty"]
+        ]
+        .sum()
+    )
+
+
+def q_cube_pricing(sf_dir: str):
+    """GROUP BY CUBE (l_returnflag, l_linestatus) — all four grouping
+    sets: finest cells, per-flag, per-status, grand total.  Same additive
+    trick as q_rollup_pricing (which computes the ROLLUP subset): ONE
+    combiner pass yields the finest cells and every other set is a driver
+    fold of those cells — the per-status fold is the one the rollup
+    lattice omits.  Rolled columns carry the literal 'ALL' (COALESCE'd
+    identically in the oracle) so no NULL-ordering convention crosses the
+    engine/SQL boundary."""
+    base = _pricing_cells(sf_dir)
+    by_flag = base.groupby("l_returnflag", as_index=False)[
+        ["n_lines", "sum_qty"]
+    ].sum()
+    by_flag["l_linestatus"] = "ALL"
+    by_status = base.groupby("l_linestatus", as_index=False)[
+        ["n_lines", "sum_qty"]
+    ].sum()
+    by_status["l_returnflag"] = "ALL"
+    grand = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "n_lines": [base["n_lines"].sum()],
+            "sum_qty": [base["sum_qty"].sum()],
+        }
+    )
+    out = pd.concat([base, by_flag, by_status, grand], ignore_index=True)
+    out["n_lines"] = out["n_lines"].astype("int64")
+    out["sum_qty"] = round_half_away(out["sum_qty"].to_numpy(), 2)
+    return (
+        out[["l_returnflag", "l_linestatus", "n_lines", "sum_qty"]]
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )

@@ -597,6 +597,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_full_outer_user_activity",
     "q_skew_join_purchase_clicks",
     "q_running_user_spend",
+    "q_user_days_exact",
 ]
 
 _PROPS_POOL = [
@@ -736,6 +737,8 @@ RELATIONAL_ORACLE_QUERIES = [
     "q_distinct_flags",
     "q_group_quantiles",
     "q_rollup_pricing",
+    "q_cube_pricing",
+    "q_group_moments",
     "q_hash_join_brand",
     "q_bloom_semi_join_parts",
 ]
@@ -842,6 +845,7 @@ STAR_ORACLE_QUERIES = [
     "q_top_order_per_customer",
     "q_orders_by_month",
     "q_orders_topk",
+    "q_topk_per_group",
     "q_supplier_nation",
     "q_nation_region",
     "q_left_join_order_counts",

@@ -2744,3 +2744,196 @@ def test_running_user_spend_chunk_stitch(ray_session, tmp_path, monkeypatch):
     resumed = R.q_running_user_spend(str(tmp_path), stage_dir=str(stage))
     pd.testing.assert_frame_equal(first, resumed)
     pd.testing.assert_frame_equal(first, ref)
+
+
+def test_user_days_exact_vs_pandas(ray_session, tmp_path, monkeypatch):
+    """Exact distinct-day counts with planted pre-epoch days (floor, not
+    truncation), many same-day repeats, and a forced distributed-dedup
+    regime; also cross-checks that the HLL sketch's truth agrees."""
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(71)
+    n = 4000
+    users = rng.integers(0, 40, n)
+    day = 86_400_000_000
+    # pre-epoch block: negative timestamps whose trunc-vs-floor day differs
+    ts = rng.integers(-30, 200, n) * day + rng.integers(0, day, n)
+    kinds = rng.choice(["view", "click", "purchase"], size=n)
+    _write_events(tmp_path, users, ts, kinds)
+
+    out = R.q_user_days_exact(str(tmp_path))
+    df = pd.DataFrame({"user_id": users, "day": np.floor_divide(ts, day)})
+    ref = (
+        df.drop_duplicates()
+        .groupby("user_id", as_index=False)
+        .size()
+        .rename(columns={"size": "n_days"})
+        .astype({"user_id": "int64", "n_days": "int64"})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref)
+    assert (ts < 0).any(), "no pre-epoch events planted"
+
+    monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
+    big = R.q_user_days_exact(str(tmp_path))
+    pd.testing.assert_frame_equal(out, big)
+
+
+def test_topk_per_group_ties_at_cut(ray_session, tmp_path, monkeypatch):
+    """Per-group top-3 with rank: a customer whose 2nd..5th orders are an
+    exact price TIE straddling the k-cut resolves by orderkey; groups with
+    fewer than k orders emit all of them; the forced distributed
+    (map_groups) regime is identical."""
+    import pyarrow.parquet as pq_
+
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(73)
+    n = 2500
+    ck = rng.integers(0, 60, n).astype(np.int64)
+    price = (rng.integers(1, 10_000_00, n) / 100.0).round(2)
+    price[:800] = 555.55  # massive tie runs across many customers
+    ok = np.arange(n, dtype=np.int64)
+    ck[:5] = 99  # 5 orders, ranks cut inside the tie run
+    price[:5] = [900.0, 555.55, 555.55, 555.55, 555.55]
+    ck[5] = 98  # a single-order customer
+    pq_.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "o_custkey": pa.array(ck),
+                "o_totalprice": pa.array(price),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = R.q_topk_per_group(str(tmp_path))
+
+    df = pd.DataFrame({"o_custkey": ck, "o_orderkey": ok, "o_totalprice": price})
+    df = df.sort_values(
+        ["o_custkey", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True],
+    )
+    df["rnk"] = df.groupby("o_custkey", sort=False).cumcount() + 1
+    ref = (
+        df[df["rnk"] <= 3][["o_custkey", "rnk", "o_orderkey", "o_totalprice"]]
+        .astype({"rnk": "int64"})
+        .sort_values(["o_custkey", "rnk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref)
+    assert len(out[out["o_custkey"] == 98]) == 1
+    assert list(out[out["o_custkey"] == 99]["o_orderkey"]) == [0, 1, 2]
+
+    monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
+    big = R.q_topk_per_group(str(tmp_path))
+    pd.testing.assert_frame_equal(out, big)
+
+
+def test_group_moments_exact_digests(ray_session, tmp_path, monkeypatch):
+    """The (n, sum, sumsq) digests are exact Python-int equal on 1/64-grid
+    quantities, mean/var match the pinned IEEE expression bit-for-bit, an
+    off-grid quantity raises loudly, and the forced distributed regime is
+    identical."""
+    import pyarrow.parquet as pq_
+
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(79)
+    n = 6000
+    flags = rng.choice(["A", "N", "R"], size=n)
+    status = rng.choice(["F", "O"], size=n)
+    qty = rng.integers(1, 201 * 16, n) / 64.0  # 1/64 grid incl. fractions
+    d = tmp_path / "m"
+    d.mkdir()
+    pq_.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(flags.tolist(), pa.string()),
+                "l_linestatus": pa.array(status.tolist(), pa.string()),
+                "l_quantity": pa.array(qty),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    out = R.q_group_moments(str(d))
+
+    qi = [int(v) for v in np.rint(qty * 64.0).astype(np.int64)]
+    ref_rows = {}
+    for f, s, q in zip(flags, status, qi):
+        r = ref_rows.setdefault((f, s), [0, 0, 0])
+        r[0] += 1
+        r[1] += q
+        r[2] += q * q  # exact Python ints, no numpy dtype anywhere
+    for (f, s), (cn, cs, css) in sorted(ref_rows.items()):
+        row = out[(out["l_returnflag"] == f) & (out["l_linestatus"] == s)]
+        assert int(row["n_lines"].iloc[0]) == cn
+        assert int(row["sum_q64"].iloc[0]) == cs
+        assert int(row["sumsq_q4096"].iloc[0]) == css
+        mean = float(cs) / float(cn) / 64.0
+        var = (float(css) - float(cs) * float(cs) / float(cn)) / float(cn) / 4096.0
+        assert row["mean_qty"].iloc[0] == mean  # bit-identical, not allclose
+        assert row["var_qty"].iloc[0] == var
+
+    monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
+    big = R.q_group_moments(str(d))
+    pd.testing.assert_frame_equal(out, big)
+
+    bad = d / "bad"
+    bad.mkdir()
+    pq_.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(["A"], pa.string()),
+                "l_linestatus": pa.array(["F"], pa.string()),
+                "l_quantity": pa.array([1.0 / 3.0]),
+            }
+        ),
+        str(bad / "lineitem.parquet"),
+    )
+    with pytest.raises(Exception, match="off the 1/64 grid"):
+        R.q_group_moments(str(bad))
+
+
+def test_cube_pricing_folds(ray_session, tmp_path):
+    """CUBE = ROLLUP + the per-status grouping set: the shared cells make
+    the rollup rows a strict subset, the per-status fold sums its column,
+    and the whole frame equals a pandas recomputation."""
+    import pyarrow.parquet as pq_
+
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(83)
+    n = 7000
+    flags = rng.choice(["A", "N", "R"], size=n)
+    status = rng.choice(["F", "O"], size=n)
+    qty = rng.integers(1, 51, n).astype(np.float64)
+    pq_.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(flags.tolist(), pa.string()),
+                "l_linestatus": pa.array(status.tolist(), pa.string()),
+                "l_quantity": pa.array(qty),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    cube = R.q_cube_pricing(str(tmp_path))
+    roll = R.q_rollup_pricing(str(tmp_path))
+    merged = cube.merge(
+        roll, on=["l_returnflag", "l_linestatus"], suffixes=("", "_r")
+    )
+    assert len(merged) == len(roll)  # rollup rows are a subset of cube rows
+    assert (merged["n_lines"] == merged["n_lines_r"]).all()
+    assert (merged["sum_qty"] == merged["sum_qty_r"]).all()
+
+    df = pd.DataFrame(
+        {"l_returnflag": flags, "l_linestatus": status, "l_quantity": qty}
+    )
+    for s in ("F", "O"):
+        row = cube[(cube["l_returnflag"] == "ALL") & (cube["l_linestatus"] == s)]
+        sub = df[df["l_linestatus"] == s]
+        assert int(row["n_lines"].iloc[0]) == len(sub)
+        assert float(row["sum_qty"].iloc[0]) == round(float(sub["l_quantity"].sum()), 2)
+    assert len(cube) == len(roll) + 2  # the two per-status rows
