@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_per_group": R.q_topk_per_group,
         "q_group_moments": R.q_group_moments,
         "q_cube_pricing": R.q_cube_pricing,
+        "q_moving_avg_user_spend": R.q_moving_avg_user_spend,
     }
 
 
@@ -2086,6 +2087,21 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(l_quantity), 2) AS sum_qty "
             "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) "
             "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "q_moving_avg_user_spend": (
+            # bounded ROWS frame; integer cents both sides, and moving_avg
+            # is the same IEEE division on the same integers — no rounding
+            "WITH p AS (SELECT event_id, user_id, ts, "
+            "CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents "
+            "FROM events WHERE event_type = 'purchase'), "
+            "w AS (SELECT event_id, user_id, "
+            "CAST(COUNT(*) OVER win AS BIGINT) AS n_window, "
+            "CAST(SUM(cents) OVER win AS BIGINT) AS moving_sum_cents "
+            "FROM p WINDOW win AS (PARTITION BY user_id ORDER BY ts, "
+            "event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) "
+            "SELECT event_id, user_id, n_window, moving_sum_cents, "
+            "CAST(moving_sum_cents AS DOUBLE) / CAST(n_window AS DOUBLE) "
+            "AS moving_avg FROM w ORDER BY event_id"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

@@ -129,6 +129,7 @@ QUERY_NAMES = [
     "q_topk_per_group",
     "q_group_moments",
     "q_cube_pricing",
+    "q_moving_avg_user_spend",
     "q_ohlc_daily",
     "q_left_join_order_counts",
     "q_sessionize",

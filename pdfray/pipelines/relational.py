@@ -2325,6 +2325,34 @@ def q_skew_join_purchase_clicks(sf_dir: str):
 RUNNING_CHUNK_DAYS = 7  # hot-key split width; the stitch is exact for ANY width
 
 
+def _purchase_cents_chunks(t: pa.Table, chunk_us, n_buckets: int) -> pa.Table:
+    """Shared bucketize step of the per-user window queries: filter to
+    purchases, derive the hot-key-safe (chunk, bucket) shuffle keys
+    (_session_keys) and the exact int64 cents (value*100 ties-away, ==
+    DuckDB ROUND)."""
+    import numpy as np
+
+    t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+    users = t.column("user_id").to_numpy(zero_copy_only=False)
+    ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    chunk, bucket = _session_keys(users, ts_us, n_buckets, chunk_us)
+    cents = round_half_away(
+        pc.fill_null(t.column("value"), 0.0).to_numpy(zero_copy_only=False)
+        * 100.0,
+        0,
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "chunk": pa.array(chunk, pa.int64()),
+            "bucket": pa.array(bucket),
+            "cents": pa.array(cents),
+        }
+    )
+
+
 def q_running_user_spend(sf_dir: str, stage_dir: str = None):
     """Per-purchase RUNNING TOTAL of the user's spend in integer cents —
     the prefix-scan window shape (SUM OVER (PARTITION BY user ORDER BY
@@ -2364,25 +2392,7 @@ def q_running_user_spend(sf_dir: str, stage_dir: str = None):
     chunk_us = np.int64(RUNNING_CHUNK_DAYS) * 86_400_000_000
 
     def bucketize(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
-        users = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        chunk, bucket = _session_keys(users, ts_us, N_BUCKETS, chunk_us)
-        cents = round_half_away(
-            pc.fill_null(t.column("value"), 0.0).to_numpy(zero_copy_only=False)
-            * 100.0,
-            0,
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "event_id": t.column("event_id"),
-                "user_id": t.column("user_id"),
-                "ts": t.column("ts"),
-                "chunk": pa.array(chunk, pa.int64()),
-                "bucket": pa.array(bucket),
-                "cents": pa.array(cents),
-            }
-        )
+        return _purchase_cents_chunks(t, chunk_us, N_BUCKETS)
 
     def scan_chunk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "chunk", "ts", "event_id"]).reset_index(
@@ -2758,3 +2768,190 @@ def q_cube_pricing(sf_dir: str):
         .sort_values(["l_returnflag", "l_linestatus"])
         .reset_index(drop=True)
     )
+
+
+MOVING_CHUNK_DAYS = 7  # hot-key split width; the tail carry is exact for ANY width
+
+
+def q_moving_avg_user_spend(sf_dir: str, stage_dir: str = None):
+    """Per-purchase 3-row MOVING SUM/AVG of the user's spend — the
+    bounded ROWS-frame window (SUM/COUNT OVER (PARTITION BY user ORDER BY
+    ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)), completing
+    the window family: lag (q_interevent_gap_stats), first/last
+    (q_ohlc_daily), unbounded prefix (q_running_user_spend), RANGE frame
+    (q_rolling_revenue), rank (q_topk_per_group).
+
+    The distributed trick differs from the prefix scan: a bounded frame
+    needs only the K-1 rows IMMEDIATELY BEFORE each chunk, not a running
+    offset.  Events shuffle on hot-key-safe (user, time-chunk) keys
+    (_session_keys); each group computes its chunk-LOCAL frame sums in
+    one vectorized pass; per-(user, chunk) TAIL DIGESTS — the last K-1
+    (pos, cents) rows, mergeable under block splits by keeping the
+    max-pos candidates (the q_ohlc_daily carry-the-key trick) — reduce to
+    the driver, which folds them into per-chunk carry corrections
+    (concatenating tails per user in chunk order and taking the last K-1
+    before each chunk, across any run of sparse chunks); corrections ride
+    a keyed-shuffle JOIN back and fix only each chunk's first K-1 rows.
+    The scanned table, consumed twice (digests + fix-up join), is a
+    parquet stage checkpoint with crash-resume via ``stage_dir``.
+
+    Cents are int64 both sides, so frame sums are association-free exact;
+    moving_avg = sum/n is the same IEEE division on the same integers in
+    engine and oracle — bit-identical, no rounding."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import ray.data as rd
+
+    from .sizing import shuffle_partitions
+    from .staging import stage_checkpoint
+
+    K = 3  # frame width: current row + 2 preceding
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value"],
+        rows_per_block=12_500,
+    )
+    N_BUCKETS = 64
+    chunk_us = np.int64(MOVING_CHUNK_DAYS) * 86_400_000_000
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return _purchase_cents_chunks(t, chunk_us, N_BUCKETS)
+
+    def scan_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "chunk", "ts", "event_id"]).reset_index(
+            drop=True
+        )
+        same = g["user_id"].eq(g["user_id"].shift()) & g["chunk"].eq(
+            g["chunk"].shift()
+        )
+        run = (~same).cumsum().to_numpy()
+        grp = g.groupby(run, sort=False)
+        g["pos"] = grp.cumcount()
+        sh1 = grp["cents"].shift(1).fillna(0).astype("int64")
+        sh2 = grp["cents"].shift(2).fillna(0).astype("int64")
+        g["local_sum"] = g["cents"] + sh1 + sh2  # frame sum within the chunk
+        return g[["event_id", "user_id", "chunk", "pos", "cents", "local_sum"]]
+
+    own_stage = stage_dir is None
+    root = tempfile.mkdtemp(prefix="pdfray_moving_") if own_stage else stage_dir
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "n_window": pd.Series([], dtype="int64"),
+            "moving_sum_cents": pd.Series([], dtype="int64"),
+            "moving_avg": pd.Series([], dtype="float64"),
+        }
+    )
+    try:
+        scanned = stage_checkpoint(
+            lambda: ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(scan_chunk, batch_format="pandas"),
+            os.path.join(root, "scanned"),
+            resume=not own_stage,
+            allow_empty=True,
+        )
+        if scanned is None:  # zero purchases anywhere
+            return empty
+        n_rows = scanned.count()
+
+        # per-(user, chunk) digests: row count (additive) + the K-1
+        # max-pos (pos, cents) tail candidates — block splits only add
+        # candidates, the driver merge keeps the true max-pos rows
+        def digest(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(["user_id", "chunk", "pos"])
+            tail = df.groupby(["user_id", "chunk"], sort=False).tail(K - 1)
+            return tail[["user_id", "chunk", "pos", "cents"]]
+
+        parts = scanned.map_batches(digest, batch_format="pandas").to_pandas()
+        # true last K-1 rows per (user, chunk): the global-max-pos rows are
+        # each in SOME block's tail, so merging block tails and re-tailing
+        # is exact; pos also yields the chunk row count (max pos + 1)
+        t2 = (
+            parts.drop_duplicates(["user_id", "chunk", "pos"])
+            .sort_values(["user_id", "chunk", "pos"])
+            .groupby(["user_id", "chunk"], sort=False)
+            .tail(K - 1)
+            .reset_index(drop=True)
+        )
+        # vectorized fold: each tail keeps K-1 rows, so per-user
+        # concatenated tails are a faithful suffix — the last two tail
+        # rows BEFORE a chunk's first row are the true last two cents,
+        # across any run of sparse chunks
+        same1 = t2["user_id"].eq(t2["user_id"].shift(1)).to_numpy()
+        same2 = t2["user_id"].eq(t2["user_id"].shift(2)).to_numpy()
+        c_sh1 = t2["cents"].shift(1).fillna(0).to_numpy(np.int64)
+        c_sh2 = t2["cents"].shift(2).fillna(0).to_numpy(np.int64)
+        is_first = ~(
+            t2["user_id"].eq(t2["user_id"].shift())
+            & t2["chunk"].eq(t2["chunk"].shift())
+        ).to_numpy()
+        fix = t2.loc[is_first, ["user_id", "chunk"]].copy()
+        fix["a"] = np.where(same1, c_sh1, 0)[is_first]
+        fix["b"] = np.where(same2, c_sh2, 0)[is_first]
+        cnts = (
+            parts.groupby(["user_id", "chunk"], as_index=False)["pos"]
+            .max()
+            .rename(columns={"pos": "maxpos"})
+            .sort_values(["user_id", "chunk"])
+        )
+        cnts["cnt"] = cnts["maxpos"] + 1
+        cs = cnts.groupby("user_id")["cnt"].cumsum()
+        cnts["prior"] = (cs - cnts["cnt"]).clip(upper=K - 1).astype("int64")
+        fix = fix.merge(
+            cnts[["user_id", "chunk", "prior"]], on=["user_id", "chunk"]
+        )
+        p = fix["prior"].to_numpy(np.int64)
+        a = fix["a"].to_numpy(np.int64)
+        b = fix["b"].to_numpy(np.int64)
+        fix["add0"] = np.where(p >= 1, a, 0) + np.where(p >= 2, b, 0)
+        fix["add1"] = np.where(p >= 1, a, 0)
+        fix["n0"] = np.minimum(p, 2) + 1
+        fix["n1"] = np.minimum(p, 1) + 2
+        fix = fix[["user_id", "chunk", "add0", "add1", "n0", "n1"]].astype(
+            "int64"
+        )
+        off_ds = rd.from_arrow(pa.Table.from_pandas(fix, preserve_index=False))
+        n_parts = shuffle_partitions(n_rows)
+
+        def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+            pos = df["pos"].to_numpy(np.int64)
+            s = df["local_sum"].to_numpy(np.int64).copy()
+            s[pos == 0] += df["add0"].to_numpy(np.int64)[pos == 0]
+            s[pos == 1] += df["add1"].to_numpy(np.int64)[pos == 1]
+            n = np.full(len(df), K, np.int64)
+            n[pos == 0] = df["n0"].to_numpy(np.int64)[pos == 0]
+            n[pos == 1] = df["n1"].to_numpy(np.int64)[pos == 1]
+            out = df[["event_id", "user_id"]].copy()
+            out["n_window"] = n
+            out["moving_sum_cents"] = s
+            return out
+
+        out = (
+            scanned.join(
+                off_ds,
+                join_type="inner",
+                num_partitions=n_parts,
+                on=("user_id", "chunk"),
+            )
+            .map_batches(rewrite, batch_format="pandas")
+            .to_pandas()
+        )
+        for c in ("event_id", "user_id", "n_window", "moving_sum_cents"):
+            out[c] = out[c].astype("int64")
+        # pinned to the oracle's expression: same IEEE division on the
+        # same integers -> bit-identical, no rounding either side
+        out["moving_avg"] = out["moving_sum_cents"].to_numpy(
+            np.int64
+        ).astype(np.float64) / out["n_window"].to_numpy(np.int64).astype(
+            np.float64
+        )
+        return out.sort_values("event_id").reset_index(drop=True)
+    finally:
+        if own_stage:
+            shutil.rmtree(root, ignore_errors=True)

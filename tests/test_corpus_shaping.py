@@ -598,6 +598,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_skew_join_purchase_clicks",
     "q_running_user_spend",
     "q_user_days_exact",
+    "q_moving_avg_user_spend",
 ]
 
 _PROPS_POOL = [

@@ -2937,3 +2937,73 @@ def test_cube_pricing_folds(ray_session, tmp_path):
         assert int(row["n_lines"].iloc[0]) == len(sub)
         assert float(row["sum_qty"].iloc[0]) == round(float(sub["l_quantity"].sum()), 2)
     assert len(cube) == len(roll) + 2  # the two per-status rows
+
+
+def test_moving_avg_user_spend_tail_carry(ray_session, tmp_path, monkeypatch):
+    """3-row ROWS-frame moving sums are exact across chunk boundaries:
+    tie-heavy randomized corpus with a hot user, chunk width forced to 1
+    day so nearly every frame spans a stitch; a planted user with ONE
+    purchase per day across 3 days exercises the carry reaching back
+    through sparse chunks; short histories get short windows (n_window <
+    3); and a stage_dir rerun resumes to the same result."""
+    import pyarrow.parquet as pq_
+
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(89)
+    n = 3000
+    users = rng.integers(0, 30, n)
+    users[: n // 3] = 3  # hot user
+    day = 86_400_000_000
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 60, n) * day + rng.integers(0, 4, n)  # ties
+    kinds = rng.choice(["purchase", "view"], size=n).astype(object)
+    # planted: user 777 purchases exactly once per day on 3 days — the
+    # third frame's carry reaches back through two 1-row chunks
+    users[:3] = 777
+    kinds[:3] = "purchase"
+    ts[0], ts[1], ts[2] = base, base + day, base + 2 * day
+    t = _write_events(tmp_path, users, ts, kinds)
+    vals = rng.integers(-320, 320, n) / 64.0  # binary grid incl. .5-cent ties
+    t = t.set_column(t.schema.get_field_index("value"), "value", pa.array(vals))
+    pq_.write_table(t, str(tmp_path / "events.parquet"))
+
+    monkeypatch.setattr(R, "MOVING_CHUNK_DAYS", 1)
+    out = R.q_moving_avg_user_spend(str(tmp_path))
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": users,
+            "ts": ts,
+            "kind": kinds,
+            "cents": R.round_half_away(vals * 100.0, 0).astype(np.int64),
+        }
+    )
+    df = df[df["kind"] == "purchase"].sort_values(["user_id", "ts", "event_id"])
+    g = df.groupby("user_id")["cents"]
+    df["moving_sum_cents"] = (
+        g.rolling(3, min_periods=1).sum().reset_index(level=0, drop=True)
+    ).astype("int64")
+    df["n_window"] = (
+        g.rolling(3, min_periods=1).count().reset_index(level=0, drop=True)
+    ).astype("int64")
+    df["moving_avg"] = df["moving_sum_cents"].to_numpy(np.int64).astype(
+        np.float64
+    ) / df["n_window"].to_numpy(np.int64).astype(np.float64)
+    ref = (
+        df[["event_id", "user_id", "n_window", "moving_sum_cents", "moving_avg"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref)
+    planted = out[out["user_id"] == 777].sort_values("event_id")
+    assert list(planted["n_window"]) == [1, 2, 3]
+    assert (out["n_window"] < 3).any() and (out["n_window"] == 3).any()
+
+    stage = tmp_path / "stage"
+    first = R.q_moving_avg_user_spend(str(tmp_path), stage_dir=str(stage))
+    assert (stage / "scanned" / "_DONE").exists()
+    resumed = R.q_moving_avg_user_spend(str(tmp_path), stage_dir=str(stage))
+    pd.testing.assert_frame_equal(first, resumed)
+    pd.testing.assert_frame_equal(first, ref)
