@@ -337,6 +337,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_moments": R.q_group_moments,
         "q_cube_pricing": R.q_cube_pricing,
         "q_moving_avg_user_spend": R.q_moving_avg_user_spend,
+        "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "q_percent_rank_acctbal": R.q_percent_rank_acctbal,
+        "q_corr_qty_discount": R.q_corr_qty_discount,
+        "q_mode_event_type": R.q_mode_event_type,
+        "s_mips_topk": S.s_mips_topk,
     }
 
 
@@ -2102,6 +2107,93 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, n_window, moving_sum_cents, "
             "CAST(moving_sum_cents AS DOUBLE) / CAST(n_window AS DOUBLE) "
             "AS moving_avg FROM w ORDER BY event_id"
+        ),
+        "q5_local_supplier_volume": (
+            # revenue on the exact integer grid both sides (cents x
+            # (100 - d100)); the float revenue is the same IEEE division
+            "WITH rn AS (SELECT n_nationkey, n_name FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), "
+            "li AS (SELECT l_orderkey, l_suppkey, "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem), "
+            "j AS (SELECT rn.n_name, li.rev FROM orders o "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN li ON li.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON s.s_suppkey = li.l_suppkey "
+            "JOIN rn ON rn.n_nationkey = s.s_nationkey "
+            "WHERE c.c_nationkey = s.s_nationkey "
+            "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1997-01-01') "
+            "SELECT n_name, CAST(SUM(rev) AS BIGINT) AS revenue_x10000, "
+            "CAST(SUM(rev) AS DOUBLE) / 10000.0 AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lineitems "
+            "FROM j GROUP BY n_name ORDER BY n_name"
+        ),
+        "q_percent_rank_acctbal": (
+            # tie rows project identically -> DISTINCT over the windowed
+            # table is lossless; PERCENT_RANK is (rnk-1)/(n-1), the same
+            # IEEE division the engine applies to the same small ints
+            "SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS s_nationkey, "
+            "s_acctbal, "
+            "CAST(COUNT(*) OVER (PARTITION BY s_nationkey, s_acctbal) "
+            "AS BIGINT) AS n_rows, "
+            "CAST(RANK() OVER w AS BIGINT) AS rnk, "
+            "CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk, "
+            "PERCENT_RANK() OVER w AS pct_rank "
+            "FROM supplier "
+            "WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal) "
+            "ORDER BY s_nationkey, s_acctbal"
+        ),
+        "q_corr_qty_discount": (
+            # corr recomputed from the SAME integer digests with the SAME
+            # IEEE expression the engine uses (NOT the CORR() aggregate,
+            # whose streaming update order is implementation-defined) —
+            # bit-identical doubles, no rounding either side
+            "WITH d AS (SELECT l_returnflag, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(SUM(CAST(l_quantity * 64 AS BIGINT)) AS BIGINT) AS sx, "
+            "CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy, "
+            "CAST(SUM(CAST(l_quantity * 64 AS BIGINT) * "
+            "CAST(l_quantity * 64 AS BIGINT)) AS BIGINT) AS sxx, "
+            "CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT) * "
+            "CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy, "
+            "CAST(SUM(CAST(l_quantity * 64 AS BIGINT) * "
+            "CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy "
+            "FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n_lines, "
+            "(CAST(n_lines AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+            "SQRT(NULLIF(CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)) / "
+            "SQRT(NULLIF(CAST(n_lines AS DOUBLE) * CAST(syy AS DOUBLE) - "
+            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)) "
+            "AS corr_qty_disc "
+            "FROM d ORDER BY l_returnflag"
+        ),
+        "q_mode_event_type": (
+            "SELECT user_id, mode_type, n_mode FROM ("
+            "SELECT user_id, event_type AS mode_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n_mode, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY COUNT(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) "
+            "WHERE rn = 1 ORDER BY user_id"
+        ),
+        "s_mips_topk": (
+            # same rounded-score total order as the engine's local top-k
+            # and driver merge (dot desc, vec_id asc)
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings ORDER BY vec_id LIMIT 5), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.qe AS DOUBLE[])), 4) AS dot "
+            "FROM embeddings e CROSS JOIN q), "
+            "ranked AS (SELECT query_id, vec_id, dot, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY dot DESC, vec_id) AS rank FROM scored) "
+            "SELECT query_id, rank, vec_id, dot FROM ranked WHERE rank <= 10 "
+            "ORDER BY query_id, rank"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

@@ -132,6 +132,11 @@ QUERY_NAMES = [
     "q_moving_avg_user_spend",
     "q_ohlc_daily",
     "q_left_join_order_counts",
+    "q5_local_supplier_volume",
+    "q_percent_rank_acctbal",
+    "q_corr_qty_discount",
+    "q_mode_event_type",
+    "s_mips_topk",
     "q_sessionize",
     "q_retention_cohorts",
     "q_funnel",

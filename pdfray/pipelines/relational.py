@@ -2955,3 +2955,446 @@ def q_moving_avg_user_spend(sf_dir: str, stage_dir: str = None):
     finally:
         if own_stage:
             shutil.rmtree(root, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+def _join_pad(ds, schema: pa.Schema):
+    """Make a Dataset safe as an INNER-join side by appending one all-NULL
+    row: SQL join semantics drop NULL keys (NULL = NULL is not true), so
+    the sentinel can never match — but the side is now guaranteed
+    nonempty, and Ray 2.49's hash join cannot hit its all-empty-side
+    failure (the side's schema is lost and the Acero probe dies with
+    "No match ... FieldRef"; measured: ANY fully-empty side — a filter
+    that matched nothing, or an upstream join that produced zero rows —
+    kills the join).  Zero materialization, O(1) extra rows — strictly
+    better than the count-and-short-circuit guard, which would have to
+    execute (and for a mid-chain join output, materialize) the side.
+
+    INNER joins only: an outer join would emit the sentinel as an
+    unmatched all-null row."""
+    import ray.data as rd
+
+    t = pa.table({f.name: pa.array([None], f.type) for f in schema})
+    return ds.union(rd.from_arrow(t))
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — the registry's first WIDE multiway join: revenue
+    per nation from lineitems whose customer AND supplier share a nation
+    inside one region, within a one-year order window.
+
+    Plan (the textbook distributed Q5, not a driver loop):
+      - region/nation are driver-tiny: the region's nation-key set is
+        resolved once and broadcast; customer and supplier are filtered
+        AT THE SCAN by that membership set (semi-join pushdown), so every
+        exchange below carries region-local rows only;
+      - three keyed hash exchanges, each data-proportionally partitioned
+        from parquet-footer row counts (sizing.shuffle_partitions):
+        orders(date window) JOIN customer ON custkey,
+        lineitem JOIN that ON orderkey, JOIN supplier ON suppkey;
+      - the local-supplier predicate (c_nationkey = s_nationkey) is a
+        post-join vectorized filter, then a per-block combiner collapses
+        to one row per nation BEFORE the final tiny groupby
+        (_two_regime_sum) — the last exchange moves O(nations x blocks).
+
+    Every join side rides `_join_pad`: Ray 2.49's hash join dies when a
+    side is fully empty (a window that matches nothing, a region with no
+    customers, or an upstream join producing zero rows) — the null-key
+    sentinel keeps each side schema-carrying at zero cost.
+
+    Revenue rides the exact integer grid: cents(l_extendedprice) x
+    (100 - d100(l_discount)) is int64-exact (money on the cents grid,
+    discount on the 1/100 grid; ties in the x100 scaling round away from
+    zero on BOTH sides), safe to ~8e9 rows per nation at TPC-H
+    magnitudes; the float revenue is the SAME IEEE division in engine
+    and oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from .sizing import shuffle_partitions
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(region.loc[region["r_name"] == Q5_REGION, "r_regionkey"].tolist())
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    name_map = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    nkeys_ref = ray.put(nat["n_nationkey"].to_numpy(np.int32))
+
+    lo = pc.strptime(Q5_DATE_LO, format="%Y-%m-%d", unit="us").as_py()
+    hi = pc.strptime(Q5_DATE_HI, format="%Y-%m-%d", unit="us").as_py()
+
+    n_ord = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+
+    cust = _join_pad(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"], rows_per_block=100_000)
+        .map_batches(
+            warm_stage(_Membership, keys_ref=nkeys_ref, key_col="c_nationkey"),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int32())]),
+    )
+
+    def ord_project(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    ords = _join_pad(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate"],
+            rows_per_block=100_000,
+        ).map_batches(ord_project, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
+
+    ord_cust = ords.join(
+        cust,
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_ord),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def li_project(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        d100 = round_half_away(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev": pa.array(cents * (100 - d100)),
+            }
+        )
+
+    li_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()), ("rev", pa.int64())]
+    )
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        rows_per_block=100_000,
+    ).map_batches(li_project, batch_format="pyarrow")
+
+    li_ord = _join_pad(li, li_schema).join(
+        _join_pad(
+            ord_cust,
+            pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("o_custkey", pa.int64()),
+                    ("c_nationkey", pa.int32()),
+                ]
+            ),
+        ),
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_li),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    supp = _join_pad(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            warm_stage(_Membership, keys_ref=nkeys_ref, key_col="s_nationkey"),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("s_suppkey", pa.int64()), ("s_nationkey", pa.int32())]),
+    )
+
+    joined = _join_pad(
+        li_ord,
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("rev", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("c_nationkey", pa.int32()),
+            ]
+        ),
+    ).join(
+        supp,
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_li),
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        # local-supplier predicate + per-block combiner to one row/nation
+        t = t.filter(
+            pc.equal(
+                t.column("c_nationkey").cast(pa.int64()),
+                t.column("s_nationkey").cast(pa.int64()),
+            )
+        )
+        tt = pa.table(
+            {
+                "s_nationkey": t.column("s_nationkey").cast(pa.int64()),
+                "revenue_x10000": t.column("rev"),
+                "n_lineitems": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        g = tt.group_by("s_nationkey").aggregate(
+            [("revenue_x10000", "sum"), ("n_lineitems", "sum")]
+        )
+        return g.rename_columns(["s_nationkey", "revenue_x10000", "n_lineitems"])
+
+    red, _ = _two_regime_sum(
+        joined.map_batches(combine, batch_format="pyarrow"),
+        ["s_nationkey"],
+        ["revenue_x10000", "n_lineitems"],
+    )
+    df = red.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "n_name": pd.Series([], dtype=object),
+                "revenue_x10000": pd.Series([], dtype="int64"),
+                "revenue": pd.Series([], dtype="float64"),
+                "n_lineitems": pd.Series([], dtype="int64"),
+            }
+        )
+    df["n_name"] = df["s_nationkey"].map(name_map)
+    # same IEEE division as the oracle on the same exact integers
+    df["revenue"] = df["revenue_x10000"].to_numpy(np.int64).astype(np.float64) / 10000.0
+    for c in ("revenue_x10000", "n_lineitems"):
+        df[c] = df[c].astype("int64")
+    return (
+        df[["n_name", "revenue_x10000", "revenue", "n_lineitems"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+def q_percent_rank_acctbal(sf_dir: str):
+    """RANK / DENSE_RANK / PERCENT_RANK of supplier account balances
+    within each nation — the rank-window family, computed WITHOUT a
+    global sort: ranks over a value are fully determined by the
+    per-(group, value) COUNTS, so the pipeline reduces supplier to the
+    distinct (s_nationkey, s_acctbal, n_rows) table (one combiner pass +
+    _two_regime_sum; the shuffle moves distinct values, not rows), then
+    a per-group cumulative pass assigns
+        rnk        = 1 + #rows with a smaller value   (ties share it)
+        dense_rnk  = #distinct smaller values + 1
+        pct_rank   = (rnk - 1) / (n_group - 1)        (0 when n == 1)
+    exactly the SQL window definitions.  Output is one row per DISTINCT
+    (nation, value) — tie rows project identically, so the oracle's
+    SELECT DISTINCT over the windowed table is lossless.
+
+    Scale shape: the cumulative pass is two-regime — driver pandas below
+    PIVOT_DRIVER_MAX_ROWS distinct values, per-nation map_groups above
+    (a group = one nation's distinct balances, domain-bounded).  The
+    float division is the same IEEE expression both sides."""
+    import numpy as np
+
+    ds = _read(
+        sf_dir, "supplier", ["s_nationkey", "s_acctbal"], rows_per_block=100_000
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("n_rows", pa.array(np.ones(len(t), np.int64)))
+        g = t.group_by(["s_nationkey", "s_acctbal"]).aggregate([("n_rows", "sum")])
+        return g.rename_columns(["s_nationkey", "s_acctbal", "n_rows"])
+
+    red, n_red = _two_regime_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["s_nationkey", "s_acctbal"],
+        ["n_rows"],
+        empty_types={"s_nationkey": pa.int64(), "s_acctbal": pa.float64()},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["s_nationkey", "s_acctbal"]).reset_index(drop=True)
+        out = []
+        for _, g in df.groupby("s_nationkey", sort=False):
+            c = g["n_rows"].to_numpy(np.int64)
+            n = int(c.sum())
+            rnk = np.concatenate(([0], np.cumsum(c)[:-1])) + 1
+            dense = np.arange(1, len(g) + 1, dtype=np.int64)
+            if n > 1:
+                pct = (rnk - 1).astype(np.float64) / np.float64(n - 1)
+            else:
+                pct = np.zeros(len(g), np.float64)
+            gg = g.copy()
+            gg["rnk"] = rnk
+            gg["dense_rnk"] = dense
+            gg["pct_rank"] = pct
+            out.append(gg)
+        if not out:
+            return pd.DataFrame(
+                {
+                    "s_nationkey": pd.Series([], dtype="int64"),
+                    "s_acctbal": pd.Series([], dtype="float64"),
+                    "n_rows": pd.Series([], dtype="int64"),
+                    "rnk": pd.Series([], dtype="int64"),
+                    "dense_rnk": pd.Series([], dtype="int64"),
+                    "pct_rank": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(out)[
+            ["s_nationkey", "s_acctbal", "n_rows", "rnk", "dense_rnk", "pct_rank"]
+        ]
+
+    if n_red <= PIVOT_DRIVER_MAX_ROWS:
+        df = finish(red.to_pandas())
+    else:
+        df = (
+            red.groupby("s_nationkey")
+            .map_groups(finish, batch_format="pandas")
+            .to_pandas()
+        )
+    for c in ("s_nationkey", "n_rows", "rnk", "dense_rnk"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["s_nationkey", "s_acctbal"]).reset_index(drop=True)
+
+
+def q_corr_qty_discount(sf_dir: str):
+    """Pearson correlation of quantity vs discount per returnflag — the
+    mergeable BIVARIATE-moment digest: corr is a pure function of
+    (n, Sx, Sy, Sxx, Syy, Sxy), each a sum, so ONE combiner pass reduces
+    every block to a 6-integer row per group and the exchange moves
+    O(groups x blocks) rows.
+
+    Exactness: quantity rides the 1/64 grid (x64 -> int) and discount
+    the 1/100 grid (x100 -> int); both scalings are grid-guarded (loud
+    raise off-grid), so the digests are association-free exact int64 —
+    Sxx <= (3200^2)n keeps every digest under 2^63 to ~9e11 rows per
+    group — and the float corr is the SAME IEEE expression on the same
+    integers in engine and oracle (cov / sqrt(vx) / sqrt(vy) on the
+    n-scaled central sums), hence bit-identical with no rounding.
+    Zero variance on either side yields NULL, matching SQL CORR."""
+    import numpy as np
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_quantity", "l_discount"],
+        rows_per_block=100_000,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        d = t.column("l_discount").to_numpy(zero_copy_only=False)
+        qi = np.rint(q * 64.0).astype(np.int64)
+        di = np.rint(d * 100.0).astype(np.int64)
+        if not np.array_equal(qi / 64.0, q):
+            raise ValueError("l_quantity off the 1/64 grid; digests inexact")
+        if not np.array_equal(di / 100.0, d):
+            raise ValueError("l_discount off the 1/100 grid; digests inexact")
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n_lines": pa.array(np.ones(len(t), np.int64)),
+                "s_q64": pa.array(qi),
+                "s_d100": pa.array(di),
+                "s_qq": pa.array(qi * qi),
+                "s_dd": pa.array(di * di),
+                "s_qd": pa.array(qi * di),
+            }
+        )
+        g = tt.group_by("l_returnflag").aggregate(
+            [(c, "sum") for c in ("n_lines", "s_q64", "s_d100", "s_qq", "s_dd", "s_qd")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "n_lines", "s_q64", "s_d100", "s_qq", "s_dd", "s_qd"]
+        )
+
+    red, _ = _two_regime_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"],
+        ["n_lines", "s_q64", "s_d100", "s_qq", "s_dd", "s_qd"],
+    )
+    df = red.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "l_returnflag": pd.Series([], dtype=object),
+                "n_lines": pd.Series([], dtype="int64"),
+                "corr_qty_disc": pd.Series([], dtype="float64"),
+            }
+        )
+    n = df["n_lines"].to_numpy(np.int64).astype(np.float64)
+    sx = df["s_q64"].to_numpy(np.int64).astype(np.float64)
+    sy = df["s_d100"].to_numpy(np.int64).astype(np.float64)
+    sxx = df["s_qq"].to_numpy(np.int64).astype(np.float64)
+    syy = df["s_dd"].to_numpy(np.int64).astype(np.float64)
+    sxy = df["s_qd"].to_numpy(np.int64).astype(np.float64)
+    # expression shape pinned to the oracle SQL (identical IEEE op order)
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = cov / np.sqrt(vx) / np.sqrt(vy)
+    corr = np.where((vx == 0.0) | (vy == 0.0), np.nan, corr)
+    df["corr_qty_disc"] = corr
+    df["n_lines"] = df["n_lines"].astype("int64")
+    return (
+        df[["l_returnflag", "n_lines", "corr_qty_disc"]]
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+
+
+def q_mode_event_type(sf_dir: str):
+    """Per-user MODE of event_type (most frequent value; ties break to
+    the lexicographically-smallest type — a total order, so the result
+    is deterministic and layout-invariant).
+
+    Scale shape: mode is not a native mergeable aggregate, but the
+    (user, type) COUNT table is — one combiner pass + _two_regime_sum
+    reduces the corpus to distinct pairs (bounded by users x event-type
+    domain), then a per-user argmax picks the winner: driver pandas when
+    the pair table is driver-sized, per-user map_groups above (a group
+    is at most |event-type domain| rows)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"], rows_per_block=100_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("n_mode", pa.array(np.ones(len(t), np.int64)))
+        g = t.group_by(["user_id", "event_type"]).aggregate([("n_mode", "sum")])
+        return g.rename_columns(["user_id", "event_type", "n_mode"])
+
+    red, n_red = _two_regime_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        ["n_mode"],
+        empty_types={"user_id": pa.int64(), "event_type": pa.string()},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "n_mode", "event_type"], ascending=[True, False, True]
+        )
+        return df.groupby("user_id", sort=False).head(1)
+
+    if n_red <= PIVOT_DRIVER_MAX_ROWS:
+        out = finish(red.to_pandas())
+    else:
+        out = (
+            red.groupby("user_id")
+            .map_groups(finish, batch_format="pandas")
+            .to_pandas()
+        )
+    out = out.rename(columns={"event_type": "mode_type"})
+    for c in ("user_id", "n_mode"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["user_id", "mode_type", "n_mode"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )

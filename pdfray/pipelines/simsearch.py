@@ -83,8 +83,19 @@ def _query_matrix(sf_dir: str):
         )
         q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-        _QUERY_CACHE[sf_dir] = (df["vec_id"].to_numpy(), qn)
-    return _QUERY_CACHE[sf_dir]
+        _QUERY_CACHE[sf_dir] = (df["vec_id"].to_numpy(), qn, q)
+    ids, qn, _q = _QUERY_CACHE[sf_dir]
+    return ids, qn
+
+
+def _query_matrix_raw(sf_dir: str):
+    """The same deterministic query workload, UNNORMALIZED — the metric
+    for maximum-inner-product search is magnitude-sensitive, so the raw
+    float64 vectors are the queries (shares `_query_matrix`'s zone-map
+    read and cache)."""
+    _query_matrix(sf_dir)
+    ids, _qn, q = _QUERY_CACHE[sf_dir]
+    return ids, q
 
 
 def _batch_matrix(t: pa.Table) -> np.ndarray:
@@ -106,17 +117,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def _merge_topk(local: pd.DataFrame) -> pd.DataFrame:
+def _merge_topk(local: pd.DataFrame, col: str = "sim") -> pd.DataFrame:
     """Driver-side merge of per-batch top-k candidates (tiny frame)."""
     out = []
     local = local.copy()
-    local["sim"] = local["sim"].round(4)  # rank on rounded sims, ties by vec_id
+    local[col] = local[col].round(4)  # rank on rounded scores, ties by vec_id
     for qid, g in local.groupby("query_id"):
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(TOP_K)
+        g = g.sort_values([col, "vec_id"], ascending=[False, True]).head(TOP_K)
         g = g.assign(rank=range(1, len(g) + 1))
         out.append(g)
     df = pd.concat(out).reset_index(drop=True)
-    return df[["query_id", "rank", "vec_id", "sim"]]
+    return df[["query_id", "rank", "vec_id", col]]
 
 
 def s_knn_bruteforce(sf_dir: str):
@@ -1626,3 +1637,62 @@ def s_kmeans_init_assign(sf_dir: str, k: int = KMEANS_K):
         batch_format="pyarrow",
     ).to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def s_mips_topk(sf_dir: str):
+    """Exact MAXIMUM-INNER-PRODUCT top-k per query — the similarity-search
+    metric recommendation and two-tower retrieval engines rank by (dot
+    product, NOT cosine: vector magnitude carries signal, so neither side
+    is normalized).  Same scale shape as s_knn_bruteforce: the raw query
+    matrix is ray.put once, every batch does one (batch, dim) x (dim, q)
+    matmul and keeps only its local top-k UNDER THE SAME TOTAL ORDER as
+    the global merge and the oracle (rounded score desc, vec_id asc), so
+    at most k rows per (query, block) reach the driver."""
+    import ray
+
+    qids, qmat = _query_matrix_raw(sf_dir)
+    qref = ray.put((qids, qmat))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "dot": pa.array([], pa.float64()),
+                    }
+                )
+            vecs = _batch_matrix(t)  # RAW, magnitude-sensitive
+            dots = vecs @ self.qmat.T
+            vec_ids = t.column("vec_id").to_numpy()
+            out = {"query_id": [], "vec_id": [], "dot": []}
+            k = min(TOP_K, len(vec_ids))
+            for qi, qid in enumerate(self.qids):
+                col = dots[:, qi]
+                order = np.lexsort((vec_ids, -np.round(col, 4)))
+                for j in order[:k]:
+                    out["query_id"].append(int(qid))
+                    out["vec_id"].append(int(vec_ids[j]))
+                    out["dot"].append(float(col[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out["query_id"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "dot": pa.array(out["dot"], pa.float64()),
+                }
+            )
+
+    local = (
+        _read_embeddings(sf_dir)
+        .map_batches(
+            warm_factory(("s_mips", qref.hex()), Score),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
+        .to_pandas()
+    )
+    return _merge_topk(local, col="dot")

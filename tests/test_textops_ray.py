@@ -3007,3 +3007,333 @@ def test_moving_avg_user_spend_tail_carry(ray_session, tmp_path, monkeypatch):
     resumed = R.q_moving_avg_user_spend(str(tmp_path), stage_dir=str(stage))
     pd.testing.assert_frame_equal(first, resumed)
     pd.testing.assert_frame_equal(first, ref)
+
+
+def _write_q5_star(d, rows):
+    """Write a minimal star schema for q5 tests from a dict of tables."""
+    for name, tbl in rows.items():
+        pq.write_table(tbl, str(d / f"{name}.parquet"))
+
+
+def test_q5_multiway_join_hostile(ray_session, tmp_path):
+    """TPC-H Q5 over a hostile star: dangling FKs on every join edge,
+    orders outside the date window, customer/supplier nation mismatches,
+    a .xx5-tie extendedprice (away-from-zero x100 rounding), and a
+    region with zero qualifying rows -> typed empty frame."""
+    import pdfray.pipelines.relational as R
+
+    d = tmp_path / "q5"
+    d.mkdir()
+    region = pa.table(
+        {"r_regionkey": pa.array([0, 1], pa.int32()),
+         "r_name": pa.array(["ASIA", "EUROPE"])}
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array([10, 11, 20], pa.int32()),
+            "n_name": pa.array(["JAPAN", "CHINA", "FRANCE"]),
+            "n_regionkey": pa.array([0, 0, 1], pa.int32()),
+        }
+    )
+    customer = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_name": pa.array(["a", "b", "c", "d"]),
+            "c_nationkey": pa.array([10, 11, 20, 10], pa.int32()),
+            "c_acctbal": pa.array([0.0] * 4),
+            "c_mktsegment": pa.array(["x"] * 4),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array([100, 101, 102], pa.int64()),
+            "s_name": pa.array(["s0", "s1", "s2"]),
+            "s_nationkey": pa.array([10, 11, 20], pa.int32()),
+            "s_acctbal": pa.array([0.0] * 3),
+        }
+    )
+
+    def ts(s):
+        return np.datetime64(s, "us")
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1000, 1001, 1002, 1003, 1004], pa.int64()),
+            "o_custkey": pa.array([1, 2, 3, 999, 1], pa.int64()),  # 999 dangles
+            "o_orderstatus": pa.array(["F"] * 5),
+            "o_totalprice": pa.array([1.0] * 5),
+            # 1002 in-window but FRANCE customer; 1004 out-of-window
+            "o_orderdate": pa.array(
+                [ts("1996-03-01"), ts("1996-06-01"), ts("1996-07-01"),
+                 ts("1996-08-01"), ts("1999-01-01")]
+            ),
+            "o_orderpriority": pa.array(["p"] * 5),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(
+                [1000, 1000, 1001, 1002, 1004, 7777], pa.int64()
+            ),  # 7777 dangles
+            "l_partkey": pa.array([0] * 6, pa.int64()),
+            "l_suppkey": pa.array([100, 101, 101, 102, 100, 100], pa.int64()),
+            "l_linenumber": pa.array([1, 2, 1, 1, 1, 1], pa.int32()),
+            "l_quantity": pa.array([1.0] * 6),
+            # 100.125 * 100 = 10012.5 exact tie -> away rounds to 10013
+            "l_extendedprice": pa.array(
+                [100.125, 200.0, 300.0, 400.0, 500.0, 600.0]
+            ),
+            "l_discount": pa.array([0.05, 0.0, 0.1, 0.0, 0.0, 0.0]),
+            "l_tax": pa.array([0.0] * 6),
+            "l_returnflag": pa.array(["N"] * 6),
+            "l_linestatus": pa.array(["O"] * 6),
+            "l_shipdate": pa.array([ts("1996-01-01")] * 6),
+        }
+    )
+    _write_q5_star(
+        d,
+        {
+            "region": region,
+            "nation": nation,
+            "customer": customer,
+            "supplier": supplier,
+            "orders": orders,
+            "lineitem": lineitem,
+        },
+    )
+    out = R.q5_local_supplier_volume(str(d))
+    # qualifying: order 1000 (cust 1 JAPAN): line (supp 100 JAPAN,
+    # 100.125 @ 5%) and line (supp 101 CHINA -> nation mismatch, dropped);
+    # order 1001 (cust 2 CHINA): line (supp 101 CHINA, 300 @ 10%).
+    # order 1002 is FRANCE (outside ASIA), 1004 out-of-window, 7777/999 dangle.
+    rev_japan = 10013 * 95          # away-from-zero tie
+    rev_china = 30000 * 90
+    ref = pd.DataFrame(
+        {
+            "n_name": ["CHINA", "JAPAN"],
+            "revenue_x10000": np.array([rev_china, rev_japan], np.int64),
+            "revenue": [rev_china / 10000.0, rev_japan / 10000.0],
+            "n_lineitems": np.array([1, 1], np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(out, ref)
+
+    # empty result: no ASIA region at all
+    d2 = tmp_path / "q5e"
+    d2.mkdir()
+    _write_q5_star(
+        d2,
+        {
+            "region": pa.table(
+                {"r_regionkey": pa.array([1], pa.int32()),
+                 "r_name": pa.array(["EUROPE"])}
+            ),
+            "nation": nation,
+            "customer": customer,
+            "supplier": supplier,
+            "orders": orders,
+            "lineitem": lineitem,
+        },
+    )
+    empty = R.q5_local_supplier_volume(str(d2))
+    assert len(empty) == 0
+    assert list(empty.columns) == [
+        "n_name", "revenue_x10000", "revenue", "n_lineitems"
+    ]
+    assert empty["revenue_x10000"].dtype == "int64"
+
+
+def test_percent_rank_ties_and_regimes(ray_session, tmp_path, monkeypatch):
+    """Rank/dense-rank/percent-rank over distinct (nation, value) counts:
+    tie runs share the min rank, a single-supplier nation gets
+    pct_rank=0, and the forced map_groups regime is identical to the
+    pandas reference (rank methods min/dense)."""
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    nk = rng.integers(0, 8, n).astype(np.int32)
+    bal = (rng.integers(-500, 500, n) / 4.0)  # coarse grid -> many ties
+    nk[0] = 99  # single-supplier nation
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(np.arange(n, dtype=np.int64)),
+                "s_name": pa.array(["s"] * n),
+                "s_nationkey": pa.array(nk),
+                "s_acctbal": pa.array(bal),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    out = R.q_percent_rank_acctbal(str(tmp_path))
+
+    df = pd.DataFrame({"s_nationkey": nk.astype(np.int64), "s_acctbal": bal})
+    df["rnk"] = df.groupby("s_nationkey")["s_acctbal"].rank(method="min")
+    df["dense_rnk"] = df.groupby("s_nationkey")["s_acctbal"].rank(method="dense")
+    df["n_grp"] = df.groupby("s_nationkey")["s_acctbal"].transform("size")
+    df["n_rows"] = df.groupby(["s_nationkey", "s_acctbal"])["rnk"].transform("size")
+    df["pct_rank"] = np.where(
+        df["n_grp"] > 1, (df["rnk"] - 1) / (df["n_grp"] - 1), 0.0
+    )
+    ref = (
+        df.drop_duplicates(["s_nationkey", "s_acctbal"])
+        .astype({"rnk": "int64", "dense_rnk": "int64", "n_rows": "int64"})
+        .sort_values(["s_nationkey", "s_acctbal"])
+        .reset_index(drop=True)
+    )[["s_nationkey", "s_acctbal", "n_rows", "rnk", "dense_rnk", "pct_rank"]]
+    pd.testing.assert_frame_equal(out, ref)
+    assert (out.loc[out["s_nationkey"] == 99, "pct_rank"] == 0.0).all()
+
+    monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
+    big = R.q_percent_rank_acctbal(str(tmp_path))
+    pd.testing.assert_frame_equal(out, big)
+
+
+def test_corr_digests_exact(ray_session, tmp_path):
+    """The bivariate digests are exact Python-int equal, corr matches the
+    pinned IEEE expression bit-for-bit, a zero-variance group yields NaN,
+    and off-grid values raise loudly."""
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    flags = rng.choice(["A", "N", "R"], size=n)
+    qty = rng.integers(1, 50 * 64, n) / 64.0
+    disc = rng.integers(0, 11, n) / 100.0
+    # zero-variance group: every Z row has the same qty
+    flags = np.where(rng.random(n) < 0.05, "Z", flags)
+    qty[flags == "Z"] = 7.0
+    d = tmp_path / "c"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(flags.tolist(), pa.string()),
+                "l_quantity": pa.array(qty),
+                "l_discount": pa.array(disc),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    out = R.q_corr_qty_discount(str(d))
+
+    ref = {}
+    for f, q, dd in zip(flags, qty, disc):
+        r = ref.setdefault(f, [0, 0, 0, 0, 0, 0])
+        qi, di = int(round(q * 64)), int(round(dd * 100))
+        r[0] += 1
+        r[1] += qi
+        r[2] += di
+        r[3] += qi * qi
+        r[4] += di * di
+        r[5] += qi * di
+    for f, (cn, sx, sy, sxx, syy, sxy) in sorted(ref.items()):
+        row = out[out["l_returnflag"] == f]
+        assert int(row["n_lines"].iloc[0]) == cn
+        fn = float(cn)
+        cov = fn * float(sxy) - float(sx) * float(sy)
+        vx = fn * float(sxx) - float(sx) * float(sx)
+        vy = fn * float(syy) - float(sy) * float(sy)
+        got = row["corr_qty_disc"].iloc[0]
+        if vx == 0.0 or vy == 0.0:
+            assert np.isnan(got)
+        else:
+            assert got == cov / np.sqrt(vx) / np.sqrt(vy)  # bit-identical
+    assert np.isnan(out.loc[out["l_returnflag"] == "Z", "corr_qty_disc"]).all()
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(["A"]),
+                "l_quantity": pa.array([1.0]),
+                "l_discount": pa.array([1.0 / 3.0]),
+            }
+        ),
+        str(bad / "lineitem.parquet"),
+    )
+    with pytest.raises(Exception, match="off the 1/100 grid"):
+        R.q_corr_qty_discount(str(bad))
+
+
+def test_mode_event_type_ties(ray_session, tmp_path, monkeypatch):
+    """Per-user mode with a planted exact tie (breaks to the smaller
+    type string) and a single-event user; forced distributed regime
+    identical."""
+    import pdfray.pipelines.relational as R
+
+    users = [1, 1, 1, 1, 2, 2, 3]
+    types = ["view", "view", "click", "click", "purchase", "view", "zzz"]
+    n = len(users)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pa.array([np.datetime64("2020-01-01", "us")] * n),
+                "user_id": pa.array(np.array(users, np.int64)),
+                "event_type": pa.array(types),
+                "value": pa.array([1.0] * n),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = R.q_mode_event_type(str(tmp_path))
+    ref = pd.DataFrame(
+        {
+            "user_id": np.array([1, 2, 3], np.int64),
+            # user 1: click==view 2-2 -> 'click' (lexicographic);
+            # user 2: purchase==view 1-1 -> 'purchase'
+            "mode_type": ["click", "purchase", "zzz"],
+            "n_mode": np.array([2, 1, 1], np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(out, ref)
+
+    monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
+    big = R.q_mode_event_type(str(tmp_path))
+    pd.testing.assert_frame_equal(out, big)
+
+
+def test_mips_matches_full_matmul(ray_session, tmp_path):
+    """s_mips_topk == an independent full-matrix numpy MIPS under the
+    same (rounded dot desc, vec_id asc) order — magnitude matters, so a
+    LARGE far vector must beat a near-parallel small one."""
+    import pdfray.pipelines.simsearch as S
+
+    rng = np.random.default_rng(31)
+    n, dim = 400, 16
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    m[50] *= 40.0  # huge-magnitude vector: top by dot, not by cosine
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(m), pa.list_(pa.float32())),
+                "label": pa.array(np.zeros(n, np.int32)),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    S._QUERY_CACHE.clear()
+    out = S.s_mips_topk(str(tmp_path))
+
+    q = m[:5].astype(np.float64)
+    dots = m.astype(np.float64) @ q.T
+    rows = []
+    for qi in range(5):
+        col = dots[:, qi]
+        order = np.lexsort((np.arange(n), -np.round(col, 4)))
+        for rank, j in enumerate(order[: S.TOP_K], 1):
+            rows.append((qi, rank, int(j), float(col[j])))
+    ref = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "dot"])
+    ref["dot"] = ref["dot"].round(4)
+    ref["query_id"] = ref["query_id"].astype("int64")
+    ref["vec_id"] = ref["vec_id"].astype("int64")
+    got = out.reset_index(drop=True)
+    got["rank"] = got["rank"].astype(ref["rank"].dtype)
+    pd.testing.assert_frame_equal(got, ref)
+    assert 50 in set(out["vec_id"])  # the big vector made someone's top-k
+    S._QUERY_CACHE.clear()
