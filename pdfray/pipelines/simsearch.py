@@ -29,6 +29,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .relational import _topk
+from .relational import round_half_away
 from .textops import warm_factory
 
 TOP_K = 10
@@ -82,7 +83,9 @@ def _query_matrix(sf_dir: str):
             t.to_pandas().sort_values("vec_id").head(N_QUERIES).reset_index(drop=True)
         )
         q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        # zero-safe: an all-zero query row stays zero (its sims are pinned
+        # to -1 by _mask_zero_cosine) instead of going NaN
+        qn = _normalize(q)
         _QUERY_CACHE[sf_dir] = (df["vec_id"].to_numpy(), qn, q)
     ids, qn, _q = _QUERY_CACHE[sf_dir]
     return ids, qn
@@ -117,11 +120,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _mask_zero_cosine(sims: np.ndarray, raw: np.ndarray, qmat: np.ndarray):
+    """Pin the zero-vector cosine convention to DuckDB's
+    list_cosine_similarity: ANY zero operand -> similarity -1.0 (found by
+    the hostile-embeddings harness: naive normalization gives a zero
+    vector sim 0.0 against everything — MID-pack in a corpus with
+    negative background sims — while the oracle ranks it last).  A zero
+    embedding means 'missing'; ranking it last is also the right
+    engineering call.  ``raw`` is the UNnormalized batch, ``qmat`` the
+    (normalized or raw) query matrix whose all-zero rows mark zero
+    queries.  Mutates and returns ``sims`` (batch x queries)."""
+    zr = ~raw.any(axis=1)
+    if zr.any():
+        sims[zr, :] = -1.0
+    qz = ~qmat.any(axis=1)
+    if qz.any():
+        sims[:, qz] = -1.0
+    return sims
+
+
 def _merge_topk(local: pd.DataFrame, col: str = "sim") -> pd.DataFrame:
     """Driver-side merge of per-batch top-k candidates (tiny frame)."""
     out = []
     local = local.copy()
-    local[col] = local[col].round(4)  # rank on rounded scores, ties by vec_id
+    local[col] = round_half_away(local[col].to_numpy(), 4)  # rank on rounded scores, ties by vec_id
     for qid, g in local.groupby("query_id"):
         g = g.sort_values([col, "vec_id"], ascending=[False, True]).head(TOP_K)
         g = g.assign(rank=range(1, len(g) + 1))
@@ -150,8 +172,10 @@ def s_knn_bruteforce(sf_dir: str):
                         "sim": pa.array([], pa.float64()),
                     }
                 )
-            vecs = _normalize(_batch_matrix(t))
+            raw = _batch_matrix(t)
+            vecs = _normalize(raw)
             sims = vecs @ self.qmat.T  # (batch, n_queries), float64 like the oracle
+            sims = _mask_zero_cosine(sims, raw, self.qmat)
             vec_ids = t.column("vec_id").to_numpy()
             out = {"query_id": [], "vec_id": [], "sim": []}
             k = min(TOP_K, len(vec_ids))
@@ -161,7 +185,7 @@ def s_knn_bruteforce(sf_dir: str):
                 # oracle — rounded sim desc, vec_id asc — so a rounding-equal
                 # tie at the k-th cutoff can't drop the row the oracle keeps
                 # regardless of batch/block layout
-                order = np.lexsort((vec_ids, -np.round(col, 4)))
+                order = np.lexsort((vec_ids, -round_half_away(col, 4)))
                 idx = order[:k]
                 for j in idx:
                     out["query_id"].append(int(qid))
@@ -259,7 +283,9 @@ def s_ann_lsh(sf_dir: str, n_planes: int = 0):
                         "n_candidates": pa.array([], pa.int64()),
                     }
                 )
-            vecs = _normalize(_batch_matrix(t))
+            raw = _batch_matrix(t)
+            vecs = _normalize(raw)
+            zero_rows = ~raw.any(axis=1)
             vec_ids = t.column("vec_id").to_numpy()
             sigs = ((vecs @ self.planes) > 0) * self.shifts
             sigs = sigs.sum(axis=1)
@@ -271,7 +297,11 @@ def s_ann_lsh(sf_dir: str, n_planes: int = 0):
                     cand_vecs = vecs[mask]
                     cand_ids = vec_ids[mask]
                     sims = cand_vecs @ self.qmat[qi]
-                    order = np.lexsort((cand_ids, -np.round(sims, 4)))
+                    # zero-operand cosine -> -1 (see _mask_zero_cosine)
+                    sims[zero_rows[mask]] = -1.0
+                    if not self.qmat[qi].any():
+                        sims[:] = -1.0
+                    order = np.lexsort((cand_ids, -round_half_away(sims, 4)))
                     idx = order[: min(TOP_K, n_cand)]
                 else:
                     idx, cand_ids, sims = [], np.array([]), np.array([])
@@ -312,7 +342,7 @@ def s_ann_lsh(sf_dir: str, n_planes: int = 0):
     out = {"query_id": [], "n_candidates": [], "recall_at_k": []}
     for qid in qids:
         g = local[local["query_id"] == qid]
-        g = g.assign(sim=g["sim"].round(4)).sort_values(
+        g = g.assign(sim=round_half_away(g["sim"].to_numpy(), 4)).sort_values(
             ["sim", "vec_id"], ascending=[False, True]
         ).head(TOP_K)
         approx = set(g["vec_id"].astype(int))
@@ -535,7 +565,7 @@ def s_pq_adc(sf_dir: str):
                 col = dists[:, qi]
                 # local top-k under the SAME order as the merge and the
                 # oracle: rounded dist ASC, vec_id ASC
-                order = np.lexsort((vec_ids, np.round(col, 4)))
+                order = np.lexsort((vec_ids, round_half_away(col, 4)))
                 for j in order[:k]:
                     out["query_id"].append(int(qid))
                     out["vec_id"].append(int(vec_ids[j]))
@@ -559,7 +589,7 @@ def _adc_merge(local: pd.DataFrame) -> pd.DataFrame:
     dist ASC, vec_id ASC — the same total order the batches pre-ranked on
     and the oracle replays."""
     local = local.copy()
-    local["dist"] = local["dist"].round(4)
+    local["dist"] = round_half_away(local["dist"].to_numpy(), 4)
     out = []
     for qid, g in local.groupby("query_id"):
         g = g.sort_values(["dist", "vec_id"], ascending=[True, True]).head(TOP_K)
@@ -642,7 +672,7 @@ def s_ann_ivfpq(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
                     continue
                 col = dists[hit, qi]
                 ids = vec_ids[hit]
-                order = np.lexsort((ids, np.round(col, 4)))[: min(TOP_K, len(ids))]
+                order = np.lexsort((ids, round_half_away(col, 4)))[: min(TOP_K, len(ids))]
                 for j in order:
                     out["query_id"].append(int(qid))
                     out["vec_id"].append(int(ids[j]))
@@ -722,7 +752,9 @@ def s_ann_ivf(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
         def __call__(self, t: pa.Table) -> pa.Table:
             out = {"query_id": [], "vec_id": [], "sim": [], "n_candidates": []}
             if len(t):
-                vecs = _normalize(_batch_matrix(t))
+                raw = _batch_matrix(t)
+                vecs = _normalize(raw)
+                zero_rows = ~raw.any(axis=1)
                 vec_ids = t.column("vec_id").to_numpy()
                 assign = (vecs @ self.centroids.T).argmax(axis=1)
                 for qi, qid in enumerate(self.qids):
@@ -730,8 +762,12 @@ def s_ann_ivf(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
                     n_cand = int(mask.sum())
                     if n_cand:
                         sims = vecs[mask] @ self.qmat[qi]
+                        # zero-operand cosine -> -1 (see _mask_zero_cosine)
+                        sims[zero_rows[mask]] = -1.0
+                        if not self.qmat[qi].any():
+                            sims[:] = -1.0
                         cand_ids = vec_ids[mask]
-                        order = np.lexsort((cand_ids, -np.round(sims, 4)))
+                        order = np.lexsort((cand_ids, -round_half_away(sims, 4)))
                         first = True
                         for j in order[: min(TOP_K, n_cand)]:
                             out["query_id"].append(int(qid))
@@ -770,7 +806,7 @@ def s_ann_ivf(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
     }
     for qid in qids:
         g = local[local["query_id"] == qid]
-        g = g.assign(sim=g["sim"].round(4)).sort_values(
+        g = g.assign(sim=round_half_away(g["sim"].to_numpy(), 4)).sort_values(
             ["sim", "vec_id"], ascending=[False, True]
         ).head(TOP_K)
         approx = set(g["vec_id"].astype(int))
@@ -1007,7 +1043,9 @@ def query_vector_store(store_dir: str, sf_dir: str, n_planes: int) -> pd.DataFra
         def __call__(self, t: pa.Table) -> pa.Table:
             out = {"query_id": [], "vec_id": [], "sim": [], "n_candidates": []}
             if len(t):
-                vecs = _normalize(_batch_matrix(t))
+                raw = _batch_matrix(t)
+                vecs = _normalize(raw)
+                zero_rows = ~raw.any(axis=1)
                 vec_ids = t.column("vec_id").to_numpy()
                 sigs = t.column("sig").to_numpy()
                 for qi, qid in enumerate(self.qids):
@@ -1016,8 +1054,12 @@ def query_vector_store(store_dir: str, sf_dir: str, n_planes: int) -> pd.DataFra
                     if not n_cand:
                         continue
                     sims = vecs[mask] @ self.qmat[qi]
+                    # zero-operand cosine -> -1 (see _mask_zero_cosine)
+                    sims[zero_rows[mask]] = -1.0
+                    if not self.qmat[qi].any():
+                        sims[:] = -1.0
                     cand_ids = vec_ids[mask]
-                    order = np.lexsort((cand_ids, -np.round(sims, 4)))
+                    order = np.lexsort((cand_ids, -round_half_away(sims, 4)))
                     first = True
                     for j in order[: min(TOP_K, n_cand)]:
                         out["query_id"].append(int(qid))
@@ -1058,7 +1100,7 @@ def query_vector_store(store_dir: str, sf_dir: str, n_planes: int) -> pd.DataFra
     for qid in qids:
         g = local[local["query_id"] == qid] if len(local) else local
         if len(g):
-            g = g.assign(sim=g["sim"].round(4)).sort_values(
+            g = g.assign(sim=round_half_away(g["sim"].to_numpy(), 4)).sort_values(
                 ["sim", "vec_id"], ascending=[False, True]
             ).head(TOP_K)
             approx = set(g["vec_id"].astype(int))
@@ -1338,7 +1380,7 @@ def s_embedding_dupes(sf_dir: str, threshold: float = 0.42, force_exact: bool = 
                                 continue  # each in-block pair appears twice
                             out["vec_a"].append(lo)
                             out["vec_b"].append(hi)
-                            out["sim"].append(round(float(sims[r, c]), 4))
+                            out["sim"].append(float(round_half_away(sims[r, c], 4)))
             return pa.table(
                 {
                     "vec_a": pa.array(out["vec_a"], pa.int64()),
@@ -1411,7 +1453,7 @@ def s_label_centroids(sf_dir: str):
         .to_pandas()
     )
     g = partials.groupby(["label", "dim"], as_index=False).sum()
-    g["centroid"] = (g["s"] / g["n"] * 1).round(4)
+    g["centroid"] = round_half_away((g["s"] / g["n"]).to_numpy(), 4)
     out = g[["label", "dim", "n", "centroid"]].copy()
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["label", "dim"]).reset_index(drop=True)
@@ -1673,7 +1715,7 @@ def s_mips_topk(sf_dir: str):
             k = min(TOP_K, len(vec_ids))
             for qi, qid in enumerate(self.qids):
                 col = dots[:, qi]
-                order = np.lexsort((vec_ids, -np.round(col, 4)))
+                order = np.lexsort((vec_ids, -round_half_away(col, 4)))
                 for j in order[:k]:
                     out["query_id"].append(int(qid))
                     out["vec_id"].append(int(vec_ids[j]))

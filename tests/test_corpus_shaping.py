@@ -971,3 +971,100 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
         got = got[sorted(got.columns)].reset_index(drop=True)
         want = want[sorted(want.columns)].reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=True, obj=name)
+
+
+EMB_ORACLE_QUERIES = [
+    "s_knn_bruteforce",
+    "s_mips_topk",
+    "s_embedding_dupes",
+    "s_label_centroids",
+    "s_scalar_quantize",
+]
+
+
+@pytest.mark.parametrize("variant", ["fixed", "random"])
+def test_hostile_embeddings_oracle_parity(ray_session, tmp_path, variant):
+    """The documents/events-harness idea applied to the EMBEDDINGS family:
+    the real driver comparison (engine vs registered oracle SQL,
+    dtype-strict) over a hostile vector table — an all-ZERO vector in the
+    QUERY set and another mid-corpus (cosine with a zero operand is
+    undefined; this harness found the engine's naive normalization gave
+    it sim 0.0 — mid-pack in a corpus with negative background sims —
+    while DuckDB's list_cosine_similarity pins it to -1.0; the engine now
+    replays the -1 convention, see _mask_zero_cosine), exact DUPLICATE
+    vectors (rounded-sim ties at the k-cut, resolved by vec_id on both
+    sides), an exact OPPOSITE vector (sim -1.0, tying with the zero
+    vectors), a 64x-magnitude parallel vector (MIPS and cosine must
+    disagree about it), and a single-member label.  All components ride
+    the 1/64 grid so centroid sums are float64-exact and order-free."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    import pdfray.pipelines.simsearch as S
+
+    dim = 12
+    rng = np.random.RandomState(41)
+
+    def grid(size_or_lo, hi=None, lo=-1024):
+        v = rng.randint(lo if hi else -1024, hi if hi else 1025, size=dim)
+        return v.astype(np.float64) / 64.0
+
+    rows = []
+    if variant == "fixed":
+        base = grid(dim)
+        if not base.any():  # paranoid: ensure base is nonzero
+            base[0] = 1.0
+        rows.append(np.zeros(dim))  # vec 0: zero QUERY vector
+        rows.append(base)  # vec 1
+        rows.append(base.copy())  # vec 2: exact dup (sim tie 1.0)
+        rows.append(-base)  # vec 3: exact opposite (sim -1.0)
+        rows.append(base * 64.0)  # vec 4: huge-magnitude parallel query
+        for _ in range(120):
+            rows.append(grid(dim))
+        rows.append(np.zeros(dim))  # corpus zero vector mid-table
+        rows.append(rows[10].copy())  # one more planted dup pair
+    else:
+        for i in range(300):
+            v = rng.randint(-256, 257, size=dim).astype(np.float64) / 64.0
+            r = rng.rand()
+            if r < 0.05:
+                v = np.zeros(dim)
+            elif r < 0.15 and i > 0:
+                v = rows[rng.randint(0, i)].copy()
+            rows.append(v)
+    labels = rng.randint(0, 4, size=len(rows)).astype(np.int32)
+    labels[-1] = 9  # single-member label
+    m = np.stack(rows).astype(np.float32)
+    d = tmp_path / "adv_emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+                "embedding": pa.array(list(m), pa.list_(pa.float32())),
+                "label": pa.array(labels),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+
+    S._QUERY_CACHE.clear()
+    try:
+        qs = entrymod.queries()
+        osql = entrymod.oracle_sql()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')"
+        )
+        for name in EMB_ORACLE_QUERIES:
+            got = qs[name](str(d))
+            if not isinstance(got, pd.DataFrame):
+                got = got.to_pandas()
+            want = con.execute(osql[name]).df()
+            cols = sorted(got.columns)
+            got = got[cols].sort_values(cols).reset_index(drop=True)
+            want = want[cols].sort_values(cols).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want, check_dtype=True, obj=name)
+    finally:
+        S._QUERY_CACHE.clear()
