@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .frames import typed_collect
 from .textops import warm_stage
 
 
@@ -268,7 +269,21 @@ def q1_pricing_summary(sf_dir: str):
             Sum("count_order", alias_name="count_order"),
         )
     )
-    df = out.to_pandas()
+    df = typed_collect(
+        out,
+        pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("sum_qty", pa.float64()),
+                ("sum_base_price", pa.float64()),
+                ("sum_disc_price", pa.float64()),
+                ("sum_charge", pa.float64()),
+                ("sum_disc", pa.float64()),
+                ("count_order", pa.int64()),
+            ]
+        ),
+    )
     df["avg_qty"] = df["sum_qty"] / df["count_order"]
     df["avg_disc"] = df["sum_disc"] / df["count_order"]
     df = df.drop(columns=["sum_disc"])
@@ -327,7 +342,7 @@ def q_broadcast_join_segment(sf_dir: str):
     """orders x customer via broadcast lookup (no shuffle join): revenue by segment."""
     import ray
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = typed_collect(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
     lookup_ref = ray.put((cust["c_custkey"].to_numpy(), cust["c_mktsegment"].tolist()))
 
     from ray.data.aggregate import Sum
@@ -341,7 +356,16 @@ def q_broadcast_join_segment(sf_dir: str):
         .groupby("c_mktsegment")
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
     )
-    df = out.to_pandas()
+    df = typed_collect(
+        out,
+        pa.schema(
+            [
+                ("c_mktsegment", pa.string()),
+                ("revenue", pa.float64()),
+                ("n_orders", pa.int64()),
+            ]
+        ),
+    )
     return _round_cols(df, {"revenue": 2}).sort_values("c_mktsegment").reset_index(drop=True)
 
 
@@ -357,8 +381,14 @@ def q_hash_join_brand(sf_dir: str):
     from .sizing import shuffle_partitions
 
     n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"], rows_per_block=100_000)
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    li = _join_pad(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"], rows_per_block=100_000),
+        pa.schema([("l_partkey", pa.int64()), ("l_quantity", pa.float64())]),
+    )
+    part = _join_pad(
+        _read(sf_dir, "part", ["p_partkey", "p_brand"]),
+        pa.schema([("p_partkey", pa.int64()), ("p_brand", pa.string())]),
+    )
     joined = li.join(
         part,
         join_type="inner",
@@ -384,7 +414,12 @@ def q_hash_join_brand(sf_dir: str):
     out = joined.map_batches(combine, batch_format="pyarrow").groupby("p_brand").aggregate(
         Sum("sum_qty", alias_name="sum_qty"), Sum("n_rows", alias_name="n_rows")
     )
-    df = out.to_pandas()
+    df = typed_collect(
+        out,
+        pa.schema(
+            [("p_brand", pa.string()), ("sum_qty", pa.float64()), ("n_rows", pa.int64())]
+        ),
+    )
     return _round_cols(df, {"sum_qty": 2}).sort_values("p_brand").reset_index(drop=True)
 
 
@@ -392,7 +427,7 @@ def q_nation_region(sf_dir: str):
     """Small-side chain join nation -> region, counting nations per region."""
     import ray
 
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    region = typed_collect(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
     lookup_ref = ray.put((region["r_regionkey"].to_numpy(), region["r_name"].tolist()))
 
     from ray.data.aggregate import Count
@@ -406,7 +441,13 @@ def q_nation_region(sf_dir: str):
         .groupby("r_name")
         .aggregate(Count(alias_name="n_nations"))
     )
-    return out.to_pandas().sort_values("r_name").reset_index(drop=True)
+    return (
+        typed_collect(
+            out, pa.schema([("r_name", pa.string()), ("n_nations", pa.int64())])
+        )
+        .sort_values("r_name")
+        .reset_index(drop=True)
+    )
 
 
 def q_events_rollup(sf_dir: str):
@@ -469,7 +510,18 @@ def q_events_rollup(sf_dir: str):
             Sum("n_events", alias_name="n_events"),
             Sum("n_users", alias_name="n_users"),
         )
-        .to_pandas()
+    )
+    df = typed_collect(
+        df,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("sum_value", pa.float64()),
+                ("n_vals", pa.int64()),
+                ("n_events", pa.int64()),
+                ("n_users", pa.int64()),
+            ]
+        ),
     )
     df["avg_value"] = round_half_away((df["sum_value"] / df["n_vals"]).to_numpy(), 4)
     df = df[["event_type", "n_events", "avg_value", "n_users"]]
@@ -493,7 +545,16 @@ def q_distinct_flags(sf_dir: str):
         .aggregate(Count(alias_name="_n"))
     )
     return (
-        out.to_pandas()
+        typed_collect(
+            out,
+            pa.schema(
+                [
+                    ("l_returnflag", pa.string()),
+                    ("l_linestatus", pa.string()),
+                    ("_n", pa.int64()),
+                ]
+            ),
+        )
         .drop(columns=["_n"])
         .sort_values(["l_returnflag", "l_linestatus"])
         .reset_index(drop=True)
@@ -507,6 +568,13 @@ def q_orders_topk(sf_dir: str):
         10,
         ["o_totalprice", "o_orderkey"],
         [True, False],
+        empty_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
     )
 
 
@@ -514,7 +582,7 @@ def q_supplier_nation(sf_dir: str):
     """supplier -> nation broadcast join: account balance rollup per nation."""
     import ray
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation = typed_collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
     lookup_ref = ray.put((nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
 
     from ray.data.aggregate import Count, Sum
@@ -528,7 +596,16 @@ def q_supplier_nation(sf_dir: str):
         .groupby("n_name")
         .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="total_acctbal"))
     )
-    df = out.to_pandas()
+    df = typed_collect(
+        out,
+        pa.schema(
+            [
+                ("n_name", pa.string()),
+                ("n_suppliers", pa.int64()),
+                ("total_acctbal", pa.float64()),
+            ]
+        ),
+    )
     return _round_cols(df, {"total_acctbal": 2}).sort_values("n_name").reset_index(drop=True)
 
 
@@ -577,7 +654,17 @@ def q_events_json(sf_dir: str):
         .groupby(["event_type", "k_bucket"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
-    df = out.to_pandas()
+    df = typed_collect(
+        out,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("k_bucket", pa.int64()),
+                ("n_events", pa.int64()),
+                ("sum_value", pa.float64()),
+            ]
+        ),
+    )
     return (
         _round_cols(df, {"sum_value": 2})
         .sort_values(["event_type", "k_bucket"])
@@ -600,8 +687,10 @@ def q_semi_join_big_customers(sf_dir: str):
         return pa.table({"o_custkey": t.filter(mask).column("o_custkey")})
 
     keys = (
-        orders.map_batches(big_keys, batch_format="pyarrow")
-        .to_pandas()["o_custkey"]
+        typed_collect(
+            orders.map_batches(big_keys, batch_format="pyarrow"),
+            pa.schema([("o_custkey", pa.int64())]),
+        )["o_custkey"]
         .unique()
     )
     keys_ref = ray.put(keys)
@@ -613,7 +702,16 @@ def q_semi_join_big_customers(sf_dir: str):
             batch_format="pyarrow",
         )
     )
-    df = out.to_pandas()
+    df = typed_collect(
+        out,
+        pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_name", pa.string()),
+                ("c_acctbal", pa.float64()),
+            ]
+        ),
+    )
     return _round_cols(df, {"c_acctbal": 2}).sort_values("c_custkey").reset_index(drop=True)
 
 
@@ -653,8 +751,10 @@ def q_anti_join_quiet_customers(sf_dir: str):
         return pa.table({"o_custkey": t.filter(mask).column("o_custkey")})
 
     keys = (
-        orders.map_batches(keys_1997, batch_format="pyarrow")
-        .to_pandas()["o_custkey"]
+        typed_collect(
+            orders.map_batches(keys_1997, batch_format="pyarrow"),
+            pa.schema([("o_custkey", pa.int64())]),
+        )["o_custkey"]
         .unique()
     )
     keys_ref = ray.put(keys)
@@ -663,7 +763,16 @@ def q_anti_join_quiet_customers(sf_dir: str):
         warm_stage(_NonMembership, keys_ref=keys_ref, key_col="c_custkey"),
         batch_format="pyarrow",
     )
-    df = out.to_pandas()
+    df = typed_collect(
+        out,
+        pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_name", pa.string()),
+                ("c_acctbal", pa.float64()),
+            ]
+        ),
+    )
     return (
         _round_cols(df, {"c_acctbal": 2})
         .sort_values("c_custkey")
@@ -695,7 +804,17 @@ def q_events_window(sf_dir: str):
         .groupby(["event_type", "window_hour"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
-    df = out.to_pandas()
+    df = typed_collect(
+        out,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("window_hour", pa.int64()),
+                ("n_events", pa.int64()),
+                ("sum_value", pa.float64()),
+            ]
+        ),
+    )
     return (
         _round_cols(df, {"sum_value": 2})
         .sort_values(["event_type", "window_hour"])
@@ -743,11 +862,11 @@ def q_top_order_per_customer(sf_dir: str):
 
     from ray.data.aggregate import Max
 
-    out = (
+    out = typed_collect(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("o_custkey")
-        .aggregate(Max("packed", alias_name="packed"))
-        .to_pandas()
+        .aggregate(Max("packed", alias_name="packed")),
+        pa.schema([("o_custkey", pa.int64()), ("packed", pa.int64())]),
     )
     out["o_orderkey"] = (M - (out["packed"] % M)).astype("int64")
     out["o_totalprice"] = (out["packed"] // M) / 100.0
@@ -834,7 +953,20 @@ def q_asof_attribution(sf_dir: str):
         .groupby("bucket")
         .map_groups(attribute, batch_format="pandas")
     )
-    return out.to_pandas().sort_values("purchase_id").reset_index(drop=True)
+    # reachable from REAL data: an events stream with no purchases (or no
+    # clicks) leaves every group empty — found by the empty-side probe
+    df = typed_collect(
+        out,
+        pa.schema(
+            [
+                ("purchase_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("click_id", pa.int64()),
+                ("gap_us", pa.int64()),
+            ]
+        ),
+    )
+    return df.sort_values("purchase_id").reset_index(drop=True)
 
 
 def q_orders_by_month(sf_dir: str):
@@ -852,7 +984,12 @@ def q_orders_by_month(sf_dir: str):
         .groupby("month")
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
     )
-    df = out.to_pandas()
+    df = typed_collect(
+        out,
+        pa.schema(
+            [("month", pa.string()), ("n_orders", pa.int64()), ("revenue", pa.float64())]
+        ),
+    )
     return _round_cols(df, {"revenue": 2}).sort_values("month").reset_index(drop=True)
 
 
@@ -949,7 +1086,16 @@ def q_sessionize(sf_dir: str, stage_dir: str = None):
             .map_groups(sessionize_chunk, batch_format="pandas"),
             os.path.join(root, "sessions"),
             resume=not own_stage,
+            allow_empty=True,
         )
+        if sess is None:  # empty events table: zero sessions, typed empty
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "session_id": pd.Series([], dtype="int64"),
+                }
+            )
         return _sessionize_finish(sess, rd, np, pd, shuffle_partitions)
     finally:
         if own_stage:
@@ -1047,12 +1193,12 @@ def q_retention_cohorts(sf_dir: str):
             }
         )
 
-    pairs = (
+    pairs = typed_collect(
         ds.map_batches(partials, batch_format="pandas")
         .groupby("user_id")
-        .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()  # reduced: one row per (user, active week)
-    )
+        .map_groups(emit_pairs, batch_format="pandas"),
+        pa.schema([("cohort_week", pa.string()), ("activity_week", pa.string())]),
+    )  # reduced: one row per (user, active week)
     out = (
         pairs.groupby(["cohort_week", "activity_week"], as_index=False)
         .size()
@@ -1173,13 +1319,21 @@ def q_rolling_revenue(sf_dir: str):
         return out
 
     daily = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("day")
-        .aggregate(
-            Sum("revenue", alias_name="revenue"),
-            Sum("n_purchases", alias_name="n_purchases"),
+        typed_collect(
+            ds.map_batches(partial, batch_format="pandas")
+            .groupby("day")
+            .aggregate(
+                Sum("revenue", alias_name="revenue"),
+                Sum("n_purchases", alias_name="n_purchases"),
+            ),
+            pa.schema(
+                [
+                    ("day", pa.string()),
+                    ("revenue", pa.float64()),
+                    ("n_purchases", pa.int64()),
+                ]
+            ),
         )
-        .to_pandas()
         .sort_values("day")
         .reset_index(drop=True)
     )
@@ -1376,7 +1530,12 @@ def q_pivot_event_matrix(sf_dir: str):
 
     parts = ds.map_batches(partial, batch_format="pandas").materialize()
     if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
-        wide = parts.to_pandas().groupby("user_id", as_index=False)[cols].sum()
+        wide = typed_collect(
+            parts,
+            pa.schema(
+                [("user_id", pa.int64())] + [(c, pa.int64()) for c in cols]
+            ),
+        ).groupby("user_id", as_index=False)[cols].sum()
     else:
         wide = (
             parts.groupby("user_id")
@@ -1474,7 +1633,16 @@ def q_hll_user_days(sf_dir: str):
     parts = ds.map_batches(partial, batch_format="pandas").materialize()
     if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
         regs = (
-            parts.to_pandas()
+            typed_collect(
+                parts,
+                pa.schema(
+                    [
+                        ("event_type", pa.string()),
+                        ("bucket", pa.int64()),
+                        ("rho", pa.int64()),
+                    ]
+                ),
+            )
             .groupby(["event_type", "bucket"], as_index=False)["rho"]
             .max()
         )
@@ -1501,6 +1669,7 @@ def q_hll_user_days(sf_dir: str):
     out = pd.DataFrame(rows, columns=["event_type", "v_zero", "t_scaled", "est"])
     out["v_zero"] = out["v_zero"].astype("int64")
     out["t_scaled"] = out["t_scaled"].astype("int64")
+    out["est"] = out["est"].astype("float64")  # empty frame: pin the dtype
     return out.sort_values("event_type").reset_index(drop=True)
 
 
@@ -1531,7 +1700,16 @@ def q_group_quantiles(sf_dir: str):
     parts = ds.map_batches(hist, batch_format="pyarrow").materialize()
     if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
         hist_df = (
-            parts.to_pandas()
+            typed_collect(
+                parts,
+                pa.schema(
+                    [
+                        ("l_returnflag", pa.string()),
+                        ("l_quantity", pa.float64()),
+                        ("cnt", pa.int64()),
+                    ]
+                ),
+            )
             .groupby(["l_returnflag", "l_quantity"], as_index=False)["cnt"]
             .sum()
         )
@@ -1559,6 +1737,8 @@ def q_group_quantiles(sf_dir: str):
         rows, columns=["l_returnflag", "n_lines", "med_qty", "p90_qty"]
     )
     out["n_lines"] = out["n_lines"].astype("int64")
+    for c in ("med_qty", "p90_qty"):
+        out[c] = out[c].astype("float64")  # empty frame: pin the dtype
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
@@ -1853,7 +2033,23 @@ def q_interevent_gap_stats(sf_dir: str):
         .materialize()  # one narrow row per (user, chunk), never events
     )
     if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
-        out = _gap_merge_chunks(parts.to_pandas())
+        out = _gap_merge_chunks(
+            typed_collect(
+                parts,
+                pa.schema(
+                    [
+                        ("user_id", pa.int64()),
+                        ("chunk", pa.int64()),
+                        ("first_ts", pa.int64()),
+                        ("last_ts", pa.int64()),
+                        ("n_gaps", pa.int64()),
+                        ("gap_sum", pa.int64()),
+                        ("gap_min", pa.float64()),
+                        ("gap_max", pa.float64()),
+                    ]
+                ),
+            )
+        )
     else:
         out = (
             parts.groupby("user_id")
@@ -1889,6 +2085,9 @@ def q_rollup_pricing(sf_dir: str):
     out = pd.concat([base, lvl1, lvl0], ignore_index=True)
     out["n_lines"] = out["n_lines"].astype("int64")
     out["sum_qty"] = round_half_away(out["sum_qty"].to_numpy(), 2)
+    # SQL SUM over zero rows is NULL, not 0: the grand-total fold of an
+    # empty input must carry NaN like the oracle's ROLLUP/CUBE row
+    out.loc[out["n_lines"] == 0, "sum_qty"] = float("nan")
     return (
         out[["l_returnflag", "l_linestatus", "n_lines", "sum_qty"]]
         .sort_values(["l_returnflag", "l_linestatus"])
@@ -1970,7 +2169,26 @@ def q_ohlc_daily(sf_dir: str):
 
     parts = ds.map_batches(partial, batch_format="pandas").materialize()
     if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
-        out = _ohlc_merge(parts.to_pandas())
+        out = _ohlc_merge(
+            typed_collect(
+                parts,
+                pa.schema(
+                    [
+                        ("event_type", pa.string()),
+                        ("day", pa.string()),
+                        ("n", pa.int64()),
+                        ("vmin", pa.float64()),
+                        ("vmax", pa.float64()),
+                        ("open_v", pa.float64()),
+                        ("close_v", pa.float64()),
+                        ("open_ts", pa.int64()),
+                        ("close_ts", pa.int64()),
+                        ("open_id", pa.int64()),
+                        ("close_id", pa.int64()),
+                    ]
+                ),
+            )
+        )
     else:
         out = (
             parts.groupby(["event_type", "day"])
@@ -2020,9 +2238,29 @@ def q_left_join_order_counts(sf_dir: str):
     )
 
     n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if n_cust == 0:
+        # an all-empty LEFT side kills Ray's join (schema loss); the
+        # answer is trivially empty, known from the footer alone
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.Series([], dtype="int64"),
+                "c_name": pd.Series([], dtype=object),
+                "n_orders": pd.Series([], dtype="int64"),
+                "total_price": pd.Series([], dtype="float64"),
+            }
+        )
     n_parts = shuffle_partitions(n_cust)
+    # pad the RIGHT side only: safe under left_outer (an unmatched RIGHT
+    # row never appears in the output), and an all-empty reduced side —
+    # a zero-row orders table — would otherwise crash the join
+    reduced = _join_pad(
+        reduced,
+        pa.schema(
+            [("o_custkey", pa.int64()), ("n", pa.int64()), ("s", pa.float64())]
+        ),
+    )
     joined = cust.repartition(n_parts).join(
-        reduced.repartition(n_parts),
+        reduced,
         join_type="left_outer",
         num_partitions=n_parts,
         on=("c_custkey",),
@@ -2131,6 +2369,28 @@ def q_full_outer_user_activity(sf_dir: str):
         ["user_id"],
         ["n_purchases"],
     )
+    # an all-empty side kills Ray's join outright (schema loss — measured
+    # for full_outer too), and _join_pad's null-key sentinel is WRONG for
+    # outer joins (the unmatched sentinel would surface as an all-null
+    # output row).  The counts _two_regime_sum already returned make the
+    # degenerate cases free: an empty side means the full-outer IS the
+    # other side with zeros filled in — no join needed.
+    if n_v == 0 or n_p == 0:
+        if n_v == 0 and n_p == 0:
+            df = pd.DataFrame(columns=["user_id", "n_views", "n_purchases"])
+        elif n_v == 0:
+            df = purchases.to_pandas()
+            df["n_views"] = 0
+        else:
+            df = views.to_pandas()
+            df["n_purchases"] = 0
+        for c in ("user_id", "n_views", "n_purchases"):
+            df[c] = df.get(c, pd.Series(dtype="int64")).astype("int64")
+        return (
+            df[["user_id", "n_views", "n_purchases"]]
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
     n_parts = shuffle_partitions(max(n_v, n_p, 1))
     joined = views.repartition(n_parts).join(
         purchases.repartition(n_parts),
@@ -2725,8 +2985,17 @@ def _pricing_cells(sf_dir: str) -> pd.DataFrame:
         )
 
     return (
-        ds.map_batches(cells, batch_format="pyarrow")
-        .to_pandas()
+        typed_collect(
+            ds.map_batches(cells, batch_format="pyarrow"),
+            pa.schema(
+                [
+                    ("l_returnflag", pa.string()),
+                    ("l_linestatus", pa.string()),
+                    ("n_lines", pa.int64()),
+                    ("sum_qty", pa.float64()),
+                ]
+            ),
+        )
         .groupby(["l_returnflag", "l_linestatus"], as_index=False)[
             ["n_lines", "sum_qty"]
         ]
@@ -2763,6 +3032,9 @@ def q_cube_pricing(sf_dir: str):
     out = pd.concat([base, by_flag, by_status, grand], ignore_index=True)
     out["n_lines"] = out["n_lines"].astype("int64")
     out["sum_qty"] = round_half_away(out["sum_qty"].to_numpy(), 2)
+    # SQL SUM over zero rows is NULL, not 0: the grand-total fold of an
+    # empty input must carry NaN like the oracle's ROLLUP/CUBE row
+    out.loc[out["n_lines"] == 0, "sum_qty"] = float("nan")
     return (
         out[["l_returnflag", "l_linestatus", "n_lines", "sum_qty"]]
         .sort_values(["l_returnflag", "l_linestatus"])
@@ -2970,8 +3242,9 @@ def _join_pad(ds, schema: pa.Schema):
     better than the count-and-short-circuit guard, which would have to
     execute (and for a mid-chain join output, materialize) the side.
 
-    INNER joins only: an outer join would emit the sentinel as an
-    unmatched all-null row."""
+    Valid for INNER sides and the RIGHT side of a left_outer (unmatched
+    right rows never surface); NOT for outer fringes that would emit the
+    sentinel as an all-null output row."""
     import ray.data as rd
 
     t = pa.table({f.name: pa.array([None], f.type) for f in schema})
@@ -3019,8 +3292,10 @@ def q5_local_supplier_volume(sf_dir: str):
 
     from .sizing import shuffle_partitions
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = typed_collect(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    )
+    region = typed_collect(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
     rkeys = set(region.loc[region["r_name"] == Q5_REGION, "r_regionkey"].tolist())
     nat = nation[nation["n_regionkey"].isin(rkeys)]
     name_map = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
@@ -3250,7 +3525,7 @@ def q_percent_rank_acctbal(sf_dir: str):
         ]
 
     if n_red <= PIVOT_DRIVER_MAX_ROWS:
-        df = finish(red.to_pandas())
+        df = finish(typed_collect(red))
     else:
         df = (
             red.groupby("s_nationkey")
@@ -3383,7 +3658,7 @@ def q_mode_event_type(sf_dir: str):
         return df.groupby("user_id", sort=False).head(1)
 
     if n_red <= PIVOT_DRIVER_MAX_ROWS:
-        out = finish(red.to_pandas())
+        out = finish(typed_collect(red))
     else:
         out = (
             red.groupby("user_id")
