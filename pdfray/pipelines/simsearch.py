@@ -29,6 +29,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .relational import _topk
+from .frames import typed_collect
 from .relational import round_half_away
 from .textops import warm_factory
 
@@ -82,6 +83,11 @@ def _query_matrix(sf_dir: str):
         df = (
             t.to_pandas().sort_values("vec_id").head(N_QUERIES).reset_index(drop=True)
         )
+        if len(df) == 0:  # empty corpus: the query workload is empty too
+            z = np.zeros((0, 0), np.float64)
+            _QUERY_CACHE[sf_dir] = (np.array([], np.int64), z, z)
+            ids, qn, _q = _QUERY_CACHE[sf_dir]
+            return ids, qn
         q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         # zero-safe: an all-zero query row stays zero (its sims are pinned
         # to -1 by _mask_zero_cosine) instead of going NaN
@@ -139,10 +145,29 @@ def _mask_zero_cosine(sims: np.ndarray, raw: np.ndarray, qmat: np.ndarray):
     return sims
 
 
+def _empty_result(**cols) -> pd.DataFrame:
+    """Typed 0-row frame — the empty-corpus contract result for the
+    sample-trained family ('i' = int64, 'f' = float64).  With zero vectors
+    there is nothing to train on and the query workload itself is empty,
+    so every one of these operators degenerates to its typed empty output
+    (an empty delta in an incremental run is a legitimate input)."""
+    dt = {"i": "int64", "f": "float64"}
+    return pd.DataFrame({c: pd.Series([], dtype=dt[k]) for c, k in cols.items()})
+
+
 def _merge_topk(local: pd.DataFrame, col: str = "sim") -> pd.DataFrame:
     """Driver-side merge of per-batch top-k candidates (tiny frame)."""
     out = []
     local = local.copy()
+    if len(local) == 0:  # empty corpus: zero queries, typed empty result
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+                "vec_id": pd.Series([], dtype="int64"),
+                col: pd.Series([], dtype="float64"),
+            }
+        )
     local[col] = round_half_away(local[col].to_numpy(), 4)  # rank on rounded scores, ties by vec_id
     for qid, g in local.groupby("query_id"):
         g = g.sort_values([col, "vec_id"], ascending=[False, True]).head(TOP_K)
@@ -249,6 +274,8 @@ def s_ann_lsh(sf_dir: str, n_planes: int = 0):
 
     ds = _read_embeddings(sf_dir)
     n_rows = ds.count()  # parquet metadata, no scan
+    if n_rows == 0:
+        return _empty_result(query_id="i", n_candidates="i", recall_at_k="f")
     if n_planes <= 0:
         n_planes = _auto_planes(n_rows)
 
@@ -431,6 +458,8 @@ def s_pq(sf_dir: str):
 
     ds = _read_embeddings(sf_dir)
     n_rows = ds.count()
+    if n_rows == 0:
+        return _empty_result(vec_id="i", subspace="i", code="i")
     sample_df = _topk(ds, min(n_rows, 50 * PQ_CODEBOOK), ["vec_id"], [False])
     sample = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
     books = pq_codebooks(sample)
@@ -521,6 +550,8 @@ def s_pq_adc(sf_dir: str):
 
     ds = _read_embeddings(sf_dir)
     n_rows = ds.count()
+    if n_rows == 0:
+        return _empty_result(query_id="i", rank="i", vec_id="i", dist="f")
     sample_df = _topk(ds, min(n_rows, 50 * PQ_CODEBOOK), ["vec_id"], [False])
     sample = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
     books = pq_codebooks(sample)
@@ -618,6 +649,8 @@ def s_ann_ivfpq(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
 
     ds = _read_embeddings(sf_dir)
     n_rows = ds.count()
+    if n_rows == 0:
+        return _empty_result(query_id="i", rank="i", vec_id="i", dist="f")
     qids, _qmat_norm, centroids, probes, _k, _np_ = _ivf_index(
         sf_dir, n_centroids, nprobe
     )
@@ -740,6 +773,14 @@ def s_ann_ivf(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):
     import ray
 
     ds = _read_embeddings(sf_dir)
+    if ds.count() == 0:
+        return _empty_result(
+            query_id="i",
+            n_candidates="i",
+            recall_at_k="f",
+            n_probed="i",
+            n_centroids="i",
+        )
     qids, qmat, centroids, probes, n_centroids, nprobe = _ivf_index(
         sf_dir, n_centroids, nprobe
     )
@@ -834,6 +875,13 @@ def s_lsh_buckets(sf_dir: str, n_planes: int = 0):
     if n_planes <= 0:
         n_planes = _auto_planes(n_rows)
     rng = np.random.RandomState(17)
+    if n_rows == 0:  # empty corpus: no buckets
+        return pd.DataFrame(
+            {
+                "sig": pd.Series([], dtype="int64"),
+                "n_vecs": pd.Series([], dtype="int64"),
+            }
+        )
     first = ds.take(1)[0]
     planes = rng.randn(len(first["embedding"]), n_planes).astype(np.float64)
     planes_ref = ray.put(planes)
@@ -850,14 +898,14 @@ def s_lsh_buckets(sf_dir: str, n_planes: int = 0):
             sigs = (((vecs @ self.planes) > 0) * self.shifts).sum(axis=1)
             return pa.table({"sig": pa.array(sigs.astype(np.int64), pa.int64())})
 
-    out = (
+    out = typed_collect(
         ds.map_batches(
             warm_factory(("s_lsh_buckets", planes_ref.hex()), SignFromRef),
             batch_format="pyarrow",
         )
         .groupby("sig")
-        .aggregate(Count(alias_name="n_vecs"))
-        .to_pandas()
+        .aggregate(Count(alias_name="n_vecs")),
+        pa.schema([("sig", pa.int64()), ("n_vecs", pa.int64())]),
     )
     return out.sort_values("sig").reset_index(drop=True)
 
@@ -950,6 +998,13 @@ def build_vector_store(sf_dir: str, out_dir: str, n_planes: int = 0) -> dict:
     n_rows = ds.count()
     if n_planes <= 0:
         n_planes = _auto_planes(n_rows)
+    if n_rows == 0:
+        # empty corpus: an empty store (no partition dirs) — the query
+        # side already treats zero probed partitions as zero candidates
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        return {"n_planes": n_planes, "n_rows": 0, "dim": 0}
     rng = np.random.RandomState(17)
     first = ds.take(1)[0]
     dim = len(first["embedding"])
@@ -1197,9 +1252,12 @@ def s_ann_lsh_candidates(sf_dir: str):
                 }
             )
 
-    out = ds.map_batches(
-        warm_factory(("s_lsh_cand", bref.hex()), Cand), batch_format="pyarrow"
-    ).to_pandas()
+    out = typed_collect(
+        ds.map_batches(
+            warm_factory(("s_lsh_cand", bref.hex()), Cand), batch_format="pyarrow"
+        ),
+        pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64())]),
+    )
     return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
@@ -1262,6 +1320,8 @@ def s_ann_ivf_candidates(sf_dir: str):
     import ray
 
     ds = _read_embeddings(sf_dir)
+    if ds.count() == 0:
+        return _empty_result(query_id="i", vec_id="i")
     qids, _qmat, centroids, probes, _k, _np_ = _ivf_index(sf_dir)
     bref = ray.put((qids, centroids, probes))
 
@@ -1287,9 +1347,12 @@ def s_ann_ivf_candidates(sf_dir: str):
                 }
             )
 
-    out = ds.map_batches(
-        warm_factory(("s_ivf_cand", bref.hex()), Cand), batch_format="pyarrow"
-    ).to_pandas()
+    out = typed_collect(
+        ds.map_batches(
+            warm_factory(("s_ivf_cand", bref.hex()), Cand), batch_format="pyarrow"
+        ),
+        pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64())]),
+    )
     return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
@@ -1336,12 +1399,21 @@ def s_embedding_dupes(sf_dir: str, threshold: float = 0.42, force_exact: bool = 
         return pa.table({"vec_id": t.column("vec_id"), "embedding": emb})
 
     # normalized blocks live in the object store; the driver sees refs only
-    blocks = (
+    _mat = (
         _read_embeddings(sf_dir)
         .map_batches(normalize, batch_format="pyarrow", batch_size=PAIR_BLOCK_ROWS)
         .materialize()
-        .to_arrow_refs()
     )
+    if _mat.count() == 0:  # empty corpus: no pairs (an empty block would
+        # reach the scorer as a zero-column table and IndexError)
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+    blocks = _mat.to_arrow_refs()
 
     idx_pairs = [
         {"bi": i, "bj": j} for i in range(len(blocks)) for j in range(i, len(blocks))
@@ -1447,10 +1519,17 @@ def s_label_centroids(sf_dir: str):
             }
         )
 
-    partials = (
+    partials = typed_collect(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
-        .map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
+        .map_batches(partial, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("label", pa.int64()),
+                ("dim", pa.int64()),
+                ("s", pa.float64()),
+                ("n", pa.int64()),
+            ]
+        ),
     )
     g = partials.groupby(["label", "dim"], as_index=False).sum()
     g["centroid"] = round_half_away((g["s"] / g["n"]).to_numpy(), 4)
@@ -1491,6 +1570,11 @@ def s_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS, stats: d
 
     # deterministic init: the k lowest vec_ids via per-block local min-k
     # (one streaming pass; sort().limit() would range-shuffle the table)
+    if _read().count() == 0:
+        if stats is not None:
+            stats["centroids"] = np.zeros((0, 0), np.float64)
+            stats["inertia"] = []
+        return _empty_result(vec_id="i", cluster="i")
     init = _topk(_read(), k, ["vec_id"], [False])
     centroids = np.stack(init["embedding"].to_numpy()).astype(np.float64)
 
@@ -1595,7 +1679,10 @@ def s_scalar_quantize(sf_dir: str):
             }
         )
 
-    part = _read().map_batches(minmax, batch_format="pyarrow").to_pandas()
+    part = typed_collect(
+        _read().map_batches(minmax, batch_format="pyarrow"),
+        pa.schema([("dim", pa.int64()), ("mn", pa.float64()), ("mx", pa.float64())]),
+    )
     g = part.groupby("dim")
     mn = g["mn"].min().sort_index().to_numpy()
     mx = g["mx"].max().sort_index().to_numpy()
@@ -1631,13 +1718,14 @@ def s_scalar_quantize(sf_dir: str):
 
     from .textops import warm_factory
 
-    out = (
-        _read()
-        .map_batches(
+    out = typed_collect(
+        _read().map_batches(
             warm_factory(("s_quantize", ref.hex()), quantize_factory),
             batch_format="pyarrow",
-        )
-        .to_pandas()
+        ),
+        pa.schema(
+            [("vec_id", pa.int64()), ("dim", pa.int64()), ("code", pa.int64())]
+        ),
     )
     return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
 
@@ -1652,6 +1740,8 @@ def s_kmeans_init_assign(sf_dir: str, k: int = KMEANS_K):
     import ray
 
     ds = _read_embeddings(sf_dir)
+    if ds.count() == 0:
+        return _empty_result(vec_id="i", cluster="i")
     init = _topk(ds, k, ["vec_id"], [False])
     centroids = np.stack(init["embedding"].to_numpy()).astype(np.float64)
     cref = ray.put(centroids)

@@ -43,6 +43,44 @@ def _read_documents(sf_dir: str, columns=("doc_id", "text")):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
+_DOC_TYPES = {
+    "doc_id": pa.int64(),
+    "text": pa.string(),
+    "lang": pa.string(),
+    "source": pa.string(),
+    "n_chars": pa.int64(),
+}
+
+
+def _empty_docs(columns=("doc_id", "text")):
+    """A 0-row documents batch with the real column types — the probe
+    input `_collect_sorted` feeds a stage UDF to learn its output schema."""
+    return pa.table({c: pa.array([], _DOC_TYPES[c]) for c in columns})
+
+
+def _collect_sorted(ds, sort_cols, schema_probe=None, schema=None):
+    """Collect + sort that survives an all-empty stream (Ray drops empty
+    blocks and loses the schema — see frames.typed_collect).  The fallback
+    schema comes from ``schema`` or from ``schema_probe()`` — typically
+    the stage's own UDF applied to `_empty_docs`, so the declared empty
+    output can never drift from the real one."""
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        arrow = schema
+        if arrow is None and schema_probe is not None:
+            probe = schema_probe()
+            if isinstance(probe, pd.DataFrame):
+                probe = pa.Table.from_pandas(probe, preserve_index=False)
+            arrow = probe.schema
+        if arrow is None:
+            s = ds.schema()
+            arrow = getattr(s, "base_schema", None) if s is not None else None
+        if arrow is None:
+            raise ValueError("_collect_sorted: all-empty stream needs a schema")
+        df = arrow.empty_table().to_pandas()
+    return df.sort_values(list(sort_cols)).reset_index(drop=True)
+
+
 _WARM_STAGE_CACHE: dict = {}
 
 
@@ -91,7 +129,7 @@ def t_token_stats(sf_dir: str):
         )
 
     ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
 
 
 def t_fingerprint(sf_dir: str):
@@ -106,7 +144,7 @@ def t_fingerprint(sf_dir: str):
         return pa.table({"doc_id": t.column("doc_id"), "fingerprint": pa.array(fps)})
 
     ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
 
 
 def t_exact_dedup(sf_dir: str):
@@ -129,7 +167,17 @@ def t_exact_dedup(sf_dir: str):
         .groupby("text_hash")
         .aggregate(Min("doc_id", alias_name="rep_doc"), Count(alias_name="n_copies"))
     )
-    return out.to_pandas().sort_values("text_hash").reset_index(drop=True)
+    return _collect_sorted(
+        out,
+        ("text_hash",),
+        schema=pa.schema(
+            [
+                ("text_hash", pa.string()),
+                ("rep_doc", pa.int64()),
+                ("n_copies", pa.int64()),
+            ]
+        ),
+    )
 
 
 _ALL_STOPWORDS = sorted(set().union(*STOPWORDS.values()))
@@ -174,7 +222,7 @@ def t_quality(sf_dir: str):
         )
 
     ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
 
 
 # the eight Gopher stop words (Rae et al. 2021 §A1.1): a document must
@@ -282,7 +330,7 @@ def t_gopher_rules(sf_dir: str):
         )
 
     ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
 
 
 _C4_TERMINAL = (".", "!", "?", '"')
@@ -334,7 +382,7 @@ def t_c4_filter(sf_dir: str):
         )
 
     ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
 
 
 # PII patterns, deliberately written in the RE2 dialect BOTH engines share
@@ -387,7 +435,7 @@ def t_pii_scrub(sf_dir: str):
         )
 
     ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
 
 
 def _word_codes(t: pa.Table):
@@ -445,12 +493,13 @@ def t_tfidf(sf_dir: str):
             }
         )
 
-    df_table = (
+    df_table = _collect_sorted(
         _read_documents(sf_dir)
         .map_batches(df_partials, batch_format="pyarrow")
         .groupby("word")
-        .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()
+        .aggregate(Sum("df", alias_name="df")),
+        ("word",),
+        schema=pa.schema([("word", pa.string()), ("df", pa.int64())]),
     )
     n_total = _read_documents(sf_dir, columns=("doc_id",)).count()
     bref = ray.put(
@@ -508,7 +557,7 @@ def t_tfidf(sf_dir: str):
     out = _read_documents(sf_dir).map_batches(
         warm_factory(("t_tfidf", bref.hex()), Score), batch_format="pyarrow"
     )
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(out, ("doc_id",), lambda: Score()(_empty_docs()))
 
 
 N_INDEX_BUCKETS = 16
@@ -799,7 +848,13 @@ def t_doc_frequency(sf_dir: str, top_k: int = 100):
         .groupby("word")
         .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
     )
-    out = grouped.to_pandas()
+    out = _collect_sorted(
+        grouped,
+        ("word",),
+        schema=pa.schema(
+            [("word", pa.string()), ("tf", pa.int64()), ("df", pa.int64())]
+        ),
+    )
     out = out.sort_values(["df", "word"], ascending=[False, True], kind="mergesort")
     return out.head(top_k).reset_index(drop=True)[["word", "df", "tf"]]
 
@@ -888,12 +943,13 @@ def _bpe_word_counts(sf_dir: str) -> dict:
             }
         )
 
-    wc = (
+    wc = _collect_sorted(
         _read_documents(sf_dir)
         .map_batches(partials, batch_format="pyarrow")
         .groupby("word")
-        .aggregate(Sum("tf", alias_name="tf"))
-        .to_pandas()
+        .aggregate(Sum("tf", alias_name="tf")),
+        ("word",),
+        schema=pa.schema([("word", pa.string()), ("tf", pa.int64())]),
     )
     return dict(zip(wc["word"], wc["tf"].astype(int)))
 
@@ -946,15 +1002,21 @@ def t_bpe_apply(sf_dir: str, n_merges: int = 12):
 
         return score
 
-    out = (
-        _read_documents(sf_dir)
-        .map_batches(
-            warm_factory(("bpe_apply", bref.hex()), score_factory),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
+    out = _read_documents(sf_dir).map_batches(
+        warm_factory(("bpe_apply", bref.hex()), score_factory),
+        batch_format="pyarrow",
     )
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(
+        out,
+        ("doc_id",),
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_words", pa.int64()),
+                ("n_bpe_tokens", pa.int64()),
+            ]
+        ),
+    )
 
 
 def t_bpe_train(sf_dir: str, n_merges: int = 12):
@@ -1046,7 +1108,7 @@ def t_repetition(sf_dir: str):
         )
 
     ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
 
 
 class LangId:
@@ -1081,7 +1143,11 @@ def t_langid(sf_dir: str):
     ds = _read_documents(sf_dir, columns=("doc_id", "text", "lang")).map_batches(
         warm_stage(LangId), batch_format="pyarrow"
     )
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(
+        ds,
+        ("doc_id",),
+        lambda: LangId()(_empty_docs(("doc_id", "text", "lang"))),
+    )
 
 
 # BPE-style pre-tokenizer: GPT-2's shape restricted to RE2-compatible
@@ -1121,7 +1187,7 @@ def t_bpe_tokens(sf_dir: str):
     ds = _read_documents(sf_dir).map_batches(
         warm_stage(BpeTokenCounter), batch_format="pyarrow"
     )
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(ds, ("doc_id",), lambda: BpeTokenCounter()(_empty_docs()))
 
 
 # ----------------------------------------------------------------------
@@ -1197,8 +1263,11 @@ def t_winnow_fp(sf_dir: str):
     ds = _read_documents(sf_dir).map_batches(
         warm_stage(WinnowFingerprinter), batch_format="pyarrow"
     )
-    df = ds.select_columns(["doc_id", "n_fps"]).to_pandas()
-    return df.sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(
+        ds.select_columns(["doc_id", "n_fps"]),
+        ("doc_id",),
+        schema=pa.schema([("doc_id", pa.int64()), ("n_fps", pa.int64())]),
+    )
 
 
 # ----------------------------------------------------------------------
@@ -1337,7 +1406,10 @@ def _candidate_pairs(
         import ray.data as rd
 
         schema = buckets.schema()
-        id_type = dict(zip(schema.names, schema.types))[id_col]
+        if schema is None:  # empty CORPUS: even the plan schema is gone
+            id_type = pa.int64()
+        else:
+            id_type = dict(zip(schema.names, schema.types))[id_col]
         return rd.from_arrow(
             pa.table({"doc_a": pa.array([], id_type), "doc_b": pa.array([], id_type)})
         )
@@ -1698,7 +1770,7 @@ def t_simhash(sf_dir: str):
     ds = _read_documents(sf_dir).map_batches(
         warm_stage(SimHasher), batch_format="pyarrow"
     )
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(ds, ("doc_id",), lambda: SimHasher()(_empty_docs()))
 
 
 _SIMHASH_BANDS = 4  # 4 x 16-bit chunks of the 64-bit simhash
@@ -1938,7 +2010,18 @@ def _short_allpairs(
         .repartition(target_num_rows_per_block=_SHORT_BLOCK_ROWS)
         .materialize()
     )
-    _require_short_class_feasible(blocks.count(), force)
+    n_short = blocks.count()
+    _require_short_class_feasible(n_short, force)
+    if n_short == 0:
+        # an empty corpus still materializes one EMPTY block whose table
+        # has zero columns — the block-pair scorer would IndexError on it
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype=object),
+                "doc_b": pd.Series(dtype=object),
+                value_name: pd.Series(dtype="float64"),
+            }
+        )
     blocks = blocks.to_arrow_refs()
     idx_pairs = [
         {"bi": i, "bj": j} for i in range(len(blocks)) for j in range(i, len(blocks))
@@ -2057,7 +2140,9 @@ def t_stratified_sample(sf_dir: str):
     ds = _read_documents(sf_dir, ("doc_id", "lang", "source")).map_batches(
         sample, batch_format="pyarrow"
     )
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(
+        ds, ("doc_id",), schema=_empty_docs(("doc_id", "lang", "source")).schema
+    )
 
 
 PACK_CAPACITY = 2048  # tokens per packed training sequence
@@ -2105,7 +2190,11 @@ def t_pack_sequences(sf_dir: str):
         .groupby("bucket")
         .map_groups(pack, batch_format="pandas")
     )
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(
+        out,
+        ("doc_id",),
+        lambda: pack(project(_empty_docs()).to_pandas()),
+    )
 
 
 QUANTILE_PS = (0.25, 0.5, 0.75, 0.9)
@@ -2130,13 +2219,16 @@ def t_length_quantiles(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    hist = (
+    hist = _collect_sorted(
         _read_documents(sf_dir, ("lang", "n_chars"))
         .map_batches(histogram, batch_format="pyarrow")
         .groupby(["lang", "n_chars"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()  # bounded: |langs| x |distinct lengths| rows
-    )
+        .aggregate(Sum("cnt", alias_name="cnt")),
+        ("lang",),
+        schema=pa.schema(
+            [("lang", pa.string()), ("n_chars", pa.int64()), ("cnt", pa.int64())]
+        ),
+    )  # bounded: |langs| x |distinct lengths| rows
     rows = []
     for lang, g in hist.groupby("lang"):
         g = g.sort_values("n_chars")
@@ -2250,7 +2342,7 @@ def t_decontaminate(sf_dir: str):
         warm_factory(("decontam", ref.hex()), flag_factory),
         batch_format="pyarrow",
     )
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(out, ("doc_id",), lambda: flag_factory()(_empty_docs()))
 
 
 # ----------------------------------------------------------------------
@@ -2296,7 +2388,16 @@ def t_domain_cap(sf_dir: str, cap: int = DOMAIN_CAP):
         .groupby("source")
         .map_groups(lambda g: domain_cap_rank(g, cap), batch_format="pandas")
     )
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(
+        out,
+        ("doc_id",),
+        lambda: domain_cap_rank(
+            domain_cap_prune(
+                _empty_docs(("doc_id", "source", "n_chars")).to_pandas(), cap
+            ),
+            cap,
+        ),
+    )
 
 
 # ----------------------------------------------------------------------
@@ -2350,13 +2451,16 @@ def t_bigram_logprob(sf_dir: str):
             }
         )
 
-    model_df = (
+    model_df = _collect_sorted(
         _read_documents(sf_dir)
         .map_batches(count_partials, batch_format="pyarrow")
         .groupby(["w1", "w2"])
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()  # vocab^2-bounded, NOT corpus-bounded
-    )
+        .aggregate(Sum("c", alias_name="c")),
+        ("w1",),
+        schema=pa.schema(
+            [("w1", pa.string()), ("w2", pa.string()), ("c", pa.int64())]
+        ),
+    )  # vocab^2-bounded, NOT corpus-bounded
     # model vocab = every word seen on either side of a bigram
     words = pd.unique(pd.concat([model_df["w1"], model_df["w2"]]).to_numpy())
     words.sort()
@@ -2417,7 +2521,7 @@ def t_bigram_logprob(sf_dir: str):
         warm_factory(("t_bigram_logprob", bref.hex()), Score),
         batch_format="pyarrow",
     )
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(out, ("doc_id",), lambda: Score()(_empty_docs()))
 
 
 # ----------------------------------------------------------------------
@@ -2476,7 +2580,11 @@ def t_shuffle_shards(sf_dir: str):
         .groupby("shard")
         .map_groups(rank, batch_format="pandas")
     )
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(
+        out,
+        ("doc_id",),
+        lambda: rank(key(_empty_docs(("doc_id",))).to_pandas()),
+    )
 
 
 def write_training_shards(sf_dir: str, out_dir: str) -> None:
@@ -2542,10 +2650,13 @@ def t_delta_dedup(sf_dir: str):
         return pa.table({"fp": pa.array(fps, pa.string())})
 
     existing = np.unique(
-        _read_documents(sf_dir)
-        .map_batches(existing_fps, batch_format="pyarrow")
-        .to_pandas()["fp"]
-        .to_numpy()
+        _collect_sorted(
+            _read_documents(sf_dir).map_batches(
+                existing_fps, batch_format="pyarrow"
+            ),
+            ("fp",),
+            schema=pa.schema([("fp", pa.string())]),
+        )["fp"].to_numpy()
     )
     ref = ray.put(existing)
 
@@ -2689,10 +2800,13 @@ def t_delta_dedup_bloom(sf_dir: str, stats: dict = None, store_dir: str = None):
         return pa.table({"fp": pa.array(fps, pa.string())})
 
     existing = np.unique(
-        _read_documents(sf_dir)
-        .map_batches(existing_fps, batch_format="pyarrow")
-        .to_pandas()["fp"]
-        .to_numpy()
+        _collect_sorted(
+            _read_documents(sf_dir).map_batches(
+                existing_fps, batch_format="pyarrow"
+            ),
+            ("fp",),
+            schema=pa.schema([("fp", pa.string())]),
+        )["fp"].to_numpy()
     )
     own_store = store_dir is None
     if own_store:
@@ -3126,12 +3240,15 @@ def temperature_thresholds(sf_dir: str) -> dict:
     can never drift from each other or from the chained-CTE oracle."""
     from ray.data.aggregate import Count
 
-    counts = (
+    counts = _collect_sorted(
         _read_documents(sf_dir, ("lang",))
         .groupby("lang")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
+        .aggregate(Count(alias_name="n")),
+        ("lang",),
+        schema=pa.schema([("lang", pa.string()), ("n", pa.int64())]),
     )
+    if len(counts) == 0:  # empty corpus: no languages, no thresholds
+        return {}
     n_min = int(counts["n"].min())
     thresholds = {}
     for lang, n in zip(counts["lang"], counts["n"]):
@@ -3173,7 +3290,13 @@ def t_temperature_sample(sf_dir: str):
     ds = _read_documents(sf_dir, ("doc_id", "lang", "source")).map_batches(
         lambda t: temperature_filter(t, thresholds), batch_format="pyarrow"
     )
-    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return _collect_sorted(
+        ds,
+        ("doc_id",),
+        lambda: temperature_filter(
+            _empty_docs(("doc_id", "lang", "source")), thresholds
+        ),
+    )
 
 
 # ----------------------------------------------------------------------
@@ -3293,8 +3416,10 @@ def t_dup_spans(sf_dir: str, stage_dir: str = None):
     finally:
         if own_stage:
             shutil.rmtree(root, ignore_errors=True)
-    all_ids = (
-        _read_documents(sf_dir, ("doc_id",)).to_pandas().sort_values("doc_id")
+    all_ids = _collect_sorted(
+        _read_documents(sf_dir, ("doc_id",)),
+        ("doc_id",),
+        schema=pa.schema([("doc_id", pa.int64())]),
     )
     out = all_ids.merge(counts, on="doc_id", how="left")
     out["n_dup_grams"] = out["n_dup_grams"].fillna(0).astype("int64")
@@ -3355,13 +3480,14 @@ def t_heavy_hitters(
             {"word": pa.array(words, pa.string()), "cnt": pa.array(counts, pa.int64())}
         )
 
-    merged = (
+    merged = _collect_sorted(
         _read_documents(sf_dir)
         .map_batches(sketch, batch_format="pyarrow")
         .groupby("word")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()  # sketch_m x n_blocks rows at most
-    )
+        .aggregate(Sum("cnt", alias_name="cnt")),
+        ("word",),
+        schema=pa.schema([("word", pa.string()), ("cnt", pa.int64())]),
+    )  # sketch_m x n_blocks rows at most
     is_sent = merged["word"] == _HH_BOUND_SENTINEL
     total_bound = int(merged.loc[is_sent, "cnt"].sum())
     obs = merged[~is_sent].sort_values(["cnt", "word"], ascending=[False, True])
@@ -3390,12 +3516,13 @@ def t_heavy_hitters(
                 }
             )
 
-        full = (
+        full = _collect_sorted(
             _read_documents(sf_dir)
             .map_batches(exact_partials, batch_format="pyarrow")
             .groupby("word")
-            .aggregate(Sum("tf", alias_name="tf"))
-            .to_pandas()
+            .aggregate(Sum("tf", alias_name="tf")),
+            ("word",),
+            schema=pa.schema([("word", pa.string()), ("tf", pa.int64())]),
         )
         full = full.sort_values(["tf", "word"], ascending=[False, True]).head(top_k)
         return full.reset_index(drop=True)
@@ -3489,9 +3616,9 @@ def t_chunk_windows(sf_dir: str):
 
     out = _read_documents(sf_dir).map_batches(chunks, batch_format="pyarrow")
     return (
-        out.to_pandas()
-        .sort_values(["doc_id", "chunk_id"])
-        .reset_index(drop=True)
+        _collect_sorted(
+            out, ("doc_id", "chunk_id"), lambda: chunks(_empty_docs())
+        )
     )
 
 
@@ -3554,7 +3681,17 @@ def t_weighted_sample(sf_dir: str):
         score, batch_format="pyarrow"
     )
     top = _topk(
-        ds, WEIGHTED_SAMPLE_K, keys=("skey", "doc_id"), descending=(True, False)
+        ds,
+        WEIGHTED_SAMPLE_K,
+        keys=("skey", "doc_id"),
+        descending=(True, False),
+        empty_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("skey", pa.float64()),
+            ]
+        ),
     )
     return (
         top[["doc_id", "n_chars"]]
@@ -3629,7 +3766,13 @@ def t_cms_wordcounts(sf_dir: str):
         .materialize()
     )
     if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
-        cells = parts.to_pandas().groupby(["r", "pos"], as_index=False)["c"].sum()
+        cells = _collect_sorted(
+            parts,
+            ("r",),
+            schema=pa.schema(
+                [("r", pa.int64()), ("pos", pa.int64()), ("c", pa.int64())]
+            ),
+        ).groupby(["r", "pos"], as_index=False)["c"].sum()
     else:
         cells = (
             parts.groupby(["r", "pos"])
@@ -3705,11 +3848,15 @@ def t_group_uniform_sample(sf_dir: str):
             }
         )
 
-    parts = (
-        _read_documents(sf_dir, ("doc_id", "lang"))
-        .map_batches(local_head, batch_format="pyarrow")
-        .to_pandas()  # bounded: |langs| x k x blocks rows
-    )
+    parts = _collect_sorted(
+        _read_documents(sf_dir, ("doc_id", "lang")).map_batches(
+            local_head, batch_format="pyarrow"
+        ),
+        ("doc_id",),
+        schema=pa.schema(
+            [("lang", pa.string()), ("doc_id", pa.int64()), ("hk", pa.string())]
+        ),
+    )  # bounded: |langs| x k x blocks rows
     out = (
         parts.sort_values(["lang", "hk", "doc_id"])
         .groupby("lang", sort=False)

@@ -347,7 +347,28 @@ def pipeline_training_mix(sf_dir: str, out_dir: str = None, resume: bool = True)
         ),
         os.path.join(stage_root, "tempered"),
         resume=stage_resume,
+        allow_empty=True,
     )
+    if tempered is None:  # empty corpus: typed empty mix
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "lang": pd.Series([], dtype=object),
+                "source": pd.Series([], dtype=object),
+                "shard": pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int64"),
+            }
+        )
+        if out_dir is not None:
+            counts = {"n_survivors": 0, "out_dir": out_dir}
+            with open(os.path.join(out_dir, "_SUCCESS"), "w") as fh:
+                json.dump(counts, fh)
+            shutil.rmtree(stage_root, ignore_errors=True)
+            return counts
+        shutil.rmtree(stage_root, ignore_errors=True)
+        return empty
 
     def stream():
         return tempered
