@@ -342,6 +342,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corr_qty_discount": R.q_corr_qty_discount,
         "q_mode_event_type": R.q_mode_event_type,
         "s_mips_topk": S.s_mips_topk,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q_ntile_acctbal": R.q_ntile_acctbal,
+        "s_knn_graph": S.s_knn_graph,
+        "s_semdedup": S.s_semdedup,
     }
 
 
@@ -1017,6 +1021,9 @@ def _quality_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pdfray.pipelines import relational as R
+    from pdfray.pipelines import simsearch as S
+
     fixture = _fixture_sql_path()
     media = _media_sql_path()
     av = _av_sql_path()
@@ -2194,6 +2201,76 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY dot DESC, vec_id) AS rank FROM scored) "
             "SELECT query_id, rank, vec_id, dot FROM ranked WHERE rank <= 10 "
             "ORDER BY query_id, rank"
+        ),
+        "q3_shipping_priority": (
+            # TPC-H Q3 shape; revenue on the exact integer grid both sides
+            # (cents x (100 - d100)); ranking on the INTEGER revenue so no
+            # float tie can reach the top-k cut; same IEEE division for
+            # the float revenue
+            f"WITH li AS (SELECT l_orderkey, "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev "
+            f"FROM lineitem WHERE l_shipdate > TIMESTAMP '{R.Q3_DATE}'), "
+            "j AS (SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority, "
+            "li.rev FROM orders o "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            f"AND c.c_mktsegment = '{R.Q3_SEGMENT}' "
+            "JOIN li ON li.l_orderkey = o.o_orderkey "
+            f"WHERE o.o_orderdate < TIMESTAMP '{R.Q3_DATE}') "
+            "SELECT o_orderkey AS l_orderkey, o_orderdate, o_orderpriority, "
+            "CAST(SUM(rev) AS BIGINT) AS revenue_x10000, "
+            "CAST(SUM(rev) AS DOUBLE) / 10000.0 AS revenue "
+            "FROM j GROUP BY o_orderkey, o_orderdate, o_orderpriority "
+            f"ORDER BY revenue_x10000 DESC, l_orderkey LIMIT {R.Q3_TOP_N}"
+        ),
+        "q_ntile_acctbal": (
+            # global row_number + NTILE under the deterministic
+            # (s_acctbal, s_suppkey) total order — pure integer math
+            "SELECT s_suppkey, s_acctbal, "
+            "CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, "
+            f"CAST(NTILE({R.NTILE_BUCKETS}) OVER w AS BIGINT) AS tile "
+            "FROM supplier WINDOW w AS (ORDER BY s_acctbal, s_suppkey) "
+            "ORDER BY s_suppkey"
+        ),
+        "s_knn_graph": (
+            # exact all-pairs kNN graph; rank under the engine's total
+            # order (rounded sim desc, neighbor id asc)
+            "WITH scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, "
+            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), "
+            "r AS (SELECT vec_id, nbr_id, sim, "
+            "ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY sim DESC, nbr_id) AS rnk FROM scored) "
+            'SELECT vec_id, CAST(rnk AS BIGINT) AS "rank", nbr_id, sim '
+            f"FROM r WHERE rnk <= {S.KNN_GRAPH_K} ORDER BY vec_id, rnk"
+        ),
+        "s_semdedup": (
+            # SemDeDup replayed in SQL, scale-generic (no literals): the
+            # init CTE IS the deterministic centroid rule (k lowest
+            # vec_ids), assignment is the same -2x.c + c.c argmin with
+            # first-index ties as s_kmeans_init_assign's oracle, and the
+            # keep rule is the greedy lower-id EXISTS on rounded cosine
+            "WITH init AS (SELECT CAST(embedding AS DOUBLE[]) AS ce, "
+            "ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx "
+            f"FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {S.KMEANS_K})), "
+            "d AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, "
+            "i.cidx, -2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), "
+            "i.ce) + list_inner_product(i.ce, i.ce) AS dist "
+            "FROM embeddings e CROSS JOIN init i), "
+            "asg AS (SELECT vec_id, emb, cidx AS cluster FROM ("
+            "SELECT vec_id, emb, cidx, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id ORDER BY dist, cidx) AS rn FROM d) "
+            "WHERE rn = 1), "
+            "dup AS (SELECT DISTINCT a.vec_id "
+            "FROM asg a JOIN asg b ON a.cluster = b.cluster "
+            "AND b.vec_id < a.vec_id "
+            f"WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) "
+            f">= {S.SEMDEDUP_TAU}) "
+            "SELECT asg.vec_id, CAST(cluster AS BIGINT) AS cluster, "
+            "CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "AS keep FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id "
+            "ORDER BY asg.vec_id"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

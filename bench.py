@@ -133,10 +133,14 @@ QUERY_NAMES = [
     "q_ohlc_daily",
     "q_left_join_order_counts",
     "q5_local_supplier_volume",
+    "q3_shipping_priority",
     "q_percent_rank_acctbal",
+    "q_ntile_acctbal",
     "q_corr_qty_discount",
     "q_mode_event_type",
     "s_mips_topk",
+    "s_knn_graph",
+    "s_semdedup",
     "q_sessionize",
     "q_retention_cohorts",
     "q_funnel",

@@ -3673,3 +3673,269 @@ def q_mode_event_type(sf_dir: str):
         .sort_values("user_id")
         .reset_index(drop=True)
     )
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-01"
+Q3_TOP_N = 10
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — the unshipped-orders revenue ranking: for orders
+    from one market segment placed before a date, sum the revenue of
+    lineitems shipped after it, and keep the top 10 orders.
+
+    Plan (the second wide multiway join after Q5, one exchange fewer):
+      - customer is filtered to the segment AT THE SCAN and projected to
+        the key column only, then hash-joined with the date-filtered
+        orders on custkey (partition count data-proportional via
+        sizing.shuffle_partitions);
+      - lineitem is filtered on shipdate at the scan, reduced per block
+        to (l_orderkey, rev) rows, and joined on orderkey;
+      - a per-block combiner collapses to one row per order BEFORE the
+        final groupby (`_two_regime_sum` on the (orderkey, orderdate,
+        orderpriority) key — orderdate/orderpriority are functionally
+        dependent on the orderkey so they ride the key for free);
+      - the top 10 is per-block local top-k + driver merge (`_topk`),
+        ranked on the INTEGER revenue grid (revenue_x10000 desc,
+        l_orderkey asc) so float ties cannot exist, never a global sort.
+
+    Revenue rides the exact integer grid exactly as Q5:
+    cents(l_extendedprice) x (100 - d100(l_discount)) is int64-exact and
+    the float revenue is the same IEEE division both sides.  Every inner
+    side rides `_join_pad` (Ray 2.49's hash join dies on any fully-empty
+    side — a segment with no customers or a date window matching
+    nothing)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .sizing import shuffle_partitions
+
+    cut = pc.strptime(Q3_DATE, format="%Y-%m-%d", unit="us").as_py()
+    n_ord = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+
+    def cust_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_mktsegment"), Q3_SEGMENT))
+        return t.select(["c_custkey"])
+
+    cust = _join_pad(
+        _read(
+            sf_dir, "customer", ["c_custkey", "c_mktsegment"], rows_per_block=100_000
+        ).map_batches(cust_project, batch_format="pyarrow"),
+        pa.schema([("c_custkey", pa.int64())]),
+    )
+
+    def ord_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("o_orderdate"), cut))
+        return t.select(["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    ords = _join_pad(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+            rows_per_block=100_000,
+        ).map_batches(ord_project, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+    )
+
+    ord_cust = ords.join(
+        cust,
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_ord),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def li_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), cut))
+        cents = round_half_away(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        d100 = round_half_away(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev": pa.array(cents * (100 - d100)),
+            }
+        )
+
+    li = _join_pad(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+            rows_per_block=100_000,
+        ).map_batches(li_project, batch_format="pyarrow"),
+        pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())]),
+    )
+
+    joined = li.join(
+        _join_pad(
+            ord_cust,
+            pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("o_custkey", pa.int64()),
+                    ("o_orderdate", pa.timestamp("us")),
+                    ("o_orderpriority", pa.string()),
+                ]
+            ),
+        ),
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_li),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue_x10000": t.column("rev"),
+            }
+        )
+        g = tt.group_by(["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
+            [("revenue_x10000", "sum")]
+        )
+        return g.rename_columns(
+            ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_x10000"]
+        )
+
+    red, _ = _two_regime_sum(
+        joined.map_batches(combine, batch_format="pyarrow"),
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        ["revenue_x10000"],
+        empty_types={
+            "o_orderdate": pa.timestamp("us"),
+            "o_orderpriority": pa.string(),
+        },
+    )
+    top = _topk(
+        red,
+        Q3_TOP_N,
+        keys=("revenue_x10000", "l_orderkey"),
+        descending=(True, False),
+        empty_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+                ("revenue_x10000", pa.int64()),
+            ]
+        ),
+    )
+    top = top.copy()
+    top["revenue"] = top["revenue_x10000"].to_numpy(np.int64).astype(np.float64) / 10000.0
+    top["revenue_x10000"] = top["revenue_x10000"].astype("int64")
+    top["l_orderkey"] = top["l_orderkey"].astype("int64")
+    return (
+        top[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue_x10000", "revenue"]]
+        .sort_values(["revenue_x10000", "l_orderkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+NTILE_BUCKETS = 4
+
+
+def q_ntile_acctbal(sf_dir: str):
+    """Global ROW_NUMBER + NTILE over suppliers ordered by
+    (s_acctbal, s_suppkey) — the distributed-quartile window, computed
+    WITHOUT a global sort: a global row number decomposes into
+        rn(row) = (#rows with a smaller s_acctbal)            [prefix]
+                + (rank of s_suppkey within its value group)  [local]
+    so the plan is (1) one combiner pass reducing supplier to the
+    distinct (s_acctbal, n_rows) table (`_two_regime_sum` — the exchange
+    moves distinct grid values, not rows), whose driver cumsum yields the
+    prefix offsets and the total n; (2) one keyed exchange grouping rows
+    by s_acctbal, each group assigning its local suppkey ranks
+    vectorized (a group = one grid value's tie set, small on a 1/100
+    money grid; the same per-value-group shape q_percent_rank uses).
+    NTILE(b) is then a pure function of (rn, n): the first n % b buckets
+    hold ceil(n/b) rows, the rest floor(n/b) — integer math, no floats
+    anywhere, so the oracle comparison is exact by construction."""
+    import numpy as np
+    import ray
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"], rows_per_block=100_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column("n_rows", pa.array(np.ones(len(t), np.int64)))
+        g = t.group_by(["s_acctbal"]).aggregate([("n_rows", "sum")])
+        return g.rename_columns(["s_acctbal", "n_rows"])
+
+    red, _ = _two_regime_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["s_acctbal"],
+        ["n_rows"],
+        empty_types={"s_acctbal": pa.float64()},
+    )
+    counts = typed_collect(
+        red, pa.schema([("s_acctbal", pa.float64()), ("n_rows", pa.int64())])
+    ).sort_values("s_acctbal")
+    n = int(counts["n_rows"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "s_acctbal": pd.Series([], dtype="float64"),
+                "rn": pd.Series([], dtype="int64"),
+                "tile": pd.Series([], dtype="int64"),
+            }
+        )
+    vals = counts["s_acctbal"].to_numpy(np.float64)
+    offs = np.concatenate(([0], np.cumsum(counts["n_rows"].to_numpy(np.int64))[:-1]))
+    b = NTILE_BUCKETS
+    q, r = divmod(n, b)
+    bref = ray.put((vals, offs, n, q, r))
+
+    class Assign:
+        def __init__(self):
+            self.vals, self.offs, self.n, self.q, self.r = ray.get(bref)
+
+        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("s_suppkey").reset_index(drop=True)
+            v = float(g["s_acctbal"].iloc[0])
+            i = int(np.searchsorted(self.vals, v))
+            rn = self.offs[i] + 1 + np.arange(len(g), dtype=np.int64)
+            head = self.r * (self.q + 1)  # rows in the ceil-sized buckets
+            if self.q == 0:
+                tile = rn  # n < b: one row per bucket
+            else:
+                tile = np.where(
+                    rn <= head,
+                    (rn - 1) // (self.q + 1) + 1,
+                    self.r + (rn - 1 - head) // self.q + 1,
+                )
+            g = g.copy()
+            g["rn"] = rn
+            g["tile"] = tile.astype(np.int64)
+            return g
+
+    from .textops import warm_factory
+
+    out = (
+        ds.groupby("s_acctbal")
+        .map_groups(warm_factory(("ntile", bref.hex()), Assign), batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("s_suppkey", "rn", "tile"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["s_suppkey", "s_acctbal", "rn", "tile"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )

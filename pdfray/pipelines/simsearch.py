@@ -1828,3 +1828,228 @@ def s_mips_topk(sf_dir: str):
         .to_pandas()
     )
     return _merge_topk(local, col="dot")
+
+
+KNN_GRAPH_K = 5
+
+
+def s_knn_graph(sf_dir: str, k: int = KNN_GRAPH_K, force_exact: bool = False):
+    """Exact k-nearest-neighbor GRAPH over the embedding table — every
+    vector's top-k cosine neighbors (self excluded), the building block
+    under semantic dedup, diversity sampling and graph-based ANN index
+    construction (it is s_knn_bruteforce with the whole corpus as the
+    query side).
+
+    Same block-pair shape as s_embedding_dupes: normalized blocks live in
+    the object store, one task per unordered block pair fetches exactly
+    two blocks and emits LOCAL top-k partials for both directions (each
+    vector's best k within that opposite block, under the SAME total
+    order as the merge: rounded sim desc, neighbor id asc), so at most
+    k rows per (vector, block) leave any task.  The driver merge is
+    O(n_vecs x n_blocks x k); at corpus scale the identical merge rides
+    a (vec_id)-keyed groupby instead (the partials are already the
+    shuffle-ready shape).  Compute is O(N^2) by necessity (exact graph);
+    the `EXACT_PAIRS_MAX_ROWS` gate refuses the quadratic plan at corpus
+    scale — the scale path is the ANN family's candidate generation.
+
+    Zero vectors follow the pinned DuckDB convention (`_mask_zero_cosine`):
+    any zero operand scores -1.0, ranking zero vectors' edges last."""
+    import ray
+    import ray.data as rd
+
+    n_rows = _read_embeddings(sf_dir).count()
+    _require_exact_pairs_feasible(n_rows, force_exact)
+    if n_rows == 0:
+        return _empty_result(vec_id="i", rank="i", nbr_id="i", sim="f")
+
+    def normalize(t: pa.Table) -> pa.Table:
+        raw = _batch_matrix(t)
+        zero = (np.linalg.norm(raw, axis=1) == 0.0) if len(raw) else np.zeros(0, bool)
+        vecs = _normalize(raw)
+        dim = vecs.shape[1] if len(vecs) else 0
+        offs = pa.array(np.arange(0, (len(t) + 1) * dim, max(dim, 1), dtype=np.int32))
+        emb = pa.ListArray.from_arrays(offs, pa.array(vecs.ravel(), pa.float64()))
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "embedding": emb,
+                "is_zero": pa.array(zero, pa.bool_()),
+            }
+        )
+
+    blocks = (
+        _read_embeddings(sf_dir)
+        .map_batches(normalize, batch_format="pyarrow", batch_size=PAIR_BLOCK_ROWS)
+        .materialize()
+        .to_arrow_refs()
+    )
+    idx_pairs = [
+        {"bi": i, "bj": j} for i in range(len(blocks)) for j in range(i, len(blocks))
+    ]
+    refs_ref = ray.put(blocks)
+
+    def _local_topk(out, ids_q, sims, ids_n, self_mask):
+        """Append each query row's top-k (sim desc, nbr asc) partials."""
+        kk = min(k, sims.shape[1])
+        for r in range(sims.shape[0]):
+            row = sims[r]
+            if self_mask is not None:
+                row = row.copy()
+                row[ids_n == ids_q[r]] = -np.inf  # self never an edge
+            order = np.lexsort((ids_n, -row))[:kk]
+            for j in order:
+                if row[j] == -np.inf:
+                    continue
+                out["vec_id"].append(int(ids_q[r]))
+                out["nbr_id"].append(int(ids_n[j]))
+                out["sim"].append(float(row[j]))
+
+    class ScoreBlockPair:
+        def __init__(self):
+            self.blocks = ray.get(refs_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            out = {"vec_id": [], "nbr_id": [], "sim": []}
+            for bi, bj in zip(t.column("bi").to_pylist(), t.column("bj").to_pylist()):
+                tbl_i = _ray.get(self.blocks[bi])
+                tbl_j = tbl_i if bj == bi else _ray.get(self.blocks[bj])
+                ids_i = tbl_i.column("vec_id").to_numpy()
+                ids_j = tbl_j.column("vec_id").to_numpy()
+                z_i = tbl_i.column("is_zero").to_numpy(zero_copy_only=False)
+                z_j = tbl_j.column("is_zero").to_numpy(zero_copy_only=False)
+                mat_i = _batch_matrix(tbl_i.drop_columns(["is_zero"]))
+                mat_j = mat_i if bj == bi else _batch_matrix(tbl_j.drop_columns(["is_zero"]))
+                sims = mat_i @ mat_j.T
+                sims[z_i, :] = -1.0  # pinned zero-operand convention
+                sims[:, z_j] = -1.0
+                sims = round_half_away(sims, 4)
+                _local_topk(out, ids_i, sims, ids_j, self_mask=True)
+                if bj != bi:
+                    _local_topk(out, ids_j, sims.T, ids_i, self_mask=True)
+            return pa.table(
+                {
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "nbr_id": pa.array(out["nbr_id"], pa.int64()),
+                    "sim": pa.array(out["sim"], pa.float64()),
+                }
+            )
+
+    parts = typed_collect(
+        rd.from_items(idx_pairs).map_batches(
+            warm_factory(("knn_graph", refs_ref.hex()), ScoreBlockPair),
+            batch_format="pyarrow",
+            batch_size=1,
+        ),
+        pa.schema(
+            [("vec_id", pa.int64()), ("nbr_id", pa.int64()), ("sim", pa.float64())]
+        ),
+    )
+    rows = []
+    for vid, g in parts.groupby("vec_id"):
+        g = g.sort_values(["sim", "nbr_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        rows.append(g)
+    out = pd.concat(rows) if rows else _empty_result(
+        vec_id="i", nbr_id="i", sim="f", rank="i"
+    )
+    for c in ("vec_id", "rank", "nbr_id"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["vec_id", "rank", "nbr_id", "sim"]]
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+SEMDEDUP_TAU = 0.42  # same near-dup threshold as s_embedding_dupes
+
+
+def s_semdedup(sf_dir: str, k: int = KMEANS_K, tau: float = SEMDEDUP_TAU):
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings, then drop within-cluster
+    near-duplicates — the clustering makes the quadratic pair scoring
+    tractable because it only ever runs INSIDE a cluster.
+
+    Deterministic replay of the paper's shape: cluster assignment is the
+    exact k-means E-step s_kmeans_init_assign pins (centroids = the k
+    lowest-vec_id vectors, argmin of -2x.c + c.c with first-index ties),
+    then one (cluster)-keyed exchange groups members and each group marks
+    vec v keep=0 iff a SAME-CLUSTER member with a LOWER vec_id scores
+    rounded cosine >= tau against it (greedy keep-first, the same
+    deterministic keep rule the delta-dedup family uses).  Per-group
+    work is one dense matmul; at 100 TB the operator's contract is that
+    k scales with the corpus so cluster membership stays bounded — the
+    in-group gate raises loudly if a cluster exceeds
+    `EXACT_PAIRS_MAX_ROWS` instead of going silently quadratic.
+
+    Zero vectors score -1.0 against everything (the pinned DuckDB
+    list_cosine_similarity convention) so they are always kept."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+    if ds.count() == 0:
+        return _empty_result(vec_id="i", cluster="i", keep="i")
+    init = _topk(ds, k, ["vec_id"], [False])
+    centroids = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+    cref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        C = ray.get(cref)
+        X = _batch_matrix(t)
+        # the EXACT s_kmeans_init_assign E-step expression (oracle parity)
+        d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(d2.argmin(axis=1).astype(np.int64), pa.int64()),
+                "embedding": t.column("embedding"),
+            }
+        )
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > EXACT_PAIRS_MAX_ROWS:
+            raise ValueError(
+                f"s_semdedup cluster of {len(g)} members exceeds "
+                f"EXACT_PAIRS_MAX_ROWS={EXACT_PAIRS_MAX_ROWS}: raise k so "
+                "cluster membership stays bounded"
+            )
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        zero = np.linalg.norm(X, axis=1) == 0.0
+        S = _normalize(X) @ _normalize(X).T
+        S[zero, :] = -1.0
+        S[:, zero] = -1.0
+        dup = np.tril(round_half_away(S, 4) >= tau, -1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"].astype("int64"),
+                "cluster": g["cluster"].astype("int64"),
+                "keep": (~dup).astype("int64"),
+            }
+        )
+
+    out = typed_collect(
+        ds.map_batches(
+            warm_factory(("semdedup_assign", cref.hex()), lambda: assign),
+            batch_format="pyarrow",
+        )
+        .groupby("cluster")
+        .map_groups(dedup_group, batch_format="pandas"),
+        pa.schema(
+            [("vec_id", pa.int64()), ("cluster", pa.int64()), ("keep", pa.int64())]
+        ),
+    )
+    for c in ("vec_id", "cluster", "keep"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -850,6 +850,8 @@ STAR_ORACLE_QUERIES = [
     "q_supplier_nation",
     "q_nation_region",
     "q_left_join_order_counts",
+    "q_ntile_acctbal",
+    "q3_shipping_priority",
 ]
 
 
@@ -883,7 +885,7 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
                 [(-1) ** i * (i * 64 + 8) / 64.0 for i in range(n_cust)]
             ),
             "c_mktsegment": pa.array(
-                [["AUTO", "HOUSE", "MACH"][i % 3] for i in range(n_cust)]
+                [["AUTO", "BUILDING", "MACH"][i % 3] for i in range(n_cust)]
             ),
         }
     )
@@ -947,6 +949,39 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
             "r_name": pa.array([f"REGIÖN{i}" for i in range(4)]),
         }
     )
+    # hostile lineitem for q3: dangling orderkeys, 1/64-grid prices (the
+    # .xx5 rounding-tie class), discount 0 and 1 (zero revenue), shipdate
+    # EXACTLY at the Q3 cut (> is strict: excluded) and 1us after, and in
+    # the fixed variant a >10-row identical-revenue tie run straddling the
+    # top-10 cut (l_orderkey tiebreak)
+    from pdfray.pipelines.relational import Q3_DATE
+
+    cut_us = int(pd.Timestamp(Q3_DATE).value // 1000)
+    n_li = 400 if variant == "random" else 200
+    lk = rng.randint(0, n_ord + 6, n_li).astype(np.int64)  # some dangle
+    lprice = (rng.randint(1, 3_000_000, n_li).astype(np.float64) * 8) / 64.0
+    ldisc = (rng.randint(0, 11, n_li) / 100.0).astype(np.float64)
+    lship = base + rng.randint(0, 1500, n_li) * day + rng.randint(0, day, n_li)
+    if variant == "fixed":
+        ldisc[0], ldisc[1] = 0.0, 1.0  # full and zero revenue
+        lship[2], lship[3] = cut_us, cut_us + 1  # strict-cut edge pair
+        # identical-revenue tie run across the top-10 cut: 14 orders, one
+        # line each, same price/discount — ranked purely by l_orderkey
+        for t_i in range(14):
+            lk[10 + t_i] = 100 + t_i
+            lprice[10 + t_i] = 999_999.50
+            ldisc[10 + t_i] = 0.04
+            lship[10 + t_i] = cut_us + day
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(lk),
+            "l_extendedprice": pa.array(lprice),
+            "l_discount": pa.array(ldisc),
+            "l_shipdate": pa.array(lship.astype(np.int64), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
     d = tmp_path / "adv_star"
     d.mkdir()
     for name, t in (
@@ -955,13 +990,14 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
         ("supplier", supplier),
         ("nation", nation),
         ("region", region),
+        ("lineitem", lineitem),
     ):
         pq_.write_table(t, str(d / f"{name}.parquet"))
 
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
     con = duckdb.connect()
-    for tbl in ("customer", "orders", "supplier", "nation", "region"):
+    for tbl in ("customer", "orders", "supplier", "nation", "region", "lineitem"):
         con.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{d}/{tbl}.parquet')"
         )
@@ -979,6 +1015,8 @@ EMB_ORACLE_QUERIES = [
     "s_embedding_dupes",
     "s_label_centroids",
     "s_scalar_quantize",
+    "s_knn_graph",
+    "s_semdedup",
 ]
 
 
