@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ntile_acctbal": R.q_ntile_acctbal,
         "s_knn_graph": S.s_knn_graph,
         "s_semdedup": S.s_semdedup,
+        "t_ccnet_buckets": T.t_ccnet_buckets,
     }
 
 
@@ -1020,6 +1021,33 @@ def _quality_oracle() -> str:
     )
 
 
+# MLE bigram model recomputed verbatim: c2 over bigram strings (words are
+# space-free so 'w1 w2' keys are unambiguous), c1 over bigram-left contexts,
+# score = sum ln(c2/c1) per doc in half-up-rounded milli-units (ln is
+# transcendental — no true score sits on a boundary); <2-token docs COALESCE
+# to zero.  Shared by t_bigram_logprob and t_ccnet_buckets (the engine
+# shares the model the same way via textops._bigram_scored).
+_BIGRAM_SCORED_CTE = (
+    "toks AS (SELECT doc_id, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS w "
+    "FROM documents), "
+    "bg AS (SELECT doc_id, "
+    "unnest(list_transform(generate_series(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1])) AS bigram, "
+    "unnest(list_transform(generate_series(1, len(w) - 1), "
+    "i -> w[i])) AS w1 FROM toks WHERE len(w) >= 2), "
+    "c2 AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram), "
+    "c1 AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1), "
+    "sagg AS (SELECT b.doc_id, COUNT(*) AS n_bigrams, "
+    "SUM(ln(CAST(c2.c AS DOUBLE) / c1.c)) AS lp FROM bg b "
+    "JOIN c2 USING (bigram) JOIN c1 USING (w1) GROUP BY b.doc_id), "
+    "scored AS (SELECT d.doc_id, CAST(COALESCE(sagg.n_bigrams, 0) AS BIGINT) "
+    "AS n_bigrams, CAST(FLOOR(COALESCE(sagg.lp, 0) * 1000 + 0.5) "
+    "AS BIGINT) AS logprob_x1e3 "
+    "FROM documents d LEFT JOIN sagg USING (doc_id))"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     from pdfray.pipelines import relational as R
     from pdfray.pipelines import simsearch as S
@@ -1325,28 +1353,42 @@ def oracle_sql() -> dict[str, str]:
             "< thr.t ORDER BY d.doc_id"
         ),
         "t_bigram_logprob": (
-            # MLE bigram model recomputed verbatim: c2 over bigram strings
-            # (words are space-free so 'w1 w2' keys are unambiguous), c1
-            # over bigram-left contexts, score = sum ln(c2/c1) per doc in
-            # half-up-rounded milli-units (ln is transcendental — no true
-            # score sits on a boundary); <2-token docs COALESCE to zero
-            "WITH toks AS (SELECT doc_id, "
-            "list_filter(string_split(text, ' '), x -> x <> '') AS w "
-            "FROM documents), "
-            "bg AS (SELECT doc_id, "
-            "unnest(list_transform(generate_series(1, len(w) - 1), "
-            "i -> w[i] || ' ' || w[i+1])) AS bigram, "
-            "unnest(list_transform(generate_series(1, len(w) - 1), "
-            "i -> w[i])) AS w1 FROM toks WHERE len(w) >= 2), "
-            "c2 AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram), "
-            "c1 AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1), "
-            "s AS (SELECT b.doc_id, COUNT(*) AS n_bigrams, "
-            "SUM(ln(CAST(c2.c AS DOUBLE) / c1.c)) AS lp FROM bg b "
-            "JOIN c2 USING (bigram) JOIN c1 USING (w1) GROUP BY b.doc_id) "
-            "SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) "
-            "AS n_bigrams, CAST(FLOOR(COALESCE(s.lp, 0) * 1000 + 0.5) "
-            "AS BIGINT) AS logprob_x1e3 "
-            "FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id"
+            f"WITH {_BIGRAM_SCORED_CTE} "
+            "SELECT doc_id, n_bigrams, logprob_x1e3 FROM scored "
+            "ORDER BY doc_id"
+        ),
+        "t_ccnet_buckets": (
+            # CCNet head/middle/tail replayed verbatim: score = the SAME
+            # int64 division, the md5-grid sample rule integer-exact, the
+            # tercile interpolation the SAME IEEE (m-1)p expression the
+            # engine computes (COALESCE covers the lo = m-1, frac = 0
+            # boundary, where the engine returns s[lo])
+            f"WITH {_BIGRAM_SCORED_CTE}, "
+            "sc AS (SELECT doc_id, n_bigrams, logprob_x1e3, "
+            "CASE WHEN n_bigrams = 0 THEN 0.0 "
+            "ELSE CAST(logprob_x1e3 AS DOUBLE) / n_bigrams END AS score "
+            "FROM scored), "
+            "samp AS (SELECT score FROM sc WHERE "
+            "md5_number_lower('cc42:' || CAST(doc_id AS VARCHAR)) % 4 = 0), "
+            "pool AS (SELECT score FROM samp UNION ALL SELECT score FROM sc "
+            "WHERE (SELECT COUNT(*) FROM samp) = 0), "
+            "ord AS (SELECT score, ROW_NUMBER() OVER (ORDER BY score) - 1 "
+            "AS i FROM pool), "
+            "mm AS (SELECT COUNT(*) AS m FROM ord), "
+            "th AS (SELECT "
+            "(SELECT score FROM ord WHERE i = CAST(FLOOR((m - 1) * (1.0/3.0)) AS BIGINT)) AS lo1, "
+            "(SELECT score FROM ord WHERE i = CAST(FLOOR((m - 1) * (1.0/3.0)) AS BIGINT) + 1) AS hi1, "
+            "(m - 1) * (1.0/3.0) - FLOOR((m - 1) * (1.0/3.0)) AS f1, "
+            "(SELECT score FROM ord WHERE i = CAST(FLOOR((m - 1) * (2.0/3.0)) AS BIGINT)) AS lo2, "
+            "(SELECT score FROM ord WHERE i = CAST(FLOOR((m - 1) * (2.0/3.0)) AS BIGINT) + 1) AS hi2, "
+            "(m - 1) * (2.0/3.0) - FLOOR((m - 1) * (2.0/3.0)) AS f2 "
+            "FROM mm), "
+            "thr AS (SELECT lo1 + f1 * (COALESCE(hi1, lo1) - lo1) AS thr_mid, "
+            "lo2 + f2 * (COALESCE(hi2, lo2) - lo2) AS thr_head FROM th) "
+            "SELECT sc.doc_id, sc.n_bigrams, sc.logprob_x1e3, sc.score, "
+            "CASE WHEN sc.score >= thr.thr_head THEN 'head' "
+            "WHEN sc.score >= thr.thr_mid THEN 'middle' ELSE 'tail' END "
+            "AS bucket FROM sc CROSS JOIN thr ORDER BY sc.doc_id"
         ),
         "t_shuffle_shards": (
             # shard = md5('shuf42:'||id)[:8] mod 8; mod 8 of a hex number

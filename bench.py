@@ -150,6 +150,7 @@ QUERY_NAMES = [
     "t_temperature_sample",
     "t_domain_cap",
     "t_bigram_logprob",
+    "t_ccnet_buckets",
     "t_shuffle_shards",
     "t_delta_dedup",
     "t_delta_dedup_bloom",

