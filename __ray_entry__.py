@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_knn_graph": S.s_knn_graph,
         "s_semdedup": S.s_semdedup,
         "t_ccnet_buckets": T.t_ccnet_buckets,
+        "t_dsir_sample": T.t_dsir_sample,
     }
 
 
@@ -2313,6 +2314,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) "
             "AS keep FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id "
             "ORDER BY asg.vec_id"
+        ),
+        "t_dsir_sample": (
+            # DSIR replayed verbatim: hashed-unigram buckets via the same
+            # integer md5 arithmetic, add-one-smoothed log-ratio per
+            # bucket (same ln of the same doubles), per-doc score as
+            # SUM(c * diff) over (doc, bucket) groups (the engine's
+            # bincount computes exactly c_b * diff_b), Gumbel keys on the
+            # exact 2^53 md5 grid, top-k under (gkey desc, doc_id)
+            "WITH toks AS (SELECT doc_id, lang, "
+            "unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w "
+            "FROM documents), "
+            "tb AS (SELECT doc_id, lang, "
+            "md5_number_lower('dsir:' || w) % 1024 AS b FROM toks), "
+            "ca AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY b), "
+            "ct AS (SELECT b, COUNT(*) AS c FROM tb "
+            "WHERE lang = 'en' GROUP BY b), "
+            "tot AS (SELECT (SELECT COUNT(*) FROM tb) AS na, "
+            "(SELECT COUNT(*) FROM tb WHERE lang = 'en') AS nt), "
+            "diff AS (SELECT ca.b, "
+            "ln((COALESCE(ct.c, 0) + 1.0) / (tot.nt + 1024)) - "
+            "ln((ca.c + 1.0) / (tot.na + 1024)) AS d "
+            "FROM ca CROSS JOIN tot LEFT JOIN ct USING (b)), "
+            "db AS (SELECT doc_id, b, COUNT(*) AS c FROM tb "
+            "GROUP BY doc_id, b), "
+            "sums AS (SELECT db.doc_id, SUM(db.c * diff.d) AS lw, "
+            "CAST(SUM(db.c) AS BIGINT) AS nw "
+            "FROM db JOIN diff USING (b) GROUP BY db.doc_id), "
+            "sc AS (SELECT d.doc_id, d.lang, COALESCE(s.lw, 0) AS lw, "
+            "COALESCE(s.nw, 0) AS nw FROM documents d "
+            "LEFT JOIN sums s USING (doc_id)), "
+            "g AS (SELECT doc_id, lang, nw, lw, lw + -ln(-ln("
+            "((md5_number_lower('dsirg:' || CAST(doc_id AS VARCHAR)) "
+            "% 9007199254740992) + 1) / 9007199254740992.0)) AS gkey "
+            "FROM sc) "
+            "SELECT doc_id, lang, CAST(nw AS BIGINT) AS n_words, "
+            "CAST(FLOOR(lw * 1000 + 0.5) AS BIGINT) AS logw_x1e3 "
+            "FROM (SELECT * FROM g ORDER BY gkey DESC, doc_id LIMIT 64) "
+            "ORDER BY doc_id"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

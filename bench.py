@@ -151,6 +151,7 @@ QUERY_NAMES = [
     "t_domain_cap",
     "t_bigram_logprob",
     "t_ccnet_buckets",
+    "t_dsir_sample",
     "t_shuffle_shards",
     "t_delta_dedup",
     "t_delta_dedup_bloom",

@@ -4000,3 +4000,175 @@ def t_group_uniform_sample(sf_dir: str):
         .reset_index(drop=True)
     )
     return out
+
+
+# ----------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169): select
+# pretraining data whose hashed-n-gram feature distribution matches a
+# TARGET domain, by sampling with probability proportional to the
+# importance weight p_target(x) / p_source(x).
+
+DSIR_BUCKETS = 1024          # hashed feature space (no OOV by construction)
+DSIR_TARGET_LANG = "en"      # the target domain: English docs
+DSIR_K = 64                  # sample size
+DSIR_SALT = "dsir:"          # feature-hash salt
+DSIR_GUMBEL_SALT = "dsirg:"  # per-doc Gumbel-noise salt
+
+
+def _dsir_buckets_of(dictionary: pa.Array) -> np.ndarray:
+    """Feature bucket per DISTINCT word (hash once per dictionary entry,
+    not per token) — md5_number_lower(salt || word) % B, the same integer
+    arithmetic the oracle replays."""
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5((DSIR_SALT + w).encode()).digest()[8:], "little"
+            )
+            % DSIR_BUCKETS
+            for w in dictionary.to_pylist()
+        ),
+        np.int64,
+        len(dictionary),
+    )
+
+
+def t_dsir_sample(sf_dir: str):
+    """DSIR data selection: draw DSIR_K docs with probability proportional
+    to the importance weight p_target / p_source over HASHED unigram
+    features — the importance-resampling counterpart of t_ccnet_buckets'
+    cutoff filter (both are LM-guided corpus selection; DSIR reweights
+    toward a target domain instead of thresholding quality).
+
+    Three bounded passes, nothing corpus-sized on the driver:
+      1. ONE combiner pass builds BOTH hashed-unigram models (target =
+         DSIR_TARGET_LANG docs, source = all docs) as (bucket, c_all,
+         c_tgt) partials — the reduced table is B-bounded (1024 rows),
+         not vocabulary-bounded: feature hashing IS the OOV story, like
+         the paper's.
+      2. The driver turns counts into a B-length log-ratio array
+         diff_b = ln((c_tgt+1)/(N_tgt+B)) - ln((c_all+1)/(N_all+B))
+         (add-one smoothing keeps an EMPTY target defined: every bucket
+         then scores ln(1/B)-ln(p_src) — uniform target) and broadcasts
+         it once.
+      3. A scoring pass computes log w(doc) = sum_b c_{doc,b} * diff_b
+         vectorized (np.unique over doc*B+bucket keys, then bincount),
+         plus the Gumbel-top-k sampling key logw + (-ln(-ln(u))) with u
+         on the exact 2^53 md5 grid (t_weighted_sample's RNG-free
+         without-replacement trick — Gumbel-max sampling is exactly
+         proportional-to-weight); per-block local top-k + driver merge,
+         never a global sort.
+
+    Float portability rides the established arguments: u is grid-exact
+    both sides, ln/divide ulp gaps are ~1e-16 relative while adjacent
+    order statistics sit far apart (t_weighted_sample), and milli-unit
+    rounding of the transcendental logw never lands on a boundary
+    (t_bigram_logprob)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    B = DSIR_BUCKETS
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        parent, codes, dictionary = _word_codes(t)
+        tok_b = _dsir_buckets_of(dictionary)[codes] if len(dictionary) else codes
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        is_tgt = (langs == DSIR_TARGET_LANG)[parent] if len(parent) else codes > 0
+        c_all = np.bincount(tok_b, minlength=B)
+        c_tgt = np.bincount(tok_b[is_tgt], minlength=B)
+        nz = np.flatnonzero(c_all)  # c_tgt <= c_all everywhere
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "c_all": pa.array(c_all[nz], pa.int64()),
+                "c_tgt": pa.array(c_tgt[nz], pa.int64()),
+            }
+        )
+
+    counts = _collect_sorted(
+        _read_documents(sf_dir, ("doc_id", "text", "lang"))
+        .map_batches(count_partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c_all", alias_name="c_all"), Sum("c_tgt", alias_name="c_tgt")),
+        ("bucket",),
+        schema=pa.schema(
+            [("bucket", pa.int64()), ("c_all", pa.int64()), ("c_tgt", pa.int64())]
+        ),
+    )
+    ca = np.zeros(B, np.float64)
+    ct = np.zeros(B, np.float64)
+    if len(counts):
+        ca[counts["bucket"].to_numpy(np.int64)] = counts["c_all"].to_numpy(np.int64)
+        ct[counts["bucket"].to_numpy(np.int64)] = counts["c_tgt"].to_numpy(np.int64)
+    na, nt = float(ca.sum()), float(ct.sum())
+    diff = np.log((ct + 1.0) / (nt + B)) - np.log((ca + 1.0) / (na + B))
+    dref = ray.put(diff)
+
+    class Score:
+        def __init__(self):
+            self.diff = ray.get(dref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            parent, codes, dictionary = _word_codes(t)
+            n_words = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+            if len(parent):
+                tok_b = _dsir_buckets_of(dictionary)[codes]
+                keys, c = np.unique(parent * B + tok_b, return_counts=True)
+                contrib = c.astype(np.float64) * self.diff[keys % B]
+                logw = np.bincount(
+                    keys // B, weights=contrib, minlength=t.num_rows
+                )
+            else:
+                logw = np.zeros(t.num_rows)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(
+                            (DSIR_GUMBEL_SALT + str(i)).encode()
+                        ).digest()[8:],
+                        "little",
+                    )
+                    % _TWO53
+                    for i in ids
+                ),
+                np.int64,
+                len(ids),
+            )
+            u = (h.astype(np.float64) + 1.0) / float(_TWO53)
+            gkey = logw + -np.log(-np.log(u))
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "lang": t.column("lang"),
+                    "n_words": pa.array(n_words, pa.int64()),
+                    "logw_x1e3": pa.array(
+                        np.floor(logw * 1000.0 + 0.5).astype(np.int64), pa.int64()
+                    ),
+                    "gkey": pa.array(gkey, pa.float64()),
+                }
+            )
+
+    from .relational import _topk
+
+    ds = _read_documents(sf_dir, ("doc_id", "text", "lang")).map_batches(
+        warm_factory(("t_dsir", dref.hex()), Score), batch_format="pyarrow"
+    )
+    top = _topk(
+        ds,
+        DSIR_K,
+        keys=("gkey", "doc_id"),
+        descending=(True, False),
+        empty_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("lang", pa.string()),
+                ("n_words", pa.int64()),
+                ("logw_x1e3", pa.int64()),
+                ("gkey", pa.float64()),
+            ]
+        ),
+    )
+    out = top[["doc_id", "lang", "n_words", "logw_x1e3"]].copy()
+    for c in ("doc_id", "n_words", "logw_x1e3"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -477,6 +477,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_cms_wordcounts",
     "t_group_uniform_sample",
     "t_ccnet_buckets",
+    "t_dsir_sample",
 ]
 
 
@@ -1163,3 +1164,46 @@ def test_ccnet_buckets_properties(ray_session, tmp_path):
         out["logprob_x1e3"].to_numpy().astype(np.float64) / np.where(nb == 0, 1, nb),
     )
     assert (out["score"].to_numpy() == expect).all()
+
+
+def test_dsir_weights_shift_toward_target(ray_session, tmp_path):
+    """DSIR semantics on a planted two-vocabulary corpus: docs written in
+    the target language's vocabulary get POSITIVE importance log-weights,
+    docs in the disjoint off-target vocabulary get NEGATIVE ones, and the
+    Gumbel-top-k sample is deterministic.  An empty target degenerates to
+    a uniform target distribution (add-one smoothing) and still runs."""
+    from pdfray.pipelines.textops import t_dsir_sample
+
+    en = ["alpha beta alpha beta alpha"] * 12
+    de = ["gamma delta gamma delta gamma"] * 12
+    texts = en + de
+    langs = ["en"] * 12 + ["de"] * 12
+    ids = list(range(len(texts)))
+    d = tmp_path / "dsir"
+    d.mkdir()
+    pq.write_table(
+        _docs_table(ids, texts, langs=langs), str(d / "documents.parquet")
+    )
+    out = t_dsir_sample(str(d))
+    out2 = t_dsir_sample(str(d))
+    pd.testing.assert_frame_equal(out, out2)
+    w = out.set_index("doc_id")["logw_x1e3"]
+    for i in range(12):
+        if i in w.index:
+            assert w.loc[i] > 0, f"target doc {i} should upweight"
+    for i in range(12, 24):
+        if i in w.index:
+            assert w.loc[i] < 0, f"off-target doc {i} should downweight"
+    # both classes present but the target class dominates the sample
+    n_tgt = (out["lang"] == "en").sum()
+    assert n_tgt == 12  # all 12 target docs selected (k=64 > corpus)
+
+    # empty-target corpus: uniform target, still deterministic
+    d2 = tmp_path / "dsir2"
+    d2.mkdir()
+    pq.write_table(
+        _docs_table(ids[:6], texts[12:18], langs=["de"] * 6),
+        str(d2 / "documents.parquet"),
+    )
+    out3 = t_dsir_sample(str(d2))
+    assert len(out3) == 6
