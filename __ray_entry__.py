@@ -348,6 +348,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_semdedup": S.s_semdedup,
         "t_ccnet_buckets": T.t_ccnet_buckets,
         "t_dsir_sample": T.t_dsir_sample,
+        "q4_order_priority": R.q4_order_priority,
+        "q17_small_qty_revenue": R.q17_small_qty_revenue,
+        "q16_supplier_variety": R.q16_supplier_variety,
+        "q_user_set_ops": R.q_user_set_ops,
+        "s_hamming_topk": S.s_hamming_topk,
+        "q_pagerank_bipartite": R.q_pagerank_bipartite,
+        "q_incremental_rollup": R.q_incremental_rollup,
     }
 
 
@@ -1047,6 +1054,39 @@ _BIGRAM_SCORED_CTE = (
     "AS BIGINT) AS logprob_x1e3 "
     "FROM documents d LEFT JOIN sagg USING (doc_id))"
 )
+
+
+def _pagerank_oracle() -> str:
+    """The engine's integer PageRank recurrence unrolled: r0 = SCALE for
+    every node, r_{k+1}(v) = base + (85 * SUM(r_k(u) // deg(u))) // 100
+    over in-edges — every term an int64, so three chained CTEs replay the
+    distributed iteration verbatim (a float PageRank could never
+    hash-match: its per-node sums depend on reduction order)."""
+    from pdfray.pipelines import relational as R
+
+    scale = R.PR_SCALE
+    base = 15 * scale // 100
+    it = (
+        "{nxt} AS (SELECT e.v AS u, CAST({base} + (85 * SUM({prev}.r // deg.d))"
+        " // 100 AS BIGINT) AS r FROM edges e "
+        "JOIN {prev} ON e.u = {prev}.u JOIN deg ON e.u = deg.u GROUP BY e.v)"
+    )
+    iters = ", ".join(
+        it.format(nxt=f"r{k + 1}", prev=f"r{k}", base=base)
+        for k in range(R.PR_ITERS)
+    )
+    return (
+        "WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s "
+        "FROM lineitem), "
+        "edges AS (SELECT p * 2 AS u, s * 2 + 1 AS v FROM pairs "
+        "UNION ALL SELECT s * 2 + 1, p * 2 FROM pairs), "
+        "deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u), "
+        f"r0 AS (SELECT u, CAST({scale} AS BIGINT) AS r FROM deg), "
+        f"{iters} "
+        "SELECT CASE WHEN u % 2 = 0 THEN 'part' ELSE 'supplier' END "
+        'AS node_type, CAST(u // 2 AS BIGINT) AS "key", r AS pr_x1e9 '
+        f'FROM r{R.PR_ITERS} ORDER BY node_type, "key"'
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2352,6 +2392,92 @@ def oracle_sql() -> dict[str, str]:
             "CAST(FLOOR(lw * 1000 + 0.5) AS BIGINT) AS logw_x1e3 "
             "FROM (SELECT * FROM g ORDER BY gkey DESC, doc_id LIMIT 64) "
             "ORDER BY doc_id"
+        ),
+        "q4_order_priority": (
+            # EXISTS == per-order max-shipdate compare; pure-integer counts
+            "WITH w AS (SELECT o_orderkey, o_orderdate, o_orderpriority "
+            f"FROM orders WHERE o_orderdate >= TIMESTAMP '{R.Q4_DATE_LO}' "
+            f"AND o_orderdate < TIMESTAMP '{R.Q4_DATE_HI}') "
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+            "FROM w WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = w.o_orderkey "
+            f"AND l_shipdate > w.o_orderdate + INTERVAL {R.Q4_LATE_DAYS} DAY) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "q17_small_qty_revenue": (
+            # threshold on the exact integer grid: qty < 0.2*avg
+            # cross-multiplied to 5*q100*cnt < sum(q100) with q100 the
+            # half-away-rounded qty*100 (same ROUND both sides) — no float
+            # division decides membership; the emitted avg_yearly is the
+            # same IEEE division chain
+            "WITH li AS (SELECT l_partkey, "
+            "CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS qty, "
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents "
+            "FROM lineitem WHERE l_partkey IN "
+            f"(SELECT p_partkey FROM part WHERE p_brand = '{R.Q17_BRAND}')), "
+            "g AS (SELECT l_partkey, SUM(qty) AS sq, COUNT(*) AS cnt "
+            "FROM li GROUP BY l_partkey), "
+            "qual AS (SELECT cents FROM li JOIN g USING (l_partkey) "
+            "WHERE qty * 5 * cnt < sq) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_small, "
+            "CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents_total, "
+            "ROUND(COALESCE(SUM(cents), 0) / 100.0 / 7.0, 2) AS avg_yearly "
+            "FROM qual"
+        ),
+        "q16_supplier_variety": (
+            "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            f"WHERE p_brand <> '{R.Q16_EXCL_BRAND}' "
+            f"AND p_type <> '{R.Q16_EXCL_TYPE}' "
+            f"AND p_size IN {R.Q16_SIZES!r} "
+            "AND l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY p_brand, p_type, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "q_user_set_ops": (
+            "WITH f AS (SELECT user_id, "
+            "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p, "
+            "MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c "
+            "FROM events WHERE event_type IN ('purchase', 'click') "
+            "GROUP BY user_id) "
+            "SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_purchase_users, "
+            "CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_click_users, "
+            "CAST(COALESCE(SUM(p * c), 0) AS BIGINT) AS n_both, "
+            "CAST(COALESCE(SUM(p * (1 - c)), 0) AS BIGINT) AS n_purchase_only, "
+            "CAST(COALESCE(SUM(c * (1 - p)), 0) AS BIGINT) AS n_click_only "
+            "FROM f"
+        ),
+        "s_hamming_topk": (
+            # sign binarization + Hamming replayed per dimension: distance
+            # = #dims whose (component > 0) predicates disagree — integer
+            # end to end, dim-agnostic via len(qe)
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            f"FROM embeddings ORDER BY vec_id LIMIT {S.N_QUERIES}), "
+            "d AS (SELECT q.query_id, e.vec_id, "
+            "CAST(len(list_filter(range(1, len(qe) + 1), "
+            "i -> (qe[i] > 0) <> (e.embedding[i] > 0))) AS BIGINT) AS dist "
+            "FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT query_id, vec_id, dist, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY dist, vec_id) AS rn FROM d) "
+            'SELECT query_id, CAST(rn AS BIGINT) AS "rank", vec_id, dist '
+            f"FROM r WHERE rn <= {S.TOP_K} ORDER BY query_id, rn"
+        ),
+        "q_pagerank_bipartite": _pagerank_oracle(),
+        "q_incremental_rollup": (
+            # the incremental (base checkpoint + delta merge) result must
+            # equal the full from-scratch recompute — that equality IS the
+            # materialized-view-maintenance contract.  Cents are per-row
+            # half-away-rounded then integer-summed on both sides.
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents, "
+            "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
+            "/ 100.0 AS sum_value "
+            "FROM events GROUP BY event_type, day ORDER BY event_type, day"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

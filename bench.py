@@ -199,6 +199,13 @@ QUERY_NAMES = [
     "m_video_frames",
     "pipeline_training_mix",
     "pipeline_line_dedup",
+    "q4_order_priority",
+    "q17_small_qty_revenue",
+    "q16_supplier_variety",
+    "q_user_set_ops",
+    "s_hamming_topk",
+    "q_pagerank_bipartite",
+    "q_incremental_rollup",
 ]
 
 

@@ -18,6 +18,8 @@ groupbys over already-reduced rows.
 """
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -3937,5 +3939,760 @@ def q_ntile_acctbal(sf_dir: str):
     return (
         out[["s_suppkey", "s_acctbal", "rn", "tile"]]
         .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+Q4_DATE_LO = "1997-01-01"
+Q4_DATE_HI = "1997-04-01"
+Q4_LATE_DAYS = 60
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape (reference has no SQL layer; dataflow parity target
+    is the EXISTS-semi-join family) — priority distribution of orders with
+    at least one LATE lineitem (shipped more than 60 days after the order
+    date) inside one quarter.
+
+    Plan: the EXISTS collapses to a per-order MAX — "any lineitem shipped
+    after the cutoff" == "the latest shipment is after the cutoff" — so
+    each lineitem block reduces to (l_orderkey, max ship_us) partials
+    BEFORE the exchange (hot-key immune: a million-line order still emits
+    one partial row per block).  The partials hash-join the
+    window-filtered orders (both sides `_join_pad`ed against the
+    empty-side Acero failure), lateness is a vectorized int64 compare,
+    and the per-order OR rides `_two_regime_sum` (sum of late flags per
+    order >= 1 — partials of the same order from different blocks merge
+    additively).  The final priority histogram is a per-block combiner +
+    driver sum: O(priorities x blocks) rows move.  Counting is pure
+    int64 end to end — no float can flip the value hash."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .sizing import shuffle_partitions
+
+    lo = pc.strptime(Q4_DATE_LO, format="%Y-%m-%d", unit="us").as_py()
+    hi = pc.strptime(Q4_DATE_HI, format="%Y-%m-%d", unit="us").as_py()
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+
+    def ord_window(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_priority": t.column("o_orderpriority"),
+                "date_us": t.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    ords = _join_pad(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_orderdate", "o_orderpriority"],
+            rows_per_block=100_000,
+        ).map_batches(ord_window, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_priority", pa.string()),
+                ("date_us", pa.int64()),
+            ]
+        ),
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "ship_us": t.column("l_shipdate").cast(pa.int64()),
+            }
+        )
+        g = tt.group_by("l_orderkey").aggregate([("ship_us", "max")])
+        return g.rename_columns(["l_orderkey", "ship_us"])
+
+    li = _join_pad(
+        _read(
+            sf_dir, "lineitem", ["l_orderkey", "l_shipdate"], rows_per_block=100_000
+        ).map_batches(li_partial, batch_format="pyarrow"),
+        pa.schema([("l_orderkey", pa.int64()), ("ship_us", pa.int64())]),
+    )
+
+    joined = li.join(
+        ords,
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_li),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    late_us = Q4_LATE_DAYS * 86_400_000_000
+
+    def flag(t: pa.Table) -> pa.Table:
+        late = pc.cast(
+            pc.greater(
+                t.column("ship_us"),
+                pc.add(t.column("date_us"), pa.scalar(late_us, pa.int64())),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "o_priority": t.column("o_priority"),
+                "late": late,
+            }
+        )
+
+    red, _ = _two_regime_sum(
+        joined.map_batches(flag, batch_format="pyarrow"),
+        ["l_orderkey", "o_priority"],
+        ["late"],
+        empty_types={"o_priority": pa.string()},
+    )
+
+    def prio_counts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("late"), pa.scalar(1, pa.int64())))
+        g = (
+            pa.table(
+                {
+                    "o_orderpriority": t.column("o_priority"),
+                    "order_count": pa.array(np.ones(len(t), np.int64)),
+                }
+            )
+            .group_by("o_orderpriority")
+            .aggregate([("order_count", "sum")])
+        )
+        return g.rename_columns(["o_orderpriority", "order_count"])
+
+    parts = typed_collect(
+        red.map_batches(prio_counts, batch_format="pyarrow"),
+        pa.schema([("o_orderpriority", pa.string()), ("order_count", pa.int64())]),
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": pd.Series([], dtype=object),
+                "order_count": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.groupby("o_orderpriority", as_index=False)["order_count"].sum()
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q17_BRAND = "Brand#3"
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — revenue from small-quantity lineitems (quantity
+    below 20% of the part's own average order quantity) over one brand:
+    the correlated-scalar-subquery family (a per-group mean feeding a
+    per-row predicate in the same table).
+
+    Plan: the brand's part keys broadcast as a membership filter at the
+    scan (part is a dimension table); the surviving lineitems make ONE
+    keyed exchange (groupby l_partkey) and each group resolves its own
+    threshold locally — average and predicate inside map_groups, emitting
+    one (n_small, cents) partial row per part.  The driver sums the tiny
+    per-part partials.  The threshold rides the exact integer grid:
+    qty < 0.2 * (sum/cnt)  <=>  5*q100*cnt < sum(q100)  with q100 the
+    HALF-AWAY-rounded qty*100 (same ROUND in the oracle; truncation via
+    astype would diverge from DuckDB's CAST rounding on fractional
+    quantities) — no float division decides membership, so an
+    avg-boundary row can never flip (the t_gopher_rules
+    cross-multiplication trick).  The one float emitted (avg_yearly) is
+    the SAME IEEE division chain on both sides."""
+    import numpy as np
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def brand_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("p_brand"), pa.scalar(Q17_BRAND))
+        return pa.table({"p_partkey": t.filter(m).column("p_partkey")})
+
+    keys = typed_collect(
+        part.map_batches(brand_keys, batch_format="pyarrow"),
+        pa.schema([("p_partkey", pa.int64())]),
+    )["p_partkey"].unique()
+    keys_ref = ray.put(keys)
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice"],
+        rows_per_block=100_000,
+    ).map_batches(
+        warm_stage(_Membership, keys_ref=keys_ref, key_col="l_partkey"),
+        batch_format="pyarrow",
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        q100 = round_half_away(
+            g["l_quantity"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        cents = round_half_away(
+            g["l_extendedprice"].to_numpy(np.float64) * 100.0, 0
+        ).astype(np.int64)
+        small = q100 * 5 * len(g) < q100.sum()
+        return pd.DataFrame(
+            {"n_small": [int(small.sum())], "cents": [int(cents[small].sum())]}
+        )
+
+    parts = typed_collect(
+        li.groupby("l_partkey").map_groups(per_part, batch_format="pandas"),
+        pa.schema([("n_small", pa.int64()), ("cents", pa.int64())]),
+    )
+    n_small = int(parts["n_small"].sum()) if len(parts) else 0
+    cents = int(parts["cents"].sum()) if len(parts) else 0
+    avg_yearly = float(round_half_away(cents / 100.0 / 7.0, 2))
+    return pd.DataFrame(
+        {
+            "n_small": pd.Series([n_small], dtype="int64"),
+            "cents_total": pd.Series([cents], dtype="int64"),
+            "avg_yearly": pd.Series([avg_yearly], dtype="float64"),
+        }
+    )
+
+
+Q16_EXCL_BRAND = "Brand#5"
+Q16_EXCL_TYPE = "PROMO"
+Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+def q16_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape — how many distinct suppliers ship each qualifying
+    (brand, type, size) part class, excluding one brand, one type and the
+    negative-balance suppliers (the complaints stand-in): COUNT(DISTINCT)
+    per group composed with a broadcast anti-join.
+
+    Plan: part attributes and the bad-supplier set are dimension tables —
+    `ray.put` once, applied as vectorized lookup / NOT-IN at the scan.
+    Each lineitem block then reduces to its LOCAL distinct
+    (brand, type, size, suppkey) rows (the combiner — template-heavy
+    blocks collapse hard), and one exchange keyed on the full 4-tuple
+    dedups globally (`_two_regime_sum`: driver pandas below 2M reduced
+    rows, Ray groupby above).  The class histogram is then a per-block
+    count + driver sum — correct because the global dedup leaves each
+    (class, supplier) pair in exactly one row.  The distinct table is
+    bounded by |classes| x |suppliers|, never by lineitem row count."""
+    import numpy as np
+    import ray
+
+    from .textops import warm_factory
+
+    part = typed_collect(
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+    )
+    if len(part):
+        keep = (
+            (part["p_brand"] != Q16_EXCL_BRAND)
+            & (part["p_type"] != Q16_EXCL_TYPE)
+            & part["p_size"].isin(Q16_SIZES)
+        )
+        part = part[keep]
+    attr_ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            part["p_brand"].to_numpy(object),
+            part["p_type"].to_numpy(object),
+            part["p_size"].to_numpy(np.int64),
+        )
+    )
+    supp = typed_collect(_read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]))
+    bad = (
+        supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].to_numpy(np.int64)
+        if len(supp)
+        else np.array([], np.int64)
+    )
+    bad_ref = ray.put(bad)
+
+    class Classes:
+        def __init__(self):
+            pk, br, ty, sz = ray.get(attr_ref)
+            self.pk = pa.array(pk)
+            self.br = pa.array(br, pa.string())
+            self.ty = pa.array(ty, pa.string())
+            self.sz = pa.array(sz, pa.int64())
+            self.bad = pa.array(ray.get(bad_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.invert(pc.is_in(t.column("l_suppkey"), value_set=self.bad))
+            )
+            idx = pc.index_in(t.column("l_partkey"), value_set=self.pk)
+            ok = pc.is_valid(idx)  # dangling/excluded part keys drop (inner)
+            t, idx = t.filter(ok), idx.filter(ok)
+            tt = pa.table(
+                {
+                    "p_brand": pc.take(self.br, idx),
+                    "p_type": pc.take(self.ty, idx),
+                    "p_size": pc.take(self.sz, idx),
+                    "l_suppkey": t.column("l_suppkey"),
+                    "n": pa.array(np.ones(len(t), np.int64)),
+                }
+            )
+            g = tt.group_by(["p_brand", "p_type", "p_size", "l_suppkey"]).aggregate(
+                [("n", "sum")]
+            )
+            return g.rename_columns(
+                ["p_brand", "p_type", "p_size", "l_suppkey", "n"]
+            )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey"], rows_per_block=100_000
+    ).map_batches(
+        warm_factory(("q16", attr_ref.hex()), Classes), batch_format="pyarrow"
+    )
+
+    red, _ = _two_regime_sum(
+        li,
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+        ["n"],
+        empty_types={"p_brand": pa.string(), "p_type": pa.string()},
+    )
+
+    def cls_counts(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "p_type": t.column("p_type"),
+                "p_size": t.column("p_size"),
+                "supplier_cnt": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        g = tt.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+            [("supplier_cnt", "sum")]
+        )
+        return g.rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
+
+    parts = typed_collect(
+        red.map_batches(cls_counts, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("p_brand", pa.string()),
+                ("p_type", pa.string()),
+                ("p_size", pa.int64()),
+                ("supplier_cnt", pa.int64()),
+            ]
+        ),
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "p_brand": pd.Series([], dtype=object),
+                "p_type": pd.Series([], dtype=object),
+                "p_size": pd.Series([], dtype="int64"),
+                "supplier_cnt": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.groupby(["p_brand", "p_type", "p_size"], as_index=False)[
+        "supplier_cnt"
+    ].sum()
+    for c in ("p_size", "supplier_cnt"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+
+
+def q_user_set_ops(sf_dir: str):
+    """Distinct-user set algebra between two event types — INTERSECT /
+    EXCEPT cardinalities (purchasers vs clickers: both, purchase-only,
+    click-only).  ONE exchange total: each block reduces to per-user max
+    flags (the combiner), `_two_regime_sum` merges the flags per user,
+    and the five set cardinalities are a per-block histogram + driver
+    sum.  Nothing user-count-sized ever lands on the driver."""
+    import numpy as np
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"], rows_per_block=500_000)
+
+    def flags(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        is_p = pc.cast(pc.equal(et, pa.scalar("purchase")), pa.int64())
+        is_c = pc.cast(pc.equal(et, pa.scalar("click")), pa.int64())
+        keep = pc.or_(pc.equal(is_p, 1), pc.equal(is_c, 1))
+        tt = pa.table(
+            {"user_id": t.column("user_id"), "p": is_p, "c": is_c}
+        ).filter(keep)
+        g = tt.group_by("user_id").aggregate([("p", "max"), ("c", "max")])
+        return g.rename_columns(["user_id", "p", "c"])
+
+    red, _ = _two_regime_sum(
+        ev.map_batches(flags, batch_format="pyarrow"), ["user_id"], ["p", "c"]
+    )
+
+    cols = (
+        "n_purchase_users",
+        "n_click_users",
+        "n_both",
+        "n_purchase_only",
+        "n_click_only",
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        p = t.column("p").to_numpy(zero_copy_only=False) > 0
+        c = t.column("c").to_numpy(zero_copy_only=False) > 0
+        vals = (p.sum(), c.sum(), (p & c).sum(), (p & ~c).sum(), (c & ~p).sum())
+        return pa.table(
+            {k: pa.array([int(v)], pa.int64()) for k, v in zip(cols, vals)}
+        )
+
+    parts = typed_collect(
+        red.map_batches(counts, batch_format="pyarrow"),
+        pa.schema([(k, pa.int64()) for k in cols]),
+    )
+    return pd.DataFrame(
+        {
+            k: pd.Series([int(parts[k].sum()) if len(parts) else 0], dtype="int64")
+            for k in cols
+        }
+    )
+
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000_000
+
+
+def q_pagerank_bipartite(sf_dir: str, stage_dir: str = None):
+    """Distributed PageRank (3 fixed iterations, damping 0.85) over the
+    bipartite supplier<->part shipment graph — the iterative-graph family
+    beyond connected components — in FIXED-POINT integer arithmetic so
+    the oracle is EXACT: ranks are scaled by 1e9, each contribution is
+    floor(r/outdeg) and damping is (85*sum)//100, all int64, so the
+    result is independent of summation order and replayable verbatim by
+    three unrolled SQL CTEs (a float PageRank could never hash-match: its
+    per-node sums depend on reduction order).
+
+    Plan: lineitem reduces per block to LOCAL-distinct directed node
+    pairs (part = 2k, supplier = 2k+1 — disjoint id spaces), ONE
+    pair-keyed exchange dedups globally, and the edge list lands in a
+    parquet stage checkpoint (it is read once per iteration: streaming
+    re-reads of files, never an object-store pin; crash-resume free).
+    Degrees are one more combiner + `_two_regime_sum`.  Each iteration
+    joins r(u)/deg(u) onto the edges: below PIVOT_DRIVER_MAX_ROWS nodes
+    the contribution array broadcasts (`ray.put`) and one map_batches
+    over the edge files emits per-block Arrow-grouped int64 partial sums
+    per destination; above it the same step is an edges-by-ranks hash
+    join + `_two_regime_sum` keyed on the destination (pinned equal to
+    the broadcast path by a monkeypatch test).  Overflow headroom:
+    damped sums stay under 2^63 to ~1e8 graph nodes at this scale
+    constant; shrink PR_SCALE for larger graphs.
+    """
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import ray
+
+    from .staging import stage_checkpoint
+
+    empty = pd.DataFrame(
+        {
+            "node_type": pd.Series([], dtype=object),
+            "key": pd.Series([], dtype="int64"),
+            "pr_x1e9": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def pair_combiner(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        u = np.concatenate([2 * p, 2 * s + 1])
+        v = np.concatenate([2 * s + 1, 2 * p])
+        tt = pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "n": pa.array(np.ones(len(u), np.int64)),
+            }
+        )
+        g = tt.group_by(["u", "v"]).aggregate([("n", "sum")])
+        return g.rename_columns(["u", "v", "n"])
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey"], rows_per_block=100_000
+    ).map_batches(pair_combiner, batch_format="pyarrow")
+    edges_red, _ = _two_regime_sum(li, ["u", "v"], ["n"])
+
+    tmp = None
+    if stage_dir is None:
+        tmp = stage_dir = tempfile.mkdtemp(prefix="pdfray_pr_")
+    try:
+        edges = stage_checkpoint(
+            lambda: edges_red.select_columns(["u", "v"]),
+            os.path.join(stage_dir, "edges"),
+            allow_empty=True,
+        )
+        if edges is None:  # empty corpus: empty graph
+            return empty
+
+        def deg_combiner(t: pa.Table) -> pa.Table:
+            tt = pa.table(
+                {
+                    "u": t.column("u"),
+                    "deg": pa.array(np.ones(len(t), np.int64)),
+                }
+            )
+            g = tt.group_by("u").aggregate([("deg", "sum")])
+            return g.rename_columns(["u", "deg"])
+
+        deg_red, n_nodes = _two_regime_sum(
+            edges.map_batches(deg_combiner, batch_format="pyarrow"), ["u"], ["deg"]
+        )
+        base = 15 * PR_SCALE // 100
+
+        if 0 < n_nodes <= PIVOT_DRIVER_MAX_ROWS:
+            # broadcast regime: contribution array ships once per
+            # iteration; edge files stream; partials are per-block
+            # Arrow-grouped int64 sums (exact, order-free)
+            degf = deg_red.to_pandas().sort_values("u").reset_index(drop=True)
+            nodes = degf["u"].to_numpy(np.int64)
+            degs = degf["deg"].to_numpy(np.int64)
+            r = np.full(len(nodes), PR_SCALE, np.int64)
+            for _ in range(PR_ITERS):
+                contrib = r // degs
+                ref = ray.put((nodes, contrib))
+
+                class Push:
+                    def __init__(self):
+                        self.nodes, self.contrib = ray.get(ref)
+
+                    def __call__(self, t: pa.Table) -> pa.Table:
+                        iu = np.searchsorted(
+                            self.nodes,
+                            t.column("u").to_numpy(zero_copy_only=False),
+                        )
+                        tt = pa.table(
+                            {
+                                "v": t.column("v"),
+                                "c": pa.array(self.contrib[iu], pa.int64()),
+                            }
+                        )
+                        g = tt.group_by("v").aggregate([("c", "sum")])
+                        return g.rename_columns(["v", "c"])
+
+                from .textops import warm_factory
+
+                parts = typed_collect(
+                    edges.map_batches(
+                        warm_factory(("pr_push", ref.hex()), Push),
+                        batch_format="pyarrow",
+                    ),
+                    pa.schema([("v", pa.int64()), ("c", pa.int64())]),
+                )
+                sums = parts.groupby("v", as_index=False)["c"].sum()
+                acc = np.zeros(len(nodes), np.int64)
+                iv = np.searchsorted(nodes, sums["v"].to_numpy(np.int64))
+                acc[iv] = sums["c"].to_numpy(np.int64)
+                r = base + (85 * acc) // 100
+            out = pd.DataFrame(
+                {
+                    "node_type": np.where(nodes % 2 == 0, "part", "supplier"),
+                    "key": nodes // 2,
+                    "pr_x1e9": r,
+                }
+            )
+        else:
+            # join regime (nodes exceed the driver bound): the SAME
+            # integer recurrence as two hash exchanges per iteration
+            from .sizing import shuffle_partitions
+
+            deg_schema = pa.schema([("u", pa.int64()), ("deg", pa.int64())])
+            ranks = deg_red.map_batches(
+                lambda t: pa.table(
+                    {
+                        "u": t.column("u"),
+                        "deg": t.column("deg"),
+                        "r": pa.array(
+                            np.full(len(t), PR_SCALE, np.int64), pa.int64()
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            rk_schema = pa.schema(
+                [("u", pa.int64()), ("deg", pa.int64()), ("r", pa.int64())]
+            )
+            edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+            n_edges = edges.count()
+            for _ in range(PR_ITERS):
+                joined = _join_pad(edges, edge_schema).join(
+                    _join_pad(ranks.rename_columns({"u": "ru"}), 
+                              pa.schema([("ru", pa.int64()), ("deg", pa.int64()), ("r", pa.int64())])),
+                    join_type="inner",
+                    num_partitions=shuffle_partitions(n_edges),
+                    on=("u",),
+                    right_on=("ru",),
+                )
+
+                def contrib(t: pa.Table) -> pa.Table:
+                    c = t.column("r").to_numpy(zero_copy_only=False) // t.column(
+                        "deg"
+                    ).to_numpy(zero_copy_only=False)
+                    tt = pa.table(
+                        {"v": t.column("v"), "c": pa.array(c, pa.int64())}
+                    )
+                    g = tt.group_by("v").aggregate([("c", "sum")])
+                    return g.rename_columns(["v", "c"])
+
+                sums, _n = _two_regime_sum(
+                    joined.map_batches(contrib, batch_format="pyarrow"),
+                    ["v"],
+                    ["c"],
+                )
+                new_ranks = sums.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "u": t.column("v"),
+                            "r": pa.array(
+                                base
+                                + (
+                                    85
+                                    * t.column("c").to_numpy(zero_copy_only=False)
+                                )
+                                // 100,
+                                pa.int64(),
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                ranks = _join_pad(
+                    new_ranks, pa.schema([("u", pa.int64()), ("r", pa.int64())])
+                ).join(
+                    _join_pad(
+                        deg_red.rename_columns({"u": "du"}),
+                        pa.schema([("du", pa.int64()), ("deg", pa.int64())]),
+                    ),
+                    join_type="inner",
+                    num_partitions=shuffle_partitions(max(n_nodes, 1)),
+                    on=("u",),
+                    right_on=("du",),
+                ).select_columns(["u", "deg", "r"])
+            rf = typed_collect(ranks, rk_schema)
+            nodes = rf["u"].to_numpy(np.int64)
+            out = pd.DataFrame(
+                {
+                    "node_type": np.where(nodes % 2 == 0, "part", "supplier"),
+                    "key": nodes // 2,
+                    "pr_x1e9": rf["r"].to_numpy(np.int64),
+                }
+            )
+        for c in ("key", "pr_x1e9"):
+            out[c] = out[c].astype("int64")
+        return (
+            out.sort_values(["node_type", "key"]).reset_index(drop=True)
+        )
+    finally:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+INC_CUTOFF = "2024-01-20"
+
+
+def q_incremental_rollup(sf_dir: str, stage_dir: str = None):
+    """Incremental materialized-view maintenance: a per-(event_type, day)
+    COUNT/SUM rollup whose BASE partition (ts < cutoff) is aggregated
+    ONCE and persisted as a parquet state checkpoint; each run then scans
+    only the DELTA (ts >= cutoff) and merges additively — the production
+    shape for daily ingest, where re-scanning the full history every run
+    is the scale-killer.  Value sums ride the exact integer grid (per-row
+    half-away x100, additive merge), so incremental == full-recompute
+    bit-for-bit — exactly what the oracle asserts by recomputing the
+    whole view from scratch in SQL.  Crash-resume: a rerun with the same
+    stage_dir skips the base scan entirely (`stage_checkpoint`'s _DONE
+    discipline); the checkpoint holds REDUCED partials, never raw events."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from .staging import stage_checkpoint
+
+    cut = pc.strptime(INC_CUTOFF, format="%Y-%m-%d", unit="us").as_py()
+    day_us = 86_400_000_000
+
+    def partials(base_side: bool):
+        def combiner(t: pa.Table) -> pa.Table:
+            ts = t.column("ts")
+            mask = pc.less(ts, cut) if base_side else pc.greater_equal(ts, cut)
+            t = t.filter(mask)
+            ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            day = np.floor_divide(ts_us, day_us)  # floor: pre-epoch safe
+            cents = round_half_away(
+                t.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
+            ).astype(np.int64)
+            tt = pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "day_code": pa.array(day, pa.int64()),
+                    "n_events": pa.array(np.ones(len(t), np.int64)),
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+            g = tt.group_by(["event_type", "day_code"]).aggregate(
+                [("n_events", "sum"), ("cents", "sum")]
+            )
+            return g.rename_columns(["event_type", "day_code", "n_events", "cents"])
+
+        return _read(
+            sf_dir, "events", ["ts", "event_type", "value"], rows_per_block=500_000
+        ).map_batches(combiner, batch_format="pyarrow")
+
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("day_code", pa.int64()),
+            ("n_events", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+    tmp = None
+    if stage_dir is None:
+        tmp = stage_dir = tempfile.mkdtemp(prefix="pdfray_incroll_")
+    try:
+        base = stage_checkpoint(
+            lambda: partials(True),
+            os.path.join(stage_dir, "base_rollup"),
+            allow_empty=True,
+        )
+        delta = partials(False)
+        merged = delta if base is None else delta.union(base)
+        red, _ = _two_regime_sum(
+            merged,
+            ["event_type", "day_code"],
+            ["n_events", "cents"],
+            empty_types={"event_type": pa.string()},
+        )
+        df = typed_collect(red, schema)
+    finally:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "day": pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype="int64"),
+                "sum_cents": pd.Series([], dtype="int64"),
+                "sum_value": pd.Series([], dtype="float64"),
+            }
+        )
+    df["day"] = pd.to_datetime(
+        df["day_code"].to_numpy(np.int64) * day_us, unit="us"
+    ).strftime("%Y-%m-%d")
+    df = df.rename(columns={"cents": "sum_cents"})
+    # same IEEE division as the oracle on the same exact integers
+    df["sum_value"] = df["sum_cents"].to_numpy(np.int64).astype(np.float64) / 100.0
+    for c in ("n_events", "sum_cents"):
+        df[c] = df[c].astype("int64")
+    return (
+        df[["event_type", "day", "n_events", "sum_cents", "sum_value"]]
+        .sort_values(["event_type", "day"])
         .reset_index(drop=True)
     )

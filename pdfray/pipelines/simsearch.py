@@ -2053,3 +2053,110 @@ def s_semdedup(sf_dir: str, k: int = KMEANS_K, tau: float = SEMDEDUP_TAU):
     for c in ("vec_id", "cluster", "keep"):
         out[c] = out[c].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _sign_codes(vecs: np.ndarray) -> np.ndarray:
+    """Pack each row's sign bits (component > 0, bit i = dimension i) into
+    one uint64 — sign binarization, the 1-bit-per-dimension binary
+    embedding Hamming-space retrieval uses (64x smaller than float64;
+    distances become popcounts).  Dim must be <= 64 (one machine word);
+    wider embeddings would pack into ceil(dim/64) words."""
+    n, dim = vecs.shape
+    if dim > 64:
+        raise ValueError(f"_sign_codes packs <= 64 dims per word, got {dim}")
+    bits = (vecs > 0).astype(np.uint64)
+    weights = np.left_shift(
+        np.uint64(1), np.arange(dim, dtype=np.uint64)
+    )
+    return (bits * weights).sum(axis=1, dtype=np.uint64)
+
+
+_POPCOUNT_LUT = None
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array -> int64 (numpy 2.x has
+    bitwise_count; the byte-LUT fallback keeps numpy 1.x working)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    global _POPCOUNT_LUT
+    if _POPCOUNT_LUT is None:
+        _POPCOUNT_LUT = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None], axis=1
+        ).sum(1).astype(np.int64)
+    b = np.ascontiguousarray(x).view(np.uint8)
+    return _POPCOUNT_LUT[b].reshape(x.shape + (8,)).sum(-1)
+
+
+def s_hamming_topk(sf_dir: str):
+    """Exact Hamming top-k over SIGN-BINARIZED embeddings — the binary-
+    quantized retrieval path (pack sign bits once, rank by popcount of
+    XOR): 64x less candidate bandwidth than float scoring, the standard
+    first stage of a memory-bound vector index.
+
+    Same scale shape as s_knn_bruteforce: the query codes (one uint64
+    each) broadcast via ray.put, every batch packs its vectors with
+    vectorized bit ops and XOR-popcounts against all queries at once, and
+    only the local top-k per (query, block) reaches the driver under the
+    SAME total order as the merge and the oracle (distance asc, vec_id
+    asc).  Distances are integers end to end — every tie is pinned, the
+    DuckDB oracle is exact at any scale."""
+    import ray
+
+    qids, qraw = _query_matrix_raw(sf_dir)
+    if len(qids) == 0:  # empty corpus: empty query workload
+        return _empty_result(query_id="i", rank="i", vec_id="i", dist="i")
+    qcodes = _sign_codes(qraw)
+    qref = ray.put((qids, qcodes))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.qcodes = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            empty = {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.int64()),
+            }
+            if len(t) == 0:
+                return pa.table(empty)
+            codes = _sign_codes(_batch_matrix(t))
+            d = _popcount64(codes[:, None] ^ self.qcodes[None, :])
+            vec_ids = t.column("vec_id").to_numpy()
+            k = min(TOP_K, len(vec_ids))
+            out = {"query_id": [], "vec_id": [], "dist": []}
+            for qi, qid in enumerate(self.qids):
+                col = d[:, qi]
+                order = np.lexsort((vec_ids, col))
+                for j in order[:k]:
+                    out["query_id"].append(int(qid))
+                    out["vec_id"].append(int(vec_ids[j]))
+                    out["dist"].append(int(col[j]))
+            return pa.table(
+                {c: pa.array(v, pa.int64()) for c, v in out.items()}
+            )
+
+    local = (
+        _read_embeddings(sf_dir)
+        .map_batches(
+            warm_factory(("s_hamming", qref.hex()), Score),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
+        .to_pandas()
+    )
+    if len(local) == 0:
+        return _empty_result(query_id="i", rank="i", vec_id="i", dist="i")
+    out = []
+    for _qid, g in local.groupby("query_id"):
+        g = g.sort_values(["dist", "vec_id"]).head(TOP_K)
+        out.append(g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64)))
+    df = pd.concat(out).reset_index(drop=True)
+    for c in ("query_id", "rank", "vec_id", "dist"):
+        df[c] = df[c].astype("int64")
+    return (
+        df[["query_id", "rank", "vec_id", "dist"]]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )

@@ -601,6 +601,8 @@ EVENTS_ORACLE_QUERIES = [
     "q_running_user_spend",
     "q_user_days_exact",
     "q_moving_avg_user_spend",
+    "q_user_set_ops",
+    "q_incremental_rollup",
 ]
 
 _PROPS_POOL = [
@@ -744,6 +746,9 @@ RELATIONAL_ORACLE_QUERIES = [
     "q_group_moments",
     "q_hash_join_brand",
     "q_bloom_semi_join_parts",
+    "q17_small_qty_revenue",
+    "q16_supplier_variety",
+    "q_pagerank_bipartite",
 ]
 
 
@@ -756,7 +761,11 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
     shipdate exactly at the filter cut and 1us before, a >100-row
     identical-revenue tie run straddling the top-k cut, dangling
     partkeys, matchless parts, and p_size exactly at the bloom-join
-    threshold."""
+    threshold.  For q17: fractional quantities exercise the q100 rounding
+    grid (astype truncation would diverge from DuckDB CAST rounding) and
+    a planted part sits EXACTLY on the 0.2*avg boundary (strict <, so the
+    tie row is excluded on both sides).  For q16: dangling suppkeys,
+    negative-balance (excluded) suppliers, and dangling partkeys."""
     import duckdb
 
     import __ray_entry__ as entrymod
@@ -774,6 +783,7 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
     pkeys = rng.randint(0, 260, n)  # 200 parts exist: some dangling
     okeys = rng.randint(0, 500, n)
     lnum = rng.randint(1, 8, n)
+    skeys = rng.randint(0, 30, n)  # 25 suppliers exist: some dangle
     if variant == "fixed":
         # single-row group
         flags[0], status[0] = "A", "F"
@@ -787,6 +797,15 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
         # .xx5-tie revenue: 33.125 = 66.25 * (1 - 0.5)
         price[5], disc[5] = 66.25, 0.5
         ship[5] = cut - 5
+        # q17 boundary plant on a Brand#3 part (partkey 3): qty
+        # [2,2,2,2,42] -> q100 sum 5000, cnt 5; the qty=2 rows sit
+        # EXACTLY at 5*200*5 == 5000 (strict <: excluded on both sides).
+        # partkey 3 is first cleared so the group is exactly the plant
+        # (10 = 3 mod 7 keeps the displaced rows on Brand#3)
+        pkeys[pkeys == 3] = 10
+        pkeys[200:205] = 3
+        qty[200:204] = 2.0
+        qty[204] = 42.0
 
     import pyarrow.parquet as pq_ 
 
@@ -794,7 +813,7 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
         {
             "l_orderkey": pa.array(okeys.astype(np.int64)),
             "l_partkey": pa.array(pkeys.astype(np.int64)),
-            "l_suppkey": pa.array(np.zeros(n, np.int64)),
+            "l_suppkey": pa.array(skeys.astype(np.int64)),
             "l_linenumber": pa.array(lnum.astype(np.int32), pa.int32()),
             "l_quantity": pa.array(qty.astype(np.float64)),
             "l_extendedprice": pa.array(price.astype(np.float64)),
@@ -821,15 +840,29 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
             "p_retailprice": pa.array(np.ones(n_part)),
         }
     )
+    # supplier table for q16: negative balances (the excluded complaints
+    # set) interleaved, keys 25-29 in lineitem dangle
+    n_supp = 25
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+            "s_name": pa.array([f"s{i}" for i in range(n_supp)]),
+            "s_nationkey": pa.array(np.zeros(n_supp, np.int32), pa.int32()),
+            "s_acctbal": pa.array(
+                [(-1) ** i * (i * 32 + 16) / 64.0 for i in range(n_supp)]
+            ),
+        }
+    )
     d = tmp_path / "adv_rel"
     d.mkdir()
     pq_.write_table(li, str(d / "lineitem.parquet"))
     pq_.write_table(part, str(d / "part.parquet"))
+    pq_.write_table(supplier, str(d / "supplier.parquet"))
 
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
     con = duckdb.connect()
-    for tbl in ("lineitem", "part"):
+    for tbl in ("lineitem", "part", "supplier"):
         con.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{d}/{tbl}.parquet')"
         )
@@ -854,6 +887,7 @@ STAR_ORACLE_QUERIES = [
     "q_left_join_order_counts",
     "q_ntile_acctbal",
     "q3_shipping_priority",
+    "q4_order_priority",
 ]
 
 
@@ -907,6 +941,9 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
         jan_end = 852_076_800_000_000 - 1  # 1997-02-01 minus 1us
         odate[4], odate[5] = jan_end, jan_end + 1
         odate[6] = -400 * day  # 1968
+        # q4 plants: orders 7 and 8 pinned inside the Q4 quarter window
+        odate[7] = 854_755_200_000_000  # 1997-02-01
+        odate[8] = 854_755_200_000_000
     orders = pa.table(
         {
             "o_orderkey": pa.array(ok),
@@ -974,6 +1011,12 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
             lprice[10 + t_i] = 999_999.50
             ldisc[10 + t_i] = 0.04
             lship[10 + t_i] = cut_us + day
+        # q4 lateness boundary (orders 7/8 pinned to 1997-02-01 above):
+        # one line shipped EXACTLY +60 days (strict >: NOT late) and a
+        # +60d+1us line on order 8 (late by one microsecond)
+        feb97 = 854_755_200_000_000
+        lk[30], lship[30] = 7, feb97 + 60 * day
+        lk[31], lship[31] = 8, feb97 + 60 * day + 1
     lineitem = pa.table(
         {
             "l_orderkey": pa.array(lk),
@@ -1019,6 +1062,7 @@ EMB_ORACLE_QUERIES = [
     "s_scalar_quantize",
     "s_knn_graph",
     "s_semdedup",
+    "s_hamming_topk",
 ]
 
 

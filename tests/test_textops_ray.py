@@ -3337,3 +3337,167 @@ def test_mips_matches_full_matmul(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, ref)
     assert 50 in set(out["vec_id"])  # the big vector made someone's top-k
     S._QUERY_CACHE.clear()
+
+
+def test_hamming_topk_matches_unpacked_bruteforce(ray_session, tmp_path):
+    """s_hamming_topk == an independent UNPACKED brute force: sign bits as
+    a bool matrix, distance = (a != b).sum() per pair — no bit packing,
+    no popcount, so the packed/popcount fast path is cross-checked by a
+    different arithmetic route.  Plants: an exact duplicate pair (dist-0
+    tie resolved by vec_id), a negated vector (all nonzero bits flip),
+    and zero components (0 > 0 is False on both sides)."""
+    import pdfray.pipelines.simsearch as S
+
+    rng = np.random.default_rng(47)
+    n, dim = 300, 16
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    m[rng.random(size=(n, dim)) < 0.1] = 0.0  # planted exact zeros
+    m[40] = m[2]  # exact duplicate of a query vector
+    m[41] = -m[2]  # exact opposite
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(m), pa.list_(pa.float32())),
+                "label": pa.array(np.zeros(n, np.int32)),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    S._QUERY_CACHE.clear()
+    out = S.s_hamming_topk(str(tmp_path))
+
+    bits = m.astype(np.float64) > 0  # independent path: bool matrix
+    rows = []
+    for qi in range(S.N_QUERIES):
+        d = (bits != bits[qi]).sum(axis=1).astype(np.int64)
+        order = np.lexsort((np.arange(n), d))
+        for rank, j in enumerate(order[: S.TOP_K], 1):
+            rows.append((qi, rank, int(j), int(d[j])))
+    ref = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "dist"])
+    for c in ref.columns:
+        ref[c] = ref[c].astype("int64")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), ref)
+    # the planted duplicate ties query 2 at dist 0; vec_id breaks the tie
+    q2 = out[out["query_id"] == 2]
+    assert list(q2.head(2)["vec_id"]) == [2, 40]
+    assert list(q2.head(2)["dist"]) == [0, 0]
+    S._QUERY_CACHE.clear()
+
+
+def test_popcount_lut_fallback_matches_bitwise_count():
+    """The numpy-1.x byte-LUT popcount path == the 2.x bitwise_count path
+    on adversarial words (0, all-ones, single bits, random)."""
+    import pdfray.pipelines.simsearch as S
+
+    rng = np.random.default_rng(3)
+    x = np.concatenate(
+        [
+            np.array([0, 2**64 - 1], np.uint64),
+            np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64)),
+            rng.integers(0, 2**64, size=200, dtype=np.uint64),
+        ]
+    ).reshape(2, -1)
+    lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+        1
+    ).astype(np.int64)
+    want = lut[np.ascontiguousarray(x).view(np.uint8)].reshape(x.shape + (8,)).sum(-1)
+    got = S._popcount64(x)
+    assert got.shape == x.shape and got.dtype == np.int64
+    assert (got == want).all()
+
+
+def test_pagerank_join_regime_matches_broadcast(ray_session, monkeypatch):
+    """q_pagerank_bipartite's big regime (edges-by-ranks hash joins +
+    distributed destination groupby) computes the SAME integer recurrence
+    as the broadcast regime — forcing PIVOT_DRIVER_MAX_ROWS=0 must be
+    bit-equal (the q_mode_event_type two-regime pin, applied to the
+    iterative graph family)."""
+    import pdfray.pipelines.relational as R
+
+    sf = "/root/testdata/sf0.001"
+    small = R.q_pagerank_bipartite(sf)
+    monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)
+    big = R.q_pagerank_bipartite(sf)
+    pd.testing.assert_frame_equal(small, big)
+    assert set(small["node_type"]) == {"part", "supplier"}
+    # rank mass sanity: every rank >= the undamped base
+    assert (small["pr_x1e9"] >= 15 * R.PR_SCALE // 100).all()
+
+
+def test_pagerank_handmade_graph(ray_session, tmp_path):
+    """3-iteration integer PageRank on a hand-checkable star graph: one
+    supplier ships every part (bipartite star).  The recurrence is solved
+    by hand: every part has deg 1, the hub supplier deg n."""
+    import pdfray.pipelines.relational as R
+
+    n = 4  # parts 0..3, all shipped by supplier 0
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array(np.arange(n, dtype=np.int64)),
+                "l_suppkey": pa.array(np.zeros(n, np.int64)),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = R.q_pagerank_bipartite(str(tmp_path))
+    S, base = R.PR_SCALE, 15 * R.PR_SCALE // 100
+    # hand iteration: hub h, parts p (all identical by symmetry)
+    h = p = S
+    for _ in range(R.PR_ITERS):
+        h_new = base + (85 * (n * (p // 1))) // 100  # each part sends all
+        p_new = base + (85 * (h // n)) // 100  # hub splits 1/n
+        h, p = h_new, p_new
+    want = pd.DataFrame(
+        {
+            "node_type": ["part"] * n + ["supplier"],
+            "key": list(range(n)) + [0],
+            "pr_x1e9": [p] * n + [h],
+        }
+    )
+    for c in ("key", "pr_x1e9"):
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_incremental_rollup_resume_uses_checkpointed_base(
+    ray_session, tmp_path
+):
+    """Crash-resume/incremental semantics: after the base rollup is
+    checkpointed, a rerun with the same stage_dir must NOT rescan the
+    base period — mutating the base-period events between runs leaves
+    the result pinned to the ORIGINAL base, while delta rows are
+    re-read fresh."""
+    import pdfray.pipelines.relational as R
+
+    day = 86_400_000_000
+    cut = int(pd.Timestamp(R.INC_CUTOFF).value // 1000)
+    ts = np.array([cut - 3 * day, cut - day, cut + day, cut + 2 * day])
+
+    def write_events(base_val):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(np.arange(4, dtype=np.int64)),
+                    "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                    "user_id": pa.array(np.ones(4, np.int64)),
+                    "event_type": pa.array(["view"] * 4),
+                    "value": pa.array([base_val, base_val, 7.25, 1.75]),
+                    "props": pa.array(["{}"] * 4),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+
+    write_events(10.0)
+    sd = str(tmp_path / "state")
+    first = R.q_incremental_rollup(str(tmp_path), stage_dir=sd)
+    assert first["sum_cents"].sum() == 2 * 1000 + 725 + 175
+
+    write_events(99.0)  # base-period mutation: must be invisible
+    second = R.q_incremental_rollup(str(tmp_path), stage_dir=sd)
+    pd.testing.assert_frame_equal(first, second)
+
+    fresh = R.q_incremental_rollup(str(tmp_path), stage_dir=str(tmp_path / "s2"))
+    assert fresh["sum_cents"].sum() == 2 * 9900 + 725 + 175
