@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_hamming_topk": S.s_hamming_topk,
         "q_pagerank_bipartite": R.q_pagerank_bipartite,
         "q_incremental_rollup": R.q_incremental_rollup,
+        "m_dominant_freq": M.m_dominant_freq,
     }
 
 
@@ -2464,6 +2465,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY dist, vec_id) AS rn FROM d) "
             'SELECT query_id, CAST(rn AS BIGINT) AS "rank", vec_id, dist '
             f"FROM r WHERE rn <= {S.TOP_K} ORDER BY query_id, rn"
+        ),
+        "m_dominant_freq": (
+            # golden spectral columns were computed at fixture-gen time
+            # (pre-table encode/decode pass); the engine recomputes them
+            # from the WAV container bytes via its own decode + rfft
+            f"SELECT url, n_samples, dom_bin, dom_hz_x1e3, n_bins "
+            f"FROM read_parquet('{av}') WHERE media_type = 'audio' "
+            f"ORDER BY url"
         ),
         "q_pagerank_bipartite": _pagerank_oracle(),
         "q_incremental_rollup": (

@@ -206,6 +206,7 @@ QUERY_NAMES = [
     "s_hamming_topk",
     "q_pagerank_bipartite",
     "q_incremental_rollup",
+    "m_dominant_freq",
 ]
 
 

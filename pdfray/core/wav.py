@@ -142,3 +142,30 @@ def audio_stats(audio: WavAudio) -> dict:
         "rms_x1e3": int(round(rms * 1000)),
         "peak": peak,
     }
+
+
+def spectral_stats(audio: WavAudio) -> dict:
+    """Dominant-frequency features from ONE rfft over the mono mix — the
+    spectral counterpart of `audio_stats`, shared by the fixture
+    generator and the decode stage so equality stays a codec round-trip
+    check.  Channel mixing and DC centering are integer ops; the FFT is
+    float64 but only the ARGMAX bin is emitted plus the exact integer
+    bin→mHz conversion, so the goldens are stable (the fixtures'
+    sawtooth carriers concentrate energy far above the noise floor; an
+    exact magnitude tie takes the lowest bin via np.argmax, and DC is
+    excluded).  dom_hz_x1e3 = bin · rate · 1000 // n — pure int."""
+    s = audio.samples.astype(np.int64)
+    if audio.samples.dtype == np.uint8:  # 8-bit WAV is unsigned, center it
+        s = s - 128
+    mono = s.sum(axis=1)
+    n = int(mono.size)
+    if n < 2:
+        return {"dom_bin": 0, "dom_hz_x1e3": 0, "n_bins": 0}
+    mag = np.abs(np.fft.rfft(mono.astype(np.float64)))
+    mag[0] = 0.0  # DC carries no pitch
+    b = int(np.argmax(mag))
+    return {
+        "dom_bin": b,
+        "dom_hz_x1e3": b * audio.sample_rate * 1000 // n,
+        "n_bins": int(mag.size),
+    }

@@ -211,6 +211,9 @@ AV_SCHEMA = pa.schema(
         ("duration_ms", pa.int64()),
         ("rms_x1e3", pa.int64()),
         ("peak", pa.int64()),
+        ("dom_bin", pa.int64()),
+        ("dom_hz_x1e3", pa.int64()),
+        ("n_bins", pa.int64()),
         ("width", pa.int64()),
         ("height", pa.int64()),
         ("n_frames", pa.int64()),
@@ -239,7 +242,7 @@ class AvDecoder:
         self.stride = SAMPLE_STRIDE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..core.wav import audio_stats, decode_wav
+        from ..core.wav import audio_stats, decode_wav, spectral_stats
         from ..core.y4m import parse_y4m, sample_stats
 
         urls = batch.column("url").to_pylist()
@@ -253,7 +256,9 @@ class AvDecoder:
             try:
                 if payload[:4] == b"RIFF":
                     out["media_type"].append("audio")
-                    stats = audio_stats(decode_wav(payload))
+                    audio = decode_wav(payload)
+                    stats = audio_stats(audio)
+                    stats.update(spectral_stats(audio))
                 elif payload[:9] == b"YUV4MPEG2":
                     out["media_type"].append("video")
                     stats = sample_stats(parse_y4m(payload), self.stride)
@@ -317,6 +322,20 @@ def m_video_frames(sf_dir: str):
         "video",
         ["url", "n_bytes", "width", "height", "n_frames", "n_sampled",
          "luma_sum"],
+    )
+
+
+def m_dominant_freq(sf_dir: str):
+    """Spectral feature extraction over the audio table: dominant
+    frequency via one rfft per decoded WAV (`core.wav.spectral_stats`) —
+    the DSP counterpart of the RMS/peak stats, recomputed from container
+    bytes and oracle-checked against the fixture goldens (dom_bin and the
+    integer bin→mHz conversion are exact; broken payloads keep zeroed
+    stats + a typed error, same contract as m_audio_features)."""
+    return _decode_av(
+        sf_dir,
+        "audio",
+        ["url", "n_samples", "dom_bin", "dom_hz_x1e3", "n_bins"],
     )
 
 

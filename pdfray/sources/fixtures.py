@@ -25,7 +25,7 @@ NL = "\n"
 DELIM = "|"
 
 # bump when generation logic changes so /tmp caches can never go stale
-FIXTURE_VERSION = 8
+FIXTURE_VERSION = 9
 
 LANGS = ("en", "de", "fr", "es")
 
@@ -915,6 +915,8 @@ def _audio_payload(k: int):
 
     from ..core.wav import audio_stats, decode_wav, encode_wav
 
+    from ..core.wav import spectral_stats
+
     rng = np.random.RandomState((SEED << 16) ^ (0xA0D10 + k))
     rate = (8000, 16000, 22050, 44100)[k % 4]
     n_ch = 1 + (k % 2)
@@ -930,7 +932,10 @@ def _audio_payload(k: int):
     else:  # 16-bit (the dominant archival form)
         samples = wave.clip(-32768, 32767).astype(np.int16)
     payload = encode_wav(samples, rate)
-    return payload, audio_stats(decode_wav(payload))
+    audio = decode_wav(payload)
+    stats = audio_stats(audio)
+    stats.update(spectral_stats(audio))
+    return payload, stats
 
 
 def _video_frames_arrays(k: int):
@@ -972,7 +977,8 @@ def _video_payload(k: int):
 
 _AV_ZERO = {
     "sample_rate": 0, "n_channels": 0, "n_samples": 0, "duration_ms": 0,
-    "rms_x1e3": 0, "peak": 0, "width": 0, "height": 0, "n_frames": 0,
+    "rms_x1e3": 0, "peak": 0, "dom_bin": 0, "dom_hz_x1e3": 0, "n_bins": 0,
+    "width": 0, "height": 0, "n_frames": 0,
     "n_sampled": 0, "luma_sum": 0,
 }
 

@@ -171,3 +171,38 @@ def test_av_fixture_goldens_match_fresh_decode():
             assert dec[name] == want, (url, name, dec[name], want)
         n_checked += 1
     assert n_checked == 60
+
+
+def test_spectral_stats_sawtooth_fundamental():
+    """A pure sawtooth of period P in n samples puts the rfft argmax at
+    bin n/P; dom_hz_x1e3 is the exact integer bin*rate*1000//n."""
+    from pdfray.core.wav import decode_wav, encode_wav, spectral_stats
+
+    saw = ((np.arange(2000) % 100) * 20).astype(np.int16)
+    st = spectral_stats(decode_wav(encode_wav(saw, 8000)))
+    assert st == {"dom_bin": 20, "dom_hz_x1e3": 80_000, "n_bins": 1001}
+
+
+def test_spectral_stats_channel_mix_and_uint8():
+    """Channels are mixed by integer SUM before the FFT (antiphase
+    channels cancel: the fundamental vanishes from the mix), and 8-bit
+    unsigned samples are centered before mixing (a DC-only uint8 signal
+    has zero spectrum)."""
+    from pdfray.core.wav import WavAudio, spectral_stats
+
+    t = np.arange(1024)
+    tone = (1000 * np.sin(2 * np.pi * 32 * t / 1024)).astype(np.int16)
+    anti = np.stack([tone, -tone.astype(np.int16)], axis=1)
+    st = spectral_stats(WavAudio(8000, anti))
+    assert st["dom_bin"] != 32  # the mix cancelled the fundamental
+    mono = spectral_stats(WavAudio(8000, tone[:, None]))
+    assert mono["dom_bin"] == 32
+
+    flat = np.full((512, 1), 128, np.uint8)  # DC only after centering
+    st = spectral_stats(WavAudio(8000, flat))
+    assert st["dom_bin"] == 0  # empty spectrum: argmax of all-zero mags
+
+    tiny = np.zeros((1, 1), np.int16)
+    assert spectral_stats(WavAudio(8000, tiny)) == {
+        "dom_bin": 0, "dom_hz_x1e3": 0, "n_bins": 0,
+    }
