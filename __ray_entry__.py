@@ -356,6 +356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank_bipartite": R.q_pagerank_bipartite,
         "q_incremental_rollup": R.q_incremental_rollup,
         "m_dominant_freq": M.m_dominant_freq,
+        "q10_returned_revenue": R.q10_returned_revenue,
+        "q18_large_volume_customers": R.q18_large_volume_customers,
     }
 
 
@@ -2487,6 +2489,47 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
             "/ 100.0 AS sum_value "
             "FROM events GROUP BY event_type, day ORDER BY event_type, day"
+        ),
+        "q10_returned_revenue": (
+            # revenue on the exact integer grid (cents x (100 - d100),
+            # ROUND is ties-away on both sides); the customer join runs
+            # BEFORE the LIMIT so dangling custkeys never occupy a slot;
+            # the cut key (revenue_x10000, c_custkey) is a total order
+            "WITH li AS (SELECT l_orderkey, "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem WHERE l_returnflag = 'R'), "
+            "g AS (SELECT c_custkey, c_name, c_acctbal, n_name, "
+            "CAST(SUM(li.rev) AS BIGINT) AS revenue_x10000 "
+            "FROM orders o "
+            "JOIN li ON li.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            f"WHERE o.o_orderdate >= TIMESTAMP '{R.Q10_DATE_LO}' "
+            f"AND o.o_orderdate < TIMESTAMP '{R.Q10_DATE_HI}' "
+            "GROUP BY c_custkey, c_name, c_acctbal, n_name) "
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, "
+            "revenue_x10000, "
+            "CAST(revenue_x10000 AS DOUBLE) / 10000.0 AS revenue, "
+            "c_acctbal, n_name FROM g "
+            f"ORDER BY revenue_x10000 DESC, c_custkey LIMIT {R.Q10_TOP_N}"
+        ),
+        "q18_large_volume_customers": (
+            # quantity sums on the exact x64 grid (on-grid: CAST rounding
+            # and np.rint agree); strict > threshold; the LIMIT cut rides
+            # the integer cents grid + orderkey — a total order
+            "WITH w AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(l_quantity * 64 AS BIGINT)) AS BIGINT) "
+            "AS sum_qty_x64 FROM lineitem GROUP BY l_orderkey "
+            "HAVING SUM(CAST(l_quantity * 64 AS BIGINT)) > "
+            f"{R.Q18_QTY_THRESHOLD * 64}) "
+            "SELECT c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey, "
+            "o.o_orderkey AS o_orderkey, o.o_orderdate, o.o_totalprice, "
+            "w.sum_qty_x64, CAST(w.sum_qty_x64 AS DOUBLE) / 64.0 AS sum_qty "
+            "FROM w JOIN orders o ON o.o_orderkey = w.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "ORDER BY CAST(ROUND(o.o_totalprice * 100) AS BIGINT) DESC, "
+            f"o.o_orderkey LIMIT {R.Q18_TOP_N}"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

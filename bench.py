@@ -207,6 +207,8 @@ QUERY_NAMES = [
     "q_pagerank_bipartite",
     "q_incremental_rollup",
     "m_dominant_freq",
+    "q10_returned_revenue",
+    "q18_large_volume_customers",
 ]
 
 

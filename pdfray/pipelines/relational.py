@@ -829,7 +829,7 @@ def q_top_order_per_customer(sf_dir: str):
 
     Order-preserving packing turns the argmax into a NATIVE Max aggregate:
     (price desc, orderkey asc) maps to one int64
-    ``price_cents * 10^7 + (10^7 - orderkey)`` — the batch combiner reduces
+    ``price_cents * 10^7 + (10^7 - 1 - orderkey)`` — the batch combiner reduces
     each block to one packed row per customer, the single shuffle carries
     those partials, and no per-group Python ever runs (the previous
     groupby().map_groups cost ~1 ms of pandas per group).  The packing is
@@ -853,9 +853,13 @@ def q_top_order_per_customer(sf_dir: str):
         cents = np.rint(price * 100).astype(np.int64)
         if not np.allclose(cents / 100.0, price, rtol=0, atol=0):
             raise ValueError("o_totalprice is not exact cents; packing invalid")
-        if okey.max(initial=0) >= M:
-            raise ValueError("o_orderkey exceeds packing modulus")
-        packed = cents * M + (M - okey)
+        if okey.max(initial=0) >= M or okey.min(initial=0) < 0:
+            raise ValueError("o_orderkey outside the packing modulus")
+        # M - 1 - okey stays strictly inside [0, M): `M - okey` would wrap
+        # orderkey 0 into the cents slot, corrupting BOTH decoded columns
+        # (caught by the hostile-star harness's order 0 becoming a
+        # customer's top order)
+        packed = cents * M + (M - 1 - okey)
         tt = pa.table(
             {"o_custkey": t.column("o_custkey"), "packed": pa.array(packed, pa.int64())}
         )
@@ -870,7 +874,7 @@ def q_top_order_per_customer(sf_dir: str):
         .aggregate(Max("packed", alias_name="packed")),
         pa.schema([("o_custkey", pa.int64()), ("packed", pa.int64())]),
     )
-    out["o_orderkey"] = (M - (out["packed"] % M)).astype("int64")
+    out["o_orderkey"] = (M - 1 - (out["packed"] % M)).astype("int64")
     out["o_totalprice"] = (out["packed"] // M) / 100.0
     out = out.drop(columns=["packed"])
     return out.sort_values("o_custkey").reset_index(drop=True)
@@ -4694,5 +4698,345 @@ def q_incremental_rollup(sf_dir: str, stage_dir: str = None):
     return (
         df[["event_type", "day", "n_events", "sum_cents", "sum_value"]]
         .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+
+
+Q10_DATE_LO = "1996-07-01"
+Q10_DATE_HI = "1996-10-01"
+Q10_TOP_N = 20
+
+
+def q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape — top customers by revenue lost to returned items:
+    for orders placed in one quarter, sum the revenue of their RETURNED
+    lineitems per customer, enrich with the customer's nation, and keep
+    the top 20.
+
+    Plan (Q3's join spine plus a customer-sized dimension join):
+      - lineitem is filtered to l_returnflag = 'R' at the scan and
+        reduced per block to (l_orderkey, rev) integer rows; orders is
+        window-filtered and projected to (o_orderkey, o_custkey); one
+        keyed hash exchange joins them (partition count from
+        parquet-footer row counts via sizing.shuffle_partitions);
+      - a per-block combiner collapses to one row per customer before
+        `_two_regime_sum` on o_custkey — the wide exchange moves
+        O(customers x blocks) partials, never lineitems;
+      - customer is nation-filtered AT THE SCAN by the broadcast nation
+        key set (nation is driver-tiny by schema design — the inner
+        nation join becomes a membership test, dropping dangling
+        c_nationkey rows exactly like SQL) and hash-joined with the
+        reduced revenue table — both sides are customer-sized;
+      - the top 20 is per-block local top-k + driver merge (`_topk`) on
+        the total order (revenue_x10000 desc, c_custkey asc); nation
+        NAMES are mapped on the <= 20 survivors in the driver.
+
+    The top-k runs AFTER the customer join on purpose: an order whose
+    o_custkey dangles (no customer row) must not occupy a top-20 slot —
+    SQL's inner join drops it before LIMIT (pinned by the hostile-star
+    harness).  Revenue rides the exact integer grid as Q3/Q5; every
+    inner-join side rides `_join_pad`."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from .sizing import shuffle_partitions
+
+    nation = typed_collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    name_map = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    nkeys_ref = ray.put(nation["n_nationkey"].to_numpy(np.int32))
+
+    lo = pc.strptime(Q10_DATE_LO, format="%Y-%m-%d", unit="us").as_py()
+    hi = pc.strptime(Q10_DATE_HI, format="%Y-%m-%d", unit="us").as_py()
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+
+    def ord_project(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    ords = _join_pad(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate"],
+            rows_per_block=100_000,
+        ).map_batches(ord_project, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
+
+    def li_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        cents = round_half_away(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        d100 = round_half_away(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev": pa.array(cents * (100 - d100)),
+            }
+        )
+
+    li = _join_pad(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+            rows_per_block=100_000,
+        ).map_batches(li_project, batch_format="pyarrow"),
+        pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())]),
+    )
+
+    joined = li.join(
+        ords,
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_li),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {"o_custkey": t.column("o_custkey"), "revenue_x10000": t.column("rev")}
+        )
+        g = tt.group_by("o_custkey").aggregate([("revenue_x10000", "sum")])
+        return g.rename_columns(["o_custkey", "revenue_x10000"])
+
+    red, n_red = _two_regime_sum(
+        joined.map_batches(combine, batch_format="pyarrow"),
+        ["o_custkey"],
+        ["revenue_x10000"],
+    )
+
+    cust = _join_pad(
+        _read(
+            sf_dir,
+            "customer",
+            ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+            rows_per_block=100_000,
+        ).map_batches(
+            warm_stage(_Membership, keys_ref=nkeys_ref, key_col="c_nationkey"),
+            batch_format="pyarrow",
+        ),
+        pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_name", pa.string()),
+                ("c_acctbal", pa.float64()),
+                ("c_nationkey", pa.int32()),
+            ]
+        ),
+    )
+
+    j = _join_pad(
+        red,
+        pa.schema([("o_custkey", pa.int64()), ("revenue_x10000", pa.int64())]),
+    ).join(
+        cust,
+        join_type="inner",
+        num_partitions=shuffle_partitions(max(n_red, n_cust)),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    # Ray's hash join emits the LEFT key column only (right_on merges
+    # into it): the surviving key is o_custkey == c_custkey
+    top = _topk(
+        j,
+        Q10_TOP_N,
+        keys=("revenue_x10000", "o_custkey"),
+        descending=(True, False),
+        empty_schema=pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("revenue_x10000", pa.int64()),
+                ("c_name", pa.string()),
+                ("c_acctbal", pa.float64()),
+                ("c_nationkey", pa.int32()),
+            ]
+        ),
+    )
+    top = top.copy().rename(columns={"o_custkey": "c_custkey"})
+    top["n_name"] = top["c_nationkey"].map(name_map)
+    # same IEEE division as the oracle on the same exact integers
+    top["revenue"] = (
+        top["revenue_x10000"].to_numpy(np.int64).astype(np.float64) / 10000.0
+    )
+    for c in ("c_custkey", "revenue_x10000"):
+        top[c] = top[c].astype("int64")
+    top["c_name"] = top["c_name"].astype(object)
+    top["n_name"] = top["n_name"].astype(object)
+    top["c_acctbal"] = top["c_acctbal"].astype("float64")
+    return (
+        top[["c_custkey", "c_name", "revenue_x10000", "revenue", "c_acctbal", "n_name"]]
+        .sort_values(["revenue_x10000", "c_custkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+Q18_QTY_THRESHOLD = 300  # strict >, on the 1/64 quantity grid
+Q18_TOP_N = 100
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape — large-volume customers: orders whose TOTAL
+    lineitem quantity exceeds a threshold (the HAVING-subquery class),
+    joined back to orders and customer, top 100 by order value.
+
+    Plan:
+      - one combiner pass reduces lineitem to per-order quantity partials
+        on the exact x64 integer grid (grid-guarded: a loud raise if
+        l_quantity ever leaves the 1/64 lattice), merged by
+        `_two_regime_sum` keyed on l_orderkey — the one wide exchange,
+        O(orders x blocks) partial rows;
+      - the threshold filter runs vectorized ON the reduced table, so the
+        surviving "large" orders are the skew tail (tiny fraction at any
+        scale) but still a DATASET — no driver collect, no broadcast
+        assumption;
+      - two keyed hash joins recover order and customer attributes
+        (winners JOIN orders ON orderkey, then JOIN customer ON custkey),
+        each partition count data-proportional; every side rides
+        `_join_pad` (a threshold matching nothing must not kill the
+        join);
+      - the top 100 is `_topk` on the total order (o_totalprice on the
+        exact cents grid desc, o_orderkey asc) — never a global sort.
+
+    sum_qty is emitted both as the exact x64 integer and as the IEEE
+    division by 64.0, identical on both sides."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .sizing import shuffle_partitions
+
+    n_ord = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        q64 = np.rint(q * 64.0).astype(np.int64)
+        if not np.array_equal(q64 / 64.0, q):
+            raise ValueError("l_quantity off the 1/64 grid; sums inexact")
+        tt = pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "sum_qty_x64": pa.array(q64)}
+        )
+        g = tt.group_by("l_orderkey").aggregate([("sum_qty_x64", "sum")])
+        return g.rename_columns(["l_orderkey", "sum_qty_x64"])
+
+    red, _ = _two_regime_sum(
+        _read(
+            sf_dir, "lineitem", ["l_orderkey", "l_quantity"], rows_per_block=100_000
+        ).map_batches(li_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        ["sum_qty_x64"],
+    )
+
+    bound = Q18_QTY_THRESHOLD * 64
+
+    def keep_large(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("sum_qty_x64"), bound))
+
+    win = _join_pad(
+        red.map_batches(keep_large, batch_format="pyarrow"),
+        pa.schema([("l_orderkey", pa.int64()), ("sum_qty_x64", pa.int64())]),
+    )
+
+    ords = _join_pad(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+            rows_per_block=100_000,
+        ),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
+    )
+
+    j1 = win.join(
+        ords,
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_ord),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    cust = _join_pad(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"], rows_per_block=100_000),
+        pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+    )
+
+    j2 = _join_pad(
+        j1,
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("sum_qty_x64", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
+    ).join(
+        cust,
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_cust),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def add_price_grid(t: pa.Table) -> pa.Table:
+        p100 = round_half_away(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return t.append_column("totalprice_x100", pa.array(p100))
+
+    top = _topk(
+        j2.map_batches(add_price_grid, batch_format="pyarrow"),
+        Q18_TOP_N,
+        keys=("totalprice_x100", "l_orderkey"),
+        descending=(True, False),
+        empty_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("sum_qty_x64", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_totalprice", pa.float64()),
+                ("c_name", pa.string()),
+                ("totalprice_x100", pa.int64()),
+            ]
+        ),
+    )
+    # Ray's hash join keeps the LEFT key column only: o_custkey == c_custkey
+    top = top.copy().rename(columns={"o_custkey": "c_custkey"})
+    # same IEEE division as the oracle on the same exact integers
+    top["sum_qty"] = top["sum_qty_x64"].to_numpy(np.int64).astype(np.float64) / 64.0
+    for c in ("c_custkey", "l_orderkey", "sum_qty_x64"):
+        top[c] = top[c].astype("int64")
+    top["c_name"] = top["c_name"].astype(object)
+    top["o_totalprice"] = top["o_totalprice"].astype("float64")
+    top = top.rename(columns={"l_orderkey": "o_orderkey"})
+    return (
+        top[
+            [
+                "c_name",
+                "c_custkey",
+                "o_orderkey",
+                "o_orderdate",
+                "o_totalprice",
+                "sum_qty_x64",
+                "sum_qty",
+            ]
+        ]
+        .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
         .reset_index(drop=True)
     )

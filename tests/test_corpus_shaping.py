@@ -888,6 +888,8 @@ STAR_ORACLE_QUERIES = [
     "q_ntile_acctbal",
     "q3_shipping_priority",
     "q4_order_priority",
+    "q10_returned_revenue",
+    "q18_large_volume_customers",
 ]
 
 
@@ -1001,6 +1003,9 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
     lprice = (rng.randint(1, 3_000_000, n_li).astype(np.float64) * 8) / 64.0
     ldisc = (rng.randint(0, 11, n_li) / 100.0).astype(np.float64)
     lship = base + rng.randint(0, 1500, n_li) * day + rng.randint(0, day, n_li)
+    # q10/q18 columns: quantities on the 1/4 grid (⊂ 1/64), mixed flags
+    lqty = (rng.randint(1, 801, n_li) / 4.0).astype(np.float64)
+    lflag = rng.choice(["A", "N", "R"], n_li)
     if variant == "fixed":
         ldisc[0], ldisc[1] = 0.0, 1.0  # full and zero revenue
         lship[2], lship[3] = cut_us, cut_us + 1  # strict-cut edge pair
@@ -1017,6 +1022,40 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
         feb97 = 854_755_200_000_000
         lk[30], lship[30] = 7, feb97 + 60 * day
         lk[31], lship[31] = 8, feb97 + 60 * day + 1
+        # ---- q18 plants: order 11's quantity sum EXACTLY 300 (strict >,
+        # excluded both sides) and order 12's 300.25 (included).  Stray
+        # random lines on those orderkeys would break the boundary sums —
+        # redirect them first.
+        lk[np.isin(lk, [11, 12])] = 119
+        lk[46], lqty[46] = 11, 150.0
+        lk[47], lqty[47] = 11, 150.0
+        lk[48], lqty[48] = 12, 150.0
+        lk[49], lqty[49] = 12, 150.25
+        # ---- q10 plants.  Window-edge orders: 9 placed EXACTLY at the
+        # >= lower bound (included), 10 EXACTLY at the < upper bound
+        # (excluded); each carries one returned line.
+        q10_lo, q10_hi = 836_179_200_000_000, 844_128_000_000_000
+        odate[9], odate[10] = q10_lo, q10_hi
+        oc[9], oc[10] = 30, 31
+        lk[40], lprice[40], ldisc[40] = 9, 512.0, 0.25
+        lk[41], lprice[41], ldisc[41] = 10, 512.0, 0.25
+        # a dangling-custkey order carrying the would-be-#1 returned
+        # revenue: the customer inner join must drop it BEFORE the
+        # top-20 cut, not after
+        oc[39], odate[39] = 45, q10_lo + 5 * day
+        lk[42], lprice[42], ldisc[42] = 39, 2_000_000.0, 0.0
+        # 25-customer identical-revenue tie run straddling the top-20
+        # cut (c_custkey is the only tiebreak).  Orders 60-84 are kept
+        # free of stray returned lines so the ties stay exact.
+        for t_i in range(25):
+            oc[60 + t_i] = 1 + t_i
+            odate[60 + t_i] = q10_lo + (10 + t_i) * day
+            lk[50 + t_i] = 60 + t_i
+            lprice[50 + t_i] = 999_999.50
+            ldisc[50 + t_i] = 0.04
+        lflag[np.isin(lk, np.arange(60, 85))] = "N"
+        for li_i in (40, 41, 42, *range(50, 75)):
+            lflag[li_i] = "R"
     lineitem = pa.table(
         {
             "l_orderkey": pa.array(lk),
@@ -1025,6 +1064,8 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
             "l_shipdate": pa.array(lship.astype(np.int64), pa.int64()).cast(
                 pa.timestamp("us")
             ),
+            "l_quantity": pa.array(lqty),
+            "l_returnflag": pa.array(lflag.tolist(), pa.string()),
         }
     )
     d = tmp_path / "adv_star"
