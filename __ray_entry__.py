@@ -358,6 +358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_dominant_freq": M.m_dominant_freq,
         "q10_returned_revenue": R.q10_returned_revenue,
         "q18_large_volume_customers": R.q18_large_volume_customers,
+        "m_silence_segments": M.m_silence_segments,
+        "m_scene_cuts": M.m_scene_cuts,
     }
 
 
@@ -2489,6 +2491,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
             "/ 100.0 AS sum_value "
             "FROM events GROUP BY event_type, day ORDER BY event_type, day"
+        ),
+        "m_silence_segments": (
+            # golden run-length columns were computed at fixture-gen time
+            # from the same integer windowed-energy pass; the engine
+            # recomputes them from the WAV container bytes
+            f"SELECT url, n_windows, n_active_windows, n_segments, "
+            f"longest_run FROM read_parquet('{av}') "
+            f"WHERE media_type = 'audio' ORDER BY url"
+        ),
+        "m_scene_cuts": (
+            # golden cut counts were computed at fixture-gen time from the
+            # same integer luma-diff pass; the engine recomputes them from
+            # the Y4M container bytes
+            f"SELECT url, n_frames, n_pairs, n_cuts, diff_total "
+            f"FROM read_parquet('{av}') WHERE media_type = 'video' "
+            f"ORDER BY url"
         ),
         "q10_returned_revenue": (
             # revenue on the exact integer grid (cents x (100 - d100),

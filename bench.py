@@ -209,6 +209,8 @@ QUERY_NAMES = [
     "m_dominant_freq",
     "q10_returned_revenue",
     "q18_large_volume_customers",
+    "m_silence_segments",
+    "m_scene_cuts",
 ]
 
 

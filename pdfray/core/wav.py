@@ -169,3 +169,57 @@ def spectral_stats(audio: WavAudio) -> dict:
         "dom_hz_x1e3": b * audio.sample_rate * 1000 // n,
         "n_bins": int(mag.size),
     }
+
+SEG_WINDOW = 256          # samples per energy window
+SEG_NUM, SEG_DEN = 1, 1024  # activity threshold: mean|s| > full_scale/1024
+
+
+def segment_stats(audio: WavAudio, window: int = SEG_WINDOW,
+                  num: int = SEG_NUM, den: int = SEG_DEN) -> dict:
+    """Silence segmentation (the VAD shape) shared by the fixture generator
+    and the decode stage, so equality stays a codec round-trip check.  The
+    mono |amplitude| stream is summed per fixed window and a window is
+    ACTIVE when its mean |s| exceeds full_scale*num/den, compared by
+    integer cross-multiplication (sum_abs * den > n_in_window * n_ch *
+    full_scale * num) — no division, platform-exact.  The last partial
+    window is judged on its own length.  Segments are maximal runs of
+    active windows; all outputs are small ints.
+
+    full_scale is the dtype's own ceiling (128 / 32768 / 2^31 after uint8
+    centering): the threshold is relative, so 8-bit and 32-bit encodings
+    of the same program segment identically."""
+    s = audio.samples.astype(np.int64)
+    if audio.samples.dtype == np.uint8:
+        s = s - 128
+        full_scale = 128
+    elif audio.samples.dtype == np.int16:
+        full_scale = 32768
+    else:
+        full_scale = 2**31
+    n, n_ch = (int(s.shape[0]), int(s.shape[1])) if s.ndim == 2 else (int(s.size), 1)
+    if n == 0:
+        return {"n_windows": 0, "n_active_windows": 0, "n_segments": 0,
+                "longest_run": 0}
+    abs_row = np.abs(s).sum(axis=1) if s.ndim == 2 else np.abs(s)
+    n_win = (n + window - 1) // window
+    pad = n_win * window - n
+    padded = np.concatenate([abs_row, np.zeros(pad, np.int64)])
+    win_sums = padded.reshape(n_win, window).sum(axis=1)
+    win_len = np.full(n_win, window, np.int64)
+    if pad:
+        win_len[-1] = window - pad
+    active = win_sums * den > win_len * n_ch * full_scale * num
+    n_active = int(active.sum())
+    # run-length: segment starts are active windows not preceded by one
+    starts = int(active[0]) + int((active[1:] & ~active[:-1]).sum())
+    longest = 0
+    if n_active:
+        # lengths of runs via cumulative reset trick (vectorized)
+        idx = np.flatnonzero(np.diff(np.concatenate(([0], active.view(np.int8), [0]))))
+        longest = int((idx[1::2] - idx[::2]).max())
+    return {
+        "n_windows": n_win,
+        "n_active_windows": n_active,
+        "n_segments": starts,
+        "longest_run": longest,
+    }

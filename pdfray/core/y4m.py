@@ -162,3 +162,33 @@ def sample_stats(stream: Y4mStream, stride: int) -> dict:
         "n_sampled": len(sampled),
         "luma_sum": luma_sum,
     }
+
+SCENE_THRESH = 64  # a cut = consecutive-frame mean |luma diff| > 64
+
+
+def scene_stats(stream: Y4mStream, thresh: int = SCENE_THRESH) -> dict:
+    """Shot-boundary detection (the scene-cut shape) shared by the fixture
+    generator and the decode stage: for every consecutive frame pair the
+    absolute luma difference is integer-summed, and a pair is a CUT when
+    its mean |diff| exceeds ``thresh``, compared by cross-multiplication
+    (diff_sum > n_pixels * thresh) — no floats anywhere, platform-exact.
+    diff_total (the summed |diff| across all pairs) rides along as the
+    motion-volume feature.  The fixtures plant scene changes whose offset
+    re-colors ~the whole frame (mean |diff| well above the threshold)
+    while in-scene motion (the moving box + the refreshed noise band)
+    stays well below it."""
+    nf = stream.n_frames
+    if nf < 2:
+        return {"n_pairs": 0, "n_cuts": 0, "diff_total": 0}
+    n_cuts = 0
+    diff_total = 0
+    prev = stream.luma(0).astype(np.int64)
+    n_pix = prev.size
+    for k in range(1, nf):
+        cur = stream.luma(k).astype(np.int64)
+        d = int(np.abs(cur - prev).sum())
+        diff_total += d
+        if d > n_pix * thresh:
+            n_cuts += 1
+        prev = cur
+    return {"n_pairs": nf - 1, "n_cuts": n_cuts, "diff_total": diff_total}

@@ -214,11 +214,18 @@ AV_SCHEMA = pa.schema(
         ("dom_bin", pa.int64()),
         ("dom_hz_x1e3", pa.int64()),
         ("n_bins", pa.int64()),
+        ("n_windows", pa.int64()),
+        ("n_active_windows", pa.int64()),
+        ("n_segments", pa.int64()),
+        ("longest_run", pa.int64()),
         ("width", pa.int64()),
         ("height", pa.int64()),
         ("n_frames", pa.int64()),
         ("n_sampled", pa.int64()),
         ("luma_sum", pa.int64()),
+        ("n_pairs", pa.int64()),
+        ("n_cuts", pa.int64()),
+        ("diff_total", pa.int64()),
         ("error", pa.string()),
     ]
 )
@@ -242,8 +249,13 @@ class AvDecoder:
         self.stride = SAMPLE_STRIDE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..core.wav import audio_stats, decode_wav, spectral_stats
-        from ..core.y4m import parse_y4m, sample_stats
+        from ..core.wav import (
+            audio_stats,
+            decode_wav,
+            segment_stats,
+            spectral_stats,
+        )
+        from ..core.y4m import parse_y4m, sample_stats, scene_stats
 
         urls = batch.column("url").to_pylist()
         payloads = batch.column("payload")
@@ -259,9 +271,12 @@ class AvDecoder:
                     audio = decode_wav(payload)
                     stats = audio_stats(audio)
                     stats.update(spectral_stats(audio))
+                    stats.update(segment_stats(audio))
                 elif payload[:9] == b"YUV4MPEG2":
                     out["media_type"].append("video")
-                    stats = sample_stats(parse_y4m(payload), self.stride)
+                    stream = parse_y4m(payload)
+                    stats = sample_stats(stream, self.stride)
+                    stats.update(scene_stats(stream))
                 else:
                     out["media_type"].append("unknown")
                     raise ValueError("unrecognized container magic")
@@ -336,6 +351,35 @@ def m_dominant_freq(sf_dir: str):
         sf_dir,
         "audio",
         ["url", "n_samples", "dom_bin", "dom_hz_x1e3", "n_bins"],
+    )
+
+
+def m_silence_segments(sf_dir: str):
+    """Silence segmentation (the VAD shape) over the audio table: per
+    decoded WAV, fixed-window integer energy thresholding + run-length
+    stats (`core.wav.segment_stats` — cross-multiplied compare, no
+    floats), recomputed from container bytes and oracle-checked against
+    the fixture goldens, whose planted exact-silence gaps exercise real
+    run boundaries.  Broken payloads keep zeroed stats + a typed error,
+    same contract as m_audio_features."""
+    return _decode_av(
+        sf_dir,
+        "audio",
+        ["url", "n_windows", "n_active_windows", "n_segments", "longest_run"],
+    )
+
+
+def m_scene_cuts(sf_dir: str):
+    """Shot-boundary detection over the video table: consecutive-frame
+    absolute luma differences with an integer cut threshold
+    (`core.y4m.scene_stats`), recomputed from container bytes and
+    oracle-checked against fixture goldens whose planted scene changes
+    re-color the whole frame while in-scene motion stays below the
+    threshold.  diff_total rides along as the motion-volume feature."""
+    return _decode_av(
+        sf_dir,
+        "video",
+        ["url", "n_frames", "n_pairs", "n_cuts", "diff_total"],
     )
 
 

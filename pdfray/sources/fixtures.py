@@ -25,7 +25,7 @@ NL = "\n"
 DELIM = "|"
 
 # bump when generation logic changes so /tmp caches can never go stale
-FIXTURE_VERSION = 9
+FIXTURE_VERSION = 10
 
 LANGS = ("en", "de", "fr", "es")
 
@@ -910,12 +910,18 @@ _SHARD_ROWS = 512
 
 def _audio_payload(k: int):
     """Deterministic PCM content: integer sawtooth carrier + seeded noise
-    (pure integer ops — no libm, so goldens are platform-exact)."""
+    (pure integer ops — no libm, so goldens are platform-exact), with
+    k%3 planted EXACT-silence gaps so the segmentation golden
+    (`segment_stats`) exercises real run boundaries."""
     import numpy as np
 
-    from ..core.wav import audio_stats, decode_wav, encode_wav
-
-    from ..core.wav import spectral_stats
+    from ..core.wav import (
+        audio_stats,
+        decode_wav,
+        encode_wav,
+        segment_stats,
+        spectral_stats,
+    )
 
     rng = np.random.RandomState((SEED << 16) ^ (0xA0D10 + k))
     rate = (8000, 16000, 22050, 44100)[k % 4]
@@ -924,6 +930,10 @@ def _audio_payload(k: int):
     period = 20 + (k % 50)
     saw = ((np.arange(n) % period) * (2000 // period)).astype(np.int64) - 1000
     wave = saw[:, None] + rng.randint(-400, 400, (n, n_ch))
+    gap_len = n // 8 + 16
+    for g in range(k % 3):  # planted silence gaps (0..2 per file)
+        start = (k * 131 + g * 577) % max(1, n - gap_len)
+        wave[start : start + gap_len] = 0
     dtype_pick = k % 5
     if dtype_pick == 3:  # 8-bit unsigned
         samples = ((wave // 16) + 128).clip(0, 255).astype(np.uint8)
@@ -935,6 +945,7 @@ def _audio_payload(k: int):
     audio = decode_wav(payload)
     stats = audio_stats(audio)
     stats.update(spectral_stats(audio))
+    stats.update(segment_stats(audio))
     return payload, stats
 
 
@@ -955,31 +966,51 @@ def _video_frames_arrays(k: int):
     gx = (np.arange(w, dtype=np.int64) * 200 // max(1, w - 1)).astype(np.uint8)
     base = np.tile(gx, (h, 1))
     frames = []
+    scene_len = 3 + (k % 3)  # planted scene changes every 3..5 frames
     for f in range(nf):
         fr = base.copy()
-        x0 = (f * 3 + k) % max(1, w - 8)
-        y0 = (f * 2 + k) % max(1, h - 8)
+        # in-scene motion is a 1-px toggle (a modulo drift would wrap the
+        # box across the frame and spike the in-scene luma diff above the
+        # scene-cut threshold on small frames)
+        x0 = k % max(1, w - 9) + (f % 2)
+        y0 = (k * 3) % max(1, h - 9) + ((f // 2) % 2)
         fr[y0 : y0 + 8, x0 : x0 + 8] = 255
         fr[: max(1, h // 8), :] = rng.randint(0, 256, (max(1, h // 8), w),
                                               dtype=np.uint8)
+        # scene change: re-color the whole frame by +111 mod 256 per scene
+        # (|diff| per pixel is 111 or 145, far above the cut threshold;
+        # in-scene motion — box + refreshed noise band — stays far below)
+        fr = ((fr.astype(np.int64) + 111 * (f // scene_len)) % 256).astype(
+            np.uint8
+        )
         frames.append(fr)
     return frames, cs
 
 
 def _video_payload(k: int):
     """Deterministic Y4M content (see `_video_frames_arrays`)."""
-    from ..core.y4m import SAMPLE_STRIDE, encode_y4m, parse_y4m, sample_stats
+    from ..core.y4m import (
+        SAMPLE_STRIDE,
+        encode_y4m,
+        parse_y4m,
+        sample_stats,
+        scene_stats,
+    )
 
     frames, cs = _video_frames_arrays(k)
     payload = encode_y4m(frames, colorspace=cs, fps=(24 + (k % 7), 1))
-    return payload, sample_stats(parse_y4m(payload), SAMPLE_STRIDE)
+    stream = parse_y4m(payload)
+    stats = sample_stats(stream, SAMPLE_STRIDE)
+    stats.update(scene_stats(stream))
+    return payload, stats
 
 
 _AV_ZERO = {
     "sample_rate": 0, "n_channels": 0, "n_samples": 0, "duration_ms": 0,
     "rms_x1e3": 0, "peak": 0, "dom_bin": 0, "dom_hz_x1e3": 0, "n_bins": 0,
+    "n_windows": 0, "n_active_windows": 0, "n_segments": 0, "longest_run": 0,
     "width": 0, "height": 0, "n_frames": 0,
-    "n_sampled": 0, "luma_sum": 0,
+    "n_sampled": 0, "luma_sum": 0, "n_pairs": 0, "n_cuts": 0, "diff_total": 0,
 }
 
 _AV_COLS = tuple(_AV_ZERO)

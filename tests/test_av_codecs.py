@@ -206,3 +206,81 @@ def test_spectral_stats_channel_mix_and_uint8():
     assert spectral_stats(WavAudio(8000, tiny)) == {
         "dom_bin": 0, "dom_hz_x1e3": 0, "n_bins": 0,
     }
+
+
+def test_segment_stats_runs_and_thresholds():
+    """Hand-solved run-length case: three bursts with exact-silence gaps
+    -> 8 windows of 256 over 2000 samples, runs [0..3] and [5..6]."""
+    from pdfray.core.wav import WavAudio, segment_stats
+
+    sig = np.zeros(2000, np.int16)
+    sig[0:300], sig[700:1000], sig[1500:1600] = 5000, -4000, 3000
+    st = segment_stats(WavAudio(8000, sig[:, None]))
+    assert st == {
+        "n_windows": 8, "n_active_windows": 6, "n_segments": 2,
+        "longest_run": 4,
+    }
+
+
+def test_segment_stats_relative_threshold_and_edges():
+    """The threshold is RELATIVE to the dtype's full scale: the same
+    program encoded 8-bit and 16-bit segments identically.  The last
+    partial window is judged on its own length, uint8 DC (=128) is
+    silence, and n=0 returns all zeros."""
+    from pdfray.core.wav import WavAudio, segment_stats
+
+    prog = np.zeros(600, np.int64)
+    prog[300:600] = 40  # mean |s| = 40/32768 of full scale when 16-bit
+    st16 = segment_stats(WavAudio(8000, (prog * 1).astype(np.int16)[:, None]))
+    st8 = segment_stats(
+        WavAudio(8000, ((prog * 128) // 256 + 128).astype(np.uint8)[:, None])
+    )
+    # 16-bit: 40 > 32768/1024 = 32 -> active; 8-bit: 20 > 128/1024 -> active
+    assert st16["n_active_windows"] == st8["n_active_windows"] == 2
+    assert st16["n_segments"] == st8["n_segments"] == 1
+    # window 2 is the partial one (600 = 2*256 + 88): its own length is
+    # the denominator, so a quiet tail does not dilute below threshold
+    assert st16["n_windows"] == 3
+    flat = segment_stats(WavAudio(8000, np.full((512, 1), 128, np.uint8)))
+    assert flat["n_active_windows"] == 0 and flat["n_segments"] == 0
+    empty = segment_stats(WavAudio(8000, np.zeros((0, 1), np.int16)))
+    assert empty == {
+        "n_windows": 0, "n_active_windows": 0, "n_segments": 0,
+        "longest_run": 0,
+    }
+
+
+def test_scene_stats_cut_threshold_and_edges():
+    """A full-frame re-color is a cut (mean |diff| > 64); small motion is
+    not; < 2 frames has no pairs; diff_total is the exact integer sum."""
+    from pdfray.core.y4m import encode_y4m, parse_y4m, scene_stats
+
+    frames = [np.full((16, 16), v, np.uint8) for v in (10, 12, 200, 201)]
+    st = scene_stats(parse_y4m(encode_y4m(frames)))
+    assert st == {"n_pairs": 3, "n_cuts": 1, "diff_total": (2 + 188 + 1) * 256}
+    one = scene_stats(parse_y4m(encode_y4m(frames[:1])))
+    assert one == {"n_pairs": 0, "n_cuts": 0, "diff_total": 0}
+    # exactly AT the threshold is NOT a cut (strict >)
+    pair = [np.zeros((16, 16), np.uint8), np.full((16, 16), 64, np.uint8)]
+    assert scene_stats(parse_y4m(encode_y4m(pair)))["n_cuts"] == 0
+    pair[1][:] = 65
+    assert scene_stats(parse_y4m(encode_y4m(pair)))["n_cuts"] == 1
+
+
+def test_fixture_scene_cuts_match_planted_boundaries():
+    """The fixture's planted scene changes are the ONLY cuts: n_cuts ==
+    number of scene boundaries for every unbroken video row (margins:
+    in-scene motion stays below the threshold, re-colors far above)."""
+    from pdfray.core.y4m import encode_y4m, parse_y4m, scene_stats
+    from pdfray.sources.fixtures import _video_frames_arrays
+
+    for k in range(1, 120, 2):
+        frames, cs = _video_frames_arrays(k)
+        scene_len = 3 + (k % 3)
+        planted = sum(
+            1
+            for f in range(1, len(frames))
+            if f // scene_len != (f - 1) // scene_len
+        )
+        st = scene_stats(parse_y4m(encode_y4m(frames, colorspace=cs)))
+        assert st["n_cuts"] == planted, k
