@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers": R.q18_large_volume_customers,
         "m_silence_segments": M.m_silence_segments,
         "m_scene_cuts": M.m_scene_cuts,
+        "s_range_search": S.s_range_search,
     }
 
 
@@ -2491,6 +2492,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
             "/ 100.0 AS sum_value "
             "FROM events GROUP BY event_type, day ORDER BY event_type, day"
+        ),
+        "s_range_search": (
+            # the radius compare runs on the half-away-rounded 1e-4 grid
+            # on BOTH sides; zero vectors ride DuckDB's -1 pin convention
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            f"FROM embeddings ORDER BY vec_id LIMIT {S.N_QUERIES}), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.qe AS DOUBLE[])), 4) AS sim "
+            "FROM embeddings e CROSS JOIN q) "
+            "SELECT query_id, vec_id, sim FROM scored "
+            f"WHERE sim >= {S.SIM_RADIUS} ORDER BY query_id, vec_id"
         ),
         "m_silence_segments": (
             # golden run-length columns were computed at fixture-gen time

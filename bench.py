@@ -211,6 +211,7 @@ QUERY_NAMES = [
     "q18_large_volume_customers",
     "m_silence_segments",
     "m_scene_cuts",
+    "s_range_search",
 ]
 
 

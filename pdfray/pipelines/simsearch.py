@@ -2160,3 +2160,70 @@ def s_hamming_topk(sf_dir: str):
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
     )
+
+
+SIM_RADIUS = 0.3  # cosine radius, compared on the rounded 1e-4 grid
+
+
+def s_range_search(sf_dir: str):
+    """Radius (range) search: for every query, ALL vectors whose cosine
+    similarity is >= SIM_RADIUS — the epsilon-neighborhood retrieval shape
+    (dedup-candidate generation, density probes), complementing top-k.
+
+    One streaming pass: each batch matmuls against the broadcast query
+    matrix and the radius FILTER runs vectorized inside the stage, so only
+    matching (query_id, vec_id, sim) rows ever leave a worker — the output
+    scales with the result set, not the corpus, and there is no k-cutoff
+    merge step at all (the driver concat is the result).  The compare runs
+    on the half-away-rounded 1e-4 grid on BOTH sides so a float at the
+    radius boundary cannot flip between engine and oracle; zero vectors
+    ride the DuckDB convention (sim pinned to -1, never within radius).
+    """
+    import ray
+
+    qids, qmat = _query_matrix(sf_dir)
+    qref = ray.put((qids, qmat))
+
+    class RangeScore:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+            if len(t) == 0 or self.qmat.size == 0:
+                return pa.table(out)
+            raw = _batch_matrix(t)
+            sims = _normalize(raw) @ self.qmat.T
+            sims = _mask_zero_cosine(sims, raw, self.qmat)
+            sims = round_half_away(sims, 4)
+            rows, cols = np.nonzero(sims >= SIM_RADIUS)
+            if len(rows) == 0:
+                return pa.table(out)
+            vec_ids = t.column("vec_id").to_numpy()
+            return pa.table(
+                {
+                    "query_id": pa.array(self.qids[cols].astype(np.int64)),
+                    "vec_id": pa.array(vec_ids[rows].astype(np.int64)),
+                    "sim": pa.array(sims[rows, cols]),
+                }
+            )
+
+    df = (
+        _read_embeddings(sf_dir)
+        .map_batches(
+            warm_factory(("s_range", qref.hex()), RangeScore),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
+        .to_pandas()
+    )
+    if len(df.columns) == 0:  # all-empty stream: Ray drops the schema
+        return _empty_result(query_id="i", vec_id="i", sim="f")
+    for c in ("query_id", "vec_id"):
+        df[c] = df[c].astype("int64")
+    df["sim"] = df["sim"].astype("float64")
+    return df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)

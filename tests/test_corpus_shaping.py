@@ -1104,6 +1104,7 @@ EMB_ORACLE_QUERIES = [
     "s_knn_graph",
     "s_semdedup",
     "s_hamming_topk",
+    "s_range_search",
 ]
 
 

@@ -3407,6 +3407,67 @@ def test_popcount_lut_fallback_matches_bitwise_count():
     assert (got == want).all()
 
 
+def test_range_search_matches_bruteforce(ray_session, tmp_path):
+    """s_range_search == an independent all-pairs brute force: full n x q
+    cosine matrix in one numpy pass (no batching, no streaming filter),
+    zero operands pinned to -1, half-away rounding to the 1e-4 grid, then
+    the radius cut.  Plants: a zero QUERY vector (matches nothing), a zero
+    corpus vector (matched by nothing), an exact duplicate of a query
+    (sim 1.0 — always within radius), an exact opposite (sim -1.0 —
+    never), and a 64x-magnitude parallel vector (cosine is
+    magnitude-blind: same sim as its parallel twin)."""
+    import pdfray.pipelines.relational as R
+    import pdfray.pipelines.simsearch as S
+
+    rng = np.random.default_rng(53)
+    n, dim = 300, 12
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    m[0] = 0.0  # zero QUERY vector
+    m[40] = m[2]  # exact duplicate of a query vector
+    m[41] = -m[2]  # exact opposite
+    m[42] = m[2] * 64.0  # parallel, huge magnitude
+    m[43] = 0.0  # corpus zero vector
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(m), pa.list_(pa.float32())),
+                "label": pa.array(np.zeros(n, np.int32)),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    S._QUERY_CACHE.clear()
+    out = S.s_range_search(str(tmp_path))
+
+    md = m.astype(np.float64)
+    norms = np.linalg.norm(md, axis=1)
+    safe = np.where(norms == 0, 1.0, norms)
+    sims = (md / safe[:, None]) @ (md[:5] / safe[:5, None]).T
+    sims[norms == 0, :] = -1.0
+    sims[:, norms[:5] == 0] = -1.0
+    sims = R.round_half_away(sims, 4)
+    rows, cols = np.nonzero(sims >= S.SIM_RADIUS)
+    ref = (
+        pd.DataFrame(
+            {
+                "query_id": cols.astype("int64"),
+                "vec_id": rows.astype("int64"),
+                "sim": sims[rows, cols].astype("float64"),
+            }
+        )
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), ref)
+    got = out.set_index(["query_id", "vec_id"])["sim"]
+    assert (0, 0) not in got.index  # zero query matches nothing, not even itself
+    assert got.loc[(2, 40)] == 1.0 and got.loc[(2, 2)] == 1.0
+    assert got.loc[(2, 42)] == 1.0  # magnitude-blind
+    assert (2, 41) not in got.index and (2, 43) not in got.index
+    S._QUERY_CACHE.clear()
+
+
 def test_pagerank_join_regime_matches_broadcast(ray_session, monkeypatch):
     """q_pagerank_bipartite's big regime (edges-by-ranks hash joins +
     distributed destination groupby) computes the SAME integer recurrence
