@@ -361,6 +361,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_silence_segments": M.m_silence_segments,
         "m_scene_cuts": M.m_scene_cuts,
         "s_range_search": S.s_range_search,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q14_promo_revenue": R.q14_promo_revenue,
+        "q15_top_supplier": R.q15_top_supplier,
+        "q13_customer_distribution": R.q13_customer_distribution,
+        "q19_discounted_revenue": R.q19_discounted_revenue,
     }
 
 
@@ -2561,6 +2566,82 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer c ON c.c_custkey = o.o_custkey "
             "ORDER BY CAST(ROUND(o.o_totalprice * 100) AS BIGINT) DESC, "
             f"o.o_orderkey LIMIT {R.Q18_TOP_N}"
+        ),
+        "q6_forecast_revenue": (
+            # revenue = cents x d100 on the exact integer grid; the
+            # COALESCE pins SUM-over-nothing = 0 on both sides
+            "WITH f AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+            " * CAST(ROUND(l_discount * 100) AS BIGINT) AS rev "
+            "FROM lineitem "
+            f"WHERE l_shipdate >= TIMESTAMP '{R.Q6_DATE_LO}' "
+            f"AND l_shipdate < TIMESTAMP '{R.Q6_DATE_HI}' "
+            "AND CAST(ROUND(l_discount * 100) AS BIGINT) "
+            f"BETWEEN {R.Q6_D100_LO} AND {R.Q6_D100_HI} "
+            f"AND l_quantity < {R.Q6_QTY_BOUND}) "
+            "SELECT CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS revenue_x10000, "
+            "CAST(COALESCE(SUM(rev), 0) AS DOUBLE) / 10000.0 AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lines FROM f"
+        ),
+        "q14_promo_revenue": (
+            # the pct is the same IEEE expression on the same exact int64
+            # sums; CASE total=0 -> 0.0 pinned on both sides
+            "WITH j AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev, "
+            f"(p_type = '{R.Q14_PROMO_TYPE}') AS promo "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            f"WHERE l_shipdate >= TIMESTAMP '{R.Q14_DATE_LO}' "
+            f"AND l_shipdate < TIMESTAMP '{R.Q14_DATE_HI}'), "
+            "s AS (SELECT CAST(COALESCE(SUM(CASE WHEN promo THEN rev "
+            "ELSE 0 END), 0) AS BIGINT) AS promo_x10000, "
+            "CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS total_x10000 FROM j) "
+            "SELECT promo_x10000, total_x10000, "
+            "CASE WHEN total_x10000 = 0 THEN 0.0 ELSE "
+            "100.0 * CAST(promo_x10000 AS DOUBLE) / "
+            "CAST(total_x10000 AS DOUBLE) END AS promo_pct FROM s"
+        ),
+        "q15_top_supplier": (
+            # the MAX subquery scans ALL per-supplier totals (dangling
+            # suppkeys included) and the supplier join then drops dangling
+            # winners — the engine replays exactly that order
+            "WITH rev AS (SELECT l_suppkey, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS total FROM lineitem "
+            f"WHERE l_shipdate >= TIMESTAMP '{R.Q15_DATE_LO}' "
+            f"AND l_shipdate < TIMESTAMP '{R.Q15_DATE_HI}' "
+            "GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total AS total_revenue_x10000, "
+            "CAST(total AS DOUBLE) / 10000.0 AS total_revenue "
+            "FROM supplier JOIN rev ON s_suppkey = l_suppkey "
+            "WHERE total = (SELECT MAX(total) FROM rev) ORDER BY s_suppkey"
+        ),
+        "q13_customer_distribution": (
+            # LEFT join keeps zero-order customers (c_count = 0 bucket);
+            # the priority exclusion rides the JOIN condition so excluded
+            # orders count as absent, not as dropped customers
+            "WITH co AS (SELECT c_custkey, "
+            "CAST(COUNT(o_orderkey) AS BIGINT) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            f"AND o_orderpriority <> '{R.Q13_EXCLUDED_PRIORITY}' "
+            "GROUP BY c_custkey) "
+            "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist "
+            "FROM co GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "q19_discounted_revenue": (
+            # three OR'd (brand, size, qty) branches — p_size stands in
+            # for the reference's container list; grid + COALESCE as q6
+            "WITH j AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+            " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey WHERE "
+            + " OR ".join(
+                f"(p_brand = '{b}' AND p_size BETWEEN {s_lo} AND {s_hi} "
+                f"AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+                for b, s_lo, s_hi, q_lo, q_hi in R.Q19_BRANCHES
+            )
+            + ") "
+            "SELECT CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS revenue_x10000, "
+            "CAST(COALESCE(SUM(rev), 0) AS DOUBLE) / 10000.0 AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lines FROM j"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

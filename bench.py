@@ -212,6 +212,11 @@ QUERY_NAMES = [
     "m_silence_segments",
     "m_scene_cuts",
     "s_range_search",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q13_customer_distribution",
+    "q19_discounted_revenue",
 ]
 
 

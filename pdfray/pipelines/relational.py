@@ -5040,3 +5040,459 @@ def q18_large_volume_customers(sf_dir: str):
         .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
         .reset_index(drop=True)
     )
+
+
+# ----------------------------------------------------------------------
+# TPC-H completion batch (adapted to this star schema: no partsupp /
+# shipmode / comment / container / phone columns — each query keeps the
+# reference TPC-H dataflow SHAPE and swaps the absent column for the
+# in-schema analogue, like Q16/Q17 before it).
+
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+Q6_D100_LO, Q6_D100_HI = 5, 7  # discount on the exact 1/100 grid
+Q6_QTY_BOUND = 24.0
+
+
+def _grid_rev(t: pa.Table) -> "tuple":
+    """(cents, d100) int64 arrays from the exact money/discount grids —
+    the q5 lesson factored: l_extendedprice lives on the cents grid and
+    l_discount on the 1/100 grid, so cents x (100 - d100) sums are
+    int64-exact and the value hash cannot flip on summation order."""
+    import numpy as np
+
+    cents = round_half_away(
+        t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0, 0
+    ).astype(np.int64)
+    d100 = round_half_away(
+        t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0, 0
+    ).astype(np.int64)
+    return cents, d100
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — forecasting revenue change: one filtered global
+    aggregate, revenue = sum(extendedprice * discount) over a one-year
+    ship window, a discount band, and a quantity cap.
+
+    The cheapest possible distributed plan and the registry's pushdown
+    showcase: a column-pruned scan (4 of 11 lineitem columns leave
+    storage), a vectorized per-block filter, and ONE partial row per
+    block to the driver — no exchange at all, O(blocks) rows move.
+    Revenue rides the exact integer grid (cents x d100, see `_grid_rev`);
+    the empty/none-matched case pins COALESCE(,0) semantics on both
+    sides (SUM over nothing is NULL in SQL — the oracle coalesces, so a
+    fully-empty corpus still compares exactly)."""
+    import numpy as np
+
+    lo = pc.strptime(Q6_DATE_LO, format="%Y-%m-%d", unit="us").as_py()
+    hi = pc.strptime(Q6_DATE_HI, format="%Y-%m-%d", unit="us").as_py()
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        cents, d100 = _grid_rev(t)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        m = (d100 >= Q6_D100_LO) & (d100 <= Q6_D100_HI) & (qty < Q6_QTY_BOUND)
+        return pa.table(
+            {
+                "revenue_x10000": pa.array([int((cents[m] * d100[m]).sum())]),
+                "n_lines": pa.array([int(m.sum())]),
+            }
+        )
+
+    parts = typed_collect(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_shipdate", "l_extendedprice", "l_discount", "l_quantity"],
+            rows_per_block=200_000,
+        ).map_batches(partial, batch_format="pyarrow"),
+        pa.schema([("revenue_x10000", pa.int64()), ("n_lines", pa.int64())]),
+    )
+    rev = int(parts["revenue_x10000"].sum())
+    return pd.DataFrame(
+        {
+            "revenue_x10000": pd.Series([rev], dtype="int64"),
+            "revenue": pd.Series([np.float64(rev) / 10000.0], dtype="float64"),
+            "n_lines": pd.Series([int(parts["n_lines"].sum())], dtype="int64"),
+        }
+    )
+
+
+Q14_DATE_LO = "1996-09-01"
+Q14_DATE_HI = "1996-10-01"
+Q14_PROMO_TYPE = "PROMO"
+
+
+class _PromoRevPartial:
+    """Per-block Q14 combiner: broadcast (p_partkey -> is-promo) flags,
+    inner-join semantics on the part lookup (dangling l_partkey rows
+    DROP, the hostile-star lesson), one partial row per block."""
+
+    def __init__(self, lookup_ref, lo, hi):
+        import ray
+
+        keys, flags = ray.get(lookup_ref)
+        self.keys = pa.array(keys)
+        self.flags = flags  # numpy bool, indexed by lookup position
+        self.lo, self.hi = lo, hi
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = t.column("l_shipdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, self.lo), pc.less(d, self.hi)))
+        idx = pc.index_in(t.column("l_partkey"), value_set=self.keys)
+        keep = pc.is_valid(idx)
+        t, idx = t.filter(keep), idx.filter(keep)
+        cents, d100 = _grid_rev(t)
+        rev = cents * (100 - d100)
+        promo = (
+            self.flags[idx.to_numpy(zero_copy_only=False)]
+            if len(t)
+            else np.zeros(0, bool)
+        )
+        return pa.table(
+            {
+                "promo_x10000": pa.array([int(rev[promo].sum())]),
+                "total_x10000": pa.array([int(rev.sum())]),
+            }
+        )
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape — promotion effect: the share of one month's
+    revenue from PROMO-type parts (p_type stands in for the reference's
+    'PROMO%' prefix; this schema's types are single words).
+
+    Plan: part is the classic broadcast side (~0.2% of lineitem rows at
+    any TPC-H-proportioned scale) — ONE (p_partkey, is-promo) pair of
+    arrays rides `ray.put`, each block filters the ship-month, drops
+    dangling part keys (inner-join semantics), and reduces to one
+    (promo, total) integer-grid partial row; the driver folds O(blocks)
+    rows.  No exchange.  The percentage is the same IEEE expression on
+    both sides (100.0 * promo / total on the exact int64 sums), with the
+    CASE total=0 -> 0.0 guard pinned in both engine and oracle."""
+    import numpy as np
+    import ray
+
+    part = typed_collect(_read(sf_dir, "part", ["p_partkey", "p_type"]))
+    lookup_ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            (part["p_type"] == Q14_PROMO_TYPE).to_numpy(bool),
+        )
+    )
+    lo = pc.strptime(Q14_DATE_LO, format="%Y-%m-%d", unit="us").as_py()
+    hi = pc.strptime(Q14_DATE_HI, format="%Y-%m-%d", unit="us").as_py()
+
+    parts = typed_collect(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+            rows_per_block=200_000,
+        ).map_batches(
+            warm_stage(_PromoRevPartial, lookup_ref=lookup_ref, lo=lo, hi=hi),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("promo_x10000", pa.int64()), ("total_x10000", pa.int64())]),
+    )
+    promo = int(parts["promo_x10000"].sum())
+    total = int(parts["total_x10000"].sum())
+    pct = 0.0 if total == 0 else 100.0 * np.float64(promo) / np.float64(total)
+    return pd.DataFrame(
+        {
+            "promo_x10000": pd.Series([promo], dtype="int64"),
+            "total_x10000": pd.Series([total], dtype="int64"),
+            "promo_pct": pd.Series([pct], dtype="float64"),
+        }
+    )
+
+
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — top supplier(s): revenue per supplier over one
+    quarter, return every supplier tied at the maximum (the reference's
+    revenue VIEW + MAX subquery, as a dataflow).
+
+    Plan: one combiner pass reduces lineitem to per-supplier integer-grid
+    partials merged by `_two_regime_sum` (the only exchange, and only
+    above the driver bound — the reduced table is O(suppliers));
+    the global max is a Ray scalar aggregate over the REDUCED table;
+    the winners (ties only — a handful of rows at any scale) filter
+    vectorized, collect, and take names from a footer-pruned supplier
+    read filtered by winner-key membership.  No sort anywhere."""
+    import numpy as np
+
+    lo = pc.strptime(Q15_DATE_LO, format="%Y-%m-%d", unit="us").as_py()
+    hi = pc.strptime(Q15_DATE_HI, format="%Y-%m-%d", unit="us").as_py()
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        cents, d100 = _grid_rev(t)
+        tt = pa.table(
+            {
+                "l_suppkey": t.column("l_suppkey"),
+                "total_x10000": pa.array(cents * (100 - d100)),
+            }
+        )
+        g = tt.group_by("l_suppkey").aggregate([("total_x10000", "sum")])
+        return g.rename_columns(["l_suppkey", "total_x10000"])
+
+    red, n_red = _two_regime_sum(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+            rows_per_block=200_000,
+        ).map_batches(li_partial, batch_format="pyarrow"),
+        ["l_suppkey"],
+        ["total_x10000"],
+    )
+    empty = pd.DataFrame(
+        {
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype=object),
+            "total_revenue_x10000": pd.Series([], dtype="int64"),
+            "total_revenue": pd.Series([], dtype="float64"),
+        }
+    )
+    if n_red == 0:
+        return empty
+    # the reduced table feeds TWO consumers (scalar max + winner filter):
+    # pin it so the distributed-regime groupby doesn't re-shuffle twice
+    red = red.materialize()
+    best = int(red.max("total_x10000"))
+
+    def keep_best(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("total_x10000"), pa.scalar(best, pa.int64())))
+
+    winners = typed_collect(
+        red.map_batches(keep_best, batch_format="pyarrow"),
+        pa.schema([("l_suppkey", pa.int64()), ("total_x10000", pa.int64())]),
+    )
+    import ray
+
+    keys_ref = ray.put(winners["l_suppkey"].to_numpy(np.int64))
+    names = typed_collect(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+            warm_stage(_Membership, keys_ref=keys_ref, key_col="s_suppkey"),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())]),
+    )
+    out = names.merge(
+        winners.rename(columns={"l_suppkey": "s_suppkey"}), on="s_suppkey"
+    )
+    if len(out) == 0:  # winner keys all dangling: inner-join-empty result
+        return empty
+    out = out.rename(columns={"total_x10000": "total_revenue_x10000"})
+    out["total_revenue"] = (
+        out["total_revenue_x10000"].to_numpy(np.int64).astype(np.float64) / 10000.0
+    )
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["total_revenue_x10000"] = out["total_revenue_x10000"].astype("int64")
+    return (
+        out[["s_suppkey", "s_name", "total_revenue_x10000", "total_revenue"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+Q13_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape — customer order-count distribution: how many
+    customers placed exactly k qualifying orders, INCLUDING k = 0 (the
+    o_orderpriority exclusion stands in for the reference's o_comment
+    NOT LIKE filter; this schema has no comment column).
+
+    Plan (the q_left_join_order_counts shape + a histogram-of-counts
+    tail):
+      - orders reduce to per-customer count partials BEFORE any join
+        (per-block combiner, `_two_regime_sum` keyed on o_custkey) — the
+        one O(customers)-keyed exchange;
+      - customer LEFT OUTER joins the reduced counts (right side
+        `_join_pad`ed; dangling order custkeys drop as unmatched right
+        rows, exactly the LEFT-join semantics), nulls fill to 0;
+      - the c_count -> custdist histogram is a per-block combiner + a
+        driver fold over O(distinct counts x blocks) rows — integer
+        counting end to end."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .sizing import shuffle_partitions
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.not_equal(t.column("o_orderpriority"), Q13_EXCLUDED_PRIORITY)
+        )
+        tt = pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "n": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        g = tt.group_by("o_custkey").aggregate([("n", "sum")])
+        return g.rename_columns(["o_custkey", "n"])
+
+    red, _ = _two_regime_sum(
+        _read(
+            sf_dir, "orders", ["o_custkey", "o_orderpriority"], rows_per_block=200_000
+        ).map_batches(ord_partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        ["n"],
+    )
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if n_cust == 0:
+        # an all-empty LEFT side kills Ray's join; the footer already
+        # proves the answer is empty
+        return pd.DataFrame(
+            {
+                "c_count": pd.Series([], dtype="int64"),
+                "custdist": pd.Series([], dtype="int64"),
+            }
+        )
+    n_parts = shuffle_partitions(n_cust)
+    joined = (
+        _read(sf_dir, "customer", ["c_custkey"])
+        .repartition(n_parts)
+        .join(
+            _join_pad(
+                red, pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())])
+            ),
+            join_type="left_outer",
+            num_partitions=n_parts,
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        )
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "c_count": pc.fill_null(t.column("n"), 0).cast(pa.int64()),
+                "custdist": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        g = tt.group_by("c_count").aggregate([("custdist", "sum")])
+        return g.rename_columns(["c_count", "custdist"])
+
+    parts = typed_collect(
+        joined.map_batches(hist, batch_format="pyarrow"),
+        pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())]),
+    )
+    out = parts.groupby("c_count", as_index=False)["custdist"].sum()
+    for c in ("c_count", "custdist"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — the three OR'd branches
+Q19_BRANCHES = (
+    ("Brand#1", 1, 5, 1.0, 11.0),
+    ("Brand#2", 1, 10, 10.0, 20.0),
+    ("Brand#3", 1, 15, 20.0, 30.0),
+)
+
+
+class _DisjunctiveRevPartial:
+    """Per-block Q19 combiner: broadcast (p_partkey -> brand, size),
+    vectorized 3-branch disjunction, one integer-grid partial row."""
+
+    def __init__(self, lookup_ref):
+        import ray
+
+        keys, brands, sizes = ray.get(lookup_ref)
+        self.keys = pa.array(keys)
+        self.brands = brands  # numpy object array
+        self.sizes = sizes  # numpy int64
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        idx = pc.index_in(t.column("l_partkey"), value_set=self.keys)
+        keep = pc.is_valid(idx)
+        t, idx = t.filter(keep), idx.filter(keep)
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "revenue_x10000": pa.array([0], pa.int64()),
+                    "n_lines": pa.array([0], pa.int64()),
+                }
+            )
+        pos = idx.to_numpy(zero_copy_only=False)
+        brand, size = self.brands[pos], self.sizes[pos]
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        m = np.zeros(len(t), bool)
+        for b, s_lo, s_hi, q_lo, q_hi in Q19_BRANCHES:
+            m |= (
+                (brand == b)
+                & (size >= s_lo)
+                & (size <= s_hi)
+                & (qty >= q_lo)
+                & (qty <= q_hi)
+            )
+        cents, d100 = _grid_rev(t)
+        rev = cents * (100 - d100)
+        return pa.table(
+            {
+                "revenue_x10000": pa.array([int(rev[m].sum())]),
+                "n_lines": pa.array([int(m.sum())]),
+            }
+        )
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape — discounted revenue under a DISJUNCTION of
+    (brand, size-range, quantity-range) branches (p_size stands in for
+    the reference's container list; this schema has no container).
+
+    The disjunctive-predicate class: no single filter pushes down, so
+    the plan broadcasts part's two probe columns once (`ray.put`,
+    ~0.2% of lineitem at TPC-H proportions), evaluates all three
+    branches as ONE vectorized boolean pass per block, and reduces each
+    block to one integer-grid partial row — O(blocks) rows to the
+    driver, no exchange.  Dangling part keys drop (inner-join
+    semantics); COALESCE(,0) is pinned on both sides."""
+    import numpy as np
+    import ray
+
+    part = typed_collect(_read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]))
+    lookup_ref = ray.put(
+        (
+            part["p_partkey"].to_numpy(np.int64),
+            part["p_brand"].to_numpy(object),
+            part["p_size"].to_numpy(np.int64),
+        )
+    )
+    parts = typed_collect(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+            rows_per_block=200_000,
+        ).map_batches(
+            warm_stage(_DisjunctiveRevPartial, lookup_ref=lookup_ref),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("revenue_x10000", pa.int64()), ("n_lines", pa.int64())]),
+    )
+    rev = int(parts["revenue_x10000"].sum())
+    return pd.DataFrame(
+        {
+            "revenue_x10000": pd.Series([rev], dtype="int64"),
+            "revenue": pd.Series([np.float64(rev) / 10000.0], dtype="float64"),
+            "n_lines": pd.Series([int(parts["n_lines"].sum())], dtype="int64"),
+        }
+    )

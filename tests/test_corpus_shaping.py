@@ -749,6 +749,10 @@ RELATIONAL_ORACLE_QUERIES = [
     "q17_small_qty_revenue",
     "q16_supplier_variety",
     "q_pagerank_bipartite",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
 ]
 
 
@@ -807,6 +811,25 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
         qty[200:204] = 2.0
         qty[204] = 42.0
 
+    # TPC-H-batch window plants, BOTH variants (the base corpus ships
+    # within minutes of 1996-07-01, outside every windowed query): land
+    # a slice in the q6/q15 window (Feb 1996) and one in the q14 ship
+    # month (Sep 1996), plus exact window-edge rows (>= lo included,
+    # < hi excluded on both sides)
+    us = lambda s: int(
+        np.datetime64(s).astype("datetime64[us]").astype(np.int64)
+    )
+    ship[n - 80 : n - 40] = us("1996-02-14") + rng.randint(
+        -10**9, 10**9, 40
+    )
+    ship[n - 40 : n - 6] = us("1996-09-11") + rng.randint(-10**9, 10**9, 34)
+    ship[n - 6] = us("1996-01-01")  # q6/q15 lo: included
+    ship[n - 5] = us("1996-04-01")  # q15 hi: excluded, q6 mid: included
+    ship[n - 4] = us("1997-01-01")  # q6 hi: excluded
+    ship[n - 3] = us("1997-01-01") - 1  # last us inside q6
+    ship[n - 2] = us("1996-09-01")  # q14 lo: included
+    ship[n - 1] = us("1996-10-01")  # q14 hi: excluded
+
     import pyarrow.parquet as pq_ 
 
     li = pa.table(
@@ -832,7 +855,10 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
             "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
             "p_name": pa.array([f"part {i}" for i in range(n_part)]),
             "p_brand": pa.array([f"Brand#{i % 7}" for i in range(n_part)]),
-            "p_type": pa.array(["t"] * n_part),
+            # every 5th part is PROMO so q14's promo share is nontrivial
+            "p_type": pa.array(
+                ["PROMO" if i % 5 == 0 else "t" for i in range(n_part)]
+            ),
             # sizes straddle the bloom threshold, incl. exactly 48
             "p_size": pa.array(
                 (np.arange(n_part) % 51).astype(np.int32), pa.int32()
@@ -890,6 +916,7 @@ STAR_ORACLE_QUERIES = [
     "q4_order_priority",
     "q10_returned_revenue",
     "q18_large_volume_customers",
+    "q13_customer_distribution",
 ]
 
 
@@ -956,7 +983,12 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
                 pa.timestamp("us")
             ),
             "o_orderpriority": pa.array(
-                [["1-URGENT", "3-MEDIUM", "5-LOW"][i % 3] for i in range(n_ord)]
+                # includes q13's excluded class so its join-condition
+                # filter actually cuts rows
+                [
+                    ["1-URGENT", "3-MEDIUM", "5-LOW", "4-NOT SPECIFIED"][i % 4]
+                    for i in range(n_ord)
+                ]
             ),
         }
     )
