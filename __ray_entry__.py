@@ -366,6 +366,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": R.q15_top_supplier,
         "q13_customer_distribution": R.q13_customer_distribution,
         "q19_discounted_revenue": R.q19_discounted_revenue,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q8_market_share": R.q8_market_share,
+        "q9_product_profit": R.q9_product_profit,
+        "q22_sales_opportunity": R.q22_sales_opportunity,
     }
 
 
@@ -2642,6 +2646,101 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS revenue_x10000, "
             "CAST(COALESCE(SUM(rev), 0) AS DOUBLE) / 10000.0 AS revenue, "
             "CAST(COUNT(*) AS BIGINT) AS n_lines FROM j"
+        ),
+        "q7_volume_shipping": (
+            # the cross-nation predicate compares nationKEYS (exactly what
+            # the engine filters); revenue on the exact integer grid
+            "WITH pair AS (SELECT n_nationkey, n_name FROM nation "
+            f"WHERE n_name IN ('{R.Q7_NATION_A}', '{R.Q7_NATION_B}')), "
+            "li AS (SELECT l_orderkey, l_suppkey, "
+            "CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem "
+            f"WHERE l_shipdate >= TIMESTAMP '{R.Q7_DATE_LO}' "
+            f"AND l_shipdate < TIMESTAMP '{R.Q7_DATE_HI}'), "
+            "j AS (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "li.l_year, li.rev FROM li "
+            "JOIN supplier s ON s.s_suppkey = li.l_suppkey "
+            "JOIN pair sn ON sn.n_nationkey = s.s_nationkey "
+            "JOIN orders o ON o.o_orderkey = li.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN pair cn ON cn.n_nationkey = c.c_nationkey "
+            "WHERE sn.n_nationkey <> cn.n_nationkey) "
+            "SELECT supp_nation, cust_nation, l_year, "
+            "CAST(SUM(rev) AS BIGINT) AS revenue_x10000, "
+            "CAST(SUM(rev) AS DOUBLE) / 10000.0 AS revenue "
+            "FROM j GROUP BY supp_nation, cust_nation, l_year "
+            "ORDER BY supp_nation, cust_nation, l_year"
+        ),
+        "q8_market_share": (
+            # share = the same IEEE division of the same exact int64 sums;
+            # CASE total=0 -> 0.0 pinned on both sides
+            "WITH li AS (SELECT l_orderkey, s_nationkey, "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev "
+            "FROM lineitem "
+            f"JOIN part ON p_partkey = l_partkey AND p_type = '{R.Q8_PART_TYPE}' "
+            "JOIN supplier ON s_suppkey = l_suppkey), "
+            "j AS (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) "
+            "AS o_year, li.rev, "
+            "CASE WHEN li.s_nationkey IN (SELECT n_nationkey FROM nation "
+            f"WHERE n_name = '{R.Q8_TARGET_NATION}') THEN li.rev ELSE 0 END "
+            "AS target_rev "
+            "FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "WHERE c.c_nationkey IN (SELECT n_nationkey FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey "
+            f"WHERE r_name = '{R.Q8_REGION}') "
+            f"AND o.o_orderdate >= TIMESTAMP '{R.Q8_DATE_LO}' "
+            f"AND o.o_orderdate < TIMESTAMP '{R.Q8_DATE_HI}') "
+            "SELECT o_year, CAST(SUM(target_rev) AS BIGINT) AS target_x10000, "
+            "CAST(SUM(rev) AS BIGINT) AS total_x10000, "
+            "CASE WHEN SUM(rev) = 0 THEN 0.0 ELSE "
+            "CAST(SUM(target_rev) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE) END "
+            "AS mkt_share FROM j GROUP BY o_year ORDER BY o_year"
+        ),
+        "q9_product_profit": (
+            # no partsupp in this schema: profit = revenue on the exact
+            # grid; the dataflow (2 broadcast probes + 1 exchange) is the
+            # parity target
+            "WITH li AS (SELECT l_orderkey, s_nationkey, "
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS profit "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            f"AND p_name LIKE '%{R.Q9_NAME_SUBSTR}%' "
+            "JOIN supplier ON s_suppkey = l_suppkey), "
+            "j AS (SELECT n_name AS nation, "
+            "CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year, profit "
+            "FROM li JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN nation ON n_nationkey = s_nationkey) "
+            "SELECT nation, o_year, CAST(SUM(profit) AS BIGINT) "
+            "AS profit_x10000, CAST(SUM(profit) AS DOUBLE) / 10000.0 "
+            "AS profit FROM j GROUP BY nation, o_year "
+            "ORDER BY nation, o_year DESC"
+        ),
+        "q22_sales_opportunity": (
+            # the avg threshold is never divided: integer
+            # cross-multiplication (cents x n > sum) on both sides, so the
+            # boundary customer cannot flip (and AVG()'s
+            # implementation-defined accumulation is never evaluated)
+            "WITH mem AS (SELECT c_custkey, n_name, "
+            "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents "
+            "FROM customer JOIN nation ON n_nationkey = c_nationkey "
+            "WHERE n_name IN ("
+            + ", ".join(f"'{n}'" for n in R.Q22_NATIONS)
+            + ")), "
+            "a AS (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS s, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM mem WHERE cents > 0), "
+            "cand AS (SELECT mem.* FROM mem, a "
+            "WHERE a.n > 0 AND mem.cents * a.n > a.s), "
+            "quiet AS (SELECT cand.* FROM cand LEFT JOIN "
+            "(SELECT DISTINCT o_custkey FROM orders) o "
+            "ON o.o_custkey = cand.c_custkey WHERE o.o_custkey IS NULL) "
+            "SELECT n_name AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust, "
+            "CAST(SUM(cents) AS BIGINT) AS totacctbal_x100, "
+            "CAST(SUM(cents) AS DOUBLE) / 100.0 AS totacctbal "
+            "FROM quiet GROUP BY n_name ORDER BY n_name"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

@@ -217,6 +217,10 @@ QUERY_NAMES = [
     "q15_top_supplier",
     "q13_customer_distribution",
     "q19_discounted_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q22_sales_opportunity",
 ]
 
 

@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .frames import typed_collect
-from .textops import warm_stage
+from .textops import warm_factory, warm_stage
 
 
 def _read(sf_dir: str, table: str, columns=None, rows_per_block: int = None):
@@ -5495,4 +5495,731 @@ def q19_discounted_revenue(sf_dir: str):
             "revenue": pd.Series([np.float64(rev) / 10000.0], dtype="float64"),
             "n_lines": pd.Series([int(parts["n_lines"].sum())], dtype="int64"),
         }
+    )
+
+
+class _IntLookup:
+    """Generic broadcast (key -> int64 value) projection with INNER-join
+    semantics (dangling keys DROP — the hostile-star lesson): the int
+    sibling of `_ValueLookup`, for foreign-key -> nationkey style hops
+    where the small side is the classic broadcast relation."""
+
+    def __init__(self, lookup_ref, key_col, value_name, keep_cols=()):
+        import ray
+
+        keys, values = ray.get(lookup_ref)
+        self.keys = pa.array(keys)
+        self.values = pa.array(values, pa.int64())
+        self.key_col = key_col
+        self.value_name = value_name
+        self.keep_cols = keep_cols
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column(self.key_col), value_set=self.keys)
+        keep = pc.is_valid(idx)
+        t, idx = t.filter(keep), idx.filter(keep)
+        cols = {self.value_name: pc.take(self.values, idx)}
+        for c in self.keep_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_DATE_LO = "1995-01-01"
+Q7_DATE_HI = "1997-01-01"
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape — volume shipping between two nations: revenue by
+    (supplier nation, customer nation, ship year) for lineitems where the
+    supplier sits in one of the pair and the customer in the OTHER,
+    within a two-year ship window.
+
+    Plan: supplier is the classic broadcast side (~1e-5 of lineitem at
+    TPC-H proportions) — a (suppkey -> nationkey) lookup PRE-filtered to
+    the pair rides `ray.put`, so lineitem blocks drop out-of-pair rows
+    before anything moves; two keyed hash exchanges recover the customer
+    side (lineitem JOIN orders ON orderkey, JOIN pair-filtered customer
+    ON custkey), each `_join_pad`ed and data-proportionally partitioned;
+    the cross-nation predicate (supp != cust) is a vectorized post-join
+    filter and the final exchange is a `_two_regime_sum` over per-block
+    (supp, cust, year) combiner partials — O(2 x years x blocks) rows.
+    Revenue on the exact cents x (100-d100) grid; the ship YEAR is the
+    same calendar extraction both sides."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from .sizing import shuffle_partitions
+
+    nation = typed_collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    pair = nation[nation["n_name"].isin([Q7_NATION_A, Q7_NATION_B])]
+    name_map = dict(zip(pair["n_nationkey"].astype(int), pair["n_name"]))
+    pair_keys = pair["n_nationkey"].to_numpy(np.int32)
+
+    supp = typed_collect(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    supp = supp[supp["s_nationkey"].isin(set(pair_keys.tolist()))]
+    supp_ref = ray.put(
+        (supp["s_suppkey"].to_numpy(np.int64), supp["s_nationkey"].to_numpy(np.int64))
+    )
+    ckeys_ref = ray.put(pair_keys)
+
+    lo = pc.strptime(Q7_DATE_LO, format="%Y-%m-%d", unit="us").as_py()
+    hi = pc.strptime(Q7_DATE_HI, format="%Y-%m-%d", unit="us").as_py()
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+
+    class _LiProject:
+        def __init__(self):
+            keys, nats = ray.get(supp_ref)
+            self.keys, self.nats = pa.array(keys), nats
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d = t.column("l_shipdate")
+            t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+            idx = pc.index_in(t.column("l_suppkey"), value_set=self.keys)
+            keep = pc.is_valid(idx)
+            t, idx = t.filter(keep), idx.filter(keep)
+            cents, d100 = _grid_rev(t)
+            pos = (
+                idx.to_numpy(zero_copy_only=False)
+                if len(t)
+                else np.zeros(0, np.int64)
+            )
+            return pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "supp_nat": pa.array(self.nats[pos], pa.int64()),
+                    "l_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+                    "rev": pa.array(cents * (100 - d100)),
+                }
+            )
+
+    li_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("supp_nat", pa.int64()),
+            ("l_year", pa.int64()),
+            ("rev", pa.int64()),
+        ]
+    )
+    li = _join_pad(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+            rows_per_block=200_000,
+        ).map_batches(
+            warm_factory(("q7_li", supp_ref.hex()), _LiProject),
+            batch_format="pyarrow",
+        ),
+        li_schema,
+    )
+
+    ords = _join_pad(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"], rows_per_block=200_000),
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    )
+    li_ord = li.join(
+        ords,
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_li),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    cust = _join_pad(
+        _read(
+            sf_dir, "customer", ["c_custkey", "c_nationkey"], rows_per_block=200_000
+        ).map_batches(
+            warm_stage(_Membership, keys_ref=ckeys_ref, key_col="c_nationkey"),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int32())]),
+    )
+    joined = _join_pad(
+        li_ord,
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("supp_nat", pa.int64()),
+                ("l_year", pa.int64()),
+                ("rev", pa.int64()),
+                ("o_custkey", pa.int64()),
+            ]
+        ),
+    ).join(
+        cust,
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_li),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        cn = t.column("c_nationkey").cast(pa.int64())
+        t = t.append_column("cust_nat", cn)
+        t = t.filter(pc.not_equal(t.column("supp_nat"), t.column("cust_nat")))
+        g = (
+            t.select(["supp_nat", "cust_nat", "l_year", "rev"])
+            .group_by(["supp_nat", "cust_nat", "l_year"])
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["supp_nat", "cust_nat", "l_year", "rev"])
+
+    red, _ = _two_regime_sum(
+        joined.map_batches(combine, batch_format="pyarrow"),
+        ["supp_nat", "cust_nat", "l_year"],
+        ["rev"],
+    )
+    df = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("supp_nat", pa.int64()),
+                ("cust_nat", pa.int64()),
+                ("l_year", pa.int64()),
+                ("rev", pa.int64()),
+            ]
+        ),
+    )
+    # astype(object): .map over an EMPTY int series infers float64 and
+    # the dtype-class compare trips on the 0-row corpus
+    df["supp_nation"] = df["supp_nat"].map(name_map).astype(object)
+    df["cust_nation"] = df["cust_nat"].map(name_map).astype(object)
+    df = df[df["supp_nation"].notna() & df["cust_nation"].notna()]
+    df = df.rename(columns={"rev": "revenue_x10000"})
+    import numpy as np
+
+    df["revenue"] = (
+        df["revenue_x10000"].to_numpy(np.int64).astype(np.float64) / 10000.0
+    )
+    for c in ("l_year", "revenue_x10000"):
+        df[c] = df[c].astype("int64")
+    return (
+        df[["supp_nation", "cust_nation", "l_year", "revenue_x10000", "revenue"]]
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+
+
+Q8_REGION = "EUROPE"
+Q8_PART_TYPE = "ECONOMY"
+Q8_TARGET_NATION = "NATION_3"
+Q8_DATE_LO = "1996-01-01"
+Q8_DATE_HI = "1998-01-01"
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape — national market share: the fraction of one
+    region's customers' revenue in one part type supplied by the target
+    nation, per order year.
+
+    Plan: part (type-filtered) and supplier are broadcast probe sides —
+    lineitem blocks drop non-qualifying parts at the scan and tag each
+    surviving row with an is-target flag from the supplier lookup
+    (dangling part/supp keys drop, inner semantics); the order year and
+    the region membership arrive through two keyed hash exchanges
+    (lineitem JOIN window-filtered orders ON orderkey, then JOIN
+    region-filtered customer ON custkey — the customer SEMI side carries
+    only c_custkey); per-block combiners reduce to (year, target, total)
+    integer partials before the final tiny `_two_regime_sum`.  The share
+    is the same IEEE expression on the same exact int64 sums, CASE
+    total=0 -> 0.0 pinned on both sides."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from .sizing import shuffle_partitions
+
+    nation = typed_collect(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    )
+    region = typed_collect(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    rkeys = set(region.loc[region["r_name"] == Q8_REGION, "r_regionkey"].tolist())
+    region_nkeys = nation.loc[
+        nation["n_regionkey"].isin(rkeys), "n_nationkey"
+    ].to_numpy(np.int32)
+    target_keys = set(
+        nation.loc[nation["n_name"] == Q8_TARGET_NATION, "n_nationkey"]
+        .astype(int)
+        .tolist()
+    )
+
+    part = typed_collect(_read(sf_dir, "part", ["p_partkey", "p_type"]))
+    pkeys_ref = ray.put(
+        part.loc[part["p_type"] == Q8_PART_TYPE, "p_partkey"].to_numpy(np.int64)
+    )
+    supp = typed_collect(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    supp_ref = ray.put(
+        (
+            supp["s_suppkey"].to_numpy(np.int64),
+            supp["s_nationkey"].astype(int).isin(target_keys).to_numpy(bool),
+        )
+    )
+    cust_keys_ref = ray.put(region_nkeys)
+
+    lo = pc.strptime(Q8_DATE_LO, format="%Y-%m-%d", unit="us").as_py()
+    hi = pc.strptime(Q8_DATE_HI, format="%Y-%m-%d", unit="us").as_py()
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+
+    class _LiProject:
+        def __init__(self):
+            self.pkeys = pa.array(ray.get(pkeys_ref))
+            skeys, flags = ray.get(supp_ref)
+            self.skeys, self.flags = pa.array(skeys), flags
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t.column("l_partkey"), value_set=self.pkeys))
+            idx = pc.index_in(t.column("l_suppkey"), value_set=self.skeys)
+            keep = pc.is_valid(idx)
+            t, idx = t.filter(keep), idx.filter(keep)
+            cents, d100 = _grid_rev(t)
+            rev = cents * (100 - d100)
+            pos = (
+                idx.to_numpy(zero_copy_only=False)
+                if len(t)
+                else np.zeros(0, np.int64)
+            )
+            tgt = self.flags[pos] if len(t) else np.zeros(0, bool)
+            return pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "rev": pa.array(rev),
+                    "target_rev": pa.array(np.where(tgt, rev, 0)),
+                }
+            )
+
+    li = _join_pad(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+            rows_per_block=200_000,
+        ).map_batches(
+            warm_factory(("q8_li", pkeys_ref.hex(), supp_ref.hex()), _LiProject),
+            batch_format="pyarrow",
+        ),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("rev", pa.int64()), ("target_rev", pa.int64())]
+        ),
+    )
+
+    def ord_project(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            }
+        )
+
+    ords = _join_pad(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate"],
+            rows_per_block=200_000,
+        ).map_batches(ord_project, batch_format="pyarrow"),
+        pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()), ("o_year", pa.int64())]
+        ),
+    )
+    li_ord = li.join(
+        ords,
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_li),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    cust = _join_pad(
+        _read(
+            sf_dir, "customer", ["c_custkey", "c_nationkey"], rows_per_block=200_000
+        )
+        .map_batches(
+            warm_stage(_Membership, keys_ref=cust_keys_ref, key_col="c_nationkey"),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: t.select(["c_custkey"]), batch_format="pyarrow"
+        ),
+        pa.schema([("c_custkey", pa.int64())]),
+    )
+    joined = _join_pad(
+        li_ord,
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("rev", pa.int64()),
+                ("target_rev", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_year", pa.int64()),
+            ]
+        ),
+    ).join(
+        cust,
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_li),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["o_year", "target_rev", "rev"])
+            .group_by("o_year")
+            .aggregate([("target_rev", "sum"), ("rev", "sum")])
+        )
+        return g.rename_columns(["o_year", "target_x10000", "total_x10000"])
+
+    red, _ = _two_regime_sum(
+        joined.map_batches(combine, batch_format="pyarrow"),
+        ["o_year"],
+        ["target_x10000", "total_x10000"],
+    )
+    df = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("o_year", pa.int64()),
+                ("target_x10000", pa.int64()),
+                ("total_x10000", pa.int64()),
+            ]
+        ),
+    )
+    tot = df["total_x10000"].to_numpy(np.int64).astype(np.float64)
+    tgt = df["target_x10000"].to_numpy(np.int64).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        share = np.where(tot == 0.0, 0.0, tgt / tot)
+    df["mkt_share"] = share.astype(np.float64)
+    for c in ("o_year", "target_x10000", "total_x10000"):
+        df[c] = df[c].astype("int64")
+    return (
+        df[["o_year", "target_x10000", "total_x10000", "mkt_share"]]
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+
+
+Q9_NAME_SUBSTR = "widget"
+
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape — product-type profit by supplier nation and order
+    year, for parts whose name contains a substring (profit = revenue on
+    the exact grid; this schema has no partsupp, so the supplycost term
+    is absent — the dataflow is the point: two broadcast probes + one
+    keyed exchange + a tiny rollup).
+
+    Plan: the part-name predicate resolves ONCE into a broadcast partkey
+    membership set; supplier broadcasts (suppkey -> nationkey); lineitem
+    blocks filter + tag vectorized, the single hash exchange joins orders
+    for the year, and per-block (nation, year) combiners feed
+    `_two_regime_sum` — O(nations x years x blocks) partial rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from .sizing import shuffle_partitions
+
+    nation = typed_collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    name_map = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    part = typed_collect(_read(sf_dir, "part", ["p_partkey", "p_name"]))
+    pkeys_ref = ray.put(
+        part.loc[
+            part["p_name"].str.contains(Q9_NAME_SUBSTR, regex=False), "p_partkey"
+        ].to_numpy(np.int64)
+    )
+    supp = typed_collect(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    supp_ref = ray.put(
+        (supp["s_suppkey"].to_numpy(np.int64), supp["s_nationkey"].to_numpy(np.int64))
+    )
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+
+    class _LiProject:
+        def __init__(self):
+            self.pkeys = pa.array(ray.get(pkeys_ref))
+            skeys, nats = ray.get(supp_ref)
+            self.skeys, self.nats = pa.array(skeys), nats
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t.column("l_partkey"), value_set=self.pkeys))
+            idx = pc.index_in(t.column("l_suppkey"), value_set=self.skeys)
+            keep = pc.is_valid(idx)
+            t, idx = t.filter(keep), idx.filter(keep)
+            cents, d100 = _grid_rev(t)
+            pos = (
+                idx.to_numpy(zero_copy_only=False)
+                if len(t)
+                else np.zeros(0, np.int64)
+            )
+            return pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "s_nat": pa.array(self.nats[pos], pa.int64()),
+                    "profit": pa.array(cents * (100 - d100)),
+                }
+            )
+
+    li = _join_pad(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+            rows_per_block=200_000,
+        ).map_batches(
+            warm_factory(("q9_li", pkeys_ref.hex(), supp_ref.hex()), _LiProject),
+            batch_format="pyarrow",
+        ),
+        pa.schema(
+            [("l_orderkey", pa.int64()), ("s_nat", pa.int64()), ("profit", pa.int64())]
+        ),
+    )
+
+    def ord_project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            }
+        )
+
+    ords = _join_pad(
+        _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderdate"], rows_per_block=200_000
+        ).map_batches(ord_project, batch_format="pyarrow"),
+        pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]),
+    )
+    joined = li.join(
+        ords,
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_li),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["s_nat", "o_year", "profit"])
+            .group_by(["s_nat", "o_year"])
+            .aggregate([("profit", "sum")])
+        )
+        return g.rename_columns(["s_nat", "o_year", "profit"])
+
+    red, _ = _two_regime_sum(
+        joined.map_batches(combine, batch_format="pyarrow"),
+        ["s_nat", "o_year"],
+        ["profit"],
+    )
+    df = typed_collect(
+        red,
+        pa.schema(
+            [("s_nat", pa.int64()), ("o_year", pa.int64()), ("profit", pa.int64())]
+        ),
+    )
+    df["nation"] = df["s_nat"].map(name_map).astype(object)
+    df = df[df["nation"].notna()]  # dangling s_nationkey: inner-join drop
+    df = df.rename(columns={"profit": "profit_x10000"})
+    df["profit"] = (
+        df["profit_x10000"].to_numpy(np.int64).astype(np.float64) / 10000.0
+    )
+    for c in ("o_year", "profit_x10000"):
+        df[c] = df[c].astype("int64")
+    return (
+        df[["nation", "o_year", "profit_x10000", "profit"]]
+        .sort_values(["nation", "o_year"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+
+
+Q22_NATIONS = (
+    "NATION_1",
+    "NATION_3",
+    "NATION_5",
+    "NATION_7",
+    "NATION_9",
+    "NATION_11",
+    "NATION_13",
+)
+
+
+def q22_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape — global sales opportunity: rich-but-inactive
+    customers per nation — above the subset's average positive account
+    balance AND holding NO orders (n_name stands in for the reference's
+    phone country code; this schema has no phone).
+
+    Plan:
+      - pass 1, no exchange: one combiner reduces subset-member
+        positive-balance customers to (sum cents, count) — the average
+        threshold as two exact integers;
+      - the threshold compare is INTEGER CROSS-MULTIPLICATION
+        (cents x count > sum_cents — the t_gopher_rules trick), so no
+        division ever happens and the boundary customer cannot flip
+        between engine and oracle (AVG() itself is never evaluated in
+        SQL either: its accumulation order is implementation-defined);
+      - orders reduce to distinct-custkey partials (`_two_regime_sum`
+        keyed on o_custkey — the one wide exchange, hot-customer
+        immune), then candidates LEFT OUTER join that reduced set and
+        keep the null fringe = customers with no orders.  BOTH sides
+        ride `_join_pad` — the left sentinel surfaces as a left-outer
+        fringe row by design and is dropped by a vectorized
+        is_valid(c_custkey) filter right after the join (a filter that
+        matched no customers must not kill the join);
+      - a per-nation combiner + driver fold finishes: O(nations) rows.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from .sizing import shuffle_partitions
+
+    nation = typed_collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    sub = nation[nation["n_name"].isin(Q22_NATIONS)]
+    name_map = dict(zip(sub["n_nationkey"].astype(int), sub["n_name"]))
+    nkeys_ref = ray.put(sub["n_nationkey"].to_numpy(np.int32))
+
+    empty = pd.DataFrame(
+        {
+            "cntry": pd.Series([], dtype=object),
+            "numcust": pd.Series([], dtype="int64"),
+            "totacctbal_x100": pd.Series([], dtype="int64"),
+            "totacctbal": pd.Series([], dtype="float64"),
+        }
+    )
+
+    class _SubsetCents:
+        """Subset-member customers with exact-cents balances."""
+
+        def __init__(self):
+            self.keys = pa.array(ray.get(nkeys_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t.column("c_nationkey"), value_set=self.keys))
+            cents = round_half_away(
+                t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0, 0
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "c_custkey": t.column("c_custkey"),
+                    "c_nationkey": t.column("c_nationkey").cast(pa.int64()),
+                    "cents": pa.array(cents),
+                }
+            )
+
+    members = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"],
+        rows_per_block=200_000,
+    ).map_batches(
+        warm_factory(("q22_members", nkeys_ref.hex()), _SubsetCents),
+        batch_format="pyarrow",
+    )
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t.column("cents"), pa.scalar(0, pa.int64())))
+        c = pos.column("cents")
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(c).as_py() or 0], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    # pass 1: the threshold digests (tiny; O(blocks) rows to the driver)
+    digests = typed_collect(
+        members.map_batches(avg_partial, batch_format="pyarrow"),
+        pa.schema([("s", pa.int64()), ("n", pa.int64())]),
+    )
+    s_cents, n_pos = int(digests["s"].sum()), int(digests["n"].sum())
+    if n_pos == 0:
+        # AVG over an empty set is NULL in SQL: the comparison selects
+        # nothing, so the whole result is empty
+        return empty
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(cents * n_pos > s_cents))
+
+    cand = members.map_batches(above_avg, batch_format="pyarrow")
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "n": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        g = tt.group_by("o_custkey").aggregate([("n", "sum")])
+        return g.rename_columns(["o_custkey", "n"])
+
+    active, _ = _two_regime_sum(
+        _read(sf_dir, "orders", ["o_custkey"], rows_per_block=200_000).map_batches(
+            ord_partial, batch_format="pyarrow"
+        ),
+        ["o_custkey"],
+        ["n"],
+    )
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    n_parts = shuffle_partitions(max(n_cust, 1))
+    cand_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_nationkey", pa.int64()), ("cents", pa.int64())]
+    )
+    joined = _join_pad(cand, cand_schema).join(
+        _join_pad(active, pa.schema([("o_custkey", pa.int64()), ("n", pa.int64())])),
+        join_type="left_outer",
+        num_partitions=n_parts,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        # keep the no-order fringe; drop the left-pad sentinel (null key)
+        t = t.filter(
+            pc.and_(pc.is_null(t.column("n")), pc.is_valid(t.column("c_custkey")))
+        )
+        tt = pa.table(
+            {
+                "c_nationkey": t.column("c_nationkey"),
+                "numcust": pa.array(np.ones(len(t), np.int64)),
+                "totacctbal_x100": t.column("cents"),
+            }
+        )
+        g = tt.group_by("c_nationkey").aggregate(
+            [("numcust", "sum"), ("totacctbal_x100", "sum")]
+        )
+        return g.rename_columns(["c_nationkey", "numcust", "totacctbal_x100"])
+
+    parts = typed_collect(
+        joined.map_batches(nation_partial, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("c_nationkey", pa.int64()),
+                ("numcust", pa.int64()),
+                ("totacctbal_x100", pa.int64()),
+            ]
+        ),
+    )
+    if len(parts) == 0:
+        return empty
+    out = parts.groupby("c_nationkey", as_index=False)[
+        ["numcust", "totacctbal_x100"]
+    ].sum()
+    out["cntry"] = out["c_nationkey"].map(name_map)
+    out = out[out["cntry"].notna()]
+    if len(out) == 0:
+        return empty
+    out["totacctbal"] = (
+        out["totacctbal_x100"].to_numpy(np.int64).astype(np.float64) / 100.0
+    )
+    for c in ("numcust", "totacctbal_x100"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["cntry", "numcust", "totacctbal_x100", "totacctbal"]]
+        .sort_values("cntry")
+        .reset_index(drop=True)
     )

@@ -917,6 +917,10 @@ STAR_ORACLE_QUERIES = [
     "q10_returned_revenue",
     "q18_large_volume_customers",
     "q13_customer_distribution",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q22_sales_opportunity",
 ]
 
 
@@ -942,8 +946,15 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
             "c_name": pa.array(
                 [f"Custömer#{i}" if i % 7 == 0 else f"c{i}" for i in range(n_cust)]
             ),
+            # first half in the unicode nations 0-5, second half in the
+            # TPC-H-named nations 7-12 (the q7/q8/q22 population)
             "c_nationkey": pa.array(
-                (np.arange(n_cust) % 6).astype(np.int32), pa.int32()
+                np.where(
+                    np.arange(n_cust) < n_cust // 2,
+                    np.arange(n_cust) % 6,
+                    7 + np.arange(n_cust) % 6,
+                ).astype(np.int32),
+                pa.int32(),
             ),
             # includes negative and exact .xx5 tie balances
             "c_acctbal": pa.array(
@@ -973,6 +984,9 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
         # q4 plants: orders 7 and 8 pinned inside the Q4 quarter window
         odate[7] = 854_755_200_000_000  # 1997-02-01
         odate[8] = 854_755_200_000_000
+        # q22 plant: customer 38 (nation 9 = NATION_3, acctbal 38.125 —
+        # above the subset's positive average of 29.125) holds NO orders
+        oc[oc == 38] = 37
     orders = pa.table(
         {
             "o_orderkey": pa.array(ok),
@@ -1006,20 +1020,36 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
             ),
         }
     )
+    # keys 7-12 carry the TPC-H-batch constant names (q7 pair, q8
+    # target, q22 subset) and live in the appended EUROPE region (key 5
+    # — NOT key 4, so the nation-4-dangles plant stays intact)
+    tpch_names = [
+        "NATION_1",
+        "NATION_2",
+        "NATION_3",
+        "NATION_5",
+        "NATION_7",
+        "NATION_9",
+    ]
     nation = pa.table(
         {
-            "n_nationkey": pa.array(np.arange(7, dtype=np.int32), pa.int32()),
-            "n_name": pa.array([f"NATIÖN{i}" for i in range(7)]),
+            "n_nationkey": pa.array(np.arange(13, dtype=np.int32), pa.int32()),
+            "n_name": pa.array([f"NATIÖN{i}" for i in range(7)] + tpch_names),
             # region 0 has no nations; key 4 dangles (no region)
             "n_regionkey": pa.array(
-                (1 + np.arange(7) % 4).astype(np.int32), pa.int32()
+                np.concatenate(
+                    [1 + np.arange(7) % 4, np.full(6, 5)]
+                ).astype(np.int32),
+                pa.int32(),
             ),
         }
     )
     region = pa.table(
         {
-            "r_regionkey": pa.array(np.arange(4, dtype=np.int32), pa.int32()),
-            "r_name": pa.array([f"REGIÖN{i}" for i in range(4)]),
+            "r_regionkey": pa.array(
+                np.array([0, 1, 2, 3, 5], np.int32), pa.int32()
+            ),
+            "r_name": pa.array([f"REGIÖN{i}" for i in range(4)] + ["EUROPE"]),
         }
     )
     # hostile lineitem for q3: dangling orderkeys, 1/64-grid prices (the
@@ -1088,9 +1118,15 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
         lflag[np.isin(lk, np.arange(60, 85))] = "N"
         for li_i in (40, 41, 42, *range(50, 75)):
             lflag[li_i] = "R"
+    # q7/q8/q9 columns: part keys (some dangle past the 60-part table)
+    # and supplier keys (25-29 dangle)
+    lpart = rng.randint(0, 70, n_li).astype(np.int64)
+    lsupp = rng.randint(0, 30, n_li).astype(np.int64)
     lineitem = pa.table(
         {
             "l_orderkey": pa.array(lk),
+            "l_partkey": pa.array(lpart),
+            "l_suppkey": pa.array(lsupp),
             "l_extendedprice": pa.array(lprice),
             "l_discount": pa.array(ldisc),
             "l_shipdate": pa.array(lship.astype(np.int64), pa.int64()).cast(
@@ -1098,6 +1134,28 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
             ),
             "l_quantity": pa.array(lqty),
             "l_returnflag": pa.array(lflag.tolist(), pa.string()),
+        }
+    )
+    # part probe table for q8 (ECONOMY membership) and q9 (name LIKE
+    # '%widget%'): types and names cycle so both predicates cut
+    n_part_s = 60
+    part_s = pa.table(
+        {
+            "p_partkey": pa.array(np.arange(n_part_s, dtype=np.int64)),
+            "p_name": pa.array(
+                [
+                    f"blue widget {i}" if i % 4 == 0 else f"pärt {i}"
+                    for i in range(n_part_s)
+                ]
+            ),
+            "p_brand": pa.array([f"Brand#{i % 7}" for i in range(n_part_s)]),
+            "p_type": pa.array(
+                [["ECONOMY", "t", "PROMO"][i % 3] for i in range(n_part_s)]
+            ),
+            "p_size": pa.array(
+                (np.arange(n_part_s) % 51).astype(np.int32), pa.int32()
+            ),
+            "p_retailprice": pa.array(np.ones(n_part_s)),
         }
     )
     d = tmp_path / "adv_star"
@@ -1109,13 +1167,22 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
         ("nation", nation),
         ("region", region),
         ("lineitem", lineitem),
+        ("part", part_s),
     ):
         pq_.write_table(t, str(d / f"{name}.parquet"))
 
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
     con = duckdb.connect()
-    for tbl in ("customer", "orders", "supplier", "nation", "region", "lineitem"):
+    for tbl in (
+        "customer",
+        "orders",
+        "supplier",
+        "nation",
+        "region",
+        "lineitem",
+        "part",
+    ):
         con.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{d}/{tbl}.parquet')"
         )
@@ -1125,6 +1192,11 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
         got = got[sorted(got.columns)].reset_index(drop=True)
         want = want[sorted(want.columns)].reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=True, obj=name)
+    if variant == "fixed":
+        # the rich-orderless-customer-38 plant must actually surface —
+        # an empty-vs-empty q22 pass would be vacuous
+        q22 = con.execute(osql["q22_sales_opportunity"]).df()
+        assert (q22["numcust"] >= 1).any() and "NATION_3" in set(q22["cntry"])
 
 
 EMB_ORACLE_QUERIES = [
