@@ -370,6 +370,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": R.q8_market_share,
         "q9_product_profit": R.q9_product_profit,
         "q22_sales_opportunity": R.q22_sales_opportunity,
+        "q2_min_cost_supplier": R.q2_min_cost_supplier,
+        "q11_important_parts": R.q11_important_parts,
+        "q12_late_lines_by_class": R.q12_late_lines_by_class,
+        "q20_majority_suppliers": R.q20_majority_suppliers,
+        "q21_waiting_suppliers": R.q21_waiting_suppliers,
     }
 
 
@@ -2741,6 +2746,99 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(cents) AS BIGINT) AS totacctbal_x100, "
             "CAST(SUM(cents) AS DOUBLE) / 100.0 AS totacctbal "
             "FROM quiet GROUP BY n_name ORDER BY n_name"
+        ),
+        "q2_min_cost_supplier": (
+            # supply cost = MIN extended price on the exact cents grid
+            # (no partsupp in this schema); the correlated per-part MIN
+            # returns ALL ties, exactly as the reference Q2 does
+            "WITH rs AS (SELECT s_suppkey, s_name, n_name FROM supplier "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey "
+            f"WHERE r_name = '{R.Q2_REGION}'), "
+            "pp AS (SELECT p_partkey FROM part "
+            f"WHERE p_type = '{R.Q2_P_TYPE}' AND p_size >= {R.Q2_P_SIZE_MIN}), "
+            "cost AS (SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, "
+            "CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS cost_x100 FROM lineitem "
+            "JOIN pp ON pp.p_partkey = l_partkey "
+            "JOIN rs ON rs.s_suppkey = l_suppkey GROUP BY 1, 2) "
+            "SELECT c.p_partkey, c.s_suppkey, rs.s_name, rs.n_name AS nation, "
+            "c.cost_x100, CAST(c.cost_x100 AS DOUBLE) / 100.0 AS cost "
+            "FROM cost c JOIN rs ON rs.s_suppkey = c.s_suppkey "
+            "WHERE c.cost_x100 = (SELECT MIN(c2.cost_x100) FROM cost c2 "
+            "WHERE c2.p_partkey = c.p_partkey) "
+            "ORDER BY c.p_partkey, c.s_suppkey"
+        ),
+        "q11_important_parts": (
+            # the fraction threshold is integer cross-multiplication
+            # (value x DEN > total x NUM) — no float share ever computed,
+            # so the boundary part cannot flip (the q22 trick)
+            "WITH v AS (SELECT l_partkey AS p_partkey, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS value_x100 FROM lineitem "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            f"WHERE n_name = '{R.Q11_NATION}' GROUP BY 1), "
+            "t AS (SELECT CAST(COALESCE(SUM(value_x100), 0) AS BIGINT) "
+            "AS total FROM v) "
+            "SELECT p_partkey, value_x100, "
+            "CAST(value_x100 AS DOUBLE) / 100.0 AS value FROM v, t "
+            f"WHERE value_x100 * {R.Q11_FRAC_DEN} > total * {R.Q11_FRAC_NUM} "
+            "ORDER BY value_x100 DESC, p_partkey"
+        ),
+        "q12_late_lines_by_class": (
+            # late = shipped > N days after the order date (no
+            # commit/receipt dates in this schema); returnflag stands in
+            # for shipmode; integer counts are exact by construction
+            "SELECT l_returnflag, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ("
+            + ", ".join(f"'{p}'" for p in R.Q12_HIGH_PRIORITIES)
+            + ") THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ("
+            + ", ".join(f"'{p}'" for p in R.Q12_HIGH_PRIORITIES)
+            + ") THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            f"WHERE l_shipdate >= TIMESTAMP '{R.Q12_DATE_LO}' "
+            f"AND l_shipdate < TIMESTAMP '{R.Q12_DATE_HI}' "
+            f"AND l_shipdate > o_orderdate + INTERVAL {R.Q12_LATE_DAYS} DAY "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "q20_majority_suppliers": (
+            # strict majority as integer cross-multiplication on the x100
+            # quantity grid (2 x supplier qty > part total)
+            "WITH q AS (SELECT l_partkey, l_suppkey, "
+            "CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) "
+            "AS q100 FROM lineitem JOIN part ON p_partkey = l_partkey "
+            f"WHERE p_name LIKE '%{R.Q20_NAME_SUBSTR}%' "
+            f"AND l_shipdate >= TIMESTAMP '{R.Q20_DATE_LO}' "
+            f"AND l_shipdate < TIMESTAMP '{R.Q20_DATE_HI}' GROUP BY 1, 2), "
+            "tot AS (SELECT l_partkey, CAST(SUM(q100) AS BIGINT) AS tq "
+            "FROM q GROUP BY 1), "
+            "win AS (SELECT q.l_suppkey, CAST(COUNT(*) AS BIGINT) "
+            "AS n_parts_major FROM q JOIN tot ON tot.l_partkey = q.l_partkey "
+            "WHERE 2 * q.q100 > tot.tq GROUP BY 1) "
+            "SELECT s_suppkey, s_name, n_name AS nation, n_parts_major "
+            "FROM win JOIN supplier ON s_suppkey = win.l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey ORDER BY s_suppkey"
+        ),
+        "q21_waiting_suppliers": (
+            # the EXISTS / NOT-EXISTS pair as integer algebra over the
+            # DISTINCT (order, supplier, any-late) pair table:
+            # sum(late x suppkey) IS the lone late suppkey when n_late = 1
+            "WITH pair AS (SELECT l_orderkey, l_suppkey, "
+            "MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL "
+            f"{R.Q21_LATE_DAYS} DAY THEN 1 ELSE 0 END) AS late "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE o_orderstatus = 'F' GROUP BY 1, 2), "
+            "o AS (SELECT l_orderkey, COUNT(*) AS n_supps, "
+            "SUM(late) AS n_late, SUM(late * l_suppkey) AS lsupp "
+            "FROM pair GROUP BY 1), "
+            "w AS (SELECT lsupp AS s_suppkey, CAST(COUNT(*) AS BIGINT) "
+            "AS numwait FROM o WHERE n_late = 1 AND n_supps >= 2 GROUP BY 1) "
+            "SELECT s.s_suppkey, s_name, n_name AS nation, numwait "
+            "FROM w JOIN supplier s ON s.s_suppkey = w.s_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "ORDER BY numwait DESC, s.s_suppkey"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

@@ -221,6 +221,11 @@ QUERY_NAMES = [
     "q8_market_share",
     "q9_product_profit",
     "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_lines_by_class",
+    "q20_majority_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -2289,13 +2289,15 @@ def q_left_join_order_counts(sf_dir: str):
     return df.sort_values("c_custkey").reset_index(drop=True)
 
 
-def _two_regime_sum(parts, keys, sum_cols, empty_types=None):
-    """Merge per-block grouped Sum partials through the two-regime plan
-    (the q_retention_cohorts lesson: Ray's sort-shuffle Aggregate pays
-    seconds of fixed machinery PER AGGREGATE COLUMN even on tiny inputs —
-    a driver-sized partial table merges orders of magnitude faster with
-    one pandas groupby).  Returns ``(dataset, n_reduced_rows)``; the row
-    count feeds `sizing.shuffle_partitions` for any downstream exchange.
+def _two_regime_agg(parts, keys, agg_cols, how, empty_types=None):
+    """Merge per-block grouped partials (any decomposable aggregate whose
+    merge is itself: sum-of-sums, min-of-mins, max-of-maxes) through the
+    two-regime plan (the q_retention_cohorts lesson: Ray's sort-shuffle
+    Aggregate pays seconds of fixed machinery PER AGGREGATE COLUMN even
+    on tiny inputs — a driver-sized partial table merges orders of
+    magnitude faster with one pandas groupby).  Returns
+    ``(dataset, n_reduced_rows)``; the row count feeds
+    `sizing.shuffle_partitions` for any downstream exchange.
 
     ``empty_types`` (pyarrow types, keyed by column) pins the schema when
     the partial table is EMPTY — Ray drops all-empty blocks from a
@@ -2303,27 +2305,33 @@ def _two_regime_sum(parts, keys, sum_cols, empty_types=None):
     downstream join with a schemaless side (the q_filter_topk /
     group-sample empty-block lesson)."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Min, Sum
 
-    keys, sum_cols = list(keys), list(sum_cols)
+    agg_cls = {"sum": Sum, "min": Min, "max": Max}[how]
+    keys, agg_cols = list(keys), list(agg_cols)
     parts = parts.materialize()
     n = parts.count()
     if n > PIVOT_DRIVER_MAX_ROWS:
         out = parts.groupby(keys).aggregate(
-            *[Sum(c, alias_name=c) for c in sum_cols]
+            *[agg_cls(c, alias_name=c) for c in agg_cols]
         )
         return out, n
     df = parts.to_pandas()
     if len(df.columns) == 0 or len(df) == 0:
         types = dict(empty_types or {})
         tbl = pa.table(
-            {c: pa.array([], types.get(c, pa.int64())) for c in keys + sum_cols}
+            {c: pa.array([], types.get(c, pa.int64())) for c in keys + agg_cols}
         )
         return rd.from_arrow(tbl), 0
-    red = df.groupby(keys, as_index=False)[sum_cols].sum()
+    red = df.groupby(keys, as_index=False)[agg_cols].agg(how)
     # Arrow-backed blocks: downstream rename/join stages assume Arrow
     # (Ray's rename_columns Project crashes on pandas blocks)
     return rd.from_arrow(pa.Table.from_pandas(red, preserve_index=False)), len(red)
+
+
+def _two_regime_sum(parts, keys, sum_cols, empty_types=None):
+    """Sum form of `_two_regime_agg` (the original; see its docstring)."""
+    return _two_regime_agg(parts, keys, sum_cols, "sum", empty_types=empty_types)
 
 
 def q_full_outer_user_activity(sf_dir: str):
@@ -6221,5 +6229,624 @@ def q22_sales_opportunity(sf_dir: str):
     return (
         out[["cntry", "numcust", "totacctbal_x100", "totacctbal"]]
         .sort_values("cntry")
+        .reset_index(drop=True)
+    )
+
+
+Q2_REGION = "ASIA"
+Q2_P_TYPE = "STANDARD"
+Q2_P_SIZE_MIN = 40
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape — minimum-cost supplier: for every qualifying part
+    (one type, a size band) find the region's supplier(s) offering it at
+    the lowest cost, ALL ties returned (the reference query's correlated
+    MIN subquery).  No partsupp in this schema: supply cost is the
+    MINIMUM extended price at which the supplier ever shipped the part —
+    exact on the cents grid, so the correlated min cannot flip.
+
+    Plan: part (type+size filtered) and region-supplier membership are
+    broadcast probe sides — lineitem blocks drop non-qualifying rows at
+    the scan; a per-block Arrow group_by("min") combiner reduces to
+    (partkey, suppkey, min-cents) partials; `_two_regime_agg(min)` merges
+    (min-of-mins is the same decomposable shape as sum-of-sums); the
+    correlated per-part MIN and the tie filter run over the REDUCED
+    table, bounded by |qualifying parts| x |region suppliers| — catalog
+    order, not corpus order; supplier/nation names arrive from driver
+    dimension lookups.  Zero corpus-order exchanges."""
+    import numpy as np
+
+    nation = typed_collect(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    )
+    region = typed_collect(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    rkeys = set(region.loc[region["r_name"] == Q2_REGION, "r_regionkey"].tolist())
+    nkeys = nation.loc[nation["n_regionkey"].isin(rkeys)]
+    nat_name = dict(zip(nkeys["n_nationkey"].astype(int), nkeys["n_name"]))
+
+    supp = typed_collect(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    )
+    supp = supp[supp["s_nationkey"].astype(int).isin(set(nat_name))]
+    supp_name = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    supp_nat = dict(
+        zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].astype(int))
+    )
+
+    part = typed_collect(_read(sf_dir, "part", ["p_partkey", "p_type", "p_size"]))
+    pkeys = part.loc[
+        (part["p_type"] == Q2_P_TYPE) & (part["p_size"] >= Q2_P_SIZE_MIN),
+        "p_partkey",
+    ].to_numpy(np.int64)
+
+    import ray
+
+    keys_ref = ray.put(
+        (pkeys, supp["s_suppkey"].to_numpy(np.int64))
+    )
+
+    class _CostPartial:
+        def __init__(self):
+            pk, sk = ray.get(keys_ref)
+            self.pk, self.sk = pa.array(pk), pa.array(sk)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.and_(
+                    pc.is_in(t.column("l_partkey"), value_set=self.pk),
+                    pc.is_in(t.column("l_suppkey"), value_set=self.sk),
+                )
+            )
+            cents = round_half_away(
+                t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * 100.0,
+                0,
+            ).astype(np.int64)
+            tt = pa.table(
+                {
+                    "p_partkey": t.column("l_partkey").cast(pa.int64()),
+                    "s_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                    "cost_x100": pa.array(cents),
+                }
+            )
+            g = tt.group_by(["p_partkey", "s_suppkey"]).aggregate(
+                [("cost_x100", "min")]
+            )
+            return g.rename_columns(["p_partkey", "s_suppkey", "cost_x100"])
+
+    parts = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_suppkey", "l_extendedprice"],
+        rows_per_block=200_000,
+    ).map_batches(
+        warm_factory(("q2_cost", keys_ref.hex()), _CostPartial),
+        batch_format="pyarrow",
+    )
+    red, _ = _two_regime_agg(
+        parts, ["p_partkey", "s_suppkey"], ["cost_x100"], "min"
+    )
+    df = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("p_partkey", pa.int64()),
+                ("s_suppkey", pa.int64()),
+                ("cost_x100", pa.int64()),
+            ]
+        ),
+    )
+    if len(df):
+        pmin = df.groupby("p_partkey")["cost_x100"].transform("min")
+        df = df[df["cost_x100"] == pmin].copy()
+    # astype(object): .map over an EMPTY int series infers float64 and the
+    # dtype-class compare trips on the 0-row corpus (the q7 lesson)
+    df["s_name"] = df["s_suppkey"].map(supp_name).astype(object)
+    df["nation"] = (
+        df["s_suppkey"].map(supp_nat).map(nat_name).astype(object)
+    )
+    df["cost"] = df["cost_x100"].to_numpy(np.int64).astype(np.float64) / 100.0
+    for c in ("p_partkey", "s_suppkey", "cost_x100"):
+        df[c] = df[c].astype("int64")
+    return (
+        df[["p_partkey", "s_suppkey", "s_name", "nation", "cost_x100", "cost"]]
+        .sort_values(["p_partkey", "s_suppkey"])
+        .reset_index(drop=True)
+    )
+
+
+Q11_NATION = "NATION_2"
+Q11_FRAC_NUM = 2
+Q11_FRAC_DEN = 1000
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape — important stock identification: parts whose
+    total shipped value from one nation's suppliers exceeds a FRACTION of
+    that nation's grand total (no partsupp in this schema: value =
+    sum of extended price on the cents grid).
+
+    Plan: the nation's supplier keys broadcast (`_Membership`); one
+    per-block combiner reduces lineitem to (partkey, sum-cents) partials;
+    `_two_regime_sum` merges; the global threshold is TWO exact integers
+    (grand total x NUM vs value x DEN — integer cross-multiplication, the
+    q22 trick, so the boundary part cannot flip and the fraction is never
+    a float).  The grand total is a driver fold over the REDUCED
+    per-part table (catalog order); zero corpus-order exchanges."""
+    import numpy as np
+    import ray
+
+    nation = typed_collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nkeys = set(
+        nation.loc[nation["n_name"] == Q11_NATION, "n_nationkey"]
+        .astype(int)
+        .tolist()
+    )
+    supp = typed_collect(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    skeys_ref = ray.put(
+        supp.loc[
+            supp["s_nationkey"].astype(int).isin(nkeys), "s_suppkey"
+        ].to_numpy(np.int64)
+    )
+
+    class _ValuePartial:
+        def __init__(self):
+            self.sk = pa.array(ray.get(skeys_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t.column("l_suppkey"), value_set=self.sk))
+            cents = round_half_away(
+                t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * 100.0,
+                0,
+            ).astype(np.int64)
+            tt = pa.table(
+                {
+                    "p_partkey": t.column("l_partkey").cast(pa.int64()),
+                    "value_x100": pa.array(cents),
+                }
+            )
+            g = tt.group_by("p_partkey").aggregate([("value_x100", "sum")])
+            return g.rename_columns(["p_partkey", "value_x100"])
+
+    parts = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_suppkey", "l_extendedprice"],
+        rows_per_block=200_000,
+    ).map_batches(
+        warm_factory(("q11_value", skeys_ref.hex()), _ValuePartial),
+        batch_format="pyarrow",
+    )
+    red, _ = _two_regime_sum(parts, ["p_partkey"], ["value_x100"])
+    df = typed_collect(
+        red,
+        pa.schema([("p_partkey", pa.int64()), ("value_x100", pa.int64())]),
+    )
+    total = int(df["value_x100"].sum()) if len(df) else 0
+    df = df[
+        df["value_x100"].to_numpy(np.int64) * Q11_FRAC_DEN
+        > total * Q11_FRAC_NUM
+    ].copy()
+    df["value"] = df["value_x100"].to_numpy(np.int64).astype(np.float64) / 100.0
+    for c in ("p_partkey", "value_x100"):
+        df[c] = df[c].astype("int64")
+    return (
+        df[["p_partkey", "value_x100", "value"]]
+        .sort_values(["value_x100", "p_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+Q12_DATE_LO = "1997-01-01"
+Q12_DATE_HI = "1998-01-01"
+Q12_LATE_DAYS = 90
+Q12_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q12_late_lines_by_class(sf_dir: str):
+    """TPC-H Q12 shape — shipping-delay priority split: for lineitems
+    shipped in a one-year window AND shipped LATE (more than N days after
+    the order date — this schema has no commit/receipt dates, the
+    ship-vs-order lag stands in), count high- vs low-priority order lines
+    per return-flag class (standing in for the reference's ship modes).
+
+    Plan: lineitem pre-filters the ship window at the scan (3 of 11
+    columns leave storage) and meets orders through ONE keyed hash
+    exchange on orderkey (both sides `_join_pad`ed, partition count
+    data-proportional); the late predicate is vectorized int64 timestamp
+    arithmetic post-join; a per-block combiner reduces to
+    (returnflag, high, low) partials — O(flags x blocks) rows to the
+    final tiny `_two_regime_sum`.  Integer counts, exact by
+    construction."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from .sizing import shuffle_partitions
+
+    lo = pc.strptime(Q12_DATE_LO, format="%Y-%m-%d", unit="us").as_py()
+    hi = pc.strptime(Q12_DATE_HI, format="%Y-%m-%d", unit="us").as_py()
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+
+    def li_project(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate")
+        t = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return t.select(["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    li = _join_pad(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_returnflag", "l_shipdate"],
+            rows_per_block=200_000,
+        ).map_batches(li_project, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_returnflag", pa.string()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        ),
+    )
+    ords = _join_pad(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_orderdate", "o_orderpriority"],
+            rows_per_block=200_000,
+        ),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+    )
+    joined = li.join(
+        ords,
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_li),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    late_us = Q12_LATE_DAYS * 86_400 * 1_000_000
+
+    def combine(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = t.filter(pa.array(ship - od > late_us))
+        high = pc.is_in(
+            t.column("o_orderpriority"),
+            value_set=pa.array(list(Q12_HIGH_PRIORITIES)),
+        ).to_numpy(zero_copy_only=False)
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "high_line_count": pa.array(high.astype(np.int64)),
+                "low_line_count": pa.array((~high).astype(np.int64)),
+            }
+        )
+        g = tt.group_by("l_returnflag").aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "high_line_count", "low_line_count"]
+        )
+
+    red, _ = _two_regime_sum(
+        joined.map_batches(combine, batch_format="pyarrow"),
+        ["l_returnflag"],
+        ["high_line_count", "low_line_count"],
+        empty_types={"l_returnflag": pa.string()},
+    )
+    df = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("high_line_count", pa.int64()),
+                ("low_line_count", pa.int64()),
+            ]
+        ),
+    )
+    # the _join_pad sentinel carries a null returnflag; it never matches
+    # the inner join so it cannot reach here, but a null-group guard keeps
+    # the empty-corpus contract airtight
+    df = df[df["l_returnflag"].notna()]
+    for c in ("high_line_count", "low_line_count"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q20_NAME_SUBSTR = "bolt"
+Q20_DATE_LO = "1997-01-01"
+Q20_DATE_HI = "1998-01-01"
+
+
+def q20_majority_suppliers(sf_dir: str):
+    """TPC-H Q20 shape — potential part promotion: suppliers who shipped
+    MORE THAN HALF of a qualifying part's total quantity in a one-year
+    window (no partsupp/availqty in this schema: the majority-share
+    predicate per (part, supplier) stands in for availqty > 0.5 x qty;
+    the name-substring part filter is the reference's 'forest%' LIKE).
+    Output: each majority supplier with how many parts they dominate.
+
+    Plan: qualifying part keys broadcast; one per-block combiner reduces
+    the window's lineitems to (partkey, suppkey, sum-q100) partials on
+    the x100 quantity grid; `_two_regime_sum` merges; the per-part total
+    and the strict-majority compare (2 x supplier qty > part total —
+    integer cross-multiplication, never a float share) run over the
+    REDUCED catalog-order table; names from driver dimension lookups.
+    One corpus-order combiner pass, zero corpus-order exchanges."""
+    import numpy as np
+    import ray
+
+    part = typed_collect(_read(sf_dir, "part", ["p_partkey", "p_name"]))
+    pkeys_ref = ray.put(
+        part.loc[
+            part["p_name"].str.contains(Q20_NAME_SUBSTR, regex=False),
+            "p_partkey",
+        ].to_numpy(np.int64)
+    )
+    lo = pc.strptime(Q20_DATE_LO, format="%Y-%m-%d", unit="us").as_py()
+    hi = pc.strptime(Q20_DATE_HI, format="%Y-%m-%d", unit="us").as_py()
+
+    class _QtyPartial:
+        def __init__(self):
+            self.pk = pa.array(ray.get(pkeys_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d = t.column("l_shipdate")
+            t = t.filter(
+                pc.and_(
+                    pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)),
+                    pc.is_in(t.column("l_partkey"), value_set=self.pk),
+                )
+            )
+            q100 = round_half_away(
+                t.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0,
+                0,
+            ).astype(np.int64)
+            tt = pa.table(
+                {
+                    "p_partkey": t.column("l_partkey").cast(pa.int64()),
+                    "s_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                    "q100": pa.array(q100),
+                }
+            )
+            g = tt.group_by(["p_partkey", "s_suppkey"]).aggregate(
+                [("q100", "sum")]
+            )
+            return g.rename_columns(["p_partkey", "s_suppkey", "q100"])
+
+    parts = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        rows_per_block=200_000,
+    ).map_batches(
+        warm_factory(("q20_qty", pkeys_ref.hex()), _QtyPartial),
+        batch_format="pyarrow",
+    )
+    red, _ = _two_regime_sum(parts, ["p_partkey", "s_suppkey"], ["q100"])
+    df = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("p_partkey", pa.int64()),
+                ("s_suppkey", pa.int64()),
+                ("q100", pa.int64()),
+            ]
+        ),
+    )
+    if len(df):
+        tot = df.groupby("p_partkey")["q100"].transform("sum")
+        df = df[2 * df["q100"].to_numpy(np.int64) > tot.to_numpy(np.int64)]
+    win = (
+        df.groupby("s_suppkey", as_index=False)
+        .size()
+        .rename(columns={"size": "n_parts_major"})
+        if len(df)
+        else pd.DataFrame({"s_suppkey": [], "n_parts_major": []})
+    )
+
+    supp = typed_collect(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    )
+    nation = typed_collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nat_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    supp_name = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    supp_nat = dict(
+        zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].astype(int))
+    )
+    win["s_name"] = win["s_suppkey"].map(supp_name).astype(object)
+    win["nation"] = win["s_suppkey"].map(supp_nat).map(nat_name).astype(object)
+    # inner-join semantics: a dangling winner suppkey (no supplier row)
+    # drops, exactly as the oracle's JOIN supplier does
+    win = win[win["s_name"].notna() & win["nation"].notna()]
+    for c in ("s_suppkey", "n_parts_major"):
+        win[c] = win[c].astype("int64")
+    return (
+        win[["s_suppkey", "s_name", "nation", "n_parts_major"]]
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+
+Q21_LATE_DAYS = 60
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape — suppliers who kept orders waiting: on finished
+    ('F') multi-supplier orders, the supplier who was the ONLY late one
+    (this schema has no commit/receipt dates: late = shipped more than N
+    days after the order date), counted per supplier (the reference's
+    EXISTS / NOT EXISTS pair).
+
+    Plan: one corpus-order keyed hash exchange (window lineitem JOIN
+    status-filtered orders ON orderkey, `_join_pad`ed both sides,
+    data-proportional partitions); everything after rides combiner
+    algebra instead of per-order EXISTS probes:
+      - per-block Arrow group_by reduces to (orderkey, suppkey,
+        max-late) DISTINCT-pair partials; `_two_regime_sum` merges (sum
+        of partial maxes > 0 == any-late — the flag never exceeds one
+        block's max semantics);
+      - per-order facts are SUMS over the pair table: n_supps = count,
+        n_late = sum(late), and sum(late x suppkey) — which IS the late
+        suppkey exactly when n_late == 1 (the EXISTS/NOT-EXISTS pair as
+        integer algebra, no correlated probe);
+      - the winners (n_late = 1 AND n_supps >= 2) reduce to per-supplier
+        wait counts in one more tiny keyed merge; names from driver
+        dimension lookups."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .sizing import shuffle_partitions
+
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    late_us = Q21_LATE_DAYS * 86_400 * 1_000_000
+
+    li = _join_pad(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_shipdate"],
+            rows_per_block=200_000,
+        ),
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        ),
+    )
+
+    def ord_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderstatus"), "F"))
+        return t.select(["o_orderkey", "o_orderdate"])
+
+    ords = _join_pad(
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_orderstatus", "o_orderdate"],
+            rows_per_block=200_000,
+        ).map_batches(ord_project, batch_format="pyarrow"),
+        pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
+        ),
+    )
+    joined = li.join(
+        ords,
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_li),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        tt = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                "late": pa.array((ship - od > late_us).astype(np.int64)),
+            }
+        )
+        g = tt.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("late", "max")]
+        )
+        return g.rename_columns(["l_orderkey", "l_suppkey", "late"])
+
+    pairs, n_pairs = _two_regime_sum(
+        joined.map_batches(pair_partial, batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"],
+        ["late"],
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        late = (
+            t.column("late").to_numpy(zero_copy_only=False) > 0
+        ).astype(np.int64)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        tt = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "n_supps": pa.array(np.ones(len(t), np.int64)),
+                "n_late": pa.array(late),
+                "lsupp": pa.array(late * sk),
+            }
+        )
+        g = tt.group_by("l_orderkey").aggregate(
+            [("n_supps", "sum"), ("n_late", "sum"), ("lsupp", "sum")]
+        )
+        return g.rename_columns(["l_orderkey", "n_supps", "n_late", "lsupp"])
+
+    orders_red, _ = _two_regime_sum(
+        pairs.map_batches(order_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        ["n_supps", "n_late", "lsupp"],
+    )
+
+    def winner_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.equal(t.column("n_late"), 1),
+                pc.greater_equal(t.column("n_supps"), 2),
+            )
+        )
+        tt = pa.table(
+            {
+                "s_suppkey": t.column("lsupp").cast(pa.int64()),
+                "numwait": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        g = tt.group_by("s_suppkey").aggregate([("numwait", "sum")])
+        return g.rename_columns(["s_suppkey", "numwait"])
+
+    red, _ = _two_regime_sum(
+        orders_red.map_batches(winner_partial, batch_format="pyarrow"),
+        ["s_suppkey"],
+        ["numwait"],
+    )
+    df = typed_collect(
+        red,
+        pa.schema([("s_suppkey", pa.int64()), ("numwait", pa.int64())]),
+    )
+
+    supp = typed_collect(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    )
+    nation = typed_collect(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nat_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    supp_name = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    supp_nat = dict(
+        zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].astype(int))
+    )
+    df["s_name"] = df["s_suppkey"].map(supp_name).astype(object)
+    df["nation"] = df["s_suppkey"].map(supp_nat).map(nat_name).astype(object)
+    # inner-join semantics: dangling winner suppkeys drop (they still
+    # counted toward n_supps/n_late above — exactly as in the oracle,
+    # which only joins supplier AFTER the per-order algebra)
+    df = df[df["s_name"].notna() & df["nation"].notna()]
+    for c in ("s_suppkey", "numwait"):
+        df[c] = df[c].astype("int64")
+    return (
+        df[["s_suppkey", "s_name", "nation", "numwait"]]
+        .sort_values(["numwait", "s_suppkey"], ascending=[False, True])
         .reset_index(drop=True)
     )

@@ -753,6 +753,11 @@ RELATIONAL_ORACLE_QUERIES = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q19_discounted_revenue",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_lines_by_class",
+    "q20_majority_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 
@@ -769,7 +774,14 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
     grid (astype truncation would diverge from DuckDB CAST rounding) and
     a planted part sits EXACTLY on the 0.2*avg boundary (strict <, so the
     tie row is excluded on both sides).  For q16: dangling suppkeys,
-    negative-balance (excluded) suppliers, and dangling partkeys."""
+    negative-balance (excluded) suppliers, and dangling partkeys.
+    For q12/q21: exact 60/90-day late-boundary plants (strict >, the
+    boundary line is NOT late on both sides), an exactly-one-late
+    multi-supplier order, an all-late order, a single-supplier order,
+    and a lone-late DANGLING supplier.  For q2: a min-cost tie across
+    two same-region suppliers (both rows returned) and a supplier in the
+    out-of-region nation.  For q20: '%bolt%' parts shipped inside and
+    outside the window."""
     import duckdb
 
     import __ray_entry__ as entrymod
@@ -830,7 +842,62 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
     ship[n - 2] = us("1996-09-01")  # q14 lo: included
     ship[n - 1] = us("1996-10-01")  # q14 hi: excluded
 
-    import pyarrow.parquet as pq_ 
+    # --- q2/q11/q12/q20/q21 plants (both variants; explicit overwrites,
+    # independent of the random stream) -------------------------------
+    day_us = 86_400_000_000
+    n_ord = 500
+    od = (
+        us("1996-05-01")
+        + rng.randint(0, 120, n_ord) * day_us
+        + rng.randint(0, day_us, n_ord)
+    )
+    ostatus = rng.choice(["P", "O", "F"], n_ord)
+    PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    oprio = np.array([PRIORITIES[i % 5] for i in range(n_ord)])
+    # a 1997 slice so the q12/q20 ship windows are non-trivial
+    ship[n - 120 : n - 80] = us("1997-06-15") + rng.randint(-(10**9), 10**9, 40)
+    # exact late-boundary plants (strict >): ship == od + 90d is NOT late
+    # (q12), +1us is; same pair for the 60d q21 threshold.  The planted
+    # orders sit inside the q12 ship window and carry status F.
+    od[490:499] = us("1997-03-01")
+    ostatus[490:499] = "F"
+    for i, (okey, off) in enumerate(
+        [
+            (490, 90 * day_us),
+            (491, 90 * day_us + 1),
+            (492, 60 * day_us),
+            (493, 60 * day_us + 1),
+        ]
+    ):
+        okeys[n - 124 - i] = okey
+        ship[n - 124 - i] = od[okey] + off
+    # q21 structure plants: exactly-one-late multi-supplier order
+    # (counts), all-late (excluded), single-supplier late (excluded),
+    # lone-late-but-DANGLING supplier (survives the per-order algebra,
+    # drops only at the supplier-name join)
+    for j, (okey, sup, late) in enumerate(
+        [
+            (495, 1, True),
+            (495, 2, False),
+            (496, 3, True),
+            (496, 4, True),
+            (497, 5, True),
+            (498, 27, True),
+            (498, 6, False),
+        ]
+    ):
+        okeys[n - 140 + j] = okey
+        skeys[n - 140 + j] = sup
+        ship[n - 140 + j] = od[okey] + (61 if late else 10) * day_us
+    # q2 min-cost TIE plant: part 41 (STANDARD, size 41 >= 40) sold at
+    # the same price by two ASIA suppliers (1 and 4, both nation 1) —
+    # both tie rows must come back
+    pkeys[206:208] = 41
+    skeys[206] = 1
+    skeys[207] = 4
+    price[206:208] = 100.0
+
+    import pyarrow.parquet as pq_
 
     li = pa.table(
         {
@@ -853,11 +920,23 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
     part = pa.table(
         {
             "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
-            "p_name": pa.array([f"part {i}" for i in range(n_part)]),
+            # every 4th part matches q20's '%bolt%' LIKE
+            "p_name": pa.array(
+                [
+                    f"part {i} bolt" if i % 4 == 0 else f"part {i}"
+                    for i in range(n_part)
+                ]
+            ),
             "p_brand": pa.array([f"Brand#{i % 7}" for i in range(n_part)]),
-            # every 5th part is PROMO so q14's promo share is nontrivial
+            # every 5th part is PROMO so q14's promo share is nontrivial;
+            # i%5==1 is STANDARD so q2's type filter is nontrivial
             "p_type": pa.array(
-                ["PROMO" if i % 5 == 0 else "t" for i in range(n_part)]
+                [
+                    "PROMO"
+                    if i % 5 == 0
+                    else ("STANDARD" if i % 5 == 1 else "t")
+                    for i in range(n_part)
+                ]
             ),
             # sizes straddle the bloom threshold, incl. exactly 48
             "p_size": pa.array(
@@ -873,10 +952,41 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
         {
             "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
             "s_name": pa.array([f"s{i}" for i in range(n_supp)]),
-            "s_nationkey": pa.array(np.zeros(n_supp, np.int32), pa.int32()),
+            # nations cycle 0/1/2: 0 = NATION_2 (q11's nation), 0 and 1
+            # sit in ASIA (q2's region), 2 in EUROPE (excluded)
+            "s_nationkey": pa.array(
+                (np.arange(n_supp) % 3).astype(np.int32), pa.int32()
+            ),
             "s_acctbal": pa.array(
                 [(-1) ** i * (i * 32 + 16) / 64.0 for i in range(n_supp)]
             ),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(4, dtype=np.int64)),
+            # NATION_9 has no suppliers; NATION_17's regionkey dangles
+            "n_name": pa.array(
+                ["NATION_2", "NATION_1", "NATION_9", "NATION_17"]
+            ),
+            "n_regionkey": pa.array([0, 0, 1, 9], pa.int64()),
+        }
+    )
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(np.arange(3, dtype=np.int64)),
+            # AFRICA holds no nations
+            "r_name": pa.array(["ASIA", "EUROPE", "AFRICA"]),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+            "o_orderdate": pa.array(od.astype(np.int64), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(oprio.tolist(), pa.string()),
+            "o_orderstatus": pa.array(ostatus.tolist(), pa.string()),
         }
     )
     d = tmp_path / "adv_rel"
@@ -884,11 +994,14 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
     pq_.write_table(li, str(d / "lineitem.parquet"))
     pq_.write_table(part, str(d / "part.parquet"))
     pq_.write_table(supplier, str(d / "supplier.parquet"))
+    pq_.write_table(nation, str(d / "nation.parquet"))
+    pq_.write_table(region, str(d / "region.parquet"))
+    pq_.write_table(orders, str(d / "orders.parquet"))
 
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
     con = duckdb.connect()
-    for tbl in ("lineitem", "part", "supplier"):
+    for tbl in ("lineitem", "part", "supplier", "nation", "region", "orders"):
         con.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{d}/{tbl}.parquet')"
         )
