@@ -375,6 +375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_late_lines_by_class": R.q12_late_lines_by_class,
         "q20_majority_suppliers": R.q20_majority_suppliers,
         "q21_waiting_suppliers": R.q21_waiting_suppliers,
+        "q_global_rank_orders": R.q_global_rank_orders,
+        "q_fk_audit": R.q_fk_audit,
     }
 
 
@@ -2839,6 +2841,42 @@ def oracle_sql() -> dict[str, str]:
             "FROM w JOIN supplier s ON s.s_suppkey = w.s_suppkey "
             "JOIN nation ON n_nationkey = s_nationkey "
             "ORDER BY numwait DESC, s.s_suppkey"
+        ),
+        "q_global_rank_orders": (
+            # the terasort shape: every order's global ROW_NUMBER under a
+            # total order (double compare + integer tiebreak — the engine
+            # sorts the RAW double, never the rounded grid)
+            "SELECT o_orderkey, CAST(ROW_NUMBER() OVER "
+            "(ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) "
+            "AS global_rank FROM orders"
+        ),
+        "q_fk_audit": (
+            # per-ROW violation counts (a key missing its dimension row
+            # counts once per lineitem line); the DISTINCT subqueries pin
+            # that multiplicity even if a dimension ever carried dup keys
+            "SELECT check_name, n_violations FROM ("
+            "SELECT 'discount_out_of_range' AS check_name, "
+            "CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 "
+            "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations FROM lineitem "
+            "UNION ALL SELECT 'fk_order', CAST(COUNT(*) AS BIGINT) "
+            "FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey "
+            "FROM orders) o ON o.o_orderkey = l.l_orderkey "
+            "WHERE o.o_orderkey IS NULL "
+            "UNION ALL SELECT 'fk_part', CAST(COUNT(*) AS BIGINT) "
+            "FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey "
+            "FROM part) p ON p.p_partkey = l.l_partkey "
+            "WHERE p.p_partkey IS NULL "
+            "UNION ALL SELECT 'fk_supp', CAST(COUNT(*) AS BIGINT) "
+            "FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey "
+            "FROM supplier) s ON s.s_suppkey = l.l_suppkey "
+            "WHERE s.s_suppkey IS NULL "
+            "UNION ALL SELECT 'qty_nonpositive', "
+            "CAST(COALESCE(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 "
+            "END), 0) AS BIGINT) FROM lineitem "
+            "UNION ALL SELECT 'tax_negative', "
+            "CAST(COALESCE(SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END), 0) "
+            "AS BIGINT) FROM lineitem"
+            ") ORDER BY check_name"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

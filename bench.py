@@ -226,6 +226,8 @@ QUERY_NAMES = [
     "q12_late_lines_by_class",
     "q20_majority_suppliers",
     "q21_waiting_suppliers",
+    "q_global_rank_orders",
+    "q_fk_audit",
 ]
 
 

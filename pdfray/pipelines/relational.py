@@ -6850,3 +6850,391 @@ def q21_waiting_suppliers(sf_dir: str):
         .sort_values(["numwait", "s_suppkey"], ascending=[False, True])
         .reset_index(drop=True)
     )
+
+
+def q_global_rank_orders(sf_dir: str):
+    """Global total-order rank export — ROW_NUMBER() OVER (ORDER BY
+    o_totalprice DESC, o_orderkey) for EVERY order — the terasort shape:
+    the one operator whose output is a corpus-order globally-sorted
+    stream, and the reason range partitioning exists.
+
+    Plan (never `ds.sort()` — Ray's global sort materializes a full
+    range exchange of its own; this plan is the same exchange but with
+    the rank arithmetic fused and the boundaries under our control):
+      - pass 1 (sample): a deterministic splitmix64 key-hash sample
+        (layout-invariant, no RNG) collects ~128 x P sort keys; the
+        driver picks P-1 range boundaries at even sample quantiles.
+        Boundary choice affects BALANCE only, never correctness;
+      - pass 2 (histogram): per-block `np.bincount` of the broadcast
+        searchsorted partition id — O(P x blocks) ints to the driver,
+        which prefix-sums partition offsets;
+      - pass 3 (the one range exchange): `groupby(part).map_groups`
+        sorts each range vectorized and emits rank = offset + local
+        index.  Rows with EQUAL sort keys co-locate by construction
+        (searchsorted on the key value), so the orderkey tiebreak never
+        crosses a partition.
+    The sort key is the RAW float64 price (negated for DESC) — never the
+    rounded cents grid, whose coarser ties could reorder near-equal
+    prices vs the oracle's double compare.  Skew caveat: a pathologically
+    hot single price value lands one partition with all its ties (the
+    documented two-level composite-key split is the fix if a real corpus
+    ever needs it)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from .sizing import shuffle_partitions
+
+    n = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n == 0:
+        # typed pandas, not an empty Dataset: Ray drops all-empty blocks
+        # from a collect and the schema would be lost downstream
+        return pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "global_rank": pd.Series([], dtype="int64"),
+            }
+        )
+    n_parts = shuffle_partitions(n)
+
+    def _splitmix(keys):
+        z = keys.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    # pass 1: deterministic sample of sort keys (hash threshold ~= the
+    # target rate; exact count does not matter, only spread)
+    target = 128 * n_parts
+    thresh = np.uint64(min(2**64 - 1, int(2**64 * min(1.0, target / n))))
+
+    def sample(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        keep = _splitmix(keys) <= thresh
+        return pa.table(
+            {
+                "neg_price": pa.array(
+                    -t.column("o_totalprice").to_numpy(zero_copy_only=False)[
+                        keep
+                    ]
+                )
+            }
+        )
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice"], rows_per_block=200_000
+    )
+    samp = np.sort(
+        np.concatenate(
+            [
+                b["neg_price"]
+                for b in ds.map_batches(
+                    sample, batch_format="pyarrow"
+                ).iter_batches(batch_format="numpy")
+            ]
+            or [np.zeros(0)]
+        )
+    )
+    if len(samp) == 0:
+        samp = np.zeros(1)
+    bnds = np.unique(
+        samp[
+            np.minimum(
+                (np.arange(1, n_parts) * len(samp)) // n_parts, len(samp) - 1
+            )
+        ]
+    )
+    bnds_ref = ray.put(bnds)
+
+    class _PartId:
+        def __init__(self):
+            self.bnds = ray.get(bnds_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            neg = -t.column("o_totalprice").to_numpy(zero_copy_only=False)
+            part = np.searchsorted(self.bnds, neg, side="right").astype(
+                np.int64
+            )
+            return t.append_column("part", pa.array(part))
+
+    def hist(t: pa.Table) -> pa.Table:
+        counts = np.bincount(
+            t.column("part").to_numpy(zero_copy_only=False),
+            minlength=len(bnds) + 1,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(np.arange(len(counts), dtype=np.int64)),
+                "cnt": pa.array(counts),
+            }
+        )
+
+    assign = warm_factory(("grank_part", bnds_ref.hex()), _PartId)
+    counts = np.zeros(len(bnds) + 1, np.int64)
+    for b in (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .map_batches(hist, batch_format="pyarrow")
+        .iter_batches(batch_format="numpy")
+    ):
+        np.add.at(counts, b["part"], b["cnt"])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["part"].iloc[0])]
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+                "global_rank": off + np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(rank_group, batch_format="pandas")
+    )
+
+
+FK_AUDIT_CHECKS = (
+    "discount_out_of_range",
+    "fk_order",
+    "fk_part",
+    "fk_supp",
+    "qty_nonpositive",
+    "tax_negative",
+)
+
+
+def q_fk_audit(sf_dir: str, stage_dir: str = None):
+    """Data-quality audit over the fact table — the constraint-validation
+    pass every production ingest runs: exact violation counts for three
+    foreign keys and three value-domain rules.
+
+    Plan: ONE streaming pass computes all six checks per block.  The
+    catalog-order dimensions (part, supplier) audit against broadcast
+    exact key sets; the CORPUS-order dimension (orders) audits exactly
+    without ever broadcasting its key set: a fixed-size bloom bitmap
+    (distributed OR-merge build) splits each block's orderkeys into
+    definite-violations (bloom says absent — counted immediately, no
+    false negatives by construction) and maybe-present keys, which reduce
+    to per-block DISTINCT (orderkey, line-count) partials and settle
+    through one candidate-sized hash anti-join (`_join_pad`ed) — the
+    surviving false positives are the remaining violations.  Value
+    checks are vectorized compares.  Totals are O(checks) integers.
+
+    The per-block partial stream (6 fixed rows + distinct-maybe keys per
+    block) feeds TWO consumers (driver fold + anti-join), so it rides a
+    parquet stage checkpoint, never an object-store materialize (it is of
+    distinct-orders order at scale); an explicit ``stage_dir`` gives a
+    crashed run resume at the boundary."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from .sizing import shuffle_partitions
+    from .staging import stage_checkpoint
+
+    part = typed_collect(_read(sf_dir, "part", ["p_partkey"]))
+    supp = typed_collect(_read(sf_dir, "supplier", ["s_suppkey"]))
+    pk_ref = ray.put(part["p_partkey"].to_numpy(np.int64))
+    sk_ref = ray.put(supp["s_suppkey"].to_numpy(np.int64))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"], rows_per_block=500_000)
+
+    def build_bits(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        bits = np.zeros(BLOOM_BITS // 8, np.uint8)
+        if len(keys):
+            idx = _bloom_probe_idx(keys).ravel()
+            np.bitwise_or.at(
+                bits,
+                (idx >> np.uint64(3)).astype(np.int64),
+                (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8),
+            )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    bits = np.zeros(BLOOM_BITS // 8, np.uint8)
+    for r in orders.map_batches(build_bits, batch_format="pyarrow").take_all():
+        bits |= np.frombuffer(r["bits"], np.uint8)
+    bits_ref = ray.put(bits)
+
+    class _Audit:
+        def __init__(self):
+            self.pk = pa.array(ray.get(pk_ref))
+            self.sk = pa.array(ray.get(sk_ref))
+            self.bits = ray.get(bits_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+            disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+            tax = t.column("l_tax").to_numpy(zero_copy_only=False)
+            fk_part = int(
+                pc.sum(
+                    pc.is_null(
+                        pc.index_in(t.column("l_partkey"), value_set=self.pk)
+                    )
+                ).as_py()
+                or 0
+            )
+            fk_supp = int(
+                pc.sum(
+                    pc.is_null(
+                        pc.index_in(t.column("l_suppkey"), value_set=self.sk)
+                    )
+                ).as_py()
+                or 0
+            )
+            okeys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            if len(okeys):
+                idx = _bloom_probe_idx(okeys)
+                byte = self.bits[(idx >> np.uint64(3)).astype(np.int64)]
+                bit = (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8)
+                maybe = ((byte & bit) != 0).all(axis=0)
+            else:
+                maybe = np.zeros(0, bool)
+            definite_viol = int((~maybe).sum())
+            mkeys, mcnt = np.unique(okeys[maybe], return_counts=True)
+            fixed = pa.table(
+                {
+                    "l_orderkey": pa.array(
+                        np.full(6, -1, np.int64)
+                    ),  # sentinel: fixed-check rows carry no key
+                    "n_lines": pa.array(
+                        np.array(
+                            [
+                                int(((disc < 0.0) | (disc > 1.0)).sum()),
+                                definite_viol,
+                                fk_part,
+                                fk_supp,
+                                int((qty <= 0.0).sum()),
+                                int((tax < 0.0).sum()),
+                            ],
+                            np.int64,
+                        )
+                    ),
+                    "check_id": pa.array(np.arange(6, dtype=np.int64)),
+                }
+            )
+            maybe_rows = pa.table(
+                {
+                    "l_orderkey": pa.array(mkeys.astype(np.int64)),
+                    "n_lines": pa.array(mcnt.astype(np.int64)),
+                    "check_id": pa.array(np.full(len(mkeys), -1, np.int64)),
+                }
+            )
+            return pa.concat_tables([fixed, maybe_rows])
+
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    scanned = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_discount",
+            "l_tax",
+        ],
+        rows_per_block=200_000,
+    ).map_batches(
+        warm_factory(("fk_audit", bits_ref.hex()), _Audit),
+        batch_format="pyarrow",
+    )
+
+    # split the stream: fixed-check partials fold on the driver
+    # (O(checks x blocks) ints); maybe-keys settle via ONE candidate-sized
+    # anti-join against distinct orderkeys.  Both consumers stream the
+    # parquet checkpoint — the partial table never pins the object store.
+    own_stage = stage_dir is None
+    root = tempfile.mkdtemp(prefix="pdfray_fkaudit_") if own_stage else stage_dir
+    try:
+        parts_ds = stage_checkpoint(
+            lambda: scanned,
+            os.path.join(root, "partials"),
+            resume=not own_stage,
+            allow_empty=True,
+        )
+        totals = np.zeros(6, np.int64)
+        if parts_ds is None:  # zero lineitem blocks: zero violations
+            return _fk_audit_frame(totals)
+        for b in parts_ds.filter(expr="check_id >= 0").iter_batches(
+            batch_format="numpy"
+        ):
+            np.add.at(totals, b["check_id"], b["n_lines"])
+
+        maybe_ds, n_maybe = _two_regime_sum(
+            parts_ds.filter(expr="check_id < 0").drop_columns(["check_id"]),
+            ["l_orderkey"],
+            ["n_lines"],
+        )
+        totals[1] += _fk_audit_fp(maybe_ds, n_maybe, orders)
+        return _fk_audit_frame(totals)
+    finally:
+        if own_stage:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def _fk_audit_frame(totals) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "check_name": pd.array(list(FK_AUDIT_CHECKS), "object"),
+            "n_violations": pd.array(totals, "int64"),
+        }
+    ).astype({"check_name": object, "n_violations": "int64"})
+
+
+def _fk_audit_fp(maybe_ds, n_maybe: int, orders) -> int:
+    """Exact count of bloom FALSE POSITIVES that are real violations: the
+    left fringe of one candidate-sized hash join of the distinct maybe
+    keys against distinct orderkeys."""
+    import numpy as np
+
+    from .sizing import shuffle_partitions
+
+    if n_maybe:
+        n_parts = shuffle_partitions(n_maybe)
+        dist_orders = orders.map_batches(
+            lambda t: pa.table(
+                {"o_orderkey": t.column("o_orderkey").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        # left_outer with an explicit int marker column on the right side
+        # (a key-only right side would leave no column to test for
+        # match/miss); the left fringe = surviving false positives
+        marked = _join_pad(
+            maybe_ds.repartition(n_parts),
+            pa.schema([("l_orderkey", pa.int64()), ("n_lines", pa.int64())]),
+        ).join(
+            _join_pad(
+                dist_orders.map_batches(
+                    lambda t: t.append_column(
+                        "present", pa.array(np.ones(len(t), np.int64))
+                    ),
+                    batch_format="pyarrow",
+                ).repartition(n_parts),
+                pa.schema(
+                    [("o_orderkey", pa.int64()), ("present", pa.int64())]
+                ),
+            ),
+            join_type="left_outer",
+            num_partitions=n_parts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        fp = 0
+        for b in marked.iter_batches(batch_format="pandas"):
+            # the LEFT pad sentinel surfaces as a null-key fringe row in a
+            # left_outer join (the q_full_outer lesson) — drop it here
+            m = b["l_orderkey"].notna() & b["present"].isna()
+            fp += int(b.loc[m, "n_lines"].sum())
+        return fp
+    return 0

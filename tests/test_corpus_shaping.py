@@ -758,6 +758,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "q12_late_lines_by_class",
     "q20_majority_suppliers",
     "q21_waiting_suppliers",
+    "q_fk_audit",
 ]
 
 
@@ -1034,6 +1035,7 @@ STAR_ORACLE_QUERIES = [
     "q8_market_share",
     "q9_product_profit",
     "q22_sales_opportunity",
+    "q_global_rank_orders",
 ]
 
 
@@ -1301,6 +1303,8 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
         )
     for name in STAR_ORACLE_QUERIES:
         got = qs[name](str(d))
+        if not hasattr(got, "columns") or callable(got.columns):
+            got = got.to_pandas()  # Dataset results (q_global_rank_orders)
         want = con.execute(osql[name]).df()
         got = got[sorted(got.columns)].reset_index(drop=True)
         want = want[sorted(want.columns)].reset_index(drop=True)

@@ -142,3 +142,49 @@ def test_dup_spans_stage_dir_resumes(ray_session, tmp_path):
     }
     assert before == after  # explode pass never re-ran
     pd.testing.assert_frame_equal(first, again)
+
+
+def test_fk_audit_stage_dir_resumes(ray_session, tmp_path):
+    """q_fk_audit's per-block partial stream is a parquet checkpoint: with
+    an explicit stage_dir the second run resumes off the files (untouched
+    mtimes — the lineitem scan never re-executes) and returns identical
+    totals."""
+    from pdfray.pipelines import relational
+
+    d = str(tmp_path / "fk_stage")
+    first = relational.q_fk_audit(SF, stage_dir=d)
+    parts_dir = os.path.join(d, "partials")
+    assert os.path.exists(os.path.join(parts_dir, "_DONE"))
+    before = {
+        f: os.path.getmtime(os.path.join(parts_dir, f))
+        for f in os.listdir(parts_dir)
+    }
+    again = relational.q_fk_audit(SF, stage_dir=d)
+    after = {
+        f: os.path.getmtime(os.path.join(parts_dir, f))
+        for f in os.listdir(parts_dir)
+    }
+    assert before == after  # audit scan never re-ran
+    pd.testing.assert_frame_equal(first, again)
+    # the clean synthetic corpus has zero violations of every rule
+    assert (first["n_violations"] == 0).all()
+
+
+def test_global_rank_matches_single_node_sort(ray_session):
+    """Range-partitioned rank == the plain argsort ground truth, including
+    the orderkey tiebreak inside equal-price runs."""
+    import numpy as np
+
+    from pdfray.pipelines import relational
+
+    got = relational.q_global_rank_orders(SF).to_pandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    want = orders.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    want["global_rank"] = np.arange(1, len(want) + 1, dtype=np.int64)
+    got = got.sort_values("global_rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want[["o_orderkey", "global_rank"]], check_dtype=True
+    )
