@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": R.q21_waiting_suppliers,
         "q_global_rank_orders": R.q_global_rank_orders,
         "q_fk_audit": R.q_fk_audit,
+        "s_pca": S.s_pca,
     }
 
 
@@ -744,6 +745,44 @@ def _pq_oracle() -> str:
             f"FROM (SELECT vec_id, [{dots}] AS dl FROM embeddings)"
         )
     return " UNION ALL ".join(selects) + " ORDER BY vec_id, subspace"
+
+
+def _pca_oracle() -> str:
+    """PCA projections recomputed in DuckDB: (mean, components) retrained
+    INDEPENDENTLY from the raw parquet — one single-pass moment
+    computation through the same shared canonicalization
+    (`pca_components`: eigenvalues descending, largest-|entry| sign fix)
+    — embedded as literals; the projection replays as
+    list_inner_product(embedding, w) − (mean·w) per component, ROUND(,4)
+    both sides (half-away on each — the sim-family convention absorbing
+    the ulp gap between numpy pairwise and SQL sequential summation)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfray.pipelines.simsearch import PCA_K, pca_components, pca_moments
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    df = (
+        pq.read_table(path, columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    n, s, g = pca_moments(X)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    W = pca_components(mean, cov, min(PCA_K, X.shape[1]))
+    mu = mean @ W
+    selects = []
+    for j in range(W.shape[1]):
+        w = ", ".join(repr(float(x)) for x in W[:, j])
+        selects.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS component, "
+            "ROUND(list_inner_product(CAST(embedding AS DOUBLE[]), "
+            f"[{w}]) - {repr(float(mu[j]))}, 4) AS value FROM embeddings"
+        )
+    return " UNION ALL ".join(selects) + " ORDER BY vec_id, component"
 
 
 def _bpe_apply_oracle() -> str:
@@ -2878,6 +2917,7 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) FROM lineitem"
             ") ORDER BY check_name"
         ),
+        "s_pca": _pca_oracle(),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference
         # implementation in the tests asserts bit-equal assignments, and

@@ -228,6 +228,7 @@ QUERY_NAMES = [
     "q21_waiting_suppliers",
     "q_global_rank_orders",
     "q_fk_audit",
+    "s_pca",
 ]
 
 

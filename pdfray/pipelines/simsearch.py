@@ -2227,3 +2227,126 @@ def s_range_search(sf_dir: str):
         df[c] = df[c].astype("int64")
     df["sim"] = df["sim"].astype("float64")
     return df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+PCA_K = 8
+
+
+def pca_components(mean: np.ndarray, cov: np.ndarray, k: int):
+    """Canonical top-k principal axes of a covariance matrix: eigenvalues
+    DESCENDING (stable order on ties), each component's sign fixed so its
+    largest-|entry| coordinate is positive — the canonicalization both the
+    engine and the independent oracle trainer apply, so the inherent
+    sign/order ambiguity of eigenvectors can never flip a comparison."""
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-vals, kind="stable")[:k]
+    W = vecs[:, order].copy()
+    for j in range(W.shape[1]):
+        i = int(np.argmax(np.abs(W[:, j])))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    return W
+
+
+def pca_moments(X: np.ndarray):
+    """(n, sum-vector, gram-matrix) — the mergeable sufficient statistics
+    of PCA: sums of sums, gram of grams.  Shared by the engine's per-block
+    partials and the oracle's independent single-pass trainer."""
+    return len(X), X.sum(axis=0), X.T @ X
+
+
+def s_pca(sf_dir: str, k: int = PCA_K):
+    """Distributed PCA projection of the embedding column — the
+    dimensionality-reduction stage of a vector pipeline (embedding
+    compression before ANN, Matryoshka-style truncation with learned
+    axes instead of prefix dims).
+
+    The decomposition needs only FIXED-SIZE sufficient statistics: each
+    block reduces to (n, Σx, XᵀX) — d + d² floats regardless of rows —
+    and the driver merges them (sum of sums, gram of grams; zero
+    exchanges, the s_label_centroids shape), eigendecomposes the d×d
+    covariance once, and broadcasts (mean, W).  Pass 2 projects each
+    batch with one matmul: value = (x − mean)·w, emitted LONG
+    (vec_id, component, value) with values rounded half-away to 4dp —
+    the sim-family convention that absorbs the ulp gap between numpy's
+    pairwise and SQL's sequential summation.  The oracle retrains
+    (mean, W) INDEPENDENTLY from the raw parquet through the same
+    canonicalization and replays the projection as
+    list_inner_product − literal scalar."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+
+    def moments(t: pa.Table) -> pa.Table:
+        X = _batch_matrix(t)
+        n, s, g = pca_moments(X)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "d": pa.array([X.shape[1]], pa.int64()),
+                "s": pa.array([s.tobytes()], pa.binary()),
+                "g": pa.array([g.tobytes()], pa.binary()),
+            }
+        )
+
+    N, S, G, dim = 0, None, None, 0
+    for r in ds.map_batches(moments, batch_format="pyarrow").take_all():
+        if r["n"] == 0:
+            continue
+        d = int(r["d"])
+        s = np.frombuffer(r["s"], np.float64)
+        g = np.frombuffer(r["g"], np.float64).reshape(d, d)
+        if S is None:
+            S, G, dim = s.copy(), g.copy(), d
+        else:
+            S += s
+            G += g
+        N += int(r["n"])
+    if N == 0:
+        return _empty_result(vec_id="i", component="i", value="f")
+
+    mean = S / N
+    cov = G / N - np.outer(mean, mean)
+    W = pca_components(mean, cov, min(k, dim))
+    mu = mean @ W  # projection offset per component, one scalar each
+    ref = ray.put((W, mu))
+
+    class Project:
+        def __init__(self):
+            self.W, self.mu = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            X = _batch_matrix(t)
+            if len(X) == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "component": pa.array([], pa.int64()),
+                        "value": pa.array([], pa.float64()),
+                    }
+                )
+            P = round_half_away(X @ self.W - self.mu, 4)
+            n, kk = P.shape
+            return pa.table(
+                {
+                    "vec_id": pa.array(
+                        np.repeat(
+                            t.column("vec_id").to_numpy(zero_copy_only=False),
+                            kk,
+                        ),
+                        pa.int64(),
+                    ),
+                    "component": pa.array(
+                        np.tile(np.arange(kk, dtype=np.int64), n), pa.int64()
+                    ),
+                    "value": pa.array(P.ravel(), pa.float64()),
+                }
+            )
+
+    df = ds.map_batches(
+        warm_factory(("s_pca", ref.hex()), Project), batch_format="pyarrow"
+    ).to_pandas()
+    for c in ("vec_id", "component"):
+        df[c] = df[c].astype("int64")
+    df["value"] = df["value"].astype("float64")
+    return df.sort_values(["vec_id", "component"]).reset_index(drop=True)

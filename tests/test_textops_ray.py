@@ -3562,3 +3562,51 @@ def test_incremental_rollup_resume_uses_checkpointed_base(
 
     fresh = R.q_incremental_rollup(str(tmp_path), stage_dir=str(tmp_path / "s2"))
     assert fresh["sum_cents"].sum() == 2 * 9900 + 725 + 175
+
+
+def test_pca_matches_independent_numpy_and_is_orthonormal(ray_session):
+    """s_pca's distributed moment partials reproduce a direct single-pass
+    numpy PCA (projections within float noise, equal after the 4dp
+    rounding both sides apply), the trained axes are orthonormal with
+    DESCENDING explained variance, and every component's
+    largest-|entry| coordinate is positive (the canonicalization that
+    removes eigenvector sign/order ambiguity)."""
+    from pdfray.pipelines.relational import round_half_away
+    from pdfray.pipelines.simsearch import (
+        PCA_K,
+        pca_components,
+        pca_moments,
+        s_pca,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = s_pca(sf)
+
+    df = (
+        pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    n, s, g = pca_moments(X)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    W = pca_components(mean, cov, PCA_K)
+
+    # orthonormal axes, canonical signs, descending variance
+    assert np.allclose(W.T @ W, np.eye(PCA_K), atol=1e-10)
+    for j in range(PCA_K):
+        assert W[int(np.argmax(np.abs(W[:, j]))), j] > 0
+    proj = (X - mean) @ W
+    var = proj.var(axis=0)
+    assert (var[:-1] >= var[1:] - 1e-12).all()
+
+    want = pd.DataFrame(
+        {
+            "vec_id": np.repeat(df["vec_id"].to_numpy(np.int64), PCA_K),
+            "component": np.tile(np.arange(PCA_K, dtype=np.int64), len(df)),
+            "value": round_half_away(proj.ravel(), 4),
+        }
+    ).sort_values(["vec_id", "component"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want, check_dtype=True)
