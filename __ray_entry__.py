@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_global_rank_orders": R.q_global_rank_orders,
         "q_fk_audit": R.q_fk_audit,
         "s_pca": S.s_pca,
+        "m_image_neardup": M.m_image_neardup,
     }
 
 
@@ -409,6 +410,50 @@ def _image_hash_oracle() -> str:
     return (
         f"SELECT url, ok, ahash FROM (VALUES {values}) AS g(url, ok, ahash) "
         "ORDER BY url"
+    )
+
+
+def _image_neardup_oracle() -> str:
+    """ALL-PAIRS near-dup ground truth from the PRE-encode pixel arrays:
+    every (url_a, url_b, hamming <= NEARDUP_T) pair as literal VALUES —
+    the engine's banded-LSH recall is checked against exhaustive truth
+    (the t_minhash_pairs scheme), and the decoder is never touched here."""
+    import numpy as np
+
+    from pdfray.pipelines.multimodal import NEARDUP_T, ahash64
+    from pdfray.pipelines.simsearch import _popcount64
+    from pdfray.sources import fixtures as FX
+
+    urls, hs = [], []
+    n = FX.sf_doc_count(0.01)
+    for k in range(n):
+        w, h, form, _filt, broken = FX.media_geometry(k)
+        if broken:
+            continue
+        px, pal = FX._media_pixels(k, w, h, form)
+        if pal is not None:
+            px = pal[px]
+        urls.append(f"https://img.example.org/{form}/{k:08d}.png")
+        hs.append(int(ahash64(px), 16))
+    a = np.array(hs, np.uint64)
+    rows = []
+    if len(a):
+        d = _popcount64(a[:, None] ^ a[None, :])
+        ia, ib = np.nonzero(np.triu(d <= NEARDUP_T, k=1))
+        for i, j in zip(ia, ib):
+            ua, ub = sorted((urls[i], urls[j]))
+            rows.append((ua, ub, int(d[i, j])))
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS url_a, "
+            "CAST(NULL AS VARCHAR) AS url_b, CAST(NULL AS BIGINT) AS hamming "
+            "WHERE FALSE"
+        )
+    values = ", ".join(f"('{a_}', '{b_}', {h_})" for a_, b_, h_ in sorted(rows))
+    return (
+        f"SELECT url_a, url_b, CAST(hamming AS BIGINT) AS hamming "
+        f"FROM (VALUES {values}) AS g(url_a, url_b, hamming) "
+        "ORDER BY url_a, url_b"
     )
 
 
@@ -2918,6 +2963,7 @@ def oracle_sql() -> dict[str, str]:
             ") ORDER BY check_name"
         ),
         "s_pca": _pca_oracle(),
+        "m_image_neardup": _image_neardup_oracle(),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference
         # implementation in the tests asserts bit-equal assignments, and

@@ -229,6 +229,7 @@ QUERY_NAMES = [
     "q_global_rank_orders",
     "q_fk_audit",
     "s_pca",
+    "m_image_neardup",
 ]
 
 

@@ -585,3 +585,110 @@ def m_image_hash(sf_dir: str):
         warm_stage(ImageHasher), batch_format="pyarrow", batch_size=64
     )
     return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+NEARDUP_T = 8  # max Hamming distance counted as a near-duplicate
+NEARDUP_BANDS = 9  # pigeonhole: d <= BANDS-1 leaves >= 1 band untouched
+
+
+def _hash_bands(h: "np.ndarray", n_bands: int = NEARDUP_BANDS):
+    """(rows, bands) int64 band keys from uint64 hashes — contiguous bit
+    slices (the t_simhash banding shape).  64/9 bands are 7-8 bits; any
+    pair with Hamming distance <= bands-1 shares at least one band
+    verbatim, so candidate generation has NO false negatives at
+    NEARDUP_T = bands-1."""
+    bounds = np.linspace(0, 64, n_bands + 1).astype(np.int64)
+    out = np.empty((len(h), n_bands), np.int64)
+    for b in range(n_bands):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        out[:, b] = ((h >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)).astype(
+            np.int64
+        )
+    return out
+
+
+def m_image_neardup(sf_dir: str):
+    """Near-duplicate image pairs — perceptual dedup over the media table,
+    the image-side composition of the text near-dup family: REAL PNG
+    decode -> aHash (64-bit) -> banded LSH candidate generation ->
+    exact Hamming verification at distance <= NEARDUP_T.
+
+    Plan: the decode+hash pass is the existing warm `ImageHasher` actor
+    stage; each block then explodes its hashes into (band, key) rows and
+    ONE keyed exchange (`groupby(band, key).map_groups`) scores each
+    bucket's pairs with vectorized XOR+popcount — bucket sizes are
+    geometrically small (7-8 bit keys shard each band), candidate pairs
+    never exist outside buckets, and banding at bands = T+1 guarantees
+    every true pair is generated (pigeonhole).  Pairs dedupe across bands
+    by construction of the final distinct pass.  The oracle embeds the
+    ALL-PAIRS ground truth computed from the PRE-encode pixel arrays
+    (decoder never touched), so a match certifies decode, hash, banding
+    recall, and verification together."""
+    import pandas as pd
+
+    from .simsearch import _popcount64
+    from .textops import warm_stage as _ws
+
+    hashes = _media_ds(sf_dir).map_batches(
+        _ws(ImageHasher), batch_format="pyarrow", batch_size=64
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("ok"))
+        urls = t.column("url")
+        hx = np.array(
+            [int(s, 16) for s in t.column("ahash").to_pylist()], np.uint64
+        )
+        bands = _hash_bands(hx)
+        n, B = bands.shape
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(B, dtype=np.int64), n)),
+                "key": pa.array(bands.ravel()),
+                "url": pa.array(
+                    np.repeat(np.asarray(urls.to_pylist(), object), B),
+                    pa.string(),
+                ),
+                "h": pa.array(np.repeat(hx, B).astype(np.int64)),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "url_a": pd.Series([], dtype=object),
+                    "url_b": pd.Series([], dtype=object),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values("url").reset_index(drop=True)
+        h = g["h"].to_numpy(np.int64).astype(np.uint64)
+        d = _popcount64(h[:, None] ^ h[None, :])
+        ia, ib = np.nonzero(np.triu(d <= NEARDUP_T, k=1))
+        urls = g["url"].to_numpy(object)
+        return pd.DataFrame(
+            {
+                "url_a": urls[ia],
+                "url_b": urls[ib],
+                "hamming": d[ia, ib].astype(np.int64),
+            }
+        )
+
+    pairs = (
+        hashes.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {
+                "url_a": pd.Series([], dtype=object),
+                "url_b": pd.Series([], dtype=object),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+    pairs = pairs.drop_duplicates(["url_a", "url_b"])
+    pairs["hamming"] = pairs["hamming"].astype("int64")
+    return pairs.sort_values(["url_a", "url_b"]).reset_index(drop=True)

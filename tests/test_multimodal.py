@@ -242,3 +242,62 @@ def test_phash_roundtrip_and_brightness_robustness():
     shifted = np.clip(px.astype(np.int64) + 9, 0, 255).astype(px.dtype)
     d = bin(int(golden, 16) ^ int(phash64(shifted), 16)).count("1")
     assert d <= 1
+
+
+def test_image_neardup_matches_allpairs_truth(ray_session):
+    """m_image_neardup's banded-LSH pair generation matches the exhaustive
+    all-pairs ground truth computed from the PRE-encode pixel arrays at a
+    DIFFERENT scale than the driver oracle pins (sf0.001), and the
+    banding never misses: bands = T+1 contiguous slices, so any pair at
+    Hamming <= T shares a band verbatim (pigeonhole)."""
+    import pandas as pd
+
+    from pdfray.pipelines.multimodal import (
+        NEARDUP_BANDS,
+        NEARDUP_T,
+        _hash_bands,
+        ahash64,
+        m_image_neardup,
+    )
+    from pdfray.pipelines.simsearch import _popcount64
+    from pdfray.sources import fixtures as FX
+
+    sf = "/root/testdata/sf0.001"
+    got = m_image_neardup(sf)
+
+    urls, hs = [], []
+    for k in range(FX.sf_doc_count(0.001)):
+        w, h, form, _filt, broken = FX.media_geometry(k)
+        if broken:
+            continue
+        px, pal = FX._media_pixels(k, w, h, form)
+        if pal is not None:
+            px = pal[px]
+        urls.append(f"https://img.example.org/{form}/{k:08d}.png")
+        hs.append(int(ahash64(px), 16))
+    a = np.array(hs, np.uint64)
+    d = _popcount64(a[:, None] ^ a[None, :])
+    ia, ib = np.nonzero(np.triu(d <= NEARDUP_T, k=1))
+    rows = sorted(
+        (*sorted((urls[i], urls[j])), int(d[i, j])) for i, j in zip(ia, ib)
+    )
+    want = pd.DataFrame(rows, columns=["url_a", "url_b", "hamming"])
+    want["hamming"] = want["hamming"].astype("int64")
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=True
+        )
+
+    # pigeonhole recall: for any pair of hashes within NEARDUP_T bits,
+    # at least one of the NEARDUP_BANDS band keys is identical
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 2**63, 200).astype(np.uint64)
+    flip = base.copy()
+    for i in range(len(flip)):
+        for b in rng.choice(64, rng.randint(0, NEARDUP_T + 1), replace=False):
+            flip[i] ^= np.uint64(1) << np.uint64(b)
+    ba, bb = _hash_bands(base), _hash_bands(flip)
+    assert (ba == bb).any(axis=1).all()
+    assert NEARDUP_BANDS == NEARDUP_T + 1
