@@ -379,6 +379,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fk_audit": R.q_fk_audit,
         "s_pca": S.s_pca,
         "m_image_neardup": M.m_image_neardup,
+        "q_decay_user_engagement": R.q_decay_user_engagement,
+        "q_sliding_window_counts": R.q_sliding_window_counts,
+        "q_kmv_distinct_users": R.q_kmv_distinct_users,
+        "q_butterfly_count": R.q_butterfly_count,
     }
 
 
@@ -2964,6 +2968,72 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s_pca": _pca_oracle(),
         "m_image_neardup": _image_neardup_oracle(),
+        "q_decay_user_engagement": (
+            # every weight 2^-k (k in [0,30]) is a dyadic rational on the
+            # 2^-30 grid and per-user sums stay < 2^23 terms, so each
+            # float64 addition is EXACT and order-independent — no ROUND
+            # needed on either side (see the pipeline docstring); floor,
+            # not //, so pre-epoch timestamps land in the correct day
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "SUM(power(2.0, -GREATEST(0, LEAST(30, 19754 - "
+            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT))))) "
+            "AS score FROM events GROUP BY user_id ORDER BY user_id"
+        ),
+        "q_sliding_window_counts": (
+            # each event replicated into its 6 covering hop buckets; the
+            # window id is the exact int64 start-of-window epoch-us (floor
+            # semantics, so pre-epoch events take negative window starts)
+            "WITH e AS (SELECT CAST(floor(epoch_us(ts) / 3600000000.0) "
+            "AS BIGINT) AS b, value FROM events), "
+            "w AS (SELECT (e.b - g.i) * 3600000000 AS win_start_us, value "
+            "FROM e CROSS JOIN (SELECT unnest(range(6)) AS i) g) "
+            "SELECT win_start_us, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(SUM(value), 2) AS sum_value "
+            "FROM w GROUP BY win_start_us ORDER BY win_start_us"
+        ),
+        "q_kmv_distinct_users": (
+            # the bottom-k state replayed verbatim: same md5_number_lower
+            # hash on the same 2^53 grid, k-th order statistic via one
+            # window, estimate (k-1)/u_k only when >= k distinct hashes
+            # exist (below that the sketch is the exact count); integer
+            # digests (n_kept, kth_hash) ride the compare
+            "WITH d AS (SELECT DISTINCT event_type, "
+            "md5_number_lower(CAST(user_id AS VARCHAR) || ':kmv9') "
+            "% 9007199254740992 AS hv FROM events), "
+            "r AS (SELECT event_type, hv, ROW_NUMBER() OVER "
+            "(PARTITION BY event_type ORDER BY hv) AS rn FROM d), "
+            "g AS (SELECT event_type, COUNT(*) AS n FROM d "
+            "GROUP BY event_type), "
+            "kth AS (SELECT r.event_type AS et, r.hv AS kth_hash FROM r "
+            "JOIN g ON r.event_type = g.event_type "
+            "WHERE r.rn = LEAST(g.n, 64)) "
+            "SELECT g.event_type, CAST(LEAST(g.n, 64) AS BIGINT) AS n_kept, "
+            "CAST(kth.kth_hash AS BIGINT) AS kth_hash, "
+            "CASE WHEN g.n >= 64 THEN "
+            "ROUND(CAST(63 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE) "
+            "/ (kth.kth_hash + 1.0), 4) "
+            "ELSE CAST(LEAST(g.n, 64) AS DOUBLE) END AS est "
+            "FROM g JOIN kth ON g.event_type = kth.et "
+            "ORDER BY g.event_type"
+        ),
+        "q_butterfly_count": (
+            # the oracle always enumerates wedges from the part side; the
+            # engine picks the cheaper side — the butterfly count is
+            # side-invariant, so the outputs agree by construction
+            "WITH e AS (SELECT DISTINCT o_custkey AS u, l_partkey AS p "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+            "du AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u), "
+            "dp AS (SELECT p, COUNT(*) AS d FROM e GROUP BY p), "
+            "pc AS (SELECT a.u AS u1, b.u AS u2, COUNT(*) AS c "
+            "FROM e a JOIN e b ON a.p = b.p AND a.u < b.u GROUP BY 1, 2) "
+            "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges, "
+            "(SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) "
+            "FROM du) AS n_wedges_user, "
+            "(SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) "
+            "FROM dp) AS n_wedges_part, "
+            "(SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) "
+            "FROM pc) AS n_butterflies"
+        ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference
         # implementation in the tests asserts bit-equal assignments, and

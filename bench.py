@@ -230,6 +230,10 @@ QUERY_NAMES = [
     "q_fk_audit",
     "s_pca",
     "m_image_neardup",
+    "q_decay_user_engagement",
+    "q_sliding_window_counts",
+    "q_kmv_distinct_users",
+    "q_butterfly_count",
 ]
 
 

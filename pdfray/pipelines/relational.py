@@ -7238,3 +7238,387 @@ def _fk_audit_fp(maybe_ds, n_maybe: int, orders) -> int:
             fp += int(b.loc[m, "n_lines"].sum())
         return fp
     return 0
+
+
+# ---------------------------------------------------------------------------
+# time-decayed features, hopping windows, KMV distinct, bipartite motifs
+# ---------------------------------------------------------------------------
+
+DECAY_REF_DAY = 19754  # 2024-02-01 UTC in epoch days: the feature "as-of" date
+DECAY_MAX_AGE_DAYS = 30  # clamp keeps every weight on the 2^-30 dyadic grid
+
+
+def q_decay_user_engagement(sf_dir: str):
+    """Exponentially time-decayed per-user engagement score — the
+    feature-pipeline freshness shape (recency-weighted counts feeding
+    ranking / training-data sampling): score = sum of 2^(-age_days) over a
+    user's events, age_days = clamp(REF_DAY - floor(epoch_us/day), 0, 30).
+
+    Exact by construction, no rounding either side: every weight is a
+    dyadic rational on the 2^-30 grid and a user holds far fewer than 2^23
+    events per partial, so every float64 addition is EXACT and therefore
+    order-independent — Ray's block order vs DuckDB's scan order cannot
+    differ by a bit.  The clamp is the exactness contract, not a shortcut
+    (an unclamped 2^0 + 2^-1000 mix makes addition inexact and
+    order-dependent; 30 half-lives is weight < 1e-9 anyway).  Future
+    events (age < 0) clamp to weight 1 rather than exploding the grid.
+    Day uses floor division, not truncation — pre-epoch timestamps land in
+    the correct day (the q_events_json // lesson).
+
+    Scale shape: one streaming pass; per-block Arrow group_by partials of
+    (user, score, n) merge through the shared _two_regime_sum, so the
+    exchange carries at-most-|users| rows whatever the event count."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"], rows_per_block=12_500)
+    DAY_US = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age = DECAY_REF_DAY - np.floor_divide(ts_us, DAY_US)
+        age = np.clip(age, 0, DECAY_MAX_AGE_DAYS)
+        w = np.ldexp(np.ones(len(age)), -age.astype(np.int32))  # exact 2^-age
+        tt = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_events": pa.array(np.ones(len(t), np.int64)),
+                "score": pa.array(w, pa.float64()),
+            }
+        )
+        g = tt.group_by("user_id").aggregate(
+            [("n_events", "sum"), ("score", "sum")]
+        )
+        return g.rename_columns(["user_id", "n_events", "score"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    red, _ = _two_regime_sum(
+        parts,
+        ["user_id"],
+        ["n_events", "score"],
+        empty_types={"score": pa.float64()},
+    )
+    out = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_events", pa.int64()),
+                ("score", pa.float64()),
+            ]
+        ),
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["score"] = out["score"].astype("float64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SLIDE_HOP_US = 3_600_000_000  # hop = 1 hour
+SLIDE_WIN_HOPS = 6  # window = 6 hops (6 hours)
+
+
+def q_sliding_window_counts(sf_dir: str):
+    """Hopping (sliding) window aggregate over the event stream — the
+    streaming-window shape q_ohlc_daily's tumbling windows cannot express:
+    every event belongs to WIN_HOPS overlapping windows (width 6 h, hop
+    1 h), so traffic in any hour is visible in six trailing-window rows.
+
+    Scale shape: window replication happens INSIDE the per-block kernel
+    (np.repeat of the hop bucket minus an offset tile — six rows per
+    event, immediately re-reduced by an Arrow group_by to per-window
+    partials), so the exchange carries at-most-|nonempty windows| rows per
+    block, bounded by the calendar, never 6x the event count.  The merge
+    is the shared _two_regime_sum.  Window starts use floor division so
+    pre-epoch events land in the correct (negative-start) window; the
+    window id rides as the exact int64 start-of-window epoch-us."""
+    import numpy as np
+
+    ds = _read(
+        sf_dir, "events", ["ts", "value"], rows_per_block=12_500
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor_divide(ts_us, SLIDE_HOP_US)
+        off = np.tile(np.arange(SLIDE_WIN_HOPS, dtype=np.int64), len(b))
+        wb = np.repeat(b, SLIDE_WIN_HOPS) - off
+        tt = pa.table(
+            {
+                "win_start_us": pa.array(wb * SLIDE_HOP_US),
+                "n_events": pa.array(
+                    np.ones(len(wb), np.int64)
+                ),
+                "sum_value": pa.array(np.repeat(val, SLIDE_WIN_HOPS)),
+            }
+        )
+        g = tt.group_by("win_start_us").aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")]
+        )
+        return g.rename_columns(["win_start_us", "n_events", "sum_value"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    red, _ = _two_regime_sum(
+        parts,
+        ["win_start_us"],
+        ["n_events", "sum_value"],
+        empty_types={"sum_value": pa.float64()},
+    )
+    out = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("win_start_us", pa.int64()),
+                ("n_events", pa.int64()),
+                ("sum_value", pa.float64()),
+            ]
+        ),
+    )
+    out["win_start_us"] = out["win_start_us"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = round_half_away(
+        out["sum_value"].astype("float64"), 2
+    )
+    return out.sort_values("win_start_us").reset_index(drop=True)
+
+
+KMV_K = 64  # bottom-k sketch size
+KMV_SALT = ":kmv9"
+
+
+def q_kmv_distinct_users(sf_dir: str):
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch of users
+    per event type — the third mergeable sketch alongside q_hll_user_days
+    (HyperLogLog) and t_cms_wordcounts (count-min), with the exact
+    companion q_user_days_exact pattern: below k distinct values the
+    sketch IS exact, above it the estimate is (k-1)/u_k (Bar-Yossef et
+    al. 2002), u_k = the k-th smallest hash on the same exact 2^53
+    md5-uniform grid as t_weighted_sample, so engine and oracle compute
+    bit-identical doubles.
+
+    Scale shape: per-block partials keep the k smallest DISTINCT hashes
+    per group (at most groups x k rows per block — fixed-size mergeable
+    state, like the HLL registers); the global k smallest are a subset of
+    the union of per-block bottom-ks, so the merge is lossless.  Below
+    PIVOT_DRIVER_MAX_ROWS partial rows the union reduces on the driver;
+    above, one groupby(event_type).map_groups pass.  Output carries the
+    integer digests (n_kept, kth_hash) so the compare is integer-exact."""
+    import hashlib
+
+    import numpy as np
+
+    from .textops import _TWO53
+
+    ds = _read(
+        sf_dir, "events", ["event_type", "user_id"], rows_per_block=12_500
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["event_type", "user_id"]].drop_duplicates()
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5((str(u) + KMV_SALT).encode()).digest()[8:],
+                    "little",
+                )
+                % _TWO53
+                for u in d["user_id"]
+            ),
+            np.int64,
+            len(d),
+        )
+        d = pd.DataFrame(
+            {"event_type": d["event_type"].to_numpy(), "hv": h}
+        ).drop_duplicates()
+        d = d.sort_values(["event_type", "hv"])
+        return d.groupby("event_type", as_index=False).head(KMV_K)
+
+    parts = ds.map_batches(partial, batch_format="pandas").materialize()
+    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
+        df = typed_collect(
+            parts,
+            pa.schema([("event_type", pa.string()), ("hv", pa.int64())]),
+        )
+        top = (
+            df.drop_duplicates()
+            .sort_values(["event_type", "hv"])
+            .groupby("event_type", as_index=False)
+            .head(KMV_K)
+        )
+    else:
+
+        def grp(g: pd.DataFrame) -> pd.DataFrame:
+            u = np.unique(g["hv"].to_numpy(np.int64))[:KMV_K]
+            return pd.DataFrame(
+                {"event_type": [g["event_type"].iloc[0]] * len(u), "hv": u}
+            )
+
+        top = parts.groupby("event_type").map_groups(
+            grp, batch_format="pandas"
+        ).to_pandas()
+
+    rows = []
+    for et, g in top.groupby("event_type"):
+        hs = np.sort(g["hv"].to_numpy(np.int64))
+        n_kept = int(min(len(hs), KMV_K))
+        kth = int(hs[n_kept - 1])
+        if len(hs) >= KMV_K:
+            est = round_half_away(
+                (KMV_K - 1.0) * float(_TWO53) / (kth + 1.0), 4
+            )
+        else:
+            est = float(n_kept)  # fewer than k values: the sketch is exact
+        rows.append(
+            {"event_type": et, "n_kept": n_kept, "kth_hash": kth, "est": est}
+        )
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_kept", "kth_hash", "est"]
+    )
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["kth_hash"] = out["kth_hash"].astype("int64")
+    out["est"] = out["est"].astype("float64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_butterfly_count(sf_dir: str):
+    """Bipartite graph motif counting over the customer-part purchase
+    graph (edges = distinct (o_custkey, l_partkey) via lineitem JOIN
+    orders): edge count, per-side wedge counts (sum of C(degree, 2)), and
+    the butterfly count (4-cycles — the bipartite clustering primitive,
+    Wang et al. / Shi & Shun's parallel butterfly counting).
+
+    Plan: one keyed hash exchange joins lineitem to orders (both sides
+    _join_pad-ed, partitions from sizing.shuffle_partitions), a
+    distributed groupby dedups to the edge set, degree tables reduce via
+    per-block Arrow partials (+ _two_regime_sum) — C(d,2) folds on the
+    reduced rows.  Butterflies need one wedge enumeration; the side
+    matters enormously (sum of d^2 differs by orders of magnitude between
+    sides), so the engine picks the CHEAPER side from the exact per-side
+    wedge counts it just computed — the two enumerations count the same
+    butterflies, so the choice is invisible in the output (the oracle
+    always enumerates from the part side).  Wedges are emitted per-group
+    (np triu pair expansion, vectorized), re-reduced per block, and the
+    final C(c,2) fold streams over the reduced pair table in batches —
+    the full pair table never lands on the driver.
+
+    Scale notes: exact butterfly counting is inherently sum-of-d^2 work;
+    the side pick bounds it by min over sides, and a single hot vertex
+    (one task's group) is the known straggler — the literature splits a
+    hot vertex's pair enumeration into index stripes, the natural next
+    step if a corpus shows one."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .sizing import shuffle_partitions
+
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_partkey"], rows_per_block=100_000
+    ).map_batches(
+        lambda t: t.group_by(["l_orderkey", "l_partkey"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    od = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey"], rows_per_block=100_000
+    )
+
+    joined = _join_pad(
+        li,
+        pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64())]),
+    ).join(
+        _join_pad(
+            od,
+            pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        ),
+        join_type="inner",
+        num_partitions=shuffle_partitions(n_li),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {"u": t.column("o_custkey"), "p": t.column("l_partkey")}
+        )
+        return tt.group_by(["u", "p"]).aggregate([])
+
+    # global edge dedup: one (u, p)-keyed exchange over block-deduped pairs
+    from ray.data.aggregate import Count
+
+    edges = (
+        joined.map_batches(edge_partial, batch_format="pyarrow")
+        .groupby(["u", "p"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: t.select(["u", "p"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    def deg_partial(col):
+        def f(t: pa.Table) -> pa.Table:
+            tt = pa.table(
+                {
+                    col: t.column(col),
+                    "d": pa.array(np.ones(len(t), np.int64)),
+                }
+            )
+            g = tt.group_by(col).aggregate([("d", "sum")])
+            return g.rename_columns([col, "d"])
+
+        return f
+
+    def wedge_total(col):
+        red, _ = _two_regime_sum(
+            edges.map_batches(deg_partial(col), batch_format="pyarrow"),
+            [col],
+            ["d"],
+        )
+        total = 0
+        for b in red.iter_batches(batch_format="pandas"):
+            d = b["d"].to_numpy(np.int64)
+            total += int((d * (d - 1) // 2).sum())
+        return total
+
+    n_wedges_user = wedge_total("u")
+    n_wedges_part = wedge_total("p")
+
+    # enumerate wedges from the cheaper side; both count the same butterflies
+    side, other = (
+        ("p", "u") if n_wedges_part <= n_wedges_user else ("u", "p")
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[other].to_numpy(np.int64))
+        i, j = np.triu_indices(len(v), k=1)
+        return pd.DataFrame({"a": v[i], "b": v[j]})
+
+    if n_edges:
+        pair_parts = (
+            edges.groupby(side)
+            .map_groups(pairs, batch_format="pandas")
+            .map_batches(
+                lambda t: t.group_by(["a", "b"])
+                .aggregate([("a", "count")])
+                .rename_columns(["a", "b", "c"]),
+                batch_format="pyarrow",
+            )
+        )
+        red, _ = _two_regime_sum(pair_parts, ["a", "b"], ["c"])
+        n_butterflies = 0
+        for b in red.iter_batches(batch_format="pandas"):
+            c = b["c"].to_numpy(np.int64)
+            n_butterflies += int((c * (c - 1) // 2).sum())
+    else:
+        n_butterflies = 0
+
+    return pd.DataFrame(
+        {
+            "n_edges": pd.array([n_edges], "int64"),
+            "n_wedges_user": pd.array([n_wedges_user], "int64"),
+            "n_wedges_part": pd.array([n_wedges_part], "int64"),
+            "n_butterflies": pd.array([n_butterflies], "int64"),
+        }
+    )

@@ -603,6 +603,9 @@ EVENTS_ORACLE_QUERIES = [
     "q_moving_avg_user_spend",
     "q_user_set_ops",
     "q_incremental_rollup",
+    "q_decay_user_engagement",
+    "q_sliding_window_counts",
+    "q_kmv_distinct_users",
 ]
 
 _PROPS_POOL = [
@@ -759,6 +762,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "q20_majority_suppliers",
     "q21_waiting_suppliers",
     "q_fk_audit",
+    "q_butterfly_count",
 ]
 
 
@@ -980,9 +984,14 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
             "r_name": pa.array(["ASIA", "EUROPE", "AFRICA"]),
         }
     )
+    # q_butterfly_count: a HOT customer owning ~40% of orders (the hot-
+    # vertex wedge blowup class) over a small customer pool, so the
+    # motif count sees dense co-purchase overlap
+    oc_li = np.where(rng.rand(n_ord) < 0.4, 3, rng.randint(0, 30, n_ord))
     orders = pa.table(
         {
             "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+            "o_custkey": pa.array(oc_li.astype(np.int64)),
             "o_orderdate": pa.array(od.astype(np.int64), pa.int64()).cast(
                 pa.timestamp("us")
             ),
