@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sliding_window_counts": R.q_sliding_window_counts,
         "q_kmv_distinct_users": R.q_kmv_distinct_users,
         "q_butterfly_count": R.q_butterfly_count,
+        "s_ann_rerank": S.s_ann_rerank,
     }
 
 
@@ -1050,6 +1051,36 @@ def _ivfpq_oracle() -> str:
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank "
         "FROM scored) "
         f"SELECT query_id, rank, vec_id, dist FROM ranked WHERE rank <= {TOP_K} "
+        "ORDER BY query_id, rank"
+    )
+
+
+def _ann_rerank_oracle() -> str:
+    """Two-stage retrieval composed in DuckDB: the retrained-literal ADC
+    CTEs (`_pq_adc_ctes`) produce the per-query shortlist under the exact
+    engine order (rounded dist ASC, vec_id ASC), then
+    list_cosine_similarity re-scores ONLY the shortlist join — the
+    shortlist recall and the refine ranking are both value-checked."""
+    from pdfray.pipelines.simsearch import N_QUERIES, RERANK_SHORTLIST, TOP_K
+
+    return (
+        "WITH " + _pq_adc_ctes() + ", "
+        "scored AS (SELECT l.query_id, c.vec_id, ROUND(SUM(l.d), 4) AS dist "
+        "FROM codes c JOIN lut l ON l.subspace = c.subspace AND l.code = c.code "
+        "GROUP BY l.query_id, c.vec_id), "
+        "short AS (SELECT query_id, vec_id FROM "
+        "(SELECT query_id, vec_id, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY dist, vec_id) AS r FROM scored) "
+        f"WHERE r <= {RERANK_SHORTLIST}), "
+        "qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe "
+        f"FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES}), "
+        "sims AS (SELECT s.query_id, s.vec_id, "
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qe), 4) "
+        "AS sim FROM short s JOIN embeddings e ON e.vec_id = s.vec_id "
+        "JOIN qv ON qv.query_id = s.query_id), "
+        "ranked AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM sims) "
+        f"SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= {TOP_K} "
         "ORDER BY query_id, rank"
     )
 
@@ -3034,6 +3065,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) "
             "FROM pc) AS n_butterflies"
         ),
+        "s_ann_rerank": _ann_rerank_oracle(),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference
         # implementation in the tests asserts bit-equal assignments, and

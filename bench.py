@@ -234,6 +234,7 @@ QUERY_NAMES = [
     "q_sliding_window_counts",
     "q_kmv_distinct_users",
     "q_butterfly_count",
+    "s_ann_rerank",
 ]
 
 

@@ -546,6 +546,12 @@ def s_pq_adc(sf_dir: str):
     code assignment per row, and joins a literal LUT VALUES table, so the
     entire ADC pipeline — training, assignment, table lookup, ranking —
     is value-checked end to end."""
+    return _adc_shortlist(sf_dir, TOP_K)
+
+
+def _adc_shortlist(sf_dir: str, k: int) -> pd.DataFrame:
+    """ADC top-``k`` per query (the s_pq_adc engine body, parameterized so
+    s_ann_rerank can pull a wider shortlist through the identical scan)."""
     import ray
 
     ds = _read_embeddings(sf_dir)
@@ -591,13 +597,13 @@ def s_pq_adc(sf_dir: str):
                 dists += self.lut[:, m, :].T[codes[:, m]]
             vec_ids = t.column("vec_id").to_numpy(zero_copy_only=False)
             out = {"query_id": [], "vec_id": [], "dist": []}
-            k = min(TOP_K, n)
+            kk = min(k, n)
             for qi, qid in enumerate(self.qids):
                 col = dists[:, qi]
                 # local top-k under the SAME order as the merge and the
                 # oracle: rounded dist ASC, vec_id ASC
                 order = np.lexsort((vec_ids, round_half_away(col, 4)))
-                for j in order[:k]:
+                for j in order[:kk]:
                     out["query_id"].append(int(qid))
                     out["vec_id"].append(int(vec_ids[j]))
                     out["dist"].append(float(col[j]))
@@ -610,12 +616,12 @@ def s_pq_adc(sf_dir: str):
             )
 
     local = ds.map_batches(
-        warm_factory(("s_pq_adc", bref.hex()), AdcScore), batch_format="pyarrow"
+        warm_factory(("s_pq_adc", k, bref.hex()), AdcScore), batch_format="pyarrow"
     ).to_pandas()
-    return _adc_merge(local)
+    return _adc_merge(local, k)
 
 
-def _adc_merge(local: pd.DataFrame) -> pd.DataFrame:
+def _adc_merge(local: pd.DataFrame, k: int = TOP_K) -> pd.DataFrame:
     """Driver merge of per-batch ADC top-k candidates (tiny frame): rounded
     dist ASC, vec_id ASC — the same total order the batches pre-ranked on
     and the oracle replays."""
@@ -623,10 +629,66 @@ def _adc_merge(local: pd.DataFrame) -> pd.DataFrame:
     local["dist"] = round_half_away(local["dist"].to_numpy(), 4)
     out = []
     for qid, g in local.groupby("query_id"):
-        g = g.sort_values(["dist", "vec_id"], ascending=[True, True]).head(TOP_K)
+        g = g.sort_values(["dist", "vec_id"], ascending=[True, True]).head(k)
         out.append(g.assign(rank=range(1, len(g) + 1)))
     df = pd.concat(out).reset_index(drop=True)
     return df[["query_id", "rank", "vec_id", "dist"]]
+
+
+RERANK_SHORTLIST = 32  # ADC candidates per query fed to the exact refine
+
+
+def s_ann_rerank(sf_dir: str):
+    """Two-stage retrieval: ADC shortlist -> EXACT cosine re-rank — the
+    refine step every production IVF-PQ deployment runs (Jégou et al.'s
+    ADC is a lossy 4-bit rank; re-scoring the top RERANK_SHORTLIST
+    candidates with true similarities recovers near-exact quality while
+    the full corpus is still scanned as codes only).
+
+    Scale shape: stage 1 is the identical bytes-only ADC scan as s_pq_adc
+    (shared `_adc_shortlist`, local top-k + driver merge, zero shuffle);
+    stage 2 touches raw floats for ONLY queries x shortlist vectors — a
+    zone-map-pruned parquet read of the candidate ids (row groups whose
+    [min,max] cover them), never a second corpus pass.  The exact rerank
+    math is the s_knn kernel: normalized dot with the zero-operand mask
+    (`_mask_zero_cosine` — DuckDB pins any zero operand to -1).
+
+    The oracle composes the retrained-literal ADC CTE family (shortlist
+    replayed verbatim) with list_cosine_similarity over the same
+    candidate join — shortlist recall and the refine ranking are both
+    value-checked."""
+    import pyarrow.parquet as pq
+
+    short = _adc_shortlist(sf_dir, RERANK_SHORTLIST)
+    if len(short) == 0:
+        return _empty_result(query_id="i", rank="i", vec_id="i", sim="f")
+    qids, qn = _query_matrix(sf_dir)
+    _, qraw = _query_matrix_raw(sf_dir)
+    cand_ids = sorted({int(v) for v in short["vec_id"]})
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", cand_ids)],
+    )
+    cdf = t.to_pandas()
+    raw = np.stack(cdf["embedding"].to_numpy()).astype(np.float64)
+    cnorm = _normalize(raw)
+    sims = _mask_zero_cosine(cnorm @ qn.T, raw, qraw)
+    row_of = {int(v): i for i, v in enumerate(cdf["vec_id"].to_numpy())}
+    qcol_of = {int(q): i for i, q in enumerate(qids)}
+    out = []
+    for qid, g in short.groupby("query_id"):
+        vids = np.sort(g["vec_id"].to_numpy(np.int64))
+        s = round_half_away(
+            sims[[row_of[int(v)] for v in vids], qcol_of[int(qid)]], 4
+        )
+        order = np.lexsort((vids, -s))[:TOP_K]
+        for r, j in enumerate(order, 1):
+            out.append((int(qid), r, int(vids[j]), float(s[j])))
+    df = pd.DataFrame(out, columns=["query_id", "rank", "vec_id", "sim"])
+    return df.astype(
+        {"query_id": "int64", "rank": "int64", "vec_id": "int64", "sim": "float64"}
+    )
 
 
 def s_ann_ivfpq(sf_dir: str, n_centroids: int = 0, nprobe: int = 0):

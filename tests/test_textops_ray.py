@@ -1927,6 +1927,31 @@ def test_ivfpq_full_probe_equals_plain_adc_and_subset_property(ray_session):
     assert (merged.loc[hit, "dist_full"] == merged.loc[hit, "dist"]).all()
 
 
+def test_ann_rerank_full_shortlist_equals_bruteforce(ray_session, monkeypatch):
+    """Re-rank invariants: (1) with the shortlist widened to the corpus
+    size the two-stage result IS brute-force kNN (ADC recall can no
+    longer lose anything and the refine is the exact kernel); (2) at the
+    default shortlist every emitted sim equals the brute-force sim for
+    that (query, vec) pair — the refine stage never approximates."""
+    import pdfray.pipelines.simsearch as S
+
+    sf = "/root/testdata/sf0.001"
+    n = S._read_embeddings(sf).count()
+    monkeypatch.setattr(S, "RERANK_SHORTLIST", n)
+    full = S.s_ann_rerank(sf)
+    brute = S.s_knn_bruteforce(sf)
+    pd.testing.assert_frame_equal(full, brute)
+
+    monkeypatch.undo()
+    rer = S.s_ann_rerank(sf)
+    assert (rer.groupby("query_id")["rank"].max() <= 10).all()
+    merged = rer.merge(
+        brute, on=["query_id", "vec_id"], how="left", suffixes=("", "_bf")
+    )
+    hit = merged["sim_bf"].notna()
+    assert (merged.loc[hit, "sim_bf"] == merged.loc[hit, "sim"]).all()
+
+
 def _write_events(tmp_path, users, ts_us, kinds):
     import pyarrow.parquet as pq_
 
