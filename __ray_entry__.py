@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kmv_distinct_users": R.q_kmv_distinct_users,
         "q_butterfly_count": R.q_butterfly_count,
         "s_ann_rerank": S.s_ann_rerank,
+        "m_audio_neardup": M.m_audio_neardup,
     }
 
 
@@ -440,6 +441,49 @@ def _image_neardup_oracle() -> str:
             px = pal[px]
         urls.append(f"https://img.example.org/{form}/{k:08d}.png")
         hs.append(int(ahash64(px), 16))
+    a = np.array(hs, np.uint64)
+    rows = []
+    if len(a):
+        d = _popcount64(a[:, None] ^ a[None, :])
+        ia, ib = np.nonzero(np.triu(d <= NEARDUP_T, k=1))
+        for i, j in zip(ia, ib):
+            ua, ub = sorted((urls[i], urls[j]))
+            rows.append((ua, ub, int(d[i, j])))
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS url_a, "
+            "CAST(NULL AS VARCHAR) AS url_b, CAST(NULL AS BIGINT) AS hamming "
+            "WHERE FALSE"
+        )
+    values = ", ".join(f"('{a_}', '{b_}', {h_})" for a_, b_, h_ in sorted(rows))
+    return (
+        f"SELECT url_a, url_b, CAST(hamming AS BIGINT) AS hamming "
+        f"FROM (VALUES {values}) AS g(url_a, url_b, hamming) "
+        "ORDER BY url_a, url_b"
+    )
+
+
+def _audio_neardup_oracle() -> str:
+    """ALL-PAIRS audio near-dup ground truth: every (url_a, url_b,
+    hamming <= NEARDUP_T) pair as literal VALUES, fingerprints recomputed
+    from the fixture generator's round-tripped samples via the SAME shared
+    `envelope_hash64` (the audio_stats golden discipline) — the engine's
+    banded-LSH recall is checked against exhaustive truth."""
+    import numpy as np
+
+    from pdfray.core.wav import decode_wav, envelope_hash64
+    from pdfray.pipelines.multimodal import NEARDUP_T
+    from pdfray.pipelines.simsearch import _popcount64
+    from pdfray.sources import fixtures as FX
+
+    n = max(20, FX.sf_doc_count(0.01) // 2)
+    urls, hs = [], []
+    for k in range(0, n, 2):  # audio rows; skip the planted broken ones
+        if k % 13 in (5, 11):
+            continue
+        payload, _stats = FX._audio_payload(k)
+        urls.append(f"https://av.example.org/audio/{k:08d}.wav")
+        hs.append(envelope_hash64(decode_wav(payload)))
     a = np.array(hs, np.uint64)
     rows = []
     if len(a):
@@ -3066,6 +3110,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM pc) AS n_butterflies"
         ),
         "s_ann_rerank": _ann_rerank_oracle(),
+        "m_audio_neardup": _audio_neardup_oracle(),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference
         # implementation in the tests asserts bit-equal assignments, and

@@ -235,6 +235,7 @@ QUERY_NAMES = [
     "q_kmv_distinct_users",
     "q_butterfly_count",
     "s_ann_rerank",
+    "m_audio_neardup",
 ]
 
 

@@ -223,3 +223,38 @@ def segment_stats(audio: WavAudio, window: int = SEG_WINDOW,
         "n_segments": starts,
         "longest_run": longest,
     }
+
+
+ENVELOPE_SLICES = 64  # one fingerprint bit per time slice
+
+
+def envelope_hash64(audio: WavAudio) -> int:
+    """64-bit envelope fingerprint for audio near-dup detection, shared
+    verbatim by the engine stage and the oracle generator (the
+    `audio_stats` round-trip discipline).
+
+    The clip is centered (8-bit WAV is unsigned), mixed down per frame
+    (channel sum), truncated to a multiple of 64 frames, and each of the
+    64 equal time slices contributes one bit: slice sum-of-|mix| STRICTLY
+    above the lower-median slice energy.  Bit i = slice i, LSB first.
+
+    Integer-only (platform-exact) and GAIN-INVARIANT: scaling every
+    sample by a constant scales all slice energies and their median
+    together, so every comparison — hence the hash — is unchanged.  That
+    is the invariance audio dedup needs (re-mastered / re-encoded copies
+    at different levels); light additive noise flips at most a few bits,
+    which the Hamming verify absorbs."""
+    s = audio.samples.astype(np.int64)
+    if audio.samples.dtype == np.uint8:
+        s = s - 128
+    mix = np.abs(s.sum(axis=1))
+    n = (len(mix) // ENVELOPE_SLICES) * ENVELOPE_SLICES
+    if n == 0:
+        return 0
+    e = mix[:n].reshape(ENVELOPE_SLICES, -1).sum(axis=1)
+    m = int(np.sort(e)[ENVELOPE_SLICES // 2 - 1])  # lower median: integer
+    h = 0
+    for i, v in enumerate(e.tolist()):
+        if v > m:
+            h |= 1 << i
+    return h

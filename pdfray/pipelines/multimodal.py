@@ -624,14 +624,22 @@ def m_image_neardup(sf_dir: str):
     ALL-PAIRS ground truth computed from the PRE-encode pixel arrays
     (decoder never touched), so a match certifies decode, hash, banding
     recall, and verification together."""
-    import pandas as pd
-
-    from .simsearch import _popcount64
     from .textops import warm_stage as _ws
 
     hashes = _media_ds(sf_dir).map_batches(
         _ws(ImageHasher), batch_format="pyarrow", batch_size=64
     )
+    return _banded_neardup_pairs(hashes)
+
+
+def _banded_neardup_pairs(hashes):
+    """Shared banded-LSH near-dup machinery over a (url, ok, ahash-hex)
+    dataset — the m_image_neardup plan body, reused verbatim by
+    m_audio_neardup (one keyed exchange, pigeonhole-guaranteed recall at
+    Hamming <= NEARDUP_T, vectorized XOR+popcount verify per bucket)."""
+    import pandas as pd
+
+    from .simsearch import _popcount64
 
     def explode(t: pa.Table) -> pa.Table:
         t = t.filter(t.column("ok"))
@@ -692,3 +700,57 @@ def m_image_neardup(sf_dir: str):
     pairs = pairs.drop_duplicates(["url_a", "url_b"])
     pairs["hamming"] = pairs["hamming"].astype("int64")
     return pairs.sort_values(["url_a", "url_b"]).reset_index(drop=True)
+
+
+class AudioEnvHasher:
+    """Warm per-worker audio fingerprint stage: real WAV decode ->
+    `core.wav.envelope_hash64` (64-bit gain-invariant integer envelope
+    hash).  Emits the (url, ok, ahash-hex) schema `_banded_neardup_pairs`
+    consumes; broken payloads set ok=False and survive as rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.wav import decode_wav, envelope_hash64
+
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("payload")
+        ok, hx = [], []
+        for i in range(len(urls)):
+            try:
+                h = envelope_hash64(decode_wav(payloads[i].as_py() or b""))
+                ok.append(True)
+                hx.append(f"{h:016x}")
+            except Exception:
+                ok.append(False)
+                hx.append("0" * 16)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ok": pa.array(ok, pa.bool_()),
+                "ahash": pa.array(hx, pa.string()),
+            }
+        )
+
+
+def m_audio_neardup(sf_dir: str):
+    """Near-duplicate AUDIO pairs — the audio-side composition of the
+    dedup family (text MinHash/simhash, image aHash LSH): real WAV decode
+    -> 64-bit gain-invariant envelope fingerprint
+    (`core.wav.envelope_hash64`) -> the SAME banded-LSH + exact
+    XOR/popcount verify machinery as m_image_neardup
+    (`_banded_neardup_pairs`; bands = T+1 so pigeonhole guarantees every
+    pair at Hamming <= NEARDUP_T is generated).
+
+    The fixture plants re-mastered copies (x2 gain + light noise, k%16==14
+    duplicating clip k-8) whose measured hash distances span 0..T
+    including exactly T; gain invariance means the plants are caught BY
+    CONSTRUCTION of the fingerprint, not luck.  The oracle embeds the
+    ALL-PAIRS ground truth recomputed from the fixture generator's
+    round-tripped samples via the same shared hash function — decode,
+    fingerprint, banding recall and verification are certified
+    together."""
+    from .textops import warm_stage as _ws
+
+    hashes = _av_ds(sf_dir, "audio").map_batches(
+        _ws(AudioEnvHasher), batch_format="pyarrow", batch_size=64
+    )
+    return _banded_neardup_pairs(hashes)

@@ -25,7 +25,7 @@ NL = "\n"
 DELIM = "|"
 
 # bump when generation logic changes so /tmp caches can never go stale
-FIXTURE_VERSION = 10
+FIXTURE_VERSION = 11
 
 LANGS = ("en", "de", "fr", "es")
 
@@ -908,20 +908,13 @@ _SHARD_ROWS = 512
 # decode stages' output is an exact codec round-trip check, DuckDB-oracle
 # style, just like the PNG media table above.
 
-def _audio_payload(k: int):
-    """Deterministic PCM content: integer sawtooth carrier + seeded noise
-    (pure integer ops — no libm, so goldens are platform-exact), with
-    k%3 planted EXACT-silence gaps so the segmentation golden
-    (`segment_stats`) exercises real run boundaries."""
+def _audio_wave(k: int):
+    """PRE-quantization waveform of audio fixture ``k``: integer sawtooth
+    carrier + seeded noise (pure integer ops — no libm, so goldens are
+    platform-exact), with k%3 planted EXACT-silence gaps so the
+    segmentation golden (`segment_stats`) exercises real run boundaries.
+    Returns (wave int64 (n, n_ch), rate)."""
     import numpy as np
-
-    from ..core.wav import (
-        audio_stats,
-        decode_wav,
-        encode_wav,
-        segment_stats,
-        spectral_stats,
-    )
 
     rng = np.random.RandomState((SEED << 16) ^ (0xA0D10 + k))
     rate = (8000, 16000, 22050, 44100)[k % 4]
@@ -934,7 +927,36 @@ def _audio_payload(k: int):
     for g in range(k % 3):  # planted silence gaps (0..2 per file)
         start = (k * 131 + g * 577) % max(1, n - gap_len)
         wave[start : start + gap_len] = 0
+    return wave, rate
+
+
+def _audio_payload(k: int):
+    """Deterministic PCM payload + golden decode stats (see `_audio_wave`).
+
+    k % 16 == 14 rows are planted NEAR-DUPLICATES of clip k-8 (an even,
+    never-broken, non-dup index): the base waveform at x2 gain plus light
+    seeded noise, encoded at the BASE clip's bit depth — the re-mastered
+    re-encode class the gain-invariant envelope fingerprint
+    (`core.wav.envelope_hash64`) must catch."""
+    import numpy as np
+
+    from ..core.wav import (
+        audio_stats,
+        decode_wav,
+        encode_wav,
+        segment_stats,
+        spectral_stats,
+    )
+
+    wave, rate = _audio_wave(k)
     dtype_pick = k % 5
+    if k % 16 == 14:  # near-dup plant: x2 gain + light noise on clip k-8
+        wave, rate = _audio_wave(k - 8)
+        rng2 = np.random.RandomState((SEED << 16) ^ (0xD0B00 + k))
+        # +-300 spreads planted-pair Hamming across 0..NEARDUP_T incl. the
+        # exact threshold (measured over the first 8 plants)
+        wave = wave * 2 + rng2.randint(-300, 300, wave.shape)
+        dtype_pick = (k - 8) % 5
     if dtype_pick == 3:  # 8-bit unsigned
         samples = ((wave // 16) + 128).clip(0, 255).astype(np.uint8)
     elif dtype_pick == 4:  # 32-bit

@@ -301,3 +301,59 @@ def test_image_neardup_matches_allpairs_truth(ray_session):
     ba, bb = _hash_bands(base), _hash_bands(flip)
     assert (ba == bb).any(axis=1).all()
     assert NEARDUP_BANDS == NEARDUP_T + 1
+
+
+def test_audio_neardup_matches_allpairs_truth_and_plants(ray_session):
+    """m_audio_neardup matches the exhaustive all-pairs envelope-hash
+    truth at a DIFFERENT scale than the driver oracle pins (sf0.001),
+    the planted re-mastered copy (k%16==14 of clip k-8) is caught, and
+    the fingerprint is exactly gain-invariant (scaling samples by any
+    constant leaves the hash bit-identical)."""
+    import pandas as pd
+
+    from pdfray.core.wav import WavAudio, decode_wav, envelope_hash64
+    from pdfray.pipelines.multimodal import NEARDUP_T, m_audio_neardup
+    from pdfray.pipelines.simsearch import _popcount64
+    from pdfray.sources import fixtures as FX
+
+    sf = "/root/testdata/sf0.001"
+    got = m_audio_neardup(sf)
+
+    n = max(20, FX.sf_doc_count(0.001) // 2)
+    urls, hs = [], []
+    for k in range(0, n, 2):
+        if k % 13 in (5, 11):
+            continue
+        payload, _stats = FX._audio_payload(k)
+        urls.append(f"https://av.example.org/audio/{k:08d}.wav")
+        hs.append(envelope_hash64(decode_wav(payload)))
+    a = np.array(hs, np.uint64)
+    d = _popcount64(a[:, None] ^ a[None, :])
+    ia, ib = np.nonzero(np.triu(d <= NEARDUP_T, k=1))
+    rows = sorted(
+        (*sorted((urls[i], urls[j])), int(d[i, j])) for i, j in zip(ia, ib)
+    )
+    want = pd.DataFrame(rows, columns=["url_a", "url_b", "hamming"])
+    want["hamming"] = want["hamming"].astype("int64")
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=True
+        )
+    # the sf0.001 plant: clip 14 duplicates clip 6 (x2 gain + noise)
+    pair = got[
+        (got["url_a"] == "https://av.example.org/audio/00000006.wav")
+        & (got["url_b"] == "https://av.example.org/audio/00000014.wav")
+    ]
+    assert len(pair) == 1
+
+    # gain invariance: x3 and x17 scaling leave the hash bit-identical
+    audio = decode_wav(FX._audio_payload(6)[0])
+    base = envelope_hash64(audio)
+    for gain in (3, 17):
+        scaled = WavAudio(
+            samples=(audio.samples.astype(np.int64) * gain).astype(np.int32),
+            sample_rate=audio.sample_rate,
+        )
+        assert envelope_hash64(scaled) == base
