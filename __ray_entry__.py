@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_butterfly_count": R.q_butterfly_count,
         "s_ann_rerank": S.s_ann_rerank,
         "m_audio_neardup": M.m_audio_neardup,
+        "t_containment_dupes": T.t_containment_dupes,
     }
 
 
@@ -3111,6 +3112,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s_ann_rerank": _ann_rerank_oracle(),
         "m_audio_neardup": _audio_neardup_oracle(),
+        "t_containment_dupes": (
+            # ALL-PAIRS asymmetric-containment ground truth over the SAME
+            # 3-token-shingle space as t_minhash_pairs; ORDERED pairs
+            # (mutual near-identity legitimately yields both directions);
+            # the threshold is the integer cross-multiplication 10*inter
+            # >= 9*size_a — never a float compare at the boundary
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t) - 1), "
+            "i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS s "
+            "FROM toks WHERE len(t) > 0), "
+            # sparse all-pairs: explode distinct shingles and count the
+            # gram join — |intersection| directly, never the dense
+            # docs x docs list_intersect grid (2.7 s vs >9 min at sf0.1)
+            "g AS (SELECT doc_id, unnest(s) AS gram FROM sh), "
+            "inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, "
+            "COUNT(*) AS n_inter FROM g x JOIN g y ON x.gram = y.gram "
+            "AND x.doc_id <> y.doc_id GROUP BY 1, 2), "
+            "sz AS (SELECT doc_id, len(s) AS size_a FROM sh) "
+            "SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS n_inter, "
+            "CAST(sz.size_a AS BIGINT) AS size_a, "
+            "ROUND(i.n_inter::DOUBLE / sz.size_a, 4) AS containment "
+            "FROM inter i JOIN sz ON sz.doc_id = i.doc_a "
+            "WHERE 10 * i.n_inter >= 9 * sz.size_a "
+            "ORDER BY doc_a, doc_b"
+        ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference
         # implementation in the tests asserts bit-equal assignments, and

@@ -236,6 +236,7 @@ QUERY_NAMES = [
     "q_butterfly_count",
     "s_ann_rerank",
     "m_audio_neardup",
+    "t_containment_dupes",
 ]
 
 

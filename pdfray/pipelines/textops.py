@@ -4172,3 +4172,255 @@ def t_dsir_sample(sf_dir: str):
     for c in ("doc_id", "n_words", "logw_x1e3"):
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# asymmetric containment dedup: C(a->b) = |Sa ∩ Sb| / |Sa| — catches a
+# small document embedded in a big one, the near-dup class symmetric
+# Jaccard provably misses (j <= |Sa|/|Sb| however perfect the overlap).
+
+CONTAIN_NUM, CONTAIN_DEN = 9, 10  # threshold 0.9 as exact integers
+CONTAIN_HOT_MAX = 1024  # global hot shingles avoided by probe selection
+CONTAIN_HOT_MIN_DF = 8  # below this df a shingle is not worth avoiding
+
+
+class ContainShingleRows:
+    """Warm stage: one (hv int64, doc id) row per DISTINCT 3-token shingle
+    (the t_minhash_pairs shingle/_hash64 definitions).  With
+    ``probe_only`` it emits just the doc's GUARANTEED-RECALL probe subset:
+    if C(a->b) >= NUM/DEN then at most floor(|Sa| * (DEN-NUM) / DEN)
+    shingles of a are missing from b, so ANY M+1 of a's shingles must hit
+    b — the choice is free, and choosing the globally RAREST ones (hot
+    set broadcast; lexsort (is_hot, hv)) minimizes join fanout without
+    touching recall, the PPJoin prefix-filter idea with a df-bounded
+    hot list instead of a total df order."""
+
+    def __init__(self, probe_only: bool = False, hot_ref=None, id_out="doc_b"):
+        import ray
+
+        self.probe_only = probe_only
+        self.hot = ray.get(hot_ref) if hot_ref is not None else None
+        self.id_out = id_out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids_out, hvs = [], []
+        for did, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            sh = _shingles(text or "")
+            if not sh:
+                continue  # no shingles: containment is undefined, skip
+            hv = np.unique(
+                np.fromiter((_hash64(s) for s in sh), np.uint64, len(sh))
+            )
+            if self.probe_only:
+                m1 = (len(hv) * (CONTAIN_DEN - CONTAIN_NUM)) // CONTAIN_DEN + 1
+                if self.hot is not None and len(hv) > m1:
+                    is_hot = np.isin(hv, self.hot)
+                    order = np.lexsort((hv, is_hot))
+                    hv = hv[order[:m1]]
+                else:
+                    hv = hv[:m1]
+            ids_out.extend([did] * len(hv))
+            hvs.append(hv)
+        flat = np.concatenate(hvs) if hvs else np.zeros(0, np.uint64)
+        return pa.table(
+            {
+                "hv": pa.array(flat.view(np.int64)),
+                self.id_out: pa.array(np.asarray(ids_out, np.int64)),
+            }
+        )
+
+
+def _verify_containment(docs_ds, pairs_ds):
+    """Exact containment verification of candidate (doc_a, doc_b) pairs —
+    the `_verify_pairs` plan (candidate-id broadcast semi-join, hashed
+    feature sets, two compacted joins, in-stage scoring) with the
+    asymmetric scorer: keep iff DEN * |A ∩ B| >= NUM * |A|, the integer
+    cross-multiplied threshold (a float n/|A| >= 0.9 compare can disagree
+    with the oracle's integer test exactly at the rounding boundary)."""
+    import ray
+
+    from .relational import round_half_away
+
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "n_inter": pd.Series(dtype="int64"),
+            "size_a": pd.Series(dtype="int64"),
+            "containment": pd.Series(dtype="float64"),
+        }
+    )
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.schema() is None or pairs_ds.count() == 0:
+        return empty
+
+    def _both_ids(t: pa.Table) -> pa.Table:
+        a = t.select(["doc_a"]).rename_columns(["cand_id"])
+        b = t.select(["doc_b"]).rename_columns(["cand_id"])
+        return pa.concat_tables([a, b])
+
+    cand_ids = pairs_ds.map_batches(_both_ids, batch_format="pyarrow").unique(
+        "cand_id"
+    )
+    ids_ref = ray.put(pa.array(cand_ids, pa.int64()))
+    keep_and_hash = warm_stage(
+        _KeepAndHash,
+        factory=ShingleSetHasher,
+        id_col="doc_id",
+        ids_ref=ids_ref,
+    )
+    n_parts = max(1, min(8, len(cand_ids) // 10_000 + 1))
+    sets_ds = (
+        docs_ds.map_batches(keep_and_hash, batch_format="pyarrow")
+        .repartition(n_parts)
+        .materialize()
+    )
+
+    def _rename(cols):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+
+        return fn
+
+    side_a = sets_ds.map_batches(_rename(["doc_a", "sh_a"]), batch_format="pyarrow")
+    side_b = sets_ds.map_batches(_rename(["doc_b", "sh_b"]), batch_format="pyarrow")
+    pairs_ds = pairs_ds.repartition(n_parts).materialize()
+    joined = pairs_ds.join(
+        side_a, join_type="inner", num_partitions=n_parts, on=("doc_a",)
+    ).repartition(n_parts)
+    joined = joined.join(
+        side_b, join_type="inner", num_partitions=n_parts, on=("doc_b",)
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        keep_a, keep_b, inters, sizes, vals = [], [], [], [], []
+        for a, b, sa, sb in zip(
+            t.column("doc_a").to_pylist(),
+            t.column("doc_b").to_pylist(),
+            t.column("sh_a").to_pylist(),
+            t.column("sh_b").to_pylist(),
+        ):
+            A = np.frombuffer(sa, dtype=np.uint64)
+            B = np.frombuffer(sb, dtype=np.uint64)
+            inter = int(np.intersect1d(A, B, assume_unique=True).size)
+            if CONTAIN_DEN * inter >= CONTAIN_NUM * A.size:
+                keep_a.append(a)
+                keep_b.append(b)
+                inters.append(inter)
+                sizes.append(int(A.size))
+                vals.append(round_half_away(inter / A.size, 4))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+                "n_inter": pa.array(inters, pa.int64()),
+                "size_a": pa.array(sizes, pa.int64()),
+                "containment": pa.array(vals, pa.float64()),
+            }
+        )
+
+    out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return empty
+    out["n_inter"] = out["n_inter"].astype("int64")
+    out["size_a"] = out["size_a"].astype("int64")
+    out["containment"] = out["containment"].astype("float64")
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def t_containment_dupes(sf_dir: str):
+    """Asymmetric near-CONTAINMENT pairs over the shared 3-token shingle
+    space: ordered (doc_a, doc_b) with |Sa ∩ Sb| / |Sa| >= 0.9 — the
+    doc-inside-doc duplication class (quoted articles, boilerplate-wrapped
+    reposts) that symmetric Jaccard structurally misses, completing the
+    dedup family next to t_minhash_pairs / t_ngram_jaccard_dupes /
+    t_dup_spans.
+
+    Candidate generation is EXACT-recall by pigeonhole: a pair above
+    threshold leaves at most M = floor(|Sa|/10) of a's shingles missing
+    from b, so probing a's M+1 rarest shingles against the full shingle
+    index must produce the pair.  Rarest = non-hot-first (one bounded
+    heavy-hitter pass — CONTAIN_HOT_MAX shingles with df >=
+    CONTAIN_HOT_MIN_DF — broadcast once), which is PPJoin's prefix-filter
+    fanout bound with a fixed-size hot list instead of a global df sort;
+    recall never depends on the choice, only fanout does.  One keyed hash
+    exchange joins probes to the index (data-proportional partitions),
+    pairs dedupe distributed, and `_verify_containment` scores exactly
+    with the integer cross-multiplied threshold.  Texts never shuffle;
+    the two shingle scans recompute rather than materialize the
+    corpus-order gram table (the tfidf two-pass discipline)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from .relational import _join_pad, _topk, _two_regime_sum
+    from .sizing import shuffle_partitions
+
+    ds = _read_documents(sf_dir)
+
+    def hot_partial(t: pa.Table) -> pa.Table:
+        rows = ContainShingleRows(id_out="doc_b")(t)
+        tt = pa.table(
+            {
+                "hv": rows.column("hv"),
+                "cnt": pa.array(np.ones(len(rows), np.int64)),
+            }
+        )
+        g = tt.group_by("hv").aggregate([("cnt", "sum")])
+        return g.rename_columns(["hv", "cnt"])
+
+    red, _n = _two_regime_sum(
+        ds.map_batches(hot_partial, batch_format="pyarrow"), ["hv"], ["cnt"]
+    )
+    hot_df = _topk(
+        red,
+        CONTAIN_HOT_MAX,
+        keys=("cnt", "hv"),
+        descending=(True, False),
+        empty_schema=pa.schema([("hv", pa.int64()), ("cnt", pa.int64())]),
+    )
+    hot = (
+        hot_df.loc[hot_df["cnt"] >= CONTAIN_HOT_MIN_DF, "hv"]
+        .to_numpy(np.int64)
+        .view(np.uint64)
+    )
+    hot_ref = ray.put(np.sort(hot))
+
+    index_ds = ds.map_batches(
+        warm_stage(ContainShingleRows, id_out="doc_b"), batch_format="pyarrow"
+    )
+    probe_ds = ds.map_batches(
+        warm_stage(
+            ContainShingleRows, probe_only=True, hot_ref=hot_ref, id_out="doc_a"
+        ),
+        batch_format="pyarrow",
+    )
+
+    import pyarrow.parquet as pq_
+
+    n_docs = pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_parts = shuffle_partitions(n_docs * 48)  # ~mean shingles per doc
+
+    joined = _join_pad(
+        probe_ds, pa.schema([("hv", pa.int64()), ("doc_a", pa.int64())])
+    ).join(
+        _join_pad(
+            index_ds, pa.schema([("hv", pa.int64()), ("doc_b", pa.int64())])
+        ),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("hv",),
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("doc_a"), t.column("doc_b")))
+        return t.select(["doc_a", "doc_b"]).group_by(["doc_a", "doc_b"]).aggregate([])
+
+    pairs = (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+    )
+    return _verify_containment(ds, pairs)

@@ -478,6 +478,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_group_uniform_sample",
     "t_ccnet_buckets",
     "t_dsir_sample",
+    "t_containment_dupes",
 ]
 
 

@@ -2309,6 +2309,55 @@ def _write_docs(tmp_path, texts):
     pq_.write_table(t, str(tmp_path / "documents.parquet"))
 
 
+def test_containment_dupes_plants_and_bruteforce(ray_session, tmp_path):
+    """t_containment_dupes over a corpus with (1) a 20-token excerpt of a
+    100-token doc — containment 1.0 while its Jaccard is ~0.18, the class
+    symmetric dedup provably misses; (2) a pair engineered EXACTLY at the
+    0.9 boundary (9 of 10 shingles shared: 10*9 >= 9*10 holds — the
+    integer threshold keeps it, a float n/s >= 0.9 compare is the bug
+    class); (3) random background docs — all checked against a
+    brute-force all-pairs shingle recomputation."""
+    import pdfray.pipelines.textops as T
+
+    rng = np.random.default_rng(59)
+    vocab = [f"w{i}" for i in range(400)]
+    big = " ".join(rng.choice(vocab, 100))
+    excerpt = " ".join(big.split()[40:60])  # fully contained
+    a12 = " ".join(rng.choice(vocab, 12))  # 10 shingles
+    boundary = " ".join(a12.split()[:11] + ["zzz"])  # shares 9 of a's 10
+    texts = [big, excerpt, a12, boundary] + [
+        " ".join(rng.choice(vocab, int(rng.integers(8, 60)))) for _ in range(40)
+    ]
+    _write_docs(tmp_path, texts)
+    out = T.t_containment_dupes(str(tmp_path))
+
+    # brute force over the same shingle definition
+    sets = {i: T._shingles(s.lower()) for i, s in enumerate(texts)}
+    want = []
+    for i, Si in sets.items():
+        for j, Sj in sets.items():
+            if i == j or not Si:
+                continue
+            inter = len(Si & Sj)
+            if T.CONTAIN_DEN * inter >= T.CONTAIN_NUM * len(Si):
+                want.append((i, j, inter, len(Si)))
+    want = sorted(want)
+    got = list(
+        out[["doc_a", "doc_b", "n_inter", "size_a"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert got == want
+    # the planted structures are present
+    n1 = len(sets[1])
+    assert (1, 0, n1, n1) in got  # excerpt fully inside big: containment 1.0
+    ham_pair = [p for p in got if p[0] == 3 and p[1] == 2]
+    assert ham_pair == [(3, 2, 9, 10)]  # exactly at the 0.9 boundary
+    # and the excerpt's Jaccard really is far below any near-dup bar
+    j = n1 / len(sets[0] | sets[1])
+    assert j < 0.25
+
+
 def test_cms_one_sided_error_and_exact_truth(ray_session, tmp_path, monkeypatch):
     """CMS invariants on a random corpus: every probe estimate >= its true
     count (one-sided error, the CMS guarantee), a planted high-frequency
