@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_ann_rerank": S.s_ann_rerank,
         "m_audio_neardup": M.m_audio_neardup,
         "t_containment_dupes": T.t_containment_dupes,
+        "m_video_neardup": M.m_video_neardup,
     }
 
 
@@ -485,6 +486,58 @@ def _audio_neardup_oracle() -> str:
         payload, _stats = FX._audio_payload(k)
         urls.append(f"https://av.example.org/audio/{k:08d}.wav")
         hs.append(envelope_hash64(decode_wav(payload)))
+    a = np.array(hs, np.uint64)
+    rows = []
+    if len(a):
+        d = _popcount64(a[:, None] ^ a[None, :])
+        ia, ib = np.nonzero(np.triu(d <= NEARDUP_T, k=1))
+        for i, j in zip(ia, ib):
+            ua, ub = sorted((urls[i], urls[j]))
+            rows.append((ua, ub, int(d[i, j])))
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS url_a, "
+            "CAST(NULL AS VARCHAR) AS url_b, CAST(NULL AS BIGINT) AS hamming "
+            "WHERE FALSE"
+        )
+    values = ", ".join(f"('{a_}', '{b_}', {h_})" for a_, b_, h_ in sorted(rows))
+    return (
+        f"SELECT url_a, url_b, CAST(hamming AS BIGINT) AS hamming "
+        f"FROM (VALUES {values}) AS g(url_a, url_b, hamming) "
+        "ORDER BY url_a, url_b"
+    )
+
+
+def _video_neardup_oracle() -> str:
+    """ALL-PAIRS video near-dup ground truth from the PRE-encode frame
+    arrays (decoder never touched): fingerprints recomputed via the SAME
+    shared `video_hash64` over every FRAME_STRIDE-th frame, every pair at
+    Hamming <= NEARDUP_T as literal VALUES."""
+    import numpy as np
+
+    from pdfray.pipelines.multimodal import (
+        FRAME_STRIDE,
+        NEARDUP_T,
+        video_hash64,
+    )
+    from pdfray.pipelines.simsearch import _popcount64
+    from pdfray.sources import fixtures as FX
+
+    n = max(20, FX.sf_doc_count(0.01) // 2)
+    urls, hs = [], []
+    for k in range(1, n, 2):  # video rows; skip the planted broken ones
+        if k % 13 in (5, 11):
+            continue
+        frames, _cs = FX._video_frames_arrays(k)
+        urls.append(f"https://av.example.org/video/{k:08d}.y4m")
+        hs.append(
+            int(
+                video_hash64(
+                    frames[i] for i in range(0, len(frames), FRAME_STRIDE)
+                ),
+                16,
+            )
+        )
     a = np.array(hs, np.uint64)
     rows = []
     if len(a):
@@ -3112,6 +3165,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s_ann_rerank": _ann_rerank_oracle(),
         "m_audio_neardup": _audio_neardup_oracle(),
+        "m_video_neardup": _video_neardup_oracle(),
         "t_containment_dupes": (
             # ALL-PAIRS asymmetric-containment ground truth over the SAME
             # 3-token-shingle space as t_minhash_pairs; ORDERED pairs

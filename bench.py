@@ -237,6 +237,7 @@ QUERY_NAMES = [
     "s_ann_rerank",
     "m_audio_neardup",
     "t_containment_dupes",
+    "m_video_neardup",
 ]
 
 

@@ -754,3 +754,80 @@ def m_audio_neardup(sf_dir: str):
         _ws(AudioEnvHasher), batch_format="pyarrow", batch_size=64
     )
     return _banded_neardup_pairs(hashes)
+
+
+def video_hash64(frames_iter) -> str:
+    """64-bit video fingerprint: element-wise int64 SUM of the sampled
+    luma planes, aHashed.  Shared verbatim by the engine stage (planes
+    from the real Y4M frame-offset index) and the oracle generator (the
+    PRE-encode frame arrays — decoder never touched).  A pure brightness
+    shift +c adds 64c to the 8x8 sample sum, so the integer mean shifts
+    by exactly c and every comparison — hence the hash — is unchanged;
+    noise and clipping move a few Hamming bits, which the verify
+    absorbs."""
+    acc = None
+    for y in frames_iter:
+        y64 = np.asarray(y, dtype=np.int64)
+        acc = y64 if acc is None else acc + y64
+    if acc is None:
+        return "0" * 16
+    return ahash64(acc)
+
+
+class VideoHasher:
+    """Warm stage: Y4M parse -> `video_hash64` over every FRAME_STRIDE-th
+    luma plane (seeked through the container's frame-offset index — the
+    unsampled frames' bytes are never touched).  Emits the (url, ok,
+    ahash-hex) schema `_banded_neardup_pairs` consumes; broken payloads
+    set ok=False and survive as rows."""
+
+    def __init__(self, stride: int = FRAME_STRIDE):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..core.y4m import parse_y4m
+
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("payload")
+        ok, hx = [], []
+        for i in range(len(urls)):
+            try:
+                stream = parse_y4m(payloads[i].as_py() or b"")
+                hx.append(
+                    video_hash64(
+                        stream.luma(k)
+                        for k in range(0, stream.n_frames, self.stride)
+                    )
+                )
+                ok.append(True)
+            except Exception:
+                ok.append(False)
+                hx.append("0" * 16)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ok": pa.array(ok, pa.bool_()),
+                "ahash": pa.array(hx, pa.string()),
+            }
+        )
+
+
+def m_video_neardup(sf_dir: str):
+    """Near-duplicate VIDEO pairs — completing the dedup triad (text
+    shingles, image aHash, audio envelope): real Y4M container-index
+    decode -> sampled-luma-sum aHash (`video_hash64`, brightness-shift
+    invariant by integer-mean construction) -> the SAME banded-LSH +
+    XOR/popcount verify machinery (`_banded_neardup_pairs`, pigeonhole
+    recall at Hamming <= NEARDUP_T).
+
+    The fixture plants re-graded copies (+8 brightness + light noise,
+    k%16==15 duplicating video k-8); the oracle embeds ALL-PAIRS truth
+    hashed from the PRE-encode frame arrays — the decoder is never
+    touched on the oracle side, so a match certifies the container seek,
+    fingerprint, banding recall and verification together."""
+    from .textops import warm_stage as _ws
+
+    hashes = _av_ds(sf_dir, "video").map_batches(
+        _ws(VideoHasher), batch_format="pyarrow", batch_size=64
+    )
+    return _banded_neardup_pairs(hashes)

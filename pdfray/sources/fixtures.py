@@ -25,7 +25,7 @@ NL = "\n"
 DELIM = "|"
 
 # bump when generation logic changes so /tmp caches can never go stale
-FIXTURE_VERSION = 11
+FIXTURE_VERSION = 12
 
 LANGS = ("en", "de", "fr", "es")
 
@@ -977,16 +977,40 @@ def _video_frames_arrays(k: int):
     frame counts / colorspaces).  Shared by the payload encoder below and
     the frame-sample oracle builder, which hashes these arrays directly so
     the engine's container-index decode path is certified against goldens
-    the decoder never produced."""
+    the decoder never produced.
+
+    k % 16 == 15 rows are planted NEAR-DUPLICATES of video k-8 (an odd,
+    never-recursive index): the base frames brightness-shifted +8 with
+    light seeded noise — the re-encode/re-grade class the video aHash
+    fingerprint (`multimodal.video_hash64`) must catch (a pure brightness
+    shift leaves the hash bit-identical; the noise and clipping move it a
+    few Hamming bits)."""
     import numpy as np
+
+    if k % 16 == 15:  # near-dup plant: +8 brightness + light noise on k-8
+        base, cs = _video_frames_arrays(k - 8)
+        rng2 = np.random.RandomState((SEED << 16) ^ (0xB1DE0 + k))
+        frames = [
+            np.clip(
+                f.astype(np.int64) + 8 + rng2.randint(-4, 5, f.shape), 0, 255
+            ).astype(np.uint8)
+            for f in base
+        ]
+        return frames, cs
 
     rng = np.random.RandomState((SEED << 16) ^ (0x51DE0 + k))
     w = 16 + 2 * ((k * 5) % 25)   # 16..64, even
     h = 16 + 2 * ((k * 7) % 17)   # 16..48, even
     nf = 4 + (k % 9)              # 4..12 frames
     cs = ("420jpeg", "422", "444", "mono")[k % 4]
-    gx = (np.arange(w, dtype=np.int64) * 200 // max(1, w - 1)).astype(np.uint8)
-    base = np.tile(gx, (h, 1))
+    # k-dependent oriented gradient: direction, frequency and phase vary
+    # per video, so the STATIC background is visually distinct per clip
+    # (a shared flat ramp made every 8x8-sampled fingerprint collide —
+    # measured: 92k "natural" near-dup pairs at sf0.1 before this)
+    ax, ay = 1 + (k % 7), 1 + ((k * 3) % 5)
+    gx = np.arange(w, dtype=np.int64) * ax * 200 // max(1, w - 1)
+    gy = np.arange(h, dtype=np.int64) * ay * 200 // max(1, h - 1)
+    base = ((np.add.outer(gy, gx) + k * 37) % 200).astype(np.uint8)
     frames = []
     scene_len = 3 + (k % 3)  # planted scene changes every 3..5 frames
     for f in range(nf):

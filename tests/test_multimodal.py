@@ -357,3 +357,69 @@ def test_audio_neardup_matches_allpairs_truth_and_plants(ray_session):
             sample_rate=audio.sample_rate,
         )
         assert envelope_hash64(scaled) == base
+
+
+def test_video_neardup_matches_allpairs_truth_and_plants(ray_session):
+    """m_video_neardup matches the exhaustive pre-encode all-pairs truth
+    at sf0.001, the planted re-graded copy (k%16==15 of video k-8, +8
+    brightness + noise) is caught, and the fingerprint is exactly
+    brightness-shift invariant when no pixel clips (adding c to every
+    pixel adds 64c to the 8x8 sample sum, shifting the integer mean by
+    exactly c)."""
+    import pandas as pd
+
+    from pdfray.pipelines.multimodal import (
+        FRAME_STRIDE,
+        NEARDUP_T,
+        m_video_neardup,
+        video_hash64,
+    )
+    from pdfray.pipelines.simsearch import _popcount64
+    from pdfray.sources import fixtures as FX
+
+    sf = "/root/testdata/sf0.001"
+    got = m_video_neardup(sf)
+
+    n = max(20, FX.sf_doc_count(0.001) // 2)
+    urls, hs = [], []
+    for k in range(1, n, 2):
+        if k % 13 in (5, 11):
+            continue
+        frames, _cs = FX._video_frames_arrays(k)
+        urls.append(f"https://av.example.org/video/{k:08d}.y4m")
+        hs.append(
+            int(
+                video_hash64(
+                    frames[i] for i in range(0, len(frames), FRAME_STRIDE)
+                ),
+                16,
+            )
+        )
+    a = np.array(hs, np.uint64)
+    d = _popcount64(a[:, None] ^ a[None, :])
+    ia, ib = np.nonzero(np.triu(d <= NEARDUP_T, k=1))
+    rows = sorted(
+        (*sorted((urls[i], urls[j])), int(d[i, j])) for i, j in zip(ia, ib)
+    )
+    want = pd.DataFrame(rows, columns=["url_a", "url_b", "hamming"])
+    want["hamming"] = want["hamming"].astype("int64")
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=True
+        )
+    # the sf0.001 plant: video 15 duplicates video 7
+    pair = got[
+        (got["url_a"] == "https://av.example.org/video/00000007.y4m")
+        & (got["url_b"] == "https://av.example.org/video/00000015.y4m")
+    ]
+    assert len(pair) == 1
+
+    # exact brightness invariance: +c on every pixel (int64, no clipping)
+    # leaves the hash bit-identical
+    frames, _cs = FX._video_frames_arrays(1)
+    h0 = video_hash64(iter(frames))
+    for c in (7, 100):
+        bright = [f.astype(np.int64) + c for f in frames]
+        assert video_hash64(iter(bright)) == h0
