@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_audio_neardup": M.m_audio_neardup,
         "t_containment_dupes": T.t_containment_dupes,
         "m_video_neardup": M.m_video_neardup,
+        "s_ood_mahalanobis": S.s_ood_mahalanobis,
     }
 
 
@@ -1180,6 +1181,45 @@ def _ann_rerank_oracle() -> str:
         "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM sims) "
         f"SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= {TOP_K} "
         "ORDER BY query_id, rank"
+    )
+
+
+def _ood_oracle() -> str:
+    """Truncated-Mahalanobis OOD scores recomputed in DuckDB:
+    (mean, W, lambda) retrained INDEPENDENTLY from the raw parquet via the
+    shared `ood_params` (same canonicalization as s_pca), embedded as
+    literals; the score replays as a LEFT-ASSOCIATED + chain of
+    power(list_inner_product(x, w_j) - mu_j, 2) / lam_j terms — the same
+    accumulation order as the engine — ROUND(,4) both sides (the
+    sim-family ulp convention)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdfray.pipelines.simsearch import OOD_K, ood_params, pca_moments
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    df = (
+        pq.read_table(path, columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    n, s, g = pca_moments(X)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    W, mu, lam = ood_params(mean, cov, min(OOD_K, X.shape[1]))
+    terms = []
+    for j in range(W.shape[1]):
+        w = ",".join(repr(float(x)) for x in W[:, j])
+        terms.append(
+            "(power(list_inner_product(CAST(embedding AS DOUBLE[]), "
+            f"[{w}]) - {float(mu[j])!r}, 2) / {float(lam[j])!r})"
+        )
+    expr = " + ".join(terms)
+    return (
+        f"SELECT vec_id, ROUND({expr}, 4) AS score "
+        "FROM embeddings ORDER BY vec_id"
     )
 
 
@@ -3166,6 +3206,7 @@ def oracle_sql() -> dict[str, str]:
         "s_ann_rerank": _ann_rerank_oracle(),
         "m_audio_neardup": _audio_neardup_oracle(),
         "m_video_neardup": _video_neardup_oracle(),
+        "s_ood_mahalanobis": _ood_oracle(),
         "t_containment_dupes": (
             # ALL-PAIRS asymmetric-containment ground truth over the SAME
             # 3-token-shingle space as t_minhash_pairs; ORDERED pairs

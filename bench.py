@@ -238,6 +238,7 @@ QUERY_NAMES = [
     "m_audio_neardup",
     "t_containment_dupes",
     "m_video_neardup",
+    "s_ood_mahalanobis",
 ]
 
 

@@ -2412,3 +2412,111 @@ def s_pca(sf_dir: str, k: int = PCA_K):
         df[c] = df[c].astype("int64")
     df["value"] = df["value"].astype("float64")
     return df.sort_values(["vec_id", "component"]).reset_index(drop=True)
+
+
+OOD_K = PCA_K  # Mahalanobis in the top-k principal subspace
+OOD_EPS = 1e-9  # eigenvalue floor (identical literal on both sides)
+
+
+def ood_params(mean: np.ndarray, cov: np.ndarray, k: int):
+    """(W, mu, lam) of the truncated-Mahalanobis score — shared verbatim
+    by the engine and the oracle generator (the pq_codebooks discipline),
+    so the two trainings are bit-identical given identical moments."""
+    W = pca_components(mean, cov, k)
+    lam = np.maximum(np.diag(W.T @ cov @ W), OOD_EPS)
+    return W, mean @ W, lam
+
+
+def s_ood_mahalanobis(sf_dir: str, k: int = OOD_K):
+    """Outlier (OOD) scoring of the embedding column — the data-curation
+    filter that drops corrupt / out-of-distribution vectors before
+    training: the Mahalanobis distance in the top-k principal subspace,
+    score = sum_j ((x - mean)·w_j)^2 / max(lambda_j, eps).  The truncated
+    form is the standard practical OOD score (full-precision Mahalanobis
+    needs the d x d inverse; the top-k subspace carries the distribution's
+    mass and the literal-oracle size stays k x d).
+
+    Scale shape: training is the s_pca sufficient-statistics pass — each
+    block reduces to (n, Σx, XᵀX), zero exchanges, driver eigh once,
+    (mean, W, lambda) broadcast; scoring is one matmul per batch.  The
+    score sum runs LEFT-TO-RIGHT over the k terms so the float addition
+    order matches the oracle's + chain exactly (the only remaining float
+    gap is the shared ulp-rounding convention, absorbed by ROUND(,4) on
+    both sides like the whole sim family).
+
+    The oracle retrains (mean, W, lambda) INDEPENDENTLY from the raw
+    parquet through the same `pca_components` canonicalization and
+    replays the score as a left-associated sum of
+    power(list_inner_product(x, w_j) - mu_j, 2) / lam_j literals."""
+    import ray
+
+    ds = _read_embeddings(sf_dir)
+
+    def moments(t: pa.Table) -> pa.Table:
+        X = _batch_matrix(t)
+        n, s, g = pca_moments(X)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "d": pa.array([X.shape[1]], pa.int64()),
+                "s": pa.array([s.tobytes()], pa.binary()),
+                "g": pa.array([g.tobytes()], pa.binary()),
+            }
+        )
+
+    N, S, G, dim = 0, None, None, 0
+    for r in ds.map_batches(moments, batch_format="pyarrow").take_all():
+        if r["n"] == 0:
+            continue
+        d = int(r["d"])
+        s = np.frombuffer(r["s"], np.float64)
+        g = np.frombuffer(r["g"], np.float64).reshape(d, d)
+        if S is None:
+            S, G, dim = s.copy(), g.copy(), d
+        else:
+            S += s
+            G += g
+        N += int(r["n"])
+    if N == 0:
+        return _empty_result(vec_id="i", score="f")
+
+    mean = S / N
+    cov = G / N - np.outer(mean, mean)
+    W, mu, lam = ood_params(mean, cov, min(k, dim))
+    ref = ray.put((W, mu, lam))
+
+    class Score:
+        def __init__(self):
+            self.W, self.mu, self.lam = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            X = _batch_matrix(t)
+            if len(X) == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            P = X @ self.W - self.mu
+            terms = (P * P) / self.lam
+            # LEFT-TO-RIGHT accumulation: the oracle's + chain order
+            acc = terms[:, 0].copy()
+            for j in range(1, terms.shape[1]):
+                acc = acc + terms[:, j]
+            return pa.table(
+                {
+                    "vec_id": pa.array(
+                        t.column("vec_id").to_numpy(zero_copy_only=False),
+                        pa.int64(),
+                    ),
+                    "score": pa.array(round_half_away(acc, 4), pa.float64()),
+                }
+            )
+
+    df = ds.map_batches(
+        warm_factory(("s_ood", ref.hex()), Score), batch_format="pyarrow"
+    ).to_pandas()
+    df["vec_id"] = df["vec_id"].astype("int64")
+    df["score"] = df["score"].astype("float64")
+    return df.sort_values("vec_id").reset_index(drop=True)

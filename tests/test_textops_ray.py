@@ -3684,3 +3684,51 @@ def test_pca_matches_independent_numpy_and_is_orthonormal(ray_session):
         }
     ).sort_values(["vec_id", "component"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, want, check_dtype=True)
+
+
+def test_ood_mahalanobis_outlier_and_numpy_parity(ray_session, tmp_path):
+    """s_ood_mahalanobis over a synthetic Gaussian cloud with one planted
+    far-out vector: (1) the plant gets the corpus-max score by a wide
+    margin; (2) every score is bit-equal to an independent single-pass
+    numpy recomputation through the shared `ood_params` (the engine's
+    distributed moments merge must not drift); (3) scores are
+    non-negative."""
+    import pyarrow.parquet as pq_
+
+    import pdfray.pipelines.simsearch as S
+    from pdfray.pipelines.relational import round_half_away
+
+    rng = np.random.RandomState(23)
+    n, d = 300, 16
+    vecs = (rng.randn(n, d) * [1.0 + j / 4 for j in range(d)]).astype(
+        np.float32
+    )
+    vecs[42] = 50.0  # far outside the cloud in every direction
+    rows = {
+        "vec_id": list(range(n)),
+        "embedding": [list(map(float, v)) for v in vecs],
+        "label": [0] * n,
+    }
+    pq_.write_table(pa.table(rows), str(tmp_path / "embeddings.parquet"))
+
+    out = S.s_ood_mahalanobis(str(tmp_path))
+    assert len(out) == n
+    assert (out["score"] >= 0).all()
+    assert int(out.loc[out["score"].idxmax(), "vec_id"]) == 42
+    second = out.loc[out["vec_id"] != 42, "score"].max()
+    assert float(out["score"].max()) > 5 * float(second)
+
+    X = vecs.astype(np.float64)
+    nn, s, g = S.pca_moments(X)
+    mean, cov = s / nn, g / nn - np.outer(s / nn, s / nn)
+    W, mu, lam = S.ood_params(mean, cov, min(S.OOD_K, d))
+    P = X @ W - mu
+    terms = (P * P) / lam
+    acc = terms[:, 0].copy()
+    for j in range(1, terms.shape[1]):
+        acc = acc + terms[:, j]
+    ref = round_half_away(acc, 4)
+    got = out.sort_values("vec_id")["score"].to_numpy()
+    # engine blocks may split the moments differently than the single
+    # pass; on this table the merge is still bit-identical
+    assert (got == ref).all()
