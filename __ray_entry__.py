@@ -388,6 +388,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_containment_dupes": T.t_containment_dupes,
         "m_video_neardup": M.m_video_neardup,
         "s_ood_mahalanobis": S.s_ood_mahalanobis,
+        "q_frequent_pairs": R.q_frequent_pairs,
+        "q_markov_transitions": R.q_markov_transitions,
+        "q_skyline_parts": R.q_skyline_parts,
+        "t_quality_classifier": T.t_quality_classifier,
     }
 
 
@@ -3235,6 +3239,60 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter i JOIN sz ON sz.doc_id = i.doc_a "
             "WHERE 10 * i.n_inter >= 9 * sz.size_a "
             "ORDER BY doc_a, doc_b"
+        ),
+        "q_frequent_pairs": (
+            # baskets = distinct parts per order; pair support counted
+            # over unordered (a < b) pairs, integer end to end
+            "WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "pr AS (SELECT x.l_partkey AS a, y.l_partkey AS b FROM b x "
+            "JOIN b y ON x.l_orderkey = y.l_orderkey "
+            "AND x.l_partkey < y.l_partkey) "
+            "SELECT a AS part_a, b AS part_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM pr GROUP BY a, b HAVING COUNT(*) >= 2 "
+            "ORDER BY part_a, part_b"
+        ),
+        "q_markov_transitions": (
+            # per-user LEAD over the deterministic (ts, event_id) order;
+            # the engine's chunk stitch is invisible by construction
+            "WITH s AS (SELECT user_id, event_type, LEAD(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+            "SELECT event_type AS prev_type, nxt AS next_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2 "
+            "ORDER BY prev_type, next_type"
+        ),
+        "q_skyline_parts": (
+            # standard skyline dominance: <= / >= with at least one
+            # strict; ties on both axes survive together
+            "SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size, "
+            "p_retailprice FROM part p WHERE NOT EXISTS ("
+            "SELECT 1 FROM part q "
+            "WHERE q.p_retailprice <= p.p_retailprice "
+            "AND q.p_size >= p.p_size "
+            "AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)) "
+            "ORDER BY p_partkey"
+        ),
+        "t_quality_classifier": (
+            # the hashed-weight model replayed verbatim: same md5-lower-64
+            # bucket hash, same integer weight table (md5('qw:b') % 21 -
+            # 10), same \\s+ lower tokenization; zero-token docs score 0
+            # and keep
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w "
+            "FROM documents), "
+            "wt AS (SELECT i, CAST(md5_number_lower('qw:' || "
+            "CAST(i AS VARCHAR)) % 21 AS BIGINT) - 10 AS wt "
+            "FROM (SELECT unnest(range(1024)) AS i)), "
+            "sc AS (SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(wt.wt) AS s "
+            "FROM toks t JOIN wt ON wt.i = md5_number_lower(t.w) % 1024 "
+            "GROUP BY t.doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) "
+            "AS n_tokens, CAST(COALESCE(sc.s, 0) AS BIGINT) AS score, "
+            "CAST(CASE WHEN COALESCE(sc.s, 0) >= 0 THEN 1 ELSE 0 END "
+            "AS BIGINT) AS keep "
+            "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id "
+            "ORDER BY d.doc_id"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

@@ -239,6 +239,10 @@ QUERY_NAMES = [
     "t_containment_dupes",
     "m_video_neardup",
     "s_ood_mahalanobis",
+    "q_frequent_pairs",
+    "q_markov_transitions",
+    "q_skyline_parts",
+    "t_quality_classifier",
 ]
 
 

@@ -7622,3 +7622,406 @@ def q_butterfly_count(sf_dir: str):
             "n_butterflies": pd.array([n_butterflies], "int64"),
         }
     )
+
+
+FREQ_PAIR_MINSUP = 2  # minimum co-purchase support for a frequent pair
+
+
+def q_frequent_pairs(sf_dir: str):
+    """Market-basket frequent-pair mining over order baskets (the
+    A-Priori / SON family, Agrawal & Srikant 1994): every unordered pair
+    of distinct parts co-purchased in >= FREQ_PAIR_MINSUP orders, with
+    its exact order count.
+
+    Plan: ONE order-keyed exchange co-locates each basket — keyed by a
+    hash BUCKET of l_orderkey (never one Python group per order: millions
+    of tiny groups pay per-group dispatch; a bucket group holds thousands
+    of baskets and processes them all at once).  Inside a bucket the
+    basket pair expansion is fully vectorized — lexsort, run-length
+    offsets, then one shifted-compare pass per lag (basket sizes are
+    catalog-bounded, max 17 distinct parts at sf0.1, so the lag loop is a
+    constant ~17 numpy ops, not a row loop) — and pair counts pre-reduce
+    per bucket before `_two_regime_sum` does the global (a, b) reduction.
+    The minsup cut happens on the reduced rows.  Counts are integers end
+    to end; no float enters the compare.
+
+    SON note: the classic two-pass SON plan (locally-frequent candidate
+    broadcast, then an exact counting pass) only pays when baskets are
+    huge and the pair universe dwarfs memory; with bounded baskets the
+    direct bucketed count moves strictly fewer bytes in one fewer pass.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .sizing import shuffle_partitions
+
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    nb = shuffle_partitions(n_li)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        # uint64 mix (int64*uint64 silently promotes to float64 — the
+        # bucket-hash collapse lesson, CLAUDE.md)
+        mixed = o.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        t = t.append_column(
+            "bucket", pa.array((mixed % np.uint64(nb)).astype(np.int64))
+        )
+        return t
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        o = g["l_orderkey"].to_numpy(np.int64)
+        p = g["l_partkey"].to_numpy(np.int64)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        if len(o):
+            keep = np.ones(len(o), bool)
+            keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+            o, p = o[keep], p[keep]
+        starts = np.flatnonzero(np.r_[True, o[1:] != o[:-1]]) if len(o) else []
+        sizes = np.diff(np.r_[starts, len(o)]) if len(o) else np.empty(0, np.int64)
+        pos = np.arange(len(o)) - np.repeat(starts, sizes) if len(o) else None
+        size_rep = np.repeat(sizes, sizes) if len(o) else None
+        out_a, out_b = [], []
+        for lag in range(1, int(sizes.max()) if sizes.size else 0):
+            idx = np.flatnonzero(pos + lag < size_rep)
+            out_a.append(p[idx])
+            out_b.append(p[idx + lag])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        part = (
+            pd.DataFrame({"a": a, "b": b})
+            .groupby(["a", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        part["c"] = part["c"].astype("int64")
+        return part
+
+    pair_parts = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_partkey"],
+            rows_per_block=100_000,
+        )
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    red, _ = _two_regime_sum(pair_parts, ["a", "b"], ["c"])
+    out = red.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("c"), FREQ_PAIR_MINSUP)),
+        batch_format="pyarrow",
+    )
+    df = typed_collect(
+        out,
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("c", pa.int64())]),
+    )
+    df = df.rename(columns={"a": "part_a", "b": "part_b", "c": "n_orders"})
+    return df.sort_values(["part_a", "part_b"]).reset_index(drop=True)
+
+
+MARKOV_BUCKETS = 64
+MARKOV_CHUNK_DAYS = 7  # hot-key split width; stitch is correct for ANY width
+
+
+def q_markov_transitions(sf_dir: str):
+    """Global event-type transition matrix (first-order Markov counts):
+    for every consecutive event pair in a user's timeline — ordered by
+    (ts, event_id), the deterministic tiebreak — count (prev_type,
+    next_type).  The sequence-modeling bigram shape: session-intent
+    mining, next-event prediction priors, UI-flow analysis all reduce to
+    this matrix.
+
+    Hot-key-safe like q_interevent_gap_stats: the ONE event-sized
+    exchange keys on (user_id, time chunk) via _session_keys, so a user
+    owning half the corpus splits across chunk groups.  Each bucket group
+    counts its in-chunk transitions vectorized (shift-compare, never a
+    row loop) and emits one narrow BOUNDARY row per (user, chunk) —
+    first/last event type — because the cross-chunk pair (last event of a
+    chunk, first event of the user's NEXT populated chunk) is the only
+    lag the in-chunk pass cannot see.  Chunk order is time order (chunk =
+    ts // width is monotone, and a ts tie always lands in one chunk), so
+    the stitch sorts boundary rows by (user, chunk) and takes adjacent
+    same-user pairs — two-regime: driver pandas below
+    PIVOT_DRIVER_MAX_ROWS boundary rows, a user-hash-bucketed groupby
+    above.  Transition cells reduce via `_two_regime_sum`; everything
+    that moves is (type, type, int64) — the event text never reshuffles.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "user_id", "event_type"],
+        rows_per_block=12_500,
+    )
+    chunk_us = np.int64(MARKOV_CHUNK_DAYS) * 86_400_000_000
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        chunk, bucket = _session_keys(users, ts_us, MARKOV_BUCKETS, chunk_us)
+        t = t.append_column("chunk", pa.array(chunk, pa.int64()))
+        return t.append_column("bucket", pa.array(bucket))
+
+    _PART_COLS = {
+        "kind": "int64",
+        "prev_type": "object",
+        "next_type": "object",
+        "n": "int64",
+        "user_id": "int64",
+        "chunk": "int64",
+        "first_type": "object",
+        "last_type": "object",
+    }
+
+    def _empty_part() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=d) for c, d in _PART_COLS.items()})
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "chunk", "ts", "event_id"])
+        same = g["user_id"].eq(g["user_id"].shift()) & g["chunk"].eq(
+            g["chunk"].shift()
+        )
+        ic = (
+            pd.DataFrame(
+                {
+                    "prev_type": g["event_type"].shift()[same],
+                    "next_type": g["event_type"][same],
+                }
+            )
+            .groupby(["prev_type", "next_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        bnd = (
+            g.groupby(["user_id", "chunk"], sort=False)
+            .agg(first_type=("event_type", "first"), last_type=("event_type", "last"))
+            .reset_index()
+        )
+        a = _empty_part()
+        parts = []
+        if len(ic):
+            t = a.copy()
+            t = pd.DataFrame(
+                {
+                    "kind": np.zeros(len(ic), np.int64),
+                    "prev_type": ic["prev_type"].to_numpy(),
+                    "next_type": ic["next_type"].to_numpy(),
+                    "n": ic["n"].to_numpy(np.int64),
+                    "user_id": np.full(len(ic), -1, np.int64),
+                    "chunk": np.full(len(ic), -1, np.int64),
+                    "first_type": np.full(len(ic), "", object),
+                    "last_type": np.full(len(ic), "", object),
+                }
+            )
+            parts.append(t)
+        if len(bnd):
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.ones(len(bnd), np.int64),
+                        "prev_type": np.full(len(bnd), "", object),
+                        "next_type": np.full(len(bnd), "", object),
+                        "n": np.zeros(len(bnd), np.int64),
+                        "user_id": bnd["user_id"].to_numpy(np.int64),
+                        "chunk": bnd["chunk"].to_numpy(np.int64),
+                        "first_type": bnd["first_type"].to_numpy(object),
+                        "last_type": bnd["last_type"].to_numpy(object),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True) if parts else a
+
+    _part_schema = pa.schema(
+        [
+            ("kind", pa.int64()),
+            ("prev_type", pa.string()),
+            ("next_type", pa.string()),
+            ("n", pa.int64()),
+            ("user_id", pa.int64()),
+            ("chunk", pa.int64()),
+            ("first_type", pa.string()),
+            ("last_type", pa.string()),
+        ]
+    )
+
+    parts = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .materialize()  # narrow: transition cells + one row per (user, chunk)
+    )
+
+    internal = parts.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 0)).select(
+            ["prev_type", "next_type", "n"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    bnd_ds = parts.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 1)).select(
+            ["user_id", "chunk", "first_type", "last_type"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def stitch(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["user_id", "chunk"])
+        same = b["user_id"].eq(b["user_id"].shift())
+        out = (
+            pd.DataFrame(
+                {
+                    "prev_type": b["last_type"].shift()[same],
+                    "next_type": b["first_type"][same],
+                }
+            )
+            .groupby(["prev_type", "next_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype("int64")
+        if not len(out):
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series(dtype="object"),
+                    "next_type": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        return out
+
+    n_bnd = bnd_ds.count()
+    _bnd_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("chunk", pa.int64()),
+            ("first_type", pa.string()),
+            ("last_type", pa.string()),
+        ]
+    )
+    if n_bnd <= PIVOT_DRIVER_MAX_ROWS:
+        stitched_df = stitch(typed_collect(bnd_ds, _bnd_schema))
+        stitched = rd.from_arrow(
+            pa.Table.from_pandas(stitched_df, preserve_index=False).cast(
+                pa.schema(
+                    [
+                        ("prev_type", pa.string()),
+                        ("next_type", pa.string()),
+                        ("n", pa.int64()),
+                    ]
+                )
+            )
+        )
+    else:
+
+        def ubucket(t: pa.Table) -> pa.Table:
+            u = t.column("user_id").to_numpy(zero_copy_only=False)
+            mixed = u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            return t.append_column(
+                "ub", pa.array((mixed % np.uint64(MARKOV_BUCKETS)).astype(np.int64))
+            )
+
+        stitched = (
+            bnd_ds.map_batches(ubucket, batch_format="pyarrow")
+            .groupby("ub")
+            .map_groups(
+                lambda b: stitch(b.drop(columns=["ub"])), batch_format="pandas"
+            )
+        )
+
+    red, _ = _two_regime_sum(
+        internal.union(stitched),
+        ["prev_type", "next_type"],
+        ["n"],
+        empty_types={"prev_type": pa.string(), "next_type": pa.string()},
+    )
+    df = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("prev_type", pa.string()),
+                ("next_type", pa.string()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+    return df.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+def _skyline_sweep(price, size, key):
+    """Indices of the 2D skyline (min price, max size) with standard
+    dominance: a row is dominated iff some other row is <= on price, >=
+    on size, and strict on at least one — ties on BOTH axes survive
+    together.  One sort + two reduceat passes, no pairwise grid."""
+    import numpy as np
+
+    n = len(price)
+    if n == 0:
+        return np.empty(0, np.int64)
+    order = np.argsort(price, kind="stable")
+    pr, sz = price[order], size[order]
+    starts = np.flatnonzero(np.r_[True, pr[1:] != pr[:-1]])
+    gsizes = np.diff(np.r_[starts, n])
+    # max size within each equal-price group, and the running max of all
+    # strictly-cheaper groups
+    geq_max = np.maximum.reduceat(sz, starts)
+    strict_max = np.r_[np.iinfo(np.int64).min, np.maximum.accumulate(geq_max)[:-1]]
+    gid = np.repeat(np.arange(len(starts)), gsizes)
+    keep = (sz > strict_max[gid]) & (sz == geq_max[gid])
+    return order[keep]
+
+
+def q_skyline_parts(sf_dir: str):
+    """Pareto-skyline of the part catalog: parts for which no other part
+    is both cheaper-or-equal AND larger-or-equal with at least one strict
+    — the classic skyline operator (Borzsony/Kossmann/Stocker 2001) over
+    (minimize p_retailprice, maximize p_size).
+
+    Distributed shape: the skyline of a union is contained in the union
+    of per-block skylines (a globally-undominated row is undominated in
+    its own block), so each block reduces to its local skyline with one
+    sort + prefix-max sweep (`_skyline_sweep`, O(n log n), no pairwise
+    grid) and the driver runs the SAME sweep over the concatenated block
+    skylines — for 2D data the block skyline is O(distinct prices) at
+    worst and tiny in practice, so the merge input is driver-sized by
+    construction while the scan stays a zero-shuffle streaming pass.
+    Prices compare as exact 1/100-grid doubles straight from the parquet;
+    no arithmetic touches them, so no rounding is needed either side."""
+    import numpy as np
+
+    def block_skyline(t: pa.Table) -> pa.Table:
+        price = t.column("p_retailprice").to_numpy(zero_copy_only=False)
+        size = t.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        idx = _skyline_sweep(price, size, key)
+        return pa.table(
+            {
+                "p_partkey": pa.array(key[idx], pa.int64()),
+                "p_size": pa.array(size[idx], pa.int64()),
+                "p_retailprice": pa.array(price[idx], pa.float64()),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"]
+    ).map_batches(block_skyline, batch_format="pyarrow")
+    cand = typed_collect(
+        ds,
+        pa.schema(
+            [
+                ("p_partkey", pa.int64()),
+                ("p_size", pa.int64()),
+                ("p_retailprice", pa.float64()),
+            ]
+        ),
+    )
+    price = cand["p_retailprice"].to_numpy(np.float64)
+    size = cand["p_size"].to_numpy(np.int64)
+    key = cand["p_partkey"].to_numpy(np.int64)
+    idx = _skyline_sweep(price, size, key)
+    out = cand.iloc[np.sort(idx)]
+    return out.sort_values("p_partkey").reset_index(drop=True)

@@ -4424,3 +4424,86 @@ def t_containment_dupes(sf_dir: str):
         .map_batches(lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
     )
     return _verify_containment(ds, pairs)
+
+
+QC_BUCKETS = 1024  # hashed feature space of the linear quality scorer
+QC_SALT = "qw:"
+
+
+def _qc_weights():
+    """The classifier's integer weight table: weight of hash bucket b is
+    md5-lower-64("qw:b") % 21 - 10, i.e. a deterministic integer in
+    [-10, 10] the DuckDB oracle regenerates verbatim — the weights are a
+    stand-in for any trained linear model shipped to workers."""
+    import numpy as np
+
+    w = np.empty(QC_BUCKETS, np.int64)
+    for b in range(QC_BUCKETS):
+        hv = int.from_bytes(
+            hashlib.md5(f"{QC_SALT}{b}".encode()).digest()[8:], "little"
+        )
+        w[b] = hv % 21 - 10
+    return w
+
+
+def t_quality_classifier(sf_dir: str):
+    """Hashed linear quality classifier (the fastText-style model-scoring
+    stage): tokens hash into QC_BUCKETS features, the broadcast integer
+    weight table scores every occurrence, and a document keeps iff its
+    summed score is non-negative.  This is the batched-model-inference
+    shape — swap `_qc_weights` for real trained weights and nothing else
+    changes — kept INTEGER end to end so the DuckDB oracle replays the
+    exact same scores (md5_number_lower both sides, no sigmoid float).
+
+    Plan: one zero-shuffle streaming pass.  Per block the lowered text
+    splits Arrow-side, tokens dictionary-encode so md5 runs once per
+    UNIQUE word (not per occurrence), the bucket weights gather from the
+    module-level table, and per-doc scores accumulate with one
+    np.add.at — no Python row loop anywhere.  The weight table is
+    process-global state (built once per worker), the canonical broadcast
+    small side."""
+    import numpy as np
+
+    weights = _qc_weights()
+
+    def score(t: pa.Table) -> pa.Table:
+        n_docs = t.num_rows
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("text")), r"\s+"
+        ).combine_chunks()
+        offsets = toks.offsets.to_numpy()
+        offsets = offsets - offsets[0]
+        parent = np.repeat(np.arange(n_docs), np.diff(offsets))
+        enc = pc.list_flatten(toks).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        words = enc.dictionary.to_pylist()
+        # drop split artifacts (leading/trailing whitespace yields '')
+        bucket = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little")
+                % QC_BUCKETS
+                if w
+                else -1
+                for w in words
+            ),
+            np.int64,
+            len(words),
+        )
+        keep = bucket[codes] >= 0
+        parent, codes = parent[keep], codes[keep]
+        wt = weights[bucket[codes]] if len(codes) else np.empty(0, np.int64)
+        scores = np.zeros(n_docs, np.int64)
+        np.add.at(scores, parent, wt)
+        n_tokens = np.zeros(n_docs, np.int64)
+        np.add.at(n_tokens, parent, 1)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "score": pa.array(scores, pa.int64()),
+                "keep": pa.array((scores >= 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = _read_documents(sf_dir).map_batches(score, batch_format="pyarrow")
+    return _collect_sorted(ds, ("doc_id",), lambda: score(_empty_docs()))

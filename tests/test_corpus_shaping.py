@@ -479,6 +479,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_ccnet_buckets",
     "t_dsir_sample",
     "t_containment_dupes",
+    "t_quality_classifier",
 ]
 
 
@@ -607,6 +608,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_decay_user_engagement",
     "q_sliding_window_counts",
     "q_kmv_distinct_users",
+    "q_markov_transitions",
 ]
 
 _PROPS_POOL = [
@@ -764,6 +766,8 @@ RELATIONAL_ORACLE_QUERIES = [
     "q21_waiting_suppliers",
     "q_fk_audit",
     "q_butterfly_count",
+    "q_frequent_pairs",
+    "q_skyline_parts",
 ]
 
 

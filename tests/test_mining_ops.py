@@ -1,0 +1,255 @@
+"""Round-5 continuation additions: market-basket frequent pairs (SON
+shape), Markov event-type transitions (hot-key-safe chunk stitch), the 2D
+Pareto skyline, and the hashed-linear quality classifier (the
+model-inference stage shape).
+
+All four also ride the registered-oracle harnesses automatically
+(tools/check_oracles.py, tests/test_empty_input.py, and the hostile
+documents/events/lineitem harnesses)."""
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pdfray.pipelines.relational as R
+import pdfray.pipelines.textops as T
+
+
+def _write_lineitem_pairs(tmp_path, orderkeys, partkeys):
+    n = len(orderkeys)
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(np.asarray(orderkeys, np.int64)),
+            "l_partkey": pa.array(np.asarray(partkeys, np.int64)),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+
+
+def test_frequent_pairs_matches_bruteforce(ray_session, tmp_path):
+    """Random baskets with planted hazards: duplicate (order, part) lines
+    (the basket must dedup before pair expansion), a HOT 25-part order
+    (drives the lag loop past every natural basket size), and
+    single-line orders (no pairs)."""
+    rng = np.random.default_rng(41)
+    o = rng.integers(0, 400, 4000)
+    p = rng.integers(0, 60, 4000)
+    # duplicates of the same line
+    o = np.r_[o, o[:200]]
+    p = np.r_[p, p[:200]]
+    # hot order with 25 distinct parts
+    o = np.r_[o, np.full(25, 9999)]
+    p = np.r_[p, np.arange(100, 125)]
+    # single-line order
+    o = np.r_[o, [12345]]
+    p = np.r_[p, [7]]
+    _write_lineitem_pairs(tmp_path, o, p)
+
+    out = R.q_frequent_pairs(str(tmp_path))
+
+    baskets = (
+        pd.DataFrame({"o": o, "p": p}).drop_duplicates().groupby("o")["p"].apply(sorted)
+    )
+    counts = {}
+    for parts in baskets:
+        for a, b in itertools.combinations(parts, 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    ref = (
+        pd.DataFrame(
+            [
+                {"part_a": a, "part_b": b, "n_orders": c}
+                for (a, b), c in counts.items()
+                if c >= R.FREQ_PAIR_MINSUP
+            ]
+        )
+        .astype({"part_a": "int64", "part_b": "int64", "n_orders": "int64"})
+        .sort_values(["part_a", "part_b"])
+        .reset_index(drop=True)
+    )
+    assert len(ref) > 0  # the scenario must actually exercise the cut
+    pd.testing.assert_frame_equal(out, ref, check_exact=True)
+
+
+def _write_events(tmp_path, users, ts_us, kinds):
+    n = len(users)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(np.asarray(ts_us, np.int64), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array(np.asarray(users, np.int64), pa.int64()),
+            "event_type": pa.array(list(kinds), pa.string()),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+
+def test_markov_transitions_chunk_stitch(ray_session, tmp_path):
+    """Random event streams spanning many 7-day chunks, with planted
+    hazards: identical-ts ties (event_id is the tiebreak), a hot user
+    owning a third of the corpus (split across chunk groups), and a user
+    whose populated chunks are NON-adjacent (the stitch must pair the
+    next populated chunk, not chunk+1)."""
+    rng = np.random.default_rng(57)
+    day = 86_400_000_000
+    n = 6000
+    users = rng.integers(0, 80, n)
+    users[: n // 3] = 777  # hot user
+    ts = rng.integers(0, 35 * day, n)
+    # ts ties: pairs of events sharing a timestamp
+    ts[100:200] = ts[0:100]
+    users[100:200] = users[0:100]
+    kinds = rng.choice(["view", "click", "purchase", "signup"], n)
+    # a user active ONLY in chunk 0 and chunk 4 (days 0 and 29)
+    users = np.r_[users, [55555, 55555]]
+    ts = np.r_[ts, [3 * day, 29 * day]]
+    kinds = np.r_[kinds, ["signup", "purchase"]]
+    _write_events(tmp_path, users, ts, kinds)
+
+    out = R.q_markov_transitions(str(tmp_path))
+
+    df = pd.DataFrame(
+        {
+            "user_id": users,
+            "ts": ts,
+            "event_id": np.arange(len(users), dtype=np.int64),
+            "event_type": kinds,
+        }
+    ).sort_values(["user_id", "ts", "event_id"])
+    same = df["user_id"].eq(df["user_id"].shift(-1))
+    ref = (
+        pd.DataFrame(
+            {
+                "prev_type": df["event_type"][same.to_numpy()],
+                "next_type": df["event_type"].shift(-1)[same.to_numpy()],
+            }
+        )
+        .groupby(["prev_type", "next_type"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .astype({"n": "int64"})
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref, check_exact=True)
+    # the non-adjacent-chunk user contributed exactly one signup->purchase
+    assert (
+        ref.set_index(["prev_type", "next_type"]).loc[("signup", "purchase"), "n"]
+        >= 1
+    )
+
+
+def test_skyline_matches_bruteforce(ray_session, tmp_path):
+    """Random catalog with planted dominance hazards: exact duplicate
+    (price, size) pairs (must BOTH survive if on the skyline), same-price
+    different-size runs, and same-size different-price runs — checked
+    against the O(n^2) dominance definition."""
+    rng = np.random.default_rng(11)
+    n = 3000
+    price = np.round(rng.uniform(1, 50, n) * 4) / 4  # coarse grid -> many ties
+    size = rng.integers(1, 40, n)
+    # exact duplicates of the first 50 rows
+    price = np.r_[price, price[:50]]
+    size = np.r_[size, size[:50]]
+    key = np.arange(len(price), dtype=np.int64)
+    t = pa.table(
+        {
+            "p_partkey": pa.array(key),
+            "p_name": pa.array(["x"] * len(key)),
+            "p_brand": pa.array(["b"] * len(key)),
+            "p_type": pa.array(["t"] * len(key)),
+            "p_size": pa.array(size.astype(np.int32), pa.int32()),
+            "p_retailprice": pa.array(price, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+
+    out = R.q_skyline_parts(str(tmp_path))
+
+    dominated = np.zeros(len(key), bool)
+    for i in range(len(key)):
+        dom = (
+            (price <= price[i])
+            & (size >= size[i])
+            & ((price < price[i]) | (size > size[i]))
+        )
+        dominated[i] = dom.any()
+    ref = (
+        pd.DataFrame(
+            {
+                "p_partkey": key[~dominated],
+                "p_size": size[~dominated].astype("int64"),
+                "p_retailprice": price[~dominated],
+            }
+        )
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    assert len(ref) > 0
+    pd.testing.assert_frame_equal(out, ref, check_exact=True)
+    # duplicates-on-the-skyline really occurred (both copies kept)
+    pairs = ref[["p_retailprice", "p_size"]].apply(tuple, axis=1)
+    assert pairs.duplicated().any() or len(ref) < 4  # hazard exercised
+
+
+def test_quality_classifier_matches_pure_python(ray_session, tmp_path):
+    """Exact integer parity vs an independent per-token Python pass over
+    hostile docs: empty text, whitespace-only, unicode (astral plane),
+    repeated tokens, and mixed-case collisions (lowering first)."""
+    texts = [
+        "",
+        "   \t\n  ",
+        "The quick brown fox JUMPS over the lazy dog",
+        "the the the THE tHe",
+        "café \U0001f600 中文 token",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        "word " * 500,
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    out = T.t_quality_classifier(str(tmp_path))
+
+    w = T._qc_weights()
+    rows = []
+    for i, s in enumerate(texts):
+        toks = [x for x in s.lower().split() if x]
+        score = 0
+        for tok in toks:
+            b = (
+                int.from_bytes(hashlib.md5(tok.encode()).digest()[8:], "little")
+                % T.QC_BUCKETS
+            )
+            score += int(w[b])
+        rows.append(
+            {
+                "doc_id": i,
+                "n_tokens": len(toks),
+                "score": score,
+                "keep": 1 if score >= 0 else 0,
+            }
+        )
+    ref = pd.DataFrame(rows).astype(
+        {"doc_id": "int64", "n_tokens": "int64", "score": "int64", "keep": "int64"}
+    )
+    pd.testing.assert_frame_equal(out, ref, check_exact=True)
