@@ -392,6 +392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_markov_transitions": R.q_markov_transitions,
         "q_skyline_parts": R.q_skyline_parts,
         "t_quality_classifier": T.t_quality_classifier,
+        "q_user_entropy": R.q_user_entropy,
+        "t_keyword_extraction": T.t_keyword_extraction,
     }
 
 
@@ -3293,6 +3295,42 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS keep "
             "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id "
             "ORDER BY d.doc_id"
+        ),
+        "q_user_entropy": (
+            # same expression SHAPE as the engine (log2(tot) - s/tot) so
+            # exact dyadic cases are bit-equal and irrational ones agree
+            # to an ulp — and no true value sits on a half-milli boundary
+            # (dyadic rationals never equal (2k+1)/2000)
+            "WITH c AS (SELECT user_id, event_type, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "u AS (SELECT user_id, SUM(n) AS tot, "
+            "SUM(n * log2(CAST(n AS DOUBLE))) AS s FROM c GROUP BY 1) "
+            "SELECT user_id, CAST(tot AS BIGINT) AS n_events, "
+            "CAST(FLOOR((log2(CAST(tot AS DOUBLE)) - s / tot) * 1000 "
+            "+ 0.5) AS BIGINT) AS entropy_x1e3 "
+            "FROM u ORDER BY user_id"
+        ),
+        "t_keyword_extraction": (
+            # integer ranking replayed verbatim: idf quantized ONCE to
+            # micro-units (ln transcendental -> never on the boundary),
+            # score = tf * idf6 exact int64, tie-break (score DESC, word
+            # ASC) on binary collation == the engine's codepoint order
+            "WITH w AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS word FROM documents), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents), "
+            "df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w "
+            "GROUP BY word), "
+            "idf AS (SELECT word, CAST(FLOOR(ln((SELECT n_docs FROM n) "
+            "/ df) * 1000000 + 0.5) AS BIGINT) AS idf6 FROM df), "
+            "tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w "
+            "GROUP BY doc_id, word), "
+            "sc AS (SELECT t.doc_id, t.word, t.tf, t.tf * i.idf6 AS score "
+            "FROM tf t JOIN idf i USING(word) WHERE t.tf * i.idf6 > 0), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, word ASC) AS rn FROM sc) "
+            "SELECT doc_id, CAST(rn AS BIGINT) AS kw_rank, word, "
+            "CAST(tf AS BIGINT) AS tf, score AS score_x1e6 "
+            "FROM r WHERE rn <= 3 ORDER BY doc_id, kw_rank"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

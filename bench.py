@@ -243,6 +243,8 @@ QUERY_NAMES = [
     "q_markov_transitions",
     "q_skyline_parts",
     "t_quality_classifier",
+    "q_user_entropy",
+    "t_keyword_extraction",
 ]
 
 

@@ -8025,3 +8025,92 @@ def q_skyline_parts(sf_dir: str):
     idx = _skyline_sweep(price, size, key)
     out = cand.iloc[np.sort(idx)]
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix (bits) — the
+    behavioral-diversity feature: H = log2(n) - sum(c_i*log2(c_i))/n over
+    the user's per-type counts.
+
+    Emitted as half-up-rounded integer milli-bits with a two-sided safety
+    argument: non-dyadic entropies are irrational (ulp noise cannot reach
+    a .0005 boundary), and DYADIC entropies — the exact-arithmetic cases,
+    e.g. a 50/50 two-type user with power-of-two counts — are dyadic
+    rationals, which can never equal the non-dyadic boundary value
+    (2k+1)/2000; both engines also evaluate the SAME expression shape
+    (log2(tot) - s/tot), so even the single-type H=0 case lands within an
+    ulp of 0 on both sides and floors identically.
+
+    Plan: per-block (user, type) count combiner, `_two_regime_sum` for
+    the global reduction (the only exchange), then per-user entropy over
+    the reduced rows — driver pandas below PIVOT_DRIVER_MAX_ROWS, a
+    user-keyed map_groups above.  Only (int64, string, int64) rows ever
+    move."""
+    import numpy as np
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+            }
+        )
+        g = tt.group_by(["user_id", "event_type"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    parts = _read(
+        sf_dir, "events", ["user_id", "event_type"], rows_per_block=100_000
+    ).map_batches(count_partial, batch_format="pyarrow")
+    red, n_red = _two_regime_sum(
+        parts,
+        ["user_id", "event_type"],
+        ["n"],
+        empty_types={"user_id": pa.int64(), "event_type": pa.string()},
+    )
+
+    def entropy_frame(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "entropy_x1e3": pd.Series(dtype="int64"),
+                }
+            )
+        n = df["n"].to_numpy(np.int64)
+        term = n * np.log2(n.astype(np.float64))
+        g = (
+            pd.DataFrame({"user_id": df["user_id"].to_numpy(), "n": n, "s": term})
+            .groupby("user_id", as_index=False)
+            .agg(tot=("n", "sum"), s=("s", "sum"))
+        )
+        tot = g["tot"].to_numpy(np.int64)
+        h = np.log2(tot.astype(np.float64)) - g["s"].to_numpy() / tot
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype("int64"),
+                "n_events": g["tot"].astype("int64"),
+                "entropy_x1e3": np.floor(h * 1000.0 + 0.5).astype(np.int64),
+            }
+        )
+
+    if n_red <= PIVOT_DRIVER_MAX_ROWS:
+        out = entropy_frame(
+            typed_collect(
+                red,
+                pa.schema(
+                    [
+                        ("user_id", pa.int64()),
+                        ("event_type", pa.string()),
+                        ("n", pa.int64()),
+                    ]
+                ),
+            )
+        )
+    else:
+        out = (
+            red.groupby("user_id")
+            .map_groups(entropy_frame, batch_format="pandas")
+            .to_pandas()
+        )
+    return out.sort_values("user_id").reset_index(drop=True)

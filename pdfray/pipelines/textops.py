@@ -4507,3 +4507,118 @@ def t_quality_classifier(sf_dir: str):
 
     ds = _read_documents(sf_dir).map_batches(score, batch_format="pyarrow")
     return _collect_sorted(ds, ("doc_id",), lambda: score(_empty_docs()))
+
+
+KEYWORD_TOP_K = 3
+
+
+def t_keyword_extraction(sf_dir: str):
+    """Per-document keyword extraction: the top-3 terms by TF-IDF with a
+    deterministic (score DESC, word ASC) tie-break — the document-tagging
+    stage of a training-data pipeline (topic bucketing, dedup keys,
+    retrieval labels all consume this).
+
+    INTEGER ranking end to end: the IDF is quantized ONCE per word to
+    micro-units (floor(ln(N/df)*1e6 + 0.5) — ln is transcendental, so no
+    true value sits on the rounding boundary) and the score is the exact
+    int64 product tf * idf6, so the top-k cut and tie-break are pure
+    integer/string comparisons with no float-order risk anywhere.
+    Zero-score words (df == N) are cut — every doc would tie on them
+    arbitrarily otherwise.
+
+    Plan mirrors t_tfidf: pass 1 reduces the corpus to the vocab-sized
+    (word, df) table, pass 2 broadcasts it (ray.put once, read per
+    worker) and each block ranks its own docs vectorized — one lexsort
+    over the block's (doc, -score, word-rank) triples, never a per-doc
+    Python loop; word-rank comes from argsort of the block dictionary
+    (UTF-8 byte order == codepoint order, matching DuckDB's binary
+    collation).  No second shuffle exists."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        parent, codes, dictionary = _word_codes(t)
+        vocab = len(dictionary)
+        pair_codes = np.unique(parent * vocab + codes) % vocab if codes.size else codes
+        df = np.bincount(pair_codes, minlength=vocab)
+        present = df > 0
+        return pa.table(
+            {
+                "word": dictionary.filter(pa.array(present)),
+                "df": pa.array(df[present], pa.int64()),
+            }
+        )
+
+    df_table = _collect_sorted(
+        _read_documents(sf_dir)
+        .map_batches(df_partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df")),
+        ("word",),
+        schema=pa.schema([("word", pa.string()), ("df", pa.int64())]),
+    )
+    n_total = _read_documents(sf_dir, columns=("doc_id",)).count()
+    idf6_global = (
+        np.floor(
+            np.log(float(n_total) / df_table["df"].to_numpy(np.float64)) * 1e6 + 0.5
+        ).astype(np.int64)
+        if len(df_table)
+        else np.empty(0, np.int64)
+    )
+    bref = ray.put((pa.array(df_table["word"], pa.string()), idf6_global))
+
+    class Keywords:
+        def __init__(self):
+            self.words, self.idf6 = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            parent, codes, dictionary = _word_codes(t)
+            vocab = len(dictionary)
+            doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            if codes.size:
+                keys, tf = np.unique(parent * vocab + codes, return_counts=True)
+                pair_parent, pair_code = keys // vocab, keys % vocab
+            else:
+                pair_parent = pair_code = tf = codes.astype(np.int64)
+            pos = (
+                pc.fill_null(pc.index_in(dictionary, value_set=self.words), -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            if len(self.idf6):
+                idf6_by_code = self.idf6[np.where(pos >= 0, pos, 0)]
+                idf6_by_code[pos < 0] = 0
+            else:
+                idf6_by_code = np.zeros(vocab, np.int64)
+            score = tf.astype(np.int64) * idf6_by_code[pair_code]
+            keep = score > 0
+            pair_parent, pair_code = pair_parent[keep], pair_code[keep]
+            tf, score = tf[keep], score[keep]
+            # word rank: argsort of the block dictionary (codepoint order)
+            wlist = dictionary.to_pylist()
+            wrank = np.empty(vocab, np.int64)
+            wrank[np.argsort(np.array(wlist, object))] = np.arange(vocab)
+            order = np.lexsort((wrank[pair_code], -score, pair_parent))
+            pp = pair_parent[order]
+            starts = np.flatnonzero(np.r_[True, pp[1:] != pp[:-1]])
+            sizes = np.diff(np.r_[starts, len(pp)])
+            rn = np.arange(len(pp)) - np.repeat(starts, sizes)
+            cut = rn < KEYWORD_TOP_K
+            sel = order[cut]
+            wl = np.array(wlist, object) if vocab else np.empty(0, object)
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids[pair_parent[sel]], pa.int64()),
+                    "kw_rank": pa.array(rn[cut] + 1, pa.int64()),
+                    "word": pa.array(list(wl[pair_code[sel]]), pa.string()),
+                    "tf": pa.array(tf[order][cut].astype(np.int64), pa.int64()),
+                    "score_x1e6": pa.array(score[order][cut], pa.int64()),
+                }
+            )
+
+    out = _read_documents(sf_dir).map_batches(
+        warm_factory(("t_keywords", bref.hex()), Keywords), batch_format="pyarrow"
+    )
+    return _collect_sorted(
+        out, ("doc_id", "kw_rank"), lambda: Keywords()(_empty_docs())
+    )

@@ -480,6 +480,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_dsir_sample",
     "t_containment_dupes",
     "t_quality_classifier",
+    "t_keyword_extraction",
 ]
 
 
@@ -609,6 +610,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_sliding_window_counts",
     "q_kmv_distinct_users",
     "q_markov_transitions",
+    "q_user_entropy",
 ]
 
 _PROPS_POOL = [

@@ -253,3 +253,119 @@ def test_quality_classifier_matches_pure_python(ray_session, tmp_path):
         {"doc_id": "int64", "n_tokens": "int64", "score": "int64", "keep": "int64"}
     )
     pd.testing.assert_frame_equal(out, ref, check_exact=True)
+
+
+def test_user_entropy_matches_bruteforce(ray_session, tmp_path):
+    """Random event mixes plus the exact-arithmetic plants: a single-type
+    user (H = 0 exactly), a 2+2 two-type user (H = 1.0 exactly — the
+    dyadic case the milli-boundary argument covers), and a 1/2/4/8
+    power-of-two mix (fully exact float path)."""
+    rng = np.random.default_rng(73)
+    n = 4000
+    users = rng.integers(0, 100, n)
+    kinds = rng.choice(["view", "click", "purchase", "signup", "refund"], n)
+    users = np.r_[users, [901] * 5, [902] * 4, [903] * 15]
+    kinds = np.r_[
+        kinds,
+        ["view"] * 5,
+        ["view", "view", "click", "click"],
+        ["a"] * 1 + ["b"] * 2 + ["c"] * 4 + ["d"] * 8,
+    ]
+    ts = np.arange(len(users), dtype=np.int64) * 1_000_000
+    _write_events(tmp_path, users, ts, kinds)
+
+    out = R.q_user_entropy(str(tmp_path))
+
+    ref_rows = []
+    df = pd.DataFrame({"u": users, "k": kinds})
+    for u, g in df.groupby("u"):
+        c = g["k"].value_counts().to_numpy(np.int64)
+        tot = int(c.sum())
+        h = np.log2(float(tot)) - float((c * np.log2(c.astype(float))).sum()) / tot
+        ref_rows.append(
+            {
+                "user_id": int(u),
+                "n_events": tot,
+                "entropy_x1e3": int(np.floor(h * 1000.0 + 0.5)),
+            }
+        )
+    ref = (
+        pd.DataFrame(ref_rows)
+        .astype({"user_id": "int64", "n_events": "int64", "entropy_x1e3": "int64"})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref, check_exact=True)
+    byu = out.set_index("user_id")["entropy_x1e3"]
+    assert byu.loc[901] == 0  # single type
+    assert byu.loc[902] == 1000  # exact 1 bit
+    # 1/2/4/8 mix: H = log2(15) - (0 + 2 + 8 + 24)/15 exactly representable path
+    assert byu.loc[903] == int(
+        np.floor((np.log2(15.0) - 34.0 / 15.0) * 1000 + 0.5)
+    )
+
+
+def test_keyword_extraction_matches_bruteforce(ray_session, tmp_path):
+    """Independent per-doc reference with planted hazards: an exact
+    score TIE between two words in one doc (the word-ASC tiebreak
+    decides), a doc with fewer than 3 positive-score words, a doc whose
+    only word appears in EVERY doc (idf 0 -> no keywords), and repeated
+    words (tf > 1)."""
+    texts = [
+        "alpha beta beta common",        # beta tf=2; tie plant below
+        "alpha beta common",             # alpha/beta same df -> same idf
+        "gamma gamma gamma common",      # single strong keyword
+        "common",                        # only the ubiquitous word -> empty
+        "delta epsilon zeta eta common", # 4 distinct rare words, cut at 3
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    out = T.t_keyword_extraction(str(tmp_path))
+
+    n_docs = float(len(texts))
+    words_per_doc = [s.split() for s in texts]
+    df = {}
+    for ws in words_per_doc:
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    idf6 = {w: int(np.floor(np.log(n_docs / c) * 1e6 + 0.5)) for w, c in df.items()}
+    rows = []
+    for i, ws in enumerate(words_per_doc):
+        tf = {}
+        for w in ws:
+            tf[w] = tf.get(w, 0) + 1
+        scored = sorted(
+            (
+                (-tf[w] * idf6[w], w, tf[w], tf[w] * idf6[w])
+                for w in tf
+                if tf[w] * idf6[w] > 0
+            ),
+        )[: T.KEYWORD_TOP_K]
+        for r, (_, w, tfv, sc) in enumerate(scored, 1):
+            rows.append(
+                {"doc_id": i, "kw_rank": r, "word": w, "tf": tfv, "score_x1e6": sc}
+            )
+    ref = pd.DataFrame(rows).astype(
+        {
+            "doc_id": "int64",
+            "kw_rank": "int64",
+            "word": "object",
+            "tf": "int64",
+            "score_x1e6": "int64",
+        }
+    )
+    pd.testing.assert_frame_equal(out, ref, check_exact=True)
+    # doc 3 (only the ubiquitous word) emitted nothing
+    assert not (out["doc_id"] == 3).any()
+    # doc 1's alpha/beta tie resolved alphabetically
+    d1 = out[out["doc_id"] == 1].reset_index(drop=True)
+    assert list(d1["word"][:2]) == ["alpha", "beta"]
