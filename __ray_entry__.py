@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_quality_classifier": T.t_quality_classifier,
         "q_user_entropy": R.q_user_entropy,
         "t_keyword_extraction": T.t_keyword_extraction,
+        "q_late_events_audit": R.q_late_events_audit,
     }
 
 
@@ -3331,6 +3332,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(rn AS BIGINT) AS kw_rank, word, "
             "CAST(tf AS BIGINT) AS tf, score AS score_x1e6 "
             "FROM r WHERE rn <= 3 ORDER BY doc_id, kw_rank"
+        ),
+        "q_late_events_audit": (
+            # arrival order = event_id; the exclusive running max over
+            # arrival order IS the watermark; tu < NULL is NULL so the
+            # user's first arrival never counts late
+            "WITH s AS (SELECT user_id, epoch_us(ts) AS tu, "
+            "MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
+            "FROM events) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(COALESCE(SUM(CASE WHEN tu < wm THEN 1 END), 0) AS BIGINT) "
+            "AS n_late, "
+            "CAST(COALESCE(MAX(CASE WHEN tu < wm THEN wm - tu END), 0) "
+            "AS BIGINT) AS max_delay_us "
+            "FROM s GROUP BY user_id ORDER BY user_id"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

@@ -245,6 +245,7 @@ QUERY_NAMES = [
     "t_quality_classifier",
     "q_user_entropy",
     "t_keyword_extraction",
+    "q_late_events_audit",
 ]
 
 

@@ -8114,3 +8114,189 @@ def q_user_entropy(sf_dir: str):
             .to_pandas()
         )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+LATE_ID_CHUNK = 50_000  # arrival-order split width; stitch correct for ANY width
+_I64_MIN = -(2**63)
+
+
+def q_late_events_audit(sf_dir: str, stage_dir: str = None):
+    """Out-of-order-arrival audit (the streaming watermark shape): taking
+    event_id as ingest/arrival order, an event is LATE iff its event time
+    ts is below the user's running max ts over all earlier-arriving
+    events — per user: event count, late count, and the worst lateness in
+    microseconds.  This is the audit every event-time pipeline runs
+    before choosing its watermark delay.
+
+    Hot-key-safe two-pass plan (the q_running_user_spend shape, but the
+    prefix is a running MAX over ARRIVAL order instead of a sum over
+    time): events shuffle once on (user_id, arrival-id chunk) keys; each
+    group computes its chunk-LOCAL exclusive prefix max vectorized; the
+    per-(user, chunk) chunk-max table (max is combinable, so block splits
+    of the group output are safe) reduces to the driver, which folds the
+    EXCLUSIVE incoming watermark per chunk; watermarks ride a keyed
+    shuffle JOIN back on (user_id, chunk) — an event is late against
+    max(incoming, local prefix), which equals the global arrival prefix
+    exactly, for any chunk width.  The scanned table, consumed twice, is
+    a parquet stage checkpoint with crash-resume via ``stage_dir``.  All
+    comparisons are int64 microseconds; nothing floats."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import ray.data as rd
+
+    from .sizing import shuffle_partitions
+    from .staging import stage_checkpoint
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id"], rows_per_block=12_500
+    )
+    N_BUCKETS = 64
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        chunk, bucket = _session_keys(users, eid, N_BUCKETS, LATE_ID_CHUNK)
+        ts_us = t.column("ts").cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": ts_us,
+                "chunk": pa.array(chunk, pa.int64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def scan_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "chunk", "event_id"]).reset_index(drop=True)
+        same = g["user_id"].eq(g["user_id"].shift()) & g["chunk"].eq(
+            g["chunk"].shift()
+        )
+        run_id = (~same).cumsum()
+        ts = g["ts_us"].astype("int64")
+        # exclusive prefix max within the (user, chunk) run
+        inc = ts.groupby(run_id.to_numpy()).cummax().shift()
+        wm_local = inc.where(same, other=float("nan"))
+        g["wm_local"] = (
+            wm_local.fillna(float(_I64_MIN)).astype("int64")
+            if len(g)
+            else pd.Series([], dtype="int64")
+        )
+        return g[["user_id", "chunk", "ts_us", "wm_local"]]
+
+    own_stage = stage_dir is None
+    root = tempfile.mkdtemp(prefix="pdfray_late_") if own_stage else stage_dir
+    try:
+        scanned = stage_checkpoint(
+            lambda: ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(scan_chunk, batch_format="pandas"),
+            os.path.join(root, "scanned"),
+            resume=not own_stage,
+            allow_empty=True,
+        )
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_late": pd.Series([], dtype="int64"),
+                "max_delay_us": pd.Series([], dtype="int64"),
+            }
+        )
+        if scanned is None:
+            return empty
+        n_rows = scanned.count()
+        # per-(user, chunk) arrival-chunk max ts; max is block-split-safe
+        totals = (
+            scanned.map_batches(
+                lambda df: df.groupby(["user_id", "chunk"], sort=False)
+                .agg(cmax=("ts_us", "max"))
+                .reset_index(),
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .groupby(["user_id", "chunk"], as_index=False)["cmax"]
+            .max()
+            .sort_values(["user_id", "chunk"])
+            .reset_index(drop=True)
+        )
+        # exclusive incoming watermark: max over the user's EARLIER chunks
+        inc = totals.groupby("user_id")["cmax"].cummax().shift()
+        first = ~totals["user_id"].eq(totals["user_id"].shift())
+        totals["wm_in"] = (
+            inc.where(~first, other=float("nan"))
+            .fillna(float(_I64_MIN))
+            .astype("int64")
+        )
+        off_ds = rd.from_pandas(totals[["user_id", "chunk", "wm_in"]])
+        n_parts = shuffle_partitions(n_rows)
+
+        def audit(df: pd.DataFrame) -> pd.DataFrame:
+            wm = np.maximum(
+                df["wm_local"].to_numpy(np.int64), df["wm_in"].to_numpy(np.int64)
+            )
+            ts = df["ts_us"].to_numpy(np.int64)
+            late = (wm > _I64_MIN) & (ts < wm)
+            delay = np.where(late, wm - ts, 0)
+            part = (
+                pd.DataFrame(
+                    {
+                        "user_id": df["user_id"].to_numpy(np.int64),
+                        "n_events": np.ones(len(df), np.int64),
+                        "n_late": late.astype(np.int64),
+                        "max_delay_us": delay.astype(np.int64),
+                    }
+                )
+                .groupby("user_id", as_index=False)
+                .agg(
+                    n_events=("n_events", "sum"),
+                    n_late=("n_late", "sum"),
+                    max_delay_us=("max_delay_us", "max"),
+                )
+            )
+            return part
+
+        partials = (
+            scanned.join(
+                off_ds,
+                join_type="inner",
+                num_partitions=n_parts,
+                on=("user_id", "chunk"),
+            )
+            .map_batches(audit, batch_format="pandas")
+            .materialize()
+        )
+        sums, _ = _two_regime_sum(partials, ["user_id"], ["n_events", "n_late"])
+        maxes, _ = _two_regime_agg(partials, ["user_id"], ["max_delay_us"], "max")
+        s = typed_collect(
+            sums,
+            pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("n_events", pa.int64()),
+                    ("n_late", pa.int64()),
+                ]
+            ),
+        )
+        m = typed_collect(
+            maxes,
+            pa.schema([("user_id", pa.int64()), ("max_delay_us", pa.int64())]),
+        )
+        if not len(s):
+            return empty
+        out = s.merge(m, on="user_id", how="inner")
+        out = out.astype(
+            {
+                "user_id": "int64",
+                "n_events": "int64",
+                "n_late": "int64",
+                "max_delay_us": "int64",
+            }
+        )
+        return out.sort_values("user_id").reset_index(drop=True)
+    finally:
+        if own_stage:
+            shutil.rmtree(root, ignore_errors=True)

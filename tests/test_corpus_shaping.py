@@ -611,6 +611,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_kmv_distinct_users",
     "q_markov_transitions",
     "q_user_entropy",
+    "q_late_events_audit",
 ]
 
 _PROPS_POOL = [
@@ -678,6 +679,9 @@ def test_hostile_events_oracle_parity(ray_session, tmp_path, variant):
         add(7, base + 9 * H, "click")  # same-ts click tie -> as-of tiebreak
         add(7, base + 9 * H, "click")
         add(7, base + 9 * H + MIN, "purchase")
+        add(8, base + 2 * H, "view")  # out-of-order arrival: next event's
+        add(8, base + H, "view")  # ts is EARLIER -> late by exactly 1h
+        add(8, base + H, "view")  # equal-ts arrival: a tie is NOT late
     else:
         rng = np.random.RandomState(131)
         day = 86_400_000_000

@@ -369,3 +369,72 @@ def test_keyword_extraction_matches_bruteforce(ray_session, tmp_path):
     # doc 1's alpha/beta tie resolved alphabetically
     d1 = out[out["doc_id"] == 1].reset_index(drop=True)
     assert list(d1["word"][:2]) == ["alpha", "beta"]
+
+
+def test_late_events_audit_matches_bruteforce(ray_session, tmp_path):
+    """Arrival order decoupled from event time, with event_ids spanning
+    MULTIPLE 50k arrival chunks (the incoming-watermark join path), a hot
+    user, ts ties (never late), and a user whose worst lateness crosses a
+    chunk boundary (watermark set in chunk 0, violated in chunk 2)."""
+    rng = np.random.default_rng(97)
+    n = 120_000
+    users = rng.integers(0, 200, n)
+    users[rng.random(n) < 0.3] = 42  # hot user
+    day = 86_400_000_000
+    ts = rng.integers(0, 30 * day, n)  # independent of arrival order
+    ts[1000:2000] = ts[0:1000]  # arrival ties on ts
+    users[1000:2000] = users[0:1000]
+    # cross-chunk worst case: user 7777's max ts arrives as event 10 (chunk
+    # 0), a far-earlier ts arrives as event 110_000 (chunk 2)
+    users[10] = 7777
+    ts[10] = 40 * day
+    users[110_000] = 7777
+    ts[110_000] = 1 * day
+    eid = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "event_id": pa.array(eid),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    out = R.q_late_events_audit(str(tmp_path))
+
+    df = pd.DataFrame({"u": users, "ts": ts, "eid": eid}).sort_values("eid")
+    ref_rows = []
+    for u, g in df.groupby("u"):
+        tsv = g["ts"].to_numpy(np.int64)
+        wm = np.r_[np.int64(-(2**63)), np.maximum.accumulate(tsv)[:-1]]
+        late = (wm > -(2**63)) & (tsv < wm)
+        ref_rows.append(
+            {
+                "user_id": int(u),
+                "n_events": len(tsv),
+                "n_late": int(late.sum()),
+                "max_delay_us": int((wm - tsv)[late].max()) if late.any() else 0,
+            }
+        )
+    ref = (
+        pd.DataFrame(ref_rows)
+        .astype(
+            {
+                "user_id": "int64",
+                "n_events": "int64",
+                "n_late": "int64",
+                "max_delay_us": "int64",
+            }
+        )
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref, check_exact=True)
+    assert out["n_late"].sum() > 0  # the scenario must exercise lateness
+    # the cross-chunk plant: worst delay is 40d-set watermark minus 1d ts
+    assert (
+        out.set_index("user_id").loc[7777, "max_delay_us"] >= 39 * 86_400_000_000
+    )
