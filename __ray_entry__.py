@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_entropy": R.q_user_entropy,
         "t_keyword_extraction": T.t_keyword_extraction,
         "q_late_events_audit": R.q_late_events_audit,
+        "t_cdc_dedup": T.t_cdc_dedup,
     }
 
 
@@ -3347,6 +3348,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(MAX(CASE WHEN tu < wm THEN wm - tu END), 0) "
             "AS BIGINT) AS max_delay_us "
             "FROM s GROUP BY user_id ORDER BY user_id"
+        ),
+        "t_cdc_dedup": (
+            # chunk boundary AFTER every token with md5 % 16 == 0 (pure
+            # content condition); chunk identity = md5 of the joined
+            # chunk text — each side hashes its own chunks, identical
+            # text gives identical occurrence counts by construction
+            "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "x -> x <> '') AS ws FROM documents), "
+            "toks AS (SELECT doc_id, t.w AS word, t.i AS pos FROM d, "
+            "LATERAL (SELECT unnest(ws) AS w, generate_subscripts(ws, 1) "
+            "AS i) t), "
+            "c AS (SELECT doc_id, pos, word, COALESCE(SUM(CASE WHEN "
+            "md5_number_lower(word) % 16 = 0 THEN 1 ELSE 0 END) OVER ("
+            "PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS cid FROM toks), "
+            "ch AS (SELECT doc_id, cid, md5(string_agg(word, ' ' "
+            "ORDER BY pos)) AS h, COUNT(*) AS n_tok FROM c "
+            "GROUP BY doc_id, cid), "
+            "g AS (SELECT h, COUNT(*) AS c FROM ch GROUP BY h), "
+            "per AS (SELECT ch.doc_id, COUNT(*) AS n_chunks, "
+            "SUM(CASE WHEN g.c >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks, "
+            "SUM(CASE WHEN g.c >= 2 THEN ch.n_tok ELSE 0 END) AS "
+            "n_dup_tokens FROM ch JOIN g USING (h) GROUP BY ch.doc_id) "
+            "SELECT doc.doc_id, CAST(COALESCE(per.n_chunks, 0) AS BIGINT) "
+            "AS n_chunks, CAST(COALESCE(per.n_dup_chunks, 0) AS BIGINT) "
+            "AS n_dup_chunks, CAST(COALESCE(per.n_dup_tokens, 0) AS BIGINT) "
+            "AS n_dup_tokens FROM documents doc LEFT JOIN per "
+            "ON doc.doc_id = per.doc_id ORDER BY doc.doc_id"
         ),
         # rows-only (genuinely non-SQL-expressible): s_kmeans ONLY — the
         # iterative Lloyd loop; an independent numpy reference

@@ -246,6 +246,7 @@ QUERY_NAMES = [
     "q_user_entropy",
     "t_keyword_extraction",
     "q_late_events_audit",
+    "t_cdc_dedup",
 ]
 
 

@@ -4622,3 +4622,197 @@ def t_keyword_extraction(sf_dir: str):
     return _collect_sorted(
         out, ("doc_id", "kw_rank"), lambda: Keywords()(_empty_docs())
     )
+
+
+CDC_DIVISOR = 16  # expected chunk length in tokens (cut when md5 % D == 0)
+CDC_BUCKETS = 64
+
+
+def t_cdc_dedup(sf_dir: str, stage_dir: str = None):
+    """Content-defined-chunking dedup audit (the FastCDC/backup-dedup idea
+    at token granularity, the LLM-corpus variant of ExactSubstr): a chunk
+    boundary falls AFTER every token whose md5 is 0 mod CDC_DIVISOR — a
+    pure content condition, so an edit anywhere in a document only
+    re-chunks its local neighborhood and identical passages align to
+    identical chunks regardless of position.  Per document: chunk count,
+    how many of its chunks also appear elsewhere in the corpus (or twice
+    in the same doc), and the token mass those duplicated chunks cover —
+    the dedup-savings estimate a 100 TB corpus pass would act on.
+
+    Plan: pass A chunks each block vectorized (_word_codes, cut mask via
+    md5 once per UNIQUE word, exclusive-cumsum chunk ids; only the
+    per-chunk md5 of the joined text is a bounded Python loop — ~1/D of
+    the token count) and emits narrow (doc_id, hash, h64, n_tok) rows to
+    a parquet stage checkpoint (consumed twice, crash-resume via
+    ``stage_dir``).  Pass B is ONE bucketed exchange on the chunk hash
+    (bucket = h64 % CDC_BUCKETS routes; the full hex hash is the group
+    key inside the bucket, so a low-64 collision cannot over-mark):
+    each bucket counts global occurrences and emits per-doc dup partials.
+    Per-doc totals ride `_two_regime_sum`; only fixed-width hash rows
+    ever shuffle, never text."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from .staging import stage_checkpoint
+
+    def chunker(t: pa.Table) -> pa.Table:
+        parent, codes, dictionary = _word_codes(t)
+        n = len(codes)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        words = dictionary.to_pylist()
+        cutw = np.fromiter(
+            (
+                bool(w)
+                and int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little")
+                % CDC_DIVISOR
+                == 0
+                for w in words
+            ),
+            bool,
+            len(words),
+        )
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "h": pa.array([], pa.string()),
+                "h64": pa.array([], pa.int64()),
+                "n_tok": pa.array([], pa.int64()),
+            }
+        )
+        if not n:
+            return empty
+        cut = cutw[codes]
+        excl = np.r_[0, np.cumsum(cut)[:-1]]
+        starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        chunk_id = excl - np.repeat(excl[starts], sizes)
+        key_change = np.r_[
+            True, (parent[1:] != parent[:-1]) | (chunk_id[1:] != chunk_id[:-1])
+        ]
+        gstarts = np.flatnonzero(key_change)
+        gsizes = np.diff(np.r_[gstarts, n])
+        toks = np.array(words, object)[codes]
+        hexes, h64s = [], np.empty(len(gstarts), np.int64)
+        for j, (s0, sz) in enumerate(zip(gstarts, gsizes)):
+            dg = hashlib.md5(" ".join(toks[s0 : s0 + sz]).encode()).digest()
+            hexes.append(dg.hex())
+            h64s[j] = int.from_bytes(dg[8:], "little") % (1 << 63)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[parent[gstarts]], pa.int64()),
+                "h": pa.array(hexes, pa.string()),
+                "h64": pa.array(h64s, pa.int64()),
+                "n_tok": pa.array(gsizes.astype(np.int64), pa.int64()),
+            }
+        )
+
+    own_stage = stage_dir is None
+    root = tempfile.mkdtemp(prefix="pdfray_cdc_") if own_stage else stage_dir
+    try:
+        chunks = stage_checkpoint(
+            lambda: _read_documents(sf_dir).map_batches(
+                chunker, batch_format="pyarrow"
+            ),
+            _os.path.join(root, "chunks"),
+            resume=not own_stage,
+            allow_empty=True,
+        )
+        all_docs = _collect_sorted(
+            _read_documents(sf_dir, columns=("doc_id",)),
+            ("doc_id",),
+            schema=pa.schema([("doc_id", pa.int64())]),
+        )
+        out = pd.DataFrame({"doc_id": all_docs["doc_id"].astype("int64")})
+        for c in ("n_chunks", "n_dup_chunks", "n_dup_tokens"):
+            out[c] = np.zeros(len(out), np.int64)
+        if chunks is None:
+            return out.sort_values("doc_id").reset_index(drop=True)
+
+        # per-doc chunk totals: zero-exchange combiner
+        totals_parts = chunks.map_batches(
+            lambda t: t.group_by("doc_id")
+            .aggregate([("doc_id", "count")])
+            .rename_columns(["doc_id", "n"]),
+            batch_format="pyarrow",
+        )
+        totals, _ = _two_regime_sum_rel(totals_parts, ["doc_id"], ["n"])
+
+        def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            cnt = g.groupby("h")["h"].transform("size")
+            dup = g[cnt >= 2]
+            if not len(dup):
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "n_dup_chunks": pd.Series(dtype="int64"),
+                        "n_dup_tokens": pd.Series(dtype="int64"),
+                    }
+                )
+            p = (
+                dup.groupby("doc_id", as_index=False)
+                .agg(n_dup_chunks=("h", "size"), n_dup_tokens=("n_tok", "sum"))
+                .astype(
+                    {
+                        "doc_id": "int64",
+                        "n_dup_chunks": "int64",
+                        "n_dup_tokens": "int64",
+                    }
+                )
+            )
+            return p
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            h64 = t.column("h64").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "bk", pa.array((h64 % CDC_BUCKETS).astype(np.int64))
+            )
+
+        dup_parts = (
+            chunks.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bk")
+            .map_groups(
+                lambda g: mark_bucket(g.drop(columns=["bk"])),
+                batch_format="pandas",
+            )
+        )
+        dups, _ = _two_regime_sum_rel(
+            dup_parts, ["doc_id"], ["n_dup_chunks", "n_dup_tokens"]
+        )
+
+        from .frames import typed_collect
+
+        tdf = typed_collect(
+            totals, pa.schema([("doc_id", pa.int64()), ("n", pa.int64())])
+        )
+        ddf = typed_collect(
+            dups,
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_dup_chunks", pa.int64()),
+                    ("n_dup_tokens", pa.int64()),
+                ]
+            ),
+        )
+        out = (
+            out[["doc_id"]]
+            .merge(tdf.rename(columns={"n": "n_chunks"}), on="doc_id", how="left")
+            .merge(ddf, on="doc_id", how="left")
+        )
+        for c in ("n_chunks", "n_dup_chunks", "n_dup_tokens"):
+            out[c] = out[c].fillna(0).astype("int64")
+        return out.sort_values("doc_id").reset_index(drop=True)
+    finally:
+        if own_stage:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def _two_regime_sum_rel(parts, keys, sum_cols, empty_types=None):
+    """Late import shim for relational._two_regime_sum (textops loads
+    before relational; importing at call time avoids the cycle)."""
+    from .relational import _two_regime_sum
+
+    return _two_regime_sum(parts, keys, sum_cols, empty_types=empty_types)

@@ -481,6 +481,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_containment_dupes",
     "t_quality_classifier",
     "t_keyword_extraction",
+    "t_cdc_dedup",
 ]
 
 

@@ -438,3 +438,85 @@ def test_late_events_audit_matches_bruteforce(ray_session, tmp_path):
     assert (
         out.set_index("user_id").loc[7777, "max_delay_us"] >= 39 * 86_400_000_000
     )
+
+
+def _cdc_reference(texts):
+    """Independent pure-Python CDC pass: cut AFTER tokens with
+    md5-lower-64 % 16 == 0, chunk identity = the joined chunk text."""
+    chunks = []  # (doc, chunk_text, n_tok)
+    for i, s in enumerate(texts):
+        toks = [x for x in s.split(" ") if x]
+        cur = []
+        for w in toks:
+            cur.append(w)
+            if (
+                int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little") % 16
+                == 0
+            ):
+                chunks.append((i, " ".join(cur), len(cur)))
+                cur = []
+        if cur:
+            chunks.append((i, " ".join(cur), len(cur)))
+    from collections import Counter
+
+    occ = Counter(c[1] for c in chunks)
+    rows = []
+    for i in range(len(texts)):
+        mine = [c for c in chunks if c[0] == i]
+        dup = [c for c in mine if occ[c[1]] >= 2]
+        rows.append(
+            {
+                "doc_id": i,
+                "n_chunks": len(mine),
+                "n_dup_chunks": len(dup),
+                "n_dup_tokens": sum(c[2] for c in dup),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {
+            "doc_id": "int64",
+            "n_chunks": "int64",
+            "n_dup_chunks": "int64",
+            "n_dup_tokens": "int64",
+        }
+    )
+
+
+def test_cdc_dedup_matches_reference_and_shifts(ray_session, tmp_path):
+    """Random docs plus the property fixed-width chunking lacks: a long
+    shared passage planted at DIFFERENT token offsets in two docs must
+    still align to identical chunks (content-defined boundaries are
+    position-independent), and an empty doc keeps typed zeros."""
+    rng = np.random.default_rng(67)
+    vocab = [f"w{i}" for i in range(300)]
+    shared = " ".join(rng.choice(vocab, 400))
+    texts = [
+        " ".join(rng.choice(vocab, int(n))) for n in rng.integers(0, 250, 30)
+    ]
+    texts.append("prefix_one " + shared)
+    texts.append(" ".join(rng.choice(vocab, 137)) + " " + shared)  # shifted
+    texts.append("")
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    import pdfray.pipelines.textops as T2
+
+    out = T2.t_cdc_dedup(str(tmp_path))
+    ref = _cdc_reference(texts)
+    pd.testing.assert_frame_equal(out, ref, check_exact=True)
+    # the shifted shared passage really deduped: both planted docs carry
+    # substantial duplicated token mass despite different offsets
+    a, b = len(texts) - 3, len(texts) - 2
+    byd = out.set_index("doc_id")
+    assert byd.loc[a, "n_dup_tokens"] > 300
+    assert byd.loc[b, "n_dup_tokens"] > 300
+    assert byd.loc[len(texts) - 1, "n_chunks"] == 0
