@@ -396,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_keyword_extraction": T.t_keyword_extraction,
         "q_late_events_audit": R.q_late_events_audit,
         "t_cdc_dedup": T.t_cdc_dedup,
+        "t_editdist_dupes": T.t_editdist_dupes,
+        "s_dbscan": S.s_dbscan,
+        "q_cusum_changepoint": R.q_cusum_changepoint,
     }
 
 
@@ -3385,6 +3388,79 @@ def oracle_sql() -> dict[str, str]:
         # VALUES from an independent word-count pass) and the three ANN
         # recall reports (candidate CTEs joined against the exact-top-k
         # CTE — see _RECALL_CORE).
+        "t_editdist_dupes": (
+            # DuckDB levenshtein edits BYTES (an 'é'→'a' swap costs 2);
+            # the engine's banded DP and deletion neighborhoods run on
+            # UTF-8 bytes for exactly this parity.  The quadratic join is
+            # over DISTINCT names — the same universe the SymSpell
+            # neighborhoods index — so the oracle stays tiny even when
+            # the part table is not.
+            "WITH d AS (SELECT p_name AS name, COUNT(*) AS n FROM part "
+            "GROUP BY p_name), "
+            "pr AS (SELECT a.name AS name_a, b.name AS name_b, "
+            "levenshtein(a.name, b.name) AS dist, a.n AS n_a, b.n AS n_b "
+            "FROM d a JOIN d b ON a.name < b.name) "
+            "SELECT name_a, name_b, CAST(dist AS BIGINT) AS dist, "
+            "CAST(n_a AS BIGINT) AS n_parts_a, CAST(n_b AS BIGINT) AS n_parts_b "
+            "FROM pr WHERE dist <= 2 ORDER BY name_a, name_b"
+        ),
+        "s_dbscan": (
+            # epsilon graph on the raw-cosine threshold (s_embedding_dupes
+            # convention), core = degree >= MIN_PTS-1, components via the
+            # same recursive min-label walk as t_dup_components (seeded
+            # from CORE nodes so an isolated core roots its own cluster),
+            # border = MIN core-neighbor component — the deterministic
+            # tie rule the engine implements
+            "WITH RECURSIVE p0 AS (SELECT a.vec_id AS va, b.vec_id AS vb "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.35), "
+            "nb AS (SELECT va AS node, vb AS nbr FROM p0 "
+            "UNION ALL SELECT vb, va FROM p0), "
+            "deg AS (SELECT node, COUNT(*) AS d FROM nb GROUP BY node), "
+            "core AS (SELECT node FROM deg WHERE d >= 3), "
+            "e0 AS (SELECT p0.va, p0.vb FROM p0 "
+            "JOIN core ca ON ca.node = p0.va JOIN core cb ON cb.node = p0.vb), "
+            "e AS (SELECT va AS u, vb AS v FROM e0 "
+            "UNION ALL SELECT vb, va FROM e0), "
+            "walk(node, lab) AS (SELECT node, node FROM core "
+            "UNION SELECT e.v, w.lab FROM walk w JOIN e ON e.u = w.node), "
+            "comp AS (SELECT node, MIN(lab) AS comp FROM walk GROUP BY node), "
+            "border AS (SELECT nb.node, MIN(comp.comp) AS comp "
+            "FROM nb JOIN core c ON c.node = nb.nbr "
+            "JOIN comp ON comp.node = nb.nbr "
+            "WHERE nb.node NOT IN (SELECT node FROM core) GROUP BY nb.node) "
+            "SELECT v.vec_id, "
+            "CAST(COALESCE(comp.comp, border.comp, -1) AS BIGINT) AS cluster, "
+            "CASE WHEN comp.node IS NOT NULL THEN 'core' "
+            "WHEN border.node IS NOT NULL THEN 'border' ELSE 'noise' END AS role "
+            "FROM embeddings v LEFT JOIN comp ON comp.node = v.vec_id "
+            "LEFT JOIN border ON border.node = v.vec_id ORDER BY v.vec_id"
+        ),
+        "q_cusum_changepoint": (
+            # the scan statistic cleared of division: |n*prefix_k - k*T|
+            # on the cents grid is an exact integer; HUGEINT here, int64
+            # + overflow guard in the engine.  Ordering (ts, event_id) is
+            # the composite unique key; QUALIFY replays the engine's
+            # (stat DESC, k ASC) merge rule
+            "WITH o AS (SELECT event_type, event_id, "
+            "ROW_NUMBER() OVER w AS k, "
+            "SUM(CAST(ROUND(value*100, 0) AS BIGINT)) OVER w AS prefix, "
+            "COUNT(*) OVER (PARTITION BY event_type) AS n, "
+            "SUM(CAST(ROUND(value*100, 0) AS BIGINT)) "
+            "OVER (PARTITION BY event_type) AS total "
+            "FROM events WINDOW w AS (PARTITION BY event_type "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)), "
+            "s AS (SELECT event_type, event_id, k, n, "
+            "abs(CAST(n AS HUGEINT) * prefix - CAST(k AS HUGEINT) * total) "
+            "AS stat FROM o) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n_events, "
+            "CAST(k AS BIGINT) AS cp_k, CAST(event_id AS BIGINT) AS cp_event_id, "
+            "CAST(stat AS BIGINT) AS cusum_stat FROM s "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type "
+            "ORDER BY stat DESC, k ASC) = 1 ORDER BY event_type"
+        ),
     }
     # the Bloom+bucketed-store form is output-identical by construction
     # (no false negatives; every positive exactly verified) — one oracle

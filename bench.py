@@ -247,6 +247,9 @@ QUERY_NAMES = [
     "t_keyword_extraction",
     "q_late_events_audit",
     "t_cdc_dedup",
+    "t_editdist_dupes",
+    "s_dbscan",
+    "q_cusum_changepoint",
 ]
 
 

@@ -18,8 +18,10 @@ groupbys over already-reduced rows.
 """
 from __future__ import annotations
 
+import hashlib
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -8300,3 +8302,187 @@ def q_late_events_audit(sf_dir: str, stage_dir: str = None):
     finally:
         if own_stage:
             shutil.rmtree(root, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# CUSUM changepoint detection — the distributed PREFIX-SCAN shape on a
+# hot key: a per-TYPE running statistic over the full time-ordered series,
+# computed without ever sorting the corpus globally or landing a whole
+# type on one worker
+
+CUSUM_CHUNK_DAYS = 2
+CUSUM_BUCKETS = 64
+
+
+def _type_chunk_keys(types: pd.Series, ts_us: np.ndarray, chunk_us: int):
+    """(type_hash, chunk, bucket) shuffle keys for per-type scans — the
+    _session_keys idea with a string key: md5 per UNIQUE type (few), then
+    the same uint64 mix so a hot type spreads across time chunks."""
+    codes, uniques = pd.factorize(types, sort=False)
+    th = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(u).encode()).digest()[:8], "little")
+            for u in uniques
+        ),
+        np.uint64,
+        len(uniques),
+    )
+    chunk = ts_us // np.int64(chunk_us)
+    mixed = th[codes] * np.uint64(0x9E3779B97F4A7C15) + chunk.astype(
+        np.uint64
+    ) * np.uint64(0xC2B2AE3D27D4EB4F)
+    return chunk, (mixed % np.uint64(CUSUM_BUCKETS)).astype(np.int64)
+
+
+def q_cusum_changepoint(sf_dir: str):
+    """Per-event-type CUSUM changepoint: the position k (1-based, ordered
+    by ts then event_id) maximizing |n·prefix_k − k·total| over the cents
+    grid — the classic mean-shift scan statistic cleared of division
+    (S_k/n ≡ prefix_k − k·mean), so every quantity is an EXACT integer.
+
+    This is the distributed prefix-scan shape: event types are HOT keys
+    (a handful of giant groups), so the scan cannot be a per-type
+    map_groups.  Pass 1 reduces each (type, time-chunk) to (count, sum)
+    partials — one narrow exchange; the driver folds them into per-chunk
+    global offsets (k_before, prefix_before) and per-type totals (n, T),
+    a types×chunks table that is tiny BECAUSE the key is hot (few types).
+    Pass 2 re-scans events keyed on (type-hash, chunk) buckets
+    (_type_chunk_keys): within a chunk, S_k = C_chunk + (n·local_prefix_j
+    − j·T) with C_chunk constant, so the chunk's |S| maximum is at the
+    chunk's max OR min of S — each chunk emits just TWO candidate rows
+    (np.argmax/argmin pick the FIRST index on ties, matching the min-k
+    rule), and the driver merge picks per type by (stat DESC, k ASC),
+    exactly the oracle's QUALIFY.  int64 throughout with an explicit
+    overflow guard (|S| <= 2·n·Σ|cents| must clear 2^62; beyond that a
+    production run rescales the grid), HUGEINT on the oracle side."""
+    import ray
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "event_type", "value"],
+        rows_per_block=12_500,
+    )
+    chunk_us = np.int64(CUSUM_CHUNK_DAYS) * 86_400_000_000
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.Series([], dtype=object),
+            "n_events": pd.Series([], dtype="int64"),
+            "cp_k": pd.Series([], dtype="int64"),
+            "cp_event_id": pd.Series([], dtype="int64"),
+            "cusum_stat": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("int64").to_numpy()
+        cents = round_half_away(df["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "chunk": ts_us // chunk_us,
+                "cents": cents,
+                "acents": np.abs(cents),
+            }
+        )
+        out = (
+            d.groupby(["event_type", "chunk"], as_index=False)
+            .agg(cnt=("cents", "size"), s=("cents", "sum"), sa=("acents", "sum"))
+        )
+        for c in ("cnt", "s", "sa"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    from .frames import typed_collect
+
+    parts = typed_collect(
+        ds.map_batches(partial, batch_format="pandas"),
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("chunk", pa.int64()),
+                ("cnt", pa.int64()),
+                ("s", pa.int64()),
+                ("sa", pa.int64()),
+            ]
+        ),
+    )
+    if len(parts) == 0:
+        return empty
+    parts = (
+        parts.groupby(["event_type", "chunk"], as_index=False)[["cnt", "s", "sa"]]
+        .sum()
+        .sort_values(["event_type", "chunk"])
+    )
+    totals = parts.groupby("event_type")[["cnt", "s", "sa"]].sum()
+    g = parts.groupby("event_type", sort=False)
+    parts["k_before"] = g["cnt"].cumsum() - parts["cnt"]
+    parts["p_before"] = g["s"].cumsum() - parts["s"]
+    worst = int((2 * totals["cnt"].astype("int64") * totals["sa"]).max())
+    if worst >= (1 << 62):
+        raise RuntimeError(
+            "q_cusum_changepoint: |S| bound exceeds int64 — rescale the "
+            f"value grid for this corpus (bound {worst})"
+        )
+    offsets = {
+        (r.event_type, int(r.chunk)): (int(r.k_before), int(r.p_before))
+        for r in parts.itertuples()
+    }
+    tot = {
+        t: (int(row["cnt"]), int(row["s"])) for t, row in totals.iterrows()
+    }
+    bref = ray.put((offsets, tot))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = pd.Series(t.column("event_type").to_pylist())
+        chunk, bucket = _type_chunk_keys(types, ts_us, chunk_us)
+        t = t.append_column("chunk", pa.array(chunk, pa.int64()))
+        return t.append_column("bucket", pa.array(bucket))
+
+    def resolve(gdf: pd.DataFrame) -> pd.DataFrame:
+        offs, tots = ray.get(bref)
+        gdf = gdf.sort_values(["event_type", "chunk", "ts", "event_id"])
+        out = {"event_type": [], "k": [], "event_id": [], "stat": []}
+        for (etype, chunk), sl in gdf.groupby(["event_type", "chunk"], sort=False):
+            cents = round_half_away(sl["value"].to_numpy() * 100.0, 0).astype(
+                np.int64
+            )
+            n, T = tots[etype]
+            k_before, p_before = offs[(etype, int(chunk))]
+            j = np.arange(1, len(sl) + 1, dtype=np.int64)
+            S = n * (p_before + np.cumsum(cents)) - (k_before + j) * T
+            eids = sl["event_id"].to_numpy()
+            for i in (int(np.argmax(S)), int(np.argmin(S))):
+                out["event_type"].append(etype)
+                out["k"].append(int(k_before + j[i]))
+                out["event_id"].append(int(eids[i]))
+                out["stat"].append(abs(int(S[i])))
+        o = pd.DataFrame(out)
+        for c in ("k", "event_id", "stat"):
+            o[c] = o[c].astype("int64")
+        return o
+
+    cands = typed_collect(
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas"),
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("k", pa.int64()),
+                ("event_id", pa.int64()),
+                ("stat", pa.int64()),
+            ]
+        ),
+    )
+    best = (
+        cands.sort_values(["event_type", "stat", "k"], ascending=[True, False, True])
+        .groupby("event_type", as_index=False)
+        .first()
+    )
+    best["n_events"] = best["event_type"].map(lambda t: tot[t][0]).astype("int64")
+    out = best.rename(
+        columns={"k": "cp_k", "event_id": "cp_event_id", "stat": "cusum_stat"}
+    )[["event_type", "n_events", "cp_k", "cp_event_id", "cusum_stat"]]
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -2520,3 +2520,109 @@ def s_ood_mahalanobis(sf_dir: str, k: int = OOD_K):
     df["vec_id"] = df["vec_id"].astype("int64")
     df["score"] = df["score"].astype("float64")
     return df.sort_values("vec_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# DBSCAN over the embedding column — density clustering as a composition
+# of the repo's own primitives: thresholded pair scoring (the
+# epsilon-neighborhood graph) + large-star/small-star connected components
+
+DBSCAN_SIM = 0.35  # epsilon as raw cosine similarity (s_embedding_dupes convention)
+DBSCAN_MIN_PTS = 4  # core iff |N_eps(p)| >= MIN_PTS, counting p itself
+
+
+def s_dbscan(sf_dir: str, eps_sim: float = DBSCAN_SIM, min_pts: int = DBSCAN_MIN_PTS):
+    """DBSCAN density clustering of the embedding column: every vector
+    labeled (vec_id, cluster, role) with role core/border/noise and
+    cluster = the MINIMUM vec_id of its core-component (noise = -1).
+
+    Composition of in-tree primitives, all distributed: the
+    epsilon-neighborhood graph is the exact thresholded pair scorer
+    (`s_embedding_dupes` — block-pair tasks, raw-cosine threshold, the
+    same feasibility gate; at high eps the banded `lsh_candidate_pairs`
+    path swaps in), and core-component labels come from the
+    large-star/small-star CC (`textops._cc_min_label`, O(log n) rounds).
+    Degrees/border assignment run over the RESULT-SIZED pair table (its
+    size is set by eps, not the corpus).  Determinism: classic DBSCAN
+    leaves a two-cluster border point implementation-defined; here it
+    takes the MINIMUM core-neighbor component, so engine and oracle agree
+    on every input.  Core rule: degree (excl. self) >= min_pts - 1.
+    Zero vectors score sim 0 here and -1 in DuckDB — both below any
+    positive eps, so the convention gap is unobservable (harness-pinned).
+    """
+    import ray.data as rd
+
+    from .frames import typed_collect
+    from .textops import _cc_min_label
+
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype="int64"),
+            "cluster": pd.Series([], dtype="int64"),
+            "role": pd.Series([], dtype=object),
+        }
+    )
+    ids_df = typed_collect(
+        _read_embeddings(sf_dir).select_columns(["vec_id"]),
+        pa.schema([("vec_id", pa.int64())]),
+    )
+    if len(ids_df) == 0:
+        return empty
+    pairs = s_embedding_dupes(sf_dir, threshold=eps_sim)
+
+    deg = (
+        pd.concat([pairs["vec_a"], pairs["vec_b"]])
+        .value_counts()
+        .rename_axis("vec_id")
+        .rename("deg")
+        .reset_index()
+    )
+    core = set(deg.loc[deg["deg"] >= min_pts - 1, "vec_id"].astype("int64"))
+
+    cc_edges = pairs[
+        pairs["vec_a"].isin(core) & pairs["vec_b"].isin(core)
+    ][["vec_a", "vec_b"]].rename(columns={"vec_a": "doc_a", "vec_b": "doc_b"})
+    if len(cc_edges):
+        labels = typed_collect(
+            _cc_min_label(
+                rd.from_pandas(cc_edges.astype({"doc_a": "int64", "doc_b": "int64"}))
+            ),
+            pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+        )
+    else:
+        labels = pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"), "label": pd.Series([], dtype="int64")}
+        )
+    # isolated core points (no core neighbor) root their own cluster
+    missing = sorted(core - set(labels["node"]))
+    if missing:
+        labels = pd.concat(
+            [labels, pd.DataFrame({"node": missing, "label": missing})],
+            ignore_index=True,
+        )
+    comp = dict(zip(labels["node"].astype("int64"), labels["label"].astype("int64")))
+
+    # border: non-core adjacent to >=1 core; takes the MIN core-component
+    both = pd.concat(
+        [
+            pairs.rename(columns={"vec_a": "node", "vec_b": "nbr"})[["node", "nbr"]],
+            pairs.rename(columns={"vec_b": "node", "vec_a": "nbr"})[["node", "nbr"]],
+        ],
+        ignore_index=True,
+    )
+    bmask = (~both["node"].isin(core)) & both["nbr"].isin(core)
+    border = (
+        both[bmask]
+        .assign(comp=lambda d: d["nbr"].map(comp))
+        .groupby("node", as_index=False)["comp"]
+        .min()
+    )
+    bcomp = dict(zip(border["node"].astype("int64"), border["comp"].astype("int64")))
+
+    ids = ids_df["vec_id"].astype("int64")
+    c = ids.map(comp)  # defined exactly on core nodes
+    b = ids.map(bcomp)  # defined exactly on border nodes
+    role = np.where(c.notna(), "core", np.where(b.notna(), "border", "noise"))
+    cluster = c.fillna(b).fillna(-1).astype("int64")
+    out = pd.DataFrame({"vec_id": ids, "cluster": cluster, "role": role})
+    return out.sort_values("vec_id").reset_index(drop=True)

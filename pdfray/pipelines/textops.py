@@ -4816,3 +4816,201 @@ def _two_regime_sum_rel(parts, keys, sum_cols, empty_types=None):
     from .relational import _two_regime_sum
 
     return _two_regime_sum(parts, keys, sum_cols, empty_types=empty_types)
+
+
+# ----------------------------------------------------------------------
+# edit-distance (Levenshtein) near-dup pairs over a short-string column —
+# the catalog/title/query-log dedup shape the n-gram families cannot
+# express (a one-character typo moves every shingle)
+
+EDITDIST_K = 2  # max edit distance; deletion-neighborhood size is O(L^K)
+
+
+def _deletion_variants(s, k: int) -> set:
+    """All sequences reachable from ``s`` by deleting UP TO ``k`` units
+    (including ``s`` itself).  SymSpell's symmetric-delete lemma: if
+    ed(a,b) <= k, align an optimal edit script — removing from `a` the
+    deleted+substituted positions and from `b` the inserted+substituted
+    positions leaves the SAME subsequence, and each side removed <= k
+    units.  So deletion-neighborhood intersection is a candidate filter
+    with GUARANTEED recall (pinned by the brute-force property test).
+    Works on str OR bytes; the pipeline passes UTF-8 BYTES because
+    DuckDB's levenshtein edits bytes, not codepoints (a 'é'→'a' swap
+    costs 2 there)."""
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1 :])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _bounded_editdist(a, b, k: int) -> int:
+    """Banded Levenshtein DP over str or bytes: exact when the distance
+    is <= k, else any value > k.  Band width 2k+1 per row, early exit
+    when a whole row exceeds k — O(k * max(len)) per pair, and candidates
+    are neighborhood-collision-bounded, never all-pairs.  The pipeline
+    calls it on UTF-8 bytes for DuckDB levenshtein parity."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    if la > lb:  # keep b the longer side so the band stays centered
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        cur = [k + 1] * (lb + 1)
+        cur[0] = i
+        if lo > 1:
+            cur[lo - 1] = k + 1
+        ca = a[i - 1]
+        best = k + 1
+        for j in range(lo, hi + 1):
+            c = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+            cur[j] = c
+            if c < best:
+                best = c
+        if best > k:
+            return k + 1
+        prev = cur
+    return prev[lb]
+
+
+def t_editdist_dupes(sf_dir: str, k: int = EDITDIST_K):
+    """Edit-distance near-duplicate pairs over the part-name column
+    (distinct name_a < name_b with ed <= k, plus each name's part
+    multiplicity) — catalog/title dedup, where a single-character typo
+    breaks every shingle-based family.
+
+    Distributed SymSpell (symmetric-delete) plan with EXACT recall:
+    (1) one (name)-keyed exchange reduces the corpus to distinct names +
+    multiplicities — at web scale the quadratic universe is DISTINCT
+    strings, not rows; (2) each distinct name explodes into its
+    <=k-deletion neighborhood (O(L^k) short keys — this operator is for
+    short-string columns; long text belongs to the simhash/minhash
+    families); (3) the shared `_candidate_pairs` bucket self-join emits
+    neighborhood-collision pairs, dedup'd by its counted aggregate;
+    (4) a banded-DP verify (<= k exact) runs over the candidate-sized
+    pair stream (UTF-8 BYTE granularity — DuckDB's levenshtein edits
+    bytes, not codepoints, so parity demands byte-level DP and variants);
+    (5) multiplicities ride the t_dedup_keep_best pattern —
+    matched names (result-sized) broadcast, ONE streaming filter over the
+    counts table, driver merge.  Only (name, variant) rows and verified
+    pairs ever shuffle; recall is provable (SymSpell lemma), pinned by a
+    randomized brute-force test."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from .relational import _read
+
+    empty = pd.DataFrame(
+        {
+            "name_a": pd.Series([], dtype=object),
+            "name_b": pd.Series([], dtype=object),
+            "dist": pd.Series([], dtype="int64"),
+            "n_parts_a": pd.Series([], dtype="int64"),
+            "n_parts_b": pd.Series([], dtype="int64"),
+        }
+    )
+    counts = (
+        _read(sf_dir, "part", ["p_name"])
+        .groupby("p_name")
+        .aggregate(Count(alias_name="n_parts"))
+        .materialize()
+    )
+    if counts.count() == 0:
+        return empty
+
+    def explode(t: pa.Table) -> pa.Table:
+        names = t.column("p_name").to_pylist()
+        out_n, out_v = [], []
+        for nm in names:
+            # byte-level variants (DuckDB levenshtein parity); latin-1
+            # round-trips any byte sequence into a valid Arrow string key
+            vs = _deletion_variants(nm.encode("utf-8"), k)
+            out_n.extend([nm] * len(vs))
+            out_v.extend(v.decode("latin-1") for v in vs)
+        return pa.table(
+            {
+                "name": pa.array(out_n, pa.string()),
+                "band": pa.array(np.zeros(len(out_n), np.int32), pa.int32()),
+                "band_key": pa.array(out_v, pa.string()),
+            }
+        )
+
+    buckets = counts.map_batches(explode, batch_format="pyarrow")
+    pairs = _candidate_pairs(buckets, "name")
+
+    def verify(t: pa.Table) -> pa.Table:
+        out = {
+            "name_a": pa.array([], pa.string()),
+            "name_b": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+        }
+        if len(t) == 0:
+            return pa.table(out)
+        av = t.column("doc_a").to_pylist()
+        bv = t.column("doc_b").to_pylist()
+        na, nb, nd = [], [], []
+        for x, y in zip(av, bv):
+            d = _bounded_editdist(x.encode("utf-8"), y.encode("utf-8"), k)
+            if d <= k:
+                na.append(x)
+                nb.append(y)
+                nd.append(d)
+        return pa.table(
+            {
+                "name_a": pa.array(na, pa.string()),
+                "name_b": pa.array(nb, pa.string()),
+                "dist": pa.array(nd, pa.int64()),
+            }
+        )
+
+    vdf = pairs.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if len(vdf) == 0 or len(vdf.columns) == 0:  # all-empty stream drops schema
+        return empty
+    vdf["dist"] = vdf["dist"].astype("int64")
+
+    # multiplicities: matched names (result-sized) broadcast, one streaming
+    # filter over the distinct-name counts, driver merge
+    matched = set(vdf["name_a"]) | set(vdf["name_b"])
+    mref = ray.put(matched)
+
+    def keep_matched(t: pa.Table) -> pa.Table:
+        m = ray.get(mref)  # one object-store fetch per batch, zero-copy set
+        names = t.column("p_name").to_pylist()
+        mask = pa.array([nm in m for nm in names], pa.bool_())
+        return t.filter(mask)
+
+    from .frames import typed_collect
+
+    cdf = typed_collect(
+        counts.map_batches(keep_matched, batch_format="pyarrow"),
+        pa.schema([("p_name", pa.string()), ("n_parts", pa.int64())]),
+    )
+    out = (
+        vdf.merge(
+            cdf.rename(columns={"p_name": "name_a", "n_parts": "n_parts_a"}),
+            on="name_a",
+        ).merge(
+            cdf.rename(columns={"p_name": "name_b", "n_parts": "n_parts_b"}),
+            on="name_b",
+        )
+    )
+    for c in ("n_parts_a", "n_parts_b"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["name_a", "name_b", "dist", "n_parts_a", "n_parts_b"]]
+        .sort_values(["name_a", "name_b"])
+        .reset_index(drop=True)
+    )

@@ -613,6 +613,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_markov_transitions",
     "q_user_entropy",
     "q_late_events_audit",
+    "q_cusum_changepoint",
 ]
 
 _PROPS_POOL = [
@@ -775,6 +776,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "q_butterfly_count",
     "q_frequent_pairs",
     "q_skyline_parts",
+    "t_editdist_dupes",
 ]
 
 
@@ -937,10 +939,18 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
     part = pa.table(
         {
             "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
-            # every 4th part matches q20's '%bolt%' LIKE
+            # every 4th part matches q20's '%bolt%' LIKE; 197/199 are a
+            # unicode typo pair at BYTE distance 2 ('é' is two UTF-8
+            # bytes) pinning t_editdist_dupes' byte-level levenshtein
+            # parity, and the dense "part {i}" grid is saturated with
+            # distance-1/2 neighborhood collisions
             "p_name": pa.array(
                 [
-                    f"part {i} bolt" if i % 4 == 0 else f"part {i}"
+                    "café gizmo"
+                    if i == 197
+                    else "cafe gizmo"
+                    if i == 199
+                    else (f"part {i} bolt" if i % 4 == 0 else f"part {i}")
                     for i in range(n_part)
                 ]
             ),
@@ -1347,6 +1357,7 @@ EMB_ORACLE_QUERIES = [
     "s_semdedup",
     "s_hamming_topk",
     "s_range_search",
+    "s_dbscan",
 ]
 
 
