@@ -399,6 +399,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_editdist_dupes": T.t_editdist_dupes,
         "s_dbscan": S.s_dbscan,
         "q_cusum_changepoint": R.q_cusum_changepoint,
+        "q_date_spine_fill": R.q_date_spine_fill,
+        "q_mad_outliers": R.q_mad_outliers,
+        "q_max_drawdown": R.q_max_drawdown,
     }
 
 
@@ -3460,6 +3463,60 @@ def oracle_sql() -> dict[str, str]:
             "CAST(stat AS BIGINT) AS cusum_stat FROM s "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type "
             "ORDER BY stat DESC, k ASC) = 1 ORDER BY event_type"
+        ),        "q_date_spine_fill": (
+            # the row-GENERATION direction: the spine is unnest(
+            # generate_series) per user (lateral table-function args are
+            # unsupported; the scalar list form isn't), left-joined back
+            # to the exact per-day counts
+            "WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) "
+            "AS day FROM events), "
+            "b AS (SELECT user_id, MIN(day) mn, MAX(day) mx FROM e "
+            "GROUP BY user_id), "
+            "spine AS (SELECT user_id, CAST(unnest(generate_series("
+            "CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) "
+            "AS DATE) AS day FROM b), "
+            "c AS (SELECT user_id, day, COUNT(*) n FROM e "
+            "GROUP BY user_id, day) "
+            "SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day, "
+            "CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events "
+            "FROM spine s LEFT JOIN c ON c.user_id = s.user_id "
+            "AND c.day = s.day ORDER BY s.user_id, day"
+        ),
+        "q_mad_outliers": (
+            # median()/mad() are interpolated quantile_cont in DuckDB —
+            # the engine replays the same formula over its distinct-value
+            # histogram of the RAW doubles, so the unrounded fence compare
+            # abs(x-med) > 3*mad is bit-identical on both sides; only the
+            # two report columns round (half-away, both sides)
+            "WITH s AS (SELECT event_type, COUNT(*) n, median(value) AS med, "
+            "mad(value) AS mad FROM events GROUP BY event_type), "
+            "o AS (SELECT e.event_type, "
+            "COUNT(*) FILTER (abs(e.value - s.med) > 3*s.mad) AS n_out "
+            "FROM events e JOIN s ON s.event_type = e.event_type "
+            "GROUP BY e.event_type) "
+            "SELECT s.event_type, CAST(s.n AS BIGINT) AS n_events, "
+            "ROUND(s.med, 6) AS med_value, ROUND(s.mad, 6) AS mad_value, "
+            "CAST(o.n_out AS BIGINT) AS n_outliers "
+            "FROM s JOIN o ON o.event_type = s.event_type "
+            "ORDER BY s.event_type"
+        ),
+        "q_max_drawdown": (
+            # running-max prefix scan on the cents grid: dd = runmax -
+            # cents is an exact integer; QUALIFY replays the engine's
+            # (dd DESC, k ASC) merge rule
+            "WITH o AS (SELECT event_type, event_id, "
+            "CAST(ROUND(value*100, 0) AS BIGINT) cents, "
+            "ROW_NUMBER() OVER w AS k, "
+            "MAX(CAST(ROUND(value*100, 0) AS BIGINT)) OVER w AS runmax, "
+            "COUNT(*) OVER (PARTITION BY event_type) AS n "
+            "FROM events WINDOW w AS (PARTITION BY event_type "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)) "
+            "SELECT event_type, CAST(n AS BIGINT) n_events, "
+            "CAST(runmax - cents AS BIGINT) dd_cents, CAST(k AS BIGINT) dd_k, "
+            "CAST(event_id AS BIGINT) dd_event_id "
+            "FROM o QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type "
+            "ORDER BY (runmax - cents) DESC, k ASC) = 1 ORDER BY event_type"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

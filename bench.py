@@ -250,6 +250,9 @@ QUERY_NAMES = [
     "t_editdist_dupes",
     "s_dbscan",
     "q_cusum_changepoint",
+    "q_date_spine_fill",
+    "q_mad_outliers",
+    "q_max_drawdown",
 ]
 
 

@@ -8486,3 +8486,335 @@ def q_cusum_changepoint(sf_dir: str):
         columns={"k": "cp_k", "event_id": "cp_event_id", "stat": "cusum_stat"}
     )[["event_type", "n_events", "cp_k", "cp_event_id", "cusum_stat"]]
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_date_spine_fill(sf_dir: str):
+    """Per-user DAILY activity with gap days GENERATED (calendar spine
+    fill between each user's first and last active day, zero-filled) —
+    the row-GENERATION direction no aggregate covers: the result contains
+    rows the input never had, the feature-engineering prerequisite for
+    any fixed-step time-series model.
+
+    One narrow exchange: blocks pre-reduce to (user, day) counts (day as
+    exact days-since-epoch int — midnight timestamps are exact multiples
+    of 86 400 s, pre-epoch included), `_two_regime_sum`-style merge, then
+    the expansion is vectorized np.arange/searchsorted per user — output
+    rows scale with Σ user spans, never with events.  Two-regime like
+    q_pivot_event_matrix: driver expansion below PIVOT_DRIVER_MAX_ROWS
+    distinct (user, day) rows, a distributed groupby(user).map_groups
+    above."""
+    from ray.data.aggregate import Sum
+
+    day_us = np.int64(86_400_000_000)
+    ds = _read(sf_dir, "events", ["user_id", "ts"], rows_per_block=100_000)
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "day": pd.Series([], dtype=object),
+            "n_events": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("int64").to_numpy()
+        # floor division IS calendar-day truncation for epoch-relative us
+        # (negative timestamps floor toward earlier days, like date_trunc)
+        d = pd.DataFrame(
+            {"user_id": df["user_id"], "day_idx": ts_us // day_us}
+        )
+        out = d.groupby(["user_id", "day_idx"], as_index=False).agg(
+            n=("day_idx", "size")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").materialize()
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day_idx"])
+        frames = []
+        for uid, sl in g.groupby("user_id", sort=False):
+            days = np.arange(
+                sl["day_idx"].iloc[0], sl["day_idx"].iloc[-1] + 1, dtype=np.int64
+            )
+            n = np.zeros(len(days), np.int64)
+            n[np.searchsorted(days, sl["day_idx"].to_numpy())] = sl[
+                "n"
+            ].to_numpy()
+            frames.append(
+                pd.DataFrame(
+                    {"user_id": np.full(len(days), uid, np.int64), "day_idx": days, "n_events": n}
+                )
+            )
+        return (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "day_idx": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+
+    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
+        pdf = typed_collect(
+            parts,
+            pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("day_idx", pa.int64()),
+                    ("n", pa.int64()),
+                ]
+            ),
+        )
+        if len(pdf) == 0:
+            return empty
+        pdf = pdf.groupby(["user_id", "day_idx"], as_index=False)["n"].sum()
+        out = expand(pdf)
+    else:
+        from ray.data.aggregate import Sum as _Sum
+
+        merged = parts.groupby(["user_id", "day_idx"]).aggregate(
+            Sum("n", alias_name="n")
+        )
+        out = (
+            merged.groupby("user_id")
+            .map_groups(expand, batch_format="pandas")
+            .to_pandas()
+        )
+        if len(out.columns) == 0:
+            return empty
+    out["day"] = pd.to_datetime(out["day_idx"], unit="D").dt.strftime("%Y-%m-%d")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return (
+        out[["user_id", "day", "n_events"]]
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+
+
+def _quantile_cont_replay(vals: np.ndarray, cum: np.ndarray, p: float) -> float:
+    """DuckDB quantile_cont over a (sorted distinct values, cumulative
+    counts) histogram: h = (n-1)p; x[floor(h)] + frac*(x[floor(h)+1] -
+    x[floor(h)]) — the q_group_quantiles formula, shared by the robust-
+    stats family."""
+    n = int(cum[-1])
+    h = (n - 1) * p
+    lo = int(np.floor(h))
+    xlo = vals[np.searchsorted(cum, lo + 1)]
+    xhi = vals[np.searchsorted(cum, lo + 2)] if lo + 1 < n else xlo
+    return float(xlo + (h - lo) * (xhi - xlo))
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust per-type outlier report: median, MAD (median absolute
+    deviation, interpolated like DuckDB's mad()), and the count of events
+    beyond the 3-MAD fence — the robust-statistics family member (mean/
+    variance live in q_group_moments; quantiles in q_group_quantiles).
+
+    ONE narrow exchange: blocks pre-reduce to a distinct-(type, value)
+    histogram over the RAW doubles (the q_group_quantiles trick — keeping
+    the stored float64 keys means every downstream double op replays
+    DuckDB bit-for-bit), two-regime merged; the driver then replays
+    median → |x−med| deviation histogram → MAD → fence count, all from
+    counts — the corpus is never rescanned and nothing about the fence
+    compare is rounded (only the two REPORT columns round, half-away,
+    6 dp both sides)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "events", ["event_type", "value"], rows_per_block=100_000
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "value"]).aggregate([("value", "count")])
+        return g.rename_columns(["event_type", "value", "cnt"])
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").materialize()
+    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
+        hist_df = (
+            typed_collect(
+                parts,
+                pa.schema(
+                    [
+                        ("event_type", pa.string()),
+                        ("value", pa.float64()),
+                        ("cnt", pa.int64()),
+                    ]
+                ),
+            )
+            .groupby(["event_type", "value"], as_index=False)["cnt"]
+            .sum()
+        )
+    else:
+        hist_df = (
+            parts.groupby(["event_type", "value"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+    rows = []
+    for etype, g in hist_df.groupby("event_type"):
+        g = g.sort_values("value")
+        vals = g["value"].to_numpy(np.float64)
+        cnts = g["cnt"].to_numpy(np.int64)
+        med = _quantile_cont_replay(vals, cnts.cumsum(), 0.5)
+        dev = pd.DataFrame({"d": np.abs(vals - med), "cnt": cnts})
+        dev = dev.groupby("d", as_index=False)["cnt"].sum().sort_values("d")
+        dvals = dev["d"].to_numpy(np.float64)
+        dcnts = dev["cnt"].to_numpy(np.int64)
+        mad = _quantile_cont_replay(dvals, dcnts.cumsum(), 0.5)
+        n_out = int(dcnts[dvals > 3.0 * mad].sum())
+        rows.append(
+            {
+                "event_type": etype,
+                "n_events": int(cnts.sum()),
+                "med_value": float(round_half_away(np.float64(med), 6)),
+                "mad_value": float(round_half_away(np.float64(mad), 6)),
+                "n_outliers": n_out,
+            }
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["event_type", "n_events", "med_value", "mad_value", "n_outliers"],
+    )
+    for c in ("n_events", "n_outliers"):
+        out[c] = out[c].astype("int64")
+    for c in ("med_value", "mad_value"):
+        out[c] = out[c].astype("float64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_max_drawdown(sf_dir: str):
+    """Per-type maximum drawdown (running-max minus current value, cents
+    grid) with its position — the RUNNING-MAX prefix scan, completing the
+    associative-scan family q_cusum_changepoint opened with a sum carry:
+    here the carry is a MAX, so pass 1's per-(type, chunk) partials fold
+    into prior-chunk running maxima on the driver and pass 2 computes
+    runmax = max(carry, local cummax) vectorized inside each chunk.
+    Unlike CUSUM the statistic needs no constant-shift disambiguation:
+    dd_j = runmax_j − cents_j is final, so each chunk emits exactly ONE
+    candidate (np.argmax = first index on ties, matching the min-k rule)
+    and the merge is (dd DESC, k ASC) — the oracle's QUALIFY.  All
+    integers; no overflow (dd <= max−min cents)."""
+    import ray
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "event_type", "value"],
+        rows_per_block=12_500,
+    )
+    chunk_us = np.int64(CUSUM_CHUNK_DAYS) * 86_400_000_000
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.Series([], dtype=object),
+            "n_events": pd.Series([], dtype="int64"),
+            "dd_cents": pd.Series([], dtype="int64"),
+            "dd_k": pd.Series([], dtype="int64"),
+            "dd_event_id": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].astype("int64").to_numpy()
+        cents = round_half_away(df["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "chunk": ts_us // chunk_us,
+                "cents": cents,
+            }
+        )
+        out = d.groupby(["event_type", "chunk"], as_index=False).agg(
+            cnt=("cents", "size"), mx=("cents", "max")
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        out["mx"] = out["mx"].astype("int64")
+        return out
+
+    parts = typed_collect(
+        ds.map_batches(partial, batch_format="pandas"),
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("chunk", pa.int64()),
+                ("cnt", pa.int64()),
+                ("mx", pa.int64()),
+            ]
+        ),
+    )
+    if len(parts) == 0:
+        return empty
+    parts = (
+        parts.groupby(["event_type", "chunk"], as_index=False)
+        .agg(cnt=("cnt", "sum"), mx=("mx", "max"))
+        .sort_values(["event_type", "chunk"])
+    )
+    g = parts.groupby("event_type", sort=False)
+    parts["k_before"] = g["cnt"].cumsum() - parts["cnt"]
+    # carry = running max of PRIOR chunks; sentinel for the first chunk
+    SENT = np.int64(-(1 << 62))
+    shifted = g["mx"].cummax().shift(1)
+    first = g.cumcount() == 0
+    parts["carry"] = shifted.fillna(0).astype("int64").where(~first, SENT)
+    n_by_type = dict(zip(g["cnt"].sum().index, g["cnt"].sum().astype(int)))
+    offs = {
+        (r.event_type, int(r.chunk)): (int(r.k_before), int(r.carry))
+        for r in parts.itertuples()
+    }
+    bref = ray.put((offs, SENT))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = pd.Series(t.column("event_type").to_pylist())
+        chunk, bucket = _type_chunk_keys(types, ts_us, chunk_us)
+        t = t.append_column("chunk", pa.array(chunk, pa.int64()))
+        return t.append_column("bucket", pa.array(bucket))
+
+    def resolve(gdf: pd.DataFrame) -> pd.DataFrame:
+        offs_l, sent = ray.get(bref)
+        gdf = gdf.sort_values(["event_type", "chunk", "ts", "event_id"])
+        out = {"event_type": [], "k": [], "event_id": [], "dd": []}
+        for (etype, chunk), sl in gdf.groupby(["event_type", "chunk"], sort=False):
+            cents = round_half_away(sl["value"].to_numpy() * 100.0, 0).astype(
+                np.int64
+            )
+            k_before, carry = offs_l[(etype, int(chunk))]
+            runmax = np.maximum(np.maximum.accumulate(cents), carry)
+            dd = runmax - cents
+            i = int(np.argmax(dd))
+            out["event_type"].append(etype)
+            out["k"].append(int(k_before + i + 1))
+            out["event_id"].append(int(sl["event_id"].to_numpy()[i]))
+            out["dd"].append(int(dd[i]))
+        o = pd.DataFrame(out)
+        for c in ("k", "event_id", "dd"):
+            o[c] = o[c].astype("int64")
+        return o
+
+    cands = typed_collect(
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas"),
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("k", pa.int64()),
+                ("event_id", pa.int64()),
+                ("dd", pa.int64()),
+            ]
+        ),
+    )
+    best = (
+        cands.sort_values(["event_type", "dd", "k"], ascending=[True, False, True])
+        .groupby("event_type", as_index=False)
+        .first()
+    )
+    best["n_events"] = best["event_type"].map(n_by_type).astype("int64")
+    out = best.rename(
+        columns={"dd": "dd_cents", "k": "dd_k", "event_id": "dd_event_id"}
+    )[["event_type", "n_events", "dd_cents", "dd_k", "dd_event_id"]]
+    return out.sort_values("event_type").reset_index(drop=True)

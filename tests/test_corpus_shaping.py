@@ -614,6 +614,9 @@ EVENTS_ORACLE_QUERIES = [
     "q_user_entropy",
     "q_late_events_audit",
     "q_cusum_changepoint",
+    "q_date_spine_fill",
+    "q_mad_outliers",
+    "q_max_drawdown",
 ]
 
 _PROPS_POOL = [

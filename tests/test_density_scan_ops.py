@@ -252,3 +252,92 @@ def test_cusum_randomized_oracle_parity(ray_session, tmp_path):
         )
         ora = con.execute(entrymod.oracle_sql()["q_cusum_changepoint"]).df()
         pd.testing.assert_frame_equal(eng, ora)
+
+
+def test_spine_fill_hand_and_pre_epoch(ray_session, tmp_path):
+    """Gap days generated with zero counts; a single-event user yields one
+    row; a pre-epoch (1969) event floors to the right calendar day."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_date_spine_fill
+
+    day = 86_400_000_000
+    base = 1_704_067_200_000_000  # 2024-01-01
+    rows = [
+        (0, base, 1, "A", 1.0),
+        (1, base + 3 * day + 5, 1, "A", 1.0),  # days 1 and 2 are gaps
+        (2, base, 2, "A", 1.0),  # single-event user
+        (3, -day // 2, 3, "A", 1.0),  # 1969-12-31 12:00 -> floors to -1
+    ]
+    d = tmp_path / "sp"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_date_spine_fill(str(d))
+    u1 = eng[eng.user_id == 1]
+    assert list(u1.n_events) == [1, 0, 0, 1]
+    assert list(u1.day) == [
+        "2024-01-01",
+        "2024-01-02",
+        "2024-01-03",
+        "2024-01-04",
+    ]
+    assert len(eng[eng.user_id == 2]) == 1
+    assert list(eng[eng.user_id == 3].day) == ["1969-12-31"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.execute(entrymod.oracle_sql()["q_date_spine_fill"]).df()
+    pd.testing.assert_frame_equal(eng, ora)
+
+
+def test_mad_outliers_hand_values(ray_session, tmp_path):
+    """Hand case: values 1,2,4,10 -> med 3 (interpolated), deviations
+    2,1,1,7 -> mad 1.5, fence 4.5 -> one outlier (10).  A constant series
+    has mad 0 and no outliers (0 > 0 is false)."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_mad_outliers
+
+    base = 1_700_000_000_000_000
+    rows = [(i, base + i, 1, "A", v) for i, v in enumerate([1.0, 2.0, 4.0, 10.0])]
+    rows += [(10 + i, base + i, 1, "B", 2.0) for i in range(3)]
+    d = tmp_path / "mad"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_mad_outliers(str(d))
+    a = eng[eng.event_type == "A"].iloc[0]
+    assert (a.med_value, a.mad_value, a.n_outliers) == (3.0, 1.5, 1)
+    b = eng[eng.event_type == "B"].iloc[0]
+    assert (b.med_value, b.mad_value, b.n_outliers) == (2.0, 0.0, 0)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.execute(entrymod.oracle_sql()["q_mad_outliers"]).df()
+    pd.testing.assert_frame_equal(eng, ora)
+
+
+def test_max_drawdown_hand_and_monotone(ray_session, tmp_path):
+    """Hand case 5,3,4,1,6: runmax 5,5,5,5,6 -> drawdowns 0,2,1,4,0 ->
+    max 400 cents at k=4; a monotone series has dd 0 everywhere and the
+    min-k tie rule gives k=1.  The series crosses chunk boundaries so the
+    max-carry offset fold is exercised."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_max_drawdown
+
+    day = 86_400_000_000
+    base = 1_700_000_000_000_000
+    rows = [
+        (i, base + i * 2 * day, 1, "A", v)
+        for i, v in enumerate([5.0, 3.0, 4.0, 1.0, 6.0])
+    ]
+    rows += [
+        (10 + i, base + i * 2 * day, 1, "B", float(i + 1)) for i in range(4)
+    ]
+    d = tmp_path / "dd"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_max_drawdown(str(d))
+    a = eng[eng.event_type == "A"].iloc[0]
+    assert (a.dd_cents, a.dd_k, a.dd_event_id) == (400, 4, 3)
+    b = eng[eng.event_type == "B"].iloc[0]
+    assert (b.dd_cents, b.dd_k, b.dd_event_id) == (0, 1, 10)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.execute(entrymod.oracle_sql()["q_max_drawdown"]).df()
+    pd.testing.assert_frame_equal(eng, ora)
