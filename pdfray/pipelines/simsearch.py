@@ -2529,6 +2529,40 @@ def s_ood_mahalanobis(sf_dir: str, k: int = OOD_K):
 
 DBSCAN_SIM = 0.35  # epsilon as raw cosine similarity (s_embedding_dupes convention)
 DBSCAN_MIN_PTS = 4  # core iff |N_eps(p)| >= MIN_PTS, counting p itself
+DBSCAN_DRIVER_EDGES = 2_000_000  # below: driver union-find; above: star rounds
+
+
+def _dsu_min_labels(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """(node, label) for every node in the edge list, label = MINIMUM node
+    id of its connected component — the same fixpoint `_cc_min_label`
+    computes, as a driver union-find for result-sized edge sets (min-label
+    per component is implementation-independent; the forced-regime test
+    pins equality)."""
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(a.tolist(), b.tolist()):
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)  # union by MIN keeps roots minimal
+    nodes = sorted(parent)
+    return pd.DataFrame(
+        {
+            "node": pd.Series(nodes, dtype="int64"),
+            "label": pd.Series([find(n) for n in nodes], dtype="int64"),
+        }
+    )
 
 
 def s_dbscan(sf_dir: str, eps_sim: float = DBSCAN_SIM, min_pts: int = DBSCAN_MIN_PTS):
@@ -2540,8 +2574,13 @@ def s_dbscan(sf_dir: str, eps_sim: float = DBSCAN_SIM, min_pts: int = DBSCAN_MIN
     epsilon-neighborhood graph is the exact thresholded pair scorer
     (`s_embedding_dupes` — block-pair tasks, raw-cosine threshold, the
     same feasibility gate; at high eps the banded `lsh_candidate_pairs`
-    path swaps in), and core-component labels come from the
-    large-star/small-star CC (`textops._cc_min_label`, O(log n) rounds).
+    path swaps in), and core-component labels come from connected
+    components over the core-core edges — TWO-REGIME like every merge in
+    this repo: a driver union-find below DBSCAN_DRIVER_EDGES (min-label
+    per component is implementation-independent, pinned by the
+    forced-regime test; Ray's fixed per-exchange cost made the star
+    rounds ~10 s on a 300-edge graph), the large-star/small-star
+    `textops._cc_min_label` (O(log n) rounds) above it.
     Degrees/border assignment run over the RESULT-SIZED pair table (its
     size is set by eps, not the corpus).  Determinism: classic DBSCAN
     leaves a two-cluster border point implementation-defined; here it
@@ -2582,7 +2621,12 @@ def s_dbscan(sf_dir: str, eps_sim: float = DBSCAN_SIM, min_pts: int = DBSCAN_MIN
     cc_edges = pairs[
         pairs["vec_a"].isin(core) & pairs["vec_b"].isin(core)
     ][["vec_a", "vec_b"]].rename(columns={"vec_a": "doc_a", "vec_b": "doc_b"})
-    if len(cc_edges):
+    if 0 < len(cc_edges) <= DBSCAN_DRIVER_EDGES:
+        labels = _dsu_min_labels(
+            cc_edges["doc_a"].to_numpy(np.int64),
+            cc_edges["doc_b"].to_numpy(np.int64),
+        )
+    elif len(cc_edges):
         labels = typed_collect(
             _cc_min_label(
                 rd.from_pandas(cc_edges.astype({"doc_a": "int64", "doc_b": "int64"}))

@@ -341,3 +341,23 @@ def test_max_drawdown_hand_and_monotone(ray_session, tmp_path):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
     ora = con.execute(entrymod.oracle_sql()["q_max_drawdown"]).df()
     pd.testing.assert_frame_equal(eng, ora)
+
+
+def test_dbscan_forced_distributed_regime_equal(ray_session, tmp_path, monkeypatch):
+    """The driver union-find and the distributed star-round CC regimes
+    produce identical labels (min-label per component is implementation-
+    independent): run the handcrafted corpus with DBSCAN_DRIVER_EDGES
+    forced to 0 and compare against the default driver path."""
+    import pdfray.pipelines.simsearch as SS
+
+    dim = 6
+    e = np.eye(dim)
+    vecs = [e[0]] * 5 + [e[1]] * 4 + [np.zeros(dim), e[2]]
+    d = tmp_path / "dbr"
+    d.mkdir()
+    _write_embeddings(d, vecs)
+    fast = SS.s_dbscan(str(d))
+    monkeypatch.setattr(SS, "DBSCAN_DRIVER_EDGES", 0)
+    slow = SS.s_dbscan(str(d))
+    pd.testing.assert_frame_equal(fast, slow)
+    assert (fast.role == "core").sum() == 9
