@@ -8622,7 +8622,11 @@ def q_mad_outliers(sf_dir: str):
     median → |x−med| deviation histogram → MAD → fence count, all from
     counts — the corpus is never rescanned and nothing about the fence
     compare is rounded (only the two REPORT columns round, half-away,
-    6 dp both sides)."""
+    6 dp both sides).  Bounded-domain assumption (same as
+    q_group_quantiles): `value` lives on a fixed decimal grid, so the
+    histogram size is bounded by the grid, not the corpus — for a
+    genuinely continuous column, quantize first or switch to a sketch
+    (the exact-replay property is what the grid buys)."""
     from ray.data.aggregate import Sum
 
     ds = _read(
