@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_date_spine_fill": R.q_date_spine_fill,
         "q_mad_outliers": R.q_mad_outliers,
         "q_max_drawdown": R.q_max_drawdown,
+        "t_pmi_collocations": T.t_pmi_collocations,
     }
 
 
@@ -3517,6 +3518,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(event_id AS BIGINT) dd_event_id "
             "FROM o QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type "
             "ORDER BY (runmax - cents) DESC, k ASC) = 1 ORDER BY event_type"
+        ),
+        "t_pmi_collocations": (
+            # PMI order == order of the rational ratio N*c/(cL*cR): the
+            # rank key is the exact HUGEINT floor(1e6*c*N/(cL*cR)) so no
+            # float decides the cut; pmi_x1e3 rounds ln() of the SAME
+            # IEEE double expression the engine evaluates
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS w "
+            "FROM documents), "
+            "bg AS (SELECT "
+            "unnest(list_transform(generate_series(1, len(w) - 1), "
+            "i -> w[i])) AS w1, "
+            "unnest(list_transform(generate_series(1, len(w) - 1), "
+            "i -> w[i+1])) AS w2 FROM toks WHERE len(w) >= 2), "
+            "c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2), "
+            "cl AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS clc "
+            "FROM c2 GROUP BY w1), "
+            "cr AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS crc "
+            "FROM c2 GROUP BY w2), "
+            "nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c2) "
+            "SELECT c2.w1, c2.w2, CAST(c2.c AS BIGINT) AS c_pair, "
+            "cl.clc AS c_left, cr.crc AS c_right, "
+            "CAST((1000000::HUGEINT * c2.c * nt.n) // "
+            "(CAST(cl.clc AS HUGEINT) * cr.crc) AS BIGINT) AS ratio_x1e6, "
+            "CAST(FLOOR(ln(CAST(c2.c * nt.n AS DOUBLE) / "
+            "CAST(cl.clc * cr.crc AS DOUBLE)) * 1000 + 0.5) AS BIGINT) "
+            "AS pmi_x1e3 "
+            "FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nt "
+            "WHERE c2.c >= 3 "
+            "ORDER BY ratio_x1e6 DESC, c2.w1, c2.w2 LIMIT 50"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

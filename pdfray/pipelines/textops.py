@@ -2406,6 +2406,58 @@ def t_domain_cap(sf_dir: str, cap: int = DOMAIN_CAP):
 # document.  Engine-added brief; no reference analog.
 
 
+def _bigram_codes(t: pa.Table):
+    """(doc index, left code, right code, dictionary) for every in-document
+    adjacent word pair of a batch — `_word_codes` tokenization, so bigram
+    semantics agree with the word-statistics family and the oracles'
+    space-split."""
+    parent, codes, dictionary = _word_codes(t)
+    if codes.size < 2:
+        z = np.empty(0, np.int64)
+        return z, z, z, dictionary
+    same = parent[1:] == parent[:-1]
+    return parent[:-1][same], codes[:-1][same], codes[1:][same], dictionary
+
+
+def _bigram_count_partials(t: pa.Table) -> pa.Table:
+    """Per-batch (w1, w2, c) bigram-count partial — numpy unique over
+    integer code pairs; the text never leaves the worker."""
+    _, left, right, dictionary = _bigram_codes(t)
+    vocab = len(dictionary)
+    if left.size:
+        keys, c = np.unique(left * vocab + right, return_counts=True)
+        lc, rc = keys // vocab, keys % vocab
+    else:
+        lc = rc = c = left
+    return pa.table(
+        {
+            "w1": dictionary.take(pa.array(lc, pa.int64())),
+            "w2": dictionary.take(pa.array(rc, pa.int64())),
+            "c": pa.array(c, pa.int64()),
+        }
+    )
+
+
+def _bigram_model_df(sf_dir: str) -> pd.DataFrame:
+    """The corpus bigram-count table (w1, w2, c) — one combiner pass +
+    one groupby; vocab²-bounded, NOT corpus-bounded (a production run
+    would prune low-count pairs inside the combiner, like KenLM does).
+    Shared by `_bigram_scored` (the LM build) and `t_pmi_collocations`
+    (association mining) so their bigram semantics can never drift."""
+    from ray.data.aggregate import Sum
+
+    return _collect_sorted(
+        _read_documents(sf_dir)
+        .map_batches(_bigram_count_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="c")),
+        ("w1",),
+        schema=pa.schema(
+            [("w1", pa.string()), ("w2", pa.string()), ("c", pa.int64())]
+        ),
+    )
+
+
 def _bigram_scored(sf_dir: str):
     """Build the corpus bigram LM once and return ``(make, probe)``:
     ``make(prefilter=None)`` is a factory of lazy scored Datasets
@@ -2432,42 +2484,8 @@ def _bigram_scored(sf_dir: str):
     half-up-rounded milli-units — ln() is transcendental, so no true score
     sits on a rounding boundary."""
     import ray
-    from ray.data.aggregate import Sum
 
-    def _bigram_codes(t: pa.Table):
-        parent, codes, dictionary = _word_codes(t)
-        if codes.size < 2:
-            z = np.empty(0, np.int64)
-            return z, z, z, dictionary
-        same = parent[1:] == parent[:-1]
-        return parent[:-1][same], codes[:-1][same], codes[1:][same], dictionary
-
-    def count_partials(t: pa.Table) -> pa.Table:
-        _, left, right, dictionary = _bigram_codes(t)
-        vocab = len(dictionary)
-        if left.size:
-            keys, c = np.unique(left * vocab + right, return_counts=True)
-            lc, rc = keys // vocab, keys % vocab
-        else:
-            lc = rc = c = left
-        return pa.table(
-            {
-                "w1": dictionary.take(pa.array(lc, pa.int64())),
-                "w2": dictionary.take(pa.array(rc, pa.int64())),
-                "c": pa.array(c, pa.int64()),
-            }
-        )
-
-    model_df = _collect_sorted(
-        _read_documents(sf_dir)
-        .map_batches(count_partials, batch_format="pyarrow")
-        .groupby(["w1", "w2"])
-        .aggregate(Sum("c", alias_name="c")),
-        ("w1",),
-        schema=pa.schema(
-            [("w1", pa.string()), ("w2", pa.string()), ("c", pa.int64())]
-        ),
-    )  # vocab^2-bounded, NOT corpus-bounded
+    model_df = _bigram_model_df(sf_dir)
     # model vocab = every word seen on either side of a bigram
     words = pd.unique(pd.concat([model_df["w1"], model_df["w2"]]).to_numpy())
     words.sort()
@@ -5014,3 +5032,98 @@ def t_editdist_dupes(sf_dir: str, k: int = EDITDIST_K):
         .sort_values(["name_a", "name_b"])
         .reset_index(drop=True)
     )
+
+
+# ----------------------------------------------------------------------
+# PMI collocation mining — the association-mining member of the word-
+# statistics family (phrase detection à la word2vec's phrase pass /
+# Church & Hanks 1990).  Engine-added brief.
+
+PMI_MIN_COUNT = 3  # noise floor: pairs below this never rank
+PMI_TOP_K = 50
+PMI_RATIO_SCALE = 1_000_000  # rank-key quantizer (exact integer floor)
+
+
+def t_pmi_collocations(
+    sf_dir: str, min_count: int = PMI_MIN_COUNT, top_k: int = PMI_TOP_K
+):
+    """Top-k collocations by pointwise mutual information over corpus
+    bigrams — PMI = ln(N·c(w1w2) / (cL(w1)·cR(w2))) with positional
+    marginals (cL counts w1 as a LEFT side, cR counts w2 as a RIGHT
+    side, N = total bigrams), the contingency-table form.
+
+    Exactness: ln is monotone, so PMI order IS the order of the rational
+    ratio N·c/(cL·cR) — the rank key is the exact integer
+    floor(SCALE·c·N / (cL·cR)), Python-int here and HUGEINT in the
+    oracle, so no float ever decides the top-k cut; quantizer collisions
+    are broken by (w1, w2) identically on both sides.  The reported
+    pmi_x1e3 is FLOOR(ln(ratio)·1000 + 0.5) on the same IEEE double both
+    sides (the t_tfidf transcendental-rounding argument).
+
+    Scale shape: the corpus collapses to the vocab²-bounded (w1, w2, c)
+    table via `_bigram_model_df` (one combiner pass + one groupby — the
+    only exchange); marginals and the top-k run on the driver over that
+    reduced table with zero extra shuffles (at 100 TB the combiner would
+    also prune c < min_count pairs early, exactly like word2vec's phrase
+    pass).  Guards: int64 rank keys overflow only past N·SCALE ≈ 2^63
+    (~9×10¹² bigrams) — raise loudly there; drop SCALE a decade per
+    decade of corpus beyond it."""
+    model = _bigram_model_df(sf_dir)
+    empty = pd.DataFrame(
+        {
+            "w1": pd.Series([], dtype=object),
+            "w2": pd.Series([], dtype=object),
+            "c_pair": pd.Series([], dtype="int64"),
+            "c_left": pd.Series([], dtype="int64"),
+            "c_right": pd.Series([], dtype="int64"),
+            "ratio_x1e6": pd.Series([], dtype="int64"),
+            "pmi_x1e3": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(model) == 0:
+        return empty
+    n_total = int(model["c"].sum())
+    cl = model.groupby("w1")["c"].sum()
+    cr = model.groupby("w2")["c"].sum()
+    m = model[model["c"] >= min_count]
+    if len(m) == 0:
+        return empty
+    c = m["c"].to_numpy(np.int64)
+    clv = cl[m["w1"]].to_numpy(np.int64)
+    crv = cr[m["w2"]].to_numpy(np.int64)
+    if (
+        n_total * PMI_RATIO_SCALE >= 2**62
+        or int(c.max()) * n_total >= 2**62
+    ):  # see docstring; the oracle's BIGINT c*N product has the same bound
+        raise OverflowError(
+            "PMI rank key would overflow int64 — lower PMI_RATIO_SCALE"
+        )
+    # exact integer rank key (driver-side, vocab-bounded candidate set)
+    key = np.fromiter(
+        (
+            (PMI_RATIO_SCALE * int(ci) * n_total) // (int(a) * int(b))
+            for ci, a, b in zip(c, clv, crv)
+        ),
+        np.int64,
+        len(m),
+    )
+    # pmi on the SAME expression shape the oracle evaluates:
+    # ln(CAST(c*N AS DOUBLE) / CAST(cL*cR AS DOUBLE))
+    num = (c * np.int64(n_total)).astype(np.float64)
+    den = (clv * crv).astype(np.float64)
+    pmi = np.floor(np.log(num / den) * 1000.0 + 0.5).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "w1": m["w1"].to_numpy(),
+            "w2": m["w2"].to_numpy(),
+            "c_pair": c,
+            "c_left": clv,
+            "c_right": crv,
+            "ratio_x1e6": key,
+            "pmi_x1e3": pmi,
+        }
+    )
+    out = out.sort_values(
+        ["ratio_x1e6", "w1", "w2"], ascending=[False, True, True]
+    ).head(top_k)
+    return out.reset_index(drop=True)

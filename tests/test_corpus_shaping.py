@@ -482,6 +482,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_quality_classifier",
     "t_keyword_extraction",
     "t_cdc_dedup",
+    "t_pmi_collocations",
 ]
 
 
@@ -1549,3 +1550,65 @@ def test_dsir_weights_shift_toward_target(ray_session, tmp_path):
     )
     out3 = t_dsir_sample(str(d2))
     assert len(out3) == 6
+
+
+def test_pmi_collocations_planted_and_bruteforce(ray_session, tmp_path):
+    """A planted always-together phrase must rank first, and the whole
+    result must equal a pure-Python brute-force PMI recompute (Counter +
+    fractions — exact rational rank keys, no engine code)."""
+    from fractions import Fraction
+
+    from pdfray.pipelines.textops import (
+        PMI_RATIO_SCALE,
+        t_pmi_collocations,
+    )
+
+    rng = np.random.RandomState(99)
+    common = ["the", "a", "of", "and", "to", "in"]
+    texts = []
+    for i in range(30):
+        words = list(rng.choice(common, size=rng.randint(5, 15)))
+        if i % 3 == 0:  # plant "san francisco" always adjacent
+            pos = rng.randint(0, len(words))
+            words[pos:pos] = ["san", "francisco"]
+        texts.append(" ".join(words))
+    d = tmp_path / "pmi"
+    d.mkdir()
+    pq.write_table(
+        _docs_table(list(range(len(texts))), texts), str(d / "documents.parquet")
+    )
+    out = t_pmi_collocations(str(d), min_count=3, top_k=50)
+
+    # brute force: positional marginals over space-split bigrams
+    from collections import Counter
+
+    pairs = Counter()
+    for s in texts:
+        w = [x for x in s.split(" ") if x]
+        pairs.update(zip(w[:-1], w[1:]))
+    n = sum(pairs.values())
+    cl = Counter()
+    cr = Counter()
+    for (a, b), c in pairs.items():
+        cl[a] += c
+        cr[b] += c
+    rows = []
+    for (a, b), c in pairs.items():
+        if c < 3:
+            continue
+        key = (PMI_RATIO_SCALE * c * n) // (cl[a] * cr[b])
+        rows.append((a, b, c, cl[a], cr[b], key))
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    rows = rows[:50]
+    got = list(
+        zip(out["w1"], out["w2"], out["c_pair"], out["c_left"], out["c_right"],
+            out["ratio_x1e6"])
+    )
+    assert got == rows
+    # the planted phrase is the only deterministic pair — max exact PMI
+    assert (out.loc[0, "w1"], out.loc[0, "w2"]) == ("san", "francisco")
+    top_frac = Fraction(out.loc[0, "c_pair"].item() * n,
+                        out.loc[0, "c_left"].item() * out.loc[0, "c_right"].item())
+    assert top_frac > 1  # positive PMI
+    for c in ("c_pair", "c_left", "c_right", "ratio_x1e6", "pmi_x1e3"):
+        assert out[c].dtype == np.int64
