@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mad_outliers": R.q_mad_outliers,
         "q_max_drawdown": R.q_max_drawdown,
         "t_pmi_collocations": T.t_pmi_collocations,
+        "q_benford_audit": R.q_benford_audit,
     }
 
 
@@ -3548,6 +3549,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nt "
             "WHERE c2.c >= 3 "
             "ORDER BY ratio_x1e6 DESC, c2.w1, c2.w2 LIMIT 50"
+        ),
+        "q_benford_audit": (
+            # first digit via substr on the exact cents integer (no float
+            # log10); expected/delta are BIGINT products against the
+            # literal micro-probability grid (same nine constants the
+            # engine embeds — they sum to exactly 1e6)
+            "WITH v AS (SELECT CAST(ROUND(l_extendedprice*100, 0) AS BIGINT) "
+            "AS cents FROM lineitem), "
+            "dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) "
+            "AS BIGINT) AS digit FROM v WHERE cents > 0), "
+            "obs AS (SELECT digit, COUNT(*) AS observed FROM dg "
+            "GROUP BY digit), "
+            "nt AS (SELECT COUNT(*) AS n FROM dg), "
+            "p (digit, p_x1e6) AS (VALUES (1, 301030), (2, 176091), "
+            "(3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992), "
+            "(8, 51153), (9, 45757)) "
+            "SELECT CAST(p.digit AS BIGINT) AS digit, "
+            "CAST(COALESCE(obs.observed, 0) AS BIGINT) AS observed, "
+            "CAST(nt.n * p.p_x1e6 AS BIGINT) AS expected_x1e6, "
+            "CAST(COALESCE(obs.observed, 0) * 1000000 - nt.n * p.p_x1e6 "
+            "AS BIGINT) AS delta_x1e6 "
+            "FROM p LEFT JOIN obs ON obs.digit = p.digit CROSS JOIN nt "
+            "ORDER BY p.digit"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

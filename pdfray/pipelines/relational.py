@@ -8822,3 +8822,70 @@ def q_max_drawdown(sf_dir: str):
         columns={"dd": "dd_cents", "k": "dd_k", "event_id": "dd_event_id"}
     )[["event_type", "n_events", "dd_cents", "dd_k", "dd_event_id"]]
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# Benford first-significant-digit audit — the forensic data-quality scan
+# (Benford 1938; fraud/synthetic-data detection on money columns).
+# Engine-added brief.
+
+# floor(1e6*log10(1+1/d)+0.5) for d=1..9 — literal on BOTH sides so the
+# transcendental never computes at runtime; the nine sum to exactly 1e6.
+BENFORD_P_X1E6 = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def q_benford_audit(sf_dir: str):
+    """First-significant-digit distribution of l_extendedprice vs
+    Benford's law — observed counts against expected counts on the
+    literal micro-probability grid (`BENFORD_P_X1E6`), all integer-exact:
+    expected_x1e6 = n·P_d and delta_x1e6 = observed·1e6 − n·P_d are BIGINT
+    products, so the audit report never touches a float (int64 is safe to
+    n ≈ 9×10¹² rows; past that scale the grid down a decade).
+
+    The digit comes from pure integer divides on the exact cents
+    (ROUND(value·100) half-away both sides, the money-grid convention) —
+    a float log10 would misbin exact powers of ten by an ulp.  Non-
+    positive cents are excluded on both sides (digit undefined).
+
+    Scale shape: each block reduces to a 9-row (digit, observed) partial
+    (bincount — the corpus never leaves the worker), `_two_regime_sum`
+    merges them, and the driver joins the 9-row spine.  Zero wide
+    exchanges; the only moving state is 9 integers per block."""
+    import numpy as np
+
+    from .frames import typed_collect
+
+    def digit_partials(t: pa.Table) -> pa.Table:
+        v = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = round_half_away(v * 100.0, 0).astype(np.int64)
+        cents = cents[cents > 0]
+        d = cents
+        for _ in range(18):  # int64 has at most 19 digits
+            d = np.where(d >= 10, d // 10, d)
+        counts = np.bincount(d, minlength=10)[1:10]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "observed": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    parts = _read(
+        sf_dir, "lineitem", ["l_extendedprice"], rows_per_block=100_000
+    ).map_batches(digit_partials, batch_format="pyarrow")
+    red, _ = _two_regime_sum(
+        parts, ["digit"], ["observed"], empty_types={"digit": pa.int64()}
+    )
+    df = typed_collect(
+        red, pa.schema([("digit", pa.int64()), ("observed", pa.int64())])
+    )
+    spine = pd.DataFrame({"digit": np.arange(1, 10, dtype=np.int64)})
+    out = spine.merge(df, on="digit", how="left")
+    out["observed"] = out["observed"].fillna(0).astype("int64")
+    n = int(out["observed"].sum())
+    p = np.array(BENFORD_P_X1E6, dtype=np.int64)
+    out["expected_x1e6"] = (n * p).astype("int64")
+    out["delta_x1e6"] = (
+        out["observed"].to_numpy(np.int64) * 1_000_000 - n * p
+    ).astype("int64")
+    return out.sort_values("digit").reset_index(drop=True)

@@ -777,6 +777,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "q20_majority_suppliers",
     "q21_waiting_suppliers",
     "q_fk_audit",
+    "q_benford_audit",
     "q_butterfly_count",
     "q_frequent_pairs",
     "q_skyline_parts",
@@ -1612,3 +1613,46 @@ def test_pmi_collocations_planted_and_bruteforce(ray_session, tmp_path):
     assert top_frac > 1  # positive PMI
     for c in ("c_pair", "c_left", "c_right", "ratio_x1e6", "pmi_x1e3"):
         assert out[c].dtype == np.int64
+
+
+def test_benford_audit_planted_and_digit_binning(ray_session, tmp_path):
+    """Digit binning by integer divides equals str(int)[0] on adversarial
+    magnitudes (exact powers of 10 — the float-log10 misbin class), and a
+    planted lineitem with a known digit histogram reproduces it with
+    expected counts on the literal grid."""
+    from pdfray.pipelines.relational import BENFORD_P_X1E6, q_benford_audit
+
+    # the binning rule, replayed standalone on hostile magnitudes
+    vals = np.array(
+        [1, 9, 10, 99, 100, 10**6, 10**6 - 1, 10**12, 5 * 10**15, 7, 123456789],
+        dtype=np.int64,
+    )
+    d = vals.copy()
+    for _ in range(18):
+        d = np.where(d >= 10, d // 10, d)
+    assert [int(x) for x in d] == [int(str(v)[0]) for v in vals]
+
+    # planted corpus: digits 1,1,2,9 observed; 0.005 (rounds to 1 cent,
+    # digit 1), a .xx5 tie (2.125 -> 213 cents, digit 2), and a zero
+    # price (excluded both sides)
+    prices = [0.01, 0.005, 2.125, 99.0, 0.0]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(prices)), pa.int64()),
+            "l_extendedprice": pa.array(prices, pa.float64()),
+        }
+    )
+    dd = tmp_path / "bf"
+    dd.mkdir()
+    pq.write_table(t, str(dd / "lineitem.parquet"))
+    out = q_benford_audit(str(dd))
+    assert list(out["digit"]) == list(range(1, 10))
+    obs = dict(zip(out["digit"], out["observed"]))
+    assert obs == {1: 2, 2: 1, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1}
+    n = 4
+    assert list(out["expected_x1e6"]) == [n * p for p in BENFORD_P_X1E6]
+    assert list(out["delta_x1e6"]) == [
+        int(o) * 1_000_000 - n * p
+        for o, p in zip(out["observed"], BENFORD_P_X1E6)
+    ]
+    assert sum(BENFORD_P_X1E6) == 1_000_000
