@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_max_drawdown": R.q_max_drawdown,
         "t_pmi_collocations": T.t_pmi_collocations,
         "q_benford_audit": R.q_benford_audit,
+        "s_mmr_diverse_topk": S.s_mmr_diverse_topk,
     }
 
 
@@ -1349,6 +1350,72 @@ _BIGRAM_SCORED_CTE = (
     "AS BIGINT) AS logprob_x1e3 "
     "FROM documents d LEFT JOIN sagg USING (doc_id))"
 )
+
+
+def _mmr_oracle() -> str:
+    """The engine's integer MMR greedy unrolled: the shortlist is the knn
+    CTE on the 1e-4 sim grid (rel = ROUND(sim·1e4) as BIGINT), pairwise
+    sims between shortlist members land on the same grid, and each of the
+    MMR_K steps picks argmax(7·rel − 3·max_pair, ties by vec_id) over the
+    not-yet-selected candidates — all-integer comparisons, so the greedy
+    path replays bit-exactly (the PageRank-unroll pattern; a float MMR
+    could tie-break differently on grid-valued data)."""
+    from pdfray.pipelines import simsearch as S
+
+    lam = S.MMR_LAMBDA_NUM
+    div = S.MMR_LAMBDA_DEN - S.MMR_LAMBDA_NUM
+    head = (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+        "FROM embeddings ORDER BY vec_id LIMIT 5), "
+        "scored AS (SELECT q.query_id, e.vec_id, "
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.qe AS DOUBLE[])), 4) AS sim FROM embeddings e CROSS JOIN q), "
+        "sl AS (SELECT query_id, vec_id, "
+        "CAST(ROUND(sim * 10000, 0) AS BIGINT) AS rel FROM ("
+        "SELECT query_id, vec_id, sim, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk "
+        "FROM scored) WHERE rnk <= 10), "
+        "pw AS (SELECT s.query_id, s.vec_id AS da, t.vec_id AS db, "
+        "CAST(ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
+        "CAST(eb.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) AS ps "
+        "FROM sl s JOIN sl t ON s.query_id = t.query_id "
+        "AND s.vec_id <> t.vec_id "
+        "JOIN embeddings ea ON ea.vec_id = s.vec_id "
+        "JOIN embeddings eb ON eb.vec_id = t.vec_id), "
+        f"s1 AS (SELECT query_id, vec_id, {lam} * rel AS mmr FROM sl "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY rel DESC, vec_id) = 1), "
+        "sel1 AS (SELECT query_id, vec_id FROM s1)"
+    )
+    steps = []
+    for i in range(2, S.MMR_K + 1):
+        steps.append(
+            f", c{i} AS (SELECT c.query_id, c.vec_id, "
+            f"{lam} * c.rel - {div} * MAX(p.ps) AS mmr "
+            f"FROM sl c JOIN pw p ON p.query_id = c.query_id "
+            f"AND p.da = c.vec_id "
+            f"JOIN sel{i - 1} s ON s.query_id = p.query_id "
+            f"AND s.vec_id = p.db "
+            f"WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} x "
+            f"WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id) "
+            f"GROUP BY c.query_id, c.vec_id, c.rel), "
+            f"s{i} AS (SELECT query_id, vec_id, mmr FROM c{i} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id "
+            f"ORDER BY mmr DESC, vec_id) = 1), "
+            f"sel{i} AS (SELECT * FROM sel{i - 1} "
+            f"UNION ALL SELECT query_id, vec_id FROM s{i})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT query_id, vec_id, mmr, {i} AS r FROM s{i}"
+        for i in range(1, S.MMR_K + 1)
+    )
+    return (
+        head
+        + "".join(steps)
+        + " SELECT query_id, CAST(r AS BIGINT) AS rank, vec_id, "
+        "CAST(mmr AS BIGINT) AS mmr_x1e5 FROM (" + union + ") "
+        "ORDER BY query_id, rank"
+    )
 
 
 def _pagerank_oracle() -> str:
@@ -3573,6 +3640,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM p LEFT JOIN obs ON obs.digit = p.digit CROSS JOIN nt "
             "ORDER BY p.digit"
         ),
+        "s_mmr_diverse_topk": _mmr_oracle(),
     }
     # the Bloom+bucketed-store form is output-identical by construction
     # (no false negatives; every positive exactly verified) — one oracle

@@ -2670,3 +2670,80 @@ def s_dbscan(sf_dir: str, eps_sim: float = DBSCAN_SIM, min_pts: int = DBSCAN_MIN
     cluster = c.fillna(b).fillna(-1).astype("int64")
     out = pd.DataFrame({"vec_id": ids, "cluster": cluster, "role": role})
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# MMR diverse retrieval — Carbonell & Goldstein 1998.  Engine-added brief.
+
+MMR_K = 5  # diverse picks per query
+MMR_LAMBDA_NUM, MMR_LAMBDA_DEN = 7, 10  # λ = 0.7 as an exact integer ratio
+
+
+def s_mmr_diverse_topk(sf_dir: str):
+    """Maximal-marginal-relevance diverse top-k: greedily pick MMR_K of
+    the exact top-TOP_K shortlist, maximizing
+    λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) at each step.
+
+    Exactness: every selection comparison runs on INTEGERS — rel and
+    pairwise sims live on the 1e-4 grid (ROUND(sim·1e4), the knn rank
+    grid) and λ = 7/10 makes the step score mmr_x1e5 = 7·rel − 3·max_pair
+    an int64 — so the greedy path is bit-replayable as MMR_K unrolled SQL
+    steps (the PageRank-unroll oracle pattern) and no float ever picks a
+    winner; ties break by vec_id ascending on both sides.  The seed step
+    (S empty) scores 7·rel (diversity term zero by convention).
+
+    Scale shape: stage 1 is the s_knn distributed scan verbatim (local
+    per-batch top-k + driver merge — the corpus is read once, nothing
+    wide); stage 2 touches raw floats for only the ≤|Q|·TOP_K shortlist
+    vectors via a zone-map-pruned candidate read (the s_ann_rerank
+    pattern), and the greedy loop runs on the driver over that bounded
+    set.  Zero-operand cosine pins to -1 (`_mask_zero_cosine`, DuckDB's
+    convention) for both rel and pairwise terms."""
+    import pyarrow.parquet as pq
+
+    short = s_knn_bruteforce(sf_dir)  # shared stage: zero shortlist drift
+    if len(short) == 0:
+        return _empty_result(query_id="i", rank="i", vec_id="i", mmr_x1e5="i")
+    cand_ids = sorted({int(v) for v in short["vec_id"]})
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", cand_ids)],
+    )
+    cdf = t.to_pandas()
+    raw = np.stack(cdf["embedding"].to_numpy()).astype(np.float64)
+    cnorm = _normalize(raw)
+    pair = _mask_zero_cosine(cnorm @ cnorm.T, raw, raw)
+    pair_int = np.rint(round_half_away(pair, 4) * 1e4).astype(np.int64)
+    row_of = {int(v): i for i, v in enumerate(cdf["vec_id"].to_numpy())}
+    out = []
+    for qid, g in short.groupby("query_id"):
+        rel = {
+            int(v): int(np.rint(s * 1e4))
+            for v, s in zip(g["vec_id"], g["sim"])  # sim already on the grid
+        }
+        remaining = sorted(rel)
+        selected: list[int] = []
+        for rank in range(1, MMR_K + 1):
+            if not remaining:
+                break
+            best = None
+            for d in remaining:  # ≤ TOP_K candidates — driver-bounded
+                if selected:
+                    mx = max(pair_int[row_of[d], row_of[s]] for s in selected)
+                    score = (
+                        MMR_LAMBDA_NUM * rel[d]
+                        - (MMR_LAMBDA_DEN - MMR_LAMBDA_NUM) * mx
+                    )
+                else:
+                    score = MMR_LAMBDA_NUM * rel[d]
+                if best is None or (score, -d) > (best[0], -best[1]):
+                    best = (score, d)
+            out.append((int(qid), rank, best[1], best[0]))
+            selected.append(best[1])
+            remaining.remove(best[1])
+    df = pd.DataFrame(out, columns=["query_id", "rank", "vec_id", "mmr_x1e5"])
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True).astype(
+        {"query_id": "int64", "rank": "int64", "vec_id": "int64",
+         "mmr_x1e5": "int64"}
+    )

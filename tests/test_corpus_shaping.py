@@ -1354,6 +1354,7 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
 
 EMB_ORACLE_QUERIES = [
     "s_knn_bruteforce",
+    "s_mmr_diverse_topk",
     "s_mips_topk",
     "s_embedding_dupes",
     "s_label_centroids",

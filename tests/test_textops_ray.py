@@ -3732,3 +3732,86 @@ def test_ood_mahalanobis_outlier_and_numpy_parity(ray_session, tmp_path):
     # engine blocks may split the moments differently than the single
     # pass; on this table the merge is still bit-identical
     assert (got == ref).all()
+
+
+def test_mmr_diverse_topk_matches_bruteforce_greedy(ray_session):
+    """Independent pure-numpy replay of the integer MMR greedy (shortlist
+    from raw parquet, pairwise sims recomputed, selection on the 1e-4
+    grid) must reproduce the engine rows exactly."""
+    import pdfray.pipelines.simsearch as S
+
+    sf = "/root/testdata/sf0.001"
+    out = S.s_mmr_diverse_topk(sf)
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    ids = t["vec_id"].to_numpy(np.int64)
+    raw = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(raw, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    vecs = raw / nrm
+    expected = []
+    for qi in range(S.N_QUERIES):
+        sims = vecs @ vecs[qi]
+        order = np.lexsort((ids, -np.round(sims, 4)))[: S.TOP_K]
+        rel = {int(ids[j]): int(np.rint(np.round(sims[j], 4) * 1e4)) for j in order}
+        row = {int(ids[j]): j for j in order}
+        pair = np.rint(np.round(vecs @ vecs.T, 4) * 1e4).astype(np.int64)
+        remaining, selected = sorted(rel), []
+        for rank in range(1, S.MMR_K + 1):
+            if not remaining:
+                break
+            best = None
+            for d in remaining:
+                if selected:
+                    mx = max(int(pair[row[d], row[s]]) for s in selected)
+                    score = 7 * rel[d] - 3 * mx
+                else:
+                    score = 7 * rel[d]
+                if best is None or (score, -d) > (best[0], -best[1]):
+                    best = (score, d)
+            expected.append((int(ids[qi]), rank, best[1], best[0]))
+            selected.append(best[1])
+            remaining.remove(best[1])
+    got = list(zip(out["query_id"], out["rank"], out["vec_id"], out["mmr_x1e5"]))
+    assert got == expected
+
+
+def test_mmr_prefers_diversity_over_duplicate_run(ray_session, tmp_path):
+    """Planted two-direction corpus: the knn top-5 for the planted query is
+    a duplicate run from one cluster, while MMR swaps diversity in — at
+    least one orthogonal-cluster member enters the MMR picks."""
+    import pdfray.pipelines.simsearch as S
+
+    dim = 6
+    rows = [np.zeros(dim) for _ in range(5)]
+    rows[0] = np.array([1.0, 1.0, 0, 0, 0, 0])  # the planted query (id 0)
+    for i in (1, 2, 3, 4):  # filler queries, far corner of the grid
+        rows[i] = np.full(dim, -1.0) * (i / 4.0)
+    a = np.array([1.0, 0, 0, 0, 0, 0])
+    b = np.array([0, 1.0, 0, 0, 0, 0])
+    rows += [a, a.copy(), a.copy(), a.copy()]  # ids 5..8: duplicate A run
+    rows += [b, b.copy()]                      # ids 9,10: cluster B
+    d = tmp_path / "mmr"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.astype(np.float32) for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    S._QUERY_CACHE.clear()
+    try:
+        knn = S.s_knn_bruteforce(str(d))
+        mmr = S.s_mmr_diverse_topk(str(d))
+    finally:
+        S._QUERY_CACHE.clear()
+    knn_top = set(
+        knn[(knn["query_id"] == 0) & (knn["rank"] <= S.MMR_K)]["vec_id"]
+    )
+    mmr_top = set(mmr[mmr["query_id"] == 0]["vec_id"])
+    assert knn_top & {5, 6, 7, 8} and not knn_top & {9, 10}
+    assert mmr_top & {9, 10}, mmr_top
