@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pmi_collocations": T.t_pmi_collocations,
         "q_benford_audit": R.q_benford_audit,
         "s_mmr_diverse_topk": S.s_mmr_diverse_topk,
+        "m_patchify": M.m_patchify,
     }
 
 
@@ -436,6 +437,44 @@ def _image_hash_oracle() -> str:
     return (
         f"SELECT url, ok, ahash FROM (VALUES {values}) AS g(url, ok, ahash) "
         "ORDER BY url"
+    )
+
+
+def _patchify_oracle() -> str:
+    """Golden ViT patch-layout summaries for the sf0.01 media fixture,
+    computed from the PRE-encode pixel arrays via the same pure-integer
+    `patch_summary` — the decoder is never touched here, so an engine
+    match certifies decode + patch arithmetic end to end (the
+    _image_hash_oracle scheme)."""
+    from pdfray.pipelines.multimodal import patch_summary
+    from pdfray.sources import fixtures as FX
+
+    rows = []
+    n = FX.sf_doc_count(0.01)
+    for k in range(n):
+        w, h, form, _filt, broken = FX.media_geometry(k)
+        if broken:
+            rows.append(
+                (f"https://img.example.org/broken/{k:08d}.png", False, 0, 0, 0, 0, "")
+            )
+            continue
+        px, pal = FX._media_pixels(k, w, h, form)
+        if pal is not None:
+            px = pal[px]
+        ny, nx, np_, s, hx = patch_summary(px)
+        rows.append(
+            (f"https://img.example.org/{form}/{k:08d}.png", True, ny, nx, np_, s, hx)
+        )
+    values = ", ".join(
+        f"('{u}', {'true' if ok else 'false'}, {ny}, {nx}, {np_}, {s}, '{hx}')"
+        for u, ok, ny, nx, np_, s, hx in rows
+    )
+    return (
+        "SELECT url, ok, CAST(np_y AS BIGINT) AS np_y, "
+        "CAST(np_x AS BIGINT) AS np_x, CAST(n_patches AS BIGINT) AS n_patches, "
+        "CAST(mean_sum AS BIGINT) AS mean_sum, means_md5 "
+        f"FROM (VALUES {values}) AS g(url, ok, np_y, np_x, n_patches, "
+        "mean_sum, means_md5) ORDER BY url"
     )
 
 
@@ -3641,6 +3680,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY p.digit"
         ),
         "s_mmr_diverse_topk": _mmr_oracle(),
+        "m_patchify": _patchify_oracle(),
     }
     # the Bloom+bucketed-store form is output-identical by construction
     # (no false negatives; every positive exactly verified) — one oracle

@@ -831,3 +831,131 @@ def m_video_neardup(sf_dir: str):
         _ws(VideoHasher), batch_format="pyarrow", batch_size=64
     )
     return _banded_neardup_pairs(hashes)
+
+
+# ----------------------------------------------------------------------
+# ViT-style patch extraction — the image-tokenization ingest stage of a
+# multimodal training pipeline (Dosovitskiy et al. 2021).  Engine-added.
+
+PATCH = 8  # patch side; full patches only (a ViT ingest resizes first)
+
+
+def patch_means(pixels, p: int = PATCH) -> "np.ndarray":
+    """(ny, nx) int64 grid of per-patch integer mean luma over the FULL
+    p×p patches (row-major, partial edge patches dropped — ViT semantics
+    assume a resize to a multiple of p upstream).  Pure integer
+    arithmetic, so the decode path and the pre-encode golden path land on
+    identical values (the ahash64 scheme)."""
+    import numpy as np
+
+    luma = luma_plane(pixels)
+    h, w = luma.shape
+    ny, nx = h // p, w // p
+    if ny == 0 or nx == 0:
+        return np.zeros((0, 0), np.int64)
+    c = luma[: ny * p, : nx * p].reshape(ny, p, nx, p)
+    return c.sum(axis=(1, 3)) // (p * p)
+
+
+def patch_summary(pixels, p: int = PATCH):
+    """(np_y, np_x, n_patches, mean_sum, means_md5) for one image — the
+    driver-sized certificate of the patch layout; means_md5 digests the
+    row-major comma-joined mean sequence."""
+    import hashlib
+
+    means = patch_means(pixels, p)
+    ny, nx = means.shape
+    seq = ",".join(str(int(x)) for x in means.ravel())
+    return (
+        ny,
+        nx,
+        ny * nx,
+        int(means.sum()),
+        hashlib.md5(seq.encode()).hexdigest(),
+    )
+
+
+class PatchExtractor:
+    """Actor-pool stage: decode PNG → full-patch grid.  ``emit_patches``
+    switches between the long format (one row per patch — what a ViT
+    ingest streams onward) and the per-image summary the driver contract
+    compares against pre-encode goldens.  Broken payloads emit ok=false
+    with empty/zero fields (typed-error contract, row kept; long format
+    drops them — no patches exist)."""
+
+    def __init__(self, emit_patches: bool = False):
+        self.emit_patches = emit_patches
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("payload")
+        if self.emit_patches:
+            out = {"url": [], "patch_row": [], "patch_col": [], "mean_luma": []}
+            for i in range(len(urls)):
+                try:
+                    img = decode_png(payloads[i].as_py() or b"")
+                except Exception:
+                    continue
+                means = patch_means(img.pixels)
+                ny, nx = means.shape
+                if ny * nx == 0:
+                    continue
+                ys, xs = np.divmod(np.arange(ny * nx, dtype=np.int64), nx)
+                out["url"].extend([urls[i]] * (ny * nx))
+                out["patch_row"].extend(int(v) for v in ys)
+                out["patch_col"].extend(int(v) for v in xs)
+                out["mean_luma"].extend(int(v) for v in means.ravel())
+            return pa.table(
+                {
+                    "url": pa.array(out["url"], pa.string()),
+                    "patch_row": pa.array(out["patch_row"], pa.int64()),
+                    "patch_col": pa.array(out["patch_col"], pa.int64()),
+                    "mean_luma": pa.array(out["mean_luma"], pa.int64()),
+                }
+            )
+        rows = {
+            "url": [], "ok": [], "np_y": [], "np_x": [],
+            "n_patches": [], "mean_sum": [], "means_md5": [],
+        }
+        for i in range(len(urls)):
+            rows["url"].append(urls[i])
+            try:
+                img = decode_png(payloads[i].as_py() or b"")
+                ny, nx, n, s, h = patch_summary(img.pixels)
+                rows["ok"].append(True)
+            except Exception:
+                ny = nx = n = s = 0
+                h = ""
+                rows["ok"].append(False)
+            rows["np_y"].append(ny)
+            rows["np_x"].append(nx)
+            rows["n_patches"].append(n)
+            rows["mean_sum"].append(s)
+            rows["means_md5"].append(h)
+        return pa.table(
+            {
+                "url": pa.array(rows["url"], pa.string()),
+                "ok": pa.array(rows["ok"], pa.bool_()),
+                "np_y": pa.array(rows["np_y"], pa.int64()),
+                "np_x": pa.array(rows["np_x"], pa.int64()),
+                "n_patches": pa.array(rows["n_patches"], pa.int64()),
+                "mean_sum": pa.array(rows["mean_sum"], pa.int64()),
+                "means_md5": pa.array(rows["means_md5"], pa.string()),
+            }
+        )
+
+
+def m_patchify(sf_dir: str):
+    """Per-image ViT patch-layout summary — REAL decode through the
+    pure-Python PNG codec; the oracle embeds golden summaries computed
+    from the PRE-encode pixel arrays (the m_image_hash scheme), so a
+    match certifies decode + patch arithmetic end to end.  The long
+    per-patch stream (`PatchExtractor(emit_patches=True)`) is the actual
+    ingest product; at scale each image row fans out to np_y·np_x narrow
+    rows inside the worker — nothing wide."""
+    out = _media_ds(sf_dir).map_batches(
+        warm_stage(PatchExtractor), batch_format="pyarrow", batch_size=64
+    )
+    return out.to_pandas().sort_values("url").reset_index(drop=True)

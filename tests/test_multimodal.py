@@ -423,3 +423,72 @@ def test_video_neardup_matches_allpairs_truth_and_plants(ray_session):
     for c in (7, 100):
         bright = [f.astype(np.int64) + c for f in frames]
         assert video_hash64(iter(bright)) == h0
+
+
+def test_patch_means_hand_computed_and_edges():
+    """patch_means on a constructed gradient: hand-computed integer means,
+    partial edge patches dropped, sub-patch images yield an empty grid."""
+    import numpy as np
+
+    from pdfray.pipelines.multimodal import PATCH, patch_means, patch_summary
+
+    # 16x20 gray: value = row index -> each 8x8 patch mean = mean of its
+    # 8 row values = (r0 + ... + r7) // 8
+    px = np.tile(np.arange(16, dtype=np.uint8)[:, None], (1, 20))
+    m = patch_means(px)
+    assert m.shape == (2, 2)  # 20 // 8 == 2: the 4-col edge strip drops
+    assert m.tolist() == [[3, 3], [11, 11]]  # sum(0..7)//8=3, sum(8..15)//8=11
+    ny, nx, n, s, hx = patch_summary(px)
+    assert (ny, nx, n, s) == (2, 2, 4, 28)
+    import hashlib
+
+    assert hx == hashlib.md5(b"3,3,11,11").hexdigest()
+    assert patch_means(np.zeros((PATCH - 1, 64), np.uint8)).size == 0
+    # RGB luma: integer mean of channels, same grid arithmetic
+    rgb = np.stack([px, px, np.zeros_like(px)], axis=2)
+    assert patch_means(rgb).tolist() == [[2, 2], [7, 7]]  # (2r)//3 means
+
+
+def test_patchify_stage_long_format_consistent_with_summary(ray_session):
+    """The long per-patch stream must agree with the summary row for every
+    image (count, sum, row-major md5), and broken payloads appear only in
+    the summary (ok=false) — never as patches."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pdfray.core.png import encode_png
+    from pdfray.pipelines.multimodal import PatchExtractor
+
+    rng = np.random.RandomState(13)
+    batch = pa.table(
+        {
+            "url": pa.array(["u1", "u2", "u3-broken", "u4-tiny"]),
+            "payload": pa.array(
+                [
+                    encode_png(rng.randint(0, 256, (24, 32, 3), dtype=np.uint8)),
+                    encode_png(rng.randint(0, 256, (9, 17), dtype=np.uint8)),
+                    b"not a png",
+                    encode_png(rng.randint(0, 256, (4, 4), dtype=np.uint8)),
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    summary = PatchExtractor()(batch).to_pandas().set_index("url")
+    long = PatchExtractor(emit_patches=True)(batch).to_pandas()
+    assert not summary.loc["u3-broken", "ok"]
+    assert summary.loc["u3-broken", "means_md5"] == ""
+    assert summary.loc["u4-tiny", "n_patches"] == 0  # 4x4 < one patch
+    assert "u3-broken" not in set(long["url"])
+    for u in ("u1", "u2"):
+        g = long[long["url"] == u].sort_values(["patch_row", "patch_col"])
+        assert len(g) == summary.loc[u, "n_patches"]
+        assert g["mean_luma"].sum() == summary.loc[u, "mean_sum"]
+        seq = ",".join(str(int(v)) for v in g["mean_luma"])
+        assert hashlib.md5(seq.encode()).hexdigest() == summary.loc[u, "means_md5"]
+    # u1: 24x32 -> 3x4 grid
+    assert (summary.loc["u1", "np_y"], summary.loc["u1", "np_x"]) == (3, 4)
+    # u2: 9x17 -> 1x2 grid (edges dropped)
+    assert (summary.loc["u2", "np_y"], summary.loc["u2", "np_x"]) == (1, 2)
