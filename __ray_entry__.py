@@ -406,6 +406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_benford_audit": R.q_benford_audit,
         "s_mmr_diverse_topk": S.s_mmr_diverse_topk,
         "m_patchify": M.m_patchify,
+        "t_fuzzy_decontaminate": T.t_fuzzy_decontaminate,
     }
 
 
@@ -3681,6 +3682,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s_mmr_diverse_topk": _mmr_oracle(),
         "m_patchify": _patchify_oracle(),
+        "t_fuzzy_decontaminate": (
+            # ALL-PAIRS bipartite ground truth: exact 3-token-shingle
+            # Jaccard over every (train, bench) pair — same shingle CTE
+            # as t_minhash_pairs, split on the t_decontaminate mod rule;
+            # the engine's broadcast banding must reach full recall here
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t) - 1), "
+            "i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS s "
+            "FROM toks WHERE len(t) > 0), "
+            "pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS bench_doc, "
+            "len(list_intersect(a.s, b.s)) AS inter, len(a.s) + len(b.s) AS tot "
+            "FROM sh a JOIN sh b ON a.doc_id % 97 != 0 AND b.doc_id % 97 = 0) "
+            "SELECT doc_id, bench_doc, "
+            "ROUND(inter::DOUBLE / (tot - inter), 4) AS jaccard "
+            "FROM pairs WHERE tot > inter "
+            "AND inter::DOUBLE / (tot - inter) >= 0.8 "
+            "ORDER BY doc_id, bench_doc"
+        ),
     }
     # the Bloom+bucketed-store form is output-identical by construction
     # (no false negatives; every positive exactly verified) — one oracle

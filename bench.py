@@ -253,6 +253,11 @@ QUERY_NAMES = [
     "q_date_spine_fill",
     "q_mad_outliers",
     "q_max_drawdown",
+    "t_pmi_collocations",
+    "q_benford_audit",
+    "s_mmr_diverse_topk",
+    "m_patchify",
+    "t_fuzzy_decontaminate",
 ]
 
 

@@ -1317,9 +1317,20 @@ class MinHasher:
         m = (hv * self.a.reshape(1, -1) + self.b.reshape(1, -1)) % self.p
         return m.min(axis=0)
 
+    def band_keys(self, sig) -> list:
+        """The _NUM_BANDS 16-hex band keys of a signature — THE banding
+        rule, shared by the self-join (`__call__`) and broadcast
+        (`t_fuzzy_decontaminate`) LSH forms so they can never drift."""
+        rows_per_band = len(self.a) // _NUM_BANDS
+        return [
+            hashlib.md5(
+                sig[b * rows_per_band : (b + 1) * rows_per_band].tobytes()
+            ).hexdigest()[:16]
+            for b in range(_NUM_BANDS)
+        ]
+
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, bands, keys = [], [], []
-        rows_per_band = len(self.a) // _NUM_BANDS
         id_type = t.schema.field(self.id_col).type
         for doc_id, text in zip(
             t.column(self.id_col).to_pylist(), t.column("text").to_pylist()
@@ -1327,9 +1338,7 @@ class MinHasher:
             sig = self.signature(text)
             if sig is None:
                 continue
-            for band in range(_NUM_BANDS):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                key = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+            for band, key in enumerate(self.band_keys(sig)):
                 ids.append(doc_id)
                 bands.append(band)
                 keys.append(key)
@@ -1578,6 +1587,8 @@ def _verify_pairs(
     the final verified pairs — never texts, feature sets, or raw pairs."""
     import ray
 
+    from .relational import round_half_away  # lazy (import cycle)
+
     pairs_ds = pairs_ds.materialize()
     schema = pairs_ds.schema()
     if schema is None:  # zero blocks: no candidates were ever generated
@@ -1665,7 +1676,9 @@ def _verify_pairs(
             if j >= threshold:
                 keep_a.append(a)
                 keep_b.append(b)
-                vals.append(round(j, 4))
+                # half-away like DuckDB ROUND (a Python round() here is
+                # banker's and diverges on exact 5th-decimal ties)
+                vals.append(float(round_half_away(j, 4)))
         return pa.table(
             {
                 "doc_a": pa.array(keep_a, t.schema.field("doc_a").type),
@@ -5127,3 +5140,137 @@ def t_pmi_collocations(
         ["ratio_x1e6", "w1", "w2"], ascending=[False, True, True]
     ).head(top_k)
     return out.reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# fuzzy benchmark decontamination — the LSH form of t_decontaminate
+# (GPT-3 appendix C / Gopher: eval contamination is NEAR-duplication,
+# not just exact gram overlap).  Engine-added brief.
+
+
+def t_fuzzy_decontaminate(sf_dir: str, jaccard_threshold: float = 0.8):
+    """TRAIN×BENCH near-duplicate pairs at shingle-Jaccard ≥ t — the
+    asymmetric broadcast-LSH join.  The benchmark side (doc_id %
+    DECONTAM_BENCH_MOD == 0, the t_decontaminate split; tiny by
+    construction, eval sets are) reduces in one pruned pass to its
+    band-key index AND its hashed shingle sets, both shipped to workers
+    ONCE via ray.put.  The corpus then streams through a SINGLE map stage
+    that band-matches each train doc against the broadcast index and
+    exactly verifies hits against the broadcast bench sets in place —
+    ZERO shuffles and one corpus pass, vs the symmetric self-join form's
+    (t_minhash_pairs) two exchanges: when one join side is small, the
+    broadcast plan is the 100 TB-correct one.  At production scale the
+    bench side is its own (small) input table; the mod split stands in
+    for it here.
+
+    Banding (16 bands × 4 rows, `MinHasher.band_keys` — the identical
+    rule as the self-join form) and exact hashed-shingle verification
+    (`ShingleSetHasher`) are shared, so recall characteristics are pinned
+    by the same all-pairs oracles; jaccard emits half-away-rounded 4 dp
+    (threshold compared UNROUNDED on the identical IEEE division both
+    sides)."""
+    import ray
+
+    from .relational import round_half_away  # lazy (import cycle)
+
+    ds = _read_documents(sf_dir)
+
+    class BenchIndexer:
+        """Pruned pass: one row per bench doc — comma-joined band keys +
+        the packed shingle set (both driver-tiny)."""
+
+        def __init__(self):
+            self.mh = MinHasher()
+            self.sh = ShingleSetHasher()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
+            out_ids, bands, sets = [], [], []
+            for doc_id, text in zip(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            ):
+                sig = self.mh.signature(text)
+                if sig is None:  # no shingles: cannot be a near-dup
+                    continue
+                out_ids.append(doc_id)
+                bands.append(",".join(self.mh.band_keys(sig)))
+                sets.append(self.sh._hash_features(self.sh.features(text)))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_ids, pa.int64()),
+                    "bands": pa.array(bands, pa.string()),
+                    "sh": pa.array(sets, pa.binary()),
+                }
+            )
+
+    bench = _collect_sorted(
+        ds.map_batches(warm_stage(BenchIndexer), batch_format="pyarrow"),
+        ("doc_id",),
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("bands", pa.string()), ("sh", pa.binary())]
+        ),
+    )
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "bench_doc": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+    if len(bench) == 0:
+        return empty
+    band_index: dict = {}
+    bench_sets: dict = {}
+    for doc_id, bands, sh in zip(bench["doc_id"], bench["bands"], bench["sh"]):
+        bench_sets[int(doc_id)] = np.frombuffer(sh, dtype=np.uint64)
+        for b, k in enumerate(bands.split(",")):
+            band_index.setdefault((b, k), []).append(int(doc_id))
+    ref = ray.put((band_index, bench_sets))
+
+    def scan_factory():
+        idx, bsets = ray.get(ref)  # once per worker process
+        mh = MinHasher()
+        shh = ShingleSetHasher()
+
+        def scan(t: pa.Table) -> pa.Table:
+            out_a, out_b, out_j = [], [], []
+            for doc_id, text in zip(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            ):
+                if doc_id % DECONTAM_BENCH_MOD == 0:
+                    continue  # bench side
+                sig = mh.signature(text)
+                if sig is None:
+                    continue
+                cands: set = set()
+                for b, k in enumerate(mh.band_keys(sig)):
+                    cands.update(idx.get((b, k), ()))
+                if not cands:
+                    continue
+                A = np.frombuffer(
+                    shh._hash_features(shh.features(text)), dtype=np.uint64
+                )
+                for bid in sorted(cands):
+                    B = bsets[bid]
+                    inter = int(np.intersect1d(A, B, assume_unique=True).size)
+                    union = A.size + B.size - inter
+                    if union and inter / union >= jaccard_threshold:
+                        out_a.append(doc_id)
+                        out_b.append(bid)
+                        out_j.append(float(round_half_away(inter / union, 4)))
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_a, pa.int64()),
+                    "bench_doc": pa.array(out_b, pa.int64()),
+                    "jaccard": pa.array(out_j, pa.float64()),
+                }
+            )
+
+        return scan
+
+    out = ds.map_batches(
+        warm_factory(("fuzzy_decontam", ref.hex()), scan_factory),
+        batch_format="pyarrow",
+    )
+    return _collect_sorted(out, ("doc_id", "bench_doc"), lambda: empty)
