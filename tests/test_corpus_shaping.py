@@ -483,6 +483,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_keyword_extraction",
     "t_cdc_dedup",
     "t_pmi_collocations",
+    "t_fuzzy_decontaminate",
 ]
 
 
@@ -1657,3 +1658,78 @@ def test_benford_audit_planted_and_digit_binning(ray_session, tmp_path):
         for o, p in zip(out["observed"], BENFORD_P_X1E6)
     ]
     assert sum(BENFORD_P_X1E6) == 1_000_000
+
+
+def test_fuzzy_decontaminate_planted_vs_bruteforce(ray_session, tmp_path):
+    """Planted train/bench near-dups at known Jaccard levels must equal a
+    pure-Python all-pairs brute force (same 3-token-shingle rule, no
+    engine code).  Exercises: exact copy (j=1.0), last-token edit
+    (37/39), mid-token edit (35/41 — also pins 4dp rounding), below-
+    threshold and unrelated exclusions, the <3-token single-shingle
+    fallback, empty docs on both sides, and the bipartite rule (bench×
+    bench and train×train near-dups never emitted).  The j=0.8537 pair
+    is the banding stress case: with 16 bands x 4 rows its miss
+    probability is ~5e-6 and the hash params are fixed, so the outcome
+    is deterministic."""
+    from pdfray.pipelines.textops import t_fuzzy_decontaminate
+
+    base = [f"tok{i}" for i in range(40)]
+    last_edit = base[:-1] + ["changed"]
+    mid_edit = base[:20] + ["changed"] + base[21:]
+    spread = list(base)
+    for p in (0, 8, 16, 24, 32):  # 5 spread edits: j well below 0.8
+        spread[p] = f"x{p}"
+    rows = {
+        0: " ".join(base),            # bench: the long base doc
+        97: "tiny doc",               # bench: <3 tokens (fallback shingle)
+        194: "",                      # bench: empty -> skipped entirely
+        1: " ".join(base),            # train: exact copy of bench 0
+        2: " ".join(last_edit),       # train: j = 37/39
+        3: " ".join(mid_edit),        # train: j = 35/41
+        4: " ".join(spread),          # train: below threshold
+        5: " ".join(f"other{i}" for i in range(40)),  # train: unrelated
+        6: "tiny doc",                # train: exact copy of short bench
+        7: "tiny doc extra words here",  # train: no shared 3-shingle
+        8: "",                        # train: empty -> skipped
+    }
+    d = tmp_path / "fuzzy"
+    d.mkdir()
+    ids = sorted(rows)
+    pq.write_table(
+        _docs_table(ids, [rows[i] for i in ids]), str(d / "documents.parquet")
+    )
+    out = t_fuzzy_decontaminate(str(d))
+
+    # brute force: every (train, bench) pair, same shingle rule
+    def sh(text):
+        t = text.lower().split()
+        if not t:
+            return None
+        if len(t) < 3:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    want = []
+    for a in ids:
+        if a % 97 == 0 or sh(rows[a]) is None:
+            continue
+        for b in ids:
+            if b % 97 != 0 or sh(rows[b]) is None:
+                continue
+            A, B = sh(rows[a]), sh(rows[b])
+            j = len(A & B) / len(A | B)
+            if j >= 0.8:
+                # no .xxx5 ties planted: all rounding schemes agree here
+                want.append((a, b, round(j, 4)))
+    want.sort()
+    assert want == [
+        (1, 0, 1.0),
+        (2, 0, round(37 / 39, 4)),
+        (3, 0, round(35 / 41, 4)),
+        (6, 97, 1.0),
+    ]
+    got = list(zip(out["doc_id"], out["bench_doc"], out["jaccard"]))
+    assert got == want
+    assert out["doc_id"].dtype == np.int64
+    assert out["bench_doc"].dtype == np.int64
+    assert out["jaccard"].dtype == np.float64
