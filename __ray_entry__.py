@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_mmr_diverse_topk": S.s_mmr_diverse_topk,
         "m_patchify": M.m_patchify,
         "t_fuzzy_decontaminate": T.t_fuzzy_decontaminate,
+        "q_gini_revenue": R.q_gini_revenue,
     }
 
 
@@ -3703,6 +3704,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM pairs WHERE tot > inter "
             "AND inter::DOUBLE / (tot - inter) >= 0.8 "
             "ORDER BY doc_id, bench_doc"
+        ),
+        "q_gini_revenue": (
+            # Gini over per-customer revenue, integer-exact: cents-grid
+            # revenues, HUGEINT rank-weighted sum (ties are S-invariant,
+            # so ROW_NUMBER's arbitrary tie order matches the engine's
+            # in-partition sort), one integer cross-multiplied floor
+            "WITH rev AS (SELECT o_custkey, "
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS v "
+            "FROM orders GROUP BY o_custkey), "
+            "ranked AS (SELECT CAST(v AS HUGEINT) AS v, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY v) AS HUGEINT) AS rn "
+            "FROM rev), "
+            "agg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(SUM(v) AS HUGEINT) AS t, CAST(SUM(rn * v) AS HUGEINT) AS s "
+            "FROM ranked) "
+            "SELECT CAST(n AS BIGINT) AS n_customers, "
+            "CAST(t AS BIGINT) AS total_cents, "
+            "CAST((1000000000 * (2 * s - (n + 1) * t)) // (n * t) AS BIGINT) "
+            "AS gini_x1e9 "
+            "FROM agg WHERE n > 0 AND t > 0"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -258,6 +258,7 @@ QUERY_NAMES = [
     "s_mmr_diverse_topk",
     "m_patchify",
     "t_fuzzy_decontaminate",
+    "q_gini_revenue",
 ]
 
 

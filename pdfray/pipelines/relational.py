@@ -6854,49 +6854,28 @@ def q21_waiting_suppliers(sf_dir: str):
     )
 
 
-def q_global_rank_orders(sf_dir: str):
-    """Global total-order rank export — ROW_NUMBER() OVER (ORDER BY
-    o_totalprice DESC, o_orderkey) for EVERY order — the terasort shape:
-    the one operator whose output is a corpus-order globally-sorted
-    stream, and the reason range partitioning exists.
-
-    Plan (never `ds.sort()` — Ray's global sort materializes a full
-    range exchange of its own; this plan is the same exchange but with
-    the rank arithmetic fused and the boundaries under our control):
-      - pass 1 (sample): a deterministic splitmix64 key-hash sample
+def _range_plan(ds, n, id_col: str, key_col: str, tag: str, negate=False):
+    """The terasort range-partition plan, shared by q_global_rank_orders
+    and q_gini_revenue:
+      - pass 1 (sample): a deterministic splitmix64 id-hash sample
         (layout-invariant, no RNG) collects ~128 x P sort keys; the
         driver picks P-1 range boundaries at even sample quantiles.
         Boundary choice affects BALANCE only, never correctness;
       - pass 2 (histogram): per-block `np.bincount` of the broadcast
         searchsorted partition id — O(P x blocks) ints to the driver,
-        which prefix-sums partition offsets;
-      - pass 3 (the one range exchange): `groupby(part).map_groups`
-        sorts each range vectorized and emits rank = offset + local
-        index.  Rows with EQUAL sort keys co-locate by construction
-        (searchsorted on the key value), so the orderkey tiebreak never
-        crosses a partition.
-    The sort key is the RAW float64 price (negated for DESC) — never the
-    rounded cents grid, whose coarser ties could reorder near-equal
-    prices vs the oracle's double compare.  Skew caveat: a pathologically
-    hot single price value lands one partition with all its ties (the
-    documented two-level composite-key split is the fix if a real corpus
-    ever needs it)."""
+        which prefix-sums partition offsets.
+    Returns ``(assign, offsets)``: `assign` is a warm stage appending an
+    int64 `part` column (searchsorted on the broadcast boundaries — rows
+    with EQUAL keys co-locate by construction, so in-partition tiebreaks
+    never cross partitions); ``offsets[p]`` is the exact global count of
+    rows in parts < p.  Skew caveat: a pathologically hot single key
+    value lands one partition with all its ties (a two-level composite-
+    key split is the fix if a real corpus ever needs it)."""
     import numpy as np
-    import pyarrow.parquet as pq
     import ray
 
     from .sizing import shuffle_partitions
 
-    n = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
-    if n == 0:
-        # typed pandas, not an empty Dataset: Ray drops all-empty blocks
-        # from a collect and the schema would be lost downstream
-        return pd.DataFrame(
-            {
-                "o_orderkey": pd.Series([], dtype="int64"),
-                "global_rank": pd.Series([], dtype="int64"),
-            }
-        )
     n_parts = shuffle_partitions(n)
 
     def _splitmix(keys):
@@ -6911,25 +6890,16 @@ def q_global_rank_orders(sf_dir: str):
     thresh = np.uint64(min(2**64 - 1, int(2**64 * min(1.0, target / n))))
 
     def sample(t: pa.Table) -> pa.Table:
-        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
-        keep = _splitmix(keys) <= thresh
-        return pa.table(
-            {
-                "neg_price": pa.array(
-                    -t.column("o_totalprice").to_numpy(zero_copy_only=False)[
-                        keep
-                    ]
-                )
-            }
-        )
+        keys = t.column(id_col).to_numpy(zero_copy_only=False)
+        k = t.column(key_col).to_numpy(zero_copy_only=False)[
+            _splitmix(keys) <= thresh
+        ]
+        return pa.table({"k": pa.array(-k if negate else k)})
 
-    ds = _read(
-        sf_dir, "orders", ["o_orderkey", "o_totalprice"], rows_per_block=200_000
-    )
     samp = np.sort(
         np.concatenate(
             [
-                b["neg_price"]
+                b["k"]
                 for b in ds.map_batches(
                     sample, batch_format="pyarrow"
                 ).iter_batches(batch_format="numpy")
@@ -6953,8 +6923,10 @@ def q_global_rank_orders(sf_dir: str):
             self.bnds = ray.get(bnds_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            neg = -t.column("o_totalprice").to_numpy(zero_copy_only=False)
-            part = np.searchsorted(self.bnds, neg, side="right").astype(
+            k = t.column(key_col).to_numpy(zero_copy_only=False)
+            if negate:
+                k = -k
+            part = np.searchsorted(self.bnds, k, side="right").astype(
                 np.int64
             )
             return t.append_column("part", pa.array(part))
@@ -6971,7 +6943,7 @@ def q_global_rank_orders(sf_dir: str):
             }
         )
 
-    assign = warm_factory(("grank_part", bnds_ref.hex()), _PartId)
+    assign = warm_factory((tag, bnds_ref.hex()), _PartId)
     counts = np.zeros(len(bnds) + 1, np.int64)
     for b in (
         ds.map_batches(assign, batch_format="pyarrow")
@@ -6980,6 +6952,46 @@ def q_global_rank_orders(sf_dir: str):
     ):
         np.add.at(counts, b["part"], b["cnt"])
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return assign, offsets
+
+
+def q_global_rank_orders(sf_dir: str):
+    """Global total-order rank export — ROW_NUMBER() OVER (ORDER BY
+    o_totalprice DESC, o_orderkey) for EVERY order — the terasort shape:
+    the one operator whose output is a corpus-order globally-sorted
+    stream, and the reason range partitioning exists.
+
+    Plan (never `ds.sort()` — Ray's global sort materializes a full
+    range exchange of its own; this plan is the same exchange but with
+    the rank arithmetic fused and the boundaries under our control): the
+    shared `_range_plan` sample/histogram passes, then pass 3 (the one
+    range exchange): `groupby(part).map_groups` sorts each range
+    vectorized and emits rank = offset + local index.  Rows with EQUAL
+    sort keys co-locate by construction, so the orderkey tiebreak never
+    crosses a partition.
+    The sort key is the RAW float64 price (negated for DESC) — never the
+    rounded cents grid, whose coarser ties could reorder near-equal
+    prices vs the oracle's double compare."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    n = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n == 0:
+        # typed pandas, not an empty Dataset: Ray drops all-empty blocks
+        # from a collect and the schema would be lost downstream
+        return pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "global_rank": pd.Series([], dtype="int64"),
+            }
+        )
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice"], rows_per_block=200_000
+    )
+    assign, offsets = _range_plan(
+        ds, n, "o_orderkey", "o_totalprice", "grank_part", negate=True
+    )
     off_ref = ray.put(offsets)
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -6998,6 +7010,122 @@ def q_global_rank_orders(sf_dir: str):
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("part")
         .map_groups(rank_group, batch_format="pandas")
+    )
+
+
+def q_gini_revenue(sf_dir: str):
+    """Gini coefficient of per-customer revenue — the Lorenz/inequality
+    audit a corpus-curation pipeline runs on source-contribution skew
+    (who contributes how much).  Exact integers end to end: per-customer
+    revenue lives on the cents grid, and with revenues sorted ASCENDING,
+    S = Σ rank·v decomposes over range partitions as
+    offset_p·T_p + S_local_p — so the terasort machinery (`_range_plan`,
+    shared with q_global_rank_orders) reduces each partition to a
+    CONSTANT-SIZE (n_p, T_p, S_local_p) partial (the global-rank
+    exchange collapsed to P rows) and
+    gini_x1e9 = ⌊1e9·(2S − (n+1)·T) / (n·T)⌋ is one integer
+    cross-multiplication on the driver (HUGEINT in the oracle, Python
+    int here; 2S − (n+1)T ≥ 0 by the Chebyshev sum inequality, so floor
+    and truncate agree).  Rank ties (equal revenues) are S-invariant, so
+    the arbitrary tie order inside a partition can never diverge from
+    the oracle's ROW_NUMBER.
+
+    Exchanges: ONE custkey reduce (per-block Arrow combiner →
+    `_two_regime_sum`) + ONE range exchange of the already-reduced
+    (custkey, rev) table.  Partials are folded as exact Python ints —
+    int64 products are chunk-summed so no intermediate can overflow
+    (per-part rank·v products are guarded; more partitions shrink them).
+    total_cents is reported modulo nothing: past ~9×10¹⁶ total cents the
+    int64 report column itself saturates — scale the grid down a decade
+    there (the q_benford_audit note)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    empty = pd.DataFrame(
+        {
+            "n_customers": pd.Series([], dtype="int64"),
+            "total_cents": pd.Series([], dtype="int64"),
+            "gini_x1e9": pd.Series([], dtype="int64"),
+        }
+    )
+    if pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows == 0:
+        return empty
+
+    ds = _read(
+        sf_dir, "orders", ["o_custkey", "o_totalprice"], rows_per_block=200_000
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        tt = pa.table(
+            {"o_custkey": t.column("o_custkey"), "rev": pa.array(cents)}
+        )
+        g = tt.group_by("o_custkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_custkey", "rev"])
+
+    rev, n_cust = _two_regime_sum(
+        ds.map_batches(combine, batch_format="pyarrow"),
+        ["o_custkey"],
+        ["rev"],
+    )
+    if n_cust == 0:
+        return empty
+    assign, offsets = _range_plan(
+        rev, n_cust, "o_custkey", "rev", "gini_part"
+    )
+
+    def _exact_sum(arr) -> int:
+        """Exact Python-int sum of an int64 array: chunk so no partial
+        int64 sum can overflow, then fold the few chunk sums as ints."""
+        if len(arr) == 0:
+            return 0
+        amax = int(np.abs(arr).max())
+        if amax == 0:
+            return 0
+        csize = max(1, (2**62) // amax)
+        return sum(
+            int(arr[i : i + csize].sum()) for i in range(0, len(arr), csize)
+        )
+
+    def part_partial(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["rev"].to_numpy(np.int64))
+        m = len(v)
+        # rank·v products must fit int64 before chunk-summing; a trip
+        # here means shuffle_partitions needs to grow faster than rows
+        assert m == 0 or m * max(abs(int(v[0])), abs(int(v[-1]))) < 2**63
+        s_local = _exact_sum(np.arange(1, m + 1, dtype=np.int64) * v)
+        return pd.DataFrame(
+            {
+                "part": [int(g["part"].iloc[0])],
+                "n": [m],
+                "t_str": [str(_exact_sum(v))],
+                "s_str": [str(s_local)],
+            }
+        )
+
+    parts = (
+        rev.map_batches(assign, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    total = sum(int(x) for x in parts["t_str"])
+    s = sum(
+        int(offsets[int(p)]) * int(t) + int(sl)
+        for p, t, sl in zip(parts["part"], parts["t_str"], parts["s_str"])
+    )
+    if n == 0 or total <= 0:
+        return empty
+    gini = (10**9 * (2 * s - (n + 1) * total)) // (n * total)
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([n], dtype="int64"),
+            "total_cents": pd.Series([total], dtype="int64"),
+            "gini_x1e9": pd.Series([gini], dtype="int64"),
+        }
     )
 
 

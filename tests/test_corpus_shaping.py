@@ -1073,6 +1073,7 @@ STAR_ORACLE_QUERIES = [
     "q9_product_profit",
     "q22_sales_opportunity",
     "q_global_rank_orders",
+    "q_gini_revenue",
 ]
 
 

@@ -188,3 +188,65 @@ def test_global_rank_matches_single_node_sort(ray_session):
     pd.testing.assert_frame_equal(
         got, want[["o_orderkey", "global_rank"]], check_dtype=True
     )
+
+
+def test_gini_revenue_hand_equal_and_bruteforce(ray_session, tmp_path, monkeypatch):
+    """Hand-solved two-customer case (gini exactly 1/4), the all-equal
+    degenerate (gini 0), and a randomized brute force — engine vs a
+    pure-Python exact-integer Gini over sorted cents — with
+    shuffle_partitions forced to 5 so the multi-partition offset fold
+    (offset_p·T_p + S_local_p) actually exercises."""
+    import numpy as np
+
+    from pdfray.pipelines import relational, sizing
+
+    def write(d, custkeys, prices):
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(
+                        np.arange(len(custkeys), dtype=np.int64)
+                    ),
+                    "o_custkey": pa.array(
+                        np.asarray(custkeys, dtype=np.int64)
+                    ),
+                    "o_totalprice": pa.array(
+                        np.asarray(prices, dtype=np.float64)
+                    ),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        return str(d)
+
+    # hand case: revenues 1 and 3 cents -> S = 1·1 + 2·3 = 7,
+    # gini = (2·7 − 3·4)/(2·4) = 1/4
+    out = relational.q_gini_revenue(write(tmp_path / "hand", [1, 2], [0.01, 0.03]))
+    assert list(out.itertuples(index=False)) == [(2, 4, 250_000_000)]
+
+    # all-equal revenues -> exact zero
+    out = relational.q_gini_revenue(
+        write(tmp_path / "eq", [1, 2, 3, 4], [5.00] * 4)
+    )
+    assert list(out["gini_x1e9"]) == [0]
+    assert list(out["total_cents"]) == [2000]
+
+    # randomized brute force, multi-partition path forced
+    monkeypatch.setattr(sizing, "shuffle_partitions", lambda *a, **k: 5)
+    rng = np.random.RandomState(41)
+    custkeys = rng.randint(0, 60, 400)
+    prices = (rng.randint(1, 10_000_000, 400) / 100.0).round(2)
+    out = relational.q_gini_revenue(write(tmp_path / "bf", custkeys, prices))
+
+    cents = np.round(prices * 100).astype(np.int64)
+    rev = {}
+    for c, v in zip(custkeys, cents):
+        rev[int(c)] = rev.get(int(c), 0) + int(v)
+    v = sorted(rev.values())
+    n, t = len(v), sum(v)
+    s = sum((i + 1) * x for i, x in enumerate(v))
+    want_gini = (10**9 * (2 * s - (n + 1) * t)) // (n * t)
+    assert list(out.itertuples(index=False)) == [(n, t, want_gini)]
+    for c in out.columns:
+        assert out[c].dtype == np.int64
