@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_patchify": M.m_patchify,
         "t_fuzzy_decontaminate": T.t_fuzzy_decontaminate,
         "q_gini_revenue": R.q_gini_revenue,
+        "t_webdataset_shards": T.t_webdataset_shards,
     }
 
 
@@ -3724,6 +3725,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000000000 * (2 * s - (n + 1) * t)) // (n * t) AS BIGINT) "
             "AS gini_x1e9 "
             "FROM agg WHERE n > 0 AND t > 0"
+        ),
+        "t_webdataset_shards": (
+            # the tar-sink manifest replayed in SQL: same salted-hash
+            # shard rule (md5_number_lower convention), utf-8 byte
+            # lengths, and exact membership via the ordered name digest
+            "WITH n AS (SELECT COUNT(*) AS c FROM documents), "
+            "a AS (SELECT doc_id, text, CAST(md5_number_lower("
+            f"'{'wds:'}' || CAST(doc_id AS VARCHAR)) % GREATEST("
+            "(SELECT (c + 999) // 1000 FROM n), 1) AS BIGINT) AS shard_id "
+            "FROM documents) "
+            "SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COALESCE(SUM(octet_length(encode(text))), 0) AS BIGINT) "
+            "AS text_bytes, "
+            "md5(string_agg(printf('%012d.txt', doc_id), ',' "
+            "ORDER BY doc_id)) AS members_md5 "
+            "FROM a GROUP BY shard_id ORDER BY shard_id"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

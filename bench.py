@@ -259,6 +259,7 @@ QUERY_NAMES = [
     "m_patchify",
     "t_fuzzy_decontaminate",
     "q_gini_revenue",
+    "t_webdataset_shards",
 ]
 
 

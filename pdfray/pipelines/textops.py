@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import re
 import zlib
 
@@ -2776,6 +2777,118 @@ def write_training_shards(sf_dir: str, out_dir: str) -> None:
         .map_groups(order, batch_format="pandas")
         .write_parquet(out_dir, partition_cols=["shard"])
     )
+
+
+WDS_DOCS_PER_SHARD = 1000  # shard count = ceil(n / this): data-proportional
+WDS_SALT = "wds:"
+
+
+def t_webdataset_shards(sf_dir: str, out_dir: str = None):
+    """WebDataset tar-shard training sink — the corpus laid out as the
+    `shard-%06d.tar` archives a training loader actually streams — plus
+    its EXACT manifest (shard_id, n_docs, text_bytes, members_md5), which
+    is what the query returns and the oracle replays in SQL.
+
+    Shard assignment is a deterministic salted hash (md5 low-64 % S, the
+    `md5_number_lower` convention) with S = ceil(n / WDS_DOCS_PER_SHARD)
+    — shard COUNT grows with data while shard SIZE stays bounded (the
+    knob a 100 TB run turns), and the hash both spreads docs (the
+    shuffled-shards property training ingest wants) and survives any
+    retry/resume/block-layout change, which `random_shuffle()` cannot.
+    Members are ordered by doc_id inside a shard and every tar header is
+    normalized (mtime 0, uid/gid 0, ustar) so shard BYTES are
+    deterministic: a re-run byte-identically reproduces every archive
+    (pinned by test).  Each tar lands via write-to-temp + os.replace, so
+    a crashed run's finished shards are complete and a resume can skip
+    existing shard files.
+
+    The manifest is the oracle surface: n_docs and utf-8 text_bytes per
+    shard, and members_md5 = md5 of the comma-joined member names in
+    doc_id order — exact membership, SQL-replayable via
+    string_agg(... ORDER BY doc_id).  Exchanges: ONE shard groupby of
+    (doc_id, text); nothing corpus-sized ever reaches the driver (each
+    group emits one manifest row).  Workers write tars directly, so on a
+    multi-node cluster ``out_dir`` must be shared storage (NFS / fuse
+    mount) — the same contract as every write_parquet exit."""
+    import io
+    import shutil
+    import tarfile
+    import tempfile
+
+    cleanup = out_dir is None
+    if cleanup:
+        out_dir = tempfile.mkdtemp(prefix="pdfray_wds_")
+    os.makedirs(out_dir, exist_ok=True)
+
+    ds = _read_documents(sf_dir)
+    n = ds.count()
+    n_shards = max(1, (n + WDS_DOCS_PER_SHARD - 1) // WDS_DOCS_PER_SHARD)
+
+    def assign(t: pa.Table) -> pa.Table:
+        shards = [
+            int.from_bytes(
+                hashlib.md5(f"{WDS_SALT}{d}".encode()).digest()[8:], "little"
+            )
+            % n_shards
+            for d in t.column("doc_id").to_pylist()
+        ]
+        return t.append_column("shard_id", pa.array(shards, pa.int64()))
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        shard = int(g["shard_id"].iloc[0])
+        names, total = [], 0
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tar:
+            for doc_id, text in zip(g["doc_id"], g["text"]):
+                name = f"{int(doc_id):012d}.txt"
+                data = text.encode("utf-8")
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                info.mtime = 0
+                info.mode = 0o644
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tar.addfile(info, io.BytesIO(data))
+                names.append(name)
+                total += len(data)
+        path = os.path.join(out_dir, f"shard-{shard:06d}.tar")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {
+                "shard_id": pd.Series([shard], dtype="int64"),
+                "n_docs": pd.Series([len(names)], dtype="int64"),
+                "text_bytes": pd.Series([total], dtype="int64"),
+                "members_md5": [hashlib.md5(",".join(names).encode()).hexdigest()],
+            }
+        )
+
+    try:
+        out = (
+            ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("shard_id")
+            .map_groups(write_shard, batch_format="pandas")
+        )
+        return _collect_sorted(
+            out,
+            ("shard_id",),
+            schema=pa.schema(
+                [
+                    ("shard_id", pa.int64()),
+                    ("n_docs", pa.int64()),
+                    ("text_bytes", pa.int64()),
+                    ("members_md5", pa.string()),
+                ]
+            ),
+        )
+    finally:
+        if cleanup:
+            shutil.rmtree(out_dir, ignore_errors=True)
 
 
 # ----------------------------------------------------------------------
