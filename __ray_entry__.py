@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fuzzy_decontaminate": T.t_fuzzy_decontaminate,
         "q_gini_revenue": R.q_gini_revenue,
         "t_webdataset_shards": T.t_webdataset_shards,
+        "t_wds_roundtrip": T.t_wds_roundtrip,
     }
 
 
@@ -3741,6 +3742,14 @@ def oracle_sql() -> dict[str, str]:
             "md5(string_agg(printf('%012d.txt', doc_id), ',' "
             "ORDER BY doc_id)) AS members_md5 "
             "FROM a GROUP BY shard_id ORDER BY shard_id"
+        ),
+        "t_wds_roundtrip": (
+            # sink→source identity: the engine digests what came BACK
+            # through the tar loader; the oracle digests the ORIGINAL
+            # table — equality certifies the whole archive path
+            "SELECT doc_id, "
+            "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS text_md5 FROM documents ORDER BY doc_id"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

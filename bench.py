@@ -260,6 +260,7 @@ QUERY_NAMES = [
     "t_fuzzy_decontaminate",
     "q_gini_revenue",
     "t_webdataset_shards",
+    "t_wds_roundtrip",
 ]
 
 

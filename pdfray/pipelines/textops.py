@@ -2891,6 +2891,53 @@ def t_webdataset_shards(sf_dir: str, out_dir: str = None):
             shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def t_wds_roundtrip(sf_dir: str):
+    """Sink→source identity over the tar shards: write the corpus with
+    `t_webdataset_shards`, stream it BACK through the distributed tar
+    source (`sources.readers.read_webdataset` — one read task per
+    shard), and report per-doc (utf-8 byte length, content md5).  The
+    oracle computes the same digests from the ORIGINAL table, so a match
+    certifies the whole loader path — shard assignment, tar framing,
+    member naming, utf-8 round-trip — end to end, doc by doc.  Nothing
+    corpus-sized reaches the driver: digests reduce per block on the
+    read side."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="pdfray_wdsrt_")
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_bytes", pa.int64()),
+            ("text_md5", pa.string()),
+        ]
+    )
+    try:
+        man = t_webdataset_shards(sf_dir, out_dir=out_dir)
+        if len(man) == 0:  # no shards were written: nothing to read back
+            return schema.empty_table().to_pandas()
+        from ..sources.readers import read_webdataset
+
+        def digest(t: pa.Table) -> pa.Table:
+            data = [s.encode("utf-8") for s in t.column("text").to_pylist()]
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_bytes": pa.array([len(b) for b in data], pa.int64()),
+                    "text_md5": pa.array(
+                        [hashlib.md5(b).hexdigest() for b in data], pa.string()
+                    ),
+                }
+            )
+
+        out = read_webdataset(out_dir).map_batches(
+            digest, batch_format="pyarrow"
+        )
+        return _collect_sorted(out, ("doc_id",), schema=schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 # ----------------------------------------------------------------------
 # incremental (delta) dedup: new docs tested against the EXISTING corpus's
 # fingerprint index — the "daily crawl vs yesterday's corpus" shape.

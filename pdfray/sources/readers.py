@@ -64,3 +64,38 @@ def write_corpus_jsonl(rows, path: str) -> str:
                 + "\n"
             )
     return path
+
+
+def read_webdataset(path: str):
+    """WebDataset tar-shard source — the loader twin of
+    `pdfray.pipelines.textops.t_webdataset_shards`.  One read task per
+    shard archive (`read_binary_files` over *.tar), each tar parsed in
+    the worker with stdlib tarfile; emits (doc_id, text).  Shards are
+    independent, so read parallelism = shard count — exactly the
+    property the sink's data-proportional shard count provides; a shard
+    is parsed entirely inside its worker (bounded by the sink's
+    docs-per-shard knob), nothing corpus-sized ever concentrates."""
+    import io
+    import tarfile
+
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path, file_extensions=["tar"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for blob in t.column("bytes").to_pylist():
+            with tarfile.open(fileobj=io.BytesIO(blob)) as tar:
+                for m in tar.getmembers():
+                    if not (m.isfile() and m.name.endswith(".txt")):
+                        continue
+                    ids.append(int(m.name[: -len(".txt")]))
+                    texts.append(tar.extractfile(m).read().decode("utf-8"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -485,6 +485,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_pmi_collocations",
     "t_fuzzy_decontaminate",
     "t_webdataset_shards",
+    "t_wds_roundtrip",
 ]
 
 
