@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gini_revenue": R.q_gini_revenue,
         "t_webdataset_shards": T.t_webdataset_shards,
         "t_wds_roundtrip": T.t_wds_roundtrip,
+        "t_rouge_report": T.t_rouge_report,
     }
 
 
@@ -3750,6 +3751,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS text_md5 FROM documents ORDER BY doc_id"
+        ),
+        "t_rouge_report": (
+            # the fuzzy-flagged pairs (same all-pairs Jaccard CTE as
+            # t_fuzzy_decontaminate) scored by MULTISET bigram overlap:
+            # I = SUM(LEAST(c_a, c_b)); p/r/f are floored scaled
+            # rationals; the inner join on tot drops bigram-less sides
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 "
+            "THEN [array_to_string(t, ' ')] "
+            "ELSE list_transform(range(1, len(t) - 1), "
+            "i -> array_to_string(list_slice(t, i, i + 2), ' ')) END) AS s "
+            "FROM toks WHERE len(t) > 0), "
+            "pairs AS (SELECT a.doc_id AS doc_id, b.doc_id AS bench_doc "
+            "FROM sh a JOIN sh b ON a.doc_id % 97 != 0 AND b.doc_id % 97 = 0 "
+            "WHERE len(a.s) + len(b.s) > len(list_intersect(a.s, b.s)) "
+            "AND len(list_intersect(a.s, b.s))::DOUBLE / "
+            "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8), "
+            "big AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM "
+            "(SELECT doc_id, unnest(list_transform(range(1, len(t)), "
+            "i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g "
+            "FROM toks WHERE len(t) >= 2) GROUP BY doc_id, g), "
+            "tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n "
+            "FROM big GROUP BY doc_id), "
+            # NB: DuckDB LEAST IGNORES NULLs (LEAST(a.c, NULL) = a.c),
+            # so unmatched train grams would leak in without the CASE
+            "inter AS (SELECT p.doc_id, p.bench_doc, "
+            "CAST(COALESCE(SUM(CASE WHEN b.c IS NULL THEN 0 "
+            "ELSE LEAST(a.c, b.c) END), 0) AS BIGINT) AS i "
+            "FROM pairs p "
+            "LEFT JOIN big a ON a.doc_id = p.doc_id "
+            "LEFT JOIN big b ON b.doc_id = p.bench_doc AND b.g = a.g "
+            "GROUP BY p.doc_id, p.bench_doc) "
+            "SELECT i.doc_id, i.bench_doc, i.i AS inter_c, "
+            "CAST((1000000 * i.i) // ta.n AS BIGINT) AS p_x1e6, "
+            "CAST((1000000 * i.i) // tb.n AS BIGINT) AS r_x1e6, "
+            "CAST((2000000 * i.i) // (ta.n + tb.n) AS BIGINT) AS f_x1e6 "
+            "FROM inter i "
+            "JOIN tot ta ON ta.doc_id = i.doc_id "
+            "JOIN tot tb ON tb.doc_id = i.bench_doc "
+            "ORDER BY i.doc_id, i.bench_doc"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

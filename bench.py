@@ -261,6 +261,7 @@ QUERY_NAMES = [
     "q_gini_revenue",
     "t_webdataset_shards",
     "t_wds_roundtrip",
+    "t_rouge_report",
 ]
 
 

@@ -5334,43 +5334,6 @@ def t_fuzzy_decontaminate(sf_dir: str, jaccard_threshold: float = 0.8):
     from .relational import round_half_away  # lazy (import cycle)
 
     ds = _read_documents(sf_dir)
-
-    class BenchIndexer:
-        """Pruned pass: one row per bench doc — comma-joined band keys +
-        the packed shingle set (both driver-tiny)."""
-
-        def __init__(self):
-            self.mh = MinHasher()
-            self.sh = ShingleSetHasher()
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-            t = t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
-            out_ids, bands, sets = [], [], []
-            for doc_id, text in zip(
-                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-            ):
-                sig = self.mh.signature(text)
-                if sig is None:  # no shingles: cannot be a near-dup
-                    continue
-                out_ids.append(doc_id)
-                bands.append(",".join(self.mh.band_keys(sig)))
-                sets.append(self.sh._hash_features(self.sh.features(text)))
-            return pa.table(
-                {
-                    "doc_id": pa.array(out_ids, pa.int64()),
-                    "bands": pa.array(bands, pa.string()),
-                    "sh": pa.array(sets, pa.binary()),
-                }
-            )
-
-    bench = _collect_sorted(
-        ds.map_batches(warm_stage(BenchIndexer), batch_format="pyarrow"),
-        ("doc_id",),
-        schema=pa.schema(
-            [("doc_id", pa.int64()), ("bands", pa.string()), ("sh", pa.binary())]
-        ),
-    )
     empty = pd.DataFrame(
         {
             "doc_id": pd.Series([], dtype="int64"),
@@ -5378,18 +5341,12 @@ def t_fuzzy_decontaminate(sf_dir: str, jaccard_threshold: float = 0.8):
             "jaccard": pd.Series([], dtype="float64"),
         }
     )
-    if len(bench) == 0:
+    ref = _bench_lsh_index(ds)
+    if ref is None:
         return empty
-    band_index: dict = {}
-    bench_sets: dict = {}
-    for doc_id, bands, sh in zip(bench["doc_id"], bench["bands"], bench["sh"]):
-        bench_sets[int(doc_id)] = np.frombuffer(sh, dtype=np.uint64)
-        for b, k in enumerate(bands.split(",")):
-            band_index.setdefault((b, k), []).append(int(doc_id))
-    ref = ray.put((band_index, bench_sets))
 
     def scan_factory():
-        idx, bsets = ray.get(ref)  # once per worker process
+        idx, bsets, _ = ray.get(ref)  # once per worker process
         mh = MinHasher()
         shh = ShingleSetHasher()
 
@@ -5398,20 +5355,16 @@ def t_fuzzy_decontaminate(sf_dir: str, jaccard_threshold: float = 0.8):
             for doc_id, text in zip(
                 t.column("doc_id").to_pylist(), t.column("text").to_pylist()
             ):
-                if doc_id % DECONTAM_BENCH_MOD == 0:
-                    continue  # bench side
-                sig = mh.signature(text)
+                sig = None if doc_id % DECONTAM_BENCH_MOD == 0 else mh.signature(text)
                 if sig is None:
                     continue
-                cands: set = set()
-                for b, k in enumerate(mh.band_keys(sig)):
-                    cands.update(idx.get((b, k), ()))
-                if not cands:
-                    continue
-                A = np.frombuffer(
-                    shh._hash_features(shh.features(text)), dtype=np.uint64
-                )
-                for bid in sorted(cands):
+                A = None
+                for bid in _band_candidates(mh, idx, sig):
+                    if A is None:
+                        A = np.frombuffer(
+                            shh._hash_features(shh.features(text)),
+                            dtype=np.uint64,
+                        )
                     B = bsets[bid]
                     inter = int(np.intersect1d(A, B, assume_unique=True).size)
                     union = A.size + B.size - inter
@@ -5431,6 +5384,207 @@ def t_fuzzy_decontaminate(sf_dir: str, jaccard_threshold: float = 0.8):
 
     out = ds.map_batches(
         warm_factory(("fuzzy_decontam", ref.hex()), scan_factory),
+        batch_format="pyarrow",
+    )
+    return _collect_sorted(out, ("doc_id", "bench_doc"), lambda: empty)
+
+
+def _bigram_arrays(text: str):
+    """Multiset of token BIGRAMS as (sorted unique md5-64 hashes, counts,
+    total) — the ROUGE-2 unit.  Hashed-multiset min-intersection equals
+    string-multiset intersection (the ShingleSetHasher collision
+    argument)."""
+    toks = _WORD_RE.findall(text.lower())
+    if len(toks) < 2:
+        e = np.zeros(0, np.uint64)
+        return e, np.zeros(0, np.int64), 0
+    grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    h = np.fromiter(
+        (_hash64(g) for g in grams), dtype=np.uint64, count=len(grams)
+    )
+    uniq, counts = np.unique(h, return_counts=True)
+    return uniq, counts.astype(np.int64), len(grams)
+
+
+def _bench_lsh_index(ds, with_bigrams: bool = False):
+    """The benchmark side reduced to its broadcast index: one pruned pass
+    emits per bench doc the 16 band keys (`MinHasher.band_keys`), the
+    packed shingle set (exact-Jaccard verification), and — when
+    ``with_bigrams`` — the bigram multiset for ROUGE scoring.  The driver
+    assembles {(band, key) → [doc_id]} plus the per-doc payloads and
+    ships ONE ray.put handle; returns None when the bench side is empty.
+    Driver-tiny by construction (eval sets are small — at production
+    scale the bench side is its own input table)."""
+    import ray
+
+    class BenchIndexer:
+        def __init__(self):
+            self.mh = MinHasher()
+            self.sh = ShingleSetHasher()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
+            out = {
+                "doc_id": [],
+                "bands": [],
+                "sh": [],
+                "bg_h": [],
+                "bg_c": [],
+                "bg_n": [],
+            }
+            for doc_id, text in zip(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            ):
+                sig = self.mh.signature(text)
+                if sig is None:  # no shingles: cannot be a near-dup
+                    continue
+                out["doc_id"].append(doc_id)
+                out["bands"].append(",".join(self.mh.band_keys(sig)))
+                out["sh"].append(self.sh._hash_features(self.sh.features(text)))
+                bh, bc, bn = (
+                    _bigram_arrays(text)
+                    if with_bigrams
+                    else (np.zeros(0, np.uint64), np.zeros(0, np.int64), 0)
+                )
+                out["bg_h"].append(bh.tobytes())
+                out["bg_c"].append(bc.tobytes())
+                out["bg_n"].append(bn)
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], pa.int64()),
+                    "bands": pa.array(out["bands"], pa.string()),
+                    "sh": pa.array(out["sh"], pa.binary()),
+                    "bg_h": pa.array(out["bg_h"], pa.binary()),
+                    "bg_c": pa.array(out["bg_c"], pa.binary()),
+                    "bg_n": pa.array(out["bg_n"], pa.int64()),
+                }
+            )
+
+    bench = _collect_sorted(
+        ds.map_batches(warm_stage(BenchIndexer), batch_format="pyarrow"),
+        ("doc_id",),
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("bands", pa.string()),
+                ("sh", pa.binary()),
+                ("bg_h", pa.binary()),
+                ("bg_c", pa.binary()),
+                ("bg_n", pa.int64()),
+            ]
+        ),
+    )
+    if len(bench) == 0:
+        return None
+    band_index: dict = {}
+    bench_sets: dict = {}
+    bench_bigrams: dict = {}
+    for row in bench.itertuples(index=False):
+        did = int(row.doc_id)
+        bench_sets[did] = np.frombuffer(row.sh, dtype=np.uint64)
+        if with_bigrams:
+            bench_bigrams[did] = (
+                np.frombuffer(row.bg_h, dtype=np.uint64),
+                np.frombuffer(row.bg_c, dtype=np.int64),
+                int(row.bg_n),
+            )
+        for b, k in enumerate(row.bands.split(",")):
+            band_index.setdefault((b, k), []).append(did)
+    return ray.put((band_index, bench_sets, bench_bigrams))
+
+
+def _band_candidates(mh, idx, sig):
+    """Sorted bench candidates band-matching a signature."""
+    cands: set = set()
+    for b, k in enumerate(mh.band_keys(sig)):
+        cands.update(idx.get((b, k), ()))
+    return sorted(cands)
+
+
+def t_rouge_report(sf_dir: str, jaccard_threshold: float = 0.8):
+    """ROUGE-2 contamination report for the fuzzy-flagged TRAIN×BENCH
+    pairs — the MULTISET counterpart of t_fuzzy_decontaminate's set
+    Jaccard: I = Σ_g min(c_train(g), c_bench(g)) over token bigrams,
+    precision I/|train|, recall I/|bench|, F1 = 2I/(|train|+|bench|) —
+    the report GPT-3 App. C-style audits attach to each flagged pair.
+
+    All three scores are INTEGER cross-multiplied (p/r/f_x1e6 = floored
+    scaled rationals), so no float ever decides a reported value; pairs
+    where either side has no bigram are dropped (P/R undefined — the
+    oracle's inner join on the totals CTE enforces the same rule).
+
+    Plan: the same single broadcast-scan shape as t_fuzzy_decontaminate
+    (shared `_bench_lsh_index`, built once with the bigram multisets
+    riding along) — band-match, exact-Jaccard gate, then the multiset
+    min-intersection via one sorted-array intersect per flagged pair.
+    ZERO shuffles, one corpus pass."""
+    import ray
+
+    ds = _read_documents(sf_dir)
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "bench_doc": pd.Series([], dtype="int64"),
+            "inter_c": pd.Series([], dtype="int64"),
+            "p_x1e6": pd.Series([], dtype="int64"),
+            "r_x1e6": pd.Series([], dtype="int64"),
+            "f_x1e6": pd.Series([], dtype="int64"),
+        }
+    )
+    ref = _bench_lsh_index(ds, with_bigrams=True)
+    if ref is None:
+        return empty
+
+    def scan_factory():
+        idx, bsets, bbig = ray.get(ref)
+        mh = MinHasher()
+        shh = ShingleSetHasher()
+
+        def scan(t: pa.Table) -> pa.Table:
+            rows = {k: [] for k in empty.columns}
+            for doc_id, text in zip(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            ):
+                sig = None if doc_id % DECONTAM_BENCH_MOD == 0 else mh.signature(text)
+                if sig is None:
+                    continue
+                A = None
+                ah = ac = an = None
+                for bid in _band_candidates(mh, idx, sig):
+                    if A is None:
+                        A = np.frombuffer(
+                            shh._hash_features(shh.features(text)),
+                            dtype=np.uint64,
+                        )
+                    B = bsets[bid]
+                    inter = int(np.intersect1d(A, B, assume_unique=True).size)
+                    union = A.size + B.size - inter
+                    if not union or inter / union < jaccard_threshold:
+                        continue
+                    if ah is None:
+                        ah, ac, an = _bigram_arrays(text)
+                    bh, bc, bn = bbig[bid]
+                    if an == 0 or bn == 0:
+                        continue  # P/R undefined: dropped on both sides
+                    _, ia, ib = np.intersect1d(
+                        ah, bh, assume_unique=True, return_indices=True
+                    )
+                    mi = int(np.minimum(ac[ia], bc[ib]).sum())
+                    rows["doc_id"].append(doc_id)
+                    rows["bench_doc"].append(bid)
+                    rows["inter_c"].append(mi)
+                    rows["p_x1e6"].append((1_000_000 * mi) // an)
+                    rows["r_x1e6"].append((1_000_000 * mi) // bn)
+                    rows["f_x1e6"].append((2_000_000 * mi) // (an + bn))
+            return pa.table(
+                {k: pa.array(v, pa.int64()) for k, v in rows.items()}
+            )
+
+        return scan
+
+    out = ds.map_batches(
+        warm_factory(("rouge_report", ref.hex()), scan_factory),
         batch_format="pyarrow",
     )
     return _collect_sorted(out, ("doc_id", "bench_doc"), lambda: empty)

@@ -486,6 +486,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_fuzzy_decontaminate",
     "t_webdataset_shards",
     "t_wds_roundtrip",
+    "t_rouge_report",
 ]
 
 
@@ -1788,3 +1789,68 @@ def test_webdataset_shards_roundtrip_and_byte_determinism(ray_session, tmp_path)
         a = f.read_bytes()
         b = (out2 / f.name).read_bytes()
         assert a == b, f.name
+
+
+def test_rouge_report_planted_multiset_bruteforce(ray_session, tmp_path):
+    """ROUGE-2 on the fuzzy-flagged pairs equals a pure-Python MULTISET
+    brute force (Counter & Counter — min counts, not set overlap).  The
+    planted repeat-tail pair (train has 'dup' x4 where bench has x3,
+    identical shingle SETS so j=1.0) is the case a set-based intersection
+    would overcount and a NULL-leaking LEAST would inflate: the (dup,dup)
+    bigram must contribute min(3, 2) = 2."""
+    from collections import Counter
+
+    from pdfray.pipelines.textops import t_rouge_report
+
+    base = [f"tok{i}" for i in range(40)]
+    rows = {
+        0: " ".join(base),                          # bench
+        97: "tiny doc",                             # bench, single bigram
+        194: " ".join(base + ["dup", "dup", "dup"]),   # bench, repeat tail
+        1: " ".join(base),                          # train: exact copy
+        2: " ".join(base[:-1] + ["changed"]),       # train: j = 37/39
+        5: " ".join(f"other{i}" for i in range(40)),   # train: unrelated
+        6: "tiny doc",                              # train: short copy
+        9: " ".join(base + ["dup", "dup", "dup", "dup"]),  # train: j = 1.0
+    }
+    d = tmp_path / "rouge"
+    d.mkdir()
+    ids = sorted(rows)
+    pq.write_table(
+        _docs_table(ids, [rows[i] for i in ids]), str(d / "documents.parquet")
+    )
+    out = t_rouge_report(str(d))
+
+    def grams(text):
+        t = text.lower().split()
+        return Counter(zip(t[:-1], t[1:]))
+
+    def jac(a, b):
+        t1 = rows[a].lower().split()
+        t2 = rows[b].lower().split()
+        s1 = {tuple(t1[i : i + 3]) for i in range(len(t1) - 2)} or {tuple(t1)}
+        s2 = {tuple(t2[i : i + 3]) for i in range(len(t2) - 2)} or {tuple(t2)}
+        return len(s1 & s2) / len(s1 | s2)
+
+    want = []
+    for a in ids:
+        for b in ids:
+            if a % 97 == 0 or b % 97 != 0 or jac(a, b) < 0.8:
+                continue
+            ca, cb = grams(rows[a]), grams(rows[b])
+            na, nb = sum(ca.values()), sum(cb.values())
+            if na == 0 or nb == 0:
+                continue
+            i = sum((ca & cb).values())
+            want.append(
+                (a, b, i, 10**6 * i // na, 10**6 * i // nb,
+                 2 * 10**6 * i // (na + nb))
+            )
+    want.sort()
+    got = [tuple(int(x) for x in r) for r in out.itertuples(index=False)]
+    assert got == want
+    # the repeat-tail pair: shingle sets identical (j=1.0) but the
+    # multiset intersection must clip (dup,dup) at min(3, 2) = 2
+    row = {(a, b): (i, p, r, f) for a, b, i, p, r, f in want}[(9, 194)]
+    assert row[0] == 39 + 1 + 2  # 39 base + (tok39,dup) + min dup-runs
+    assert (9, 194) in {(g[0], g[1]) for g in got}
