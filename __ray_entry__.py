@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_webdataset_shards": T.t_webdataset_shards,
         "t_wds_roundtrip": T.t_wds_roundtrip,
         "t_rouge_report": T.t_rouge_report,
+        "q_csv_roundtrip": R.q_csv_roundtrip,
     }
 
 
@@ -3793,6 +3794,14 @@ def oracle_sql() -> dict[str, str]:
             "JOIN tot ta ON ta.doc_id = i.doc_id "
             "JOIN tot tb ON tb.doc_id = i.bench_doc "
             "ORDER BY i.doc_id, i.bench_doc"
+        ),
+        "q_csv_roundtrip": (
+            # the original table's projection — equality with the
+            # CSV-written-and-read-back engine side certifies quoting,
+            # null-vs-empty, unicode, and exact double round-trip
+            "SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "user_id, event_type, value, props "
+            "FROM events ORDER BY event_id"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -262,6 +262,7 @@ QUERY_NAMES = [
     "t_webdataset_shards",
     "t_wds_roundtrip",
     "t_rouge_report",
+    "q_csv_roundtrip",
 ]
 
 

@@ -7129,6 +7129,64 @@ def q_gini_revenue(sf_dir: str):
     )
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """Sink→source identity for the CSV format: write the events table
+    through Ray's distributed CSV sink (one file per block), stream it
+    BACK through `sources.readers.read_csv_table` (explicit schema +
+    the pinned lossless conversion rules — see its docstring for the
+    null-vs-empty-string and nan/inf conventions), and emit the per-event
+    row with ts as epoch-microseconds.  The oracle computes the same
+    projection from the ORIGINAL parquet, so a match certifies the whole
+    text-container path — quoting, embedded commas/quotes/newlines,
+    unicode, null round-trip, and EXACT double round-trip (Arrow writes
+    shortest-roundtrip float reprs; the driver hash would flip on a
+    single ulp).  Both legs are distributed; the digest projection runs
+    per block."""
+    import pyarrow.parquet as pq
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_csv_table
+
+    if pq.read_metadata(f"{sf_dir}/events.parquet").num_rows == 0:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "ts_us": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype="object"),
+                "value": pd.Series([], dtype="float64"),
+                "props": pd.Series([], dtype="object"),
+            }
+        )
+    schema = pq.read_schema(f"{sf_dir}/events.parquet")
+    out_dir = tempfile.mkdtemp(prefix="pdfray_csv_")
+    try:
+        _read(sf_dir, "events").write_csv(out_dir)
+
+        def digest(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "ts_us": t.column("ts").cast(pa.int64()),
+                    "user_id": t.column("user_id"),
+                    "event_type": t.column("event_type"),
+                    "value": t.column("value"),
+                    "props": t.column("props"),
+                }
+            )
+
+        return (
+            read_csv_table(out_dir, schema)
+            .map_batches(digest, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 FK_AUDIT_CHECKS = (
     "discount_out_of_range",
     "fk_order",

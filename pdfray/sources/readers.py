@@ -99,3 +99,33 @@ def read_webdataset(path: str):
         )
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def read_csv_table(path: str, schema: pa.Schema):
+    """Lossless CSV table source (one read task per file).  CSV is only
+    deterministic with an EXPLICIT schema and pinned conversion rules, so
+    this wraps `ray.data.read_csv` with the exact options that make the
+    Arrow writer→reader loop bit-identical (pinned by q_csv_roundtrip's
+    oracle and the roundtrip test):
+      - ``column_types=schema``: no type inference drift;
+      - ``null_values=[""]`` + ``strings_can_be_null=True`` +
+        ``quoted_strings_can_be_null=False``: a BARE empty field is NULL,
+        a QUOTED empty field is the empty string — the writer emits
+        exactly that distinction — and "nan"/"inf" stay doubles instead
+        of being swallowed by Arrow's default null-token list;
+      - ``newlines_in_values=True``: quoted embedded newlines parse.
+    Doubles round-trip exactly (Arrow writes shortest-roundtrip reprs),
+    including NaN and ±inf."""
+    import pyarrow.csv as pac
+    import ray.data as rd
+
+    return rd.read_csv(
+        path,
+        parse_options=pac.ParseOptions(newlines_in_values=True),
+        convert_options=pac.ConvertOptions(
+            column_types=schema,
+            null_values=[""],
+            strings_can_be_null=True,
+            quoted_strings_can_be_null=False,
+        ),
+    )

@@ -622,6 +622,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_date_spine_fill",
     "q_mad_outliers",
     "q_max_drawdown",
+    "q_csv_roundtrip",
 ]
 
 _PROPS_POOL = [
@@ -1854,3 +1855,45 @@ def test_rouge_report_planted_multiset_bruteforce(ray_session, tmp_path):
     row = {(a, b): (i, p, r, f) for a, b, i, p, r, f in want}[(9, 194)]
     assert row[0] == 39 + 1 + 2  # 39 base + (tok39,dup) + min dup-runs
     assert (9, 194) in {(g[0], g[1]) for g in got}
+
+
+def test_csv_roundtrip_hostile_values(ray_session, tmp_path):
+    """The CSV container must round-trip the worst text/float content
+    bit-exactly: embedded commas, quotes, newlines, astral unicode,
+    null-vs-EMPTY-STRING props (the classic CSV conflation), NaN and
+    ±inf doubles (Arrow's default null-token list would swallow them),
+    denormals and 0.1+0.2 ulp patterns."""
+    from pdfray.pipelines.relational import q_csv_roundtrip
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(8), pa.int64()),
+            "ts": pa.array([0, 1, -1, 2, 3, 4, 5, 6], pa.timestamp("us")),
+            "user_id": pa.array([1] * 8, pa.int64()),
+            "event_type": pa.array(
+                ["a,b", 'q"uote', "new\nline", "ünïcode😀", "", "x", "y", "z"]
+            ),
+            "value": pa.array(
+                [0.1 + 0.2, 1e-300, float("nan"), float("inf"),
+                 float("-inf"), 5e-324, -0.0, 1.0]
+            ),
+            "props": pa.array(
+                ['{"k": "v,w"}', "", None, "nan", '"', "\n", " ", "x"]
+            ),
+        }
+    )
+    d = tmp_path / "csvrt"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = q_csv_roundtrip(str(d))
+    want = (
+        t.to_pandas()
+        .assign(ts_us=lambda f: f["ts"].astype("int64"))
+        .drop(columns=["ts"])
+    )[got.columns.tolist()]
+    # bit-exact doubles (incl. NaN/±inf/-0.0) and null-vs-'' preserved
+    assert (
+        got["value"].to_numpy().tobytes() == want["value"].to_numpy().tobytes()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    assert got["props"].isna().tolist() == want["props"].isna().tolist()
