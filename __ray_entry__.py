@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_wds_roundtrip": T.t_wds_roundtrip,
         "t_rouge_report": T.t_rouge_report,
         "q_csv_roundtrip": R.q_csv_roundtrip,
+        "q_bfs_reach": R.q_bfs_reach,
     }
 
 
@@ -3802,6 +3803,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
             "user_id, event_type, value, props "
             "FROM events ORDER BY event_id"
+        ),
+        "q_bfs_reach": (
+            # BFS levels are deterministic sets, so the recurrence
+            # unrolls as chained CTEs (the PageRank-unroll pattern);
+            # seeds report hop 0 even when isolated from the graph
+            "WITH e AS (SELECT DISTINCT 2 * l_partkey AS u, "
+            "2 * l_suppkey + 1 AS v FROM lineitem "
+            "UNION SELECT DISTINCT 2 * l_suppkey + 1, 2 * l_partkey "
+            "FROM lineitem), "
+            "f0 AS (SELECT DISTINCT 2 * s_suppkey + 1 AS node "
+            "FROM supplier WHERE s_suppkey % 10 = 0), "
+            "f1 AS (SELECT DISTINCT e.v AS node FROM e "
+            "JOIN f0 ON e.u = f0.node "
+            "WHERE e.v NOT IN (SELECT node FROM f0)), "
+            "f2 AS (SELECT DISTINCT e.v AS node FROM e "
+            "JOIN f1 ON e.u = f1.node "
+            "WHERE e.v NOT IN (SELECT node FROM f0 "
+            "UNION ALL SELECT node FROM f1)), "
+            "f3 AS (SELECT DISTINCT e.v AS node FROM e "
+            "JOIN f2 ON e.u = f2.node "
+            "WHERE e.v NOT IN (SELECT node FROM f0 "
+            "UNION ALL SELECT node FROM f1 "
+            "UNION ALL SELECT node FROM f2)), "
+            "lv AS (SELECT node, 0 AS hop FROM f0 "
+            "UNION ALL SELECT node, 1 FROM f1 "
+            "UNION ALL SELECT node, 2 FROM f2 "
+            "UNION ALL SELECT node, 3 FROM f3) "
+            "SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END "
+            "AS node_type, CAST(node // 2 AS BIGINT) AS key, "
+            "CAST(hop AS BIGINT) AS hop "
+            "FROM lv ORDER BY hop, node_type, key"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

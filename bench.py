@@ -263,6 +263,7 @@ QUERY_NAMES = [
     "t_wds_roundtrip",
     "t_rouge_report",
     "q_csv_roundtrip",
+    "q_bfs_reach",
 ]
 
 

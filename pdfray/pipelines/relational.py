@@ -4371,6 +4371,37 @@ PR_ITERS = 3
 PR_SCALE = 1_000_000_000
 
 
+def _shipment_edge_list(sf_dir: str):
+    """The bipartite part<->supplier shipment graph as a globally-deduped
+    directed edge Dataset (node ids: part = 2k, supplier = 2k+1 —
+    disjoint id spaces; both directions emitted), shared by
+    q_pagerank_bipartite and q_bfs_reach.  lineitem reduces per block to
+    LOCAL-distinct pairs, then ONE pair-keyed exchange dedups globally
+    (`_two_regime_sum`)."""
+    import numpy as np
+
+    def pair_combiner(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        u = np.concatenate([2 * p, 2 * s + 1])
+        v = np.concatenate([2 * s + 1, 2 * p])
+        tt = pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "n": pa.array(np.ones(len(u), np.int64)),
+            }
+        )
+        g = tt.group_by(["u", "v"]).aggregate([("n", "sum")])
+        return g.rename_columns(["u", "v", "n"])
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey"], rows_per_block=100_000
+    ).map_batches(pair_combiner, batch_format="pyarrow")
+    edges_red, _ = _two_regime_sum(li, ["u", "v"], ["n"])
+    return edges_red
+
+
 def q_pagerank_bipartite(sf_dir: str, stage_dir: str = None):
     """Distributed PageRank (3 fixed iterations, damping 0.85) over the
     bipartite supplier<->part shipment graph — the iterative-graph family
@@ -4412,25 +4443,7 @@ def q_pagerank_bipartite(sf_dir: str, stage_dir: str = None):
         }
     )
 
-    def pair_combiner(t: pa.Table) -> pa.Table:
-        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
-        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-        u = np.concatenate([2 * p, 2 * s + 1])
-        v = np.concatenate([2 * s + 1, 2 * p])
-        tt = pa.table(
-            {
-                "u": pa.array(u, pa.int64()),
-                "v": pa.array(v, pa.int64()),
-                "n": pa.array(np.ones(len(u), np.int64)),
-            }
-        )
-        g = tt.group_by(["u", "v"]).aggregate([("n", "sum")])
-        return g.rename_columns(["u", "v", "n"])
-
-    li = _read(
-        sf_dir, "lineitem", ["l_partkey", "l_suppkey"], rows_per_block=100_000
-    ).map_batches(pair_combiner, batch_format="pyarrow")
-    edges_red, _ = _two_regime_sum(li, ["u", "v"], ["n"])
+    edges_red = _shipment_edge_list(sf_dir)
 
     tmp = None
     if stage_dir is None:
@@ -4607,6 +4620,145 @@ def q_pagerank_bipartite(sf_dir: str, stage_dir: str = None):
 
 
 INC_CUTOFF = "2024-01-20"
+
+
+BFS_SEED_MOD = 10  # suppliers with s_suppkey % MOD == 0 are the seed set
+BFS_MAX_HOP = 3
+
+
+def q_bfs_reach(sf_dir: str, stage_dir: str = None):
+    """Multi-source BFS reachability — MIN hop distance (0..BFS_MAX_HOP)
+    from the seed suppliers over the bipartite shipment graph — the
+    TRAVERSAL member of the graph family (components, PageRank, motif
+    counting exist; this is frontier expansion).  Seeds are a catalog
+    subset (s_suppkey % 10 == 0) and report hop 0 even when isolated —
+    the seed list is dimension-sized, the same broadcast assumption as
+    every catalog lookup.
+
+    Plan: the shared `_shipment_edge_list` (one pair-keyed dedup
+    exchange) lands in a parquet stage checkpoint read once per hop.
+    Each hop expands the frontier in one of two regimes, exactly the
+    q_pagerank_bipartite split: a driver-bounded frontier broadcasts
+    (`ray.put` sorted array; edge files stream through one map that
+    emits per-block-distinct neighbors), a larger one rides an
+    edges⋈frontier hash join + distinct reduce (pinned equal to the
+    broadcast path by a monkeypatch test).  Visited-set subtraction is
+    exact on the driver — node ids are catalog-order (parts +
+    suppliers), never corpus-order.  BFS level sets are
+    deterministic regardless of expansion order, so the oracle is the
+    recurrence unrolled as chained CTEs (the PageRank-unroll pattern)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from .staging import stage_checkpoint
+
+    empty = pd.DataFrame(
+        {
+            "node_type": pd.Series([], dtype=object),
+            "key": pd.Series([], dtype="int64"),
+            "hop": pd.Series([], dtype="int64"),
+        }
+    )
+    supp = typed_collect(_read(sf_dir, "supplier", ["s_suppkey"]))
+    if len(supp) == 0:
+        return empty
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    seeds = np.sort(2 * sk[sk % BFS_SEED_MOD == 0] + 1)
+    if len(seeds) == 0:
+        return empty
+
+    tmp = None
+    if stage_dir is None:
+        tmp = stage_dir = tempfile.mkdtemp(prefix="pdfray_bfs_")
+    try:
+        edges = stage_checkpoint(
+            lambda: _shipment_edge_list(sf_dir).select_columns(["u", "v"]),
+            os.path.join(stage_dir, "edges"),
+            allow_empty=True,
+        )
+        visited = set(int(x) for x in seeds)
+        levels = {0: sorted(visited)}
+        frontier = seeds
+        for hop in range(1, BFS_MAX_HOP + 1):
+            if edges is None or len(frontier) == 0:
+                break
+            if len(frontier) <= PIVOT_DRIVER_MAX_ROWS:
+                ref = ray.put(np.sort(frontier))
+
+                class Expand:
+                    def __init__(self):
+                        self.f = ray.get(ref)
+
+                    def __call__(self, t: pa.Table) -> pa.Table:
+                        u = t.column("u").to_numpy(zero_copy_only=False)
+                        v = t.column("v").to_numpy(zero_copy_only=False)
+                        hit = np.unique(v[np.isin(u, self.f)])
+                        return pa.table({"v": pa.array(hit, pa.int64())})
+
+                from .textops import warm_factory
+
+                nb = typed_collect(
+                    edges.map_batches(
+                        warm_factory(("bfs_expand", ref.hex()), Expand),
+                        batch_format="pyarrow",
+                    ),
+                    pa.schema([("v", pa.int64())]),
+                )["v"].to_numpy(np.int64)
+            else:
+                # join regime: frontier exceeds the driver bound — one
+                # edges-by-frontier hash exchange + distinct reduce
+                from .sizing import shuffle_partitions
+
+                fr = rd.from_arrow(
+                    pa.table({"fu": pa.array(np.sort(frontier), pa.int64())})
+                )
+                edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+                joined = _join_pad(edges, edge_schema).join(
+                    _join_pad(fr, pa.schema([("fu", pa.int64())])),
+                    join_type="inner",
+                    num_partitions=shuffle_partitions(edges.count()),
+                    on=("u",),
+                    right_on=("fu",),
+                )
+
+                def distinct_v(t: pa.Table) -> pa.Table:
+                    v = np.unique(t.column("v").to_numpy(zero_copy_only=False))
+                    return pa.table({"v": pa.array(v, pa.int64())})
+
+                nb = typed_collect(
+                    joined.map_batches(distinct_v, batch_format="pyarrow"),
+                    pa.schema([("v", pa.int64())]),
+                )["v"].to_numpy(np.int64)
+            new = sorted(set(int(x) for x in nb) - visited)
+            if not new:
+                break
+            levels[hop] = new
+            visited.update(new)
+            frontier = np.array(new, np.int64)
+        rows_node, rows_hop = [], []
+        for hop, nodes in levels.items():
+            rows_node.extend(nodes)
+            rows_hop.extend([hop] * len(nodes))
+        nodes = np.array(rows_node, np.int64)
+        out = pd.DataFrame(
+            {
+                "node_type": np.where(nodes % 2 == 0, "part", "supplier").astype(
+                    object
+                ),
+                "key": pd.Series(nodes // 2, dtype="int64"),
+                "hop": pd.Series(rows_hop, dtype="int64"),
+            }
+        )
+        return out.sort_values(["hop", "node_type", "key"]).reset_index(
+            drop=True
+        )
+    finally:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_incremental_rollup(sf_dir: str, stage_dir: str = None):

@@ -772,6 +772,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "q17_small_qty_revenue",
     "q16_supplier_variety",
     "q_pagerank_bipartite",
+    "q_bfs_reach",
     "q6_forecast_revenue",
     "q14_promo_revenue",
     "q15_top_supplier",
@@ -1897,3 +1898,46 @@ def test_csv_roundtrip_hostile_values(ray_session, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=True)
     assert got["props"].isna().tolist() == want["props"].isna().tolist()
+
+
+def test_bfs_reach_hand_graph_and_join_regime(ray_session, tmp_path, monkeypatch):
+    """Hand-built shipment graph with known hop structure: seed supplier
+    0 ships parts 1,2; supplier 3 shares part 2 (hop 2) and also ships
+    part 9 (hop 3); supplier 7 is disconnected from seeds; supplier 20
+    is an ISOLATED seed (no shipments — hop 0 by the catalog rule).
+    Then the same corpus re-run with the driver bound forced to 0 so
+    EVERY hop takes the edges-by-frontier join regime — outputs must be
+    identical."""
+    from pdfray.pipelines import relational
+
+    d = tmp_path / "bfs"
+    d.mkdir()
+    li = pa.table(
+        {
+            "l_partkey": pa.array([1, 2, 2, 9, 5], pa.int64()),
+            "l_suppkey": pa.array([0, 0, 3, 3, 7], pa.int64()),
+        }
+    )
+    pq.write_table(li, str(d / "lineitem.parquet"))
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array([0, 3, 7, 20], pa.int64())}),
+        str(d / "supplier.parquet"),
+    )
+    out = relational.q_bfs_reach(str(d))
+    got = {
+        (r.node_type, int(r.key)): int(r.hop)
+        for r in out.itertuples(index=False)
+    }
+    assert got == {
+        ("supplier", 0): 0,
+        ("supplier", 20): 0,  # isolated seed: hop 0 by the catalog rule
+        ("part", 1): 1,
+        ("part", 2): 1,
+        ("supplier", 3): 2,
+        ("part", 9): 3,
+        # supplier 7 / part 5: unreachable, absent
+    }
+
+    monkeypatch.setattr(relational, "PIVOT_DRIVER_MAX_ROWS", 0)
+    out2 = relational.q_bfs_reach(str(d))
+    pd.testing.assert_frame_equal(out, out2, check_dtype=True)
