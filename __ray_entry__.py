@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_rouge_report": T.t_rouge_report,
         "q_csv_roundtrip": R.q_csv_roundtrip,
         "q_bfs_reach": R.q_bfs_reach,
+        "t_langid_eval": T.t_langid_eval,
     }
 
 
@@ -1350,6 +1351,38 @@ def _langid_oracle() -> str:
         "WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' "
         "WHEN s_en = best THEN 'en' ELSE 'de' END AS lang_pred, lang "
         "FROM b ORDER BY doc_id"
+    )
+
+
+def _langid_eval_oracle() -> str:
+    """Per-class precision/recall/F1 of the langid heuristic vs the
+    labeled lang column: the prediction CTE is `_langid_oracle()` reused
+    verbatim, so the eval can never drift from the classifier it
+    audits; metrics are floored integer-scaled rationals with the
+    zero-denominator-reports-0 CASE convention (mirrored in the
+    engine)."""
+    return (
+        f"WITH pred AS ({_langid_oracle()}), "
+        "cls AS (SELECT lang AS c FROM pred "
+        "UNION SELECT lang_pred FROM pred), "
+        "conf AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM pred GROUP BY lang, lang_pred), "
+        "m AS (SELECT cls.c AS lang, "
+        "CAST(COALESCE((SELECT SUM(n) FROM conf WHERE conf.lang = cls.c), 0) "
+        "AS BIGINT) AS support, "
+        "CAST(COALESCE((SELECT SUM(n) FROM conf "
+        "WHERE conf.lang_pred = cls.c), 0) AS BIGINT) AS predicted, "
+        "CAST(COALESCE((SELECT SUM(n) FROM conf WHERE conf.lang = cls.c "
+        "AND conf.lang_pred = cls.c), 0) AS BIGINT) AS tp FROM cls) "
+        "SELECT lang, support, predicted, tp, "
+        "CAST(CASE WHEN predicted > 0 THEN (1000000 * tp) // predicted "
+        "ELSE 0 END AS BIGINT) AS p_x1e6, "
+        "CAST(CASE WHEN support > 0 THEN (1000000 * tp) // support "
+        "ELSE 0 END AS BIGINT) AS r_x1e6, "
+        "CAST(CASE WHEN predicted + support > 0 THEN "
+        "(2000000 * tp) // (predicted + support) ELSE 0 END AS BIGINT) "
+        "AS f_x1e6 "
+        "FROM m ORDER BY lang"
     )
 
 
@@ -3835,6 +3868,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(hop AS BIGINT) AS hop "
             "FROM lv ORDER BY hop, node_type, key"
         ),
+        "t_langid_eval": _langid_eval_oracle(),
     }
     # the Bloom+bucketed-store form is output-identical by construction
     # (no false negatives; every positive exactly verified) — one oracle

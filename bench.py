@@ -264,6 +264,7 @@ QUERY_NAMES = [
     "t_rouge_report",
     "q_csv_roundtrip",
     "q_bfs_reach",
+    "t_langid_eval",
 ]
 
 

@@ -1151,6 +1151,91 @@ def t_langid(sf_dir: str):
     )
 
 
+def t_langid_eval(sf_dir: str):
+    """Classifier evaluation harness over t_langid's predictions vs the
+    labeled ``lang`` column — per-class support/predicted/TP and
+    precision/recall/F1 as floored integer-scaled rationals (no float
+    ever decides a reported metric; zero denominators report 0 by the
+    CASE convention both sides implement).
+
+    Scale shape: the corpus reduces per block to (lang, lang_pred)
+    confusion partials (Arrow group_by inside the LangId pass's
+    consumer), `_two_regime_sum` merges them — the ONLY exchange, and it
+    moves at most |langs|² rows per block — and the driver folds the
+    bounded confusion table into the metric rows.  This is the
+    eval-harness member of the corpus-shaping family: every filter model
+    (langid, quality, CCNet buckets) wants exactly this pass before it
+    gates a 100 TB run."""
+    from .frames import typed_collect
+    from .relational import _two_regime_sum  # lazy (import cycle)
+
+    pred = _read_documents(sf_dir, ("doc_id", "text", "lang")).map_batches(
+        warm_stage(LangId), batch_format="pyarrow"
+    )
+
+    def conf_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "lang": t.column("lang"),
+                "lang_pred": t.column("lang_pred"),
+                "n": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        g = tt.group_by(["lang", "lang_pred"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "lang_pred", "n"])
+
+    red, _n = _two_regime_sum(
+        pred.map_batches(conf_partial, batch_format="pyarrow"),
+        ["lang", "lang_pred"],
+        ["n"],
+        empty_types={"lang": pa.string(), "lang_pred": pa.string()},
+    )
+    conf = typed_collect(
+        red,
+        pa.schema(
+            [("lang", pa.string()), ("lang_pred", pa.string()), ("n", pa.int64())]
+        ),
+    )
+    classes = sorted(set(conf["lang"]) | set(conf["lang_pred"]))
+    rows = []
+    for c in classes:
+        support = int(conf.loc[conf["lang"] == c, "n"].sum())
+        predicted = int(conf.loc[conf["lang_pred"] == c, "n"].sum())
+        tp = int(
+            conf.loc[(conf["lang"] == c) & (conf["lang_pred"] == c), "n"].sum()
+        )
+        rows.append(
+            (
+                c,
+                support,
+                predicted,
+                tp,
+                (1_000_000 * tp) // predicted if predicted > 0 else 0,
+                (1_000_000 * tp) // support if support > 0 else 0,
+                (2_000_000 * tp) // (predicted + support)
+                if predicted + support > 0
+                else 0,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "lang",
+            "support",
+            "predicted",
+            "tp",
+            "p_x1e6",
+            "r_x1e6",
+            "f_x1e6",
+        ],
+    ).astype(
+        {
+            c: "int64"
+            for c in ("support", "predicted", "tp", "p_x1e6", "r_x1e6", "f_x1e6")
+        }
+    )
+
+
 # BPE-style pre-tokenizer: GPT-2's shape restricted to RE2-compatible
 # explicit classes so the DuckDB oracle runs the IDENTICAL pattern
 BPE_PATTERN = (

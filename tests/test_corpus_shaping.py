@@ -487,6 +487,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_webdataset_shards",
     "t_wds_roundtrip",
     "t_rouge_report",
+    "t_langid_eval",
 ]
 
 
@@ -1941,3 +1942,31 @@ def test_bfs_reach_hand_graph_and_join_regime(ray_session, tmp_path, monkeypatch
     monkeypatch.setattr(relational, "PIVOT_DRIVER_MAX_ROWS", 0)
     out2 = relational.q_bfs_reach(str(d))
     pd.testing.assert_frame_equal(out, out2, check_dtype=True)
+
+
+def test_langid_eval_matches_bruteforce_confusion(ray_session):
+    """The eval metrics must equal a pandas confusion recompute from
+    t_langid's own per-doc output (shared classifier, independent metric
+    fold), including integer flooring and the zero-denominator rule."""
+    from pdfray.pipelines.textops import t_langid, t_langid_eval
+
+    sf = "/root/testdata/sf0.001"
+    pred = t_langid(sf)
+    out = t_langid_eval(sf)
+    classes = sorted(set(pred["lang"]) | set(pred["lang_pred"]))
+    assert list(out["lang"]) == classes
+    for _, row in out.iterrows():
+        c = row["lang"]
+        support = int((pred["lang"] == c).sum())
+        predicted = int((pred["lang_pred"] == c).sum())
+        tp = int(((pred["lang"] == c) & (pred["lang_pred"] == c)).sum())
+        assert (row["support"], row["predicted"], row["tp"]) == (
+            support, predicted, tp,
+        )
+        assert row["p_x1e6"] == ((10**6 * tp) // predicted if predicted else 0)
+        assert row["r_x1e6"] == ((10**6 * tp) // support if support else 0)
+        assert row["f_x1e6"] == (
+            (2 * 10**6 * tp) // (predicted + support)
+            if predicted + support
+            else 0
+        )
