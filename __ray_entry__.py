@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_csv_roundtrip": R.q_csv_roundtrip,
         "q_bfs_reach": R.q_bfs_reach,
         "t_langid_eval": T.t_langid_eval,
+        "q_kmv_set_ops": R.q_kmv_set_ops,
     }
 
 
@@ -3869,6 +3870,45 @@ def oracle_sql() -> dict[str, str]:
             "FROM lv ORDER BY hop, node_type, key"
         ),
         "t_langid_eval": _langid_eval_oracle(),
+        "q_kmv_set_ops": (
+            # two bottom-k sketches replayed verbatim (the
+            # q_kmv_distinct_users hash/grid), merged union bottom-k,
+            # matched = union bottom-k hashes present in BOTH sketches;
+            # below k union hashes both sketches are complete and the
+            # estimates ARE exact counts; doubles are the same
+            # left-associated IEEE expressions as the engine
+            "WITH d AS (SELECT DISTINCT event_type AS s, "
+            "md5_number_lower(CAST(user_id AS VARCHAR) || ':kmv9') "
+            "% 9007199254740992 AS hv FROM events "
+            "WHERE event_type IN ('view', 'purchase')), "
+            "ra AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn "
+            "FROM d WHERE s = 'view'), "
+            "rb AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn "
+            "FROM d WHERE s = 'purchase'), "
+            "a AS (SELECT hv FROM ra WHERE rn <= 64), "
+            "b AS (SELECT hv FROM rb WHERE rn <= 64), "
+            "u AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn FROM "
+            "(SELECT hv FROM a UNION SELECT hv FROM b)), "
+            "nu AS (SELECT LEAST(COUNT(*), 64) AS n, COUNT(*) AS n_all "
+            "FROM u), "
+            "uk AS (SELECT u.hv AS kth FROM u JOIN nu ON u.rn = nu.n), "
+            "m AS (SELECT COUNT(*) AS matched FROM u JOIN nu ON u.rn <= nu.n "
+            "WHERE u.hv IN (SELECT hv FROM a) "
+            "AND u.hv IN (SELECT hv FROM b)) "
+            "SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a_kept, "
+            "CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b_kept, "
+            "CAST(nu.n AS BIGINT) AS n_union_kept, "
+            "CAST(m.matched AS BIGINT) AS matched, "
+            "CAST(uk.kth AS BIGINT) AS union_kth, "
+            "CASE WHEN nu.n_all >= 64 THEN "
+            "ROUND(CAST(63 AS DOUBLE) * CAST(9007199254740992 AS DOUBLE) "
+            "/ (uk.kth + 1.0), 4) ELSE CAST(nu.n AS DOUBLE) END AS est_union, "
+            "CASE WHEN nu.n_all >= 64 THEN "
+            "ROUND(m.matched * (CAST(63 AS DOUBLE) * "
+            "CAST(9007199254740992 AS DOUBLE) / (uk.kth + 1.0)) / 64, 4) "
+            "ELSE CAST(m.matched AS DOUBLE) END AS est_inter "
+            "FROM nu, uk, m"
+        ),
     }
     # the Bloom+bucketed-store form is output-identical by construction
     # (no false negatives; every positive exactly verified) — one oracle

@@ -265,6 +265,7 @@ QUERY_NAMES = [
     "q_csv_roundtrip",
     "q_bfs_reach",
     "t_langid_eval",
+    "q_kmv_set_ops",
 ]
 
 

@@ -7820,6 +7820,118 @@ def q_kmv_distinct_users(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_kmv_set_ops(sf_dir: str):
+    """KMV sketch SET ALGEBRA — estimated |A∪B|, |A∩B| for the view-user
+    vs purchase-user sets from two mergeable bottom-k sketches (Beyer et
+    al. 2007): union = bottom-k of the merged sketches with the usual
+    (k−1)/u_k estimate; intersection = (matched-in-bottom-k / k) ×
+    union-estimate, where matched counts union bottom-k hashes present
+    in BOTH side sketches.  Completes the sketch family's set ops next
+    to the exact q_user_set_ops companion.
+
+    Exactness contract: all state is integer digests on the exact 2^53
+    md5 grid (the q_kmv_distinct_users convention), the estimate doubles
+    are the same left-associated IEEE expressions in SQL, and when the
+    merged union holds fewer than k hashes BOTH sketches are complete —
+    the 'estimates' are then the exact counts (driver-checked at
+    sf0.001).  Integer digests (kept counts, union k-th hash, matched)
+    ride the compare.
+
+    Scale shape: per-block partials keep ≤ 2k distinct-hash rows (k per
+    side) — fixed-size mergeable state; the driver-or-groupby two-regime
+    merge mirrors q_kmv_distinct_users; everything after is O(k) on the
+    driver."""
+    import hashlib
+
+    import numpy as np
+
+    from .textops import _TWO53
+
+    sides = ("view", "purchase")
+    ds = _read(
+        sf_dir, "events", ["event_type", "user_id"], rows_per_block=12_500
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"].isin(sides)][
+            ["event_type", "user_id"]
+        ].drop_duplicates()
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5((str(u) + KMV_SALT).encode()).digest()[8:],
+                    "little",
+                )
+                % _TWO53
+                for u in d["user_id"]
+            ),
+            np.int64,
+            len(d),
+        )
+        d = pd.DataFrame(
+            {"s": d["event_type"].to_numpy(), "hv": h}
+        ).drop_duplicates()
+        d = d.sort_values(["s", "hv"])
+        return d.groupby("s", as_index=False).head(KMV_K)
+
+    parts = ds.map_batches(partial, batch_format="pandas").materialize()
+    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
+        df = typed_collect(
+            parts, pa.schema([("s", pa.string()), ("hv", pa.int64())])
+        )
+        top = (
+            df.drop_duplicates()
+            .sort_values(["s", "hv"])
+            .groupby("s", as_index=False)
+            .head(KMV_K)
+        )
+    else:
+
+        def grp(g: pd.DataFrame) -> pd.DataFrame:
+            u = np.unique(g["hv"].to_numpy(np.int64))[:KMV_K]
+            return pd.DataFrame({"s": [g["s"].iloc[0]] * len(u), "hv": u})
+
+        top = parts.groupby("s").map_groups(grp, batch_format="pandas").to_pandas()
+
+    a = np.sort(top.loc[top["s"] == sides[0], "hv"].to_numpy(np.int64))
+    b = np.sort(top.loc[top["s"] == sides[1], "hv"].to_numpy(np.int64))
+    union = np.unique(np.concatenate([a, b]))
+    if len(union) == 0:
+        return pd.DataFrame(
+            {
+                "n_a_kept": pd.Series([], dtype="int64"),
+                "n_b_kept": pd.Series([], dtype="int64"),
+                "n_union_kept": pd.Series([], dtype="int64"),
+                "matched": pd.Series([], dtype="int64"),
+                "union_kth": pd.Series([], dtype="int64"),
+                "est_union": pd.Series([], dtype="float64"),
+                "est_inter": pd.Series([], dtype="float64"),
+            }
+        )
+    n_u = int(min(len(union), KMV_K))
+    bott = union[:n_u]
+    kth = int(bott[-1])
+    matched = int((np.isin(bott, a) & np.isin(bott, b)).sum())
+    if len(union) >= KMV_K:
+        raw = (KMV_K - 1.0) * float(_TWO53) / (kth + 1.0)
+        est_union = float(round_half_away(raw, 4))
+        est_inter = float(round_half_away(matched * raw / KMV_K, 4))
+    else:  # both sketches complete: the estimates ARE the exact counts
+        est_union = float(n_u)
+        est_inter = float(matched)
+    return pd.DataFrame(
+        {
+            "n_a_kept": pd.Series([len(a)], dtype="int64"),
+            "n_b_kept": pd.Series([len(b)], dtype="int64"),
+            "n_union_kept": pd.Series([n_u], dtype="int64"),
+            "matched": pd.Series([matched], dtype="int64"),
+            "union_kth": pd.Series([kth], dtype="int64"),
+            "est_union": pd.Series([est_union], dtype="float64"),
+            "est_inter": pd.Series([est_inter], dtype="float64"),
+        }
+    )
+
+
 def q_butterfly_count(sf_dir: str):
     """Bipartite graph motif counting over the customer-part purchase
     graph (edges = distinct (o_custkey, l_partkey) via lineitem JOIN

@@ -624,6 +624,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_mad_outliers",
     "q_max_drawdown",
     "q_csv_roundtrip",
+    "q_kmv_set_ops",
 ]
 
 _PROPS_POOL = [
@@ -1970,3 +1971,64 @@ def test_langid_eval_matches_bruteforce_confusion(ray_session):
             if predicted + support
             else 0
         )
+
+
+def _events_table(user_ids, types):
+    n = len(user_ids)
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(range(n), pa.timestamp("us")),
+            "user_id": pa.array(np.asarray(user_ids, dtype=np.int64)),
+            "event_type": pa.array(list(types)),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+
+
+def test_kmv_set_ops_exact_branch_and_estimator_accuracy(ray_session, tmp_path):
+    """Below k union hashes the sketches are complete and the 'estimates'
+    must EQUAL the true |A∪B| / |A∩B|; on a large planted overlap the
+    estimator must land within the sketch's error regime (k=64 →
+    σ≈1/√63≈12.6%; the deterministic hash grid makes the sample fixed, so
+    the bound is stable) and the digests must equal a numpy replay."""
+    from pdfray.pipelines.relational import q_kmv_set_ops
+
+    # exact branch: 10 viewers (0..9), 6 purchasers (4..9 ∪ {100, 101})
+    viewers = list(range(10))
+    purchasers = [4, 5, 6, 7, 8, 9, 100, 101]
+    d = tmp_path / "kmv_exact"
+    d.mkdir()
+    pq.write_table(
+        _events_table(
+            viewers + purchasers,
+            ["view"] * len(viewers) + ["purchase"] * len(purchasers),
+        ),
+        str(d / "events.parquet"),
+    )
+    out = q_kmv_set_ops(str(d))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["est_union"] == float(len(set(viewers) | set(purchasers)))
+    assert r["est_inter"] == float(len(set(viewers) & set(purchasers)))
+    assert r["n_union_kept"] == len(set(viewers) | set(purchasers))
+
+    # estimate branch: 4000 viewers, 3000 purchasers, 2000 overlap
+    viewers = list(range(4000))
+    purchasers = list(range(2000, 5000))
+    d2 = tmp_path / "kmv_big"
+    d2.mkdir()
+    pq.write_table(
+        _events_table(
+            viewers + purchasers,
+            ["view"] * len(viewers) + ["purchase"] * len(purchasers),
+        ),
+        str(d2 / "events.parquet"),
+    )
+    out = q_kmv_set_ops(str(d2))
+    r = out.iloc[0]
+    assert r["n_a_kept"] == 64 and r["n_b_kept"] == 64
+    true_union, true_inter = 5000, 2000
+    assert abs(r["est_union"] - true_union) / true_union < 0.4
+    assert abs(r["est_inter"] - true_inter) / true_inter < 0.6
