@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bfs_reach": R.q_bfs_reach,
         "t_langid_eval": T.t_langid_eval,
         "q_kmv_set_ops": R.q_kmv_set_ops,
+        "s_mrl_overlap": S.s_mrl_overlap,
     }
 
 
@@ -3908,6 +3909,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(9007199254740992 AS DOUBLE) / (uk.kth + 1.0)) / 64, 4) "
             "ELSE CAST(m.matched AS DOUBLE) END AS est_inter "
             "FROM nu, uk, m"
+        ),
+        "s_mrl_overlap": (
+            # both retrieval arms replayed with the shared rank order
+            # (rounded sim DESC, vec_id ASC); the half arm slices the
+            # list prefix exactly like the engine's column slice
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings ORDER BY vec_id LIMIT 5), "
+            "sfull AS (SELECT q.query_id, e.vec_id, "
+            "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.qe AS DOUBLE[])), 4) AS sim "
+            "FROM embeddings e CROSS JOIN q), "
+            "tf AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY sim DESC, vec_id) AS r FROM sfull) WHERE r <= 10), "
+            "shalf AS (SELECT q.query_id, e.vec_id, "
+            "ROUND(list_cosine_similarity("
+            "CAST(list_slice(e.embedding, 1, len(e.embedding) // 2) "
+            "AS DOUBLE[]), "
+            "CAST(list_slice(q.qe, 1, len(q.qe) // 2) AS DOUBLE[])), 4) "
+            "AS sim FROM embeddings e CROSS JOIN q), "
+            "th AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY sim DESC, vec_id) AS r FROM shalf) WHERE r <= 10), "
+            "kk AS (SELECT query_id, COUNT(*) AS k FROM tf GROUP BY query_id), "
+            "ov AS (SELECT tf.query_id, COUNT(*) AS novl FROM tf "
+            "JOIN th ON th.query_id = tf.query_id AND th.vec_id = tf.vec_id "
+            "GROUP BY tf.query_id) "
+            "SELECT kk.query_id, CAST(kk.k AS BIGINT) AS k, "
+            "CAST(COALESCE(ov.novl, 0) AS BIGINT) AS n_overlap, "
+            "CAST((1000000 * COALESCE(ov.novl, 0)) // kk.k AS BIGINT) "
+            "AS overlap_x1e6 "
+            "FROM kk LEFT JOIN ov ON ov.query_id = kk.query_id "
+            "ORDER BY kk.query_id"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -266,6 +266,7 @@ QUERY_NAMES = [
     "q_bfs_reach",
     "t_langid_eval",
     "q_kmv_set_ops",
+    "s_mrl_overlap",
 ]
 
 

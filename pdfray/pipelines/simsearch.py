@@ -2747,3 +2747,94 @@ def s_mmr_diverse_topk(sf_dir: str):
         {"query_id": "int64", "rank": "int64", "vec_id": "int64",
          "mmr_x1e5": "int64"}
     )
+
+
+def s_mrl_overlap(sf_dir: str):
+    """Matryoshka truncation retrieval eval (Kusupati et al. 2022): the
+    top-k overlap of HALF-dimension cosine retrieval vs full-dimension —
+    the go/no-go report before shipping truncated embeddings (half the
+    index bytes, half the matmul).  Per query: k (full-arm result size),
+    n_overlap = |top-k_full ∩ top-k_half|, overlap_x1e6 — a floored
+    integer-scaled rational, so no float decides a reported value.
+
+    Plan: ONE streaming pass scores BOTH representations per batch (two
+    matmuls against the one broadcast query payload; the half arm is a
+    zero-copy column slice), emits per-batch local top-k per arm under
+    the shared merge order (rounded sim desc, vec_id asc), and the
+    driver merges two candidate-sized frames and intersects id sets —
+    the corpus is read once, nothing wide.  Zero-vector convention: a
+    vector whose TRUNCATED half is all-zero pins to −1 in the half arm
+    (`_mask_zero_cosine` on the sliced raw), exactly DuckDB's
+    list_cosine_similarity on the sliced list.  Assumes dim ≥ 2 (a
+    1-dim embedding has an empty half — nothing to evaluate)."""
+    import ray
+
+    qids, qraw = _query_matrix_raw(sf_dir)
+    empty = _empty_result(query_id="i", k="i", n_overlap="i", overlap_x1e6="i")
+    if len(qids) == 0:
+        return empty
+    d2 = qraw.shape[1] // 2
+    qfull_n = _normalize(qraw)
+    qh_raw = qraw[:, :d2]
+    qh_n = _normalize(qh_raw)
+    qref = ray.put((qids, qraw, qfull_n, qh_raw, qh_n))
+
+    class Score:
+        def __init__(self):
+            (self.qids, self.qraw, self.qfn, self.qhr, self.qhn) = ray.get(
+                qref
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = {"arm": [], "query_id": [], "vec_id": [], "sim": []}
+            if len(t):
+                raw = _batch_matrix(t)
+                vec_ids = t.column("vec_id").to_numpy()
+                k = min(TOP_K, len(vec_ids))
+                arms = (
+                    ("full", raw, self.qfn, self.qraw),
+                    ("half", raw[:, : self.qhr.shape[1]], self.qhn, self.qhr),
+                )
+                for arm, r, qn, qr in arms:
+                    sims = _normalize(r) @ qn.T
+                    sims = _mask_zero_cosine(sims, r, qr)
+                    for qi, qid in enumerate(self.qids):
+                        col = sims[:, qi]
+                        order = np.lexsort((vec_ids, -round_half_away(col, 4)))
+                        for j in order[:k]:
+                            out["arm"].append(arm)
+                            out["query_id"].append(int(qid))
+                            out["vec_id"].append(int(vec_ids[j]))
+                            out["sim"].append(float(col[j]))
+            return pa.table(
+                {
+                    "arm": pa.array(out["arm"], pa.string()),
+                    "query_id": pa.array(out["query_id"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "sim": pa.array(out["sim"], pa.float64()),
+                }
+            )
+
+    local = (
+        _read_embeddings(sf_dir)
+        .map_batches(
+            warm_factory(("s_mrl", qref.hex()), Score),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
+        .to_pandas()
+    )
+    if len(local) == 0:
+        return empty
+    full = _merge_topk(local[local["arm"] == "full"].drop(columns=["arm"]))
+    half = _merge_topk(local[local["arm"] == "half"].drop(columns=["arm"]))
+    rows = []
+    for qid, g in full.groupby("query_id"):
+        ids_f = set(g["vec_id"])
+        ids_h = set(half.loc[half["query_id"] == qid, "vec_id"])
+        k = len(ids_f)
+        novl = len(ids_f & ids_h)
+        rows.append((int(qid), k, novl, (1_000_000 * novl) // k))
+    return pd.DataFrame(
+        rows, columns=["query_id", "k", "n_overlap", "overlap_x1e6"]
+    ).astype("int64").sort_values("query_id").reset_index(drop=True)

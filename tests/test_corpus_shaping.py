@@ -1363,6 +1363,7 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
 
 EMB_ORACLE_QUERIES = [
     "s_knn_bruteforce",
+    "s_mrl_overlap",
     "s_mmr_diverse_topk",
     "s_mips_topk",
     "s_embedding_dupes",
@@ -2032,3 +2033,34 @@ def test_kmv_set_ops_exact_branch_and_estimator_accuracy(ray_session, tmp_path):
     true_union, true_inter = 5000, 2000
     assert abs(r["est_union"] - true_union) / true_union < 0.4
     assert abs(r["est_inter"] - true_inter) / true_inter < 0.6
+
+
+def test_mrl_overlap_signal_in_prefix_is_lossless(ray_session, tmp_path):
+    """When ALL signal lives in the first half of the embedding (second
+    half identically zero), truncation provably changes nothing: every
+    query's half-arm top-k must equal its full-arm top-k (overlap_x1e6
+    == 1e6).  Grid components keep the sims float64-exact."""
+    from pdfray.pipelines.simsearch import s_mrl_overlap
+
+    rng = np.random.RandomState(7)
+    n, dim = 120, 8
+    first = rng.randint(-32, 33, size=(n, dim // 2)) / 64.0
+    emb = np.concatenate([first, np.zeros((n, dim // 2))], axis=1)
+    d = tmp_path / "mrl"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(emb)),
+                "label": pa.array(["l"] * n),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    out = s_mrl_overlap(str(d))
+    assert len(out) == 5
+    assert (out["k"] == 10).all()
+    assert (out["n_overlap"] == 10).all()
+    assert (out["overlap_x1e6"] == 1_000_000).all()
+    assert all(out[c].dtype == np.int64 for c in out.columns)
