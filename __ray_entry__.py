@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_langid_eval": T.t_langid_eval,
         "q_kmv_set_ops": R.q_kmv_set_ops,
         "s_mrl_overlap": S.s_mrl_overlap,
+        "q_ams_f2": R.q_ams_f2,
     }
 
 
@@ -3942,6 +3943,33 @@ def oracle_sql() -> dict[str, str]:
             "AS overlap_x1e6 "
             "FROM kk LEFT JOIN ov ON ov.query_id = kk.query_id "
             "ORDER BY kk.query_id"
+        ),
+        "q_ams_f2": (
+            # the AMS tug-of-war sketch replayed verbatim: sign_j(u) = ±1
+            # from bit j of md5_number_lower(user_id) (the engine hash),
+            # S_j exact integers, est_f2_x16 = middle-two group sums of
+            # S_j² (median of 8 means cleared of the /16) — no float
+            # anywhere; the NULL guard keeps the empty corpus at s = 0
+            # (CASE on a NULL hv would take the ELSE -1 branch)
+            "WITH jj AS (SELECT unnest(generate_series(0, 63)) AS j), "
+            "h AS (SELECT md5_number_lower(CAST(user_id AS VARCHAR)) AS hv "
+            "FROM events), "
+            "x AS (SELECT j, COALESCE(SUM(CASE WHEN hv IS NULL THEN 0 "
+            "WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END), 0) AS s "
+            "FROM jj LEFT JOIN h ON TRUE GROUP BY j), "
+            "g AS (SELECT j // 8 AS grp, "
+            "SUM(CAST(s AS HUGEINT) * s) AS gs FROM x GROUP BY j // 8), "
+            "est AS (SELECT COALESCE(SUM(gs), 0) AS e16 FROM "
+            "(SELECT gs FROM g ORDER BY gs OFFSET 3 LIMIT 2)), "
+            "pu AS (SELECT COUNT(*) AS c FROM events GROUP BY user_id), "
+            "ex AS (SELECT COALESCE(SUM(CAST(c AS HUGEINT) * c), 0) AS f2, "
+            "COALESCE(SUM(c), 0) AS n FROM pu) "
+            "SELECT CAST(ex.n AS BIGINT) AS n_events, "
+            "CAST(ex.f2 AS BIGINT) AS exact_f2, "
+            "CAST(est.e16 AS BIGINT) AS est_f2_x16, "
+            "CAST(CASE WHEN ex.f2 = 0 THEN 0 ELSE "
+            "(abs(est.e16 - 16 * ex.f2) * 1000000) // (16 * ex.f2) END "
+            "AS BIGINT) AS err_ppm FROM ex, est"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

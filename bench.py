@@ -267,6 +267,7 @@ QUERY_NAMES = [
     "t_langid_eval",
     "q_kmv_set_ops",
     "s_mrl_overlap",
+    "q_ams_f2",
 ]
 
 

@@ -625,6 +625,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_max_drawdown",
     "q_csv_roundtrip",
     "q_kmv_set_ops",
+    "q_ams_f2",
 ]
 
 _PROPS_POOL = [
@@ -2033,6 +2034,48 @@ def test_kmv_set_ops_exact_branch_and_estimator_accuracy(ray_session, tmp_path):
     true_union, true_inter = 5000, 2000
     assert abs(r["est_union"] - true_union) / true_union < 0.4
     assert abs(r["est_inter"] - true_inter) / true_inter < 0.6
+
+
+def test_ams_f2_exact_and_sketch_replay(ray_session, tmp_path, monkeypatch):
+    """q_ams_f2's exact branch must equal the brute-force Σc² and the
+    sketch must equal a pure-Python tug-of-war replica (same md5-low-64
+    signs, same median-of-means integer arithmetic) — in BOTH merge
+    regimes (driver pandas fold and the distributed groupby path)."""
+    import hashlib
+
+    import pdfray.pipelines.relational as R
+
+    users = [1] * 7 + [2] * 3 + [3] * 1 + [999] * 5  # skewed counts
+    d = tmp_path / "ams"
+    d.mkdir()
+    pq.write_table(
+        _events_table(users, ["view"] * len(users)), str(d / "events.parquet")
+    )
+    counts = pd.Series(users).value_counts()
+    exact = int((counts.astype(object) ** 2).sum())
+
+    s = [0] * R.AMS_J
+    for u, c in counts.items():
+        hv = int.from_bytes(hashlib.md5(str(u).encode()).digest()[8:], "little")
+        for j in range(R.AMS_J):
+            s[j] += (1 if (hv >> j) & 1 else -1) * int(c)
+    x = [v * v for v in s]
+    gsz = R.AMS_J // R.AMS_G
+    gs = sorted(sum(x[g * gsz : (g + 1) * gsz]) for g in range(R.AMS_G))
+    want_est = gs[R.AMS_G // 2 - 1] + gs[R.AMS_G // 2]
+
+    for regime_rows in (None, 0):  # default driver fold, forced groupby
+        if regime_rows is not None:
+            monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", regime_rows)
+        out = R.q_ams_f2(str(d))
+        r = out.iloc[0]
+        assert r["n_events"] == len(users)
+        assert r["exact_f2"] == exact
+        assert r["est_f2_x16"] == want_est
+        assert (
+            r["err_ppm"]
+            == abs(want_est - 16 * exact) * 1_000_000 // (16 * exact)
+        )
 
 
 def test_mrl_overlap_signal_in_prefix_is_lossless(ray_session, tmp_path):
