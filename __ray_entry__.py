@@ -417,7 +417,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kmv_set_ops": R.q_kmv_set_ops,
         "s_mrl_overlap": S.s_mrl_overlap,
         "q_ams_f2": R.q_ams_f2,
+        "q_column_profile": R.q_column_profile,
     }
+
+
+def _column_profile_oracle() -> str:
+    """One UNION ALL branch per lineitem column, generated from the SAME
+    PROFILE_COLS spec the engine iterates (names/kinds can never drift).
+    Numeric min/max CAST to DOUBLE on both sides; timestamps ride as
+    epoch-microseconds; COUNT(DISTINCT) is over raw values (the engine's
+    canonical-string encoding only needs injectivity, see
+    relational._profile_canon)."""
+    from pdfray.pipelines.relational import PROFILE_COLS
+
+    branches = []
+    for c, kind in PROFILE_COLS:
+        if kind == "string":
+            mn = f"CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, MIN({c}) AS min_str, MAX({c}) AS max_str"
+        elif kind == "timestamp":
+            mn = (
+                f"CAST(epoch_us(MIN({c})) AS DOUBLE) AS min_num, "
+                f"CAST(epoch_us(MAX({c})) AS DOUBLE) AS max_num, "
+                "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+            )
+        else:
+            mn = (
+                f"CAST(MIN({c}) AS DOUBLE) AS min_num, CAST(MAX({c}) AS DOUBLE) AS max_num, "
+                "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+            )
+        branches.append(
+            f"SELECT '{c}' AS col, '{kind}' AS kind, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, {mn} FROM lineitem"
+        )
+    return "SELECT * FROM (" + " UNION ALL ".join(branches) + ") ORDER BY col"
 
 
 def _image_hash_oracle() -> str:
@@ -3971,6 +4004,7 @@ def oracle_sql() -> dict[str, str]:
             "(abs(est.e16 - 16 * ex.f2) * 1000000) // (16 * ex.f2) END "
             "AS BIGINT) AS err_ppm FROM ex, est"
         ),
+        "q_column_profile": _column_profile_oracle(),
     }
     # the Bloom+bucketed-store form is output-identical by construction
     # (no false negatives; every positive exactly verified) — one oracle

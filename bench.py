@@ -268,6 +268,7 @@ QUERY_NAMES = [
     "q_kmv_set_ops",
     "s_mrl_overlap",
     "q_ams_f2",
+    "q_column_profile",
 ]
 
 

@@ -9478,3 +9478,246 @@ def q_ams_f2(sf_dir: str):
             "err_ppm": pd.Series([err_ppm], dtype="int64"),
         }
     )
+
+
+# ----------------------------------------------------------------------
+# Table profiler — the ANALYZE / column-statistics pass every engine
+# runs before planning a big job.  Engine-added brief.
+
+PROFILE_COLS = [
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "double"),
+    ("l_extendedprice", "double"),
+    ("l_discount", "double"),
+    ("l_tax", "double"),
+    ("l_returnflag", "string"),
+    ("l_linestatus", "string"),
+    ("l_shipdate", "timestamp"),
+]
+
+
+def _profile_canon(arr: pa.ChunkedArray, kind: str) -> list:
+    """Distinct non-null values of one block column as CANONICAL strings.
+
+    The encoding only needs to be INJECTIVE (distinct-on-string ==
+    distinct-on-value); it never has to match any DuckDB repr because the
+    oracle counts DISTINCT on the raw values.  Doubles normalize -0.0 to
+    0.0 first (SQL DISTINCT compares them equal; repr() does not) and NaN
+    canonicalizes to the single string 'nan'."""
+    vals = pc.unique(pc.drop_null(arr))
+    if kind == "int":
+        return [str(v) for v in vals.to_pylist()]
+    if kind == "double":
+        out = set()
+        for v in vals.to_pylist():
+            out.add("nan" if v != v else repr(0.0 if v == 0 else v))
+        return sorted(out)
+    if kind == "timestamp":
+        return [str(v) for v in vals.cast(pa.int64()).to_pylist()]
+    return vals.to_pylist()
+
+
+def q_column_profile(sf_dir: str):
+    """Per-column statistics of the lineitem table in one streaming pass:
+    row/null counts, min/max, and the EXACT distinct cardinality — the
+    ANALYZE primitive a planner consults before choosing join order,
+    broadcast thresholds, and partition counts (q_ams_f2 and
+    q_hll_user_days are the sketch versions of the same decision).
+
+    Scale shape: counts and min/max reduce per block to ONE row per
+    column (blocks × 11 partial rows reach the driver — no exchange at
+    all for those); exact distinct is the only exchange, and it is
+    two-level: each block first dedups each column locally and ships
+    (col, canonical-value) pairs — the per-block distinct sets, not the
+    rows — then the two-regime plan dedups globally (driver
+    drop_duplicates below PIVOT_DRIVER_MAX_ROWS pair rows, a distributed
+    (col, v) groupby above; high-cardinality columns are where the
+    exchange cost lives, which is exactly what the HLL/KMV sketches are
+    for when approximate suffices).  Numeric min/max are reported as
+    DOUBLE on both sides (the oracle CASTs — identical rounding above
+    2^53); timestamps ride as epoch-microseconds; string order is
+    Arrow memcmp == DuckDB binary collation == code-point order on
+    UTF-8.  NaN replays DuckDB's total order (NaN sorts GREATER than
+    everything: any NaN makes max NaN; min is NaN only when every
+    non-null value is — Arrow's min_max IGNORES NaN, so the partials
+    carry an n_nan count and the driver fold reapplies the rule).  An
+    EMPTY table still reports one row per column (aggregates without
+    GROUP BY), with NULL min/max and zero counts."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [c for c, _ in PROFILE_COLS],
+        rows_per_block=100_000,
+    )
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        rows = {
+            "col": [],
+            "n_rows": [],
+            "n_null": [],
+            "n_nan": [],
+            "min_num": [],
+            "max_num": [],
+            "min_str": [],
+            "max_str": [],
+        }
+        for c, kind in PROFILE_COLS:
+            arr = t.column(c)
+            rows["col"].append(c)
+            rows["n_rows"].append(len(arr))
+            rows["n_null"].append(arr.null_count)
+            n_nan = (
+                pc.sum(pc.is_nan(pc.drop_null(arr))).as_py() or 0
+                if kind == "double" and len(arr) > arr.null_count
+                else 0
+            )
+            rows["n_nan"].append(int(n_nan))
+            mn = mx = None
+            if len(arr) > arr.null_count:
+                if kind == "timestamp":
+                    mm = pc.min_max(arr.cast(pa.int64()))
+                else:
+                    mm = pc.min_max(arr)
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            if kind == "string":
+                rows["min_num"].append(None)
+                rows["max_num"].append(None)
+                rows["min_str"].append(mn)
+                rows["max_str"].append(mx)
+            else:
+                rows["min_num"].append(None if mn is None else float(mn))
+                rows["max_num"].append(None if mx is None else float(mx))
+                rows["min_str"].append(None)
+                rows["max_str"].append(None)
+        return pa.table(
+            {
+                "col": pa.array(rows["col"], pa.string()),
+                "n_rows": pa.array(rows["n_rows"], pa.int64()),
+                "n_null": pa.array(rows["n_null"], pa.int64()),
+                "n_nan": pa.array(rows["n_nan"], pa.int64()),
+                "min_num": pa.array(rows["min_num"], pa.float64()),
+                "max_num": pa.array(rows["max_num"], pa.float64()),
+                "min_str": pa.array(rows["min_str"], pa.string()),
+                "max_str": pa.array(rows["max_str"], pa.string()),
+            }
+        )
+
+    stats = typed_collect(
+        ds.map_batches(stats_partial, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("col", pa.string()),
+                ("n_rows", pa.int64()),
+                ("n_null", pa.int64()),
+                ("n_nan", pa.int64()),
+                ("min_num", pa.float64()),
+                ("max_num", pa.float64()),
+                ("min_str", pa.string()),
+                ("max_str", pa.string()),
+            ]
+        ),
+    )
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c, kind in PROFILE_COLS:
+            vs = _profile_canon(t.column(c), kind)
+            cols.extend([c] * len(vs))
+            vals.extend(vs)
+        return pa.table(
+            {"col": pa.array(cols, pa.string()), "v": pa.array(vals, pa.string())}
+        )
+
+    pairs = ds.map_batches(distinct_partial, batch_format="pyarrow").materialize()
+    if pairs.count() <= PIVOT_DRIVER_MAX_ROWS:
+        pdf = pairs.to_pandas()
+        if len(pdf.columns) == 0 or len(pdf) == 0:
+            nd = pd.DataFrame(
+                {
+                    "col": pd.Series([], dtype=object),
+                    "n_distinct": pd.Series([], dtype="int64"),
+                }
+            )
+        else:
+            nd = (
+                pdf.drop_duplicates()
+                .groupby("col", as_index=False)
+                .size()
+                .rename(columns={"size": "n_distinct"})
+            )
+    else:
+        from ray.data.aggregate import Count
+
+        dedup = pairs.groupby(["col", "v"]).aggregate(Count(alias_name="_n"))
+
+        def cnt(t: pa.Table) -> pa.Table:
+            g = t.select(["col"]).group_by("col").aggregate([([], "count_all")])
+            return g.rename_columns(["col", "n_distinct"])
+
+        nd = (
+            typed_collect(
+                dedup.map_batches(cnt, batch_format="pyarrow"),
+                pa.schema([("col", pa.string()), ("n_distinct", pa.int64())]),
+            )
+            .groupby("col", as_index=False)["n_distinct"]
+            .sum()
+        )
+
+    kind_of = dict(PROFILE_COLS)
+    if len(stats):
+        agg = stats.groupby("col", as_index=False).agg(
+            n_rows=("n_rows", "sum"),
+            n_null=("n_null", "sum"),
+            n_nan=("n_nan", "sum"),
+            min_num=("min_num", "min"),
+            max_num=("max_num", "max"),
+            min_str=("min_str", "min"),
+            max_str=("max_str", "max"),
+        )
+        # DuckDB's NaN-greatest total order: any NaN wins the max; min is
+        # NaN only when NaN is the ONLY non-null value
+        has_nan = agg["n_nan"] > 0
+        agg.loc[has_nan, "max_num"] = np.nan
+        only_nan = has_nan & (
+            agg["n_rows"] - agg["n_null"] - agg["n_nan"] == 0
+        )
+        agg.loc[only_nan, "min_num"] = np.nan
+    else:
+        agg = pd.DataFrame(
+            columns=[
+                "col",
+                "n_rows",
+                "n_null",
+                "n_nan",
+                "min_num",
+                "max_num",
+                "min_str",
+                "max_str",
+            ]
+        )
+    spine = pd.DataFrame({"col": [c for c, _ in PROFILE_COLS]})
+    out = spine.merge(agg, on="col", how="left").merge(nd, on="col", how="left")
+    out["kind"] = out["col"].map(kind_of)
+    for c in ("n_rows", "n_null", "n_distinct"):
+        out[c] = out[c].fillna(0).astype("int64")
+    out["min_num"] = out["min_num"].astype("float64")
+    out["max_num"] = out["max_num"].astype("float64")
+    out["min_str"] = out["min_str"].astype(object).where(out["min_str"].notna(), None)
+    out["max_str"] = out["max_str"].astype(object).where(out["max_str"].notna(), None)
+    out = out[
+        [
+            "col",
+            "kind",
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "min_num",
+            "max_num",
+            "min_str",
+            "max_str",
+        ]
+    ]
+    return out.sort_values("col").reset_index(drop=True)

@@ -791,6 +791,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "q_frequent_pairs",
     "q_skyline_parts",
     "t_editdist_dupes",
+    "q_column_profile",
 ]
 
 
@@ -2076,6 +2077,55 @@ def test_ams_f2_exact_and_sketch_replay(ray_session, tmp_path, monkeypatch):
             r["err_ppm"]
             == abs(want_est - 16 * exact) * 1_000_000 // (16 * exact)
         )
+
+
+def test_column_profile_hostile_values_and_regimes(ray_session, tmp_path, monkeypatch):
+    """q_column_profile over a planted lineitem with NULLs, a -0.0/0.0
+    pair (SQL DISTINCT counts them ONCE; a naive repr() would count two),
+    NaN (counted once), and duplicate values — compared dtype-strict
+    against the registered oracle, in BOTH distinct-merge regimes."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    import pdfray.pipelines.relational as R
+
+    n = 8
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 2, 3, 3, 4, 4], pa.int64()),
+            "l_partkey": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+            "l_suppkey": pa.array([None, 1, 1, 1, 2, 2, 2, 2], pa.int64()),
+            "l_linenumber": pa.array([1, 2, 1, 2, 1, 2, 1, 2], pa.int32()),
+            "l_quantity": pa.array(
+                [0.0, -0.0, float("nan"), 1.5, 1.5, None, 2.25, 0.0],
+                pa.float64(),
+            ),
+            "l_extendedprice": pa.array([10.0] * n, pa.float64()),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["A", "N", None, "R", "A", "N", "R", "Ü"]),
+            "l_linestatus": pa.array(["O"] * n),
+            "l_shipdate": pa.array([1_000_000 * i for i in range(n)], pa.timestamp("us")),
+        }
+    )
+    d = tmp_path / "prof"
+    d.mkdir()
+    pq.write_table(t, str(d / "lineitem.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    want = con.execute(entrymod.oracle_sql()["q_column_profile"]).df()
+    want = want[sorted(want.columns)].reset_index(drop=True)
+    for regime_rows in (None, 0):
+        if regime_rows is not None:
+            monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", regime_rows)
+        got = R.q_column_profile(str(d))
+        got = got[sorted(got.columns)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    # the -0.0/0.0/NaN canonicalization is load-bearing, not incidental
+    q = want.set_index("col").loc["l_quantity"]
+    assert q["n_null"] == 1 and q["n_distinct"] == 4  # {0.0, nan, 1.5, 2.25}
 
 
 def test_mrl_overlap_signal_in_prefix_is_lossless(ray_session, tmp_path):
