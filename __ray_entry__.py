@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_mrl_overlap": S.s_mrl_overlap,
         "q_ams_f2": R.q_ams_f2,
         "q_column_profile": R.q_column_profile,
+        "t_filter_attrition": T.t_filter_attrition,
     }
 
 
@@ -1354,6 +1355,116 @@ def _kmeans_init_assign_oracle() -> str:
     )
 
 
+def _gopher_oracle() -> str:
+    """Per-doc Gopher rule flags (shared by the t_gopher_rules oracle and
+    _attrition_oracle — one SQL kernel, no rule drift)."""
+    return (
+        # every rule recomputed verbatim; thresholds as integer
+        # cross-multiplications, so no float ever enters the compare
+        "WITH m AS (SELECT doc_id, "
+        "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) "
+        "AS n_words, "
+        "len(regexp_replace(text, '\\s', '', 'g')) AS sum_word_chars, "
+        "(len(text) - len(replace(text, '#', ''))) "
+        "+ (len(text) - len(replace(text, '…', ''))) "
+        "+ (len(text) - len(replace(text, '...', ''))) // 3 AS n_symbols, "
+        "list_filter(string_split(text, chr(10)), l -> l <> '') AS ls, "
+        "len(regexp_extract_all(text, '[^\\s]*[A-Za-z][^\\s]*')) "
+        "AS n_alpha_words, "
+        + " + ".join(
+            "(CASE WHEN regexp_matches(lower(text), "
+            f"'(^|\\s){w}(\\s|$)') THEN 1 ELSE 0 END)"
+            for w in (
+                "the",
+                "be",
+                "to",
+                "of",
+                "and",
+                "that",
+                "have",
+                "with",
+            )
+        )
+        + " AS n_stop_distinct FROM documents), "
+        "x AS (SELECT doc_id, n_words, sum_word_chars, n_symbols, "
+        "CAST(len(ls) AS BIGINT) AS n_lines, "
+        "CAST(len(list_filter(ls, l -> starts_with(l, '- ') "
+        "OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) "
+        "AS n_bullet, "
+        "CAST(len(list_filter(ls, l -> ends_with(l, '...') "
+        "OR ends_with(l, '…'))) AS BIGINT) AS n_ellipsis_lines, "
+        "n_alpha_words, CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct "
+        "FROM m) "
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+        "CAST(sum_word_chars AS BIGINT) AS sum_word_chars, "
+        "CAST(n_symbols AS BIGINT) AS n_symbols, n_lines, n_bullet, "
+        "n_ellipsis_lines, CAST(n_alpha_words AS BIGINT) AS n_alpha_words, "
+        "n_stop_distinct, "
+        "(n_words BETWEEN 50 AND 100000 "
+        "AND 3 * n_words <= sum_word_chars "
+        "AND sum_word_chars <= 10 * n_words "
+        "AND 10 * n_symbols <= n_words "
+        "AND 10 * n_bullet <= 9 * n_lines "
+        "AND 10 * n_ellipsis_lines <= 3 * n_lines "
+        "AND 5 * n_alpha_words >= 4 * n_words "
+        "AND n_stop_distinct >= 2) AS keep "
+        "FROM x ORDER BY doc_id"
+    )
+
+
+def _c4_oracle() -> str:
+    """Per-doc C4 rule flags (shared by the t_c4_filter oracle and
+    _attrition_oracle)."""
+    return (
+        "WITH l AS (SELECT doc_id, text, "
+        "list_filter(list_transform(string_split(text, chr(10)), "
+        "r -> trim(r, ' ' || chr(9) || chr(13))), x -> x <> '') AS ls "
+        "FROM documents), "
+        "m AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, "
+        "CAST(len(list_filter(ls, l -> (ends_with(l, '.') "
+        "OR ends_with(l, '!') OR ends_with(l, '?') "
+        "OR ends_with(l, '\"')) "
+        "AND len(list_filter(string_split_regex(l, '\\s+'), "
+        "w -> w <> '')) >= 3 "
+        "AND NOT contains(lower(l), 'javascript'))) AS BIGINT) "
+        "AS n_kept_lines, "
+        "contains(lower(text), 'lorem ipsum') AS has_lorem, "
+        "contains(text, '{') AS has_brace FROM l) "
+        "SELECT doc_id, n_lines, n_kept_lines, has_lorem, has_brace, "
+        "(n_kept_lines >= 3 AND NOT has_lorem AND NOT has_brace) AS keep "
+        "FROM m ORDER BY doc_id"
+    )
+
+
+def _attrition_oracle() -> str:
+    """The gate cascade replayed from the SAME per-doc rule oracle the
+    individual queries register (the Gopher rule CTE reused verbatim),
+    then five funnel rows from ONE aggregate over the cumulative flags;
+    exact_dedup survivors = COUNT(DISTINCT md5(text)) among full-cascade
+    survivors (first-per-hash keeps exactly one per group)."""
+    return (
+        f"WITH g AS ({_gopher_oracle()}), "
+        "f AS (SELECT d.doc_id, (d.n_chars >= 200) AS p1, "
+        "(d.n_chars >= 200 AND g.n_words BETWEEN 50 AND 100000) AS p12, "
+        "(d.n_chars >= 200 AND g.n_words BETWEEN 50 AND 100000 "
+        "AND g.n_stop_distinct >= 1) AS p123, "
+        "md5(d.text) AS h FROM documents d "
+        "JOIN g ON g.doc_id = d.doc_id), "
+        "c AS (SELECT COUNT(*) AS n, COUNT(*) FILTER (p1) AS n1, "
+        "COUNT(*) FILTER (p12) AS n12, COUNT(*) FILTER (p123) AS n123, "
+        "COUNT(DISTINCT h) FILTER (p123) AS n4 FROM f) "
+        "SELECT * FROM ("
+        "SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage, "
+        "CAST(n AS BIGINT) AS n_in, CAST(0 AS BIGINT) AS n_dropped, "
+        "CAST(n AS BIGINT) AS n_out FROM c "
+        "UNION ALL SELECT 1, 'min_length', n, n - n1, n1 FROM c "
+        "UNION ALL SELECT 2, 'word_count', n1, n1 - n12, n12 FROM c "
+        "UNION ALL SELECT 3, 'stopword', n12, n12 - n123, n123 FROM c "
+        "UNION ALL SELECT 4, 'exact_dedup', n123, n123 - n4, n4 FROM c"
+        ") ORDER BY stage_idx"
+    )
+
+
 def _langid_oracle() -> str:
     """The language-ID heuristic recomputed verbatim in DuckDB: distinct
     word-marker intersections (x2.0) + characteristic-character counts
@@ -2163,77 +2274,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS component "
             "FROM walk GROUP BY node ORDER BY doc_id"
         ),
-        "t_gopher_rules": (
-            # every rule recomputed verbatim; thresholds as integer
-            # cross-multiplications, so no float ever enters the compare
-            "WITH m AS (SELECT doc_id, "
-            "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) "
-            "AS n_words, "
-            "len(regexp_replace(text, '\\s', '', 'g')) AS sum_word_chars, "
-            "(len(text) - len(replace(text, '#', ''))) "
-            "+ (len(text) - len(replace(text, '…', ''))) "
-            "+ (len(text) - len(replace(text, '...', ''))) // 3 AS n_symbols, "
-            "list_filter(string_split(text, chr(10)), l -> l <> '') AS ls, "
-            "len(regexp_extract_all(text, '[^\\s]*[A-Za-z][^\\s]*')) "
-            "AS n_alpha_words, "
-            + " + ".join(
-                "(CASE WHEN regexp_matches(lower(text), "
-                f"'(^|\\s){w}(\\s|$)') THEN 1 ELSE 0 END)"
-                for w in (
-                    "the",
-                    "be",
-                    "to",
-                    "of",
-                    "and",
-                    "that",
-                    "have",
-                    "with",
-                )
-            )
-            + " AS n_stop_distinct FROM documents), "
-            "x AS (SELECT doc_id, n_words, sum_word_chars, n_symbols, "
-            "CAST(len(ls) AS BIGINT) AS n_lines, "
-            "CAST(len(list_filter(ls, l -> starts_with(l, '- ') "
-            "OR starts_with(l, '* ') OR starts_with(l, '• '))) AS BIGINT) "
-            "AS n_bullet, "
-            "CAST(len(list_filter(ls, l -> ends_with(l, '...') "
-            "OR ends_with(l, '…'))) AS BIGINT) AS n_ellipsis_lines, "
-            "n_alpha_words, CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct "
-            "FROM m) "
-            "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
-            "CAST(sum_word_chars AS BIGINT) AS sum_word_chars, "
-            "CAST(n_symbols AS BIGINT) AS n_symbols, n_lines, n_bullet, "
-            "n_ellipsis_lines, CAST(n_alpha_words AS BIGINT) AS n_alpha_words, "
-            "n_stop_distinct, "
-            "(n_words BETWEEN 50 AND 100000 "
-            "AND 3 * n_words <= sum_word_chars "
-            "AND sum_word_chars <= 10 * n_words "
-            "AND 10 * n_symbols <= n_words "
-            "AND 10 * n_bullet <= 9 * n_lines "
-            "AND 10 * n_ellipsis_lines <= 3 * n_lines "
-            "AND 5 * n_alpha_words >= 4 * n_words "
-            "AND n_stop_distinct >= 2) AS keep "
-            "FROM x ORDER BY doc_id"
-        ),
-        "t_c4_filter": (
-            "WITH l AS (SELECT doc_id, text, "
-            "list_filter(list_transform(string_split(text, chr(10)), "
-            "r -> trim(r, ' ' || chr(9) || chr(13))), x -> x <> '') AS ls "
-            "FROM documents), "
-            "m AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines, "
-            "CAST(len(list_filter(ls, l -> (ends_with(l, '.') "
-            "OR ends_with(l, '!') OR ends_with(l, '?') "
-            "OR ends_with(l, '\"')) "
-            "AND len(list_filter(string_split_regex(l, '\\s+'), "
-            "w -> w <> '')) >= 3 "
-            "AND NOT contains(lower(l), 'javascript'))) AS BIGINT) "
-            "AS n_kept_lines, "
-            "contains(lower(text), 'lorem ipsum') AS has_lorem, "
-            "contains(text, '{') AS has_brace FROM l) "
-            "SELECT doc_id, n_lines, n_kept_lines, has_lorem, has_brace, "
-            "(n_kept_lines >= 3 AND NOT has_lorem AND NOT has_brace) AS keep "
-            "FROM m ORDER BY doc_id"
-        ),
+        "t_gopher_rules": _gopher_oracle(),
+        "t_c4_filter": _c4_oracle(),
         "t_pii_scrub": (
             # identical RE2 pattern strings on both sides; the scrubbed-text
             # md5 certifies the replacement byte-for-byte without shipping
@@ -4005,6 +4047,7 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS err_ppm FROM ex, est"
         ),
         "q_column_profile": _column_profile_oracle(),
+        "t_filter_attrition": _attrition_oracle(),
     }
     # the Bloom+bucketed-store form is output-identical by construction
     # (no false negatives; every positive exactly verified) — one oracle

@@ -269,6 +269,7 @@ QUERY_NAMES = [
     "s_mrl_overlap",
     "q_ams_f2",
     "q_column_profile",
+    "t_filter_attrition",
 ]
 
 

@@ -130,7 +130,9 @@ def t_token_stats(sf_dir: str):
         )
 
     ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
-    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
+    return _collect_sorted(
+        ds, ("doc_id",), lambda: _gopher_project(_empty_docs())
+    )
 
 
 def t_fingerprint(sf_dir: str):
@@ -145,7 +147,9 @@ def t_fingerprint(sf_dir: str):
         return pa.table({"doc_id": t.column("doc_id"), "fingerprint": pa.array(fps)})
 
     ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
-    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
+    return _collect_sorted(
+        ds, ("doc_id",), lambda: _c4_project(_empty_docs())
+    )
 
 
 def t_exact_dedup(sf_dir: str):
@@ -231,6 +235,98 @@ def t_quality(sf_dir: str):
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _gopher_project(t: pa.Table) -> pa.Table:
+    """Per-batch Gopher rule flags (shared by t_gopher_rules and
+    t_filter_attrition — ONE kernel, no rule drift)."""
+    text = t.column("text")
+    lower = pc.utf8_lower(text)
+    n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    sum_word_chars = pc.cast(
+        pc.utf8_length(pc.replace_substring_regex(text, r"\s", "")), pa.int64()
+    )
+    n_symbols = pc.add(
+        pc.add(
+            pc.cast(pc.count_substring(text, "#"), pa.int64()),
+            pc.cast(pc.count_substring(text, "…"), pa.int64()),
+        ),
+        pc.cast(pc.count_substring(text, "..."), pa.int64()),
+    )
+    n_alpha_words = pc.cast(
+        pc.count_substring_regex(text, r"[^\s]*[A-Za-z][^\s]*"), pa.int64()
+    )
+    stop_hits = None
+    for w in _GOPHER_STOPS:
+        hit = pc.cast(
+            pc.match_substring_regex(lower, rf"(^|\s){w}(\s|$)"), pa.int64()
+        )
+        stop_hits = hit if stop_hits is None else pc.add(stop_hits, hit)
+    n_lines_l, n_bullet_l, n_ell_l = [], [], []
+    for s in text.to_pylist():
+        lines = [ln for ln in s.split("\n") if ln]
+        n_lines_l.append(len(lines))
+        n_bullet_l.append(
+            sum(ln.startswith(("- ", "* ", "• ")) for ln in lines)
+        )
+        n_ell_l.append(sum(ln.endswith(("...", "…")) for ln in lines))
+    n_lines = pa.array(n_lines_l, pa.int64())
+    n_bullet = pa.array(n_bullet_l, pa.int64())
+    n_ell = pa.array(n_ell_l, pa.int64())
+    ten_words = pc.multiply(n_words, pa.scalar(10, pa.int64()))
+    keep = pc.and_(
+        pc.and_(
+            pc.and_(
+                pc.greater_equal(n_words, pa.scalar(50, pa.int64())),
+                pc.less_equal(n_words, pa.scalar(100_000, pa.int64())),
+            ),
+            pc.and_(
+                pc.less_equal(
+                    pc.multiply(n_words, pa.scalar(3, pa.int64())),
+                    sum_word_chars,
+                ),
+                pc.less_equal(sum_word_chars, ten_words),
+            ),
+        ),
+        pc.and_(
+            pc.and_(
+                pc.less_equal(
+                    pc.multiply(n_symbols, pa.scalar(10, pa.int64())), n_words
+                ),
+                pc.and_(
+                    pc.less_equal(
+                        pc.multiply(n_bullet, pa.scalar(10, pa.int64())),
+                        pc.multiply(n_lines, pa.scalar(9, pa.int64())),
+                    ),
+                    pc.less_equal(
+                        pc.multiply(n_ell, pa.scalar(10, pa.int64())),
+                        pc.multiply(n_lines, pa.scalar(3, pa.int64())),
+                    ),
+                ),
+            ),
+            pc.and_(
+                pc.greater_equal(
+                    pc.multiply(n_alpha_words, pa.scalar(5, pa.int64())),
+                    pc.multiply(n_words, pa.scalar(4, pa.int64())),
+                ),
+                pc.greater_equal(stop_hits, pa.scalar(2, pa.int64())),
+            ),
+        ),
+    )
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_words": n_words,
+            "sum_word_chars": sum_word_chars,
+            "n_symbols": n_symbols,
+            "n_lines": n_lines,
+            "n_bullet": n_bullet,
+            "n_ellipsis_lines": n_ell,
+            "n_alpha_words": n_alpha_words,
+            "n_stop_distinct": stop_hits,
+            "keep": keep,
+        }
+    )
+
+
 def t_gopher_rules(sf_dir: str):
     """Gopher quality-rule metrics (Rae et al. 2021, public): per document
     the integer counts each rule reads, plus the keep verdict.  All rule
@@ -241,100 +337,51 @@ def t_gopher_rules(sf_dir: str):
     of lines bullet-led; <= 30% of lines ellipsis-terminated; >= 80% of
     words contain an alphabetic char; >= 2 distinct stop words."""
 
-    def project(t: pa.Table) -> pa.Table:
-        text = t.column("text")
-        lower = pc.utf8_lower(text)
-        n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
-        sum_word_chars = pc.cast(
-            pc.utf8_length(pc.replace_substring_regex(text, r"\s", "")), pa.int64()
-        )
-        n_symbols = pc.add(
-            pc.add(
-                pc.cast(pc.count_substring(text, "#"), pa.int64()),
-                pc.cast(pc.count_substring(text, "…"), pa.int64()),
-            ),
-            pc.cast(pc.count_substring(text, "..."), pa.int64()),
-        )
-        n_alpha_words = pc.cast(
-            pc.count_substring_regex(text, r"[^\s]*[A-Za-z][^\s]*"), pa.int64()
-        )
-        stop_hits = None
-        for w in _GOPHER_STOPS:
-            hit = pc.cast(
-                pc.match_substring_regex(lower, rf"(^|\s){w}(\s|$)"), pa.int64()
-            )
-            stop_hits = hit if stop_hits is None else pc.add(stop_hits, hit)
-        n_lines_l, n_bullet_l, n_ell_l = [], [], []
-        for s in text.to_pylist():
-            lines = [ln for ln in s.split("\n") if ln]
-            n_lines_l.append(len(lines))
-            n_bullet_l.append(
-                sum(ln.startswith(("- ", "* ", "• ")) for ln in lines)
-            )
-            n_ell_l.append(sum(ln.endswith(("...", "…")) for ln in lines))
-        n_lines = pa.array(n_lines_l, pa.int64())
-        n_bullet = pa.array(n_bullet_l, pa.int64())
-        n_ell = pa.array(n_ell_l, pa.int64())
-        ten_words = pc.multiply(n_words, pa.scalar(10, pa.int64()))
-        keep = pc.and_(
-            pc.and_(
-                pc.and_(
-                    pc.greater_equal(n_words, pa.scalar(50, pa.int64())),
-                    pc.less_equal(n_words, pa.scalar(100_000, pa.int64())),
-                ),
-                pc.and_(
-                    pc.less_equal(
-                        pc.multiply(n_words, pa.scalar(3, pa.int64())),
-                        sum_word_chars,
-                    ),
-                    pc.less_equal(sum_word_chars, ten_words),
-                ),
-            ),
-            pc.and_(
-                pc.and_(
-                    pc.less_equal(
-                        pc.multiply(n_symbols, pa.scalar(10, pa.int64())), n_words
-                    ),
-                    pc.and_(
-                        pc.less_equal(
-                            pc.multiply(n_bullet, pa.scalar(10, pa.int64())),
-                            pc.multiply(n_lines, pa.scalar(9, pa.int64())),
-                        ),
-                        pc.less_equal(
-                            pc.multiply(n_ell, pa.scalar(10, pa.int64())),
-                            pc.multiply(n_lines, pa.scalar(3, pa.int64())),
-                        ),
-                    ),
-                ),
-                pc.and_(
-                    pc.greater_equal(
-                        pc.multiply(n_alpha_words, pa.scalar(5, pa.int64())),
-                        pc.multiply(n_words, pa.scalar(4, pa.int64())),
-                    ),
-                    pc.greater_equal(stop_hits, pa.scalar(2, pa.int64())),
-                ),
-            ),
-        )
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "n_words": n_words,
-                "sum_word_chars": sum_word_chars,
-                "n_symbols": n_symbols,
-                "n_lines": n_lines,
-                "n_bullet": n_bullet,
-                "n_ellipsis_lines": n_ell,
-                "n_alpha_words": n_alpha_words,
-                "n_stop_distinct": stop_hits,
-                "keep": keep,
-            }
-        )
-
-    ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
+    ds = _read_documents(sf_dir).map_batches(_gopher_project, batch_format="pyarrow")
     return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
 
 
 _C4_TERMINAL = (".", "!", "?", '"')
+
+
+def _c4_project(t: pa.Table) -> pa.Table:
+    """Per-batch C4 rule flags (shared by t_c4_filter and
+    t_filter_attrition — ONE kernel, no rule drift)."""
+    word = re.compile(r"\S+")
+    ids = t.column("doc_id")
+    n_lines_l, n_kept_l, lorem_l, brace_l = [], [], [], []
+    for s in t.column("text").to_pylist():
+        lines = [
+            ln
+            for ln in (raw.strip(" \t\r") for raw in s.split("\n"))
+            if ln
+        ]
+        kept = 0
+        for ln in lines:
+            if (
+                ln.endswith(_C4_TERMINAL)
+                and len(word.findall(ln)) >= 3
+                and "javascript" not in ln.lower()
+            ):
+                kept += 1
+        n_lines_l.append(len(lines))
+        n_kept_l.append(kept)
+        lorem_l.append("lorem ipsum" in s.lower())
+        brace_l.append("{" in s)
+    keep = [
+        k >= 3 and not lo and not br
+        for k, lo, br in zip(n_kept_l, lorem_l, brace_l)
+    ]
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_lines": pa.array(n_lines_l, pa.int64()),
+            "n_kept_lines": pa.array(n_kept_l, pa.int64()),
+            "has_lorem": pa.array(lorem_l, pa.bool_()),
+            "has_brace": pa.array(brace_l, pa.bool_()),
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )
 
 
 def t_c4_filter(sf_dir: str):
@@ -344,45 +391,7 @@ def t_c4_filter(sf_dir: str):
     surviving lines, no 'lorem ipsum', and no '{'.  Lines are
     newline-split and space/tab/CR-trimmed (the pipeline_line_dedup
     convention).  Integer counts + booleans only — rounding-free oracle."""
-    word = re.compile(r"\S+")
-
-    def project(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id")
-        n_lines_l, n_kept_l, lorem_l, brace_l = [], [], [], []
-        for s in t.column("text").to_pylist():
-            lines = [
-                ln
-                for ln in (raw.strip(" \t\r") for raw in s.split("\n"))
-                if ln
-            ]
-            kept = 0
-            for ln in lines:
-                if (
-                    ln.endswith(_C4_TERMINAL)
-                    and len(word.findall(ln)) >= 3
-                    and "javascript" not in ln.lower()
-                ):
-                    kept += 1
-            n_lines_l.append(len(lines))
-            n_kept_l.append(kept)
-            lorem_l.append("lorem ipsum" in s.lower())
-            brace_l.append("{" in s)
-        keep = [
-            k >= 3 and not lo and not br
-            for k, lo, br in zip(n_kept_l, lorem_l, brace_l)
-        ]
-        return pa.table(
-            {
-                "doc_id": ids,
-                "n_lines": pa.array(n_lines_l, pa.int64()),
-                "n_kept_lines": pa.array(n_kept_l, pa.int64()),
-                "has_lorem": pa.array(lorem_l, pa.bool_()),
-                "has_brace": pa.array(brace_l, pa.bool_()),
-                "keep": pa.array(keep, pa.bool_()),
-            }
-        )
-
-    ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
+    ds = _read_documents(sf_dir).map_batches(_c4_project, batch_format="pyarrow")
     return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
 
 
@@ -5673,3 +5682,145 @@ def t_rouge_report(sf_dir: str, jaccard_threshold: float = 0.8):
         batch_format="pyarrow",
     )
     return _collect_sorted(out, ("doc_id", "bench_doc"), lambda: empty)
+
+
+# ----------------------------------------------------------------------
+# Filter-cascade attrition funnel — the instrumentation pass every staged
+# cleaning pipeline (C4, Gopher, RefinedWeb, FineWeb) publishes before
+# committing a 100 TB run.  Engine-added brief.
+
+ATTRITION_MIN_CHARS = 200
+ATTRITION_MIN_WORDS, ATTRITION_MAX_WORDS = 50, 100_000
+ATTRITION_STAGES = ("min_length", "word_count", "stopword", "exact_dedup")
+
+
+def _attrition_partial(t: pa.Table) -> pa.Table:
+    """Per-block reduction of the cascade: ONE counts row (total +
+    cumulative survivors of each rule gate) plus the block-DISTINCT md5s
+    of full-cascade survivors, in a union schema (`is_count` selects).
+    The rule gates read the SAME `_gopher_project` kernel the
+    t_gopher_rules query registers, so the cascade can never drift from
+    the audited rules."""
+    g = _gopher_project(t)
+    n_words = g.column("n_words").to_numpy(zero_copy_only=False)
+    stops = g.column("n_stop_distinct").to_numpy(zero_copy_only=False)
+    n_chars = t.column("n_chars").to_numpy(zero_copy_only=False)
+    p1 = n_chars >= ATTRITION_MIN_CHARS
+    p12 = p1 & (n_words >= ATTRITION_MIN_WORDS) & (n_words <= ATTRITION_MAX_WORDS)
+    p123 = p12 & (stops >= 1)
+    texts = t.column("text").to_pylist()
+    uniq = sorted(
+        {
+            hashlib.md5(s.encode("utf-8")).hexdigest()
+            for s, f in zip(texts, p123)
+            if f
+        }
+    )
+    k = len(uniq)
+    return pa.table(
+        {
+            "is_count": pa.array([1] + [0] * k, pa.int64()),
+            "n": pa.array([len(t)] + [0] * k, pa.int64()),
+            "n1": pa.array([int(p1.sum())] + [0] * k, pa.int64()),
+            "n12": pa.array([int(p12.sum())] + [0] * k, pa.int64()),
+            "n123": pa.array([int(p123.sum())] + [0] * k, pa.int64()),
+            "md5": pa.array([None] + uniq, pa.string()),
+        }
+    )
+
+
+def t_filter_attrition(sf_dir: str, stage_dir: str = None):
+    """Gate-cascade attrition report: one row per stage of the cleaning
+    funnel (input → min_length → word_count → stopword → exact_dedup)
+    with n_in / n_dropped / n_out — the number a pipeline owner reads
+    before deciding whether a gate is too aggressive for a corpus.
+
+    Scale shape: ONE streaming pass evaluates every gate per block
+    (`_attrition_partial` — blocks reduce to one counts row plus their
+    DISTINCT survivor md5s, never raw text) into a parquet stage
+    checkpoint (corpus-order worst case, so the object store never pins
+    it and a crashed run resumes; the house rule for two-consumer
+    streams).  Consumer A folds the counts rows on the driver (one per
+    block); consumer B counts distinct survivor hashes — the dedup
+    stage — through the two-regime plan (driver set below
+    PIVOT_DRIVER_MAX_ROWS md5 rows, a distributed (md5) groupby above).
+    Gates are integer rules over `_gopher_project` columns + the n_chars
+    column; dedup is first-per-md5, so survivors = distinct hashes."""
+    import tempfile
+
+    from .staging import stage_checkpoint
+
+    def report(n, n1, n12, n123, n4):
+        cuts = [n, n1, n12, n123, n4]
+        recs = []
+        for i, name in enumerate(["input"] + list(ATTRITION_STAGES)):
+            n_in = cuts[max(i - 1, 0)]
+            n_out = cuts[i] if i else cuts[0]
+            recs.append(
+                {
+                    "stage_idx": i,
+                    "stage": name,
+                    "n_in": n_in,
+                    "n_dropped": n_in - n_out,
+                    "n_out": n_out,
+                }
+            )
+        df = pd.DataFrame(recs)
+        for c in ("stage_idx", "n_in", "n_dropped", "n_out"):
+            df[c] = df[c].astype("int64")
+        return df
+
+    own_stage = stage_dir is None
+    root = tempfile.mkdtemp(prefix="pdfray_attrition_") if own_stage else stage_dir
+    try:
+        st = stage_checkpoint(
+            lambda: _read_documents(
+                sf_dir, columns=("doc_id", "text", "n_chars")
+            ).map_batches(_attrition_partial, batch_format="pyarrow"),
+            os.path.join(root, "flags"),
+            resume=not own_stage,
+            allow_empty=True,
+        )
+        if st is None:
+            return report(0, 0, 0, 0, 0)
+
+        from .frames import typed_collect
+        from .relational import PIVOT_DRIVER_MAX_ROWS  # lazy (import cycle)
+
+        counts = typed_collect(
+            st.map_batches(
+                lambda t: t.filter(pc.equal(t.column("is_count"), 1)).select(
+                    ["n", "n1", "n12", "n123"]
+                ),
+                batch_format="pyarrow",
+            ),
+            pa.schema(
+                [
+                    ("n", pa.int64()),
+                    ("n1", pa.int64()),
+                    ("n12", pa.int64()),
+                    ("n123", pa.int64()),
+                ]
+            ),
+        )
+        n, n1, n12, n123 = (int(counts[c].sum()) for c in ("n", "n1", "n12", "n123"))
+
+        # md5s stays FILE-backed (st reads the checkpoint): each consumer
+        # below streams a fresh read — no corpus-order object-store pin
+        md5s = st.map_batches(
+            lambda t: t.filter(pc.equal(t.column("is_count"), 0)).select(["md5"]),
+            batch_format="pyarrow",
+        )
+        if md5s.count() <= PIVOT_DRIVER_MAX_ROWS:
+            mdf = md5s.to_pandas()
+            n4 = 0 if len(mdf.columns) == 0 else int(mdf["md5"].nunique())
+        else:
+            from ray.data.aggregate import Count
+
+            n4 = md5s.groupby("md5").aggregate(Count(alias_name="_n")).count()
+        return report(n, n1, n12, n123, n4)
+    finally:
+        if own_stage:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)

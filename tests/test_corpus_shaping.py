@@ -488,6 +488,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_wds_roundtrip",
     "t_rouge_report",
     "t_langid_eval",
+    "t_filter_attrition",
 ]
 
 
@@ -2126,6 +2127,63 @@ def test_column_profile_hostile_values_and_regimes(ray_session, tmp_path, monkey
     # the -0.0/0.0/NaN canonicalization is load-bearing, not incidental
     q = want.set_index("col").loc["l_quantity"]
     assert q["n_null"] == 1 and q["n_distinct"] == 4  # {0.0, nan, 1.5, 2.25}
+
+
+def _docs_table(texts):
+    n = len(texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s0"] * n),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+
+
+def test_filter_attrition_planted_funnel_and_resume(ray_session, tmp_path):
+    """A corpus planted to die at every stage: one doc short of
+    min_length, one with giant words (few of them), one stopword-free,
+    one exact-duplicate pair, one distinct survivor.  The funnel must
+    telescope (n_out[i] == n_in[i+1]) and match the hand count; with an
+    explicit stage_dir, a SECOND run over a mutated corpus must return
+    the CHECKPOINTED result (crash-resume semantics)."""
+    from pdfray.pipelines.textops import t_filter_attrition
+
+    survivor = "the cat sat on mat now go " * 10  # 70 words, 270 chars, has 'the'
+    texts = [
+        "tiny doc",  # < 200 chars
+        ("w" * 30 + " ") * 10,  # 310 chars but 10 words
+        "zzzz " * 60,  # 300 chars, 60 words, zero stopwords
+        survivor,
+        survivor,  # exact duplicate
+        survivor + "extra",  # distinct survivor
+    ]
+    d = tmp_path / "attr"
+    d.mkdir()
+    pq.write_table(_docs_table(texts), str(d / "documents.parquet"))
+    out = t_filter_attrition(str(d))
+    assert list(out["stage"]) == [
+        "input",
+        "min_length",
+        "word_count",
+        "stopword",
+        "exact_dedup",
+    ]
+    assert list(out["n_out"]) == [6, 5, 4, 3, 2]
+    assert list(out["n_in"]) == [6, 6, 5, 4, 3]
+    assert (out["n_in"] - out["n_dropped"] == out["n_out"]).all()
+    # telescoping: each stage's n_in is the previous stage's n_out
+    assert list(out["n_in"][1:]) == list(out["n_out"][:-1])
+
+    # resume: rerun over a MUTATED corpus with the same stage_dir — the
+    # checkpointed flags must win (base-stage mutations invisible)
+    sd = tmp_path / "attr_stage"
+    first = t_filter_attrition(str(d), stage_dir=str(sd))
+    pq.write_table(_docs_table(["x"]), str(d / "documents.parquet"))
+    again = t_filter_attrition(str(d), stage_dir=str(sd))
+    pd.testing.assert_frame_equal(first, again)
 
 
 def test_mrl_overlap_signal_in_prefix_is_lossless(ray_session, tmp_path):
