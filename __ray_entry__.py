@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ams_f2": R.q_ams_f2,
         "q_column_profile": R.q_column_profile,
         "t_filter_attrition": T.t_filter_attrition,
+        "q_user_event_paths": R.q_user_event_paths,
     }
 
 
@@ -4048,6 +4049,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_column_profile": _column_profile_oracle(),
         "t_filter_attrition": _attrition_oracle(),
+        "q_user_event_paths": (
+            # string_agg ORDER BY replayed on the composite unique key
+            # (ts, event_id) — rank the events per user, keep rn <= K,
+            # aggregate in rank order; COUNT(*) is the untruncated total
+            "WITH r AS (SELECT user_id, event_type, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "string_agg(event_type, '>' ORDER BY rn) FILTER (rn <= 16) "
+            "AS path FROM r GROUP BY user_id ORDER BY user_id"
+        ),
     }
     # the Bloom+bucketed-store form is output-identical by construction
     # (no false negatives; every positive exactly verified) — one oracle

@@ -270,6 +270,7 @@ QUERY_NAMES = [
     "q_ams_f2",
     "q_column_profile",
     "t_filter_attrition",
+    "q_user_event_paths",
 ]
 
 

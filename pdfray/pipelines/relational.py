@@ -9721,3 +9721,106 @@ def q_column_profile(sf_dir: str):
         ]
     ]
     return out.sort_values("col").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# Ordered string aggregation — the user-journey / clickstream-path report
+# (string_agg ORDER BY at corpus scale).  Engine-added brief.
+
+PATH_K = 16  # journey prefix length: bounds output row width at any scale
+
+
+def q_user_event_paths(sf_dir: str):
+    """Per-user event journey: the first PATH_K event types in
+    (ts, event_id) order joined with '>', plus the exact total event
+    count — the ORDER-SENSITIVE string aggregate (SQL's
+    string_agg(... ORDER BY)) the funnel/Markov family reads paths from.
+
+    Mergeability: like q_ohlc_daily, associativity is restored by
+    CARRYING THE ORDERING KEY — each block reduces every user to its
+    block-local first-PATH_K events WITH their (ts, event_id) keys (≤
+    PATH_K rows per user per block, text never wider than the type
+    enum), because first-K-of-a-union is computable from first-K-of-each
+    -part; the exact total rides the same rows (block count on the
+    user's first partial row).  The merge is two-regime: one driver
+    pandas pass below PIVOT_DRIVER_MAX_ROWS partial rows, a per-user
+    map_groups exchange above.  PATH_K bounds the report row width —
+    the full-path variant would make output rows O(events-per-user)
+    wide, which no report consumer wants and no driver hash needs.
+    Ties are impossible under the composite (ts, event_id) key
+    (event_id unique), so the path is deterministic on both sides."""
+    ds = _read(
+        sf_dir,
+        "events",
+        ["user_id", "ts", "event_id", "event_type"],
+        rows_per_block=12_500,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts_us": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "event_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        counts = g.size()
+        head = g.head(PATH_K).copy()
+        head["ts_us"] = head["ts"].astype("int64")
+        first = ~head["user_id"].duplicated()
+        head["n"] = 0
+        head.loc[first, "n"] = (
+            head.loc[first, "user_id"].map(counts).astype("int64")
+        )
+        out = head[["user_id", "ts_us", "event_id", "event_type", "n"]].copy()
+        out["n"] = out["n"].astype("int64")
+        return out.reset_index(drop=True)
+
+    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([int(g["user_id"].iloc[0])], dtype="int64"),
+                "n_events": pd.Series([int(g["n"].sum())], dtype="int64"),
+                "path": pd.Series(
+                    [">".join(g["event_type"].head(PATH_K))], dtype=object
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").materialize()
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "path": pd.Series([], dtype=object),
+        }
+    )
+    if parts.count() == 0:
+        return empty
+    if parts.count() <= PIVOT_DRIVER_MAX_ROWS:
+        pdf = parts.to_pandas()
+        if len(pdf.columns) == 0 or len(pdf) == 0:
+            return empty
+        out = (
+            pdf.groupby("user_id", sort=True, group_keys=False)
+            .apply(merge_user)
+            .reset_index(drop=True)
+        )
+    else:
+        out = typed_collect(
+            parts.groupby("user_id").map_groups(merge_user, batch_format="pandas"),
+            pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("n_events", pa.int64()),
+                    ("path", pa.string()),
+                ]
+            ),
+        )
+    return out.sort_values("user_id").reset_index(drop=True)

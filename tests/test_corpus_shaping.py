@@ -627,6 +627,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_csv_roundtrip",
     "q_kmv_set_ops",
     "q_ams_f2",
+    "q_user_event_paths",
 ]
 
 _PROPS_POOL = [
@@ -2184,6 +2185,52 @@ def test_filter_attrition_planted_funnel_and_resume(ray_session, tmp_path):
     pq.write_table(_docs_table(["x"]), str(d / "documents.parquet"))
     again = t_filter_attrition(str(d), stage_dir=str(sd))
     pd.testing.assert_frame_equal(first, again)
+
+
+def test_user_event_paths_matches_window_reference(ray_session, tmp_path, monkeypatch):
+    """q_user_event_paths vs a pandas window reference over randomized
+    events with heavy ts TIES (resolved by event_id) and users with more
+    and fewer than PATH_K events — in BOTH merge regimes."""
+    import pdfray.pipelines.relational as R
+
+    rng = np.random.RandomState(13)
+    n = 600
+    users = rng.randint(0, 12, n)
+    ts = rng.randint(0, 40, n) * 1_000_000  # heavy ties
+    order = rng.permutation(n)
+    t = pa.table(
+        {
+            "event_id": pa.array(order.astype(np.int64)),
+            "ts": pa.array(ts[order], pa.timestamp("us")),
+            "user_id": pa.array(users[order].astype(np.int64)),
+            "event_type": pa.array(
+                [f"e{i}" for i in rng.randint(0, 5, n)[order]]
+            ),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    d = tmp_path / "paths"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    df = t.to_pandas().sort_values(["ts", "event_id"], kind="mergesort")
+    want = (
+        df.groupby("user_id")
+        .agg(
+            n_events=("event_type", "size"),
+            path=("event_type", lambda s: ">".join(s.head(R.PATH_K))),
+        )
+        .reset_index()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want["n_events"] = want["n_events"].astype("int64")
+    for regime_rows in (None, 0):
+        if regime_rows is not None:
+            monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", regime_rows)
+        got = R.q_user_event_paths(str(d))
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
 
 
 def test_mrl_overlap_signal_in_prefix_is_lossless(ray_session, tmp_path):
