@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_column_profile": R.q_column_profile,
         "t_filter_attrition": T.t_filter_attrition,
         "q_user_event_paths": R.q_user_event_paths,
+        "q_zorder_zonemap": R.q_zorder_zonemap,
     }
 
 
@@ -1463,6 +1464,44 @@ def _attrition_oracle() -> str:
         "UNION ALL SELECT 3, 'stopword', n12, n12 - n123, n123 FROM c "
         "UNION ALL SELECT 4, 'exact_dedup', n123, n123 - n4, n4 FROM c"
         ") ORDER BY stage_idx"
+    )
+
+
+def _zorder_oracle() -> str:
+    """The Z-curve key replayed as the same 32-term shift/mask expression
+    the engine's `_zorder_key` evaluates (two's-complement & and
+    arithmetic >> agree between numpy int64 and DuckDB BIGINT, negative
+    days/cents included); day = datediff from epoch over CAST(ts AS DATE)
+    — floor-of-epoch-days, matching numpy floor_divide pre-epoch too."""
+    from pdfray.pipelines.relational import (
+        ZORDER_BITS,
+        ZORDER_BOX,
+        ZORDER_SHIFT,
+    )
+
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"(((d1 >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((d2 >> {i}) & 1) << {2 * i + 1})")
+    zexpr = " | ".join(terms)
+    lo_d, hi_d, lo_c, hi_c = ZORDER_BOX
+    return (
+        "WITH q AS (SELECT CAST(datediff('day', DATE '1970-01-01', "
+        "CAST(ts AS DATE)) AS BIGINT) AS day, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events), "
+        "k AS (SELECT day, cents, (day & 65535) AS d1, "
+        "(cents & 65535) AS d2 FROM q), "
+        f"z AS (SELECT day, cents, ({zexpr}) >> {ZORDER_SHIFT} AS zbucket "
+        "FROM k), "
+        "m AS (SELECT zbucket, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "MIN(day) AS min_day, MAX(day) AS max_day, "
+        "MIN(cents) AS min_cents, MAX(cents) AS max_cents "
+        "FROM z GROUP BY zbucket) "
+        "SELECT zbucket, n_rows, min_day, max_day, min_cents, max_cents, "
+        f"CAST(CASE WHEN max_day < {lo_d} OR min_day > {hi_d} "
+        f"OR max_cents < {lo_c} OR min_cents > {hi_c} "
+        "THEN 0 ELSE 1 END AS BIGINT) AS touched "
+        "FROM m ORDER BY zbucket"
     )
 
 
@@ -4060,6 +4099,7 @@ def oracle_sql() -> dict[str, str]:
             "string_agg(event_type, '>' ORDER BY rn) FILTER (rn <= 16) "
             "AS path FROM r GROUP BY user_id ORDER BY user_id"
         ),
+        "q_zorder_zonemap": _zorder_oracle(),
     }
     # the Bloom+bucketed-store form is output-identical by construction
     # (no false negatives; every positive exactly verified) — one oracle

@@ -271,6 +271,7 @@ QUERY_NAMES = [
     "q_column_profile",
     "t_filter_attrition",
     "q_user_event_paths",
+    "q_zorder_zonemap",
 ]
 
 

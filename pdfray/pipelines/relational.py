@@ -9824,3 +9824,121 @@ def q_user_event_paths(sf_dir: str):
             ),
         )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# Z-order layout + zone maps — the lakehouse Z-ORDER / file-skipping
+# feature (Delta OPTIMIZE ZORDER, Iceberg sort orders).  Engine-added.
+
+ZORDER_BITS = 16  # bits quantized per dimension
+ZORDER_SHIFT = 22  # bucket = zkey >> SHIFT: the layout's file-size knob
+# the demo box query the zone maps are graded against (day, cents)
+ZORDER_BOX = (19730, 19739, 1000, 9999)
+
+
+def _zorder_key(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
+    """Bit-interleave two 16-bit dimensions (d1 even positions, d2 odd).
+    Plain shift/mask arithmetic — identical in numpy int64 and DuckDB
+    BIGINT (both two's-complement & and arithmetic >>), so the oracle
+    replays the key with the same 32-term expression."""
+    z = np.zeros(len(d1), np.int64)
+    for i in range(ZORDER_BITS):
+        z |= ((d1 >> i) & 1) << (2 * i)
+        z |= ((d2 >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def q_zorder_zonemap(sf_dir: str):
+    """Z-order layout report over events: every row maps to a Z-curve
+    bucket (bit-interleaved (day, cents) key >> ZORDER_SHIFT), and each
+    bucket reports its zone map (n_rows, min/max of both dimensions) plus
+    whether the demo box query would have to READ it — the
+    multi-dimensional file-skipping layout a 100 TB table wants when
+    queries filter on two columns at once (a single-key sort prunes one
+    dimension and scans the other).
+
+    Scale shape: ZERO exchanges — the Z-key and bucket are pure per-row
+    arithmetic, each block reduces to per-bucket (count, min, max)
+    partial rows, and the bucket space is BOUNDED by construction
+    (zkey is 2·ZORDER_BITS bits, so ≤ 2^(32-SHIFT) = 1024 buckets
+    whatever the corpus), making the partial table driver-sized always;
+    the driver folds it.  In production the buckets are the write
+    partition keys (write_parquet(partition_cols=['zbucket'])) and
+    SHIFT tunes file size; `touched` is the zone-map overlap test a
+    reader runs against its predicate before opening a file.
+    Quantization: day = epoch-days & 0xFFFF, cents = half-away
+    ROUND(value·100) & 0xFFFF — two's-complement masks, identical in
+    numpy and DuckDB on negative values too (hostile pre-epoch days)."""
+    DAY_US = 86_400_000_000
+    lo_d, hi_d, lo_c, hi_c = ZORDER_BOX
+
+    ds = _read(sf_dir, "events", ["ts", "value"], rows_per_block=100_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = np.floor_divide(ts_us, DAY_US)
+        cents = np.rint(
+            round_half_away(t.column("value").to_numpy(zero_copy_only=False), 2)
+            * 100.0
+        ).astype(np.int64)
+        z = _zorder_key(day & 0xFFFF, cents & 0xFFFF)
+        bucket = z >> ZORDER_SHIFT
+        tt = pa.table(
+            {
+                "zbucket": pa.array(bucket, pa.int64()),
+                "day": pa.array(day, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        g = tt.group_by("zbucket").aggregate(
+            [("day", "count"), ("day", "min"), ("day", "max"),
+             ("cents", "min"), ("cents", "max")]
+        )
+        return g.rename_columns(
+            ["zbucket", "n_rows", "min_day", "max_day", "min_cents", "max_cents"]
+        )
+
+    parts = typed_collect(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("zbucket", pa.int64()),
+                ("n_rows", pa.int64()),
+                ("min_day", pa.int64()),
+                ("max_day", pa.int64()),
+                ("min_cents", pa.int64()),
+                ("max_cents", pa.int64()),
+            ]
+        ),
+    )
+    if len(parts) == 0:
+        out = pd.DataFrame(
+            {
+                "zbucket": pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "min_day": pd.Series([], dtype="int64"),
+                "max_day": pd.Series([], dtype="int64"),
+                "min_cents": pd.Series([], dtype="int64"),
+                "max_cents": pd.Series([], dtype="int64"),
+                "touched": pd.Series([], dtype="int64"),
+            }
+        )
+        return out
+    agg = parts.groupby("zbucket", as_index=False).agg(
+        n_rows=("n_rows", "sum"),
+        min_day=("min_day", "min"),
+        max_day=("max_day", "max"),
+        min_cents=("min_cents", "min"),
+        max_cents=("max_cents", "max"),
+    )
+    touched = ~(
+        (agg["max_day"] < lo_d)
+        | (agg["min_day"] > hi_d)
+        | (agg["max_cents"] < lo_c)
+        | (agg["min_cents"] > hi_c)
+    )
+    agg["touched"] = touched.astype("int64")
+    for c in agg.columns:
+        if c != "touched":
+            agg[c] = agg[c].astype("int64")
+    return agg.sort_values("zbucket").reset_index(drop=True)

@@ -628,6 +628,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_kmv_set_ops",
     "q_ams_f2",
     "q_user_event_paths",
+    "q_zorder_zonemap",
 ]
 
 _PROPS_POOL = [
@@ -2231,6 +2232,60 @@ def test_user_event_paths_matches_window_reference(ray_session, tmp_path, monkey
             monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", regime_rows)
         got = R.q_user_event_paths(str(d))
         pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_zorder_key_and_zone_map_guarantee(ray_session, tmp_path):
+    """`_zorder_key` vs a pure-Python bit interleave (negative inputs
+    included — two's-complement masks), plus the zone-map GUARANTEE: no
+    row inside the box query may live in an untouched bucket (false
+    negatives would silently drop data from a pruned read)."""
+    from pdfray.pipelines.relational import (
+        ZORDER_BOX,
+        ZORDER_SHIFT,
+        _zorder_key,
+        q_zorder_zonemap,
+    )
+
+    def py_interleave(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert py_interleave(0b11, 0b01) == 0b111
+    rng = np.random.RandomState(3)
+    d1 = rng.randint(-70000, 70000, 200).astype(np.int64) & 0xFFFF
+    d2 = rng.randint(-70000, 70000, 200).astype(np.int64) & 0xFFFF
+    got = _zorder_key(d1, d2)
+    want = np.array([py_interleave(int(a), int(b)) for a, b in zip(d1, d2)])
+    assert (got == want).all()
+
+    # guarantee: rows in the box only ever live in touched buckets
+    n = 500
+    day = rng.randint(19723, 19753, n).astype(np.int64)
+    cents = rng.randint(-2000, 56000, n).astype(np.int64)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(day * 86_400_000_000, pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(n, np.int64)),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(cents / 100.0),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    d = tmp_path / "zorder"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = q_zorder_zonemap(str(d))
+    lo_d, hi_d, lo_c, hi_c = ZORDER_BOX
+    inside = (day >= lo_d) & (day <= hi_d) & (cents >= lo_c) & (cents <= hi_c)
+    zb = _zorder_key(day & 0xFFFF, cents & 0xFFFF) >> ZORDER_SHIFT
+    touched = set(out.loc[out["touched"] == 1, "zbucket"])
+    assert set(zb[inside]) <= touched
+    assert inside.any() and (out["touched"] == 0).any()  # non-vacuous both ways
+    assert int(out["n_rows"].sum()) == n
 
 
 def test_mrl_overlap_signal_in_prefix_is_lossless(ray_session, tmp_path):
