@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_filter_attrition": T.t_filter_attrition,
         "q_user_event_paths": R.q_user_event_paths,
         "q_zorder_zonemap": R.q_zorder_zonemap,
+        "q_cdc_upsert": R.q_cdc_upsert,
     }
 
 
@@ -4100,6 +4101,27 @@ def oracle_sql() -> dict[str, str]:
             "AS path FROM r GROUP BY user_id ORDER BY user_id"
         ),
         "q_zorder_zonemap": _zorder_oracle(),
+        "q_cdc_upsert": (
+            # MERGE INTO replayed as FULL OUTER + CASE: matched-and-
+            # errored rows (and errored would-be inserts) are deleted by
+            # the n_err filter; arithmetic entirely on the cents grid
+            "WITH d AS (SELECT user_id AS custkey, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS p_cents, "
+            "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err "
+            "FROM events GROUP BY user_id), "
+            "c AS (SELECT c_custkey AS custkey, "
+            "CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents "
+            "FROM customer) "
+            "SELECT CAST(COALESCE(c.custkey, d.custkey) AS BIGINT) AS custkey, "
+            "CAST(COALESCE(c.cents, 0) + COALESCE(d.p_cents, 0) AS BIGINT) "
+            "AS acctbal_cents, "
+            "CASE WHEN c.custkey IS NULL THEN 'inserted' "
+            "WHEN COALESCE(d.p_cents, 0) > 0 THEN 'updated' "
+            "ELSE 'kept' END AS status "
+            "FROM c FULL OUTER JOIN d ON d.custkey = c.custkey "
+            "WHERE COALESCE(d.n_err, 0) = 0 ORDER BY custkey"
+        ),
     }
     # the Bloom+bucketed-store form is output-identical by construction
     # (no false negatives; every positive exactly verified) — one oracle

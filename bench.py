@@ -272,6 +272,7 @@ QUERY_NAMES = [
     "t_filter_attrition",
     "q_user_event_paths",
     "q_zorder_zonemap",
+    "q_cdc_upsert",
 ]
 
 

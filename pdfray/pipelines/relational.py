@@ -9942,3 +9942,152 @@ def q_zorder_zonemap(sf_dir: str):
         if c != "touched":
             agg[c] = agg[c].astype("int64")
     return agg.sort_values("zbucket").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# MERGE INTO (CDC upsert/delete apply) — the lakehouse mutation operator
+# (Delta/Iceberg MERGE): base table + change feed → next table version.
+# Engine-added brief.
+
+
+def q_cdc_upsert(sf_dir: str):
+    """MERGE the events change-feed into the customer base table: per
+    user the delta is (Σ purchase cents, any-error flag); WHEN MATCHED
+    AND the user errored → DELETE the customer; WHEN MATCHED → UPDATE
+    acctbal += purchase cents ('updated' if anything changed, else
+    'kept'); WHEN NOT MATCHED AND clean → INSERT ('inserted').  Output
+    is the next table version (custkey, acctbal_cents, status), deleted
+    rows absent — the MERGE INTO semantics every incremental ingest run
+    applies (q_incremental_rollup is the additive-only little sibling;
+    this one has all three WHEN branches).
+
+    Scale shape: the change feed combiner-reduces per block to
+    (custkey, p_cents, n_err) partials (`_two_regime_sum` — the only
+    event-side reduction), the base streams as narrow (custkey, cents)
+    rows, and ONE full_outer exchange aligns them (both sides compacted
+    to the same shuffle_partitions count — the empty-first-block join
+    lesson).  Side-presence flags ride as explicit in_c/in_d constants:
+    inferring absence from a value column would misread a legitimate
+    NULL.  An empty side skips the join outright (the measured
+    all-empty-side schema loss; `_join_pad`'s sentinel is wrong for
+    OUTER joins — its unmatched row would surface in the output).  All
+    mutation arithmetic is integer cents; only the status CASE decides
+    anything."""
+    import pyarrow.parquet as pq_meta
+
+    from .sizing import shuffle_partitions
+
+    ds = _read(
+        sf_dir, "events", ["user_id", "event_type", "value"], rows_per_block=12_500
+    )
+
+    def delta_partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            round_half_away(t.column("value").to_numpy(zero_copy_only=False), 2)
+            * 100.0
+        ).astype(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        tt = pa.table(
+            {
+                "custkey": t.column("user_id"),
+                "p_cents": pa.array(np.where(et == "purchase", cents, 0)),
+                "n_err": pa.array((et == "error").astype(np.int64)),
+            }
+        )
+        g = tt.group_by("custkey").aggregate([("p_cents", "sum"), ("n_err", "sum")])
+        return g.rename_columns(["custkey", "p_cents", "n_err"])
+
+    delta, n_d = _two_regime_sum(
+        ds.map_batches(delta_partial, batch_format="pyarrow"),
+        ["custkey"],
+        ["p_cents", "n_err"],
+        empty_types={"custkey": pa.int64()},
+    )
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            round_half_away(
+                t.column("c_acctbal").to_numpy(zero_copy_only=False), 2
+            )
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "custkey": t.column("c_custkey").cast(pa.int64()),
+                "cents": pa.array(cents),
+                "in_c": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+
+    n_c = pq_meta.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    base = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        base_rows, batch_format="pyarrow"
+    )
+
+    empty = pd.DataFrame(
+        {
+            "custkey": pd.Series([], dtype="int64"),
+            "acctbal_cents": pd.Series([], dtype="int64"),
+            "status": pd.Series([], dtype=object),
+        }
+    )
+
+    def finish_frame(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("in_c", "in_d", "cents", "p_cents", "n_err"):
+            df[c] = df[c].fillna(0).astype("int64")
+        df = df[df["n_err"] == 0].copy()
+        df["acctbal_cents"] = (df["cents"] + df["p_cents"]).astype("int64")
+        df["status"] = np.where(
+            df["in_c"] == 0,
+            "inserted",
+            np.where(df["p_cents"] > 0, "updated", "kept"),
+        )
+        df["custkey"] = df["custkey"].astype("int64")
+        out = df[["custkey", "acctbal_cents", "status"]]
+        return out.sort_values("custkey").reset_index(drop=True)
+
+    if n_c == 0 and n_d == 0:
+        return empty
+    if n_d == 0:  # no change feed: every base row survives as 'kept'
+        df = typed_collect(
+            base,
+            pa.schema(
+                [("custkey", pa.int64()), ("cents", pa.int64()), ("in_c", pa.int64())]
+            ),
+        )
+        df["in_d"] = 0
+        df["p_cents"] = 0
+        df["n_err"] = 0
+        return finish_frame(df)
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        return t.append_column("in_d", pa.array(np.ones(len(t), np.int64)))
+
+    delta = delta.map_batches(delta_rows, batch_format="pyarrow")
+    if n_c == 0:  # no base: clean delta users insert
+        df = typed_collect(
+            delta,
+            pa.schema(
+                [
+                    ("custkey", pa.int64()),
+                    ("p_cents", pa.int64()),
+                    ("n_err", pa.int64()),
+                    ("in_d", pa.int64()),
+                ]
+            ),
+        )
+        df["in_c"] = 0
+        df["cents"] = 0
+        return finish_frame(df)
+
+    n_parts = shuffle_partitions(max(n_c, n_d, 1))
+    joined = base.repartition(n_parts).join(
+        delta.repartition(n_parts),
+        join_type="full_outer",
+        num_partitions=n_parts,
+        on=("custkey",),
+    )
+    df = joined.to_pandas()
+    if len(df.columns) == 0:
+        return empty
+    return finish_frame(df)

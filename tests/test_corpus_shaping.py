@@ -1086,6 +1086,7 @@ STAR_ORACLE_QUERIES = [
     "q22_sales_opportunity",
     "q_global_rank_orders",
     "q_gini_revenue",
+    "q_cdc_upsert",
 ]
 
 
@@ -1323,6 +1324,31 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
             "p_retailprice": pa.array(np.ones(n_part_s)),
         }
     )
+    # hostile events change feed for the MERGE (q_cdc_upsert): purchases
+    # on the 1/64 grid (incl. negative and .xx5 cents ties), errors on
+    # matched customers (deletes), DANGLING user ids past n_cust
+    # (inserts), and an errored dangling user (suppressed insert)
+    n_ev = 160
+    ev_user = rng.randint(0, 48, n_ev).astype(np.int64)
+    ev_type = rng.choice(["view", "purchase", "click"], n_ev)
+    ev_val = (rng.randint(-2000, 2001, n_ev) * 8 / 64.0).astype(np.float64)
+    if variant == "fixed":
+        ev_user[0], ev_type[0] = 3, "error"  # matched delete
+        ev_user[1], ev_type[1] = 46, "error"  # suppressed insert
+        ev_user[2], ev_type[2], ev_val[2] = 45, "purchase", 33.125  # .xx5 insert
+        ev_user[3], ev_type[3], ev_val[3] = 5, "purchase", -0.125  # negative update
+    events_s = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
+            "ts": pa.array(
+                (base + np.arange(n_ev) * 1_000_000).astype(np.int64), pa.int64()
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array(ev_user),
+            "event_type": pa.array(ev_type.tolist(), pa.string()),
+            "value": pa.array(ev_val),
+            "props": pa.array(["{}"] * n_ev),
+        }
+    )
     d = tmp_path / "adv_star"
     d.mkdir()
     for name, t in (
@@ -1333,6 +1359,7 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
         ("region", region),
         ("lineitem", lineitem),
         ("part", part_s),
+        ("events", events_s),
     ):
         pq_.write_table(t, str(d / f"{name}.parquet"))
 
@@ -1347,6 +1374,7 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
         "region",
         "lineitem",
         "part",
+        "events",
     ):
         con.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{d}/{tbl}.parquet')"
@@ -2286,6 +2314,53 @@ def test_zorder_key_and_zone_map_guarantee(ray_session, tmp_path):
     assert set(zb[inside]) <= touched
     assert inside.any() and (out["touched"] == 0).any()  # non-vacuous both ways
     assert int(out["n_rows"].sum()) == n
+
+
+def test_cdc_upsert_all_merge_branches(ray_session, tmp_path):
+    """Every MERGE branch on a planted base+feed: clean update, no-change
+    keep, matched DELETE (errored), INSERT (dangling clean user), and a
+    SUPPRESSED insert (dangling errored user); empty feed keeps the base
+    verbatim."""
+    from pdfray.pipelines.relational import q_cdc_upsert
+
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_name": pa.array(["a", "b", "c"]),
+            "c_nationkey": pa.array([0, 0, 0], pa.int32()),
+            "c_acctbal": pa.array([10.0, 20.0, 30.0]),
+            "c_mktsegment": pa.array(["AUTO"] * 3),
+        }
+    )
+    ev = _events_table(
+        [1, 1, 2, 3, 9, 9, 8],
+        ["purchase", "view", "error", "click", "purchase", "purchase", "error"],
+    )
+    ev = ev.set_column(4, "value", pa.array([5.5, 1.0, 1.0, 1.0, 2.25, 0.25, 9.0]))
+    d = tmp_path / "cdc"
+    d.mkdir()
+    pq.write_table(cust, str(d / "customer.parquet"))
+    pq.write_table(ev, str(d / "events.parquet"))
+    out = q_cdc_upsert(str(d))
+    want = pd.DataFrame(
+        {
+            "custkey": pd.Series([1, 3, 9], dtype="int64"),
+            "acctbal_cents": pd.Series([1550, 3000, 250], dtype="int64"),
+            "status": ["updated", "kept", "inserted"],
+        }
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=True)
+    # customer 2 deleted, user 8's insert suppressed
+    assert 2 not in set(out["custkey"]) and 8 not in set(out["custkey"])
+
+    # empty feed: base survives verbatim as kept
+    d2 = tmp_path / "cdc2"
+    d2.mkdir()
+    pq.write_table(cust, str(d2 / "customer.parquet"))
+    pq.write_table(_events_table([], []), str(d2 / "events.parquet"))
+    out2 = q_cdc_upsert(str(d2))
+    assert list(out2["status"].unique()) == ["kept"]
+    assert list(out2["acctbal_cents"]) == [1000, 2000, 3000]
 
 
 def test_mrl_overlap_signal_in_prefix_is_lossless(ray_session, tmp_path):
