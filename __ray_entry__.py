@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_event_paths": R.q_user_event_paths,
         "q_zorder_zonemap": R.q_zorder_zonemap,
         "q_cdc_upsert": R.q_cdc_upsert,
+        "q_schema_evolution": R.q_schema_evolution,
     }
 
 
@@ -4121,6 +4122,19 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'kept' END AS status "
             "FROM c FULL OUTER JOIN d ON d.custkey = c.custkey "
             "WHERE COALESCE(d.n_err, 0) = 0 ORDER BY custkey"
+        ),
+        "q_schema_evolution": (
+            # tier recomputed from the ORIGINAL table under the same
+            # generation rule: NULL for even event_id (gen-0 lacked the
+            # column), the cents bucket for odd — a row-by-row match
+            # certifies the union-by-name read did not drop, misalign,
+            # or wrongly fill anything
+            "SELECT event_id, user_id, "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents, "
+            "CASE WHEN event_id % 2 = 0 THEN NULL "
+            "WHEN CAST(ROUND(value * 100, 0) AS BIGINT) >= 1000 THEN 'hi' "
+            "ELSE 'lo' END AS tier "
+            "FROM events ORDER BY event_id"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -273,6 +273,7 @@ QUERY_NAMES = [
     "q_user_event_paths",
     "q_zorder_zonemap",
     "q_cdc_upsert",
+    "q_schema_evolution",
 ]
 
 

@@ -10091,3 +10091,99 @@ def q_cdc_upsert(sf_dir: str):
     if len(df.columns) == 0:
         return empty
     return finish_frame(df)
+
+
+# ----------------------------------------------------------------------
+# Schema evolution — union-by-name read across ingest generations (the
+# add-a-column migration every long-lived table survives).  Engine-added.
+
+
+def q_schema_evolution(sf_dir: str, stage_dir: str = None):
+    """Schema-evolution round trip: events is re-written as two ingest
+    GENERATIONS — gen-0 (even event_id) with the base columns only,
+    gen-1 (odd) with an ADDED ``tier`` column (cents >= 1000 → 'hi',
+    else 'lo') — then read back through
+    `sources.readers.read_parquet_evolved`, which discovers the union
+    schema from footers and normalizes every block to it (gen-0 rows
+    carry tier = NULL).  A match against the oracle (which recomputes
+    tier from the ORIGINAL table under the same generation rule)
+    certifies the union-by-name semantics row by row: nothing dropped,
+    nothing misaligned, NULL fill exactly where the old generation is.
+
+    Scale shape: both generation writes are distributed
+    (`stage_checkpoint` — durable, crash-resumable via ``stage_dir``),
+    the evolved read is one task per file with a per-block
+    normalization map, and the projection is zero-copy column picks.
+    The result is row-per-event by contract (the round-trip identity
+    class, like q_csv_roundtrip)."""
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_parquet_evolved
+    from .staging import stage_checkpoint
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "cents": pd.Series([], dtype="int64"),
+            "tier": pd.Series([], dtype=object),
+        }
+    )
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def gen(parity: int):
+        def write_gen(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array((eid % 2) == parity))
+            cents = np.rint(
+                round_half_away(
+                    t.column("value").to_numpy(zero_copy_only=False), 2
+                )
+                * 100.0
+            ).astype(np.int64)
+            cols = {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "cents": pa.array(cents),
+            }
+            if parity == 1:  # the evolved generation adds a column
+                cols["tier"] = pa.array(
+                    np.where(cents >= 1000, "hi", "lo"), pa.string()
+                )
+            return pa.table(cols)
+
+        return write_gen
+
+    own_stage = stage_dir is None
+    root = tempfile.mkdtemp(prefix="pdfray_evolve_") if own_stage else stage_dir
+    try:
+        dirs = []
+        for parity in (0, 1):
+            got = stage_checkpoint(
+                lambda parity=parity: ds.map_batches(
+                    gen(parity), batch_format="pyarrow"
+                ),
+                os.path.join(root, f"gen{parity}"),
+                resume=not own_stage,
+                allow_empty=True,
+            )
+            if got is not None:
+                dirs.append(os.path.join(root, f"gen{parity}"))
+        if not dirs:
+            return empty
+        out = (
+            read_parquet_evolved(dirs)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        for c in ("event_id", "user_id", "cents"):
+            out[c] = out[c].astype("int64")
+        if "tier" not in out.columns:  # only gen-0 rows existed
+            out["tier"] = None
+        out["tier"] = out["tier"].astype(object).where(out["tier"].notna(), None)
+        return out[["event_id", "user_id", "cents", "tier"]]
+    finally:
+        if own_stage:
+            shutil.rmtree(root, ignore_errors=True)

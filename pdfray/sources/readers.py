@@ -129,3 +129,71 @@ def read_csv_table(path: str, schema: pa.Schema):
             quoted_strings_can_be_null=False,
         ),
     )
+
+
+def read_parquet_evolved(paths):
+    """Union-by-name parquet read across EVOLVED file schemas — the
+    schema-evolution read every long-lived table needs once a column has
+    been added or dropped between ingest generations.
+
+    Ray's native `read_parquet` over mixed-schema files emits blocks with
+    whichever schema their file had and WARNS "may lead to unexpected
+    behavior" — the first downstream Arrow kernel that touches a column
+    missing from some block then crashes or silently drops it.  Here the
+    union schema is discovered from FOOTERS only (no data read: one
+    `pq.read_schema` per file, column order = first appearance), and one
+    normalization map casts every block to it, NULL-filling absent
+    columns — so the whole downstream pipeline sees ONE schema.  A column
+    whose TYPE changed between generations raises ValueError: this reader
+    models add/drop evolution; type migrations need an explicit cast
+    policy, not a guess.
+
+    ``paths``: a directory, a file, or a list of either (directories are
+    scanned recursively for ``*.parquet``)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [paths]
+    files = []
+    for p in paths:
+        p = str(p)
+        if os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                files.extend(
+                    os.path.join(root, n)
+                    for n in sorted(names)
+                    if n.endswith(".parquet")
+                )
+        else:
+            files.append(p)
+    files = sorted(files)
+    if not files:
+        raise ValueError(f"read_parquet_evolved: no parquet files under {paths!r}")
+
+    union: dict[str, pa.DataType] = {}
+    for f in files:
+        for fld in pq.read_schema(f):
+            prev = union.get(fld.name)
+            if prev is None:
+                union[fld.name] = fld.type
+            elif prev != fld.type:
+                raise ValueError(
+                    f"read_parquet_evolved: column {fld.name!r} changed type "
+                    f"across generations ({prev} vs {fld.type} in {f}); "
+                    "add/drop evolution only — migrate types explicitly"
+                )
+    target = pa.schema(list(union.items()))
+
+    def normalize(t: pa.Table) -> pa.Table:
+        cols = {}
+        for fld in target:
+            if fld.name in t.column_names:
+                cols[fld.name] = t.column(fld.name)
+            else:
+                cols[fld.name] = pa.nulls(len(t), fld.type)
+        return pa.table(cols, schema=target)
+
+    return rd.read_parquet(files).map_batches(normalize, batch_format="pyarrow")

@@ -629,6 +629,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_ams_f2",
     "q_user_event_paths",
     "q_zorder_zonemap",
+    "q_schema_evolution",
 ]
 
 _PROPS_POOL = [
@@ -2361,6 +2362,47 @@ def test_cdc_upsert_all_merge_branches(ray_session, tmp_path):
     out2 = q_cdc_upsert(str(d2))
     assert list(out2["status"].unique()) == ["kept"]
     assert list(out2["acctbal_cents"]) == [1000, 2000, 3000]
+
+
+def test_read_parquet_evolved_union_semantics(ray_session, tmp_path):
+    """`read_parquet_evolved` over three generations with added/dropped
+    columns and shuffled column ORDER: one union schema out (first-
+    appearance order), NULL fill exactly where a generation lacked the
+    column, and a type CHANGE raises instead of guessing."""
+    from pdfray.sources.readers import read_parquet_evolved
+
+    d = tmp_path / "evo"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array(["x", "y"])}),
+        str(d / "g0.parquet"),
+    )
+    pq.write_table(  # adds c, reorders existing columns
+        pa.table(
+            {
+                "c": pa.array([9.5], pa.float64()),
+                "a": pa.array([3], pa.int64()),
+                "b": pa.array(["z"]),
+            }
+        ),
+        str(d / "g1.parquet"),
+    )
+    pq.write_table(  # drops b
+        pa.table({"a": pa.array([4], pa.int64()), "c": pa.array([0.5])}),
+        str(d / "g2.parquet"),
+    )
+    ds = read_parquet_evolved(str(d))
+    assert [f.name for f in ds.schema().base_schema] == ["a", "b", "c"]
+    df = ds.to_pandas().sort_values("a").reset_index(drop=True)
+    assert list(df["a"]) == [1, 2, 3, 4]
+    assert list(df["b"]) == ["x", "y", "z", None]
+    assert df["c"].isna().tolist() == [True, True, False, False]
+
+    pq.write_table(
+        pa.table({"a": pa.array(["not an int"])}), str(d / "g3.parquet")
+    )
+    with pytest.raises(ValueError, match="changed type"):
+        read_parquet_evolved(str(d))
 
 
 def test_mrl_overlap_signal_in_prefix_is_lossless(ray_session, tmp_path):
