@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zorder_zonemap": R.q_zorder_zonemap,
         "q_cdc_upsert": R.q_cdc_upsert,
         "q_schema_evolution": R.q_schema_evolution,
+        "q_ipc_roundtrip": R.q_ipc_roundtrip,
     }
 
 
@@ -3953,6 +3954,14 @@ def oracle_sql() -> dict[str, str]:
             # the original table's projection — equality with the
             # CSV-written-and-read-back engine side certifies quoting,
             # null-vs-empty, unicode, and exact double round-trip
+            "SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "user_id, event_type, value, props "
+            "FROM events ORDER BY event_id"
+        ),
+        "q_ipc_roundtrip": (
+            # same identity projection as q_csv_roundtrip — IPC carries
+            # doubles/timestamps natively, so the match certifies the
+            # sink/source framing with no conversion pinning at all
             "SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
             "user_id, event_type, value, props "
             "FROM events ORDER BY event_id"

@@ -274,6 +274,7 @@ QUERY_NAMES = [
     "q_zorder_zonemap",
     "q_cdc_upsert",
     "q_schema_evolution",
+    "q_ipc_roundtrip",
 ]
 
 

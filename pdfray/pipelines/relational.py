@@ -10187,3 +10187,57 @@ def q_schema_evolution(sf_dir: str, stage_dir: str = None):
     finally:
         if own_stage:
             shutil.rmtree(root, ignore_errors=True)
+
+
+def q_ipc_roundtrip(sf_dir: str):
+    """LOSSLESS Arrow IPC round trip: events streams through the
+    distributed IPC sink (`sources.readers.write_ipc_table` — one
+    content-addressed ``.arrow`` file per block, idempotent
+    tmp+os.replace writes) and back through the one-task-per-file IPC
+    source; the per-event projection must match the original parquet
+    bit-for-bit — IPC is the zero-copy interchange leg of the format
+    matrix (parquet / CSV / JSONL / WARC / WebDataset tar / IPC), and
+    unlike CSV it carries doubles and timestamps natively, so the
+    identity needs no conversion pinning at all."""
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_ipc_table, write_ipc_table
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "ts_us": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype=object),
+            "value": pd.Series([], dtype="float64"),
+            "props": pd.Series([], dtype=object),
+        }
+    )
+    out_dir = tempfile.mkdtemp(prefix="pdfray_ipc_")
+    try:
+        write_ipc_table(_read(sf_dir, "events"), out_dir)
+        if not any(n.endswith(".arrow") for n in os.listdir(out_dir)):
+            return empty  # empty corpus wrote no files
+
+        def digest(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "ts_us": t.column("ts").cast(pa.int64()),
+                    "user_id": t.column("user_id"),
+                    "event_type": t.column("event_type"),
+                    "value": t.column("value"),
+                    "props": t.column("props"),
+                }
+            )
+
+        return (
+            read_ipc_table(out_dir)
+            .map_batches(digest, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -630,6 +630,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_user_event_paths",
     "q_zorder_zonemap",
     "q_schema_evolution",
+    "q_ipc_roundtrip",
 ]
 
 _PROPS_POOL = [
@@ -2403,6 +2404,36 @@ def test_read_parquet_evolved_union_semantics(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="changed type"):
         read_parquet_evolved(str(d))
+
+
+def test_ipc_sink_idempotent_and_bit_exact(ray_session, tmp_path):
+    """The IPC sink's content-addressed files make a rerun write the SAME
+    set of files (idempotent resume), and hostile doubles (NaN, ±inf,
+    -0.0, denormal) plus astral unicode round-trip BIT-exactly."""
+    import ray.data as rd
+
+    from pdfray.sources.readers import read_ipc_table, write_ipc_table
+
+    vals = [float("nan"), float("inf"), float("-inf"), -0.0, 5e-324, 1.5]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+            "s": pa.array(["a", "𝒳 astral", "", "x,y\n", '"q"', "z"]),
+        }
+    )
+    d = tmp_path / "ipc"
+    write_ipc_table(rd.from_arrow(t), str(d))
+    files1 = sorted(p.name for p in d.iterdir())
+    write_ipc_table(rd.from_arrow(t), str(d))  # rerun: same content hash
+    assert sorted(p.name for p in d.iterdir()) == files1
+    back = (
+        read_ipc_table(str(d)).to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    got = np.asarray(back["value"], dtype=np.float64)
+    want = np.asarray(vals, dtype=np.float64)
+    assert (got.view(np.int64) == want.view(np.int64)).all()  # bit compare
+    assert list(back["s"]) == list(t.column("s").to_pylist())
 
 
 def test_mrl_overlap_signal_in_prefix_is_lossless(ray_session, tmp_path):
