@@ -4637,7 +4637,6 @@ def t_containment_dupes(sf_dir: str):
     the two shingle scans recompute rather than materialize the
     corpus-order gram table (the tfidf two-pass discipline)."""
     import ray
-    from ray.data.aggregate import Count
 
     from .relational import _join_pad, _topk, _two_regime_sum
     from .sizing import shuffle_partitions
@@ -4702,11 +4701,34 @@ def t_containment_dupes(sf_dir: str):
         t = t.filter(pc.not_equal(t.column("doc_a"), t.column("doc_b")))
         return t.select(["doc_a", "doc_b"]).group_by(["doc_a", "doc_b"]).aggregate([])
 
+    # global pair dedup: bucket-hash co-location + one vectorized
+    # drop_duplicates per bucket.  Ray's per-(a, b)-key Aggregate spent
+    # ~11 s at sf0.1 deduplicating a 261k-row pair stream that was
+    # already 99% distinct (per-block pre-dedup above); the bucketed
+    # fold is the same exchange volume with the per-key machinery
+    # replaced by one pandas kernel per bucket (the q_butterfly_count
+    # lesson applied to dedup).
+    n_pb = max(8, n_parts)
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        z = a * np.uint64(0x9E3779B97F4A7C15) ^ (b + np.uint64(0x85EBCA77C2B2AE63))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = z ^ (z >> np.uint64(31))
+        return t.append_column(
+            "pb", pa.array((z % np.uint64(n_pb)).astype(np.int64))
+        )
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+        return out.astype({"doc_a": "int64", "doc_b": "int64"})
+
     pairs = (
         joined.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedup_bucket, batch_format="pandas")
     )
     return _verify_containment(ds, pairs)
 
