@@ -7995,16 +7995,31 @@ def q_butterfly_count(sf_dir: str):
         )
         return tt.group_by(["u", "p"]).aggregate([])
 
-    # global edge dedup: one (u, p)-keyed exchange over block-deduped pairs
-    from ray.data.aggregate import Count
+    # global edge dedup: bucket-hash co-location + one vectorized
+    # drop_duplicates per bucket (the per-(u, p)-key Ray Aggregate spent
+    # ~16 s at sf0.1 on a 600k-row stream; same lesson as the wedge
+    # count below)
+    n_ebuckets = shuffle_partitions(n_li)
+
+    def edge_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = t.column("p").to_numpy(zero_copy_only=False).astype(np.uint64)
+        z = u * np.uint64(0x9E3779B97F4A7C15) ^ (p + np.uint64(0x85EBCA77C2B2AE63))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = z ^ (z >> np.uint64(31))
+        return t.append_column(
+            "eb", pa.array((z % np.uint64(n_ebuckets)).astype(np.int64))
+        )
+
+    def edge_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["u", "p"])[["u", "p"]]
+        return out.astype({"u": "int64", "p": "int64"})
 
     edges = (
         joined.map_batches(edge_partial, batch_format="pyarrow")
-        .groupby(["u", "p"])
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(
-            lambda t: t.select(["u", "p"]), batch_format="pyarrow"
-        )
+        .map_batches(edge_bucket, batch_format="pyarrow")
+        .groupby("eb")
+        .map_groups(edge_dedup, batch_format="pandas")
         .materialize()
     )
     n_edges = edges.count()
