@@ -2161,7 +2161,7 @@ def test_column_profile_hostile_values_and_regimes(ray_session, tmp_path, monkey
     assert q["n_null"] == 1 and q["n_distinct"] == 4  # {0.0, nan, 1.5, 2.25}
 
 
-def _docs_table(texts):
+def _attrition_docs(texts):
     n = len(texts)
     return pa.table(
         {
@@ -2194,7 +2194,7 @@ def test_filter_attrition_planted_funnel_and_resume(ray_session, tmp_path):
     ]
     d = tmp_path / "attr"
     d.mkdir()
-    pq.write_table(_docs_table(texts), str(d / "documents.parquet"))
+    pq.write_table(_attrition_docs(texts), str(d / "documents.parquet"))
     out = t_filter_attrition(str(d))
     assert list(out["stage"]) == [
         "input",
@@ -2213,7 +2213,7 @@ def test_filter_attrition_planted_funnel_and_resume(ray_session, tmp_path):
     # checkpointed flags must win (base-stage mutations invisible)
     sd = tmp_path / "attr_stage"
     first = t_filter_attrition(str(d), stage_dir=str(sd))
-    pq.write_table(_docs_table(["x"]), str(d / "documents.parquet"))
+    pq.write_table(_attrition_docs(["x"]), str(d / "documents.parquet"))
     again = t_filter_attrition(str(d), stage_dir=str(sd))
     pd.testing.assert_frame_equal(first, again)
 
