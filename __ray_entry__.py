@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cdc_upsert": R.q_cdc_upsert,
         "q_schema_evolution": R.q_schema_evolution,
         "q_ipc_roundtrip": R.q_ipc_roundtrip,
+        "t_dataset_card": T.t_dataset_card,
     }
 
 
@@ -3965,6 +3966,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
             "user_id, event_type, value, props "
             "FROM events ORDER BY event_id"
+        ),
+        "t_dataset_card": (
+            # every published number is an integer (mean is the floored
+            # cross-product); dup-rate denominator = exact distinct md5
+            "WITH m AS ("
+            "SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value "
+            "FROM documents "
+            "UNION ALL SELECT 'n_distinct_texts', "
+            "CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'total_chars', "
+            "CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM documents "
+            "UNION ALL SELECT 'mean_chars_x100', "
+            "CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE "
+            "(COALESCE(SUM(n_chars), 0) * 100) // COUNT(*) END AS BIGINT) "
+            "FROM documents "
+            "UNION ALL SELECT 'lang:' || lang, CAST(COUNT(*) AS BIGINT) "
+            "FROM documents WHERE lang IS NOT NULL GROUP BY lang "
+            "UNION ALL SELECT 'source:' || source, CAST(COUNT(*) AS BIGINT) "
+            "FROM documents WHERE source IS NOT NULL GROUP BY source) "
+            "SELECT metric, value FROM m ORDER BY metric"
         ),
         "q_bfs_reach": (
             # BFS levels are deterministic sets, so the recurrence

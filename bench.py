@@ -275,6 +275,7 @@ QUERY_NAMES = [
     "q_cdc_upsert",
     "q_schema_evolution",
     "q_ipc_roundtrip",
+    "t_dataset_card",
 ]
 
 

@@ -5846,3 +5846,111 @@ def t_filter_attrition(sf_dir: str, stage_dir: str = None):
             import shutil
 
             shutil.rmtree(root, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# Dataset card — the datasheet summary every released corpus ships
+# (Gebru et al., Datasheets for Datasets; HF dataset cards).  Engine-added.
+
+
+def t_dataset_card(sf_dir: str):
+    """One-pass dataset datasheet over documents: corpus size, EXACT
+    distinct-text count (the dup-rate denominator), total/mean chars,
+    and the per-lang / per-source composition — the (metric, value)
+    long-format card a corpus release publishes and a mixture designer
+    reads before weighting sources.
+
+    Scale shape: ONE streaming pass reduces each block to a union-schema
+    partial (bounded metric rows — langs and sources are label enums —
+    plus the block-DISTINCT text md5s for the exact-dedup metric, the
+    t_filter_attrition discipline); the two-regime merge folds metric
+    rows on the driver and counts distinct hashes (driver set below
+    PIVOT_DRIVER_MAX_ROWS, a bucketed fold above).  All values are
+    integers: mean_chars_x100 is the floored integer cross-product, so
+    no float decides a published number."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        metrics: list[tuple[str, int]] = [
+            ("n_docs", len(t)),
+            (
+                "total_chars",
+                int(
+                    pc.sum(t.column("n_chars")).as_py() or 0
+                ),
+            ),
+        ]
+        for col, prefix in (("lang", "lang:"), ("source", "source:")):
+            arr = t.column(col)
+            g = (
+                pa.table({col: arr, "n": pa.array(np.ones(len(t), np.int64))})
+                .group_by(col)
+                .aggregate([("n", "sum")])
+            )
+            for k, v in zip(g.column(col).to_pylist(), g.column("n_sum").to_pylist()):
+                if k is None:  # oracle's 'lang:' || NULL row is filtered too
+                    continue
+                metrics.append((f"{prefix}{k}", int(v)))
+        uniq = sorted(
+            {
+                hashlib.md5(s.encode("utf-8")).hexdigest()
+                for s in t.column("text").to_pylist()
+            }
+        )
+        k = len(uniq)
+        return pa.table(
+            {
+                "metric": pa.array([m for m, _ in metrics] + [None] * k, pa.string()),
+                "value": pa.array([v for _, v in metrics] + [0] * k, pa.int64()),
+                "md5": pa.array([None] * len(metrics) + uniq, pa.string()),
+            }
+        )
+
+    parts = (
+        _read_documents(sf_dir, columns=("doc_id", "text", "lang", "source", "n_chars"))
+        .map_batches(partial, batch_format="pyarrow")
+        .materialize()
+    )
+    from .frames import typed_collect
+    from .relational import PIVOT_DRIVER_MAX_ROWS  # lazy (import cycle)
+
+    mrows = typed_collect(
+        parts.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("metric"))).select(
+                ["metric", "value"]
+            ),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("metric", pa.string()), ("value", pa.int64())]),
+    )
+    md5s = parts.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("md5"))).select(["md5"]),
+        batch_format="pyarrow",
+    )
+    if md5s.count() <= PIVOT_DRIVER_MAX_ROWS:
+        mdf = md5s.to_pandas()
+        n_distinct = 0 if len(mdf.columns) == 0 else int(mdf["md5"].nunique())
+    else:
+        from ray.data.aggregate import Count
+
+        n_distinct = md5s.groupby("md5").aggregate(Count(alias_name="_n")).count()
+
+    agg = (
+        mrows.groupby("metric", as_index=False)["value"].sum()
+        if len(mrows)
+        else pd.DataFrame({"metric": pd.Series([], dtype=object), "value": pd.Series([], dtype="int64")})
+    )
+    by = dict(zip(agg["metric"], agg["value"].astype("int64")))
+    n_docs = int(by.get("n_docs", 0))
+    total_chars = int(by.get("total_chars", 0))
+    rows = [
+        ("n_docs", n_docs),
+        ("n_distinct_texts", int(n_distinct)),
+        ("total_chars", total_chars),
+        ("mean_chars_x100", 0 if n_docs == 0 else total_chars * 100 // n_docs),
+    ]
+    rows.extend(
+        (m, int(v)) for m, v in sorted(by.items()) if m.startswith(("lang:", "source:"))
+    )
+    out = pd.DataFrame(rows, columns=["metric", "value"])
+    out["value"] = out["value"].astype("int64")
+    return out.sort_values("metric").reset_index(drop=True)

@@ -489,6 +489,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_rouge_report",
     "t_langid_eval",
     "t_filter_attrition",
+    "t_dataset_card",
 ]
 
 
