@@ -130,9 +130,7 @@ def t_token_stats(sf_dir: str):
         )
 
     ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
-    return _collect_sorted(
-        ds, ("doc_id",), lambda: _gopher_project(_empty_docs())
-    )
+    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
 
 
 def t_fingerprint(sf_dir: str):
@@ -147,9 +145,7 @@ def t_fingerprint(sf_dir: str):
         return pa.table({"doc_id": t.column("doc_id"), "fingerprint": pa.array(fps)})
 
     ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
-    return _collect_sorted(
-        ds, ("doc_id",), lambda: _c4_project(_empty_docs())
-    )
+    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
 
 
 def t_exact_dedup(sf_dir: str):
@@ -338,7 +334,9 @@ def t_gopher_rules(sf_dir: str):
     words contain an alphabetic char; >= 2 distinct stop words."""
 
     ds = _read_documents(sf_dir).map_batches(_gopher_project, batch_format="pyarrow")
-    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
+    return _collect_sorted(
+        ds, ("doc_id",), lambda: _gopher_project(_empty_docs())
+    )
 
 
 _C4_TERMINAL = (".", "!", "?", '"')
@@ -392,7 +390,9 @@ def t_c4_filter(sf_dir: str):
     newline-split and space/tab/CR-trimmed (the pipeline_line_dedup
     convention).  Integer counts + booleans only — rounding-free oracle."""
     ds = _read_documents(sf_dir).map_batches(_c4_project, batch_format="pyarrow")
-    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
+    return _collect_sorted(
+        ds, ("doc_id",), lambda: _c4_project(_empty_docs())
+    )
 
 
 # PII patterns, deliberately written in the RE2 dialect BOTH engines share
