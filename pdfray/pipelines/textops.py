@@ -3762,8 +3762,6 @@ def t_dup_spans(sf_dir: str, stage_dir: str = None):
     import shutil
     import tempfile
 
-    from ray.data.aggregate import Count
-
     from .sizing import shuffle_partitions
     from .staging import stage_checkpoint
 
@@ -3801,15 +3799,36 @@ def t_dup_spans(sf_dir: str, stage_dir: str = None):
         )
         dup_grams = None
         if pairs is not None:
+            # df counting via the bucketed fold (the q_butterfly_count
+            # lesson): gh-hash buckets co-locate every copy of a gram, one
+            # pandas value_counts per bucket yields the exact df and the
+            # df >= 2 filter shrinks the checkpoint in-task — Ray's
+            # per-gh-key Aggregate paid seconds of per-key machinery on
+            # the corpus-order gram stream
+            n_gbuckets = shuffle_partitions(pairs.count())
+
+            def gh_bucket(t: pa.Table) -> pa.Table:
+                z = (
+                    t.column("gh").to_numpy(zero_copy_only=False).astype(np.uint64)
+                    + np.uint64(0x9E3779B97F4A7C15)
+                )
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                z = z ^ (z >> np.uint64(31))
+                return t.append_column(
+                    "gb", pa.array((z % np.uint64(n_gbuckets)).astype(np.int64))
+                )
+
+            def df_fold(g: pd.DataFrame) -> pd.DataFrame:
+                vc = g["gh"].value_counts()
+                return pd.DataFrame(
+                    {"gh": vc.index[vc.to_numpy() >= 2].astype("int64")}
+                )
+
             dup_grams = stage_checkpoint(
-                lambda: pairs.groupby("gh")
-                .aggregate(Count(alias_name="n_docs"))
-                .map_batches(
-                    lambda t: t.filter(
-                        pc.greater_equal(t.column("n_docs"), 2)
-                    ).select(["gh"]),
-                    batch_format="pyarrow",
-                ),
+                lambda: pairs.map_batches(gh_bucket, batch_format="pyarrow")
+                .groupby("gb")
+                .map_groups(df_fold, batch_format="pandas"),
                 os.path.join(root, "dup_grams"),
                 resume=resume,
                 allow_empty=True,
@@ -3824,12 +3843,36 @@ def t_dup_spans(sf_dir: str, stage_dir: str = None):
             )
         else:
             n_parts = shuffle_partitions(pairs.count())  # footer count
+
+            def doc_bucket(t: pa.Table) -> pa.Table:
+                z = (
+                    t.column("doc_id")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                    + np.uint64(0x9E3779B97F4A7C15)
+                )
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = z ^ (z >> np.uint64(31))
+                return t.append_column(
+                    "db", pa.array((z % np.uint64(n_parts)).astype(np.int64))
+                )
+
+            def doc_fold(g: pd.DataFrame) -> pd.DataFrame:
+                vc = g["doc_id"].value_counts()
+                return pd.DataFrame(
+                    {
+                        "doc_id": vc.index.astype("int64"),
+                        "n_dup_grams": vc.to_numpy().astype("int64"),
+                    }
+                )
+
             counts = (
                 pairs.join(
                     dup_grams, join_type="inner", num_partitions=n_parts, on=("gh",)
                 )
-                .groupby("doc_id")
-                .aggregate(Count(alias_name="n_dup_grams"))
+                .map_batches(doc_bucket, batch_format="pyarrow")
+                .groupby("db")
+                .map_groups(doc_fold, batch_format="pandas")
                 .to_pandas()
             )
     finally:
