@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_schema_evolution": R.q_schema_evolution,
         "q_ipc_roundtrip": R.q_ipc_roundtrip,
         "t_dataset_card": T.t_dataset_card,
+        "q_auc_purchase_value": R.q_auc_purchase_value,
     }
 
 
@@ -3986,6 +3987,26 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'source:' || source, CAST(COUNT(*) AS BIGINT) "
             "FROM documents WHERE source IS NOT NULL GROUP BY source) "
             "SELECT metric, value FROM m ORDER BY metric"
+        ),
+        "q_auc_purchase_value": (
+            # exact Mann-Whitney with tie correction: 2U stays integer
+            # (ties contribute the un-divided n_neg(s) term); NULL/NaN
+            # scores excluded, -0.0 folded to +0.0 on both sides
+            "WITH e AS (SELECT value + 0.0 AS value, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p "
+            "FROM events WHERE value IS NOT NULL AND NOT isnan(value)), "
+            "d AS (SELECT value, CAST(SUM(p) AS BIGINT) AS np, "
+            "CAST(SUM(1 - p) AS BIGINT) AS nn FROM e GROUP BY value), "
+            "s AS (SELECT np, nn, CAST(COALESCE(SUM(nn) OVER ("
+            "ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS BIGINT) AS cum FROM d), "
+            "tot AS (SELECT CAST(COALESCE(SUM(np), 0) AS BIGINT) AS n_pos, "
+            "CAST(COALESCE(SUM(nn), 0) AS BIGINT) AS n_neg, "
+            "CAST(COALESCE(SUM(np * (2 * cum + nn)), 0) AS BIGINT) AS u2 "
+            "FROM s) "
+            "SELECT n_pos, n_neg, u2, CASE WHEN n_pos > 0 AND n_neg > 0 "
+            "THEN ROUND(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) "
+            "END AS auc FROM tot WHERE n_pos + n_neg > 0"
         ),
         "q_bfs_reach": (
             # BFS levels are deterministic sets, so the recurrence

@@ -276,6 +276,7 @@ QUERY_NAMES = [
     "q_schema_evolution",
     "q_ipc_roundtrip",
     "t_dataset_card",
+    "q_auc_purchase_value",
 ]
 
 

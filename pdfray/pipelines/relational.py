@@ -10325,3 +10325,125 @@ def q_ipc_roundtrip(sf_dir: str):
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def q_auc_purchase_value(sf_dir: str):
+    """Exact distributed AUC (Mann-Whitney U with tie correction) — does
+    `value` separate purchase events from the rest?  The model-eval rank
+    statistic every training-data pipeline computes for its quality /
+    filter scores, done EXACTLY at corpus scale without a global sort:
+
+      2U = Σ_s n_pos(s) · (2·cumneg_lt(s) + n_neg(s))   over distinct
+      scores s ascending — an integer (ties contribute the ½ as the
+      un-divided n_neg(s) term), and AUC = 2U / (2·n_pos·n_neg).
+
+    Plan: the terasort machinery (`_range_plan`, shared with
+    q_global_rank_orders / q_gini_revenue) range-partitions on the RAW
+    double score, equal keys co-locating by construction — so ties never
+    straddle partitions and the cross-partition pair count collapses to
+    2·n_pos_p·cumneg_before_p per partition.  ONE range exchange; each
+    partition reduces to a constant-size (part, n_pos, n_neg, u2_local)
+    partial folded as exact Python ints on the driver (the q_gini fold).
+    NULL / NaN scores are excluded on both sides; -0.0 is normalized to
+    +0.0 (`v + 0.0`) so the distinct-score grouping matches DuckDB's.
+    u2 is reported as int64 — past ~3×10⁹ usable rows per class the
+    report column itself would saturate; the internal fold is unbounded.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    empty = pd.DataFrame(
+        {
+            "n_pos": pd.Series([], dtype="int64"),
+            "n_neg": pd.Series([], dtype="int64"),
+            "u2": pd.Series([], dtype="int64"),
+            "auc": pd.Series([], dtype="float64"),
+        }
+    )
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    if n == 0:
+        return empty
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "event_type", "value"],
+        rows_per_block=500_000,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        keep = pc.is_valid(t.column("value")).to_numpy(
+            zero_copy_only=False
+        ) & ~np.isnan(v)
+        pos = (
+            pc.fill_null(pc.equal(t.column("event_type"), "purchase"), False)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id").filter(pa.array(keep)),
+                "value": pa.array(v[keep] + 0.0),
+                "pos": pa.array(pos[keep]),
+            }
+        )
+
+    prepared = ds.map_batches(prep, batch_format="pyarrow")
+    assign, offsets = _range_plan(prepared, n, "event_id", "value", "auc_part")
+
+    def part_partial(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        p = g["pos"].to_numpy(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, p = v[order], p[order]
+        _, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
+        npos = np.bincount(inv, weights=p).astype(np.int64)
+        nneg = cnt.astype(np.int64) - npos
+        cumneg = np.concatenate([[0], np.cumsum(nneg)[:-1]])
+        # npos(s)·(2·cumneg+nneg) ≤ n_p² per term — int64-safe while the
+        # partition stays under ~2^31 rows (shuffle_partitions grows with
+        # data, so a trip here means partition sizing broke, not math)
+        assert len(g) == 0 or len(g) * len(g) < 2**62
+        terms = npos * (2 * cumneg + nneg)
+        u2_local = int(terms.sum(dtype=object)) if len(terms) else 0
+        return pd.DataFrame(
+            {
+                "part": [int(g["part"].iloc[0])],
+                "n_pos": [int(p.sum())],
+                "n_neg": [int(len(p) - p.sum())],
+                "u2_str": [str(u2_local)],
+            }
+        )
+
+    parts = (
+        prepared.map_batches(assign, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return empty
+    parts = parts.sort_values("part").reset_index(drop=True)
+    cumneg_before = 0
+    u2 = 0
+    for _, row in parts.iterrows():
+        u2 += int(row["u2_str"]) + 2 * int(row["n_pos"]) * cumneg_before
+        cumneg_before += int(row["n_neg"])
+    n_pos = int(parts["n_pos"].sum())
+    n_neg = int(parts["n_neg"].sum())
+    if n_pos + n_neg == 0:
+        return empty
+    auc = (
+        round_half_away(u2 / (2.0 * n_pos * n_neg), 6).item()
+        if n_pos > 0 and n_neg > 0
+        else np.nan
+    )
+    return pd.DataFrame(
+        {
+            "n_pos": pd.Series([n_pos], dtype="int64"),
+            "n_neg": pd.Series([n_neg], dtype="int64"),
+            "u2": pd.Series([u2], dtype="int64"),
+            "auc": pd.Series([auc], dtype="float64"),
+        }
+    )

@@ -632,6 +632,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_zorder_zonemap",
     "q_schema_evolution",
     "q_ipc_roundtrip",
+    "q_auc_purchase_value",
 ]
 
 _PROPS_POOL = [
