@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ipc_roundtrip": R.q_ipc_roundtrip,
         "t_dataset_card": T.t_dataset_card,
         "q_auc_purchase_value": R.q_auc_purchase_value,
+        "q_scd2_order_status": R.q_scd2_order_status,
     }
 
 
@@ -4007,6 +4008,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_pos, n_neg, u2, CASE WHEN n_pos > 0 AND n_neg > 0 "
             "THEN ROUND(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) "
             "END AS auc FROM tot WHERE n_pos + n_neg > 0"
+        ),
+        "q_scd2_order_status": (
+            # gaps-and-islands: LAG change flag -> running island id ->
+            # per-island MIN/COUNT -> LEAD(valid_from) open intervals;
+            # IS DISTINCT FROM gives missing==missing (no new island)
+            "WITH x AS (SELECT o_custkey AS c, o_orderkey AS k, "
+            "o_orderstatus AS s, o_orderdate AS d, "
+            "CASE WHEN LAG(o_orderstatus) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) IS DISTINCT FROM "
+            "o_orderstatus THEN 1 ELSE 0 END AS chg FROM orders), "
+            "g AS (SELECT c, s, d, k, SUM(chg) OVER (PARTITION BY c "
+            "ORDER BY d, k ROWS UNBOUNDED PRECEDING) AS grp FROM x), "
+            "isl AS (SELECT c, grp, MIN(s) AS s, MIN(d) AS vf, "
+            "COUNT(*) AS cnt FROM g GROUP BY c, grp) "
+            "SELECT c AS o_custkey, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY c ORDER BY grp) AS BIGINT) AS island_seq, "
+            "s AS o_orderstatus, STRFTIME(vf, '%Y-%m-%d') AS valid_from, "
+            "STRFTIME(LEAD(vf) OVER (PARTITION BY c ORDER BY grp), "
+            "'%Y-%m-%d') AS valid_to, CAST(cnt AS BIGINT) AS n_orders "
+            "FROM isl ORDER BY o_custkey, island_seq"
         ),
         "q_bfs_reach": (
             # BFS levels are deterministic sets, so the recurrence

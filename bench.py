@@ -277,6 +277,7 @@ QUERY_NAMES = [
     "q_ipc_roundtrip",
     "t_dataset_card",
     "q_auc_purchase_value",
+    "q_scd2_order_status",
 ]
 
 

@@ -10447,3 +10447,115 @@ def q_auc_purchase_value(sf_dir: str):
             "auc": pd.Series([auc], dtype="float64"),
         }
     )
+
+
+def q_scd2_order_status(sf_dir: str):
+    """SCD Type-2 dimension build (gaps-and-islands): per customer,
+    collapse the order history ordered by (o_orderdate, o_orderkey) into
+    validity intervals over which o_orderstatus is constant — the
+    slowly-changing-dimension table every warehouse maintains, and the
+    canonical islands problem (LAG + running change count in SQL).
+
+    Plan: ONE hash exchange on splitmix(o_custkey) buckets
+    (`_user_bucket`, shuffle_partitions-sized), then one VECTORIZED
+    pandas fold per bucket — island boundaries from shifted array
+    compares (no per-row loop), per-island first-date / count / next-
+    island lookahead as numpy gathers.  All rows of a customer co-locate
+    by construction, so no cross-partition stitch is needed (contrast
+    q_sessionize, whose time-chunk split exists because single-user
+    streams can exceed a worker); a pathologically hot customer lands
+    one bucket with vectorized work, never a Python loop.
+
+    NULL-status rows follow IS DISTINCT FROM semantics (missing equals
+    missing → no new island); NULL order dates are undefined order and
+    excluded from scope (the corpus never produces them).  Dates are
+    reported as '%Y-%m-%d' strings: midnight-exact on this corpus, and
+    a string NULL (open interval) survives the driver's dtype-strict
+    compare where a NaT column would not."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .sizing import shuffle_partitions
+
+    empty = pd.DataFrame(
+        {
+            "o_custkey": pd.Series([], dtype="int64"),
+            "island_seq": pd.Series([], dtype="int64"),
+            "o_orderstatus": pd.Series([], dtype=object),
+            "valid_from": pd.Series([], dtype=object),
+            "valid_to": pd.Series([], dtype=object),
+            "n_orders": pd.Series([], dtype="int64"),
+        }
+    )
+    n = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n == 0:
+        return empty
+    n_buckets = shuffle_partitions(n)
+    ds = _read(
+        sf_dir,
+        "orders",
+        ["o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"],
+        rows_per_block=200_000,
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        users = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket",
+            pa.array(_user_bucket(users, n_buckets).astype(np.int64)),
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        c = g["o_custkey"].to_numpy(np.int64)
+        s = g["o_orderstatus"].to_numpy(object).copy()
+        s[pd.isna(s)] = None  # normalize NaN→None for exact == compare
+        d = pd.to_datetime(g["o_orderdate"]).dt.strftime("%Y-%m-%d").to_numpy(object)
+        m = len(g)
+        new_cust = np.ones(m, bool)
+        new_cust[1:] = c[1:] != c[:-1]
+        chg = new_cust.copy()
+        if m > 1:
+            chg[1:] |= s[1:] != s[:-1]
+        starts = np.flatnonzero(chg)
+        counts = np.diff(np.append(starts, m)).astype(np.int64)
+        nc = new_cust[starts]
+        idx = np.arange(len(starts), dtype=np.int64)
+        seq = idx - np.maximum.accumulate(np.where(nc, idx, -1)) + 1
+        vf = d[starts]
+        vt = np.empty(len(starts), object)
+        vt[:] = None
+        if len(starts) > 1:
+            cont = ~nc[1:]  # next island belongs to the same customer
+            vt[:-1][cont] = vf[1:][cont]
+        return pd.DataFrame(
+            {
+                "o_custkey": c[starts],
+                "island_seq": seq,
+                "o_orderstatus": pd.Series(s[starts], dtype=object),
+                "valid_from": pd.Series(vf, dtype=object),
+                "valid_to": pd.Series(vt, dtype=object),
+                "n_orders": counts,
+            }
+        )
+
+    out = typed_collect(
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas"),
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("island_seq", pa.int64()),
+                ("o_orderstatus", pa.string()),
+                ("valid_from", pa.string()),
+                ("valid_to", pa.string()),
+                ("n_orders", pa.int64()),
+            ]
+        ),
+    )
+    if len(out) == 0:
+        return empty
+    return out.sort_values(["o_custkey", "island_seq"]).reset_index(drop=True)

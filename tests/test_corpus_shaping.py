@@ -1091,6 +1091,7 @@ STAR_ORACLE_QUERIES = [
     "q_global_rank_orders",
     "q_gini_revenue",
     "q_cdc_upsert",
+    "q_scd2_order_status",
 ]
 
 
