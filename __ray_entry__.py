@@ -427,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_dataset_card": T.t_dataset_card,
         "q_auc_purchase_value": R.q_auc_purchase_value,
         "q_scd2_order_status": R.q_scd2_order_status,
+        "q_linreg_price_qty": R.q_linreg_price_qty,
     }
 
 
@@ -4207,6 +4208,40 @@ def oracle_sql() -> dict[str, str]:
             "WHEN CAST(ROUND(value * 100, 0) AS BIGINT) >= 1000 THEN 'hi' "
             "ELSE 'lo' END AS tier "
             "FROM events ORDER BY event_id"
+        ),
+        "q_linreg_price_qty": (
+            # OLS recomputed from the SAME integer digests with the SAME
+            # IEEE expression the engine uses (the q_corr scheme; never
+            # REGR_SLOPE(), whose streaming update order is
+            # implementation-defined) — bit-identical doubles, no
+            # rounding either side.  x on the 1/64 grid, y on the 1/6400
+            # grid (lcm of cents and 1/64 money); HUGEINT carries Σy²
+            # exactly, mirroring the engine's (hi, lo) int64 split
+            "WITH d AS (SELECT l_returnflag, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(CAST(ROUND(l_quantity * 64) AS HUGEINT)) AS sx, "
+            "SUM(CAST(ROUND(l_extendedprice * 6400) AS HUGEINT)) AS sy, "
+            "SUM(CAST(ROUND(l_quantity * 64) AS HUGEINT) * "
+            "CAST(ROUND(l_quantity * 64) AS BIGINT)) AS sxx, "
+            "SUM(CAST(ROUND(l_quantity * 64) AS HUGEINT) * "
+            "CAST(ROUND(l_extendedprice * 6400) AS BIGINT)) AS sxy, "
+            "SUM(CAST(ROUND(l_extendedprice * 6400) AS HUGEINT) * "
+            "CAST(ROUND(l_extendedprice * 6400) AS BIGINT)) AS syy "
+            "FROM lineitem GROUP BY l_returnflag), "
+            "s AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS dn, "
+            "CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy, "
+            "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov, "
+            "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx, "
+            "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - "
+            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy FROM d) "
+            "SELECT l_returnflag, n AS n_lines, "
+            "cov / NULLIF(vx, 0.0) * 0.01 AS slope, "
+            "(dsy / 6400.0 - cov / NULLIF(vx, 0.0) * 0.01 * (dsx / 64.0)) "
+            "/ dn AS intercept, "
+            "cov * cov / NULLIF(vx * vy, 0.0) AS r2 "
+            "FROM s ORDER BY l_returnflag"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

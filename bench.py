@@ -278,6 +278,7 @@ QUERY_NAMES = [
     "t_dataset_card",
     "q_auc_purchase_value",
     "q_scd2_order_status",
+    "q_linreg_price_qty",
 ]
 
 

@@ -3640,6 +3640,109 @@ def q_corr_qty_discount(sf_dir: str):
     )
 
 
+def q_linreg_price_qty(sf_dir: str):
+    """Closed-form distributed OLS per returnflag — slope / intercept /
+    r² of l_extendedprice ~ l_quantity, the q_corr_qty_discount digest
+    pattern extended to the full regression normal equations: OLS over N
+    rows is a pure function of (n, Σx, Σy, Σx², Σxy, Σy²), each a sum,
+    so ONE combiner pass reduces every block to a digest row per group
+    and NOTHING wider than O(groups × blocks) ever moves.
+
+    Exactness: x rides the 1/64 grid (×64 → int) and y the 1/6400 grid
+    (×6400 — the lcm of the cents and 1/64 money grids; loud raise
+    off-grid), so all six digests are exact integers.  Σy² per 6400-grid
+    row reaches ~4.5e17, which overflows int64 within one 100k-row
+    block — it is carried as an exact (hi, lo) = (Σ c²>>32, Σ c²&0xffffffff)
+    int64 pair and reassembled as a Python int on the driver; the other
+    digests stay int64 per block and the driver folds them all as exact
+    Python ints (the q_gini fold — at extreme block counts an
+    intermediate keyed combine slots in unchanged, the partials are
+    additive).  The float slope/intercept/r² are then the SAME IEEE
+    expression on the same integers in engine and oracle — bit-identical
+    doubles, no rounding either side.  Zero x-variance → NULL slope /
+    intercept; zero variance on either axis → NULL r² (matching the SQL
+    NULLIF guards)."""
+    import numpy as np
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_quantity", "l_extendedprice"],
+        rows_per_block=100_000,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        y = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        xi = np.rint(x * 64.0).astype(np.int64)
+        yi = np.rint(y * 6400.0).astype(np.int64)
+        if not np.array_equal(xi / 64.0, x):
+            raise ValueError("l_quantity off the 1/64 grid; digests inexact")
+        if not np.array_equal(yi / 6400.0, y):
+            raise ValueError(
+                "l_extendedprice off the 1/6400 grid; digests inexact"
+            )
+        yy = yi * yi  # per-row ≤ ~4.5e17: element-safe, sum-unsafe
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n_lines": pa.array(np.ones(len(t), np.int64)),
+                "sx": pa.array(xi),
+                "sy": pa.array(yi),
+                "sxx": pa.array(xi * xi),
+                "sxy": pa.array(xi * yi),
+                "syy_hi": pa.array(yy >> np.int64(32)),
+                "syy_lo": pa.array(yy & np.int64(0xFFFFFFFF)),
+            }
+        )
+        cols = ["n_lines", "sx", "sy", "sxx", "sxy", "syy_hi", "syy_lo"]
+        g = tt.group_by("l_returnflag").aggregate([(c, "sum") for c in cols])
+        return g.rename_columns(["l_returnflag"] + cols)
+
+    parts = typed_collect(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        pa.schema(
+            [("l_returnflag", pa.string())]
+            + [
+                (c, pa.int64())
+                for c in ("n_lines", "sx", "sy", "sxx", "sxy", "syy_hi", "syy_lo")
+            ]
+        ),
+    )
+    rows = []
+    for flag, grp in parts.groupby("l_returnflag", sort=True):
+        n = sum(int(v) for v in grp["n_lines"])
+        sx = sum(int(v) for v in grp["sx"])
+        sy = sum(int(v) for v in grp["sy"])
+        sxx = sum(int(v) for v in grp["sxx"])
+        sxy = sum(int(v) for v in grp["sxy"])
+        syy = (sum(int(v) for v in grp["syy_hi"]) << 32) + sum(
+            int(v) for v in grp["syy_lo"]
+        )
+        nf, dsx, dsy = float(n), float(sx), float(sy)
+        cov = nf * float(sxy) - dsx * dsy
+        vx = nf * float(sxx) - dsx * dsx
+        vy = nf * float(syy) - dsy * dsy
+        # grid units: y/6400 dollars per x/64 unit → ratio × 64/6400 = 0.01
+        slope = cov / vx * 0.01 if vx != 0.0 else np.nan
+        intercept = (
+            (dsy / 6400.0 - slope * (dsx / 64.0)) / nf if vx != 0.0 else np.nan
+        )
+        r2 = cov * cov / (vx * vy) if vx * vy != 0.0 else np.nan
+        rows.append((flag, n, slope, intercept, r2))
+    return pd.DataFrame(
+        rows, columns=["l_returnflag", "n_lines", "slope", "intercept", "r2"]
+    ).astype(
+        {
+            "l_returnflag": object,
+            "n_lines": "int64",
+            "slope": "float64",
+            "intercept": "float64",
+            "r2": "float64",
+        }
+    )
+
+
 def q_mode_event_type(sf_dir: str):
     """Per-user MODE of event_type (most frequent value; ties break to
     the lexicographically-smallest type — a total order, so the result

@@ -799,6 +799,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "q_skyline_parts",
     "t_editdist_dupes",
     "q_column_profile",
+    "q_linreg_price_qty",
 ]
 
 

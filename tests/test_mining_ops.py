@@ -520,3 +520,61 @@ def test_cdc_dedup_matches_reference_and_shifts(ray_session, tmp_path):
     assert byd.loc[a, "n_dup_tokens"] > 300
     assert byd.loc[b, "n_dup_tokens"] > 300
     assert byd.loc[len(texts) - 1, "n_chunks"] == 0
+
+
+def test_linreg_matches_exact_int_bruteforce(ray_session, tmp_path):
+    """q_linreg_price_qty vs a Python-arbitrary-precision digest fold with
+    the identical IEEE tail — bit-equal doubles.  Plants: a max-price
+    group whose in-block Σy² exceeds int64 (the hi/lo-split class: ~25
+    rows at $100k already overflow), a constant-x group (vx=0 → NULL
+    slope/intercept/r²), and a single-row group."""
+    rng = np.random.default_rng(97)
+    n = 5000
+    flags = np.array(["A", "C"])[rng.integers(0, 2, n)]
+    qty = rng.integers(1, 201, n) / 4.0  # 1/64 grid
+    price = rng.integers(0, 64_000_000, n) / 640.0  # 1/640 ⊂ 1/6400 grid
+    # overflow plant: 300 rows at the $100k ceiling in group A
+    price[:300] = 100_000.0
+    flags[:300] = "A"
+    # constant-x group B
+    flags[300:400] = "B"
+    qty[300:400] = 7.25
+    # single-row group: exactly one 'D' row (vx=0 there too)
+    flags[400] = "D"
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(flags.tolist(), pa.string()),
+            "l_quantity": pa.array(qty),
+            "l_extendedprice": pa.array(price),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+
+    out = R.q_linreg_price_qty(str(tmp_path))
+
+    rows = []
+    for flag in sorted(set(flags.tolist())):
+        m = flags == flag
+        xi = [int(round(v * 64.0)) for v in qty[m]]
+        yi = [int(round(v * 6400.0)) for v in price[m]]
+        ng, sx, sy = len(xi), sum(xi), sum(yi)
+        sxx = sum(a * a for a in xi)
+        sxy = sum(a * b for a, b in zip(xi, yi))
+        syy = sum(b * b for b in yi)
+        nf, dsx, dsy = float(ng), float(sx), float(sy)
+        cov = nf * float(sxy) - dsx * dsy
+        vx = nf * float(sxx) - dsx * dsx
+        vy = nf * float(syy) - dsy * dsy
+        slope = cov / vx * 0.01 if vx != 0.0 else np.nan
+        icept = (dsy / 6400.0 - slope * (dsx / 64.0)) / nf if vx != 0.0 else np.nan
+        r2 = cov * cov / (vx * vy) if vx * vy != 0.0 else np.nan
+        rows.append((flag, ng, slope, icept, r2))
+    ref = pd.DataFrame(
+        rows, columns=["l_returnflag", "n_lines", "slope", "intercept", "r2"]
+    ).astype({"n_lines": "int64"})
+    # the overflow plant is real: group A's Σy² does not fit in int64
+    assert sum(
+        int(round(v * 6400.0)) ** 2 for v in price[flags == "A"]
+    ) > np.iinfo(np.int64).max
+    assert np.isnan(ref.loc[ref.l_returnflag == "B", "slope"]).all()
+    pd.testing.assert_frame_equal(out, ref, check_exact=True)
