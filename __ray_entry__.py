@@ -428,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_auc_purchase_value": R.q_auc_purchase_value,
         "q_scd2_order_status": R.q_scd2_order_status,
         "q_linreg_price_qty": R.q_linreg_price_qty,
+        "q_orc_roundtrip": R.q_orc_roundtrip,
     }
 
 
@@ -4242,6 +4243,15 @@ def oracle_sql() -> dict[str, str]:
             "/ dn AS intercept, "
             "cov * cov / NULLIF(vx * vy, 0.0) AS r2 "
             "FROM s ORDER BY l_returnflag"
+        ),
+        "q_orc_roundtrip": (
+            # identity projection WITHOUT props — the engine prunes that
+            # column at the ORC decode, so its absence here certifies the
+            # pruning path; ts rides back through the declared-schema
+            # cast (ORC widens to ns on disk)
+            "SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "user_id, event_type, value "
+            "FROM events ORDER BY event_id"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

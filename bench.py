@@ -279,6 +279,7 @@ QUERY_NAMES = [
     "q_auc_purchase_value",
     "q_scd2_order_status",
     "q_linreg_price_qty",
+    "q_orc_roundtrip",
 ]
 
 

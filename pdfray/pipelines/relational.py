@@ -10430,6 +10430,72 @@ def q_ipc_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_orc_roundtrip(sf_dir: str):
+    """LOSSLESS Apache ORC round trip with column pruning: events streams
+    through the distributed ORC sink (`sources.readers.write_orc_table` —
+    one content-addressed ``.orc`` file per block, idempotent
+    tmp+os.replace writes) and back through the one-task-per-file ORC
+    source READING ONLY the projected columns (props never leaves disk —
+    ORC is columnar, so pruning is a decode-time property this identity
+    actually exercises, unlike the IPC leg).  ORC's one declared edge is
+    timestamp widening to ns on disk; the source casts back to the
+    written Arrow schema, and the per-event projection must then match
+    the original parquet bit-for-bit — the warehouse-interchange leg of
+    the format matrix (parquet / CSV / JSONL / WARC / WebDataset tar /
+    IPC / ORC)."""
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_orc_table, write_orc_table
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "ts_us": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype=object),
+            "value": pd.Series([], dtype="float64"),
+        }
+    )
+    out_dir = tempfile.mkdtemp(prefix="pdfray_orc_")
+    try:
+        write_orc_table(_read(sf_dir, "events"), out_dir)
+        if not any(n.endswith(".orc") for n in os.listdir(out_dir)):
+            return empty  # empty corpus wrote no files
+
+        cols = ["event_id", "ts", "user_id", "event_type", "value"]
+        back_schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+            ]
+        )
+
+        def digest(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "ts_us": t.column("ts").cast(pa.int64()),
+                    "user_id": t.column("user_id"),
+                    "event_type": t.column("event_type"),
+                    "value": t.column("value"),
+                }
+            )
+
+        return (
+            read_orc_table(out_dir, columns=cols, schema=back_schema)
+            .map_batches(digest, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_auc_purchase_value(sf_dir: str):
     """Exact distributed AUC (Mann-Whitney U with tie correction) — does
     `value` separate purchase events from the rest?  The model-eval rank

@@ -248,3 +248,64 @@ def read_ipc_table(path: str):
         return pa.concat_tables(tables) if tables else pa.table({})
 
     return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def write_orc_table(ds, out_dir: str) -> None:
+    """Distributed Apache ORC sink: every block writes ONE ``.orc`` file —
+    the columnar interchange leg for Hive/Trino/Spark-side consumers
+    (the warehouse half of the format matrix, next to the Arrow-native
+    IPC sink).
+
+    Same durability discipline as `write_ipc_table`: files are
+    CONTENT-ADDRESSED (md5 of the encoded bytes) so retries are
+    idempotent, and write-to-temp + os.replace means a crashed run never
+    leaves a torn file visible.  ORC's one lossy edge vs Arrow:
+    timestamps widen to nanosecond precision on disk (values preserved);
+    `read_orc_table` casts them back to the declared schema."""
+    import hashlib
+    import os
+
+    import pyarrow.orc as orc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        sink = pa.BufferOutputStream()
+        orc.write_table(t, sink)
+        buf = sink.getvalue().to_pybytes()
+        name = hashlib.md5(buf).hexdigest() + ".orc"
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path])})
+
+    ds.map_batches(write_block, batch_format="pyarrow").count()
+
+
+def read_orc_table(path: str, columns=None, schema: pa.Schema = None):
+    """Distributed ORC source: one read task per ``.orc`` file
+    (`read_binary_files` parallelism), decoded inside the worker with
+    `pyarrow.orc.ORCFile`.  ``columns`` prunes at the decode (ORC is
+    columnar — unread columns are never materialized); ``schema`` casts
+    the decoded blocks back to the writer's Arrow types (ORC widens
+    timestamps to ns on disk)."""
+    import ray.data as rd
+
+    import pyarrow.orc as orc
+
+    ds = rd.read_binary_files(path, file_extensions=["orc"])
+
+    def decode(t: pa.Table) -> pa.Table:
+        tables = []
+        for b in t.column("bytes").to_pylist():
+            tbl = orc.ORCFile(pa.BufferReader(b)).read(columns=columns)
+            if schema is not None:
+                tbl = tbl.cast(schema)
+            tables.append(tbl)
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return ds.map_batches(decode, batch_format="pyarrow")

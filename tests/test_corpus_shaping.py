@@ -632,6 +632,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_zorder_zonemap",
     "q_schema_evolution",
     "q_ipc_roundtrip",
+    "q_orc_roundtrip",
     "q_auc_purchase_value",
 ]
 
@@ -2469,3 +2470,49 @@ def test_mrl_overlap_signal_in_prefix_is_lossless(ray_session, tmp_path):
     assert (out["n_overlap"] == 10).all()
     assert (out["overlap_x1e6"] == 1_000_000).all()
     assert all(out[c].dtype == np.int64 for c in out.columns)
+
+
+def test_orc_sink_idempotent_prunes_and_casts_back(ray_session, tmp_path):
+    """ORC mirror of the IPC sink test, plus the two ORC-specific edges:
+    column pruning at the decode (unrequested columns never appear) and
+    the timestamp ns-widening cast back to the written us schema.
+    Hostile doubles (NaN, ±inf, -0.0, denormal) round-trip BIT-exactly;
+    a rerun writes the SAME content-addressed files."""
+    import ray.data as rd
+
+    from pdfray.sources.readers import read_orc_table, write_orc_table
+
+    vals = [float("nan"), float("inf"), float("-inf"), -0.0, 5e-324, 1.5]
+    ts_us = [0, -86_400_000_000, 2**40, 1, -1, 7]  # incl. pre-epoch
+    t = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "ts": pa.array(ts_us, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+            "s": pa.array(["a", "𝒳 astral", "", "x,y\n", '"q"', "z"]),
+        }
+    )
+    d = tmp_path / "orc"
+    write_orc_table(rd.from_arrow(t), str(d))
+    files1 = sorted(p.name for p in d.iterdir())
+    assert files1 and all(n.endswith(".orc") for n in files1)
+    write_orc_table(rd.from_arrow(t), str(d))  # rerun: same content hash
+    assert sorted(p.name for p in d.iterdir()) == files1
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+        ]
+    )
+    back = (
+        read_orc_table(str(d), columns=["event_id", "ts", "value"], schema=schema)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(back.columns) == ["event_id", "ts", "value"]  # pruned
+    got = np.asarray(back["value"], dtype=np.float64)
+    want = np.asarray(vals, dtype=np.float64)
+    assert (got.view(np.int64) == want.view(np.int64)).all()  # bit compare
+    assert list(back["ts"].astype("int64")) == ts_us  # us precision back
