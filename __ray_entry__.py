@@ -429,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_scd2_order_status": R.q_scd2_order_status,
         "q_linreg_price_qty": R.q_linreg_price_qty,
         "q_orc_roundtrip": R.q_orc_roundtrip,
+        "t_unicode_dedup": T.t_unicode_dedup,
     }
 
 
@@ -4252,6 +4253,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
             "user_id, event_type, value "
             "FROM events ORDER BY event_id"
+        ),
+        "t_unicode_dedup": (
+            # DuckDB nfc_normalize == Python unicodedata NFC (same
+            # Unicode canonicalization; parity probed in tests over
+            # combining / Hangul / astral / ligature classes)
+            "SELECT md5(nfc_normalize(text)) AS norm_hash, "
+            "CAST(MIN(doc_id) AS BIGINT) AS rep_doc, "
+            "CAST(COUNT(*) AS BIGINT) AS n_copies, "
+            "CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants "
+            "FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 "
+            "ORDER BY norm_hash"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

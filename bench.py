@@ -280,6 +280,7 @@ QUERY_NAMES = [
     "q_scd2_order_status",
     "q_linreg_price_qty",
     "q_orc_roundtrip",
+    "t_unicode_dedup",
 ]
 
 

@@ -5997,3 +5997,92 @@ def t_dataset_card(sf_dir: str):
     out = pd.DataFrame(rows, columns=["metric", "value"])
     out["value"] = out["value"].astype("int64")
     return out.sort_values("metric").reset_index(drop=True)
+
+
+def t_unicode_dedup(sf_dir: str):
+    """Unicode-normalization-invariant exact dedup: two byte-distinct
+    documents whose NFC canonical forms coincide (decomposed vs
+    precomposed accents, Hangul jamo vs syllables, canonical combining
+    reorders) are the SAME text to any tokenizer, and byte-exact dedup
+    (`t_exact_dedup`) provably misses them.  Per NFC-equal class with
+    >= 2 members: canonical keep doc (min doc_id), member count, and the
+    number of DISTINCT raw byte forms inside the class — n_raw_variants
+    > 1 is precisely the duplicate mass invisible to byte-hash dedup.
+
+    Scale shape: one streaming pass hashes md5(NFC(text)) and md5(text)
+    per doc — the exchange carries (norm_hash, raw_hash, doc_id) only,
+    never text — then ONE bucketed exchange on the norm-hash prefix
+    co-locates each class whole, where a vectorized pandas fold per
+    bucket yields the class rows (per-key Ray Aggregate over a
+    corpus-sized hash key-space is the measured pathology this replaces;
+    see the q_butterfly_count lesson).  NFC is Python's `unicodedata`;
+    the oracle's `nfc_normalize` implements the same Unicode
+    canonicalization — parity probed over combining / Hangul / astral /
+    ligature classes in tests (NFC, unlike NFKC, must NOT fold
+    compatibility ligatures, which the ﬁ/ﬀ probe pins)."""
+    import unicodedata
+
+    import pyarrow.parquet as pq
+
+    from .sizing import shuffle_partitions
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_buckets = shuffle_partitions(max(1, n_docs))
+
+    def project(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        norm_hashes, raw_hashes = [], []
+        for s in texts:
+            norm_hashes.append(
+                hashlib.md5(
+                    unicodedata.normalize("NFC", s).encode("utf-8")
+                ).hexdigest()
+            )
+            raw_hashes.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+        # md5 is already uniform: the top-16-hex prefix IS the bucket key
+        bucket = np.array(
+            [int(h[:16], 16) % n_buckets for h in norm_hashes], np.int64
+        )
+        return pa.table(
+            {
+                "norm_hash": pa.array(norm_hashes, pa.string()),
+                "raw_hash": pa.array(raw_hashes, pa.string()),
+                "doc_id": t.column("doc_id"),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("norm_hash", sort=False).agg(
+            rep_doc=("doc_id", "min"),
+            n_copies=("doc_id", "size"),
+            n_raw_variants=("raw_hash", "nunique"),
+        )
+        agg = agg[agg["n_copies"] >= 2].reset_index()
+        return pd.DataFrame(
+            {
+                "norm_hash": agg["norm_hash"].astype(object),
+                "rep_doc": agg["rep_doc"].astype("int64"),
+                "n_copies": agg["n_copies"].astype("int64"),
+                "n_raw_variants": agg["n_raw_variants"].astype("int64"),
+            }
+        )
+
+    out = (
+        _read_documents(sf_dir)
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+    )
+    return _collect_sorted(
+        out,
+        ("norm_hash",),
+        schema=pa.schema(
+            [
+                ("norm_hash", pa.string()),
+                ("rep_doc", pa.int64()),
+                ("n_copies", pa.int64()),
+                ("n_raw_variants", pa.int64()),
+            ]
+        ),
+    )

@@ -490,6 +490,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_langid_eval",
     "t_filter_attrition",
     "t_dataset_card",
+    "t_unicode_dedup",
 ]
 
 
@@ -2516,3 +2517,58 @@ def test_orc_sink_idempotent_prunes_and_casts_back(ray_session, tmp_path):
     want = np.asarray(vals, dtype=np.float64)
     assert (got.view(np.int64) == want.view(np.int64)).all()  # bit compare
     assert list(back["ts"].astype("int64")) == ts_us  # us precision back
+
+
+def test_unicode_dedup_catches_nfc_variants(ray_session, tmp_path):
+    """Planted NFC classes byte-exact dedup provably misses: precomposed
+    vs combining-sequence accents, Hangul syllables vs conjoining jamo,
+    and an out-of-order combining pair that needs canonical reordering —
+    each class deduped with n_raw_variants > 1.  NFC must NOT fold
+    compatibility forms: the fi-ligature doc and its spelled-out twin
+    stay distinct (no class row).  Parity probe: Python unicodedata NFC
+    == DuckDB nfc_normalize over every planted string."""
+    import duckdb
+    import unicodedata
+
+    import pdfray.pipelines.textops as T2
+
+    acc_pre = "café résumé"
+    acc_dec = "café résumé"
+    hang_syl = "한글 text"
+    hang_jamo = "한글 text"
+    # dot-below + dot-above vs the reverse order: same NFC form
+    reorder_a = "ṩx"
+    reorder_b = "ṩx"
+    lig = "ﬁle"      # fi ligature: NFC keeps it
+    nolig = "file"
+    texts = [acc_pre, acc_dec, hang_syl, hang_jamo, reorder_a, reorder_b,
+             lig, nolig, "plain", "plain", "\U0001d4b3 astral", ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    for s in texts:
+        assert (
+            con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+            == unicodedata.normalize("NFC", s)
+        ), repr(s)
+
+    out = T2.t_unicode_dedup(str(tmp_path)).set_index("rep_doc")
+    assert set(out.index) == {0, 2, 4, 8}
+    # each NFC class merged two byte-distinct raws
+    for rep in (0, 2, 4):
+        assert out.loc[rep, "n_copies"] == 2
+        assert out.loc[rep, "n_raw_variants"] == 2
+    # the byte-identical pair has ONE raw variant
+    assert out.loc[8, "n_copies"] == 2
+    assert out.loc[8, "n_raw_variants"] == 1
+    # ligature stayed distinct from its spelled-out twin
+    assert 6 not in out.index and 7 not in out.index
