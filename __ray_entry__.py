@@ -430,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_linreg_price_qty": R.q_linreg_price_qty,
         "q_orc_roundtrip": R.q_orc_roundtrip,
         "t_unicode_dedup": T.t_unicode_dedup,
+        "t_group_holdout_split": T.t_group_holdout_split,
     }
 
 
@@ -4264,6 +4265,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants "
             "FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 "
             "ORDER BY norm_hash"
+        ),
+        "t_group_holdout_split": (
+            # the salted md5-hex4 split rule verbatim (fixed-width
+            # lowercase hex compares like the number it encodes); NULL
+            # sources excluded on both sides
+            "WITH s AS (SELECT source, "
+            "CASE WHEN substr(md5('split:' || source), 1, 4) < 'c000' "
+            "THEN 'train' "
+            "WHEN substr(md5('split:' || source), 1, 4) < 'e000' "
+            "THEN 'val' ELSE 'test' END AS split, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS chars "
+            "FROM documents WHERE source IS NOT NULL GROUP BY source) "
+            "SELECT split, CAST(COUNT(*) AS BIGINT) AS n_sources, "
+            "CAST(SUM(n_docs) AS BIGINT) AS n_docs, "
+            "CAST(SUM(chars) AS BIGINT) AS total_chars "
+            "FROM s GROUP BY split ORDER BY split"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -281,6 +281,7 @@ QUERY_NAMES = [
     "q_linreg_price_qty",
     "q_orc_roundtrip",
     "t_unicode_dedup",
+    "t_group_holdout_split",
 ]
 
 

@@ -6086,3 +6086,103 @@ def t_unicode_dedup(sf_dir: str):
             ]
         ),
     )
+
+
+HOLDOUT_SALT = "split:"  # independent of every other sampler's hash stream
+HOLDOUT_TRAIN_MAX = "c000"  # md5-hex4 < this -> train  (0.75)
+HOLDOUT_VAL_MAX = "e000"  # .. < this -> val (0.125); else test (0.125)
+
+
+def t_group_holdout_split(sf_dir: str):
+    """Leakage-safe GROUP-AWARE train/val/test holdout: the split key is
+    the document's source (domain), never the document — every doc of a
+    domain lands in the SAME split, so near-duplicates and templated
+    siblings (which cluster within a domain) cannot straddle the
+    train/eval boundary.  A per-doc split would leak them; this is the
+    GroupShuffleSplit discipline at corpus scale.
+
+    Assignment is a deterministic salted md5-hex prefix of the source
+    (the t_stratified_sample scheme: fixed-width lowercase hex compares
+    like the number it encodes) — no RNG state, stable under re-runs,
+    resumes, and repartitioning, and recomputable in SQL.  NULL-source
+    docs are excluded on both sides (no domain -> no leakage-safe
+    assignment).
+
+    Scale shape: one streaming pass reduces each block to distinct
+    (split, source) partial rows with doc/char counts; `_two_regime_sum`
+    merges them over the source key-space; a final combiner collapses to
+    per-(block, split) integer partials and the driver folds O(blocks×3)
+    rows.  The per-doc assignment table is never collected — at
+    production scale the same `assign` projection feeds
+    `write_training_shards(partition_cols=['split'])` directly."""
+    from .relational import _two_regime_sum  # lazy (import cycle)
+
+    def assign(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("source")))
+        sources = t.column("source").to_pylist()
+        splits = []
+        for s in sources:
+            h = hashlib.md5((HOLDOUT_SALT + s).encode("utf-8")).hexdigest()[:4]
+            splits.append(
+                "train"
+                if h < HOLDOUT_TRAIN_MAX
+                else ("val" if h < HOLDOUT_VAL_MAX else "test")
+            )
+        tt = pa.table(
+            {
+                "split": pa.array(splits, pa.string()),
+                "source": t.column("source"),
+                "n_docs": pa.array(np.ones(len(t), np.int64)),
+                "chars": pc.cast(t.column("n_chars"), pa.int64()),
+            }
+        )
+        g = tt.group_by(["split", "source"]).aggregate(
+            [("n_docs", "sum"), ("chars", "sum")]
+        )
+        return g.rename_columns(["split", "source", "n_docs", "chars"])
+
+    reduced, _ = _two_regime_sum(
+        _read_documents(sf_dir, ("doc_id", "source", "n_chars")).map_batches(
+            assign, batch_format="pyarrow"
+        ),
+        ["split", "source"],
+        ["n_docs", "chars"],
+    )
+
+    def split_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "split": t.column("split"),
+                "n_sources": pa.array(np.ones(len(t), np.int64)),
+                "n_docs": t.column("n_docs"),
+                "total_chars": t.column("chars"),
+            }
+        )
+        g = tt.group_by("split").aggregate(
+            [("n_sources", "sum"), ("n_docs", "sum"), ("total_chars", "sum")]
+        )
+        return g.rename_columns(["split", "n_sources", "n_docs", "total_chars"])
+
+    from .frames import typed_collect
+
+    parts = typed_collect(
+        reduced.map_batches(split_partial, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("split", pa.string()),
+                ("n_sources", pa.int64()),
+                ("n_docs", pa.int64()),
+                ("total_chars", pa.int64()),
+            ]
+        ),
+    )
+    if len(parts) == 0:
+        return parts
+    out = (
+        parts.groupby("split", sort=True)[["n_sources", "n_docs", "total_chars"]]
+        .sum()
+        .reset_index()
+    )
+    return out.astype(
+        {"n_sources": "int64", "n_docs": "int64", "total_chars": "int64"}
+    )

@@ -491,6 +491,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_filter_attrition",
     "t_dataset_card",
     "t_unicode_dedup",
+    "t_group_holdout_split",
 ]
 
 
@@ -2572,3 +2573,63 @@ def test_unicode_dedup_catches_nfc_variants(ray_session, tmp_path):
     assert out.loc[8, "n_raw_variants"] == 1
     # ligature stayed distinct from its spelled-out twin
     assert 6 not in out.index and 7 not in out.index
+
+
+def test_group_holdout_split_is_leakage_safe(ray_session, tmp_path):
+    """Randomized domains: the engine's per-split totals equal a brute
+    force that assigns each SOURCE once (the leakage guarantee is
+    by-construction: a doc can only follow its source), all three splits
+    are populated, totals conserve the corpus, NULL-source docs are
+    excluded, and a unicode domain hashes identically on both sides."""
+    import hashlib as H
+
+    import pdfray.pipelines.textops as T2
+
+    rng = np.random.RandomState(23)
+    sources = [f"domain-{i}.example" for i in range(120)] + ["ünïcode.example"]
+    src = [sources[i] for i in rng.randint(0, len(sources), 3000)]
+    texts = ["w " * int(n) for n in rng.randint(0, 50, 3000)]
+    src_col = pa.array(src, pa.string())
+    # three NULL-source docs: excluded
+    src_col = pa.concat_arrays(
+        [src_col, pa.array([None, None, None], pa.string())]
+    )
+    texts += ["x", "y", ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": src_col,
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    out = T2.t_group_holdout_split(str(tmp_path)).set_index("split")
+
+    def split_of(s):
+        h = H.md5((T2.HOLDOUT_SALT + s).encode()).hexdigest()[:4]
+        return (
+            "train"
+            if h < T2.HOLDOUT_TRAIN_MAX
+            else ("val" if h < T2.HOLDOUT_VAL_MAX else "test")
+        )
+
+    ref = {}
+    for s, txt in zip(src, texts):
+        sp = split_of(s)
+        d = ref.setdefault(sp, {"srcs": set(), "docs": 0, "chars": 0})
+        d["srcs"].add(s)
+        d["docs"] += 1
+        d["chars"] += len(txt)
+    assert set(out.index) == set(ref) == {"train", "val", "test"}
+    for sp, d in ref.items():
+        assert out.loc[sp, "n_sources"] == len(d["srcs"]), sp
+        assert out.loc[sp, "n_docs"] == d["docs"], sp
+        assert out.loc[sp, "total_chars"] == d["chars"], sp
+    # conservation: every non-NULL doc landed in exactly one split
+    assert int(out["n_docs"].sum()) == 3000
+    # leakage guarantee: split sets of sources are disjoint
+    seen = [d["srcs"] for d in ref.values()]
+    assert sum(len(s) for s in seen) == len(set().union(*seen))
