@@ -431,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orc_roundtrip": R.q_orc_roundtrip,
         "t_unicode_dedup": T.t_unicode_dedup,
         "t_group_holdout_split": T.t_group_holdout_split,
+        "q_k_anonymity": R.q_k_anonymity,
     }
 
 
@@ -4282,6 +4283,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n_docs) AS BIGINT) AS n_docs, "
             "CAST(SUM(chars) AS BIGINT) AS total_chars "
             "FROM s GROUP BY split ORDER BY split"
+        ),
+        "q_k_anonymity": (
+            # FLOOR on the raw double (identical IEEE divide-then-floor;
+            # integer // would truncate toward zero on negative balances
+            # and diverge).  Empty input degenerates to the all-zero row
+            # on both sides (COALESCE min -> 0)
+            "WITH g AS (SELECT c_nationkey, c_mktsegment, "
+            "FLOOR(c_acctbal / 100.0) AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS sz "
+            "FROM customer GROUP BY 1, 2, 3) "
+            "SELECT CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_rows, "
+            "CAST(COUNT(*) AS BIGINT) AS n_groups, "
+            "CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END), 0) "
+            "AS BIGINT) AS n_violating_groups, "
+            "CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END), 0) "
+            "AS BIGINT) AS n_rows_at_risk, "
+            "CAST(COALESCE(MIN(sz), 0) AS BIGINT) AS min_group_size "
+            "FROM g"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -282,6 +282,7 @@ QUERY_NAMES = [
     "q_orc_roundtrip",
     "t_unicode_dedup",
     "t_group_holdout_split",
+    "q_k_anonymity",
 ]
 
 

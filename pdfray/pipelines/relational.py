@@ -10430,6 +10430,119 @@ def q_ipc_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+K_ANON = 5  # minimum safe quasi-identifier group size (literal in the oracle)
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the customer quasi-identifier triple
+    (nation, market segment, $100 balance bucket): a row whose QI group
+    has fewer than K_ANON members is re-identifiable by linking those
+    three public-ish attributes — the governance gate every dataset
+    release runs next to q_fk_audit / q_column_profile.  Reports total
+    rows, QI group count, violating-group count, rows at risk, and the
+    smallest group size.
+
+    Exactness: the bucket is floor(acctbal / 100.0) on the RAW double —
+    the identical IEEE divide-then-floor on both sides (never an integer
+    `//`, whose truncation diverges from floor on negatives — the
+    q_events_json lesson; negative balances are real).  Scale shape: a
+    per-block combiner reduces to distinct-QI partial counts,
+    `_two_regime_sum` merges over the QI key-space, and a second
+    combiner collapses each block of the sizes table to ONE 5-int
+    summary row — the driver folds O(blocks) ints; no QI row list ever
+    collects."""
+    import numpy as np
+
+    ds = _read(
+        sf_dir,
+        "customer",
+        ["c_nationkey", "c_mktsegment", "c_acctbal"],
+        rows_per_block=100_000,
+    )
+
+    def qi_partial(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        bucket = np.floor(bal / 100.0).astype(np.int64)
+        tt = pa.table(
+            {
+                "nat": pc.cast(t.column("c_nationkey"), pa.int64()),
+                "seg": t.column("c_mktsegment"),
+                "bucket": pa.array(bucket),
+                "sz": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        g = tt.group_by(["nat", "seg", "bucket"]).aggregate([("sz", "sum")])
+        return g.rename_columns(["nat", "seg", "bucket", "sz"])
+
+    reduced, _ = _two_regime_sum(
+        ds.map_batches(qi_partial, batch_format="pyarrow"),
+        ["nat", "seg", "bucket"],
+        ["sz"],
+    )
+
+    def summary_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    c: pa.array([], pa.int64())
+                    for c in (
+                        "n_rows",
+                        "n_groups",
+                        "n_violating_groups",
+                        "n_rows_at_risk",
+                        "min_group_size",
+                    )
+                }
+            )
+        sz = t.column("sz").to_numpy(zero_copy_only=False)
+        viol = sz < K_ANON
+        return pa.table(
+            {
+                "n_rows": pa.array([int(sz.sum())], pa.int64()),
+                "n_groups": pa.array([len(sz)], pa.int64()),
+                "n_violating_groups": pa.array([int(viol.sum())], pa.int64()),
+                "n_rows_at_risk": pa.array([int(sz[viol].sum())], pa.int64()),
+                "min_group_size": pa.array([int(sz.min())], pa.int64()),
+            }
+        )
+
+    parts = typed_collect(
+        reduced.map_batches(summary_partial, batch_format="pyarrow"),
+        pa.schema(
+            [
+                (c, pa.int64())
+                for c in (
+                    "n_rows",
+                    "n_groups",
+                    "n_violating_groups",
+                    "n_rows_at_risk",
+                    "min_group_size",
+                )
+            ]
+        ),
+    )
+    if len(parts) == 0:
+        vals = (0, 0, 0, 0, 0)
+    else:
+        vals = (
+            int(parts["n_rows"].sum()),
+            int(parts["n_groups"].sum()),
+            int(parts["n_violating_groups"].sum()),
+            int(parts["n_rows_at_risk"].sum()),
+            int(parts["min_group_size"].min()),
+        )
+    return pd.DataFrame(
+        [vals],
+        columns=[
+            "n_rows",
+            "n_groups",
+            "n_violating_groups",
+            "n_rows_at_risk",
+            "min_group_size",
+        ],
+    ).astype("int64")
+
+
 def q_orc_roundtrip(sf_dir: str):
     """LOSSLESS Apache ORC round trip with column pruning: events streams
     through the distributed ORC sink (`sources.readers.write_orc_table` —

@@ -1096,6 +1096,7 @@ STAR_ORACLE_QUERIES = [
     "q_gini_revenue",
     "q_cdc_upsert",
     "q_scd2_order_status",
+    "q_k_anonymity",
 ]
 
 
@@ -2633,3 +2634,49 @@ def test_group_holdout_split_is_leakage_safe(ray_session, tmp_path):
     # leakage guarantee: split sets of sources are disjoint
     seen = [d["srcs"] for d in ref.values()]
     assert sum(len(s) for s in seen) == len(set().union(*seen))
+
+
+def test_k_anonymity_boundaries(ray_session, tmp_path):
+    """Hand-built QI groups pinning every boundary: a group of exactly
+    K_ANON (safe), K_ANON-1 (violating), a singleton, and negative
+    balances where floor vs truncate diverge (-0.01 -> bucket -1,
+    -100.0 -> bucket -1, -100.01 -> bucket -2)."""
+    import pdfray.pipelines.relational as R2
+
+    rows = []
+    rows += [(0, "AUTO", 50.0)] * R2.K_ANON          # safe: exactly k
+    rows += [(0, "AUTO", 150.0)] * (R2.K_ANON - 1)   # violating: k-1
+    rows += [(1, "MACH", -0.01)]                     # singleton, bucket -1
+    rows += [(1, "MACH", -100.0)] * 2                # bucket -2 (floor!)
+    rows += [(1, "MACH", -100.01)] * 2               # bucket -2 as well
+    t = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "c_name": pa.array([f"c{i}" for i in range(len(rows))]),
+            "c_nationkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_acctbal": pa.array([r[2] for r in rows], pa.float64()),
+            "c_mktsegment": pa.array([r[1] for r in rows]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "customer.parquet"))
+
+    out = R2.q_k_anonymity(str(tmp_path)).iloc[0]
+    # groups: (0,AUTO,0) sz 5; (0,AUTO,1) sz 4; (1,MACH,-1) sz 1;
+    # (1,MACH,-2) sz 4  [floor(-100.0/100)= -1? NO: -100.0/100 = -1.0,
+    # floor(-1.0) = -1 -> joins the -0.01 bucket]
+    # recompute the truth by brute force instead of hand expectation:
+    import math
+
+    groups = {}
+    for nat, seg, bal in rows:
+        key = (nat, seg, math.floor(bal / 100.0))
+        groups[key] = groups.get(key, 0) + 1
+    sizes = list(groups.values())
+    assert out["n_rows"] == len(rows)
+    assert out["n_groups"] == len(sizes)
+    assert out["n_violating_groups"] == sum(1 for s in sizes if s < R2.K_ANON)
+    assert out["n_rows_at_risk"] == sum(s for s in sizes if s < R2.K_ANON)
+    assert out["min_group_size"] == min(sizes)
+    # the floor-vs-truncate divergence class is actually planted:
+    # truncation would merge -0.01 and -100.01 into bucket 0 vs -1
+    assert math.floor(-0.01 / 100.0) != int(-0.01 / 100.0)
