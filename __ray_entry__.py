@@ -432,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_unicode_dedup": T.t_unicode_dedup,
         "t_group_holdout_split": T.t_group_holdout_split,
         "q_k_anonymity": R.q_k_anonymity,
+        "q_time_travel": R.q_time_travel,
     }
 
 
@@ -4301,6 +4302,27 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_rows_at_risk, "
             "CAST(COALESCE(MIN(sz), 0) AS BIGINT) AS min_group_size "
             "FROM g"
+        ),
+        "q_time_travel": (
+            # AS OF snapshot 1 = base + the EVEN-event_id delta only; the
+            # odd delta is committed in the same store and must stay
+            # invisible.  Floor-mod parity (((x % 2) + 2) % 2) matches
+            # numpy's floor mod on any sign; zero-sum delta users are
+            # dropped on both sides (HAVING <> 0); cents via the
+            # q_cdc_upsert ROUND pair
+            "WITH c AS (SELECT c_custkey AS custkey, "
+            "CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents "
+            "FROM customer), "
+            "d1 AS (SELECT user_id AS custkey, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) "
+            "AS cents FROM events "
+            "WHERE ((event_id % 2) + 2) % 2 = 0 GROUP BY user_id "
+            "HAVING SUM(CASE WHEN event_type = 'purchase' THEN "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) <> 0), "
+            "u AS (SELECT * FROM c UNION ALL SELECT * FROM d1) "
+            "SELECT custkey, CAST(SUM(cents) AS BIGINT) AS acctbal_cents "
+            "FROM u GROUP BY custkey ORDER BY custkey"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

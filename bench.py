@@ -283,6 +283,7 @@ QUERY_NAMES = [
     "t_unicode_dedup",
     "t_group_holdout_split",
     "q_k_anonymity",
+    "q_time_travel",
 ]
 
 

@@ -10430,6 +10430,128 @@ def q_ipc_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_time_travel(sf_dir: str, store_dir: str = None):
+    """Snapshot-isolation TIME TRAVEL over the versioned snapshot store
+    (`pipelines.snapshots` — the Iceberg/Delta commit shape): snapshot 0
+    is the customer base (custkey, cents), snapshots 1 and 2 are two
+    additive purchase-delta commits carved deterministically from events
+    (floor-mod event_id parity: even → delta 1, odd → delta 2), and the
+    query reads AS OF snapshot 1 — the base plus delta 1 with delta 2
+    COMMITTED IN THE SAME STORE yet invisible, because readers resolve
+    files from the manifest, never from directory listings.  Crash
+    durability is the commit protocol itself: a torn snapshot write
+    never reaches the manifest, an orphan file never existed
+    (isolation/orphan/poison tests in test_corpus_shaping).
+
+    Scale shape: each delta combiner-reduces per block then
+    `_two_regime_sum`s to per-user rows BEFORE its snapshot write (a
+    snapshot carries distinct keys, not raw events); zero-delta users
+    are dropped on both sides (HAVING <> 0); the as-of read unions the
+    manifest files and ONE exchange folds (custkey, cents).  All
+    arithmetic on the integer cents grid (the q_cdc_upsert pair:
+    round_half_away ×100 engine-side, ROUND(v*100, 0) in SQL)."""
+    import shutil
+    import tempfile
+
+    from .snapshots import commit_snapshot, read_as_of
+
+    out_schema = pa.schema([("custkey", pa.int64()), ("acctbal_cents", pa.int64())])
+    owns_store = store_dir is None
+    store = store_dir or tempfile.mkdtemp(prefix="pdfray_tt_")
+    try:
+
+        def base_factory():
+            def base_rows(t: pa.Table) -> pa.Table:
+                cents = np.rint(
+                    round_half_away(
+                        t.column("c_acctbal").to_numpy(zero_copy_only=False), 2
+                    )
+                    * 100.0
+                ).astype(np.int64)
+                return pa.table(
+                    {
+                        "custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                        "cents": pa.array(cents),
+                    }
+                )
+
+            return _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+                base_rows, batch_format="pyarrow"
+            )
+
+        def delta_factory(parity: int):
+            def make():
+                ds = _read(
+                    sf_dir,
+                    "events",
+                    ["event_id", "user_id", "event_type", "value"],
+                    rows_per_block=12_500,
+                )
+
+                def partial(t: pa.Table) -> pa.Table:
+                    eid = t.column("event_id").to_numpy(zero_copy_only=False)
+                    # floor mod (numpy), == ((event_id % 2) + 2) % 2 in SQL
+                    t = t.filter(pa.array(np.mod(eid, 2) == parity))
+                    cents = np.rint(
+                        round_half_away(
+                            t.column("value").to_numpy(zero_copy_only=False), 2
+                        )
+                        * 100.0
+                    ).astype(np.int64)
+                    et = t.column("event_type").to_numpy(zero_copy_only=False)
+                    tt = pa.table(
+                        {
+                            "custkey": t.column("user_id"),
+                            "cents": pa.array(np.where(et == "purchase", cents, 0)),
+                        }
+                    )
+                    g = tt.group_by("custkey").aggregate([("cents", "sum")])
+                    return g.rename_columns(["custkey", "cents"])
+
+                red, _ = _two_regime_sum(
+                    ds.map_batches(partial, batch_format="pyarrow"),
+                    ["custkey"],
+                    ["cents"],
+                    empty_types={"custkey": pa.int64()},
+                )
+
+                def drop_zero(t: pa.Table) -> pa.Table:
+                    return t.filter(pc.not_equal(t.column("cents"), 0))
+
+                return red.map_batches(drop_zero, batch_format="pyarrow")
+
+            return make
+
+        commit_snapshot(store, 0, base_factory)
+        commit_snapshot(store, 1, delta_factory(0))
+        commit_snapshot(store, 2, delta_factory(1))
+
+        ds = read_as_of(store, 1)
+        if ds is None:  # empty base AND empty delta: nothing committed files
+            return out_schema.empty_table().to_pandas()
+
+        def fold(t: pa.Table) -> pa.Table:
+            g = t.group_by("custkey").aggregate([("cents", "sum")])
+            return g.rename_columns(["custkey", "cents"])
+
+        red, _ = _two_regime_sum(
+            ds.map_batches(fold, batch_format="pyarrow"),
+            ["custkey"],
+            ["cents"],
+            empty_types={"custkey": pa.int64()},
+        )
+        df = typed_collect(
+            red, pa.schema([("custkey", pa.int64()), ("cents", pa.int64())])
+        )
+        df = df.rename(columns={"cents": "acctbal_cents"}).astype(
+            {"custkey": "int64", "acctbal_cents": "int64"}
+        )
+        return df.sort_values("custkey").reset_index(drop=True)
+    finally:
+        if owns_store:
+            shutil.rmtree(store, ignore_errors=True)
+
+
 K_ANON = 5  # minimum safe quasi-identifier group size (literal in the oracle)
 
 
