@@ -433,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_group_holdout_split": T.t_group_holdout_split,
         "q_k_anonymity": R.q_k_anonymity,
         "q_time_travel": R.q_time_travel,
+        "q_l_diversity": R.q_l_diversity,
     }
 
 
@@ -4323,6 +4324,24 @@ def oracle_sql() -> dict[str, str]:
             "u AS (SELECT * FROM c UNION ALL SELECT * FROM d1) "
             "SELECT custkey, CAST(SUM(cents) AS BIGINT) AS acctbal_cents "
             "FROM u GROUP BY custkey ORDER BY custkey"
+        ),
+        "q_l_diversity": (
+            # distinct-per-group as two grouped levels (the engine's
+            # decomposition verbatim); -0.0 folds to +0.0 before the
+            # distinct; empty input degenerates to the all-zero row
+            "WITH p AS (SELECT c_nationkey, c_mktsegment, "
+            "c_acctbal + 0.0 AS sv, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM customer GROUP BY 1, 2, 3), "
+            "g AS (SELECT c_nationkey, c_mktsegment, "
+            "CAST(COUNT(*) AS BIGINT) AS l, "
+            "CAST(SUM(n) AS BIGINT) AS rows_ FROM p GROUP BY 1, 2) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, "
+            "CAST(COALESCE(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END), 0) "
+            "AS BIGINT) AS n_low_diversity_groups, "
+            "CAST(COALESCE(SUM(CASE WHEN l < 3 THEN rows_ ELSE 0 END), 0) "
+            "AS BIGINT) AS n_rows_at_risk, "
+            "CAST(COALESCE(MIN(l), 0) AS BIGINT) AS min_l "
+            "FROM g"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

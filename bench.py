@@ -284,6 +284,7 @@ QUERY_NAMES = [
     "t_group_holdout_split",
     "q_k_anonymity",
     "q_time_travel",
+    "q_l_diversity",
 ]
 
 

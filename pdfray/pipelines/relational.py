@@ -10665,6 +10665,100 @@ def q_k_anonymity(sf_dir: str):
     ).astype("int64")
 
 
+L_DIVERSITY = 3  # minimum distinct sensitive values per QI group (oracle literal)
+
+
+def q_l_diversity(sf_dir: str):
+    """l-diversity audit, k-anonymity's sharper sibling: a QI group can
+    be large yet still leak if everyone in it shares the sensitive value
+    (the homogeneity attack k-anonymity misses).  QI pair =
+    (nation, market segment); sensitive attribute = the exact account
+    balance; a group is low-diversity when it holds fewer than
+    L_DIVERSITY distinct sensitive values.  Reports group count,
+    low-diversity group count, rows at risk, and the minimum diversity.
+
+    Scale shape: distinct-per-group decomposes into two mergeable
+    levels — a per-block combiner reduces to (QI, sensitive) pair counts,
+    `_two_regime_sum` merges them over the pair key-space (the only
+    corpus-proportional exchange), then each block of the pair table
+    collapses to (QI, l=1, rows=n) partials and a second two-regime
+    merge over the SMALL QI domain yields per-group (l, rows); the
+    driver folds O(QI) ints.  -0.0 balances fold to +0.0 (`v + 0.0`)
+    so the distinct grouping matches SQL equality."""
+    import numpy as np
+
+    ds = _read(
+        sf_dir,
+        "customer",
+        ["c_nationkey", "c_mktsegment", "c_acctbal"],
+        rows_per_block=100_000,
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False) + 0.0
+        tt = pa.table(
+            {
+                "nat": pc.cast(t.column("c_nationkey"), pa.int64()),
+                "seg": t.column("c_mktsegment"),
+                "sv": pa.array(bal),
+                "n": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        g = tt.group_by(["nat", "seg", "sv"]).aggregate([("n", "sum")])
+        return g.rename_columns(["nat", "seg", "sv", "n"])
+
+    pairs, _ = _two_regime_sum(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["nat", "seg", "sv"],
+        ["n"],
+        empty_types={"nat": pa.int64(), "seg": pa.string(), "sv": pa.float64()},
+    )
+
+    def group_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "nat": t.column("nat"),
+                "seg": t.column("seg"),
+                "l": pa.array(np.ones(len(t), np.int64)),
+                "rows_": t.column("n"),
+            }
+        )
+        g = tt.group_by(["nat", "seg"]).aggregate([("l", "sum"), ("rows_", "sum")])
+        return g.rename_columns(["nat", "seg", "l", "rows_"])
+
+    groups, _ = _two_regime_sum(
+        pairs.map_batches(group_partial, batch_format="pyarrow"),
+        ["nat", "seg"],
+        ["l", "rows_"],
+        empty_types={"nat": pa.int64(), "seg": pa.string()},
+    )
+    df = typed_collect(
+        groups,
+        pa.schema(
+            [
+                ("nat", pa.int64()),
+                ("seg", pa.string()),
+                ("l", pa.int64()),
+                ("rows_", pa.int64()),
+            ]
+        ),
+    )
+    if len(df) == 0:
+        vals = (0, 0, 0, 0)
+    else:
+        low = df["l"] < L_DIVERSITY
+        vals = (
+            int(len(df)),
+            int(low.sum()),
+            int(df.loc[low, "rows_"].sum()),
+            int(df["l"].min()),
+        )
+    return pd.DataFrame(
+        [vals],
+        columns=["n_groups", "n_low_diversity_groups", "n_rows_at_risk", "min_l"],
+    ).astype("int64")
+
+
 def q_orc_roundtrip(sf_dir: str):
     """LOSSLESS Apache ORC round trip with column pruning: events streams
     through the distributed ORC sink (`sources.readers.write_orc_table` —

@@ -1098,6 +1098,7 @@ STAR_ORACLE_QUERIES = [
     "q_scd2_order_status",
     "q_k_anonymity",
     "q_time_travel",
+    "q_l_diversity",
 ]
 
 
@@ -2778,3 +2779,31 @@ def test_time_travel_isolation_orphans_and_resume(ray_session, tmp_path):
     pq.write_table(cust2, str(tmp_path / "customer.parquet"))
     out1b = R2.q_time_travel(str(tmp_path), store_dir=store)
     pd.testing.assert_frame_equal(out1, out1b)
+
+
+def test_l_diversity_homogeneity_attack(ray_session, tmp_path):
+    """The class k-anonymity misses: a LARGE group (well past K_ANON)
+    whose members all share one sensitive value is flagged low-diversity;
+    a -0.0 and +0.0 balance pair counts as ONE distinct value (SQL
+    equality); a group with exactly L_DIVERSITY distinct values is safe."""
+    import pdfray.pipelines.relational as R2
+
+    rows = []
+    rows += [(0, "AUTO", 500.0)] * 20                 # big, homogeneous: l=1
+    rows += [(1, "MACH", -0.0), (1, "MACH", 0.0)]     # folds: l=1
+    rows += [(2, "BLDG", 1.0), (2, "BLDG", 2.0), (2, "BLDG", 3.0)]  # l=3 safe
+    t = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "c_name": pa.array([f"c{i}" for i in range(len(rows))]),
+            "c_nationkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_acctbal": pa.array([r[2] for r in rows], pa.float64()),
+            "c_mktsegment": pa.array([r[1] for r in rows]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "customer.parquet"))
+    out = R2.q_l_diversity(str(tmp_path)).iloc[0]
+    assert out["n_groups"] == 3
+    assert out["n_low_diversity_groups"] == 2
+    assert out["n_rows_at_risk"] == 22
+    assert out["min_l"] == 1
