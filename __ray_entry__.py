@@ -434,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_k_anonymity": R.q_k_anonymity,
         "q_time_travel": R.q_time_travel,
         "q_l_diversity": R.q_l_diversity,
+        "q_temporal_dim_join": R.q_temporal_dim_join,
     }
 
 
@@ -4342,6 +4343,34 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_rows_at_risk, "
             "CAST(COALESCE(MIN(l), 0) AS BIGINT) AS min_l "
             "FROM g"
+        ),
+        "q_temporal_dim_join": (
+            # SCD2 islands (the q_scd2_order_status CTE on raw
+            # timestamps) -> interval-membership LEFT JOIN; intervals
+            # are non-overlapping with vt = next vf, so exactly one row
+            # matches and boundary events (ts == vt) fall to the NEXT
+            # interval on both sides; COALESCE folds no-match and
+            # NULL-status islands into 'unmatched' (engine rule)
+            "WITH x AS (SELECT o_custkey AS c, o_orderkey AS k, "
+            "o_orderstatus AS s, o_orderdate AS d, "
+            "CASE WHEN LAG(o_orderstatus) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) IS DISTINCT FROM "
+            "o_orderstatus THEN 1 ELSE 0 END AS chg FROM orders), "
+            "g AS (SELECT c, s, d, k, SUM(chg) OVER (PARTITION BY c "
+            "ORDER BY d, k ROWS UNBOUNDED PRECEDING) AS grp FROM x), "
+            "isl AS (SELECT c, grp, MIN(s) AS s, MIN(d) AS vf "
+            "FROM g GROUP BY c, grp), "
+            "iv AS (SELECT c, s, vf, LEAD(vf) OVER (PARTITION BY c "
+            "ORDER BY grp) AS vt FROM isl), "
+            "p AS (SELECT user_id AS u, ts, "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents "
+            "FROM events WHERE event_type = 'purchase'), "
+            "m AS (SELECT COALESCE(iv.s, 'unmatched') AS status, p.cents "
+            "FROM p LEFT JOIN iv ON iv.c = p.u AND iv.vf <= p.ts "
+            "AND (iv.vt IS NULL OR p.ts < iv.vt)) "
+            "SELECT status, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_cents "
+            "FROM m GROUP BY status ORDER BY status"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

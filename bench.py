@@ -285,6 +285,7 @@ QUERY_NAMES = [
     "q_k_anonymity",
     "q_time_travel",
     "q_l_diversity",
+    "q_temporal_dim_join",
 ]
 
 

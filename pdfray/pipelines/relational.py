@@ -10665,6 +10665,193 @@ def q_k_anonymity(sf_dir: str):
     ).astype("int64")
 
 
+def q_temporal_dim_join(sf_dir: str):
+    """Fact-to-SCD2 TEMPORAL dimension join — the warehouse join every
+    star schema runs after building its Type-2 dimension: each purchase
+    event is matched to the order-status validity interval of its user
+    that CONTAINS the event time (valid_from <= ts < valid_to, open last
+    interval), and revenue rolls up by the dimension attribute as it was
+    AT EVENT TIME, not as it is now.  Events before the user's first
+    interval, and events of users with no dimension rows at all (the
+    dangling-FK class), report 'unmatched'.
+
+    Plan: because SCD2 intervals per key are non-overlapping and extend
+    to the next interval's start, interval membership IS an as-of
+    backward match on valid_from — so the join needs no band replication
+    (contrast q_range_join_view_purchase's fixed-width windows): ONE
+    co-shuffle of orders and purchases onto the same splitmix(custkey)
+    buckets (union with a side tag), then per bucket a vectorized
+    islands fold (the q_scd2_order_status shifted-compare kernel) and a
+    single `pd.merge_asof(by=custkey)` — C-vectorized per bucket, no
+    per-customer Python.  A hot customer lands whole in one bucket with
+    vectorized work.  Each bucket reduces to per-status integer partials
+    (cents grid); the driver folds O(buckets × statuses) rows."""
+    import numpy as np
+    import pyarrow.parquet as pq_meta
+
+    from .sizing import shuffle_partitions
+
+    empty = pd.DataFrame(
+        {
+            "status": pd.Series([], dtype=object),
+            "n_events": pd.Series([], dtype="int64"),
+            "sum_cents": pd.Series([], dtype="int64"),
+        }
+    )
+    n_ord = pq_meta.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    n_ev = pq_meta.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    if n_ev == 0:
+        return empty
+    n_buckets = shuffle_partitions(max(1, n_ord + n_ev))
+
+    side_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("side", pa.string()),
+            ("cust", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("status", pa.string()),
+            ("okey", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+
+    def dim_rows(t: pa.Table) -> pa.Table:
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    _user_bucket(cust, n_buckets).astype(np.int64)
+                ),
+                "side": pa.array(np.repeat("d", len(t)), pa.string()),
+                "cust": pa.array(cust.astype(np.int64)),
+                "ts_us": t.column("o_orderdate").cast(pa.int64()),
+                "status": t.column("o_orderstatus"),
+                "okey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "cents": pa.array(np.zeros(len(t), np.int64)),
+            },
+            schema=side_schema,
+        )
+
+    def fact_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        cust = t.column("user_id").to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            round_half_away(t.column("value").to_numpy(zero_copy_only=False), 2)
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    _user_bucket(cust, n_buckets).astype(np.int64)
+                ),
+                "side": pa.array(np.repeat("e", len(t)), pa.string()),
+                "cust": pa.array(cust.astype(np.int64)),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "status": pa.array([None] * len(t), pa.string()),
+                "okey": pa.array(np.zeros(len(t), np.int64)),
+                "cents": pa.array(cents),
+            },
+            schema=side_schema,
+        )
+
+    dim = _read(
+        sf_dir,
+        "orders",
+        ["o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"],
+        rows_per_block=200_000,
+    ).map_batches(dim_rows, batch_format="pyarrow")
+    fact = _read(
+        sf_dir,
+        "events",
+        ["user_id", "ts", "event_type", "value"],
+        rows_per_block=200_000,
+    ).map_batches(fact_rows, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["side"] == "e"]
+        if len(ev) == 0:
+            return pd.DataFrame(
+                {
+                    "status": pd.Series([], dtype=object),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "sum_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        dm = g[g["side"] == "d"]
+        if len(dm) == 0:
+            matched = pd.Series([None] * len(ev), dtype=object)
+        else:
+            # islands: the q_scd2 shifted-compare kernel on (cust, date, okey)
+            dm = dm.sort_values(["cust", "ts_us", "okey"], kind="mergesort")
+            c = dm["cust"].to_numpy(np.int64)
+            s = dm["status"].to_numpy(object).copy()
+            s[pd.isna(s)] = None
+            m = len(dm)
+            new_cust = np.ones(m, bool)
+            new_cust[1:] = c[1:] != c[:-1]
+            chg = new_cust.copy()
+            if m > 1:
+                chg[1:] |= s[1:] != s[:-1]
+            starts = np.flatnonzero(chg)
+            isl = pd.DataFrame(
+                {
+                    "cust": c[starts],
+                    "ts_us": dm["ts_us"].to_numpy(np.int64)[starts],
+                    "isl_status": pd.Series(s[starts], dtype=object),
+                }
+            )
+            evs = ev.sort_values("ts_us", kind="mergesort")
+            isl = isl.sort_values("ts_us", kind="mergesort")
+            j = pd.merge_asof(
+                evs[["cust", "ts_us", "cents"]],
+                isl,
+                on="ts_us",
+                by="cust",
+                direction="backward",
+            )
+            matched = j["isl_status"]
+            ev = evs
+        # COALESCE(status, 'unmatched'): a no-match NaN and a NULL-status
+        # island both report 'unmatched' (identical rule in the oracle)
+        lab = np.where(pd.isna(matched), "unmatched", matched.astype(object))
+        out = pd.DataFrame(
+            {"status": lab, "cents": ev["cents"].to_numpy(np.int64)}
+        )
+        agg = out.groupby("status", sort=False).agg(
+            n_events=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        agg = agg.reset_index()
+        return pd.DataFrame(
+            {
+                "status": agg["status"].astype(object),
+                "n_events": agg["n_events"].astype("int64"),
+                "sum_cents": agg["sum_cents"].astype("int64"),
+            }
+        )
+
+    parts = typed_collect(
+        dim.union(fact)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas"),
+        pa.schema(
+            [
+                ("status", pa.string()),
+                ("n_events", pa.int64()),
+                ("sum_cents", pa.int64()),
+            ]
+        ),
+    )
+    if len(parts) == 0:
+        return empty
+    out = (
+        parts.groupby("status", sort=True)[["n_events", "sum_cents"]]
+        .sum()
+        .reset_index()
+    )
+    return out.astype({"n_events": "int64", "sum_cents": "int64"})
+
+
 L_DIVERSITY = 3  # minimum distinct sensitive values per QI group (oracle literal)
 
 

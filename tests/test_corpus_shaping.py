@@ -1099,6 +1099,7 @@ STAR_ORACLE_QUERIES = [
     "q_k_anonymity",
     "q_time_travel",
     "q_l_diversity",
+    "q_temporal_dim_join",
 ]
 
 
@@ -2807,3 +2808,53 @@ def test_l_diversity_homogeneity_attack(ray_session, tmp_path):
     assert out["n_low_diversity_groups"] == 2
     assert out["n_rows_at_risk"] == 22
     assert out["min_l"] == 1
+
+
+def test_temporal_dim_join_boundaries(ray_session, tmp_path):
+    """Hand-built SCD2 timeline for one customer (status F until day 10,
+    then O): purchases exactly AT the boundary fall to the NEW interval,
+    1us before stay in the old, before the first interval and for a
+    dangling user report 'unmatched'."""
+    import pdfray.pipelines.relational as R2
+
+    day = 86_400_000_000
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([7, 7, 7], pa.int64()),
+            "o_orderstatus": pa.array(["F", "F", "O"]),
+            "o_orderdate": pa.array(
+                [0 * day, 5 * day, 10 * day], pa.int64()
+            ).cast(pa.timestamp("us")),
+            "o_totalprice": pa.array([1.0, 1.0, 1.0]),
+            "o_orderpriority": pa.array(["x"] * 3),
+        }
+    )
+    ev_ts = [
+        -1,                # before first interval -> unmatched
+        0,                 # AT first vf -> F
+        10 * day - 1,      # 1us before the change -> F
+        10 * day,          # AT the boundary -> O (new interval)
+        20 * day,          # open last interval -> O
+    ]
+    events = pa.table(
+        {
+            "event_id": pa.array(np.arange(6, dtype=np.int64)),
+            "ts": pa.array(ev_ts + [3 * day], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([7, 7, 7, 7, 7, 999], pa.int64()),  # 999 dangles
+            "event_type": pa.array(["purchase"] * 6),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0]),
+            "props": pa.array(["{}"] * 6),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    out = R2.q_temporal_dim_join(str(tmp_path)).set_index("status")
+    assert out.loc["F", "n_events"] == 2 and out.loc["F", "sum_cents"] == 600
+    assert out.loc["O", "n_events"] == 2 and out.loc["O", "sum_cents"] == 2400
+    assert (
+        out.loc["unmatched", "n_events"] == 2
+        and out.loc["unmatched", "sum_cents"] == 3300
+    )
