@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_time_travel": R.q_time_travel,
         "q_l_diversity": R.q_l_diversity,
         "q_temporal_dim_join": R.q_temporal_dim_join,
+        "q_skew_report": R.q_skew_report,
     }
 
 
@@ -4371,6 +4372,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT status, CAST(COUNT(*) AS BIGINT) AS n_events, "
             "CAST(SUM(cents) AS BIGINT) AS sum_cents "
             "FROM m GROUP BY status ORDER BY status"
+        ),
+        "q_skew_report": (
+            # order statistics over the count-of-counts histogram in
+            # PURE integer arithmetic (position (99n+99)//100, never
+            # CEIL(0.99*n) — the double product misrounds); one branch
+            # per key column, empty tables drop their row via the
+            # IS NOT NULL guard
+            "WITH k1 AS (SELECT l_partkey AS key, "
+            "CAST(COUNT(*) AS BIGINT) AS f FROM lineitem GROUP BY 1), "
+            "h1 AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS nk "
+            "FROM k1 GROUP BY f), "
+            "t1 AS (SELECT CAST(SUM(f * nk) AS BIGINT) AS n_rows, "
+            "CAST(SUM(nk) AS BIGINT) AS n_keys, "
+            "CAST(MAX(f) AS BIGINT) AS max_freq FROM h1), "
+            "c1 AS (SELECT f, SUM(nk) OVER (ORDER BY f) AS cum FROM h1), "
+            "k2 AS (SELECT o_custkey AS key, "
+            "CAST(COUNT(*) AS BIGINT) AS f FROM orders GROUP BY 1), "
+            "h2 AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS nk "
+            "FROM k2 GROUP BY f), "
+            "t2 AS (SELECT CAST(SUM(f * nk) AS BIGINT) AS n_rows, "
+            "CAST(SUM(nk) AS BIGINT) AS n_keys, "
+            "CAST(MAX(f) AS BIGINT) AS max_freq FROM h2), "
+            "c2 AS (SELECT f, SUM(nk) OVER (ORDER BY f) AS cum FROM h2) "
+            "SELECT * FROM ("
+            "SELECT 'l_partkey' AS key_col, n_rows, n_keys, max_freq, "
+            "(SELECT CAST(MIN(f) AS BIGINT) FROM c1 "
+            "WHERE cum >= (t1.n_keys + 1) // 2) AS p50_freq, "
+            "(SELECT CAST(MIN(f) AS BIGINT) FROM c1 "
+            "WHERE cum >= (99 * t1.n_keys + 99) // 100) AS p99_freq, "
+            "CAST(max_freq * 1000000 // n_rows AS BIGINT) "
+            "AS top1_share_ppm FROM t1 WHERE n_keys IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'o_custkey', n_rows, n_keys, max_freq, "
+            "(SELECT CAST(MIN(f) AS BIGINT) FROM c2 "
+            "WHERE cum >= (t2.n_keys + 1) // 2), "
+            "(SELECT CAST(MIN(f) AS BIGINT) FROM c2 "
+            "WHERE cum >= (99 * t2.n_keys + 99) // 100), "
+            "CAST(max_freq * 1000000 // n_rows AS BIGINT) "
+            "FROM t2 WHERE n_keys IS NOT NULL"
+            ") ORDER BY key_col"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -286,6 +286,7 @@ QUERY_NAMES = [
     "q_time_travel",
     "q_l_diversity",
     "q_temporal_dim_join",
+    "q_skew_report",
 ]
 
 

@@ -10852,6 +10852,131 @@ def q_temporal_dim_join(sf_dir: str):
     return out.astype({"n_events": "int64", "sum_cents": "int64"})
 
 
+def _key_freq_hist(ds, key_col: str, n_buckets: int) -> pd.DataFrame:
+    """Exact count-of-counts histogram of an int64 join/shuffle key: per
+    block counts per key -> splitmix64 bucket exchange (each key's
+    partials co-locate whole) -> per-bucket pandas fold to key totals ->
+    value_counts of totals.  Returns the merged (f, nk) frame — the
+    freq-of-freq table is BOUNDED (distinct frequency values), so the
+    driver holds stats for a corpus of any key cardinality."""
+    import numpy as np
+
+    from .frames import typed_collect
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "key": pc.cast(t.column(key_col), pa.int64()),
+                "f": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        g = tt.group_by("key").aggregate([("f", "sum")])
+        g = g.rename_columns(["key", "f"])
+        k = g.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        z = (k + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        return g.append_column(
+            "bucket", pa.array((z % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        totals = g.groupby("key", sort=False)["f"].sum()
+        hist = totals.value_counts()
+        return pd.DataFrame(
+            {
+                "f": hist.index.to_numpy(np.int64),
+                "nk": hist.to_numpy(np.int64),
+            }
+        )
+
+    parts = typed_collect(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas"),
+        pa.schema([("f", pa.int64()), ("nk", pa.int64())]),
+    )
+    if len(parts) == 0:
+        return parts
+    return parts.groupby("f", sort=True)["nk"].sum().reset_index()
+
+
+def q_skew_report(sf_dir: str):
+    """Shuffle-key SKEW diagnostics — the report every exchange tuner
+    reads before picking a join strategy (salt? broadcast? bucket?):
+    for each hot join key column (lineitem.l_partkey, orders.o_custkey),
+    exact key cardinality, the hottest key's row count and its
+    parts-per-million share, and the median / p99 per-key frequency.
+
+    Exactness at any scale rides the count-of-counts trick: per-key
+    totals reduce to the freq-of-freq histogram (BOUNDED: distinct
+    frequency values), and every published number is an integer order
+    statistic or cross-multiplication over that histogram — position
+    ceil(q·n_keys) computed as (q_num·n_keys + q_num) // q_den in pure
+    ints (never CEIL(0.99 * n), whose double product misrounds at
+    n = 100k classes), top-share as max_freq·1e6 // n_rows."""
+    import pyarrow.parquet as pq_meta
+
+    from .sizing import shuffle_partitions
+
+    cols = [("lineitem", "l_partkey"), ("orders", "o_custkey")]
+    rows = []
+    for table, key_col in cols:
+        n = pq_meta.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+        if n == 0:
+            continue
+        hist = _key_freq_hist(
+            _read(sf_dir, table, [key_col], rows_per_block=200_000),
+            key_col,
+            shuffle_partitions(n),
+        )
+        if len(hist) == 0:
+            continue
+        f = hist["f"].to_numpy(np.int64)
+        nk = hist["nk"].to_numpy(np.int64)
+        n_rows = int((f * nk).sum())
+        n_keys = int(nk.sum())
+        cum = np.cumsum(nk)
+        pos50 = (n_keys + 1) // 2  # ceil(n/2)
+        pos99 = (99 * n_keys + 99) // 100  # ceil(0.99 n), pure ints
+        p50 = int(f[np.searchsorted(cum, pos50, side="left")])
+        p99 = int(f[np.searchsorted(cum, pos99, side="left")])
+        max_f = int(f[-1])
+        rows.append(
+            (
+                key_col,
+                n_rows,
+                n_keys,
+                max_f,
+                p50,
+                p99,
+                max_f * 1_000_000 // n_rows,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "key_col",
+            "n_rows",
+            "n_keys",
+            "max_freq",
+            "p50_freq",
+            "p99_freq",
+            "top1_share_ppm",
+        ],
+    ).astype(
+        {
+            "key_col": object,
+            "n_rows": "int64",
+            "n_keys": "int64",
+            "max_freq": "int64",
+            "p50_freq": "int64",
+            "p99_freq": "int64",
+            "top1_share_ppm": "int64",
+        }
+    )
+
+
 L_DIVERSITY = 3  # minimum distinct sensitive values per QI group (oracle literal)
 
 

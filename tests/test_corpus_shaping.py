@@ -803,6 +803,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "t_editdist_dupes",
     "q_column_profile",
     "q_linreg_price_qty",
+    "q_skew_report",
 ]
 
 
@@ -2858,3 +2859,46 @@ def test_temporal_dim_join_boundaries(ray_session, tmp_path):
         out.loc["unmatched", "n_events"] == 2
         and out.loc["unmatched", "sum_cents"] == 3300
     )
+
+
+def test_skew_report_matches_bruteforce(ray_session, tmp_path):
+    """Planted hot key (~40% of rows) over a long-tail key distribution:
+    every published integer equals the brute-force order statistic, and
+    the p99 position uses pure-int ceil — checked at a key count where
+    CEIL(0.99 * n) in doubles would misround (n = 300: 297.0000000004)."""
+    import pdfray.pipelines.relational as R2
+
+    rng = np.random.RandomState(31)
+    n = 12_000
+    keys = np.where(rng.rand(n) < 0.4, 7, rng.zipf(1.6, n) % 300).astype(np.int64)
+    li = pa.table(
+        {
+            "l_partkey": pa.array(keys),
+            "l_quantity": pa.array(np.ones(n)),
+        }
+    )
+    okeys = rng.randint(0, 300, 500).astype(np.int64)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(500, dtype=np.int64)),
+            "o_custkey": pa.array(okeys),
+            "o_totalprice": pa.array(np.ones(500)),
+        }
+    )
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+
+    out = R2.q_skew_report(str(tmp_path)).set_index("key_col")
+
+    for col, arr in (("l_partkey", keys), ("o_custkey", okeys)):
+        freqs = np.sort(np.unique(arr, return_counts=True)[1])
+        nk = len(freqs)
+        row = out.loc[col]
+        assert row["n_rows"] == len(arr)
+        assert row["n_keys"] == nk
+        assert row["max_freq"] == freqs[-1]
+        assert row["p50_freq"] == freqs[(nk + 1) // 2 - 1]
+        assert row["p99_freq"] == freqs[(99 * nk + 99) // 100 - 1]
+        assert row["top1_share_ppm"] == int(freqs[-1]) * 1_000_000 // len(arr)
+    # the hot key really dominates (the report would trigger salting)
+    assert out.loc["l_partkey", "top1_share_ppm"] > 300_000
