@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_l_diversity": R.q_l_diversity,
         "q_temporal_dim_join": R.q_temporal_dim_join,
         "q_skew_report": R.q_skew_report,
+        "q_json_profile": R.q_json_profile,
     }
 
 
@@ -4412,6 +4413,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max_freq * 1000000 // n_rows AS BIGINT) "
             "FROM t2 WHERE n_keys IS NOT NULL"
             ") ORDER BY key_col"
+        ),
+        "q_json_profile": (
+            # json_type()'s syntax-derived tags verbatim (UBIGINT /
+            # BIGINT / DOUBLE / BOOLEAN / VARCHAR / ARRAY / OBJECT /
+            # NULL — the engine's _json_type_tag mirrors the split,
+            # probe-pinned in tests); quoted path survives dotted keys
+            "WITH e AS (SELECT props FROM events "
+            "WHERE props IS NOT NULL AND json_valid(props)), "
+            "kx AS (SELECT unnest(json_keys(props)) AS key, props FROM e), "
+            "t AS (SELECT key, COALESCE(json_type(json(props), "
+            "'$.\"' || key || '\"'), 'NULL') AS jtype FROM kx) "
+            "SELECT key, jtype, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM t GROUP BY 1, 2 ORDER BY 1, 2"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -287,6 +287,7 @@ QUERY_NAMES = [
     "q_l_diversity",
     "q_temporal_dim_join",
     "q_skew_report",
+    "q_json_profile",
 ]
 
 

@@ -10977,6 +10977,100 @@ def q_skew_report(sf_dir: str):
     )
 
 
+def _json_type_tag(v) -> str:
+    """DuckDB json_type()'s tag for a Python-parsed JSON value.  The tags
+    are SYNTAX-derived in yyjson — probed and pinned in tests: unsigned
+    integer literals (incl. [2^63, 2^64)) are UBIGINT, negative in-range
+    integers BIGINT, out-of-range integers and anything with a '.' or
+    exponent DOUBLE (Python's json parses those to float, preserving the
+    distinction), NaN/Infinity DOUBLE on both sides."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):  # bool is an int subclass: check first
+        return "BOOLEAN"
+    if isinstance(v, int):
+        if 0 <= v < 2**64:
+            return "UBIGINT"
+        if -(2**63) <= v < 0:
+            return "BIGINT"
+        return "DOUBLE"
+    if isinstance(v, float):
+        return "DOUBLE"
+    if isinstance(v, str):
+        return "VARCHAR"
+    if isinstance(v, list):
+        return "ARRAY"
+    return "OBJECT"
+
+
+def q_json_profile(sf_dir: str):
+    """Semi-structured SCHEMA INFERENCE over the events.props JSON
+    column: per (top-level key, value type) the number of events
+    carrying it — the profile that decides which JSON paths deserve
+    extraction into real columns (and exposes type drift: the same key
+    arriving as UBIGINT in one feed and VARCHAR in another).  Type tags
+    are DuckDB's json_type() vocabulary so the oracle compares verbatim
+    (`_json_type_tag`); malformed / NULL / non-object props contribute
+    nothing on either side.  Out of contract (documented): duplicate
+    keys within one object — Python keeps the last pair, yyjson lists
+    both; keys containing '"' or '\\\\' break the ORACLE's quoted-path
+    lookup only, never the engine.
+
+    Scale shape: parsing is a streaming per-block pass (the only
+    text-touching stage); the exchange carries (key, type, n) partials
+    merged by `_two_regime_sum` over the bounded (key × type) domain."""
+    import json
+
+    ds = _read(sf_dir, "events", ["props"], rows_per_block=100_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for s in t.column("props").to_pylist():
+            if s is None:
+                continue
+            try:
+                obj = json.loads(s)
+            except ValueError:
+                continue
+            if not isinstance(obj, dict):
+                continue
+            for k, v in obj.items():
+                kk = (k, _json_type_tag(v))
+                counts[kk] = counts.get(kk, 0) + 1
+        if not counts:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.string()),
+                    "jtype": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        keys, jtypes, ns = zip(*((k, j, n) for (k, j), n in counts.items()))
+        return pa.table(
+            {
+                "key": pa.array(list(keys), pa.string()),
+                "jtype": pa.array(list(jtypes), pa.string()),
+                "n": pa.array(list(ns), pa.int64()),
+            }
+        )
+
+    reduced, _ = _two_regime_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["key", "jtype"],
+        ["n"],
+        empty_types={"key": pa.string(), "jtype": pa.string()},
+    )
+    df = typed_collect(
+        reduced,
+        pa.schema([("key", pa.string()), ("jtype", pa.string()), ("n", pa.int64())]),
+    )
+    return (
+        df.astype({"key": object, "jtype": object, "n": "int64"})
+        .sort_values(["key", "jtype"])
+        .reset_index(drop=True)
+    )
+
+
 L_DIVERSITY = 3  # minimum distinct sensitive values per QI group (oracle literal)
 
 

@@ -636,6 +636,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_ipc_roundtrip",
     "q_orc_roundtrip",
     "q_auc_purchase_value",
+    "q_json_profile",
 ]
 
 _PROPS_POOL = [
@@ -644,6 +645,8 @@ _PROPS_POOL = [
     '{"a":{"b":1},"k":42}',
     '{"a":"k","k":3}',
     '{"k":0}',
+    '{"x.y": 1.5, "k": 7, "flag": true, "tags": [1], "none": null}',
+    '{"k": 9, "big": 18446744073709551615, "neg": -1, "huge": 1e500}',
 ]
 
 
@@ -2902,3 +2905,34 @@ def test_skew_report_matches_bruteforce(ray_session, tmp_path):
         assert row["top1_share_ppm"] == int(freqs[-1]) * 1_000_000 // len(arr)
     # the hot key really dominates (the report would trigger salting)
     assert out.loc["l_partkey", "top1_share_ppm"] > 300_000
+
+
+def test_json_type_tag_pins_duckdb_vocabulary():
+    """_json_type_tag replays DuckDB json_type() over the adversarial
+    battery: unsigned 2^64-1 (UBIGINT), negative in-range (BIGINT),
+    out-of-range integers both directions (DOUBLE), exponent/decimal
+    syntax (DOUBLE), NaN/Infinity (DOUBLE both sides), bool-before-int,
+    nested containers, null, dotted keys through the quoted path."""
+    import duckdb
+    import json as J
+
+    from pdfray.pipelines.relational import _json_type_tag
+
+    battery = [
+        '{"a": 1}', '{"a": -1}', '{"a": 0}',
+        '{"a": 18446744073709551615}', '{"a": -9223372036854775808}',
+        '{"a": 18446744073709551616}', '{"a": -9223372036854775809}',
+        '{"a": 1.0}', '{"a": 1E2}', '{"a": -0.0}', '{"a": 1e500}',
+        '{"a": NaN}', '{"a": Infinity}', '{"a": -Infinity}',
+        '{"a": true}', '{"a": false}', '{"a": "x"}', '{"a": ""}',
+        '{"a": []}', '{"a": [1, 2]}', '{"a": {}}', '{"a": {"b": 1}}',
+        '{"a": null}', '{"x.y": 0.5}',
+    ]
+    con = duckdb.connect()
+    for doc in battery:
+        obj = J.loads(doc)
+        (key, v), = obj.items()
+        want = con.execute(
+            "SELECT json_type(json(?), '$.\"' || ? || '\"')", [doc, key]
+        ).fetchone()[0]
+        assert _json_type_tag(v) == want, (doc, _json_type_tag(v), want)
