@@ -437,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_temporal_dim_join": R.q_temporal_dim_join,
         "q_skew_report": R.q_skew_report,
         "q_json_profile": R.q_json_profile,
+        "q_table_checksum": R.q_table_checksum,
     }
 
 
@@ -4426,6 +4427,22 @@ def oracle_sql() -> dict[str, str]:
             "'$.\"' || key || '\"'), 'NULL') AS jtype FROM kx) "
             "SELECT key, jtype, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM t GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "q_table_checksum": (
+            # identical canonical row serialization, md5-lower-64 masked
+            # to 63 bits (little-endian low digest bytes ==
+            # md5_number_lower), order-free bit_xor fold
+            "WITH r AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, "
+            "CAST(md5_number_lower("
+            "CAST(o_orderkey AS VARCHAR) || '|' || "
+            "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || "
+            "o_orderpriority || '|' || "
+            "CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR) "
+            "|| '|' || CAST(epoch_us(o_orderdate) AS VARCHAR)"
+            ") & 9223372036854775807 AS BIGINT) AS h FROM orders) "
+            "SELECT month, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(bit_xor(h) AS BIGINT) AS xor_digest "
+            "FROM r GROUP BY month ORDER BY month"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -288,6 +288,7 @@ QUERY_NAMES = [
     "q_temporal_dim_join",
     "q_skew_report",
     "q_json_profile",
+    "q_table_checksum",
 ]
 
 

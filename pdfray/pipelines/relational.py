@@ -11071,6 +11071,119 @@ def q_json_profile(sf_dir: str):
     )
 
 
+def q_table_checksum(sf_dir: str):
+    """Order-free per-partition table CHECKSUMS — the anti-entropy /
+    replication-repair primitive: two replicas (or a table and its
+    migrated copy) compare one digest row per partition and re-sync only
+    partitions whose digests differ, never the data.  Per order month:
+    row count + the XOR of each row's md5-lower-64 (masked to 63 bits)
+    over a CANONICAL row serialization.  XOR is commutative, associative
+    and self-inverse — the digest is independent of row order, block
+    layout, and merge shape, and cannot overflow, which is exactly what
+    a distributed checksum needs (a SUM digest would need modular
+    arithmetic; a concatenation hash would need a sort).
+
+    Canonical row string: 'okey|ckey|status|prio|cents|epoch_us' — typed
+    values rendered as integers/raw strings so both sides serialize
+    identically (cents via the q_cdc_upsert ROUND pair).  Scale shape:
+    one streaming pass; each block reduces to (month, n, xor) partials —
+    months are bounded, the driver folds O(blocks × months) rows with a
+    vectorized XOR."""
+    import hashlib
+
+    import numpy as np
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_totalprice",
+            "o_orderdate",
+        ],
+        rows_per_block=200_000,
+    )
+    MASK = np.uint64((1 << 63) - 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "month": pa.array([], pa.string()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "xor_digest": pa.array([], pa.int64()),
+                }
+            )
+        month = pc.strftime(t.column("o_orderdate"), format="%Y-%m").to_pylist()
+        cents = np.rint(
+            round_half_away(
+                t.column("o_totalprice").to_numpy(zero_copy_only=False), 2
+            )
+            * 100.0
+        ).astype(np.int64)
+        ts = t.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        st = t.column("o_orderstatus").to_pylist()
+        pr = t.column("o_orderpriority").to_pylist()
+        hv = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(
+                        f"{ok[i]}|{ck[i]}|{st[i]}|{pr[i]}|{cents[i]}|{ts[i]}".encode(
+                            "utf-8"
+                        )
+                    ).digest()[8:],
+                    "little",
+                )
+                for i in range(len(t))
+            ),
+            np.uint64,
+            len(t),
+        ) & MASK
+        df = pd.DataFrame({"month": month, "h": hv.astype(np.int64)})
+        agg = df.groupby("month", sort=False)["h"].agg(
+            [("n_rows", "size"), ("xor_digest", lambda s: int(np.bitwise_xor.reduce(s.to_numpy(np.int64))))]
+        )
+        agg = agg.reset_index()
+        return pa.table(
+            {
+                "month": pa.array(agg["month"].astype(object), pa.string()),
+                "n_rows": pa.array(agg["n_rows"].to_numpy(np.int64)),
+                "xor_digest": pa.array(agg["xor_digest"].to_numpy(np.int64)),
+            }
+        )
+
+    parts = typed_collect(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("month", pa.string()),
+                ("n_rows", pa.int64()),
+                ("xor_digest", pa.int64()),
+            ]
+        ),
+    )
+    if len(parts) == 0:
+        return parts
+    out = parts.groupby("month", sort=True).agg(
+        n_rows=("n_rows", "sum"),
+        xor_digest=(
+            "xor_digest",
+            lambda s: int(np.bitwise_xor.reduce(s.to_numpy(np.int64))),
+        ),
+    )
+    return (
+        out.reset_index()
+        .astype({"month": object, "n_rows": "int64", "xor_digest": "int64"})
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+
+
 L_DIVERSITY = 3  # minimum distinct sensitive values per QI group (oracle literal)
 
 

@@ -1104,6 +1104,7 @@ STAR_ORACLE_QUERIES = [
     "q_time_travel",
     "q_l_diversity",
     "q_temporal_dim_join",
+    "q_table_checksum",
 ]
 
 
@@ -2936,3 +2937,59 @@ def test_json_type_tag_pins_duckdb_vocabulary():
             "SELECT json_type(json(?), '$.\"' || ? || '\"')", [doc, key]
         ).fetchone()[0]
         assert _json_type_tag(v) == want, (doc, _json_type_tag(v), want)
+
+
+def test_table_checksum_detects_single_row_drift(ray_session, tmp_path):
+    """The anti-entropy property in action: two copies of a 400-row
+    orders table differing in ONE row's price by one cent produce
+    identical digests in every month except the mutated row's, and
+    identical digests are layout-invariant (re-sharding the same rows
+    into many row groups changes nothing)."""
+    import pdfray.pipelines.relational as R2
+
+    rng = np.random.RandomState(11)
+    n = 400
+    day = 86_400_000_000
+    base = 820_454_400_000_000
+    od = base + rng.randint(0, 300, n) * day
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+            "o_custkey": pa.array(rng.randint(0, 40, n).astype(np.int64)),
+            "o_orderstatus": pa.array(
+                [["F", "O", "P"][i % 3] for i in range(n)]
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * n),
+            "o_totalprice": pa.array(
+                (rng.randint(1, 10**7, n) / 100.0).round(2)
+            ),
+            "o_orderdate": pa.array(od.astype(np.int64), pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    d1 = tmp_path / "a"
+    d1.mkdir()
+    pq.write_table(t, str(d1 / "orders.parquet"))
+    out1 = R2.q_table_checksum(str(d1)).set_index("month")
+
+    # layout invariance: same rows, shuffled order, tiny row groups
+    perm = rng.permutation(n)
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    pq.write_table(t.take(perm), str(d2 / "orders.parquet"), row_group_size=16)
+    out2 = R2.q_table_checksum(str(d2)).set_index("month")
+    pd.testing.assert_frame_equal(out1, out2)
+
+    # one-cent drift in one row flips exactly that month's digest
+    prices = t.column("o_totalprice").to_numpy(zero_copy_only=False).copy()
+    prices[7] += 0.01
+    t3 = t.set_column(4, "o_totalprice", pa.array(prices.round(2)))
+    d3 = tmp_path / "c"
+    d3.mkdir()
+    pq.write_table(t3, str(d3 / "orders.parquet"))
+    out3 = R2.q_table_checksum(str(d3)).set_index("month")
+    mutated_month = pd.Timestamp(od[7], unit="us").strftime("%Y-%m")
+    diff = out1["xor_digest"] != out3["xor_digest"]
+    assert diff.sum() == 1 and diff[mutated_month]
+    assert (out1["n_rows"] == out3["n_rows"]).all()
