@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_skew_report": R.q_skew_report,
         "q_json_profile": R.q_json_profile,
         "q_table_checksum": R.q_table_checksum,
+        "q_equidepth_histogram": R.q_equidepth_histogram,
     }
 
 
@@ -4443,6 +4444,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT month, CAST(COUNT(*) AS BIGINT) AS n_rows, "
             "CAST(bit_xor(h) AS BIGINT) AS xor_digest "
             "FROM r GROUP BY month ORDER BY month"
+        ),
+        "q_equidepth_histogram": (
+            # quantile_cont interpolation == the engine's (n-1)p formula
+            # (pinned in q_group_quantiles), ROUND(,6) both sides; the
+            # bucket CASEs compare against the SAME rounded boundaries,
+            # so boundary ties resolve identically; empty input
+            # degenerates to (0, NULL×3, 0×4) on both sides
+            "WITH q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q25, "
+            "ROUND(quantile_cont(o_totalprice, 0.5), 6) AS q50, "
+            "ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q75 "
+            "FROM orders) "
+            "SELECT q.n_rows, q.q25, q.q50, q.q75, "
+            "CAST(COALESCE(SUM(CASE WHEN o.o_totalprice < q.q25 "
+            "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b1, "
+            "CAST(COALESCE(SUM(CASE WHEN o.o_totalprice >= q.q25 "
+            "AND o.o_totalprice < q.q50 THEN 1 ELSE 0 END), 0) AS BIGINT) "
+            "AS n_b2, "
+            "CAST(COALESCE(SUM(CASE WHEN o.o_totalprice >= q.q50 "
+            "AND o.o_totalprice < q.q75 THEN 1 ELSE 0 END), 0) AS BIGINT) "
+            "AS n_b3, "
+            "CAST(COALESCE(SUM(CASE WHEN o.o_totalprice >= q.q75 "
+            "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b4 "
+            "FROM q LEFT JOIN orders o ON TRUE "
+            "GROUP BY 1, 2, 3, 4"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -289,6 +289,7 @@ QUERY_NAMES = [
     "q_skew_report",
     "q_json_profile",
     "q_table_checksum",
+    "q_equidepth_histogram",
 ]
 
 

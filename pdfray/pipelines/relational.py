@@ -11184,6 +11184,125 @@ def q_table_checksum(sf_dir: str):
     )
 
 
+def q_equidepth_histogram(sf_dir: str):
+    """EXACT equi-depth (quartile) histogram of order totals — the
+    optimizer statistic q_column_profile doesn't carry: interpolated
+    q25/q50/q75 boundaries plus the exact row count of each quartile
+    bucket, over a column whose value domain is ~distinct-per-row (so
+    the bounded-domain histogram trick of q_group_quantiles does NOT
+    apply — this is the order-statistic-at-scale member of the family).
+
+    Plan: the terasort machinery (`_range_plan`) range-partitions by the
+    raw double once; partition offsets locate which partitions hold the
+    six needed order statistics (positions ⌊(n-1)p⌋+1, +2 for the three
+    p's), and ONLY those partitions' key arrays are collected — each is
+    ~target_rows (bounded by sizing, ~2M rows / 16 MB at any corpus
+    size), everything else never moves.  The driver interpolates with
+    the quantile_cont formula (pinned formula-identical in
+    q_group_quantiles), rounds to 6 both sides, and a second streaming
+    combiner counts the four strict-boundary buckets with the SAME
+    rounded doubles — so boundary ties resolve identically by
+    construction."""
+    import numpy as np
+    import pyarrow.parquet as pq_meta
+    import ray
+
+    cols = [
+        "n_rows",
+        "q25",
+        "q50",
+        "q75",
+        "n_b1",
+        "n_b2",
+        "n_b3",
+        "n_b4",
+    ]
+    n = pq_meta.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n == 0:
+        return pd.DataFrame(
+            [(0, np.nan, np.nan, np.nan, 0, 0, 0, 0)], columns=cols
+        ).astype({c: "int64" for c in ("n_rows", "n_b1", "n_b2", "n_b3", "n_b4")})
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice"], rows_per_block=200_000
+    )
+    assign, offsets = _range_plan(ds, n, "o_orderkey", "o_totalprice", "eqd_part")
+
+    # six global 1-indexed positions (lo+1, lo+2 per quantile), clamped to n
+    ps = (0.25, 0.5, 0.75)
+    need = sorted(
+        {
+            min(n, int(np.floor((n - 1) * p)) + 1 + d)
+            for p in ps
+            for d in (0, 1)
+        }
+    )
+    offs = np.asarray(offsets, np.int64)
+    part_of = {k: int(np.searchsorted(offs, k, side="left") - 1) for k in need}
+    wanted = sorted(set(part_of.values()))
+    wanted_ref = ray.put(np.asarray(wanted, np.int64))
+
+    def pick(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        w = _ray.get(wanted_ref)
+        m = np.isin(t.column("part").to_numpy(zero_copy_only=False), w)
+        t = t.filter(pa.array(m))
+        return t.select(["part", "o_totalprice"])
+
+    picked = typed_collect(
+        ds.map_batches(assign, batch_format="pyarrow").map_batches(
+            pick, batch_format="pyarrow"
+        ),
+        pa.schema([("part", pa.int64()), ("o_totalprice", pa.float64())]),
+    )
+    by_part = {
+        int(p): np.sort(g["o_totalprice"].to_numpy(np.float64))
+        for p, g in picked.groupby("part")
+    }
+    stat = {
+        k: float(by_part[part_of[k]][k - int(offs[part_of[k]]) - 1]) for k in need
+    }
+    bounds = []
+    for p in ps:
+        h = (n - 1) * p
+        lo = int(np.floor(h))
+        xlo = stat[lo + 1]
+        xhi = stat[lo + 2] if lo + 1 < n else xlo
+        bounds.append(float(round_half_away(xlo + (h - lo) * (xhi - xlo), 6)))
+    b25, b50, b75 = bounds
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_b1": pa.array([int((v < b25).sum())], pa.int64()),
+                "n_b2": pa.array([int(((v >= b25) & (v < b50)).sum())], pa.int64()),
+                "n_b3": pa.array([int(((v >= b50) & (v < b75)).sum())], pa.int64()),
+                "n_b4": pa.array([int((v >= b75).sum())], pa.int64()),
+            }
+        )
+
+    parts = typed_collect(
+        ds.map_batches(bucket_counts, batch_format="pyarrow"),
+        pa.schema([(c, pa.int64()) for c in ("n_b1", "n_b2", "n_b3", "n_b4")]),
+    )
+    return pd.DataFrame(
+        [
+            (
+                n,
+                b25,
+                b50,
+                b75,
+                int(parts["n_b1"].sum()),
+                int(parts["n_b2"].sum()),
+                int(parts["n_b3"].sum()),
+                int(parts["n_b4"].sum()),
+            )
+        ],
+        columns=cols,
+    ).astype({c: "int64" for c in ("n_rows", "n_b1", "n_b2", "n_b3", "n_b4")})
+
+
 L_DIVERSITY = 3  # minimum distinct sensitive values per QI group (oracle literal)
 
 

@@ -1105,6 +1105,7 @@ STAR_ORACLE_QUERIES = [
     "q_l_diversity",
     "q_temporal_dim_join",
     "q_table_checksum",
+    "q_equidepth_histogram",
 ]
 
 
@@ -2993,3 +2994,42 @@ def test_table_checksum_detects_single_row_drift(ray_session, tmp_path):
     diff = out1["xor_digest"] != out3["xor_digest"]
     assert diff.sum() == 1 and diff[mutated_month]
     assert (out1["n_rows"] == out3["n_rows"]).all()
+
+
+def test_equidepth_histogram_matches_numpy_order_stats(ray_session, tmp_path):
+    """Random unique-ish prices plus a >25%-mass TIE RUN straddling the
+    q25 position (the interpolated boundary lands ON the tie value;
+    strict-< bucketing must then put the whole run in bucket 2) — engine
+    equals a brute force over np.sort + the quantile_cont formula."""
+    import pdfray.pipelines.relational as R2
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    prices = (rng.randint(1, 10**7, n) / 100.0).round(2)
+    prices[:1500] = 777.77  # 30% tie run in the low quartile
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+            "o_totalprice": pa.array(prices),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = R2.q_equidepth_histogram(str(tmp_path)).iloc[0]
+
+    v = np.sort(prices)
+    bounds = []
+    for p in (0.25, 0.5, 0.75):
+        h = (n - 1) * p
+        lo = int(np.floor(h))
+        xlo, xhi = v[lo], v[min(lo + 1, n - 1)]
+        bounds.append(
+            float(R2.round_half_away(xlo + (h - lo) * (xhi - xlo), 6))
+        )
+    b25, b50, b75 = bounds
+    assert out["n_rows"] == n
+    assert (out["q25"], out["q50"], out["q75"]) == (b25, b50, b75)
+    assert out["n_b1"] == int((v < b25).sum())
+    assert out["n_b2"] == int(((v >= b25) & (v < b50)).sum())
+    assert out["n_b3"] == int(((v >= b50) & (v < b75)).sum())
+    assert out["n_b4"] == int((v >= b75).sum())
+    assert b25 == 777.77 and out["n_b1"] < n * 0.25  # the tie run really cut
