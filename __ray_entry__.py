@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_json_profile": R.q_json_profile,
         "q_table_checksum": R.q_table_checksum,
         "q_equidepth_histogram": R.q_equidepth_histogram,
+        "t_dup_size_profile": T.t_dup_size_profile,
     }
 
 
@@ -4469,6 +4470,13 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b4 "
             "FROM q LEFT JOIN orders o ON TRUE "
             "GROUP BY 1, 2, 3, 4"
+        ),
+        "t_dup_size_profile": (
+            # count-of-counts over full md5 classes
+            "WITH k AS (SELECT md5(text) AS h, "
+            "CAST(COUNT(*) AS BIGINT) AS f FROM documents GROUP BY 1) "
+            "SELECT f AS class_size, CAST(COUNT(*) AS BIGINT) AS n_classes "
+            "FROM k GROUP BY f ORDER BY f"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -290,6 +290,7 @@ QUERY_NAMES = [
     "q_json_profile",
     "q_table_checksum",
     "q_equidepth_histogram",
+    "t_dup_size_profile",
 ]
 
 

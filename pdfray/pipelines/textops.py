@@ -6186,3 +6186,63 @@ def t_group_holdout_split(sf_dir: str):
     return out.astype(
         {"n_sources": "int64", "n_docs": "int64", "total_chars": "int64"}
     )
+
+
+def t_dup_size_profile(sf_dir: str):
+    """Duplicate-class SIZE DISTRIBUTION — the one-line answer to "how
+    duplicated is this corpus?": for each class size f, the number of
+    exact-duplicate classes (md5 of raw text) with exactly f members.
+    The (1, huge) row is the unique mass; the tail is what exact dedup
+    will delete — the curation report t_exact_dedup's per-class listing
+    is too large to eyeball at corpus scale, and this profile is BOUNDED
+    (distinct class sizes) no matter the corpus.
+
+    Scale shape: the count-of-counts trick (the q_skew_report plan on a
+    string key): (md5, doc) pairs bucket by hash prefix so each class
+    co-locates whole, one vectorized pandas fold per bucket yields class
+    sizes then their value_counts, and the driver merges O(buckets ×
+    distinct-sizes) int rows.  Full 128-bit md5 hex is the class key on
+    BOTH sides — no truncated-hash collision can merge classes the
+    oracle keeps apart."""
+    import pyarrow.parquet as pq
+
+    from .sizing import shuffle_partitions
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_buckets = shuffle_partitions(max(1, n_docs))
+
+    def project(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(s.encode("utf-8")).hexdigest()
+            for s in t.column("text").to_pylist()
+        ]
+        bucket = np.array([int(h[:15], 16) % n_buckets for h in hs], np.int64)
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.string()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("h", sort=False).size()
+        hist = sizes.value_counts()
+        return pd.DataFrame(
+            {
+                "class_size": hist.index.to_numpy(np.int64),
+                "n_classes": hist.to_numpy(np.int64),
+            }
+        )
+
+    parts = _collect_sorted(
+        _read_documents(sf_dir)
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas"),
+        ("class_size",),
+        schema=pa.schema([("class_size", pa.int64()), ("n_classes", pa.int64())]),
+    )
+    if len(parts) == 0:
+        return parts
+    out = parts.groupby("class_size", sort=True)["n_classes"].sum().reset_index()
+    return out.astype({"class_size": "int64", "n_classes": "int64"})

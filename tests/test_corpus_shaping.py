@@ -492,6 +492,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_dataset_card",
     "t_unicode_dedup",
     "t_group_holdout_split",
+    "t_dup_size_profile",
 ]
 
 
