@@ -440,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_table_checksum": R.q_table_checksum,
         "q_equidepth_histogram": R.q_equidepth_histogram,
         "t_dup_size_profile": T.t_dup_size_profile,
+        "q_median_impute": R.q_median_impute,
     }
 
 
@@ -4477,6 +4478,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS f FROM documents GROUP BY 1) "
             "SELECT f AS class_size, CAST(COUNT(*) AS BIGINT) AS n_classes "
             "FROM k GROUP BY f ORDER BY f"
+        ),
+        "q_median_impute": (
+            # quantile_cont interpolation == the engine's replay formula
+            # (pinned in q_group_quantiles); half-cents via ROUND (ties
+            # away from zero == round_half_away) so binary-grid .5 ties
+            # cannot diverge; med/total as DOUBLE so the no-ok-rows case
+            # degenerates to NULL without flipping the dtype class
+            "WITH ok AS (SELECT user_id, value FROM events "
+            "WHERE event_type <> 'error'), "
+            "g AS (SELECT ROUND(quantile_cont(value, 0.5) * 200, 0) "
+            "AS gmed FROM ok), "
+            "pm AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ok, "
+            "ROUND(quantile_cont(value, 0.5) * 200, 0) AS umed, "
+            "SUM(CAST(ROUND(value * 200, 0) AS BIGINT)) AS ok_sum "
+            "FROM ok GROUP BY user_id), "
+            "e AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_err "
+            "FROM events WHERE event_type = 'error' GROUP BY user_id), "
+            "u AS (SELECT DISTINCT user_id FROM events) "
+            "SELECT u.user_id, CAST(COALESCE(pm.n_ok, 0) AS BIGINT) AS n_ok, "
+            "CAST(COALESCE(e.n_err, 0) AS BIGINT) AS n_err, "
+            "CAST(COALESCE(pm.umed, g.gmed) AS DOUBLE) AS med_halfcents, "
+            "CAST(CAST(COALESCE(pm.ok_sum, 0) AS DOUBLE) "
+            "+ COALESCE(e.n_err, 0) * COALESCE(pm.umed, g.gmed) AS DOUBLE) "
+            "AS total_halfcents "
+            "FROM u LEFT JOIN pm USING (user_id) "
+            "LEFT JOIN e USING (user_id) CROSS JOIN g "
+            "ORDER BY u.user_id"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

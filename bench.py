@@ -291,6 +291,7 @@ QUERY_NAMES = [
     "q_table_checksum",
     "q_equidepth_histogram",
     "t_dup_size_profile",
+    "q_median_impute",
 ]
 
 

@@ -11695,3 +11695,231 @@ def q_scd2_order_status(sf_dir: str):
     if len(out) == 0:
         return empty
     return out.sort_values(["o_custkey", "island_seq"]).reset_index(drop=True)
+
+
+def q_median_impute(sf_dir: str):
+    """Median IMPUTATION of a meaningless measure — the feature-repair
+    primitive of a training-data pipeline: 'error' events carry a
+    diagnostic `value` that must not leak into per-user spend features,
+    so each error row is imputed with the PER-USER median of that user's
+    non-error values, falling back to the GLOBAL non-error median for
+    users who only ever errored (NULL when the corpus has no non-error
+    rows at all).
+
+    EXACT across engines: medians ride the bounded-domain histogram over
+    the RAW doubles (the q_group_quantiles trick) and replay DuckDB's
+    quantile_cont interpolation (formula pinned identical there); the
+    imputed value and the per-row sums are expressed in HALF-CENTS via
+    round_half_away (x200 lands on .5 ties on binary-grid data, where
+    banker's rounding would diverge from DuckDB ROUND), integer-exact as
+    doubles far below 2^53.  med/total ride as DOUBLE so the no-ok-rows
+    case degenerates to NULL/NaN without flipping the dtype class.
+
+    Scale shape: ONE streaming pass emits (user, kind, value) -> count
+    histogram partials; the GLOBAL fallback histogram rides the same
+    pass as kind=2 sentinel rows under the impossible user_id -1
+    (bounded by the value-domain cardinality, never corpus size), so a
+    single exchange serves both the per-user medians and the fallback.
+    Resolution is the two-regime split: driver pandas fold below
+    PIVOT_DRIVER_MAX_ROWS, a user-keyed map_groups above (the bounded
+    global rows collect to the driver either way and broadcast as one
+    scalar in the closure)."""
+    import numpy as np
+
+    ds = _read(
+        sf_dir, "events", ["user_id", "event_type", "value"], rows_per_block=100_000
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        is_err = pc.equal(t.column("event_type"), "error")
+        ok = t.filter(pc.invert(is_err))
+        err = t.filter(is_err)
+        frames = []
+        if len(ok):
+            g = (
+                pa.table({"user_id": ok.column("user_id"), "value": ok.column("value")})
+                .group_by(["user_id", "value"])
+                .aggregate([("value", "count")])
+                .rename_columns(["user_id", "value", "cnt"])
+            )
+            u = g.column("user_id").to_numpy(zero_copy_only=False)
+            v = g.column("value").to_numpy(zero_copy_only=False)
+            c = g.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {"user_id": u, "kind": np.int64(0), "value": v, "cnt": c}
+                )
+            )
+            # global fallback histogram: same rows re-keyed under the
+            # impossible sentinel user (ids are non-negative); re-reduced
+            # locally so the sentinel rows stay value-domain-bounded
+            gg = (
+                pd.DataFrame({"value": v, "cnt": c})
+                .groupby("value", as_index=False)["cnt"]
+                .sum()
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.int64(-1),
+                        "kind": np.int64(2),
+                        "value": gg["value"].to_numpy(np.float64),
+                        "cnt": gg["cnt"].to_numpy(np.int64),
+                    }
+                )
+            )
+        if len(err):
+            eu = (
+                pa.table({"user_id": err.column("user_id")})
+                .group_by("user_id")
+                .aggregate([("user_id", "count")])
+                .rename_columns(["user_id", "cnt"])
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": eu.column("user_id").to_numpy(zero_copy_only=False),
+                        "kind": np.int64(1),
+                        "value": np.float64(0.0),
+                        "cnt": eu.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64),
+                    }
+                )
+            )
+        if not frames:
+            return empty
+        df = pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+                "kind": pa.array(df["kind"].to_numpy(np.int64)),
+                "value": pa.array(df["value"].to_numpy(np.float64)),
+                "cnt": pa.array(df["cnt"].to_numpy(np.int64)),
+            }
+        )
+
+    red, n_red = _two_regime_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "kind", "value"],
+        ["cnt"],
+        empty_types={"user_id": pa.int64(), "kind": pa.int64(), "value": pa.float64()},
+    )
+
+    out_cols = ["user_id", "n_ok", "n_err", "med_halfcents", "total_halfcents"]
+
+    def _empty_out():
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "n_ok": pd.Series(dtype="int64"),
+                "n_err": pd.Series(dtype="int64"),
+                "med_halfcents": pd.Series(dtype="float64"),
+                "total_halfcents": pd.Series(dtype="float64"),
+            }
+        )
+
+    def _median_hc(vals: "np.ndarray", cnts: "np.ndarray") -> float:
+        order = np.argsort(vals, kind="stable")
+        v = vals[order]
+        c = cnts[order]
+        med = _quantile_cont_replay(v, c.cumsum(), 0.5)
+        return float(round_half_away(med * 200.0, 0))
+
+    def user_frame(df: pd.DataFrame, gmed_hc: float) -> pd.DataFrame:
+        if not len(df):
+            return _empty_out()
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            ok = g[g["kind"] == 0]
+            n_ok = int(ok["cnt"].sum())
+            n_err = int(g.loc[g["kind"] == 1, "cnt"].sum())
+            if n_ok:
+                vals = ok["value"].to_numpy(np.float64)
+                cnts = ok["cnt"].to_numpy(np.int64)
+                med_hc = _median_hc(vals, cnts)
+                ok_sum = int(
+                    (
+                        round_half_away(vals * 200.0, 0).astype(np.int64)
+                        * cnts
+                    ).sum()
+                )
+            else:
+                med_hc = gmed_hc
+                ok_sum = 0
+            total = float(ok_sum) + n_err * med_hc if med_hc == med_hc else float("nan")
+            rows.append((int(uid), n_ok, n_err, med_hc, total))
+        out = pd.DataFrame(rows, columns=out_cols)
+        return out.astype(
+            {
+                "user_id": "int64",
+                "n_ok": "int64",
+                "n_err": "int64",
+                "med_halfcents": "float64",
+                "total_halfcents": "float64",
+            }
+        )
+
+    red_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("kind", pa.int64()),
+            ("value", pa.float64()),
+            ("cnt", pa.int64()),
+        ]
+    )
+    if n_red == 0:
+        return _empty_out()
+    if n_red <= PIVOT_DRIVER_MAX_ROWS:
+        df = typed_collect(red, red_schema)
+        gl = df[df["kind"] == 2]
+        gmed_hc = (
+            _median_hc(
+                gl["value"].to_numpy(np.float64), gl["cnt"].to_numpy(np.int64)
+            )
+            if len(gl)
+            else float("nan")
+        )
+        out = user_frame(df[df["kind"] != 2], gmed_hc)
+    else:
+        import numpy as np  # noqa: F811 — worker closure import
+
+        gl = typed_collect(
+            red.filter(lambda r: r["kind"] == 2), red_schema
+        )  # value-domain-bounded rows only
+        gmed_hc = (
+            _median_hc(
+                gl["value"].to_numpy(np.float64), gl["cnt"].to_numpy(np.int64)
+            )
+            if len(gl)
+            else float("nan")
+        )
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            return user_frame(g, gmed_hc)
+
+        out = typed_collect(
+            red.filter(lambda r: r["kind"] != 2)
+            .groupby("user_id")
+            .map_groups(fold, batch_format="pandas"),
+            pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("n_ok", pa.int64()),
+                    ("n_err", pa.int64()),
+                    ("med_halfcents", pa.float64()),
+                    ("total_halfcents", pa.float64()),
+                ]
+            ),
+        )
+    if len(out) == 0:
+        return _empty_out()
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -638,6 +638,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_orc_roundtrip",
     "q_auc_purchase_value",
     "q_json_profile",
+    "q_median_impute",
 ]
 
 _PROPS_POOL = [
