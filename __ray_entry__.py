@@ -441,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_equidepth_histogram": R.q_equidepth_histogram,
         "t_dup_size_profile": T.t_dup_size_profile,
         "q_median_impute": R.q_median_impute,
+        "s_label_silhouette": S.s_label_silhouette,
     }
 
 
@@ -4505,6 +4506,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM u LEFT JOIN pm USING (user_id) "
             "LEFT JOIN e USING (user_id) CROSS JOIN g "
             "ORDER BY u.user_id"
+        ),
+        "s_label_silhouette": (
+            # centroid = SUM/COUNT per (label, dim); list_distance
+            # accumulates left-to-right in float64 == the engine's
+            # per-dim chain (measured bit-equal); min-over-labels then
+            # compares identical doubles, so ties cannot diverge;
+            # ROUND ties-away == round_half_away
+            "WITH e AS (SELECT vec_id, label, "
+            "CAST(unnest(embedding) AS DOUBLE) AS x, "
+            "generate_subscripts(embedding, 1) AS dim FROM embeddings), "
+            "cd AS (SELECT label, dim, SUM(x) / COUNT(*) AS c "
+            "FROM e GROUP BY label, dim), "
+            "cent AS (SELECT label, list(c ORDER BY dim) AS cl "
+            "FROM cd GROUP BY label), "
+            "d AS (SELECT v.vec_id, v.label AS own, c.label AS other, "
+            "list_distance(CAST(v.embedding AS DOUBLE[]), c.cl) AS dist "
+            "FROM embeddings v CROSS JOIN cent c), "
+            "agg AS (SELECT vec_id, own, "
+            "MIN(CASE WHEN other = own THEN dist END) AS a, "
+            "MIN(CASE WHEN other <> own THEN dist END) AS b "
+            "FROM d GROUP BY vec_id, own) "
+            "SELECT vec_id, CAST(own AS BIGINT) AS label, "
+            "ROUND(CASE WHEN b IS NULL THEN 0.0 "
+            "WHEN greatest(a, b) = 0 THEN 0.0 "
+            "ELSE (b - a) / greatest(a, b) END, 4) AS sil "
+            "FROM agg ORDER BY vec_id"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -292,6 +292,7 @@ QUERY_NAMES = [
     "q_equidepth_histogram",
     "t_dup_size_profile",
     "q_median_impute",
+    "s_label_silhouette",
 ]
 
 

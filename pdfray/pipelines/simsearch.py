@@ -2838,3 +2838,136 @@ def s_mrl_overlap(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["query_id", "k", "n_overlap", "overlap_x1e6"]
     ).astype("int64").sort_values("query_id").reset_index(drop=True)
+
+
+def s_label_silhouette(sf_dir: str):
+    """Simplified SILHOUETTE score per vector — the cluster-quality /
+    label-audit primitive: a(x) = euclidean distance to the OWN label's
+    centroid (computed over all members, self included), b(x) = the
+    minimum distance to any OTHER label's centroid, s = (b - a) /
+    max(a, b) in [-1, 1] (0 when both distances are 0 or when only one
+    label exists — the degenerate conventions, applied identically in
+    the oracle).  The simplified (centroid-based) form is the one that
+    scales: the classic pairwise silhouette is O(n^2) by definition.
+
+    Cross-engine alignment: distances accumulate LEFT-TO-RIGHT over the
+    dimensions in float64 — measured bit-equal to DuckDB's
+    list_distance on both FLOAT and DOUBLE lists (and to SUM over
+    unnest in subscript order); min-over-labels then compares IDENTICAL
+    doubles on both sides, so even exact distance ties cannot diverge
+    (the min is a value, not an argmin).  Centroids are one IEEE
+    division of the folded per-block sums; on grid-valued components
+    (the hostile-embeddings harness) every quantity is float64-exact
+    end-to-end, and the final score is round_half_away(4) on both sides
+    (the repo-wide vector-op bar).
+
+    Scale shape: ZERO shuffle — pass 1 collapses each block to
+    (label, dim, sum, n) rows (k x d x blocks, corpus-size-free) and the
+    driver folds centroids; pass 2 broadcasts the (k x d) centroid
+    matrix once via ray.put and scores every block with k vectorized
+    dim-chains.  Output is one row per vector."""
+    import ray
+    import ray.data as rd
+
+    def _read():
+        return rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+        )
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = np.stack(
+            t.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        rows_l, rows_d, rows_s, rows_n = [], [], [], []
+        for lab in np.unique(labels):
+            sel = emb[labels == lab]
+            d = np.arange(emb.shape[1], dtype=np.int64)
+            rows_l.append(np.full(emb.shape[1], lab, np.int64))
+            rows_d.append(d)
+            rows_s.append(sel.sum(axis=0))
+            rows_n.append(np.full(emb.shape[1], sel.shape[0], np.int64))
+        return pa.table(
+            {
+                "label": pa.array(np.concatenate(rows_l), pa.int64()),
+                "dim": pa.array(np.concatenate(rows_d), pa.int64()),
+                "s": pa.array(np.concatenate(rows_s), pa.float64()),
+                "n": pa.array(np.concatenate(rows_n), pa.int64()),
+            }
+        )
+
+    parts = typed_collect(
+        _read()
+        .select_columns(["label", "embedding"])
+        .map_batches(stat_partial, batch_format="pyarrow"),
+        pa.schema(
+            [
+                ("label", pa.int64()),
+                ("dim", pa.int64()),
+                ("s", pa.float64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+    if len(parts) == 0:
+        return _empty_result(vec_id="i", label="i", sil="f")
+    g = parts.groupby(["label", "dim"], as_index=False).sum()
+    labs = np.sort(g["label"].unique()).astype(np.int64)
+    dims = int(g["dim"].max()) + 1
+    C = np.zeros((len(labs), dims), np.float64)
+    for li, lab in enumerate(labs):
+        gl = g[g["label"] == lab].sort_values("dim")
+        C[li] = gl["s"].to_numpy() / gl["n"].to_numpy()  # one IEEE division
+
+    cref = ray.put((labs, C))
+
+    def score(t: pa.Table, _cref=cref) -> pa.Table:
+        labs_, C_ = ray.get(_cref)
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "sil": pa.array([], pa.float64()),
+                }
+            )
+        X = np.stack(
+            t.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        own = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(labs_)
+        D = np.empty((len(X), k), np.float64)
+        for li in range(k):
+            c = C_[li]
+            acc = np.zeros(len(X), np.float64)
+            for j in range(X.shape[1]):  # left-to-right == list_distance
+                acc += (X[:, j] - c[j]) ** 2
+            D[:, li] = np.sqrt(acc)
+        own_idx = np.searchsorted(labs_, own)
+        a = D[np.arange(len(X)), own_idx]
+        if k > 1:
+            Dm = D.copy()
+            Dm[np.arange(len(X)), own_idx] = np.inf
+            b = Dm.min(axis=1)
+            mx = np.maximum(a, b)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sil = np.where(mx == 0.0, 0.0, (b - a) / mx)
+        else:
+            sil = np.zeros(len(X), np.float64)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id").cast(pa.int64()),
+                "label": pa.array(own),
+                "sil": pa.array(round_half_away(sil, 4), pa.float64()),
+            }
+        )
+
+    out = typed_collect(
+        _read().map_batches(score, batch_format="pyarrow"),
+        pa.schema(
+            [("vec_id", pa.int64()), ("label", pa.int64()), ("sil", pa.float64())]
+        ),
+    )
+    if len(out) == 0:
+        return _empty_result(vec_id="i", label="i", sil="f")
+    return out.sort_values("vec_id").reset_index(drop=True)

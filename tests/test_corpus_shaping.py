@@ -1428,6 +1428,7 @@ EMB_ORACLE_QUERIES = [
     "s_hamming_topk",
     "s_range_search",
     "s_dbscan",
+    "s_label_silhouette",
 ]
 
 

@@ -137,3 +137,82 @@ def test_median_impute_all_errors_degenerate(ray_session, tmp_path):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
     ora = con.execute(entrymod.oracle_sql()["q_median_impute"]).df()
     pd.testing.assert_frame_equal(eng, ora)
+
+
+def _write_embeddings(d, vecs, labels):
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+                "embedding": pa.array(
+                    [np.asarray(v, np.float32) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(np.asarray(labels, np.int32)),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+
+
+def test_silhouette_hand_geometry(ray_session, tmp_path):
+    """Hand-solved 1-D geometry: label 0 at {0, 2} (centroid 1), label 1
+    at {10, 12} (centroid 11), a single-member label 2 at {5}.  a/b are
+    exact small integers, so the scores are exact rationals: the
+    single-member vector sits ON its own centroid (a=0 -> sil=1), the
+    label-0 pair has a=1, b=min(10, 5)=5 -> sil=0.8.  Engine == hand
+    values == registered oracle (dtype-strict)."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.simsearch import s_label_silhouette
+
+    d = tmp_path / "sil"
+    d.mkdir()
+    vecs = [[0.0, 0.0], [2.0, 0.0], [10.0, 0.0], [12.0, 0.0], [5.0, 0.0]]
+    labels = [0, 0, 1, 1, 2]
+    _write_embeddings(d, vecs, labels)
+    eng = s_label_silhouette(str(d))
+    # vec 0 at x=0: a=1, b=min(11, 5)=5 -> 0.8; vec 1 at x=2: a=1,
+    # b=min(9, 3)=3 -> (3-1)/3 = 0.6667; vec 3 at x=12: a=1,
+    # b=min(11, 7)=7 -> 6/7 = 0.8571; vec 4 (single-member): a=0,
+    # b=min(4, 6)=4 -> 1.0
+    assert list(eng.vec_id) == [0, 1, 2, 3, 4]
+    assert list(eng.sil) == [0.8, 0.6667, 0.8, 0.8571, 1.0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    ora = con.execute(entrymod.oracle_sql()["s_label_silhouette"]).df()
+    pd.testing.assert_frame_equal(eng, ora)
+
+
+def test_silhouette_degenerate_single_label_and_dup(ray_session, tmp_path):
+    """One label in the whole corpus -> sil = 0 everywhere (no 'other'
+    centroid exists); a vector exactly ON the shared centroid of a
+    two-label corpus where both centroids coincide -> a = b = 0 -> the
+    0/0 convention pins sil to 0 on both sides."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.simsearch import s_label_silhouette
+
+    d = tmp_path / "sil1"
+    d.mkdir()
+    _write_embeddings(d, [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], [7, 7, 7])
+    eng = s_label_silhouette(str(d))
+    assert (eng.sil == 0.0).all() and list(eng.label) == [7, 7, 7]
+
+    d2 = tmp_path / "sil2"
+    d2.mkdir()
+    # labels 0 and 1 both have centroid (1, 1); every vector has a == b
+    _write_embeddings(
+        d2,
+        [[0.0, 0.0], [2.0, 2.0], [0.0, 2.0], [2.0, 0.0], [1.0, 1.0]],
+        [0, 0, 1, 1, 1],
+    )
+    eng2 = s_label_silhouette(str(d2))
+    # vec 4 sits exactly on BOTH centroids: a = b = 0 -> sil = 0
+    assert eng2[eng2.vec_id == 4].sil.iloc[0] == 0.0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d2}/embeddings.parquet'"
+    )
+    ora = con.execute(entrymod.oracle_sql()["s_label_silhouette"]).df()
+    pd.testing.assert_frame_equal(eng2, ora)
