@@ -442,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_dup_size_profile": T.t_dup_size_profile,
         "q_median_impute": R.q_median_impute,
         "s_label_silhouette": S.s_label_silhouette,
+        "q_ddsketch_quantiles": R.q_ddsketch_quantiles,
     }
 
 
@@ -4532,6 +4533,60 @@ def oracle_sql() -> dict[str, str]:
             "WHEN greatest(a, b) = 0 THEN 0.0 "
             "ELSE (b - a) / greatest(a, b) END, 4) AS sil "
             "FROM agg ORDER BY vec_id"
+        ),
+        "q_ddsketch_quantiles": (
+            # replays the base-2 DDSketch verbatim: bucket key from
+            # length(bin(|cents|)) + the two post-msb mantissa bits (pure
+            # integer — a float log2 would misbucket exact powers of 2),
+            # rank = (qm*n+999)//1000 integer ceil, bucket bounds
+            # reconstructed in HUGEINT then cast back (the engine guards
+            # |cents| <= 2^56 so the BIGINT casts cannot overflow);
+            # est/rel_err are the same single IEEE expressions on the
+            # same exact ints as the engine — no rounding either side
+            "WITH c AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+            " AS cents FROM orders), "
+            "b AS (SELECT cents, abs(cents) AS a, "
+            "CASE WHEN cents = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(length(bin(abs(cents))) AS BIGINT) END AS L FROM c), "
+            "k AS (SELECT CASE WHEN cents = 0 THEN 0 ELSE "
+            "CAST(sign(cents) AS BIGINT) * (4 * L + "
+            "(CASE WHEN L >= 3 THEN (a >> (L - 3)) & 3 "
+            "ELSE (a << (3 - L)) & 3 END)) END AS bkey FROM b), "
+            "h AS (SELECT bkey, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM k GROUP BY bkey), "
+            "cum AS (SELECT bkey, SUM(cnt) OVER (ORDER BY bkey) AS cum "
+            "FROM h), "
+            "tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h), "
+            "qs AS (SELECT * FROM (VALUES (500), (900), (950), (990)) "
+            "AS t(qm)), "
+            "r AS (SELECT CAST(qm AS BIGINT) AS qm, n, "
+            "(qm * n + 999) // 1000 AS rk FROM qs CROSS JOIN tot "
+            "WHERE n > 0), "
+            "pick AS (SELECT r.qm, r.n, r.rk, MIN(cum.bkey) AS bkey "
+            "FROM r JOIN cum ON cum.cum >= r.rk GROUP BY r.qm, r.n, r.rk), "
+            "dec AS (SELECT qm, n, rk, bkey, "
+            "CASE WHEN bkey > 0 THEN 1 WHEN bkey < 0 THEN -1 ELSE 0 END "
+            "AS s, abs(bkey) // 4 AS L, abs(bkey) % 4 AS j FROM pick), "
+            "bounds AS (SELECT qm, n, rk, bkey, s, "
+            "CASE WHEN s = 0 THEN CAST(0 AS HUGEINT) ELSE "
+            "((CAST(1 AS HUGEINT) << CAST(L - 1 AS INTEGER)) * (4 + j) + 3)"
+            " // 4 END AS plo, "
+            "CASE WHEN s = 0 THEN CAST(0 AS HUGEINT) ELSE "
+            "((CAST(1 AS HUGEINT) << CAST(L - 1 AS INTEGER)) * (5 + j) + 3)"
+            " // 4 - 1 END AS phi FROM dec) "
+            "SELECT qm AS q_permille, n, CAST(rk AS BIGINT) AS rank, "
+            "CAST(bkey AS BIGINT) AS bucket_key, "
+            "CAST(CASE WHEN s >= 0 THEN plo ELSE -phi END AS BIGINT) "
+            "AS lo_cents, "
+            "CAST(CASE WHEN s >= 0 THEN phi ELSE -plo END AS BIGINT) "
+            "AS hi_cents, "
+            "CAST((CASE WHEN s >= 0 THEN plo ELSE -phi END) "
+            "+ (CASE WHEN s >= 0 THEN phi ELSE -plo END) AS DOUBLE) / 200.0 "
+            "AS est_price, "
+            "CASE WHEN phi = plo THEN 0.0 ELSE "
+            "CAST(phi - plo AS DOUBLE) / CAST(phi + plo AS DOUBLE) END "
+            "AS rel_err_bound "
+            "FROM bounds ORDER BY q_permille"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

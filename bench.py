@@ -293,6 +293,7 @@ QUERY_NAMES = [
     "t_dup_size_profile",
     "q_median_impute",
     "s_label_silhouette",
+    "q_ddsketch_quantiles",
 ]
 
 

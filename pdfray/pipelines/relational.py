@@ -11923,3 +11923,141 @@ def q_median_impute(sf_dir: str):
     if len(out) == 0:
         return _empty_out()
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# DDSketch — Masson, Rim & Lee 2019 (VLDB), "DDSketch: a fast and
+# fully-mergeable quantile sketch with relative-error guarantees".
+# Engine-added brief: the missing member of the sketch family (HLL =
+# distinct, CMS = point frequency, KMV = set ops, AMS = F2) — mergeable
+# QUANTILES with a bounded relative error, the summary a 100 TB profiler
+# ships per partition instead of the raw column.
+
+DDSKETCH_QS_PERMILLE = (500, 900, 950, 990)
+# |cents| above this would overflow the bucket-bound arithmetic's int64
+# reconstruction in the SQL replay (lo/hi ~ 2.25 * 2^(L-1)); 2^56 cents
+# is ~$7e14 per order — far past any real price.  A corpus beyond it
+# rescales the grid a decade like the CUSUM/Benford guards.
+DDSKETCH_MAX_ABS_CENTS = 1 << 56
+
+
+def _dd_bucket_keys(cents: np.ndarray) -> np.ndarray:
+    """Deterministic base-2 DDSketch bucket key per value, NO logarithms:
+    key = sign * (4*L + j) where L = bit_length(|c|) and j = the two
+    mantissa bits after the leading 1 (zero-padded when L < 3).  Every
+    op is integer, so engine and SQL replay (length(bin(x)), >>, &)
+    agree bit-for-bit — a float log2 would misbucket exact powers of two
+    by an ulp.  Bucket [lo, hi] spans a value ratio <= 1.25, hence the
+    sketch's guaranteed relative error (hi-lo)/(hi+lo) <= 1/9."""
+    a = np.abs(cents)
+    if a.size and int(a.max()) > DDSKETCH_MAX_ABS_CENTS:
+        raise RuntimeError(
+            "q_ddsketch_quantiles: |cents| exceeds the bucket-bound "
+            "guard — rescale the money grid a decade for this corpus"
+        )
+    # bit_length via float64 frexp is UNSAFE (ulp); do it with a shift
+    # cascade like the Benford digit loop: int64 has at most 63 bits
+    L = np.zeros(len(a), dtype=np.int64)
+    rem = a.copy()
+    for step in (32, 16, 8, 4, 2, 1):
+        big = rem >= (np.int64(1) << np.int64(step))
+        L += np.where(big, step, 0)
+        rem = np.where(big, rem >> np.int64(step), rem)
+    L += (a > 0).astype(np.int64)  # L = bit_length; 0 for a == 0
+    sh = L - 3
+    j = np.where(
+        sh >= 0,
+        (a >> np.maximum(sh, 0)) & 3,
+        (a << np.maximum(-sh, 0)) & 3,
+    )
+    return np.sign(cents) * (4 * L + j) * (a > 0)
+
+
+def _dd_bucket_bounds(bkey: int) -> tuple:
+    """Exact integer [lo, hi] cents covered by a bucket key (Python ints,
+    overflow-free; mirrors the oracle's HUGEINT reconstruction)."""
+    if bkey == 0:
+        return 0, 0
+    s = 1 if bkey > 0 else -1
+    k = abs(bkey)
+    L, j = k // 4, k % 4
+    plo = ((1 << (L - 1)) * (4 + j) + 3) // 4
+    phi = ((1 << (L - 1)) * (5 + j) + 3) // 4 - 1
+    return (plo, phi) if s > 0 else (-phi, -plo)
+
+
+def q_ddsketch_quantiles(sf_dir: str):
+    """Mergeable relative-error quantile sketch over o_totalprice — the
+    DDSketch shape: each block collapses to <= ~240 (bucket, count)
+    integers whatever its row count, `_two_regime_sum` merges the
+    partials (the ONLY moving state), and the driver reads off
+    q50/q90/q95/q99 from the cumulative bucket histogram.  Zero wide
+    exchanges; the sketch for a 100 TB column is a few KB.
+
+    Report per quantile: the 1-based rank r = (qm*n + 999) // 1000 (pure
+    integer ceil — CEIL(q*n) on doubles misrounds, the q_skew_report
+    lesson), the covering bucket, its EXACT integer cent bounds (the
+    certificate: the true order statistic provably lies in [lo, hi]),
+    the midpoint estimate and the per-bucket relative-error bound — the
+    last two the SAME single IEEE expression on exact ints both sides.
+    Empty input => zero rows (oracle's WHERE n > 0 branch agrees)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = round_half_away(v * 100.0, 0).astype(np.int64)
+        keys, cnts = np.unique(_dd_bucket_keys(cents), return_counts=True)
+        return pa.table(
+            {
+                "bkey": pa.array(keys.astype(np.int64)),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    parts = _read(
+        sf_dir, "orders", ["o_totalprice"], rows_per_block=100_000
+    ).map_batches(partial, batch_format="pyarrow")
+    red, _ = _two_regime_sum(
+        parts, ["bkey"], ["cnt"], empty_types={"bkey": pa.int64()}
+    )
+    hist = typed_collect(
+        red, pa.schema([("bkey", pa.int64()), ("cnt", pa.int64())])
+    )
+    empty = pd.DataFrame(
+        {
+            "q_permille": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64"),
+            "bucket_key": pd.Series([], dtype="int64"),
+            "lo_cents": pd.Series([], dtype="int64"),
+            "hi_cents": pd.Series([], dtype="int64"),
+            "est_price": pd.Series([], dtype="float64"),
+            "rel_err_bound": pd.Series([], dtype="float64"),
+        }
+    )
+    if len(hist) == 0:
+        return empty
+    hist = hist.sort_values("bkey").reset_index(drop=True)
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    rows = []
+    for qm in DDSKETCH_QS_PERMILLE:
+        r = (qm * n + 999) // 1000
+        i = int(np.searchsorted(cum, r, side="left"))
+        bkey = int(hist["bkey"].iloc[i])
+        lo, hi = _dd_bucket_bounds(bkey)
+        rows.append(
+            {
+                "q_permille": qm,
+                "n": n,
+                "rank": r,
+                "bucket_key": bkey,
+                "lo_cents": lo,
+                "hi_cents": hi,
+                "est_price": (lo + hi) / 200.0,
+                "rel_err_bound": 0.0 if hi == lo else (hi - lo) / abs(hi + lo),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("q_permille", "n", "rank", "bucket_key", "lo_cents", "hi_cents"):
+        out[c] = out[c].astype("int64")
+    return out

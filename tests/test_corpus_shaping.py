@@ -1108,6 +1108,7 @@ STAR_ORACLE_QUERIES = [
     "q_temporal_dim_join",
     "q_table_checksum",
     "q_equidepth_histogram",
+    "q_ddsketch_quantiles",
 ]
 
 
