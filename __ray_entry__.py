@@ -443,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_median_impute": R.q_median_impute,
         "s_label_silhouette": S.s_label_silhouette,
         "q_ddsketch_quantiles": R.q_ddsketch_quantiles,
+        "q_ks_test": R.q_ks_test,
     }
 
 
@@ -4587,6 +4588,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(phi - plo AS DOUBLE) / CAST(phi + plo AS DOUBLE) END "
             "AS rel_err_bound "
             "FROM bounds ORDER BY q_permille"
+        ),
+        "q_ks_test": (
+            # sup_v |n_b*cumA - n_a*cumB| over distinct pooled values —
+            # EXACT integers (no division until the final reported D);
+            # NULL/NaN excluded and -0.0 folded via v + 0.0 exactly like
+            # the engine's prep; ties in |D| resolve to the smallest
+            # value (ORDER BY dn DESC, v ASC == the argmax-first rule);
+            # ks_d = double(d_num)/double(n_a*n_b), the engine's exact
+            # float-float division
+            "WITH p AS (SELECT value + 0.0 AS v, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a, "
+            "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b "
+            "FROM events WHERE event_type IN ('purchase', 'click') "
+            "AND value IS NOT NULL AND NOT isnan(value)), "
+            "tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, "
+            "CAST(SUM(b) AS BIGINT) AS nb FROM p), "
+            "d AS (SELECT v, CAST(SUM(a) AS BIGINT) AS da, "
+            "CAST(SUM(b) AS BIGINT) AS db FROM p GROUP BY v), "
+            "cum AS (SELECT v, SUM(da) OVER (ORDER BY v) AS ca, "
+            "SUM(db) OVER (ORDER BY v) AS cb FROM d), "
+            "sc AS (SELECT v, abs(nb * ca - na * cb) AS dn, na, nb "
+            "FROM cum CROSS JOIN tot WHERE na > 0 AND nb > 0) "
+            "SELECT na AS n_a, nb AS n_b, CAST(dn AS BIGINT) AS d_num, "
+            "CAST(dn AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks_d, "
+            "v AS at_value "
+            "FROM sc ORDER BY dn DESC, v ASC LIMIT 1"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

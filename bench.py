@@ -294,6 +294,7 @@ QUERY_NAMES = [
     "q_median_impute",
     "s_label_silhouette",
     "q_ddsketch_quantiles",
+    "q_ks_test",
 ]
 
 

@@ -12061,3 +12061,175 @@ def q_ddsketch_quantiles(sf_dir: str):
     for c in ("q_permille", "n", "rank", "bucket_key", "lo_cents", "hi_cents"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def q_ks_test(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov — does the `value`
+    distribution of purchase events differ from clicks?  The
+    distribution-drift gate a training-data pipeline runs between two
+    corpus snapshots before mixing them.  D = sup_v |F_A(v) − F_B(v)|
+    cleared of division: d_num = max over distinct pooled values of
+    |n_b·cumA(v) − n_a·cumB(v)| is an EXACT integer; the sup location is
+    reported as the smallest value achieving it.
+
+    Plan: the q_auc_purchase_value machinery — `_range_plan`
+    range-partitions on the RAW double (equal keys co-locate, so the
+    right-continuous CDF step at a tied value never splits), ONE range
+    exchange.  The sup needs per-partition CDF offsets, which is the
+    CUSUM constant-shift trick: inside a partition D(v) = [n_b·ca(v) −
+    n_a·cb(v)] + (n_b·offA_p − n_a·offB_p) with the bracket local and
+    the shift partition-constant, so each partition emits TWO candidate
+    rows (argmax/argmin of the bracket — first index on ties == smallest
+    value, matching the oracle's ORDER BY dn DESC, v ASC) and the driver
+    folds partition totals into the exact shifts.  Totals (n_a, n_b)
+    ride one prior driver-summed partial scan (no exchange).
+
+    NULL/NaN scores excluded and -0.0 folded to +0.0 on both sides (the
+    AUC conventions).  Bracket magnitude ≤ n² — int64-exact to n ≈ 2³¹
+    rows per class; past that the fold switches to object ints like
+    q_auc's u2 (guarded loudly, not silently wrong)."""
+    import ray
+
+    empty = pd.DataFrame(
+        {
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "d_num": pd.Series([], dtype="int64"),
+            "ks_d": pd.Series([], dtype="float64"),
+            "at_value": pd.Series([], dtype="float64"),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    n_file = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    if n_file == 0:
+        return empty
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "event_type", "value"],
+        rows_per_block=500_000,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        et = t.column("event_type")
+        is_a = pc.fill_null(pc.equal(et, "purchase"), False).to_numpy(
+            zero_copy_only=False
+        )
+        is_b = pc.fill_null(pc.equal(et, "click"), False).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (
+            (is_a | is_b)
+            & pc.is_valid(t.column("value")).to_numpy(zero_copy_only=False)
+            & ~np.isnan(v)
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id").filter(pa.array(keep)),
+                "value": pa.array(v[keep] + 0.0),
+                "a": pa.array(is_a[keep].astype(np.int64)),
+            }
+        )
+
+    prepared = ds.map_batches(prep, batch_format="pyarrow")
+    tots = np.zeros(2, dtype=np.int64)  # (n_a, n_b)
+    for b in prepared.map_batches(
+        lambda t: pa.table(
+            {
+                "na": pa.array(
+                    [int(pc.sum(t.column("a")).as_py() or 0)], pa.int64()
+                ),
+                "nb": pa.array(
+                    [len(t) - int(pc.sum(t.column("a")).as_py() or 0)],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="numpy"):
+        tots[0] += int(b["na"].sum())
+        tots[1] += int(b["nb"].sum())
+    n_a, n_b = int(tots[0]), int(tots[1])
+    if n_a == 0 or n_b == 0:
+        return empty
+    if (n_a + n_b) ** 2 >= 2**62:
+        raise RuntimeError(
+            "q_ks_test: bracket bound exceeds int64 — switch the "
+            "candidate fold to object ints for this corpus"
+        )
+    assign, _ = _range_plan(
+        prepared, n_a + n_b, "event_id", "value", "ks_part"
+    )
+
+    def part_cands(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        a = g["a"].to_numpy(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, a = v[order], a[order]
+        uv, inv, cnt = np.unique(v, return_inverse=True, return_counts=True)
+        da = np.bincount(inv, weights=a).astype(np.int64)
+        db = cnt.astype(np.int64) - da
+        ca, cb = np.cumsum(da), np.cumsum(db)
+        bracket = n_b * ca - n_a * cb
+        rows = []
+        for i in {int(np.argmax(bracket)), int(np.argmin(bracket))}:
+            rows.append(
+                {
+                    "part": int(g["part"].iloc[0]),
+                    "v": float(uv[i]),
+                    "bracket": int(bracket[i]),
+                }
+            )
+        out = pd.DataFrame(rows)
+        out["na_p"] = np.int64(int(da.sum()))
+        out["nb_p"] = np.int64(int(db.sum()))
+        for c in ("part", "bracket", "na_p", "nb_p"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = typed_collect(
+        prepared.map_batches(assign, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(part_cands, batch_format="pandas"),
+        pa.schema(
+            [
+                ("part", pa.int64()),
+                ("v", pa.float64()),
+                ("bracket", pa.int64()),
+                ("na_p", pa.int64()),
+                ("nb_p", pa.int64()),
+            ]
+        ),
+    )
+    if len(parts) == 0:
+        return empty
+    parts = parts.sort_values(["part", "v"]).reset_index(drop=True)
+    off = (
+        parts.groupby("part", as_index=False)[["na_p", "nb_p"]]
+        .first()
+        .sort_values("part")
+    )
+    off["offa"] = off["na_p"].cumsum() - off["na_p"]
+    off["offb"] = off["nb_p"].cumsum() - off["nb_p"]
+    shift = {
+        int(r.part): n_b * int(r.offa) - n_a * int(r.offb)
+        for r in off.itertuples()
+    }
+    best_dn, best_v = -1, None
+    for r in parts.itertuples():
+        dn = abs(int(r.bracket) + shift[int(r.part)])
+        if dn > best_dn or (dn == best_dn and r.v < best_v):
+            best_dn, best_v = dn, float(r.v)
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([n_a], dtype="int64"),
+            "n_b": pd.Series([n_b], dtype="int64"),
+            "d_num": pd.Series([best_dn], dtype="int64"),
+            "ks_d": pd.Series(
+                [float(best_dn) / float(n_a * n_b)], dtype="float64"
+            ),
+            "at_value": pd.Series([best_v], dtype="float64"),
+        }
+    )

@@ -639,6 +639,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_auc_purchase_value",
     "q_json_profile",
     "q_median_impute",
+    "q_ks_test",
 ]
 
 _PROPS_POOL = [

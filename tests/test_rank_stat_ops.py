@@ -110,3 +110,111 @@ def test_ddsketch_certificate_and_hostile_oracle(ray_session, tmp_path):
         )
         ora = con.execute(entrymod.oracle_sql()["q_ddsketch_quantiles"]).df()
         pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+def _write_events(d, rows):
+    """rows: (event_id, ts_us, user, type, value)"""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(['{"k":1}'] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+
+
+def _ks_brute(av, bv):
+    """Reference sup |n_b*cumA - n_a*cumB| over distinct pooled values,
+    smallest value on ties (plain python, no partitioning)."""
+    na, nb = len(av), len(bv)
+    best = (-1, None)
+    for v in sorted(set(av) | set(bv)):
+        dn = abs(nb * sum(1 for x in av if x <= v) - na * sum(1 for x in bv if x <= v))
+        if dn > best[0]:
+            best = (dn, v)
+    return best
+
+
+def test_ks_hand_solved_and_edge_values(ray_session, tmp_path):
+    """Hand-solved small KS (identical samples -> D=0 at the smallest
+    value; disjoint samples -> D = n_a*n_b at A's max), plus -0.0/0.0
+    fold, NaN exclusion and +-inf values — engine == brute force ==
+    registered oracle."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_ks_test
+
+    base = 1_700_000_000_000_000
+    # identical: D = 0, at the smallest pooled value
+    rows = [(i, base + i, 1, t, v) for i, (t, v) in enumerate(
+        [("purchase", 1.0), ("purchase", 2.0), ("click", 1.0), ("click", 2.0)]
+    )]
+    d = tmp_path / "ks0"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_ks_test(str(d))
+    assert (int(eng.d_num[0]), float(eng.at_value[0])) == (0, 1.0)
+    # disjoint + hostile values: -0.0 (folds to 0.0), NaN (dropped), inf
+    rows = []
+    vals_a = [-0.0, 1.0, 5.0, float("inf")]
+    vals_b = [0.0, 7.0, 9.0, float("nan"), 9.0]
+    for i, v in enumerate(vals_a):
+        rows.append((i, base + i, 1, "purchase", v))
+    for i, v in enumerate(vals_b):
+        rows.append((100 + i, base + i, 2, "click", v))
+    d = tmp_path / "ks1"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_ks_test(str(d))
+    av = [0.0, 1.0, 5.0, float("inf")]
+    bv = [0.0, 7.0, 9.0, 9.0]
+    dn, v = _ks_brute(av, bv)
+    assert (int(eng.d_num[0]), float(eng.at_value[0])) == (dn, v)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.execute(entrymod.oracle_sql()["q_ks_test"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+def test_ks_randomized_bruteforce_parity(ray_session, tmp_path):
+    """Randomized samples on a coarse grid (many exact ties, tie runs
+    spanning range partitions) — engine == brute force == oracle, three
+    seeds; also the one-empty-sample and no-matching-type degenerate
+    cases return typed empty frames."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_ks_test
+
+    base = 1_700_000_000_000_000
+    for seed in (1, 2, 3):
+        rng = np.random.RandomState(seed)
+        n = 900
+        rows, av, bv = [], [], []
+        for i in range(n):
+            t = "purchase" if rng.rand() < 0.4 else "click"
+            v = float(rng.randint(-6, 7))  # coarse grid -> heavy ties
+            (av if t == "purchase" else bv).append(v)
+            rows.append((i, base + i, i % 5, t, v))
+        d = tmp_path / f"ksr{seed}"
+        d.mkdir()
+        _write_events(d, rows)
+        eng = q_ks_test(str(d))
+        dn, v = _ks_brute(av, bv)
+        assert (int(eng.d_num[0]), float(eng.at_value[0])) == (dn, v)
+        assert int(eng.n_a[0]) == len(av) and int(eng.n_b[0]) == len(bv)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+        )
+        ora = con.execute(entrymod.oracle_sql()["q_ks_test"]).df()
+        pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+    d = tmp_path / "ks_one_side"
+    d.mkdir()
+    _write_events(d, [(0, base, 1, "purchase", 1.0), (1, base, 1, "view", 2.0)])
+    assert len(q_ks_test(str(d))) == 0
