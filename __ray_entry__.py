@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_label_silhouette": S.s_label_silhouette,
         "q_ddsketch_quantiles": R.q_ddsketch_quantiles,
         "q_ks_test": R.q_ks_test,
+        "q_welch_ab": R.q_welch_ab,
     }
 
 
@@ -4614,6 +4615,49 @@ def oracle_sql() -> dict[str, str]:
             "CAST(dn AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks_d, "
             "v AS at_value "
             "FROM sc ORDER BY dn DESC, v ASC LIMIT 1"
+        ),
+        "q_welch_ab": (
+            # replays the digest fold then the IDENTICAL IEEE expression
+            # chain (squares as x*x, one sqrt) on the same exact ints —
+            # never compare against a SQL engine's own t-test, its
+            # accumulation order is implementation-defined; Σc² rides
+            # HUGEINT then casts back (engine guards |c| <= 3e9);
+            # zero pooled variance => NULL t/df both sides
+            "WITH p AS (SELECT CASE WHEN event_type = 'purchase' THEN 'a' "
+            "ELSE 'b' END AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c "
+            "FROM events WHERE event_type IN ('purchase', 'click') "
+            "AND value IS NOT NULL AND NOT isnan(value)), "
+            "g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(c) AS BIGINT) AS s, "
+            "CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS ss "
+            "FROM p GROUP BY grp), "
+            "w AS (SELECT "
+            "MAX(CASE WHEN grp = 'a' THEN n END) AS na, "
+            "MAX(CASE WHEN grp = 'a' THEN s END) AS sa, "
+            "MAX(CASE WHEN grp = 'a' THEN ss END) AS ssa, "
+            "MAX(CASE WHEN grp = 'b' THEN n END) AS nb, "
+            "MAX(CASE WHEN grp = 'b' THEN s END) AS sb, "
+            "MAX(CASE WHEN grp = 'b' THEN ss END) AS ssb FROM g), "
+            "v AS (SELECT *, "
+            "(CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)"
+            " / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS va, "
+            "(CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)"
+            " / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vb "
+            "FROM w WHERE COALESCE(na, 0) >= 2 AND COALESCE(nb, 0) >= 2), "
+            "u AS (SELECT *, va / CAST(na AS DOUBLE) AS ua, "
+            "vb / CAST(nb AS DOUBLE) AS ub FROM v) "
+            "SELECT na AS n_a, nb AS n_b, sa AS sum_a_cents, "
+            "sb AS sum_b_cents, ssa AS ss_a_cents2, ssb AS ss_b_cents2, "
+            "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0 AS mean_a, "
+            "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0 AS mean_b, "
+            "CASE WHEN ua + ub = 0 THEN NULL ELSE "
+            "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) "
+            "- CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(ua + ub) "
+            "END AS t_stat, "
+            "CASE WHEN ua + ub = 0 THEN NULL ELSE "
+            "((ua + ub) * (ua + ub)) / (ua * ua / CAST(na - 1 AS DOUBLE) "
+            "+ ub * ub / CAST(nb - 1 AS DOUBLE)) END AS df_welch "
+            "FROM u"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -295,6 +295,7 @@ QUERY_NAMES = [
     "s_label_silhouette",
     "q_ddsketch_quantiles",
     "q_ks_test",
+    "q_welch_ab",
 ]
 
 

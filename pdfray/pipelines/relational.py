@@ -12233,3 +12233,107 @@ def q_ks_test(sf_dir: str):
             "at_value": pd.Series([best_v], dtype="float64"),
         }
     )
+
+
+def q_welch_ab(sf_dir: str):
+    """Welch's unequal-variance t-test — purchase vs click `value` — the
+    A/B-test readout computed from MERGEABLE moment digests, never a
+    collect of the samples: each block reduces to (n, Σc, Σc²) per group
+    on the exact cents grid (ROUND half-away ×100, the money
+    convention), the driver folds the per-block rows as Python ints
+    (3 ints per block of driver traffic, ZERO exchanges — the
+    q_group_moments digest plan with the q_auc object-int fold so Σc²
+    cannot overflow at any corpus size).
+
+    The reported t / Welch–Satterthwaite df are the SAME IEEE expression
+    chain on the same exact integers in engine and oracle (squares as
+    x·x, sqrt is correctly rounded in both) — bit-identical, no rounding
+    step.  Zero pooled variance ⇒ t/df NULL on both sides.  NULL/NaN
+    values are excluded like q_ks_test; groups need n ≥ 2 (sample
+    variance) or the result is the typed empty frame.  The reported
+    digest columns saturate int64 at ~9×10¹¹ rows × TPC-H magnitudes
+    (the internal fold is unbounded; the oracle CASTs through HUGEINT)."""
+    empty = pd.DataFrame(
+        {
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "sum_a_cents": pd.Series([], dtype="int64"),
+            "sum_b_cents": pd.Series([], dtype="int64"),
+            "ss_a_cents2": pd.Series([], dtype="int64"),
+            "ss_b_cents2": pd.Series([], dtype="int64"),
+            "mean_a": pd.Series([], dtype="float64"),
+            "mean_b": pd.Series([], dtype="float64"),
+            "t_stat": pd.Series([], dtype="float64"),
+            "df_welch": pd.Series([], dtype="float64"),
+        }
+    )
+    ds = _read(
+        sf_dir, "events", ["event_type", "value"], rows_per_block=500_000
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        et = t.column("event_type")
+        ok = pc.is_valid(t.column("value")).to_numpy(zero_copy_only=False) & ~np.isnan(v)
+        rows = {"grp": [], "n": [], "s": [], "ss": []}
+        for grp, tname in (("a", "purchase"), ("b", "click")):
+            m = ok & pc.fill_null(pc.equal(et, tname), False).to_numpy(
+                zero_copy_only=False
+            )
+            c = round_half_away(v[m] * 100.0, 0).astype(np.int64)
+            if len(c) and int(np.abs(c).max()) > 3_000_000_000:
+                raise RuntimeError(
+                    "q_welch_ab: |cents| > 3e9 — c² leaves int64; rescale "
+                    "the grid a decade for this corpus"
+                )
+            rows["grp"].append(grp)
+            rows["n"].append(len(c))
+            rows["s"].append(int(c.sum()))
+            # per-element c*c is int64-safe under the guard; the SUM is
+            # folded exactly (object ints) like q_auc's u2
+            rows["ss"].append(str(int((c * c).astype(object).sum()) if len(c) else 0))
+        return pa.table(
+            {
+                "grp": pa.array(rows["grp"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "s": pa.array(rows["s"], pa.int64()),
+                "ss": pa.array(rows["ss"], pa.string()),
+            }
+        )
+
+    agg = {"a": [0, 0, 0], "b": [0, 0, 0]}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pandas"
+    ):
+        for r in b.itertuples():
+            agg[r.grp][0] += int(r.n)
+            agg[r.grp][1] += int(r.s)
+            agg[r.grp][2] += int(r.ss)
+    (na, sa, ssa), (nb, sb, ssb) = agg["a"], agg["b"]
+    if na < 2 or nb < 2:
+        return empty
+    fna, fnb = float(na), float(nb)
+    va = (float(ssa) - float(sa) * float(sa) / fna) / float(na - 1)
+    vb = (float(ssb) - float(sb) * float(sb) / fnb) / float(nb - 1)
+    ua, ub = va / fna, vb / fnb
+    if ua + ub == 0.0:
+        t_stat, dfw = np.nan, np.nan
+    else:
+        t_stat = (float(sa) / fna - float(sb) / fnb) / np.sqrt(ua + ub)
+        dfw = ((ua + ub) * (ua + ub)) / (
+            ua * ua / float(na - 1) + ub * ub / float(nb - 1)
+        )
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([na], dtype="int64"),
+            "n_b": pd.Series([nb], dtype="int64"),
+            "sum_a_cents": pd.Series([sa], dtype="int64"),
+            "sum_b_cents": pd.Series([sb], dtype="int64"),
+            "ss_a_cents2": pd.Series([ssa], dtype="int64"),
+            "ss_b_cents2": pd.Series([ssb], dtype="int64"),
+            "mean_a": pd.Series([float(sa) / fna / 100.0], dtype="float64"),
+            "mean_b": pd.Series([float(sb) / fnb / 100.0], dtype="float64"),
+            "t_stat": pd.Series([t_stat], dtype="float64"),
+            "df_welch": pd.Series([dfw], dtype="float64"),
+        }
+    )

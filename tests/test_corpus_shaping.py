@@ -640,6 +640,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_json_profile",
     "q_median_impute",
     "q_ks_test",
+    "q_welch_ab",
 ]
 
 _PROPS_POOL = [

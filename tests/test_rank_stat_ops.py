@@ -218,3 +218,67 @@ def test_ks_randomized_bruteforce_parity(ray_session, tmp_path):
     d.mkdir()
     _write_events(d, [(0, base, 1, "purchase", 1.0), (1, base, 1, "view", 2.0)])
     assert len(q_ks_test(str(d))) == 0
+
+
+def test_welch_hand_reference_and_degenerates(ray_session, tmp_path):
+    """Independent plain-python Welch computation (same formulas from the
+    raw sample lists, float64) matches the engine bit-for-bit; zero
+    pooled variance => NaN t/df; a group with n<2 => typed empty frame;
+    .xx5 binary-grid ties and NaN rows exercised; engine == oracle."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_welch_ab
+
+    base = 1_700_000_000_000_000
+    for seed in (3, 4):
+        rng = np.random.RandomState(seed)
+        rows, av, bv = [], [], []
+        for i in range(700):
+            t = "purchase" if rng.rand() < 0.45 else "click"
+            v = rng.randint(-2000, 2000) / 64.0  # binary grid, .xx5 ties
+            (av if t == "purchase" else bv).append(v)
+            rows.append((i, base + i, i % 9, t, v))
+        rows.append((9000, base, 1, "view", 1e9))  # excluded type
+        rows.append((9001, base, 1, "purchase", float("nan")))  # dropped
+        d = tmp_path / f"w{seed}"
+        d.mkdir()
+        _write_events(d, rows)
+        eng = q_welch_ab(str(d))
+        # independent reference from the raw samples
+        def digs(vals):
+            from pdfray.pipelines.relational import round_half_away
+
+            cs = [int(round_half_away(np.array([v * 100.0]), 0)[0]) for v in vals]
+            return len(cs), sum(cs), sum(c * c for c in cs)
+        na, sa, ssa = digs(av)
+        nb, sb, ssb = digs(bv)
+        va = (float(ssa) - float(sa) * float(sa) / na) / float(na - 1)
+        vb = (float(ssb) - float(sb) * float(sb) / nb) / float(nb - 1)
+        ua, ub = va / na, vb / nb
+        t_ref = (float(sa) / na - float(sb) / nb) / np.sqrt(ua + ub)
+        assert eng.t_stat[0] == t_ref  # bit-identical
+        assert (int(eng.n_a[0]), int(eng.n_b[0])) == (na, nb)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+        )
+        ora = con.execute(entrymod.oracle_sql()["q_welch_ab"]).df()
+        pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+    # zero variance both groups -> NaN t/df (oracle NULL -> NaN)
+    d = tmp_path / "wz"
+    d.mkdir()
+    _write_events(
+        d,
+        [(i, base + i, 1, "purchase", 3.0) for i in range(3)]
+        + [(10 + i, base + i, 2, "click", 3.0) for i in range(3)],
+    )
+    eng = q_welch_ab(str(d))
+    assert np.isnan(eng.t_stat[0]) and np.isnan(eng.df_welch[0])
+    # n_b == 1 -> empty
+    d = tmp_path / "w1"
+    d.mkdir()
+    _write_events(
+        d,
+        [(i, base + i, 1, "purchase", float(i)) for i in range(3)]
+        + [(10, base, 2, "click", 5.0)],
+    )
+    assert len(q_welch_ab(str(d))) == 0
