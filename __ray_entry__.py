@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ddsketch_quantiles": R.q_ddsketch_quantiles,
         "q_ks_test": R.q_ks_test,
         "q_welch_ab": R.q_welch_ab,
+        "q_triangle_count": R.q_triangle_count,
     }
 
 
@@ -4658,6 +4659,31 @@ def oracle_sql() -> dict[str, str]:
             "((ua + ub) * (ua + ub)) / (ua * ua / CAST(na - 1 AS DOUBLE) "
             "+ ub * ub / CAST(nb - 1 AS DOUBLE)) END AS df_welch "
             "FROM u"
+        ),
+        "q_triangle_count": (
+            # the a<b<c three-way self-join counts each triangle exactly
+            # once; wedges = Σ C(d,2) through HUGEINT; clustering is the
+            # engine's single double division (NULL when wedge-free,
+            # including the empty corpus — both sides emit one row)
+            "WITH bl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), "
+            "e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM bl x "
+            "JOIN bl y ON x.o = y.o AND x.p < y.p), "
+            "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM "
+            "(SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) "
+            "GROUP BY v), "
+            "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv, "
+            "CAST(COALESCE(SUM(d), 0) // 2 AS BIGINT) AS ne, "
+            "CAST(COALESCE(SUM(CAST(d AS HUGEINT) * (d - 1) // 2), 0) "
+            "AS BIGINT) AS nw FROM deg), "
+            "tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM e e1 "
+            "JOIN e e2 ON e2.a = e1.b "
+            "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) "
+            "SELECT nv AS n_vertices, ne AS n_edges, nw AS n_wedges, "
+            "nt AS n_triangles, "
+            "CASE WHEN nw > 0 THEN CAST(3 * nt AS DOUBLE) / "
+            "CAST(nw AS DOUBLE) ELSE NULL END AS clustering "
+            "FROM agg CROSS JOIN tri"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -296,6 +296,7 @@ QUERY_NAMES = [
     "q_ddsketch_quantiles",
     "q_ks_test",
     "q_welch_ab",
+    "q_triangle_count",
 ]
 
 

@@ -8266,29 +8266,15 @@ def q_butterfly_count(sf_dir: str):
 FREQ_PAIR_MINSUP = 2  # minimum co-purchase support for a frequent pair
 
 
-def q_frequent_pairs(sf_dir: str):
-    """Market-basket frequent-pair mining over order baskets (the
-    A-Priori / SON family, Agrawal & Srikant 1994): every unordered pair
-    of distinct parts co-purchased in >= FREQ_PAIR_MINSUP orders, with
-    its exact order count.
-
-    Plan: ONE order-keyed exchange co-locates each basket — keyed by a
-    hash BUCKET of l_orderkey (never one Python group per order: millions
-    of tiny groups pay per-group dispatch; a bucket group holds thousands
-    of baskets and processes them all at once).  Inside a bucket the
-    basket pair expansion is fully vectorized — lexsort, run-length
-    offsets, then one shifted-compare pass per lag (basket sizes are
-    catalog-bounded, max 17 distinct parts at sf0.1, so the lag loop is a
-    constant ~17 numpy ops, not a row loop) — and pair counts pre-reduce
-    per bucket before `_two_regime_sum` does the global (a, b) reduction.
-    The minsup cut happens on the reduced rows.  Counts are integers end
-    to end; no float enters the compare.
-
-    SON note: the classic two-pass SON plan (locally-frequent candidate
-    broadcast, then an exact counting pass) only pays when baskets are
-    huge and the pair universe dwarfs memory; with bounded baskets the
-    direct bucketed count moves strictly fewer bytes in one fewer pass.
-    """
+def _basket_pair_partials(sf_dir: str):
+    """Shared basket machinery for q_frequent_pairs and q_triangle_count:
+    one order-keyed bucket exchange co-locates each basket (never one
+    Python group per order), fully-vectorized per-bucket pair expansion
+    (lexsort + run-length offsets + a constant lag loop — basket sizes
+    are catalog-bounded), per-bucket pre-reduce, then `_two_regime_sum`
+    to the exact global unordered-pair counts.  Returns ``(red, n_li)``:
+    `red` streams one (a, b, c) row per DISTINCT co-purchased part pair
+    (a < b by construction — parts sort ascending within a basket)."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -8348,6 +8334,27 @@ def q_frequent_pairs(sf_dir: str):
         .map_groups(pairs, batch_format="pandas")
     )
     red, _ = _two_regime_sum(pair_parts, ["a", "b"], ["c"])
+    return red, n_li
+
+
+def q_frequent_pairs(sf_dir: str):
+    """Market-basket frequent-pair mining over order baskets (the
+    A-Priori / SON family, Agrawal & Srikant 1994): every unordered pair
+    of distinct parts co-purchased in >= FREQ_PAIR_MINSUP orders, with
+    its exact order count.
+
+    Plan: `_basket_pair_partials` (shared with q_triangle_count) — one
+    order-keyed bucket exchange, vectorized basket pair expansion,
+    per-bucket pre-reduce, `_two_regime_sum` global reduction.  The
+    minsup cut happens on the reduced rows.  Counts are integers end to
+    end; no float enters the compare.
+
+    SON note: the classic two-pass SON plan (locally-frequent candidate
+    broadcast, then an exact counting pass) only pays when baskets are
+    huge and the pair universe dwarfs memory; with bounded baskets the
+    direct bucketed count moves strictly fewer bytes in one fewer pass.
+    """
+    red, _ = _basket_pair_partials(sf_dir)
     out = red.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("c"), FREQ_PAIR_MINSUP)),
         batch_format="pyarrow",
@@ -12335,5 +12342,334 @@ def q_welch_ab(sf_dir: str):
             "mean_b": pd.Series([float(sb) / fnb / 100.0], dtype="float64"),
             "t_stat": pd.Series([t_stat], dtype="float64"),
             "df_welch": pd.Series([dfw], dtype="float64"),
+        }
+    )
+
+
+# above this many forward edges the composite-array broadcast regime in
+# _triangle_finish yields to the pair-hash exchange regime
+TRI_BROADCAST_MAX_EDGES = 8_000_000
+
+
+def q_triangle_count(sf_dir: str, stage_dir: str = None):
+    """Exact triangle counting over the UNIPARTITE part co-purchase graph
+    (edges = distinct part pairs sharing an order) — the closed-wedge
+    companion to q_butterfly_count's bipartite 4-cycles, and the
+    standard graph-density primitive (global clustering coefficient).
+
+    Plan — degree orientation (the classic O(m^1.5) bound, Chiba &
+    Nishizeki 1985 / Suri & Vassilvitskii's MR-triangles):
+      1. `_basket_pair_partials` reduces baskets to the exact distinct
+         edge stream (a < b) — one bucketed exchange;
+      2. degrees reduce per-block (+`_two_regime_sum`); the degree table
+         is CATALOG-order (one row per part ever co-purchased), so it
+         drives n_vertices / Σ C(d,2) on the driver and broadcasts as
+         the orientation rank — the same dimension-table broadcast as
+         the butterfly side pick (a web-scale general graph would rank
+         via two hash joins instead; parts are a dimension);
+      3. each edge orients low-rank → high-rank (rank = (deg, id)), so
+         forward out-degrees are ~√(2m)-bounded and the wedge expansion
+         (source-hash buckets, vectorized triu per source over RANK-
+         sorted neighbors) emits candidate closing pairs already in
+         forward orientation;
+      4. candidates pre-reduce per block, then ONE pair-hash bucketed
+         exchange co-locates candidate counts with the forward edge set
+         (kind-tagged union — membership by exact pandas merge, never a
+         hash set: a 64-bit mix collision would miscount) and each
+         bucket folds to a single triangle-count integer.
+    All counts exact ints; clustering = double(3T)/double(W), the single
+    IEEE division, NULL when the graph has no wedge (both sides)."""
+    import tempfile
+
+    import ray
+
+    from .sizing import shuffle_partitions
+    from .staging import stage_checkpoint
+
+    zero = pd.DataFrame(
+        {
+            "n_vertices": pd.Series([0], dtype="int64"),
+            "n_edges": pd.Series([0], dtype="int64"),
+            "n_wedges": pd.Series([0], dtype="int64"),
+            "n_triangles": pd.Series([0], dtype="int64"),
+            "clustering": pd.Series([np.nan], dtype="float64"),
+        }
+    )
+    red, n_li = _basket_pair_partials(sf_dir)
+    tmp = None
+    if stage_dir is None:
+        tmp = stage_dir = tempfile.mkdtemp(prefix="pdfray_tri_")
+    try:
+        # the edge table is of PAIR order (corpus-proportional): parquet
+        # stage checkpoint, never an object-store materialize — its three
+        # consumers (degrees, orientation, edge membership) each stream a
+        # fresh read; a crashed run resumes at the boundary
+        edges = stage_checkpoint(
+            lambda: red.map_batches(
+                lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+            ),
+            os.path.join(stage_dir, "edges"),
+            allow_empty=True,
+        )
+        if edges is None:
+            return zero
+        return _triangle_finish(edges)
+    finally:
+        if tmp is not None:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _triangle_finish(edges):
+    import ray
+
+    from .sizing import shuffle_partitions
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [
+                t.column("a").to_numpy(zero_copy_only=False),
+                t.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(uv.astype(np.int64)),
+                "d": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    dred, _ = _two_regime_sum(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["v"],
+        ["d"],
+        empty_types={"v": pa.int64()},
+    )
+    deg = typed_collect(
+        dred, pa.schema([("v", pa.int64()), ("d", pa.int64())])
+    ).sort_values("v")
+    n_vertices = len(deg)
+    dvals = deg["d"].to_numpy(np.int64)
+    n_wedges = int((dvals * (dvals - 1) // 2).sum()) if n_vertices else 0
+    n_edges = int(dvals.sum()) // 2 if n_vertices else 0
+    if n_edges == 0:
+        return pd.DataFrame(
+            {
+                "n_vertices": pd.Series([0], dtype="int64"),
+                "n_edges": pd.Series([0], dtype="int64"),
+                "n_wedges": pd.Series([0], dtype="int64"),
+                "n_triangles": pd.Series([0], dtype="int64"),
+                "clustering": pd.Series([np.nan], dtype="float64"),
+            }
+        )
+    vref = ray.put(
+        (deg["v"].to_numpy(np.int64), dvals)
+    )  # rank lookup: searchsorted on the sorted vertex ids
+
+    n_buckets = shuffle_partitions(n_edges)
+
+    class _Orient:
+        def __init__(self):
+            self.v, self.d = ray.get(vref)
+
+        def rank(self, x):
+            # total order (deg, id) as positions in the lexsorted table
+            i = np.searchsorted(self.v, x)
+            return self.d[i], x
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            da, _ = self.rank(a)
+            db, _ = self.rank(b)
+            a_first = (da < db) | ((da == db) & (a < b))
+            s = np.where(a_first, a, b).astype(np.int64)
+            tt = np.where(a_first, b, a).astype(np.int64)
+            mixed = s.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            return pa.table(
+                {
+                    "s": pa.array(s),
+                    "t": pa.array(tt),
+                    "sb": pa.array(
+                        (mixed % np.uint64(n_buckets)).astype(np.int64)
+                    ),
+                }
+            )
+
+    # fwd is consumed twice (wedge expansion + edge membership); the
+    # orient map is cheap per batch, so each consumer re-runs it over a
+    # fresh checkpoint read instead of pinning an object-store copy
+    fwd = edges.map_batches(
+        warm_factory(("tri_orient", vref.hex()), _Orient),
+        batch_format="pyarrow",
+    )
+
+    def _wedge_pairs(g: pd.DataFrame, v_sorted, d_sorted):
+        """Vectorized forward-wedge expansion for one source-hash bucket:
+        neighbors sorted by RANK (deg, id) within each source so triu
+        pairs come out already forward-oriented.  Returns (x, y) arrays."""
+        s = g["s"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        dt = d_sorted[np.searchsorted(v_sorted, t)]
+        order = np.lexsort((t, dt, s))
+        s, t = s[order], t[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]]) if len(s) else []
+        sizes = (
+            np.diff(np.r_[starts, len(s)]) if len(s) else np.empty(0, np.int64)
+        )
+        outs_x, outs_y = [], []
+        for st, n in zip(starts, sizes):
+            if n < 2:
+                continue
+            nbrs = t[st : st + n]
+            i, j = np.triu_indices(n, k=1)
+            outs_x.append(nbrs[i])
+            outs_y.append(nbrs[j])
+        if not outs_x:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(outs_x), np.concatenate(outs_y)
+
+    if n_edges <= TRI_BROADCAST_MAX_EDGES:
+        # broadcast regime: the forward edge set rides ray.put ONCE as a
+        # sorted COMPOSITE array (vertex ids compressed to [0, nv) by
+        # searchsorted — exact, collision-free, ix*nv+iy < nv² < 2^63)
+        # and every expansion task counts its closing pairs inline with
+        # one np.searchsorted — candidates never leave the worker and
+        # the second exchange disappears.  The co-purchase graph of a
+        # catalog dimension is bounded-degree, so the edge set is
+        # dimension-order; a web-scale general graph crosses the bound
+        # and takes the exchange regime below.
+        assert n_vertices < 3_000_000_000, "composite key would overflow"
+        fdf = typed_collect(
+            fwd.map_batches(
+                lambda t: t.select(["s", "t"]), batch_format="pyarrow"
+            ),
+            pa.schema([("s", pa.int64()), ("t", pa.int64())]),
+        )
+        vs = deg["v"].to_numpy(np.int64)
+        comp = np.sort(
+            np.searchsorted(vs, fdf["s"].to_numpy(np.int64)) * np.int64(n_vertices)
+            + np.searchsorted(vs, fdf["t"].to_numpy(np.int64))
+        )
+        eref = ray.put(comp)
+
+        class _ExpandCount:
+            def __init__(self):
+                self.v, self.d = ray.get(vref)
+                self.e = ray.get(eref)
+
+            def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+                x, y = _wedge_pairs(g, self.v, self.d)
+                if len(x) == 0:
+                    return pd.DataFrame({"tri": pd.Series([0], dtype="int64")})
+                cand = np.searchsorted(self.v, x) * np.int64(
+                    len(self.v)
+                ) + np.searchsorted(self.v, y)
+                pos = np.searchsorted(self.e, cand)
+                pos = np.minimum(pos, len(self.e) - 1)
+                hits = int((self.e[pos] == cand).sum())
+                return pd.DataFrame({"tri": pd.Series([hits], dtype="int64")})
+
+        folds = typed_collect(
+            fwd.groupby("sb").map_groups(
+                warm_factory(("tri_expcnt", vref.hex()), _ExpandCount),
+                batch_format="pandas",
+            ),
+            pa.schema([("tri", pa.int64())]),
+        )
+        n_tri = int(folds["tri"].sum())
+        return _triangle_frame(n_vertices, n_edges, n_wedges, n_tri)
+
+    class _Expand:
+        def __init__(self):
+            self.v, self.d = ray.get(vref)
+
+        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+            x, y = _wedge_pairs(g, self.v, self.d)
+            if len(x) == 0:
+                return pd.DataFrame(
+                    {
+                        "x": pd.Series([], dtype="int64"),
+                        "y": pd.Series([], dtype="int64"),
+                        "c": pd.Series([], dtype="int64"),
+                    }
+                )
+            out = (
+                pd.DataFrame({"x": x, "y": y})
+                .groupby(["x", "y"], as_index=False)
+                .size()
+                .rename(columns={"size": "c"})
+            )
+            return out.astype({"x": "int64", "y": "int64", "c": "int64"})
+
+    def pair_bucket(t: pa.Table, kind: int) -> pa.Table:
+        x = t.column("x" if kind else "s").to_numpy(zero_copy_only=False)
+        y = t.column("y" if kind else "t").to_numpy(zero_copy_only=False)
+        z = x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ (
+            y.astype(np.uint64) + np.uint64(0x85EBCA77C2B2AE63)
+        )
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = z ^ (z >> np.uint64(31))
+        return pa.table(
+            {
+                "x": pa.array(x.astype(np.int64)),
+                "y": pa.array(y.astype(np.int64)),
+                "c": (
+                    t.column("c")
+                    if kind
+                    else pa.array(np.zeros(len(t), np.int64))
+                ),
+                "kind": pa.array(np.full(len(t), kind, np.int64)),
+                "pb": pa.array((z % np.uint64(n_buckets)).astype(np.int64)),
+            }
+        )
+
+    cands = (
+        fwd.groupby("sb")
+        .map_groups(
+            warm_factory(("tri_expand", vref.hex()), _Expand),
+            batch_format="pandas",
+        )
+        .map_batches(lambda t: pair_bucket(t, 1), batch_format="pyarrow")
+    )
+    edge_rows = fwd.map_batches(
+        lambda t: pair_bucket(t, 0), batch_format="pyarrow"
+    )
+
+    def close_fold(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0][["x", "y"]].drop_duplicates()
+        c = g[g["kind"] == 1].groupby(["x", "y"], as_index=False)["c"].sum()
+        m = c.merge(e, on=["x", "y"], how="inner")
+        return pd.DataFrame(
+            {"tri": pd.Series([int(m["c"].sum())], dtype="int64")}
+        )
+
+    folds = typed_collect(
+        cands.union(edge_rows).groupby("pb").map_groups(
+            close_fold, batch_format="pandas"
+        ),
+        pa.schema([("tri", pa.int64())]),
+    )
+    n_tri = int(folds["tri"].sum())
+    return _triangle_frame(n_vertices, n_edges, n_wedges, n_tri)
+
+
+def _triangle_frame(n_vertices, n_edges, n_wedges, n_tri) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "n_vertices": pd.Series([n_vertices], dtype="int64"),
+            "n_edges": pd.Series([n_edges], dtype="int64"),
+            "n_wedges": pd.Series([n_wedges], dtype="int64"),
+            "n_triangles": pd.Series([n_tri], dtype="int64"),
+            "clustering": pd.Series(
+                [
+                    float(3 * n_tri) / float(n_wedges)
+                    if n_wedges > 0
+                    else np.nan
+                ],
+                dtype="float64",
+            ),
         }
     )

@@ -806,6 +806,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "q_benford_audit",
     "q_butterfly_count",
     "q_frequent_pairs",
+    "q_triangle_count",
     "q_skyline_parts",
     "t_editdist_dupes",
     "q_column_profile",

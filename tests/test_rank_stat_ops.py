@@ -282,3 +282,118 @@ def test_welch_hand_reference_and_degenerates(ray_session, tmp_path):
         + [(10, base, 2, "click", 5.0)],
     )
     assert len(q_welch_ab(str(d))) == 0
+
+
+def _write_lineitem_baskets(d, baskets):
+    """baskets: list of (orderkey, [partkeys]) -> minimal lineitem table."""
+    ok, pk = [], []
+    for o, parts in baskets:
+        for p in parts:
+            ok.append(o)
+            pk.append(p)
+    n = len(ok)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_partkey": pa.array(pk, pa.int64()),
+                "l_suppkey": pa.array([1] * n, pa.int64()),
+                "l_linenumber": pa.array(list(range(n)), pa.int32()),
+                "l_quantity": pa.array([1.0] * n, pa.float64()),
+                "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+                "l_discount": pa.array([0.0] * n, pa.float64()),
+                "l_tax": pa.array([0.0] * n, pa.float64()),
+                "l_returnflag": pa.array(["N"] * n, pa.string()),
+                "l_linestatus": pa.array(["O"] * n, pa.string()),
+                "l_shipdate": pa.array(
+                    [1_500_000_000_000_000] * n, pa.int64()
+                ).cast(pa.timestamp("us")),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+
+
+def _tri_brute(baskets):
+    """Exact triangle/wedge counts from the basket list, plain python."""
+    import itertools
+
+    edges = set()
+    for _, parts in baskets:
+        for a, b in itertools.combinations(sorted(set(parts)), 2):
+            edges.add((a, b))
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tri = sum(
+        1
+        for a, b in edges
+        for c in deg
+        if c > b and (b, c) in edges and (a, c) in edges
+    )
+    return len(deg), len(edges), wedges, tri
+
+
+@pytest.mark.parametrize("force_exchange", [False, True])
+def test_triangle_count_bruteforce_and_regimes(
+    ray_session, tmp_path, monkeypatch, force_exchange
+):
+    """Randomized basket corpora (plus a star order — hot vertex with
+    zero triangles through it unless closed, a clique order, duplicate
+    lineitems of the same part, and two disjoint triangles): engine ==
+    plain-python brute force == registered oracle, in BOTH regimes
+    (monkeypatching TRI_BROADCAST_MAX_EDGES=0 forces the pair-hash
+    exchange path; outputs must be identical)."""
+    import __ray_entry__ as entrymod
+    import pdfray.pipelines.relational as R
+
+    if force_exchange:
+        monkeypatch.setattr(R, "TRI_BROADCAST_MAX_EDGES", 0)
+    rng = np.random.RandomState(11)
+    baskets = [
+        (1, [100, 101, 102]),          # triangle
+        (2, [200, 201, 202, 203]),     # K4: 4 triangles
+        (3, [300] + list(range(400, 420))),  # star center 300
+        (4, [100, 101, 102, 100]),     # duplicate lineitem rows
+        (5, [500]),                    # singleton basket: no edges
+    ]
+    for o in range(6, 120):
+        k = rng.randint(1, 6)
+        baskets.append((o, list(rng.randint(0, 60, size=k))))
+    d = tmp_path / f"tri{int(force_exchange)}"
+    d.mkdir()
+    _write_lineitem_baskets(d, baskets)
+    eng = R.q_triangle_count(str(d))
+    nv, ne, nw, nt = _tri_brute(baskets)
+    assert (
+        int(eng.n_vertices[0]),
+        int(eng.n_edges[0]),
+        int(eng.n_wedges[0]),
+        int(eng.n_triangles[0]),
+    ) == (nv, ne, nw, nt)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{d}/lineitem.parquet'"
+    )
+    ora = con.execute(entrymod.oracle_sql()["q_triangle_count"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+def test_triangle_stage_checkpoint_resume(ray_session, tmp_path):
+    """A pre-existing _DONE edge checkpoint is reused (mutating the
+    lineitem source afterwards must NOT change the result — proves the
+    read comes from the checkpoint files, the crash-resume contract)."""
+    import pdfray.pipelines.relational as R
+
+    d = tmp_path / "trir"
+    d.mkdir()
+    _write_lineitem_baskets(d, [(1, [1, 2, 3])])
+    sd = tmp_path / "stage"
+    first = R.q_triangle_count(str(d), stage_dir=str(sd))
+    assert int(first.n_triangles[0]) == 1
+    # mutate the source: would add a second triangle if re-read
+    _write_lineitem_baskets(d, [(1, [1, 2, 3]), (2, [7, 8, 9])])
+    again = R.q_triangle_count(str(d), stage_dir=str(sd))
+    pd.testing.assert_frame_equal(first, again)
