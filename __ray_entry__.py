@@ -446,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ks_test": R.q_ks_test,
         "q_welch_ab": R.q_welch_ab,
         "q_triangle_count": R.q_triangle_count,
+        "s_rrf_fusion": S.s_rrf_fusion,
     }
 
 
@@ -4684,6 +4685,44 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN nw > 0 THEN CAST(3 * nt AS DOUBLE) / "
             "CAST(nw AS DOUBLE) ELSE NULL END AS clustering "
             "FROM agg CROSS JOIN tri"
+        ),
+        "s_rrf_fusion": (
+            # composes the two exact channel oracles (s_knn_bruteforce's
+            # rounded-cosine rank, s_hamming_topk's sign/popcount rank),
+            # full-outer-joins their top-RRF_POOL lists and replays the
+            # fused score as the SAME two exactly-ordered IEEE terms;
+            # absent-channel rank reports 0
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings ORDER BY vec_id LIMIT 5), "
+            "sc AS (SELECT q.query_id, e.vec_id, "
+            "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.qe AS DOUBLE[])), 4) AS sim "
+            "FROM embeddings e CROSS JOIN q), "
+            "rc AS (SELECT query_id, vec_id, ROW_NUMBER() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS r "
+            "FROM sc), "
+            "hd AS (SELECT q.query_id, e.vec_id, "
+            "len(list_filter(range(1, len(qe) + 1), "
+            "i -> (qe[i] > 0) <> (e.embedding[i] > 0))) AS dist "
+            "FROM q CROSS JOIN embeddings e), "
+            "rh AS (SELECT query_id, vec_id, ROW_NUMBER() OVER "
+            "(PARTITION BY query_id ORDER BY dist, vec_id) AS r "
+            "FROM hd), "
+            "u AS (SELECT COALESCE(c.query_id, h.query_id) AS qid, "
+            "COALESCE(c.vec_id, h.vec_id) AS vid, c.r AS rcos, h.r AS rham "
+            "FROM (SELECT * FROM rc WHERE r <= 20) c "
+            "FULL OUTER JOIN (SELECT * FROM rh WHERE r <= 20) h "
+            "ON c.query_id = h.query_id AND c.vec_id = h.vec_id), "
+            "f AS (SELECT qid, vid, "
+            "COALESCE(1.0 / (60.0 + rcos), 0.0) "
+            "+ COALESCE(1.0 / (60.0 + rham), 0.0) AS rrf, "
+            "CAST(COALESCE(rcos, 0) AS BIGINT) AS rank_cos, "
+            "CAST(COALESCE(rham, 0) AS BIGINT) AS rank_ham FROM u), "
+            "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid "
+            "ORDER BY rrf DESC, vid) AS rnk FROM f) "
+            "SELECT qid AS query_id, CAST(rnk AS BIGINT) AS \"rank\", "
+            "vid AS vec_id, rrf, rank_cos, rank_ham "
+            "FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -297,6 +297,7 @@ QUERY_NAMES = [
     "q_ks_test",
     "q_welch_ab",
     "q_triangle_count",
+    "s_rrf_fusion",
 ]
 
 

@@ -2971,3 +2971,126 @@ def s_label_silhouette(sf_dir: str):
     if len(out) == 0:
         return _empty_result(vec_id="i", label="i", sil="f")
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+RRF_POOL = 20  # per-metric candidate list depth fed to the fusion
+RRF_K0 = 60.0  # the standard reciprocal-rank-fusion damping constant
+
+
+def s_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of the
+    two exact retrieval channels — float cosine (s_knn_bruteforce's
+    metric) and sign-binarized Hamming (s_hamming_topk's) — the standard
+    hybrid-retrieval combiner: rrf = Σ_channels 1/(60 + rank), docs
+    missing from a channel's top-RRF_POOL contribute 0.
+
+    Scale shape: ONE streaming pass computes BOTH metrics per batch
+    (queries broadcast once via ray.put; the two existing operators
+    would read the corpus twice), emits only per-(query, block) local
+    top-RRF_POOL rows per channel, and the driver merges the tiny
+    candidate frames.  Ranks are integers under each channel's pinned
+    total order (rounded-sim desc / dist asc, vec_id asc); the fused
+    score is two exactly-ordered IEEE terms (cos + ham), so the oracle
+    replays it bit-for-bit and the final (rrf desc, vec_id) order cannot
+    diverge.  rank_cos/rank_ham report 0 for 'absent from that
+    channel'."""
+    import ray
+
+    qids, qmat = _query_matrix(sf_dir)
+    if len(qids) == 0:
+        return _empty_result(
+            query_id="i", rank="i", vec_id="i", rrf="f", rank_cos="i", rank_ham="i"
+        )
+    _, qraw = _query_matrix_raw(sf_dir)
+    qcodes = _sign_codes(qraw)
+    qref = ray.put((qids, qmat, qraw, qcodes))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.qmat, self.qraw, self.qcodes = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            empty = {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "metric": pa.array([], pa.int64()),
+                "key": pa.array([], pa.float64()),
+            }
+            if len(t) == 0:
+                return pa.table(empty)
+            raw = _batch_matrix(t)
+            sims = _normalize(raw) @ self.qmat.T
+            sims = _mask_zero_cosine(sims, raw, self.qmat)
+            dists = _popcount64(_sign_codes(raw)[:, None] ^ self.qcodes[None, :])
+            vec_ids = t.column("vec_id").to_numpy()
+            k = min(RRF_POOL, len(vec_ids))
+            out = {"query_id": [], "vec_id": [], "metric": [], "key": []}
+            for qi, qid in enumerate(self.qids):
+                col = round_half_away(sims[:, qi], 4)
+                for j in np.lexsort((vec_ids, -col))[:k]:
+                    out["query_id"].append(int(qid))
+                    out["vec_id"].append(int(vec_ids[j]))
+                    out["metric"].append(0)
+                    out["key"].append(float(col[j]))
+                dcol = dists[:, qi]
+                for j in np.lexsort((vec_ids, dcol))[:k]:
+                    out["query_id"].append(int(qid))
+                    out["vec_id"].append(int(vec_ids[j]))
+                    out["metric"].append(1)
+                    out["key"].append(float(dcol[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out["query_id"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "metric": pa.array(out["metric"], pa.int64()),
+                    "key": pa.array(out["key"], pa.float64()),
+                }
+            )
+
+    local = (
+        _read_embeddings(sf_dir)
+        .map_batches(
+            warm_factory(("s_rrf", qref.hex()), Score),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
+        .to_pandas()
+    )
+    if len(local) == 0:
+        return _empty_result(
+            query_id="i", rank="i", vec_id="i", rrf="f", rank_cos="i", rank_ham="i"
+        )
+    outs = []
+    for qid, g in local.groupby("query_id"):
+        ranks: dict = {}
+        gc = g[g["metric"] == 0].sort_values(
+            ["key", "vec_id"], ascending=[False, True]
+        ).head(RRF_POOL)
+        for r, vid in enumerate(gc["vec_id"].to_numpy(), start=1):
+            ranks[int(vid)] = [r, 0]
+        gh = g[g["metric"] == 1].sort_values(["key", "vec_id"]).head(RRF_POOL)
+        for r, vid in enumerate(gh["vec_id"].to_numpy(), start=1):
+            ranks.setdefault(int(vid), [0, 0])[1] = r
+        rows = []
+        for vid, (rc, rh) in ranks.items():
+            rrf = (1.0 / (RRF_K0 + float(rc)) if rc else 0.0) + (
+                1.0 / (RRF_K0 + float(rh)) if rh else 0.0
+            )
+            rows.append((vid, rrf, rc, rh))
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (vid, rrf, rc, rh) in enumerate(rows[:TOP_K], start=1):
+            outs.append(
+                {
+                    "query_id": int(qid),
+                    "rank": rank,
+                    "vec_id": vid,
+                    "rrf": rrf,
+                    "rank_cos": rc,
+                    "rank_ham": rh,
+                }
+            )
+    df = pd.DataFrame(outs)
+    for c in ("query_id", "rank", "vec_id", "rank_cos", "rank_ham"):
+        df[c] = df[c].astype("int64")
+    df["rrf"] = df["rrf"].astype("float64")
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -1433,6 +1433,7 @@ EMB_ORACLE_QUERIES = [
     "s_range_search",
     "s_dbscan",
     "s_label_silhouette",
+    "s_rrf_fusion",
 ]
 
 

@@ -397,3 +397,79 @@ def test_triangle_stage_checkpoint_resume(ray_session, tmp_path):
     _write_lineitem_baskets(d, [(1, [1, 2, 3]), (2, [7, 8, 9])])
     again = R.q_triangle_count(str(d), stage_dir=str(sd))
     pd.testing.assert_frame_equal(first, again)
+
+
+def _write_embeddings(d, vecs, labels=None):
+    n = len(vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(n)), pa.int64()),
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "label": pa.array(
+                    labels if labels is not None else [0] * n, pa.int64()
+                ),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+
+
+def test_rrf_fusion_properties_and_oracle(ray_session, tmp_path):
+    """Hand-built corpus on the 1/64 grid (plus a zero vector and exact
+    duplicates): (a) a doc present in BOTH channel lists outranks a doc
+    holding the same single-channel rank in only one; (b) rrf decomposes
+    exactly into 1/(60+rc) + 1/(60+rh) for the reported ranks;
+    (c) absent-channel ranks report 0; engine == registered oracle
+    dtype-strict.  Queries are the first 5 vec_ids (the shared
+    workload), so fused rank 1 for each query is the query itself
+    (top of both channels)."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.simsearch import _QUERY_CACHE, s_rrf_fusion
+
+    rng = np.random.RandomState(5)
+    vecs = (rng.randint(-32, 33, size=(80, 8)) / 64.0).tolist()
+    vecs[7] = [0.0] * 8          # zero vector: cosine pins to -1
+    vecs[9] = list(vecs[0])      # exact duplicate of query 0
+    d = tmp_path / "rrf"
+    d.mkdir()
+    _write_embeddings(d, vecs)
+    _QUERY_CACHE.clear()
+    eng = s_rrf_fusion(str(d))
+    assert set(eng["query_id"]) == {0, 1, 2, 3, 4}
+    for qid, g in eng.groupby("query_id"):
+        g = g.reset_index(drop=True)
+        # (b) exact decomposition of every reported fused score
+        for r in g.itertuples():
+            want = (1.0 / (60.0 + r.rank_cos) if r.rank_cos else 0.0) + (
+                1.0 / (60.0 + r.rank_ham) if r.rank_ham else 0.0
+            )
+            assert r.rrf == want
+        # the query itself (or its exact duplicate) leads both channels
+        top = g.iloc[0]
+        assert top.rank_cos >= 1 and top.rank_ham >= 1
+        # (a) both-channel rows with ranks <= r beat any single-channel
+        # row whose one rank is r (1/(60+a)+1/(60+b) > 1/(60+r) when
+        # a, b <= r): spot-check against the frame's own order
+        both = g[(g.rank_cos > 0) & (g.rank_ham > 0)]
+        single = g[(g.rank_cos == 0) | (g.rank_ham == 0)]
+        if len(both) and len(single):
+            rmax = int(max(both.rank_cos.max(), both.rank_ham.max()))
+            for s in single.itertuples():
+                lone = max(int(s.rank_cos), int(s.rank_ham))
+                if lone >= rmax:
+                    assert (
+                        g[g.vec_id == s.vec_id].index[0]
+                        > both.index.max()
+                    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    ora = con.execute(entrymod.oracle_sql()["s_rrf_fusion"]).df()
+    _QUERY_CACHE.clear()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
