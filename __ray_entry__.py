@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_welch_ab": R.q_welch_ab,
         "q_triangle_count": R.q_triangle_count,
         "s_rrf_fusion": S.s_rrf_fusion,
+        "q_chi2_independence": R.q_chi2_independence,
     }
 
 
@@ -4723,6 +4724,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT qid AS query_id, CAST(rnk AS BIGINT) AS \"rank\", "
             "vid AS vec_id, rrf, rank_cos, rank_ham "
             "FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk"
+        ),
+        "q_chi2_independence": (
+            # per-cell terms on the ×1e6 integer micro-grid (ROUND
+            # ties-away == round_half_away of the SAME IEEE expression),
+            # so the total is an order-free INTEGER sum — never a float
+            # SUM, whose accumulation order is implementation-defined;
+            # grid = full cross product of observed margins (obs 0
+            # allowed, expected > 0 by construction); sign buckets so no
+            # float boundary can blur membership; NULL/NaN excluded
+            "WITH p AS (SELECT event_type AS t, CASE WHEN value < 0 THEN "
+            "'neg' WHEN value > 0 THEN 'pos' ELSE 'zero' END AS b "
+            "FROM events WHERE value IS NOT NULL AND NOT isnan(value)), "
+            "o AS (SELECT t, b, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM p GROUP BY t, b), "
+            "rows_ AS (SELECT t, CAST(SUM(c) AS BIGINT) AS r "
+            "FROM o GROUP BY t), "
+            "cols_ AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cc "
+            "FROM o GROUP BY b), "
+            "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM o), "
+            "grid AS (SELECT rows_.t, cols_.b, rows_.r, cols_.cc, tot.n, "
+            "CAST(COALESCE(o.c, 0) AS BIGINT) AS obs "
+            "FROM rows_ CROSS JOIN cols_ CROSS JOIN tot "
+            "LEFT JOIN o ON o.t = rows_.t AND o.b = cols_.b), "
+            "calc AS (SELECT t, b, obs, r, cc, n, "
+            "CAST(r AS DOUBLE) * CAST(cc AS DOUBLE) / CAST(n AS DOUBLE) "
+            "AS e FROM grid), "
+            "term AS (SELECT t, b, obs, r, cc, n, "
+            "CAST(ROUND(e * 1000000, 0) AS BIGINT) AS expected_x1e6, "
+            "CAST(ROUND((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) "
+            "- e) / e * 1000000, 0) AS BIGINT) AS term_x1e6 FROM calc) "
+            "SELECT t AS event_type, b AS bucket, obs AS observed, "
+            "r AS row_total, cc AS col_total, n, expected_x1e6, "
+            "term_x1e6, CAST(SUM(term_x1e6) OVER () AS BIGINT) "
+            "AS chi2_total_x1e6 "
+            "FROM term ORDER BY event_type, bucket"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -298,6 +298,7 @@ QUERY_NAMES = [
     "q_welch_ab",
     "q_triangle_count",
     "s_rrf_fusion",
+    "q_chi2_independence",
 ]
 
 

@@ -12673,3 +12673,107 @@ def _triangle_frame(n_vertices, n_edges, n_wedges, n_tri) -> pd.DataFrame:
             ),
         }
     )
+
+
+def q_chi2_independence(sf_dir: str):
+    """Chi-square test of independence between event_type and the SIGN of
+    `value` (neg / zero / pos — the one bucketing no float boundary can
+    blur) — the column-dependence audit a profiler runs before assuming
+    two features are unrelated.
+
+    Exactness: observed counts and both margins are integers from one
+    combiner-reduced exchange; expected values and per-cell terms are
+    reported on the ×1e6 integer micro-grid (ROUND half-away of the same
+    IEEE expression both sides — the Benford convention), so the
+    chi2 TOTAL is an ORDER-FREE integer sum of the per-cell terms.
+    DuckDB's list_sum/SUM over doubles is NOT a plain left-to-right fold
+    (probe-measured: pairwise — a float total would be
+    implementation-defined), which is exactly why the grid exists.
+
+    The grid is the FULL cross product of observed row types × observed
+    sign buckets (absent combinations count 0), so every expected value
+    is > 0 by construction.  NULL/NaN values are excluded on both sides.
+    Scale shape: per-block (type, bucket) bincount partials →
+    `_two_regime_sum` → a driver fold over the tiny types×3 table."""
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.Series([], dtype=object),
+            "bucket": pd.Series([], dtype=object),
+            "observed": pd.Series([], dtype="int64"),
+            "row_total": pd.Series([], dtype="int64"),
+            "col_total": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "expected_x1e6": pd.Series([], dtype="int64"),
+            "term_x1e6": pd.Series([], dtype="int64"),
+            "chi2_total_x1e6": pd.Series([], dtype="int64"),
+        }
+    )
+    ds = _read(
+        sf_dir, "events", ["event_type", "value"], rows_per_block=500_000
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        ok = df["value"].notna().to_numpy() & ~np.isnan(v)
+        b = np.where(v < 0, "neg", np.where(v > 0, "pos", "zero"))
+        out = (
+            pd.DataFrame({"t": df["event_type"].to_numpy()[ok], "b": b[ok]})
+            .groupby(["t", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    red, _ = _two_regime_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["t", "b"], ["c"]
+    )
+    o = typed_collect(
+        red,
+        pa.schema([("t", pa.string()), ("b", pa.string()), ("c", pa.int64())]),
+    )
+    if len(o) == 0:
+        return empty
+    o = o.groupby(["t", "b"], as_index=False)["c"].sum()
+    rows_ = o.groupby("t")["c"].sum()
+    cols_ = o.groupby("b")["c"].sum()
+    n = int(o["c"].sum())
+    omap = {(r.t, r.b): int(r.c) for r in o.itertuples()}
+    recs = []
+    for t in sorted(rows_.index):
+        for b in sorted(cols_.index):
+            obs = omap.get((t, b), 0)
+            r, cc = int(rows_[t]), int(cols_[b])
+            e = float(r) * float(cc) / float(n)
+            od = float(obs)
+            recs.append(
+                {
+                    "event_type": t,
+                    "bucket": b,
+                    "observed": obs,
+                    "row_total": r,
+                    "col_total": cc,
+                    "n": n,
+                    "expected_x1e6": int(
+                        round_half_away(np.array([e * 1000000]), 0)[0]
+                    ),
+                    "term_x1e6": int(
+                        round_half_away(
+                            np.array([(od - e) * (od - e) / e * 1000000]), 0
+                        )[0]
+                    ),
+                }
+            )
+    out = pd.DataFrame(recs)
+    out["chi2_total_x1e6"] = int(out["term_x1e6"].sum())
+    for c in (
+        "observed",
+        "row_total",
+        "col_total",
+        "n",
+        "expected_x1e6",
+        "term_x1e6",
+        "chi2_total_x1e6",
+    ):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "bucket"]).reset_index(drop=True)

@@ -641,6 +641,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_median_impute",
     "q_ks_test",
     "q_welch_ab",
+    "q_chi2_independence",
 ]
 
 _PROPS_POOL = [

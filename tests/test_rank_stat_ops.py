@@ -473,3 +473,45 @@ def test_rrf_fusion_properties_and_oracle(ray_session, tmp_path):
     ora = con.execute(entrymod.oracle_sql()["s_rrf_fusion"]).df()
     _QUERY_CACHE.clear()
     pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+def test_chi2_hand_solved_and_missing_cells(ray_session, tmp_path):
+    """Hand-solved 2x2 independence (perfectly dependent -> chi2 = n;
+    perfectly independent -> chi2 = 0), an absent (type, bucket) cell
+    reported with observed 0, NaN rows dropped, -0.0 in the zero bucket;
+    engine == oracle dtype-strict."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_chi2_independence
+
+    base = 1_700_000_000_000_000
+    # perfectly dependent: A -> neg only, B -> pos only, 10 each
+    rows = [(i, base + i, 1, "A", -1.0) for i in range(10)]
+    rows += [(10 + i, base + i, 1, "B", 2.0) for i in range(10)]
+    rows.append((99, base, 1, "A", float("nan")))  # dropped
+    d = tmp_path / "c2a"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_chi2_independence(str(d))
+    # 2x2 grid with zero-observed off-diagonal cells present
+    assert len(eng) == 4
+    assert int(eng.chi2_total_x1e6.iloc[0]) == 20_000_000  # chi2 == n == 20
+    zero_cells = eng[eng.observed == 0]
+    assert len(zero_cells) == 2
+    # perfectly independent: counts proportional across buckets
+    rows = []
+    i = 0
+    for t, reps in (("A", 2), ("B", 4)):
+        for b, v in (("neg", -1.0), ("zero", -0.0), ("pos", 3.5)):
+            for _ in range(reps):
+                rows.append((i, base + i, 1, t, v))
+                i += 1
+    d = tmp_path / "c2b"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_chi2_independence(str(d))
+    assert (eng.term_x1e6 == 0).all() and int(eng.chi2_total_x1e6.iloc[0]) == 0
+    assert set(eng.bucket) == {"neg", "zero", "pos"}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.execute(entrymod.oracle_sql()["q_chi2_independence"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
