@@ -448,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_triangle_count": R.q_triangle_count,
         "s_rrf_fusion": S.s_rrf_fusion,
         "q_chi2_independence": R.q_chi2_independence,
+        "q_mor_deletes": R.q_mor_deletes,
     }
 
 
@@ -4759,6 +4760,18 @@ def oracle_sql() -> dict[str, str]:
             "term_x1e6, CAST(SUM(term_x1e6) OVER () AS BIGINT) "
             "AS chi2_total_x1e6 "
             "FROM term ORDER BY event_type, bucket"
+        ),
+        "q_mor_deletes": (
+            # the erasure predicate re-evaluated directly (the engine
+            # resolves it ONCE to positional delete files, then reads by
+            # position only — the resume test pins that difference);
+            # remainder-zero is sign-convention-independent, so numpy
+            # floor-mod and SQL trunc-mod select identical rows
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
+            "AS BIGINT) AS sum_cents "
+            "FROM orders WHERE o_custkey % 97 <> 0 "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -299,6 +299,7 @@ QUERY_NAMES = [
     "q_triangle_count",
     "s_rrf_fusion",
     "q_chi2_independence",
+    "q_mor_deletes",
 ]
 
 

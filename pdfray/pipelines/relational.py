@@ -12777,3 +12777,114 @@ def q_chi2_independence(sf_dir: str):
     ):
         out[c] = out[c].astype("int64")
     return out.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+
+
+def q_mor_deletes(sf_dir: str, store_dir: str = None):
+    """Merge-on-read positional deletes — the Iceberg-v2 delete-file
+    protocol (pipelines/snapshots.py): snapshot 1 commits the orders
+    table as immutable data files; snapshot 2 resolves a GDPR-style
+    erasure (customers with o_custkey % 97 == 0 — remainder-ZERO is
+    convention-independent, so numpy floor-mod and SQL trunc-mod agree
+    for any sign) to PER-DATA-FILE positional delete files; the read
+    then applies deletes by position only (one task per data file, each
+    touching exactly its companion delete file — no broadcast, no join,
+    no predicate re-evaluation).  The rollup over the merged view is the
+    driver-checked result; the resume test pins that a committed store
+    ignores later source mutations (reads come from files + positions,
+    never the predicate).
+
+    Exactness: counts and cents sums are integers end to end
+    (`_two_regime_sum` over per-block partials)."""
+    import tempfile
+
+    from .snapshots import (
+        commit_position_deletes,
+        commit_snapshot,
+        read_merged,
+    )
+
+    empty = pd.DataFrame(
+        {
+            "o_orderpriority": pd.Series([], dtype=object),
+            "n_orders": pd.Series([], dtype="int64"),
+            "sum_cents": pd.Series([], dtype="int64"),
+        }
+    )
+    tmp = None
+    if store_dir is None:
+        tmp = store_dir = tempfile.mkdtemp(prefix="pdfray_mor_")
+    try:
+        commit_snapshot(
+            store_dir,
+            1,
+            lambda: _read(
+                sf_dir,
+                "orders",
+                [
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderstatus",
+                    "o_totalprice",
+                    "o_orderpriority",
+                ],
+                rows_per_block=100_000,
+            ),
+        )
+
+        def erase_mask(t: pa.Table):
+            c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            return np.mod(c, 97) == 0
+
+        commit_position_deletes(store_dir, 2, 1, erase_mask)
+        merged = read_merged(store_dir, 2)
+        if merged is None:
+            return empty
+
+        def partial(t: pa.Table) -> pa.Table:
+            cents = round_half_away(
+                t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100.0,
+                0,
+            ).astype(np.int64)
+            tt = pa.table(
+                {
+                    "o_orderpriority": t.column("o_orderpriority"),
+                    "n_orders": pa.array(np.ones(len(t), np.int64)),
+                    "sum_cents": pa.array(cents),
+                }
+            )
+            g = tt.group_by("o_orderpriority").aggregate(
+                [("n_orders", "sum"), ("sum_cents", "sum")]
+            )
+            return g.rename_columns(
+                ["o_orderpriority", "n_orders", "sum_cents"]
+            )
+
+        red, _ = _two_regime_sum(
+            merged.map_batches(partial, batch_format="pyarrow"),
+            ["o_orderpriority"],
+            ["n_orders", "sum_cents"],
+        )
+        out = typed_collect(
+            red,
+            pa.schema(
+                [
+                    ("o_orderpriority", pa.string()),
+                    ("n_orders", pa.int64()),
+                    ("sum_cents", pa.int64()),
+                ]
+            ),
+        )
+        if len(out) == 0:
+            return empty
+        out = out.groupby("o_orderpriority", as_index=False)[
+            ["n_orders", "sum_cents"]
+        ].sum()
+        for c in ("n_orders", "sum_cents"):
+            out[c] = out[c].astype("int64")
+        return out.sort_values("o_orderpriority").reset_index(drop=True)
+    finally:
+        if tmp is not None:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -75,3 +75,164 @@ def read_as_of(store_dir: str, snapshot_id: int):
                 if f.endswith(".parquet")
             )
     return rd.read_parquet(files) if files else None
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read positional deletes (the Iceberg v2 delete-file shape):
+# a delete snapshot holds, PER DATA FILE, the row positions erased from it.
+# Readers apply deletes positionally — they never re-evaluate the predicate
+# that produced them, which is the point: the predicate may be expensive,
+# reference since-dropped columns, or be a one-off erasure list (GDPR).
+
+DELETE_PREFIX = "del_"
+
+
+def data_files_as_of(store_dir: str, snapshot_id: int) -> list:
+    """(rel_key, abs_path) for every DATA file committed at ids <=
+    snapshot_id, in commit order.  rel_key = 'snapN/<file>' — the stable
+    identity delete files are scoped by."""
+    man = _load_manifest(store_dir)
+    out = []
+    for sid, ent in sorted(man["snapshots"].items(), key=lambda kv: int(kv[0])):
+        if int(sid) > int(snapshot_id):
+            continue
+        sub = ent if isinstance(ent, str) else ent["sub"]
+        kind = "data" if isinstance(ent, str) else ent.get("kind", "data")
+        if kind != "data":
+            continue
+        d = os.path.join(store_dir, sub)
+        if os.path.isdir(d):
+            out.extend(
+                (f"{sub}/{f}", os.path.join(d, f))
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def commit_position_deletes(
+    store_dir: str, snapshot_id: int, as_of: int, mask_fn
+) -> None:
+    """Resolve ``mask_fn`` (pa.Table -> bool ndarray, True = DELETE) to
+    positional delete files against every data file visible at ``as_of``,
+    then commit atomically.  One delete parquet PER data file (named
+    ``del_<flattened rel_key>``), so a merge-on-read task touches exactly
+    its own companion — no broadcast, no join, scales with the deleted
+    fraction.  Durable-then-commit like commit_snapshot (files + _DONE
+    before the manifest replace); idempotent on resume."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    os.makedirs(store_dir, exist_ok=True)
+    man = _load_manifest(store_dir)
+    key = str(int(snapshot_id))
+    if key in man["snapshots"]:
+        return
+    sub = f"snap{key}"
+    sdir = os.path.join(store_dir, sub)
+    done = os.path.join(sdir, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        if os.path.isdir(sdir):
+            shutil.rmtree(sdir)
+        os.makedirs(sdir)
+        files = data_files_as_of(store_dir, as_of)
+
+        def resolve(batch: pa.Table) -> pa.Table:
+            outs = {"rel_key": [], "n_deleted": []}
+            for rel_key, path, out_name in zip(
+                batch.column("rel_key").to_pylist(),
+                batch.column("path").to_pylist(),
+                batch.column("out_name").to_pylist(),
+            ):
+                t = pq_.read_table(path)
+                pos = np.flatnonzero(np.asarray(mask_fn(t), dtype=bool))
+                if len(pos):
+                    pq_.write_table(
+                        pa.table({"pos": pa.array(pos.astype(np.int64))}),
+                        os.path.join(sdir, out_name),
+                    )
+                outs["rel_key"].append(rel_key)
+                outs["n_deleted"].append(len(pos))
+            return pa.table(
+                {
+                    "rel_key": pa.array(outs["rel_key"], pa.string()),
+                    "n_deleted": pa.array(outs["n_deleted"], pa.int64()),
+                }
+            )
+
+        if files:
+            items = [
+                {
+                    "rel_key": rk,
+                    "path": p,
+                    "out_name": DELETE_PREFIX
+                    + rk.replace("/", "__") ,
+                }
+                for rk, p in files
+            ]
+            rd.from_items(items).map_batches(
+                resolve, batch_size=1, batch_format="pyarrow"
+            ).materialize()  # tiny count rows; forces the writes
+        with open(done, "w", encoding="utf-8"):
+            pass
+    man["snapshots"][key] = {"sub": sub, "kind": "delete"}
+    tmp = os.path.join(store_dir, MANIFEST + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(store_dir, MANIFEST))
+
+
+def read_merged(store_dir: str, snapshot_id: int):
+    """Merge-on-read Dataset as of ``snapshot_id``: every data file with
+    every committed positional delete <= snapshot_id applied.  One read
+    task per data file; each task reads ONLY its companion delete files
+    (exact file scoping — the Iceberg delete-file idea without the
+    min/max indirection).  Returns None for an empty table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    man = _load_manifest(store_dir)
+    files = data_files_as_of(store_dir, snapshot_id)
+    if not files:
+        return None
+    del_dirs = []
+    for sid, ent in sorted(man["snapshots"].items(), key=lambda kv: int(kv[0])):
+        if int(sid) > int(snapshot_id) or isinstance(ent, str):
+            continue
+        if ent.get("kind") == "delete":
+            del_dirs.append(os.path.join(store_dir, ent["sub"]))
+
+    def read_one(batch: pa.Table) -> pa.Table:
+        outs = []
+        for rel_key, path in zip(
+            batch.column("rel_key").to_pylist(),
+            batch.column("path").to_pylist(),
+        ):
+            t = pq_.read_table(path)
+            dels = []
+            cname = DELETE_PREFIX + rel_key.replace("/", "__")
+            for dd in del_dirs:
+                p = os.path.join(dd, cname)
+                if os.path.exists(p):
+                    dels.append(
+                        pq_.read_table(p).column("pos").to_numpy(
+                            zero_copy_only=False
+                        )
+                    )
+            if dels:
+                keep = np.ones(len(t), dtype=bool)
+                keep[np.concatenate(dels)] = False
+                t = t.filter(pa.array(keep))
+            outs.append(t)
+        return pa.concat_tables(outs)
+
+    items = [{"rel_key": rk, "path": p} for rk, p in files]
+    return rd.from_items(items).map_batches(
+        read_one, batch_size=1, batch_format="pyarrow"
+    )

@@ -1113,6 +1113,7 @@ STAR_ORACLE_QUERIES = [
     "q_table_checksum",
     "q_equidepth_histogram",
     "q_ddsketch_quantiles",
+    "q_mor_deletes",
 ]
 
 

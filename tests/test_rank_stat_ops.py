@@ -515,3 +515,80 @@ def test_chi2_hand_solved_and_missing_cells(ray_session, tmp_path):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
     ora = con.execute(entrymod.oracle_sql()["q_chi2_independence"]).df()
     pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+def test_mor_deletes_positional_semantics(ray_session, tmp_path):
+    """Merge-on-read contract: (a) deletes are POSITIONS, not a predicate
+    — after the store is committed, rewriting the source (which would
+    flip the predicate's row set) must not change the read; (b) a second
+    delete snapshot stacks on the first and time-travel (as_of) sees
+    exactly the deletes committed at or before it; (c) a fully-deleted
+    data file disappears from the merged view."""
+    import pyarrow.parquet as pq_
+
+    from pdfray.pipelines.relational import q_mor_deletes
+    from pdfray.pipelines.snapshots import (
+        commit_position_deletes,
+        commit_snapshot,
+        read_merged,
+    )
+
+    # (a) via the query: custkeys 97 and 194 are erased
+    d = tmp_path / "mor"
+    d.mkdir()
+    _write_orders_ck(d, [(1, 97, 10.0), (2, 194, 20.0), (3, 5, 30.0)])
+    store = tmp_path / "store"
+    first = q_mor_deletes(str(d), store_dir=str(store))
+    assert int(first.n_orders.sum()) == 1 and int(first.sum_cents.sum()) == 3000
+    _write_orders_ck(d, [(1, 5, 10.0), (2, 5, 20.0), (3, 97, 30.0)])
+    again = q_mor_deletes(str(d), store_dir=str(store))
+    pd.testing.assert_frame_equal(first, again)
+
+    # (b)+(c) at the snapshots API level
+    store2 = tmp_path / "store2"
+    import pyarrow as pa_
+    import ray.data as rd
+
+    commit_snapshot(
+        str(store2),
+        1,
+        lambda: rd.from_arrow(
+            pa_.table({"k": pa.array([10, 11, 12, 13], pa.int64())})
+        ),
+    )
+    commit_position_deletes(
+        str(store2), 2, 1,
+        lambda t: t.column("k").to_numpy(zero_copy_only=False) == 11,
+    )
+    commit_position_deletes(
+        str(store2), 3, 1,
+        lambda t: t.column("k").to_numpy(zero_copy_only=False) >= 10,
+    )
+    as_of_1 = sorted(read_merged(str(store2), 1).to_pandas()["k"])
+    as_of_2 = sorted(read_merged(str(store2), 2).to_pandas()["k"])
+    m3 = read_merged(str(store2), 3).to_pandas()
+    assert as_of_1 == [10, 11, 12, 13]
+    assert as_of_2 == [10, 12, 13]
+    assert len(m3) == 0  # (c) everything positionally erased
+
+
+def _write_orders_ck(d, rows):
+    """rows: (orderkey, custkey, totalprice)"""
+    n = len(rows)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n, pa.string()),
+                "o_totalprice": pa.array(
+                    [float(r[2]) for r in rows], pa.float64()
+                ),
+                "o_orderdate": pa.array(
+                    [1_500_000_000_000_000] * n, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
