@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_rrf_fusion": S.s_rrf_fusion,
         "q_chi2_independence": R.q_chi2_independence,
         "q_mor_deletes": R.q_mor_deletes,
+        "q_bitmap_index": R.q_bitmap_index,
     }
 
 
@@ -4772,6 +4773,29 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS sum_cents "
             "FROM orders WHERE o_custkey % 97 <> 0 "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "q_bitmap_index": (
+            # logical counts per chunk — the engine computes the same
+            # numbers from REAL packed-uint64 bitmaps (AND/OR+popcount),
+            # so any packing/order/padding bug shows as count drift;
+            # chunk uses the explicit-floor form (DuckDB // truncates
+            # toward zero on negatives — the q_events_json lesson);
+            # bitmap_bytes pins the (n+63)//64*8 word padding
+            "WITH c AS (SELECT (l_orderkey - ((l_orderkey % 4096) + 4096) "
+            "% 4096) // 4096 AS chunk, "
+            "(l_returnflag = 'R') AS r, (l_linestatus = 'F') AS f "
+            "FROM lineitem) "
+            "SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(((COUNT(*) + 63) // 64) * 8 AS BIGINT) AS bitmap_bytes, "
+            "CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_flag_r, "
+            "CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_status_f, "
+            "CAST(SUM(CASE WHEN r AND f THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_and, "
+            "CAST(SUM(CASE WHEN r OR f THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_or "
+            "FROM c GROUP BY chunk ORDER BY chunk"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -300,6 +300,7 @@ QUERY_NAMES = [
     "s_rrf_fusion",
     "q_chi2_independence",
     "q_mor_deletes",
+    "q_bitmap_index",
 ]
 
 

@@ -12888,3 +12888,90 @@ def q_mor_deletes(sf_dir: str, store_dir: str = None):
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+BITMAP_CHUNK_KEYS = 4096  # orderkeys per bitmap chunk (fixed, SQL-derivable)
+
+
+def q_bitmap_index(sf_dir: str):
+    """Chunked BITMAP INDEX over low-cardinality lineitem columns — the
+    warehouse access-path primitive: one packed bit per row per (column,
+    value), predicates evaluated as machine-word AND/OR + popcount
+    instead of row scans.
+
+    Chunking is the SQL-derivable fixed grid l_orderkey // 4096 (a
+    sampled range plan would balance better but its boundaries are not
+    oracle-replayable; chunks here are block-sized by key density —
+    TPC-H orderkeys are dense — and a hot chunk only means a longer
+    bitmap, never wrong bits).  Within a chunk, bit i = the i-th row in
+    (l_orderkey, l_linenumber) order — layout-invariant.  Each chunk
+    group REALLY builds the packed uint64 bitmaps (np.packbits) for
+    returnflag='R' and linestatus='F', then answers the conjunctive /
+    disjunctive predicates by bitwise AND/OR + popcount; the reported
+    counts must therefore equal the oracle's logical counts row-for-row
+    — any packing, ordering, or padding bug shows up as count drift.
+    bitmap_bytes pins the (n+63)//64*8 word-padding arithmetic.
+
+    Scale shape: ONE chunk-keyed exchange; every chunk reduces to a
+    7-integer row; the bitmaps live only inside their task (a persisted
+    index would write them per chunk, the natural extension)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+        rows_per_block=100_000,
+    )
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "chunk", pa.array((o // BITMAP_CHUNK_KEYS).astype(np.int64))
+        )
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "l_linenumber"], kind="mergesort")
+        n = len(g)
+        r_bits = (g["l_returnflag"].to_numpy() == "R")
+        f_bits = (g["l_linestatus"].to_numpy() == "F")
+        # real packed bitmaps: np.packbits -> pad to whole uint64 words
+        words = (n + 63) // 64
+        def pack(bits):
+            raw = np.packbits(bits, bitorder="little")
+            buf = np.zeros(words * 8, dtype=np.uint8)
+            buf[: len(raw)] = raw
+            return buf.view(np.uint64)
+        bm_r, bm_f = pack(r_bits), pack(f_bits)
+        pop = (
+            lambda w: int(np.bitwise_count(w).sum())
+            if hasattr(np, "bitwise_count")
+            else int(np.unpackbits(w.view(np.uint8)).sum())
+        )
+        return pd.DataFrame(
+            {
+                "chunk": pd.Series([int(g["chunk"].iloc[0])], dtype="int64"),
+                "n_rows": pd.Series([n], dtype="int64"),
+                "bitmap_bytes": pd.Series([words * 8], dtype="int64"),
+                "n_flag_r": pd.Series([pop(bm_r)], dtype="int64"),
+                "n_status_f": pd.Series([pop(bm_f)], dtype="int64"),
+                "n_and": pd.Series([pop(bm_r & bm_f)], dtype="int64"),
+                "n_or": pd.Series([pop(bm_r | bm_f)], dtype="int64"),
+            }
+        )
+
+    out = typed_collect(
+        ds.map_batches(add_chunk, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(build, batch_format="pandas"),
+        pa.schema(
+            [
+                ("chunk", pa.int64()),
+                ("n_rows", pa.int64()),
+                ("bitmap_bytes", pa.int64()),
+                ("n_flag_r", pa.int64()),
+                ("n_status_f", pa.int64()),
+                ("n_and", pa.int64()),
+                ("n_or", pa.int64()),
+            ]
+        ),
+    )
+    return out.sort_values("chunk").reset_index(drop=True)

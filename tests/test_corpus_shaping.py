@@ -813,6 +813,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "q_column_profile",
     "q_linreg_price_qty",
     "q_skew_report",
+    "q_bitmap_index",
 ]
 
 

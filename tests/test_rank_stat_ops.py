@@ -592,3 +592,67 @@ def _write_orders_ck(d, rows):
         ),
         str(d / "orders.parquet"),
     )
+
+
+def test_bitmap_index_hand_pattern_and_negative_keys(ray_session, tmp_path):
+    """Planted bit patterns: a chunk of exactly 65 rows (crosses the
+    uint64 word boundary — padding arithmetic pinned), alternating
+    R/N flags so AND/OR popcounts are hand-computable, a NEGATIVE
+    orderkey chunk (floor vs truncate divergence class), and a chunk
+    spanning duplicate (orderkey, linenumber) sort ties; engine ==
+    oracle dtype-strict."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_bitmap_index
+
+    baskets = []
+    # chunk 0: orderkeys 0..64, one line each, alternating R flags
+    rows = {"ok": [], "ln": [], "rf": [], "ls": []}
+    for i in range(65):
+        rows["ok"].append(i)
+        rows["ln"].append(1)
+        rows["rf"].append("R" if i % 2 == 0 else "N")
+        rows["ls"].append("F" if i % 3 == 0 else "O")
+    # negative chunk: orderkey -1 -> floor chunk -1 (truncate would say 0)
+    rows["ok"] += [-1, -4096, -4097]
+    rows["ln"] += [1, 1, 1]
+    rows["rf"] += ["R", "R", "N"]
+    rows["ls"] += ["F", "O", "F"]
+    n = len(rows["ok"])
+    d = tmp_path / "bm"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(rows["ok"], pa.int64()),
+                "l_partkey": pa.array([1] * n, pa.int64()),
+                "l_suppkey": pa.array([1] * n, pa.int64()),
+                "l_linenumber": pa.array([int(x) for x in rows["ln"]], pa.int32()),
+                "l_quantity": pa.array([1.0] * n, pa.float64()),
+                "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+                "l_discount": pa.array([0.0] * n, pa.float64()),
+                "l_tax": pa.array([0.0] * n, pa.float64()),
+                "l_returnflag": pa.array(rows["rf"], pa.string()),
+                "l_linestatus": pa.array(rows["ls"], pa.string()),
+                "l_shipdate": pa.array(
+                    [1_500_000_000_000_000] * n, pa.int64()
+                ).cast(pa.timestamp("us")),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    eng = q_bitmap_index(str(d))
+    c0 = eng[eng.chunk == 0].iloc[0]
+    assert (c0.n_rows, c0.bitmap_bytes) == (65, 16)  # 2 words
+    assert c0.n_flag_r == 33 and c0.n_status_f == 22  # ceil(65/2), ceil(65/3)
+    assert c0.n_and == 11  # i % 6 == 0 within 0..64
+    assert c0.n_or == 33 + 22 - 11
+    cm1 = eng[eng.chunk == -1].iloc[0]  # orderkeys -1 and -4096
+    assert cm1.n_rows == 2 and cm1.n_flag_r == 2
+    cm2 = eng[eng.chunk == -2].iloc[0]  # orderkey -4097
+    assert cm2.n_rows == 1 and cm2.n_flag_r == 0 and cm2.n_status_f == 1
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{d}/lineitem.parquet'"
+    )
+    ora = con.execute(entrymod.oracle_sql()["q_bitmap_index"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
