@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chi2_independence": R.q_chi2_independence,
         "q_mor_deletes": R.q_mor_deletes,
         "q_bitmap_index": R.q_bitmap_index,
+        "q_interval_overlap_join": R.q_interval_overlap_join,
     }
 
 
@@ -4796,6 +4797,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN r OR f THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_or "
             "FROM c GROUP BY chunk ORDER BY chunk"
+        ),
+        "q_interval_overlap_join": (
+            # genuine interval-overlap inequality join (DuckDB IEJoin);
+            # closed endpoints both sides; day via the float-floor form
+            # the repo's day queries share (exact for any epoch_us the
+            # corpus can hold); LEFT JOIN keeps zero-incident user-days
+            "WITH sp AS (SELECT user_id, "
+            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "CAST(MIN(epoch_us(ts)) AS BIGINT) AS span_start_us, "
+            "CAST(MAX(epoch_us(ts)) AS BIGINT) AS span_end_us "
+            "FROM events GROUP BY user_id, day), "
+            "w AS (SELECT epoch_us(ts) - 3600000000 AS s2, "
+            "epoch_us(ts) + 3600000000 AS e2 FROM events "
+            "WHERE event_type = 'error') "
+            "SELECT sp.user_id, sp.day, sp.span_start_us, sp.span_end_us, "
+            "CAST(COUNT(w.s2) AS BIGINT) AS n_incidents "
+            "FROM sp LEFT JOIN w ON sp.span_start_us <= w.e2 "
+            "AND w.s2 <= sp.span_end_us "
+            "GROUP BY sp.user_id, sp.day, sp.span_start_us, sp.span_end_us "
+            "ORDER BY sp.user_id, sp.day"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -301,6 +301,7 @@ QUERY_NAMES = [
     "q_chi2_independence",
     "q_mor_deletes",
     "q_bitmap_index",
+    "q_interval_overlap_join",
 ]
 
 

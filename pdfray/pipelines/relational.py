@@ -12975,3 +12975,191 @@ def q_bitmap_index(sf_dir: str):
         ),
     )
     return out.sort_values("chunk").reset_index(drop=True)
+
+
+OVL_WINDOW_US = 3_600_000_000  # incident half-window (1h each side)
+OVL_CHUNK_US = 6 * 3_600_000_000  # band-replication chunk width
+
+
+def q_interval_overlap_join(sf_dir: str):
+    """INTERVAL × INTERVAL overlap join — per-(user, day) activity spans
+    [min ts, max ts] against global incident windows (every 'error'
+    event ± 1h): how many incident windows touch each user-day — the
+    missing member of the join family (range join = point-in-window,
+    SCD2 = non-overlapping as-of; genuine overlap needs both endpoints
+    on both sides).
+
+    Plan — band replication with OWNER-CHUNK counting (no global dedup):
+    both interval sets replicate to every OVL_CHUNK_US time chunk they
+    touch (windows span ≤ 2 chunks, spans ≤ ~5); a pair is counted
+    exactly once, in the chunk holding max(s1, s2) — the intersection
+    start, which both sides provably touch.  Inside a chunk the count is
+    two vectorized searchsorted differences, split by who starts first:
+      s2 ≤ s1 (counted in s1's owner chunk): #(s2 ≤ s1) − #(e2 < s1)
+      s1 < s2 ≤ e1 (counted in s2's own chunk): prefix-rank difference
+        over the chunk-local window starts (no e2 test needed — a window
+        starting inside the span overlaps it by definition).
+    The owner chunk emits every span's row (count 0 included), partials
+    merge by `_two_regime_sum` keyed on the whole span tuple.  A hot
+    chunk is one task's O((n_s+n_w)·log n_w) searchsorted, never a pair
+    loop.  All endpoints closed, all arithmetic int64 microseconds."""
+    day_us = np.int64(86_400_000_000)
+    W = np.int64(OVL_CHUNK_US)
+    ds = _read(
+        sf_dir, "events", ["user_id", "ts", "event_type"], rows_per_block=500_000
+    )
+
+    def span_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("int64").to_numpy()
+        out = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(), "day": ts // day_us, "ts": ts}
+        )
+        g = out.groupby(["user_id", "day"], as_index=False).agg(
+            ns1=("ts", lambda x: -x.min()), e1=("ts", "max")
+        )
+        # mixed min/max through ONE max-merge: s1 rides negated
+        for c in ("user_id", "day", "ns1", "e1"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    sred, _ = _two_regime_agg(
+        ds.map_batches(span_partial, batch_format="pandas"),
+        ["user_id", "day"],
+        ["ns1", "e1"],
+        "max",
+        empty_types={"user_id": pa.int64(), "day": pa.int64()},
+    )
+
+    def span_replicate(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "chunk": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "day": pa.array([], pa.int64()),
+                    "s1": pa.array([], pa.int64()),
+                    "e1": pa.array([], pa.int64()),
+                }
+            )
+        s1 = -t.column("ns1").to_numpy(zero_copy_only=False)
+        e1 = t.column("e1").to_numpy(zero_copy_only=False)
+        c0, c1 = s1 // W, e1 // W
+        reps = (c1 - c0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s1)), reps)
+        chunk = np.repeat(c0, reps) + (
+            np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "chunk": pa.array(chunk.astype(np.int64)),
+                "kind": pa.array(np.zeros(len(idx), np.int64)),
+                "user_id": pa.array(u[idx].astype(np.int64)),
+                "day": pa.array(d[idx].astype(np.int64)),
+                "s1": pa.array(s1[idx].astype(np.int64)),
+                "e1": pa.array(e1[idx].astype(np.int64)),
+            }
+        )
+
+    def win_replicate(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        m = pc.fill_null(pc.equal(et, "error"), False).to_numpy(
+            zero_copy_only=False
+        )
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)[m]
+        s2, e2 = ts - OVL_WINDOW_US, ts + OVL_WINDOW_US
+        c0, c1 = s2 // W, e2 // W
+        reps = (c1 - c0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s2)), reps)
+        chunk = np.repeat(c0, reps) + (
+            np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        return pa.table(
+            {
+                "chunk": pa.array(chunk.astype(np.int64)),
+                "kind": pa.array(np.ones(len(idx), np.int64)),
+                "user_id": pa.array(np.zeros(len(idx), np.int64)),
+                "day": pa.array(np.zeros(len(idx), np.int64)),
+                "s1": pa.array(s2[idx].astype(np.int64)),
+                "e1": pa.array(e2[idx].astype(np.int64)),
+            }
+        )
+
+    def chunk_count(g: pd.DataFrame) -> pd.DataFrame:
+        k = int(g["chunk"].iloc[0])
+        sp = g[g["kind"] == 0]
+        wn = g[g["kind"] == 1]
+        if len(sp) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "day": pd.Series([], dtype="int64"),
+                    "s1": pd.Series([], dtype="int64"),
+                    "e1": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        s1 = sp["s1"].to_numpy(np.int64)
+        e1 = sp["e1"].to_numpy(np.int64)
+        sw_all = np.sort(wn["s1"].to_numpy(np.int64))
+        ew_all = np.sort(wn["e1"].to_numpy(np.int64))
+        own_w = wn[(wn["s1"].to_numpy(np.int64) // W) == k]
+        sw_own = np.sort(own_w["s1"].to_numpy(np.int64))
+        is_owner = (s1 // W) == k
+        base = np.where(
+            is_owner,
+            np.searchsorted(sw_all, s1, side="right")
+            - np.searchsorted(ew_all, s1, side="left"),
+            0,
+        )
+        rng = np.searchsorted(sw_own, e1, side="right") - np.searchsorted(
+            sw_own, s1, side="right"
+        )
+        cnt = (base + rng).astype(np.int64)
+        keep = is_owner | (cnt > 0)
+        out = pd.DataFrame(
+            {
+                "user_id": sp["user_id"].to_numpy(np.int64)[keep],
+                "day": sp["day"].to_numpy(np.int64)[keep],
+                "s1": s1[keep],
+                "e1": e1[keep],
+                "cnt": cnt[keep],
+            }
+        )
+        return out
+
+    parts = (
+        sred.map_batches(span_replicate, batch_format="pyarrow")
+        .union(ds.map_batches(win_replicate, batch_format="pyarrow"))
+        .groupby("chunk")
+        .map_groups(chunk_count, batch_format="pandas")
+    )
+    red, _ = _two_regime_sum(
+        parts,
+        ["user_id", "day", "s1", "e1"],
+        ["cnt"],
+        empty_types={
+            "user_id": pa.int64(),
+            "day": pa.int64(),
+            "s1": pa.int64(),
+            "e1": pa.int64(),
+        },
+    )
+    out = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("day", pa.int64()),
+                ("s1", pa.int64()),
+                ("e1", pa.int64()),
+                ("cnt", pa.int64()),
+            ]
+        ),
+    )
+    out = out.rename(columns={"s1": "span_start_us", "e1": "span_end_us", "cnt": "n_incidents"})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)

@@ -642,6 +642,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_ks_test",
     "q_welch_ab",
     "q_chi2_independence",
+    "q_interval_overlap_join",
 ]
 
 _PROPS_POOL = [

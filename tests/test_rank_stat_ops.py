@@ -656,3 +656,99 @@ def test_bitmap_index_hand_pattern_and_negative_keys(ray_session, tmp_path):
     )
     ora = con.execute(entrymod.oracle_sql()["q_bitmap_index"]).df()
     pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+def test_interval_overlap_hand_and_edges(ray_session, tmp_path):
+    """Hand-solved overlap facts: windows planted EXACTLY at the span's
+    closed endpoints (e2 == s1 and s2 == e1 both count), one microsecond
+    outside (don't), a span crossing several 6h chunks with windows in
+    each (owner-chunk rule must not double count), a pre-epoch user-day,
+    and a single-event span (s1 == e1)."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_interval_overlap_join
+
+    H = 3_600_000_000
+    day0 = 1_700_000_000_000_000 - (1_700_000_000_000_000 % 86_400_000_000)
+    rows = []
+    # user 1: span [day0+2h, day0+20h] via two view events (crosses 4 chunks)
+    rows.append((0, day0 + 2 * H, 1, "view", 1.0))
+    rows.append((1, day0 + 20 * H, 1, "view", 1.0))
+    # errors: e2 == s1 (counts), s2 == e1 (counts), 1us outside both (don't),
+    # and one inside each of three middle chunks (count once each)
+    rows.append((10, day0 + 1 * H, 99, "error", 1.0))       # e2 = 2h == s1
+    rows.append((11, day0 + 21 * H, 99, "error", 1.0))      # s2 = 20h == e1
+    rows.append((12, day0 + 1 * H - 1, 99, "error", 1.0))   # e2 = s1 - 1us
+    rows.append((13, day0 + 21 * H + 1, 99, "error", 1.0))  # s2 = e1 + 1us
+    rows.append((14, day0 + 7 * H, 99, "error", 1.0))
+    rows.append((15, day0 + 13 * H, 99, "error", 1.0))
+    rows.append((16, day0 + 19 * H, 99, "error", 1.0))
+    # user 2: single-event span exactly AT an error ts (window contains it)
+    rows.append((20, day0 + 7 * H, 2, "purchase", 1.0))
+    # pre-epoch user-day with no overlapping windows
+    rows.append((30, -5 * 86_400_000_000 + 3 * H, 3, "view", 1.0))
+    d = tmp_path / "ovl"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_interval_overlap_join(str(d))
+    u1 = eng[(eng.user_id == 1)].iloc[0]
+    assert int(u1.n_incidents) == 5  # two edge hits + three middles
+    u2 = eng[(eng.user_id == 2)].iloc[0]
+    assert int(u2.n_incidents) == 1
+    u3 = eng[(eng.user_id == 3)].iloc[0]
+    assert int(u3.n_incidents) == 0 and int(u3.day) == -5
+    # error events create their own user-day spans too (user 99)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.execute(entrymod.oracle_sql()["q_interval_overlap_join"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+def test_interval_overlap_randomized_bruteforce(ray_session, tmp_path):
+    """Randomized corpora (ts snapped to whole hours so exact edge
+    collisions are frequent; a hot error burst in one chunk): engine ==
+    plain-python O(n²) overlap count == oracle, three seeds."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_interval_overlap_join
+
+    H = 3_600_000_000
+    DAY = 86_400_000_000
+    for seed in (1, 2, 3):
+        rng = np.random.RandomState(seed)
+        rows = []
+        for i in range(500):
+            u = int(rng.randint(1, 9))
+            ts = int(rng.randint(-10, 40)) * DAY + int(rng.randint(0, 24)) * H
+            typ = "error" if rng.rand() < 0.25 else "view"
+            rows.append((i, ts, u, typ, 1.0))
+        for i in range(60):  # hot burst, one chunk
+            rows.append((1000 + i, 7 * DAY + 2 * H, 7, "error", 1.0))
+        d = tmp_path / f"ovr{seed}"
+        d.mkdir()
+        _write_events(d, rows)
+        eng = q_interval_overlap_join(str(d))
+        # brute force
+        spans = {}
+        wins = []
+        for _eid, ts, u, typ, _v in rows:
+            k = (u, ts // DAY)
+            s, e = spans.get(k, (ts, ts))
+            spans[k] = (min(s, ts), max(e, ts))
+            if typ == "error":
+                wins.append((ts - H, ts + H))
+        want = {
+            k: sum(1 for s2, e2 in wins if s <= e2 and s2 <= e)
+            for k, (s, e) in spans.items()
+        }
+        got = {
+            (int(r.user_id), int(r.day)): int(r.n_incidents)
+            for r in eng.itertuples()
+        }
+        assert got == want
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+        )
+        ora = con.execute(
+            entrymod.oracle_sql()["q_interval_overlap_join"]
+        ).df()
+        pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
