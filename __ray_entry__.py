@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mor_deletes": R.q_mor_deletes,
         "q_bitmap_index": R.q_bitmap_index,
         "q_interval_overlap_join": R.q_interval_overlap_join,
+        "q_mor_compaction": R.q_mor_compaction,
     }
 
 
@@ -4822,6 +4823,9 @@ def oracle_sql() -> dict[str, str]:
     # the Bloom+bucketed-store form is output-identical by construction
     # (no false negatives; every positive exactly verified) — one oracle
     sql["t_delta_dedup_bloom"] = sql["t_delta_dedup"]
+    # compaction is read-equivalence by definition: the compacted store's
+    # rollup must equal the merge-on-read answer — one oracle for both
+    sql["q_mor_compaction"] = sql["q_mor_deletes"]
     # keep-best shares t_dup_components' recursive component walk; only the
     # final select changes (per-family argmax by token count, ties to the
     # lower doc_id)

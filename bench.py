@@ -302,6 +302,7 @@ QUERY_NAMES = [
     "q_mor_deletes",
     "q_bitmap_index",
     "q_interval_overlap_join",
+    "q_mor_compaction",
 ]
 
 

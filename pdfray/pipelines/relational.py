@@ -12837,57 +12837,121 @@ def q_mor_deletes(sf_dir: str, store_dir: str = None):
 
         commit_position_deletes(store_dir, 2, 1, erase_mask)
         merged = read_merged(store_dir, 2)
-        if merged is None:
-            return empty
-
-        def partial(t: pa.Table) -> pa.Table:
-            cents = round_half_away(
-                t.column("o_totalprice").to_numpy(zero_copy_only=False)
-                * 100.0,
-                0,
-            ).astype(np.int64)
-            tt = pa.table(
-                {
-                    "o_orderpriority": t.column("o_orderpriority"),
-                    "n_orders": pa.array(np.ones(len(t), np.int64)),
-                    "sum_cents": pa.array(cents),
-                }
-            )
-            g = tt.group_by("o_orderpriority").aggregate(
-                [("n_orders", "sum"), ("sum_cents", "sum")]
-            )
-            return g.rename_columns(
-                ["o_orderpriority", "n_orders", "sum_cents"]
-            )
-
-        red, _ = _two_regime_sum(
-            merged.map_batches(partial, batch_format="pyarrow"),
-            ["o_orderpriority"],
-            ["n_orders", "sum_cents"],
-        )
-        out = typed_collect(
-            red,
-            pa.schema(
-                [
-                    ("o_orderpriority", pa.string()),
-                    ("n_orders", pa.int64()),
-                    ("sum_cents", pa.int64()),
-                ]
-            ),
-        )
-        if len(out) == 0:
-            return empty
-        out = out.groupby("o_orderpriority", as_index=False)[
-            ["n_orders", "sum_cents"]
-        ].sum()
-        for c in ("n_orders", "sum_cents"):
-            out[c] = out[c].astype("int64")
-        return out.sort_values("o_orderpriority").reset_index(drop=True)
+        return _mor_rollup(merged, empty)
     finally:
         if tmp is not None:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_mor_compaction(sf_dir: str, store_dir: str = None):
+    """Compaction + vacuum of the merge-on-read store
+    (snapshots.compact/vacuum): snapshot 3 REWRITES the merged view
+    (deletes applied) into fresh data files shadowing snapshots 1-2;
+    vacuum then reclaims the shadowed directories (manifest entry first,
+    directory second — a crash between the two leaves only orphans,
+    which readers never see).  The rollup over the compacted store must
+    equal q_mor_deletes' merge-on-read answer — compaction is
+    read-equivalence by definition, so the two queries share one oracle
+    (the t_delta_dedup_bloom aliasing precedent)."""
+    import tempfile
+
+    from .snapshots import (
+        commit_position_deletes,
+        commit_snapshot,
+        compact,
+        read_merged,
+        vacuum,
+    )
+
+    empty = pd.DataFrame(
+        {
+            "o_orderpriority": pd.Series([], dtype=object),
+            "n_orders": pd.Series([], dtype="int64"),
+            "sum_cents": pd.Series([], dtype="int64"),
+        }
+    )
+    tmp = None
+    if store_dir is None:
+        tmp = store_dir = tempfile.mkdtemp(prefix="pdfray_morc_")
+    try:
+        commit_snapshot(
+            store_dir,
+            1,
+            lambda: _read(
+                sf_dir,
+                "orders",
+                [
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderstatus",
+                    "o_totalprice",
+                    "o_orderpriority",
+                ],
+                rows_per_block=100_000,
+            ),
+        )
+
+        def erase_mask(t: pa.Table):
+            c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            return np.mod(c, 97) == 0
+
+        commit_position_deletes(store_dir, 2, 1, erase_mask)
+        compact(store_dir, 3, 2)
+        vacuum(store_dir)
+        return _mor_rollup(read_merged(store_dir, 3), empty)
+    finally:
+        if tmp is not None:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _mor_rollup(merged, empty: pd.DataFrame) -> pd.DataFrame:
+    if merged is None:
+        return empty
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0,
+            0,
+        ).astype(np.int64)
+        tt = pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "n_orders": pa.array(np.ones(len(t), np.int64)),
+                "sum_cents": pa.array(cents),
+            }
+        )
+        g = tt.group_by("o_orderpriority").aggregate(
+            [("n_orders", "sum"), ("sum_cents", "sum")]
+        )
+        return g.rename_columns(["o_orderpriority", "n_orders", "sum_cents"])
+
+    red, _ = _two_regime_sum(
+        merged.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        ["n_orders", "sum_cents"],
+    )
+    out = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("o_orderpriority", pa.string()),
+                ("n_orders", pa.int64()),
+                ("sum_cents", pa.int64()),
+            ]
+        ),
+    )
+    if len(out) == 0:
+        return empty
+    out = out.groupby("o_orderpriority", as_index=False)[
+        ["n_orders", "sum_cents"]
+    ].sum()
+    for c in ("n_orders", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
 BITMAP_CHUNK_KEYS = 4096  # orderkeys per bitmap chunk (fixed, SQL-derivable)

@@ -93,13 +93,11 @@ def data_files_as_of(store_dir: str, snapshot_id: int) -> list:
     identity delete files are scoped by."""
     man = _load_manifest(store_dir)
     out = []
-    for sid, ent in sorted(man["snapshots"].items(), key=lambda kv: int(kv[0])):
-        if int(sid) > int(snapshot_id):
-            continue
+    for _sid, ent in _effective_entries(man, snapshot_id):
         sub = ent if isinstance(ent, str) else ent["sub"]
         kind = "data" if isinstance(ent, str) else ent.get("kind", "data")
-        if kind != "data":
-            continue
+        if kind == "delete":
+            continue  # compact entries ARE data; deletes are not
         d = os.path.join(store_dir, sub)
         if os.path.isdir(d):
             out.extend(
@@ -202,10 +200,8 @@ def read_merged(store_dir: str, snapshot_id: int):
     if not files:
         return None
     del_dirs = []
-    for sid, ent in sorted(man["snapshots"].items(), key=lambda kv: int(kv[0])):
-        if int(sid) > int(snapshot_id) or isinstance(ent, str):
-            continue
-        if ent.get("kind") == "delete":
+    for _sid, ent in _effective_entries(man, snapshot_id):
+        if not isinstance(ent, str) and ent.get("kind") == "delete":
             del_dirs.append(os.path.join(store_dir, ent["sub"]))
 
     def read_one(batch: pa.Table) -> pa.Table:
@@ -236,3 +232,94 @@ def read_merged(store_dir: str, snapshot_id: int):
     return rd.from_items(items).map_batches(
         read_one, batch_size=1, batch_format="pyarrow"
     )
+
+
+def _effective_entries(man: dict, snapshot_id: int) -> list:
+    """(sid, ent) visible at ``snapshot_id`` after compaction shadowing:
+    the newest compact entry with id <= snapshot_id hides every entry
+    with id <= its replaces_up_to (their data AND deletes are baked into
+    the compacted files).  Plain-string entries are data (back-compat)."""
+    ents = sorted(man["snapshots"].items(), key=lambda kv: int(kv[0]))
+    shadow = -1
+    for sid, ent in ents:
+        if int(sid) > int(snapshot_id) or isinstance(ent, str):
+            continue
+        if ent.get("kind") == "compact":
+            shadow = max(shadow, int(ent["replaces_up_to"]))
+    out = []
+    for sid, ent in ents:
+        if int(sid) > int(snapshot_id):
+            continue
+        kind = "data" if isinstance(ent, str) else ent.get("kind", "data")
+        if int(sid) <= shadow and kind != "compact":
+            continue
+        out.append((int(sid), ent))
+    return out
+
+
+def compact(store_dir: str, snapshot_id: int, as_of: int) -> None:
+    """Rewrite the MERGED view as of ``as_of`` (deletes applied) into one
+    new snapshot and commit it as a ``compact`` entry shadowing every
+    snapshot <= as_of.  Readers at ids >= ``snapshot_id`` see only the
+    compacted files; time travel BELOW it still resolves the originals
+    until `vacuum` reclaims them.  Durable-then-commit, idempotent."""
+    man = _load_manifest(store_dir)
+    key = str(int(snapshot_id))
+    if key in man["snapshots"]:
+        return
+    from .staging import stage_checkpoint
+
+    sub = f"snap{key}"
+    merged = read_merged(store_dir, as_of)
+    if merged is not None:
+        stage_checkpoint(
+            lambda: merged, os.path.join(store_dir, sub), allow_empty=True
+        )
+    else:
+        os.makedirs(os.path.join(store_dir, sub), exist_ok=True)
+    man["snapshots"][key] = {
+        "sub": sub,
+        "kind": "compact",
+        "replaces_up_to": int(as_of),
+    }
+    tmp = os.path.join(store_dir, MANIFEST + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(store_dir, MANIFEST))
+
+
+def vacuum(store_dir: str) -> list:
+    """Reclaim every snapshot shadowed by the NEWEST compaction: remove
+    its manifest entry, then its directory (manifest first — a crash
+    between the two leaves only orphan dirs, which readers never see).
+    Trades time travel below the compaction point for space; returns the
+    removed snapshot ids."""
+    import shutil
+
+    man = _load_manifest(store_dir)
+    shadow = -1
+    for sid, ent in man["snapshots"].items():
+        if not isinstance(ent, str) and ent.get("kind") == "compact":
+            shadow = max(shadow, int(ent["replaces_up_to"]))
+    victims = [
+        sid
+        for sid, ent in man["snapshots"].items()
+        if int(sid) <= shadow
+        and (isinstance(ent, str) or ent.get("kind") != "compact")
+    ]
+    if not victims:
+        return []
+    subs = [
+        man["snapshots"][sid] if isinstance(man["snapshots"][sid], str)
+        else man["snapshots"][sid]["sub"]
+        for sid in victims
+    ]
+    for sid in victims:
+        del man["snapshots"][sid]
+    tmp = os.path.join(store_dir, MANIFEST + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(store_dir, MANIFEST))
+    for sub in subs:
+        shutil.rmtree(os.path.join(store_dir, sub), ignore_errors=True)
+    return sorted(int(v) for v in victims)

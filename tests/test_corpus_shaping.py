@@ -1116,6 +1116,7 @@ STAR_ORACLE_QUERIES = [
     "q_equidepth_histogram",
     "q_ddsketch_quantiles",
     "q_mor_deletes",
+    "q_mor_compaction",
 ]
 
 

@@ -752,3 +752,51 @@ def test_interval_overlap_randomized_bruteforce(ray_session, tmp_path):
             entrymod.oracle_sql()["q_interval_overlap_join"]
         ).df()
         pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+def test_compaction_equivalence_vacuum_and_time_travel(ray_session, tmp_path):
+    """Compaction contract: (a) read after compact+vacuum == merge-on-read
+    before it; (b) vacuum physically removes the shadowed snapshot dirs
+    and their manifest entries; (c) BEFORE vacuum, time travel below the
+    compaction point still resolves the original (undeleted) data;
+    (d) after vacuum, reads at/after the compaction id keep working from
+    the compacted files alone."""
+    import os as _os
+
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from pdfray.pipelines.snapshots import (
+        commit_position_deletes,
+        commit_snapshot,
+        compact,
+        read_merged,
+        vacuum,
+    )
+
+    store = str(tmp_path / "cstore")
+    commit_snapshot(
+        store,
+        1,
+        lambda: rd.from_arrow(
+            pa_.table({"k": pa.array(list(range(10)), pa.int64())})
+        ),
+    )
+    commit_position_deletes(
+        store, 2, 1,
+        lambda t: t.column("k").to_numpy(zero_copy_only=False) % 3 == 0,
+    )
+    before = sorted(read_merged(store, 2).to_pandas()["k"])
+    compact(store, 3, 2)
+    # (c) time travel below the compaction point, pre-vacuum
+    assert sorted(read_merged(store, 1).to_pandas()["k"]) == list(range(10))
+    after_compact = sorted(read_merged(store, 3).to_pandas()["k"])
+    assert after_compact == before
+    removed = vacuum(store)
+    assert removed == [1, 2]
+    assert not _os.path.isdir(_os.path.join(store, "snap1"))
+    assert not _os.path.isdir(_os.path.join(store, "snap2"))
+    # (d) post-vacuum read serves from compacted files only
+    assert sorted(read_merged(store, 3).to_pandas()["k"]) == before
+    # idempotent vacuum
+    assert vacuum(store) == []
