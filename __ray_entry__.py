@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bitmap_index": R.q_bitmap_index,
         "q_interval_overlap_join": R.q_interval_overlap_join,
         "q_mor_compaction": R.q_mor_compaction,
+        "q_avro_roundtrip": R.q_avro_roundtrip,
     }
 
 
@@ -4818,6 +4819,12 @@ def oracle_sql() -> dict[str, str]:
             "AND w.s2 <= sp.span_end_us "
             "GROUP BY sp.user_id, sp.day, sp.span_start_us, sp.span_end_us "
             "ORDER BY sp.user_id, sp.day"
+        ),
+        "q_avro_roundtrip": (
+            # identity round trip: the engine's Avro encode+decode must
+            # reproduce the parquet values bit-for-bit
+            "SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "user_id, event_type, value FROM events ORDER BY event_id"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -303,6 +303,7 @@ QUERY_NAMES = [
     "q_bitmap_index",
     "q_interval_overlap_join",
     "q_mor_compaction",
+    "q_avro_roundtrip",
 ]
 
 

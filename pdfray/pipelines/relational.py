@@ -13227,3 +13227,62 @@ def q_interval_overlap_join(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+def q_avro_roundtrip(sf_dir: str):
+    """LOSSLESS Apache Avro round trip with decode-time column pruning:
+    events streams through the distributed Avro sink
+    (`sources.readers.write_avro_table` — one content-addressed
+    deflate-codec ``.avro`` container per block, idempotent
+    tmp+os.replace writes, encoded by the from-scratch codec in
+    `core/avro.py`) and back through the one-task-per-container source
+    pruning `props` at decode time (Avro rows are not seekable — the
+    field is walked but never materialized).  Every value must then
+    match the original parquet bit-for-bit (NaN/±inf/-0.0 doubles,
+    unicode, negative timestamps all ride the fixture tests) — the
+    row-oriented streaming-interchange leg of the format matrix
+    (parquet / CSV / JSONL / WARC / WebDataset tar / IPC / ORC /
+    Avro)."""
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_avro_table, write_avro_table
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "ts_us": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype=object),
+            "value": pd.Series([], dtype="float64"),
+        }
+    )
+    out_dir = tempfile.mkdtemp(prefix="pdfray_avro_")
+    try:
+        write_avro_table(_read(sf_dir, "events"), out_dir)
+        if not any(n.endswith(".avro") for n in os.listdir(out_dir)):
+            return empty  # empty corpus wrote no files
+
+        def digest(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "ts_us": t.column("ts").cast(pa.int64()),
+                    "user_id": t.column("user_id"),
+                    "event_type": t.column("event_type"),
+                    "value": t.column("value"),
+                }
+            )
+
+        return (
+            read_avro_table(
+                out_dir,
+                columns=["event_id", "ts", "user_id", "event_type", "value"],
+            )
+            .map_batches(digest, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -309,3 +309,57 @@ def read_orc_table(path: str, columns=None, schema: pa.Schema = None):
         return pa.concat_tables(tables) if tables else pa.table({})
 
     return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def write_avro_table(ds, out_dir: str) -> None:
+    """Distributed Apache Avro sink: every block writes ONE ``.avro``
+    Object Container File (deflate codec) — the row-oriented streaming-
+    pipeline interchange leg (Kafka/log shippers) of the format matrix,
+    encoded by the from-scratch codec in `pdfray.core.avro` (no Avro
+    library ships here).
+
+    Same durability discipline as the IPC/ORC sinks: the codec is
+    deterministic (sync marker derived from the payload md5), so files
+    are CONTENT-ADDRESSED and retries idempotent; tmp + os.replace means
+    a crashed run never leaves a torn file visible."""
+    import hashlib
+    import os
+
+    from ..core.avro import encode_container
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        buf = encode_container(t, codec="deflate")
+        name = hashlib.md5(buf).hexdigest() + ".avro"
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path])})
+
+    ds.map_batches(write_block, batch_format="pyarrow").count()
+
+
+def read_avro_table(path: str, columns=None):
+    """Distributed Avro source: one decode task per ``.avro`` container
+    (`read_binary_files` parallelism).  ``columns`` prunes at DECODE
+    time — Avro rows are not seekable, so pruned fields are walked but
+    never materialized (`core.avro.decode_container`)."""
+    import ray.data as rd
+
+    from ..core.avro import decode_container
+
+    ds = rd.read_binary_files(path, file_extensions=["avro"])
+
+    def decode(t: pa.Table) -> pa.Table:
+        tables = [
+            decode_container(b, columns=columns)
+            for b in t.column("bytes").to_pylist()
+        ]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return ds.map_batches(decode, batch_format="pyarrow")

@@ -636,6 +636,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_schema_evolution",
     "q_ipc_roundtrip",
     "q_orc_roundtrip",
+    "q_avro_roundtrip",
     "q_auc_purchase_value",
     "q_json_profile",
     "q_median_impute",
