@@ -453,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interval_overlap_join": R.q_interval_overlap_join,
         "q_mor_compaction": R.q_mor_compaction,
         "q_avro_roundtrip": R.q_avro_roundtrip,
+        "q_stream_tumbling_agg": R.q_stream_tumbling_agg,
     }
 
 
@@ -4825,6 +4826,28 @@ def oracle_sql() -> dict[str, str]:
             # reproduce the parquet values bit-for-bit
             "SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
             "user_id, event_type, value FROM events ORDER BY event_id"
+        ),
+        "q_stream_tumbling_agg": (
+            # streaming semantics replayed in SQL: exclusive running MAX
+            # over arrival (id) order is the watermark source; a window
+            # is finalized once wm >= its end; first arrival has no
+            # watermark (NULL -> accepted); day/window via the float-
+            # floor convention; all comparisons integer microseconds
+            "WITH a AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) "
+            "AS tus FROM events), "
+            "w AS (SELECT tus, MAX(tus) OVER (ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
+            "FROM a), "
+            "f AS (SELECT CAST(floor(tus / 3600000000.0) AS BIGINT) "
+            "AS win, (pm IS NOT NULL AND pm - 7200000000 >= "
+            "(CAST(floor(tus / 3600000000.0) AS BIGINT) + 1) "
+            "* 3600000000) AS drp FROM w) "
+            "SELECT win * 3600000000 AS window_start_us, "
+            "CAST(SUM(CASE WHEN drp THEN 0 ELSE 1 END) AS BIGINT) "
+            "AS n_accepted, "
+            "CAST(SUM(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dropped "
+            "FROM f GROUP BY win ORDER BY window_start_us"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

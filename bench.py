@@ -304,6 +304,7 @@ QUERY_NAMES = [
     "q_interval_overlap_join",
     "q_mor_compaction",
     "q_avro_roundtrip",
+    "q_stream_tumbling_agg",
 ]
 
 

@@ -13286,3 +13286,146 @@ def q_avro_roundtrip(sf_dir: str):
         )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+STREAM_WM_DELAY_US = 2 * 3_600_000_000  # watermark lag behind max event time
+STREAM_WIN_US = 3_600_000_000  # tumbling window width
+STREAM_ARRIVAL_CHUNK = 8192  # event_ids per scan chunk (internal only)
+
+
+def q_stream_tumbling_agg(sf_dir: str):
+    """Tumbling-window streaming aggregation under a GLOBAL watermark —
+    the out-of-order stream-processing semantics (Flink/Beam event-time
+    windows) replayed deterministically over the stored stream: arrival
+    order = event_id; before each arrival the watermark is
+    max(earlier-arriving ts) − 2h; an event lands in its 1h event-time
+    window iff that window is not yet FINALIZED (watermark < window
+    end), else it is dropped late.  Per window: accepted and dropped
+    counts — the at-most-once accounting a backfill must reproduce
+    exactly to validate a streaming job.
+
+    Plan — the associative-scan shape (q_max_drawdown / q_cusum family)
+    on a GLOBAL sequence: pass 1 reduces (arrival-chunk → max ts)
+    partials; the driver folds EXCLUSIVE incoming watermarks per chunk
+    (chunks ordered by event_id — arrival order IS id order); pass 2
+    re-scans with the tiny chunk→watermark map broadcast, computes each
+    chunk's exclusive local prefix max vectorized, flags accept/drop,
+    and emits per-(window) count partials merged by `_two_regime_sum`.
+    All comparisons int64 microseconds; the chunk grid is internal (no
+    SQL exposure, so floor-vs-truncate never arises for it)."""
+    import ray
+
+    chunk_w = np.int64(STREAM_ARRIVAL_CHUNK)
+    win_w = np.int64(STREAM_WIN_US)
+    empty = pd.DataFrame(
+        {
+            "window_start_us": pd.Series([], dtype="int64"),
+            "n_accepted": pd.Series([], dtype="int64"),
+            "n_dropped": pd.Series([], dtype="int64"),
+        }
+    )
+    ds = _read(sf_dir, "events", ["event_id", "ts"], rows_per_block=500_000)
+
+    def chunk_max(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ck = eid // chunk_w
+        uv, inv = np.unique(ck, return_inverse=True)
+        mx = np.full(len(uv), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table(
+            {"chunk": pa.array(uv.astype(np.int64)), "mx": pa.array(mx)}
+        )
+
+    cm, _ = _two_regime_agg(
+        ds.map_batches(chunk_max, batch_format="pyarrow"),
+        ["chunk"],
+        ["mx"],
+        "max",
+        empty_types={"chunk": pa.int64()},
+    )
+    cmdf = typed_collect(
+        cm, pa.schema([("chunk", pa.int64()), ("mx", pa.int64())])
+    ).sort_values("chunk")
+    if len(cmdf) == 0:
+        return empty
+    # exclusive incoming max per chunk (arrival order == id order)
+    run = np.iinfo(np.int64).min
+    incoming = {}
+    for r in cmdf.itertuples():
+        incoming[int(r.chunk)] = run
+        run = max(run, int(r.mx))
+    inc_ref = ray.put(incoming)
+
+    class _Flag:
+        def __init__(self):
+            self.inc = ray.get(inc_ref)
+
+        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("event_id", kind="mergesort")
+            ts = g["ts"].astype("int64").to_numpy()
+            n = len(ts)
+            # exclusive local prefix max
+            lpm = np.empty(n, np.int64)
+            lpm[0] = np.iinfo(np.int64).min
+            if n > 1:
+                np.maximum.accumulate(ts[:-1], out=lpm[1:])
+            inc = self.inc[int(g["chunk"].iloc[0])]
+            wm_src = np.maximum(lpm, inc)
+            win = np.floor_divide(ts, win_w)
+            win_end = (win + 1) * win_w
+            # watermark = prefix max − delay; window open iff wm < end
+            # (sentinel rows masked BEFORE the subtraction so int64 min
+            # cannot wrap)
+            has_wm = wm_src != np.iinfo(np.int64).min
+            safe = np.where(has_wm, wm_src, 0)
+            dropped = has_wm & (safe - STREAM_WM_DELAY_US >= win_end)
+            out = pd.DataFrame(
+                {
+                    "window_start_us": win * win_w,
+                    "acc": (~dropped).astype(np.int64),
+                    "drp": dropped.astype(np.int64),
+                }
+            )
+            red = out.groupby("window_start_us", as_index=False)[
+                ["acc", "drp"]
+            ].sum()
+            for c in ("window_start_us", "acc", "drp"):
+                red[c] = red[c].astype("int64")
+            return red
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "chunk", pa.array((eid // chunk_w).astype(np.int64))
+        )
+
+    parts = (
+        ds.map_batches(add_chunk, batch_format="pyarrow")
+        .groupby("chunk")
+        .map_groups(
+            warm_factory(("stream_wm", inc_ref.hex()), _Flag),
+            batch_format="pandas",
+        )
+    )
+    red, _ = _two_regime_sum(
+        parts,
+        ["window_start_us"],
+        ["acc", "drp"],
+        empty_types={"window_start_us": pa.int64()},
+    )
+    out = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("window_start_us", pa.int64()),
+                ("acc", pa.int64()),
+                ("drp", pa.int64()),
+            ]
+        ),
+    )
+    out = out.groupby("window_start_us", as_index=False)[["acc", "drp"]].sum()
+    out = out.rename(columns={"acc": "n_accepted", "drp": "n_dropped"})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("window_start_us").reset_index(drop=True)

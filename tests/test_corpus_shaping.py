@@ -644,6 +644,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_welch_ab",
     "q_chi2_independence",
     "q_interval_overlap_join",
+    "q_stream_tumbling_agg",
 ]
 
 _PROPS_POOL = [

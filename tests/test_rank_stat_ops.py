@@ -880,3 +880,85 @@ def test_avro_sink_source_distributed(ray_session, tmp_path):
     back = read_avro_table(out, columns=["k", "s"]).to_pandas()
     assert sorted(back.columns) == ["k", "s"]
     assert sorted(back["k"]) == list(range(100))
+
+
+def test_stream_tumbling_watermark_hand_and_fuzz(ray_session, tmp_path):
+    """Hand-solved watermark facts: the first arrival is always accepted
+    (no watermark yet); an event arriving EXACTLY when wm == window end
+    is dropped (>=, finalized); one microsecond less is accepted; a
+    late-but-within-delay straggler is accepted; arrival chunks are
+    crossed (event_ids straddle the 8192 grid).  Then a randomized
+    out-of-order stream vs a plain-python replay, three seeds."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import (
+        STREAM_WM_DELAY_US,
+        q_stream_tumbling_agg,
+    )
+
+    H = 3_600_000_000
+    base = 1_700_000_000_000_000 - (1_700_000_000_000_000 % H)
+    rows = [
+        (0, base + 10 * H, 1, "view", 1.0),   # first arrival: accepted
+        # wm = 10h − 2h = 8h: window [5h,6h) end 6h <= 8h -> dropped
+        (1, base + 5 * H, 1, "view", 1.0),
+        # window [6h,7h): end 7h, wm 8h >= 7h -> dropped
+        (2, base + 6 * H, 1, "view", 1.0),
+        # window [8h,9h): end 9h > wm 8h -> accepted (within delay)
+        (3, base + 8 * H, 1, "view", 1.0),
+        # push watermark: ts 13h -> wm becomes 11h after this
+        (8192, base + 13 * H, 1, "view", 1.0),  # new arrival chunk
+        # window [9h,10h): end 10h, wm 11h -> dropped
+        (8193, base + 9 * H + 1, 1, "view", 1.0),
+        # window [11h,12h): end 12h, wm 11h < 12h -> accepted
+        (8194, base + 11 * H, 1, "view", 1.0),
+    ]
+    d = tmp_path / "wm"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_stream_tumbling_agg(str(d))
+    got = {
+        int(r.window_start_us): (int(r.n_accepted), int(r.n_dropped))
+        for r in eng.itertuples()
+    }
+    assert got[base + 10 * H] == (1, 0)
+    assert got[base + 5 * H] == (0, 1)
+    assert got[base + 6 * H] == (0, 1)
+    assert got[base + 8 * H] == (1, 0)
+    assert got[base + 9 * H] == (0, 1)
+    assert got[base + 11 * H] == (1, 0)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.execute(entrymod.oracle_sql()["q_stream_tumbling_agg"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+    for seed in (1, 2, 3):
+        rng = np.random.RandomState(seed)
+        rows = []
+        for i in range(800):
+            ts = base + int(rng.randint(0, 50)) * H + int(rng.randint(0, 60)) * 60_000_000
+            rows.append((i * 7, ts, 1, "view", 1.0))  # sparse ids
+        d2 = tmp_path / f"wmf{seed}"
+        d2.mkdir()
+        _write_events(d2, rows)
+        eng = q_stream_tumbling_agg(str(d2))
+        # plain replay
+        import collections
+
+        acc = collections.Counter()
+        drp = collections.Counter()
+        run = None
+        for _eid, ts, _u, _t, _v in sorted(rows):
+            win = ts // H * H
+            if run is not None and run - STREAM_WM_DELAY_US >= win + H:
+                drp[win] += 1
+            else:
+                acc[win] += 1
+            run = ts if run is None else max(run, ts)
+        got = {
+            int(r.window_start_us): (int(r.n_accepted), int(r.n_dropped))
+            for r in eng.itertuples()
+        }
+        want = {
+            w: (acc.get(w, 0), drp.get(w, 0)) for w in set(acc) | set(drp)
+        }
+        assert got == want
