@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mor_compaction": R.q_mor_compaction,
         "q_avro_roundtrip": R.q_avro_roundtrip,
         "q_stream_tumbling_agg": R.q_stream_tumbling_agg,
+        "q_t_closeness": R.q_t_closeness,
     }
 
 
@@ -4848,6 +4849,45 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_dropped "
             "FROM f GROUP BY win ORDER BY window_start_us"
+        ),
+        "q_t_closeness": (
+            # ordered-domain EMD cleared of division: cumdiff_i =
+            # cg_i·n − cG_i·ng exact integers over the GLOBAL support
+            # (group-absent values contribute), HUGEINT products, breach
+            # by 5·emd > denom cross-multiplication; m == 1 degenerates
+            # to t = 0 both sides
+            "WITH p AS (SELECT CAST(c_nationkey AS BIGINT) AS nat, "
+            "c_mktsegment AS seg, "
+            "CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS sv, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+            "GROUP BY 1, 2, 3), "
+            "gsup AS (SELECT sv, CAST(SUM(n) AS BIGINT) AS gn "
+            "FROM p GROUP BY sv), "
+            "tot AS (SELECT CAST(SUM(gn) AS BIGINT) AS nt, "
+            "CAST(COUNT(*) AS BIGINT) AS m FROM gsup), "
+            "grp AS (SELECT nat, seg, CAST(SUM(n) AS BIGINT) AS ng "
+            "FROM p GROUP BY 1, 2), "
+            "grid AS (SELECT grp.nat, grp.seg, grp.ng, gsup.sv, gsup.gn, "
+            "CAST(COALESCE(p.n, 0) AS BIGINT) AS g_n "
+            "FROM grp CROSS JOIN gsup LEFT JOIN p ON p.nat = grp.nat "
+            "AND p.seg = grp.seg AND p.sv = gsup.sv), "
+            "cum AS (SELECT nat, seg, ng, sv, "
+            "SUM(g_n) OVER (PARTITION BY nat, seg ORDER BY sv) AS cg, "
+            "SUM(gn) OVER (PARTITION BY nat, seg ORDER BY sv) AS cgl "
+            "FROM grid), "
+            "sc AS (SELECT nat, seg, ng, nt, m, "
+            "CAST(SUM(ABS(CAST(cg AS HUGEINT) * nt "
+            "- CAST(cgl AS HUGEINT) * ng)) AS BIGINT) AS emd "
+            "FROM cum CROSS JOIN tot GROUP BY nat, seg, ng, nt, m) "
+            "SELECT nat AS c_nationkey, seg AS c_mktsegment, "
+            "ng AS n_rows, "
+            "CASE WHEN m > 1 THEN emd ELSE 0 END AS emd_scaled, "
+            "CAST(ng * nt * (m - 1) AS BIGINT) AS denom, "
+            "CASE WHEN m > 1 THEN CAST(emd AS DOUBLE) / "
+            "CAST(ng * nt * (m - 1) AS DOUBLE) ELSE 0.0 END AS t_value, "
+            "CAST(CASE WHEN m > 1 AND 5 * emd > ng * nt * (m - 1) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS breach "
+            "FROM sc ORDER BY c_nationkey, c_mktsegment"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

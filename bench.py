@@ -305,6 +305,7 @@ QUERY_NAMES = [
     "q_mor_compaction",
     "q_avro_roundtrip",
     "q_stream_tumbling_agg",
+    "q_t_closeness",
 ]
 
 

