@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_avro_roundtrip": R.q_avro_roundtrip,
         "q_stream_tumbling_agg": R.q_stream_tumbling_agg,
         "q_t_closeness": R.q_t_closeness,
+        "q_link_prediction": R.q_link_prediction,
     }
 
 
@@ -4888,6 +4889,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN m > 1 AND 5 * emd > ng * nt * (m - 1) "
             "THEN 1 ELSE 0 END AS BIGINT) AS breach "
             "FROM sc ORDER BY c_nationkey, c_mktsegment"
+        ),
+        "q_link_prediction": (
+            # full-adjacency wedge counts are the common-neighbor counts;
+            # existing edges anti-joined away; jaccard is the single
+            # double division on exact ints, ties pinned by (a, b)
+            "WITH bl AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), "
+            "pc_ AS (SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) "
+            "AS c FROM bl x JOIN bl y ON x.o = y.o AND x.p < y.p "
+            "GROUP BY 1, 2), "
+            "e AS (SELECT a, b FROM pc_ WHERE c >= 2), "
+            "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM "
+            "(SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) "
+            "GROUP BY v), "
+            "adj AS (SELECT a AS ctr, b AS leaf FROM e "
+            "UNION ALL SELECT b, a FROM e), "
+            "wed AS (SELECT x.leaf AS u, y.leaf AS w, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM adj x "
+            "JOIN adj y ON x.ctr = y.ctr AND x.leaf < y.leaf "
+            "GROUP BY 1, 2), "
+            "cand AS (SELECT wed.u, wed.w, wed.c FROM wed LEFT JOIN e "
+            "ON e.a = wed.u AND e.b = wed.w WHERE e.a IS NULL), "
+            "sc AS (SELECT u, w, c, da.d AS deg_a, db.d AS deg_b, "
+            "CAST(c AS DOUBLE) / CAST(da.d + db.d - c AS DOUBLE) AS jd "
+            "FROM cand JOIN deg da ON da.v = u JOIN deg db ON db.v = w) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY jd DESC, u, w) "
+            "AS BIGINT) AS \"rank\", u AS part_a, w AS part_b, "
+            "c AS common, deg_a, deg_b, jd AS jaccard "
+            "FROM sc ORDER BY jd DESC, u, w LIMIT 20"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

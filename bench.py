@@ -306,6 +306,7 @@ QUERY_NAMES = [
     "q_avro_roundtrip",
     "q_stream_tumbling_agg",
     "q_t_closeness",
+    "q_link_prediction",
 ]
 
 

@@ -25,8 +25,22 @@ def typed_collect(ds, fallback: pa.Schema = None) -> pd.DataFrame:
         return df
     s = ds.schema()
     arrow = getattr(s, "base_schema", None) if s is not None else None
-    if arrow is None:
-        arrow = fallback
+    if not isinstance(arrow, pa.Schema):
+        # pandas-block streams report a PandasBlockSchema here (hostile
+        # harness find: an all-empty map_groups output); convert it, else
+        # use the caller's declared fallback
+        if arrow is not None and fallback is None:
+            try:
+                arrow = pa.schema(
+                    [
+                        (n, pa.from_numpy_dtype(t))
+                        for n, t in zip(arrow.names, arrow.types)
+                    ]
+                )
+            except (pa.ArrowNotImplementedError, TypeError):
+                arrow = None
+        else:
+            arrow = fallback
     if arrow is None:
         raise ValueError(
             "typed_collect over a fully-empty unschema'd stream: "

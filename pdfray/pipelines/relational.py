@@ -13582,3 +13582,268 @@ def q_t_closeness(sf_dir: str):
     return out.sort_values(["c_nationkey", "c_mktsegment"]).reset_index(
         drop=True
     )
+
+
+LINKPRED_TOP_K = 20
+
+
+def q_link_prediction(sf_dir: str, stage_dir: str = None):
+    """Common-neighbor / Jaccard link prediction over the FREQUENT
+    co-purchase graph (edges = part pairs with support >=
+    FREQ_PAIR_MINSUP, the q_frequent_pairs graph): for every NON-edge
+    pair sharing at least one neighbor, score jaccard =
+    common / (deg_a + deg_b − common) and report the global top-20 —
+    the recommender primitive ("parts bought with the same things are
+    substitutes").
+
+    Plan: the frequent-edge stream parquet-checkpoints once (three
+    consumers: degrees, adjacency expansion, edge membership);
+    degrees broadcast (catalog-order, the q_triangle_count argument);
+    FULL-adjacency wedge expansion in center-hash buckets (common
+    neighbors need both directions — the oriented trick undercounts)
+    pre-reduces per bucket; ONE pair-hash exchange co-locates wedge
+    counts with the kind-tagged edge set, each bucket drops existing
+    edges, scores its pairs, and emits only its LOCAL top-20 under the
+    exact order (jd DESC, a, b) — the driver merges bucket top-20s.
+    jd is the single double division on exact ints both sides; ties
+    break on the pair, so the cut is deterministic at any layout."""
+    import tempfile
+
+    import ray
+
+    from .sizing import shuffle_partitions
+    from .staging import stage_checkpoint
+
+    empty = pd.DataFrame(
+        {
+            "rank": pd.Series([], dtype="int64"),
+            "part_a": pd.Series([], dtype="int64"),
+            "part_b": pd.Series([], dtype="int64"),
+            "common": pd.Series([], dtype="int64"),
+            "deg_a": pd.Series([], dtype="int64"),
+            "deg_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+    red, n_li = _basket_pair_partials(sf_dir)
+    tmp = None
+    if stage_dir is None:
+        tmp = stage_dir = tempfile.mkdtemp(prefix="pdfray_lp_")
+    try:
+        edges = stage_checkpoint(
+            lambda: red.map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(t.column("c"), FREQ_PAIR_MINSUP)
+                ).select(["a", "b"]),
+                batch_format="pyarrow",
+            ),
+            os.path.join(stage_dir, "edges"),
+            allow_empty=True,
+        )
+        if edges is None:
+            return empty
+
+        def deg_partial(t: pa.Table) -> pa.Table:
+            v = np.concatenate(
+                [
+                    t.column("a").to_numpy(zero_copy_only=False),
+                    t.column("b").to_numpy(zero_copy_only=False),
+                ]
+            )
+            uv, cnt = np.unique(v, return_counts=True)
+            return pa.table(
+                {
+                    "v": pa.array(uv.astype(np.int64)),
+                    "d": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+        dred, _ = _two_regime_sum(
+            edges.map_batches(deg_partial, batch_format="pyarrow"),
+            ["v"],
+            ["d"],
+            empty_types={"v": pa.int64()},
+        )
+        deg = typed_collect(
+            dred, pa.schema([("v", pa.int64()), ("d", pa.int64())])
+        ).sort_values("v")
+        n_edges = int(deg["d"].sum()) // 2
+        if n_edges == 0:
+            return empty
+        vref = ray.put(
+            (deg["v"].to_numpy(np.int64), deg["d"].to_numpy(np.int64))
+        )
+        n_buckets = shuffle_partitions(n_edges)
+
+        def adjacency(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            ctr = np.concatenate([a, b]).astype(np.int64)
+            leaf = np.concatenate([b, a]).astype(np.int64)
+            mixed = ctr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            return pa.table(
+                {
+                    "ctr": pa.array(ctr),
+                    "leaf": pa.array(leaf),
+                    "cb": pa.array(
+                        (mixed % np.uint64(n_buckets)).astype(np.int64)
+                    ),
+                }
+            )
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            ctr = g["ctr"].to_numpy(np.int64)
+            leaf = g["leaf"].to_numpy(np.int64)
+            order = np.lexsort((leaf, ctr))
+            ctr, leaf = ctr[order], leaf[order]
+            starts = (
+                np.flatnonzero(np.r_[True, ctr[1:] != ctr[:-1]])
+                if len(ctr)
+                else []
+            )
+            sizes = (
+                np.diff(np.r_[starts, len(ctr)])
+                if len(ctr)
+                else np.empty(0, np.int64)
+            )
+            xs, ys = [], []
+            for st, n in zip(starts, sizes):
+                if n < 2:
+                    continue
+                nb = leaf[st : st + n]
+                i, j = np.triu_indices(n, k=1)
+                xs.append(nb[i])
+                ys.append(nb[j])
+            if not xs:
+                return pd.DataFrame(
+                    {
+                        "x": pd.Series([], dtype="int64"),
+                        "y": pd.Series([], dtype="int64"),
+                        "c": pd.Series([], dtype="int64"),
+                    }
+                )
+            out = (
+                pd.DataFrame({"x": np.concatenate(xs), "y": np.concatenate(ys)})
+                .groupby(["x", "y"], as_index=False)
+                .size()
+                .rename(columns={"size": "c"})
+            )
+            return out.astype({"x": "int64", "y": "int64", "c": "int64"})
+
+        def pair_bucket(t: pa.Table, kind: int) -> pa.Table:
+            x = t.column("x" if kind else "a").to_numpy(zero_copy_only=False)
+            y = t.column("y" if kind else "b").to_numpy(zero_copy_only=False)
+            z = x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ (
+                y.astype(np.uint64) + np.uint64(0x85EBCA77C2B2AE63)
+            )
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = z ^ (z >> np.uint64(31))
+            return pa.table(
+                {
+                    "x": pa.array(x.astype(np.int64)),
+                    "y": pa.array(y.astype(np.int64)),
+                    "c": (
+                        t.column("c")
+                        if kind
+                        else pa.array(np.zeros(len(t), np.int64))
+                    ),
+                    "kind": pa.array(np.full(len(t), kind, np.int64)),
+                    "pb": pa.array((z % np.uint64(n_buckets)).astype(np.int64)),
+                }
+            )
+
+        class _Score:
+            def __init__(self):
+                self.v, self.d = ray.get(vref)
+
+            def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+                e = g[g["kind"] == 0][["x", "y"]]
+                c = (
+                    g[g["kind"] == 1]
+                    .groupby(["x", "y"], as_index=False)["c"]
+                    .sum()
+                )
+                if len(e):
+                    c = c.merge(e, on=["x", "y"], how="left", indicator=True)
+                    c = c[c["_merge"] == "left_only"][["x", "y", "c"]]
+                if len(c) == 0:
+                    return pd.DataFrame(
+                        {
+                            "part_a": pd.Series([], dtype="int64"),
+                            "part_b": pd.Series([], dtype="int64"),
+                            "common": pd.Series([], dtype="int64"),
+                            "deg_a": pd.Series([], dtype="int64"),
+                            "deg_b": pd.Series([], dtype="int64"),
+                            "jaccard": pd.Series([], dtype="float64"),
+                        }
+                    )
+                x = c["x"].to_numpy(np.int64)
+                y = c["y"].to_numpy(np.int64)
+                cc = c["c"].to_numpy(np.int64)
+                da = self.d[np.searchsorted(self.v, x)]
+                db = self.d[np.searchsorted(self.v, y)]
+                jd = cc.astype(np.float64) / (da + db - cc).astype(np.float64)
+                order = np.lexsort((y, x, -jd))[:LINKPRED_TOP_K]
+                return pd.DataFrame(
+                    {
+                        "part_a": x[order],
+                        "part_b": y[order],
+                        "common": cc[order],
+                        "deg_a": da[order],
+                        "deg_b": db[order],
+                        "jaccard": jd[order],
+                    }
+                ).astype(
+                    {
+                        "part_a": "int64",
+                        "part_b": "int64",
+                        "common": "int64",
+                        "deg_a": "int64",
+                        "deg_b": "int64",
+                        "jaccard": "float64",
+                    }
+                )
+
+        cands = (
+            edges.map_batches(adjacency, batch_format="pyarrow")
+            .groupby("cb")
+            .map_groups(expand, batch_format="pandas")
+            .map_batches(lambda t: pair_bucket(t, 1), batch_format="pyarrow")
+        )
+        edge_rows = edges.map_batches(
+            lambda t: pair_bucket(t, 0), batch_format="pyarrow"
+        )
+        local = typed_collect(
+            cands.union(edge_rows)
+            .groupby("pb")
+            .map_groups(
+                warm_factory(("lp_score", vref.hex()), _Score),
+                batch_format="pandas",
+            ),
+            pa.schema(
+                [
+                    ("part_a", pa.int64()),
+                    ("part_b", pa.int64()),
+                    ("common", pa.int64()),
+                    ("deg_a", pa.int64()),
+                    ("deg_b", pa.int64()),
+                    ("jaccard", pa.float64()),
+                ]
+            ),
+        )
+        if len(local) == 0:
+            return empty
+        local = local.sort_values(
+            ["jaccard", "part_a", "part_b"], ascending=[False, True, True]
+        ).head(LINKPRED_TOP_K)
+        local = local.reset_index(drop=True)
+        local.insert(
+            0, "rank", np.arange(1, len(local) + 1, dtype=np.int64)
+        )
+        local["rank"] = local["rank"].astype("int64")
+        return local
+    finally:
+        if tmp is not None:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -811,6 +811,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "q_butterfly_count",
     "q_frequent_pairs",
     "q_triangle_count",
+    "q_link_prediction",
     "q_skyline_parts",
     "t_editdist_dupes",
     "q_column_profile",

@@ -1015,3 +1015,78 @@ def test_t_closeness_hand_solved(ray_session, tmp_path):
     )
     ora = con.execute(entrymod.oracle_sql()["q_t_closeness"]).df()
     pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+def test_link_prediction_bruteforce_and_tie_cut(ray_session, tmp_path):
+    """Randomized repeat-heavy baskets (so the support>=2 graph is
+    non-trivial) + planted structures: a path u—v—w (the classic predict
+    (u, w) case), an existing edge that must be EXCLUDED despite maximal
+    jaccard, and an exact-jaccard tie straddling the top-k cut (pinned
+    by the (a, b) tiebreak) — engine == plain-python brute force ==
+    oracle."""
+    import itertools
+
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import LINKPRED_TOP_K, q_link_prediction
+
+    rng = np.random.RandomState(13)
+    baskets = []
+    o = 0
+    # planted path: edges (1,2) and (2,3) with support 2 -> predict (1,3)
+    for _ in range(2):
+        baskets.append((o, [1, 2])); o += 1
+        baskets.append((o, [2, 3])); o += 1
+    # jaccard ties: stars 10-(11,12) and 20-(21,22), each edge support 2
+    for hub, leaves in ((10, [11, 12]), (20, [21, 22])):
+        for leaf in leaves:
+            for _ in range(2):
+                baskets.append((o, [hub, leaf])); o += 1
+    # random repeat-heavy noise
+    pool = list(range(50, 62))
+    for _ in range(120):
+        k = rng.randint(2, 5)
+        basket = list(rng.choice(pool, size=k, replace=False))
+        reps = 2 if rng.rand() < 0.5 else 1
+        for _ in range(reps):
+            baskets.append((o, basket)); o += 1
+    d = tmp_path / "lp"
+    d.mkdir()
+    _write_lineitem_baskets(d, baskets)
+    eng = q_link_prediction(str(d))
+    # brute force
+    from collections import Counter
+
+    support = Counter()
+    for _oid, parts in baskets:
+        for a, b in itertools.combinations(sorted(set(parts)), 2):
+            support[(a, b)] += 1
+    edges = {p for p, c in support.items() if c >= 2}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cands = {}
+    for v, nbrs in adj.items():
+        for u, w in itertools.combinations(sorted(nbrs), 2):
+            if (u, w) not in edges:
+                cands[(u, w)] = cands.get((u, w), 0) + 1
+    scored = sorted(
+        (
+            (-(c / (len(adj[u]) + len(adj[w]) - c)), u, w, c)
+            for (u, w), c in cands.items()
+        )
+    )[:LINKPRED_TOP_K]
+    want = [(u, w, c) for _jd, u, w, c in scored]
+    got = [
+        (int(r.part_a), int(r.part_b), int(r.common))
+        for r in eng.itertuples()
+    ]
+    assert got == want
+    assert (1, 3) in {(a, b) for a, b, _ in got}  # the planted path
+    assert all((a, b) not in edges for a, b, _ in got)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{d}/lineitem.parquet'"
+    )
+    ora = con.execute(entrymod.oracle_sql()["q_link_prediction"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
