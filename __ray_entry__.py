@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stream_tumbling_agg": R.q_stream_tumbling_agg,
         "q_t_closeness": R.q_t_closeness,
         "q_link_prediction": R.q_link_prediction,
+        "q_psi_drift": R.q_psi_drift,
     }
 
 
@@ -4918,6 +4919,36 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS \"rank\", u AS part_a, w AS part_b, "
             "c AS common, deg_a, deg_b, jd AS jaccard "
             "FROM sc ORDER BY jd DESC, u, w LIMIT 20"
+        ),
+        "q_psi_drift": (
+            # per-bucket PSI terms on the ×1e9 half-away grid (the
+            # q_user_entropy irrationality safety argument: p != q makes
+            # the term irrational, p == q is exactly 0 both sides), so
+            # the total is an order-free INTEGER sum; add-1 smoothing
+            # over the union vocabulary; week parity via floor-mod
+            "WITH e AS (SELECT event_type AS t, "
+            "((CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) % 2) "
+            "+ 2) % 2 AS p FROM events), "
+            "c AS (SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM e GROUP BY t, p), "
+            "ab AS (SELECT t, "
+            "CAST(COALESCE(SUM(CASE WHEN p = 0 THEN n END), 0) AS BIGINT) "
+            "AS a, "
+            "CAST(COALESCE(SUM(CASE WHEN p = 1 THEN n END), 0) AS BIGINT) "
+            "AS b FROM c GROUP BY t), "
+            "tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, "
+            "CAST(SUM(b) AS BIGINT) AS nb, CAST(COUNT(*) AS BIGINT) AS m "
+            "FROM ab), "
+            "sc AS (SELECT t, a, b, "
+            "CAST(a + 1 AS DOUBLE) / CAST(na + m AS DOUBLE) AS pa_, "
+            "CAST(b + 1 AS DOUBLE) / CAST(nb + m AS DOUBLE) AS pb_ "
+            "FROM ab CROSS JOIN tot), "
+            "term AS (SELECT t, a, b, CAST(ROUND((CASE WHEN pa_ = pb_ "
+            "THEN 0.0 ELSE (pa_ - pb_) * ln(pa_ / pb_) END) "
+            "* 1000000000, 0) AS BIGINT) AS psi FROM sc) "
+            "SELECT t AS event_type, a AS n_even, b AS n_odd, "
+            "psi AS psi_x1e9, CAST(SUM(psi) OVER () AS BIGINT) "
+            "AS psi_total_x1e9 FROM term ORDER BY event_type"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -307,6 +307,7 @@ QUERY_NAMES = [
     "q_stream_tumbling_agg",
     "q_t_closeness",
     "q_link_prediction",
+    "q_psi_drift",
 ]
 
 

@@ -13847,3 +13847,91 @@ def q_link_prediction(sf_dir: str, stage_dir: str = None):
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index between alternating calendar weeks —
+    the ML-ops drift gate: how far has the event-type mix moved between
+    the even-week and odd-week halves of the stream?
+    PSI = Σ_buckets (p_i − q_i)·ln(p_i/q_i) with add-1 smoothing over
+    the union type vocabulary (so an absent bucket never produces
+    ln(0)).
+
+    Exactness: counts are integers from one tiny combiner exchange;
+    per-bucket terms ride the ×1e9 half-away integer grid with the
+    q_user_entropy two-sided safety argument — p ≠ q makes the term
+    irrational (ln of a rational ≠ 1), so ulp noise cannot reach a grid
+    boundary, and p == q is EXACTLY 0.0 on both sides; the expression
+    shape is identical (smoothed ratios then one ln), and the PSI total
+    is an ORDER-FREE integer sum of the per-bucket terms (the chi2
+    lesson: a float SUM's accumulation order is implementation-defined).
+    Week parity uses floor-mod on both sides (negative pre-epoch weeks
+    included).
+
+    Scale shape: per-block (type, parity) bincount partials →
+    `_two_regime_sum` → a driver fold over the tiny 2×types table."""
+    week_us = np.int64(7 * 86_400_000_000)
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.Series([], dtype=object),
+            "n_even": pd.Series([], dtype="int64"),
+            "n_odd": pd.Series([], dtype="int64"),
+            "psi_x1e9": pd.Series([], dtype="int64"),
+            "psi_total_x1e9": pd.Series([], dtype="int64"),
+        }
+    )
+    ds = _read(sf_dir, "events", ["ts", "event_type"], rows_per_block=500_000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("int64").to_numpy()
+        par = np.mod(ts // week_us, 2)  # floor-mod: 0/1 for any sign
+        out = (
+            pd.DataFrame({"t": df["event_type"].to_numpy(), "p": par})
+            .groupby(["t", "p"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["p"] = out["p"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    red, _ = _two_regime_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["t", "p"],
+        ["n"],
+        empty_types={"t": pa.string(), "p": pa.int64()},
+    )
+    df = typed_collect(
+        red,
+        pa.schema([("t", pa.string()), ("p", pa.int64()), ("n", pa.int64())]),
+    )
+    if len(df) == 0:
+        return empty
+    df = df.groupby(["t", "p"], as_index=False)["n"].sum()
+    types = sorted(df["t"].unique())
+    m = len(types)
+    a = {t: 0 for t in types}
+    b = {t: 0 for t in types}
+    for r in df.itertuples():
+        (a if int(r.p) == 0 else b)[r.t] = int(r.n)
+    na, nb = sum(a.values()), sum(b.values())
+    recs = []
+    for t in types:
+        pa_ = float(a[t] + 1) / float(na + m)
+        pb_ = float(b[t] + 1) / float(nb + m)
+        term = 0.0 if pa_ == pb_ else (pa_ - pb_) * np.log(pa_ / pb_)
+        recs.append(
+            {
+                "event_type": t,
+                "n_even": a[t],
+                "n_odd": b[t],
+                "psi_x1e9": int(
+                    round_half_away(np.array([term * 1e9]), 0)[0]
+                ),
+            }
+        )
+    out = pd.DataFrame(recs)
+    out["psi_total_x1e9"] = int(out["psi_x1e9"].sum())
+    for c in ("n_even", "n_odd", "psi_x1e9", "psi_total_x1e9"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

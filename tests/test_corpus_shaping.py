@@ -645,6 +645,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_chi2_independence",
     "q_interval_overlap_join",
     "q_stream_tumbling_agg",
+    "q_psi_drift",
 ]
 
 _PROPS_POOL = [

@@ -1090,3 +1090,57 @@ def test_link_prediction_bruteforce_and_tie_cut(ray_session, tmp_path):
     )
     ora = con.execute(entrymod.oracle_sql()["q_link_prediction"]).df()
     pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+def test_psi_drift_hand_solved(ray_session, tmp_path):
+    """Hand-solved PSI facts: identical mixes -> every term and the
+    total are exactly 0; a type present in only one period still gets a
+    bucket (add-1 smoothing, no ln(0)); a one-period-empty corpus works;
+    pre-epoch (negative week) events land in the right parity; engine ==
+    oracle dtype-strict."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_psi_drift
+
+    WK = 7 * 86_400_000_000
+    # identical mixes in week 0 (even) and week 1 (odd)
+    rows = []
+    i = 0
+    for w in (0, 1):
+        for t, k in (("view", 4), ("click", 2)):
+            for _ in range(k):
+                rows.append((i, w * WK + i, 1, t, 1.0))
+                i += 1
+    d = tmp_path / "psi0"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_psi_drift(str(d))
+    assert (eng.psi_x1e9 == 0).all() and (eng.psi_total_x1e9 == 0).all()
+    # drifted: 'error' only in odd weeks; a pre-epoch even-week event
+    rows.append((100, 1 * WK + 99, 1, "error", 1.0))
+    rows.append((101, -2 * WK + 5, 1, "view", 1.0))  # week -2: even parity
+    d = tmp_path / "psi1"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_psi_drift(str(d))
+    assert set(eng.event_type) == {"view", "click", "error"}
+    err = eng[eng.event_type == "error"].iloc[0]
+    assert (int(err.n_even), int(err.n_odd)) == (0, 1)
+    assert int(err.psi_x1e9) != 0
+    assert int(eng.n_even.sum()) == 7  # the pre-epoch view counted even
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.execute(entrymod.oracle_sql()["q_psi_drift"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+    # independent reference of the total
+    import math
+
+    a = {"view": 5, "click": 2, "error": 0}
+    b = {"view": 4, "click": 2, "error": 1}
+    na, nb, m = 7, 7, 3
+    want = 0
+    for t in sorted(a):
+        p = (a[t] + 1) / (na + m)
+        q = (b[t] + 1) / (nb + m)
+        term = 0.0 if p == q else (p - q) * math.log(p / q)
+        want += int(np.floor(abs(term) * 1e9 + 0.5)) * (1 if term >= 0 else -1)
+    assert int(eng.psi_total_x1e9.iloc[0]) == want
