@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_t_closeness": R.q_t_closeness,
         "q_link_prediction": R.q_link_prediction,
         "q_psi_drift": R.q_psi_drift,
+        "q_pareto_coverage": R.q_pareto_coverage,
     }
 
 
@@ -4949,6 +4950,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS event_type, a AS n_even, b AS n_odd, "
             "psi AS psi_x1e9, CAST(SUM(psi) OVER () AS BIGINT) "
             "AS psi_total_x1e9 FROM term ORDER BY event_type"
+        ),
+        "q_pareto_coverage": (
+            # minimal head via integer cross-multiplication 100·cum >=
+            # q·total; the cumulative window runs over POSITIVE revenues
+            # only (non-positive customers can never be needed), total
+            # and customer count over ALL; answers are tie-order-
+            # independent so the (r DESC, custkey) order is pure pinning
+            "WITH cr AS (SELECT o_custkey, CAST(SUM(CAST(ROUND("
+            "o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS r "
+            "FROM orders GROUP BY 1), "
+            "tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t, "
+            "CAST(COUNT(*) AS BIGINT) AS nc FROM cr), "
+            "cum AS (SELECT SUM(r) OVER (ORDER BY r DESC, o_custkey) AS c, "
+            "ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS k "
+            "FROM cr WHERE r > 0), "
+            "qs AS (SELECT * FROM (VALUES (50), (80), (90)) AS v(q)), "
+            "pick AS (SELECT q, MIN(k) AS nk FROM qs CROSS JOIN tot "
+            "JOIN cum ON 100 * cum.c >= q * tot.t WHERE tot.t > 0 "
+            "GROUP BY q) "
+            "SELECT CAST(q AS BIGINT) AS pct, CAST(nk AS BIGINT) "
+            "AS n_customers, "
+            "CAST((SELECT c FROM cum WHERE k = pick.nk) AS BIGINT) "
+            "AS covered_cents, "
+            "(SELECT t FROM tot) AS total_cents, "
+            "(SELECT nc FROM tot) AS n_customers_total "
+            "FROM pick ORDER BY pct"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

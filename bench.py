@@ -308,6 +308,7 @@ QUERY_NAMES = [
     "q_t_closeness",
     "q_link_prediction",
     "q_psi_drift",
+    "q_pareto_coverage",
 ]
 
 

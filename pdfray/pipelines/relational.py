@@ -13935,3 +13935,167 @@ def q_psi_drift(sf_dir: str):
     for c in ("n_even", "n_odd", "psi_x1e9", "psi_total_x1e9"):
         out[c] = out[c].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+PARETO_THRESHOLDS = (50, 80, 90)  # revenue coverage targets, percent
+
+
+def q_pareto_coverage(sf_dir: str):
+    """Pareto / concentration analysis: the MINIMAL number of top
+    customers whose order revenue covers >= 50 / 80 / 90 % of the total
+    — "how head-heavy is this business" — without ever sorting the
+    customer table globally.
+
+    Plan: per-customer cent sums reduce through `_two_regime_sum` (one
+    exchange); `_range_plan` range-partitions on the NEGATED revenue
+    (descending ranges, revenue ties co-locate); each partition then
+    reduces to (rows, cents) — and for each threshold the driver folds
+    partition prefixes to find the CROSSING partition, collects ONLY
+    that partition's revenue array (bounded ~target rows by sizing, the
+    q_equidepth trick), and finds the exact in-partition index.  The
+    threshold compare is the integer cross-multiplication 100·cum >=
+    q·total; the answer is tie-ORDER-independent (equal revenues
+    contribute equally), so no float and no tiebreak sensitivity exists
+    anywhere.  Non-positive totals degenerate to the typed empty frame
+    on both sides; 100·total is guarded against int64."""
+    import ray
+
+    empty = pd.DataFrame(
+        {
+            "pct": pd.Series([], dtype="int64"),
+            "n_customers": pd.Series([], dtype="int64"),
+            "covered_cents": pd.Series([], dtype="int64"),
+            "total_cents": pd.Series([], dtype="int64"),
+            "n_customers_total": pd.Series([], dtype="int64"),
+        }
+    )
+    ds = _read(
+        sf_dir, "orders", ["o_custkey", "o_totalprice"], rows_per_block=100_000
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        tt = pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "r": pa.array(cents),
+            }
+        )
+        g = tt.group_by("o_custkey").aggregate([("r", "sum")])
+        return g.rename_columns(["o_custkey", "r"])
+
+    red, n_red = _two_regime_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        ["r"],
+        empty_types={"o_custkey": pa.int64()},
+    )
+    red = red.map_batches(
+        lambda t: t.append_column(
+            "neg_r",
+            pa.array(-t.column("r").to_numpy(zero_copy_only=False)),
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # customer-sized (dimension-order) reduced table
+    n_cust = red.count()
+    if n_cust == 0:
+        return empty
+    # the head search runs over POSITIVE revenues only: non-positive
+    # customers sort last under the descending order and can never be
+    # needed for coverage (Σ positives >= total), and excluding them
+    # keeps every in-partition prefix strictly increasing — the
+    # crossing scans below rely on that monotonicity
+    pos = red.filter(lambda row: row["r"] > 0).materialize()
+    n_pos = pos.count()
+    if n_pos == 0:
+        return empty
+    assign, _ = _range_plan(pos, n_pos, "o_custkey", "neg_r", "pareto")
+    assigned = pos.map_batches(assign, batch_format="pyarrow").materialize()
+
+    def part_sum(t: pa.Table) -> pa.Table:
+        part = t.column("part").to_numpy(zero_copy_only=False)
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        uv, inv = np.unique(part, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uv), np.int64)
+        np.add.at(s, inv, r)
+        return pa.table(
+            {
+                "part": pa.array(uv.astype(np.int64)),
+                "cnt": pa.array(cnt),
+                "s": pa.array(s),
+            }
+        )
+
+    psum, _ = _two_regime_sum(
+        assigned.map_batches(part_sum, batch_format="pyarrow"),
+        ["part"],
+        ["cnt", "s"],
+        empty_types={"part": pa.int64()},
+    )
+    pdf = typed_collect(
+        psum,
+        pa.schema([("part", pa.int64()), ("cnt", pa.int64()), ("s", pa.int64())]),
+    )
+    pdf = pdf.groupby("part", as_index=False)[["cnt", "s"]].sum().sort_values(
+        "part"
+    )
+    total = 0  # over ALL customers, negatives included
+    for b in red.map_batches(
+        lambda t: pa.table(
+            {
+                "s": pa.array(
+                    [int(t.column("r").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="numpy"):
+        total += int(b["s"].sum())
+    if total <= 0:
+        return empty
+    if 100 * total >= (1 << 63):
+        raise RuntimeError(
+            "q_pareto_coverage: 100·total exceeds int64 — rescale the "
+            "money grid for this corpus"
+        )
+    cum_rows = pdf["cnt"].cumsum() - pdf["cnt"]
+    cum_cents = pdf["s"].cumsum() - pdf["s"]
+    rows = []
+    part_cache: dict = {}
+    for q in PARETO_THRESHOLDS:
+        # crossing partition: first with 100*(cum_before + s) >= q*total
+        target = q * total
+        pick = None
+        for i, r in enumerate(pdf.itertuples()):
+            if 100 * (int(cum_cents.iloc[i]) + int(r.s)) >= target:
+                pick = (i, int(r.part))
+                break
+        i, p = pick
+        if p not in part_cache:
+            arr = (
+                assigned.filter(lambda row: row["part"] == p)
+                .to_pandas()
+                .sort_values(["neg_r", "o_custkey"])["r"]
+                .to_numpy(np.int64)
+            )
+            part_cache[p] = arr
+        arr = part_cache[p]
+        local = np.cumsum(arr) + int(cum_cents.iloc[i])
+        k = int(np.argmax(100 * local >= target))
+        rows.append(
+            {
+                "pct": q,
+                "n_customers": int(cum_rows.iloc[i]) + k + 1,
+                "covered_cents": int(local[k]),
+                "total_cents": total,
+                "n_customers_total": n_cust,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -1122,6 +1122,7 @@ STAR_ORACLE_QUERIES = [
     "q_ddsketch_quantiles",
     "q_mor_deletes",
     "q_mor_compaction",
+    "q_pareto_coverage",
 ]
 
 

@@ -1144,3 +1144,42 @@ def test_psi_drift_hand_solved(ray_session, tmp_path):
         term = 0.0 if p == q else (p - q) * math.log(p / q)
         want += int(np.floor(abs(term) * 1e9 + 0.5)) * (1 if term >= 0 else -1)
     assert int(eng.psi_total_x1e9.iloc[0]) == want
+
+
+def test_pareto_coverage_hand_and_ties(ray_session, tmp_path):
+    """Hand-solved coverage: revenues 50,30,10,10 (total 100) -> 50%
+    needs 1 customer, 80% needs 2, 90% needs 3; an exact-tie run at the
+    crossing (answer is tie-order independent); a zero and a NEGATIVE
+    revenue customer excluded from the head but counted in totals;
+    all-non-positive total -> typed empty frame."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_pareto_coverage
+
+    orders = []
+    ok = 0
+    for ck, total in ((1, 50.0), (2, 30.0), (3, 10.0), (4, 10.0)):
+        orders.append((ok, ck, total)); ok += 1
+    orders.append((ok, 5, 0.0)); ok += 1
+    orders.append((ok, 6, -5.0)); ok += 1
+    orders.append((ok, 1, 5.0)); ok += 1  # customer 1 -> 55 total (105 sum)
+    d = tmp_path / "par"
+    d.mkdir()
+    _write_orders_ck(d, orders)
+    eng = q_pareto_coverage(str(d))
+    got = {int(r.pct): (int(r.n_customers), int(r.covered_cents))
+           for r in eng.itertuples()}
+    # totals: 55+30+10+10+0-5 = 100.00 -> cents 10000
+    assert int(eng.total_cents.iloc[0]) == 10000
+    assert int(eng.n_customers_total.iloc[0]) == 6
+    assert got[50] == (1, 5500)
+    assert got[80] == (2, 8500)
+    assert got[90] == (3, 9500)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet'")
+    ora = con.execute(entrymod.oracle_sql()["q_pareto_coverage"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+    # all-non-positive -> empty
+    d2 = tmp_path / "parneg"
+    d2.mkdir()
+    _write_orders_ck(d2, [(0, 1, -1.0), (1, 2, 0.0)])
+    assert len(q_pareto_coverage(str(d2))) == 0
