@@ -458,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_link_prediction": R.q_link_prediction,
         "q_psi_drift": R.q_psi_drift,
         "q_pareto_coverage": R.q_pareto_coverage,
+        "q_weighted_sssp": R.q_weighted_sssp,
     }
 
 
@@ -4976,6 +4977,33 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT t FROM tot) AS total_cents, "
             "(SELECT nc FROM tot) AS n_customers_total "
             "FROM pick ORDER BY pct"
+        ),
+        "q_weighted_sssp": (
+            # Bellman-Ford unrolled as chained min CTEs (the q_bfs_reach
+            # / q_pagerank_bipartite oracle scheme); min-weight edges
+            # and all distances in exact int64 cents
+            "WITH ew AS (SELECT u, v, CAST(MIN(wc) AS BIGINT) AS w FROM ("
+            "SELECT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v, "
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS wc "
+            "FROM lineitem "
+            "UNION ALL SELECT 2 * l_suppkey + 1, 2 * l_partkey, "
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) "
+            "FROM lineitem) GROUP BY u, v), "
+            "d0 AS (SELECT DISTINCT 2 * s_suppkey + 1 AS node, "
+            "CAST(0 AS BIGINT) AS d FROM supplier "
+            "WHERE s_suppkey % 10 = 0), "
+            "d1 AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM ("
+            "SELECT node, d FROM d0 UNION ALL SELECT ew.v, d0.d + ew.w "
+            "FROM ew JOIN d0 ON ew.u = d0.node) GROUP BY node), "
+            "d2 AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM ("
+            "SELECT node, d FROM d1 UNION ALL SELECT ew.v, d1.d + ew.w "
+            "FROM ew JOIN d1 ON ew.u = d1.node) GROUP BY node), "
+            "d3 AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM ("
+            "SELECT node, d FROM d2 UNION ALL SELECT ew.v, d2.d + ew.w "
+            "FROM ew JOIN d2 ON ew.u = d2.node) GROUP BY node) "
+            "SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' "
+            "END AS node_type, CAST(node // 2 AS BIGINT) AS key, "
+            "d AS dist_cents FROM d3 ORDER BY node_type, key"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -309,6 +309,7 @@ QUERY_NAMES = [
     "q_link_prediction",
     "q_psi_drift",
     "q_pareto_coverage",
+    "q_weighted_sssp",
 ]
 
 

@@ -14099,3 +14099,136 @@ def q_pareto_coverage(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+SSSP_ROUNDS = 3  # bounded Bellman-Ford relaxation rounds
+
+
+def q_weighted_sssp(sf_dir: str):
+    """Bounded-hop WEIGHTED single-source-set shortest paths
+    (Bellman-Ford, 3 relaxation rounds) over the bipartite shipment
+    graph — q_bfs_reach's weighted sibling: edge weight = the MINIMUM
+    extended-price cents ever shipped for that (part, supplier) pair,
+    sources = suppliers with s_suppkey % 10 == 0, and the answer is the
+    exact min-cost reach within <= 3 hops.  The delta-stepping shape
+    reduced to its dense-round core: each round is one edge-stream map +
+    one min-combiner exchange.
+
+    Exactness: weights and distances are int64 cents end to end; min is
+    order-free, so rounds are deterministic at any layout.  The distance
+    table is NODE-order (parts + suppliers — catalog dimensions), so it
+    rides the driver/broadcast like q_triangle_count's degree rank; a
+    general web-scale graph would swap the broadcast for the
+    q_pagerank_bipartite edges⋈dists join regime, unchanged math.
+    Overflow: dist <= rounds · max_cents << 2^63."""
+    import ray
+
+    empty = pd.DataFrame(
+        {
+            "node_type": pd.Series([], dtype=object),
+            "key": pd.Series([], dtype="int64"),
+            "dist_cents": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def wedge_combiner(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        wc = round_half_away(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0,
+            0,
+        ).astype(np.int64)
+        u = np.concatenate([2 * p, 2 * s + 1])
+        v = np.concatenate([2 * s + 1, 2 * p])
+        tt = pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(np.concatenate([wc, wc])),
+            }
+        )
+        g = tt.group_by(["u", "v"]).aggregate([("w", "min")])
+        return g.rename_columns(["u", "v", "w"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_suppkey", "l_extendedprice"],
+        rows_per_block=100_000,
+    ).map_batches(wedge_combiner, batch_format="pyarrow")
+    edges, _ = _two_regime_agg(
+        li,
+        ["u", "v"],
+        ["w"],
+        "min",
+        empty_types={"u": pa.int64(), "v": pa.int64()},
+    )
+    edges = edges.materialize()  # deduped min-weight edges, reused per round
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey"]).to_pandas()
+    sources = sorted(
+        {2 * int(k) + 1 for k in sup["s_suppkey"] if int(k) % 10 == 0}
+    )
+    if not sources:
+        return empty
+    dist = {int(s): 0 for s in sources}
+    for _round in range(SSSP_ROUNDS):
+        dk = np.array(sorted(dist), dtype=np.int64)
+        dv = np.array([dist[int(k)] for k in dk], dtype=np.int64)
+        dref = ray.put((dk, dv))
+
+        class _Relax:
+            def __init__(self):
+                self.dk, self.dv = ray.get(dref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                u = t.column("u").to_numpy(zero_copy_only=False)
+                v = t.column("v").to_numpy(zero_copy_only=False)
+                w = t.column("w").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(self.dk, u)
+                pos = np.minimum(pos, len(self.dk) - 1)
+                m = self.dk[pos] == u
+                du = self.dv[pos]
+                if not m.any():
+                    return pa.table(
+                        {
+                            "v": pa.array([], pa.int64()),
+                            "nd": pa.array([], pa.int64()),
+                        }
+                    )
+                return pa.table(
+                    {
+                        "v": pa.array(v[m].astype(np.int64)),
+                        "nd": pa.array((du[m] + w[m]).astype(np.int64)),
+                    }
+                )
+
+        rel, _ = _two_regime_agg(
+            edges.map_batches(
+                warm_factory(("sssp_relax", dref.hex()), _Relax),
+                batch_format="pyarrow",
+            ),
+            ["v"],
+            ["nd"],
+            "min",
+            empty_types={"v": pa.int64()},
+        )
+        cand = typed_collect(
+            rel, pa.schema([("v", pa.int64()), ("nd", pa.int64())])
+        )
+        nd = dict(dist)
+        for r in cand.itertuples():
+            k, d = int(r.v), int(r.nd)
+            if k not in nd or d < nd[k]:
+                nd[k] = d
+        dist = nd
+    out = pd.DataFrame(
+        {
+            "node_type": [
+                "part" if k % 2 == 0 else "supplier" for k in dist
+            ],
+            "key": pd.Series([k // 2 for k in dist], dtype="int64"),
+            "dist_cents": pd.Series(list(dist.values()), dtype="int64"),
+        }
+    )
+    return out.sort_values(["node_type", "key"]).reset_index(drop=True)

@@ -798,6 +798,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "q16_supplier_variety",
     "q_pagerank_bipartite",
     "q_bfs_reach",
+    "q_weighted_sssp",
     "q6_forecast_revenue",
     "q14_promo_revenue",
     "q15_top_supplier",

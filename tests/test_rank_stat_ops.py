@@ -1183,3 +1183,80 @@ def test_pareto_coverage_hand_and_ties(ray_session, tmp_path):
     d2.mkdir()
     _write_orders_ck(d2, [(0, 1, -1.0), (1, 2, 0.0)])
     assert len(q_pareto_coverage(str(d2))) == 0
+
+
+def test_weighted_sssp_hand_solved(ray_session, tmp_path):
+    """Hand-solved Bellman-Ford on a planted graph: the cheap 2-hop
+    route beats the expensive direct edge (relaxation must propagate);
+    the min-weight edge rule (parallel lineitems keep the cheapest);
+    a node only reachable in 4 hops stays absent at 3 rounds; sources
+    (suppkey % 10 == 0) start at 0 even when their edges are pricey."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_weighted_sssp
+
+    # supplier 10 is the source. parts/suppliers: edges via baskets of
+    # (orderkey, partkey) won't do — build lineitem directly.
+    rows = []  # (partkey, suppkey, extprice)
+    rows.append((1, 10, 100.0))   # s10 -p1 cost 10000
+    rows.append((1, 10, 60.0))    # parallel cheaper: min -> 6000
+    rows.append((1, 3, 1.0))      # p1 - s3 cost 100
+    rows.append((2, 10, 50.0))    # s10 - p2 5000
+    rows.append((2, 3, 2.0))      # p2 - s3 200 -> s3 via p2: 5200 < via p1 6100
+    rows.append((5, 3, 1.0))      # p5 only via s3: hop 3 = 5200+100
+    rows.append((6, 7, 1.0))      # disconnected island (s7 not a source)
+    n = len(rows)
+    d = tmp_path / "sssp"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(list(range(n)), pa.int64()),
+                "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_linenumber": pa.array([1] * n, pa.int32()),
+                "l_quantity": pa.array([1.0] * n, pa.float64()),
+                "l_extendedprice": pa.array(
+                    [float(r[2]) for r in rows], pa.float64()
+                ),
+                "l_discount": pa.array([0.0] * n, pa.float64()),
+                "l_tax": pa.array([0.0] * n, pa.float64()),
+                "l_returnflag": pa.array(["N"] * n, pa.string()),
+                "l_linestatus": pa.array(["O"] * n, pa.string()),
+                "l_shipdate": pa.array(
+                    [1_500_000_000_000_000] * n, pa.int64()
+                ).cast(pa.timestamp("us")),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([10, 3, 7], pa.int64()),
+                "s_name": pa.array(["a", "b", "c"], pa.string()),
+                "s_nationkey": pa.array([0, 0, 0], pa.int64()),
+                "s_acctbal": pa.array([0.0, 0.0, 0.0], pa.float64()),
+            }
+        ),
+        str(d / "supplier.parquet"),
+    )
+    eng = q_weighted_sssp(str(d))
+    got = {
+        (r.node_type, int(r.key)): int(r.dist_cents)
+        for r in eng.itertuples()
+    }
+    assert got[("supplier", 10)] == 0
+    # p1: direct 6000 (min of 10000/6000 parallel edges) loses to the
+    # 3-hop s10->p2->s3->p1 = 5000+200+100 = 5300
+    assert got[("part", 1)] == 5300
+    assert got[("part", 2)] == 5000
+    assert got[("supplier", 3)] == 5200  # via p2, not p1
+    assert got[("part", 5)] == 5300  # 3 hops
+    assert ("supplier", 7) not in got and ("part", 6) not in got
+    con = duckdb.connect()
+    for tbl in ("lineitem", "supplier"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{d}/{tbl}.parquet'"
+        )
+    ora = con.execute(entrymod.oracle_sql()["q_weighted_sssp"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
