@@ -14165,7 +14165,10 @@ def q_weighted_sssp(sf_dir: str):
     )
     edges = edges.materialize()  # deduped min-weight edges, reused per round
 
-    sup = _read(sf_dir, "supplier", ["s_suppkey"]).to_pandas()
+    sup = typed_collect(
+        _read(sf_dir, "supplier", ["s_suppkey"]),
+        pa.schema([("s_suppkey", pa.int64())]),
+    )
     sources = sorted(
         {2 * int(k) + 1 for k in sup["s_suppkey"] if int(k) % 10 == 0}
     )
