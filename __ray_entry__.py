@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_psi_drift": R.q_psi_drift,
         "q_pareto_coverage": R.q_pareto_coverage,
         "q_weighted_sssp": R.q_weighted_sssp,
+        "t_ingest_quarantine": R.t_ingest_quarantine,
     }
 
 
@@ -5004,6 +5005,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' "
             "END AS node_type, CAST(node // 2 AS BIGINT) AS key, "
             "d AS dist_cents FROM d3 ORDER BY node_type, key"
+        ),
+        "t_ingest_quarantine": (
+            # the same fixed priority chain; json_valid == the engine's
+            # yyjson-aligned strict parse (NaN constants rejected)
+            "WITH c AS (SELECT event_id, CASE "
+            "WHEN user_id IS NULL THEN 'null_user' "
+            "WHEN ts IS NULL THEN 'null_ts' "
+            "WHEN value IS NULL OR isnan(value) THEN 'bad_value' "
+            "WHEN props IS NULL OR NOT json_valid(props) "
+            "THEN 'bad_props' ELSE 'ok' END AS violation FROM events) "
+            "SELECT violation, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(MIN(event_id) AS BIGINT) AS min_event_id, "
+            "CAST(MAX(event_id) AS BIGINT) AS max_event_id "
+            "FROM c GROUP BY violation ORDER BY violation"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -310,6 +310,7 @@ QUERY_NAMES = [
     "q_psi_drift",
     "q_pareto_coverage",
     "q_weighted_sssp",
+    "t_ingest_quarantine",
 ]
 
 

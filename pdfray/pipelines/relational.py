@@ -14235,3 +14235,147 @@ def q_weighted_sssp(sf_dir: str):
         }
     )
     return out.sort_values(["node_type", "key"]).reset_index(drop=True)
+
+
+QUARANTINE_CLASSES = ("ok", "null_user", "null_ts", "bad_value", "bad_props")
+
+
+def _strict_json_ok(s) -> bool:
+    """yyjson-aligned validity: Python's json with the NaN/Infinity
+    constants REJECTED (json.loads accepts bare NaN by default; DuckDB's
+    json_valid does not).  The remaining divergence surface (exotic
+    control characters) is out of contract, as documented for
+    q_json_profile."""
+    import json
+
+    if s is None:
+        return False
+
+    def _reject(_c):
+        raise ValueError("constant")
+
+    try:
+        json.loads(s, parse_constant=_reject)
+        return True
+    except ValueError:
+        return False
+
+
+def t_ingest_quarantine(sf_dir: str, out_dir: str = None):
+    """Ingest validation with DEAD-LETTER routing — the quarantine stage
+    every production feed runs before a corpus accepts new rows: each
+    event lands in the FIRST failing class of a fixed priority chain
+    (null_user → null_ts → bad_value (NULL/NaN) → bad_props (not valid
+    JSON) → ok), bad rows route to a per-class quarantine parquet sink
+    (content-addressed, idempotent — the IPC/Avro sink discipline) and
+    the report carries per-class counts + event_id ranges.
+
+    One streaming pass; per-block partials are ≤ 5 rows (class, n, min,
+    max) folded on the driver — no exchange at all.  JSON validity is
+    `_strict_json_ok` (yyjson-aligned, NaN constants rejected) so the
+    oracle's json_valid() agrees."""
+    import hashlib
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        rows_per_block=100_000,
+    )
+
+    def classify(t: pa.Table):
+        n = len(t)
+        uid_null = pc.is_null(t.column("user_id")).to_numpy(
+            zero_copy_only=False
+        )
+        ts_null = pc.is_null(t.column("ts")).to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        v_bad = pc.is_null(t.column("value")).to_numpy(
+            zero_copy_only=False
+        ) | np.isnan(v)
+        p_bad = np.array(
+            [not _strict_json_ok(s) for s in t.column("props").to_pylist()],
+            dtype=bool,
+        )
+        cls = np.full(n, 0, dtype=np.int64)  # ok
+        cls[p_bad] = 4
+        cls[v_bad] = 3
+        cls[ts_null] = 2
+        cls[uid_null] = 1
+        return cls
+
+    def partial(t: pa.Table) -> pa.Table:
+        cls = classify(t)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        rows = {"cls": [], "n": [], "mn": [], "mx": []}
+        for c in np.unique(cls):
+            m = cls == c
+            rows["cls"].append(int(c))
+            rows["n"].append(int(m.sum()))
+            rows["mn"].append(int(eid[m].min()))
+            rows["mx"].append(int(eid[m].max()))
+        if out_dir is not None and (cls != 0).any():
+            bad = t.filter(pa.array(cls != 0)).append_column(
+                "violation",
+                pa.array(
+                    [QUARANTINE_CLASSES[c] for c in cls[cls != 0]],
+                    pa.string(),
+                ),
+            )
+            sink = pa.BufferOutputStream()
+            import pyarrow.parquet as pq
+
+            pq.write_table(bad, sink)
+            buf = sink.getvalue().to_pybytes()
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(
+                out_dir, hashlib.md5(buf).hexdigest() + ".parquet"
+            )
+            tmp_p = path + ".tmp"
+            with open(tmp_p, "wb") as f:
+                f.write(buf)
+            os.replace(tmp_p, path)
+        return pa.table(
+            {
+                "cls": pa.array(rows["cls"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "mn": pa.array(rows["mn"], pa.int64()),
+                "mx": pa.array(rows["mx"], pa.int64()),
+            }
+        )
+
+    agg: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pandas"
+    ):
+        for r in b.itertuples():
+            c = int(r.cls)
+            if c not in agg:
+                agg[c] = [0, int(r.mn), int(r.mx)]
+            agg[c][0] += int(r.n)
+            agg[c][1] = min(agg[c][1], int(r.mn))
+            agg[c][2] = max(agg[c][2], int(r.mx))
+    out = pd.DataFrame(
+        {
+            "violation": [QUARANTINE_CLASSES[c] for c in sorted(agg)],
+            "n_rows": pd.Series(
+                [agg[c][0] for c in sorted(agg)], dtype="int64"
+            ),
+            "min_event_id": pd.Series(
+                [agg[c][1] for c in sorted(agg)], dtype="int64"
+            ),
+            "max_event_id": pd.Series(
+                [agg[c][2] for c in sorted(agg)], dtype="int64"
+            ),
+        }
+    )
+    if len(out) == 0:
+        out = pd.DataFrame(
+            {
+                "violation": pd.Series([], dtype=object),
+                "n_rows": pd.Series([], dtype="int64"),
+                "min_event_id": pd.Series([], dtype="int64"),
+                "max_event_id": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values("violation").reset_index(drop=True)

@@ -646,6 +646,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_interval_overlap_join",
     "q_stream_tumbling_agg",
     "q_psi_drift",
+    "t_ingest_quarantine",
 ]
 
 _PROPS_POOL = [

@@ -1260,3 +1260,71 @@ def test_weighted_sssp_hand_solved(ray_session, tmp_path):
         )
     ora = con.execute(entrymod.oracle_sql()["q_weighted_sssp"]).df()
     pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+def test_ingest_quarantine_priority_sink_and_json_edges(
+    ray_session, tmp_path
+):
+    """Every violation class planted (NULL user/ts, NaN and NULL value,
+    invalid JSON incl. the bare-NaN constant Python's json ACCEPTS but
+    yyjson rejects — the parity trap `_strict_json_ok` exists for), a
+    row failing MULTIPLE rules lands in the highest-priority class only,
+    the dead-letter sink holds exactly the bad rows with their class,
+    and engine == oracle."""
+    import glob
+
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import (
+        _strict_json_ok,
+        t_ingest_quarantine,
+    )
+
+    # json parity edges
+    assert _strict_json_ok('{"k": 1}')
+    assert not _strict_json_ok("NaN")  # python-json accepts; yyjson doesn't
+    assert not _strict_json_ok('{"k": Infinity}')
+    assert not _strict_json_ok("01")
+    assert not _strict_json_ok("")
+    assert not _strict_json_ok(None)
+
+    base = 1_700_000_000_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "ts": pa.array(
+                [base, None, base, base, base, base, base], pa.int64()
+            ).cast(pa.timestamp("us")),
+            "user_id": pa.array([1, None, None, 2, 3, 4, 5], pa.int64()),
+            "event_type": pa.array(["view"] * 7, pa.string()),
+            "value": pa.array(
+                [1.0, 1.0, float("nan"), float("nan"), None, 1.0, 2.0],
+                pa.float64(),
+            ),
+            "props": pa.array(
+                ['{"k":1}', "{}", "{}", "NaN", "{}", "not json", '{"a":[1]}'],
+                pa.string(),
+            ),
+        }
+    )
+    d = tmp_path / "quar"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    dlq = str(tmp_path / "dlq")
+    eng = t_ingest_quarantine(str(d), out_dir=dlq)
+    got = {r.violation: (int(r.n_rows), int(r.min_event_id), int(r.max_event_id))
+           for r in eng.itertuples()}
+    # id2 fails ts AND user -> null_user wins; id4 fails value AND props
+    # -> bad_value wins
+    assert got["null_user"] == (2, 2, 3)
+    assert got["bad_value"] == (2, 4, 5)
+    assert got["bad_props"] == (1, 6, 6)
+    assert got["ok"] == (2, 1, 7)
+    dead = pd.concat(
+        [pq.read_table(p).to_pandas() for p in glob.glob(dlq + "/*.parquet")]
+    )
+    assert sorted(dead["event_id"]) == [2, 3, 4, 5, 6]
+    assert set(dead["violation"]) == {"null_user", "bad_value", "bad_props"}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.execute(entrymod.oracle_sql()["t_ingest_quarantine"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
