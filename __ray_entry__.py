@@ -460,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pareto_coverage": R.q_pareto_coverage,
         "q_weighted_sssp": R.q_weighted_sssp,
         "t_ingest_quarantine": R.t_ingest_quarantine,
+        "q_group_quantile_sketch": R.q_group_quantile_sketch,
     }
 
 
@@ -5019,6 +5020,56 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(event_id) AS BIGINT) AS min_event_id, "
             "CAST(MAX(event_id) AS BIGINT) AS max_event_id "
             "FROM c GROUP BY violation ORDER BY violation"
+        ),
+        "q_group_quantile_sketch": (
+            # the q_ddsketch_quantiles replay PARTITIONed by event_type;
+            # NULL/NaN excluded like q_ks_test
+            "WITH c AS (SELECT event_type AS t, "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events "
+            "WHERE value IS NOT NULL AND NOT isnan(value)), "
+            "b AS (SELECT t, cents, abs(cents) AS a, "
+            "CASE WHEN cents = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(length(bin(abs(cents))) AS BIGINT) END AS L FROM c), "
+            "k AS (SELECT t, CASE WHEN cents = 0 THEN 0 ELSE "
+            "CAST(sign(cents) AS BIGINT) * (4 * L + "
+            "(CASE WHEN L >= 3 THEN (a >> (L - 3)) & 3 "
+            "ELSE (a << (3 - L)) & 3 END)) END AS bkey FROM b), "
+            "h AS (SELECT t, bkey, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM k GROUP BY t, bkey), "
+            "cum AS (SELECT t, bkey, SUM(cnt) OVER (PARTITION BY t "
+            "ORDER BY bkey) AS cum FROM h), "
+            "tot AS (SELECT t, CAST(SUM(cnt) AS BIGINT) AS n "
+            "FROM h GROUP BY t), "
+            "qs AS (SELECT * FROM (VALUES (500), (900)) AS v(qm)), "
+            "r AS (SELECT tot.t, CAST(qm AS BIGINT) AS qm, n, "
+            "(qm * n + 999) // 1000 AS rk FROM qs CROSS JOIN tot), "
+            "pick AS (SELECT r.t, r.qm, r.n, r.rk, MIN(cum.bkey) AS bkey "
+            "FROM r JOIN cum ON cum.t = r.t AND cum.cum >= r.rk "
+            "GROUP BY r.t, r.qm, r.n, r.rk), "
+            "dec AS (SELECT t, qm, n, rk, bkey, "
+            "CASE WHEN bkey > 0 THEN 1 WHEN bkey < 0 THEN -1 ELSE 0 END "
+            "AS s, abs(bkey) // 4 AS L, abs(bkey) % 4 AS j FROM pick), "
+            "bounds AS (SELECT t, qm, n, rk, bkey, s, "
+            "CASE WHEN s = 0 THEN CAST(0 AS HUGEINT) ELSE "
+            "((CAST(1 AS HUGEINT) << CAST(L - 1 AS INTEGER)) * (4 + j) + 3)"
+            " // 4 END AS plo, "
+            "CASE WHEN s = 0 THEN CAST(0 AS HUGEINT) ELSE "
+            "((CAST(1 AS HUGEINT) << CAST(L - 1 AS INTEGER)) * (5 + j) + 3)"
+            " // 4 - 1 END AS phi FROM dec) "
+            "SELECT t AS event_type, qm AS q_permille, n, "
+            "CAST(rk AS BIGINT) AS rank, CAST(bkey AS BIGINT) "
+            "AS bucket_key, "
+            "CAST(CASE WHEN s >= 0 THEN plo ELSE -phi END AS BIGINT) "
+            "AS lo_cents, "
+            "CAST(CASE WHEN s >= 0 THEN phi ELSE -plo END AS BIGINT) "
+            "AS hi_cents, "
+            "CAST((CASE WHEN s >= 0 THEN plo ELSE -phi END) "
+            "+ (CASE WHEN s >= 0 THEN phi ELSE -plo END) AS DOUBLE) / 200.0 "
+            "AS est_value, "
+            "CASE WHEN phi = plo THEN 0.0 ELSE "
+            "CAST(phi - plo AS DOUBLE) / CAST(phi + plo AS DOUBLE) END "
+            "AS rel_err_bound "
+            "FROM bounds ORDER BY event_type, q_permille"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -311,6 +311,7 @@ QUERY_NAMES = [
     "q_pareto_coverage",
     "q_weighted_sssp",
     "t_ingest_quarantine",
+    "q_group_quantile_sketch",
 ]
 
 

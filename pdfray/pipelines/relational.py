@@ -14379,3 +14379,96 @@ def t_ingest_quarantine(sf_dir: str, out_dir: str = None):
             }
         )
     return out.sort_values("violation").reset_index(drop=True)
+
+
+GROUP_DD_QS = (500, 900)
+
+
+def q_group_quantile_sketch(sf_dir: str):
+    """The DDSketch as a GROUPED aggregate — per event_type q50/q90 over
+    `value` cents: the form a 100 TB profiler actually runs (one
+    mergeable sketch per group key, constant bytes per group whatever
+    the row count).  Same bucket machinery as q_ddsketch_quantiles
+    (`_dd_bucket_keys` / `_dd_bucket_bounds` — pure integer, oracle-
+    replayable), partials are (type, bucket, count) rows merged by
+    `_two_regime_sum`, and the driver reads each group's cumulative
+    histogram off independently.  NULL/NaN values are excluded on both
+    sides (the q_ks_test convention)."""
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.Series([], dtype=object),
+            "q_permille": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64"),
+            "bucket_key": pd.Series([], dtype="int64"),
+            "lo_cents": pd.Series([], dtype="int64"),
+            "hi_cents": pd.Series([], dtype="int64"),
+            "est_value": pd.Series([], dtype="float64"),
+            "rel_err_bound": pd.Series([], dtype="float64"),
+        }
+    )
+    ds = _read(
+        sf_dir, "events", ["event_type", "value"], rows_per_block=500_000
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        ok = df["value"].notna().to_numpy() & ~np.isnan(v)
+        cents = round_half_away(v[ok] * 100.0, 0).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "t": df["event_type"].to_numpy()[ok],
+                "bkey": _dd_bucket_keys(cents),
+            }
+        )
+        g = out.groupby(["t", "bkey"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+        g["bkey"] = g["bkey"].astype("int64")
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    red, _ = _two_regime_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["t", "bkey"],
+        ["cnt"],
+        empty_types={"t": pa.string(), "bkey": pa.int64()},
+    )
+    hist = typed_collect(
+        red,
+        pa.schema(
+            [("t", pa.string()), ("bkey", pa.int64()), ("cnt", pa.int64())]
+        ),
+    )
+    if len(hist) == 0:
+        return empty
+    hist = hist.groupby(["t", "bkey"], as_index=False)["cnt"].sum()
+    rows = []
+    for t, g in hist.groupby("t"):
+        g = g.sort_values("bkey")
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        for qm in GROUP_DD_QS:
+            r = (qm * n + 999) // 1000
+            i = int(np.searchsorted(cum, r, side="left"))
+            bkey = int(g["bkey"].iloc[i])
+            lo, hi = _dd_bucket_bounds(bkey)
+            rows.append(
+                {
+                    "event_type": t,
+                    "q_permille": qm,
+                    "n": n,
+                    "rank": r,
+                    "bucket_key": bkey,
+                    "lo_cents": lo,
+                    "hi_cents": hi,
+                    "est_value": (lo + hi) / 200.0,
+                    "rel_err_bound": 0.0
+                    if hi == lo
+                    else (hi - lo) / abs(hi + lo),
+                }
+            )
+    out = pd.DataFrame(rows)
+    for c in ("q_permille", "n", "rank", "bucket_key", "lo_cents", "hi_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "q_permille"]).reset_index(drop=True)

@@ -647,6 +647,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_stream_tumbling_agg",
     "q_psi_drift",
     "t_ingest_quarantine",
+    "q_group_quantile_sketch",
 ]
 
 _PROPS_POOL = [

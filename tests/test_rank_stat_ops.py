@@ -1328,3 +1328,42 @@ def test_ingest_quarantine_priority_sink_and_json_edges(
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
     ora = con.execute(entrymod.oracle_sql()["t_ingest_quarantine"]).df()
     pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+def test_group_quantile_sketch_certificate(ray_session, tmp_path):
+    """Per-group certificate: for each (type, q) row the true group
+    order statistic at the reported rank lies inside [lo, hi]; negative
+    and NaN values exercised; engine == oracle."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_group_quantile_sketch
+
+    base = 1_700_000_000_000_000
+    rng = np.random.RandomState(3)
+    rows, by_type = [], {}
+    for i in range(900):
+        t = rng.choice(["view", "purchase", "error"])
+        v = float(rng.randint(-4000, 9000)) / 64.0
+        rows.append((i, base + i, 1, t, v))
+        by_type.setdefault(t, []).append(v)
+    rows.append((9000, base, 1, "view", float("nan")))  # excluded
+    d = tmp_path / "gdd"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_group_quantile_sketch(str(d))
+    from pdfray.pipelines.relational import round_half_away
+
+    for r in eng.itertuples():
+        vals = np.sort(
+            round_half_away(
+                np.array(by_type[r.event_type]) * 100.0, 0
+            ).astype(np.int64)
+        )
+        assert len(vals) == r.n
+        true_stat = int(vals[r.rank - 1])
+        assert r.lo_cents <= true_stat <= r.hi_cents, r
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.execute(
+        entrymod.oracle_sql()["q_group_quantile_sketch"]
+    ).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
