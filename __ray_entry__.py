@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_sssp": R.q_weighted_sssp,
         "t_ingest_quarantine": R.t_ingest_quarantine,
         "q_group_quantile_sketch": R.q_group_quantile_sketch,
+        "m_sharpness": M.m_sharpness,
     }
 
 
@@ -524,6 +525,50 @@ def _image_hash_oracle() -> str:
     return (
         f"SELECT url, ok, ahash FROM (VALUES {values}) AS g(url, ok, ahash) "
         "ORDER BY url"
+    )
+
+
+def _sharpness_oracle() -> str:
+    """Golden variance-of-Laplacian VALUES for the sf0.01 media fixture,
+    computed from the PRE-encode pixel arrays via the same integer
+    `laplacian_stats` — the decoder is never touched here, so an engine
+    match certifies decode + Laplacian arithmetic end to end (the
+    m_image_hash scheme).  repr(float) literals parse back to the
+    identical double."""
+    from pdfray.pipelines.multimodal import laplacian_stats
+    from pdfray.sources import fixtures as FX
+
+    rows = []
+    n_docs = FX.sf_doc_count(0.01)
+    for k in range(n_docs):
+        w, h, form, _filt, broken = FX.media_geometry(k)
+        px, pal = FX._media_pixels(k, w, h, form)
+        if broken:
+            rows.append(
+                (f"https://img.example.org/broken/{k:08d}.png", False, 0, 0, 0)
+            )
+            continue
+        if pal is not None:
+            px = pal[px]
+        n, s, ss = laplacian_stats(px)
+        rows.append((f"https://img.example.org/{form}/{k:08d}.png", True, n, s, ss))
+    vals = []
+    for u, ok, n, s, ss in rows:
+        sharp = (
+            repr((float(ss) - float(s) * float(s) / float(n)) / float(n))
+            if n > 0
+            else "CAST('nan' AS DOUBLE)"
+        )
+        vals.append(
+            f"('{u}', {'true' if ok else 'false'}, {n}, {s}, {ss}, {sharp})"
+        )
+    return (
+        "SELECT url, ok, CAST(lap_n AS BIGINT) AS lap_n, "
+        "CAST(lap_sum AS BIGINT) AS lap_sum, "
+        "CAST(lap_sumsq AS BIGINT) AS lap_sumsq, "
+        "CAST(sharpness AS DOUBLE) AS sharpness FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS g(url, ok, lap_n, lap_sum, lap_sumsq, sharpness) ORDER BY url"
     )
 
 
@@ -2433,6 +2478,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{media}') ORDER BY url"
         ),
         "m_image_hash": _image_hash_oracle(),
+        "m_sharpness": _sharpness_oracle(),
         "m_phash": _phash_oracle(),
         "m_audio_features": (
             # golden columns were computed from the PRE-encode samples at

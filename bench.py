@@ -312,6 +312,7 @@ QUERY_NAMES = [
     "q_weighted_sssp",
     "t_ingest_quarantine",
     "q_group_quantile_sketch",
+    "m_sharpness",
 ]
 
 

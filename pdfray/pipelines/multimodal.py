@@ -959,3 +959,84 @@ def m_patchify(sf_dir: str):
         warm_stage(PatchExtractor), batch_format="pyarrow", batch_size=64
     )
     return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+def laplacian_stats(pixels) -> tuple:
+    """Variance-of-Laplacian digests — the classic blur/sharpness metric
+    (pinhole: a sharp image has high second-derivative energy).  Returns
+    EXACT integers (n, ΣL, ΣL²) over the interior 3x3-Laplacian
+    L = 4·g − up − down − left − right of the integer luma plane, so the
+    reported variance is the same (ss − s²/n)/n IEEE expression on both
+    the decode path and the pre-encode golden path.  Images thinner than
+    3 px have no interior: (0, 0, 0)."""
+    import numpy as np
+
+    g = luma_plane(pixels)
+    h, w = g.shape
+    if h < 3 or w < 3:
+        return 0, 0, 0
+    c = g[1:-1, 1:-1]
+    lap = (
+        4 * c
+        - g[:-2, 1:-1]
+        - g[2:, 1:-1]
+        - g[1:-1, :-2]
+        - g[1:-1, 2:]
+    )
+    n = int(lap.size)
+    s = int(lap.sum())
+    ss = int((lap.astype(np.int64) ** 2).sum())
+    return n, s, ss
+
+
+class SharpnessScorer:
+    """Actor-pool stage: decode PNG -> variance-of-Laplacian digests.
+    Broken payloads emit ok=false with zero digests (typed-error
+    contract, row kept)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("payload")
+        oks, ns, ss_, sss = [], [], [], []
+        for i in range(len(urls)):
+            try:
+                img = decode_png(payloads[i].as_py() or b"")
+                n, s, ss = laplacian_stats(img.pixels)
+                oks.append(True)
+            except Exception:
+                n, s, ss = 0, 0, 0
+                oks.append(False)
+            ns.append(n)
+            ss_.append(s)
+            sss.append(ss)
+        sharp = [
+            (float(ss) - float(s) * float(s) / float(n)) / float(n)
+            if n > 0
+            else float("nan")
+            for n, s, ss in zip(ns, ss_, sss)
+        ]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ok": pa.array(oks, pa.bool_()),
+                "lap_n": pa.array(ns, pa.int64()),
+                "lap_sum": pa.array(ss_, pa.int64()),
+                "lap_sumsq": pa.array(sss, pa.int64()),
+                "sharpness": pa.array(sharp, pa.float64()),
+            }
+        )
+
+
+def m_sharpness(sf_dir: str):
+    """Per-image variance-of-Laplacian sharpness — the blur-filter score a
+    multimodal training pipeline thresholds on before spending encoder
+    compute; REAL decode through the pure-Python PNG codec, digests exact
+    ints, variance the pinned IEEE expression, oracle = golden VALUES
+    from the PRE-encode pixel arrays (the m_image_hash scheme — a match
+    certifies decode + Laplacian arithmetic end to end)."""
+    out = _media_ds(sf_dir).map_batches(
+        warm_stage(SharpnessScorer), batch_format="pyarrow", batch_size=64
+    )
+    return out.to_pandas().sort_values("url").reset_index(drop=True)

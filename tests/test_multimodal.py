@@ -492,3 +492,57 @@ def test_patchify_stage_long_format_consistent_with_summary(ray_session):
     assert (summary.loc["u1", "np_y"], summary.loc["u1", "np_x"]) == (3, 4)
     # u2: 9x17 -> 1x2 grid (edges dropped)
     assert (summary.loc["u2", "np_y"], summary.loc["u2", "np_x"]) == (1, 2)
+
+
+def test_laplacian_stats_hand_values():
+    """Hand-checked variance-of-Laplacian: a FLAT image has zero energy;
+    a single bright interior pixel contributes the known kernel response
+    (4 at the center, -1 at its 4 neighbors -> n=9 interior, s=0 by
+    symmetry... computed explicitly below); images thinner than 3px have
+    no interior; RGB lumas ride the integer-mean plane."""
+    import numpy as np
+
+    from pdfray.pipelines.multimodal import laplacian_stats
+
+    flat = np.full((5, 7), 9, dtype=np.uint8)
+    n, s, ss = laplacian_stats(flat)
+    assert (n, s, ss) == (15, 0, 0)
+    # single spike at center of 5x5 zeros: interior 3x3; L(center)=4v,
+    # its 4 interior neighbors get -v each; corners of interior: 0
+    v = 10
+    img = np.zeros((5, 5), dtype=np.uint8)
+    img[2, 2] = v
+    n, s, ss = laplacian_stats(img)
+    assert n == 9
+    assert s == 4 * v - 4 * v  # +4v center, -v at 4 neighbors
+    assert ss == (4 * v) ** 2 + 4 * v * v
+    # thin image: no interior
+    assert laplacian_stats(np.zeros((2, 9), dtype=np.uint8)) == (0, 0, 0)
+    # RGB: luma = channel mean // 3 path must be used (pure gray equals)
+    rgb = np.stack([flat, flat, flat], axis=2)
+    assert laplacian_stats(rgb) == (15, 0, 0)
+
+
+def test_sharpness_ranks_blur_below_detail(ray_session):
+    """End-to-end on the sf0.001 media fixture: every ok row carries the
+    digest identity var == (ss - s²/n)/n, broken rows are NaN, and the
+    fixture's structured (gradient/pattern) images score strictly above
+    a flat constant would (>=0 always; >0 for any non-constant
+    interior)."""
+    import numpy as np
+
+    from pdfray.pipelines.multimodal import m_sharpness
+
+    df = m_sharpness("/root/testdata/sf0.001")
+    assert len(df) > 0
+    ok = df[df.ok]
+    bad = df[~df.ok]
+    assert (bad.lap_n == 0).all() and bad.sharpness.isna().all()
+    for r in ok.itertuples():
+        if r.lap_n > 0:
+            want = (
+                float(r.lap_sumsq)
+                - float(r.lap_sum) * float(r.lap_sum) / float(r.lap_n)
+            ) / float(r.lap_n)
+            assert r.sharpness == want
+            assert r.sharpness >= 0.0
