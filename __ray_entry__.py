@@ -462,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_ingest_quarantine": R.t_ingest_quarantine,
         "q_group_quantile_sketch": R.q_group_quantile_sketch,
         "m_sharpness": M.m_sharpness,
+        "q_time_to_convert": R.q_time_to_convert,
     }
 
 
@@ -5116,6 +5117,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(phi - plo AS DOUBLE) / CAST(phi + plo AS DOUBLE) END "
             "AS rel_err_bound "
             "FROM bounds ORDER BY event_type, q_permille"
+        ),
+        "q_time_to_convert": (
+            # exact integer order statistics (no interpolation): median
+            # as the (n+1)//2 and n//2+1 rank pair, p90 at (9n+9)//10;
+            # conversion ppm by integer floor division; first purchase
+            # AT-OR-AFTER the first view (>=, ties count)
+            "WITH v AS (SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) "
+            "AS fv FROM events WHERE event_type = 'view' GROUP BY 1), "
+            "p AS (SELECT e.user_id, CAST(MIN(epoch_us(e.ts)) AS BIGINT) "
+            "AS fp FROM events e JOIN v ON v.user_id = e.user_id "
+            "AND epoch_us(e.ts) >= v.fv WHERE e.event_type = 'purchase' "
+            "GROUP BY 1), "
+            "d AS (SELECT p.user_id, p.fp - v.fv AS delta FROM p "
+            "JOIN v ON v.user_id = p.user_id), "
+            "tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) "
+            "AS nv, CAST(COUNT(*) AS BIGINT) AS nc FROM d), "
+            "r AS (SELECT delta, ROW_NUMBER() OVER (ORDER BY delta) AS k "
+            "FROM d) "
+            "SELECT nv AS n_viewing, nc AS n_converting, "
+            "CAST((1000000 * nc) // nv AS BIGINT) AS conv_ppm, "
+            "CAST((SELECT delta FROM r WHERE k = (nc + 1) // 2) AS BIGINT) "
+            "AS delta_med_lo_us, "
+            "CAST((SELECT delta FROM r WHERE k = nc // 2 + 1) AS BIGINT) "
+            "AS delta_med_hi_us, "
+            "CAST((SELECT delta FROM r WHERE k = (9 * nc + 9) // 10) "
+            "AS BIGINT) AS delta_p90_us "
+            "FROM tot WHERE nc > 0"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

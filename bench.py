@@ -313,6 +313,7 @@ QUERY_NAMES = [
     "t_ingest_quarantine",
     "q_group_quantile_sketch",
     "m_sharpness",
+    "q_time_to_convert",
 ]
 
 

@@ -14472,3 +14472,170 @@ def q_group_quantile_sketch(sf_dir: str):
     for c in ("q_permille", "n", "rank", "bucket_key", "lo_cents", "hi_cents"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["event_type", "q_permille"]).reset_index(drop=True)
+
+
+def q_time_to_convert(sf_dir: str):
+    """Funnel LATENCY — time from a user's first view to their first
+    purchase at-or-after it: converting-user count, conversion ppm
+    (integer floor division both sides), and EXACT int64 order
+    statistics of the delta distribution (median as the lo/hi rank pair
+    — no interpolation, no floats — and p90 at rank (9n+9)//10).
+
+    Plan: ONE user-hash bucket exchange; each bucket computes first-view
+    / first-purchase-after vectorized per user (hot users are one
+    bucket's pandas kernel).  The delta quantiles use the
+    range-partition order-statistic locate (the q_pareto_coverage /
+    q_equidepth shape): `_range_plan` over deltas, per-partition count
+    partials, and ONLY the partitions holding the three needed ranks
+    collect their arrays (each bounded ~target rows by sizing).  Zero
+    converting users degenerates to the typed empty frame (oracle's
+    WHERE nc > 0)."""
+    import ray
+
+    from .sizing import shuffle_partitions
+
+    empty = pd.DataFrame(
+        {
+            "n_viewing": pd.Series([], dtype="int64"),
+            "n_converting": pd.Series([], dtype="int64"),
+            "conv_ppm": pd.Series([], dtype="int64"),
+            "delta_med_lo_us": pd.Series([], dtype="int64"),
+            "delta_med_hi_us": pd.Series([], dtype="int64"),
+            "delta_p90_us": pd.Series([], dtype="int64"),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    n_ev = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    if n_ev == 0:
+        return empty
+    ds = _read(
+        sf_dir, "events", ["user_id", "ts", "event_type"], rows_per_block=500_000
+    )
+    nb = shuffle_partitions(n_ev)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        keep = pc.fill_null(
+            pc.or_(pc.equal(et, "view"), pc.equal(et, "purchase")), False
+        )
+        t = t.filter(keep)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket",
+            pa.array(
+                _user_bucket(u, nb).astype(np.int64)
+            ),
+        )
+
+    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        u = g["user_id"].to_numpy(np.int64)
+        is_v = (g["event_type"] == "view").to_numpy()
+        d = pd.DataFrame({"u": u, "ts": ts, "v": is_v})
+        fv = (
+            d[d["v"]]
+            .groupby("u", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "fv"})
+        )
+        pu = d[~d["v"]].merge(fv, on="u", how="inner")
+        pu = pu[pu["ts"] >= pu["fv"]]
+        fp = (
+            pu.groupby("u", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "fp"})
+        )
+        out = fv.merge(fp, on="u", how="left")
+        res = pd.DataFrame(
+            {
+                "u": out["u"].astype("int64"),
+                "delta": (out["fp"] - out["fv"]).astype("float64"),
+            }
+        )
+        # delta NaN = viewing, non-converting (kept for the nv count)
+        return res
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(first_pair, batch_format="pandas")
+        .materialize()  # one row per VIEWING user (user-dimension order)
+    )
+    n_viewing = pairs.count()
+    if n_viewing == 0:
+        return empty
+    deltas = pairs.filter(lambda r: r["delta"] == r["delta"]).map_batches(
+        lambda t: pa.table(
+            {
+                "u": t.column("u"),
+                "delta": pc.cast(t.column("delta"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_conv = deltas.count()
+    if n_conv == 0:
+        return empty
+    assign, _ = _range_plan(deltas, n_conv, "u", "delta", "ttc")
+    assigned = deltas.map_batches(assign, batch_format="pyarrow").materialize()
+
+    def pcount(t: pa.Table) -> pa.Table:
+        part = t.column("part").to_numpy(zero_copy_only=False)
+        uv, cnt = np.unique(part, return_counts=True)
+        return pa.table(
+            {
+                "part": pa.array(uv.astype(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    pc_red, _ = _two_regime_sum(
+        assigned.map_batches(pcount, batch_format="pyarrow"),
+        ["part"],
+        ["cnt"],
+        empty_types={"part": pa.int64()},
+    )
+    pdf = (
+        typed_collect(
+            pc_red, pa.schema([("part", pa.int64()), ("cnt", pa.int64())])
+        )
+        .groupby("part", as_index=False)["cnt"]
+        .sum()
+        .sort_values("part")
+    )
+    before = pdf["cnt"].cumsum() - pdf["cnt"]
+    ranks = {
+        "delta_med_lo_us": (n_conv + 1) // 2,
+        "delta_med_hi_us": n_conv // 2 + 1,
+        "delta_p90_us": (9 * n_conv + 9) // 10,
+    }
+    part_cache: dict = {}
+    stats = {}
+    for name, rk in ranks.items():
+        i = int(np.searchsorted(before.to_numpy() + pdf["cnt"].to_numpy(), rk))
+        p = int(pdf["part"].iloc[i])
+        if p not in part_cache:
+            part_cache[p] = np.sort(
+                assigned.filter(lambda r: r["part"] == p)
+                .to_pandas()["delta"]
+                .to_numpy(np.int64)
+            )
+        arr = part_cache[p]
+        stats[name] = int(arr[rk - int(before.iloc[i]) - 1])
+    return pd.DataFrame(
+        {
+            "n_viewing": pd.Series([n_viewing], dtype="int64"),
+            "n_converting": pd.Series([n_conv], dtype="int64"),
+            "conv_ppm": pd.Series(
+                [(1_000_000 * n_conv) // n_viewing], dtype="int64"
+            ),
+            "delta_med_lo_us": pd.Series(
+                [stats["delta_med_lo_us"]], dtype="int64"
+            ),
+            "delta_med_hi_us": pd.Series(
+                [stats["delta_med_hi_us"]], dtype="int64"
+            ),
+            "delta_p90_us": pd.Series([stats["delta_p90_us"]], dtype="int64"),
+        }
+    )

@@ -648,6 +648,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_psi_drift",
     "t_ingest_quarantine",
     "q_group_quantile_sketch",
+    "q_time_to_convert",
 ]
 
 _PROPS_POOL = [

@@ -1367,3 +1367,66 @@ def test_group_quantile_sketch_certificate(ray_session, tmp_path):
         entrymod.oracle_sql()["q_group_quantile_sketch"]
     ).df()
     pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+def test_time_to_convert_hand_and_fuzz(ray_session, tmp_path):
+    """Hand-solved funnel latencies: a purchase BEFORE the first view
+    does not convert; a purchase exactly AT the first view converts with
+    delta 0; the median rank pair on even/odd counts; non-viewing
+    purchasers excluded from n_viewing; randomized parity vs a plain
+    replay."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_time_to_convert
+
+    base = 1_700_000_000_000_000
+    rows = [
+        (0, base + 100, 1, "view", 1.0),
+        (1, base + 100, 1, "purchase", 1.0),   # delta 0 (ts == fv)
+        (2, base + 50, 2, "purchase", 1.0),    # before first view
+        (3, base + 60, 2, "view", 1.0),        # user 2: no conversion
+        (4, base + 10, 3, "view", 1.0),
+        (5, base + 110, 3, "purchase", 1.0),   # delta 100
+        (6, base, 4, "purchase", 1.0),         # never views: not counted
+        (7, base, 5, "view", 1.0),             # views, never buys
+    ]
+    d = tmp_path / "ttc"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_time_to_convert(str(d))
+    r = eng.iloc[0]
+    assert (int(r.n_viewing), int(r.n_converting)) == (4, 2)
+    assert int(r.conv_ppm) == 500_000
+    assert (int(r.delta_med_lo_us), int(r.delta_med_hi_us)) == (0, 100)
+    assert int(r.delta_p90_us) == 100
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.execute(entrymod.oracle_sql()["q_time_to_convert"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+    for seed in (1, 2):
+        rng = np.random.RandomState(seed)
+        rows = []
+        for i in range(700):
+            u = int(rng.randint(1, 40))
+            t = "view" if rng.rand() < 0.6 else "purchase"
+            ts = base + int(rng.randint(0, 10**7))
+            rows.append((i, ts, u, t, 1.0))
+        d2 = tmp_path / f"ttcf{seed}"
+        d2.mkdir()
+        _write_events(d2, rows)
+        eng = q_time_to_convert(str(d2))
+        # replay
+        fv, fp = {}, {}
+        for _eid, ts, u, t, _v in rows:
+            if t == "view":
+                fv[u] = min(fv.get(u, ts), ts)
+        for _eid, ts, u, t, _v in rows:
+            if t == "purchase" and u in fv and ts >= fv[u]:
+                fp[u] = min(fp.get(u, ts), ts)
+        deltas = sorted(fp[u] - fv[u] for u in fp)
+        nc = len(deltas)
+        assert int(eng.n_viewing[0]) == len(fv)
+        assert int(eng.n_converting[0]) == nc
+        assert int(eng.delta_med_lo_us[0]) == deltas[(nc + 1) // 2 - 1]
+        assert int(eng.delta_med_hi_us[0]) == deltas[nc // 2]
+        assert int(eng.delta_p90_us[0]) == deltas[(9 * nc + 9) // 10 - 1]
