@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_quantile_sketch": R.q_group_quantile_sketch,
         "m_sharpness": M.m_sharpness,
         "q_time_to_convert": R.q_time_to_convert,
+        "t_vocab_coverage": T.t_vocab_coverage,
     }
 
 
@@ -5144,6 +5145,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT delta FROM r WHERE k = (9 * nc + 9) // 10) "
             "AS BIGINT) AS delta_p90_us "
             "FROM tot WHERE nc > 0"
+        ),
+        "t_vocab_coverage": (
+            # the t_doc_frequency tokenization (single-space split, drop
+            # empties); head cut by 100·cum >= pct·total integer
+            # cross-mult, tie-order independent
+            "WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), "
+            "x -> x <> '')) AS word FROM documents), "
+            "c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM w GROUP BY word), "
+            "tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS t, "
+            "CAST(COUNT(*) AS BIGINT) AS v FROM c), "
+            "cum AS (SELECT SUM(tf) OVER (ORDER BY tf DESC, word) AS ct, "
+            "ROW_NUMBER() OVER (ORDER BY tf DESC, word) AS k FROM c), "
+            "qs AS (SELECT * FROM (VALUES (90), (99)) AS x(pct)), "
+            "pick AS (SELECT pct, MIN(k) AS nk FROM qs CROSS JOIN tot "
+            "JOIN cum ON 100 * cum.ct >= pct * tot.t WHERE tot.t > 0 "
+            "GROUP BY pct) "
+            "SELECT CAST(pct AS BIGINT) AS pct, CAST(nk AS BIGINT) "
+            "AS vocab_size, "
+            "CAST((SELECT ct FROM cum WHERE k = pick.nk) AS BIGINT) "
+            "AS covered_tokens, "
+            "(SELECT t FROM tot) AS total_tokens, "
+            "(SELECT v FROM tot) AS total_vocab "
+            "FROM pick ORDER BY pct"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

@@ -314,6 +314,7 @@ QUERY_NAMES = [
     "q_group_quantile_sketch",
     "m_sharpness",
     "q_time_to_convert",
+    "t_vocab_coverage",
 ]
 
 

@@ -6246,3 +6246,82 @@ def t_dup_size_profile(sf_dir: str):
         return parts
     out = parts.groupby("class_size", sort=True)["n_classes"].sum().reset_index()
     return out.astype({"class_size": "int64", "n_classes": "int64"})
+
+
+VOCAB_COVERAGE_PCTS = (90, 99)
+
+
+def t_vocab_coverage(sf_dir: str):
+    """Tokenizer vocabulary-budget planning: the MINIMAL number of
+    distinct words (by frequency, ties word-asc) covering >= 90 / 99 %
+    of all token occurrences — the coverage curve that decides a vocab
+    size before a BPE train run commits to one.
+
+    Scale shape: per-batch tf partials over dictionary codes (the
+    t_doc_frequency combiner — the exchange carries vocab-bounded rows,
+    never tokens), one grouped reduction, then the vocab-bounded table
+    folds on the driver (the t_bpe_train precedent).  The head cut is
+    the integer cross-multiplication 100·cum >= pct·total, and the
+    answer is tie-order independent (equal counts contribute equally).
+    Empty / word-free corpora degenerate to the typed empty frame on
+    both sides."""
+    import numpy as np
+
+    def partials(t: pa.Table) -> pa.Table:
+        _parent, codes, dictionary = _word_codes(t)
+        vocab = len(dictionary)
+        tf = np.bincount(codes, minlength=vocab)
+        present = tf > 0
+        return pa.table(
+            {
+                "word": dictionary.filter(pa.array(present)),
+                "tf": pa.array(tf[present], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    grouped = (
+        _read_documents(sf_dir)
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+    df = _collect_sorted(
+        grouped,
+        ("word",),
+        schema=pa.schema([("word", pa.string()), ("tf", pa.int64())]),
+    )
+    empty = pd.DataFrame(
+        {
+            "pct": pd.Series([], dtype="int64"),
+            "vocab_size": pd.Series([], dtype="int64"),
+            "covered_tokens": pd.Series([], dtype="int64"),
+            "total_tokens": pd.Series([], dtype="int64"),
+            "total_vocab": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(df) == 0:
+        return empty
+    df = df.sort_values(["tf", "word"], ascending=[False, True], kind="mergesort")
+    tf = df["tf"].to_numpy(np.int64)
+    cum = np.cumsum(tf)
+    total = int(cum[-1])
+    if total <= 0:
+        return empty
+    rows = []
+    for pct in VOCAB_COVERAGE_PCTS:
+        k = int(np.argmax(100 * cum >= pct * total))
+        rows.append(
+            {
+                "pct": pct,
+                "vocab_size": k + 1,
+                "covered_tokens": int(cum[k]),
+                "total_tokens": total,
+                "total_vocab": len(df),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

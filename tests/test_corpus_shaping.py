@@ -446,6 +446,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_fingerprint",
     "t_exact_dedup",
     "t_doc_frequency",
+    "t_vocab_coverage",
     "t_tfidf",
     "t_bigram_logprob",
     "t_domain_cap",

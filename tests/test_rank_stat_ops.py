@@ -1430,3 +1430,40 @@ def test_time_to_convert_hand_and_fuzz(ray_session, tmp_path):
         assert int(eng.delta_med_lo_us[0]) == deltas[(nc + 1) // 2 - 1]
         assert int(eng.delta_med_hi_us[0]) == deltas[nc // 2]
         assert int(eng.delta_p90_us[0]) == deltas[(9 * nc + 9) // 10 - 1]
+
+
+def test_vocab_coverage_hand_solved(ray_session, tmp_path):
+    """Hand corpus: counts a:5 b:3 c:1 d:1 (total 10) -> 90% needs
+    {a, b, c} (9 >= 9), 99% needs all 4; an exact tie at the cut is
+    order-independent; engine == oracle."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.textops import t_vocab_coverage
+
+    texts = ["a a a b", "a a b b c", "d"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    eng = t_vocab_coverage(str(tmp_path))
+    got = {int(r.pct): (int(r.vocab_size), int(r.covered_tokens))
+           for r in eng.itertuples()}
+    assert got[90] == (3, 9)
+    assert got[99] == (4, 10)
+    assert int(eng.total_tokens.iloc[0]) == 10
+    assert int(eng.total_vocab.iloc[0]) == 4
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    ora = con.execute(entrymod.oracle_sql()["t_vocab_coverage"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
