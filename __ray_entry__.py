@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_sharpness": M.m_sharpness,
         "q_time_to_convert": R.q_time_to_convert,
         "t_vocab_coverage": T.t_vocab_coverage,
+        "q_wallet_balance": R.q_wallet_balance,
     }
 
 
@@ -5169,6 +5170,35 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT t FROM tot) AS total_tokens, "
             "(SELECT v FROM tot) AS total_vocab "
             "FROM pick ORDER BY pct"
+        ),
+        "q_wallet_balance": (
+            # the clamp identity in window form: b = q − LEAST(0,
+            # runmin(q)) over the per-user running sum q; clamp events
+            # are strictly-new minima below the prior floor; all int64
+            "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus, "
+            "CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT) AS d "
+            "FROM events WHERE event_type = 'purchase'), "
+            "q AS (SELECT user_id, event_id, tus, SUM(d) OVER "
+            "(PARTITION BY user_id ORDER BY tus, event_id) AS qv FROM p), "
+            "r AS (SELECT user_id, event_id, tus, qv, "
+            "MIN(qv) OVER (PARTITION BY user_id ORDER BY tus, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS runmin, "
+            "MIN(qv) OVER (PARTITION BY user_id ORDER BY tus, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS prevmin FROM q), "
+            "b AS (SELECT user_id, event_id, tus, "
+            "qv - LEAST(0, runmin) AS bal, "
+            "CASE WHEN qv < LEAST(0, COALESCE(prevmin, 0)) THEN 1 "
+            "ELSE 0 END AS clamp FROM r), "
+            "fin AS (SELECT user_id, bal AS fb, ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY tus DESC, event_id DESC) "
+            "AS rn FROM b) "
+            "SELECT b.user_id, "
+            "CAST((SELECT fb FROM fin WHERE fin.user_id = b.user_id "
+            "AND rn = 1) AS BIGINT) AS final_cents, "
+            "CAST(MAX(bal) AS BIGINT) AS max_cents, "
+            "CAST(SUM(clamp) AS BIGINT) AS n_clamps "
+            "FROM b GROUP BY b.user_id ORDER BY b.user_id"
         ),
     }
     # the Bloom+bucketed-store form is output-identical by construction

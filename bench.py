@@ -315,6 +315,7 @@ QUERY_NAMES = [
     "m_sharpness",
     "q_time_to_convert",
     "t_vocab_coverage",
+    "q_wallet_balance",
 ]
 
 

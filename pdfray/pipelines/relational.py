@@ -14639,3 +14639,157 @@ def q_time_to_convert(sf_dir: str):
             "delta_p90_us": pd.Series([stats["delta_p90_us"]], dtype="int64"),
         }
     )
+
+
+WALLET_CHUNK_DAYS = 7
+
+
+def q_wallet_balance(sf_dir: str, stage_dir: str = None):
+    """Per-user CLAMPED running balance over signed purchase cents —
+    b_i = max(b_{i-1} + d_i, 0) ordered by (ts, event_id) — the
+    non-negative-inventory / wallet recurrence, which looks
+    non-associative but folds exactly: composing the per-step
+    f_i(x) = max(x + d_i, 0) gives the affine-max transfer function
+    F_chunk(x) = max(x + S, T) with S = Σd and T = max suffix-clamp
+    (reverse-cummax of suffix sums, 0 included) — O(1) state per chunk.
+
+    Two passes on (user, time-chunk) keys (the q_running_user_spend
+    shape): pass 1 reduces each chunk to (S, T); the driver folds the
+    user-chunk table (one row per ACTIVE chunk, the running-spend
+    precedent) into exact incoming balances; pass 2 joins the incoming
+    balance back on the same keys (keyed shuffle, never a broadcast)
+    and replays each chunk vectorized via the prefix identity
+    b_i = q_i − min(0, runmin(q)) with q = x + prefix — clamp events
+    are the strictly-new minima below that floor.  Per user: final
+    balance, max balance, clamp count — all exact int64.
+
+    The scanned stream, consumed twice, is a parquet stage checkpoint
+    with crash-resume via ``stage_dir``."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from .sizing import shuffle_partitions
+    from .staging import stage_checkpoint
+
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "final_cents": pd.Series([], dtype="int64"),
+            "max_cents": pd.Series([], dtype="int64"),
+            "n_clamps": pd.Series([], dtype="int64"),
+        }
+    )
+    N_BUCKETS = 64
+    chunk_us = np.int64(WALLET_CHUNK_DAYS) * 86_400_000_000
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value"],
+        rows_per_block=500_000,
+    )
+
+    own_stage = stage_dir is None
+    root = tempfile.mkdtemp(prefix="pdfray_wallet_") if own_stage else stage_dir
+    try:
+        scanned = stage_checkpoint(
+            lambda: ds.map_batches(
+                lambda t: _purchase_cents_chunks(t, chunk_us, N_BUCKETS),
+                batch_format="pyarrow",
+            ),
+            os.path.join(root, "scanned"),
+            resume=not own_stage,
+            allow_empty=True,
+        )
+        if scanned is None:
+            return empty
+
+        def chunk_summary(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(
+                ["user_id", "chunk", "ts", "event_id"]
+            ).reset_index(drop=True)
+            outs = {"user_id": [], "chunk": [], "s": [], "t": []}
+            for (u, c), sl in g.groupby(["user_id", "chunk"], sort=False):
+                d = sl["cents"].to_numpy(np.int64)
+                pfx = d.cumsum()
+                s = int(pfx[-1])
+                # F(x) = max(x + S, T) with T = S − min_prefix (the
+                # prefix identity applied at the chunk end)
+                outs["user_id"].append(int(u))
+                outs["chunk"].append(int(c))
+                outs["s"].append(s)
+                outs["t"].append(s - int(pfx.min()))
+            out = pd.DataFrame(outs)
+            for c in out.columns:
+                out[c] = out[c].astype("int64")
+            return out
+
+        summaries = (
+            scanned.groupby("bucket")
+            .map_groups(chunk_summary, batch_format="pandas")
+            .to_pandas()
+        )
+        if len(summaries) == 0 or "user_id" not in summaries.columns:
+            return empty
+        summaries = summaries.sort_values(["user_id", "chunk"]).reset_index(
+            drop=True
+        )
+        # driver fold: exact incoming balance per (user, chunk)
+        incoming = np.zeros(len(summaries), np.int64)
+        final = {}
+        prev_u, x = None, 0
+        for i, r in enumerate(summaries.itertuples()):
+            if r.user_id != prev_u:
+                prev_u, x = r.user_id, 0
+            incoming[i] = x
+            x = max(x + int(r.s), int(r.t))
+            final[int(r.user_id)] = x
+        summaries["incoming"] = incoming
+        off_ds = rd.from_pandas(
+            summaries[["user_id", "chunk", "incoming"]]
+        )
+        n_rows = scanned.count()
+
+        def replay(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(
+                ["user_id", "chunk", "ts", "event_id"]
+            ).reset_index(drop=True)
+            outs = {"user_id": [], "maxb": [], "clamps": []}
+            for (u, _c), sl in df.groupby(["user_id", "chunk"], sort=False):
+                x = int(sl["incoming"].iloc[0])
+                q = x + sl["cents"].to_numpy(np.int64).cumsum()
+                runmin = np.minimum.accumulate(q)
+                floor = np.minimum(runmin, 0)
+                b = q - floor
+                prev_floor = np.concatenate([[0], floor[:-1]])
+                clamps = int((q < prev_floor).sum())
+                outs["user_id"].append(int(u))
+                outs["maxb"].append(int(max(x, b.max())) if len(b) else x)
+                outs["clamps"].append(clamps)
+            out = pd.DataFrame(outs)
+            for c in out.columns:
+                out[c] = out[c].astype("int64")
+            return out
+
+        per_chunk = (
+            scanned.join(
+                off_ds,
+                join_type="inner",
+                num_partitions=shuffle_partitions(n_rows),
+                on=("user_id", "chunk"),
+            )
+            .map_batches(replay, batch_format="pandas")
+            .to_pandas()
+        )
+        agg = per_chunk.groupby("user_id", as_index=False).agg(
+            max_cents=("maxb", "max"), n_clamps=("clamps", "sum")
+        )
+        agg["final_cents"] = agg["user_id"].map(final)
+        out = agg[["user_id", "final_cents", "max_cents", "n_clamps"]]
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out.sort_values("user_id").reset_index(drop=True)
+    finally:
+        if own_stage:
+            shutil.rmtree(root, ignore_errors=True)

@@ -650,6 +650,7 @@ EVENTS_ORACLE_QUERIES = [
     "t_ingest_quarantine",
     "q_group_quantile_sketch",
     "q_time_to_convert",
+    "q_wallet_balance",
 ]
 
 _PROPS_POOL = [

@@ -1467,3 +1467,71 @@ def test_vocab_coverage_hand_solved(ray_session, tmp_path):
     )
     ora = con.execute(entrymod.oracle_sql()["t_vocab_coverage"]).df()
     pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+def test_wallet_balance_hand_fuzz_and_chunks(ray_session, tmp_path):
+    """Hand recurrence: [+5, -10, +3] -> balances 5, 0(clamp), 3 — final
+    3, max 5, one clamp; events planted across several WALLET_CHUNK_DAYS
+    chunks so the affine-max transfer fold F(x) = max(x+S, S−minpfx) is
+    actually exercised; randomized signed streams vs a plain replay."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_wallet_balance
+
+    DAY = 86_400_000_000
+    base = 1_700_000_000_000_000
+    rows = []
+    # user 1: the hand case, one event per 10 days (crosses 7d chunks)
+    for i, v in enumerate([5.0, -10.0, 3.0]):
+        rows.append((i, base + i * 10 * DAY, 1, "purchase", v))
+    # user 2: clamp at the very first event, then recover
+    rows.append((10, base, 2, "purchase", -7.0))
+    rows.append((11, base + 1, 2, "purchase", 4.0))
+    # non-purchase noise is invisible
+    rows.append((20, base, 1, "view", 999.0))
+    d = tmp_path / "wal"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_wallet_balance(str(d))
+    g = {int(r.user_id): (int(r.final_cents), int(r.max_cents), int(r.n_clamps))
+         for r in eng.itertuples()}
+    assert g[1] == (300, 500, 1)
+    assert g[2] == (400, 400, 1)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.execute(entrymod.oracle_sql()["q_wallet_balance"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+    for seed in (1, 2, 3):
+        rng = np.random.RandomState(seed)
+        rows = []
+        for i in range(600):
+            u = int(rng.randint(1, 7))
+            ts = base + int(rng.randint(0, 90)) * DAY + int(rng.randint(0, 1000))
+            v = float(rng.randint(-300, 300)) / 4.0
+            rows.append((i, ts, u, "purchase", v))
+        d2 = tmp_path / f"walf{seed}"
+        d2.mkdir()
+        _write_events(d2, rows)
+        eng = q_wallet_balance(str(d2))
+        # plain replay
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for eid, ts, u, _t, v in rows:
+            per[u].append((ts, eid, round(abs(v) * 100) * (1 if v >= 0 else -1)))
+        want = {}
+        for u, evs in per.items():
+            b, mx, nc = 0, 0, 0
+            for _ts, _eid, dcent in sorted(evs):
+                if b + dcent < 0:
+                    nc += 1
+                    b = 0
+                else:
+                    b += dcent
+                mx = max(mx, b)
+            want[u] = (b, mx, nc)
+        got = {
+            int(r.user_id): (int(r.final_cents), int(r.max_cents), int(r.n_clamps))
+            for r in eng.itertuples()
+        }
+        assert got == want
