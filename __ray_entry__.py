@@ -465,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_time_to_convert": R.q_time_to_convert,
         "t_vocab_coverage": T.t_vocab_coverage,
         "q_wallet_balance": R.q_wallet_balance,
+        "q_rfm_segments": R.q_rfm_segments,
     }
 
 
@@ -529,6 +530,47 @@ def _image_hash_oracle() -> str:
         f"SELECT url, ok, ahash FROM (VALUES {values}) AS g(url, ok, ahash) "
         "ORDER BY url"
     )
+
+
+def _rfm_oracle() -> str:
+    """Quintile boundaries as exact order statistics at ranks
+    (k*n+4)//5 per metric (window ROW_NUMBER picks), scores as the pure
+    value rule 1 + #(boundaries strictly below v) — identical to the
+    engine's broadcast compare, so boundary ties cannot diverge."""
+    metric_sql = {"r": "r", "f": "f", "m": "m"}
+    parts = [
+        "WITH p AS (SELECT user_id, epoch_us(ts) AS tus, "
+        "CAST(ROUND(COALESCE(value, 0) * 100, 0) AS BIGINT) AS c "
+        "FROM events WHERE event_type = 'purchase'), "
+        "rfm AS (SELECT user_id, CAST(MAX(tus) AS BIGINT) AS r, "
+        "CAST(COUNT(*) AS BIGINT) AS f, CAST(SUM(c) AS BIGINT) AS m "
+        "FROM p GROUP BY 1), "
+        "n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rfm), "
+    ]
+    for col in metric_sql:
+        parts.append(
+            f"rk_{col} AS (SELECT {col} AS v, ROW_NUMBER() OVER "
+            f"(ORDER BY {col}) AS k FROM rfm), "
+        )
+    score_exprs = []
+    for col in metric_sql:
+        terms = " + ".join(
+            f"(CASE WHEN rfm.{col} > (SELECT v FROM rk_{col} "
+            f"WHERE k = ({kk} * n_.n + 4) // 5) THEN 1 ELSE 0 END)"
+            for kk in (1, 2, 3, 4)
+        )
+        score_exprs.append(f"1 + {terms} AS {col}_score")
+    parts.append(
+        "sc AS (SELECT " + ", ".join(score_exprs) + ", rfm.m AS m "
+        "FROM rfm CROSS JOIN n_) "
+        "SELECT CAST(r_score AS BIGINT) AS r_score, "
+        "CAST(f_score AS BIGINT) AS f_score, "
+        "CAST(m_score AS BIGINT) AS m_score, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users, "
+        "CAST(SUM(m) AS BIGINT) AS sum_cents "
+        "FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    )
+    return "".join(parts)
 
 
 def _sharpness_oracle() -> str:
@@ -2482,6 +2524,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "m_image_hash": _image_hash_oracle(),
         "m_sharpness": _sharpness_oracle(),
+        "q_rfm_segments": _rfm_oracle(),
         "m_phash": _phash_oracle(),
         "m_audio_features": (
             # golden columns were computed from the PRE-encode samples at

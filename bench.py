@@ -316,6 +316,7 @@ QUERY_NAMES = [
     "q_time_to_convert",
     "t_vocab_coverage",
     "q_wallet_balance",
+    "q_rfm_segments",
 ]
 
 

@@ -14793,3 +14793,171 @@ def q_wallet_balance(sf_dir: str, stage_dir: str = None):
     finally:
         if own_stage:
             shutil.rmtree(root, ignore_errors=True)
+
+
+def _rank_located_values(ds, n, id_col, key_col, tag, ranks):
+    """Exact order statistics at the given 1-based ranks over ``key_col``
+    (ascending) — the shared range-locate: `_range_plan` partitions,
+    per-partition count partials, and ONLY the partitions holding a
+    requested rank collect their key arrays (each bounded ~target rows
+    by sizing).  Returns {rank: value} as Python ints."""
+    assign, _ = _range_plan(ds, n, id_col, key_col, tag)
+    assigned = ds.map_batches(assign, batch_format="pyarrow").materialize()
+
+    def pcount(t: pa.Table) -> pa.Table:
+        part = t.column("part").to_numpy(zero_copy_only=False)
+        uv, cnt = np.unique(part, return_counts=True)
+        return pa.table(
+            {
+                "part": pa.array(uv.astype(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    red, _ = _two_regime_sum(
+        assigned.map_batches(pcount, batch_format="pyarrow"),
+        ["part"],
+        ["cnt"],
+        empty_types={"part": pa.int64()},
+    )
+    pdf = (
+        typed_collect(
+            red, pa.schema([("part", pa.int64()), ("cnt", pa.int64())])
+        )
+        .groupby("part", as_index=False)["cnt"]
+        .sum()
+        .sort_values("part")
+    )
+    before = (pdf["cnt"].cumsum() - pdf["cnt"]).to_numpy()
+    ends = before + pdf["cnt"].to_numpy()
+    cache: dict = {}
+    out = {}
+    for rk in ranks:
+        i = int(np.searchsorted(ends, rk))
+        p = int(pdf["part"].iloc[i])
+        if p not in cache:
+            cache[p] = np.sort(
+                assigned.filter(lambda r: r["part"] == p)
+                .to_pandas()[key_col]
+                .to_numpy(np.int64)
+            )
+        out[rk] = int(cache[p][rk - int(before[i]) - 1])
+    return out
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation — the marketing-analytics staple: per
+    user Recency (last purchase ts), Frequency (purchase count),
+    Monetary (total cents), each scored 1-5 against EXACT quintile
+    boundaries (order statistics at ranks (k·n+4)//5, located by the
+    shared `_rank_located_values` — only the partitions holding a
+    boundary rank ever collect), then the (r, f, m) cell census.
+
+    Determinism: score(v) = 1 + #(boundaries strictly below v) — a pure
+    VALUE function, so ties at a boundary cannot depend on layout or
+    rank assignment; boundaries themselves are exact int64 order stats.
+    One user-hash bucket exchange builds the RFM table; scoring is a
+    broadcast of 12 ints; the cell census is a ≤125-key combiner."""
+    from .sizing import shuffle_partitions
+
+    empty = pd.DataFrame(
+        {
+            "r_score": pd.Series([], dtype="int64"),
+            "f_score": pd.Series([], dtype="int64"),
+            "m_score": pd.Series([], dtype="int64"),
+            "n_users": pd.Series([], dtype="int64"),
+            "sum_cents": pd.Series([], dtype="int64"),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    n_ev = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    if n_ev == 0:
+        return empty
+    ds = _read(
+        sf_dir,
+        "events",
+        ["user_id", "ts", "event_type", "value"],
+        rows_per_block=500_000,
+    )
+    nb = shuffle_partitions(n_ev)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.fill_null(pc.equal(t.column("event_type"), "purchase"), False)
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(_user_bucket(u, nb).astype(np.int64))
+        )
+
+    def rfm_fold(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64")
+        cents = round_half_away(
+            g["value"].fillna(0.0).to_numpy() * 100.0, 0
+        ).astype(np.int64)
+        d = pd.DataFrame(
+            {"u": g["user_id"].to_numpy(np.int64), "ts": ts, "c": cents}
+        )
+        out = d.groupby("u", as_index=False).agg(
+            r=("ts", "max"), f=("c", "size"), m=("c", "sum")
+        )
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    rfm = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rfm_fold, batch_format="pandas")
+        .materialize()  # one row per purchasing user
+    )
+    n_users = rfm.count()
+    if n_users == 0:
+        return empty
+    ranks = [(k * n_users + 4) // 5 for k in (1, 2, 3, 4)]
+    bounds = {}
+    for col in ("r", "f", "m"):
+        vals = _rank_located_values(rfm, n_users, "u", col, f"rfm_{col}", ranks)
+        bounds[col] = np.array([vals[rk] for rk in ranks], dtype=np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        out = {"n_users": pa.array(np.ones(len(t), np.int64))}
+        for col in ("r", "f", "m"):
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            sc = 1 + (v[:, None] > bounds[col][None, :]).sum(axis=1)
+            out[f"{col}_score"] = pa.array(sc.astype(np.int64))
+        out["sum_cents"] = t.column("m")
+        tt = pa.table(out)
+        g = tt.group_by(["r_score", "f_score", "m_score"]).aggregate(
+            [("n_users", "sum"), ("sum_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["r_score", "f_score", "m_score", "n_users", "sum_cents"]
+        )
+
+    red, _ = _two_regime_sum(
+        rfm.map_batches(score, batch_format="pyarrow"),
+        ["r_score", "f_score", "m_score"],
+        ["n_users", "sum_cents"],
+    )
+    out = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("r_score", pa.int64()),
+                ("f_score", pa.int64()),
+                ("m_score", pa.int64()),
+                ("n_users", pa.int64()),
+                ("sum_cents", pa.int64()),
+            ]
+        ),
+    )
+    out = out.groupby(
+        ["r_score", "f_score", "m_score"], as_index=False
+    )[["n_users", "sum_cents"]].sum()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["r_score", "f_score", "m_score"]).reset_index(
+        drop=True
+    )

@@ -651,6 +651,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_group_quantile_sketch",
     "q_time_to_convert",
     "q_wallet_balance",
+    "q_rfm_segments",
 ]
 
 _PROPS_POOL = [

@@ -1535,3 +1535,54 @@ def test_wallet_balance_hand_fuzz_and_chunks(ray_session, tmp_path):
             for r in eng.itertuples()
         }
         assert got == want
+
+
+def test_rfm_segments_hand_and_tie_boundaries(ray_session, tmp_path):
+    """Hand-solved quintiles on 10 users with distinct metrics (scores
+    1..5 two users each per dimension), then a MASS-TIE corpus (every
+    user identical -> all boundaries equal -> everyone scores 1, the
+    pure-value rule's deterministic answer); engine == replay ==
+    oracle."""
+    import __ray_entry__ as entrymod
+    from pdfray.pipelines.relational import q_rfm_segments
+
+    base = 1_700_000_000_000_000
+    rows = []
+    eid = 0
+    for u in range(10):
+        # user u: u+1 purchases of 10*(u+1) cents, last at base+u days
+        for j in range(u + 1):
+            rows.append(
+                (eid, base + u * 86_400_000_000 - j * 1000, u,
+                 "purchase", (u + 1) * 0.10)
+            )
+            eid += 1
+    d = tmp_path / "rfm"
+    d.mkdir()
+    _write_events(d, rows)
+    eng = q_rfm_segments(str(d))
+    assert int(eng.n_users.sum()) == 10
+    # metrics are all comonotone (user u has rank u in r, f, m), so every
+    # user's three scores agree and the census is 2 users per (k,k,k)
+    assert len(eng) == 5
+    for r in eng.itertuples():
+        assert r.r_score == r.f_score == r.m_score
+        assert int(r.n_users) == 2
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    ora = con.execute(entrymod.oracle_sql()["q_rfm_segments"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+    # mass tie: identical users -> all scores 1
+    rows = [(i, base, i % 6, "purchase", 1.0) for i in range(18)]
+    d2 = tmp_path / "rfmtie"
+    d2.mkdir()
+    _write_events(d2, rows)
+    eng = q_rfm_segments(str(d2))
+    assert len(eng) == 1
+    r = eng.iloc[0]
+    assert (int(r.r_score), int(r.f_score), int(r.m_score)) == (1, 1, 1)
+    assert int(r.n_users) == 6
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d2}/events.parquet'")
+    ora = con.execute(entrymod.oracle_sql()["q_rfm_segments"]).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
