@@ -14577,52 +14577,16 @@ def q_time_to_convert(sf_dir: str):
     n_conv = deltas.count()
     if n_conv == 0:
         return empty
-    assign, _ = _range_plan(deltas, n_conv, "u", "delta", "ttc")
-    assigned = deltas.map_batches(assign, batch_format="pyarrow").materialize()
-
-    def pcount(t: pa.Table) -> pa.Table:
-        part = t.column("part").to_numpy(zero_copy_only=False)
-        uv, cnt = np.unique(part, return_counts=True)
-        return pa.table(
-            {
-                "part": pa.array(uv.astype(np.int64)),
-                "cnt": pa.array(cnt.astype(np.int64)),
-            }
-        )
-
-    pc_red, _ = _two_regime_sum(
-        assigned.map_batches(pcount, batch_format="pyarrow"),
-        ["part"],
-        ["cnt"],
-        empty_types={"part": pa.int64()},
-    )
-    pdf = (
-        typed_collect(
-            pc_red, pa.schema([("part", pa.int64()), ("cnt", pa.int64())])
-        )
-        .groupby("part", as_index=False)["cnt"]
-        .sum()
-        .sort_values("part")
-    )
-    before = pdf["cnt"].cumsum() - pdf["cnt"]
     ranks = {
         "delta_med_lo_us": (n_conv + 1) // 2,
         "delta_med_hi_us": n_conv // 2 + 1,
         "delta_p90_us": (9 * n_conv + 9) // 10,
     }
-    part_cache: dict = {}
-    stats = {}
-    for name, rk in ranks.items():
-        i = int(np.searchsorted(before.to_numpy() + pdf["cnt"].to_numpy(), rk))
-        p = int(pdf["part"].iloc[i])
-        if p not in part_cache:
-            part_cache[p] = np.sort(
-                assigned.filter(lambda r: r["part"] == p)
-                .to_pandas()["delta"]
-                .to_numpy(np.int64)
-            )
-        arr = part_cache[p]
-        stats[name] = int(arr[rk - int(before.iloc[i]) - 1])
+    # shared range-locate (defined next to q_rfm_segments, its other user)
+    located = _rank_located_values(
+        deltas, n_conv, "u", "delta", "ttc", sorted(set(ranks.values()))
+    )
+    stats = {name: located[rk] for name, rk in ranks.items()}
     return pd.DataFrame(
         {
             "n_viewing": pd.Series([n_viewing], dtype="int64"),
