@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_vocab_coverage": T.t_vocab_coverage,
         "q_wallet_balance": R.q_wallet_balance,
         "q_rfm_segments": R.q_rfm_segments,
+        "t_bm25_search": T.t_bm25_search,
     }
 
 
@@ -2325,6 +2326,40 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(s.tfidf_x1e3, 0) AS tfidf_x1e3 "
             "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id "
             "ORDER BY d.doc_id"
+        ),
+        "t_bm25_search": (
+            # single-term Okapi BM25 replayed token-for-token: idf =
+            # ln((N - df + 0.5)/(df + 0.5)), tf factor with k1=1.2 b=0.75
+            # written as the literal constants 2.2 / 1.2 / 0.25 / 0.75 the
+            # engine uses; avgdl is the ONE double division
+            # n_tokens/n_docs.  Each score is a single IEEE chain (no
+            # sum), so the milli-grid FLOOR(x*1000+0.5) matches exactly
+            # (the t_tfidf transcendence argument); the top-10 cut orders
+            # by the ROUNDED integer then doc_id on both sides.
+            "WITH w AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS word FROM documents), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents), "
+            "tk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tokens FROM w), "
+            "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM w "
+            "GROUP BY doc_id), "
+            "df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+            "FROM w WHERE word IN ('hash', 'query', 'row', 'table', "
+            "'zzz_absent') GROUP BY word), "
+            "tf AS (SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM w WHERE word IN ('hash', 'query', 'row', 'table', "
+            "'zzz_absent') GROUP BY word, doc_id), "
+            "scored AS (SELECT t.word, t.doc_id, t.tf, d.dl, "
+            "CAST(FLOOR(ln(((SELECT n_docs FROM n) - f.df + 0.5) / "
+            "(f.df + 0.5)) * ((CAST(t.tf AS DOUBLE) * 2.2) / "
+            "(CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * "
+            "(CAST(d.dl AS DOUBLE) / ((SELECT n_tokens FROM tk) / "
+            "(SELECT n_docs FROM n)))))) * 1000 + 0.5) AS BIGINT) "
+            "AS bm25_x1e3 FROM tf t JOIN df f USING(word) "
+            "JOIN dl d USING(doc_id)) "
+            "SELECT word, doc_id, tf, dl, bm25_x1e3 FROM scored "
+            "QUALIFY row_number() OVER (PARTITION BY word "
+            "ORDER BY bm25_x1e3 DESC, doc_id) <= 10 "
+            "ORDER BY word, doc_id"
         ),
         "t_repetition": (
             # Gopher-style repetition numerators recomputed verbatim:

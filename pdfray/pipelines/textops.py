@@ -6325,3 +6325,166 @@ def t_vocab_coverage(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# ----------------------------------------------------------------------
+# Okapi BM25 retrieval (Robertson & Walker; the SPARCK-Jones idf form)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+
+def t_bm25_search(sf_dir: str):
+    """Okapi BM25 retrieval: top-10 documents per probe word, scored with
+    the classic (k1=1.2, b=0.75) single-term formula
+
+        idf(w) * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl)),
+        idf(w) = ln((N - df + 0.5) / (df + 0.5))
+
+    — the ranking half of the search-engine family (t_inverted_lookup is
+    the postings half, t_tfidf the weighting half).
+
+    Plan (two scans, ZERO shuffle): pass 1 reduces each batch to ONE
+    constant-width partial row (n_docs, n_tokens, df per probe word) —
+    driver folds the block partials into the corpus stats, exactly the
+    t_tfidf global-stat shape but without even the vocab-sized groupby,
+    because the query vocabulary is fixed.  Pass 2 broadcasts (df, N,
+    avgdl) once via ray.put and scores every batch vectorized through the
+    shared `_word_codes` tokenizer; each block emits only its LOCAL
+    top-10 per word, so the driver merge is (10 x words x blocks)-sized
+    no matter the corpus.  At 100 TB both scans stream; nothing
+    corpus-order ever collects.
+
+    Exactness: each output row's score is a SINGLE IEEE expression (one
+    term, no sum), written token-for-token identically in the oracle; the
+    milli-unit grid absorbs libm ulp skew and ln() is transcendental so
+    no true score sits on a rounding boundary (the t_tfidf argument).
+    The top-10 cut orders by the ROUNDED integer then doc_id on both
+    sides, so boundary ties cannot diverge."""
+    import ray
+
+    from .frames import typed_collect
+
+    probes = [w for w in INDEX_PROBE_WORDS]
+    npr = len(probes)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        parent, codes, dictionary = _word_codes(t)
+        pidx_by_code = (
+            pc.fill_null(
+                pc.index_in(dictionary, value_set=pa.array(probes, pa.string())),
+                -1,
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        pidx = pidx_by_code[codes] if codes.size else codes
+        keep = pidx >= 0
+        if codes.size:
+            pair_keys = np.unique(parent[keep] * npr + pidx[keep])
+            df = np.bincount(pair_keys % npr, minlength=npr)
+        else:
+            df = np.zeros(npr, np.int64)
+        cols = {
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "n_tokens": pa.array([int(parent.size)], pa.int64()),
+        }
+        for i in range(npr):
+            cols[f"df_{i}"] = pa.array([int(df[i])], pa.int64())
+        return pa.table(cols)
+
+    stats_schema = pa.schema(
+        [("n_docs", pa.int64()), ("n_tokens", pa.int64())]
+        + [(f"df_{i}", pa.int64()) for i in range(npr)]
+    )
+    parts = typed_collect(
+        _read_documents(sf_dir).map_batches(stats_partial, batch_format="pyarrow"),
+        stats_schema,
+    )
+    n_docs = int(parts["n_docs"].sum()) if len(parts) else 0
+    n_tokens = int(parts["n_tokens"].sum()) if len(parts) else 0
+    df_vec = (
+        np.array([int(parts[f"df_{i}"].sum()) for i in range(npr)], np.float64)
+        if len(parts)
+        else np.zeros(npr)
+    )
+
+    out_schema = pa.schema(
+        [
+            ("word", pa.string()),
+            ("doc_id", pa.int64()),
+            ("tf", pa.int64()),
+            ("dl", pa.int64()),
+            ("bm25_x1e3", pa.int64()),
+        ]
+    )
+    if n_docs == 0:
+        return out_schema.empty_table().to_pandas()
+
+    nd = float(n_docs)
+    # ONE double division, written identically in the oracle
+    avgdl = float(n_tokens) / nd
+    idf = np.log((nd - df_vec + 0.5) / (df_vec + 0.5))
+    bref = ray.put((probes, idf, avgdl))
+
+    class Score:
+        def __init__(self):
+            self.probes, self.idf, self.avgdl = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            parent, codes, dictionary = _word_codes(t)
+            pidx_by_code = (
+                pc.fill_null(
+                    pc.index_in(
+                        dictionary, value_set=pa.array(self.probes, pa.string())
+                    ),
+                    -1,
+                )
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            pidx = pidx_by_code[codes] if codes.size else codes
+            keep = pidx >= 0
+            if not codes.size or not keep.any():
+                return out_schema.empty_table()
+            dl = np.bincount(parent, minlength=t.num_rows)
+            keys, tf = np.unique(parent[keep] * npr + pidx[keep], return_counts=True)
+            pair_parent, pair_pidx = keys // npr, keys % npr
+            tf_d = tf.astype(np.float64)
+            dl_pair = dl[pair_parent]
+            dl_d = dl_pair.astype(np.float64)
+            # the SINGLE-term BM25 chain, token-identical to the oracle SQL
+            score = self.idf[pair_pidx] * (
+                (tf_d * 2.2) / (tf_d + 1.2 * (0.25 + 0.75 * (dl_d / self.avgdl)))
+            )
+            x1e3 = np.floor(score * 1000.0 + 0.5).astype(np.int64)
+            doc_ids = t.column("doc_id").to_numpy()[pair_parent]
+            out = pd.DataFrame(
+                {
+                    "word": np.array(self.probes, object)[pair_pidx],
+                    "doc_id": doc_ids,
+                    "tf": tf.astype(np.int64),
+                    "dl": dl_pair.astype(np.int64),
+                    "bm25_x1e3": x1e3,
+                }
+            )
+            # local top-k: the global top-10 per word is contained in the
+            # union of per-block top-10s
+            out = out.sort_values(
+                ["word", "bm25_x1e3", "doc_id"], ascending=[True, False, True]
+            )
+            out = out.groupby("word", sort=False).head(BM25_TOP_K)
+            return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    cands = typed_collect(
+        _read_documents(sf_dir).map_batches(
+            warm_factory(("t_bm25_search", bref.hex()), Score),
+            batch_format="pyarrow",
+        ),
+        out_schema,
+    )
+    cands = cands.sort_values(
+        ["word", "bm25_x1e3", "doc_id"], ascending=[True, False, True]
+    )
+    final = cands.groupby("word", sort=False).head(BM25_TOP_K)
+    return final.sort_values(["word", "doc_id"]).reset_index(drop=True)

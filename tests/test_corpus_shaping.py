@@ -494,6 +494,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_unicode_dedup",
     "t_group_holdout_split",
     "t_dup_size_profile",
+    "t_bm25_search",
 ]
 
 
@@ -568,6 +569,73 @@ def test_adversarial_corpus_oracle_parity(ray_session, tmp_path, variant):
         got = got[sorted(got.columns)].reset_index(drop=True)
         want = want[sorted(want.columns)].reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=True, obj=name)
+
+
+def test_bm25_probe_corpus_parity_and_ranking(ray_session, tmp_path):
+    """BM25 over a corpus where the probe words actually occur — incl. a
+    word in MORE than half the docs (negative Robertson idf), tf ties
+    broken by doc length, and the top-10 cut exercised (12 matching docs
+    for 'table').  Checks driver-contract parity against the registered
+    oracle plus two hand properties: with equal dl, higher tf ranks
+    higher under positive idf; a doc shorter than another with the same
+    tf scores higher (length normalization)."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    texts = []
+    # 'table' in 12 of 16 docs -> df > N/2 -> idf < 0
+    for i in range(12):
+        texts.append("table " * (i + 1) + "filler " * (12 - i))
+    # 'hash' in 2 docs with equal dl but different tf
+    texts.append("hash hash pad pad pad")
+    texts.append("hash pad pad pad pad")
+    # 'row' same tf=1, different dl (shorter wins)
+    texts.append("row pad")
+    texts.append("row pad pad pad pad pad pad pad")
+    n = len(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([s.strip() for s in texts]),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s0"] * n),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "bm25"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    got = qs["t_bm25_search"](str(d))
+    want = con.execute(osql["t_bm25_search"]).df()
+    got_n = got[sorted(got.columns)].reset_index(drop=True)
+    want_n = (
+        want[sorted(want.columns)]
+        .sort_values(list(sorted(want.columns)))
+        .reset_index(drop=True)
+    )
+    got_n = got_n.sort_values(list(sorted(got_n.columns))).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_n, want_n, check_dtype=True)
+
+    # top-10 cut really applied: 12 docs contain 'table', only 10 survive
+    assert (got["word"] == "table").sum() == 10
+    # negative idf for the >half-df word
+    assert (got.loc[got["word"] == "table", "bm25_x1e3"] < 0).all()
+    # equal dl: tf=2 beats tf=1 under positive idf
+    h = got[got["word"] == "hash"].set_index("doc_id")["bm25_x1e3"]
+    assert h.loc[12] > h.loc[13]
+    # equal tf: shorter doc beats longer (length normalization)
+    r = got[got["word"] == "row"].set_index("doc_id")["bm25_x1e3"]
+    assert r.loc[14] > r.loc[15]
+    # absent probe word yields no rows
+    assert (got["word"] == "zzz_absent").sum() == 0
 
 
 def test_bloom_primitives_never_false_negative():
