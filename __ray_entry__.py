@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_wallet_balance": R.q_wallet_balance,
         "q_rfm_segments": R.q_rfm_segments,
         "t_bm25_search": T.t_bm25_search,
+        "q_assoc_rules": R.q_assoc_rules,
     }
 
 
@@ -2326,6 +2327,31 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(s.tfidf_x1e3, 0) AS tfidf_x1e3 "
             "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id "
             "ORDER BY d.doc_id"
+        ),
+        "q_assoc_rules": (
+            # rules recomputed from first principles: baskets = distinct
+            # (order, part); pair supports via the a<b self-join; singles
+            # from the same basket table.  All-integer derived columns —
+            # // truncation == floor on positives; the lift product rides
+            # HUGEINT so no scale overflows the SQL side either.
+            "WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+            "FROM lineitem), "
+            "nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM b), "
+            "s AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY p), "
+            "pr AS (SELECT b1.p AS a, b2.p AS b2p, CAST(COUNT(*) AS BIGINT) "
+            "AS c FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p "
+            "GROUP BY b1.p, b2.p), "
+            "f AS (SELECT * FROM pr WHERE c >= 2), "
+            "rules AS (SELECT a AS antecedent, b2p AS consequent, c AS n_ab "
+            "FROM f UNION ALL SELECT b2p, a, c FROM f) "
+            "SELECT r.antecedent, r.consequent, r.n_ab, sa.c AS n_a, "
+            "sb.c AS n_b, (SELECT n FROM nb) AS n_baskets, "
+            "(100 * r.n_ab) // sa.c AS conf_pct, "
+            "CAST((10000::HUGEINT * r.n_ab * (SELECT n FROM nb)) // "
+            "(CAST(sa.c AS HUGEINT) * sb.c) AS BIGINT) AS lift_x1e4 "
+            "FROM rules r JOIN s sa ON r.antecedent = sa.p "
+            "JOIN s sb ON r.consequent = sb.p "
+            "ORDER BY antecedent, consequent"
         ),
         "t_bm25_search": (
             # single-term Okapi BM25 replayed token-for-token: idf =

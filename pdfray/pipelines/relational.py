@@ -8266,7 +8266,7 @@ def q_butterfly_count(sf_dir: str):
 FREQ_PAIR_MINSUP = 2  # minimum co-purchase support for a frequent pair
 
 
-def _basket_pair_partials(sf_dir: str):
+def _basket_pair_partials(sf_dir: str, with_singles: bool = False):
     """Shared basket machinery for q_frequent_pairs and q_triangle_count:
     one order-keyed bucket exchange co-locates each basket (never one
     Python group per order), fully-vectorized per-bucket pair expansion
@@ -8274,7 +8274,14 @@ def _basket_pair_partials(sf_dir: str):
     are catalog-bounded), per-bucket pre-reduce, then `_two_regime_sum`
     to the exact global unordered-pair counts.  Returns ``(red, n_li)``:
     `red` streams one (a, b, c) row per DISTINCT co-purchased part pair
-    (a < b by construction — parts sort ascending within a basket)."""
+    (a < b by construction — parts sort ascending within a basket).
+
+    ``with_singles=True`` (q_assoc_rules) rides two extra row kinds
+    through the SAME exchange and reduce — single-item supports as
+    (part, -1, n_orders_with_part) and the basket count as (-2, -2,
+    n_orders) — legal because buckets partition ORDERS (per-bucket
+    distinct is globally distinct) and real partkeys are positive, so
+    the sentinel keys cannot collide with pair rows."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -8320,6 +8327,20 @@ def _basket_pair_partials(sf_dir: str):
             .rename(columns={"size": "c"})
         )
         part["c"] = part["c"].astype("int64")
+        if with_singles:
+            sp, sc = (
+                np.unique(p, return_counts=True)
+                if len(o)
+                else (np.empty(0, np.int64), np.empty(0, np.int64))
+            )
+            singles = pd.DataFrame(
+                {"a": sp, "b": np.full(len(sp), -1, np.int64), "c": sc}
+            )
+            n_orders = int(len(starts)) if len(o) else 0
+            nb_row = pd.DataFrame({"a": [-2], "b": [-2], "c": [n_orders]})
+            part = pd.concat([part, singles, nb_row], ignore_index=True)
+            for col in ("a", "b", "c"):
+                part[col] = part[col].astype("int64")
         return part
 
     pair_parts = (
@@ -8365,6 +8386,85 @@ def q_frequent_pairs(sf_dir: str):
     )
     df = df.rename(columns={"a": "part_a", "b": "part_b", "c": "n_orders"})
     return df.sort_values(["part_a", "part_b"]).reset_index(drop=True)
+
+
+def q_assoc_rules(sf_dir: str):
+    """Association rules over the frequent co-purchase pairs (the
+    confidence/lift half of Agrawal & Srikant's A-Priori — q_frequent_
+    pairs mines the itemsets, this derives the rules): for every frequent
+    pair {a, b} both directed rules a=>b and b=>a with exact support
+    counts, floor-percent confidence and a lift on the 1e-4 integer grid.
+
+    Plan: `_basket_pair_partials(with_singles=True)` — the SAME single
+    order-keyed bucket exchange that counts pairs also emits single-item
+    supports (part, -1, n) and the basket count (-2, -2, n) as sentinel
+    rows, so rules cost ZERO additional shuffles over the pair mining.
+    The reduced stream is cut to frequent pairs + the catalog-BOUNDED
+    singles table (parts, never lineitems) and folds on the driver.
+
+    Exactness: everything is integer — conf_pct = (100*n_ab) // n_a and
+    lift_x1e4 = (10000*n_ab*n_baskets) // (n_a*n_b), both all-positive so
+    Python floor == DuckDB // truncation; products stay far under 2^63
+    at any TPC-H scale (n_* are order counts)."""
+    red, _ = _basket_pair_partials(sf_dir, with_singles=True)
+
+    def cut(t: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.less(t.column("b"), 0),  # singles + basket-count sentinels
+            pc.greater_equal(t.column("c"), FREQ_PAIR_MINSUP),
+        )
+        return t.filter(keep)
+
+    df = typed_collect(
+        red.map_batches(cut, batch_format="pyarrow"),
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("c", pa.int64())]),
+    )
+    cols = [
+        "antecedent",
+        "consequent",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_baskets",
+        "conf_pct",
+        "lift_x1e4",
+    ]
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    n_baskets = int(df.loc[df["a"] == -2, "c"].sum())
+    singles = df[(df["b"] == -1) & (df["a"] >= 0)].set_index("a")["c"]
+    pairs = df[df["b"] >= 0]
+    if len(pairs) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    # both rule directions, vectorized (result-sized frames only)
+    fwd = pd.DataFrame(
+        {
+            "antecedent": pairs["a"].to_numpy(),
+            "consequent": pairs["b"].to_numpy(),
+            "n_ab": pairs["c"].to_numpy(),
+        }
+    )
+    rev = fwd.rename(
+        columns={"antecedent": "consequent", "consequent": "antecedent"}
+    )
+    out = pd.concat([fwd, rev], ignore_index=True)
+    out["n_a"] = out["antecedent"].map(singles).astype("int64")
+    out["n_b"] = out["consequent"].map(singles).astype("int64")
+    out["n_baskets"] = n_baskets
+    out["conf_pct"] = (100 * out["n_ab"]) // out["n_a"]
+    # exact Python-int products (the lift numerator can pass 2^63 at
+    # extreme scale; the frame is rule-sized, so object ints are free)
+    out["lift_x1e4"] = (
+        (10000 * out["n_ab"].astype(object) * int(n_baskets))
+        // (out["n_a"].astype(object) * out["n_b"].astype(object))
+    ).astype("int64")
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return (
+        out[cols]
+        .sort_values(["antecedent", "consequent"])
+        .reset_index(drop=True)
+    )
 
 
 MARKOV_BUCKETS = 64

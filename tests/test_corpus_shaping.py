@@ -886,6 +886,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "q_benford_audit",
     "q_butterfly_count",
     "q_frequent_pairs",
+    "q_assoc_rules",
     "q_triangle_count",
     "q_link_prediction",
     "q_skyline_parts",
