@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rfm_segments": R.q_rfm_segments,
         "t_bm25_search": T.t_bm25_search,
         "q_assoc_rules": R.q_assoc_rules,
+        "q_kcore": R.q_kcore,
     }
 
 
@@ -1849,6 +1850,48 @@ def _pagerank_oracle() -> str:
     )
 
 
+def _kcore_oracle() -> str:
+    """The bounded-round peel unrolled: a_r = nodes of d_{r-1} with
+    deg >= k, e_r = edges with both endpoints in a_r, d_r = degrees of
+    e_r — all integer counts, so the chained CTEs replay the engine's
+    broadcast-bitmap rounds verbatim.  k and the round count come from
+    the SAME constants the engine uses (no drift possible)."""
+    from pdfray.pipelines.relational import KCORE_K, KCORE_ROUNDS
+
+    ctes = [
+        "pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s "
+        "FROM lineitem)",
+        "e0 AS (SELECT p * 2 AS u, s * 2 + 1 AS v FROM pairs "
+        "UNION ALL SELECT s * 2 + 1, p * 2 FROM pairs)",
+        "d0 AS (SELECT u, COUNT(*) AS deg FROM e0 GROUP BY u)",
+    ]
+    rows = [
+        "SELECT CAST(0 AS BIGINT) AS round, "
+        "(SELECT COUNT(*) FROM d0) AS n_alive, "
+        "(SELECT COUNT(*) FROM e0) // 2 AS n_core_edges"
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"a{r} AS (SELECT u FROM d{p} WHERE deg >= {KCORE_K})"
+        )
+        ctes.append(
+            f"e{r} AS (SELECT e0.u, e0.v FROM e0 "
+            f"JOIN a{r} x ON e0.u = x.u JOIN a{r} y ON e0.v = y.u)"
+        )
+        ctes.append(
+            f"d{r} AS (SELECT u, COUNT(*) AS deg FROM e{r} GROUP BY u)"
+        )
+        rows.append(
+            f"SELECT CAST({r} AS BIGINT), (SELECT COUNT(*) FROM a{r}), "
+            f"(SELECT COUNT(*) FROM e{r}) // 2"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(rows)
+        + " ORDER BY round"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from pdfray.pipelines import relational as R
     from pdfray.pipelines import simsearch as S
@@ -3226,6 +3269,7 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY url"
         ),
         "q_pagerank_bipartite": _pagerank_oracle(),
+        "q_kcore": _kcore_oracle(),
         "q_incremental_rollup": (
             # the incremental (base checkpoint + delta merge) result must
             # equal the full from-scratch recompute — that equality IS the

@@ -15025,3 +15025,134 @@ def q_rfm_segments(sf_dir: str):
     return out.sort_values(["r_score", "f_score", "m_score"]).reset_index(
         drop=True
     )
+
+
+# ----------------------------------------------------------------------
+# k-core decomposition (graph degeneracy / peeling family)
+KCORE_K = 3
+KCORE_ROUNDS = 8  # peel rounds; converges well inside this on every sf
+
+
+def q_kcore(sf_dir: str, stage_dir: str = None):
+    """Bounded-round k-core peel (k=3) of the bipartite part<->supplier
+    shipment graph — the graph-DEGENERACY member of the iterative family
+    (PageRank = value propagation, BFS/SSSP = frontier expansion, CC =
+    label convergence; peeling is the fourth classic shape: repeatedly
+    delete nodes of degree < k and report the surviving core).  Dense-
+    subgraph mining, spam-cluster detection and community seeding all
+    reduce to this loop.
+
+    Exactly KCORE_ROUNDS peel rounds run on BOTH sides (extra rounds
+    after the fixed point are no-ops — the alive set is stable — so the
+    bounded unroll equals convergence whenever the data converges inside
+    the bound; the sf fixtures do, pinned by test).  Output: one row per
+    round r = 0..KCORE_ROUNDS with the alive-node count and the
+    undirected edge count of the surviving subgraph — round 0 is the
+    input graph, so the whole peel trajectory is pinned, not just the
+    terminal core.
+
+    Plan: the globally-deduped edge list (`_shipment_edge_list`, shared
+    with PageRank/BFS) lands in a parquet stage checkpoint read once per
+    round.  Each round broadcasts the alive bitmap once via `ray.put`
+    (nodes here are DIMENSION-sized — parts + suppliers — so the bitmap
+    is catalog-bounded by construction; a corpus-sized node space would
+    use the edges-by-alive semi-join regime instead, as
+    q_pagerank_bipartite's join branch does) and one map over the edge
+    files emits per-block sparse (node, deg) partials plus an edge-count
+    sentinel; the driver folds partials and peels.  All counts are
+    integers — nothing to round — and the SQL oracle is the identical
+    recurrence unrolled as chained CTEs."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from .staging import stage_checkpoint
+
+    def _rows_df(rows):
+        out = pd.DataFrame(rows, columns=["round", "n_alive", "n_core_edges"])
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    tmp = None
+    if stage_dir is None:
+        tmp = stage_dir = tempfile.mkdtemp(prefix="pdfray_kcore_")
+    try:
+        edges = stage_checkpoint(
+            lambda: _shipment_edge_list(sf_dir).select_columns(["u", "v"]),
+            os.path.join(stage_dir, "edges"),
+            allow_empty=True,
+        )
+        if edges is None:  # empty corpus: the peel of the empty graph
+            return _rows_df(
+                [(r, 0, 0) for r in range(KCORE_ROUNDS + 1)]
+            )
+
+        # node universe = sorted distinct sources (every node appears as a
+        # source because the edge list carries both directions)
+        deg0 = typed_collect(
+            edges.map_batches(
+                lambda t: pa.table(
+                    {"u": t.column("u").unique()}
+                ),
+                batch_format="pyarrow",
+            ),
+            pa.schema([("u", pa.int64())]),
+        )
+        nodes = np.unique(deg0["u"].to_numpy(np.int64))
+        alive = np.ones(len(nodes), bool)
+        rows = []
+        part_schema = pa.schema([("u", pa.int64()), ("deg", pa.int64())])
+        for r in range(KCORE_ROUNDS + 1):
+            ref = ray.put((nodes, alive.copy()))
+
+            class DegPass:
+                def __init__(self):
+                    self.nodes, self.alive = ray.get(ref)
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    u = t.column("u").to_numpy(zero_copy_only=False)
+                    v = t.column("v").to_numpy(zero_copy_only=False)
+                    iu = np.searchsorted(self.nodes, u)
+                    iv = np.searchsorted(self.nodes, v)
+                    keep = self.alive[iu] & self.alive[iv]
+                    uk = u[keep]
+                    su, sd = (
+                        np.unique(uk, return_counts=True)
+                        if uk.size
+                        else (np.empty(0, np.int64), np.empty(0, np.int64))
+                    )
+                    return pa.table(
+                        {
+                            "u": pa.array(
+                                np.concatenate([su, [-1]]), pa.int64()
+                            ),
+                            "deg": pa.array(
+                                np.concatenate(
+                                    [sd, [int(keep.sum())]]
+                                ).astype(np.int64),
+                                pa.int64(),
+                            ),
+                        }
+                    )
+
+            parts = typed_collect(
+                edges.map_batches(
+                    warm_factory(("kcore_deg", ref.hex()), DegPass),
+                    batch_format="pyarrow",
+                ),
+                part_schema,
+            )
+            folded = parts.groupby("u", as_index=False)["deg"].sum()
+            sent = int(folded.loc[folded["u"] == -1, "deg"].sum())
+            deg = np.zeros(len(nodes), np.int64)
+            real = folded[folded["u"] >= 0]
+            pos = np.searchsorted(nodes, real["u"].to_numpy(np.int64))
+            deg[pos] = real["deg"].to_numpy(np.int64)
+            rows.append((r, int(alive.sum()), sent // 2))
+            alive = alive & (deg >= KCORE_K)
+        return _rows_df(rows)
+    finally:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)

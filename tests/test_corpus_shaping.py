@@ -888,6 +888,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "q_frequent_pairs",
     "q_assoc_rules",
     "q_triangle_count",
+    "q_kcore",
     "q_link_prediction",
     "q_skyline_parts",
     "t_editdist_dupes",

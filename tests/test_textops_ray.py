@@ -3596,6 +3596,61 @@ def test_pagerank_handmade_graph(ray_session, tmp_path):
     pd.testing.assert_frame_equal(out, want)
 
 
+def test_kcore_cascade_graph_vs_bruteforce(ray_session, tmp_path):
+    """Multi-round peel cascade vs an independent brute-force peel: a
+    K3,3 core + an extra supplier keeps 7 nodes; a supplier whose support
+    erodes over three rounds (its neighbors die at rounds 1 and 2) pins
+    that the peel really iterates rather than thresholding once."""
+    import pdfray.pipelines.relational as R
+
+    edges = [
+        # K3,3: parts 1..3 x suppliers 1..3 (the 3-core)
+        *[(p, s) for p in (1, 2, 3) for s in (1, 2, 3)],
+        # supplier 5 rides the core: deg 3, all neighbors core
+        (1, 5), (2, 5), (3, 5),
+        # part 4 deg 2 -> dies round 1
+        (4, 1), (4, 2),
+        # cascade: supplier 7 has deg 3 via parts 1, 2, 8; part 8's other
+        # suppliers 8 and 9 are deg-1 -> die round 1 -> part 8 drops to
+        # deg 1 -> dies round 2 -> supplier 7 drops to 2 -> dies round 3
+        (1, 7), (2, 7), (8, 7), (8, 8), (8, 9),
+    ]
+    parts = np.array([e[0] for e in edges], np.int64)
+    supps = np.array([e[1] for e in edges], np.int64)
+    pq.write_table(
+        pa.table({"l_partkey": pa.array(parts), "l_suppkey": pa.array(supps)}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = R.q_kcore(str(tmp_path))
+
+    # independent reference peel
+    adj = {}
+    for p, s in set(edges):
+        u, v = 2 * p, 2 * s + 1
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    want = []
+    for r in range(R.KCORE_ROUNDS + 1):
+        n_edges = sum(len(adj[u] & alive) for u in alive) // 2
+        want.append((r, len(alive), n_edges))
+        alive = {u for u in alive if len(adj[u] & alive) >= R.KCORE_K}
+    want_df = pd.DataFrame(want, columns=["round", "n_alive", "n_core_edges"])
+    for c in want_df.columns:
+        want_df[c] = want_df[c].astype("int64")
+    pd.testing.assert_frame_equal(out, want_df)
+
+    # the cascade really takes three rounds to settle, then is stable
+    n_alive = out["n_alive"].tolist()
+    assert n_alive[0] > n_alive[1] > n_alive[2] > n_alive[3]
+    assert n_alive[3] == n_alive[-1] == 7
+    assert out["n_core_edges"].iloc[-1] == 12
+
+    # the sf fixture peels converge inside the round bound (docstring claim)
+    sf = R.q_kcore("/root/testdata/sf0.001")
+    assert sf.iloc[-1]["n_alive"] == sf.iloc[-2]["n_alive"]
+
+
 def test_incremental_rollup_resume_uses_checkpointed_base(
     ray_session, tmp_path
 ):
