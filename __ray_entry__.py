@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_bm25_search": T.t_bm25_search,
         "q_assoc_rules": R.q_assoc_rules,
         "q_kcore": R.q_kcore,
+        "s_perceptron": S.s_perceptron,
     }
 
 
@@ -1892,6 +1893,66 @@ def _kcore_oracle() -> str:
     )
 
 
+def _perceptron_oracle() -> str:
+    """The engine's batch-perceptron recurrence unrolled (the
+    q_pagerank_bipartite scheme applied to model training): features
+    quantized on the 1/64 grid with the SAME floor(x*64 + 0.5)
+    expression (64 is a power of two, so x*64 is exact in double and
+    both sides floor the identical value), every epoch update an
+    integer SUM (order-free), each epoch one chained CTE triple
+    (margins -> misclassified -> new weights).  Epoch count and grid
+    come from the engine's constants."""
+    from pdfray.pipelines.simsearch import PERC_EPOCHS, PERC_GRID
+
+    ctes = [
+        "x AS (SELECT vec_id AS i, generate_subscripts(embedding, 1) - 1 "
+        "AS j, CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * "
+        f"{PERC_GRID} + 0.5) AS BIGINT) AS x FROM embeddings)",
+        "y AS (SELECT vec_id AS i, CASE WHEN label % 2 = 0 THEN 1 "
+        "ELSE -1 END AS y FROM embeddings)",
+        # epoch 1: w0 = 0 -> margin 0 -> everything misclassified
+        "w1 AS (SELECT x.j, CAST(SUM(y.y * x.x) AS BIGINT) AS w "
+        "FROM x JOIN y USING(i) GROUP BY x.j)",
+        "b1 AS (SELECT CAST(COALESCE(SUM(y), 0) AS BIGINT) AS b FROM y)",
+        "m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM y)",
+    ]
+    for e in range(2, PERC_EPOCHS + 1):
+        p = e - 1
+        ctes.append(
+            f"marg{e} AS (SELECT y.i, y.y, y.y * (SUM(w{p}.w * x.x) + "
+            f"(SELECT b FROM b{p})) AS marg FROM x "
+            f"JOIN w{p} ON x.j = w{p}.j JOIN y ON x.i = y.i "
+            "GROUP BY y.i, y.y)"
+        )
+        ctes.append(f"mis{e} AS (SELECT i, y FROM marg{e} WHERE marg <= 0)")
+        ctes.append(
+            f"w{e} AS (SELECT w{p}.j, CAST(w{p}.w + COALESCE(u.s, 0) "
+            f"AS BIGINT) AS w FROM w{p} LEFT JOIN "
+            f"(SELECT x.j, SUM(m.y * x.x) AS s FROM x "
+            f"JOIN mis{e} m ON x.i = m.i GROUP BY x.j) u "
+            f"ON w{p}.j = u.j)"
+        )
+        ctes.append(
+            f"b{e} AS (SELECT CAST((SELECT b FROM b{p}) + "
+            f"COALESCE((SELECT SUM(y) FROM mis{e}), 0) AS BIGINT) AS b)"
+        )
+        ctes.append(
+            f"m{e} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mis{e})"
+        )
+    rows = []
+    for e in range(1, PERC_EPOCHS + 1):
+        rows.append(
+            f"SELECT CAST({e} AS BIGINT) AS epoch, CAST(-2 AS BIGINT) AS j, "
+            f"(SELECT n FROM m{e}) AS w"
+        )
+        rows.append(f"SELECT {e}, -1, (SELECT b FROM b{e})")
+        rows.append(f"SELECT {e}, j, w FROM w{e}")
+    return (
+        "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(rows)
+        + " ORDER BY epoch, j"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from pdfray.pipelines import relational as R
     from pdfray.pipelines import simsearch as S
@@ -3270,6 +3331,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_pagerank_bipartite": _pagerank_oracle(),
         "q_kcore": _kcore_oracle(),
+        "s_perceptron": _perceptron_oracle(),
         "q_incremental_rollup": (
             # the incremental (base checkpoint + delta merge) result must
             # equal the full from-scratch recompute — that equality IS the

@@ -3094,3 +3094,113 @@ def s_rrf_fusion(sf_dir: str):
         df[c] = df[c].astype("int64")
     df["rrf"] = df["rrf"].astype("float64")
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# Distributed batch perceptron (integer-exact iterative training)
+PERC_EPOCHS = 3
+PERC_GRID = 64  # feature quantization: x_int = floor(x * 64 + 0.5)
+
+
+def s_perceptron(sf_dir: str):
+    """Distributed BATCH perceptron training — the iterative-ML family's
+    linear classifier, with an EXACT oracle: features are quantized to
+    the 1/64 grid (x_int = floor(x*64 + 0.5), a power-of-two scale so
+    x*64 is exact in float64 and both sides floor the same double) and
+    the epoch update is the BATCH rule
+
+        w += sum over misclassified i of (y_i * x_i),   b += sum y_i,
+        misclassified: y_i * (<w, x_i> + b) <= 0
+
+    whose per-epoch update is a SUM of integer vectors — addition-order-
+    free, so the distributed fold is bit-equal to any serial replay and
+    the oracle is the recurrence unrolled as chained SQL CTEs (the
+    q_pagerank_bipartite scheme applied to model training; a float SGD
+    could never hash-match — its updates depend on visit order, which is
+    exactly why the classic parallel form IS the batch/mini-batch rule).
+    Labels: y = +1 for even `label`, -1 for odd.
+
+    Plan: one embeddings scan per epoch; the weight vector broadcasts
+    once per epoch via `ray.put`; every batch emits a constant-width
+    partial — the (dim+2) integer column sums (update vector, bias
+    update, misclassified count) — and the driver folds exact int64.
+    Zero shuffles.  Output pins the whole trajectory: one row per
+    (epoch, j) with j = feature index, -1 = bias, -2 = misclassified
+    count.  Overflow headroom: |x_int| <= 64*max|x|, |w_j| <=
+    epochs * n_rows * max|x_int|, margins <= dim * |w| * |x_int| —
+    ~2^45 at sf1-scale inputs, far inside int64."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from .frames import typed_collect
+
+    path = f"{sf_dir}/embeddings.parquet"
+    cols = ["epoch", "j", "w"]
+    pf = pq.ParquetFile(path)
+    if pf.metadata.num_rows == 0:
+        # zero vectors: no weight rows exist, but the per-epoch count and
+        # bias scalars still do (they are scalar aggregates over the empty
+        # set on the SQL side) — emit the same six rows
+        out = pd.DataFrame(
+            [(e, j, 0) for e in range(1, PERC_EPOCHS + 1) for j in (-2, -1)],
+            columns=cols,
+        )
+        return out.astype("int64")
+    # dim from ONE footer-guided row read, never a full scan
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first.column("embedding")[0])
+    ds = rd.read_parquet(path, columns=["embedding", "label"])
+
+    w = np.zeros(dim + 1, np.int64)  # [0:dim] weights, [dim] bias
+    rows = []
+    part_schema = pa.schema([("j", pa.int64()), ("val", pa.int64())])
+    for epoch in range(1, PERC_EPOCHS + 1):
+        ref = ray.put(w.copy())
+
+        class Epoch:
+            def __init__(self):
+                self.w = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                X = _batch_matrix(t)
+                Xi = np.floor(X * PERC_GRID + 0.5).astype(np.int64)
+                lab = t.column("label").to_numpy(zero_copy_only=False)
+                y = np.where(lab % 2 == 0, 1, -1).astype(np.int64)
+                margins = y * (Xi @ self.w[:dim] + self.w[dim])
+                m = margins <= 0
+                upd = (y[m, None] * Xi[m]).sum(axis=0, dtype=np.int64)
+                j = np.arange(dim, dtype=np.int64)
+                return pa.table(
+                    {
+                        "j": pa.array(
+                            np.concatenate([j, [-1, -2]]), pa.int64()
+                        ),
+                        "val": pa.array(
+                            np.concatenate(
+                                [upd, [int(y[m].sum()), int(m.sum())]]
+                            ).astype(np.int64),
+                            pa.int64(),
+                        ),
+                    }
+                )
+
+        parts = typed_collect(
+            ds.map_batches(
+                warm_factory(("s_perceptron", ref.hex()), Epoch),
+                batch_format="pyarrow",
+            ),
+            part_schema,
+        )
+        folded = parts.groupby("j", as_index=False)["val"].sum()
+        real = folded[folded["j"] >= 0]
+        w[real["j"].to_numpy(np.int64)] += real["val"].to_numpy(np.int64)
+        w[dim] += int(folded.loc[folded["j"] == -1, "val"].sum())
+        n_miss = int(folded.loc[folded["j"] == -2, "val"].sum())
+        rows.append((epoch, -2, n_miss))
+        rows.append((epoch, -1, int(w[dim])))
+        rows.extend((epoch, int(j), int(w[j])) for j in range(dim))
+    out = pd.DataFrame(rows, columns=cols)
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["epoch", "j"]).reset_index(drop=True)

@@ -638,6 +638,56 @@ def test_bm25_probe_corpus_parity_and_ranking(ray_session, tmp_path):
     assert (got["word"] == "zzz_absent").sum() == 0
 
 
+def test_perceptron_matches_serial_reference(ray_session, tmp_path):
+    """The distributed batch-perceptron trajectory is BIT-EQUAL to a
+    serial numpy replay of the same recurrence (the s_kmeans bit-equality
+    scheme): same quantization, same epoch updates, same bias — on a
+    corpus engineered so at least one epoch separates the classes only
+    partially (updates keep flowing across epochs)."""
+    from pdfray.pipelines.simsearch import (
+        PERC_EPOCHS,
+        PERC_GRID,
+        s_perceptron,
+    )
+
+    rng = np.random.RandomState(42)
+    n, dim = 257, 7  # prime n: uneven batch splits
+    X = np.round(rng.randn(n, dim) * 64) / 64.0  # 1/64 grid
+    labels = rng.randint(0, 10, size=n)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in X], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype(np.int64)),
+        }
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+
+    got = s_perceptron(str(d))
+
+    Xi = np.floor(X.astype(np.float64) * PERC_GRID + 0.5).astype(np.int64)
+    y = np.where(labels % 2 == 0, 1, -1).astype(np.int64)
+    w = np.zeros(dim, np.int64)
+    b = 0
+    want_rows = []
+    for e in range(1, PERC_EPOCHS + 1):
+        m = y * (Xi @ w + b) <= 0
+        w = w + (y[m, None] * Xi[m]).sum(axis=0, dtype=np.int64)
+        b = b + int(y[m].sum())
+        want_rows.append((e, -2, int(m.sum())))
+        want_rows.append((e, -1, b))
+        want_rows.extend((e, j, int(w[j])) for j in range(dim))
+    want = pd.DataFrame(want_rows, columns=["epoch", "j", "w"]).astype("int64")
+    want = want.sort_values(["epoch", "j"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # updates flowed in a later epoch too (the loop really iterates)
+    assert got.loc[(got["epoch"] == PERC_EPOCHS) & (got["j"] == -2), "w"].iloc[0] > 0
+
+
 def test_bloom_primitives_never_false_negative():
     """Property: every inserted fingerprint tests positive (no false
     negatives — the exactness guarantee of t_delta_dedup_bloom), the empty
@@ -1508,6 +1558,7 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
 
 
 EMB_ORACLE_QUERIES = [
+    "s_perceptron",
     "s_knn_bruteforce",
     "s_mrl_overlap",
     "s_mmr_diverse_topk",
