@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_assoc_rules": R.q_assoc_rules,
         "q_kcore": R.q_kcore,
         "s_perceptron": S.s_perceptron,
+        "q_seq_trigrams": R.q_seq_trigrams,
     }
 
 
@@ -3332,6 +3333,20 @@ def oracle_sql() -> dict[str, str]:
         "q_pagerank_bipartite": _pagerank_oracle(),
         "q_kcore": _kcore_oracle(),
         "s_perceptron": _perceptron_oracle(),
+        "q_seq_trigrams": (
+            # contiguous trigrams via two window leads under the pinned
+            # (ts, event_id) order; DISTINCT per user, then the support
+            # count; the minsup literal mirrors SEQ3_MINSUP
+            "WITH s AS (SELECT user_id, event_type AS t1, "
+            "lead(event_type, 1) OVER w AS t2, "
+            "lead(event_type, 2) OVER w AS t3 FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "tri AS (SELECT DISTINCT user_id, t1, t2, t3 FROM s "
+            "WHERE t3 IS NOT NULL) "
+            "SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS support "
+            "FROM tri GROUP BY t1, t2, t3 HAVING COUNT(*) >= 2 "
+            "ORDER BY support DESC, t1, t2, t3"
+        ),
         "q_incremental_rollup": (
             # the incremental (base checkpoint + delta merge) result must
             # equal the full from-scratch recompute — that equality IS the

@@ -15156,3 +15156,288 @@ def q_kcore(sf_dir: str, stage_dir: str = None):
     finally:
         if tmp is not None:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# Sequential-pattern mining: contiguous event-type trigram support
+SEQ3_BUCKETS = 64
+SEQ3_CHUNK_DAYS = 7  # hot-key split width; stitch is correct for ANY width
+SEQ3_MINSUP = 2
+
+
+def q_seq_trigrams(sf_dir: str):
+    """Contiguous sequential-pattern mining (the length-3 episode class of
+    GSP/PrefixSpan): for every event-type trigram (t1, t2, t3) the number
+    of DISTINCT users whose (ts, event_id)-ordered timeline contains the
+    three types consecutively, cut at support >= SEQ3_MINSUP.  Next-action
+    mining, funnel discovery and UI-flow audits all start here.
+
+    Hot-key-safe like q_markov_transitions, but a trigram can cross chunk
+    boundaries through up to THREE chunks (a singleton middle chunk), so
+    the boundary state per (user, chunk) is the chunk's first-two/last-two
+    events WITH their in-chunk positions and the chunk size: stitching
+    sorts a user's boundary rows by (chunk, pos) and enumerates windows
+    whose consecutive elements are TRUE-adjacent — same chunk and pos+1,
+    or last-of-chunk to first-of-next-populated-chunk — and that cross a
+    boundary (fully-in-chunk windows were counted by the in-chunk pass;
+    positions make false adjacency across an elided chunk middle
+    impossible).  Boundary rows are <= 4 per populated (user, chunk);
+    two-regime driver/bucketed stitch.
+
+    Distinct-user support: trigram rows carry user_id and dedup on a
+    user-splitmix bucket exchange (all of a user's rows co-locate, so
+    per-bucket drop_duplicates is globally exact — the q_butterfly_count
+    bucket-fold lesson; never a per-key Ray Aggregate), then per-bucket
+    value_counts partials sum via `_two_regime_sum`.  Everything that
+    shuffles is (user, 3 short types) or narrower; counts are integers
+    end to end."""
+    import ray.data as rd
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "user_id", "event_type"],
+        rows_per_block=12_500,
+    )
+    chunk_us = np.int64(SEQ3_CHUNK_DAYS) * 86_400_000_000
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        chunk, bucket = _session_keys(users, ts_us, SEQ3_BUCKETS, chunk_us)
+        t = t.append_column("chunk", pa.array(chunk, pa.int64()))
+        return t.append_column("bucket", pa.array(bucket))
+
+    _PART_COLS = {
+        "kind": "int64",
+        "user_id": "int64",
+        "t1": "object",
+        "t2": "object",
+        "t3": "object",
+        "chunk": "int64",
+        "pos": "int64",
+        "typ": "object",
+        "n": "int64",
+    }
+
+    def _empty_part() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=d) for c, d in _PART_COLS.items()})
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "chunk", "ts", "event_id"])
+        u = g["user_id"].to_numpy(np.int64)
+        ch = g["chunk"].to_numpy(np.int64)
+        ty = g["event_type"].to_numpy(object)
+        parts = []
+        if len(g) >= 3:
+            same2 = (u[2:] == u[:-2]) & (ch[2:] == ch[:-2])
+            tri = pd.DataFrame(
+                {
+                    "user_id": u[2:][same2],
+                    "t1": ty[:-2][same2],
+                    "t2": ty[1:-1][same2],
+                    "t3": ty[2:][same2],
+                }
+            ).drop_duplicates()
+            if len(tri):
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "kind": np.zeros(len(tri), np.int64),
+                            "user_id": tri["user_id"].to_numpy(np.int64),
+                            "t1": tri["t1"].to_numpy(object),
+                            "t2": tri["t2"].to_numpy(object),
+                            "t3": tri["t3"].to_numpy(object),
+                            "chunk": np.full(len(tri), -1, np.int64),
+                            "pos": np.full(len(tri), -1, np.int64),
+                            "typ": np.full(len(tri), "", object),
+                            "n": np.zeros(len(tri), np.int64),
+                        }
+                    )
+                )
+        if len(g):
+            brk = np.r_[True, (u[1:] != u[:-1]) | (ch[1:] != ch[:-1])]
+            starts = np.flatnonzero(brk)
+            sizes = np.diff(np.r_[starts, len(u)])
+            # boundary positions {0, 1, n-2, n-1} ∩ [0, n), deduped
+            segs = [
+                (starts, np.zeros(len(starts), np.int64), sizes >= 1),
+                (starts + 1, np.ones(len(starts), np.int64), sizes >= 2),
+                (starts + sizes - 2, sizes - 2, sizes >= 4),
+                (starts + sizes - 1, sizes - 1, sizes >= 3),
+            ]
+            idxs, poss, ns_ = [], [], []
+            for idx, pos, mask in segs:
+                idxs.append(idx[mask])
+                poss.append(pos[mask] if isinstance(pos, np.ndarray) else pos)
+                ns_.append(sizes[mask])
+            idx = np.concatenate(idxs)
+            pos = np.concatenate(poss)
+            nn = np.concatenate(ns_)
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.ones(len(idx), np.int64),
+                        "user_id": u[idx],
+                        "t1": np.full(len(idx), "", object),
+                        "t2": np.full(len(idx), "", object),
+                        "t3": np.full(len(idx), "", object),
+                        "chunk": ch[idx],
+                        "pos": pos.astype(np.int64),
+                        "typ": ty[idx],
+                        "n": nn.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True) if parts else _empty_part()
+
+    _part_schema = pa.schema(
+        [
+            ("kind", pa.int64()),
+            ("user_id", pa.int64()),
+            ("t1", pa.string()),
+            ("t2", pa.string()),
+            ("t3", pa.string()),
+            ("chunk", pa.int64()),
+            ("pos", pa.int64()),
+            ("typ", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+    parts = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .materialize()  # narrow: per-chunk distinct trigrams + <=4 boundary rows
+    )
+
+    inchunk = parts.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 0)).select(
+            ["user_id", "t1", "t2", "t3"]
+        ),
+        batch_format="pyarrow",
+    )
+    bnd_ds = parts.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), 1)).select(
+            ["user_id", "chunk", "pos", "typ", "n"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    tri_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("t1", pa.string()),
+            ("t2", pa.string()),
+            ("t3", pa.string()),
+        ]
+    )
+
+    def stitch(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["user_id", "chunk", "pos"])
+        u = b["user_id"].to_numpy(np.int64)
+        ch = b["chunk"].to_numpy(np.int64)
+        pos = b["pos"].to_numpy(np.int64)
+        nn = b["n"].to_numpy(np.int64)
+        ty = b["typ"].to_numpy(object)
+        out = pd.DataFrame(
+            {c: pd.Series(dtype=d) for c, d in
+             [("user_id", "int64"), ("t1", "object"), ("t2", "object"), ("t3", "object")]}
+        )
+        if len(b) < 3:
+            return out
+        su = u[1:] == u[:-1]
+        samechunk = su & (ch[1:] == ch[:-1]) & (pos[1:] == pos[:-1] + 1)
+        crosschunk = su & (ch[1:] != ch[:-1]) & (pos[:-1] == nn[:-1] - 1) & (
+            pos[1:] == 0
+        )
+        adj = samechunk | crosschunk
+        win = adj[:-1] & adj[1:] & (ch[2:] != ch[:-2])
+        tri = pd.DataFrame(
+            {
+                "user_id": u[2:][win],
+                "t1": ty[:-2][win],
+                "t2": ty[1:-1][win],
+                "t3": ty[2:][win],
+            }
+        ).drop_duplicates()
+        return tri if len(tri) else out
+
+    _bnd_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("chunk", pa.int64()),
+            ("pos", pa.int64()),
+            ("typ", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+    n_bnd = bnd_ds.count()
+    if n_bnd <= PIVOT_DRIVER_MAX_ROWS:
+        stitched_df = stitch(typed_collect(bnd_ds, _bnd_schema))
+        stitched = rd.from_arrow(
+            pa.Table.from_pandas(stitched_df, preserve_index=False).cast(tri_schema)
+        )
+    else:  # bucketed stitch: a user's boundary rows co-locate by hash
+        def add_ubucket(t: pa.Table) -> pa.Table:
+            uu = t.column("user_id").to_numpy(zero_copy_only=False)
+            mixed = uu.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            return t.append_column(
+                "ubucket",
+                pa.array((mixed % np.uint64(SEQ3_BUCKETS)).astype(np.int64)),
+            )
+
+        stitched = (
+            bnd_ds.map_batches(add_ubucket, batch_format="pyarrow")
+            .groupby("ubucket")
+            .map_groups(
+                lambda g: stitch(g.drop(columns=["ubucket"])),
+                batch_format="pandas",
+            )
+        )
+
+    tri_all = inchunk.union(stitched)
+
+    def dedup_bucketize(t: pa.Table) -> pa.Table:
+        uu = t.column("user_id").to_numpy(zero_copy_only=False)
+        mixed = uu.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "dbucket",
+            pa.array((mixed % np.uint64(SEQ3_BUCKETS)).astype(np.int64)),
+        )
+
+    def dedup_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "t1", "t2", "t3"])
+        c = (
+            d.groupby(["t1", "t2", "t3"], as_index=False)
+            .size()
+            .rename(columns={"size": "support"})
+        )
+        c["support"] = c["support"].astype("int64")
+        return c[["t1", "t2", "t3", "support"]]
+
+    red, _ = _two_regime_sum(
+        tri_all.map_batches(dedup_bucketize, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(dedup_fold, batch_format="pandas"),
+        ["t1", "t2", "t3"],
+        ["support"],
+    )
+    out = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("t1", pa.string()),
+                ("t2", pa.string()),
+                ("t3", pa.string()),
+                ("support", pa.int64()),
+            ]
+        ),
+    )
+    out = out[out["support"] >= SEQ3_MINSUP]
+    out["support"] = out["support"].astype("int64")
+    return (
+        out.sort_values(
+            ["support", "t1", "t2", "t3"], ascending=[False, True, True, True]
+        ).reset_index(drop=True)
+    )

@@ -638,6 +638,87 @@ def test_bm25_probe_corpus_parity_and_ranking(ray_session, tmp_path):
     assert (got["word"] == "zzz_absent").sum() == 0
 
 
+def test_seq_trigrams_chunk_spans_vs_bruteforce(ray_session, tmp_path, monkeypatch):
+    """Trigram mining vs a brute-force per-user replay on a corpus built
+    to stress every stitch path: a trigram spanning THREE chunks through a
+    singleton middle chunk, boundary pairs, a big chunk whose elided
+    middle must produce no false adjacency, ts ties ordered by event_id,
+    and a hot user with many chunks.  Run in BOTH stitch regimes (driver
+    and bucketed) — outputs must be identical."""
+    import pdfray.pipelines.relational as R
+
+    week_us = 7 * 86_400_000_000
+    rows = []  # (user, ts_us, event_type)
+    # user 1: three-chunk span via a singleton middle chunk
+    rows += [
+        (1, int(0.9 * week_us), "a"),
+        (1, int(1.5 * week_us), "b"),  # lone event in chunk 1
+        (1, int(2.1 * week_us), "c"),
+        (1, int(2.2 * week_us), "d"),
+    ]
+    # user 2: one big chunk (n=8) — elided middle, no false adjacency
+    rows += [(2, int(0.1 * week_us) + i * 1000, t) for i, t in
+             enumerate(["p", "q", "r", "s", "t", "u", "v", "w"])]
+    # user 2 second chunk: boundary pair continues the sequence
+    rows += [(2, int(1.05 * week_us), "x"), (2, int(1.06 * week_us), "y")]
+    # user 3: ts ties broken by event_id
+    tie = int(3.5 * week_us)
+    rows += [(3, tie, "m"), (3, tie, "n"), (3, tie, "o")]
+    # hot user 4: 12 chunks, two events each
+    for k in range(12):
+        rows += [(4, int((k + 0.2) * week_us), "h1"), (4, int((k + 0.8) * week_us), "h2")]
+    # user 5: shares user 1's trigram pattern (support 2 for some)
+    rows += [
+        (5, int(10.9 * week_us), "a"),
+        (5, int(11.5 * week_us), "b"),
+        (5, int(12.1 * week_us), "c"),
+    ]
+    n = len(rows)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    # brute force: per user ordered by (ts, event_id), distinct trigrams
+    df = t.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    seen = set()
+    for uid, g in df.sort_values(["ts_us", "event_id"]).groupby("user_id"):
+        ty = g["event_type"].tolist()
+        for i in range(len(ty) - 2):
+            seen.add((uid, ty[i], ty[i + 1], ty[i + 2]))
+    want = (
+        pd.DataFrame(list(seen), columns=["u", "t1", "t2", "t3"])
+        .groupby(["t1", "t2", "t3"], as_index=False)
+        .size()
+        .rename(columns={"size": "support"})
+    )
+    want = want[want["support"] >= R.SEQ3_MINSUP].astype({"support": "int64"})
+    want = want.sort_values(
+        ["support", "t1", "t2", "t3"], ascending=[False, True, True, True]
+    ).reset_index(drop=True)
+
+    got_driver = R.q_seq_trigrams(str(d))
+    pd.testing.assert_frame_equal(got_driver, want)
+    # sanity: the three-chunk span really survived (support 2 via user 5)
+    assert (
+        (got_driver[["t1", "t2", "t3"]].values == ["a", "b", "c"]).all(axis=1)
+    ).any()
+
+    monkeypatch.setattr(R, "PIVOT_DRIVER_MAX_ROWS", 0)  # force bucketed stitch
+    got_bucketed = R.q_seq_trigrams(str(d))
+    pd.testing.assert_frame_equal(got_bucketed, want)
+
+
 def test_perceptron_matches_serial_reference(ray_session, tmp_path):
     """The distributed batch-perceptron trajectory is BIT-EQUAL to a
     serial numpy replay of the same recurrence (the s_kmeans bit-equality
@@ -717,6 +798,7 @@ def test_bloom_primitives_never_false_negative():
 
 
 EVENTS_ORACLE_QUERIES = [
+    "q_seq_trigrams",
     "q_events_rollup",
     "q_events_json",
     "q_events_window",
