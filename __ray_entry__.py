@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kcore": R.q_kcore,
         "s_perceptron": S.s_perceptron,
         "q_seq_trigrams": R.q_seq_trigrams,
+        "q_snapshot_diff": R.q_snapshot_diff,
     }
 
 
@@ -4604,6 +4605,26 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_rows_at_risk, "
             "CAST(COALESCE(MIN(sz), 0) AS BIGINT) AS min_group_size "
             "FROM g"
+        ),
+        "q_snapshot_diff": (
+            # the perturbation rules replayed verbatim (drop %97, bump
+            # %13, insert %101 at k+1e9), then a FULL OUTER classify;
+            # absent values COALESCE to 0 with diff_class disambiguating
+            "WITH a AS (SELECT c_custkey AS k, "
+            "CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents "
+            "FROM customer), "
+            "b AS (SELECT k, CASE WHEN k % 13 = 0 THEN cents + 1 "
+            "ELSE cents END AS cents FROM a WHERE k % 97 <> 0 "
+            "UNION ALL SELECT k + 1000000000, k FROM a WHERE k % 101 = 0), "
+            "f AS (SELECT COALESCE(a.k, b.k) AS custkey, a.cents AS oc, "
+            "b.cents AS nc, a.k IS NOT NULL AS in_a, b.k IS NOT NULL AS in_b "
+            "FROM a FULL OUTER JOIN b ON a.k = b.k) "
+            "SELECT CASE WHEN NOT in_b THEN 'removed' "
+            "WHEN NOT in_a THEN 'added' ELSE 'changed' END AS diff_class, "
+            "custkey, COALESCE(oc, 0) AS old_cents, "
+            "COALESCE(nc, 0) AS new_cents FROM f "
+            "WHERE (NOT in_a) OR (NOT in_b) OR oc <> nc "
+            "ORDER BY diff_class, custkey"
         ),
         "q_time_travel": (
             # AS OF snapshot 1 = base + the EVEN-event_id delta only; the

@@ -15441,3 +15441,143 @@ def q_seq_trigrams(sf_dir: str):
             ["support", "t1", "t2", "t3"], ascending=[False, True, True, True]
         ).reset_index(drop=True)
     )
+
+
+# ----------------------------------------------------------------------
+# Row-level table diff (replica reconciliation / snapshot drift report)
+DIFF_ADD_OFFSET = 1_000_000_000  # synthetic-B new-key space, disjoint from custkeys
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Row-level DATA DIFF between two table states (the reconciliation
+    operator behind replica anti-entropy repair, snapshot drift reports
+    and CDC backfills): every key classified added / removed / changed
+    with its old and new value.  q_table_checksum detects THAT replicas
+    diverge; this reports WHERE.
+
+    The two states here are the customer balance table (side A) and a
+    deterministically perturbed replica (side B — in production the two
+    inputs are independent tables): B drops keys ≡ 0 (mod 97), bumps
+    cents by 1 on keys ≡ 0 (mod 13), and inserts new keys k + 1e9 (far
+    above any real custkey) for k ≡ 0 (mod 101) — integer rules replayed
+    verbatim in SQL.
+
+    Plan: both sides stream as (key, cents, side) rows into ONE
+    key-hash bucket exchange (the sides are per-key reduced already —
+    custkey is unique — so the exchange carries one narrow row per key
+    per side, and a per-bucket vectorized merge classifies); only the
+    DIFFERENCE rows — rule-bounded, never the table — leave the
+    buckets.  Absent values carry 0 with the class column
+    disambiguating (added rows have no old, removed rows no new), so
+    the frame stays pure int64."""
+    from .sizing import shuffle_partitions
+
+    def side_a(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            round_half_away(
+                t.column("c_acctbal").to_numpy(zero_copy_only=False), 2
+            )
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": pc.cast(t.column("c_custkey"), pa.int64()),
+                "cents": pa.array(cents),
+                "side": pa.array(np.zeros(len(t), np.int64)),
+            }
+        )
+
+    def side_b(t: pa.Table) -> pa.Table:
+        a = side_a(t)
+        k = a.column("k").to_numpy(zero_copy_only=False)
+        cents = a.column("cents").to_numpy(zero_copy_only=False)
+        keep = k % 97 != 0
+        kk, cc = k[keep], cents[keep].copy()
+        cc[kk % 13 == 0] += 1
+        addm = k % 101 == 0
+        nk = np.concatenate([kk, k[addm] + DIFF_ADD_OFFSET])
+        nc = np.concatenate([cc, k[addm]])
+        return pa.table(
+            {
+                "k": pa.array(nk, pa.int64()),
+                "cents": pa.array(nc, pa.int64()),
+                "side": pa.array(np.ones(len(nk), np.int64)),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    import pyarrow.parquet as _pq
+
+    n_cust = _pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    nb = shuffle_partitions(max(n_cust, 1))
+    both = cust.map_batches(side_a, batch_format="pyarrow").union(
+        cust.map_batches(side_b, batch_format="pyarrow")
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        kk = t.column("k").to_numpy(zero_copy_only=False)
+        mixed = kk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "bucket", pa.array((mixed % np.uint64(nb)).astype(np.int64))
+        )
+
+    out_cols = [
+        ("diff_class", "object"),
+        ("custkey", "int64"),
+        ("old_cents", "int64"),
+        ("new_cents", "int64"),
+    ]
+
+    def diff_fold(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0][["k", "cents"]]
+        b = g[g["side"] == 1][["k", "cents"]]
+        m = a.merge(b, on="k", how="outer", suffixes=("_a", "_b"), indicator=True)
+        removed = m[m["_merge"] == "left_only"]
+        added = m[m["_merge"] == "right_only"]
+        changed = m[(m["_merge"] == "both") & (m["cents_a"] != m["cents_b"])]
+        frames = []
+        for cls, src, oc, nc in (
+            ("added", added, 0, "cents_b"),
+            ("changed", changed, "cents_a", "cents_b"),
+            ("removed", removed, "cents_a", 0),
+        ):
+            if not len(src):
+                continue
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "diff_class": np.full(len(src), cls, object),
+                        "custkey": src["k"].to_numpy(np.int64),
+                        "old_cents": (
+                            src[oc].to_numpy(np.float64).astype(np.int64)
+                            if isinstance(oc, str)
+                            else np.zeros(len(src), np.int64)
+                        ),
+                        "new_cents": (
+                            src[nc].to_numpy(np.float64).astype(np.int64)
+                            if isinstance(nc, str)
+                            else np.zeros(len(src), np.int64)
+                        ),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({c: pd.Series(dtype=d) for c, d in out_cols})
+        return pd.concat(frames, ignore_index=True)
+
+    out = typed_collect(
+        both.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(diff_fold, batch_format="pandas"),
+        pa.schema(
+            [
+                ("diff_class", pa.string()),
+                ("custkey", pa.int64()),
+                ("old_cents", pa.int64()),
+                ("new_cents", pa.int64()),
+            ]
+        ),
+    )
+    for c, d in out_cols:
+        out[c] = out[c].astype(d)
+    return out.sort_values(["diff_class", "custkey"]).reset_index(drop=True)

@@ -1297,6 +1297,7 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
 
 
 STAR_ORACLE_QUERIES = [
+    "q_snapshot_diff",
     "q_broadcast_join_segment",
     "q_semi_join_big_customers",
     "q_anti_join_quiet_customers",
