@@ -472,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_perceptron": S.s_perceptron,
         "q_seq_trigrams": R.q_seq_trigrams,
         "q_snapshot_diff": R.q_snapshot_diff,
+        "m_image_dup_clusters": M.m_image_dup_clusters,
     }
 
 
@@ -661,11 +662,11 @@ def _patchify_oracle() -> str:
     )
 
 
-def _image_neardup_oracle() -> str:
-    """ALL-PAIRS near-dup ground truth from the PRE-encode pixel arrays:
-    every (url_a, url_b, hamming <= NEARDUP_T) pair as literal VALUES —
-    the engine's banded-LSH recall is checked against exhaustive truth
-    (the t_minhash_pairs scheme), and the decoder is never touched here."""
+def _image_neardup_rows() -> list:
+    """ALL-PAIRS near-dup ground truth from the PRE-encode pixel arrays
+    (decoder never touched): sorted (url_a, url_b, hamming) tuples at
+    hamming <= NEARDUP_T.  Shared by the pair oracle and the cluster
+    oracle so both replay the SAME truth graph."""
     import numpy as np
 
     from pdfray.pipelines.multimodal import NEARDUP_T, ahash64
@@ -691,17 +692,52 @@ def _image_neardup_oracle() -> str:
         for i, j in zip(ia, ib):
             ua, ub = sorted((urls[i], urls[j]))
             rows.append((ua, ub, int(d[i, j])))
+    return sorted(rows)
+
+
+def _image_neardup_oracle() -> str:
+    """The all-pairs truth as literal VALUES — the engine's banded-LSH
+    recall is checked against exhaustive truth (the t_minhash_pairs
+    scheme)."""
+    rows = _image_neardup_rows()
     if not rows:
         return (
             "SELECT CAST(NULL AS VARCHAR) AS url_a, "
             "CAST(NULL AS VARCHAR) AS url_b, CAST(NULL AS BIGINT) AS hamming "
             "WHERE FALSE"
         )
-    values = ", ".join(f"('{a_}', '{b_}', {h_})" for a_, b_, h_ in sorted(rows))
+    values = ", ".join(f"('{a_}', '{b_}', {h_})" for a_, b_, h_ in rows)
     return (
         f"SELECT url_a, url_b, CAST(hamming AS BIGINT) AS hamming "
         f"FROM (VALUES {values}) AS g(url_a, url_b, hamming) "
         "ORDER BY url_a, url_b"
+    )
+
+
+def _image_dup_clusters_oracle() -> str:
+    """Connected components over the SAME all-pairs truth graph via a
+    recursive min-label reachability walk (the t_dup_components scheme on
+    VARCHAR nodes — MIN over urls is the lexicographic representative on
+    both sides)."""
+    rows = _image_neardup_rows()
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS url, "
+            "CAST(NULL AS VARCHAR) AS cluster, "
+            "CAST(NULL AS BIGINT) AS cluster_size WHERE FALSE"
+        )
+    values = ", ".join(f"('{a_}', '{b_}')" for a_, b_, _h in rows)
+    return (
+        f"WITH RECURSIVE g(a, b) AS (VALUES {values}), "
+        "e AS (SELECT a AS u, b AS v FROM g UNION ALL SELECT b, a FROM g), "
+        "walk(node, lab) AS (SELECT u, u FROM e UNION "
+        "SELECT e.v, w.lab FROM walk w JOIN e ON e.u = w.node), "
+        "c AS (SELECT node AS url, MIN(lab) AS cluster FROM walk "
+        "GROUP BY node), "
+        "s AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size "
+        "FROM c GROUP BY cluster) "
+        "SELECT c.url, c.cluster, s.cluster_size FROM c JOIN s USING(cluster) "
+        "ORDER BY c.cluster, c.url"
     )
 
 
@@ -3732,6 +3768,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s_pca": _pca_oracle(),
         "m_image_neardup": _image_neardup_oracle(),
+        "m_image_dup_clusters": _image_dup_clusters_oracle(),
         "q_decay_user_engagement": (
             # every weight 2^-k (k in [0,30]) is a dyadic rational on the
             # 2^-30 grid and per-user sums stay < 2^23 terms, so each

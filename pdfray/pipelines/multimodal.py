@@ -1040,3 +1040,93 @@ def m_sharpness(sf_dir: str):
         warm_stage(SharpnessScorer), batch_format="pyarrow", batch_size=64
     )
     return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+def m_image_dup_clusters(sf_dir: str):
+    """Duplicate-image FAMILIES: connected components over the verified
+    near-dup pair graph — the image-side t_dup_components, completing the
+    multimodal dedup story from pairs to keep-one-per-family clusters.
+    Output: (url, cluster, cluster_size) for every clustered image, the
+    cluster id being the family's lexicographically smallest url.
+
+    Plan: pairs come from the banded-LSH + exact-Hamming verify pipeline
+    (`m_image_neardup` — pigeonhole recall guarantee); components via a
+    driver union-find below `CC_DRIVER_MAX_PAIRS` (the near-dup pair
+    table is dup-density-bounded, catalog-order at worst) and via
+    `_cc_min_label` (large-star/small-star, O(log n) rounds) on
+    md5-derived int64 node ids above it — the SAME two-regime split as
+    t_dup_components, so the 100 TB path exists in code.  The oracle
+    replays the ALL-PAIRS pre-encode truth graph through a recursive
+    min-label reachability walk, certifying decode, hashing, banding
+    recall, verification AND clustering end to end."""
+    import pandas as pd
+
+    from .textops import CC_DRIVER_MAX_PAIRS, _cc_min_label
+
+    pairs = m_image_neardup(sf_dir)
+    empty = pd.DataFrame(
+        {
+            "url": pd.Series([], dtype=object),
+            "cluster": pd.Series([], dtype=object),
+            "cluster_size": pd.Series([], dtype="int64"),
+        }
+    )
+    if len(pairs) == 0:
+        return empty
+
+    if len(pairs) <= CC_DRIVER_MAX_PAIRS:
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["url_a"], pairs["url_b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        labels = pd.DataFrame(
+            {"url": list(parent), "root": [find(u) for u in parent]}
+        )
+    else:  # scale regime: md5-int ids through the distributed CC
+        import ray.data as rd
+
+        def md5_id(u: str) -> int:
+            return int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+
+        id_map = pd.DataFrame(
+            {
+                "url": pd.concat(
+                    [pairs["url_a"], pairs["url_b"]], ignore_index=True
+                )
+            }
+        ).drop_duplicates()
+        id_map["nid"] = id_map["url"].map(md5_id).astype("int64")
+        e = pairs.merge(
+            id_map.rename(columns={"url": "url_a", "nid": "a"}), on="url_a"
+        ).merge(id_map.rename(columns={"url": "url_b", "nid": "b"}), on="url_b")
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array(e["a"].to_numpy(), pa.int64()),
+                    "doc_b": pa.array(e["b"].to_numpy(), pa.int64()),
+                }
+            )
+        )
+        lab = _cc_min_label(edges).to_pandas()
+        labels = id_map.merge(
+            lab.rename(columns={"node": "nid", "label": "comp"}), on="nid"
+        )
+        labels["root"] = labels.groupby("comp")["url"].transform("min")
+        labels = labels[["url", "root"]]
+
+    # canonical cluster id: the family's lexicographic minimum url
+    rep = labels.groupby("root")["url"].min().rename("cluster")
+    labels = labels.merge(rep, left_on="root", right_index=True)
+    sizes = labels.groupby("cluster")["url"].size().rename("cluster_size")
+    out = labels.merge(sizes, left_on="cluster", right_index=True)
+    out = out[["url", "cluster", "cluster_size"]]
+    out["cluster_size"] = out["cluster_size"].astype("int64")
+    return out.sort_values(["cluster", "url"]).reset_index(drop=True)

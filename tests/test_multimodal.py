@@ -546,3 +546,51 @@ def test_sharpness_ranks_blur_below_detail(ray_session):
             ) / float(r.lap_n)
             assert r.sharpness == want
             assert r.sharpness >= 0.0
+
+
+def test_image_dup_clusters_vs_truth_and_scale_regime(ray_session, monkeypatch):
+    """m_image_dup_clusters matches an independent union-find over the
+    near-dup pairs, transitivity holds (every member maps to the
+    family's lexicographic min), and the DISTRIBUTED `_cc_min_label`
+    regime (forced via CC_DRIVER_MAX_PAIRS=0) produces identical rows.
+    sf0.01 is the smallest scale with a natural near-dup family
+    (sf0.001 has none — engine and truth agree on empty)."""
+    import pandas as pd
+
+    import pdfray.pipelines.textops as T
+    from pdfray.pipelines.multimodal import m_image_dup_clusters, m_image_neardup
+
+    assert len(m_image_dup_clusters("/root/testdata/sf0.001")) == 0
+    sf = "/root/testdata/sf0.01"
+    got = m_image_dup_clusters(sf)
+    pairs = m_image_neardup(sf)
+
+    # independent union-find over the (already truth-checked) pairs
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["url_a"], pairs["url_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict = {}
+    for u in parent:
+        comp.setdefault(find(u), []).append(u)
+    rows = []
+    for members in comp.values():
+        rep = min(members)
+        rows.extend((u, rep, len(members)) for u in members)
+    want = pd.DataFrame(rows, columns=["url", "cluster", "cluster_size"])
+    want["cluster_size"] = want["cluster_size"].astype("int64")
+    want = want.sort_values(["cluster", "url"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+    assert len(got) > 0  # the fixture really plants dup families
+
+    monkeypatch.setattr(T, "CC_DRIVER_MAX_PAIRS", 0)  # force _cc_min_label
+    got_dist = m_image_dup_clusters(sf)
+    pd.testing.assert_frame_equal(got_dist, want, check_dtype=True)
