@@ -473,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_seq_trigrams": R.q_seq_trigrams,
         "q_snapshot_diff": R.q_snapshot_diff,
         "m_image_dup_clusters": M.m_image_dup_clusters,
+        "q_multitouch_attribution": R.q_multitouch_attribution,
     }
 
 
@@ -3370,6 +3371,34 @@ def oracle_sql() -> dict[str, str]:
         "q_pagerank_bipartite": _pagerank_oracle(),
         "q_kcore": _kcore_oracle(),
         "s_perceptron": _perceptron_oracle(),
+        "q_multitouch_attribution": (
+            # linear attribution recomputed from first principles: per
+            # (purchase, channel) touch counts over the [pts-W, pts)
+            # window, credit = (1e6 // n_total) * n_ch — pure integer
+            # floor division, order-free; touchless purchases fold into
+            # the __direct__ row (HAVING drops it when none exist)
+            "WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) "
+            "AS pts FROM events WHERE event_type = 'purchase'), "
+            "t AS (SELECT user_id, event_type AS ch, epoch_us(ts) AS tts "
+            "FROM events WHERE event_type <> 'purchase'), "
+            "j AS (SELECT p.pid, t.ch, CAST(COUNT(*) AS BIGINT) AS n_ch "
+            "FROM p JOIN t ON p.user_id = t.user_id "
+            "AND t.tts >= p.pts - 21600000000 AND t.tts < p.pts "
+            "GROUP BY p.pid, t.ch), "
+            "tot AS (SELECT pid, CAST(SUM(n_ch) AS BIGINT) AS n_total "
+            "FROM j GROUP BY pid), "
+            "cr AS (SELECT j.ch, j.n_ch, (1000000 // tot.n_total) * j.n_ch "
+            "AS credit FROM j JOIN tot USING(pid)), "
+            "agg AS (SELECT ch AS channel, CAST(COUNT(*) AS BIGINT) AS "
+            "n_conversions, CAST(SUM(n_ch) AS BIGINT) AS n_touches, "
+            "CAST(SUM(credit) AS BIGINT) AS credit_micro FROM cr "
+            "GROUP BY ch), "
+            "d AS (SELECT '__direct__' AS channel, CAST(COUNT(*) AS BIGINT) "
+            "AS n_conversions, CAST(0 AS BIGINT) AS n_touches, "
+            "CAST(1000000 * COUNT(*) AS BIGINT) AS credit_micro FROM p "
+            "WHERE pid NOT IN (SELECT pid FROM tot) HAVING COUNT(*) > 0) "
+            "SELECT * FROM agg UNION ALL SELECT * FROM d ORDER BY channel"
+        ),
         "q_seq_trigrams": (
             # contiguous trigrams via two window leads under the pinned
             # (ts, event_id) order; DISTINCT per user, then the support

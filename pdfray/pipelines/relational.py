@@ -15581,3 +15581,167 @@ def q_snapshot_diff(sf_dir: str):
     for c, d in out_cols:
         out[c] = out[c].astype(d)
     return out.sort_values(["diff_class", "custkey"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# Multi-touch (linear) attribution
+ATTR_WINDOW_US = 6 * 3_600_000_000  # lookback window; also the chunk width
+ATTR_CREDIT_SCALE = 1_000_000  # microcredits per conversion
+
+
+def q_multitouch_attribution(sf_dir: str):
+    """LINEAR multi-touch attribution: every purchase distributes
+    ATTR_CREDIT_SCALE microcredits equally over the user's non-purchase
+    touch events in the 6h window strictly before it (floor division —
+    deterministic integers, no rational arithmetic crosses the compare);
+    touchless purchases credit the '__direct__' channel in full.  Output
+    per channel: conversions reached, touches counted, microcredits won —
+    the marketing-mix report behind budget allocation.
+
+    Distributed shape: the q_range_join_view_purchase band-replication
+    plan inverted — chunk width == window, TOUCHES replicate into the
+    next chunk (2x narrow rows), purchases stay in their own chunk, so
+    each conversion's ENTIRE window is present in exactly one (user,
+    chunk) group and its touch total is computed once, never merged.
+    Composite chunk-relative keys (+W offset so replica offsets stay
+    non-negative) make the in-group window count one searchsorted pair
+    per channel — channel vocabulary is small, purchases vectorize.
+    Partials are (channel, conv, touches, credit) int rows;
+    `_two_regime_sum` folds them."""
+    import pyarrow.parquet as _pq
+
+    from .sizing import shuffle_partitions
+
+    w_us = np.int64(ATTR_WINDOW_US)
+    n_rows = _pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    n_buckets = shuffle_partitions(max(n_rows, 1))
+
+    def emit(t: pa.Table) -> pa.Table:
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ety = np.asarray(t.column("event_type").to_pylist(), object)
+        is_p = ety == "purchase"
+        chunk = ts_us // w_us
+        tmask = ~is_p
+        # touches additionally land in the NEXT chunk so a touch late in
+        # chunk c reaches purchases early in chunk c+1
+        out_users = np.concatenate([users, users[tmask]])
+        out_ts = np.concatenate([ts_us, ts_us[tmask]])
+        out_p = np.concatenate([is_p, np.zeros(int(tmask.sum()), bool)])
+        out_ch = np.concatenate([chunk, chunk[tmask] + 1])
+        out_ety = np.concatenate([ety, ety[tmask]])
+        mixed = out_users.astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        ) + out_ch.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+        bucket = (mixed % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(out_users, pa.int64()),
+                "ts_us": pa.array(out_ts, pa.int64()),
+                "is_p": pa.array(out_p, pa.bool_()),
+                "chunk": pa.array(out_ch, pa.int64()),
+                "etype": pa.array(out_ety, pa.string()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    part_cols = [
+        ("channel", "object"),
+        ("n_conversions", "int64"),
+        ("n_touches", "int64"),
+        ("credit_micro", "int64"),
+    ]
+
+    def _empty_part() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=d) for c, d in part_cols})
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _empty_part()
+        g = g.sort_values(["user_id", "chunk", "ts_us"])
+        users = g["user_id"].to_numpy()
+        chunk = g["chunk"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        isp = g["is_p"].to_numpy()
+        ety = g["etype"].to_numpy(object)
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = (users[1:] != users[:-1]) | (chunk[1:] != chunk[:-1])
+        gid = np.cumsum(new) - 1
+        # chunk-relative + W: replicas (from the previous chunk) sit in
+        # [0, W), natives in [W, 2W); big > 3W keeps groups disjoint
+        big = 3 * w_us + 2
+        comp = gid * big + (ts - chunk * w_us) + w_us
+        comp_p = comp[isp]
+        if len(comp_p) == 0:
+            return _empty_part()
+        channels = sorted(set(ety[~isp]))
+        counts = np.zeros((len(comp_p), len(channels)), np.int64)
+        for ci, ch in enumerate(channels):
+            m = (~isp) & (ety == ch)
+            comp_t = comp[m]  # sorted within gid by construction
+            lo = np.searchsorted(comp_t, comp_p - w_us, side="left")
+            hi = np.searchsorted(comp_t, comp_p, side="left")
+            counts[:, ci] = hi - lo
+        n_total = counts.sum(axis=1)
+        touched = n_total > 0
+        rows = []
+        if touched.any():
+            cpt = np.zeros(len(comp_p), np.int64)
+            cpt[touched] = ATTR_CREDIT_SCALE // n_total[touched]
+            credits = counts * cpt[:, None]
+            for ci, ch in enumerate(channels):
+                col = counts[:, ci]
+                reached = col > 0
+                if reached.any():
+                    rows.append(
+                        (
+                            ch,
+                            int(reached.sum()),
+                            int(col.sum()),
+                            int(credits[:, ci].sum()),
+                        )
+                    )
+        n_direct = int((~touched).sum())
+        if n_direct:
+            rows.append(
+                ("__direct__", n_direct, 0, n_direct * ATTR_CREDIT_SCALE)
+            )
+        if not rows:
+            return _empty_part()
+        out = pd.DataFrame(rows, columns=[c for c, _ in part_cols])
+        for c, d in part_cols[1:]:
+            out[c] = out[c].astype(d)
+        return out
+
+    parts = (
+        _read(
+            sf_dir,
+            "events",
+            ["event_id", "ts", "user_id", "event_type"],
+            rows_per_block=12_500,
+        )
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attribute, batch_format="pandas")
+    )
+    red, _ = _two_regime_sum(
+        parts,
+        ["channel"],
+        ["n_conversions", "n_touches", "credit_micro"],
+        empty_types={"channel": pa.string()},
+    )
+    out = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("channel", pa.string()),
+                ("n_conversions", pa.int64()),
+                ("n_touches", pa.int64()),
+                ("credit_micro", pa.int64()),
+            ]
+        ),
+    )
+    for c, d in part_cols:
+        out[c] = out[c].astype(d)
+    return out.sort_values("channel").reset_index(drop=True)

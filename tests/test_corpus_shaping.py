@@ -798,6 +798,7 @@ def test_bloom_primitives_never_false_negative():
 
 
 EVENTS_ORACLE_QUERIES = [
+    "q_multitouch_attribution",
     "q_seq_trigrams",
     "q_events_rollup",
     "q_events_json",
