@@ -474,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_snapshot_diff": R.q_snapshot_diff,
         "m_image_dup_clusters": M.m_image_dup_clusters,
         "q_multitouch_attribution": R.q_multitouch_attribution,
+        "s_calibration_report": S.s_calibration_report,
     }
 
 
@@ -3371,6 +3372,28 @@ def oracle_sql() -> dict[str, str]:
         "q_pagerank_bipartite": _pagerank_oracle(),
         "q_kcore": _kcore_oracle(),
         "s_perceptron": _perceptron_oracle(),
+        "s_calibration_report": (
+            # floor of the IDENTICAL double expression both sides, then
+            # pure integer sums; embedding[1] is DuckDB's 1-based first
+            # component; the bin = -1 total row folds the per-bin gaps
+            # (HAVING drops it on an empty table, matching the engine's
+            # typed-empty output)
+            "WITH b AS (SELECT CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END "
+            "AS y, CAST(FLOOR(LEAST(GREATEST("
+            "(CAST(embedding[1] AS DOUBLE) + 1) / 2, 0), 1) * 1000000) "
+            "AS BIGINT) AS pm FROM embeddings), "
+            "g AS (SELECT LEAST(pm // 100000, 9) AS bin, "
+            "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS "
+            "n_pos, CAST(SUM(pm) AS BIGINT) AS sum_p_micro FROM b "
+            "GROUP BY 1), "
+            "r AS (SELECT bin, n, n_pos, sum_p_micro, "
+            "ABS(n_pos * 1000000 - sum_p_micro) AS gap_micro FROM g) "
+            "SELECT * FROM r UNION ALL "
+            "SELECT CAST(-1 AS BIGINT), CAST(SUM(n) AS BIGINT), "
+            "CAST(SUM(n_pos) AS BIGINT), CAST(SUM(sum_p_micro) AS BIGINT), "
+            "CAST(SUM(gap_micro) AS BIGINT) FROM r HAVING COUNT(*) > 0 "
+            "ORDER BY bin"
+        ),
         "q_multitouch_attribution": (
             # linear attribution recomputed from first principles: per
             # (purchase, channel) touch counts over the [pts-W, pts)

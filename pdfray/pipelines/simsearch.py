@@ -3204,3 +3204,101 @@ def s_perceptron(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype("int64")
     return out.sort_values(["epoch", "j"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# Model-calibration evaluation (reliability diagram + ECE digits)
+CALIB_BINS = 10
+CALIB_SCALE = 1_000_000
+
+
+def s_calibration_report(sf_dir: str):
+    """Reliability-diagram / expected-calibration-error report — the
+    model-EVAL member the registry's confusion (t_langid_eval) and
+    ranking (q_auc) metrics were missing: scores bucket into 10
+    confidence bins; each bin reports support, positives, total
+    confidence mass and the |accuracy - confidence| gap, plus the
+    bin = -1 total row whose gap sum IS the (unnormalized) ECE.
+
+    The score is a deterministic pseudo-probability from the embedding's
+    first component, clamp((x0+1)/2, 0, 1) — in production this column
+    comes from a model head; the OPERATOR under test is the binned
+    calibration fold.  Scores enter the compare as floor(p*1e6)
+    microunits: floor of the IDENTICAL double expression on both sides
+    (no rounding-mode boundary to disagree on), after which everything
+    is order-free integer sums.  Labels: y = 1 for even `label` (the
+    s_perceptron convention).
+
+    Plan: one embeddings scan; each block emits <= CALIB_BINS partial
+    rows (bin, n, n_pos, sum_p_micro); `_two_regime_sum` folds; the
+    driver derives gaps.  Zero full-width shuffles."""
+    from .frames import typed_collect
+    from .relational import _read, _two_regime_sum
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "bin": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "n_pos": pa.array([], pa.int64()),
+                    "sum_p_micro": pa.array([], pa.int64()),
+                }
+            )
+        X = _batch_matrix(t)
+        x0 = X[:, 0]
+        p = np.minimum(np.maximum((x0 + 1) / 2, 0), 1)
+        pm = np.floor(p * CALIB_SCALE).astype(np.int64)
+        bins = np.minimum(pm // (CALIB_SCALE // CALIB_BINS), CALIB_BINS - 1)
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        y = (lab % 2 == 0).astype(np.int64)
+        n = np.bincount(bins, minlength=CALIB_BINS)
+        npos = np.bincount(bins, weights=y, minlength=CALIB_BINS).astype(np.int64)
+        sp = np.bincount(bins, weights=pm, minlength=CALIB_BINS).astype(np.int64)
+        present = n > 0
+        return pa.table(
+            {
+                "bin": pa.array(np.flatnonzero(present).astype(np.int64)),
+                "n": pa.array(n[present].astype(np.int64)),
+                "n_pos": pa.array(npos[present]),
+                "sum_p_micro": pa.array(sp[present]),
+            }
+        )
+
+    red, _ = _two_regime_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin"],
+        ["n", "n_pos", "sum_p_micro"],
+    )
+    out = typed_collect(
+        red,
+        pa.schema(
+            [
+                ("bin", pa.int64()),
+                ("n", pa.int64()),
+                ("n_pos", pa.int64()),
+                ("sum_p_micro", pa.int64()),
+            ]
+        ),
+    )
+    cols = ["bin", "n", "n_pos", "sum_p_micro", "gap_micro"]
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out["gap_micro"] = (
+        out["n_pos"] * CALIB_SCALE - out["sum_p_micro"]
+    ).abs()
+    total = pd.DataFrame(
+        {
+            "bin": [-1],
+            "n": [out["n"].sum()],
+            "n_pos": [out["n_pos"].sum()],
+            "sum_p_micro": [out["sum_p_micro"].sum()],
+            "gap_micro": [out["gap_micro"].sum()],
+        }
+    )
+    out = pd.concat([out, total], ignore_index=True)
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[cols].sort_values("bin").reset_index(drop=True)

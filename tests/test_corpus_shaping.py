@@ -1643,6 +1643,7 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
 
 EMB_ORACLE_QUERIES = [
     "s_perceptron",
+    "s_calibration_report",
     "s_knn_bruteforce",
     "s_mrl_overlap",
     "s_mmr_diverse_topk",
