@@ -475,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "m_image_dup_clusters": M.m_image_dup_clusters,
         "q_multitouch_attribution": R.q_multitouch_attribution,
         "s_calibration_report": S.s_calibration_report,
+        "q_peak_concurrency": R.q_peak_concurrency,
     }
 
 
@@ -3393,6 +3394,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n_pos) AS BIGINT), CAST(SUM(sum_p_micro) AS BIGINT), "
             "CAST(SUM(gap_micro) AS BIGINT) FROM r HAVING COUNT(*) > 0 "
             "ORDER BY bin"
+        ),
+        "q_peak_concurrency": (
+            # the sweep recomputed in window form: deltas netted per
+            # distinct time, running sum per type, argmax under the
+            # (conc DESC, t ASC) total order — half-open [s, e) semantics
+            # pinned by processing both deltas AT their own times
+            "WITH iv AS (SELECT event_type, epoch_us(ts) AS s, "
+            "epoch_us(ts) + 1800000000 AS e FROM events), "
+            "d AS (SELECT event_type, s AS t, 1 AS dlt FROM iv "
+            "UNION ALL SELECT event_type, e, -1 FROM iv), "
+            "byt AS (SELECT event_type, t, CAST(SUM(dlt) AS BIGINT) AS net "
+            "FROM d GROUP BY event_type, t), "
+            "run AS (SELECT event_type, t, SUM(net) OVER "
+            "(PARTITION BY event_type ORDER BY t) AS conc FROM byt), "
+            "sel AS (SELECT event_type, conc, t, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY conc DESC, t) AS rn "
+            "FROM run) "
+            "SELECT event_type, CAST(conc AS BIGINT) AS peak, "
+            "t AS peak_ts_us FROM sel WHERE rn = 1 ORDER BY event_type"
         ),
         "q_multitouch_attribution": (
             # linear attribution recomputed from first principles: per

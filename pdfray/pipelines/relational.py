@@ -15745,3 +15745,128 @@ def q_multitouch_attribution(sf_dir: str):
     for c, d in part_cols:
         out[c] = out[c].astype(d)
     return out.sort_values("channel").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# Interval sweep-line: peak concurrency
+PEAK_IV_US = 1_800_000_000  # each event opens a 30-minute interval
+PEAK_CHUNK_US = 86_400_000_000  # sweep chunk width (1 day)
+PEAK_BUCKETS = 64
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Peak concurrent open intervals per event type — the SWEEP-LINE
+    member of the associative-scan family (capacity planning, license
+    compliance, peak-load sizing): every event opens a [ts, ts + 30min)
+    interval; report each type's maximum simultaneous open count and the
+    EARLIEST timestamp attaining it.
+
+    Semantics pinned to half-open intervals: concurrency f(t) = count of
+    intervals containing t = running sum after folding ALL boundary
+    deltas with time <= t (an interval ending exactly at t no longer
+    counts, one starting at t does) — so deltas net PER DISTINCT TIME
+    before the scan, and intra-time orderings cannot manufacture phantom
+    peaks.
+
+    Distributed shape: the q_cusum_changepoint chunked-prefix plan on
+    (event_type, day-chunk) keys — both boundary deltas of an interval
+    land by THEIR OWN time (the -1 may fall in the next chunk; chunk
+    membership is per-delta, so no replication at all).  Each chunk
+    reduces to ONE constant-width partial (net sum S, max running prefix
+    M, first time attaining M); the driver folds chunk offsets o_c =
+    prefix of S and takes max(o_c + M_c) with the (value DESC, time ASC)
+    tie rule — each chunk's first attainment of the global peak is
+    exactly its first attainment of its local max, so one candidate per
+    chunk suffices (the drawdown argument).  Partial count is
+    |types| x |day-chunks|: time-bounded, driver-sized at any corpus
+    width (the cusum precedent)."""
+    import pyarrow.parquet as _pq
+
+    ds = _read(
+        sf_dir, "events", ["ts", "event_type"], rows_per_block=12_500
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ety = np.asarray(t.column("event_type").to_pylist(), object)
+        times = np.concatenate([ts_us, ts_us + PEAK_IV_US])
+        dlt = np.concatenate(
+            [np.ones(len(ts_us), np.int64), -np.ones(len(ts_us), np.int64)]
+        )
+        types = np.concatenate([ety, ety])
+        chunk = times // PEAK_CHUNK_US
+        # pre-net per (type, time) within the block to shrink the exchange
+        df = pd.DataFrame(
+            {"event_type": types, "chunk": chunk, "t": times, "dlt": dlt}
+        )
+        g = df.groupby(["event_type", "chunk", "t"], as_index=False)["dlt"].sum()
+        # deterministic type hash (md5 per unique value — Python hash() is
+        # process-seeded and would split a (type, chunk) across buckets)
+        uniq = {
+            v: int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+            for v in g["event_type"].unique()
+        }
+        th = g["event_type"].map(uniq).to_numpy(np.int64).astype(np.uint64)
+        mixed = th * np.uint64(0x9E3779B97F4A7C15) + g["chunk"].to_numpy(
+            np.int64
+        ).astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+        g["bucket"] = (mixed % np.uint64(PEAK_BUCKETS)).astype(np.int64)
+        g["dlt"] = g["dlt"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("chunk", pa.int64()),
+            ("s", pa.int64()),
+            ("m", pa.int64()),
+            ("tm", pa.int64()),
+        ]
+    )
+
+    def chunk_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "chunk", "t"])
+        rows = []
+        for (ety, ch), grp in g.groupby(["event_type", "chunk"], sort=False):
+            net = grp.groupby("t", sort=True)["dlt"].sum()
+            pref = net.cumsum().to_numpy(np.int64)
+            m = int(pref.max())
+            tm = int(net.index.to_numpy(np.int64)[int(np.argmax(pref))])
+            rows.append((ety, int(ch), int(pref[-1]), m, tm))
+        if not rows:
+            return part_schema.empty_table().to_pandas()
+        out = pd.DataFrame(rows, columns=["event_type", "chunk", "s", "m", "tm"])
+        for c in ("chunk", "s", "m", "tm"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = typed_collect(
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(chunk_fold, batch_format="pandas"),
+        part_schema,
+    )
+    out_cols = [
+        ("event_type", "object"),
+        ("peak", "int64"),
+        ("peak_ts_us", "int64"),
+    ]
+    if len(parts) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=d) for c, d in out_cols})
+    # pre-netted (type, chunk, t) rows can still split across blocks when
+    # a (type, t) pair straddles block boundaries: refold per (type,
+    # chunk) is NOT possible here because partials carry prefixes, so the
+    # exchange above co-locates each (type, chunk) wholesale instead.
+    parts = parts.sort_values(["event_type", "chunk"])
+    rows = []
+    for ety, grp in parts.groupby("event_type", sort=True):
+        s = grp["s"].to_numpy(np.int64)
+        off = np.concatenate([[0], np.cumsum(s)[:-1]])
+        vals = off + grp["m"].to_numpy(np.int64)
+        peak = int(vals.max())
+        first = int(np.argmax(vals))  # chunks sorted by time: earliest wins
+        rows.append((ety, peak, int(grp["tm"].to_numpy(np.int64)[first])))
+    out = pd.DataFrame(rows, columns=[c for c, _ in out_cols])
+    out["peak"] = out["peak"].astype("int64")
+    out["peak_ts_us"] = out["peak_ts_us"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -719,6 +719,48 @@ def test_seq_trigrams_chunk_spans_vs_bruteforce(ray_session, tmp_path, monkeypat
     pd.testing.assert_frame_equal(got_bucketed, want)
 
 
+def test_peak_concurrency_halfopen_and_chunk_boundary(ray_session, tmp_path):
+    """Hand-solved sweep: an interval ending EXACTLY when another starts
+    must not double-count (half-open semantics), the peak forms across a
+    day-chunk boundary (offset fold), and the reported time is the
+    EARLIEST attainment under ties."""
+    import pdfray.pipelines.relational as R
+
+    iv = R.PEAK_IV_US
+    day = R.PEAK_CHUNK_US
+    ts = [
+        0,           # A: [0, iv)
+        iv,          # B: starts exactly as A ends -> never concurrent with A
+        day - iv // 2,   # C: straddles the day boundary
+        day + iv // 4,   # D: overlaps C across the boundary -> peak 2
+        day + iv // 3,   # E: overlaps C and D -> peak 3, attained at E's start
+        3 * day,     # F: isolated late interval; peak stays 3
+    ]
+    n = len(ts)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(np.ones(n, np.int64)),
+            "event_type": pa.array(["view"] * n),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = R.q_peak_concurrency(str(d))
+    assert len(out) == 1
+    assert out.loc[0, "peak"] == 3
+    assert out.loc[0, "peak_ts_us"] == day + iv // 3  # E's start, not later
+    # control: removing E drops the peak to 2 at D's start
+    pq.write_table(
+        t.filter(pa.array([i != 4 for i in range(n)])),
+        str(d / "events.parquet"),
+    )
+    out2 = R.q_peak_concurrency(str(d))
+    assert out2.loc[0, "peak"] == 2 and out2.loc[0, "peak_ts_us"] == day + iv // 4
+
+
 def test_perceptron_matches_serial_reference(ray_session, tmp_path):
     """The distributed batch-perceptron trajectory is BIT-EQUAL to a
     serial numpy replay of the same recurrence (the s_kmeans bit-equality
@@ -799,6 +841,7 @@ def test_bloom_primitives_never_false_negative():
 
 EVENTS_ORACLE_QUERIES = [
     "q_multitouch_attribution",
+    "q_peak_concurrency",
     "q_seq_trigrams",
     "q_events_rollup",
     "q_events_json",
