@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_multitouch_attribution": R.q_multitouch_attribution,
         "s_calibration_report": S.s_calibration_report,
         "q_peak_concurrency": R.q_peak_concurrency,
+        "q_fwf_roundtrip": R.q_fwf_roundtrip,
     }
 
 
@@ -3394,6 +3395,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n_pos) AS BIGINT), CAST(SUM(sum_p_micro) AS BIGINT), "
             "CAST(SUM(gap_micro) AS BIGINT) FROM r HAVING COUNT(*) > 0 "
             "ORDER BY bin"
+        ),
+        "q_fwf_roundtrip": (
+            # the FWF contract: strings lose trailing spaces (padding is
+            # indistinguishable) — rtrim on the oracle side makes the
+            # compare exact under the format's real semantics
+            "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, "
+            "rtrim(n_name, ' ') AS n_name, "
+            "CAST(n_regionkey AS BIGINT) AS n_regionkey "
+            "FROM nation ORDER BY n_nationkey"
         ),
         "q_peak_concurrency": (
             # the sweep recomputed in window form: deltas netted per

@@ -15870,3 +15870,55 @@ def q_peak_concurrency(sf_dir: str):
     out["peak"] = out["peak"].astype("int64")
     out["peak_ts_us"] = out["peak_ts_us"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# copybook for the q_fwf_roundtrip leg: widths in characters, generous
+# enough for any hostile-harness value (overflow raises by design)
+FWF_NATION_LAYOUT = [
+    ("n_nationkey", 12, "int"),
+    ("n_name", 64, "str"),
+    ("n_regionkey", 12, "int"),
+]
+
+
+def q_fwf_roundtrip(sf_dir: str):
+    """Fixed-width (COBOL-copybook) round trip over the nation table —
+    the legacy/mainframe ingest leg of the format matrix (parquet / CSV /
+    JSONL / WARC / tar / IPC / ORC / Avro / FWF): nation streams through
+    the distributed FWF sink (content-addressed one-file-per-block,
+    character-width columns so unicode names keep alignment) and back
+    through the one-task-per-file source.  The declared lossy edge is
+    trailing spaces in string values (indistinguishable from padding —
+    the classic FWF contract); the oracle applies the SAME rtrim, so the
+    comparison certifies the round trip under the format's real
+    semantics.  Int fields must survive sign and magnitude exactly."""
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_fwf_table, write_fwf_table
+
+    empty = pd.DataFrame(
+        {
+            "n_nationkey": pd.Series([], dtype="int64"),
+            "n_name": pd.Series([], dtype=object),
+            "n_regionkey": pd.Series([], dtype="int64"),
+        }
+    )
+    out_dir = tempfile.mkdtemp(prefix="pdfray_fwf_")
+    try:
+        write_fwf_table(
+            _read(sf_dir, "nation"), out_dir, FWF_NATION_LAYOUT
+        )
+        if not any(n.endswith(".fwf") for n in os.listdir(out_dir)):
+            return empty  # empty corpus wrote no files
+        out = (
+            read_fwf_table(out_dir, FWF_NATION_LAYOUT)
+            .to_pandas()
+            .sort_values("n_nationkey")
+            .reset_index(drop=True)
+        )
+        for c in ("n_nationkey", "n_regionkey"):
+            out[c] = out[c].astype("int64")
+        return out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

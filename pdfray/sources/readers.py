@@ -363,3 +363,89 @@ def read_avro_table(path: str, columns=None):
         return pa.concat_tables(tables) if tables else pa.table({})
 
     return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def write_fwf_table(ds, out_dir: str, layout) -> None:
+    """Distributed FIXED-WIDTH text sink — the legacy/mainframe ingest leg
+    of the format matrix (COBOL copybook exports, bank clearing files,
+    many regulatory feeds are still FWF).  ``layout`` is the copybook:
+    a list of (column, width, kind) with kind 'int' or 'str'; ints are
+    right-aligned, strings left-aligned, both space-padded, widths in
+    CHARACTERS (the whole line is one UTF-8 encode, so multi-byte text
+    keeps its columns).  A value wider than its field raises — classic
+    FWF has no escape hatch, and silent truncation would corrupt data.
+
+    Trailing spaces in string VALUES are indistinguishable from padding
+    on read: `read_fwf_table` rstrips, which is the classic-FWF contract
+    (callers needing trailing-space fidelity want the CSV leg).  Same
+    durability discipline as the IPC/ORC/Avro sinks: content-addressed
+    file names, tmp + os.replace."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"path": pa.array([], pa.string())})
+        cols = {}
+        for name, width, kind in layout:
+            vals = t.column(name).to_pylist()
+            out = []
+            for v in vals:
+                s = "" if v is None else str(v)
+                if len(s) > width:
+                    raise ValueError(
+                        f"fwf field {name!r}: {s!r} exceeds width {width}"
+                    )
+                out.append(s.rjust(width) if kind == "int" else s.ljust(width))
+            cols[name] = out
+        lines = [
+            "".join(cols[name][i] for name, _w, _k in layout)
+            for i in range(len(t))
+        ]
+        buf = ("\n".join(lines) + "\n").encode("utf-8")
+        name = hashlib.md5(buf).hexdigest() + ".fwf"
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path])})
+
+    ds.map_batches(write_block, batch_format="pyarrow").count()
+
+
+def read_fwf_table(path: str, layout):
+    """Distributed fixed-width source: one read task per ``.fwf`` file,
+    sliced by the CHARACTER offsets of ``layout`` inside the worker.
+    Strings are rstripped (padding is indistinguishable from trailing
+    spaces — the classic FWF contract), ints parsed from their stripped
+    field; blank int fields (all-space) parse to NULL."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(path, file_extensions=["fwf"])
+    offs = []
+    pos = 0
+    for name, width, kind in layout:
+        offs.append((name, pos, pos + width, kind))
+        pos += width
+
+    def decode(t: pa.Table) -> pa.Table:
+        cols = {name: [] for name, *_ in offs}
+        for b in t.column("bytes").to_pylist():
+            for line in b.decode("utf-8").splitlines():
+                for name, lo, hi, kind in offs:
+                    field = line[lo:hi]
+                    if kind == "int":
+                        s = field.strip()
+                        cols[name].append(int(s) if s else None)
+                    else:
+                        cols[name].append(field.rstrip(" "))
+        arrays = {}
+        for name, _lo, _hi, kind in offs:
+            typ = pa.int64() if kind == "int" else pa.string()
+            arrays[name] = pa.array(cols[name], typ)
+        return pa.table(arrays)
+
+    return ds.map_batches(decode, batch_format="pyarrow")

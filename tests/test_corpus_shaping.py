@@ -1342,6 +1342,7 @@ def test_hostile_lineitem_oracle_parity(ray_session, tmp_path, variant):
 
 STAR_ORACLE_QUERIES = [
     "q_snapshot_diff",
+    "q_fwf_roundtrip",
     "q_broadcast_join_segment",
     "q_semi_join_big_customers",
     "q_anti_join_quiet_customers",
@@ -3308,3 +3309,51 @@ def test_equidepth_histogram_matches_numpy_order_stats(ray_session, tmp_path):
     assert out["n_b3"] == int(((v >= b50) & (v < b75)).sum())
     assert out["n_b4"] == int((v >= b75).sum())
     assert b25 == 777.77 and out["n_b1"] < n * 0.25  # the tie run really cut
+
+
+def test_fwf_hostile_values(ray_session, tmp_path):
+    """FWF edges: negative and zero ints, unicode names wider in bytes
+    than chars (character widths keep columns aligned), the rtrim
+    contract on trailing-space values, and a value wider than its field
+    raising instead of silently truncating."""
+    import ray.data as rd
+
+    from pdfray.pipelines.relational import FWF_NATION_LAYOUT, q_fwf_roundtrip
+    from pdfray.sources.readers import read_fwf_table, write_fwf_table
+
+    t = pa.table(
+        {
+            "n_nationkey": pa.array([-5, 0, 7, 8], pa.int64()),
+            "n_name": pa.array(["ÜBERLAND", "côte-d'ivoire 😀", "x  ", ""]),
+            "n_regionkey": pa.array([0, 1, -2, 9], pa.int64()),
+        }
+    )
+    d = tmp_path / "n"
+    d.mkdir()
+    pq.write_table(t, str(d / "nation.parquet"))
+    out = q_fwf_roundtrip(str(d))
+    assert out["n_nationkey"].tolist() == [-5, 0, 7, 8]
+    assert out["n_name"].tolist() == ["ÜBERLAND", "côte-d'ivoire 😀", "x", ""]
+    assert out["n_regionkey"].tolist() == [0, 1, -2, 9]
+
+    # oversize value refuses (classic FWF has no escape hatch)
+    wide = pa.table(
+        {
+            "n_nationkey": pa.array([1], pa.int64()),
+            "n_name": pa.array(["y" * 65]),
+            "n_regionkey": pa.array([0], pa.int64()),
+        }
+    )
+    o = tmp_path / "wide"
+    with pytest.raises(Exception):
+        write_fwf_table(rd.from_arrow(wide), str(o), FWF_NATION_LAYOUT)
+
+    # blank int field parses to NULL
+    layout = [("a", 4, "int"), ("b", 6, "str")]
+    f = tmp_path / "blank"
+    f.mkdir()
+    (f / "x.fwf").write_bytes(b"   7hello \n    world \n")
+    back = read_fwf_table(str(f), layout).to_pandas().sort_values("b")
+    assert back["a"].tolist()[0] == 7.0 or back["a"].tolist()[0] == 7
+    assert pd.isna(back["a"].tolist()[1])
+    assert back["b"].tolist() == ["hello", "world"]
