@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_calibration_report": S.s_calibration_report,
         "q_peak_concurrency": R.q_peak_concurrency,
         "q_fwf_roundtrip": R.q_fwf_roundtrip,
+        "t_feature_hashing": T.t_feature_hashing,
     }
 
 
@@ -2498,6 +2499,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM rules r JOIN s sa ON r.antecedent = sa.p "
             "JOIN s sb ON r.consequent = sb.p "
             "ORDER BY antecedent, consequent"
+        ),
+        "t_feature_hashing": (
+            # bucket = md5('fh:'||word)[:8] mod 16 = last hex digit of
+            # the prefix (the t_shuffle_shards strpos trick); vector
+            # fingerprint = md5 over the ordered 'bucket:count' canonical
+            # string; empty docs fingerprint md5('')
+            "WITH w AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS word "
+            "FROM documents), "
+            "b AS (SELECT doc_id, CAST((strpos('0123456789abcdef', "
+            "substr(md5('fh:' || word), 8, 1)) - 1) % 16 AS BIGINT) "
+            "AS bucket FROM w), "
+            "c AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM b GROUP BY doc_id, bucket), "
+            "v AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS nnz, "
+            "md5(string_agg(CAST(bucket AS VARCHAR) || ':' || "
+            "CAST(c AS VARCHAR), ',' ORDER BY bucket)) AS vec_md5 "
+            "FROM c GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(v.n_tokens, 0) AS n_tokens, "
+            "COALESCE(v.nnz, 0) AS nnz, "
+            "COALESCE(v.vec_md5, md5('')) AS vec_md5 "
+            "FROM documents d LEFT JOIN v USING(doc_id) ORDER BY d.doc_id"
         ),
         "t_bm25_search": (
             # single-term Okapi BM25 replayed token-for-token: idf =

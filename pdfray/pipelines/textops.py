@@ -6488,3 +6488,71 @@ def t_bm25_search(sf_dir: str):
     )
     final = cands.groupby("word", sort=False).head(BM25_TOP_K)
     return final.sort_values(["word", "doc_id"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# Feature hashing (the hashing-trick vectorizer, Weinberger et al. 2009)
+FH_BUCKETS = 16
+FH_SALT = "fh:"
+
+
+def t_feature_hashing(sf_dir: str):
+    """Hashing-trick document vectorizer: every document becomes a
+    FH_BUCKETS-dim count vector with bucket = md5('fh:'||word) mod 16 —
+    the fixed-dimension, vocabulary-free text featurizer (Weinberger et
+    al. 2009) that bridges the text family to the vector family (the
+    hashed vectors feed kNN / kmeans / classifiers with NO global
+    dictionary pass — the property that matters at 100 TB, where even
+    the vocab-bounded t_tfidf broadcast is a pass you'd rather skip).
+
+    One streaming scan, zero shuffles: per batch the shared
+    `_word_codes` tokenizer + one md5 per UNIQUE batch word (never per
+    token), counts via one bincount over (doc, bucket) keys.  The full
+    vector rides the compare as a FINGERPRINT — md5 of the canonical
+    'bucket:count' string (nonzero buckets in bucket order) — the
+    t_pii_scrub scheme, certifying every component byte-for-byte without
+    emitting corpus x 16 rows; nnz and token totals come along as plain
+    integers.  The oracle rebuilds the vectors verbatim in SQL (mod 16
+    of a hex number is its last hex digit — the t_shuffle_shards
+    strpos trick — and the canonical string is an ORDER BY string_agg)."""
+
+    def project(t: pa.Table) -> pa.Table:
+        parent, codes, dictionary = _word_codes(t)
+        words = dictionary.to_pylist()
+        bucket_by_code = np.array(
+            [
+                int(hashlib.md5((FH_SALT + w).encode("utf-8")).hexdigest()[:8], 16)
+                % FH_BUCKETS
+                for w in words
+            ]
+            or [0],
+            np.int64,
+        )
+        n_docs = t.num_rows
+        if codes.size:
+            keys = parent * FH_BUCKETS + bucket_by_code[codes]
+            counts = np.bincount(keys, minlength=n_docs * FH_BUCKETS).reshape(
+                n_docs, FH_BUCKETS
+            )
+        else:
+            counts = np.zeros((n_docs, FH_BUCKETS), np.int64)
+        fps, nnzs = [], []
+        for row in counts:
+            nz = np.flatnonzero(row)
+            canon = ",".join(f"{b}:{row[b]}" for b in nz)
+            fps.append(hashlib.md5(canon.encode("utf-8")).hexdigest())
+            nnzs.append(len(nz))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(
+                    np.bincount(parent, minlength=n_docs).astype(np.int64),
+                    pa.int64(),
+                ),
+                "nnz": pa.array(np.array(nnzs, np.int64), pa.int64()),
+                "vec_md5": pa.array(fps, pa.string()),
+            }
+        )
+
+    ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
+    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))

@@ -495,6 +495,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_group_holdout_split",
     "t_dup_size_profile",
     "t_bm25_search",
+    "t_feature_hashing",
 ]
 
 
