@@ -478,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_peak_concurrency": R.q_peak_concurrency,
         "q_fwf_roundtrip": R.q_fwf_roundtrip,
         "t_feature_hashing": T.t_feature_hashing,
+        "t_mlm_masking": T.t_mlm_masking,
     }
 
 
@@ -2499,6 +2500,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM rules r JOIN s sa ON r.antecedent = sa.p "
             "JOIN s sb ON r.consequent = sb.p "
             "ORDER BY antecedent, consequent"
+        ),
+        "t_mlm_masking": (
+            # the salted per-token md5 mask rule replayed verbatim
+            # (0-based positions over the FILTERED token list), masked
+            # text rebuilt with an ordered string_agg and fingerprinted;
+            # empty docs fingerprint md5('')
+            "WITH docs AS (SELECT doc_id, list_filter("
+            "string_split(text, ' '), x -> x <> '') AS tk FROM documents), "
+            "w AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos, "
+            "unnest(tk) AS word FROM docs), "
+            "m AS (SELECT doc_id, pos, word, "
+            "substr(md5('mlm:' || CAST(doc_id AS VARCHAR) || ':' || "
+            "CAST(pos AS VARCHAR) || ':' || word), 1, 2) < '26' AS msk "
+            "FROM w), "
+            "v AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS "
+            "n_masked, md5(string_agg(CASE WHEN msk THEN '<mask>' "
+            "ELSE word END, ' ' ORDER BY pos)) AS masked_md5 "
+            "FROM m GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(v.n_tokens, 0) AS n_tokens, "
+            "COALESCE(v.n_masked, 0) AS n_masked, "
+            "COALESCE(v.masked_md5, md5('')) AS masked_md5 "
+            "FROM documents d LEFT JOIN v USING(doc_id) ORDER BY d.doc_id"
         ),
         "t_feature_hashing": (
             # bucket = md5('fh:'||word)[:8] mod 16 = last hex digit of

@@ -6556,3 +6556,75 @@ def t_feature_hashing(sf_dir: str):
 
     ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
     return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
+
+
+# ----------------------------------------------------------------------
+# MLM masking (BERT-style pretraining corruption, deterministic)
+MLM_SALT = "mlm:"
+MLM_THRESH = "26"  # md5-hex2 < '26' => ~14.8% mask rate
+MLM_TOKEN = "<mask>"
+
+
+def t_mlm_masking(sf_dir: str):
+    """Deterministic masked-language-model corruption — the BERT-style
+    pretraining transform as a corpus operator: each token masks iff
+    md5('mlm:'||doc_id||':'||pos||':'||token) starts below hex '26'
+    (~15%, the BERT rate), so the mask set is a pure function of the data
+    (reproducible across runs, resumable shards, and replayable in SQL —
+    an RNG mask could never be oracle-checked).  Output per document:
+    token/mask counts and the md5 fingerprint of the masked text (tokens
+    joined by single spaces, masked ones replaced by '<mask>') — the
+    t_pii_scrub fingerprint scheme certifying the rewritten corpus
+    byte-for-byte without shipping text.
+
+    One streaming pass, zero shuffles; the per-token md5 is the honest
+    cost of a content-keyed mask rule (same class as the BPE train
+    pass), confined to the map stage."""
+
+    def project(t: pa.Table) -> pa.Table:
+        parent, codes, dictionary = _word_codes(t)
+        words = np.asarray(dictionary.to_pylist(), object)
+        doc_ids = t.column("doc_id").to_numpy()
+        n_docs = t.num_rows
+        # per-token position within its doc
+        if codes.size:
+            pos = np.arange(len(parent)) - np.concatenate(
+                [[0], np.cumsum(np.bincount(parent, minlength=n_docs))[:-1]]
+            )[parent]
+        else:
+            pos = codes
+        n_tok = np.bincount(parent, minlength=n_docs).astype(np.int64)
+        toks = words[codes] if codes.size else np.empty(0, object)
+        masked = np.zeros(len(toks), bool)
+        for i in range(len(toks)):
+            h = hashlib.md5(
+                f"{MLM_SALT}{doc_ids[parent[i]]}:{pos[i]}:{toks[i]}".encode(
+                    "utf-8"
+                )
+            ).hexdigest()
+            masked[i] = h[:2] < MLM_THRESH
+        n_masked = np.bincount(
+            parent[masked], minlength=n_docs
+        ).astype(np.int64) if codes.size else np.zeros(n_docs, np.int64)
+        out_tokens = np.where(masked, MLM_TOKEN, toks)
+        fps = []
+        start = 0
+        for d in range(n_docs):
+            k = int(n_tok[d])
+            fps.append(
+                hashlib.md5(
+                    " ".join(out_tokens[start : start + k]).encode("utf-8")
+                ).hexdigest()
+            )
+            start += k
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_masked": pa.array(n_masked, pa.int64()),
+                "masked_md5": pa.array(fps, pa.string()),
+            }
+        )
+
+    ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
+    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))

@@ -496,6 +496,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_dup_size_profile",
     "t_bm25_search",
     "t_feature_hashing",
+    "t_mlm_masking",
 ]
 
 
