@@ -473,6 +473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_seq_trigrams": R.q_seq_trigrams,
         "q_snapshot_diff": R.q_snapshot_diff,
         "m_image_dup_clusters": M.m_image_dup_clusters,
+        "m_audio_dup_clusters": M.m_audio_dup_clusters,
+        "m_video_dup_clusters": M.m_video_dup_clusters,
         "q_multitouch_attribution": R.q_multitouch_attribution,
         "s_calibration_report": S.s_calibration_report,
         "q_peak_concurrency": R.q_peak_concurrency,
@@ -725,7 +727,12 @@ def _image_dup_clusters_oracle() -> str:
     recursive min-label reachability walk (the t_dup_components scheme on
     VARCHAR nodes — MIN over urls is the lexicographic representative on
     both sides)."""
-    rows = _image_neardup_rows()
+    return _cluster_walk_oracle(_image_neardup_rows())
+
+
+def _cluster_walk_oracle(rows) -> str:
+    """Shared recursive-walk cluster oracle over literal truth pairs —
+    used by all three media dup-cluster operators."""
     if not rows:
         return (
             "SELECT CAST(NULL AS VARCHAR) AS url, "
@@ -747,12 +754,11 @@ def _image_dup_clusters_oracle() -> str:
     )
 
 
-def _audio_neardup_oracle() -> str:
-    """ALL-PAIRS audio near-dup ground truth: every (url_a, url_b,
-    hamming <= NEARDUP_T) pair as literal VALUES, fingerprints recomputed
+def _audio_neardup_rows() -> list:
+    """ALL-PAIRS audio near-dup ground truth rows: fingerprints recomputed
     from the fixture generator's round-tripped samples via the SAME shared
-    `envelope_hash64` (the audio_stats golden discipline) — the engine's
-    banded-LSH recall is checked against exhaustive truth."""
+    `envelope_hash64` (the audio_stats golden discipline).  Shared by the
+    pair and cluster oracles."""
     import numpy as np
 
     from pdfray.core.wav import decode_wav, envelope_hash64
@@ -776,13 +782,22 @@ def _audio_neardup_oracle() -> str:
         for i, j in zip(ia, ib):
             ua, ub = sorted((urls[i], urls[j]))
             rows.append((ua, ub, int(d[i, j])))
+    return sorted(rows)
+
+
+def _audio_neardup_oracle() -> str:
+    return _pairs_values_oracle(_audio_neardup_rows())
+
+
+def _pairs_values_oracle(rows) -> str:
+    """Literal-VALUES pair oracle shared by the audio/video legs."""
     if not rows:
         return (
             "SELECT CAST(NULL AS VARCHAR) AS url_a, "
             "CAST(NULL AS VARCHAR) AS url_b, CAST(NULL AS BIGINT) AS hamming "
             "WHERE FALSE"
         )
-    values = ", ".join(f"('{a_}', '{b_}', {h_})" for a_, b_, h_ in sorted(rows))
+    values = ", ".join(f"('{a_}', '{b_}', {h_})" for a_, b_, h_ in rows)
     return (
         f"SELECT url_a, url_b, CAST(hamming AS BIGINT) AS hamming "
         f"FROM (VALUES {values}) AS g(url_a, url_b, hamming) "
@@ -790,11 +805,11 @@ def _audio_neardup_oracle() -> str:
     )
 
 
-def _video_neardup_oracle() -> str:
-    """ALL-PAIRS video near-dup ground truth from the PRE-encode frame
-    arrays (decoder never touched): fingerprints recomputed via the SAME
-    shared `video_hash64` over every FRAME_STRIDE-th frame, every pair at
-    Hamming <= NEARDUP_T as literal VALUES."""
+def _video_neardup_rows() -> list:
+    """ALL-PAIRS video near-dup ground truth rows from the PRE-encode
+    frame arrays (decoder never touched), via the SAME shared
+    `video_hash64` over every FRAME_STRIDE-th frame.  Shared by the pair
+    and cluster oracles."""
     import numpy as np
 
     from pdfray.pipelines.multimodal import (
@@ -828,18 +843,11 @@ def _video_neardup_oracle() -> str:
         for i, j in zip(ia, ib):
             ua, ub = sorted((urls[i], urls[j]))
             rows.append((ua, ub, int(d[i, j])))
-    if not rows:
-        return (
-            "SELECT CAST(NULL AS VARCHAR) AS url_a, "
-            "CAST(NULL AS VARCHAR) AS url_b, CAST(NULL AS BIGINT) AS hamming "
-            "WHERE FALSE"
-        )
-    values = ", ".join(f"('{a_}', '{b_}', {h_})" for a_, b_, h_ in sorted(rows))
-    return (
-        f"SELECT url_a, url_b, CAST(hamming AS BIGINT) AS hamming "
-        f"FROM (VALUES {values}) AS g(url_a, url_b, hamming) "
-        "ORDER BY url_a, url_b"
-    )
+    return sorted(rows)
+
+
+def _video_neardup_oracle() -> str:
+    return _pairs_values_oracle(_video_neardup_rows())
 
 
 def _phash_oracle() -> str:
@@ -3899,6 +3907,8 @@ def oracle_sql() -> dict[str, str]:
         "s_pca": _pca_oracle(),
         "m_image_neardup": _image_neardup_oracle(),
         "m_image_dup_clusters": _image_dup_clusters_oracle(),
+        "m_audio_dup_clusters": _cluster_walk_oracle(_audio_neardup_rows()),
+        "m_video_dup_clusters": _cluster_walk_oracle(_video_neardup_rows()),
         "q_decay_user_engagement": (
             # every weight 2^-k (k in [0,30]) is a dyadic rational on the
             # 2^-30 grid and per-user sums stay < 2^23 terms, so each

@@ -1059,11 +1059,30 @@ def m_image_dup_clusters(sf_dir: str):
     replays the ALL-PAIRS pre-encode truth graph through a recursive
     min-label reachability walk, certifying decode, hashing, banding
     recall, verification AND clustering end to end."""
+    return _dup_clusters(m_image_neardup(sf_dir))
+
+
+def m_audio_dup_clusters(sf_dir: str):
+    """Duplicate-audio families: the same pair->CC composition over the
+    gain-invariant envelope-hash near-dup graph (`m_audio_neardup`);
+    oracle = the recursive walk over the audio all-pairs truth."""
+    return _dup_clusters(m_audio_neardup(sf_dir))
+
+
+def m_video_dup_clusters(sf_dir: str):
+    """Duplicate-video families: the same pair->CC composition over the
+    sampled-luma video-hash near-dup graph (`m_video_neardup`); oracle =
+    the recursive walk over the video all-pairs truth."""
+    return _dup_clusters(m_video_neardup(sf_dir))
+
+
+def _dup_clusters(pairs):
+    """Shared clustering body for the three media dup-cluster operators
+    (see m_image_dup_clusters for the full plan notes)."""
     import pandas as pd
 
     from .textops import CC_DRIVER_MAX_PAIRS, _cc_min_label
 
-    pairs = m_image_neardup(sf_dir)
     empty = pd.DataFrame(
         {
             "url": pd.Series([], dtype=object),

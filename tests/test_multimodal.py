@@ -594,3 +594,44 @@ def test_image_dup_clusters_vs_truth_and_scale_regime(ray_session, monkeypatch):
     monkeypatch.setattr(T, "CC_DRIVER_MAX_PAIRS", 0)  # force _cc_min_label
     got_dist = m_image_dup_clusters(sf)
     pd.testing.assert_frame_equal(got_dist, want, check_dtype=True)
+
+
+@pytest.mark.parametrize("kind", ["audio", "video"])
+def test_av_dup_clusters_vs_union_find(ray_session, kind):
+    """Audio/video dup families match an independent union-find over
+    their own near-dup pairs (the planted re-mastered/re-graded copies
+    guarantee nonempty families at sf0.01)."""
+    import pandas as pd
+
+    from pdfray.pipelines import multimodal as M
+
+    pairs = getattr(M, f"m_{kind}_neardup")("/root/testdata/sf0.01")
+    got = getattr(M, f"m_{kind}_dup_clusters")("/root/testdata/sf0.01")
+    assert len(pairs) > 0 and len(got) > 0
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["url_a"], pairs["url_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict = {}
+    for u in parent:
+        comp.setdefault(find(u), []).append(u)
+    rows = []
+    for members in comp.values():
+        rep = min(members)
+        rows.extend((u, rep, len(members)) for u in members)
+    want = (
+        pd.DataFrame(rows, columns=["url", "cluster", "cluster_size"])
+        .astype({"cluster_size": "int64"})
+        .sort_values(["cluster", "url"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
