@@ -481,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fwf_roundtrip": R.q_fwf_roundtrip,
         "t_feature_hashing": T.t_feature_hashing,
         "t_mlm_masking": T.t_mlm_masking,
+        "q_graph_random_walks": R.q_graph_random_walks,
     }
 
 
@@ -3429,6 +3430,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_pagerank_bipartite": _pagerank_oracle(),
         "q_kcore": _kcore_oracle(),
+        "q_graph_random_walks": (
+            # the walk recurrence unrolled: neighbor ranks by (u, v)
+            # window order, each hop = md5_number_lower('walk:node:step')
+            # mod degree — UBIGINT mod matches the engine's uint64 mod
+            "WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s "
+            "FROM lineitem), "
+            "e AS (SELECT p * 2 AS u, s * 2 + 1 AS v FROM pairs "
+            "UNION ALL SELECT s * 2 + 1, p * 2 FROM pairs), "
+            "adj AS (SELECT u, v, row_number() OVER (PARTITION BY u "
+            "ORDER BY v) - 1 AS r FROM e), "
+            "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e "
+            "GROUP BY u), "
+            "w0 AS (SELECT DISTINCT p * 2 AS n0 FROM pairs), "
+            "w1 AS (SELECT w0.n0, a.v AS n1 FROM w0 "
+            "JOIN deg ON deg.u = w0.n0 JOIN adj a ON a.u = w0.n0 "
+            "AND a.r = CAST(md5_number_lower('walk:' || "
+            "CAST(w0.n0 AS VARCHAR) || ':0') % deg.d AS BIGINT)), "
+            "w2 AS (SELECT w1.n0, w1.n1, a.v AS n2 FROM w1 "
+            "JOIN deg ON deg.u = w1.n1 JOIN adj a ON a.u = w1.n1 "
+            "AND a.r = CAST(md5_number_lower('walk:' || "
+            "CAST(w1.n1 AS VARCHAR) || ':1') % deg.d AS BIGINT)), "
+            "w3 AS (SELECT w2.n0, w2.n1, w2.n2, a.v AS n3 FROM w2 "
+            "JOIN deg ON deg.u = w2.n2 JOIN adj a ON a.u = w2.n2 "
+            "AND a.r = CAST(md5_number_lower('walk:' || "
+            "CAST(w2.n2 AS VARCHAR) || ':2') % deg.d AS BIGINT)) "
+            "SELECT n0 // 2 AS part0, n1 // 2 AS supp1, n2 // 2 AS part2, "
+            "n3 // 2 AS supp3 FROM w3 ORDER BY part0"
+        ),
         "s_perceptron": _perceptron_oracle(),
         "s_calibration_report": (
             # floor of the IDENTICAL double expression both sides, then

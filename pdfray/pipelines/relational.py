@@ -15922,3 +15922,99 @@ def q_fwf_roundtrip(sf_dir: str):
         return out
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# ----------------------------------------------------------------------
+# Deterministic random walks (DeepWalk/node2vec corpus generation)
+WALK_SALT = "walk:"
+WALK_STEPS = 3  # part -> supplier -> part -> supplier
+
+
+def q_graph_random_walks(sf_dir: str):
+    """Graph-embedding TRAINING-CORPUS generation (DeepWalk/node2vec):
+    one fixed-length walk per part node over the bipartite shipment
+    graph, the walk's every hop chosen by a salted md5 draw over the
+    node's rank-ordered neighbor list — md5_number_lower('walk:node:step')
+    mod degree — so the walk corpus is a PURE FUNCTION of the graph
+    (reproducible shards, resumable, and replayable step-by-step in SQL;
+    an RNG walk could never be oracle-checked).  Bipartite alternation
+    makes the columns typed: (part0, supp1, part2, supp3).
+
+    Plan: the globally-deduped edge list reduces to driver-side sorted
+    (u, v) arrays with per-node offsets — the adjacency is
+    CATALOG-bounded (distinct part-supplier pairs), the same dimension-
+    table broadcast budget as q_weighted_sssp's distance table and
+    q_kcore's bitmap; corpus-scale graphs would swap each step for an
+    edges-by-frontier hash join (the q_pagerank_bipartite join regime).
+    Walk starts stream as a Dataset; one map stage holds the broadcast
+    adjacency and gathers all WALK_STEPS hops vectorized except the
+    per-(node, step) md5 draw (hash cost ~ 3 md5s per start row)."""
+    import ray
+    import ray.data as rd
+
+    edges = _shipment_edge_list(sf_dir)
+    edf = typed_collect(
+        edges.select_columns(["u", "v"]),
+        pa.schema([("u", pa.int64()), ("v", pa.int64())]),
+    )
+    cols = ["part0", "supp1", "part2", "supp3"]
+    if len(edf) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    edf = edf.sort_values(["u", "v"])
+    u_arr = edf["u"].to_numpy(np.int64)
+    v_arr = edf["v"].to_numpy(np.int64)
+    nodes = np.unique(u_arr)
+    starts_idx = np.searchsorted(u_arr, nodes)
+    degs = np.diff(np.r_[starts_idx, len(u_arr)]).astype(np.int64)
+    ref = ray.put((nodes, starts_idx, degs, v_arr))
+
+    part_starts = nodes[nodes % 2 == 0]
+    starts_ds = rd.from_arrow(
+        pa.table({"n0": pa.array(part_starts, pa.int64())})
+    )
+
+    class Walk:
+        def __init__(self):
+            self.nodes, self.starts, self.degs, self.v = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            cur = t.column("n0").to_numpy(zero_copy_only=False).copy()
+            walk = [cur]
+            for step in range(WALK_STEPS):
+                pos = np.searchsorted(self.nodes, cur)
+                d = self.degs[pos]
+                draws = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(
+                                f"{WALK_SALT}{n}:{step}".encode()
+                            ).digest()[8:],
+                            "little",
+                        )
+                        for n in cur
+                    ),
+                    np.uint64,
+                    len(cur),
+                )
+                rank = (draws % d.astype(np.uint64)).astype(np.int64)
+                cur = self.v[self.starts[pos] + rank]
+                walk.append(cur)
+            return pa.table(
+                {
+                    "part0": pa.array(walk[0] // 2, pa.int64()),
+                    "supp1": pa.array(walk[1] // 2, pa.int64()),
+                    "part2": pa.array(walk[2] // 2, pa.int64()),
+                    "supp3": pa.array(walk[3] // 2, pa.int64()),
+                }
+            )
+
+    out = typed_collect(
+        starts_ds.map_batches(
+            warm_factory(("q_graph_random_walks", ref.hex()), Walk),
+            batch_format="pyarrow",
+        ),
+        pa.schema([(c, pa.int64()) for c in cols]),
+    )
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("part0").reset_index(drop=True)

@@ -1065,6 +1065,7 @@ RELATIONAL_ORACLE_QUERIES = [
     "q_butterfly_count",
     "q_frequent_pairs",
     "q_assoc_rules",
+    "q_graph_random_walks",
     "q_triangle_count",
     "q_kcore",
     "q_link_prediction",
