@@ -482,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_feature_hashing": T.t_feature_hashing,
         "t_mlm_masking": T.t_mlm_masking,
         "q_graph_random_walks": R.q_graph_random_walks,
+        "s_triplet_mining": S.s_triplet_mining,
     }
 
 
@@ -3459,6 +3460,28 @@ def oracle_sql() -> dict[str, str]:
             "n3 // 2 AS supp3 FROM w3 ORDER BY part0"
         ),
         "s_perceptron": _perceptron_oracle(),
+        "s_triplet_mining": (
+            # batch-hard mining replayed: per anchor the min-sim same-
+            # label and max-sim different-label rows under the family's
+            # (ROUND(sim,4), vec_id) total order; inner joins drop
+            # anchors lacking a positive or negative partner
+            "WITH a AS (SELECT vec_id AS aid, embedding AS ae, "
+            "label AS alab FROM embeddings ORDER BY vec_id LIMIT 8), "
+            "scored AS (SELECT a.aid, a.alab, e.vec_id, e.label, "
+            "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(a.ae AS DOUBLE[])), 4) AS sim "
+            "FROM embeddings e CROSS JOIN a), "
+            "pos AS (SELECT aid, vec_id, sim, row_number() OVER "
+            "(PARTITION BY aid ORDER BY sim ASC, vec_id) AS rn "
+            "FROM scored WHERE label = alab AND vec_id <> aid), "
+            "neg AS (SELECT aid, vec_id, sim, row_number() OVER "
+            "(PARTITION BY aid ORDER BY sim DESC, vec_id) AS rn "
+            "FROM scored WHERE label <> alab) "
+            "SELECT p.aid AS anchor_id, p.vec_id AS pos_id, "
+            "p.sim AS pos_sim, n.vec_id AS neg_id, n.sim AS neg_sim "
+            "FROM pos p JOIN neg n ON p.aid = n.aid "
+            "WHERE p.rn = 1 AND n.rn = 1 ORDER BY anchor_id"
+        ),
         "s_calibration_report": (
             # floor of the IDENTICAL double expression both sides, then
             # pure integer sums; embedding[1] is DuckDB's 1-based first

@@ -3302,3 +3302,155 @@ def s_calibration_report(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype("int64")
     return out[cols].sort_values("bin").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# Hard-example mining for contrastive training
+N_TRIPLET_ANCHORS = 8
+
+
+def s_triplet_mining(sf_dir: str):
+    """Hard positive/negative TRIPLET mining for contrastive training
+    (FaceNet-style batch-hard): for each of the first N_TRIPLET_ANCHORS
+    anchors (by vec_id — the _query_matrix zone-map read, plus labels),
+    the hardest positive = the SAME-label vector with minimum cosine
+    similarity and the hardest negative = the DIFFERENT-label vector with
+    maximum similarity — the mining pass that turns an embedding corpus
+    into metric-learning training data.
+
+    Plan: one embeddings scan; the anchor matrix broadcasts once; every
+    block emits only its LOCAL hardest candidate per (anchor, class) —
+    2 x anchors rows per block — and the driver merges under the same
+    (rounded sim, vec_id) total order that ranks the whole family, so
+    block layout cannot flip a tie.  Zero vectors follow the pinned
+    list_cosine_similarity convention (sim -1: they become trivially
+    'hardest' positives and sit last among negatives — identically on
+    both sides).  Anchors lacking a positive or a negative partner are
+    dropped (the oracle's inner joins mirror that)."""
+    import heapq
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    cols = dict(
+        anchor_id="i", pos_id="i", pos_sim="f", neg_id="i", neg_sim="f"
+    )
+    if pf.metadata.num_rows == 0:
+        return _empty_result(**cols)
+    col_idx = pf.schema_arrow.get_field_index("vec_id")
+    mins = []
+    for g in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(g).column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            mins = None
+            break
+        mins.append((st.min, g))
+    groups = (
+        list(range(pf.metadata.num_row_groups))
+        if mins is None
+        else [g for _, g in heapq.nsmallest(N_TRIPLET_ANCHORS, mins)]
+    )
+    adf = (
+        pf.read_row_groups(groups, columns=["vec_id", "embedding", "label"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(N_TRIPLET_ANCHORS)
+        .reset_index(drop=True)
+    )
+    araw = np.stack(adf["embedding"].to_numpy()).astype(np.float64)
+    anorm = _normalize(araw)
+    aids = adf["vec_id"].to_numpy(np.int64)
+    alabs = adf["label"].to_numpy(np.int64)
+    ref = ray.put((aids, alabs, anorm, araw))
+
+    class Mine:
+        def __init__(self):
+            self.aids, self.alabs, self.anorm, self.araw = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = {
+                "anchor_id": [],
+                "cls": [],
+                "vec_id": [],
+                "sim": [],
+            }
+            if len(t):
+                raw = _batch_matrix(t)
+                vecs = _normalize(raw)
+                sims = vecs @ self.anorm.T
+                sims = _mask_zero_cosine(sims, raw, self.araw)
+                vids = t.column("vec_id").to_numpy(zero_copy_only=False)
+                labs = t.column("label").to_numpy(zero_copy_only=False)
+                for ai in range(len(self.aids)):
+                    col = sims[:, ai]
+                    key = round_half_away(col, 4)
+                    same = (labs == self.alabs[ai]) & (vids != self.aids[ai])
+                    diff = labs != self.alabs[ai]
+                    if same.any():
+                        # hardest positive: min rounded sim, vec_id asc
+                        order = np.lexsort((vids[same], key[same]))
+                        j = np.flatnonzero(same)[order[0]]
+                        out["anchor_id"].append(int(self.aids[ai]))
+                        out["cls"].append(0)
+                        out["vec_id"].append(int(vids[j]))
+                        out["sim"].append(float(col[j]))
+                    if diff.any():
+                        # hardest negative: max rounded sim, vec_id asc
+                        order = np.lexsort((vids[diff], -key[diff]))
+                        j = np.flatnonzero(diff)[order[0]]
+                        out["anchor_id"].append(int(self.aids[ai]))
+                        out["cls"].append(1)
+                        out["vec_id"].append(int(vids[j]))
+                        out["sim"].append(float(col[j]))
+            return pa.table(
+                {
+                    "anchor_id": pa.array(out["anchor_id"], pa.int64()),
+                    "cls": pa.array(out["cls"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "sim": pa.array(out["sim"], pa.float64()),
+                }
+            )
+
+    local = (
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        .map_batches(
+            warm_factory(("s_triplet_mining", ref.hex()), Mine),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
+        .to_pandas()
+    )
+    if len(local) == 0:
+        return _empty_result(**cols)
+    local["key"] = round_half_away(local["sim"].to_numpy(), 4)
+    rows = []
+    for aid in aids:
+        mine = local[local["anchor_id"] == aid]
+        pos = mine[mine["cls"] == 0].sort_values(["key", "vec_id"])
+        neg = mine[mine["cls"] == 1].sort_values(
+            ["key", "vec_id"], ascending=[False, True]
+        )
+        if len(pos) == 0 or len(neg) == 0:
+            continue
+        rows.append(
+            (
+                int(aid),
+                int(pos["vec_id"].iloc[0]),
+                float(pos["key"].iloc[0]),
+                int(neg["vec_id"].iloc[0]),
+                float(neg["key"].iloc[0]),
+            )
+        )
+    if not rows:
+        return _empty_result(**cols)
+    out = pd.DataFrame(
+        rows, columns=["anchor_id", "pos_id", "pos_sim", "neg_id", "neg_sim"]
+    )
+    for c in ("anchor_id", "pos_id", "neg_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("anchor_id").reset_index(drop=True)

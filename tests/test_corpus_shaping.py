@@ -1691,6 +1691,7 @@ def test_hostile_star_oracle_parity(ray_session, tmp_path, variant):
 EMB_ORACLE_QUERIES = [
     "s_perceptron",
     "s_calibration_report",
+    "s_triplet_mining",
     "s_knn_bruteforce",
     "s_mrl_overlap",
     "s_mmr_diverse_topk",
