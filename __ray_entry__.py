@@ -483,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_mlm_masking": T.t_mlm_masking,
         "q_graph_random_walks": R.q_graph_random_walks,
         "s_triplet_mining": S.s_triplet_mining,
+        "q_did_uplift": R.q_did_uplift,
     }
 
 
@@ -3512,6 +3513,37 @@ def oracle_sql() -> dict[str, str]:
             "rtrim(n_name, ' ') AS n_name, "
             "CAST(n_regionkey AS BIGINT) AS n_regionkey "
             "FROM nation ORDER BY n_nationkey"
+        ),
+        "q_did_uplift": (
+            # cells = order-free integer digests; mean and DiD = FLOOR of
+            # the token-identical double chain; the did row exists only
+            # when all four cells are populated
+            "WITH p AS (SELECT CASE WHEN ((user_id % 2) + 2) % 2 = 0 "
+            "THEN 't' ELSE 'c' END || '_' || CASE WHEN ts < "
+            "TIMESTAMP '2024-01-20' THEN 'pre' ELSE 'post' END AS cell, "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events "
+            "WHERE event_type = 'purchase'), "
+            "cells AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(cents) AS BIGINT) AS s FROM p GROUP BY cell), "
+            "spine AS (SELECT unnest(['c_post', 'c_pre', 't_post', "
+            "'t_pre']) AS cell), "
+            "f AS (SELECT spine.cell, COALESCE(n, 0) AS n, "
+            "COALESCE(s, 0) AS sum_cents FROM spine "
+            "LEFT JOIN cells USING(cell)), "
+            "base AS (SELECT cell, n, sum_cents, CASE WHEN n > 0 THEN "
+            "CAST(FLOOR(1000000 * (CAST(sum_cents AS DOUBLE) / n)) "
+            "AS BIGINT) ELSE 0 END AS stat_micro FROM f), "
+            "d AS (SELECT 'did' AS cell, CAST(0 AS BIGINT) AS n, "
+            "CAST(0 AS BIGINT) AS sum_cents, "
+            "CAST(FLOOR(1000000 * (((SELECT CAST(sum_cents AS DOUBLE) / n "
+            "FROM f WHERE cell = 't_post') - (SELECT "
+            "CAST(sum_cents AS DOUBLE) / n FROM f WHERE cell = 't_pre')) "
+            "- ((SELECT CAST(sum_cents AS DOUBLE) / n FROM f "
+            "WHERE cell = 'c_post') - (SELECT "
+            "CAST(sum_cents AS DOUBLE) / n FROM f WHERE cell = 'c_pre'))"
+            ")) AS BIGINT) AS stat_micro "
+            "WHERE (SELECT MIN(n) FROM f) > 0) "
+            "SELECT * FROM base UNION ALL SELECT * FROM d ORDER BY cell"
         ),
         "q_peak_concurrency": (
             # the sweep recomputed in window form: deltas netted per

@@ -16018,3 +16018,98 @@ def q_graph_random_walks(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype("int64")
     return out.sort_values("part0").reset_index(drop=True)
+
+
+def q_did_uplift(sf_dir: str):
+    """Difference-in-differences uplift — the EXPERIMENTATION-analytics
+    member beyond q_welch_ab's single-period t-test: treatment = even
+    user_ids, periods split at INC_CUTOFF, outcome = purchase cents.
+    Output: the four (group_period) cells with exact integer (n,
+    sum_cents) digests and a floor-micro mean, plus the 'did' row whose
+    stat_micro is the classic (T_post − T_pre) − (C_post − C_pre)
+    estimate — emitted only when all four cells are populated (the
+    estimand does not exist otherwise; the oracle's guard mirrors that).
+
+    Exactness: cells are order-free integer sums; the mean and the DiD
+    ride the compare as FLOOR of the IDENTICAL double expression on both
+    sides (token-for-token division/subtraction order), the
+    s_calibration_report discipline.  One combiner pass, <= 4 partial
+    rows per block, `_two_regime_sum` folds."""
+    import math
+
+    cut_us = int(pd.Timestamp(INC_CUTOFF).value // 1000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            round_half_away(t.column("value").to_numpy(zero_copy_only=False), 2)
+            * 100.0
+        ).astype(np.int64)
+        grp = np.where(np.mod(uid, 2) == 0, "t", "c")
+        per = np.where(ts_us < cut_us, "pre", "post")
+        df = pd.DataFrame(
+            {"cell": np.char.add(np.char.add(grp.astype(str), "_"), per.astype(str)),
+             "cents": cents}
+        )
+        g = df.groupby("cell", as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["sum_cents"] = g["sum_cents"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["user_id", "ts", "event_type", "value"],
+        rows_per_block=12_500,
+    )
+    red, _ = _two_regime_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cell"],
+        ["n", "sum_cents"],
+        empty_types={"cell": pa.string()},
+    )
+    got = typed_collect(
+        red,
+        pa.schema(
+            [("cell", pa.string()), ("n", pa.int64()), ("sum_cents", pa.int64())]
+        ),
+    ).set_index("cell")
+    cells = ["c_post", "c_pre", "t_post", "t_pre"]
+    vals = {}
+    rows = []
+    for cell in cells:
+        n = int(got.loc[cell, "n"]) if cell in got.index else 0
+        s = int(got.loc[cell, "sum_cents"]) if cell in got.index else 0
+        vals[cell] = (n, s)
+        mean_micro = (
+            int(math.floor(1_000_000 * (float(s) / n))) if n > 0 else 0
+        )
+        rows.append((cell, n, s, mean_micro))
+    if all(vals[c][0] > 0 for c in cells):
+        did = 1_000_000 * (
+            (
+                (float(vals["t_post"][1]) / vals["t_post"][0])
+                - (float(vals["t_pre"][1]) / vals["t_pre"][0])
+            )
+            - (
+                (float(vals["c_post"][1]) / vals["c_post"][0])
+                - (float(vals["c_pre"][1]) / vals["c_pre"][0])
+            )
+        )
+        rows.append(("did", 0, 0, int(math.floor(did))))
+    out = pd.DataFrame(rows, columns=["cell", "n", "sum_cents", "stat_micro"])
+    for c in ("n", "sum_cents", "stat_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("cell").reset_index(drop=True)

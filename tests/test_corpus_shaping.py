@@ -844,6 +844,7 @@ def test_bloom_primitives_never_false_negative():
 EVENTS_ORACLE_QUERIES = [
     "q_multitouch_attribution",
     "q_peak_concurrency",
+    "q_did_uplift",
     "q_seq_trigrams",
     "q_events_rollup",
     "q_events_json",
