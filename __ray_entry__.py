@@ -484,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_graph_random_walks": R.q_graph_random_walks,
         "s_triplet_mining": S.s_triplet_mining,
         "q_did_uplift": R.q_did_uplift,
+        "t_blocklist_filter": T.t_blocklist_filter,
     }
 
 
@@ -2511,6 +2512,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM rules r JOIN s sa ON r.antecedent = sa.p "
             "JOIN s sb ON r.consequent = sb.p "
             "ORDER BY antecedent, consequent"
+        ),
+        "t_blocklist_filter": (
+            # whole-word case-insensitive blocklist hits over the shared
+            # tokenization; any hit drops
+            "WITH w AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), x -> x <> '')) AS word "
+            "FROM documents), "
+            "h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocked "
+            "FROM w WHERE lower(word) IN ('casino', 'viagra', 'xxx', "
+            "'lottery', 'warez') GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(h.n_blocked, 0) AS n_blocked, "
+            "CASE WHEN COALESCE(h.n_blocked, 0) > 0 THEN 'drop' "
+            "ELSE 'keep' END AS verdict "
+            "FROM documents d LEFT JOIN h USING(doc_id) ORDER BY d.doc_id"
         ),
         "t_mlm_masking": (
             # the salted per-token md5 mask rule replayed verbatim

@@ -6628,3 +6628,48 @@ def t_mlm_masking(sf_dir: str):
 
     ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
     return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
+
+
+# ----------------------------------------------------------------------
+# Blocklist content gate (moderation / brand-safety filter)
+BLOCKLIST_TERMS = ("casino", "viagra", "xxx", "lottery", "warez")
+BLOCKLIST_MAX = 0  # any hit drops the document
+
+
+def t_blocklist_filter(sf_dir: str):
+    """Blocklist content-moderation gate — the BRAND-SAFETY member of the
+    filter family (t_gopher_rules/t_c4_filter measure quality; this
+    enforces policy): per document the count of blocklisted whole-word
+    case-insensitive hits and the keep/drop verdict (any hit drops).
+    One streaming pass, zero shuffles: the shared `_word_codes`
+    tokenizer, ONE lowercase+index_in over the batch dictionary (never
+    per token), one bincount."""
+
+    terms = pa.array(list(BLOCKLIST_TERMS), pa.string())
+
+    def project(t: pa.Table) -> pa.Table:
+        parent, codes, dictionary = _word_codes(t)
+        hit_by_code = (
+            pc.is_in(pc.utf8_lower(dictionary), value_set=terms)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_docs = t.num_rows
+        hits = (
+            np.bincount(parent, weights=hit_by_code[codes], minlength=n_docs)
+            .astype(np.int64)
+            if codes.size
+            else np.zeros(n_docs, np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_blocked": pa.array(hits, pa.int64()),
+                "verdict": pa.array(
+                    np.where(hits > BLOCKLIST_MAX, "drop", "keep"), pa.string()
+                ),
+            }
+        )
+
+    ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
+    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))

@@ -497,6 +497,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_bm25_search",
     "t_feature_hashing",
     "t_mlm_masking",
+    "t_blocklist_filter",
 ]
 
 
