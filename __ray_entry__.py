@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_triplet_mining": S.s_triplet_mining,
         "q_did_uplift": R.q_did_uplift,
         "t_blocklist_filter": T.t_blocklist_filter,
+        "q_cuped_adjusted": R.q_cuped_adjusted,
     }
 
 
@@ -3528,6 +3529,56 @@ def oracle_sql() -> dict[str, str]:
             "rtrim(n_name, ' ') AS n_name, "
             "CAST(n_regionkey AS BIGINT) AS n_regionkey "
             "FROM nation ORDER BY n_nationkey"
+        ),
+        "q_cuped_adjusted": (
+            # per-user (pre, post) cents, HUGEINT digests per group,
+            # pooled theta and adjusted means as the token-identical
+            # double chain under FLOOR micro; theta/adjustment exist only
+            # when pooled covariate variance is nonzero and both groups
+            # are populated
+            "WITH p AS (SELECT user_id, CASE WHEN ts < "
+            "TIMESTAMP '2024-01-20' THEN CAST(ROUND(value * 100, 0) "
+            "AS BIGINT) ELSE 0 END AS pre, CASE WHEN ts < "
+            "TIMESTAMP '2024-01-20' THEN 0 ELSE "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) END AS post "
+            "FROM events WHERE event_type = 'purchase'), "
+            "u AS (SELECT user_id, CAST(SUM(pre) AS BIGINT) AS x, "
+            "CAST(SUM(post) AS BIGINT) AS y FROM p GROUP BY user_id), "
+            "g AS (SELECT CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 't' "
+            "ELSE 'c' END AS grp, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+            "SUM(CAST(x AS HUGEINT) * x) AS sxx, "
+            "SUM(CAST(x AS HUGEINT) * y) AS sxy FROM u GROUP BY 1), "
+            "spine AS (SELECT unnest(['c', 't']) AS grp), "
+            "f AS (SELECT spine.grp, COALESCE(n, 0) AS n, "
+            "COALESCE(sx, 0) AS sx, COALESCE(sy, 0) AS sy, "
+            "COALESCE(sxx, 0) AS sxx, COALESCE(sxy, 0) AS sxy "
+            "FROM spine LEFT JOIN g USING(grp)), "
+            "tot AS (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy, "
+            "SUM(sxx) AS sxx, SUM(sxy) AS sxy FROM f), "
+            "th AS (SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+            "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta, "
+            "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu, "
+            "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS var_num "
+            "FROM tot), "
+            "ok AS (SELECT COALESCE((SELECT var_num FROM th) <> 0, FALSE) "
+            "AND (SELECT MIN(n) FROM f) > 0 AS valid), "
+            "cells AS (SELECT f.grp, f.n AS n_users, "
+            "f.sx AS sum_pre_cents, f.sy AS sum_post_cents, "
+            "CASE WHEN f.n > 0 THEN CAST(FLOOR(1000000 * "
+            "(CAST(f.sy AS DOUBLE) / f.n)) AS BIGINT) ELSE 0 END "
+            "AS mean_post_micro, "
+            "CASE WHEN (SELECT valid FROM ok) THEN CAST(FLOOR(1000000 * "
+            "((CAST(f.sy AS DOUBLE) / f.n) - (SELECT theta FROM th) * "
+            "((CAST(f.sx AS DOUBLE) / f.n) - (SELECT mu FROM th)))) "
+            "AS BIGINT) ELSE 0 END AS adj_micro FROM f) "
+            "SELECT * FROM cells UNION ALL "
+            "SELECT 'theta', 0, 0, 0, 0, CAST(FLOOR(1000000 * "
+            "(SELECT theta FROM th)) AS BIGINT) "
+            "WHERE (SELECT valid FROM ok) ORDER BY grp"
         ),
         "q_did_uplift": (
             # cells = order-free integer digests; mean and DiD = FLOOR of

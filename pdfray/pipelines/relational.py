@@ -16113,3 +16113,143 @@ def q_did_uplift(sf_dir: str):
     for c in ("n", "sum_cents", "stat_micro"):
         out[c] = out[c].astype("int64")
     return out.sort_values("cell").reset_index(drop=True)
+
+
+def q_cuped_adjusted(sf_dir: str):
+    """CUPED variance-reduced experiment readout (Deng et al. 2013) —
+    the industrial companion to q_did_uplift: treatment = even user_ids,
+    covariate X = a user's PRE-period purchase cents, outcome Y = their
+    POST-period purchase cents (split at INC_CUTOFF), theta estimated
+    POOLED over all purchasing users, adjusted group mean =
+    Ȳ_g − θ·(X̄_g − X̄).
+
+    Plan: one combiner pass + `_two_regime_sum` reduces events to one
+    (user, pre_cents, post_cents) row per purchasing user; a second map
+    pass folds those into constant-width per-block digest rows (n, ΣX,
+    ΣY, ΣX², ΣXY per group) — ΣX²/ΣXY are carried as exact (hi, lo)
+    int64 pairs (the q_linreg_price_qty overflow discipline; the
+    arithmetic-shift identity keeps negative XY products exact) — and
+    the driver folds Python ints.  theta and the adjusted means are the
+    IDENTICAL double chain on the same integers in engine and oracle,
+    entering the compare as FLOOR micro-units; the theta row (and the
+    adjustment) exists only when the pooled covariate variance is
+    nonzero, mirrored by the oracle's guard."""
+    import math
+
+    cut_us = int(pd.Timestamp(INC_CUTOFF).value // 1000)
+
+    def user_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "pre_cents": pa.array([], pa.int64()),
+                    "post_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            round_half_away(t.column("value").to_numpy(zero_copy_only=False), 2)
+            * 100.0
+        ).astype(np.int64)
+        pre = np.where(ts_us < cut_us, cents, 0)
+        post = np.where(ts_us < cut_us, 0, cents)
+        tt = pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "pre_cents": pa.array(pre),
+                "post_cents": pa.array(post),
+            }
+        )
+        g = tt.group_by("user_id").aggregate(
+            [("pre_cents", "sum"), ("post_cents", "sum")]
+        )
+        return g.rename_columns(["user_id", "pre_cents", "post_cents"])
+
+    ds = _read(
+        sf_dir,
+        "events",
+        ["user_id", "ts", "event_type", "value"],
+        rows_per_block=12_500,
+    )
+    users, _ = _two_regime_sum(
+        ds.map_batches(user_partial, batch_format="pyarrow"),
+        ["user_id"],
+        ["pre_cents", "post_cents"],
+        empty_types={"user_id": pa.int64()},
+    )
+
+    dig_cols = ["n", "sx", "sy", "sxx_hi", "sxx_lo", "sxy_hi", "sxy_lo"]
+
+    def digest(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        x = t.column("pre_cents").to_numpy(zero_copy_only=False)
+        y = t.column("post_cents").to_numpy(zero_copy_only=False)
+        grp = np.where(np.mod(uid, 2) == 0, "t", "c")
+        xx = x * x
+        xy = x * y
+        tt = pa.table(
+            {
+                "grp": pa.array(grp, pa.string()),
+                "n": pa.array(np.ones(len(x), np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxx_hi": pa.array(xx >> np.int64(32)),
+                "sxx_lo": pa.array(xx & np.int64(0xFFFFFFFF)),
+                "sxy_hi": pa.array(xy >> np.int64(32)),
+                "sxy_lo": pa.array(xy & np.int64(0xFFFFFFFF)),
+            }
+        )
+        g = tt.group_by("grp").aggregate([(c, "sum") for c in dig_cols])
+        return g.rename_columns(["grp"] + dig_cols)
+
+    parts = typed_collect(
+        users.map_batches(digest, batch_format="pyarrow"),
+        pa.schema([("grp", pa.string())] + [(c, pa.int64()) for c in dig_cols]),
+    )
+    agg = {}
+    for g in ("c", "t"):
+        grp = parts[parts["grp"] == g]
+        n = sum(int(v) for v in grp["n"])
+        sx = sum(int(v) for v in grp["sx"])
+        sy = sum(int(v) for v in grp["sy"])
+        sxx = (sum(int(v) for v in grp["sxx_hi"]) << 32) + sum(
+            int(v) for v in grp["sxx_lo"]
+        )
+        sxy = (sum(int(v) for v in grp["sxy_hi"]) << 32) + sum(
+            int(v) for v in grp["sxy_lo"]
+        )
+        agg[g] = (n, sx, sy, sxx, sxy)
+    rows = []
+    for g in ("c", "t"):
+        n, sx, sy, _sxx, _sxy = agg[g]
+        mean_micro = int(math.floor(1_000_000 * (float(sy) / n))) if n else 0
+        rows.append((g, n, sx, sy, mean_micro, 0))
+    n_all = agg["c"][0] + agg["t"][0]
+    sx_all = agg["c"][1] + agg["t"][1]
+    sy_all = agg["c"][2] + agg["t"][2]
+    sxx_all = agg["c"][3] + agg["t"][3]
+    sxy_all = agg["c"][4] + agg["t"][4]
+    if n_all > 0:
+        nf = float(n_all)
+        var_num = nf * float(sxx_all) - float(sx_all) * float(sx_all)
+        if var_num != 0.0 and agg["c"][0] > 0 and agg["t"][0] > 0:
+            theta = (nf * float(sxy_all) - float(sx_all) * float(sy_all)) / var_num
+            mu = float(sx_all) / nf
+            for i, g in enumerate(("c", "t")):
+                n, sx, sy, _sxx, _sxy = agg[g]
+                adj = (float(sy) / n) - theta * ((float(sx) / n) - mu)
+                rows[i] = rows[i][:5] + (int(math.floor(1_000_000 * adj)),)
+            rows.append(
+                ("theta", 0, 0, 0, 0, int(math.floor(1_000_000 * theta)))
+            )
+    out = pd.DataFrame(
+        rows,
+        columns=["grp", "n_users", "sum_pre_cents", "sum_post_cents",
+                 "mean_post_micro", "adj_micro"],
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("grp").reset_index(drop=True)

@@ -846,6 +846,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_multitouch_attribution",
     "q_peak_concurrency",
     "q_did_uplift",
+    "q_cuped_adjusted",
     "q_seq_trigrams",
     "q_events_rollup",
     "q_events_json",
