@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_did_uplift": R.q_did_uplift,
         "t_blocklist_filter": T.t_blocklist_filter,
         "q_cuped_adjusted": R.q_cuped_adjusted,
+        "s_filtered_knn": S.s_filtered_knn,
     }
 
 
@@ -3477,6 +3478,21 @@ def oracle_sql() -> dict[str, str]:
             "n3 // 2 AS supp3 FROM w3 ORDER BY part0"
         ),
         "s_perceptron": _perceptron_oracle(),
+        "s_filtered_knn": (
+            # the knn oracle with the label predicate applied BEFORE
+            # ranking (post-filtering a global top-k would under-fill)
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings ORDER BY vec_id LIMIT 5), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.qe AS DOUBLE[])), 4) AS sim "
+            "FROM embeddings e CROSS JOIN q WHERE e.label = 3), "
+            "ranked AS (SELECT query_id, vec_id, sim, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY sim DESC, vec_id) AS rank FROM scored) "
+            "SELECT query_id, rank, vec_id, sim FROM ranked "
+            "WHERE rank <= 10 ORDER BY query_id, rank"
+        ),
         "s_triplet_mining": (
             # batch-hard mining replayed: per anchor the min-sim same-
             # label and max-sim different-label rows under the family's

@@ -3454,3 +3454,81 @@ def s_triplet_mining(sf_dir: str):
     for c in ("anchor_id", "pos_id", "neg_id"):
         out[c] = out[c].astype("int64")
     return out.sort_values("anchor_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# Filtered vector search (metadata predicate pushed into the scan)
+FILTER_LABEL = 3
+
+
+def s_filtered_knn(sf_dir: str):
+    """FILTERED vector search — top-k cosine restricted to vectors whose
+    label matches the query predicate (label == 3): the hybrid
+    metadata+vector retrieval shape every production vector store needs
+    (RAG with tenant/ACL filters).  The predicate pushes INTO the scan as
+    an Arrow filter before any similarity math — the selective-filter
+    regime where post-filtering a global top-k would under-fill; a
+    partition-keyed store would prune files by label instead (the
+    s_ann_partitioned layout applied to the predicate column).
+
+    Same machinery as s_knn_bruteforce otherwise: broadcast query
+    matrix, per-block local top-k under the family's (rounded sim,
+    vec_id) order, driver merge."""
+    import ray
+
+    qids, qmat = _query_matrix(sf_dir)
+    qref = ray.put((qids, qmat))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.equal(t.column("label"), FILTER_LABEL))
+            if len(t) == 0 or len(self.qids) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            raw = _batch_matrix(t)
+            vecs = _normalize(raw)
+            sims = vecs @ self.qmat.T
+            sims = _mask_zero_cosine(sims, raw, self.qmat)
+            vec_ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            out = {"query_id": [], "vec_id": [], "sim": []}
+            k = min(TOP_K, len(vec_ids))
+            for qi, qid in enumerate(self.qids):
+                col = sims[:, qi]
+                order = np.lexsort((vec_ids, -round_half_away(col, 4)))
+                for j in order[:k]:
+                    out["query_id"].append(int(qid))
+                    out["vec_id"].append(int(vec_ids[j]))
+                    out["sim"].append(float(col[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out["query_id"], pa.int64()),
+                    "vec_id": pa.array(out["vec_id"], pa.int64()),
+                    "sim": pa.array(out["sim"], pa.float64()),
+                }
+            )
+
+    import ray.data as rd
+
+    local = (
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        .map_batches(
+            warm_factory(("s_filtered_knn", qref.hex()), Score),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
+        .to_pandas()
+    )
+    return _merge_topk(local)

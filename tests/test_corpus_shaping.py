@@ -1695,6 +1695,7 @@ EMB_ORACLE_QUERIES = [
     "s_perceptron",
     "s_calibration_report",
     "s_triplet_mining",
+    "s_filtered_knn",
     "s_knn_bruteforce",
     "s_mrl_overlap",
     "s_mmr_diverse_topk",
