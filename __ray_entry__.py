@@ -487,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_blocklist_filter": T.t_blocklist_filter,
         "q_cuped_adjusted": R.q_cuped_adjusted,
         "s_filtered_knn": S.s_filtered_knn,
+        "q_rolling_active_users": R.q_rolling_active_users,
     }
 
 
@@ -3595,6 +3596,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'theta', 0, 0, 0, 0, CAST(FLOOR(1000000 * "
             "(SELECT theta FROM th)) AS BIGINT) "
             "WHERE (SELECT valid FROM ok) ORDER BY grp"
+        ),
+        "q_rolling_active_users": (
+            # exact trailing-window distinct via the day-spine
+            # COUNT(DISTINCT) join; the repo's pinned float-floor day
+            # rule; windows with zero actives are absent on both sides
+            "WITH pairs AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day "
+            "FROM events), "
+            "spine AS (SELECT unnest(generate_series("
+            "(SELECT MIN(day) FROM pairs), "
+            "(SELECT MAX(day) FROM pairs) + 6)) AS d), "
+            "w AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS "
+            "wau FROM spine JOIN pairs ON pairs.day BETWEEN d - 6 AND d "
+            "GROUP BY d) "
+            "SELECT d AS day, wau FROM w WHERE wau > 0 ORDER BY day"
         ),
         "q_did_uplift": (
             # cells = order-free integer digests; mean and DiD = FLOOR of

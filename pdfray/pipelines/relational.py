@@ -16253,3 +16253,115 @@ def q_cuped_adjusted(sf_dir: str):
     for c in out.columns[1:]:
         out[c] = out[c].astype("int64")
     return out.sort_values("grp").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# Trailing-window distinct actives (the WAU/MAU product metric)
+WAU_WINDOW_DAYS = 7
+WAU_BUCKETS = 64
+
+
+def q_rolling_active_users(sf_dir: str):
+    """Trailing 7-day ACTIVE USERS per day (the WAU product metric) —
+    EXACT rolling distinct, which no mergeable aggregate gives directly:
+    the dual form does.  A user is active in window d iff they have an
+    event in [d-6, d]; so each user's contribution is a UNION OF DAY
+    INTERVALS (an active day a covers windows [a, a+6]; runs of days
+    with gaps <= 6 merge into one interval), and WAU(d) = how many user
+    intervals cover d — the q_peak_concurrency sweep applied to
+    per-user coverage intervals.
+
+    Plan: one exchange dedups (user, day) pairs on user-splitmix buckets
+    (per-bucket distinct is globally exact — a user's days co-locate);
+    each bucket merges its users' day runs VECTORIZED (sort + gap>6 run
+    breaks, no per-user Python) and emits only interval BOUNDARY deltas
+    (+1 at start, -1 at end+7).  `_two_regime_sum` nets deltas per day;
+    the driver prefix-sums the day-bounded delta table (time-bounded at
+    any corpus size — the q_cusum argument).  Integer end to end; the
+    oracle recomputes windows via the day-spine COUNT(DISTINCT) join and
+    the repo's pinned float-floor day rule (exact for |day| < 1e5 since
+    1/86400e6 exceeds the quotient ulp)."""
+    ds = _read(
+        sf_dir, "events", ["user_id", "ts"], rows_per_block=100_000
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = np.floor_divide(ts_us, 86_400_000_000)
+        df = pd.DataFrame({"user_id": uid, "day": day}).drop_duplicates()
+        mixed = df["user_id"].to_numpy(np.int64).astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        df["bucket"] = (mixed % np.uint64(WAU_BUCKETS)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"]
+        )
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"day": pd.Series(dtype="int64"), "delta": pd.Series(dtype="int64")}
+            )
+        brk = np.r_[
+            True, (u[1:] != u[:-1]) | (d[1:] - d[:-1] > WAU_WINDOW_DAYS - 1)
+        ]
+        starts = d[brk]
+        ends = d[np.r_[brk[1:], True]]  # last day of each run
+        out = pd.DataFrame(
+            {
+                "day": np.concatenate([starts, ends + WAU_WINDOW_DAYS]),
+                "delta": np.concatenate(
+                    [
+                        np.ones(len(starts), np.int64),
+                        -np.ones(len(ends), np.int64),
+                    ]
+                ),
+            }
+        )
+        return out.groupby("day", as_index=False)["delta"].sum()
+
+    parts = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_deltas(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+    )
+    red, _ = _two_regime_sum(parts, ["day"], ["delta"])
+    dl = typed_collect(
+        red, pa.schema([("day", pa.int64()), ("delta", pa.int64())])
+    )
+    if len(dl) == 0:
+        return pd.DataFrame(
+            {"day": pd.Series(dtype="int64"), "wau": pd.Series(dtype="int64")}
+        )
+    dl = dl.sort_values("day")
+    days = dl["day"].to_numpy(np.int64)
+    run = np.cumsum(dl["delta"].to_numpy(np.int64))
+    # expand to every day with positive coverage: between consecutive
+    # boundary days the level is constant
+    out_days, out_wau = [], []
+    for i in range(len(days)):
+        lvl = int(run[i])
+        if lvl <= 0:
+            continue
+        nxt = int(days[i + 1]) if i + 1 < len(days) else int(days[i])
+        span = np.arange(days[i], nxt if i + 1 < len(days) else days[i] + 1)
+        out_days.append(span)
+        out_wau.append(np.full(len(span), lvl, np.int64))
+    if not out_days:
+        return pd.DataFrame(
+            {"day": pd.Series(dtype="int64"), "wau": pd.Series(dtype="int64")}
+        )
+    out = pd.DataFrame(
+        {
+            "day": np.concatenate(out_days).astype(np.int64),
+            "wau": np.concatenate(out_wau),
+        }
+    )
+    return out.sort_values("day").reset_index(drop=True)

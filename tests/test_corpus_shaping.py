@@ -722,6 +722,47 @@ def test_seq_trigrams_chunk_spans_vs_bruteforce(ray_session, tmp_path, monkeypat
     pd.testing.assert_frame_equal(got_bucketed, want)
 
 
+def test_rolling_active_users_gap_edges(ray_session, tmp_path):
+    """WAU interval-merge edges, hand-solved: active days with gap 6 merge
+    into one coverage run, gap exactly 7 produces ADJOINING windows
+    (boundary deltas cancel — coverage stays contiguous), gap 8 leaves a
+    one-day hole; a second user overlaps to pin the counting."""
+    import pdfray.pipelines.relational as R
+
+    day_us = 86_400_000_000
+    rows = [
+        (1, 0), (1, 6),    # gap 6: one run, covers days 0..12
+        (1, 13),           # gap 7 from day 6: adjoining, covers through 19
+        (1, 28),           # gap 15: hole at days 20..27? coverage 13+6=19,
+                           # next run starts 28 -> days 20..27 uncovered
+        (2, 10),           # overlaps user 1's coverage at days 10..16
+    ]
+    n = len(rows)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array([d * day_us for _, d in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "event_type": pa.array(["view"] * n),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = R.q_rolling_active_users(str(d)).set_index("day")["wau"]
+    # user 1 covers 0..19 and 28..34; user 2 covers 10..16
+    for day in range(0, 20):
+        want = 1 + (1 if 10 <= day <= 16 else 0)
+        assert out.get(day, 0) == want, day
+    for day in range(20, 28):
+        assert day not in out.index, day
+    for day in range(28, 35):
+        assert out.get(day, 0) == 1, day
+    assert 35 not in out.index
+
+
 def test_peak_concurrency_halfopen_and_chunk_boundary(ray_session, tmp_path):
     """Hand-solved sweep: an interval ending EXACTLY when another starts
     must not double-count (half-open semantics), the peak forms across a
@@ -847,6 +888,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_peak_concurrency",
     "q_did_uplift",
     "q_cuped_adjusted",
+    "q_rolling_active_users",
     "q_seq_trigrams",
     "q_events_rollup",
     "q_events_json",
