@@ -488,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cuped_adjusted": R.q_cuped_adjusted,
         "s_filtered_knn": S.s_filtered_knn,
         "q_rolling_active_users": R.q_rolling_active_users,
+        "q_new_vs_returning": R.q_new_vs_returning,
     }
 
 
@@ -3596,6 +3597,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'theta', 0, 0, 0, 0, CAST(FLOOR(1000000 * "
             "(SELECT theta FROM th)) AS BIGINT) "
             "WHERE (SELECT valid FROM ok) ORDER BY grp"
+        ),
+        "q_new_vs_returning": (
+            # first-ever day per user via a window MIN; the pinned
+            # float-floor day rule
+            "WITH pairs AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day "
+            "FROM events), "
+            "f AS (SELECT user_id, day, MIN(day) OVER "
+            "(PARTITION BY user_id) AS first_day FROM pairs) "
+            "SELECT day, CAST(SUM(CASE WHEN day = first_day THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_new, "
+            "CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_returning FROM f GROUP BY day ORDER BY day"
         ),
         "q_rolling_active_users": (
             # exact trailing-window distinct via the day-spine

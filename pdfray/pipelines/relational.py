@@ -16365,3 +16365,66 @@ def q_rolling_active_users(sf_dir: str):
         }
     )
     return out.sort_values("day").reset_index(drop=True)
+
+
+def q_new_vs_returning(sf_dir: str):
+    """Daily NEW vs RETURNING active users — the acquisition/retention
+    split on every product dashboard: a user is 'new' on their first-ever
+    active day, 'returning' on any later active day.
+
+    Plan: the (user, day) distinct pairs dedup on user-splitmix buckets
+    (one exchange — a user's days co-locate, so per-bucket distinct AND
+    the per-user MIN day are both globally exact in the same fold); each
+    bucket emits (day, n_new, n_returning) partials classified against
+    its own users' first days; `_two_regime_sum` nets per day.  Integer
+    end to end; the repo's pinned float-floor day rule."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"], rows_per_block=100_000)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = np.floor_divide(ts_us, 86_400_000_000)
+        df = pd.DataFrame({"user_id": uid, "day": day}).drop_duplicates()
+        mixed = df["user_id"].to_numpy(np.int64).astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        df["bucket"] = (mixed % np.uint64(WAU_BUCKETS)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "day": pd.Series(dtype="int64"),
+                    "n_new": pd.Series(dtype="int64"),
+                    "n_returning": pd.Series(dtype="int64"),
+                }
+            )
+        first = g.groupby("user_id")["day"].transform("min")
+        g = g.assign(is_new=(g["day"] == first).astype("int64"))
+        out = g.groupby("day", as_index=False).agg(
+            n_new=("is_new", "sum"), n_active=("is_new", "size")
+        )
+        out["n_returning"] = (out["n_active"] - out["n_new"]).astype("int64")
+        out["n_new"] = out["n_new"].astype("int64")
+        return out[["day", "n_new", "n_returning"]]
+
+    parts = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: classify(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+    )
+    red, _ = _two_regime_sum(parts, ["day"], ["n_new", "n_returning"])
+    out = typed_collect(
+        red,
+        pa.schema(
+            [("day", pa.int64()), ("n_new", pa.int64()), ("n_returning", pa.int64())]
+        ),
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)

@@ -889,6 +889,7 @@ EVENTS_ORACLE_QUERIES = [
     "q_did_uplift",
     "q_cuped_adjusted",
     "q_rolling_active_users",
+    "q_new_vs_returning",
     "q_seq_trigrams",
     "q_events_rollup",
     "q_events_json",
