@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_filtered_knn": S.s_filtered_knn,
         "q_rolling_active_users": R.q_rolling_active_users,
         "q_new_vs_returning": R.q_new_vs_returning,
+        "t_code_detect": T.t_code_detect,
     }
 
 
@@ -2516,6 +2517,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM rules r JOIN s sa ON r.antecedent = sa.p "
             "JOIN s sb ON r.consequent = sb.p "
             "ORDER BY antecedent, consequent"
+        ),
+        "t_code_detect": (
+            # codepoint-identical counts: length/translate are char-wise,
+            # starts_with on the newline split; integer cross-mult rules
+            "WITH d AS (SELECT doc_id, "
+            "CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines, "
+            "CAST(len(list_filter(string_split(text, chr(10)), "
+            "l -> starts_with(l, '    ') OR starts_with(l, chr(9)))) "
+            "AS BIGINT) AS indent_lines, "
+            "CAST(length(text) - length(translate(text, '{});=<>[]', '')) "
+            "AS BIGINT) AS n_symbols, "
+            "CAST(length(text) AS BIGINT) AS n_chars FROM documents) "
+            "SELECT doc_id, n_lines, indent_lines, n_symbols, "
+            "CASE WHEN 10 * indent_lines >= 3 * n_lines OR "
+            "(n_chars > 0 AND 20 * n_symbols >= n_chars) THEN 'code' "
+            "ELSE 'prose' END AS verdict FROM d ORDER BY doc_id"
         ),
         "t_blocklist_filter": (
             # whole-word case-insensitive blocklist hits over the shared

@@ -6673,3 +6673,59 @@ def t_blocklist_filter(sf_dir: str):
 
     ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
     return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))
+
+
+# ----------------------------------------------------------------------
+# Code-vs-prose detection (LLM corpus routing filter)
+CODE_SYMBOLS = "{});=<>[]"
+
+
+def t_code_detect(sf_dir: str):
+    """Code-vs-prose detection — the corpus ROUTING filter an LLM data
+    pipeline needs before mixing (code gets its own dedup/quality rules
+    and mixture weight): per document the line count, indented-line count
+    (4-space or tab), code-symbol count, and a verdict from two integer
+    cross-multiplied rules (>= 30% indented lines OR >= 5% symbol chars
+    on nonempty text).  One streaming Arrow pass, zero shuffles; counts
+    are codepoint-based on both sides (utf8_length / DuckDB length,
+    char-wise translate)."""
+
+    def project(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        lines = pc.split_pattern(text, "\n")
+        n_lines = pc.cast(pc.list_value_length(lines), pa.int64())
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_sym = None
+        for ch in CODE_SYMBOLS:
+            c = pc.cast(pc.count_substring(text, ch), pa.int64())
+            n_sym = c if n_sym is None else pc.add(n_sym, c)
+        flat = pc.list_flatten(lines)
+        indented = pc.or_(
+            pc.starts_with(flat, "    "), pc.starts_with(flat, "\t")
+        )
+        # per-doc sums over the flattened line list
+        lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(t)), lens)
+        ind = np.bincount(
+            parent,
+            weights=indented.to_numpy(zero_copy_only=False),
+            minlength=len(t),
+        ).astype(np.int64)
+        nl = n_lines.to_numpy(zero_copy_only=False)
+        nc = n_chars.to_numpy(zero_copy_only=False)
+        ns = n_sym.to_numpy(zero_copy_only=False)
+        is_code = (10 * ind >= 3 * nl) | ((nc > 0) & (20 * ns >= nc))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_lines": pa.array(nl, pa.int64()),
+                "indent_lines": pa.array(ind, pa.int64()),
+                "n_symbols": pa.array(ns, pa.int64()),
+                "verdict": pa.array(
+                    np.where(is_code, "code", "prose"), pa.string()
+                ),
+            }
+        )
+
+    ds = _read_documents(sf_dir).map_batches(project, batch_format="pyarrow")
+    return _collect_sorted(ds, ("doc_id",), lambda: project(_empty_docs()))

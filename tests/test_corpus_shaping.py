@@ -498,6 +498,7 @@ ADVERSARIAL_ORACLE_QUERIES = [
     "t_feature_hashing",
     "t_mlm_masking",
     "t_blocklist_filter",
+    "t_code_detect",
 ]
 
 
