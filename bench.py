@@ -317,6 +317,30 @@ QUERY_NAMES = [
     "t_vocab_coverage",
     "q_wallet_balance",
     "q_rfm_segments",
+    "t_bm25_search",
+    "q_assoc_rules",
+    "q_kcore",
+    "s_perceptron",
+    "q_seq_trigrams",
+    "q_snapshot_diff",
+    "m_image_dup_clusters",
+    "m_audio_dup_clusters",
+    "m_video_dup_clusters",
+    "q_multitouch_attribution",
+    "s_calibration_report",
+    "q_peak_concurrency",
+    "q_fwf_roundtrip",
+    "t_feature_hashing",
+    "t_mlm_masking",
+    "q_graph_random_walks",
+    "s_triplet_mining",
+    "q_did_uplift",
+    "t_blocklist_filter",
+    "q_cuped_adjusted",
+    "s_filtered_knn",
+    "q_rolling_active_users",
+    "q_new_vs_returning",
+    "t_code_detect",
 ]
 
 
